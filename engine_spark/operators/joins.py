@@ -1,0 +1,103 @@
+"""Join operators.
+
+The reference supports exactly one join per query with Inner/Left/Right/Full
+types and an arbitrary ON condition, implemented as a nested loop over two
+window buffers (reference: join_input_stream.rs:12-26, join_processor.rs:84-160).
+Here every join is a declarative ``df.join`` — Catalyst picks
+broadcast/sort-merge/shuffled-hash, AQE re-picks at runtime. The helpers add
+the scale policy the reference couldn't have: explicit broadcast of dimension
+tables and windowed stream-stream join conditions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left_outer",
+    "left_outer": "left_outer",
+    "right": "right_outer",
+    "right_outer": "right_outer",
+    "full": "full_outer",
+    "full_outer": "full_outer",
+}
+
+
+def enrich(
+    stream: DataFrame,
+    table: DataFrame,
+    on: Column | list[str],
+    how: str = "inner",
+    broadcast_table: bool = True,
+) -> DataFrame:
+    """Stream↔table enrichment join (reference table_join_processor.rs).
+
+    The reference probes the table once per event; the Spark equivalent is a
+    stream-static join. Dimension tables are broadcast by default — at 100 TB
+    the fact side never shuffles for an enrichment.
+    """
+    right = F.broadcast(table) if broadcast_table else table
+    return stream.join(right, on, JOIN_TYPES[how])
+
+
+def windowed_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    max_delta_seconds: int,
+    on: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Stream↔stream join within a time window (reference join_processor.rs:18-27:
+    both sides keep a window buffer; an arriving event probes the other side's
+    buffer). Spark equivalent: equi-join + time-range condition; in streaming
+    the range bound is exactly what lets the state store evict.
+    """
+    l, r = F.col(left_ts), F.col(right_ts)
+    time_cond = (r >= l - F.expr(f"INTERVAL {max_delta_seconds} SECONDS")) & (
+        r <= l + F.expr(f"INTERVAL {max_delta_seconds} SECONDS")
+    )
+    return left.join(right, on & time_cond, JOIN_TYPES[how])
+
+
+def in_table(stream: DataFrame, table: DataFrame, on: Column, negate: bool = False) -> DataFrame:
+    """``WHERE x IN (table)`` membership (reference in_expression_executor.rs:14-31).
+
+    Compiled to a left-semi/anti join — Catalyst broadcasts the membership set
+    when it's small, so the big side never shuffles.
+    """
+    return stream.join(table, on, "left_anti" if negate else "left_semi")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join (not in the reference — added for the training-data pipeline).
+
+    For each left row, pick the single right row with the greatest
+    ``right_ts <= left_ts`` (backward) / smallest ``right_ts >= left_ts``
+    (forward) per key. Implemented as range join + per-left-row top-1 — one
+    shuffle on the key, no custom state.
+    """
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (left[k] == right[k])
+    if direction == "backward":
+        cond = cond & (right[right_ts] <= left[left_ts])
+        order = F.col(right_ts).desc()
+    else:
+        cond = cond & (right[right_ts] >= left[left_ts])
+        order = F.col(right_ts).asc()
+    from pyspark.sql import Window
+
+    j = left.alias("l").join(right.alias("r"), cond, "left")
+    w = Window.partitionBy(*[F.col(f"l.{k}") for k in on], F.col(f"l.{left_ts}")).orderBy(order)
+    return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

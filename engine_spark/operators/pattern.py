@@ -1,0 +1,122 @@
+"""CEP pattern matching — batch (relational) formulations.
+
+The reference's core differentiator is `FROM PATTERN (e1=A -> e2=B) WITHIN d`
+(reference: state-element algebra state_element.rs:15-22, NFA processors
+stream_pre_state_processor.rs / count_pre_state_processor.rs, ~6k LoC of
+bespoke per-key NFA state). On Spark the same semantics split:
+
+- **batch/historical**: every pattern construct is relational — a
+  followed-by is a time-bounded join + first-match rank; absence is an
+  anti-join; a count quantifier is a range-frame count. These scale like any
+  Spark join (one shuffle on the partition key) and Catalyst can push
+  per-position filters to the scan — something the reference's row-at-a-time
+  NFA never could.
+- **streaming**: a per-key NFA via applyInPandasWithState
+  (engine_spark.streaming.nfa) for event-at-a-time semantics.
+
+PATTERN mode (skip-till-next-match) vs SEQUENCE mode (strict adjacency,
+reference pattern/sequence_stream_receiver.rs) are both provided.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def followed_by(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    first: Column,
+    second: Column,
+    within_seconds: int,
+    strict: bool = False,
+) -> DataFrame:
+    """`e1=A -> e2=B WITHIN d` — for each A event, the earliest subsequent B
+    event on the same key within d (PATTERN mode: events between A and B are
+    skipped; reference converter.rs:1498-1543).
+
+    Returns one row per matched pair with ``e1_*`` / ``e2_*`` prefixed columns
+    plus ``delay_seconds``. With ``strict=True`` (SEQUENCE mode) the B event
+    must be the key's *immediately next* event after A.
+    """
+    e1 = df.filter(first).select(
+        *key_cols, *[F.col(c).alias(f"e1_{c}") for c in df.columns if c not in key_cols]
+    )
+    e2 = df.filter(second).select(
+        *[F.col(c).alias(f"_k2_{c}") for c in key_cols],
+        *[F.col(c).alias(f"e2_{c}") for c in df.columns if c not in key_cols],
+    )
+    l_ts, r_ts = F.col(f"e1_{ts_col}"), F.col(f"e2_{ts_col}")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_k2_{k}"))
+    cond = cond & (r_ts > l_ts) & (r_ts <= l_ts + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+    j = e1.join(e2, cond, "inner").drop(*[f"_k2_{k}" for k in key_cols])
+    # first (earliest) B per A — PATTERN takes the first match
+    w = Window.partitionBy(*key_cols, l_ts).orderBy(r_ts)
+    out = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    if strict:
+        # SEQUENCE: no event of any type may sit between A and B on this key
+        nxt = df.select(
+            *[F.col(c).alias(f"_n_{c}") for c in (*key_cols, ts_col)]
+        )
+        between = F.lit(True)
+        for k in key_cols:
+            between = between & (F.col(k) == F.col(f"_n_{k}"))
+        between = between & (F.col(f"_n_{ts_col}") > l_ts) & (F.col(f"_n_{ts_col}") < r_ts)
+        out = out.join(nxt, between, "left_anti")
+    return out.withColumn(
+        "delay_seconds", (r_ts.cast("double") - l_ts.cast("double"))
+    )
+
+
+def absent(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    first: Column,
+    absent_filter: Column,
+    within_seconds: int,
+) -> DataFrame:
+    """`e1=A NOT B FOR d` — A events with *no* B on the same key within d
+    (reference absent_stream_state_element.rs + timer wheel). Anti-join: the
+    timer wheel becomes a time-range predicate.
+    """
+    e1 = df.filter(first)
+    e2 = df.filter(absent_filter).select(
+        *[F.col(c).alias(f"_b_{c}") for c in (*key_cols, ts_col)]
+    )
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_b_{k}"))
+    l_ts, r_ts = F.col(ts_col), F.col(f"_b_{ts_col}")
+    cond = cond & (r_ts > l_ts) & (r_ts <= l_ts + F.expr(f"INTERVAL {within_seconds} SECONDS"))
+    return e1.join(e2, cond, "left_anti")
+
+
+def count_quantifier(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    event_filter: Column,
+    min_count: int,
+    within_seconds: int,
+) -> DataFrame:
+    """`e1=A{m,} WITHIN d` — rows where ≥ m matching events occurred on the
+    key in the trailing d window, ending at this event (reference
+    count_pre_state_processor.rs). Range-frame count — no join, one shuffle.
+    """
+    filtered = df.filter(event_filter)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-within_seconds, 0)
+    )
+    return (
+        filtered.withColumn("match_count", F.count(F.lit(1)).over(w))
+        .filter(F.col("match_count") >= min_count)
+    )

@@ -1,0 +1,227 @@
+"""Window operators.
+
+The reference registers exactly 10 window processors (reference:
+src/core/config/eventflux_context.rs:417-439, dispatch
+src/core/query/processor/stream/window/mod.rs:572-592). Each was a bespoke
+stateful Rust processor; here each is a declarative Spark plan:
+
+- time-based windows (time, timeBatch, externalTime, externalTimeBatch,
+  session) → native ``window()`` / ``session_window()`` / range-frame window
+  functions. Catalyst handles partial aggregation, AQE handles skew.
+- count-based windows (length, lengthBatch, sort) → window functions in batch;
+  the streaming variants live in engine_spark.streaming.state.
+- lossyCounting → approximate frequent-items (see ``frequent_items``).
+
+Batch semantics note: the reference's sliding windows emit per *event*
+(current + expired pairs, reference tests/app_runner_windows.rs:26-45). The
+batch-mode equivalent of "the aggregate the query would have emitted at each
+event" is a window-function frame ending at the current row — that's what the
+``*_sliding`` operators compute. Tumbling/batch windows agree exactly with
+``groupBy(window(...))``.
+
+Scale notes: every operator below shuffles at most once, on the user-supplied
+partition keys. Global (un-keyed) sliding windows order the whole stream — at
+100 TB you always pass ``partition_by`` (the reference had the same
+constraint: one process = one global order).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _wspec(partition_by: Sequence[str] | None, order_by: str | Column):
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(order_by)
+
+
+# ---------------------------------------------------------------------------
+# time-based windows
+# ---------------------------------------------------------------------------
+
+def time_batch(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_by: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """timeBatch(d) / externalTimeBatch(tsAttr, d) — tumbling time window.
+
+    Reference: window/mod.rs:965 (timeBatch), :1472 (externalTimeBatch); the
+    SQL ``WINDOW TUMBLING(d)`` maps here (sql_compiler/converter.rs:650-657).
+    Native ``groupBy(window(...))`` — partial aggregation map-side, one
+    shuffle on (window, *group_by).
+    """
+    keys = [F.window(F.col(ts_col), duration).alias("w"), *[F.col(c) for c in group_by]]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.withColumn("window_start", F.col("w.start")).withColumn(
+        "window_end", F.col("w.end")
+    ).drop("w")
+
+
+def time_sliding_hop(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_by: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """SQL ``WINDOW SLIDING(size, slide)`` — hopping window.
+
+    The reference parses this but errors "not yet implemented"
+    (sql_compiler/converter.rs:659-667); native in Spark via
+    ``window(ts, size, slide)``.
+    """
+    keys = [F.window(F.col(ts_col), duration, slide).alias("w"), *[F.col(c) for c in group_by]]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.withColumn("window_start", F.col("w.start")).withColumn(
+        "window_end", F.col("w.end")
+    ).drop("w")
+
+
+def time_sliding(
+    df: DataFrame,
+    ts_col: str,
+    duration_seconds: int,
+    partition_by: Sequence[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """time(d) / externalTime(tsAttr, d) — per-event sliding time window.
+
+    Reference: window/mod.rs:196 (time), :1332 (externalTime): each arriving
+    event sees the aggregate of events in the last ``d``. Batch equivalent: a
+    range frame ``[ts - d, ts]`` per row — one shuffle on partition keys, sort
+    within partitions, no self-join.
+
+    ``aggs`` maps output-column-name → aggregate Column (built on input cols).
+    """
+    w = (
+        _wspec(partition_by, F.col(ts_col).cast("long"))
+        .rangeBetween(-duration_seconds, 0)
+    )
+    out = df
+    for name, agg in (aggs or {}).items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
+def session(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_by: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """session(gap[, key]) — gap-based session window.
+
+    Reference: session_window_processor.rs:27 (622 LoC of bespoke session
+    state). Native ``session_window`` — Spark merges adjacent sessions in the
+    streaming state store; in batch it's a single shuffle + sort-merge.
+    """
+    keys = [
+        F.session_window(F.col(ts_col), gap).alias("w"),
+        *[F.col(c) for c in group_by],
+    ]
+    out = df.groupBy(*keys).agg(*aggs)
+    return out.withColumn("session_start", F.col("w.start")).withColumn(
+        "session_end", F.col("w.end")
+    ).drop("w")
+
+
+# ---------------------------------------------------------------------------
+# count-based windows (batch variants; streaming in streaming/state.py)
+# ---------------------------------------------------------------------------
+
+def length_sliding(
+    df: DataFrame,
+    ts_col: str,
+    n: int,
+    partition_by: Sequence[str] | None = None,
+    aggs: dict[str, Column] | None = None,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """length(n) — last n events, per-event emission.
+
+    Reference: window/mod.rs:63. Batch equivalent: rows-frame of the previous
+    n-1 rows plus the current row, ordered by event time.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = (
+        (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy())
+        .orderBy(*order)
+        .rowsBetween(-(n - 1), 0)
+    )
+    out = df
+    for name, agg in (aggs or {}).items():
+        out = out.withColumn(name, agg.over(w))
+    return out
+
+
+def length_batch(
+    df: DataFrame,
+    ts_col: str,
+    n: int,
+    partition_by: Sequence[str] | None = None,
+    group_cols: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """lengthBatch(n) — tumbling count batches of n events.
+
+    Reference: window/mod.rs:645 (+815-LoC state holder). Batch equivalent:
+    batch_id = floor((row_number-1)/n); aggregate per batch.
+    """
+    order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
+    w = _wspec(partition_by, order[0]).orderBy(*order)
+    batched = df.withColumn(
+        "batch_id", F.floor((F.row_number().over(w) - 1) / n)
+    )
+    keys = [*(partition_by or ()), "batch_id", *group_cols]
+    return batched.groupBy(*keys).agg(*aggs)
+
+
+def sort_window(
+    df: DataFrame,
+    n: int,
+    order_by: Sequence[Column],
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """sort(n, attr, 'asc'/'desc'…) — keep top/bottom-n events by sort keys.
+
+    Reference: sort_window_processor.rs:25 (bounded priority buffer). Batch
+    equivalent: row_number ≤ n per partition. At scale this is the classic
+    per-key top-k: Spark pushes a partial top-k before the shuffle when the
+    frame allows (rank + filter), so the full sort never materializes.
+    """
+    w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(
+        *order_by
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
+
+
+def frequent_items(
+    df: DataFrame,
+    item_col: str,
+    min_support: float,
+) -> DataFrame:
+    """lossyCounting(support) — frequent-items over the window.
+
+    Reference: window/mod.rs:1654. Lossy counting approximates "items with
+    frequency ≥ support·N"; in Spark the exact computation is a single
+    map-side-combined groupBy (the approximation existed because the reference
+    was memory-bound row-at-a-time — a distributed count is not). The streaming
+    variant in streaming/state.py uses the actual lossy-counting algorithm to
+    bound state.
+    """
+    total = df.count()
+    threshold = min_support * total
+    return (
+        df.groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= threshold)
+    )

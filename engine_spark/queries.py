@@ -1,0 +1,804 @@
+"""Query registry: every implemented operator as a (Spark plan, DuckDB oracle) pair.
+
+Each entry proves one operator class from SURVEY.md §2 end-to-end: the Spark
+side is built from engine_spark operators; the oracle is independent ANSI SQL
+run by DuckDB over the same parquet. Column names are aliased identically on
+both sides (the driver hash-compares after sorting columns by name).
+
+Determinism rules used throughout (see operators/aggregations.py):
+- row-level double arithmetic is IEEE-deterministic → used freely;
+- aggregated doubles go through DECIMAL(18,4) sums (order-independent, exact);
+- transcendentals (exp/ln/…) are rounded, since JVM/libm may differ in the
+  last ulp;
+- every top-k / LIMIT has a total tiebreak order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine_spark.catalog import Catalog
+from engine_spark.operators import pattern, windows
+from engine_spark.operators.aggregations import decimal_avg, decimal_sum, stddev_pop_det
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QueryDef:
+    spark: SparkQuery
+    oracle: str | None  # None → non-SQL-expressible, driver does rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn: SparkQuery):
+        QUERIES[name] = QueryDef(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# 2b. projection / filter / expressions
+# ===========================================================================
+
+@register(
+    "filter_project",
+    """
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag <> 'N'
+    """,
+    doc="WHERE + SELECT projection (reference filter_processor.rs:18, select_processor.rs:323)",
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return (
+        li.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") != "N"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            "l_returnflag",
+        )
+    )
+
+
+@register(
+    "case_when",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 200000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_label,
+           CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 ELSE 9 END AS prio
+    FROM orders
+    """,
+    doc="searched+simple CASE, COALESCE, NULLIF (reference case_expression_executor.rs)",
+)
+def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_label"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .otherwise(9)
+        .alias("prio"),
+    )
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS up_name,
+           lower(p_brand) AS lo_brand,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 8) AS name_pfx,
+           p_brand || '#' || p_type AS brand_type,
+           reverse(p_type) AS rev_type,
+           replace(p_name, 'a', '@') AS name_at,
+           trim(p_name) AS name_trim,
+           lpad(p_brand, 12, '.') AS brand_pad,
+           CAST(position('e' IN p_name) AS INTEGER) AS e_pos,
+           CAST(ascii(p_brand) AS INTEGER) AS brand_ascii,
+           repeat(substr(p_brand, 1, 2), 2) AS b2x2
+    FROM part
+    """,
+    doc="string function surface (reference string_functions.rs:12-877)",
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.functions.scalar import resolve as fn
+
+    p = Catalog(spark, sf_dir)["part"]
+    return p.select(
+        "p_partkey",
+        fn("upper")(F.col("p_name")).alias("up_name"),
+        fn("lower")(F.col("p_brand")).alias("lo_brand"),
+        fn("length")(F.col("p_name")).alias("name_len"),
+        fn("substr")(F.col("p_name"), 1, 8).alias("name_pfx"),
+        fn("concat")(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        fn("reverse")(F.col("p_type")).alias("rev_type"),
+        fn("replace")(F.col("p_name"), "a", "@").alias("name_at"),
+        fn("trim")(F.col("p_name")).alias("name_trim"),
+        fn("lpad")(F.col("p_brand"), 12, ".").alias("brand_pad"),
+        fn("position")("e", F.col("p_name")).cast("int").alias("e_pos"),
+        fn("ascii")(F.col("p_brand")).cast("int").alias("brand_ascii"),
+        fn("repeat")(fn("substr")(F.col("p_brand"), 1, 2), 2).alias("b2x2"),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           sqrt(l_quantity) AS qty_sqrt,
+           abs(l_discount - 0.05) AS disc_dev,
+           floor(l_extendedprice / 1000) AS price_k_floor,
+           ceil(l_extendedprice / 1000) AS price_k_ceil,
+           round(l_extendedprice * l_tax, 3) AS tax_amt,
+           CAST(l_linenumber % 3 AS INTEGER) AS ln_mod,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(ln(l_quantity + 1), 6) AS qty_ln,
+           round(power(l_quantity, 2), 6) AS qty_sq,
+           greatest(l_quantity, l_discount * 100) AS g,
+           least(l_quantity, l_discount * 100) AS l
+    FROM lineitem
+    """,
+    doc="math function surface (reference math_functions.rs:22-784)",
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.functions.scalar import resolve as fn
+
+    li = Catalog(spark, sf_dir)["lineitem"]
+    q, d, e = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        fn("sqrt")(q).alias("qty_sqrt"),
+        fn("abs")(d - 0.05).alias("disc_dev"),
+        fn("floor")(e / 1000).alias("price_k_floor"),
+        fn("ceil")(e / 1000).alias("price_k_ceil"),
+        fn("round")(e * F.col("l_tax"), 3).alias("tax_amt"),
+        fn("mod")(F.col("l_linenumber"), 3).cast("int").alias("ln_mod"),
+        fn("sign")(d - 0.05).alias("disc_sign"),
+        fn("round")(fn("exp")(d), 6).alias("disc_exp"),
+        fn("round")(fn("log")(q + 1), 6).alias("qty_ln"),
+        fn("round")(fn("power")(q, 2), 6).alias("qty_sq"),
+        fn("maximum")(q, d * 100).alias("g"),
+        fn("minimum")(q, d * 100).alias("l"),
+    )
+
+
+@register(
+    "date_funcs",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(month(o_orderdate) AS INTEGER) AS o_month,
+           strftime(o_orderdate, '%Y-%m') AS ym,
+           o_orderdate + INTERVAL 30 DAY AS due_date
+    FROM orders
+    """,
+    doc="date/time functions (reference date_functions.rs:14-92)",
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.functions.scalar import resolve as fn
+
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        fn("formatdate")(F.col("o_orderdate"), "yyyy-MM").alias("ym"),
+        fn("dateadd")(F.col("o_orderdate"), 30, "day").alias("due_date"),
+    )
+
+
+# ===========================================================================
+# 2d. aggregations
+# ===========================================================================
+
+_Q1_ORACLE = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register(
+    "agg_pricing_summary",
+    _Q1_ORACLE,
+    doc="TPC-H-Q1-style pricing summary: sum/avg/count per group "
+    "(reference aggregator/mod.rs:172,557,813; GROUP BY converter.rs:314-345)",
+)
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            decimal_sum("l_quantity").alias("sum_qty"),
+            decimal_sum("l_extendedprice").alias("sum_base_price"),
+            decimal_sum(disc_price).alias("sum_disc_price"),
+            decimal_avg("l_quantity").alias("avg_qty"),
+            decimal_avg("l_extendedprice").alias("avg_price"),
+            decimal_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           COUNT(DISTINCT l_suppkey) AS distinct_supp,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           round(sqrt(
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity)
+             - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity))
+               * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity))
+           ), 6) AS qty_stddev
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="distinctCount/min/max/stddev aggregators (reference aggregator/mod.rs:1117,1396,1536)",
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("l_suppkey").alias("distinct_supp"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(stddev_pop_det("l_quantity"), 6).alias("qty_stddev"),
+    )
+
+
+@register(
+    "agg_having_topn",
+    """
+    SELECT l_partkey,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 3
+    ORDER BY total_qty DESC, l_partkey ASC
+    LIMIT 20
+    """,
+    doc="GROUP BY + HAVING + ORDER BY + LIMIT (reference select_processor.rs:330-415)",
+)
+def q_agg_having_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("l_quantity").alias("total_qty"),
+        )
+        .filter(F.col("n") >= 3)
+        .orderBy(F.col("total_qty").desc(), F.col("l_partkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "first_last_by_time",
+    """
+    SELECT user_id,
+           arg_min(event_type, ts) AS first_type,
+           arg_max(event_type, ts) AS last_type,
+           arg_min(value, ts) AS first_value,
+           arg_max(value, ts) AS last_value
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="first()/last() aggregators over event-time order (reference aggregator/mod.rs:1660,1768)",
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", "ts").alias("first_type"),
+        F.max_by("event_type", "ts").alias("last_type"),
+        F.min_by("value", "ts").alias("first_value"),
+        F.max_by("value", "ts").alias("last_value"),
+    )
+
+
+# ===========================================================================
+# 2c. joins
+# ===========================================================================
+
+@register(
+    "join_enrich_star",
+    """
+    SELECT n_name, r_name,
+           COUNT(*) AS order_cnt,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderstatus = 'F'
+    GROUP BY n_name, r_name
+    """,
+    doc="stream-table enrichment chain, all dims broadcast (reference "
+    "table_join_processor.rs; multi-join is beyond the reference's 1-join limit)",
+)
+def q_join_enrich_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.joins import enrich
+
+    cat = Catalog(spark, sf_dir)
+    o = cat["orders"].filter(F.col("o_orderstatus") == "F")
+    j = enrich(o, cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    j = enrich(j, cat["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+    j = enrich(j, cat["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    return j.groupBy("n_name", "r_name").agg(
+        F.count(F.lit(1)).alias("order_cnt"),
+        decimal_sum("o_totalprice").alias("revenue"),
+    )
+
+
+@register(
+    "join_left_outer",
+    """
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 150000
+    GROUP BY c_custkey, c_name
+    """,
+    doc="LEFT OUTER join with ON-clause extra condition (reference join_input_stream.rs:12-26)",
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c, o = cat["customer"], cat["orders"]
+    cond = (c["c_custkey"] == o["o_custkey"]) & (o["o_totalprice"] > 150000)
+    return (
+        c.join(o, cond, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("order_cnt"))
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    WITH cust AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+         supp AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+    doc="FULL OUTER join with null-padding (reference join_processor.rs outer variants)",
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust = cat["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    supp = cat["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cust.join(supp, "nk", "full_outer")
+        .select(
+            F.col("nk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "semi_join_in_table",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    doc="IN (table) membership → left-semi join (reference in_expression_executor.rs:14-31)",
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.joins import in_table
+
+    cat = Catalog(spark, sf_dir)
+    members = cat["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    out = in_table(
+        cat["orders"], members, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return out.select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "anti_join_not_in",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    doc="NOT IN (table) → left-anti join",
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.joins import in_table
+
+    cat = Catalog(spark, sf_dir)
+    out = in_table(
+        cat["customer"], cat["orders"], F.col("c_custkey") == F.col("o_custkey"), negate=True
+    )
+    return out.select("c_custkey", "c_name")
+
+
+@register(
+    "stream_stream_windowed_join",
+    """
+    SELECT a.user_id AS user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+           a.value AS click_value, b.value AS purchase_value
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts - INTERVAL 300 SECONDS
+     AND b.ts <= a.ts + INTERVAL 300 SECONDS
+    """,
+    doc="stream-stream join within ±5 min (reference join_processor.rs:18-27 "
+    "window-buffer probe; Spark: equi-join + time-range condition)",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.joins import windowed_join
+
+    ev = Catalog(spark, sf_dir)["events"]
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("a_ts"), F.col("value").alias("click_value"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("b_ts"), F.col("value").alias("purchase_value"),
+    )
+    j = windowed_join(
+        a, b, "a_ts", "b_ts", 300, F.col("user_id") == F.col("b_user_id")
+    )
+    return j.select("user_id", "click_id", "purchase_id", "click_value", "purchase_value")
+
+
+# ===========================================================================
+# 2e. windows
+# ===========================================================================
+
+@register(
+    "window_tumbling_1h",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="timeBatch/TUMBLING window (reference window/mod.rs:965; SQL TUMBLING converter.rs:650-657)",
+)
+def q_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    out = windows.time_batch(
+        ev,
+        "ts",
+        "1 hour",
+        group_by=("event_type",),
+        aggs=(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("value").alias("sum_value"),
+        ),
+    )
+    return out.select("window_start", "event_type", "n", "sum_value")
+
+
+@register(
+    "window_hopping_1h_15m",
+    """
+    SELECT make_timestamp(((epoch_ms(ts) // 1000) // 900 - g.i) * 900 * 1000000) AS window_start,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN (VALUES (0),(1),(2),(3)) AS g(i)
+    GROUP BY 1
+    """,
+    doc="SLIDING(1h, 15m) hopping window — the reference parses but rejects this "
+    "(converter.rs:659-667); native in Spark via window(ts, size, slide)",
+)
+def q_window_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    out = windows.time_sliding_hop(
+        ev,
+        "ts",
+        "1 hour",
+        "15 minutes",
+        aggs=(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("value").alias("sum_value"),
+        ),
+    )
+    return out.select("window_start", "n", "sum_value")
+
+
+@register(
+    "window_sliding_time_10m",
+    """
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_10m,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                 RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+    """,
+    doc="time(10 min) sliding window, per-event emission (reference window/mod.rs:196): "
+    "range frame [ts-10m, ts] per user",
+)
+def q_window_sliding_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    from engine_spark.operators.aggregations import dec
+
+    out = windows.time_sliding(
+        ev,
+        "ts",
+        600,
+        partition_by=("user_id",),
+        aggs={
+            "n_10m": F.count(F.lit(1)),
+            "sum_10m": F.sum(dec("value")).cast("double"),
+        },
+    )
+    return out.select("event_id", "user_id", "n_10m", "sum_10m")
+
+
+@register(
+    "window_session_30m",
+    """
+    WITH d AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM d
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="session(30 min, user) window (reference session_window_processor.rs:27) "
+    "→ native session_window()",
+)
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    out = windows.session(
+        ev,
+        "ts",
+        "30 minutes",
+        group_by=("user_id",),
+        aggs=(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            decimal_sum("value").alias("sum_value"),
+        ),
+    )
+    return out.select("user_id", "session_start", "n_events", "sum_value")
+
+
+@register(
+    "window_length_5",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last5,
+           COUNT(*) OVER w AS n_last5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    doc="length(5) count window per key (reference window/mod.rs:63): rows frame",
+)
+def q_window_length5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.aggregations import dec
+
+    ev = Catalog(spark, sf_dir)["events"]
+    out = windows.length_sliding(
+        ev,
+        "ts",
+        5,
+        partition_by=("user_id",),
+        aggs={
+            "sum_last5": F.sum(dec("value")).cast("double"),
+            "n_last5": F.count(F.lit(1)),
+        },
+        tiebreak=("event_id",),
+    )
+    return out.select("event_id", "user_id", "sum_last5", "n_last5")
+
+
+@register(
+    "window_length_batch_50",
+    """
+    WITH numbered AS (
+      SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 50 AS batch_id
+      FROM events
+    )
+    SELECT user_id, batch_id, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM numbered GROUP BY user_id, batch_id
+    """,
+    doc="lengthBatch(50) tumbling count window (reference window/mod.rs:645)",
+)
+def q_window_length_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    out = windows.length_batch(
+        ev,
+        "ts",
+        50,
+        partition_by=("user_id",),
+        aggs=(
+            F.count(F.lit(1)).alias("n"),
+            decimal_sum("value").alias("sum_value"),
+        ),
+        tiebreak=("event_id",),
+    )
+    return out.select("user_id", "batch_id", "n", "sum_value")
+
+
+@register(
+    "window_sort_top3",
+    """
+    SELECT user_id, event_id, value
+    FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    doc="sort(3, value desc) window → per-key top-k (reference sort_window_processor.rs:25)",
+)
+def q_window_sort_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"].select("user_id", "event_id", "value")
+    return windows.sort_window(
+        ev, 3, order_by=[F.col("value").desc(), F.col("event_id").asc()],
+        partition_by=("user_id",),
+    )
+
+
+@register(
+    "frequent_items",
+    """
+    SELECT l_partkey AS item, COUNT(*) AS freq
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 0.0001 * (SELECT COUNT(*) FROM lineitem)
+    """,
+    doc="lossyCounting(support) frequent-items window (reference window/mod.rs:1654); "
+    "exact distributed count — the approximation was a single-node memory bound",
+)
+def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"].select(F.col("l_partkey").alias("item"))
+    return windows.frequent_items(li, "item", 0.0001)
+
+
+# ===========================================================================
+# 2f. CEP patterns (batch formulations; streaming NFA in streaming/)
+# ===========================================================================
+
+@register(
+    "pattern_followed_by",
+    """
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT s.user_id AS user_id, s.event_id AS signup_id,
+           min_by(p.event_id, p.ts) AS purchase_id,
+           CAST(epoch_ms(min(p.ts)) - epoch_ms(s.ts) AS DOUBLE) / 1000 AS delay_seconds
+    FROM s JOIN p ON s.user_id = p.user_id
+     AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1800 SECONDS
+    GROUP BY s.user_id, s.event_id, s.ts
+    """,
+    doc="PATTERN e1=signup -> e2=purchase WITHIN 30min (reference "
+    "converter.rs:1498-1543, stream_pre_state_processor.rs): first match per start event",
+)
+def q_pattern_followed_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    m = pattern.followed_by(
+        ev,
+        "ts",
+        ["user_id"],
+        first=F.col("event_type") == "signup",
+        second=F.col("event_type") == "purchase",
+        within_seconds=1800,
+    )
+    return m.select(
+        "user_id",
+        F.col("e1_event_id").alias("signup_id"),
+        F.col("e2_event_id").alias("purchase_id"),
+        "delay_seconds",
+    )
+
+
+@register(
+    "pattern_absent",
+    """
+    SELECT e.user_id, e.event_id, e.ts
+    FROM events e
+    WHERE e.event_type = 'signup'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = e.user_id AND b.event_type = 'purchase'
+          AND b.ts > e.ts AND b.ts <= e.ts + INTERVAL 1800 SECONDS
+      )
+    """,
+    doc="absent pattern: signup NOT followed-by purchase FOR 30min "
+    "(reference absent_stream_state_element.rs + timer wheel)",
+)
+def q_pattern_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    m = pattern.absent(
+        ev,
+        "ts",
+        ["user_id"],
+        first=F.col("event_type") == "signup",
+        absent_filter=F.col("event_type") == "purchase",
+        within_seconds=1800,
+    )
+    return m.select("user_id", "event_id", "ts")
+
+
+@register(
+    "pattern_count_quantifier",
+    """
+    SELECT event_id, user_id, ts, match_count
+    FROM (
+      SELECT event_id, user_id, ts,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS match_count
+      FROM events WHERE event_type = 'error'
+    ) WHERE match_count >= 3
+    """,
+    doc="count quantifier e=error{3,} WITHIN 1h (reference count_pre_state_processor.rs)",
+)
+def q_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    m = pattern.count_quantifier(
+        ev,
+        "ts",
+        ["user_id"],
+        event_filter=F.col("event_type") == "error",
+        min_count=3,
+        within_seconds=3600,
+    )
+    return m.select("event_id", "user_id", "ts", "match_count")
