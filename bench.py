@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count-style action (collect on aggregates,
+count on row-level outputs) so the full plan runs without driver-side
+materialization of wide results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from engine_spark.queries import QUERIES
+    from engine_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Headline set: one per operator family, the plans that dominate at scale.
+    headline = [
+        "agg_pricing_summary",
+        "agg_having_topn",
+        "join_enrich_star",
+        "stream_stream_windowed_join",
+        "window_sliding_time_10m",
+        "window_session_30m",
+        "window_hopping_1h_15m",
+        "pattern_followed_by",
+        "pattern_absent",
+        "frequent_items",
+    ]
+    # datapipe headliners when registered
+    for extra in ("dedup_minhash_lsh", "text_quality", "ann_topk_cosine"):
+        if extra in QUERIES:
+            headline.append(extra)
+
+    times: dict[str, float] = {}
+    # warm the JVM + parquet footer cache with one cheap full run
+    QUERIES["agg_pricing_summary"].spark(spark, sf_dir).collect()
+
+    for name in headline:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        df = QUERIES[name].spark(spark, sf_dir)
+        # force full execution without shipping wide rows to the driver
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TESTDATA_TABLES = (
     "region",
@@ -41,12 +43,22 @@ class Catalog:
     def path(self, name: str) -> str:
         return os.path.join(self.base_dir, f"{name}.parquet")
 
+    #: columns stored as TIMESTAMP(NANOS) in the driver's parquet. With
+    #: spark.sql.legacy.parquet.nanosAsLong=true they scan as LongType nanos;
+    #: convert via exact integer division (``div`` — no double rounding at
+    #: 1e18 magnitudes) to a microsecond timestamp matching what DuckDB sees.
+    NANOS_TS_COLS = {"events": ("ts",)}
+
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
             p = self.path(name)
             if not os.path.exists(p):
                 raise KeyError(f"table {name!r} not found under {self.base_dir}")
-            self._cache[name] = self.spark.read.parquet(p)
+            df = self.spark.read.parquet(p)
+            for c in self.NANOS_TS_COLS.get(name, ()):
+                if c in df.columns and isinstance(df.schema[c].dataType, T.LongType):
+                    df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+            self._cache[name] = df
         return self._cache[name]
 
     def __getitem__(self, name: str) -> DataFrame:

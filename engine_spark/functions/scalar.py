@@ -62,11 +62,12 @@ def _position(sub, col: Column) -> Column:
 
 
 def _instance_of(spark_type: str) -> ColumnFn:
-    # instanceOf* checkers — compile-time in a typed engine; parity shim
+    # instanceOf* checkers (reference instance_of_checkers.rs test the value's
+    # *runtime* type). Spark columns are statically typed, so the faithful
+    # translation is: declared type == target AND value non-null. ``typeof``
+    # evaluates to the static type name, constant-folded by Catalyst.
     def check(c: Column) -> Column:
-        return F.when(c.isNull(), F.lit(False)).otherwise(
-            c.cast(spark_type).isNotNull()
-        )
+        return (F.typeof(c) == F.lit(spark_type)) & c.isNotNull()
 
     return check
 

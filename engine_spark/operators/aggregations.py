@@ -76,4 +76,5 @@ def stddev_pop_det(col: Column | str, scale: int = 4) -> Column:
     n = F.count(c).cast("double")
     sx = F.sum(dec(c, scale)).cast("double")
     sxx = F.sum((dec(c, scale) * dec(c, scale))).cast("double")
-    return F.sqrt(sxx / n - (sx / n) * (sx / n))
+    # clamp: catastrophic cancellation can push the operand epsilon-negative
+    return F.sqrt(F.greatest(sxx / n - (sx / n) * (sx / n), F.lit(0.0)))

@@ -30,13 +30,16 @@ def enrich(
     table: DataFrame,
     on: Column | list[str],
     how: str = "inner",
-    broadcast_table: bool = True,
+    broadcast_table: bool | None = None,
 ) -> DataFrame:
     """Stream↔table enrichment join (reference table_join_processor.rs).
 
     The reference probes the table once per event; the Spark equivalent is a
-    stream-static join. Dimension tables are broadcast by default — at 100 TB
-    the fact side never shuffles for an enrichment.
+    stream-static join. ``broadcast_table=None`` (default) lets
+    AQE/autoBroadcastJoinThreshold pick the strategy from actual sizes — a
+    forced broadcast of a dimension that grew 100× OOMs the executors, so
+    force (``True``) only for tables known to be bounded-small (nation,
+    region), and ``False`` to forbid.
     """
     right = F.broadcast(table) if broadcast_table else table
     return stream.join(right, on, JOIN_TYPES[how])

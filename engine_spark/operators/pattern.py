@@ -56,8 +56,13 @@ def followed_by(
         cond = cond & (F.col(k) == F.col(f"_k2_{k}"))
     cond = cond & (r_ts > l_ts) & (r_ts <= l_ts + F.expr(f"INTERVAL {within_seconds} SECONDS"))
     j = e1.join(e2, cond, "inner").drop(*[f"_k2_{k}" for k in key_cols])
-    # first (earliest) B per A — PATTERN takes the first match
-    w = Window.partitionBy(*key_cols, l_ts).orderBy(r_ts)
+    # first (earliest) B per A — PATTERN takes the first match. The rank
+    # window partitions by the *full e1 identity* (every e1_* column), not
+    # just (key, e1_ts): two A events with identical key+timestamp are
+    # distinct NFA starts in the reference (stream_pre_state_processor.rs
+    # spawns a state per arriving event) and each keeps its own match.
+    e1_ident = [c for c in j.columns if c.startswith("e1_")]
+    w = Window.partitionBy(*key_cols, *e1_ident).orderBy(r_ts, F.col(f"e2_{ts_col}"))
     out = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
     if strict:
         # SEQUENCE: no event of any type may sit between A and B on this key
@@ -69,8 +74,11 @@ def followed_by(
             between = between & (F.col(k) == F.col(f"_n_{k}"))
         between = between & (F.col(f"_n_{ts_col}") > l_ts) & (F.col(f"_n_{ts_col}") < r_ts)
         out = out.join(nxt, between, "left_anti")
+    # exact integer microseconds → one double division; bit-identical to a
+    # SQL oracle computing (epoch_us(b) - epoch_us(a)) / 1e6
     return out.withColumn(
-        "delay_seconds", (r_ts.cast("double") - l_ts.cast("double"))
+        "delay_seconds",
+        (F.unix_micros(r_ts) - F.unix_micros(l_ts)).cast("double") / F.lit(1000000.0),
     )
 
 

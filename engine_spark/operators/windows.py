@@ -33,9 +33,21 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _wspec(partition_by: Sequence[str] | None, order_by: str | Column):
-    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
-    return w.orderBy(order_by)
+def _partition_spec(partition_by: Sequence[str] | None, allow_global: bool):
+    """Keyless sliding windows degrade to one global sort task at scale, so
+    they must be requested explicitly (``allow_global=True``)."""
+    if partition_by:
+        return Window.partitionBy(*partition_by)
+    if not allow_global:
+        raise ValueError(
+            "un-keyed sliding window would single-partition the whole input; "
+            "pass partition_by=… or allow_global=True to opt in"
+        )
+    return Window.partitionBy()
+
+
+def _wspec(partition_by: Sequence[str] | None, order_by: str | Column, allow_global: bool = False):
+    return _partition_spec(partition_by, allow_global).orderBy(order_by)
 
 
 # ---------------------------------------------------------------------------
@@ -90,6 +102,7 @@ def time_sliding(
     duration_seconds: int,
     partition_by: Sequence[str] | None = None,
     aggs: dict[str, Column] | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """time(d) / externalTime(tsAttr, d) — per-event sliding time window.
 
@@ -101,7 +114,7 @@ def time_sliding(
     ``aggs`` maps output-column-name → aggregate Column (built on input cols).
     """
     w = (
-        _wspec(partition_by, F.col(ts_col).cast("long"))
+        _wspec(partition_by, F.col(ts_col).cast("long"), allow_global)
         .rangeBetween(-duration_seconds, 0)
     )
     out = df
@@ -144,6 +157,7 @@ def length_sliding(
     partition_by: Sequence[str] | None = None,
     aggs: dict[str, Column] | None = None,
     tiebreak: Sequence[str] = (),
+    allow_global: bool = False,
 ) -> DataFrame:
     """length(n) — last n events, per-event emission.
 
@@ -152,7 +166,7 @@ def length_sliding(
     """
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
     w = (
-        (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy())
+        _partition_spec(partition_by, allow_global)
         .orderBy(*order)
         .rowsBetween(-(n - 1), 0)
     )
@@ -170,6 +184,7 @@ def length_batch(
     group_cols: Sequence[str] = (),
     aggs: Sequence[Column] = (),
     tiebreak: Sequence[str] = (),
+    allow_global: bool = False,
 ) -> DataFrame:
     """lengthBatch(n) — tumbling count batches of n events.
 
@@ -177,7 +192,7 @@ def length_batch(
     batch_id = floor((row_number-1)/n); aggregate per batch.
     """
     order = [F.col(ts_col), *[F.col(c) for c in tiebreak]]
-    w = _wspec(partition_by, order[0]).orderBy(*order)
+    w = _partition_spec(partition_by, allow_global).orderBy(*order)
     batched = df.withColumn(
         "batch_id", F.floor((F.row_number().over(w) - 1) / n)
     )
@@ -190,6 +205,7 @@ def sort_window(
     n: int,
     order_by: Sequence[Column],
     partition_by: Sequence[str] | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """sort(n, attr, 'asc'/'desc'…) — keep top/bottom-n events by sort keys.
 
@@ -198,9 +214,7 @@ def sort_window(
     per-key top-k: Spark pushes a partial top-k before the shuffle when the
     frame allows (rank + filter), so the full sort never materializes.
     """
-    w = (Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()).orderBy(
-        *order_by
-    )
+    w = _partition_spec(partition_by, allow_global).orderBy(*order_by)
     return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
 
 
@@ -214,14 +228,18 @@ def frequent_items(
     Reference: window/mod.rs:1654. Lossy counting approximates "items with
     frequency ≥ support·N"; in Spark the exact computation is a single
     map-side-combined groupBy (the approximation existed because the reference
-    was memory-bound row-at-a-time — a distributed count is not). The streaming
-    variant in streaming/state.py uses the actual lossy-counting algorithm to
-    bound state.
+    was memory-bound row-at-a-time — a distributed count is not).
+
+    Single scan: the total N is recovered as ``sum(freq) over ()`` on the
+    *grouped* result (tiny — one row per distinct item), never a second pass
+    over the input.
     """
-    total = df.count()
-    threshold = min_support * total
+    from pyspark.sql import Window as W
+
+    grouped = df.groupBy(item_col).agg(F.count(F.lit(1)).alias("freq"))
+    total = F.sum("freq").over(W.partitionBy())
     return (
-        df.groupBy(item_col)
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .filter(F.col("freq") >= threshold)
+        grouped.withColumn("_thr", F.lit(min_support) * total)
+        .filter(F.col("freq") >= F.col("_thr"))
+        .drop("_thr")
     )

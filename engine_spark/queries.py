@@ -152,9 +152,9 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey, l_linenumber,
            sqrt(l_quantity) AS qty_sqrt,
            abs(l_discount - 0.05) AS disc_dev,
-           floor(l_extendedprice / 1000) AS price_k_floor,
-           ceil(l_extendedprice / 1000) AS price_k_ceil,
-           round(l_extendedprice * l_tax, 3) AS tax_amt,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k_floor,
+           CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS price_k_ceil,
+           CAST(floor(l_extendedprice * l_tax * 1000 + 0.5) AS DOUBLE) / 1000 AS tax_amt,
            CAST(l_linenumber % 3 AS INTEGER) AS ln_mod,
            CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign,
            round(exp(l_discount), 6) AS disc_exp,
@@ -178,7 +178,9 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn("abs")(d - 0.05).alias("disc_dev"),
         fn("floor")(e / 1000).alias("price_k_floor"),
         fn("ceil")(e / 1000).alias("price_k_ceil"),
-        fn("round")(e * F.col("l_tax"), 3).alias("tax_amt"),
+        # explicit half-up-at-3-decimals on both sides: engines disagree on
+        # round()'s tie-breaking for doubles, floor(x*1000+0.5)/1000 doesn't
+        (fn("floor")(e * F.col("l_tax") * 1000 + 0.5).cast("double") / 1000).alias("tax_amt"),
         fn("mod")(F.col("l_linenumber"), 3).cast("int").alias("ln_mod"),
         fn("sign")(d - 0.05).alias("disc_sign"),
         fn("round")(fn("exp")(d), 6).alias("disc_exp"),
@@ -362,9 +364,11 @@ def q_join_enrich_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     o = cat["orders"].filter(F.col("o_orderstatus") == "F")
+    # customer scales with the fact side → AQE picks the strategy; nation and
+    # region are bounded-small (25/5 rows at any SF) → forced broadcast.
     j = enrich(o, cat["customer"], F.col("o_custkey") == F.col("c_custkey"))
-    j = enrich(j, cat["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
-    j = enrich(j, cat["region"], F.col("n_regionkey") == F.col("r_regionkey"))
+    j = enrich(j, cat["nation"], F.col("c_nationkey") == F.col("n_nationkey"), broadcast_table=True)
+    j = enrich(j, cat["region"], F.col("n_regionkey") == F.col("r_regionkey"), broadcast_table=True)
     return j.groupBy("n_name", "r_name").agg(
         F.count(F.lit(1)).alias("order_cnt"),
         decimal_sum("o_totalprice").alias("revenue"),
@@ -446,16 +450,20 @@ def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT c_custkey, c_name
     FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 300000)
     """,
-    doc="NOT IN (table) → left-anti join",
+    doc="NOT IN (table) → left-anti join. Oracle phrased as NOT EXISTS: the "
+    "reference's in_expression_executor is a membership probe (anti-join "
+    "semantics), not SQL NOT IN three-valued logic over NULLs.",
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine_spark.operators.joins import in_table
 
     cat = Catalog(spark, sf_dir)
+    big = cat["orders"].filter(F.col("o_totalprice") > 300000)
     out = in_table(
-        cat["customer"], cat["orders"], F.col("c_custkey") == F.col("o_custkey"), negate=True
+        cat["customer"], big, F.col("c_custkey") == F.col("o_custkey"), negate=True
     )
     return out.select("c_custkey", "c_name")
 
@@ -574,10 +582,12 @@ def q_window_sliding_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=("user_id",),
         aggs={
             "n_10m": F.count(F.lit(1)),
-            "sum_10m": F.sum(dec("value")).cast("double"),
+            "sum_10m": F.sum(dec("value")),
         },
     )
-    return out.select("event_id", "user_id", "n_10m", "sum_10m")
+    return out.select(
+        "event_id", "user_id", "n_10m", F.col("sum_10m").cast("double").alias("sum_10m")
+    )
 
 
 @register(
@@ -639,12 +649,14 @@ def q_window_length5(spark: SparkSession, sf_dir: str) -> DataFrame:
         5,
         partition_by=("user_id",),
         aggs={
-            "sum_last5": F.sum(dec("value")).cast("double"),
+            "sum_last5": F.sum(dec("value")),
             "n_last5": F.count(F.lit(1)),
         },
         tiebreak=("event_id",),
     )
-    return out.select("event_id", "user_id", "sum_last5", "n_last5")
+    return out.select(
+        "event_id", "user_id", F.col("sum_last5").cast("double").alias("sum_last5"), "n_last5"
+    )
 
 
 @register(
@@ -724,7 +736,7 @@ def q_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
          p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
     SELECT s.user_id AS user_id, s.event_id AS signup_id,
            min_by(p.event_id, p.ts) AS purchase_id,
-           CAST(epoch_ms(min(p.ts)) - epoch_ms(s.ts) AS DOUBLE) / 1000 AS delay_seconds
+           CAST(epoch_us(min(p.ts)) - epoch_us(s.ts) AS DOUBLE) / 1000000 AS delay_seconds
     FROM s JOIN p ON s.user_id = p.user_id
      AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1800 SECONDS
     GROUP BY s.user_id, s.event_id, s.ts
@@ -785,11 +797,11 @@ def q_pattern_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (
       SELECT event_id, user_id, ts,
              COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
-                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS match_count
+                            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS match_count
       FROM events WHERE event_type = 'error'
     ) WHERE match_count >= 3
     """,
-    doc="count quantifier e=error{3,} WITHIN 1h (reference count_pre_state_processor.rs)",
+    doc="count quantifier e=error{3,} WITHIN 24h (reference count_pre_state_processor.rs)",
 )
 def q_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir)["events"]
@@ -799,6 +811,6 @@ def q_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         event_filter=F.col("event_type") == "error",
         min_count=3,
-        within_seconds=3600,
+        within_seconds=86400,
     )
     return m.select("event_id", "user_id", "ts", "match_count")

@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Driver testdata stores TIMESTAMP(NANOS) which Spark 4 otherwise
+        # refuses to scan (PARQUET_TYPE_ILLEGAL). Read nanos as long; the
+        # Catalog converts to a real timestamp column (exact integer div).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     if master is not None:

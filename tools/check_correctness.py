@@ -1,0 +1,135 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares with the
+DuckDB oracle: row count, column names, and order-insensitive values
+(columns sorted by name, rows sorted by all columns). Exact comparison for
+ints/strings/timestamps; floats compared exactly first, with a fallback
+report of max abs diff so near-misses are diagnosable.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import duckdb
+import pandas as pd
+
+
+def load_oracle(con, sql: str) -> pd.DataFrame:
+    return con.sql(sql).df()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(odf):
+        problems.append(f"row count {len(sdf)} vs oracle {len(odf)}")
+    scols, ocols = sorted(sdf.columns), sorted(odf.columns)
+    if scols != ocols:
+        problems.append(f"columns {scols} vs oracle {ocols}")
+        return problems
+    if problems:
+        return problems
+    s, o = canon(sdf), canon(odf)
+    for c in s.columns:
+        sv, ov = s[c], o[c]
+        try:
+            if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+                svf = pd.to_numeric(sv, errors="coerce").astype(float)
+                ovf = pd.to_numeric(ov, errors="coerce").astype(float)
+                neq = ~((svf == ovf) | (svf.isna() & ovf.isna()))
+                if neq.any():
+                    mx = (svf[neq] - ovf[neq]).abs().max()
+                    problems.append(
+                        f"col {c}: {int(neq.sum())} value mismatches (max abs diff {mx:.3e})"
+                    )
+            else:
+                sv2, ov2 = sv.astype(str), ov.astype(str)
+                neq = sv2 != ov2
+                if neq.any():
+                    i = neq.idxmax()
+                    problems.append(
+                        f"col {c}: {int(neq.sum())} mismatches e.g. row {i}: "
+                        f"{sv2[i]!r} vs {ov2[i]!r} (dtypes {sv.dtype}/{ov.dtype})"
+                    )
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"col {c}: compare error {e}")
+    # dtype-class check (driver hashes values with types)
+    for c in s.columns:
+        sk, ok = s[c].dtype.kind, o[c].dtype.kind
+        num = {"i", "u", "f"}
+        if sk != ok and not (sk in num and ok in num and sk == ok):
+            if {sk, ok} <= {"i", "u"}:
+                continue
+            if sk != ok:
+                problems.append(f"col {c}: dtype kind {s[c].dtype} vs oracle {o[c].dtype}")
+    return problems
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from engine_spark.session import get_spark
+
+    spark = get_spark("correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        con.sql(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception:
+            print(f"ERR  {name}: spark side crashed")
+            traceback.print_exc(limit=3)
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows {name}: {len(sdf)} rows (no oracle)")
+            n_rows_only += 1
+            continue
+        try:
+            odf = load_oracle(con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR  {name}: oracle crashed: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, sdf, odf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"pass {name} ({len(sdf)} rows)")
+            n_pass += 1
+    print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    spark.stop()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
