@@ -1,0 +1,608 @@
+"""Datapipe query registry entries: dedup / similarity / text analysis /
+multimodal over the ``documents`` and ``embeddings`` tables.
+
+Every computed column is rendered from ONE dialect-templated fragment
+(``fragments.py``) for both the Spark plan and the DuckDB oracle, so the
+two sides agree bit-for-bit by construction.
+
+Scale notes (the design constraint, per brief):
+- signatures (MinHash / SimHash / fingerprints / buckets) are row-local
+  Catalyst array expressions — map-only, no Python, no shuffle;
+- candidate pairs always come from bucketed joins (LSH bands, shared-shingle
+  inverted index, hyperplane buckets) — never an all-pairs cross join;
+- oracles MAY use all-pairs formulations: they only ever run at sf0.01.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine_spark.catalog import Catalog
+from engine_spark.datapipe import fragments as FR
+from engine_spark.datapipe.fragments import (
+    LANG_ORDER,
+    LSH_BANDS,
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_K,
+    Dialect,
+)
+from engine_spark.queries import register
+
+SP = Dialect("spark")
+DK = Dialect("duckdb")
+
+EMB_DIM = 64
+#: hyperplane LSH: 8 tables x 4 bits over the first 16 components.
+LSH_TABLES = 8
+LSH_BITS = 4
+LSH_PROJ_DIM = 16
+PLANES = FR.hyperplanes(LSH_TABLES, LSH_BITS, LSH_PROJ_DIM)
+
+JACCARD_T = 0.10  # 2-gram shingle near-dup threshold (calibrated on testdata)
+COSINE_T = 0.35  # embedding near-dup threshold (random vectors: max ≈ 0.40)
+
+
+def r6(x: str) -> str:
+    """Portable round-half-up to 6 decimals: identical double ops both engines
+    (engine-native round() goes through different decimal paths)."""
+    return f"(floor(({x}) * 1000000 + 0.5) / 1000000)"
+
+
+# ===========================================================================
+# text analysis
+# ===========================================================================
+
+@register(
+    "text_quality",
+    f"""
+    SELECT doc_id,
+           {DK.size(FR.tokens(DK))} AS n_tokens,
+           {DK.size(DK.distinct(FR.tokens(DK)))} AS n_uniq,
+           {r6(f"CAST({DK.size(DK.distinct(FR.tokens(DK)))} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS uniq_ratio,
+           {r6(f"CAST({DK.agg_sum_int(FR.tokens(DK), 't', 'length(t)')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS avg_token_len,
+           {r6(f"CAST({FR.stopword_hits(DK, FR.tokens(DK), 'en')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS stopword_ratio
+    FROM documents
+    """,
+    doc="per-document quality stats (length/uniqueness/stopword ratios); row-local",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    toks = FR.tokens(SP)
+    return docs.select(
+        "doc_id",
+        F.expr(SP.size(toks)).alias("n_tokens"),
+        F.expr(SP.size(SP.distinct(toks))).alias("n_uniq"),
+        F.expr(
+            r6(f"CAST({SP.size(SP.distinct(toks))} AS DOUBLE) / greatest({SP.size(toks)}, 1)")
+        ).alias("uniq_ratio"),
+        F.expr(
+            r6(
+                f"CAST({SP.agg_sum_int(toks, 't', 'length(t)')} AS DOUBLE) "
+                f"/ greatest({SP.size(toks)}, 1)"
+            )
+        ).alias("avg_token_len"),
+        F.expr(
+            r6(
+                f"CAST({FR.stopword_hits(SP, toks, 'en')} AS DOUBLE) "
+                f"/ greatest({SP.size(toks)}, 1)"
+            )
+        ).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "token_count",
+    f"""
+    SELECT doc_id,
+           {DK.size(FR.tokens(DK))} AS n_ws_tokens,
+           {FR.regex_token_count(DK)} AS n_regex_tokens,
+           length(text) AS n_chars
+    FROM documents
+    """,
+    doc="whitespace + BPE-ish regex token counting; row-local",
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.expr(SP.size(FR.tokens(SP))).alias("n_ws_tokens"),
+        F.expr(FR.regex_token_count(SP)).alias("n_regex_tokens"),
+        F.expr("length(text)").alias("n_chars"),
+    )
+
+
+def _lang_cols(d: Dialect) -> list[tuple[str, str]]:
+    toks = FR.tokens(d)
+    scores = FR.lang_scores(d, toks)
+    cols = [(f"score_{lang}", r6(scores[lang])) for lang in LANG_ORDER]
+    cols.append(("pred_lang", FR.lang_predict(scores)))
+    return cols
+
+
+@register(
+    "lang_id",
+    "SELECT doc_id, lang AS label_lang, "
+    + ", ".join(f"{expr} AS {name}" for name, expr in _lang_cols(DK))
+    + " FROM documents",
+    doc="n-gram/stopword language-ID heuristic; labels in testdata are synthetic",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[F.expr(expr).alias(name) for name, expr in _lang_cols(SP)],
+    )
+
+
+@register(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id,
+           {DK.hash56(DK.arr_join(FR.tokens(DK)))} AS fp56,
+           coalesce({DK.amin(DK.transform(FR.shingles(DK, FR.tokens(DK), 3), "s", DK.hash56("s")))}, -1) AS min_shingle_h,
+           coalesce({DK.amax(DK.transform(FR.shingles(DK, FR.tokens(DK), 3), "s", DK.hash56("s")))}, -1) AS max_shingle_h
+    FROM documents
+    """,
+    doc="document fingerprint: normalized-text hash + 3-gram shingle hash extremes",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    toks = FR.tokens(SP)
+    sh3 = FR.shingles(SP, toks, 3)
+    return docs.select(
+        "doc_id",
+        F.expr(SP.hash56(SP.arr_join(toks))).alias("fp56"),
+        F.expr(
+            f"coalesce({SP.amin(SP.transform(sh3, 's', SP.hash56('s')))}, -1)"
+        ).alias("min_shingle_h"),
+        F.expr(
+            f"coalesce({SP.amax(SP.transform(sh3, 's', SP.hash56('s')))}, -1)"
+        ).alias("max_shingle_h"),
+    )
+
+
+# ===========================================================================
+# deduplication
+# ===========================================================================
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(lower(text)) AS text_hash,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy, keep lowest doc_id; one shuffle on the hash",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    return (
+        docs.select("doc_id", F.expr("md5(lower(text))").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
+    """doc_id + distinct word-k-gram shingles (row-local)."""
+    docs = Catalog(spark, sf_dir)["documents"]
+    sh = FR.shingles(SP, FR.tokens(SP), k)
+    return docs.select("doc_id", F.expr(sh).alias("sh")).filter(F.expr(SP.size("sh")) > 0)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {FR.shingles(DK, FR.tokens(DK), 2)} AS sh FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           {r6(FR.jaccard(DK, "a.sh", "b.sh"))} AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE {DK.size("a.sh")} > 0 AND {DK.size("b.sh")} > 0
+      AND {FR.jaccard(DK, "a.sh", "b.sh")} >= {JACCARD_T}
+    """,
+    doc=(
+        "2-gram Jaccard near-dup pairs. Spark side: shared-shingle inverted-"
+        "index join (a pair is compared only if it shares a shingle — at "
+        f"t={JACCARD_T} every qualifying pair does); oracle may go all-pairs "
+        "(runs only at sf0.01)."
+    ),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_df(spark, sf_dir).cache()
+    sizes = s.select("doc_id", F.expr(SP.size("sh")).alias("n"))
+    inv = s.select("doc_id", F.explode("sh").alias("shingle"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
+        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    j = (
+        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
+        .withColumn(
+            "jac",
+            F.expr("CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE)"),
+        )
+        .filter(F.col("jac") >= JACCARD_T)
+    )
+    return j.select("doc_a", "doc_b", F.expr(r6("jac")).alias("jaccard"))
+
+
+def _mh_exprs(d: Dialect, sh: str) -> list[str]:
+    return [FR.minhash_one(d, sh, MINHASH_A[i], MINHASH_B[i]) for i in range(MINHASH_K)]
+
+
+def _minhash_oracle() -> str:
+    mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
+    mh_defs = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(_mh_exprs(DK, "sh")))
+    band_case = " ".join(
+        f"WHEN {b} THEN {FR.band_key(DK, mh_cols, b)}" for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH s AS (
+      SELECT doc_id, sh, {mh_defs}
+      FROM (SELECT doc_id, {FR.shingles(DK, FR.tokens(DK), 2)} AS sh FROM documents)
+      WHERE {DK.size('sh')} > 0
+    ),
+    bands AS (
+      SELECT doc_id, band, CASE band {band_case} END AS bkey
+      FROM s, (SELECT unnest(range({LSH_BANDS})) AS band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, {r6(FR.jaccard(DK, 'x.sh', 'y.sh'))} AS jaccard
+    FROM cand JOIN s x ON cand.doc_a = x.doc_id JOIN s y ON cand.doc_b = y.doc_id
+    WHERE {FR.jaccard(DK, 'x.sh', 'y.sh')} >= {JACCARD_T}
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc=(
+        f"MinHash({MINHASH_K})+LSH({LSH_BANDS}x{FR.LSH_ROWS}) near-dup: "
+        "signatures are row-local array exprs (map-only); candidates come "
+        "from band-bucket joins (the ONLY shuffle keys); exact Jaccard "
+        "verifies candidates. Never all-pairs."
+    ),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_df(spark, sf_dir)
+    mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
+    sig = s.select(
+        "doc_id",
+        "sh",
+        *[F.expr(e).alias(mh_cols[i]) for i, e in enumerate(_mh_exprs(SP, "sh"))],
+    ).cache()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(FR.band_key(SP, mh_cols, b)).alias("bkey"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    shs = sig.select("doc_id", "sh")
+    j = (
+        cand.join(shs.withColumnsRenamed({"doc_id": "doc_a", "sh": "sha"}), "doc_a")
+        .join(shs.withColumnsRenamed({"doc_id": "doc_b", "sh": "shb"}), "doc_b")
+        .withColumn("jac", F.expr(FR.jaccard(SP, "sha", "shb")))
+        .filter(F.col("jac") >= JACCARD_T)
+    )
+    return j.select("doc_a", "doc_b", F.expr(r6("jac")).alias("jaccard"))
+
+
+HAMMING_T = 2
+SIMHASH_CHUNKS = 4  # 4 x 8-bit chunks → candidates share ≥1 chunk ⇔ d(h) ≤ 6 likely
+
+
+def _simhash_expr(d: Dialect) -> str:
+    tok_h = d.transform(d.distinct(FR.tokens(d)), "t", d.hash56("t"))
+    return FR.simhash(d, tok_h)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH s AS (SELECT doc_id, {_simhash_expr(DK)} AS sim FROM documents),
+    chunks AS (
+      SELECT doc_id, sim, c, ({DK.shiftright('sim', '8 * c')} & 255) AS cv
+      FROM s, (SELECT unnest(range({SIMHASH_CHUNKS})) AS c)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.sim AS sim_a, b.sim AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, {DK.bit_count(DK.xor('sim_a', 'sim_b'))} AS hamming
+    FROM cand
+    WHERE {DK.bit_count(DK.xor('sim_a', 'sim_b'))} <= {HAMMING_T}
+    """,
+    doc=(
+        "32-bit SimHash near-dup: signature is row-local; candidate pairs "
+        "share an 8-bit chunk (pigeonhole: hamming≤6 with 4 chunks ⇒ some "
+        "chunk is clean; exact-match chunk blocking is the standard "
+        "recall/cost trade); verify with bit_count(xor)."
+    ),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    s = docs.select("doc_id", F.expr(_simhash_expr(SP)).alias("sim")).cache()
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.expr(f"({SP.shiftright('sim', str(8 * c))} & 255)").alias("cv"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = s.select("doc_id", "sim", F.explode(chunk_structs).alias("ck")).select(
+        "doc_id", "sim", F.col("ck.c").alias("c"), F.col("ck.cv").alias("cv")
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr(SP.bit_count(SP.xor("sim_a", "sim_b"))))
+        .filter(F.col("hamming") <= HAMMING_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ===========================================================================
+# embeddings: similarity search + near-dup
+# ===========================================================================
+
+def _vecd(d: Dialect, col: str = "embedding") -> str:
+    return d.transform(col, "x", "CAST(x AS DOUBLE)")
+
+
+def _bucket_structs_spark() -> F.Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                F.expr(FR.hyperplane_bits(SP, "vd", PLANES[t], LSH_PROJ_DIM)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(LSH_TABLES)
+        ]
+    )
+
+
+def _bucket_case_duckdb() -> str:
+    whens = " ".join(
+        f"WHEN {t} THEN {FR.hyperplane_bits(DK, 'vd', PLANES[t], LSH_PROJ_DIM)}"
+        for t in range(LSH_TABLES)
+    )
+    return f"CASE t {whens} END"
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd FROM embeddings),
+    b AS (
+      SELECT vec_id, vd, t, {_bucket_case_duckdb()} AS bucket
+      FROM e, (SELECT unnest(range({LSH_TABLES})) AS t)
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+       AND a.vec_id < b2.vec_id
+    )
+    SELECT vec_a, vec_b, {r6(FR.cosine(DK, 'x.vd', 'y.vd', EMB_DIM))} AS cos_sim
+    FROM cand JOIN e x ON cand.vec_a = x.vec_id JOIN e y ON cand.vec_b = y.vec_id
+    WHERE {FR.cosine(DK, 'x.vd', 'y.vd', EMB_DIM)} >= {COSINE_T}
+    """,
+    doc=(
+        f"embedding near-dup: {LSH_TABLES} random-hyperplane tables x "
+        f"{LSH_BITS} bits (deterministic planes over first {LSH_PROJ_DIM} "
+        "dims) bucket the vectors; exact cosine (explicit-order double "
+        "chain) verifies bucket-mates. Candidates never all-pairs."
+    ),
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.expr(_vecd(SP)).alias("vd")).cache()
+    b = e.select("vec_id", F.explode(_bucket_structs_spark()).alias("tb")).select(
+        "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    cand = (
+        b.alias("a")
+        .join(
+            b.alias("b2"),
+            (F.col("a.t") == F.col("b2.t"))
+            & (F.col("a.bucket") == F.col("b2.bucket"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b2.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    vs = e.select("vec_id", "vd")
+    j = (
+        cand.join(vs.withColumnsRenamed({"vec_id": "vec_a", "vd": "va"}), "vec_a")
+        .join(vs.withColumnsRenamed({"vec_id": "vec_b", "vd": "vb"}), "vec_b")
+        .withColumn("cos", F.expr(FR.cosine(SP, "va", "vb", EMB_DIM)))
+        .filter(F.col("cos") >= COSINE_T)
+    )
+    return j.select("vec_a", "vec_b", F.expr(r6("cos")).alias("cos_sim"))
+
+
+ANN_N_QUERIES = 5
+ANN_K = 5
+
+
+@register(
+    "ann_topk_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd FROM embeddings),
+    q AS (SELECT vec_id AS q_id, vd AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS cand_id,
+             {r6(FR.cosine(DK, 'q.qv', 'e.vd', EMB_DIM))} AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    )
+    SELECT q_id, cand_id, cos_sim, rnk
+    FROM (
+      SELECT q_id, cand_id, cos_sim,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rnk
+      FROM scored
+    ) WHERE rnk <= {ANN_K}
+    """,
+    doc=(
+        "brute-force cosine top-k (the exact baseline): the small query set "
+        "is broadcast, candidates stream through once — one scan, one "
+        "top-k shuffle keyed by query id. Ranks on the rounded score so the "
+        "order is engine-independent."
+    ),
+)
+def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.expr(_vecd(SP)).alias("vd"))
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vd").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn("cos_sim", F.expr(r6(FR.cosine(SP, "qv", "vd", EMB_DIM))))
+        .select("q_id", F.col("vec_id").alias("cand_id"), "cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "cand_id", "cos_sim", "rnk")
+    )
+
+
+@register(
+    "embedding_quantize",
+    f"""
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd FROM embeddings)
+    SELECT vec_id, i - 1 AS pos,
+           CAST(floor(127.0 * vd[i] / {FR.norm_chain(DK, 'vd', EMB_DIM)} + 0.5) AS INTEGER) AS q8
+    FROM e, (SELECT unnest(range(1, {EMB_DIM} + 1)) AS i)
+    """,
+    doc="int8 vector quantization (L2-normalized, half-up): posexplode to scalar rows",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    e = emb.select("vec_id", F.expr(_vecd(SP)).alias("vd")).withColumn(
+        "nrm", F.expr(FR.norm_chain(SP, "vd", EMB_DIM))
+    )
+    return e.select(
+        "vec_id", F.posexplode("vd").alias("pos", "x"), "nrm"
+    ).select(
+        "vec_id",
+        "pos",
+        F.expr("CAST(floor(127.0 * x / nrm + 0.5) AS INTEGER)").alias("q8"),
+    )
+
+
+# ===========================================================================
+# multimodal: opaque binary columns with typed metadata
+# ===========================================================================
+
+@register(
+    "multimodal_bytes_meta",
+    """
+    SELECT doc_id,
+           strlen(text) AS byte_len,
+           sha256(text) AS sha,
+           CASE strlen(text) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'video' END AS modality
+    FROM documents
+    """,
+    doc=(
+        "multimodal plumbing: payloads as opaque BINARY + typed metadata. "
+        "Spark side genuinely operates on a binary column (encode → "
+        "sha2/length); oracle uses the string twins (identical utf-8 bytes)."
+    ),
+)
+def q_multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return bin_df.select(
+        "doc_id",
+        F.expr("length(payload)").alias("byte_len"),
+        F.lower(F.sha2("payload", 256)).alias("sha"),
+        F.expr(
+            "CASE length(payload) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END"
+        ).alias("modality"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    """
+    SELECT doc_id,
+           strlen(text) % 640 AS width,
+           (ascii(substring(text, 1, 1)) * 7) % 480 AS height,
+           strlen(text) // 100 + 1 AS n_frames,
+           list_sum(list_transform(range(1, strlen(text) + 1),
+                                   i -> ascii(substring(text, i, 1))))::BIGINT
+             % 65536 AS checksum
+    FROM documents
+    """,
+    doc=(
+        "multimodal decode plumbing via mapInPandas (Arrow-batched): the "
+        "decoder is a deterministic stand-in (image/audio libs not in this "
+        "container — see multimodal.py for the gated real-decoder hooks); "
+        "schema, batching, and partition behavior are the real thing."
+    ),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import decode_meta
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return decode_meta(payloads)

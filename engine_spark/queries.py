@@ -814,3 +814,11 @@ def q_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         within_seconds=86400,
     )
     return m.select("event_id", "user_id", "ts", "match_count")
+
+
+# ===========================================================================
+# datapipe: dedup / similarity / text analysis / multimodal (brief-mandated
+# LLM-training-data operators — registered from engine_spark.datapipe)
+# ===========================================================================
+
+from engine_spark.datapipe import queries as _datapipe_queries  # noqa: E402,F401
