@@ -1,0 +1,132 @@
+"""Datapipe tests: dedup/similarity/text kernels on crafted inputs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from engine_spark.datapipe import fragments as FR
+from engine_spark.datapipe.fragments import Dialect
+from engine_spark.datapipe.multimodal import _fake_decode, decode_meta
+from tests.conftest import rows
+
+SP = Dialect("spark")
+
+
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),
+            (1, "the cat sat on the mat"),  # exact dup of 0
+            (2, "the cat sat on the hat"),  # near dup
+            (3, "completely different words here entirely"),
+            (4, "x"),  # shorter than any shingle
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_tokens_and_shingles(spark):
+    out = docs(spark).select(
+        F.expr(SP.size(FR.tokens(SP))).alias("n"),
+        F.expr(FR.shingles(SP, FR.tokens(SP), 2)).alias("sh"),
+    ).collect()
+    assert out[0]["n"] == 6
+    assert "the cat" in out[0]["sh"] and "cat sat" in out[0]["sh"]
+    assert out[4]["sh"] == []  # 1 token → no 2-grams
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    d = docs(spark)
+    out = (
+        d.select("doc_id", F.expr("md5(lower(text))").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["keep"]: r["n"] for r in out.collect()}
+    assert got[0] == 2  # docs 0 and 1 collapse
+    assert got[2] == 1
+
+
+def test_jaccard_fragment(spark):
+    d = docs(spark).select("doc_id", F.expr(FR.shingles(SP, FR.tokens(SP), 2)).alias("sh"))
+    a = d.filter("doc_id = 0").select(F.col("sh").alias("sa"))
+    b = d.filter("doc_id = 2").select(F.col("sh").alias("sb"))
+    j = a.crossJoin(b).select(F.expr(FR.jaccard(SP, "sa", "sb")).alias("j")).collect()[0]["j"]
+    # shingles: 5 each ("the cat","cat sat","sat on","on the","the mat"/"the hat")
+    assert j == 4 / 6
+
+
+def test_minhash_identical_sets_have_identical_signatures(spark):
+    d = docs(spark).select("doc_id", F.expr(FR.shingles(SP, FR.tokens(SP), 2)).alias("sh"))
+    sigs = d.select(
+        "doc_id",
+        *[
+            F.expr(FR.minhash_one(SP, "sh", FR.MINHASH_A[i], FR.MINHASH_B[i])).alias(f"m{i}")
+            for i in range(8)
+        ],
+    ).collect()
+    by_id = {r["doc_id"]: tuple(r[f"m{i}"] for i in range(8)) for r in sigs}
+    assert by_id[0] == by_id[1]  # identical text → identical signature
+    assert by_id[0] != by_id[3]
+    # similar docs agree on *some* minhashes (4/6 shingles shared)
+    agree = sum(1 for i in range(8) if by_id[0][i] == by_id[2][i])
+    assert agree >= 1
+
+
+def test_simhash_near_for_near_texts(spark):
+    expr = FR.simhash(SP, SP.transform(SP.distinct(FR.tokens(SP)), "t", SP.hash56("t")))
+    out = docs(spark).select("doc_id", F.expr(expr).alias("s")).collect()
+    by_id = {r["doc_id"]: r["s"] for r in out}
+    assert by_id[0] == by_id[1]
+    ham_near = bin(by_id[0] ^ by_id[2]).count("1")
+    ham_far = bin(by_id[0] ^ by_id[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_fold(spark):
+    d = spark.createDataFrame([(1,)], "i int").select(
+        F.expr("array(1.0D, 0.0D, 0.0D)").alias("a"),
+        F.expr("array(0.6D, 0.8D, 0.0D)").alias("b"),
+    )
+    c = d.select(F.expr(FR.cosine(SP, "a", "b", 3)).alias("c")).collect()[0]["c"]
+    assert math.isclose(c, 0.6, rel_tol=1e-12)
+
+
+def test_hyperplane_bucket_deterministic(spark):
+    planes = FR.hyperplanes(1, 4, 3)[0]
+    d = spark.createDataFrame([(1,)], "i int").select(
+        F.expr("array(1.0D, 2.0D, 3.0D)").alias("v")
+    )
+    b1 = d.select(F.expr(FR.hyperplane_bits(SP, "v", planes, 3)).alias("b")).collect()[0]["b"]
+    b2 = d.select(F.expr(FR.hyperplane_bits(SP, "v", planes, 3)).alias("b")).collect()[0]["b"]
+    assert b1 == b2 and 0 <= b1 < 16
+
+
+def test_fake_decode_kernel():
+    payload = b"hello world"
+    w, h, nf, ck = _fake_decode(payload)
+    assert (w, h, nf) == (11, (ord("h") * 7) % 480, 1)
+    assert ck == sum(payload) % 65536
+
+
+def test_decode_meta_mapinpandas(spark):
+    d = docs(spark).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    out = {r["doc_id"]: r for r in decode_meta(d).collect()}
+    assert out[0]["checksum"] == sum(b"the cat sat on the mat") % 65536
+    assert out[4]["width"] == 1
+    assert out[0]["n_frames"] == 1
+
+
+def test_lang_predict_stopword_scoring(spark):
+    d = spark.createDataFrame(
+        [(0, "the cat and the dog"), (1, "der hund und die katze ist"), (2, "qqq www zzz")],
+        "doc_id long, text string",
+    )
+    scores = FR.lang_scores(SP, FR.tokens(SP))
+    out = d.select("doc_id", F.expr(FR.lang_predict(scores)).alias("p")).collect()
+    got = {r["doc_id"]: r["p"] for r in out}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "und"  # no stopword hits → undetermined

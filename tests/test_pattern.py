@@ -1,0 +1,104 @@
+"""CEP pattern tests — exact match sets, including the duplicate-timestamp
+edge (two A events with identical key+ts must each keep their own match;
+reference stream_pre_state_processor.rs spawns one NFA state per event).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine_spark.operators import pattern
+from tests.conftest import rows, ts
+
+
+def ev(spark, data):
+    return spark.createDataFrame(
+        data, "user string, etype string, ts timestamp, eid int"
+    )
+
+
+BASE = [
+    ("u1", "login", ts(0), 1),
+    ("u1", "view", ts(1), 2),
+    ("u1", "purchase", ts(2), 3),
+    ("u1", "purchase", ts(8), 4),
+    ("u2", "login", ts(0), 5),
+    ("u2", "view", ts(30), 6),  # outside WITHIN for followed_by tests
+]
+
+
+def test_followed_by_first_match(spark):
+    out = pattern.followed_by(
+        ev(spark, BASE), "ts", ["user"],
+        first=F.col("etype") == "login",
+        second=F.col("etype") == "purchase",
+        within_seconds=600,
+    )
+    got = rows(out, "user", "e1_eid", "e2_eid", "delay_seconds")
+    # u1 login→ earliest purchase (eid 3, 120 s later); u2 has none
+    assert got == [("u1", 1, 3, 120.0)]
+
+
+def test_followed_by_duplicate_timestamp_keeps_both(spark):
+    data = [
+        ("u1", "login", ts(0), 1),
+        ("u1", "login", ts(0), 2),  # same key, same ts, distinct event
+        ("u1", "purchase", ts(1), 3),
+    ]
+    out = pattern.followed_by(
+        ev(spark, data), "ts", ["user"],
+        first=F.col("etype") == "login",
+        second=F.col("etype") == "purchase",
+        within_seconds=600,
+    )
+    got = rows(out, "e1_eid", "e2_eid")
+    assert got == [(1, 3), (2, 3)]
+
+
+def test_sequence_strict_adjacency(spark):
+    out = pattern.followed_by(
+        ev(spark, BASE), "ts", ["user"],
+        first=F.col("etype") == "login",
+        second=F.col("etype") == "purchase",
+        within_seconds=600,
+        strict=True,
+    )
+    # u1: login(1) → view(2) intervenes before purchase(3) ⇒ no strict match
+    assert rows(out, "e1_eid") == []
+
+    out2 = pattern.followed_by(
+        ev(spark, BASE), "ts", ["user"],
+        first=F.col("etype") == "view",
+        second=F.col("etype") == "purchase",
+        within_seconds=600,
+        strict=True,
+    )
+    assert rows(out2, "e1_eid", "e2_eid") == [(2, 3)]
+
+
+def test_absent_pattern(spark):
+    out = pattern.absent(
+        ev(spark, BASE), "ts", ["user"],
+        first=F.col("etype") == "login",
+        absent_filter=F.col("etype") == "purchase",
+        within_seconds=600,
+    )
+    # u1's login sees a purchase within 10 min; u2's does not
+    assert rows(out, "user", "eid") == [("u2", 5)]
+
+
+def test_count_quantifier_min(spark):
+    data = [
+        ("u1", "error", ts(0), 1),
+        ("u1", "error", ts(1), 2),
+        ("u1", "error", ts(2), 3),
+        ("u2", "error", ts(0), 4),
+    ]
+    out = pattern.count_quantifier(
+        ev(spark, data), "ts", ["user"],
+        event_filter=F.col("etype") == "error",
+        min_count=3,
+        within_seconds=600,
+    )
+    got = rows(out, "user", "eid", "match_count")
+    assert got == [("u1", 3, 3)]
