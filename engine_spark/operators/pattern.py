@@ -128,3 +128,130 @@ def count_quantifier(
         filtered.withColumn("match_count", F.count(F.lit(1)).over(w))
         .filter(F.col("match_count") >= min_count)
     )
+
+
+def logical_and(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    first: Column,
+    second: Column,
+    within_seconds: int,
+) -> DataFrame:
+    """`e1=A AND e2=B` — both branches must arrive (either order) within d
+    of each other on the same key (reference logical_pre_state_processor.rs,
+    converter.rs:1660-1676: the state completes when the later of the two
+    arrives).
+
+    Relational form: key-equi join with |tA − tB| ≤ d — the same shape as a
+    windowed stream-stream join, so Catalyst/AQE handle skew, and in
+    streaming the bound is the state-eviction horizon. Emits one row per
+    (A, B) pair with ``e1_*``/``e2_*`` columns plus ``matched_at`` =
+    the later timestamp (when the NFA would have fired).
+    """
+    e1 = df.filter(first).select(
+        *key_cols, *[F.col(c).alias(f"e1_{c}") for c in df.columns if c not in key_cols]
+    )
+    e2 = df.filter(second).select(
+        *[F.col(c).alias(f"_k2_{c}") for c in key_cols],
+        *[F.col(c).alias(f"e2_{c}") for c in df.columns if c not in key_cols],
+    )
+    l_ts, r_ts = F.col(f"e1_{ts_col}"), F.col(f"e2_{ts_col}")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(k) == F.col(f"_k2_{k}"))
+    delta = F.expr(f"INTERVAL {within_seconds} SECONDS")
+    cond = cond & (r_ts >= l_ts - delta) & (r_ts <= l_ts + delta)
+    j = e1.join(e2, cond, "inner").drop(*[f"_k2_{k}" for k in key_cols])
+    return j.withColumn("matched_at", F.greatest(l_ts, r_ts))
+
+
+def logical_or(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    first: Column,
+    second: Column,
+) -> DataFrame:
+    """`e1=A OR e2=B` — either branch completes the state (reference
+    logical_pre_state_processor.rs OR mode). Relationally a disjunctive
+    filter with a branch tag — no join, no shuffle, fully pushed to scan.
+    """
+    return df.filter(first | second).withColumn(
+        "branch", F.when(first, F.lit("first")).otherwise(F.lit("second"))
+    )
+
+
+def first_match_only(
+    matches: DataFrame,
+    key_cols: Sequence[str],
+    e1_ts_col: str,
+) -> DataFrame:
+    """Non-EVERY semantics: the pattern fires once per key — keep only the
+    earliest-starting match (reference every_state_element.rs: EVERY restarts
+    the state machine after each match; WITHOUT every, it stops after the
+    first). Apply on the output of ``followed_by``/``logical_and``.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(e1_ts_col), *[F.col(c) for c in matches.columns if c.startswith("e1_")]
+    )
+    return matches.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") == 1
+    ).drop("_rn")
+
+
+def count_quantifier_bounded(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    event_filter: Column,
+    min_count: int,
+    max_count: int,
+    within_seconds: int,
+) -> DataFrame:
+    """`e1=A{m,n} WITHIN d` with BOTH bounds (reference
+    count_pre_state_processor.rs; converter.rs:1608-1645): the match set is
+    the trailing window's events, capped at n — a row fires when the
+    trailing-d count is in [m, n]. Above n the NFA would have emitted at n
+    and restarted; the relational batch form reports the capped count.
+    """
+    filtered = df.filter(event_filter)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-within_seconds, 0)
+    )
+    return (
+        filtered.withColumn("match_count", F.count(F.lit(1)).over(w))
+        .filter(
+            (F.col("match_count") >= min_count) & (F.col("match_count") <= max_count)
+        )
+    )
+
+
+def collection_aggregates(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    event_filter: Column,
+    within_seconds: int,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Collection aggregators over a quantified match set — `sum(e1.x)`,
+    `avg(e1.x)`, … evaluated over the events collected by a count/window
+    quantifier (reference collection_aggregation_executor.rs:1-30 runs a
+    batch aggregate over the bounded matched-event chain).
+
+    Relational form: the matched-event chain IS the trailing range frame, so
+    each aggregate is a window function over it — one shuffle on the key, no
+    join, no array materialization.
+    """
+    filtered = df.filter(event_filter)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-within_seconds, 0)
+    )
+    out = filtered
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out

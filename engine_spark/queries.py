@@ -816,6 +816,177 @@ def q_pattern_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("event_id", "user_id", "ts", "match_count")
 
 
+@register(
+    "pattern_logical_and",
+    """
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
+    SELECT s.user_id AS user_id, s.event_id AS signup_id, e.event_id AS error_id,
+           greatest(s.ts, e.ts) AS matched_at
+    FROM s JOIN e ON s.user_id = e.user_id
+     AND e.ts >= s.ts - INTERVAL 900 SECONDS
+     AND e.ts <= s.ts + INTERVAL 900 SECONDS
+    """,
+    doc="logical AND pattern: signup AND error within 15min, either order "
+    "(reference logical_pre_state_processor.rs, converter.rs:1660-1676)",
+)
+def q_pattern_logical_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    m = pattern.logical_and(
+        ev,
+        "ts",
+        ["user_id"],
+        first=F.col("event_type") == "signup",
+        second=F.col("event_type") == "error",
+        within_seconds=900,
+    )
+    return m.select(
+        "user_id",
+        F.col("e1_event_id").alias("signup_id"),
+        F.col("e2_event_id").alias("error_id"),
+        "matched_at",
+    )
+
+
+@register(
+    "pattern_logical_or",
+    """
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type = 'signup' THEN 'first' ELSE 'second' END AS branch
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'error'
+    """,
+    doc="logical OR pattern: signup OR error with branch tag "
+    "(reference logical_pre_state_processor.rs OR mode); filter-only, no shuffle",
+)
+def q_pattern_logical_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    m = pattern.logical_or(
+        ev,
+        ["user_id"],
+        first=F.col("event_type") == "signup",
+        second=F.col("event_type") == "error",
+    )
+    return m.select("event_id", "user_id", "ts", "branch")
+
+
+@register(
+    "pattern_every_first",
+    """
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT s.user_id AS user_id, s.event_id AS signup_id, s.ts AS s_ts,
+                  min_by(p.event_id, p.ts) AS purchase_id
+           FROM s JOIN p ON s.user_id = p.user_id
+            AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1800 SECONDS
+           GROUP BY s.user_id, s.event_id, s.ts
+         )
+    SELECT user_id, signup_id, purchase_id
+    FROM (SELECT user_id, signup_id, purchase_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY s_ts, signup_id) AS rn
+          FROM m)
+    WHERE rn = 1
+    """,
+    doc="non-EVERY pattern: fires once per key - earliest match only "
+    "(reference every_state_element.rs; EVERY restarts, absence of EVERY stops)",
+)
+def q_pattern_every_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    m = pattern.followed_by(
+        ev,
+        "ts",
+        ["user_id"],
+        first=F.col("event_type") == "signup",
+        second=F.col("event_type") == "purchase",
+        within_seconds=1800,
+    )
+    one = pattern.first_match_only(m, ["user_id"], "e1_ts")
+    return one.select(
+        "user_id",
+        F.col("e1_event_id").alias("signup_id"),
+        F.col("e2_event_id").alias("purchase_id"),
+    )
+
+
+@register(
+    "pattern_count_bounded",
+    """
+    SELECT event_id, user_id, ts, match_count
+    FROM (
+      SELECT event_id, user_id, ts,
+             COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                            RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS match_count
+      FROM events WHERE event_type = 'error'
+    ) WHERE match_count BETWEEN 3 AND 5
+    """,
+    doc="bounded count quantifier error{3,5} WITHIN 24h (reference "
+    "count_pre_state_processor.rs, converter.rs:1608-1645 - max bound enforced)",
+)
+def q_pattern_count_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    m = pattern.count_quantifier_bounded(
+        ev,
+        "ts",
+        ["user_id"],
+        event_filter=F.col("event_type") == "error",
+        min_count=3,
+        max_count=5,
+        within_seconds=86400,
+    )
+    return m.select("event_id", "user_id", "ts", "match_count")
+
+
+@register(
+    "pattern_collection_aggs",
+    """
+    SELECT event_id, user_id, ts, match_count,
+           CAST(sum_dec AS DOUBLE) AS sum_value,
+           CAST(sum_dec AS DOUBLE) / match_count AS avg_value,
+           min_value, max_value
+    FROM (
+      SELECT event_id, user_id, ts,
+             COUNT(*) OVER w AS match_count,
+             SUM(CAST(value AS DECIMAL(18,4))) OVER w AS sum_dec,
+             MIN(value) OVER w AS min_value,
+             MAX(value) OVER w AS max_value
+      FROM events WHERE event_type = 'error'
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                   RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    ) WHERE match_count >= 3
+    """,
+    doc="collection aggregators over the quantified match set: count/sum/avg/"
+    "min/max of e1.value (reference collection_aggregation_executor.rs:1-30); "
+    "decimal window sums keep doubles order-independent",
+)
+def q_pattern_collection_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    m = pattern.collection_aggregates(
+        ev,
+        "ts",
+        ["user_id"],
+        event_filter=F.col("event_type") == "error",
+        within_seconds=86400,
+        aggs={
+            "match_count": F.count(F.lit(1)),
+            "sum_dec": F.sum(F.col("value").cast("decimal(18,4)")),
+            "min_value": F.min("value"),
+            "max_value": F.max("value"),
+        },
+    )
+    return m.filter(F.col("match_count") >= 3).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "match_count",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        (F.col("sum_dec").cast("double") / F.col("match_count")).alias("avg_value"),
+        "min_value",
+        "max_value",
+    )
+
+
 # ===========================================================================
 # datapipe: dedup / similarity / text analysis / multimodal (brief-mandated
 # LLM-training-data operators — registered from engine_spark.datapipe)

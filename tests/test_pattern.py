@@ -102,3 +102,84 @@ def test_count_quantifier_min(spark):
     )
     got = rows(out, "user", "eid", "match_count")
     assert got == [("u1", 3, 3)]
+
+
+def test_logical_and_either_order(spark):
+    data = [
+        ("u1", "login", ts(0), 1),
+        ("u1", "error", ts(5), 2),   # after login, within 10 min
+        ("u2", "error", ts(0), 3),
+        ("u2", "login", ts(5), 4),   # before login, within 10 min
+        ("u3", "login", ts(0), 5),
+        ("u3", "error", ts(30), 6),  # outside window
+    ]
+    out = pattern.logical_and(
+        ev(spark, data), "ts", ["user"],
+        first=F.col("etype") == "login",
+        second=F.col("etype") == "error",
+        within_seconds=600,
+    )
+    got = rows(out, "user", "e1_eid", "e2_eid", "matched_at")
+    assert got == [("u1", 1, 2, ts(5)), ("u2", 4, 3, ts(5))]
+
+
+def test_logical_or_branch_tag(spark):
+    out = pattern.logical_or(
+        ev(spark, BASE), ["user"],
+        first=F.col("etype") == "login",
+        second=F.col("etype") == "view",
+    )
+    got = rows(out, "eid", "branch")
+    assert got == [(1, "first"), (2, "second"), (5, "first"), (6, "second")]
+
+
+def test_first_match_only_non_every(spark):
+    data = [
+        ("u1", "login", ts(0), 1),
+        ("u1", "purchase", ts(1), 2),
+        ("u1", "login", ts(2), 3),
+        ("u1", "purchase", ts(3), 4),
+    ]
+    m = pattern.followed_by(
+        ev(spark, data), "ts", ["user"],
+        first=F.col("etype") == "login",
+        second=F.col("etype") == "purchase",
+        within_seconds=600,
+    )
+    assert len(rows(m, "e1_eid")) == 2  # EVERY semantics: both logins match
+    one = pattern.first_match_only(m, ["user"], "e1_ts")
+    assert rows(one, "e1_eid", "e2_eid") == [(1, 2)]  # non-EVERY: first only
+
+
+def test_count_quantifier_bounded_max(spark):
+    data = [("u1", "error", ts(i), i) for i in range(7)]  # 7 errors in 6 min
+    out = pattern.count_quantifier_bounded(
+        ev(spark, data), "ts", ["user"],
+        event_filter=F.col("etype") == "error",
+        min_count=3, max_count=5,
+        within_seconds=600,
+    )
+    got = rows(out, "eid", "match_count")
+    # counts run 1..7 over the trailing window; only 3..5 fire
+    assert got == [(2, 3), (3, 4), (4, 5)]
+
+
+def test_collection_aggregates_over_match_set(spark):
+    data = [
+        ("u1", "error", ts(0), 1),
+        ("u1", "error", ts(1), 2),
+        ("u1", "error", ts(2), 3),
+    ]
+    df = ev(spark, data).withColumn("value", F.col("eid").cast("double") * 10)
+    out = pattern.collection_aggregates(
+        df, "ts", ["user"],
+        event_filter=F.col("etype") == "error",
+        within_seconds=600,
+        aggs={
+            "n": F.count(F.lit(1)),
+            "s": F.sum("value"),
+            "mx": F.max("value"),
+        },
+    )
+    got = rows(out, "eid", "n", "s", "mx")
+    assert got == [(1, 1, 10.0, 10.0), (2, 2, 30.0, 20.0), (3, 3, 60.0, 30.0)]
