@@ -1,0 +1,538 @@
+"""Compile parsed EventFlux-SQL to DataFrame plans.
+
+Maps each dialect construct onto the operator library:
+
+| SQL construct                   | engine_spark operator                    |
+|---------------------------------|------------------------------------------|
+| WHERE / projection / exprs      | ``F.expr`` (Catalyst analyzer)           |
+| WINDOW('length', n)             | operators.windows.length_sliding         |
+| WINDOW('lengthBatch', n)        | operators.windows.length_batch           |
+| WINDOW('time', d) / externalTime| operators.windows.time_sliding           |
+| WINDOW('timeBatch', d)/TUMBLING | operators.windows.time_batch             |
+| WINDOW SLIDING(size, slide)     | operators.windows.time_sliding_hop       |
+| WINDOW SESSION(gap)/'session'   | operators.windows.session                |
+| WINDOW('sort', n, attr, dir…)   | operators.windows.sort_window            |
+| JOIN … ON                       | operators.joins (Catalyst strategy)      |
+| PATTERN / SEQUENCE              | operators.pattern chain (relational CEP) |
+| PARTITION WITH (k OF S)         | partition_by=k on every stateful op      |
+| GROUP BY/HAVING/ORDER/LIMIT     | groupBy/filter/orderBy/limit/offset      |
+
+Batch-mode semantics: the compiler produces the *final relation* a batch
+replay of the stream would leave (sliding windows → per-event frames,
+batch windows → per-batch rows), the same equivalence used throughout
+``engine_spark.queries`` and verified against DuckDB oracles.
+
+Timestamp/order: each registered stream names its event-time column
+(``ts_col``). Streams with no timestamp get a monotonic ``_seq`` column at
+registration — the batch stand-in for arrival order (reference events carry
+an implicit wall-clock timestamp, event.rs:21).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine_spark.operators import joins as J
+from engine_spark.operators import windows as W
+from engine_spark.plans import parser as P
+
+#: EventFlux SQL type → Spark SQL type (reference type_mapping.rs; OBJECT
+#: intentionally unmapped — no Spark analog, per SURVEY §1)
+TYPE_MAP = {
+    "INT": "int", "INTEGER": "int",
+    "BIGINT": "bigint", "LONG": "bigint",
+    "FLOAT": "float", "REAL": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string", "STRING": "string", "TEXT": "string",
+    "BOOL": "boolean", "BOOLEAN": "boolean",
+    "TIMESTAMP": "timestamp",
+    "BINARY": "binary", "BYTES": "binary",
+}
+
+#: aggregate-function names of the reference registry (eventflux_context.rs:
+#: 440-483); used to classify select items. Name rewrites map dialect names
+#: onto Spark SQL (population stddev, distinct count).
+AGG_NAMES = (
+    "sum", "avg", "count", "distinctcount", "min", "max", "minforever",
+    "maxforever", "stddev", "first", "last",
+)
+_AGG_RE = re.compile(r"\b(" + "|".join(AGG_NAMES) + r")\s*\(", re.IGNORECASE)
+
+_REWRITES = [
+    (re.compile(r"\bdistinctCount\s*\(", re.IGNORECASE), "count(DISTINCT "),
+    (re.compile(r"\bstddev\s*\(", re.IGNORECASE), "stddev_pop("),
+    (re.compile(r"\bminForever\s*\(", re.IGNORECASE), "min("),
+    (re.compile(r"\bmaxForever\s*\(", re.IGNORECASE), "max("),
+]
+
+
+def rewrite_expr(expr: str) -> str:
+    for pat, repl in _REWRITES:
+        expr = pat.sub(repl, expr)
+    return expr
+
+
+def is_aggregate(expr: str) -> bool:
+    return bool(_AGG_RE.search(expr))
+
+
+def extract_agg_calls(text: str) -> list[str]:
+    """Full aggregate-call substrings (balanced parens) inside an expression,
+    e.g. ``SUM(a) > 5 AND avg(b) < 2`` → ``['SUM(a)', 'avg(b)']``."""
+    calls = []
+    for m in _AGG_RE.finditer(text):
+        depth, j = 1, m.end()
+        while j < len(text) and depth:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        call = text[m.start() : j]
+        if call not in calls:
+            calls.append(call)
+    return calls
+
+
+def _prev_key_col(columns: list[str], key: str) -> str:
+    """First existing aliased column ``<alias>_<key>`` in a partial match."""
+    for c in columns:
+        if c.endswith(f"_{key}"):
+            return c
+    raise KeyError(f"partition key {key!r} not found among {columns}")
+
+
+@dataclass
+class _Stream:
+    df: DataFrame
+    ts_col: str | None  # None → synthetic _seq ordering column
+
+
+class SqlApp:
+    """An EventFlux application: DDL + queries compiled over registered
+    streams (the programmatic-InputHandler entry point,
+    reference eventflux_app_runtime.rs:306)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.streams: dict[str, _Stream] = {}
+        self.schemas: dict[str, P.CreateStream] = {}
+        self.outputs: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------------
+    def register_stream(
+        self, name: str, df: DataFrame, ts_col: str | None = None
+    ) -> None:
+        if ts_col is None:
+            # Synthetic arrival order. Cross-stream patterns need a global
+            # arrival order the batch tables don't carry; registration order
+            # is the batch stand-in (stream registered later = arrives later,
+            # matching the reference tests' send sequences). Streams with a
+            # real event-time column should pass ts_col instead.
+            base = (len(self.streams) + 1) << 40
+            df = df.withColumn(
+                "_seq", F.monotonically_increasing_id() + F.lit(base)
+            )
+        self.streams[name] = _Stream(df=df, ts_col=ts_col)
+
+    def table(self, name: str) -> DataFrame:
+        if name in self.outputs:
+            return self.outputs[name]
+        if name in self.streams:
+            return self.streams[name].df
+        raise KeyError(f"unknown stream/table {name!r}")
+
+    # ------------------------------------------------------------------
+    def sql(self, text: str) -> dict[str, DataFrame]:
+        """Run an application; returns {output stream name: DataFrame}."""
+        text = re.sub(r"\s+", " ", text)
+        for stmt in P.parse_app(text):
+            if isinstance(stmt, P.CreateStream):
+                for cname, typ in stmt.columns:
+                    if re.sub(r"\(.*", "", typ).strip() not in TYPE_MAP:
+                        raise ValueError(
+                            f"unknown type {typ!r} for column {cname!r} in "
+                            f"{stmt.name} (reference type_mapping.rs types: "
+                            f"{sorted(set(TYPE_MAP))})"
+                        )
+                self.schemas[stmt.name] = stmt
+            elif isinstance(stmt, P.Partition):
+                for q in stmt.queries:
+                    self._run_query(q)
+            elif isinstance(stmt, P.Query):
+                self._run_query(stmt)
+        return dict(self.outputs)
+
+    # ------------------------------------------------------------------
+    def _run_query(self, q: P.Query) -> DataFrame:
+        df = self._compile(q)
+        if q.insert_into:
+            ddl = self.schemas.get(q.insert_into)
+            if ddl is not None and not ddl.is_table:
+                # align to declared schema positionally (reference
+                # application.rs:129-154 validates arity at compile time)
+                if len(df.columns) != len(ddl.columns):
+                    raise ValueError(
+                        f"INSERT INTO {q.insert_into}: {len(df.columns)} "
+                        f"columns for {len(ddl.columns)}-column stream"
+                    )
+                df = df.select(
+                    *[
+                        F.col(src).cast(TYPE_MAP[re.sub(r"\(.*", "", typ)]).alias(dst)
+                        for src, (dst, typ) in zip(df.columns, ddl.columns)
+                    ]
+                )
+            self.outputs[q.insert_into] = df
+            # outputs are streams: later queries may read them
+            self.streams[q.insert_into] = _Stream(df=df, ts_col=None)
+        return df
+
+    # ------------------------------------------------------------------
+    def _compile(self, q: P.Query) -> DataFrame:
+        src = q.source
+        if isinstance(src, P.PatternSource):
+            df, order_col = self._compile_pattern(src, q.partition_key), None
+            # qualify pattern references in scalar expressions
+            for name, alias in self.pattern_column_rewrites(src):
+                pat = re.compile(rf"\b{name}\.([A-Za-z_][A-Za-z0-9_]*)")
+                repl = rf"{alias}_\1"
+                for it in q.select:
+                    it.expr = pat.sub(repl, it.expr)
+                if q.where:
+                    q.where = pat.sub(repl, q.where)
+                if q.having:
+                    q.having = pat.sub(repl, q.having)
+        elif isinstance(src, P.JoinSource):
+            df, order_col = self._compile_join(src), None
+        else:
+            df, order_col = self._input(src)
+
+        if q.where:
+            df = df.filter(F.expr(rewrite_expr(q.where)))
+
+        window = src.window if isinstance(src, P.StreamRef) else None
+        agg_items = [s for s in q.select if is_aggregate(s.expr)]
+        if window is not None or agg_items:
+            df = self._apply_window_and_aggs(q, df, window, order_col)
+        else:
+            df = df.select(*self._projection(q.select))
+
+        if q.having:
+            df = df.filter(F.expr(rewrite_expr(q.having)))
+        if q.order_by:
+            df = df.orderBy(
+                *[F.expr(e).desc() if d else F.expr(e).asc() for e, d in q.order_by]
+            )
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    # ------------------------------------------------------------------
+    def _input(self, ref: P.StreamRef) -> tuple[DataFrame, str]:
+        s = self.streams.get(ref.name)
+        if s is None:
+            if ref.name in self.outputs:
+                return self.outputs[ref.name], "_seq"
+            raise KeyError(f"stream {ref.name!r} not registered")
+        order_col = s.ts_col or "_seq"
+        df = s.df
+        if ref.alias:
+            df = df.alias(ref.alias)
+        return df, order_col
+
+    def _projection(self, items: list[P.SelectItem]) -> list:
+        cols = []
+        for it in items:
+            if it.expr == "*":
+                cols.append(F.col("*"))
+            else:
+                c = F.expr(rewrite_expr(it.expr))
+                cols.append(c.alias(it.alias) if it.alias else c)
+        return cols
+
+    # ------------------------------------------------------------------
+    def _apply_window_and_aggs(
+        self,
+        q: P.Query,
+        df: DataFrame,
+        window: P.WindowSpec | None,
+        order_col: str | None,
+    ) -> DataFrame:
+        group_keys = [g.strip() for g in q.group_by]
+        partition_by = list(group_keys)
+        if q.partition_key and q.partition_key not in partition_by:
+            partition_by.insert(0, q.partition_key)
+        agg_aliases: dict[str, F.Column] = {}
+        plain_items: list[P.SelectItem] = []
+        agg_exprs: list = []
+        for i, it in enumerate(q.select):
+            if is_aggregate(it.expr):
+                name = it.alias or f"_agg{i}"
+                col = F.expr(rewrite_expr(it.expr))
+                agg_aliases[name] = col
+                agg_exprs.append(col.alias(name))
+            else:
+                plain_items.append(it)
+
+        # HAVING references pre-projection aggregates (reference
+        # select_processor.rs evaluates it on the selector's state): compute
+        # each aggregate call as a hidden column, filter on it post-agg, drop
+        # at final projection.
+        having_filter: str | None = None
+        if q.having:
+            htext = q.having
+            for i, call in enumerate(extract_agg_calls(htext)):
+                hname = f"_hv{i}"
+                col = F.expr(rewrite_expr(call))
+                agg_aliases[hname] = col
+                agg_exprs.append(col.alias(hname))
+                htext = htext.replace(call, hname)
+            having_filter = htext
+            q.having = None  # fully handled here
+
+        ts = order_col or "_seq"
+        kind = window.kind if window else None
+        params = window.params if window else []
+
+        def dur(p: str) -> float:
+            return P.parse_duration_seconds(p)
+
+        def interval(p: str) -> str:
+            secs = dur(p)
+            ms = int(round(secs * 1000))
+            return f"{ms} milliseconds"
+
+        allow_global = not partition_by  # reference = single-process global order
+
+        def fin(out: DataFrame) -> DataFrame:
+            if having_filter:
+                out = out.filter(F.expr(having_filter))
+            return out.select(*self._final_projection(q, agg_aliases))
+
+        if kind is None:
+            # plain GROUP BY aggregation (no window clause)
+            out = df.groupBy(*[F.expr(g) for g in group_keys]).agg(*agg_exprs) \
+                if group_keys else df.agg(*agg_exprs)
+            return fin(out)
+
+        if kind in ("length", "time", "externaltime"):
+            if kind == "length":
+                out = W.length_sliding(
+                    df, ts, int(params[0]), partition_by or None,
+                    aggs=agg_aliases, allow_global=allow_global,
+                )
+            else:
+                if kind == "externaltime":
+                    ts = params[0].strip()
+                    params = params[1:]
+                out = W.time_sliding(
+                    df, ts, int(dur(params[0])), partition_by or None,
+                    aggs=agg_aliases, allow_global=allow_global,
+                )
+            return fin(out)
+
+        if kind in ("lengthbatch",):
+            out = W.length_batch(
+                df, ts, int(params[0]), partition_by or None,
+                group_cols=(), aggs=agg_exprs, allow_global=allow_global,
+            )
+            return fin(out)
+
+        if kind in ("timebatch", "tumbling", "externaltimebatch"):
+            if kind == "externaltimebatch":
+                ts = params[0].strip()
+                params = params[1:]
+            out = W.time_batch(df, ts, interval(params[0]), group_keys, agg_exprs)
+            return fin(out)
+
+        if kind == "sliding":
+            out = W.time_sliding_hop(
+                df, ts, interval(params[0]), interval(params[1]), group_keys, agg_exprs
+            )
+            return fin(out)
+
+        if kind == "session":
+            out = W.session(df, ts, interval(params[0]), group_keys, agg_exprs)
+            return fin(out)
+
+        if kind == "sort":
+            n = int(params[0])
+            order_cols: list = []
+            i = 1
+            while i < len(params):
+                colname = params[i].strip()
+                desc = i + 1 < len(params) and params[i + 1].strip().strip("'").lower() == "desc"
+                if i + 1 < len(params) and params[i + 1].strip().strip("'").lower() in ("asc", "desc"):
+                    i += 2
+                else:
+                    i += 1
+                order_cols.append(F.col(colname).desc() if desc else F.col(colname).asc())
+            out = W.sort_window(df, n, order_cols, partition_by or None,
+                                allow_global=allow_global)
+            if agg_exprs:
+                out = out.groupBy(*[F.expr(g) for g in group_keys]).agg(*agg_exprs) \
+                    if group_keys else out.agg(*agg_exprs)
+            return fin(out)
+
+        raise ValueError(f"unsupported window kind {kind!r}")
+
+    def _final_projection(self, q: P.Query, agg_aliases, batch: bool = False):
+        cols = []
+        for i, it in enumerate(q.select):
+            if is_aggregate(it.expr):
+                cols.append(F.col(it.alias or f"_agg{i}"))
+            elif it.expr == "*":
+                cols.append(F.col("*"))
+            else:
+                c = F.expr(rewrite_expr(it.expr))
+                cols.append(c.alias(it.alias) if it.alias else c)
+        return cols
+
+    # ------------------------------------------------------------------
+    def _compile_join(self, src: P.JoinSource) -> DataFrame:
+        left, lorder = self._input(src.left)
+        right, rorder = self._input(src.right)
+        lname = src.left.alias or src.left.name
+        rname = src.right.alias or src.right.name
+        cond = F.expr(rewrite_expr(src.on))
+        return left.alias(lname).join(right.alias(rname), cond, src.join_type)
+
+    # ------------------------------------------------------------------
+    def _compile_pattern(
+        self, src: P.PatternSource, partition_key: str | None = None
+    ) -> DataFrame:
+        """Relational CEP chain: each `->` hop is a time-bounded join +
+        first-match rank (PATTERN mode skip-till-next-match); AND/OR groups
+        via the logical operators. Aliased columns surface as
+        ``<alias>.<col>`` → ``<alias>_<col>`` (rewritten in SELECT)."""
+        from engine_spark.operators import pattern as PT
+
+        steps = src.steps
+        within = src.within_seconds
+
+        def element_df(el: P.PatternElement, alias: str) -> tuple[DataFrame, str]:
+            base, order_col = self._input(P.StreamRef(name=el.stream))
+            if el.filter:
+                base = base.filter(F.expr(rewrite_expr(el.filter)))
+            renamed = base.select(
+                *[F.col(c).alias(f"{alias}_{c}") for c in base.columns]
+            )
+            return renamed, f"{alias}_{order_col}"
+
+        first = steps[0]
+        if isinstance(first, P.PatternGroup):
+            a_df, a_ts = element_df(first.first, first.first.alias)
+            b_df, b_ts = element_df(first.second, first.second.alias)
+            if first.op == "and":
+                # both branches must arrive; fires at the later timestamp
+                # (reference logical_pre_state_processor.rs AND mode)
+                if partition_key:
+                    j = a_df.join(
+                        b_df,
+                        F.col(f"{first.first.alias}_{partition_key}")
+                        == F.col(f"{first.second.alias}_{partition_key}"),
+                    )
+                else:
+                    j = a_df.crossJoin(b_df)
+                cur = j.withColumn(
+                    "_match_ts", F.greatest(F.col(a_ts), F.col(b_ts))
+                )
+            else:  # OR: either branch fires; the other side's columns are null
+                all_cols = a_df.columns + [
+                    c for c in b_df.columns if c not in a_df.columns
+                ]
+
+                def pad(dfx: DataFrame, other: DataFrame) -> DataFrame:
+                    for c in all_cols:
+                        if c not in dfx.columns:
+                            dfx = dfx.withColumn(
+                                c, F.lit(None).cast(other.schema[c].dataType)
+                            )
+                    return dfx.select(*all_cols)
+
+                a_side = pad(a_df, b_df).withColumn("_match_ts", F.col(a_ts))
+                b_side = pad(b_df, a_df).withColumn("_match_ts", F.col(b_ts))
+                cur = a_side.unionByName(b_side)
+            cur_ts = "_match_ts"
+        else:
+            cur, cur_ts = element_df(first, first.alias)
+
+        for step in steps[1:]:
+            if isinstance(step, P.PatternGroup):
+                raise ValueError("AND/OR groups are supported as the first step")
+            nxt, nxt_ts = element_df(step, step.alias)
+            cond = F.col(nxt_ts) > F.col(cur_ts)
+            if partition_key:
+                # PARTITION WITH (k OF S): the reference clones the NFA per
+                # key value (partition/mod.rs:9-31) — relationally a key
+                # equality on every hop
+                prev_alias = _prev_key_col(cur.columns, partition_key)
+                cond = cond & (
+                    F.col(prev_alias) == F.col(f"{step.alias}_{partition_key}")
+                )
+            if within is not None:
+                head_ts = cur_ts if cur_ts == "_match_ts" else cur_ts
+                cond = cond & (
+                    F.col(nxt_ts).cast("double")
+                    <= F.col(head_ts).cast("double") + float(within)
+                )
+            j = cur.join(nxt, cond, "inner")
+            # first match per current partial-match identity (PATTERN mode)
+            from pyspark.sql import Window as SW
+
+            ident = [c for c in cur.columns]
+            w = SW.partitionBy(*ident).orderBy(F.col(nxt_ts))
+            cur = (
+                j.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            cur_ts = nxt_ts
+
+        if not src.every:
+            # without EVERY the pattern fires once (reference
+            # app_runner_patterns.rs:1029-1052): keep the earliest match
+            from pyspark.sql import Window as SW
+
+            first_ts = (
+                "_match_ts"
+                if isinstance(steps[0], P.PatternGroup)
+                else f"{steps[0].alias}_" + (
+                    self.streams[steps[0].stream].ts_col or "_seq"
+                )
+            )
+            part = (
+                [_prev_key_col(cur.columns, partition_key)] if partition_key else []
+            )
+            w = SW.partitionBy(*part).orderBy(F.col(first_ts))
+            cur = (
+                cur.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        del PT
+        return cur
+
+    @staticmethod
+    def pattern_column_rewrites(src: P.PatternSource) -> list[tuple[str, str]]:
+        """``A.val`` / ``e1.val`` → ``e1_val`` rewrite pairs for a pattern
+        query's scalar expressions (the reference resolves stream names, its
+        alias resolution being unimplemented — app_runner_patterns.rs:799-803;
+        we accept both)."""
+        pairs: list[tuple[str, str]] = []
+        for step in src.steps:
+            els = (
+                [step.first, step.second]
+                if isinstance(step, P.PatternGroup)
+                else [step]
+            )
+            for el in els:
+                pairs.append((el.alias, el.alias))
+                pairs.append((el.stream, el.alias))
+        return pairs

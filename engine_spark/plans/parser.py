@@ -1,0 +1,526 @@
+"""Parser for the EventFlux SQL dialect.
+
+Grammar covered (reference sql_compiler/, test corpus tests/app_runner_*.rs):
+
+- ``CREATE STREAM|TABLE Name (col TYPE, …) [WITH ('k'='v', …)];``
+- ``INSERT INTO Target SELECT items FROM <source> [WHERE …] [GROUP BY …]
+  [HAVING …] [ORDER BY …] [LIMIT n [OFFSET m]];``
+- source forms:
+  - ``Stream [WINDOW('type', arg, …)]``
+  - ``L [WINDOW(...)] [INNER|LEFT OUTER|RIGHT OUTER|FULL OUTER] JOIN
+    R [WINDOW(...)] ON cond`` (single join, reference converter.rs:531)
+  - ``PATTERN (e1=A[f] -> e2=B[f] …) [WITHIN d]`` / ``SEQUENCE (…)``;
+    2-element ``AND``/``OR`` groups; ``EVERY(…)`` prefix
+- ``PARTITION WITH (key OF Stream, …) BEGIN …queries… END;``
+  (reference tests/app_runner_partitions.rs:13)
+- durations: ``<n> MILLISECONDS|SECONDS|MINUTES|HOURS`` (reference
+  time_constants; SQL WINDOW TUMBLING/SLIDING/SESSION keywords also accepted)
+
+Scalar expressions are NOT parsed here — they pass through verbatim to
+Spark's SQL analyzer (``F.expr``), which is strictly more capable than the
+reference's expression compiler.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+# ---------------------------------------------------------------------------
+# text utilities (paren/quote-aware)
+# ---------------------------------------------------------------------------
+
+def split_top_level(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` (a char) at paren/quote depth 0."""
+    out, buf, depth, quote = [], [], 0, None
+    for ch in s:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return [p.strip() for p in out if p.strip()]
+
+
+def split_keyword(s: str, keyword: str) -> list[str]:
+    """Split on a keyword (word-boundary, case-insensitive) at depth 0.
+    Non-word keywords (e.g. ``->``) match literally without boundaries."""
+    if re.match(r"^\w[\w ]*$", keyword):
+        pat = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
+    else:
+        pat = re.compile(re.escape(keyword))
+    out, depth, quote, last, i = [], 0, None, 0, 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                out.append(s[last : i])
+                last = m.end()
+                i = m.end()
+                continue
+        i += 1
+    out.append(s[last:])
+    return [p.strip() for p in out]
+
+
+def find_keyword(s: str, keyword: str) -> int:
+    """Index of the first top-level occurrence of a keyword, or -1."""
+    if re.match(r"^\w[\w ]*$", keyword):
+        pat = re.compile(rf"\b{keyword}\b", re.IGNORECASE)
+    else:
+        pat = re.compile(re.escape(keyword))
+    depth, quote, i = 0, None, 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+DURATION_UNITS = {
+    "millisecond": 0.001, "milliseconds": 0.001, "ms": 0.001,
+    "second": 1.0, "seconds": 1.0, "sec": 1.0,
+    "minute": 60.0, "minutes": 60.0, "min": 60.0,
+    "hour": 3600.0, "hours": 3600.0,
+    "day": 86400.0, "days": 86400.0,
+}
+
+
+def parse_duration_seconds(text: str) -> float:
+    """``100 MILLISECONDS`` / ``5 SECONDS`` / bare int (= milliseconds, the
+    reference's bare-number convention) → seconds."""
+    t = text.strip()
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)\s*([A-Za-z]+)?", t)
+    if not m:
+        raise ValueError(f"cannot parse duration: {text!r}")
+    n = float(m.group(1))
+    unit = (m.group(2) or "ms").lower()
+    if unit not in DURATION_UNITS:
+        raise ValueError(f"unknown duration unit in {text!r}")
+    return n * DURATION_UNITS[unit]
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+@dataclass
+class CreateStream:
+    name: str
+    columns: list[tuple[str, str]]  # (name, sql_type)
+    is_table: bool = False
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class WindowSpec:
+    kind: str  # normalized lower-case: length, lengthbatch, time, timebatch,
+    #            externaltime, externaltimebatch, session, sort, tumbling, sliding
+    params: list[str] = field(default_factory=list)  # raw strings
+
+
+@dataclass
+class StreamRef:
+    name: str
+    alias: str | None = None
+    window: WindowSpec | None = None
+
+
+@dataclass
+class JoinSource:
+    left: StreamRef
+    right: StreamRef
+    join_type: str  # inner | left_outer | right_outer | full_outer
+    on: str
+
+
+@dataclass
+class PatternElement:
+    alias: str
+    stream: str
+    filter: str | None = None
+
+
+@dataclass
+class PatternGroup:
+    """2-element AND/OR group (reference logical_pre_state_processor.rs)."""
+
+    op: str  # "and" | "or"
+    first: PatternElement
+    second: PatternElement
+
+
+@dataclass
+class PatternSource:
+    steps: list  # PatternElement | PatternGroup, connected by '->'
+    mode: str = "pattern"  # pattern | sequence
+    within_seconds: float | None = None
+    every: bool = False
+
+
+@dataclass
+class SelectItem:
+    expr: str
+    alias: str | None
+
+
+@dataclass
+class Query:
+    select: list[SelectItem]
+    source: object  # StreamRef | JoinSource | PatternSource
+    where: str | None = None
+    group_by: list[str] = field(default_factory=list)
+    having: str | None = None
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (expr, desc)
+    limit: int | None = None
+    offset: int | None = None
+    insert_into: str | None = None
+    partition_key: str | None = None  # set by PARTITION WITH
+
+
+@dataclass
+class Partition:
+    keys: dict[str, str]  # stream name → key column
+    queries: list[Query] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# statement parsing
+# ---------------------------------------------------------------------------
+
+def parse_app(text: str) -> list:
+    """Parse a full application (list of CreateStream / Query / Partition)."""
+    text = re.sub(r"--[^\n]*", "", text)  # line comments
+    out = []
+    i = 0
+    stmts = split_top_level(text, ";")
+    idx = 0
+    while idx < len(stmts):
+        stmt = stmts[idx].strip()
+        idx += 1
+        if not stmt:
+            continue
+        up = stmt.upper()
+        if up.startswith("CREATE STREAM") or up.startswith("CREATE TABLE"):
+            out.append(_parse_create(stmt))
+        elif up.startswith("PARTITION WITH"):
+            # re-assemble the BEGIN … END block (it contained ';')
+            block = stmt
+            while "END" not in block.upper().split() and idx < len(stmts):
+                block += ";" + stmts[idx]
+                idx += 1
+            out.append(_parse_partition(block))
+        elif up.startswith("INSERT INTO") or up.startswith("SELECT"):
+            out.append(parse_query(stmt))
+        else:
+            raise ValueError(f"unsupported statement: {stmt[:60]!r}")
+    del i
+    return out
+
+
+_TYPE_RE = r"[A-Za-z][A-Za-z0-9_]*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?"
+
+
+def _parse_create(stmt: str) -> CreateStream:
+    m = re.match(
+        r"CREATE\s+(STREAM|TABLE)\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.*?)\)\s*"
+        r"(?:WITH\s*\((.*)\))?\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse DDL: {stmt[:80]!r}")
+    kind, name, cols_txt, with_txt = m.groups()
+    cols = []
+    for c in split_top_level(cols_txt, ","):
+        cm = re.match(rf"([A-Za-z_][A-Za-z0-9_]*)\s+({_TYPE_RE})\s*$", c.strip())
+        if not cm:
+            raise ValueError(f"cannot parse column def {c!r} in {name}")
+        cols.append((cm.group(1), cm.group(2).upper()))
+    options: dict[str, str] = {}
+    if with_txt:
+        # WITH ('type'='source', 'extension'='timer', …) — with_clause.rs:38-135
+        for kv in split_top_level(with_txt, ","):
+            km = re.match(r"'([^']*)'\s*=\s*'([^']*)'\s*$", kv.strip())
+            if not km:
+                raise ValueError(f"cannot parse WITH option {kv!r}")
+            options[km.group(1)] = km.group(2)
+    return CreateStream(
+        name=name, columns=cols, is_table=kind.upper() == "TABLE", options=options
+    )
+
+
+def _parse_partition(stmt: str) -> Partition:
+    m = re.match(
+        r"PARTITION\s+WITH\s*\((.*?)\)\s*BEGIN\b(.*?)\bEND\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse PARTITION: {stmt[:80]!r}")
+    keys: dict[str, str] = {}
+    for part in split_top_level(m.group(1), ","):
+        km = re.match(
+            r"([A-Za-z_][A-Za-z0-9_]*)\s+OF\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
+            part.strip(),
+            re.IGNORECASE,
+        )
+        if not km:
+            raise ValueError(f"cannot parse partition key {part!r}")
+        keys[km.group(2)] = km.group(1)
+    queries = []
+    for q in split_top_level(m.group(2), ";"):
+        if q.strip():
+            queries.append(parse_query(q.strip()))
+    for q in queries:
+        src = q.source
+        if isinstance(src, StreamRef) and src.name in keys:
+            q.partition_key = keys[src.name]
+        elif isinstance(src, PatternSource):
+            for step in src.steps:
+                els = [step.first, step.second] if isinstance(step, PatternGroup) else [step]
+                for el in els:
+                    if el.stream in keys:
+                        q.partition_key = keys[el.stream]
+                        break
+    return Partition(keys=keys, queries=queries)
+
+
+def parse_query(stmt: str) -> Query:
+    insert_into = None
+    m = re.match(r"INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.*)$", stmt,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        insert_into = m.group(1)
+        stmt = m.group(2).strip()
+    if not stmt.upper().startswith("SELECT"):
+        raise ValueError(f"expected SELECT, got {stmt[:40]!r}")
+    body = stmt[6:].strip()
+
+    # carve off trailing clauses in reverse order
+    def carve(src: str, kw: str) -> tuple[str, str | None]:
+        pos = find_keyword(src, kw)
+        if pos < 0:
+            return src, None
+        return src[:pos].rstrip(), src[pos + len(kw):].strip()
+
+    body, offset_txt = carve(body, "OFFSET")
+    body, limit_txt = carve(body, "LIMIT")
+    body, order_txt = carve(body, "ORDER BY")
+    body, having_txt = carve(body, "HAVING")
+    body, group_txt = carve(body, "GROUP BY")
+    # WITHIN belongs to PATTERN sources; carve before WHERE so it can follow it
+    body, where_txt = carve(body, "WHERE")
+    pos = find_keyword(body, "FROM")
+    if pos < 0:
+        raise ValueError("query has no FROM")
+    select_txt, from_txt = body[:pos], body[pos + 4:].strip()
+
+    select = []
+    for item in split_top_level(select_txt, ","):
+        am = re.match(r"(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", item,
+                      re.IGNORECASE | re.DOTALL)
+        if am:
+            select.append(SelectItem(expr=am.group(1).strip(), alias=am.group(2)))
+        else:
+            select.append(SelectItem(expr=item.strip(), alias=None))
+
+    source, where_from_pattern = _parse_source(from_txt)
+    order_by = []
+    if order_txt:
+        for o in split_top_level(order_txt, ","):
+            om = re.match(r"(.*?)(?:\s+(ASC|DESC))?\s*$", o.strip(),
+                          re.IGNORECASE | re.DOTALL)
+            order_by.append(
+                (om.group(1).strip(), bool(om.group(2) and om.group(2).upper() == "DESC"))
+            )
+    return Query(
+        select=select,
+        source=source,
+        where=where_txt or where_from_pattern,
+        group_by=split_top_level(group_txt, ",") if group_txt else [],
+        having=having_txt,
+        order_by=order_by,
+        limit=int(limit_txt) if limit_txt else None,
+        offset=int(offset_txt) if offset_txt else None,
+        insert_into=insert_into,
+    )
+
+
+_JOIN_RE = re.compile(
+    r"\b(INNER\s+JOIN|LEFT\s+OUTER\s+JOIN|RIGHT\s+OUTER\s+JOIN|FULL\s+OUTER\s+JOIN|JOIN)\b",
+    re.IGNORECASE,
+)
+
+
+def _parse_source(from_txt: str):
+    """Returns (source, extra_where)."""
+    up = from_txt.upper()
+    if up.startswith("PATTERN") or up.startswith("SEQUENCE") or up.startswith("EVERY"):
+        return _parse_pattern(from_txt), None
+
+    # single join? split at a top-level JOIN keyword
+    parts = split_keyword(from_txt, "JOIN")
+    if len(parts) > 2:
+        raise ValueError("only one join per query (reference converter.rs:531)")
+    if len(parts) == 2:
+        left_txt = parts[0]
+        jtype = "inner"
+        for t, name in (
+            ("LEFT OUTER", "left_outer"), ("RIGHT OUTER", "right_outer"),
+            ("FULL OUTER", "full_outer"), ("INNER", "inner"),
+        ):
+            pos = find_keyword(left_txt, t)
+            if pos >= 0:
+                jtype = name
+                left_txt = left_txt[:pos]
+                break
+        right_txt, on_txt = split_keyword(parts[1], "ON")
+        return (
+            JoinSource(
+                left=_parse_stream_ref(left_txt),
+                right=_parse_stream_ref(right_txt),
+                join_type=jtype,
+                on=on_txt.strip(),
+            ),
+            None,
+        )
+    return _parse_stream_ref(from_txt), None
+
+
+def _parse_stream_ref(txt: str) -> StreamRef:
+    txt = txt.strip()
+    wpos = find_keyword(txt, "WINDOW")
+    window = None
+    if wpos >= 0:
+        wtxt = txt[wpos:]
+        txt = txt[:wpos].strip()
+        wm = re.match(r"WINDOW\s*\((.*)\)\s*$", wtxt, re.IGNORECASE | re.DOTALL)
+        if wm:
+            window = _parse_window(wm.group(1))
+        else:
+            # keyword form: WINDOW TUMBLING(d) / SLIDING(s, sl) / SESSION(g)
+            km = re.match(r"WINDOW\s+(.*)$", wtxt, re.IGNORECASE | re.DOTALL)
+            if not km:
+                raise ValueError(f"cannot parse window clause {wtxt!r}")
+            window = _parse_window(km.group(1))
+    m = re.match(
+        r"([A-Za-z_][A-Za-z0-9_]*)(?:\s+(?:AS\s+)?([A-Za-z_][A-Za-z0-9_]*))?\s*$", txt
+    )
+    if not m:
+        raise ValueError(f"cannot parse stream ref {txt!r}")
+    return StreamRef(name=m.group(1), alias=m.group(2), window=window)
+
+
+def _parse_window(args_txt: str) -> WindowSpec:
+    args = split_top_level(args_txt, ",")
+    first = args[0].strip()
+    # WINDOW('type', …) form
+    qm = re.match(r"'([A-Za-z]+)'$", first)
+    if qm:
+        return WindowSpec(kind=qm.group(1).lower(), params=args[1:])
+    # keyword form: TUMBLING(d) / SLIDING(size, slide) / SESSION(gap)
+    km = re.match(r"(TUMBLING|SLIDING|SESSION)\s*\((.*)\)\s*$", args_txt.strip(),
+                  re.IGNORECASE | re.DOTALL)
+    if km:
+        return WindowSpec(
+            kind=km.group(1).lower(), params=split_top_level(km.group(2), ",")
+        )
+    raise ValueError(f"cannot parse window spec {args_txt!r}")
+
+
+def _parse_pattern(txt: str) -> PatternSource:
+    every = False
+    up = txt.upper()
+    mode = "pattern"
+    if up.startswith("EVERY"):
+        every = True
+        txt = txt[5:].strip()
+        up = txt.upper()
+    if up.startswith("SEQUENCE"):
+        mode = "sequence"
+        txt = txt[8:].strip()
+    elif up.startswith("PATTERN"):
+        txt = txt[7:].strip()
+    # optional WITHIN suffix after the closing paren
+    within = None
+    wpos = find_keyword(txt, "WITHIN")
+    if wpos >= 0:
+        within = parse_duration_seconds(txt[wpos + 6:])
+        txt = txt[:wpos].strip()
+    if txt.startswith("(") and txt.endswith(")"):
+        txt = txt[1:-1].strip()
+    if txt.upper().startswith("EVERY"):
+        every = True
+        txt = txt[5:].strip()
+    steps = []
+    for step_txt in split_keyword(txt, "->"):
+        steps.append(_parse_pattern_step(step_txt))
+    return PatternSource(steps=steps, mode=mode, within_seconds=within, every=every)
+
+
+def _parse_pattern_step(txt: str):
+    txt = txt.strip()
+    if txt.startswith("(") and txt.endswith(")"):
+        txt = txt[1:-1].strip()
+    for op in ("AND", "OR"):
+        parts = split_keyword(txt, op)
+        if len(parts) == 2:
+            return PatternGroup(
+                op=op.lower(),
+                first=_parse_pattern_element(parts[0]),
+                second=_parse_pattern_element(parts[1]),
+            )
+    return _parse_pattern_element(txt)
+
+
+def _parse_pattern_element(txt: str) -> PatternElement:
+    m = re.match(
+        r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\[(.*)\])?\s*$",
+        txt.strip(),
+        re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse pattern element {txt!r}")
+    return PatternElement(alias=m.group(1), stream=m.group(2), filter=m.group(3))

@@ -993,3 +993,138 @@ def q_pattern_collection_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 from engine_spark.datapipe import queries as _datapipe_queries  # noqa: E402,F401
+
+
+# ===========================================================================
+# SQL front-end: the same operators driven through EventFlux-SQL text
+# (engine_spark.plans) — proves parse → compile → execute end-to-end
+# ===========================================================================
+
+def _sql_query(app_sql: str, out_name: str, streams: dict[str, str | None]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from engine_spark.plans import SqlApp
+
+        cat = Catalog(spark, sf_dir)
+        app = SqlApp(spark)
+        for t, tscol in streams.items():
+            app.register_stream(t, cat[t], ts_col=tscol)
+        return app.sql(app_sql)[out_name]
+
+    return run
+
+
+QUERIES["sql_filter_project"] = QueryDef(
+    spark=_sql_query(
+        """
+        CREATE STREAM Out (l_orderkey BIGINT, l_linenumber INT, revenue DOUBLE);
+        INSERT INTO Out
+        SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount)
+        FROM lineitem WHERE l_quantity > 45;
+        """,
+        "Out",
+        {"lineitem": None},
+    ),
+    oracle="""
+    SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    doc="EventFlux SQL end-to-end: filter + projection + INSERT INTO schema cast "
+    "(reference app_runner_windows.rs:10-21 shape on testdata)",
+)
+
+
+QUERIES["sql_group_having"] = QueryDef(
+    spark=_sql_query(
+        """
+        INSERT INTO Out
+        SELECT o_orderstatus, count(o_orderkey) AS n, sum(o_totalprice) AS total
+        FROM orders GROUP BY o_orderstatus HAVING count(o_orderkey) > 100;
+        """,
+        "Out",
+        {"orders": None},
+    ),
+    oracle="""
+    SELECT o_orderstatus, count(o_orderkey) AS n, sum(o_totalprice) AS total
+    FROM orders GROUP BY o_orderstatus HAVING count(o_orderkey) > 100
+    """,
+    doc="EventFlux SQL: GROUP BY + HAVING via hidden aggregate columns "
+    "(reference app_runner_selector.rs:14)",
+)
+
+
+QUERIES["sql_join"] = QueryDef(
+    spark=_sql_query(
+        """
+        INSERT INTO Out
+        SELECT orders.o_orderkey, customer.c_name
+        FROM orders JOIN customer ON orders.o_custkey = customer.c_custkey
+        WHERE orders.o_totalprice > 400000;
+        """,
+        "Out",
+        {"orders": None, "customer": None},
+    ),
+    oracle="""
+    SELECT o.o_orderkey, c.c_name
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 400000
+    """,
+    doc="EventFlux SQL: single equi-join + WHERE (reference app_runner_joins.rs:17); "
+    "Catalyst picks broadcast for the dimension side",
+)
+
+
+QUERIES["sql_window_tumbling"] = QueryDef(
+    spark=_sql_query(
+        """
+        INSERT INTO Out
+        SELECT window_start, count(event_id) AS n, CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM events WINDOW TUMBLING(1 HOURS);
+        """,
+        "Out",
+        {"events": "ts"},
+    ),
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           count(event_id) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY 1
+    """,
+    doc="EventFlux SQL: WINDOW TUMBLING(1 HOUR) → groupBy(window(ts)) "
+    "(reference converter.rs:650-657 maps TUMBLING to timeBatch)",
+)
+
+
+QUERIES["sql_pattern_partitioned"] = QueryDef(
+    spark=_sql_query(
+        """
+        PARTITION WITH (user_id OF events) BEGIN
+          INSERT INTO Out
+          SELECT e1.user_id AS user_id, e1.event_id AS signup_id, e2.event_id AS purchase_id
+          FROM PATTERN (e1=events[event_type = 'signup'] -> e2=events[event_type = 'purchase'])
+          WITHIN 1800 SECONDS;
+        END;
+        """,
+        "Out",
+        {"events": "ts"},
+    ),
+    oracle="""
+    WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
+         p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT s.user_id, s.event_id AS signup_id, s.ts AS s_ts,
+                  min_by(p.event_id, p.ts) AS purchase_id
+           FROM s JOIN p ON s.user_id = p.user_id
+            AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1800 SECONDS
+           GROUP BY s.user_id, s.event_id, s.ts
+         )
+    SELECT user_id, signup_id, purchase_id
+    FROM (SELECT user_id, signup_id, purchase_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY s_ts, signup_id) AS rn
+          FROM m)
+    WHERE rn = 1
+    """,
+    doc="EventFlux SQL: PARTITION WITH + FROM PATTERN + WITHIN end-to-end "
+    "(reference app_runner_patterns.rs:812 + app_runner_partitions.rs:13; "
+    "non-EVERY fires once per partition key)",
+)
