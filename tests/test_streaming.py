@@ -1,0 +1,142 @@
+"""Structured Streaming tests: harness + native windows + NFA state ops.
+
+Event-at-a-time parity (reference AppRunner tests): events arrive across
+multiple micro-batches; stateful operators must carry state between them.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine_spark.streaming.harness import StreamRunner
+from engine_spark.streaming import nfa, windows as SW
+
+
+def _ts(minute: int, second: int = 0) -> str:
+    return f"2026-01-01T12:{minute:02d}:{second:02d}.000Z"
+
+
+def test_streaming_tumbling_window(spark):
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "v": 2.0},
+        {"ts": _ts(6), "user": "u1", "v": 5.0},
+    ])
+    # second batch advances the watermark past the first window
+    r.send([{"ts": _ts(20), "user": "u1", "v": 0.0}])
+    r.run(lambda df: SW.tumbling(df, "ts", "5 minutes", ["user"],
+                                 [F.sum("v").alias("s")]))
+    got = {(str(x["window_start"]), x["s"]) for x in r.shutdown()}
+    assert ("2026-01-01 12:00:00", 3.0) in got
+    assert ("2026-01-01 12:05:00", 5.0) in got
+
+
+def test_streaming_session_window(spark):
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "v": 2.0},
+        {"ts": _ts(10), "user": "u1", "v": 7.0},
+    ])
+    r.send([{"ts": _ts(30), "user": "u1", "v": 0.0}])  # advance watermark
+    r.run(lambda df: SW.session(df, "ts", "3 minutes", ["user"],
+                                [F.count(F.lit(1)).alias("n")]))
+    ns = sorted(x["n"] for x in r.shutdown())
+    assert ns[:2] == [1, 2]  # {12:00,12:01} session and {12:10} session
+
+
+def test_nfa_followed_by_across_microbatches(spark):
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([{"ts": _ts(0), "user": "u1", "etype": "login", "v": 1.0}])
+    # B arrives in a LATER micro-batch — state must persist
+    r.send([{"ts": _ts(2), "user": "u1", "etype": "purchase", "v": 9.0}])
+    r.run(
+        lambda df: nfa.followed_by_stream(
+            df, "ts", "user",
+            first=F.col("etype") == "login",
+            second=F.col("etype") == "purchase",
+            within_seconds=600, value_col="v",
+        )
+    )
+    out = r.shutdown()
+    assert len(out) == 1
+    m = out[0]
+    assert (m["user"], m["e1_value"], m["e2_value"], m["delay_seconds"]) == (
+        "u1", 1.0, 9.0, 120.0
+    )
+
+
+def test_nfa_followed_by_respects_within(spark):
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([{"ts": _ts(0), "user": "u1", "etype": "login", "v": 1.0}])
+    r.send([{"ts": _ts(30), "user": "u1", "etype": "purchase", "v": 9.0}])
+    r.run(
+        lambda df: nfa.followed_by_stream(
+            df, "ts", "user",
+            first=F.col("etype") == "login",
+            second=F.col("etype") == "purchase",
+            within_seconds=600, value_col="v",
+        )
+    )
+    assert r.shutdown() == []  # 30 min > WITHIN 10 min
+
+
+def test_nfa_every_semantics_multiple_starts(spark):
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "login", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "etype": "login", "v": 2.0},
+        {"ts": _ts(2), "user": "u1", "etype": "purchase", "v": 9.0},
+    ])
+    r.run(
+        lambda df: nfa.followed_by_stream(
+            df, "ts", "user",
+            first=F.col("etype") == "login",
+            second=F.col("etype") == "purchase",
+            within_seconds=600, value_col="v",
+        )
+    )
+    out = r.shutdown()
+    # EVERY: both logins match the one purchase
+    assert sorted(m["e1_value"] for m in out) == [1.0, 2.0]
+
+
+def test_nfa_absent_emits_after_timeout(spark):
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "login", "v": 1.0},
+        {"ts": _ts(0), "user": "u2", "etype": "login", "v": 2.0},
+        {"ts": _ts(3), "user": "u2", "etype": "purchase", "v": 9.0},
+    ])
+    # advance the watermark far past every deadline
+    r.send([{"ts": _ts(40), "user": "u3", "etype": "view", "v": 0.0}])
+    # one more batch so the timeout fires after the watermark advanced
+    r.send([{"ts": _ts(41), "user": "u3", "etype": "view", "v": 0.0}])
+    r.run(
+        lambda df: nfa.absent_stream(
+            df, "ts", "user",
+            first=F.col("etype") == "login",
+            absent=F.col("etype") == "purchase",
+            within_seconds=600, value_col="v",
+        )
+    )
+    out = r.shutdown()
+    # u1's login saw no purchase within 10 min → emitted; u2's was cancelled
+    assert [(m["user"], m["e1_value"]) for m in out] == [("u1", 1.0)]
+
+
+def test_length_batch_stream_partial_batch_carries(spark):
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "v": 2.0},
+        {"ts": _ts(2), "user": "u1", "v": 3.0},
+    ])
+    # 2 more events: completes the second batch of 2 across micro-batches
+    r.send([{"ts": _ts(3), "user": "u1", "v": 4.0}])
+    r.run(lambda df: nfa.length_batch_stream(df, "ts", "user", 2, "v"))
+    out = r.shutdown()
+    got = [(m["batch_id"], m["sum_value"]) for m in out]
+    assert got == [(0, 3.0), (1, 7.0)]
