@@ -160,6 +160,23 @@ class SqlApp:
                             f"{sorted(set(TYPE_MAP))})"
                         )
                 self.schemas[stmt.name] = stmt
+                if stmt.options.get("type") == "source":
+                    # auto-attach the WITH(...)-declared source (reference
+                    # eventflux_app_runtime.rs:995-1007)
+                    from engine_spark.sources import create_source
+
+                    opts = dict(stmt.options)
+                    opts.setdefault(
+                        "event.schema",
+                        ", ".join(
+                            f"{n} {TYPE_MAP[re.sub(r'[(].*', '', t).strip()]}"
+                            for n, t in stmt.columns
+                        ),
+                    )
+                    sdf = create_source(self.spark, opts)
+                    self.streams[stmt.name] = _Stream(
+                        df=sdf, ts_col=opts.get("timestamp.column")
+                    )
             elif isinstance(stmt, P.Partition):
                 for q in stmt.queries:
                     self._run_query(q)

@@ -1,0 +1,112 @@
+"""Source/sink registry + mapper tests (reference §2a surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from engine_spark.sources import (
+    SINKS,
+    SOURCES,
+    create_sink_writer,
+    create_source,
+)
+from engine_spark.sources.mappers import (
+    bytes_in,
+    bytes_out,
+    csv_in,
+    csv_out,
+    json_in,
+    json_out,
+)
+
+
+def test_registry_names_cover_reference_extensions():
+    # reference eventflux_context.rs:485-505 registry names
+    for s in ("timer", "websocket", "rabbitmq", "memory", "file"):
+        assert s in SOURCES
+    for s in ("log", "rabbitmq", "websocket", "callback", "memory"):
+        assert s in SINKS
+
+
+def test_timer_source_is_streaming_rate(spark):
+    df = create_source(spark, {"extension": "timer", "rate": "5"})
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+
+
+def test_unknown_extension_raises(spark):
+    with pytest.raises(KeyError, match="unknown source extension"):
+        create_source(spark, {"extension": "kafka9000"})
+
+
+def test_rabbitmq_gated(spark):
+    with pytest.raises(NotImplementedError, match="AMQP"):
+        create_source(spark, {"extension": "rabbitmq"})
+    with pytest.raises(NotImplementedError, match="AMQP"):
+        create_sink_writer(spark.range(1), {"extension": "rabbitmq"})
+
+
+def test_json_mapper_roundtrip(spark):
+    df = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ('{"a": 2, "b": "y"}',)], "value string"
+    )
+    typed = json_in(df, "a int, b string")
+    assert [tuple(r) for r in typed.orderBy("a").collect()] == [(1, "x"), (2, "y")]
+    back = json_out(typed)
+    assert back.columns == ["value"]
+    assert '"a":1' in back.orderBy("value").collect()[0]["value"]
+
+
+def test_csv_mapper_roundtrip(spark):
+    df = spark.createDataFrame([("1,x",), ("2,y",)], "value string")
+    typed = csv_in(df, "a int, b string")
+    assert [tuple(r) for r in typed.orderBy("a").collect()] == [(1, "x"), (2, "y")]
+    back = csv_out(typed)
+    assert [r["value"] for r in back.orderBy("value").collect()] == ["1,x", "2,y"]
+
+
+def test_bytes_mapper_passthrough(spark):
+    df = spark.createDataFrame([(bytearray(b"\x00\x01"),)], "value binary")
+    out = bytes_in(df)
+    assert out.schema["payload"].dataType.simpleString() == "binary"
+    assert bytes(out.collect()[0]["payload"]) == b"\x00\x01"
+    assert bytes_out(out).columns == ["value"]
+
+
+def test_console_and_memory_sink_builders(spark):
+    sdf = create_source(spark, {"extension": "timer"})  # writeStream needs a stream
+    w = create_sink_writer(sdf, {"extension": "log"})
+    assert w is not None  # DataStreamWriter configured for console
+    w2 = create_sink_writer(sdf, {"extension": "memory", "query.name": "t_out"})
+    assert w2 is not None
+
+
+def test_with_clause_source_in_sql_ddl(spark):
+    # CREATE STREAM ... WITH('type'='source','extension'='timer') auto-attach
+    from engine_spark.plans import SqlApp
+
+    app = SqlApp(spark)
+    app.sql(
+        "CREATE STREAM T (timestamp TIMESTAMP, value BIGINT) "
+        "WITH ('type'='source', 'extension'='timer', 'rate'='3');"
+    )
+    assert app.streams["T"].df.isStreaming
+    # a query over the attached source compiles to a streaming frame
+    out = app.sql("INSERT INTO Out SELECT value * 2 AS v2 FROM T WHERE value > 1;")
+    assert out["Out"].isStreaming
+
+
+def test_json_source_format_attach(spark, tmp_path):
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.json").write_text('{"v": "{\\"x\\": 7}"}\n')
+    df = create_source(
+        spark,
+        {
+            "extension": "file",
+            "path": str(p),
+            "schema": "v string",
+        },
+    )
+    assert df.isStreaming
