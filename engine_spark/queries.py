@@ -1128,3 +1128,128 @@ QUERIES["sql_pattern_partitioned"] = QueryDef(
     "(reference app_runner_patterns.rs:812 + app_runner_partitions.rs:13; "
     "non-EVERY fires once per partition key)",
 )
+
+
+# ===========================================================================
+# §2g: table DML, on-demand queries, output rate limiting, incremental agg
+# ===========================================================================
+
+@register(
+    "output_rate_first_every5",
+    """
+    SELECT event_id, user_id, ts
+    FROM (
+      SELECT event_id, user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events
+    ) WHERE (rn - 1) % 5 = 0
+    """,
+    doc="OUTPUT FIRST EVERY 5 EVENTS per user (reference output_rate.rs:8-22)",
+)
+def q_output_rate_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.output_rate import first_every_n
+
+    ev = Catalog(spark, sf_dir)["events"]
+    return first_every_n(ev, "ts", 5, ["user_id"]).select("event_id", "user_id", "ts")
+
+
+@register(
+    "output_rate_last_hourly",
+    """
+    SELECT event_id, user_id, ts
+    FROM events
+    QUALIFY row_number() OVER (
+      PARTITION BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+      ORDER BY ts DESC) = 1
+    """,
+    doc="OUTPUT LAST EVERY 1 HOUR per user: latest event per (key, bucket)",
+)
+def q_output_rate_last_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.output_rate import last_every_interval
+
+    ev = Catalog(spark, sf_dir)["events"]
+    return last_every_interval(ev, "ts", "1 hour", ["user_id"]).select(
+        "event_id", "user_id", "ts"
+    )
+
+
+@register(
+    "incremental_agg_hour",
+    """
+    SELECT event_type, time_bucket(INTERVAL 1 HOUR, ts) AS bucket_start,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_v,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+    doc="incremental multi-granularity aggregation (reference aggregation/"
+    "mod.rs, time_period.rs): hour level built by CASCADE sec->min->hour; "
+    "oracle aggregates raw directly - the rollup must agree exactly",
+)
+def q_incremental_agg_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.tables import IncrementalAggregation
+
+    ev = Catalog(spark, sf_dir)["events"]
+    agg = IncrementalAggregation(
+        ev, "ts", ["event_type"], "value",
+        granularities=("second", "minute", "hour"),
+    )
+    return agg.query(per="hour")
+
+
+@register(
+    "table_dml",
+    """
+    SELECT n_nationkey,
+           CASE WHEN n_regionkey = 0 THEN 'UPDATED' ELSE n_name END AS n_name,
+           n_regionkey
+    FROM nation WHERE n_regionkey <> 4
+    UNION ALL
+    SELECT 999, 'ATLANTIS', -1
+    """,
+    doc="table DML: UPDATE (conditional projection) + DELETE (filter) + "
+    "INSERT (union) as copy-on-write versions (reference "
+    "update/delete/insert_into_table_processor.rs); the Delta MERGE shape",
+)
+def q_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.tables import Table
+
+    t = Table(Catalog(spark, sf_dir)["nation"].select("n_nationkey", "n_name", "n_regionkey"))
+    t.update({"n_name": F.lit("UPDATED")}, F.col("n_regionkey") == 0)
+    t.delete(F.col("n_regionkey") == 4)
+    t.insert(
+        spark.createDataFrame(
+            [(999, "ATLANTIS", -1)],
+            "n_nationkey long, n_name string, n_regionkey long",
+        )
+    )
+    return t.df
+
+
+@register(
+    "on_demand_upsert",
+    """
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey < 5 THEN 'REPLACED' ELSE s_name END AS s_name
+    FROM supplier
+    UNION ALL
+    SELECT 100000, 'NEWSUPP'
+    """,
+    doc="on-demand UpdateOrInsert (reference on_demand_query.rs:17-25): "
+    "anti-join existing keys + union new rows",
+)
+def q_on_demand_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.tables import Table
+
+    sup = Catalog(spark, sf_dir)["supplier"].select("s_suppkey", "s_name")
+    t = Table(sup)
+    replacements = (
+        sup.filter(F.col("s_suppkey") < 5)
+        .select("s_suppkey", F.lit("REPLACED").alias("s_name"))
+        .unionByName(
+            spark.createDataFrame([(100000, "NEWSUPP")], "s_suppkey long, s_name string")
+        )
+    )
+    t.upsert(replacements, ["s_suppkey"])
+    return t.df

@@ -1,0 +1,94 @@
+"""Table DML, on-demand queries, output rate limiting, incremental agg."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from engine_spark.operators import output_rate as orate
+from engine_spark.tables import IncrementalAggregation, Table
+from tests.conftest import rows, ts
+
+
+def _table(spark) -> Table:
+    return Table(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "id int, name string, v double"
+        )
+    )
+
+
+def test_insert_update_delete(spark):
+    t = _table(spark)
+    t.insert(spark.createDataFrame([(4, "d", 40.0)], "id int, name string, v double"))
+    t.update({"v": F.col("v") * 10}, F.col("id") == 1)
+    t.delete(F.col("id") == 2)
+    assert rows(t.df, "id", "v") == [(1, 100.0), (3, 30.0), (4, 40.0)]
+
+
+def test_upsert_replaces_and_inserts(spark):
+    t = _table(spark)
+    t.upsert(
+        spark.createDataFrame([(2, "B2", 99.0), (9, "z", 1.0)], "id int, name string, v double"),
+        ["id"],
+    )
+    assert rows(t.df, "id", "name") == [
+        (1, "a"), (2, "B2"), (3, "c"), (9, "z"),
+    ]
+
+
+def test_find_on_demand(spark):
+    t = _table(spark)
+    assert rows(t.find(F.col("v") > 15), "id") == [(2,), (3,)]
+
+
+def events(spark):
+    return spark.createDataFrame(
+        [("u1", ts(0), i) for i in range(7)]
+        + [("u2", ts(1), 10)],
+        "user string, ts timestamp, i int",
+    ).withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("i")))
+
+
+def test_output_first_every_n(spark):
+    out = orate.first_every_n(events(spark), "ts", 3, ["user"])
+    got = rows(out, "user", "i")
+    assert got == [("u1", 0), ("u1", 3), ("u1", 6), ("u2", 10)]
+
+
+def test_output_last_every_n(spark):
+    out = orate.last_every_n(events(spark), "ts", 3, ["user"])
+    # partial trailing batch (and u2's single event) emit nothing
+    assert rows(out, "user", "i") == [("u1", 2), ("u1", 5)]
+
+
+def test_output_last_every_interval(spark):
+    df = spark.createDataFrame(
+        [("u1", ts(0), 1), ("u1", ts(3), 2), ("u1", ts(7), 3)],
+        "user string, ts timestamp, i int",
+    )
+    out = orate.last_every_interval(df, "ts", "5 minutes", ["user"])
+    assert rows(out, "i") == [(2,), (3,)]
+
+
+def test_incremental_agg_cascade_matches_direct(spark):
+    df = spark.createDataFrame(
+        [("a", ts(0, 10), 1.0), ("a", ts(0, 40), 2.0), ("a", ts(2), 10.0), ("b", ts(59), 5.0)],
+        "g string, ts timestamp, v double",
+    )
+    agg = IncrementalAggregation(df, "ts", ["g"], "v",
+                                 granularities=("second", "minute", "hour"))
+    # minute level: a@12:00 → (2 events, sum 3), a@12:02 → (1, 10), b@12:59
+    got = rows(agg.query(per="minute"), "g", "cnt", "sum_v")
+    assert got == [("a", 1, 10.0), ("a", 2, 3.0), ("b", 1, 5.0)]
+    # hour level re-aggregates the minute level
+    got_h = rows(agg.query(per="hour"), "g", "cnt", "sum_v", "min_v", "max_v")
+    assert got_h == [("a", 3, 13.0, 1.0, 10.0), ("b", 1, 5.0, 5.0, 5.0)]
+
+
+def test_incremental_agg_within_bounds(spark):
+    df = spark.createDataFrame(
+        [("a", ts(0), 1.0), ("a", ts(30), 2.0)], "g string, ts timestamp, v double"
+    )
+    agg = IncrementalAggregation(df, "ts", ["g"], "v", granularities=("minute",))
+    out = agg.query(per="minute", within=(ts(0), ts(10)))
+    assert rows(out, "sum_v") == [(1.0,)]
