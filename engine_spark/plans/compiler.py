@@ -149,7 +149,8 @@ class SqlApp:
     # ------------------------------------------------------------------
     def sql(self, text: str) -> dict[str, DataFrame]:
         """Run an application; returns {output stream name: DataFrame}."""
-        text = re.sub(r"\s+", " ", text)
+        text = re.sub(r"--[^\n]*", "", text)  # strip comments BEFORE the
+        text = re.sub(r"\s+", " ", text)  # newline collapse eats line ends
         for stmt in P.parse_app(text):
             if isinstance(stmt, P.CreateStream):
                 for cname, typ in stmt.columns:
@@ -395,6 +396,14 @@ class SqlApp:
             if agg_exprs:
                 out = out.groupBy(*[F.expr(g) for g in group_keys]).agg(*agg_exprs) \
                     if group_keys else out.agg(*agg_exprs)
+            return fin(out)
+
+        from engine_spark.extensions import WINDOW_FACTORIES
+
+        if kind in WINDOW_FACTORIES:
+            out = WINDOW_FACTORIES[kind](
+                df, ts, params, partition_by or None, agg_aliases, allow_global
+            )
             return fin(out)
 
         raise ValueError(f"unsupported window kind {kind!r}")

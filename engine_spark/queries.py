@@ -1253,3 +1253,136 @@ def q_on_demand_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.upsert(replacements, ["s_suppkey"])
     return t.df
+
+
+# ===========================================================================
+# §2e cron window, triggers, and the remaining expression operators
+# ===========================================================================
+
+@register(
+    "cron_window_5min",
+    """
+    SELECT time_bucket(INTERVAL 5 MINUTES, ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2
+    """,
+    doc="cron('*/5 * * * *') window: flush every 5 minutes -> periodic-cron "
+    "bucketing (reference CronWindowProcessor window/mod.rs:1742; the "
+    "scheduler thread becomes a window boundary)",
+)
+def q_cron_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.triggers import cron_window
+
+    ev = Catalog(spark, sf_dir)["events"]
+    out = cron_window(
+        ev, "ts", "*/5 * * * *",
+        group_by=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
+        ],
+    )
+    return out.select("window_start", "event_type", "n", "total")
+
+
+@register(
+    "trigger_ticks",
+    """
+    SELECT CAST(range AS TIMESTAMP) AS triggered_time
+    FROM range(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 06:00:01',
+               INTERVAL 15 MINUTES)
+    """,
+    doc="trigger runtime (trigger_definition.rs at_every): batch tick "
+    "relation for historical replays; streaming twin is the rate source",
+)
+def q_trigger_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.triggers import trigger_batch
+
+    return trigger_batch(
+        spark, "2024-01-01 00:00:00", "2024-01-01 06:00:00", 900
+    ).select("triggered_time")
+
+
+@register(
+    "expr_like_between_null",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           o_orderpriority LIKE '1-%' AS is_urgent,
+           o_totalprice BETWEEN 100000 AND 200000 AS mid_price,
+           o_orderstatus IS NULL AS no_status,
+           CASE WHEN o_orderdate IS NOT NULL THEN year(o_orderdate) ELSE -1 END AS order_year
+    FROM orders
+    WHERE o_orderpriority LIKE '%URGENT%' OR o_totalprice BETWEEN 1000 AND 2000
+    """,
+    doc="LIKE / BETWEEN / IS NULL predicates (§2b rows the round-1 verdict "
+    "flagged untested; reference string_functions.rs:279 LIKE, "
+    "is_null_expression_executor.rs)",
+)
+def q_expr_like_between_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.functions.scalar import resolve as fn
+
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.filter(
+        fn("like")(F.col("o_orderpriority"), "%URGENT%")
+        | F.col("o_totalprice").between(1000, 2000)
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        fn("like")(F.col("o_orderpriority"), "1-%").alias("is_urgent"),
+        F.col("o_totalprice").between(100000, 200000).alias("mid_price"),
+        F.col("o_orderstatus").isNull().alias("no_status"),
+        F.when(F.col("o_orderdate").isNotNull(), F.year("o_orderdate"))
+        .otherwise(F.lit(-1)).cast("bigint").alias("order_year"),
+    )
+
+
+@register(
+    "agg_forever_first_last",
+    """
+    SELECT l_returnflag,
+           min(l_extendedprice) AS min_forever,
+           max(l_extendedprice) AS max_forever,
+           min_by(l_orderkey, l_orderkey) AS first_key,
+           max_by(l_orderkey, l_orderkey) AS last_key
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="minForever/maxForever (unwindowed stream-lifetime extremes, "
+    "reference eventflux_context.rs:456-470) + deterministic first/last "
+    "(by arrival key, aggregator/mod.rs:1660,1768)",
+)
+def q_agg_forever_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.aggregations import resolve as agg
+
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        agg("minForever")("l_extendedprice").alias("min_forever"),
+        agg("maxForever")("l_extendedprice").alias("max_forever"),
+        F.min_by("l_orderkey", "l_orderkey").alias("first_key"),
+        F.max_by("l_orderkey", "l_orderkey").alias("last_key"),
+    )
+
+
+@register(
+    "expr_instance_of",
+    """
+    SELECT l_orderkey,
+           TRUE AS chk_long, FALSE AS chk_str,
+           l_returnflag IS NOT NULL AS chk_flag_str
+    FROM lineitem WHERE l_linenumber = 1 AND l_orderkey <= 1000
+    """,
+    doc="instanceOf* checks resolve from the static schema type "
+    "(reference instance_of_checkers.rs; typeof() is constant-folded)",
+)
+def q_expr_instance_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.functions.scalar import resolve as fn
+
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") <= 1000)).select(
+        "l_orderkey",
+        fn("instanceoflong")(F.col("l_orderkey")).alias("chk_long"),
+        fn("instanceofstring")(F.col("l_orderkey")).alias("chk_str"),
+        fn("instanceofstring")(F.col("l_returnflag")).alias("chk_flag_str"),
+    )

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""CLI runner: execute an EventFlux-SQL application file on Spark.
+
+The reference's binary (run_eventflux.rs:20-42): ``run_eventflux <file.sql>
+[-c config.yaml] [--set k=v]`` — parse, build runtime, run until Ctrl-C.
+Spark-first equivalent, submittable via ``spark-submit run_app.py …``::
+
+    python run_app.py app.sql \\
+        -c config.yaml \\
+        --register "events=/root/testdata/sf0.01/events.parquet:ts" \\
+        --set spark.sql.shuffle.partitions=64 \\
+        --show 20
+
+config.yaml keys (all optional)::
+
+    spark:                      # conf key → value (reference loader.rs)
+      spark.sql.shuffle.partitions: "64"
+    streams:                    # name → {path: …, ts_col: …}
+      events: {path: /data/events.parquet, ts_col: ts}
+    output: console | parquet:/path | count
+
+Batch mode runs every INSERT INTO query and materializes outputs; a query
+whose source stream is a streaming source (WITH type=source) starts a
+streaming query instead and runs until interrupted.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def parse_args(argv):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("sql_file", help="EventFlux-SQL application file")
+    p.add_argument("-c", "--config", help="YAML config file")
+    p.add_argument(
+        "--set", action="append", default=[], metavar="K=V",
+        help="Spark conf override (repeatable)",
+    )
+    p.add_argument(
+        "--register", action="append", default=[], metavar="NAME=PATH[:TS_COL]",
+        help="bind a parquet path as an input stream (repeatable)",
+    )
+    p.add_argument("--show", type=int, default=20, help="rows to print per output")
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p.parse_args(argv)
+
+
+def load_config(path: str | None) -> dict:
+    if not path:
+        return {}
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def main(argv=None) -> int:
+    args = parse_args(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(args.config)
+
+    conf = dict(cfg.get("spark", {}))
+    for kv in args.set:
+        k, _, v = kv.partition("=")
+        conf[k] = v
+
+    from engine_spark.session import get_spark
+
+    spark = get_spark("run_app", master=args.master, extra_conf=conf)
+    spark.sparkContext.setLogLevel("WARN")
+
+    from engine_spark.plans import SqlApp
+
+    app = SqlApp(spark)
+    streams = dict(cfg.get("streams", {}))
+    for reg in args.register:
+        name, _, rest = reg.partition("=")
+        path, _, ts_col = rest.partition(":")
+        streams[name] = {"path": path, "ts_col": ts_col or None}
+    for name, spec in streams.items():
+        df = spark.read.parquet(spec["path"])
+        app.register_stream(name, df, ts_col=spec.get("ts_col"))
+
+    with open(args.sql_file) as f:
+        outputs = app.sql(f.read())
+
+    sink = cfg.get("output", "console")
+    for name, df in outputs.items():
+        if df.isStreaming:
+            print(f"[{name}] streaming query → console (Ctrl-C to stop)")
+            q = df.writeStream.format("console").outputMode("append").start()
+            q.awaitTermination()
+        elif sink == "count":
+            print(f"[{name}] {df.count()} rows")
+        elif str(sink).startswith("parquet:"):
+            dest = f"{str(sink)[8:]}/{name}"
+            df.write.mode("overwrite").parquet(dest)
+            print(f"[{name}] written to {dest}")
+        else:
+            print(f"[{name}]")
+            df.show(args.show, truncate=False)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
