@@ -37,12 +37,17 @@ def main() -> None:
         "window_hopping_1h_15m",
         "pattern_followed_by",
         "pattern_absent",
+        "pattern_logical_and",
         "frequent_items",
+        # datapipe (LLM-training-data operators)
+        "dedup_minhash_lsh",
+        "dedup_embedding_cosine",
+        "ann_topk_cosine",
+        "text_quality",
+        # SQL front-end end-to-end + rollups
+        "sql_window_tumbling",
+        "incremental_agg_hour",
     ]
-    # datapipe headliners when registered
-    for extra in ("dedup_minhash_lsh", "text_quality", "ann_topk_cosine"):
-        if extra in QUERIES:
-            headline.append(extra)
 
     times: dict[str, float] = {}
     # warm the JVM + parquet footer cache with one cheap full run
@@ -51,11 +56,17 @@ def main() -> None:
     for name in headline:
         if name not in QUERIES:
             continue
-        t0 = time.perf_counter()
-        df = QUERIES[name].spark(spark, sf_dir)
-        # force full execution without shipping wide rows to the driver
-        df.write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 4)
+        # best of 2: this host shows heavy noisy-neighbor variance (same
+        # plan measured 4.4s and 17s back-to-back); min-of-2 reports the
+        # plan's cost, not the hypervisor's mood
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = QUERIES[name].spark(spark, sf_dir)
+            # force full execution without shipping wide rows to the driver
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     print(

@@ -168,10 +168,15 @@ def shingles(d: Dialect, toks: str, k: int) -> str:
     return d.distinct(d.transform(idx, "i", gram))
 
 
-def minhash_one(d: Dialect, sh: str, a: int, b: int) -> str:
-    """min over shingles of (a * (h56 % P) + b) % P — row-local, no shuffle."""
-    h = f"(({a} * ({d.hash56('s')} % {MINHASH_P}) + {b}) % {MINHASH_P})"
-    return d.amin(d.transform(sh, "s", h))
+def shingle_hashes(d: Dialect, sh: str) -> str:
+    """h56 % P per shingle — md5 runs ONCE per shingle; the k universal-hash
+    projections below are integer ops over this array."""
+    return d.transform(sh, "s", f"({d.hash56('s')} % {MINHASH_P})")
+
+
+def minhash_one(d: Dialect, hashes: str, a: int, b: int) -> str:
+    """min over pre-hashed shingles of (a*h + b) % P — row-local."""
+    return d.amin(d.transform(hashes, "h", f"(({a} * h + {b}) % {MINHASH_P})"))
 
 
 def band_key(d: Dialect, mh_cols: list[str], band: int) -> str:
@@ -226,6 +231,20 @@ def dot_chain(d: Dialect, a: str, b: str, dim: int) -> str:
         f"list_reduce(list_transform(list_zip({a}, {b}), z -> z[1] * z[2]), "
         f"(acc, v) -> acc + v)"
     )
+
+
+def dot_chain_explicit(d: Dialect, a: str, b: str, dim: int) -> str:
+    """Explicit left-associated chain — identical evaluation order (and so
+    bit-identical doubles) to the fold above, but whole-stage-codegen-able.
+    Measured NOT worth it for pair-verify joins: inside a join projection
+    the 64-term chain tips generated code over the JIT budget → interpreted
+    fallback slower than the fold (17s vs 4.4s at sf0.1). Kept for narrow
+    scalar projections if ever needed."""
+    terms = [
+        f"({d.element(a, str(i))} * {d.element(b, str(i))})"
+        for i in range(1, dim + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def norm_chain(d: Dialect, a: str, dim: int) -> str:

@@ -34,9 +34,13 @@ SP = Dialect("spark")
 DK = Dialect("duckdb")
 
 EMB_DIM = 64
-#: hyperplane LSH: 8 tables x 4 bits over the first 16 components.
+#: hyperplane LSH: 8 tables x 8 bits over the first 16 components.
+#: 8 bits = 256 buckets/table keeps the candidate set ~3% of all pairs for
+#: near-orthogonal vectors while retaining ~93% recall at cosine >= 0.9 —
+#: the regime near-dup dedup actually targets. (4 bits made ~40% of ALL
+#: pairs candidates: the verify join, not the buckets, did the work.)
 LSH_TABLES = 8
-LSH_BITS = 4
+LSH_BITS = 8
 LSH_PROJ_DIM = 16
 PLANES = FR.hyperplanes(LSH_TABLES, LSH_BITS, LSH_PROJ_DIM)
 
@@ -192,10 +196,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
-    """doc_id + distinct word-k-gram shingles (row-local)."""
+    """doc_id + distinct word-k-gram shingles (row-local).
+
+    Tokens are staged as a column first: higher-order-function lambdas are
+    interpreted, and the shingle fragment references the token list three
+    times (size guard, index range, slice) — inlining the tokenizer there
+    evaluates it 3x per row.
+    """
     docs = Catalog(spark, sf_dir)["documents"]
-    sh = FR.shingles(SP, FR.tokens(SP), k)
-    return docs.select("doc_id", F.expr(sh).alias("sh")).filter(F.expr(SP.size("sh")) > 0)
+    toks = docs.select("doc_id", F.expr(FR.tokens(SP)).alias("toks"))
+    return toks.select(
+        "doc_id", F.expr(FR.shingles(SP, "toks", k)).alias("sh")
+    ).filter(F.expr(SP.size("sh")) > 0)
 
 
 @register(
@@ -239,20 +251,24 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("doc_a", "doc_b", F.expr(r6("jac")).alias("jaccard"))
 
 
-def _mh_exprs(d: Dialect, sh: str) -> list[str]:
-    return [FR.minhash_one(d, sh, MINHASH_A[i], MINHASH_B[i]) for i in range(MINHASH_K)]
+def _mh_exprs(d: Dialect, hashes: str) -> list[str]:
+    return [
+        FR.minhash_one(d, hashes, MINHASH_A[i], MINHASH_B[i])
+        for i in range(MINHASH_K)
+    ]
 
 
 def _minhash_oracle() -> str:
     mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
-    mh_defs = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(_mh_exprs(DK, "sh")))
+    mh_defs = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(_mh_exprs(DK, "hs")))
     band_case = " ".join(
         f"WHEN {b} THEN {FR.band_key(DK, mh_cols, b)}" for b in range(LSH_BANDS)
     )
     return f"""
     WITH s AS (
       SELECT doc_id, sh, {mh_defs}
-      FROM (SELECT doc_id, {FR.shingles(DK, FR.tokens(DK), 2)} AS sh FROM documents)
+      FROM (SELECT doc_id, sh, {FR.shingle_hashes(DK, 'sh')} AS hs
+            FROM (SELECT doc_id, {FR.shingles(DK, FR.tokens(DK), 2)} AS sh FROM documents))
       WHERE {DK.size('sh')} > 0
     ),
     bands AS (
@@ -281,13 +297,37 @@ def _minhash_oracle() -> str:
     ),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _shingle_df(spark, sf_dir)
+    # Signature via explode + 32 codegen'd min-aggregates, NOT 32 array
+    # transforms: Spark interprets higher-order-function lambdas row-at-a-
+    # time (no codegen), which measured 11.8s/5k docs; the exploded
+    # formulation stays in whole-stage codegen with map-side combine, so
+    # the shuffle carries one partial row per (doc, partition). Same math,
+    # same values — the DuckDB oracle keeps the list formulation (its list
+    # kernels are vectorized C++).
+    s = _shingle_df(spark, sf_dir).cache()
     mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
-    sig = s.select(
-        "doc_id",
-        "sh",
-        *[F.expr(e).alias(mh_cols[i]) for i, e in enumerate(_mh_exprs(SP, "sh"))],
-    ).cache()
+    exploded = s.select(
+        "doc_id", F.explode(F.expr(FR.shingle_hashes(SP, "sh"))).alias("h")
+    )
+    sig = (
+        exploded.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(
+                    F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {FR.MINHASH_P}")
+                ).alias(mh_cols[i])
+                for i in range(MINHASH_K)
+            ]
+        )
+        .join(s, "doc_id")
+        .cache()
+    )
+    # Materialize the signature table BEFORE the band self-join: both join
+    # sides and the verify stage reuse it, and an unmaterialized cache gets
+    # recomputed per consumer inside a single job. One tiny action here
+    # (5k rows/sf0.1; one row per doc at any scale) saves 3 recomputes of
+    # the tokenize+shingle pipeline.
+    sig.count()
     band_structs = F.array(
         *[
             F.struct(
@@ -426,7 +466,9 @@ def _bucket_case_duckdb() -> str:
 @register(
     "dedup_embedding_cosine",
     f"""
-    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd FROM embeddings),
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd,
+                      {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
+               FROM embeddings),
     b AS (
       SELECT vec_id, vd, t, {_bucket_case_duckdb()} AS bucket
       FROM e, (SELECT unnest(range({LSH_TABLES})) AS t)
@@ -435,10 +477,14 @@ def _bucket_case_duckdb() -> str:
       SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
       FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
        AND a.vec_id < b2.vec_id
+    ),
+    scored AS (
+      SELECT vec_a, vec_b,
+             ({FR.dot_chain(DK, 'x.vd', 'y.vd', EMB_DIM)} / (x.nrm * y.nrm)) AS cos
+      FROM cand JOIN e x ON cand.vec_a = x.vec_id JOIN e y ON cand.vec_b = y.vec_id
     )
-    SELECT vec_a, vec_b, {r6(FR.cosine(DK, 'x.vd', 'y.vd', EMB_DIM))} AS cos_sim
-    FROM cand JOIN e x ON cand.vec_a = x.vec_id JOIN e y ON cand.vec_b = y.vec_id
-    WHERE {FR.cosine(DK, 'x.vd', 'y.vd', EMB_DIM)} >= {COSINE_T}
+    SELECT vec_a, vec_b, {r6('cos')} AS cos_sim
+    FROM scored WHERE cos >= {COSINE_T}
     """,
     doc=(
         f"embedding near-dup: {LSH_TABLES} random-hyperplane tables x "
@@ -449,7 +495,11 @@ def _bucket_case_duckdb() -> str:
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"]
-    e = emb.select("vec_id", F.expr(_vecd(SP)).alias("vd")).cache()
+    e = emb.select(
+        "vec_id",
+        F.expr(_vecd(SP)).alias("vd"),
+        F.expr(FR.norm_chain(SP, _vecd(SP), EMB_DIM)).alias("nrm"),
+    ).cache()
     b = e.select("vec_id", F.explode(_bucket_structs_spark()).alias("tb")).select(
         "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
     )
@@ -464,11 +514,20 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b2.vec_id").alias("vec_b"))
         .distinct()
     )
-    vs = e.select("vec_id", "vd")
+    vs = e.select("vec_id", "vd", "nrm")
     j = (
-        cand.join(vs.withColumnsRenamed({"vec_id": "vec_a", "vd": "va"}), "vec_a")
-        .join(vs.withColumnsRenamed({"vec_id": "vec_b", "vd": "vb"}), "vec_b")
-        .withColumn("cos", F.expr(FR.cosine(SP, "va", "vb", EMB_DIM)))
+        cand.join(
+            vs.withColumnsRenamed({"vec_id": "vec_a", "vd": "va", "nrm": "na"}),
+            "vec_a",
+        )
+        .join(
+            vs.withColumnsRenamed({"vec_id": "vec_b", "vd": "vb", "nrm": "nb"}),
+            "vec_b",
+        )
+        .withColumn(
+            "cos",
+            F.expr(f"{FR.dot_chain(SP, 'va', 'vb', EMB_DIM)} / (na * nb)"),
+        )
         .filter(F.col("cos") >= COSINE_T)
     )
     return j.select("vec_a", "vec_b", F.expr(r6("cos")).alias("cos_sim"))
@@ -481,11 +540,13 @@ ANN_K = 5
 @register(
     "ann_topk_cosine",
     f"""
-    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd FROM embeddings),
-    q AS (SELECT vec_id AS q_id, vd AS qv FROM e WHERE vec_id < {ANN_N_QUERIES}),
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd,
+                      {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn FROM e WHERE vec_id < {ANN_N_QUERIES}),
     scored AS (
       SELECT q.q_id, e.vec_id AS cand_id,
-             {r6(FR.cosine(DK, 'q.qv', 'e.vd', EMB_DIM))} AS cos_sim
+             {r6(f"{FR.dot_chain(DK, 'q.qv', 'e.vd', EMB_DIM)} / (q.qn * e.nrm)")} AS cos_sim
       FROM q JOIN e ON e.vec_id <> q.q_id
     )
     SELECT q_id, cand_id, cos_sim, rnk
@@ -506,13 +567,20 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = Catalog(spark, sf_dir)["embeddings"]
-    e = emb.select("vec_id", F.expr(_vecd(SP)).alias("vd"))
+    e = emb.select(
+        "vec_id",
+        F.expr(_vecd(SP)).alias("vd"),
+        F.expr(FR.norm_chain(SP, _vecd(SP), EMB_DIM)).alias("nrm"),
+    )
     q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("vd").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("vd").alias("qv"), F.col("nrm").alias("qn")
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
-        .withColumn("cos_sim", F.expr(r6(FR.cosine(SP, "qv", "vd", EMB_DIM))))
+        .withColumn(
+            "cos_sim",
+            F.expr(r6(f"{FR.dot_chain(SP, 'qv', 'vd', EMB_DIM)} / (qn * nrm)")),
+        )
         .select("q_id", F.col("vec_id").alias("cand_id"), "cos_sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))

@@ -59,11 +59,13 @@ def test_jaccard_fragment(spark):
 
 
 def test_minhash_identical_sets_have_identical_signatures(spark):
-    d = docs(spark).select("doc_id", F.expr(FR.shingles(SP, FR.tokens(SP), 2)).alias("sh"))
+    d = docs(spark).select(
+        "doc_id", F.expr(FR.shingles(SP, FR.tokens(SP), 2)).alias("sh")
+    ).withColumn("hs", F.expr(FR.shingle_hashes(SP, "sh")))
     sigs = d.select(
         "doc_id",
         *[
-            F.expr(FR.minhash_one(SP, "sh", FR.MINHASH_A[i], FR.MINHASH_B[i])).alias(f"m{i}")
+            F.expr(FR.minhash_one(SP, "hs", FR.MINHASH_A[i], FR.MINHASH_B[i])).alias(f"m{i}")
             for i in range(8)
         ],
     ).collect()

@@ -1,0 +1,72 @@
+"""Plan-shape audit: assert the physical plans have the properties the
+100 TB design depends on (pushdown, broadcast, single-shuffle windows, no
+cartesian joins, column pruning).
+
+Usage: python tools/audit_plans.py [sf_dir]
+Note: whole-stage codegen shows as a `*(n)` operator prefix in
+executedPlan().toString(), not the literal string "WholeStageCodegen".
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+CHECKS = {
+    "filter_project": [
+        ("parquet filter pushdown", lambda p: "PushedFilters: [" in p and "IsNotNull" in p),
+        ("wholestage codegen", lambda p: "*(1)" in p),
+    ],
+    "join_enrich_star": [
+        ("broadcast join present", lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+        ("filter pushed to scan", lambda p: "PushedFilters: [" in p),
+    ],
+    "window_sliding_time_10m": [
+        ("single exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("no self-join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "window_session_30m": [
+        ("native session window", lambda p: "session_window" in p or "SessionWindow" in p),
+    ],
+    "dedup_minhash_lsh": [
+        ("no cartesian/nested-loop", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+        ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "dedup_embedding_cosine": [
+        ("no cartesian", lambda p: "Cartesian" not in p),
+    ],
+    "stream_stream_windowed_join": [
+        ("equi-join (not nested loop)", lambda p: "BroadcastNestedLoop" not in p and "Cartesian" not in p),
+    ],
+    "agg_pricing_summary": [
+        ("hash aggregation", lambda p: "HashAggregate" in p),
+    ],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sys.path.insert(0, "/root/repo")
+    from engine_spark.queries import QUERIES
+    from engine_spark.session import get_spark
+
+    spark = get_spark("audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+    for name, checks in CHECKS.items():
+        plan = (
+            QUERIES[name].spark(spark, sf_dir)._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        for label, pred in checks:
+            ok = pred(plan)
+            failures += 0 if ok else 1
+            print(f"{'PASS' if ok else 'FAIL'}  {name}: {label}")
+    print(f"\n== {failures} plan-shape failures ==")
+    spark.stop()
+    raise SystemExit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
