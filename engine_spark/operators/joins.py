@@ -82,6 +82,7 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     direction: str = "backward",
+    tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """As-of join (not in the reference — added for the training-data pipeline).
 
@@ -93,14 +94,15 @@ def asof_join(
     cond = F.lit(True)
     for k in on:
         cond = cond & (left[k] == right[k])
+    tb = list(tiebreak or [])
     if direction == "backward":
         cond = cond & (right[right_ts] <= left[left_ts])
-        order = F.col(right_ts).desc()
+        order = [F.col(f"r.{right_ts}").desc()] + [F.col(f"r.{c}").desc() for c in tb]
     else:
         cond = cond & (right[right_ts] >= left[left_ts])
-        order = F.col(right_ts).asc()
+        order = [F.col(f"r.{right_ts}").asc()] + [F.col(f"r.{c}").asc() for c in tb]
     from pyspark.sql import Window
 
     j = left.alias("l").join(right.alias("r"), cond, "left")
-    w = Window.partitionBy(*[F.col(f"l.{k}") for k in on], F.col(f"l.{left_ts}")).orderBy(order)
+    w = Window.partitionBy(*[F.col(f"l.{k}") for k in on], F.col(f"l.{left_ts}")).orderBy(*order)
     return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")

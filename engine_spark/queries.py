@@ -1386,3 +1386,47 @@ def q_expr_instance_of(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn("instanceofstring")(F.col("l_orderkey")).alias("chk_str"),
         fn("instanceofstring")(F.col("l_returnflag")).alias("chk_flag_str"),
     )
+
+
+@register(
+    "asof_join_last_view",
+    """
+    WITH p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+               FROM events WHERE event_type = 'view')
+    SELECT p.purchase_id,
+           max_by(v.view_id, epoch_us(v.v_ts)::HUGEINT * 10000000 + v.view_id) AS view_id
+    FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.v_ts <= p.p_ts
+    GROUP BY p.purchase_id
+    """,
+    doc="as-of join (backward): each purchase paired with the user's most "
+    "recent prior-or-same-time view; ties break on event_id. Not in the "
+    "reference - added for the training-data pipeline (feature lookups)",
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.joins import asof_join
+
+    ev = Catalog(spark, sf_dir)["events"]
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    j = asof_join(p, v, ["user_id"], "p_ts", "v_ts", "backward", tiebreak=["view_id"])
+    return j.select("purchase_id", "view_id")
+
+
+QUERIES["agg_approx_distinct"] = QueryDef(
+    spark=lambda spark, sf_dir: Catalog(spark, sf_dir)["events"]
+    .groupBy("event_type")
+    .agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    ),
+    oracle=None,  # approximate by design → rows-only check
+    doc="approxDistinctCount: the 100TB-scale path for distinctCount "
+    "(HyperLogLog++, no exact shuffle of the distinct set); rows-only "
+    "because approximation is engine-specific",
+)

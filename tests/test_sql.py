@@ -256,3 +256,40 @@ def test_parser_ast_shapes():
     assert isinstance(qp.source, PatternSource)
     assert qp.source.within_seconds == 5.0
     assert qp.source.steps[0].filter == "v > 1"
+
+
+def test_sql_query_over_live_stream(spark):
+    """SQL compiled onto a streaming frame, run through the harness: the
+    same query text drives batch AND streaming (SURVEY build-plan phase 1)."""
+    import uuid
+
+    from engine_spark.plans import SqlApp
+    from engine_spark.streaming.harness import StreamRunner
+
+    r = StreamRunner(spark, "v int")
+    r.send([{"v": 5}, {"v": 15}])
+    r.send([{"v": 25}])
+
+    app = SqlApp(spark)
+    # register the streaming frame directly (no _seq column on live streams)
+    from engine_spark.plans.compiler import _Stream
+
+    app.streams["In"] = _Stream(df=r.stream(), ts_col="_none")
+    outs = app.sql(
+        "CREATE STREAM Out (doubled INT); "
+        "INSERT INTO Out SELECT v * 2 FROM In WHERE v > 10;"
+    )
+    out = outs["Out"]
+    assert out.isStreaming
+    collected = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", r.checkpoint)
+        .trigger(availableNow=True)
+        .queryName(f"sqlstream_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+    r.shutdown()
+    assert sorted(x["doubled"] for x in collected) == [30, 50]
