@@ -106,3 +106,34 @@ def asof_join(
     j = left.alias("l").join(right.alias("r"), cond, "left")
     w = Window.partitionBy(*[F.col(f"l.{k}") for k in on], F.col(f"l.{left_ts}")).orderBy(*order)
     return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-hardened equi-join: salt the (large, skewed) left side into
+    ``salt_buckets`` sub-keys and replicate the right side across them.
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime by splitting oversized partitions; explicit salting is the
+    belt-and-braces variant for pathological keys (one key = 30% of rows)
+    where even a split partition's *build* side overflows. Replication
+    factor = salt_buckets on the right side — keep the right side the
+    smaller input.
+    """
+    l = left.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    r = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (l[k] == r[k])
+    cond = cond & (l["_salt"] == r["_salt"])
+    out = l.join(r, cond, JOIN_TYPES[how])
+    for k in on:
+        out = out.drop(r[k])  # keep one copy of each join key
+    return out.drop("_salt")

@@ -333,6 +333,33 @@ class SqlApp:
                 out = out.filter(F.expr(having_filter))
             return out.select(*self._final_projection(q, agg_aliases))
 
+        if df.isStreaming and kind is not None:
+            # live source: time-based windows compile to the streaming
+            # builders (watermark-driven, append mode); count-based windows
+            # need the keyed-state ops (streaming/nfa.py) — explicit API,
+            # not inferable from SQL alone
+            from engine_spark.streaming import windows as SWIN
+
+            if kind in ("timebatch", "tumbling", "externaltimebatch"):
+                if kind == "externaltimebatch":
+                    ts = params[0].strip()
+                    params = params[1:]
+                out = SWIN.tumbling(df, ts, interval(params[0]), group_keys, agg_exprs)
+                return fin(out)
+            if kind == "sliding":
+                out = SWIN.hopping(
+                    df, ts, interval(params[0]), interval(params[1]), group_keys, agg_exprs
+                )
+                return fin(out)
+            if kind == "session":
+                out = SWIN.session(df, ts, interval(params[0]), group_keys, agg_exprs)
+                return fin(out)
+            raise ValueError(
+                f"window kind {kind!r} on a live stream needs the keyed-state "
+                "operators (engine_spark.streaming.nfa) — count-based windows "
+                "aren't expressible as a streaming groupBy"
+            )
+
         if kind is None:
             # plain GROUP BY aggregation (no window clause)
             out = df.groupBy(*[F.expr(g) for g in group_keys]).agg(*agg_exprs) \

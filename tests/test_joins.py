@@ -81,3 +81,17 @@ def test_asof_join_backward(spark):
     got = rows(out, "tts", "qts", "px")
     # trade@12:05 → latest quote ≤ 12:05 is 12:04@101; trade@12:20 → 12:04@101
     assert set(got) == {(ts(5), ts(4), 101.0), (ts(20), ts(4), 101.0)}
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F2
+
+    left = spark.createDataFrame(
+        [("hot", i) for i in range(50)] + [("cold", 99)], "k string, v int"
+    )
+    right = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, name string")
+    salted = joins.salted_join(left, right, ["k"], "inner", 4)
+    plain = left.join(right, ["k"], "inner")
+    assert salted.count() == plain.count() == 51
+    got = salted.groupBy(F2.col("name")).count().collect()
+    assert {(r["name"], r["count"]) for r in got} == {("H", 50), ("C", 1)}

@@ -140,3 +140,40 @@ def test_length_batch_stream_partial_batch_carries(spark):
     out = r.shutdown()
     got = [(m["batch_id"], m["sum_value"]) for m in out]
     assert got == [(0, 3.0), (1, 7.0)]
+
+
+def test_sql_tumbling_window_on_live_stream(spark):
+    """SQL WINDOW TUMBLING over a live stream compiles to the streaming
+    (watermarked) window builder and emits when the watermark passes."""
+    import uuid
+
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, v double")
+    r.send([
+        {"ts": _ts(0), "v": 1.0},
+        {"ts": _ts(1), "v": 2.0},
+    ])
+    r.send([{"ts": _ts(20), "v": 0.0}])  # advance watermark
+    app = SqlApp(spark)
+    app.streams["S"] = _Stream(df=r.stream(), ts_col="ts")
+    outs = app.sql(
+        "INSERT INTO Out SELECT window_start, sum(v) AS s "
+        "FROM S WINDOW TUMBLING(5 MINUTES);"
+    )
+    out = outs["Out"]
+    assert out.isStreaming
+    collected = []
+    q = (
+        out.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", r.checkpoint)
+        .trigger(availableNow=True)
+        .queryName(f"sqlwin_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+    r.shutdown()
+    got = {(str(x["window_start"]), x["s"]) for x in collected}
+    assert ("2026-01-01 12:00:00", 3.0) in got
