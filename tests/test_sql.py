@@ -293,3 +293,26 @@ def test_sql_query_over_live_stream(spark):
     q.awaitTermination()
     r.shutdown()
     assert sorted(x["doubled"] for x in collected) == [30, 50]
+
+
+def test_distinct_count_rewrite(spark):
+    app = SqlApp(spark)
+    app.register_stream(
+        "In", spark.createDataFrame([("a",), ("a",), ("b",)], "x string")
+    )
+    outs = app.sql("INSERT INTO Out SELECT distinctCount(x) AS dc FROM In;")
+    assert outs["Out"].collect()[0]["dc"] == 2
+
+
+def test_sort_window_sql_multi_key(spark):
+    app = SqlApp(spark)
+    app.register_stream(
+        "S",
+        spark.createDataFrame(
+            [("x", 1.0, 5), ("x", 3.0, 1), ("x", 2.0, 9)], "sym string, p double, q int"
+        ),
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT sym, p, q FROM S WINDOW('sort', 2, p, 'desc') GROUP BY sym;"
+    )
+    assert sorted(r["p"] for r in outs["Out"].collect()) == [2.0, 3.0]

@@ -92,3 +92,17 @@ def test_incremental_agg_within_bounds(spark):
     agg = IncrementalAggregation(df, "ts", ["g"], "v", granularities=("minute",))
     out = agg.query(per="minute", within=(ts(0), ts(10)))
     assert rows(out, "sum_v") == [(1.0,)]
+
+
+def test_snapshot_every_interval(spark):
+    from engine_spark.operators.output_rate import snapshot_every_interval
+
+    df = spark.createDataFrame(
+        [("k1", ts(0), 1.0), ("k1", ts(2), 2.0), ("k1", ts(7), 3.0), ("k2", ts(1), 9.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = snapshot_every_interval(df, "ts", "5 minutes", ["k"])
+    got = rows(out, "k", "v", "snapshot_ts")
+    # last-known value per key per 5-min tick
+    assert ("k1", 2.0, ts(5)) in got and ("k1", 3.0, ts(10)) in got
+    assert ("k2", 9.0, ts(5)) in got
