@@ -674,3 +674,136 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
     payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return decode_meta(payloads)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN: inverted-file index with deterministic seeded centroids
+# ---------------------------------------------------------------------------
+
+IVF_K = 8        # centroid count (cells)
+IVF_NPROBE = 2   # cells probed per query
+IVF_TOPK = 3
+
+
+def _ivf_cell(d: Dialect, vec: str, cents: list[list[float]]) -> str:
+    """Cell id = argmax cosine(vec, centroid_i); first max wins (both
+    engines' array_position/list_position return the first occurrence)."""
+    sub = d.slice_k(vec, "1", LSH_PROJ_DIM)
+    scores = []
+    for c in cents:
+        lits = ", ".join(repr(x) for x in c)
+        arr = f"array({lits})" if d.spark else f"[{lits}]"
+        scores.append(
+            f"({FR.dot_chain(d, sub, arr, LSH_PROJ_DIM)})"
+        )
+    if d.spark:
+        lst = f"array({', '.join(scores)})"
+        return f"CAST(array_position({lst}, array_max({lst})) AS INT)"
+    lst = f"[{', '.join(scores)}]"
+    return f"CAST(list_position({lst}, list_max({lst})) AS INT)"
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """Deterministic 'trained' centroids: unit-ish directions from the same
+    LCG family as the hyperplanes (production IVF trains k-means; the index
+    mechanics — cell assignment, nprobe search — are identical)."""
+    g = FR._lcg(99_2026)
+    return [
+        [(next(g) % 2_000_001) / 1_000_000.0 - 1.0 for _ in range(LSH_PROJ_DIM)]
+        for _ in range(IVF_K)
+    ]
+
+
+IVF_CENTS = _ivf_centroids()
+
+
+def _ivf_probe_cells(d: Dialect, vec: str) -> str:
+    """The nprobe cells of a query = indexes of the top-nprobe scores."""
+    sub = d.slice_k(vec, "1", LSH_PROJ_DIM)
+    scores = []
+    for c in IVF_CENTS:
+        lits = ", ".join(repr(x) for x in c)
+        arr = f"array({lits})" if d.spark else f"[{lits}]"
+        scores.append(f"({FR.dot_chain(d, sub, arr, LSH_PROJ_DIM)})")
+    if d.spark:
+        lst = f"array({', '.join(scores)})"
+        # rank centroids by score desc, index asc; take first nprobe indexes
+        return (
+            f"slice(transform(array_sort(zip_with({lst}, "
+            f"sequence(1, {IVF_K}), (s, i) -> struct(-s AS ns, i AS i))), "
+            f"x -> x.i), 1, {IVF_NPROBE})"
+        )
+    lst = f"[{', '.join(scores)}]"
+    return (
+        f"list_transform(list_sort(list_transform(range(1, {IVF_K} + 1), "
+        f"i -> {{'ns': -{lst}[i], 'i': i}}))[1:{IVF_NPROBE}], x -> x.i)"
+    )
+
+
+@register(
+    "ann_ivf_cosine",
+    f"""
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd,
+                      {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
+               FROM embeddings),
+    cells AS (SELECT vec_id, vd, nrm, {_ivf_cell(DK, 'vd', IVF_CENTS)} AS cell FROM e),
+    q AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn,
+                 unnest({_ivf_probe_cells(DK, 'vd')}) AS probe
+          FROM e WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, c.vec_id AS cand_id,
+             {r6(f"{FR.dot_chain(DK, 'q.qv', 'c.vd', EMB_DIM)} / (q.qn * c.nrm)")} AS cos_sim
+      FROM q JOIN cells c ON c.cell = q.probe AND c.vec_id <> q.q_id
+    )
+    SELECT q_id, cand_id, cos_sim, rnk
+    FROM (SELECT q_id, cand_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, cand_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {IVF_TOPK}
+    """,
+    doc=(
+        f"IVF ANN: vectors assigned to {IVF_K} centroid cells (row-local "
+        f"argmax), queries probe their top-{IVF_NPROBE} cells, exact cosine "
+        "ranks within probed cells only — the inverted-file scale path "
+        "(cell = shuffle key; candidates/query = nprobe/K of the corpus). "
+        "Centroids are deterministic seeds; production swaps in k-means."
+    ),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    e = emb.select(
+        "vec_id",
+        F.expr(_vecd(SP)).alias("vd"),
+        F.expr(FR.norm_chain(SP, _vecd(SP), EMB_DIM)).alias("nrm"),
+    )
+    cells = e.withColumn("cell", F.expr(_ivf_cell(SP, "vd", IVF_CENTS)))
+    q = (
+        e.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .withColumn("probe", F.explode(F.expr(_ivf_probe_cells(SP, "vd"))))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vd").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "probe",
+        )
+    )
+    scored = (
+        cells.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.expr(r6(f"{FR.dot_chain(SP, 'qv', 'vd', EMB_DIM)} / (qn * nrm)")),
+        )
+        .select("q_id", F.col("vec_id").alias("cand_id"), "cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= IVF_TOPK)
+        .select("q_id", "cand_id", "cos_sim", "rnk")
+    )

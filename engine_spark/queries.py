@@ -1430,3 +1430,49 @@ QUERIES["agg_approx_distinct"] = QueryDef(
     "(HyperLogLog++, no exact shuffle of the distinct set); rows-only "
     "because approximation is engine-specific",
 )
+
+
+@register(
+    "join_multiway_q5",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA' AND o.o_orderstatus <> 'F'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-table star-snowflake join (local-supplier "
+    "revenue by nation). Scale plan: region/nation/supplier broadcast via "
+    "AQE size gates; the single big-big join (orders x lineitem) shuffles "
+    "on orderkey; one agg shuffle after. Exercises join reordering + "
+    "multi-level pushdown",
+)
+def q_join_multiway_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.operators.joins import enrich
+
+    cat = Catalog(spark, sf_dir)
+    r = cat["region"].filter(F.col("r_name") == "ASIA")
+    n = enrich(cat["nation"], r, F.col("n_regionkey") == F.col("r_regionkey"),
+               broadcast_table=True)
+    c = enrich(cat["customer"], n, F.col("c_nationkey") == F.col("n_nationkey"))
+    o = cat["orders"].filter(F.col("o_orderstatus") != "F")
+    co = c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+    col_ = co.join(cat["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+    full = col_.join(
+        cat["supplier"],
+        (F.col("l_suppkey") == F.col("s_suppkey"))
+        & (F.col("c_nationkey") == F.col("s_nationkey")),
+    )
+    return full.groupBy("n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
