@@ -31,6 +31,7 @@ def main() -> None:
         "agg_pricing_summary",
         "agg_having_topn",
         "join_enrich_star",
+        "join_multiway_q5",
         "stream_stream_windowed_join",
         "window_sliding_time_10m",
         "window_session_30m",
@@ -43,6 +44,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_embedding_cosine",
         "ann_topk_cosine",
+        "ann_ivf_cosine",
         "text_quality",
         # SQL front-end end-to-end + rollups
         "sql_window_tumbling",

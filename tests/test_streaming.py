@@ -177,3 +177,27 @@ def test_sql_tumbling_window_on_live_stream(spark):
     r.shutdown()
     got = {(str(x["window_start"]), x["s"]) for x in collected}
     assert ("2026-01-01 12:00:00", 3.0) in got
+
+
+def test_checkpoint_recovery_state_survives_restart(spark):
+    """Each run() starts a NEW streaming query restored from the same
+    checkpoint — NFA state must survive the restart (the reference's
+    persist/restore surface, eventflux_app_runtime.rs:893-921, is Spark's
+    checkpoint recovery)."""
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([{"ts": _ts(0), "user": "u1", "etype": "login", "v": 1.0}])
+
+    def build(df):
+        return nfa.followed_by_stream(
+            df, "ts", "user",
+            first=F.col("etype") == "login",
+            second=F.col("etype") == "purchase",
+            within_seconds=600, value_col="v",
+        )
+
+    r.run(build)          # query #1: processes the login, checkpoints state
+    assert r.collected == []
+    r.send([{"ts": _ts(2), "user": "u1", "etype": "purchase", "v": 9.0}])
+    r.run(build)          # query #2: restored state must hold the open login
+    out = r.shutdown()
+    assert [(m["user"], m["e1_value"], m["e2_value"]) for m in out] == [("u1", 1.0, 9.0)]
