@@ -807,3 +807,57 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVF_TOPK)
         .select("q_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling + corpus vocabulary stats
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATE = 0.2
+
+
+@register(
+    "sample_deterministic",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (('0x' || substring(md5(concat('s0', doc_id)), 1, 14)))::BIGINT
+          % 1000000 < {int(SAMPLE_RATE * 1_000_000)}
+    """,
+    doc="content-hash sampling: reproducible across runs/engines/cluster "
+    "sizes (df.sample() is none of those); the train/eval-split primitive",
+)
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.sampling import hash_sample
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    return hash_sample(docs, "doc_id", SAMPLE_RATE).select("doc_id", "lang")
+
+
+@register(
+    "vocab_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({FR.tokens(DK)}) AS token FROM documents
+    )
+    SELECT token,
+           count(*) AS tf,
+           count(DISTINCT doc_id) AS df
+    FROM tok GROUP BY token
+    ORDER BY tf DESC, token LIMIT 20
+    """,
+    doc="corpus vocabulary stats: term + document frequency via explode + "
+    "one combine-enabled aggregation (the inverted-index build step)",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf").desc(), F.col("token"))
+        .limit(20)
+    )

@@ -132,3 +132,29 @@ def test_lang_predict_stopword_scoring(spark):
     assert got[0] == "en"
     assert got[1] == "de"
     assert got[2] == "und"  # no stopword hits → undetermined
+
+
+def test_train_eval_split_disjoint_exhaustive(spark):
+    from engine_spark.datapipe.sampling import train_eval_split
+
+    d = docs(spark)
+    train, ev = train_eval_split(d, "doc_id", 0.4)
+    n_train, n_eval = train.count(), ev.count()
+    assert n_train + n_eval == d.count()
+    assert train.join(ev, "doc_id", "inner").count() == 0
+    # reproducible: same split on recompute
+    train2, _ = train_eval_split(d, "doc_id", 0.4)
+    assert sorted(r["doc_id"] for r in train.collect()) == sorted(
+        r["doc_id"] for r in train2.collect()
+    )
+
+
+def test_stratified_hash_sample(spark):
+    from engine_spark.datapipe.sampling import stratified_hash_sample
+
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(200)], "doc_id long, lang string"
+    )
+    out = stratified_hash_sample(d, "doc_id", "lang", {"en": 1.0, "de": 0.0})
+    langs = {r["lang"] for r in out.collect()}
+    assert langs == {"en"}
