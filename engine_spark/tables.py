@@ -159,3 +159,23 @@ class IncrementalAggregation:
             "min_v",
             "max_v",
         )
+
+
+def jdbc_table(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict | None = None,
+) -> DataFrame:
+    """JDBC-backed table (reference jdbc_table.rs with compile_condition
+    predicate pushdown): Spark's JDBC source pushes filters and column
+    pruning to the database natively — the reference's hand-built SQL
+    generation (docs/writing_extensions.md:40-47) is the built-in behavior
+    here. Requires a JDBC driver jar on the classpath; none ships in this
+    environment, so connection attempts fail at read time with the driver
+    error, but plan construction (and pushdown) is the standard Spark path.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
