@@ -46,6 +46,7 @@ def main() -> None:
         "ann_topk_cosine",
         "ann_ivf_cosine",
         "text_quality",
+        "pipeline_end_to_end",
         # SQL front-end end-to-end + rollups
         "sql_window_tumbling",
         "incremental_agg_hour",

@@ -861,3 +861,58 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf").desc(), F.col("token"))
         .limit(20)
     )
+
+
+@register(
+    "pipeline_end_to_end",
+    f"""
+    WITH dedup AS (
+      SELECT min(doc_id) AS doc_id
+      FROM documents GROUP BY md5(lower(text))
+    ),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             {DK.size(FR.tokens(DK))} AS n_tokens,
+             CAST({DK.size(DK.distinct(FR.tokens(DK)))} AS DOUBLE)
+               / greatest({DK.size(FR.tokens(DK))}, 1) AS uniq_ratio
+      FROM documents d JOIN dedup USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM scored
+    WHERE n_tokens >= 20 AND uniq_ratio >= 0.3 AND lang = 'en'
+      AND (('0x' || substring(md5(concat('pipe', doc_id)), 1, 14)))::BIGINT
+          % 1000000 < 500000
+    """,
+    doc=(
+        "the full preprocessing pipeline as ONE composed plan: exact dedup "
+        "(keep lowest id) -> quality gates (length, uniqueness) -> language "
+        "filter -> deterministic 50% sample. Catalyst fuses the quality "
+        "scoring into the scan projection and prunes text after hashing - "
+        "one shuffle (dedup groupBy) end to end"
+    ),
+)
+def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.sampling import hash_sample
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    keep = (
+        docs.select("doc_id", F.expr("md5(lower(text))").alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = FR.tokens(SP)
+    scored = docs.join(keep, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.expr(SP.size(toks)).alias("n_tokens"),
+        F.expr(
+            f"CAST({SP.size(SP.distinct(toks))} AS DOUBLE) / greatest({SP.size(toks)}, 1)"
+        ).alias("uniq_ratio"),
+    )
+    filtered = scored.filter(
+        (F.col("n_tokens") >= 20) & (F.col("uniq_ratio") >= 0.3) & (F.col("lang") == "en")
+    )
+    return hash_sample(filtered, "doc_id", 0.5, salt="pipe").select(
+        "doc_id", "lang", "n_tokens"
+    )
