@@ -91,3 +91,62 @@ def test_followed_by_batch_equals_streaming(spark, events, split):
     }
 
     assert batch_set == stream_set
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=25),  # minute offset
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_tumbling_window_batch_equals_streaming(spark, events):
+    """Batch groupBy(window) and streaming watermark windows must agree on
+    every closed window (the stream appends a far-future sentinel so the
+    watermark closes everything)."""
+    from engine_spark.operators import windows as BW
+    from engine_spark.streaming import windows as SW
+
+    rows_ = [
+        (T0 + timedelta(minutes=m), u, round(v, 2)) for u, m, v in events
+    ]
+    df = spark.createDataFrame(rows_, "ts timestamp, user string, v double")
+    batch = BW.time_batch(
+        df, "ts", "5 minutes", ["user"],
+        [F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(18,4)")).alias("s")],
+    )
+    batch_set = {
+        (r["user"], str(r["window_start"]), r["n"], float(r["s"]))
+        for r in batch.collect()
+    }
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send(
+        [
+            {"ts": ts.isoformat(), "user": u, "v": v}
+            for ts, u, v in sorted(rows_, key=lambda x: x[0])
+        ]
+    )
+    # sentinel far in the future closes every real window
+    r.send([{"ts": (T0 + timedelta(hours=10)).isoformat(), "user": "zz", "v": 0.0}])
+    r.run(
+        lambda sdf: SW.tumbling(
+            sdf, "ts", "5 minutes", ["user"],
+            [F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(18,4)")).alias("s")],
+        )
+    )
+    stream_set = {
+        (m["user"], str(m["window_start"]), m["n"], float(m["s"]))
+        for m in r.shutdown()
+        if m["user"] != "zz"
+    }
+    assert stream_set == batch_set
