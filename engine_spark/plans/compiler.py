@@ -449,12 +449,16 @@ class SqlApp:
 
     # ------------------------------------------------------------------
     def _compile_join(self, src: P.JoinSource) -> DataFrame:
-        left, lorder = self._input(src.left)
-        right, rorder = self._input(src.right)
-        lname = src.left.alias or src.left.name
+        # left side may itself be a JoinSource (multi-join chain)
+        if isinstance(src.left, P.JoinSource):
+            left = self._compile_join(src.left)
+        else:
+            left, _ = self._input(src.left)
+            left = left.alias(src.left.alias or src.left.name)
+        right, _ = self._input(src.right)
         rname = src.right.alias or src.right.name
         cond = F.expr(rewrite_expr(src.on))
-        return left.alias(lname).join(right.alias(rname), cond, src.join_type)
+        return left.join(right.alias(rname), cond, src.join_type)
 
     # ------------------------------------------------------------------
     def _compile_pattern(

@@ -8,7 +8,8 @@ Grammar covered (reference sql_compiler/, test corpus tests/app_runner_*.rs):
 - source forms:
   - ``Stream [WINDOW('type', arg, …)]``
   - ``L [WINDOW(...)] [INNER|LEFT OUTER|RIGHT OUTER|FULL OUTER] JOIN
-    R [WINDOW(...)] ON cond`` (single join, reference converter.rs:531)
+    R [WINDOW(...)] ON cond [JOIN ...]`` — the reference allows exactly one
+    join (converter.rs:531); chains compile left-associatively here
   - ``PATTERN (e1=A[f] -> e2=B[f] …) [WITHIN d]`` / ``SEQUENCE (…)``;
     2-element ``AND``/``OR`` groups; ``EVERY(…)`` prefix
 - ``PARTITION WITH (key OF Stream, …) BEGIN …queries… END;``
@@ -400,11 +401,12 @@ def _parse_source(from_txt: str):
     if up.startswith("PATTERN") or up.startswith("SEQUENCE") or up.startswith("EVERY"):
         return _parse_pattern(from_txt), None
 
-    # single join? split at a top-level JOIN keyword
+    # join chain? split at top-level JOIN keywords. The reference allows
+    # exactly ONE join per query (converter.rs:531); Spark has no such
+    # limit, so chains compile left-associatively — strictly more capable
+    # (SURVEY §7 hard spot (d)).
     parts = split_keyword(from_txt, "JOIN")
-    if len(parts) > 2:
-        raise ValueError("only one join per query (reference converter.rs:531)")
-    if len(parts) == 2:
+    if len(parts) >= 2:
         left_txt = parts[0]
         jtype = "inner"
         for t, name in (
@@ -416,16 +418,35 @@ def _parse_source(from_txt: str):
                 jtype = name
                 left_txt = left_txt[:pos]
                 break
-        right_txt, on_txt = split_keyword(parts[1], "ON")
-        return (
-            JoinSource(
-                left=_parse_stream_ref(left_txt),
+        source = _parse_stream_ref(left_txt)
+        for i, seg in enumerate(parts[1:]):
+            seg_jtype = jtype if i == 0 else "inner"
+            # each later segment may carry its own type prefix after ON-part
+            on_split = split_keyword(seg, "ON")
+            if len(on_split) != 2:
+                raise ValueError(f"join segment missing ON: {seg[:50]!r}")
+            right_txt, on_txt = on_split
+            # a following segment's type keywords were consumed into on_txt
+            # of the PREVIOUS segment when splitting on JOIN; detect a
+            # trailing type on on_txt
+            nxt_type = "inner"
+            for t, name in (
+                ("LEFT OUTER", "left_outer"), ("RIGHT OUTER", "right_outer"),
+                ("FULL OUTER", "full_outer"), ("INNER", "inner"),
+            ):
+                pos = find_keyword(on_txt, t)
+                if pos >= 0:
+                    nxt_type = name
+                    on_txt = on_txt[:pos]
+                    break
+            source = JoinSource(
+                left=source,
                 right=_parse_stream_ref(right_txt),
-                join_type=jtype,
+                join_type=seg_jtype,
                 on=on_txt.strip(),
-            ),
-            None,
-        )
+            )
+            jtype = nxt_type
+        return source, None
     return _parse_stream_ref(from_txt), None
 
 

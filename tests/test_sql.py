@@ -237,9 +237,17 @@ def test_parse_duration():
     assert parse_duration_seconds("250") == 0.25  # bare = milliseconds
 
 
-def test_parser_rejects_double_join():
-    with pytest.raises(ValueError, match="one join"):
-        parse_app("INSERT INTO O SELECT a FROM A JOIN B ON x JOIN C ON y;")
+def test_multi_join_chain(spark):
+    # the reference rejects >1 join (converter.rs:531); Spark doesn't need to
+    app = SqlApp(spark)
+    app.register_stream("A", spark.createDataFrame([(1, "a")], "id int, av string"))
+    app.register_stream("B", spark.createDataFrame([(1, 2)], "id int, bid int"))
+    app.register_stream("C", spark.createDataFrame([(2, "c!")], "cid int, cv string"))
+    outs = app.sql(
+        "INSERT INTO Out SELECT A.av, C.cv FROM A "
+        "JOIN B ON A.id = B.id JOIN C ON B.bid = C.cid;"
+    )
+    assert [tuple(r) for r in outs["Out"].collect()] == [("a", "c!")]
 
 
 def test_parser_ast_shapes():

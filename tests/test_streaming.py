@@ -201,3 +201,40 @@ def test_checkpoint_recovery_state_survives_restart(spark):
     r.run(build)          # query #2: restored state must hold the open login
     out = r.shutdown()
     assert [(m["user"], m["e1_value"], m["e2_value"]) for m in out] == [("u1", 1.0, 9.0)]
+
+
+def test_stream_stream_join_with_watermarks(spark):
+    """Stream-stream windowed join (reference join_processor.rs buffers →
+    watermark state): both sides watermarked, equi-key + time-range bound;
+    a match forms across two different source streams and micro-batches."""
+    import uuid
+
+    left = StreamRunner(spark, "lts timestamp, k string, lv double")
+    right = StreamRunner(spark, "rts timestamp, k string, rv double")
+    left.send([{"lts": _ts(0), "k": "a", "lv": 1.0}])
+    right.send([{"rts": _ts(1), "k": "a", "rv": 2.0}])   # within 5 min of left
+    right.send([{"rts": _ts(30), "k": "a", "rv": 9.0}])  # outside the bound
+
+    l = left.stream().withWatermark("lts", "0 seconds")
+    r = right.stream().withWatermark("rts", "0 seconds")
+    j = l.join(
+        r,
+        (l["k"] == r["k"])
+        & (r["rts"] >= l["lts"] - F.expr("INTERVAL 5 MINUTES"))
+        & (r["rts"] <= l["lts"] + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    ).select(l["k"], "lv", "rv")
+
+    collected = []
+    q = (
+        j.writeStream.foreachBatch(lambda df, _b: collected.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", left.checkpoint)
+        .trigger(availableNow=True)
+        .queryName(f"ssj_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    q.awaitTermination()
+    left.shutdown()
+    right.shutdown()
+    assert [(m["k"], m["lv"], m["rv"]) for m in collected] == [("a", 1.0, 2.0)]
