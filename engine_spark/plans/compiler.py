@@ -205,8 +205,10 @@ class SqlApp:
                     ]
                 )
             self.outputs[q.insert_into] = df
-            # outputs are streams: later queries may read them
-            self.streams[q.insert_into] = _Stream(df=df, ts_col=None)
+            # outputs are streams: later queries may read them. Register
+            # through register_stream so derived streams get the _seq
+            # arrival column count-based windows need downstream.
+            self.register_stream(q.insert_into, df)
         return df
 
     # ------------------------------------------------------------------

@@ -324,3 +324,20 @@ def test_sort_window_sql_multi_key(spark):
         "INSERT INTO Out SELECT sym, p, q FROM S WINDOW('sort', 2, p, 'desc') GROUP BY sym;"
     )
     assert sorted(r["p"] for r in outs["Out"].collect()) == [2.0, 3.0]
+
+
+def test_window_over_derived_stream(spark):
+    """A count-based window over a DERIVED stream (output of a prior query)
+    must work — derived streams carry an arrival-order column too."""
+    app = SqlApp(spark)
+    app.register_stream(
+        "In", spark.createDataFrame([("x", float(i)) for i in range(4)], "sym string, p double")
+    )
+    outs = app.sql(
+        """
+        CREATE STREAM Mid (sym VARCHAR, p DOUBLE);
+        INSERT INTO Mid SELECT sym, p FROM In WHERE p > 0;
+        INSERT INTO Out SELECT sym, sum(p) AS s FROM Mid WINDOW('length', 2) GROUP BY sym;
+        """
+    )
+    assert sorted(r["s"] for r in outs["Out"].collect()) == [1.0, 3.0, 5.0]
