@@ -242,3 +242,72 @@ def length_batch_stream(
     return df.groupBy(key_col).applyInPandasWithState(
         run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
     )
+
+
+def time_sliding_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    duration_seconds: int,
+    value_col: str,
+    late: str = "0 seconds",
+) -> DataFrame:
+    """Streaming time(d): per-EVENT emission of the trailing-d aggregate
+    (reference window/mod.rs:196 — every arrival sees the aggregate over
+    the last d). State per key = the in-window event buffer; arrivals evict
+    expired entries, append, and emit one row. Eviction keeps state ≤ the
+    events inside d per key — the same bound the reference's window buffer
+    held.
+
+    Output: (key, ts, n, sum_value, min_value, max_value).
+    """
+    dur_us = duration_seconds * US
+    tagged = df.withWatermark(ts_col, late)
+
+    out_schema = (
+        f"{key_col} string, ts timestamp, n long, "
+        f"sum_value double, min_value double, max_value double"
+    )
+    state_schema = "buf_ts array<long>, buf_val array<double>"
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        buf: list[tuple[int, float]] = []
+        if state.exists:
+            bts, bvs = state.get
+            buf = list(zip(bts or [], bvs or []))
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="mergesort"
+        )
+        out = []
+        for _, r in rows.iterrows():
+            t = _us(r[ts_col])
+            buf = [(bt, bv) for bt, bv in buf if t - bt < dur_us]
+            buf.append((t, float(r[value_col])))
+            vals = [v for _, v in buf]
+            out.append(
+                (
+                    key[0],
+                    pd.Timestamp(t * 1000),
+                    len(vals),
+                    float(sum(vals)),
+                    min(vals),
+                    max(vals),
+                )
+            )
+        if buf:
+            state.update(([t for t, _ in buf], [v for _, v in buf]))
+            _set_timeout(state, max(t for t, _ in buf) // 1000 + duration_seconds * 1000)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[key_col, "ts", "n", "sum_value", "min_value", "max_value"],
+            )
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )

@@ -238,3 +238,19 @@ def test_stream_stream_join_with_watermarks(spark):
     left.shutdown()
     right.shutdown()
     assert [(m["k"], m["lv"], m["rv"]) for m in collected] == [("a", 1.0, 2.0)]
+
+
+def test_time_sliding_stream_per_event_emission(spark):
+    """Streaming time(d): every arrival emits the trailing-d aggregate,
+    expired events evicted — across micro-batches."""
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "v": 2.0},
+    ])
+    r.send([{"ts": _ts(10), "user": "u1", "v": 5.0}])  # 12:00/12:01 expired
+    r.run(lambda df: nfa.time_sliding_stream(df, "ts", "user", 120, "v"))
+    out = {str(m["ts"]): (m["n"], m["sum_value"]) for m in r.shutdown()}
+    assert out["2026-01-01 12:00:00"] == (1, 1.0)
+    assert out["2026-01-01 12:01:00"] == (2, 3.0)
+    assert out["2026-01-01 12:10:00"] == (1, 5.0)  # trailing 2 min: alone
