@@ -150,3 +150,65 @@ def test_tumbling_window_batch_equals_streaming(spark, events):
         if m["user"] != "zz"
     }
     assert stream_set == batch_set
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["login", "purchase", "view"]),
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_absent_batch_equals_streaming(spark, events):
+    """Relational absent (anti-join) == streaming absent (state timeout):
+    a far-future sentinel pushes the watermark past every deadline so the
+    streaming side fully resolves."""
+    from engine_spark.operators import pattern as PT
+
+    within = 600
+    rows_ = sorted(
+        [
+            (T0 + timedelta(minutes=m), u, t, float(i))
+            for i, (t, u, m) in enumerate(events)
+        ],
+        key=lambda r: r[0],
+    )
+    df = spark.createDataFrame(rows_, "ts timestamp, user string, etype string, v double")
+    batch = PT.absent(
+        df, "ts", ["user"],
+        first=F.col("etype") == "login",
+        absent_filter=F.col("etype") == "purchase",
+        within_seconds=within,
+    )
+    batch_set = {(r["user"], r["v"]) for r in batch.select("user", "v").collect()}
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send(
+        [
+            {"ts": ts.isoformat(), "user": u, "etype": t, "v": v}
+            for ts, u, t, v in rows_
+        ]
+    )
+    # two sentinel batches: one advances the watermark, the next lets the
+    # timeout fire after the advance
+    r.send([{"ts": (T0 + timedelta(hours=5)).isoformat(), "user": "zz", "etype": "view", "v": 0.0}])
+    r.send([{"ts": (T0 + timedelta(hours=6)).isoformat(), "user": "zz", "etype": "view", "v": 0.0}])
+    r.run(
+        lambda sdf: nfa.absent_stream(
+            sdf, "ts", "user",
+            first=F.col("etype") == "login",
+            absent=F.col("etype") == "purchase",
+            within_seconds=within, value_col="v",
+        )
+    )
+    stream_set = {(m["user"], m["e1_value"]) for m in r.shutdown()}
+    assert stream_set == batch_set
