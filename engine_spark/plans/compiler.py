@@ -521,6 +521,8 @@ class SqlApp:
             cur_ts = "_match_ts"
         else:
             cur, cur_ts = element_df(first, first.alias)
+        first_ts_col = cur_ts  # WITHIN bounds the WHOLE pattern from its
+        # first element (reference converter.rs:1521-1543), not per hop
 
         for step in steps[1:]:
             if isinstance(step, P.PatternGroup):
@@ -536,11 +538,19 @@ class SqlApp:
                     F.col(prev_alias) == F.col(f"{step.alias}_{partition_key}")
                 )
             if within is not None:
-                head_ts = cur_ts if cur_ts == "_match_ts" else cur_ts
                 cond = cond & (
                     F.col(nxt_ts).cast("double")
-                    <= F.col(head_ts).cast("double") + float(within)
+                    <= F.col(first_ts_col).cast("double") + float(within)
                 )
+            if src.mode == "sequence":
+                # SEQUENCE: strict adjacency — no event of ANY involved
+                # stream may sit between the two matched events (reference
+                # sequence_stream_receiver.rs)
+                cur = self._anti_between(
+                    cur, cond, nxt, cur_ts, nxt_ts, src, partition_key, step
+                )
+                cur_ts = nxt_ts
+                continue
             j = cur.join(nxt, cond, "inner")
             # first match per current partial-match identity (PATTERN mode)
             from pyspark.sql import Window as SW
@@ -577,6 +587,43 @@ class SqlApp:
             )
         del PT
         return cur
+
+    def _anti_between(
+        self, cur, cond, nxt, cur_ts, nxt_ts, src: P.PatternSource,
+        partition_key: str | None, step,
+    ):
+        """One SEQUENCE hop: join + first-match rank, then anti-join away
+        pairs with ANY involved-stream event strictly between them."""
+        from pyspark.sql import Window as SW
+
+        j = cur.join(nxt, cond, "inner")
+        ident = [c for c in cur.columns]
+        w = SW.partitionBy(*ident).orderBy(F.col(nxt_ts))
+        j = (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        streams = []
+        for st in src.steps:
+            els = [st.first, st.second] if isinstance(st, P.PatternGroup) else [st]
+            for el in els:
+                if el.stream not in streams:
+                    streams.append(el.stream)
+        betweens = None
+        for sname in streams:
+            base, order_col = self._input(P.StreamRef(name=sname))
+            sel = base.select(
+                F.col(order_col).alias("_b_ts"),
+                *( [F.col(partition_key).alias("_b_key")] if partition_key else [] ),
+            )
+            betweens = sel if betweens is None else betweens.unionByName(sel)
+        bcond = (F.col("_b_ts") > F.col(cur_ts)) & (F.col("_b_ts") < F.col(nxt_ts))
+        if partition_key:
+            bcond = bcond & (
+                F.col(_prev_key_col(j.columns, partition_key)) == F.col("_b_key")
+            )
+        return j.join(betweens, bcond, "left_anti")
 
     @staticmethod
     def pattern_column_rewrites(src: P.PatternSource) -> list[tuple[str, str]]:

@@ -341,3 +341,57 @@ def test_window_over_derived_stream(spark):
         """
     )
     assert sorted(r["s"] for r in outs["Out"].collect()) == [1.0, 3.0, 5.0]
+
+
+def test_sequence_strict_adjacency_sql(spark):
+    """FROM SEQUENCE: an intervening event on the stream kills the match
+    (reference sequence_stream_receiver.rs strict adjacency)."""
+    t0 = datetime(2026, 1, 1, 12, 0)
+    app = SqlApp(spark)
+    app.register_stream(
+        "E",
+        spark.createDataFrame(
+            [
+                (t0, "login", 1),
+                (t0 + timedelta(seconds=10), "view", 2),     # intervenes
+                (t0 + timedelta(seconds=20), "purchase", 3),
+                (t0 + timedelta(seconds=60), "view", 4),
+                (t0 + timedelta(seconds=70), "purchase", 5),  # adjacent to 4
+            ],
+            "ts timestamp, etype string, eid int",
+        ),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b "
+        "FROM SEQUENCE (e1=E[etype = 'view'] -> e2=E[etype = 'purchase']);"
+    )
+    # view(2)->purchase(3) and view(4)->purchase(5) are both adjacent;
+    # non-EVERY fires once, so only the earliest survives
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    assert got == [(2, 3)]
+
+
+def test_pattern_within_bounds_whole_chain(spark):
+    """WITHIN bounds the whole 3-step pattern from e1, not per hop."""
+    t0 = datetime(2026, 1, 1, 12, 0)
+    app = SqlApp(spark)
+    app.register_stream(
+        "E",
+        spark.createDataFrame(
+            [
+                (t0, "a", 1),
+                (t0 + timedelta(seconds=40), "b", 2),
+                (t0 + timedelta(seconds=80), "c", 3),  # 80s from e1 > 60s
+            ],
+            "ts timestamp, etype string, eid int",
+        ),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS x, e3.eid AS z "
+        "FROM PATTERN (e1=E[etype = 'a'] -> e2=E[etype = 'b'] -> e3=E[etype = 'c']) "
+        "WITHIN 60 SECONDS;"
+    )
+    # each hop is < 60s apart, but the WHOLE pattern spans 80s → no match
+    assert outs["Out"].collect() == []
