@@ -45,15 +45,28 @@ class Table:
     def __init__(self, df: DataFrame, persist_path: str | None = None):
         self._df = df
         self.persist_path = persist_path
+        self._version = 0
 
     @property
     def df(self) -> DataFrame:
         return self._df
 
+    @property
+    def current_path(self) -> str | None:
+        if not self.persist_path:
+            return None
+        return f"{self.persist_path}/v{self._version:05d}"
+
     def _swap(self, new_df: DataFrame) -> None:
         if self.persist_path:
-            new_df.write.mode("overwrite").parquet(self.persist_path)
-            new_df = new_df.sparkSession.read.parquet(self.persist_path)
+            # each version lands in a NEW directory: writing over the files
+            # the new plan is READING deletes them mid-job (the classic
+            # parquet self-overwrite failure). Versioned dirs are also the
+            # table-format model (Delta/Iceberg snapshots) — old versions
+            # stay readable until vacuumed.
+            self._version += 1
+            new_df.write.mode("overwrite").parquet(self.current_path)
+            new_df = new_df.sparkSession.read.parquet(self.current_path)
         self._df = new_df
 
     # -- DML (reference §2g processors) ---------------------------------

@@ -106,3 +106,23 @@ def test_snapshot_every_interval(spark):
     # last-known value per key per 5-min tick
     assert ("k1", 2.0, ts(5)) in got and ("k1", 3.0, ts(10)) in got
     assert ("k2", 9.0, ts(5)) in got
+
+
+def test_table_parquet_persistence_roundtrip(spark, tmp_path):
+    """persist_path: every DML version lands on disk; a fresh reader sees
+    the current version (the Delta-swap seam)."""
+    p = str(tmp_path / "t")
+    t = Table(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string"),
+        persist_path=p,
+    )
+    t.delete(F.col("id") == 1)
+    t.insert(spark.createDataFrame([(3, "c")], "id int, name string"))
+    # the table's own view
+    assert rows(t.df, "id", "name") == [(2, "b"), (3, "c")]
+    # an independent reader of the current persisted version
+    assert rows(spark.read.parquet(t.current_path), "id", "name") == [
+        (2, "b"), (3, "c"),
+    ]
+    # prior versions remain readable (snapshot model)
+    assert t.current_path.endswith("v00002")
