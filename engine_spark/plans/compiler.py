@@ -475,16 +475,46 @@ class SqlApp:
         steps = src.steps
         within = src.within_seconds
 
-        def element_df(el: P.PatternElement, alias: str) -> tuple[DataFrame, str]:
+        seen_aliases: list[str] = []
+
+        def split_filter(el: P.PatternElement) -> tuple[str | None, str | None]:
+            """Split an element filter into (local, cross) conjuncts: a
+            conjunct referencing an EARLIER alias (e2.price > e1.price,
+            reference stream_pre_state_processor.rs cross-references) must
+            evaluate inside the hop join — a post-filter would drop pairs
+            the NFA would have matched with the next candidate instead."""
+            if not el.filter:
+                return None, None
+            local, cross = [], []
+            for conj in P.split_keyword(el.filter, "AND"):
+                if any(
+                    re.search(rf"\b{a}\.", conj) for a in seen_aliases
+                ):
+                    cross.append(conj)
+                else:
+                    local.append(conj)
+            return (
+                " AND ".join(local) or None,
+                " AND ".join(cross) or None,
+            )
+
+        def element_df(
+            el: P.PatternElement, alias: str, local_filter: str | None = "~use-el~"
+        ) -> tuple[DataFrame, str]:
             base, order_col = self._input(P.StreamRef(name=el.stream))
-            if el.filter:
-                base = base.filter(F.expr(rewrite_expr(el.filter)))
+            flt = el.filter if local_filter == "~use-el~" else local_filter
+            if flt:
+                base = base.filter(F.expr(rewrite_expr(flt)))
             renamed = base.select(
                 *[F.col(c).alias(f"{alias}_{c}") for c in base.columns]
             )
             return renamed, f"{alias}_{order_col}"
 
         first = steps[0]
+        if isinstance(first, P.PatternGroup):
+            seen_aliases.extend([first.first.alias, first.second.alias])
+        else:
+            seen_aliases.append(first.alias)
         if isinstance(first, P.PatternGroup):
             a_df, a_ts = element_df(first.first, first.first.alias)
             b_df, b_ts = element_df(first.second, first.second.alias)
@@ -527,8 +557,23 @@ class SqlApp:
         for step in steps[1:]:
             if isinstance(step, P.PatternGroup):
                 raise ValueError("AND/OR groups are supported as the first step")
-            nxt, nxt_ts = element_df(step, step.alias)
+            local_f, cross_f = split_filter(step)
+            nxt, nxt_ts = element_df(step, step.alias, local_f)
             cond = F.col(nxt_ts) > F.col(cur_ts)
+            if cross_f:
+                # qualify alias refs (a.col → a_col), then the element's own
+                # BARE columns (v → e2_v): inside the hop join every column
+                # is prefixed
+                qualified = cross_f
+                for a in seen_aliases + [step.alias]:
+                    qualified = re.sub(rf"\b{a}\.", f"{a}_", qualified)
+                own_cols = self.streams[step.stream].df.columns
+                for c in sorted(own_cols, key=len, reverse=True):
+                    qualified = re.sub(
+                        rf"(?<![\w.]){c}(?![\w(])", f"{step.alias}_{c}", qualified
+                    )
+                cond = cond & F.expr(rewrite_expr(qualified))
+            seen_aliases.append(step.alias)
             if partition_key:
                 # PARTITION WITH (k OF S): the reference clones the NFA per
                 # key value (partition/mod.rs:9-31) — relationally a key

@@ -395,3 +395,28 @@ def test_pattern_within_bounds_whole_chain(spark):
     )
     # each hop is < 60s apart, but the WHOLE pattern spans 80s → no match
     assert outs["Out"].collect() == []
+
+
+def test_pattern_cross_reference_filter(spark):
+    """e2's filter referencing e1 evaluates DURING matching: when the
+    earliest candidate fails the cross-condition, the NEXT one matches
+    (a post-filter would drop the pair entirely)."""
+    t0 = datetime(2026, 1, 1, 12, 0)
+    app = SqlApp(spark)
+    app.register_stream(
+        "E",
+        spark.createDataFrame(
+            [
+                (t0, "a", 1, 10.0),
+                (t0 + timedelta(seconds=10), "b", 2, 5.0),   # fails v > e1.v
+                (t0 + timedelta(seconds=20), "b", 3, 50.0),  # qualifies
+            ],
+            "ts timestamp, etype string, eid int, v double",
+        ),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS x, e2.eid AS y "
+        "FROM PATTERN (e1=E[etype = 'a'] -> e2=E[etype = 'b' AND v > e1.v]);"
+    )
+    assert [tuple(r) for r in outs["Out"].collect()] == [(1, 3)]
