@@ -96,27 +96,6 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "token_count",
-    f"""
-    SELECT doc_id,
-           {DK.size(FR.tokens(DK))} AS n_ws_tokens,
-           {FR.regex_token_count(DK)} AS n_regex_tokens,
-           length(text) AS n_chars
-    FROM documents
-    """,
-    doc="whitespace + BPE-ish regex token counting; row-local",
-)
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id",
-        F.expr(SP.size(FR.tokens(SP))).alias("n_ws_tokens"),
-        F.expr(FR.regex_token_count(SP)).alias("n_regex_tokens"),
-        F.expr("length(text)").alias("n_chars"),
-    )
-
-
 def _lang_cols(d: Dialect) -> list[tuple[str, str]]:
     toks = FR.tokens(d)
     scores = FR.lang_scores(d, toks)
@@ -125,39 +104,44 @@ def _lang_cols(d: Dialect) -> list[tuple[str, str]]:
     return cols
 
 
-@register(
-    "lang_id",
-    "SELECT doc_id, lang AS label_lang, "
-    + ", ".join(f"{expr} AS {name}" for name, expr in _lang_cols(DK))
-    + " FROM documents",
-    doc="n-gram/stopword language-ID heuristic; labels in testdata are synthetic",
-)
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("label_lang"),
-        *[F.expr(expr).alias(name) for name, expr in _lang_cols(SP)],
-    )
-
-
-@register(
-    "doc_fingerprint",
-    f"""
+def _text_analysis_oracle() -> str:
+    toks = FR.tokens(DK)
+    sh3 = FR.shingles(DK, toks, 3)
+    lang = ", ".join(f"{expr} AS {name}" for name, expr in _lang_cols(DK))
+    return f"""
     SELECT doc_id,
-           {DK.hash56(DK.arr_join(FR.tokens(DK)))} AS fp56,
-           coalesce({DK.amin(DK.transform(FR.shingles(DK, FR.tokens(DK), 3), "s", DK.hash56("s")))}, -1) AS min_shingle_h,
-           coalesce({DK.amax(DK.transform(FR.shingles(DK, FR.tokens(DK), 3), "s", DK.hash56("s")))}, -1) AS max_shingle_h
+           {DK.size(toks)} AS n_ws_tokens,
+           {FR.regex_token_count(DK)} AS n_regex_tokens,
+           length(text) AS n_chars,
+           lang AS label_lang, {lang},
+           {DK.hash56(DK.arr_join(toks))} AS fp56,
+           coalesce({DK.amin(DK.transform(sh3, "s", DK.hash56("s")))}, -1) AS min_shingle_h,
+           coalesce({DK.amax(DK.transform(sh3, "s", DK.hash56("s")))}, -1) AS max_shingle_h
     FROM documents
-    """,
-    doc="document fingerprint: normalized-text hash + 3-gram shingle hash extremes",
+    """
+
+
+@register(
+    "text_analysis",
+    _text_analysis_oracle(),
+    doc="consolidated per-document text analysis, all row-local on one scan: "
+    "whitespace + BPE-ish regex token counting; n-gram/stopword language-ID "
+    "heuristic (labels in testdata are synthetic); document fingerprint "
+    "(normalized-text hash + 3-gram shingle hash extremes). Merges the r2 "
+    "token_count / lang_id / doc_fingerprint gates — at 100 TB these fuse "
+    "into one projection over the scan anyway",
 )
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
     toks = FR.tokens(SP)
     sh3 = FR.shingles(SP, toks, 3)
     return docs.select(
         "doc_id",
+        F.expr(SP.size(toks)).alias("n_ws_tokens"),
+        F.expr(FR.regex_token_count(SP)).alias("n_regex_tokens"),
+        F.expr("length(text)").alias("n_chars"),
+        F.col("lang").alias("label_lang"),
+        *[F.expr(expr).alias(name) for name, expr in _lang_cols(SP)],
         F.expr(SP.hash56(SP.arr_join(toks))).alias("fp56"),
         F.expr(
             f"coalesce({SP.amin(SP.transform(sh3, 's', SP.hash56('s')))}, -1)"
@@ -620,39 +604,13 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 
 @register(
-    "multimodal_bytes_meta",
+    "multimodal_pipeline",
     """
     SELECT doc_id,
            strlen(text) AS byte_len,
            sha256(text) AS sha,
            CASE strlen(text) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                ELSE 'video' END AS modality
-    FROM documents
-    """,
-    doc=(
-        "multimodal plumbing: payloads as opaque BINARY + typed metadata. "
-        "Spark side genuinely operates on a binary column (encode → "
-        "sha2/length); oracle uses the string twins (identical utf-8 bytes)."
-    ),
-)
-def q_multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir)["documents"]
-    bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return bin_df.select(
-        "doc_id",
-        F.expr("length(payload)").alias("byte_len"),
-        F.lower(F.sha2("payload", 256)).alias("sha"),
-        F.expr(
-            "CASE length(payload) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
-            "ELSE 'video' END"
-        ).alias("modality"),
-    )
-
-
-@register(
-    "multimodal_decode",
-    """
-    SELECT doc_id,
+                ELSE 'video' END AS modality,
            strlen(text) % 640 AS width,
            (ascii(substring(text, 1, 1)) * 7) % 480 AS height,
            strlen(text) // 100 + 1 AS n_frames,
@@ -662,18 +620,30 @@ def q_multimodal_bytes_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
     doc=(
-        "multimodal decode plumbing via mapInPandas (Arrow-batched): the "
-        "decoder is a deterministic stand-in (image/audio libs not in this "
-        "container — see multimodal.py for the gated real-decoder hooks); "
-        "schema, batching, and partition behavior are the real thing."
+        "multimodal plumbing end-to-end: payloads as opaque BINARY + typed "
+        "metadata (encode → sha2/length — the Spark side genuinely operates "
+        "on a binary column) joined with the mapInPandas (Arrow-batched) "
+        "decode stage. The decoder is a deterministic stand-in (image/audio "
+        "libs not in this container — see multimodal.py for the gated "
+        "real-decoder hooks); schema, batching, and partition behavior are "
+        "the real thing. Oracle uses the string twins (identical utf-8 bytes)."
     ),
 )
-def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine_spark.datapipe.multimodal import decode_meta
 
     docs = Catalog(spark, sf_dir)["documents"]
-    payloads = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return decode_meta(payloads)
+    bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    meta = bin_df.select(
+        "doc_id",
+        F.expr("length(payload)").alias("byte_len"),
+        F.lower(F.sha2("payload", 256)).alias("sha"),
+        F.expr(
+            "CASE length(payload) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END"
+        ).alias("modality"),
+    )
+    return meta.join(decode_meta(bin_df), "doc_id")
 
 
 # ---------------------------------------------------------------------------
