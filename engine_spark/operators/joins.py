@@ -39,9 +39,16 @@ def enrich(
     AQE/autoBroadcastJoinThreshold pick the strategy from actual sizes — a
     forced broadcast of a dimension that grew 100× OOMs the executors, so
     force (``True``) only for tables known to be bounded-small (nation,
-    region), and ``False`` to forbid.
+    region). ``False`` genuinely forbids broadcast via a sort-merge hint
+    (Catalyst honors MERGE over the auto-broadcast threshold) — for
+    dimensions known to be large regardless of what stale stats claim.
     """
-    right = F.broadcast(table) if broadcast_table else table
+    if broadcast_table:
+        right = F.broadcast(table)
+    elif broadcast_table is False:
+        right = table.hint("merge")
+    else:
+        right = table
     return stream.join(right, on, JOIN_TYPES[how])
 
 
@@ -88,24 +95,73 @@ def asof_join(
 
     For each left row, pick the single right row with the greatest
     ``right_ts <= left_ts`` (backward) / smallest ``right_ts >= left_ts``
-    (forward) per key. Implemented as range join + per-left-row top-1 — one
-    shuffle on the key, no custom state.
-    """
-    cond = F.lit(True)
-    for k in on:
-        cond = cond & (left[k] == right[k])
-    tb = list(tiebreak or [])
-    if direction == "backward":
-        cond = cond & (right[right_ts] <= left[left_ts])
-        order = [F.col(f"r.{right_ts}").desc()] + [F.col(f"r.{c}").desc() for c in tb]
-    else:
-        cond = cond & (right[right_ts] >= left[left_ts])
-        order = [F.col(f"r.{right_ts}").asc()] + [F.col(f"r.{c}").asc() for c in tb]
-    from pyspark.sql import Window
+    (forward) per key.
 
-    j = left.alias("l").join(right.alias("r"), cond, "left")
-    w = Window.partitionBy(*[F.col(f"l.{k}") for k in on], F.col(f"l.{left_ts}")).orderBy(*order)
-    return j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    Scale design: union both sides tagged, then ONE running ``last(_rpay,
+    ignorenulls)`` window over the merged per-key timeline. A join-then-rank
+    formulation multiplies each left row by every matching right row before
+    the rank prunes it (a key with a million prior right rows makes a
+    million intermediates per left row); the merged-timeline window carries
+    exactly one row per input row — one shuffle on the key, linear state.
+
+    Output: ``on`` keys + left non-key columns + right non-key columns
+    (null-padded when no right row qualifies — left-join semantics).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import types as T
+
+    tb = list(tiebreak or [])
+    l_pay = [c for c in left.columns if c not in on]
+    r_pay = [c for c in right.columns if c not in on]
+    l_type = T.StructType([left.schema[c] for c in l_pay])
+    r_type = T.StructType([right.schema[c] for c in r_pay])
+
+    l2 = left.select(
+        *on,
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in l_pay]).alias("_lpay"),
+        F.lit(None).cast(r_type).alias("_rpay"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_tb{i}")
+          for i, c in enumerate(tb)],
+    )
+    r2 = right.select(
+        *on,
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_type).alias("_lpay"),
+        F.struct(*[F.col(c) for c in r_pay]).alias("_rpay"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tb)],
+    )
+    u = l2.unionByName(r2)
+
+    if direction == "backward":
+        # time asc; at equal ts the right row sorts first (<= is inclusive);
+        # among right ties the greatest tiebreak sorts last and wins last()
+        order = [F.col("_t").asc(), F.col("_side").asc()] + [
+            F.col(f"_tb{i}").asc_nulls_first() for i in range(len(tb))
+        ]
+    elif direction == "forward":
+        order = [F.col("_t").desc(), F.col("_side").asc()] + [
+            F.col(f"_tb{i}").desc_nulls_first() for i in range(len(tb))
+        ]
+    else:
+        raise ValueError(f"asof_join: direction must be backward/forward, got {direction!r}")
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("_match", F.last("_rpay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    return matched.select(
+        *on,
+        *[F.col(f"_lpay.{c}").alias(c) for c in l_pay],
+        *[F.col(f"_match.{c}").alias(c) for c in r_pay],
+    )
 
 
 def salted_join(
@@ -124,7 +180,17 @@ def salted_join(
     where even a split partition's *build* side overflows. Replication
     factor = salt_buckets on the right side — keep the right side the
     smaller input.
+
+    Only inner/left joins are valid: the right side is replicated across
+    salt buckets, so an unmatched right row would surface once per bucket
+    under right/full-outer semantics.
     """
+    if JOIN_TYPES[how] not in ("inner", "left_outer"):
+        raise ValueError(
+            f"salted_join: only inner/left supported (right side is replicated "
+            f"{salt_buckets}x; right/full outer would duplicate unmatched right "
+            f"rows), got {how!r}"
+        )
     l = left.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
     r = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

@@ -83,15 +83,24 @@ def cron_window(
 def trigger_stream(spark: SparkSession, every_ms: int) -> DataFrame:
     """Streaming trigger (trigger_runtime.rs): one event per interval.
     Columns (triggered_time, counter) mirror the reference's trigger events.
+
+    Sub-second intervals map to rowsPerSecond; intervals over a second emit
+    at 1 row/s and keep every ``every_ms/1000``-th row (the rate source has
+    no fractional rowsPerSecond), renumbering so counter stays dense.
+    Intervals that aren't a whole number of seconds round to the nearest
+    second.
     """
-    per_second = max(1, int(1000 / every_ms)) if every_ms < 1000 else 1
-    df = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", per_second)
-        .load()
-    )
-    return df.select(
-        F.col("timestamp").alias("triggered_time"), F.col("value").alias("counter")
+    if every_ms <= 1000:
+        per_second = max(1, round(1000 / every_ms))
+        df = spark.readStream.format("rate").option("rowsPerSecond", per_second).load()
+        return df.select(
+            F.col("timestamp").alias("triggered_time"), F.col("value").alias("counter")
+        )
+    step = max(1, round(every_ms / 1000))
+    df = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    return df.filter(F.col("value") % step == 0).select(
+        F.col("timestamp").alias("triggered_time"),
+        (F.col("value") / step).cast("long").alias("counter"),
     )
 
 

@@ -184,11 +184,25 @@ def absent_stream(
                 ]
             if bool(r["_is_a"]):
                 starts.append((t, float(r[value_col])))
+        # Flush matured As on the DATA path too: Spark never sets hasTimedOut
+        # for a key that receives data every micro-batch, so a busy key would
+        # otherwise defer its "A with no B within d" emissions indefinitely
+        # (the reference's timer wheel fires at the deadline regardless of
+        # traffic). Any open A whose deadline the watermark has passed was
+        # not cancelled by the rows above — emit it now.
+        wm_ms = state.getCurrentWatermarkMs()
+        ready = [(t, v) for t, v in starts if wm_ms * 1000 >= t + within_us]
+        starts = [(t, v) for t, v in starts if wm_ms * 1000 < t + within_us]
         if starts:
             state.update(([t for t, _ in starts], [v for _, v in starts]))
             _set_timeout(state, min(t for t, _ in starts) // 1000 + within_seconds * 1000)
         else:
             state.remove()
+        if ready:
+            yield pd.DataFrame(
+                [(key[0], pd.Timestamp(t * 1000), v) for t, v in ready],
+                columns=[key_col, "e1_ts", "e1_value"],
+            )
         return
 
     return tagged.groupBy(key_col).applyInPandasWithState(

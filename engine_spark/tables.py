@@ -29,14 +29,9 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-GRANULARITIES = {  # reference time_period.rs:8 (SECONDS..YEARS)
-    "second": "1 second",
-    "minute": "1 minute",
-    "hour": "1 hour",
-    "day": "1 day",
-    "month": "1 month",
-}
-_ORDER = list(GRANULARITIES)
+#: reference time_period.rs:8 (SECONDS..YEARS); each is a date_trunc unit
+GRANULARITIES = ["second", "minute", "hour", "day", "month", "year"]
+_ORDER = GRANULARITIES
 
 
 class Table:
@@ -126,10 +121,13 @@ class IncrementalAggregation:
         self.levels: dict[str, DataFrame] = {}
         prev: DataFrame | None = None
         for g in order:
-            dur = GRANULARITIES[g]
+            # date_trunc, not F.window: identical bucket starts for the
+            # fixed-period units, and it also handles calendar units
+            # (month) that F.window's interval arithmetic rejects.
             if prev is None:
                 base = df.groupBy(
-                    F.window(F.col(ts_col), dur).alias("w"), *self.group_by
+                    F.date_trunc(g, F.col(ts_col)).alias("bucket_start"),
+                    *self.group_by,
                 ).agg(
                     F.count(F.lit(1)).alias("cnt"),
                     F.sum(F.col(value_col).cast("decimal(18,4)")).alias("sum_dec"),
@@ -138,16 +136,16 @@ class IncrementalAggregation:
                 )
             else:
                 base = prev.groupBy(
-                    F.window(F.col("bucket_start"), dur).alias("w"), *self.group_by
+                    F.date_trunc(g, F.col("bucket_start")).alias("bucket_start"),
+                    *self.group_by,
                 ).agg(
                     F.sum("cnt").alias("cnt"),
                     F.sum("sum_dec").alias("sum_dec"),
                     F.min("min_v").alias("min_v"),
                     F.max("max_v").alias("max_v"),
                 )
-            lvl = base.withColumn("bucket_start", F.col("w.start")).drop("w")
-            self.levels[g] = lvl
-            prev = lvl
+            self.levels[g] = base
+            prev = base
 
     def query(
         self,
