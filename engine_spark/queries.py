@@ -15,35 +15,13 @@ Determinism rules used throughout (see operators/aggregations.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from engine_spark.catalog import Catalog
 from engine_spark.operators import pattern, windows
 from engine_spark.operators.aggregations import decimal_avg, decimal_sum, stddev_pop_det
-
-SparkQuery = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass
-class QueryDef:
-    spark: SparkQuery
-    oracle: str | None  # None → non-SQL-expressible, driver does rows-only check
-    doc: str = ""
-
-
-QUERIES: dict[str, QueryDef] = {}
-
-
-def register(name: str, oracle: str | None, doc: str = ""):
-    def deco(fn: SparkQuery):
-        QUERIES[name] = QueryDef(spark=fn, oracle=oracle, doc=doc)
-        return fn
-
-    return deco
+from engine_spark.registry import QUERIES, QueryDef, SparkQuery, register  # noqa: F401
 
 
 # ===========================================================================

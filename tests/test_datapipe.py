@@ -158,3 +158,30 @@ def test_stratified_hash_sample(spark):
     out = stratified_hash_sample(d, "doc_id", "lang", {"en": 1.0, "de": 0.0})
     langs = {r["lang"] for r in out.collect()}
     assert langs == {"en"}
+
+
+def test_ngram_candidates_hot_shingle_capped(spark):
+    """A corpus stop-shingle shared by every doc must not go quadratic.
+
+    40 docs all contain "of the"; true near-dup pairs share RARE shingles.
+    With the df cap the candidate count stays O(dup pairs), not O(docs²).
+    """
+    from engine_spark.datapipe.queries import ngram_candidates
+
+    rows_ = []
+    for i in range(40):
+        # every doc carries the stop-shingle "of the"; consecutive even/odd
+        # pairs (0,1), (2,3), ... share a rare distinctive shingle pair
+        rows_.append((i, f"of the unique{i // 2} marker{i // 2}"))
+    d = spark.createDataFrame(rows_, "doc_id long, text string")
+    sh = d.select(
+        "doc_id", F.expr(FR.shingles(SP, FR.tokens(SP), 2)).alias("sh")
+    )
+    capped = ngram_candidates(sh, df_cap=10)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # exactly the 20 rare-shingle pairs; the 40·39/2 = 780 stop-shingle
+    # pairs are gone
+    assert got == {(2 * k, 2 * k + 1) for k in range(20)}
+    # uncapped control: the hot shingle makes every pair a candidate
+    uncapped = ngram_candidates(sh, df_cap=1000)
+    assert uncapped.count() == 780
