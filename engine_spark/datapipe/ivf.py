@@ -1,0 +1,208 @@
+"""Trained IVF index: distributed Lloyd's k-means + nprobe cell search.
+
+Replaces the seeded stand-in codebook of the ``ann_ivf_cosine`` gate with
+centroids trained on the corpus itself (the gate keeps its fixed codebook so
+its DuckDB oracle — which inlines centroid literals — stays static; this
+module is the production path and the rows-only ``ann_ivf_trained`` gate).
+
+Scale design (the part that must survive 100 TB):
+- one Lloyd iteration = one map-only assignment pass (centroid literals are
+  inlined into a codegen'd argmin expression — no join, no UDF) plus one
+  combine-enabled aggregation keyed on (cell, dim position): the shuffle
+  carries at most k x dim x partitions partial rows;
+- the driver only ever holds the codebook itself (k x dim floats), never
+  data rows — collect volume is independent of corpus size;
+- init picks the k rows with the smallest content hash: deterministic,
+  cluster-size-independent (same property as datapipe.sampling), one
+  ``orderBy(hash).limit(k)`` which Spark executes as a distributed top-k.
+
+Reference parity: the reference engine has no ANN/IVF operator — this module
+is part of the brief-mandated LLM-data-pipeline surface (similarity search
+scale path), cf. SURVEY.md §2 extensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lits(vec: list[float]) -> str:
+    return ", ".join(repr(float(x)) for x in vec)
+
+
+def _argmin_dist_expr(vec: str, cents: list[list[float]], dim: int) -> str:
+    """1-based index of the nearest centroid (squared Euclidean, explicit
+    ``+``-chain — stays inside whole-stage codegen; HOF lambdas would not).
+    First minimum wins, so assignment is deterministic."""
+    dists = []
+    for c in cents:
+        terms = " + ".join(
+            f"(element_at({vec}, {i + 1}) - ({c[i]!r})) * "
+            f"(element_at({vec}, {i + 1}) - ({c[i]!r}))"
+            for i in range(dim)
+        )
+        dists.append(f"({terms})")
+    arr = f"array({', '.join(dists)})"
+    return f"CAST(array_position({arr}, array_min({arr})) AS INT)"
+
+
+def _probe_cells_expr(vec: str, cents: list[list[float]], dim: int, nprobe: int) -> str:
+    """Indexes of the nprobe nearest centroids (ascending distance, index
+    tiebreak) as an array — the query-side fan-out of IVF search."""
+    dists = []
+    for c in cents:
+        terms = " + ".join(
+            f"(element_at({vec}, {i + 1}) - ({c[i]!r})) * "
+            f"(element_at({vec}, {i + 1}) - ({c[i]!r}))"
+            for i in range(dim)
+        )
+        dists.append(f"({terms})")
+    arr = f"array({', '.join(dists)})"
+    return (
+        f"slice(transform(array_sort(zip_with({arr}, "
+        f"sequence(1, {len(cents)}), (s, i) -> struct(s AS d, i AS i))), "
+        f"x -> x.i), 1, {nprobe})"
+    )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    vec_col: str,
+    dim: int,
+    k: int,
+    iters: int = 5,
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd's k-means over the first ``dim`` components of ``vec_col``.
+
+    Returns the trained codebook as plain Python floats (k x dim — the only
+    driver-side state). Empty cells keep their previous centroid, so the
+    codebook size is stable across iterations.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"slice(transform({vec_col}, x -> CAST(x AS DOUBLE)), 1, {dim})").alias(
+            "_v"
+        ),
+    ).filter(F.expr(f"size(_v) = {dim}"))
+
+    # deterministic farthest-point init (greedy k-center): first seed = row
+    # with the smallest content hash, each next seed = the row farthest from
+    # all current seeds. Hash-only init routinely drops a cluster (two seeds
+    # land in one dense cluster, Lloyd never recovers); farthest-point
+    # guarantees every well-separated cluster contributes a seed. Cost:
+    # k distributed top-1 passes — collect volume stays one row each.
+    first = (
+        v.withColumn(
+            "_h", F.expr("conv(substring(md5(concat('ivf', _id)), 1, 14), 16, 10)")
+        )
+        .orderBy("_h", "_id")
+        .limit(1)
+        .select("_v", "_id")
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans_train: empty input")
+    cents = [list(first[0]["_v"])]
+    while len(cents) < k:
+        dists = []
+        for c in cents:
+            terms = " + ".join(
+                f"(element_at(_v, {i + 1}) - ({c[i]!r})) * "
+                f"(element_at(_v, {i + 1}) - ({c[i]!r}))"
+                for i in range(dim)
+            )
+            dists.append(f"({terms})")
+        arr = f"array({', '.join(dists)})"
+        far = (
+            v.withColumn("_d", F.expr(f"array_min({arr})"))
+            .orderBy(F.col("_d").desc(), "_id")
+            .limit(1)
+            .select("_v")
+            .collect()
+        )
+        if not far:
+            raise ValueError(f"kmeans_train: need >= {k} vectors")
+        cents.append(list(far[0]["_v"]))
+
+    for _ in range(iters):
+        assigned = v.withColumn("_cell", F.expr(_argmin_dist_expr("_v", cents, dim)))
+        # mean per (cell, position): posexplode keeps everything codegen'd
+        # and the groupBy combines map-side — k*dim*partitions partials max
+        sums = (
+            assigned.select("_cell", F.posexplode("_v").alias("_p", "_x"))
+            .groupBy("_cell", "_p")
+            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        byc: dict[int, list[tuple[int, float, int]]] = {}
+        for r in sums:
+            byc.setdefault(r["_cell"] - 1, []).append((r["_p"], r["_s"], r["_n"]))
+        for ci, entries in byc.items():
+            for p, s, n in entries:
+                new[ci][p] = s / n
+        cents = new
+    return cents
+
+
+def ivf_search(
+    vectors: DataFrame,
+    cents: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    full_dim: int,
+    cell_dim: int,
+    n_queries: int,
+    nprobe: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """IVF top-k cosine search: corpus rows live in their nearest-centroid
+    cell (the shuffle key), each query probes its ``nprobe`` nearest cells,
+    exact cosine ranks candidates inside probed cells only — per-query work
+    is ~``nprobe/k`` of the corpus instead of all of it."""
+    from engine_spark.datapipe import fragments as FR
+    from engine_spark.datapipe.fragments import Dialect
+
+    SP = Dialect("spark")
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("vd"),
+        F.expr(
+            FR.norm_chain(SP, f"transform({vec_col}, x -> CAST(x AS DOUBLE))", full_dim)
+        ).alias("nrm"),
+    )
+    cells = e.withColumn("cell", F.expr(_argmin_dist_expr("vd", cents, cell_dim)))
+    q = (
+        e.filter(F.col("vec_id") < n_queries)
+        .withColumn(
+            "probe", F.explode(F.expr(_probe_cells_expr("vd", cents, cell_dim, nprobe)))
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vd").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "probe",
+        )
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        cells.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.expr(f"{FR.dot_chain(SP, 'qv', 'vd', full_dim)} / (qn * nrm)"),
+        )
+        .select("q_id", F.col("vec_id").alias("cand_id"), "cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("q_id", "cand_id", "cos_sim", "rnk")
+    )

@@ -820,6 +820,36 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_trained",
+    None,  # k-means training is iterative — not SQL-expressible; rows-only
+    doc=(
+        f"IVF ANN with centroids TRAINED on the corpus (3 Lloyd iterations "
+        f"over the first {LSH_PROJ_DIM} components, k={IVF_K}) instead of "
+        "the fixed codebook of ann_ivf_cosine. Training is one codegen'd "
+        "assignment pass + one combine-enabled (cell, pos) aggregation per "
+        "iteration; the driver holds only the k x dim codebook. See "
+        "datapipe/ivf.py; recall property vs brute force proven in "
+        "tests/test_datapipe.py::test_ivf_trained_recall_on_clustered_data."
+    ),
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.ivf import ivf_search, kmeans_train
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    cents = kmeans_train(emb, "embedding", dim=LSH_PROJ_DIM, k=IVF_K, iters=3)
+    out = ivf_search(
+        emb,
+        cents,
+        full_dim=EMB_DIM,
+        cell_dim=LSH_PROJ_DIM,
+        n_queries=ANN_N_QUERIES,
+        nprobe=IVF_NPROBE,
+        topk=IVF_TOPK,
+    )
+    return out.withColumn("cos_sim", F.expr(r6("cos_sim")))
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling + corpus vocabulary stats
 # ---------------------------------------------------------------------------

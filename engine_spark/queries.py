@@ -1397,6 +1397,8 @@ _ORDER = [
     "pattern_logical_or",         # logical family covered by pattern_logical_and
     "trigger_ticks",              # trigger family covered by cron_window_5min
     "join_q3_shipping_priority",  # multiway covered by join_multiway_q5
+    "ann_ivf_trained",            # rows-only (k-means not SQL-expressible);
+                                  # oracle'd IVF covered by ann_ivf_cosine
 ]
 
 

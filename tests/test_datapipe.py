@@ -185,3 +185,83 @@ def test_ngram_candidates_hot_shingle_capped(spark):
     # uncapped control: the hot shingle makes every pair a candidate
     uncapped = ngram_candidates(sh, df_cap=1000)
     assert uncapped.count() == 780
+
+
+def _clustered_vectors(spark, n_clusters=8, per_cluster=30, dim=64):
+    """Synthetic clustered corpus: cluster centers on distinct axes, points =
+    center + small deterministic noise. Mirrors real embedding geometry
+    (clustered), where IVF recall depends on centroid quality."""
+    import math
+
+    rows_ = []
+    vid = 0
+    for c in range(n_clusters):
+        for j in range(per_cluster):
+            base = [0.0] * dim
+            # center: two hot axes per cluster keeps clusters well separated
+            base[c] = 5.0
+            base[(c + 11) % dim] = 3.0
+            vec = [
+                base[i] + 0.1 * math.sin(1.7 * (vid + 1) * (i + 1))
+                for i in range(dim)
+            ]
+            rows_.append((vid, vec))
+            vid += 1
+    return spark.createDataFrame(rows_, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_train_converges_to_cluster_centers(spark):
+    from engine_spark.datapipe.ivf import kmeans_train
+
+    v = _clustered_vectors(spark)
+    cents = kmeans_train(v, "embedding", dim=16, k=8, iters=5)
+    assert len(cents) == 8 and all(len(c) == 16 for c in cents)
+    # every true cluster center (hot axis c within the first 16 dims) must be
+    # represented: some centroid has a dominant coordinate ~5.0 at axis c
+    for c in range(8):
+        assert any(abs(cent[c] - 5.0) < 0.5 for cent in cents), f"cluster {c} lost"
+
+
+def test_ivf_trained_recall_on_clustered_data(spark):
+    """Trained centroids hold >=0.9 recall@3 at nprobe=2 vs brute force."""
+    from engine_spark.datapipe.ivf import ivf_search, kmeans_train
+
+    v = _clustered_vectors(spark)
+    n_queries, topk = 5, 3
+    cents = kmeans_train(v, "embedding", dim=16, k=8, iters=5)
+    ivf = ivf_search(
+        v, cents, full_dim=64, cell_dim=16,
+        n_queries=n_queries, nprobe=2, topk=topk,
+    ).collect()
+
+    # brute force oracle: exact cosine over all pairs for the same queries
+    e = v.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS vd",
+        "sqrt(aggregate(embedding, cast(0.0 as double), (a, x) -> a + x * x)) AS nrm",
+    )
+    q = e.filter(F.col("vec_id") < n_queries).selectExpr(
+        "vec_id AS q_id", "vd AS qv", "nrm AS qn"
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        e.crossJoin(q)
+        .filter("vec_id <> q_id")
+        .selectExpr(
+            "q_id",
+            "vec_id AS cand_id",
+            "aggregate(zip_with(qv, vd, (a, b) -> a * b), cast(0.0 as double),"
+            " (a, x) -> a + x) / (qn * nrm) AS cos_sim",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    brute = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .collect()
+    )
+    truth = {(r["q_id"], r["cand_id"]) for r in brute}
+    got = {(r["q_id"], r["cand_id"]) for r in ivf}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@{topk} = {recall}"
