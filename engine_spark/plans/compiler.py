@@ -117,11 +117,15 @@ class SqlApp:
     streams (the programmatic-InputHandler entry point,
     reference eventflux_app_runtime.rs:306)."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, allow_unbounded_groups: bool = False):
         self.spark = spark
         self.streams: dict[str, _Stream] = {}
         self.schemas: dict[str, P.CreateStream] = {}
         self.outputs: dict[str, DataFrame] = {}
+        #: an AND group with neither PARTITION key nor WITHIN compiles to an
+        #: unbounded cross join (every A pairs with every B, state can never
+        #: be evicted in streaming) — refused unless explicitly opted in
+        self.allow_unbounded_groups = allow_unbounded_groups
 
     # ------------------------------------------------------------------
     def register_stream(
@@ -520,13 +524,35 @@ class SqlApp:
             b_df, b_ts = element_df(first.second, first.second.alias)
             if first.op == "and":
                 # both branches must arrive; fires at the later timestamp
-                # (reference logical_pre_state_processor.rs AND mode)
+                # (reference logical_pre_state_processor.rs AND mode).
+                # WITHIN bounds the pair directly (|tA−tB| ≤ d): it turns the
+                # join into a state-evictable range join instead of an
+                # unbounded product — the A×B pair IS the whole pattern here,
+                # so the whole-pattern WITHIN applies to it exactly.
+                conds = []
                 if partition_key:
-                    j = a_df.join(
-                        b_df,
+                    conds.append(
                         F.col(f"{first.first.alias}_{partition_key}")
-                        == F.col(f"{first.second.alias}_{partition_key}"),
+                        == F.col(f"{first.second.alias}_{partition_key}")
                     )
+                if within is not None:
+                    conds.append(
+                        F.abs(
+                            F.col(a_ts).cast("double") - F.col(b_ts).cast("double")
+                        )
+                        <= float(within)
+                    )
+                if not conds and not self.allow_unbounded_groups:
+                    raise ValueError(
+                        "AND group without PARTITION key or WITHIN is an "
+                        "unbounded cross join; add one, or construct "
+                        "SqlApp(spark, allow_unbounded_groups=True) to opt in"
+                    )
+                if conds:
+                    cond0 = conds[0]
+                    for c in conds[1:]:
+                        cond0 = cond0 & c
+                    j = a_df.join(b_df, cond0)
                 else:
                     j = a_df.crossJoin(b_df)
                 cur = j.withColumn(
@@ -554,9 +580,28 @@ class SqlApp:
         first_ts_col = cur_ts  # WITHIN bounds the WHOLE pattern from its
         # first element (reference converter.rs:1521-1543), not per hop
 
-        for step in steps[1:]:
+        for step_idx, step in enumerate(steps[1:], start=1):
             if isinstance(step, P.PatternGroup):
-                raise ValueError("AND/OR groups are supported as the first step")
+                if src.mode == "sequence":
+                    raise ValueError(
+                        "AND/OR groups in SEQUENCE mode are only supported "
+                        "as the first step (strict adjacency over a group "
+                        "pair is ill-defined mid-chain)"
+                    )
+                cur, cur_ts = self._hop_group(
+                    cur,
+                    cur_ts,
+                    first_ts_col,
+                    step,
+                    partition_key,
+                    within,
+                    seen_aliases,
+                    element_df,
+                    split_filter,
+                    step_idx,
+                )
+                seen_aliases.extend([step.first.alias, step.second.alias])
+                continue
             local_f, cross_f = split_filter(step)
             nxt, nxt_ts = element_df(step, step.alias, local_f)
             cond = F.col(nxt_ts) > F.col(cur_ts)
@@ -632,6 +677,135 @@ class SqlApp:
             )
         del PT
         return cur
+
+    def _hop_group(
+        self,
+        cur: DataFrame,
+        cur_ts: str,
+        first_ts_col: str,
+        group,
+        partition_key: str | None,
+        within: float | None,
+        seen_aliases: list[str],
+        element_df,
+        split_filter,
+        idx: int,
+    ) -> tuple[DataFrame, str]:
+        """One `-> (X AND/OR Y)` hop mid-chain (reference
+        logical_pre_state_processor.rs at arbitrary chain positions,
+        converter.rs:1660-1676).
+
+        AND: both elements must arrive after the current partial match; the
+        group completes at the later of the two. The intra-group pair join is
+        keyed on the partition key and/or time-bounded by WITHIN — the same
+        unbounded-product guard as a first-step group. OR: either element
+        continues the chain; the other side's columns are null.
+        """
+        import re as _re
+
+        gts = f"_gts{idx}"
+        el1, el2 = group.first, group.second
+
+        def qualify(cross: str, own_alias: str, own_stream: str) -> F.Column:
+            qualified = cross
+            for a in seen_aliases + [el1.alias, el2.alias]:
+                qualified = _re.sub(rf"\b{a}\.", f"{a}_", qualified)
+            own_cols = self.streams[own_stream].df.columns
+            for c in sorted(own_cols, key=len, reverse=True):
+                qualified = _re.sub(
+                    rf"(?<![\w.]){c}(?![\w(])", f"{own_alias}_{c}", qualified
+                )
+            return F.expr(rewrite_expr(qualified))
+
+        local1, cross1 = split_filter(el1)
+        local2, cross2 = split_filter(el2)
+        a_df, a_ts = element_df(el1, el1.alias, local1)
+        b_df, b_ts = element_df(el2, el2.alias, local2)
+
+        if group.op == "and":
+            conds = []
+            if partition_key:
+                conds.append(
+                    F.col(f"{el1.alias}_{partition_key}")
+                    == F.col(f"{el2.alias}_{partition_key}")
+                )
+            if within is not None:
+                conds.append(
+                    F.abs(F.col(a_ts).cast("double") - F.col(b_ts).cast("double"))
+                    <= float(within)
+                )
+            if not conds and not self.allow_unbounded_groups:
+                raise ValueError(
+                    "AND group without PARTITION key or WITHIN is an "
+                    "unbounded cross join; add one, or construct "
+                    "SqlApp(spark, allow_unbounded_groups=True) to opt in"
+                )
+            if conds:
+                g_cond = conds[0]
+                for c in conds[1:]:
+                    g_cond = g_cond & c
+                g = a_df.join(b_df, g_cond)
+            else:
+                g = a_df.crossJoin(b_df)
+            g = g.withColumn(gts, F.greatest(F.col(a_ts), F.col(b_ts)))
+            # both elements strictly follow the current partial match
+            cond = F.least(F.col(a_ts), F.col(b_ts)) > F.col(cur_ts)
+            if cross1:
+                cond = cond & qualify(cross1, el1.alias, el1.stream)
+            if cross2:
+                cond = cond & qualify(cross2, el2.alias, el2.stream)
+        else:  # OR: union of the two branches, padded with nulls
+            if cross1 or cross2:
+                raise ValueError(
+                    "cross-reference filters inside an OR group element are "
+                    "not supported (the other branch's columns are null)"
+                )
+            all_cols = a_df.columns + [c for c in b_df.columns if c not in a_df.columns]
+
+            def pad(dfx: DataFrame, other: DataFrame, own_ts: str) -> DataFrame:
+                dfx = dfx.withColumn(gts, F.col(own_ts))
+                for c in all_cols:
+                    if c not in dfx.columns:
+                        dfx = dfx.withColumn(
+                            c, F.lit(None).cast(other.schema[c].dataType)
+                        )
+                return dfx.select(*all_cols, gts)
+
+            g = pad(a_df, b_df, a_ts).unionByName(pad(b_df, a_df, b_ts))
+            cond = F.col(gts) > F.col(cur_ts)
+
+        if partition_key:
+            prev_alias = _prev_key_col(cur.columns, partition_key)
+            if group.op == "and":
+                cond = cond & (
+                    F.col(prev_alias) == F.col(f"{el1.alias}_{partition_key}")
+                )
+            else:
+                # the fired branch's key (the other side is null)
+                cond = cond & (
+                    F.col(prev_alias)
+                    == F.coalesce(
+                        F.col(f"{el1.alias}_{partition_key}"),
+                        F.col(f"{el2.alias}_{partition_key}"),
+                    )
+                )
+        if within is not None:
+            cond = cond & (
+                F.col(gts).cast("double")
+                <= F.col(first_ts_col).cast("double") + float(within)
+            )
+
+        j = cur.join(g, cond, "inner")
+        from pyspark.sql import Window as SW
+
+        ident = [c for c in cur.columns]
+        w = SW.partitionBy(*ident).orderBy(F.col(gts))
+        out = (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        return out, gts
 
     def _anti_between(
         self, cur, cond, nxt, cur_ts, nxt_ts, src: P.PatternSource,

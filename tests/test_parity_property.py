@@ -7,9 +7,13 @@ they must produce identical match sets — a far stronger statement than
 example-based tests, and the property the reference enforces implicitly by
 having only one engine.
 
-Hypothesis generates random event schedules (type, user, minute offsets,
-duplicates allowed); each example replays the stream in 1-3 micro-batch
-splits.
+Hypothesis generates random event schedules (type, user, minute offsets);
+each example replays the stream in 1-3 micro-batch splits. Schedules are
+made TOTALLY ORDERED (a per-event second offset breaks minute ties): when
+two candidate events carry the identical timestamp, "first match" is
+arrival order in the streaming engine but an arbitrary rank in the
+relational one — parity on ties is undefined in both this design and the
+reference (which never sees two events at once on a single input thread).
 """
 
 from __future__ import annotations
@@ -49,7 +53,7 @@ def test_followed_by_batch_equals_streaming(spark, events, split):
     # sorting here makes the micro-batch split respect arrival order)
     rows = sorted(
         [
-            (T0 + timedelta(minutes=m), u, t, float(i))
+            (T0 + timedelta(minutes=m, seconds=i), u, t, float(i))
             for i, (t, u, m) in enumerate(events)
         ],
         key=lambda r: r[0],
@@ -177,7 +181,7 @@ def test_absent_batch_equals_streaming(spark, events):
     within = 600
     rows_ = sorted(
         [
-            (T0 + timedelta(minutes=m), u, t, float(i))
+            (T0 + timedelta(minutes=m, seconds=i), u, t, float(i))
             for i, (t, u, m) in enumerate(events)
         ],
         key=lambda r: r[0],

@@ -96,8 +96,9 @@ def test_pattern_three_streams(spark):
 
 
 def test_pattern_logical_and(spark):
-    # reference tests/app_runner_patterns.rs:1077
-    app = SqlApp(spark)
+    # reference tests/app_runner_patterns.rs:1077. No key, no WITHIN → the
+    # pair join is an unbounded product, which needs the explicit opt-in.
+    app = SqlApp(spark, allow_unbounded_groups=True)
     app.register_stream("A", spark.createDataFrame([(1,)], "val int"))
     app.register_stream("B", spark.createDataFrame([(2,)], "val int"))
     outs = app.sql(
@@ -105,6 +106,92 @@ def test_pattern_logical_and(spark):
         "FROM PATTERN (e1=A AND e2=B);"
     )
     assert [tuple(r) for r in outs["Out"].collect()] == [(1, 2)]
+
+
+def test_pattern_logical_and_unbounded_refused(spark):
+    import pytest
+
+    app = SqlApp(spark)
+    app.register_stream("A", spark.createDataFrame([(1,)], "val int"))
+    app.register_stream("B", spark.createDataFrame([(2,)], "val int"))
+    with pytest.raises(ValueError, match="unbounded cross join"):
+        app.sql(
+            "INSERT INTO Out SELECT A.val AS aval, B.val AS bval "
+            "FROM PATTERN (e1=A AND e2=B);"
+        )
+
+
+def test_pattern_logical_and_within_bounds_pairs(spark):
+    """WITHIN is pushed into the AND-pair join: |tA−tB| ≤ d."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    app.register_stream(
+        "A",
+        spark.createDataFrame(
+            [(t0, 1), (t0 + timedelta(seconds=300), 2)], "ts timestamp, aid int"
+        ),
+        ts_col="ts",
+    )
+    app.register_stream(
+        "B",
+        spark.createDataFrame([(t0 + timedelta(seconds=30), 7)], "ts timestamp, bid int"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.aid AS a, e2.bid AS b "
+        "FROM PATTERN (e1=A AND e2=B) WITHIN 60 SECONDS;"
+    )
+    # only A#1 is within 60s of the B event; A#2 is 270s away
+    assert [tuple(r) for r in outs["Out"].collect()] == [(1, 7)]
+
+
+def test_pattern_mid_chain_and_group(spark):
+    """login -> (pay AND ship): both must follow the login, fire at the
+    later; second login has a pay but no ship within bound."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows = [
+        (t0, "login", 1),
+        (t0 + timedelta(seconds=20), "pay", 2),
+        (t0 + timedelta(seconds=40), "ship", 3),
+        (t0 + timedelta(seconds=2000), "login", 4),
+        (t0 + timedelta(seconds=2020), "pay", 5),
+    ]
+    app.register_stream(
+        "E",
+        spark.createDataFrame(rows, "ts timestamp, etype string, eid int"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b, e3.eid AS c "
+        "FROM PATTERN (e1=E[etype = 'login'] -> "
+        "(e2=E[etype = 'pay'] AND e3=E[etype = 'ship'])) WITHIN 120 SECONDS;"
+    )
+    assert [tuple(r) for r in outs["Out"].collect()] == [(1, 2, 3)]
+
+
+def test_pattern_mid_chain_or_group(spark):
+    """alert -> (ack OR cancel): either continuation fires the pattern."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows = [
+        (t0, "alert", 1),
+        (t0 + timedelta(seconds=10), "cancel", 2),
+        (t0 + timedelta(seconds=500), "alert", 3),
+        (t0 + timedelta(seconds=510), "ack", 4),
+    ]
+    app.register_stream(
+        "E",
+        spark.createDataFrame(rows, "ts timestamp, etype string, eid int"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS ack_id, e3.eid AS cancel_id "
+        "FROM EVERY PATTERN (e1=E[etype = 'alert'] -> "
+        "(e2=E[etype = 'ack'] OR e3=E[etype = 'cancel'])) WITHIN 60 SECONDS;"
+    )
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    assert got == [(1, None, 2), (3, 4, None)]
 
 
 def test_pattern_with_filter_and_within(spark):
