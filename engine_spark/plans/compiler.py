@@ -219,7 +219,13 @@ class SqlApp:
     def _compile(self, q: P.Query) -> DataFrame:
         src = q.source
         if isinstance(src, P.PatternSource):
-            df, order_col = self._compile_pattern(src, q.partition_key), None
+            if self._pattern_streams_live(src):
+                df, order_col = (
+                    self._compile_pattern_streaming(src, q.partition_key),
+                    None,
+                )
+            else:
+                df, order_col = self._compile_pattern(src, q.partition_key), None
             # qualify pattern references in scalar expressions
             for name, alias in self.pattern_column_rewrites(src):
                 pat = re.compile(rf"\b{name}\.([A-Za-z_][A-Za-z0-9_]*)")
@@ -452,6 +458,112 @@ class SqlApp:
                 c = F.expr(rewrite_expr(it.expr))
                 cols.append(c.alias(it.alias) if it.alias else c)
         return cols
+
+    # ------------------------------------------------------------------
+    def _pattern_element_streams(self, src: P.PatternSource) -> list[str]:
+        names: list[str] = []
+        for st in src.steps:
+            els = [st.first, st.second] if isinstance(st, P.PatternGroup) else [st]
+            for el in els:
+                if el.stream not in names:
+                    names.append(el.stream)
+        return names
+
+    def _pattern_streams_live(self, src: P.PatternSource) -> bool:
+        return any(
+            self.streams[nm].df.isStreaming
+            for nm in self._pattern_element_streams(src)
+            if nm in self.streams
+        )
+
+    def _compile_pattern_streaming(
+        self, src: P.PatternSource, partition_key: str | None
+    ) -> DataFrame:
+        """PATTERN over live streams → the per-key streaming NFA
+        (engine_spark.streaming.nfa.chain_stream): predicates are tagged
+        JVM-side, the chain advances event-at-a-time in keyed state, and
+        WITHIN is the state-eviction horizon. Output columns are the same
+        ``{alias}_{col}`` names the relational path produces, so SELECT
+        rewriting is shared."""
+        from engine_spark.streaming import nfa as NFA
+
+        if src.mode == "sequence":
+            raise ValueError(
+                "SEQUENCE over a live stream is not supported (strict "
+                "adjacency requires buffering every event; use PATTERN)"
+            )
+        if src.within_seconds is None:
+            raise ValueError(
+                "PATTERN over a live stream requires WITHIN — it is the "
+                "state-eviction horizon (without it open partial matches "
+                "accumulate forever)"
+            )
+        if any(isinstance(st, P.PatternGroup) for st in src.steps):
+            raise ValueError(
+                "AND/OR groups over live streams: use "
+                "engine_spark.streaming.nfa.logical_and_stream or a "
+                "disjunctive element filter"
+            )
+        seen: list[str] = []
+        for el in src.steps:
+            if el.filter:
+                for a in seen:
+                    if re.search(rf"\b{a}\.", el.filter):
+                        raise ValueError(
+                            "cross-reference filters are not supported over "
+                            "live streams yet"
+                        )
+            seen.append(el.alias)
+
+        names = self._pattern_element_streams(src)
+        ts_cols = {self.streams[nm].ts_col for nm in names}
+        if len(ts_cols) != 1 or ts_cols == {None}:
+            raise ValueError(
+                "live-stream PATTERN needs one shared event-time column: "
+                "register every element stream with the same ts_col"
+            )
+        ts_col = ts_cols.pop()
+        cols0 = list(self.streams[names[0]].df.columns)
+        for nm in names[1:]:
+            if list(self.streams[nm].df.columns) != cols0:
+                raise ValueError(
+                    "live-stream PATTERN elements must share an identical "
+                    "schema (they are unioned into one tagged stream)"
+                )
+        if len(names) == 1:
+            base, src_tag = self.streams[names[0]].df, None
+        else:
+            base, src_tag = None, "_src"
+            for nm in names:
+                d = self.streams[nm].df.withColumn("_src", F.lit(nm))
+                base = d if base is None else base.unionByName(d)
+        if partition_key:
+            key_col = partition_key
+        else:
+            # no PARTITION WITH → one global NFA, like the reference's
+            # single-junction runtime
+            base = base.withColumn("_gkey", F.lit("g"))
+            key_col = "_gkey"
+        preds = []
+        for el in src.steps:
+            pred = F.lit(True)
+            if src_tag is not None:
+                pred = pred & (F.col(src_tag) == F.lit(el.stream))
+            if el.filter:
+                pred = pred & F.expr(rewrite_expr(el.filter))
+            preds.append((el.alias, pred))
+        payloads = [
+            c for c in cols0 if c not in (ts_col, key_col) and c != "_src"
+        ]
+        return NFA.chain_stream(
+            base,
+            ts_col,
+            key_col,
+            preds,
+            int(src.within_seconds),
+            payload_cols=payloads,
+            every=src.every,
+        )
 
     # ------------------------------------------------------------------
     def _compile_join(self, src: P.JoinSource) -> DataFrame:

@@ -210,6 +210,328 @@ def absent_stream(
     )
 
 
+def chain_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    steps: list[tuple[str, Column]],
+    within_seconds: int,
+    payload_cols: list[str] | None = None,
+    every: bool = True,
+    late: str = "0 seconds",
+) -> DataFrame:
+    """Streaming N-step followed-by chain `e1=A -> e2=B -> ... WITHIN d`
+    per key (reference stream_pre_state_processor.rs runs arbitrary chains;
+    the 2-step ``followed_by_stream`` is the N=2 special case kept for its
+    leaner state layout).
+
+    Semantics match the relational compiler's PATTERN mode: every step-0
+    event opens a partial match (EVERY; with ``every=False`` the key fires
+    once and stops), each partial advances on the FIRST subsequent event
+    satisfying its next step (skip-till-next-match), and the whole chain
+    must complete within ``d`` of its first element.
+
+    State per key = the list of open partial matches, each carrying its
+    captured events — JSON-encoded so arbitrary payload columns ride along
+    without a per-shape state schema. Partials are evicted as soon as the
+    newest event (and, on quiet keys, the event-time timeout) passes
+    ``first_ts + d``, so state stays bounded by the in-horizon starts
+    exactly like the reference's pending-state queue.
+
+    Output: ``key`` + per step ``{alias}_{ts_col}`` and ``{alias}_{c}`` for
+    each payload column.
+    """
+    import json
+
+    from pyspark.sql import types as T
+
+    n = len(steps)
+    if n == 0:
+        raise ValueError("chain_stream: at least one step required")
+    within_us = within_seconds * US
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if payload_cols is None:
+        payload_cols = [c for c in df.columns if c not in (key_col, ts_col)]
+    ts_payload = {c for c in payload_cols if isinstance(schema[c], T.TimestampType)}
+
+    tagged = df.withWatermark(ts_col, late)
+    for i, (_, pred) in enumerate(steps):
+        tagged = tagged.withColumn(f"_is_{i}", pred.cast("boolean"))
+
+    out_parts = [f"{key_col} {schema[key_col].simpleString()}"]
+    out_columns = [key_col]
+    for alias, _ in steps:
+        out_parts.append(f"{alias}_{ts_col} timestamp")
+        out_columns.append(f"{alias}_{ts_col}")
+        for c in payload_cols:
+            out_parts.append(f"{alias}_{c} {schema[c].simpleString()}")
+            out_columns.append(f"{alias}_{c}")
+    out_schema = ", ".join(out_parts)
+    state_schema = "done boolean, partials array<string>"
+
+    def capture(rec: dict) -> dict:
+        cap = {}
+        for c in payload_cols:
+            v = rec[c]
+            if hasattr(v, "item"):  # numpy scalar → python
+                v = v.item()
+            if c in ts_payload and v is not None:
+                v = pd.Timestamp(v).isoformat()
+            cap[c] = None if v is None or (isinstance(v, float) and v != v) else v
+        return cap
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        done, partials = False, []
+        if state.exists:
+            d0, pj = state.get
+            done = bool(d0)
+            partials = [json.loads(s) for s in (pj or [])]
+        if done:
+            state.update((True, []))
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="mergesort"
+        )
+        recs = rows.to_dict("records")
+        out: list[tuple[int, list]] = []
+        for r in recs:
+            t = _us(r[ts_col])
+            kept = []
+            fired = False
+            for p in partials:
+                if t - p["f"] > within_us:
+                    continue  # horizon passed with the chain incomplete
+                i = p["i"]
+                if bool(r[f"_is_{i}"]) and t > p["l"]:
+                    cap = p["cap"] + [[t, capture(r)]]
+                    if i + 1 == n:
+                        out.append((p["f"], cap))
+                        fired = True
+                    else:
+                        kept.append({"i": i + 1, "f": p["f"], "l": t, "cap": cap})
+                else:
+                    kept.append(p)
+            partials = kept
+            if fired and not every:
+                done, partials = True, []
+                break
+            if bool(r["_is_0"]):
+                cap0 = [[t, capture(r)]]
+                if n == 1:
+                    out.append((t, cap0))
+                    if not every:
+                        done, partials = True, []
+                        break
+                else:
+                    partials.append({"i": 1, "f": t, "l": t, "cap": cap0})
+        if recs and not done:
+            now = _us(recs[-1][ts_col])
+            partials = [p for p in partials if now - p["f"] <= within_us]
+        if done:
+            state.update((True, []))
+        elif partials:
+            state.update((False, [json.dumps(p) for p in partials]))
+            _set_timeout(
+                state,
+                max(p["f"] for p in partials) // 1000 + within_seconds * 1000,
+            )
+        else:
+            state.remove()
+        if out:
+            built = []
+            for _, cap in out:
+                row = [key[0]]
+                for j in range(n):
+                    tj, pj_ = cap[j]
+                    row.append(pd.Timestamp(tj * 1000))
+                    for c in payload_cols:
+                        v = pj_[c]
+                        if c in ts_payload and v is not None:
+                            v = pd.Timestamp(v)
+                        row.append(v)
+                built.append(tuple(row))
+            yield pd.DataFrame(built, columns=out_columns)
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def count_quantifier_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    event_filter: Column,
+    min_count: int,
+    within_seconds: int,
+    value_col: str,
+    max_count: int | None = None,
+    late: str = "0 seconds",
+) -> DataFrame:
+    """Streaming `e1=A{m,}` / `A{m,n}` WITHIN d (reference
+    count_pre_state_processor.rs): an event fires when the trailing-d count
+    of qualifying events on its key is in ``[m, n]`` — the exact semantics
+    of the batch ``pattern.count_quantifier_bounded`` range frame, held as
+    a per-key timestamp buffer whose size the horizon bounds.
+
+    Output: (key, ts, match_count, value).
+    """
+    within_us = within_seconds * US
+    filtered = df.filter(event_filter).withWatermark(ts_col, late)
+    ktype = dict((f.name, f.dataType) for f in df.schema.fields)[key_col].simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, {ts_col} timestamp, match_count long, "
+        f"{value_col} double"
+    )
+    state_schema = "buf_ts array<long>"
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        buf: list[int] = []
+        if state.exists:
+            (bts,) = state.get
+            buf = list(bts or [])
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="mergesort"
+        )
+        out = []
+        for r in rows.to_dict("records"):
+            t = _us(r[ts_col])
+            buf = [b for b in buf if t - b <= within_us]
+            buf.append(t)
+            cnt = len(buf)
+            if cnt >= min_count and (max_count is None or cnt <= max_count):
+                out.append(
+                    (key[0], pd.Timestamp(t * 1000), cnt, float(r[value_col]))
+                )
+        if buf:
+            state.update((buf,))
+            _set_timeout(state, max(buf) // 1000 + within_seconds * 1000)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=[key_col, ts_col, "match_count", value_col]
+            )
+
+    return filtered.groupBy(key_col).applyInPandasWithState(
+        run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
+def logical_and_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    first: Column,
+    second: Column,
+    within_seconds: int,
+    value_col: str,
+    late: str = "0 seconds",
+) -> DataFrame:
+    """Streaming `e1=A AND e2=B` (reference logical_pre_state_processor.rs
+    AND mode): every (A, B) pair on the key with ``|tA − tB| ≤ d`` fires at
+    the later of the two — the pair set of the batch ``pattern.logical_and``
+    join. State = the in-horizon A and B buffers per key.
+
+    Output: (key, e1_ts, e1_value, e2_ts, e2_value, matched_at).
+    """
+    within_us = within_seconds * US
+    tagged = (
+        df.withWatermark(ts_col, late)
+        .withColumn("_is_a", first.cast("boolean"))
+        .withColumn("_is_b", second.cast("boolean"))
+        .filter(F.col("_is_a") | F.col("_is_b"))
+    )
+    ktype = dict((f.name, f.dataType) for f in df.schema.fields)[key_col].simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, e1_ts timestamp, e1_value double, "
+        f"e2_ts timestamp, e2_value double, matched_at timestamp"
+    )
+    state_schema = (
+        "a_ts array<long>, a_val array<double>, b_ts array<long>, b_val array<double>"
+    )
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        a_buf: list[tuple[int, float]] = []
+        b_buf: list[tuple[int, float]] = []
+        if state.exists:
+            ats, avs, bts, bvs = state.get
+            a_buf = list(zip(ats or [], avs or []))
+            b_buf = list(zip(bts or [], bvs or []))
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="mergesort"
+        )
+        out = []
+
+        def emit(ta: int, va: float, tb: int, vb: float) -> None:
+            out.append(
+                (
+                    key[0],
+                    pd.Timestamp(ta * 1000),
+                    va,
+                    pd.Timestamp(tb * 1000),
+                    vb,
+                    pd.Timestamp(max(ta, tb) * 1000),
+                )
+            )
+
+        for r in rows.to_dict("records"):
+            t = _us(r[ts_col])
+            v = float(r[value_col])
+            ia, ib = bool(r["_is_a"]), bool(r["_is_b"])
+            if ia:
+                for tb, vb in b_buf:
+                    if abs(t - tb) <= within_us:
+                        emit(t, v, tb, vb)
+            if ib:
+                for ta, va in a_buf:
+                    if abs(t - ta) <= within_us:
+                        emit(ta, va, t, v)
+            if ia and ib:
+                emit(t, v, t, v)  # an event matching both pairs with itself
+            if ia:
+                a_buf.append((t, v))
+            if ib:
+                b_buf.append((t, v))
+        if len(rows):
+            now = _us(rows[ts_col].iloc[-1])
+            a_buf = [(ta, va) for ta, va in a_buf if now - ta <= within_us]
+            b_buf = [(tb, vb) for tb, vb in b_buf if now - tb <= within_us]
+        if a_buf or b_buf:
+            state.update(
+                (
+                    [t for t, _ in a_buf],
+                    [v for _, v in a_buf],
+                    [t for t, _ in b_buf],
+                    [v for _, v in b_buf],
+                )
+            )
+            newest = max([t for t, _ in a_buf] + [t for t, _ in b_buf])
+            _set_timeout(state, newest // 1000 + within_seconds * 1000)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    key_col, "e1_ts", "e1_value", "e2_ts", "e2_value", "matched_at",
+                ],
+            )
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def length_batch_stream(
     df: DataFrame,
     ts_col: str,

@@ -216,3 +216,124 @@ def test_absent_batch_equals_streaming(spark, events):
     )
     stream_set = {(m["user"], m["e1_value"]) for m in r.shutdown()}
     assert stream_set == batch_set
+
+
+@given(events=events_strategy, split=st.integers(min_value=1, max_value=3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chain3_batch_equals_streaming(spark, events, split):
+    """3-step chain: the relational SQL PATTERN compiler and the streaming
+    chain_stream NFA must produce identical match sets."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    within = 600
+    rows = sorted(
+        [
+            (T0 + timedelta(minutes=m, seconds=i), u, t, float(i))
+            for i, (t, u, m) in enumerate(events)
+        ],
+        key=lambda r: r[0],
+    )
+    # NB: `e1.user`, not bare `user` — the pattern output has only aliased
+    # `e1_user`-style columns, and Spark resolves a bare `user` to the
+    # niladic current_user() function instead of erroring
+    sql = (
+        "PARTITION WITH (user OF E) BEGIN "
+        "INSERT INTO Out SELECT e1.user AS u, e1.v AS v1, e2.v AS v2, e3.v AS v3 "
+        "FROM EVERY PATTERN (e1=E[etype = 'login'] -> e2=E[etype = 'view'] "
+        "-> e3=E[etype = 'purchase']) WITHIN 600 SECONDS; END;"
+    )
+
+    df = spark.createDataFrame(rows, "ts timestamp, user string, etype string, v double")
+    app = SqlApp(spark)
+    app.streams["E"] = _Stream(df=df, ts_col="ts")
+    batch_set = {
+        tuple(r) for r in app.sql(sql)["Out"].collect()
+    }
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    n = max(1, len(rows) // split)
+    for i in range(0, len(rows), n):
+        r.send(
+            [
+                {"ts": ts.isoformat(), "user": u, "etype": t, "v": v}
+                for ts, u, t, v in rows[i : i + n]
+            ]
+        )
+    r.run(
+        lambda sdf: nfa.chain_stream(
+            sdf, "ts", "user",
+            steps=[
+                ("e1", F.col("etype") == "login"),
+                ("e2", F.col("etype") == "view"),
+                ("e3", F.col("etype") == "purchase"),
+            ],
+            within_seconds=within, payload_cols=["v"],
+        )
+    )
+    stream_set = {
+        (m["user"], m["e1_v"], m["e2_v"], m["e3_v"]) for m in r.shutdown()
+    }
+    assert batch_set == stream_set
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_count_quantifier_batch_equals_streaming(spark, events, split):
+    """{2,4} trailing-window quantifier: relational range-frame count ==
+    streaming per-key buffer count."""
+    within = 600
+    rows = sorted(
+        [
+            (T0 + timedelta(minutes=m, seconds=i), u, float(i))
+            for i, (u, m) in enumerate(events)
+        ],
+        key=lambda r: r[0],
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, user string, v double")
+    batch = pattern.count_quantifier_bounded(
+        df, "ts", ["user"], F.lit(True), 2, 4, within
+    )
+    batch_set = {
+        (r["user"], str(r["ts"]), r["match_count"], r["v"]) for r in batch.collect()
+    }
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    n = max(1, len(rows) // split)
+    for i in range(0, len(rows), n):
+        r.send(
+            [
+                {"ts": ts.isoformat(), "user": u, "v": v}
+                for ts, u, v in rows[i : i + n]
+            ]
+        )
+    r.run(
+        lambda sdf: nfa.count_quantifier_stream(
+            sdf, "ts", "user",
+            event_filter=F.lit(True),
+            min_count=2, max_count=4,
+            within_seconds=within, value_col="v",
+        )
+    )
+    stream_set = {
+        (m["user"], str(m["ts"]), m["match_count"], m["v"]) for m in r.shutdown()
+    }
+    assert stream_set == batch_set

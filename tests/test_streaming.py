@@ -254,3 +254,175 @@ def test_time_sliding_stream_per_event_emission(spark):
     assert out["2026-01-01 12:00:00"] == (1, 1.0)
     assert out["2026-01-01 12:01:00"] == (2, 3.0)
     assert out["2026-01-01 12:10:00"] == (1, 5.0)  # trailing 2 min: alone
+
+
+def test_chain_stream_three_steps_across_microbatches(spark):
+    """A -> B -> C with each step in its own micro-batch; partial-match
+    state (JSON partials) must survive between batches."""
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([{"ts": _ts(0), "user": "u1", "etype": "login", "v": 1.0}])
+    r.send([{"ts": _ts(2), "user": "u1", "etype": "view", "v": 2.0}])
+    r.send([
+        {"ts": _ts(4), "user": "u1", "etype": "purchase", "v": 3.0},
+        # second chain start that never completes
+        {"ts": _ts(5), "user": "u1", "etype": "login", "v": 4.0},
+    ])
+    r.run(
+        lambda df: nfa.chain_stream(
+            df, "ts", "user",
+            steps=[
+                ("e1", F.col("etype") == "login"),
+                ("e2", F.col("etype") == "view"),
+                ("e3", F.col("etype") == "purchase"),
+            ],
+            within_seconds=600, payload_cols=["v"],
+        )
+    )
+    out = r.shutdown()
+    assert len(out) == 1
+    m = out[0]
+    assert (m["user"], m["e1_v"], m["e2_v"], m["e3_v"]) == ("u1", 1.0, 2.0, 3.0)
+    assert str(m["e3_ts"]) == "2026-01-01 12:04:00"
+
+
+def test_chain_stream_within_bounds_whole_chain(spark):
+    """WITHIN binds completion to the FIRST element: A@0, B@5, C@11 with
+    WITHIN 10min must not fire even though each hop is < 10min."""
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "a", "v": 1.0},
+        {"ts": _ts(5), "user": "u1", "etype": "b", "v": 2.0},
+        {"ts": _ts(11), "user": "u1", "etype": "c", "v": 3.0},
+    ])
+    r.run(
+        lambda df: nfa.chain_stream(
+            df, "ts", "user",
+            steps=[
+                ("e1", F.col("etype") == "a"),
+                ("e2", F.col("etype") == "b"),
+                ("e3", F.col("etype") == "c"),
+            ],
+            within_seconds=600, payload_cols=["v"],
+        )
+    )
+    assert r.shutdown() == []
+
+
+def test_chain_stream_first_match_skips_to_next(spark):
+    """Skip-till-next-match: each partial takes the FIRST qualifying next
+    event; later candidates only serve later partials."""
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "a", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "etype": "b", "v": 10.0},
+        {"ts": _ts(2), "user": "u1", "etype": "b", "v": 20.0},
+    ])
+    r.run(
+        lambda df: nfa.chain_stream(
+            df, "ts", "user",
+            steps=[("e1", F.col("etype") == "a"), ("e2", F.col("etype") == "b")],
+            within_seconds=600, payload_cols=["v"],
+        )
+    )
+    out = r.shutdown()
+    assert len(out) == 1 and out[0]["e2_v"] == 10.0
+
+
+def test_chain_stream_fire_once(spark):
+    """every=False: the key fires on its first completed match and stops."""
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "a", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "etype": "b", "v": 2.0},
+        {"ts": _ts(2), "user": "u1", "etype": "a", "v": 3.0},
+        {"ts": _ts(3), "user": "u1", "etype": "b", "v": 4.0},
+    ])
+    r.run(
+        lambda df: nfa.chain_stream(
+            df, "ts", "user",
+            steps=[("e1", F.col("etype") == "a"), ("e2", F.col("etype") == "b")],
+            within_seconds=600, payload_cols=["v"], every=False,
+        )
+    )
+    out = r.shutdown()
+    assert len(out) == 1 and out[0]["e1_v"] == 1.0 and out[0]["e2_v"] == 2.0
+
+
+def test_count_quantifier_stream_bounded(spark):
+    """Streaming {2,4}: fires while the trailing-window count is in [2,4],
+    goes silent above 4 — across micro-batches."""
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([
+        {"ts": _ts(0, 0), "user": "u1", "v": 1.0},
+        {"ts": _ts(0, 10), "user": "u1", "v": 2.0},
+        {"ts": _ts(0, 20), "user": "u1", "v": 3.0},
+    ])
+    r.send([
+        {"ts": _ts(0, 30), "user": "u1", "v": 4.0},
+        {"ts": _ts(0, 40), "user": "u1", "v": 5.0},  # count=5 → silent
+    ])
+    r.run(
+        lambda df: nfa.count_quantifier_stream(
+            df, "ts", "user",
+            event_filter=F.lit(True),
+            min_count=2, max_count=4,
+            within_seconds=600, value_col="v",
+        )
+    )
+    out = r.shutdown()
+    assert [(m["match_count"], m["v"]) for m in out] == [
+        (2, 2.0), (3, 3.0), (4, 4.0),
+    ]
+
+
+def test_logical_and_stream_pairs_both_orders(spark):
+    """A AND B fires on every in-horizon pair regardless of arrival order."""
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([{"ts": _ts(0), "user": "u1", "etype": "b", "v": 10.0}])
+    r.send([{"ts": _ts(2), "user": "u1", "etype": "a", "v": 1.0}])
+    r.send([{"ts": _ts(3), "user": "u1", "etype": "b", "v": 20.0}])
+    r.run(
+        lambda df: nfa.logical_and_stream(
+            df, "ts", "user",
+            first=F.col("etype") == "a",
+            second=F.col("etype") == "b",
+            within_seconds=600, value_col="v",
+        )
+    )
+    got = sorted((m["e1_value"], m["e2_value"]) for m in r.shutdown())
+    assert got == [(1.0, 10.0), (1.0, 20.0)]
+
+
+def test_sql_pattern_three_steps_on_live_stream(spark):
+    """SQL PATTERN over a live stream routes through the streaming NFA and
+    produces the same alias_column naming the relational path would."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "login", "eid": 1},
+        {"ts": _ts(1), "user": "u2", "etype": "login", "eid": 2},
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "etype": "view", "eid": 3},
+        {"ts": _ts(3), "user": "u1", "etype": "purchase", "eid": 4},
+        # u2 never completes the chain
+        {"ts": _ts(4), "user": "u2", "etype": "view", "eid": 5},
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b, e3.eid AS c "
+            "FROM EVERY PATTERN (e1=E[etype = 'login'] -> e2=E[etype = 'view'] "
+            "-> e3=E[etype = 'purchase']) WITHIN 600 SECONDS; "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = [(m["a"], m["b"], m["c"]) for m in r.shutdown()]
+    assert got == [(1, 3, 4)]
