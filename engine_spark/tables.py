@@ -35,12 +35,36 @@ _ORDER = GRANULARITIES
 
 
 class Table:
-    """Mutable named relation (reference InMemoryTable, table/mod.rs:277)."""
+    """Mutable named relation (reference InMemoryTable, table/mod.rs:277).
 
-    def __init__(self, df: DataFrame, persist_path: str | None = None):
+    With ``partition_by`` (requires ``persist_path``) DML becomes
+    partition-pruned: an UPDATE/DELETE rewrites only the partitions its
+    predicate touches; every other partition's files are HARDLINKED from
+    the previous snapshot into the new version directory — same bytes, no
+    rewrite, prior snapshot intact. The links are the local-filesystem
+    stand-in for a Delta/Iceberg manifest re-referencing unchanged data
+    files; at 100 TB this is the difference between rewriting the table
+    and rewriting one partition.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        persist_path: str | None = None,
+        partition_by: Sequence[str] | None = None,
+    ):
         self._df = df
         self.persist_path = persist_path
+        self.partition_by = list(partition_by or [])
+        if self.partition_by and not persist_path:
+            raise ValueError("partition_by requires persist_path")
         self._version = 0
+        self._columns = list(df.columns)
+        self._schema = {f.name: f.dataType for f in df.schema.fields}
+        if self.partition_by:
+            # persist the initial snapshot so the first DML already has a
+            # partitioned version to link unaffected partitions from
+            self._write_full(df)
 
     @property
     def df(self) -> DataFrame:
@@ -52,6 +76,23 @@ class Table:
             return None
         return f"{self.persist_path}/v{self._version:05d}"
 
+    # -- snapshot plumbing ----------------------------------------------
+    def _reorder(self, df: DataFrame) -> DataFrame:
+        """Partitioned reads return partition columns last with inferred
+        types — restore the declared order and dtypes."""
+        return df.select(
+            *[F.col(c).cast(self._schema[c]).alias(c) for c in self._columns]
+        )
+
+    def _write_full(self, new_df: DataFrame) -> None:
+        writer = new_df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self.current_path)
+        self._df = self._reorder(
+            new_df.sparkSession.read.parquet(self.current_path)
+        )
+
     def _swap(self, new_df: DataFrame) -> None:
         if self.persist_path:
             # each version lands in a NEW directory: writing over the files
@@ -60,33 +101,147 @@ class Table:
             # table-format model (Delta/Iceberg snapshots) — old versions
             # stay readable until vacuumed.
             self._version += 1
-            new_df.write.mode("overwrite").parquet(self.current_path)
-            new_df = new_df.sparkSession.read.parquet(self.current_path)
-        self._df = new_df
+            self._write_full(new_df)
+        else:
+            self._df = new_df
+
+    @staticmethod
+    def _part_segment(k: str, v) -> str:
+        if v is None:
+            return f"{k}=__HIVE_DEFAULT_PARTITION__"
+        if isinstance(v, bool):
+            return f"{k}={str(v).lower()}"
+        return f"{k}={v}"  # simple types; exotic values need URL-escaping
+
+    def _affected(self, pred_df: DataFrame) -> list[dict]:
+        """Distinct partition tuples present in ``pred_df`` — the collect
+        is bounded by the partition count, never the row count."""
+        return [
+            r.asDict()
+            for r in pred_df.select(*self.partition_by).distinct().collect()
+        ]
+
+    def _partition_pred(self, parts: list[dict]) -> Column:
+        p = F.lit(False)
+        for d in parts:
+            c = F.lit(True)
+            for k in self.partition_by:
+                c = c & F.col(k).eqNullSafe(F.lit(d[k]))
+            p = p | c
+        return p
+
+    def _swap_partial(self, parts: list[dict], new_affected: DataFrame) -> None:
+        """New snapshot = rewritten affected partitions + hardlinks to every
+        untouched partition file of the previous snapshot."""
+        import os
+
+        spark = self._df.sparkSession
+        old_root = self.current_path
+        self._version += 1
+        new_root = self.current_path
+        new_affected.write.partitionBy(*self.partition_by).mode(
+            "overwrite"
+        ).parquet(new_root)
+
+        affected_dirs = {
+            tuple(self._part_segment(k, d[k]) for k in self.partition_by)
+            for d in parts
+        }
+        depth_max = len(self.partition_by)
+
+        def walk(old_dir: str, depth: int, prefix: tuple) -> None:
+            for entry in os.listdir(old_dir):
+                src = os.path.join(old_dir, entry)
+                if not os.path.isdir(src) or "=" not in entry:
+                    continue
+                cur = prefix + (entry,)
+                if depth + 1 == depth_max:
+                    if cur in affected_dirs:
+                        continue  # rewritten above
+                    dst = os.path.join(new_root, *cur)
+                    os.makedirs(dst, exist_ok=True)
+                    for f in os.listdir(src):
+                        sf = os.path.join(src, f)
+                        if os.path.isfile(sf):
+                            os.link(sf, os.path.join(dst, f))
+                else:
+                    walk(src, depth + 1, cur)
+
+        walk(old_root, 0, ())
+        self._df = self._reorder(spark.read.parquet(new_root))
+
+    def _can_prune(self) -> bool:
+        return bool(self.partition_by) and self.persist_path is not None
 
     # -- DML (reference §2g processors) ---------------------------------
     def insert(self, rows: DataFrame) -> None:
-        """INSERT INTO table (insert_into_table_processor.rs)."""
+        """INSERT INTO table (insert_into_table_processor.rs). Partitioned:
+        only the partitions the new rows land in are rewritten."""
+        if self._can_prune():
+            parts = self._affected(rows)
+            if not parts:
+                return
+            keep = self._df.filter(self._partition_pred(parts))
+            self._swap_partial(parts, keep.unionByName(rows))
+            return
         self._swap(self._df.unionByName(rows))
 
     def update(self, set: dict[str, Column], where: Column) -> None:
         """UPDATE table SET … WHERE … (update_table_processor.rs +
-        set_attribute.rs): projection with conditional replacement."""
+        set_attribute.rs): projection with conditional replacement.
+        Partitioned: only partitions containing matching rows are
+        rewritten — unless the SET touches a partition column (rows would
+        migrate between partitions; falls back to a full rewrite)."""
         cols = []
         for c in self._df.columns:
             if c in set:
                 cols.append(F.when(where, set[c]).otherwise(F.col(c)).alias(c))
             else:
                 cols.append(F.col(c))
+        if self._can_prune() and not any(k in self.partition_by for k in set):
+            parts = self._affected(self._df.filter(where))
+            if not parts:
+                return
+            new_affected = self._df.filter(self._partition_pred(parts)).select(*cols)
+            self._swap_partial(parts, new_affected)
+            return
         self._swap(self._df.select(*cols))
 
     def delete(self, where: Column) -> None:
-        """DELETE FROM table WHERE … (delete_table_processor.rs)."""
+        """DELETE FROM table WHERE … (delete_table_processor.rs).
+        Partitioned: only partitions containing matching rows are
+        rewritten (a fully-deleted partition simply has no directory in
+        the new snapshot)."""
+        if self._can_prune():
+            parts = self._affected(self._df.filter(where))
+            if not parts:
+                return
+            new_affected = self._df.filter(self._partition_pred(parts)).filter(
+                ~where
+            )
+            self._swap_partial(parts, new_affected)
+            return
         self._swap(self._df.filter(~where))
 
     def upsert(self, rows: DataFrame, keys: Sequence[str]) -> None:
         """UpdateOrInsert (on_demand_query.rs): replace matching keys,
-        insert the rest — an anti-join + union (Delta MERGE shape)."""
+        insert the rest — an anti-join + union (Delta MERGE shape).
+        Partitioned: touches the new rows' partitions plus any partition
+        holding an existing row with a replaced key."""
+        if self._can_prune():
+            touched = rows.select(*self.partition_by).unionByName(
+                self._df.join(
+                    rows.select(*keys), list(keys), "left_semi"
+                ).select(*self.partition_by)
+            )
+            parts = self._affected(touched)
+            if not parts:
+                return
+            keep = self._df.filter(self._partition_pred(parts)).join(
+                rows.select(*keys), list(keys), "left_anti"
+            )
+            self._swap_partial(parts, keep.unionByName(rows))
+            return
         existing = self._df.join(rows.select(*keys), list(keys), "left_anti")
         self._swap(existing.unionByName(rows))
 

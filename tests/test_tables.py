@@ -126,3 +126,87 @@ def test_table_parquet_persistence_roundtrip(spark, tmp_path):
     ]
     # prior versions remain readable (snapshot model)
     assert t.current_path.endswith("v00002")
+
+
+def test_partitioned_update_rewrites_only_affected_partition(spark, tmp_path):
+    """Partition-pruned DML: an UPDATE matching only region=1 must leave
+    every other partition's files BYTE-IDENTICAL (hardlinked from the
+    previous snapshot, the manifest-reuse model), and a fully-deleted
+    partition disappears from the new snapshot."""
+    import os
+
+    p = str(tmp_path / "pt")
+    t = Table(
+        spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)],
+            "id int, region int, v double",
+        ),
+        persist_path=p,
+        partition_by=["region"],
+    )
+    v0 = t.current_path
+
+    def part_files(root, part):
+        d = os.path.join(root, part)
+        return sorted(
+            f for f in os.listdir(d) if f.endswith(".parquet")
+        ) if os.path.isdir(d) else None
+
+    t.update({"v": F.col("v") + 1000}, F.col("region") == 1)
+    v1 = t.current_path
+    assert v1 != v0
+    # unaffected partitions: identical file lists, same inodes (hardlinks)
+    for part in ("region=0", "region=2"):
+        assert part_files(v0, part) == part_files(v1, part)
+        for f in part_files(v1, part):
+            s0 = os.stat(os.path.join(v0, part, f))
+            s1 = os.stat(os.path.join(v1, part, f))
+            assert s0.st_ino == s1.st_ino, f"{part}/{f} was rewritten"
+    # affected partition: new files, updated values
+    got = rows(t.df.filter("region = 1"), "v")
+    assert all(v >= 1000 for (v,) in got) and len(got) == 10
+    # untouched data still correct through the table view
+    assert set(rows(t.df.filter("region = 0"), "v")) == {
+        (float(i),) for i in range(30) if i % 3 == 0
+    }
+
+    # DELETE an entire partition: its directory is absent from the snapshot
+    t.delete(F.col("region") == 2)
+    v2 = t.current_path
+    assert part_files(v2, "region=2") is None
+    assert part_files(v2, "region=0") == part_files(v0, "region=0")
+    assert t.df.count() == 20
+
+
+def test_partitioned_insert_and_upsert_prune(spark, tmp_path):
+    import os
+
+    p = str(tmp_path / "pt2")
+    t = Table(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], "id int, g string, v double"
+        ),
+        persist_path=p,
+        partition_by=["g"],
+    )
+    v0 = t.current_path
+    # insert into a NEW partition: existing partitions untouched
+    t.insert(spark.createDataFrame([(3, "c", 3.0)], "id int, g string, v double"))
+    v1 = t.current_path
+    for part in ("g=a", "g=b"):
+        f0 = sorted(os.listdir(os.path.join(v0, part)))
+        f1 = sorted(os.listdir(os.path.join(v1, part)))
+        assert f0 == f1
+    assert rows(t.df, "id", "g", "v") == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+
+    # upsert replacing id=1 (lives in g=a) + inserting id=9 into g=z:
+    # g=b must remain linked
+    t.upsert(
+        spark.createDataFrame([(1, "a", 99.0), (9, "z", 9.0)], "id int, g string, v double"),
+        ["id"],
+    )
+    v2 = t.current_path
+    sb1 = os.stat(os.path.join(v1, "g=b", sorted(os.listdir(os.path.join(v1, "g=b")))[0]))
+    sb2 = os.stat(os.path.join(v2, "g=b", sorted(os.listdir(os.path.join(v2, "g=b")))[0]))
+    assert sb1.st_ino == sb2.st_ino
+    assert rows(t.df, "id", "v") == [(1, 99.0), (2, 2.0), (3, 3.0), (9, 9.0)]
