@@ -74,8 +74,24 @@ def _memory(spark: SparkSession, opts: dict) -> DataFrame:
 def _rabbitmq(spark: SparkSession, opts: dict) -> DataFrame:
     raise NotImplementedError(
         "rabbitmq source requires an AMQP Spark connector, not present in "
-        "this environment; bind the queue to the socket/file source for "
-        "tests (reference rabbitmq_source.rs)"
+        "this environment; the 'filequeue' extension provides the same "
+        "durable/replayable/exactly-once semantics broker-free "
+        "(reference rabbitmq_source.rs)"
+    )
+
+
+def _filequeue(spark: SparkSession, opts: dict) -> DataFrame:
+    """durable replayable queue source (sources/filequeue.py) — the
+    broker-parity extension: publish/ack semantics via segment files +
+    checkpoint offsets."""
+    from engine_spark.sources.filequeue import FileQueue
+
+    schema = opts.get("schema")
+    if not schema:
+        raise ValueError("filequeue source needs a 'schema' option")
+    mft = opts.get("max.files.per.trigger")
+    return FileQueue(opts["path"]).stream(
+        spark, schema, int(mft) if mft is not None else 1
     )
 
 
@@ -86,6 +102,7 @@ SOURCES: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "file": _file,
     "memory": _memory,
     "rabbitmq": _rabbitmq,
+    "filequeue": _filequeue,
 }
 
 
@@ -146,6 +163,16 @@ def _websocket_writer(df: DataFrame, opts: dict):
     )
 
 
+def _filequeue_writer(df: DataFrame, opts: dict):
+    """exactly-once queue sink (sources/filequeue.py): idempotent
+    epoch-segment publish; re-delivered epochs after a crash are no-ops."""
+    from engine_spark.sources.filequeue import file_queue_writer
+
+    if "checkpoint" not in opts:
+        raise ValueError("filequeue sink needs a 'checkpoint' option")
+    return file_queue_writer(df, opts["path"], opts["checkpoint"])
+
+
 SINKS: dict[str, Callable] = {
     "log": _console_writer,
     "console": _console_writer,
@@ -153,6 +180,7 @@ SINKS: dict[str, Callable] = {
     "callback": _foreach_batch_writer,
     "websocket": _websocket_writer,
     "rabbitmq": _rabbitmq_writer,
+    "filequeue": _filequeue_writer,
 }
 
 

@@ -110,3 +110,93 @@ def test_json_source_format_attach(spark, tmp_path):
         },
     )
     assert df.isStreaming
+
+
+def test_file_queue_exactly_once_across_crash_and_restart(spark, tmp_path):
+    """Broker-parity contract: kill the query between the sink's segment
+    commit and the checkpoint commit, restart — the re-delivered epoch is
+    dropped (no dups) and unprocessed segments still arrive (no loss)."""
+    import pytest as _pytest
+
+    from engine_spark.sources.filequeue import FileQueue, file_queue_writer
+
+    qin = FileQueue(str(tmp_path / "in"))
+    qout = FileQueue(str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt")
+    schema = "id long, v double"
+    qin.publish([{"id": 1, "v": 1.0}, {"id": 2, "v": 2.0}])
+    qin.publish([{"id": 3, "v": 3.0}])
+
+    # phase 1: epoch 0's OUTPUT segment commits, then the query dies before
+    # the checkpoint records the epoch (the worst-case crash window)
+    armed = {"on": True}
+
+    def crashy(bdf, eid):
+        qout.publish_epoch_distributed(bdf, eid)
+        if armed["on"]:
+            armed["on"] = False
+            raise RuntimeError("injected crash between segment and checkpoint commit")
+
+    q = (
+        qin.stream(spark, schema)
+        .writeStream.foreachBatch(crashy)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .queryName("fq_crash")
+        .start()
+    )
+    with _pytest.raises(Exception):
+        q.awaitTermination()
+
+    # phase 2: restart with the idempotent sink on the SAME checkpoint —
+    # Spark re-runs epoch 0 (at-least-once), the sink detects the committed
+    # segment and skips it
+    q2 = (
+        file_queue_writer(qin.stream(spark, schema), qout, ckpt)
+        .trigger(availableNow=True)
+        .queryName("fq_restart")
+        .start()
+    )
+    q2.awaitTermination()
+    got = sorted((r["id"], r["v"]) for r in qout.read_all(spark, schema).collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+    # phase 3: publish while the consumer is down, restart again — the new
+    # segment arrives exactly once on top of the already-delivered ones
+    qin.publish([{"id": 4, "v": 4.0}])
+    q3 = (
+        file_queue_writer(qin.stream(spark, schema), qout, ckpt)
+        .trigger(availableNow=True)
+        .queryName("fq_resume")
+        .start()
+    )
+    q3.awaitTermination()
+    got = sorted((r["id"], r["v"]) for r in qout.read_all(spark, schema).collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0)]
+
+
+def test_file_queue_with_clause_registration(spark, tmp_path):
+    """The WITH(...)-style registry exposes filequeue as a first-class
+    source/sink extension."""
+    from engine_spark.sources.filequeue import FileQueue
+    from engine_spark.sources.registry import create_sink_writer, create_source
+
+    qin = FileQueue(str(tmp_path / "win"))
+    qin.publish([{"id": 7}])
+    src = create_source(
+        spark,
+        {"extension": "filequeue", "path": str(tmp_path / "win"), "schema": "id long"},
+    )
+    assert src.isStreaming
+    writer = create_sink_writer(
+        src,
+        {
+            "extension": "filequeue",
+            "path": str(tmp_path / "wout"),
+            "checkpoint": str(tmp_path / "wck"),
+        },
+    )
+    q = writer.trigger(availableNow=True).queryName("fq_with").start()
+    q.awaitTermination()
+    out = FileQueue(str(tmp_path / "wout")).read_all(spark, "id long").collect()
+    assert [r["id"] for r in out] == [7]
