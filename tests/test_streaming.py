@@ -426,3 +426,35 @@ def test_sql_pattern_three_steps_on_live_stream(spark):
     r.run(build)
     got = [(m["a"], m["b"], m["c"]) for m in r.shutdown()]
     assert got == [(1, 3, 4)]
+
+
+def test_space_saving_state_bounded_and_heavy_hitters_kept(spark):
+    """Streaming frequent items: 40 distinct items flow through a
+    capacity-8 summary; state (and each per-batch emission) never exceeds 8
+    counters, heavy hitters survive with count_est >= true count."""
+    r = StreamRunner(spark, "ts timestamp, user string, item string")
+    # batch 1: heavy hitters hh1 (x6) and hh2 (x5) + 10 rare items
+    b1 = [{"ts": _ts(0, i), "user": "u1", "item": "hh1"} for i in range(6)]
+    b1 += [{"ts": _ts(1, i), "user": "u1", "item": "hh2"} for i in range(5)]
+    b1 += [{"ts": _ts(2, i), "user": "u1", "item": f"rare{i}"} for i in range(10)]
+    # batch 2: more heavy traffic + 30 more distinct rares
+    b2 = [{"ts": _ts(3, i), "user": "u1", "item": "hh1"} for i in range(6)]
+    b2 += [{"ts": _ts(4, i), "user": "u1", "item": f"xrare{i}"} for i in range(30)]
+    r.send(b1)
+    r.send(b2)
+
+    from engine_spark.streaming.frequent import space_saving_stream
+
+    r.run(lambda df: space_saving_stream(df, "ts", "user", "item", capacity=8))
+    out = r.shutdown()
+    by_epoch: dict[str, list] = {}
+    for m in out:
+        by_epoch.setdefault(str(m["as_of_ts"]), []).append(m)
+    # bounded state: every snapshot has at most `capacity` counters
+    assert by_epoch and all(len(v) <= 8 for v in by_epoch.values())
+    # final snapshot (latest as_of_ts): heavy hitters tracked, counts are
+    # overestimates with bounded error: count_est - error <= true <= count_est
+    last = by_epoch[max(by_epoch)]
+    got = {m["item"]: (m["count_est"], m["error"]) for m in last}
+    assert "hh1" in got and got["hh1"][0] >= 12
+    assert got["hh1"][0] - got["hh1"][1] <= 12
