@@ -97,6 +97,65 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         throughput[tname] = int(nrows / best)
 
+    # Amortized throughput: the raw numbers above carry ~0.4 s of fixed job
+    # overhead on only ~100k events (sf0.1), which floor-bounds eps far below
+    # the per-row cost. Replicate the input REP× in-plan (explode, keys
+    # shifted so per-key state sizes stay identical) and measure the same
+    # operator shapes at REP× the rows — the honest basis for comparing
+    # against the reference's 500k–1M eps single-node claims.
+    from pyspark.sql import functions as F
+
+    from engine_spark.operators import pattern, windows
+    from engine_spark.operators.aggregations import dec
+
+    REP = 10
+    ev = cat["events"]
+    ev_rep = (
+        ev.withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(REP)])))
+        .withColumn("user_id", F.col("user_id") + F.col("_r") * F.lit(10_000_000))
+        .drop("_r")
+    )
+    li_rep = cat["lineitem"].withColumn(
+        "_r", F.explode(F.array(*[F.lit(i) for i in range(REP)]))
+    ).drop("_r")
+
+    def _filter_chain(d):
+        return d.filter(
+            (F.col("l_quantity") > 45) & (F.col("l_returnflag") != "N")
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            "l_returnflag",
+        )
+
+    def _cep_chain(d):
+        return windows.time_sliding(
+            d, "ts", 600, partition_by=("user_id",),
+            aggs={"n_10m": F.count(F.lit(1)), "sum_10m": F.sum(dec("value"))},
+        )
+
+    def _pattern_chain(d):
+        return pattern.followed_by(
+            d, "ts", ["user_id"],
+            first=F.col("event_type") == "signup",
+            second=F.col("event_type") == "purchase",
+            within_seconds=1800,
+        )
+
+    amortized = {}
+    for tname, build, src, nrows in (
+        ("filter_chain_eps", _filter_chain, li_rep, n_lineitem * REP),
+        ("cep_window_chain_eps", _cep_chain, ev_rep, n_events * REP),
+        ("pattern_chain_eps", _pattern_chain, ev_rep, n_events * REP),
+    ):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build(src).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        amortized[tname] = int(nrows / best)
+
     print(
         json.dumps(
             {
@@ -105,6 +164,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "throughput_events_per_sec": throughput,
+                "throughput_events_per_sec_amortized": amortized,
+                "amortized_replication": REP,
                 "sf": sf,
             }
         )
