@@ -80,7 +80,7 @@ def followed_by_stream(
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(ts_col, kind="mergesort")
         out = []
-        for _, r in rows.iterrows():
+        for r in rows.to_dict("records"):
             t = _us(r[ts_col])
             if bool(r["_is_b"]):
                 kept = []
@@ -175,7 +175,7 @@ def absent_stream(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ts_col, kind="mergesort"
         )
-        for _, r in rows.iterrows():
+        for r in rows.to_dict("records"):
             t = _us(r[ts_col])
             if bool(r["_is_b"]):
                 # cancel every open A the B falls within
@@ -559,7 +559,7 @@ def length_batch_stream(
             ts_col, kind="mergesort"
         )
         out = []
-        for _, r in rows.iterrows():
+        for r in rows.to_dict("records"):
             buf.append((_us(r[ts_col]), float(r[value_col])))
             if len(buf) == n:
                 vals = [v for _, v in buf]
@@ -618,7 +618,7 @@ def time_sliding_stream(
             ts_col, kind="mergesort"
         )
         out = []
-        for _, r in rows.iterrows():
+        for r in rows.to_dict("records"):
             t = _us(r[ts_col])
             buf = [(bt, bv) for bt, bv in buf if t - bt < dur_us]
             buf.append((t, float(r[value_col])))

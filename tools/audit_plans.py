@@ -42,6 +42,14 @@ CHECKS = {
     "agg_pricing_summary": [
         ("hash aggregation", lambda p: "HashAggregate" in p),
     ],
+    "asof_join_last_view": [
+        # merged-timeline formulation: ONE window over the union — a range
+        # join + rank would multiply each left row by every earlier right
+        # row before pruning
+        ("no join multiplication", lambda p: "Join" not in p),
+        ("single window pass", lambda p: p.count("RunningWindowFunction") <= 1),
+        ("union of both sides", lambda p: "Union" in p),
+    ],
 }
 
 
