@@ -77,8 +77,27 @@ class StreamRunner:
         q.awaitTermination()
         return self.collected
 
+    # -- named revisions (reference persist()/restore_revision(),
+    # eventflux_app_runtime.rs:893-921 — see engine_spark/persistence.py) --
+    def persist(self, name: str) -> str:
+        """Snapshot current state+offsets under a named revision."""
+        from engine_spark.persistence import persist_checkpoint
+
+        return persist_checkpoint(self.checkpoint, self._revisions_root(), name)
+
+    def restore(self, name: str) -> None:
+        """Roll state+offsets back to a revision; the next run() replays
+        everything sent after it through the restored state."""
+        from engine_spark.persistence import restore_checkpoint
+
+        restore_checkpoint(self.checkpoint, self._revisions_root(), name)
+
+    def _revisions_root(self) -> str:
+        return self.checkpoint + "_revisions"
+
     def shutdown(self) -> list:
         out = list(self.collected)
         shutil.rmtree(self.dir, ignore_errors=True)
         shutil.rmtree(self.checkpoint, ignore_errors=True)
+        shutil.rmtree(self._revisions_root(), ignore_errors=True)
         return out

@@ -458,3 +458,39 @@ def test_space_saving_state_bounded_and_heavy_hitters_kept(spark):
     got = {m["item"]: (m["count_est"], m["error"]) for m in last}
     assert "hh1" in got and got["hh1"][0] >= 12
     assert got["hh1"][0] - got["hh1"][1] <= 12
+
+
+def test_persist_restore_named_revision_replays_state(spark):
+    """persist() then restore(): rolling back to a named revision restores
+    both the NFA state AND the source offsets, so later events replay
+    through the restored state (reference persist/restore_revision +
+    WAL replay)."""
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+
+    def build(df):
+        return nfa.followed_by_stream(
+            df, "ts", "user",
+            first=F.col("etype") == "login",
+            second=F.col("etype") == "purchase",
+            within_seconds=600, value_col="v",
+        )
+
+    r.send([{"ts": _ts(0), "user": "u1", "etype": "login", "v": 1.0}])
+    r.run(build)  # state now holds the open login
+    r.persist("after-login")
+
+    r.send([{"ts": _ts(2), "user": "u1", "etype": "purchase", "v": 9.0}])
+    r.run(build)
+    assert [(m["e1_value"], m["e2_value"]) for m in r.collected] == [(1.0, 9.0)]
+
+    # roll back: the purchase batch is no longer "consumed" and the open
+    # login is live again — rerunning replays it and matches again
+    r.restore("after-login")
+    r.collected.clear()
+    r.run(build)
+    assert [(m["e1_value"], m["e2_value"]) for m in r.collected] == [(1.0, 9.0)]
+
+    from engine_spark.persistence import list_revisions
+
+    assert list_revisions(r._revisions_root()) == ["after-login"]
+    r.shutdown()
