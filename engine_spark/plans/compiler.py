@@ -219,7 +219,25 @@ class SqlApp:
     def _compile(self, q: P.Query) -> DataFrame:
         src = q.source
         if isinstance(src, P.PatternSource):
-            if self._pattern_streams_live(src):
+            quantified = [
+                st
+                for st in src.steps
+                if not isinstance(st, P.PatternGroup) and st.min_count is not None
+            ]
+            if quantified:
+                if len(src.steps) != 1:
+                    raise ValueError(
+                        "count quantifiers inside multi-step chains are not "
+                        "supported in the relational path; use the streaming "
+                        "NFA API (engine_spark.streaming.nfa)"
+                    )
+                if self._pattern_streams_live(src):
+                    raise ValueError(
+                        "count quantifiers over live streams: use "
+                        "engine_spark.streaming.nfa.count_quantifier_stream"
+                    )
+                df, order_col = self._compile_count_pattern(src, q), None
+            elif self._pattern_streams_live(src):
                 df, order_col = (
                     self._compile_pattern_streaming(src, q.partition_key),
                     None,
@@ -458,6 +476,74 @@ class SqlApp:
                 c = F.expr(rewrite_expr(it.expr))
                 cols.append(c.alias(it.alias) if it.alias else c)
         return cols
+
+    # ------------------------------------------------------------------
+    def _compile_count_pattern(self, src: P.PatternSource, q: P.Query) -> DataFrame:
+        """`PATTERN (e1=S[f]{m,n}) WITHIN d` (reference
+        PatternExpression::Count, converter.rs:1608-1645 +
+        count_pre_state_processor.rs; collection aggregators
+        collection_aggregation_executor.rs:1-30).
+
+        Relational form: the match set is the trailing-d frame of
+        qualifying events per key — one window pass, no join. A row fires
+        when its frame count lands in [m, n]; ``match_count`` is exposed as
+        a column, and aggregate calls over the element alias in SELECT /
+        HAVING (``sum(e1.price)``…) are rewritten to window aggregates over
+        the SAME frame, so they aggregate the matched set, not the output
+        rows."""
+        from pyspark.sql import Window as SW
+
+        el = src.steps[0]
+        if src.within_seconds is None:
+            raise ValueError(
+                "count quantifier needs WITHIN — it bounds the match set "
+                "(and the state horizon in streaming)"
+            )
+        within = float(src.within_seconds)
+        base, order_col = self._input(P.StreamRef(name=el.stream))
+        if el.filter:
+            base = base.filter(F.expr(rewrite_expr(el.filter)))
+        renamed = base.select(
+            *[F.col(c).alias(f"{el.alias}_{c}") for c in base.columns]
+        )
+        ts_col = f"{el.alias}_{order_col}"
+        part = (
+            [F.col(f"{el.alias}_{q.partition_key}")] if q.partition_key else []
+        )
+        w = (
+            SW.partitionBy(*part)
+            .orderBy(F.col(ts_col).cast("long"))  # epoch seconds
+            .rangeBetween(-int(within), 0)
+        )
+        out = renamed.withColumn("match_count", F.count(F.lit(1)).over(w))
+
+        # collection aggregates: computed over the frame BEFORE the bounds
+        # filter (the filter selects which events fire, not what they see)
+        agg_idx = 0
+        texts: list = list(q.select)
+        for it in texts:
+            for call in extract_agg_calls(it.expr):
+                name = f"_collagg{agg_idx}"
+                agg_idx += 1
+                qualified = re.sub(rf"\b{el.alias}\.", f"{el.alias}_", call)
+                out = out.withColumn(
+                    name, F.expr(rewrite_expr(qualified)).over(w)
+                )
+                it.expr = it.expr.replace(call, name)
+        if q.having:
+            for call in extract_agg_calls(q.having):
+                name = f"_collagg{agg_idx}"
+                agg_idx += 1
+                qualified = re.sub(rf"\b{el.alias}\.", f"{el.alias}_", call)
+                out = out.withColumn(
+                    name, F.expr(rewrite_expr(qualified)).over(w)
+                )
+                q.having = q.having.replace(call, name)
+
+        cond = F.col("match_count") >= el.min_count
+        if el.max_count is not None:
+            cond = cond & (F.col("match_count") <= el.max_count)
+        return out.filter(cond)
 
     # ------------------------------------------------------------------
     def _pattern_element_streams(self, src: P.PatternSource) -> list[str]:

@@ -181,6 +181,11 @@ class PatternElement:
     alias: str
     stream: str
     filter: str | None = None
+    #: count quantifier `{m}` / `{m,n}` (reference PatternExpression::Count,
+    #: converter.rs:1608-1645; zero-count A*/A?/A{0,n} rejected like the
+    #: reference's pattern_validation.rs)
+    min_count: int | None = None
+    max_count: int | None = None
 
 
 @dataclass
@@ -538,10 +543,27 @@ def _parse_pattern_step(txt: str):
 
 def _parse_pattern_element(txt: str) -> PatternElement:
     m = re.match(
-        r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*(?:\[(.*)\])?\s*$",
+        r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
+        r"(?:\[(.*?)\])?\s*(?:\{\s*(\d+)\s*(?:,\s*(\d+)\s*)?\})?\s*$",
         txt.strip(),
         re.DOTALL,
     )
     if not m:
         raise ValueError(f"cannot parse pattern element {txt!r}")
-    return PatternElement(alias=m.group(1), stream=m.group(2), filter=m.group(3))
+    mn = int(m.group(4)) if m.group(4) is not None else None
+    mx = int(m.group(5)) if m.group(5) is not None else mn  # {m} → exactly m
+    if mn is not None:
+        if mn < 1:
+            raise ValueError(
+                "count quantifier min must be >= 1 (zero-count patterns "
+                "A*/A?/A{0,n} are not supported, matching the reference)"
+            )
+        if mx is not None and mx < mn:
+            raise ValueError(f"count quantifier max {mx} < min {mn}")
+    return PatternElement(
+        alias=m.group(1),
+        stream=m.group(2),
+        filter=m.group(3),
+        min_count=mn,
+        max_count=mx,
+    )

@@ -507,3 +507,71 @@ def test_pattern_cross_reference_filter(spark):
         "FROM PATTERN (e1=E[etype = 'a'] -> e2=E[etype = 'b' AND v > e1.v]);"
     )
     assert [tuple(r) for r in outs["Out"].collect()] == [(1, 3)]
+
+
+def test_sql_pattern_count_quantifier_bounds(spark):
+    """`e1=E[...]{3,5}` fires on events whose trailing-WITHIN qualifying
+    count is in [3,5] (reference converter.rs:1608-1645)."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [(t0 + timedelta(minutes=i), "err", i) for i in range(6)]
+    rows_.append((t0 + timedelta(minutes=2, seconds=30), "ok", 99))
+    app.register_stream(
+        "E",
+        spark.createDataFrame(rows_, "ts timestamp, etype string, eid int"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS eid, match_count AS mc "
+        "FROM PATTERN (e1=E[etype = 'err']{3,5}) WITHIN 1 HOURS;"
+    )
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    # errors at minutes 0..5; the 'ok' event never counts; counts are
+    # 1,2,3,4,5,6 → eids 2,3,4 fire (counts 3,4,5); eid 5 has count 6 > max
+    assert got == [(2, 3), (3, 4), (4, 5)]
+
+
+def test_sql_pattern_count_exact(spark):
+    """`{3}` means exactly 3 (reference {m} → min=max=m)."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [(t0 + timedelta(minutes=i), i) for i in range(5)]
+    app.register_stream(
+        "E", spark.createDataFrame(rows_, "ts timestamp, eid int"), ts_col="ts"
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS eid FROM PATTERN (e1=E{3}) "
+        "WITHIN 1 HOURS;"
+    )
+    assert [r["eid"] for r in outs["Out"].collect()] == [2]
+
+
+def test_sql_pattern_count_collection_aggregates(spark):
+    """Aggregates over the element alias aggregate the MATCHED SET per
+    firing event (collection_aggregation_executor.rs), not output rows."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [(t0 + timedelta(minutes=i), "u1", float(i + 1)) for i in range(4)]
+    app.register_stream(
+        "T",
+        spark.createDataFrame(rows_, "ts timestamp, user string, price double"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.price AS p, match_count AS mc, "
+        "sum(e1.price) AS s, max(e1.price) AS mx "
+        "FROM PATTERN (e1=T{2,3}) WITHIN 1 HOURS;"
+    )
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    # prices 1,2,3,4 → firing at counts 2 (sum 1+2), 3 (sum 1+2+3), and the
+    # 4th event has count 4 > max → silent
+    assert got == [(2.0, 2, 3.0, 2.0), (3.0, 3, 6.0, 3.0)]
+
+
+def test_sql_pattern_zero_count_rejected(spark):
+    import pytest
+
+    app = SqlApp(spark)
+    app.register_stream("E", spark.createDataFrame([(1,)], "v int"))
+    with pytest.raises(ValueError, match="min must be >= 1"):
+        app.sql("INSERT INTO Out SELECT v FROM PATTERN (e1=E{0,3}) WITHIN 1 HOURS;")
