@@ -98,6 +98,34 @@ def extract_agg_calls(text: str) -> list[str]:
     return calls
 
 
+def _compile_cross_predicate(
+    expr: str, earlier_aliases: list[str], own_alias: str, own_cols: list[str]
+):
+    """Translate a SQL cross-reference conjunct (``e2.price > e1.price``)
+    into a Python predicate ``fn(captured, row) -> bool`` for the streaming
+    NFA: earlier-alias refs read the partial's captured payloads, the
+    current element's refs (aliased or bare) read the arriving row.
+    Supports comparisons, arithmetic, AND/OR/NOT — the cross-filter subset
+    the batch compiler pushes into hop joins. Timestamp payloads are
+    captured as ISO strings; cross-compare numerics/strings, not times."""
+    py = expr
+    py = re.sub(r"\bAND\b", " and ", py, flags=re.IGNORECASE)
+    py = re.sub(r"\bOR\b", " or ", py, flags=re.IGNORECASE)
+    py = re.sub(r"\bNOT\b", " not ", py, flags=re.IGNORECASE)
+    py = py.replace("<>", "!=")
+    py = re.sub(r"(?<![<>!=])=(?!=)", "==", py)
+    py = re.sub(
+        rf"\b{own_alias}\.([A-Za-z_][A-Za-z0-9_]*)", r'_r["\1"]', py
+    )
+    for a in earlier_aliases:
+        py = re.sub(rf"\b{a}\.([A-Za-z_][A-Za-z0-9_]*)", rf'_c["{a}"]["\1"]', py)
+    for c in sorted(own_cols, key=len, reverse=True):
+        py = re.sub(rf'(?<![\w."]){c}(?![\w("])', rf'_r["{c}"]', py)
+    return eval(  # noqa: S307 — compiler-constructed expression
+        f"lambda _c, _r: bool({py})", {"__builtins__": {"bool": bool}}
+    )
+
+
 def _prev_key_col(columns: list[str], key: str) -> str:
     """First existing aliased column ``<alias>_<key>`` in a partial match."""
     for c in columns:
@@ -590,15 +618,26 @@ class SqlApp:
                 "engine_spark.streaming.nfa.logical_and_stream or a "
                 "disjunctive element filter"
             )
+        # split each element filter into local conjuncts (JVM-side, pushed
+        # to the scan) and cross-reference conjuncts (evaluated inside the
+        # NFA against the partial's captured events — reference
+        # stream_pre_state_processor.rs evaluates them during matching)
         seen: list[str] = []
-        for el in src.steps:
-            if el.filter:
-                for a in seen:
-                    if re.search(rf"\b{a}\.", el.filter):
-                        raise ValueError(
-                            "cross-reference filters are not supported over "
-                            "live streams yet"
-                        )
+        local_filters: list[str | None] = []
+        cross_filters: dict[int, object] = {}
+        for idx, el in enumerate(src.steps):
+            local, cross = [], []
+            for conj in P.split_keyword(el.filter, "AND") if el.filter else []:
+                if any(re.search(rf"\b{a}\.", conj) for a in seen):
+                    cross.append(conj)
+                else:
+                    local.append(conj)
+            if cross:
+                own_cols = self.streams[el.stream].df.columns
+                cross_filters[idx] = _compile_cross_predicate(
+                    " AND ".join(cross), seen, el.alias, own_cols
+                )
+            local_filters.append(" AND ".join(local) or None)
             seen.append(el.alias)
 
         names = self._pattern_element_streams(src)
@@ -631,12 +670,12 @@ class SqlApp:
             base = base.withColumn("_gkey", F.lit("g"))
             key_col = "_gkey"
         preds = []
-        for el in src.steps:
+        for el, local in zip(src.steps, local_filters):
             pred = F.lit(True)
             if src_tag is not None:
                 pred = pred & (F.col(src_tag) == F.lit(el.stream))
-            if el.filter:
-                pred = pred & F.expr(rewrite_expr(el.filter))
+            if local:
+                pred = pred & F.expr(rewrite_expr(local))
             preds.append((el.alias, pred))
         payloads = [
             c for c in cols0 if c not in (ts_col, key_col) and c != "_src"
@@ -649,6 +688,7 @@ class SqlApp:
             int(src.within_seconds),
             payload_cols=payloads,
             every=src.every,
+            cross_filters=cross_filters or None,
         )
 
     # ------------------------------------------------------------------

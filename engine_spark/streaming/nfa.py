@@ -219,6 +219,7 @@ def chain_stream(
     payload_cols: list[str] | None = None,
     every: bool = True,
     late: str = "0 seconds",
+    cross_filters: dict[int, "object"] | None = None,
 ) -> DataFrame:
     """Streaming N-step followed-by chain `e1=A -> e2=B -> ... WITHIN d`
     per key (reference stream_pre_state_processor.rs runs arbitrary chains;
@@ -237,6 +238,13 @@ def chain_stream(
     newest event (and, on quiet keys, the event-time timeout) passes
     ``first_ts + d``, so state stays bounded by the in-horizon starts
     exactly like the reference's pending-state queue.
+
+    ``cross_filters`` maps a step index to a predicate
+    ``fn(captured: dict[alias -> payload dict], row: dict) -> bool``
+    evaluated DURING matching against the partial's captured events —
+    cross-references like ``e2.price > e1.price`` (reference
+    stream_pre_state_processor.rs evaluates them in-flight; a post-filter
+    would drop pairs the NFA would have matched with the next candidate).
 
     Output: ``key`` + per step ``{alias}_{ts_col}`` and ``{alias}_{c}`` for
     each payload column.
@@ -268,6 +276,9 @@ def chain_stream(
             out_columns.append(f"{alias}_{c}")
     out_schema = ", ".join(out_parts)
     state_schema = "done boolean, partials array<string>"
+    # the run closure must not capture `steps` itself: Column objects hold
+    # JVM handles that cloudpickle can't ship to the workers
+    step_aliases = [a for a, _ in steps]
 
     def capture(rec: dict) -> dict:
         cap = {}
@@ -305,7 +316,14 @@ def chain_stream(
                 if t - p["f"] > within_us:
                     continue  # horizon passed with the chain incomplete
                 i = p["i"]
-                if bool(r[f"_is_{i}"]) and t > p["l"]:
+                ok = bool(r[f"_is_{i}"]) and t > p["l"]
+                if ok and cross_filters and i in cross_filters:
+                    captured = {
+                        step_aliases[j]: p["cap"][j][1]
+                        for j in range(len(p["cap"]))
+                    }
+                    ok = bool(cross_filters[i](captured, r))
+                if ok:
                     cap = p["cap"] + [[t, capture(r)]]
                     if i + 1 == n:
                         out.append((p["f"], cap))

@@ -494,3 +494,36 @@ def test_persist_restore_named_revision_replays_state(spark):
 
     assert list_revisions(r._revisions_root()) == ["after-login"]
     r.shutdown()
+
+
+def test_sql_pattern_cross_reference_filter_on_live_stream(spark):
+    """Cross-reference filters (e2.price > e1.price) evaluate DURING
+    matching in the streaming NFA: a lower price does not complete the
+    chain, and the partial stays open for the next candidate."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, sym string, etype string, price double")
+    r.send([{"ts": _ts(0), "sym": "A", "etype": "buy", "price": 100.0}])
+    r.send([
+        # lower than the buy: must NOT complete the pattern
+        {"ts": _ts(1), "sym": "A", "etype": "sell", "price": 90.0},
+        # higher: completes
+        {"ts": _ts(2), "sym": "A", "etype": "sell", "price": 110.0},
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["T"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (sym OF T) BEGIN "
+            "INSERT INTO Out SELECT e1.price AS buy_p, e2.price AS sell_p "
+            "FROM EVERY PATTERN (e1=T[etype = 'buy'] -> "
+            "e2=T[etype = 'sell' AND e2.price > e1.price]) "
+            "WITHIN 600 SECONDS; END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = [(m["buy_p"], m["sell_p"]) for m in r.shutdown()]
+    assert got == [(100.0, 110.0)]
