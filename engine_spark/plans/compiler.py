@@ -250,7 +250,7 @@ class SqlApp:
             quantified = [
                 st
                 for st in src.steps
-                if not isinstance(st, P.PatternGroup) and st.min_count is not None
+                if getattr(st, "min_count", None) is not None
             ]
             if quantified:
                 if len(src.steps) != 1:
@@ -618,6 +618,11 @@ class SqlApp:
                 "engine_spark.streaming.nfa.logical_and_stream or a "
                 "disjunctive element filter"
             )
+        if any(isinstance(st, P.AbsentElement) for st in src.steps):
+            raise ValueError(
+                "NOT ... FOR over live streams: use "
+                "engine_spark.streaming.nfa.absent_stream"
+            )
         # split each element filter into local conjuncts (JVM-side, pushed
         # to the scan) and cross-reference conjuncts (evaluated inside the
         # NFA against the partial's captured events — reference
@@ -819,6 +824,38 @@ class SqlApp:
         # first element (reference converter.rs:1521-1543), not per hop
 
         for step_idx, step in enumerate(steps[1:], start=1):
+            if isinstance(step, P.AbsentElement):
+                # `prefix -> NOT B FOR d` (reference AbsentStreamStateElement,
+                # converter.rs:1687-1727): anti-join the partial matches
+                # against absent-stream events in (cur_ts, cur_ts + d] — the
+                # timer wheel becomes a time-range predicate, like the
+                # relational `pattern.absent` operator.
+                if step_idx != len(steps) - 1:
+                    raise ValueError(
+                        "NOT ... FOR is supported as the FINAL pattern step "
+                        "(an absence mid-chain would need the next element "
+                        "to wait out the window; not implemented)"
+                    )
+                base, b_order = self._input(P.StreamRef(name=step.stream))
+                if step.filter:
+                    base = base.filter(F.expr(rewrite_expr(step.filter)))
+                sel_cols = [F.col(b_order).alias("_ab_ts")]
+                if partition_key:
+                    sel_cols.append(F.col(partition_key).alias("_ab_key"))
+                sel = base.select(*sel_cols)
+                bcond = (
+                    F.col("_ab_ts").cast("double") > F.col(cur_ts).cast("double")
+                ) & (
+                    F.col("_ab_ts").cast("double")
+                    <= F.col(cur_ts).cast("double") + float(step.for_seconds)
+                )
+                if partition_key:
+                    bcond = bcond & (
+                        F.col(_prev_key_col(cur.columns, partition_key))
+                        == F.col("_ab_key")
+                    )
+                cur = cur.join(sel, bcond, "left_anti")
+                continue
             if isinstance(step, P.PatternGroup):
                 if src.mode == "sequence":
                     raise ValueError(
@@ -1090,6 +1127,8 @@ class SqlApp:
         we accept both)."""
         pairs: list[tuple[str, str]] = []
         for step in src.steps:
+            if isinstance(step, P.AbsentElement):
+                continue  # absent elements contribute no output columns
             els = (
                 [step.first, step.second]
                 if isinstance(step, P.PatternGroup)

@@ -198,6 +198,16 @@ class PatternGroup:
 
 
 @dataclass
+class AbsentElement:
+    """`NOT Stream[filter] FOR d` (reference PatternExpression::Absent,
+    converter.rs:1687-1727 → AbsentStreamStateElement)."""
+
+    stream: str
+    filter: str | None
+    for_seconds: float
+
+
+@dataclass
 class PatternSource:
     steps: list  # PatternElement | PatternGroup, connected by '->'
     mode: str = "pattern"  # pattern | sequence
@@ -530,6 +540,19 @@ def _parse_pattern_step(txt: str):
     txt = txt.strip()
     if txt.startswith("(") and txt.endswith(")"):
         txt = txt[1:-1].strip()
+    if txt.upper().startswith("NOT "):
+        body = txt[4:].strip()
+        fpos = find_keyword(body, "FOR")
+        if fpos < 0:
+            raise ValueError(f"absent element needs FOR <duration>: {txt!r}")
+        dur = parse_duration_seconds(body[fpos + 3 :])
+        head = body[:fpos].strip()
+        m = re.match(
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*(?:\[(.*?)\])?\s*$", head, re.DOTALL
+        )
+        if not m:
+            raise ValueError(f"cannot parse absent element {txt!r}")
+        return AbsentElement(stream=m.group(1), filter=m.group(2), for_seconds=dur)
     for op in ("AND", "OR"):
         parts = split_keyword(txt, op)
         if len(parts) == 2:

@@ -575,3 +575,65 @@ def test_sql_pattern_zero_count_rejected(spark):
     app.register_stream("E", spark.createDataFrame([(1,)], "v int"))
     with pytest.raises(ValueError, match="min must be >= 1"):
         app.sql("INSERT INTO Out SELECT v FROM PATTERN (e1=E{0,3}) WITHIN 1 HOURS;")
+
+
+def test_sql_pattern_absent_final_step(spark):
+    """`e1=A -> NOT B FOR d`: emit chains where no B event follows within
+    d (reference PatternExpression::Absent, converter.rs:1687-1727)."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [
+        (t0, "login", 1),
+        (t0 + timedelta(seconds=60), "purchase", 2),   # cancels login 1
+        (t0 + timedelta(seconds=1000), "login", 3),    # nothing follows
+        (t0 + timedelta(seconds=5000), "login", 4),
+        (t0 + timedelta(seconds=5100), "purchase", 5),  # cancels login 4
+    ]
+    app.register_stream(
+        "E",
+        spark.createDataFrame(rows_, "ts timestamp, etype string, eid int"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS eid "
+        "FROM EVERY PATTERN (e1=E[etype = 'login'] -> "
+        "NOT E[etype = 'purchase'] FOR 300 SECONDS);"
+    )
+    assert sorted(r["eid"] for r in outs["Out"].collect()) == [3]
+
+
+def test_sql_pattern_absent_after_two_step_prefix(spark):
+    """Absence can guard a longer prefix: A -> B -> NOT C FOR d."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [
+        (t0, "order", 1),
+        (t0 + timedelta(seconds=10), "pay", 2),
+        # no 'ship' within 300s of the pay → alert fires
+        (t0 + timedelta(seconds=2000), "order", 3),
+        (t0 + timedelta(seconds=2010), "pay", 4),
+        (t0 + timedelta(seconds=2100), "ship", 5),  # ships in time → silent
+    ]
+    app.register_stream(
+        "E",
+        spark.createDataFrame(rows_, "ts timestamp, etype string, eid int"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS o, e2.eid AS p "
+        "FROM EVERY PATTERN (e1=E[etype = 'order'] -> e2=E[etype = 'pay'] "
+        "-> NOT E[etype = 'ship'] FOR 300 SECONDS) WITHIN 1 HOURS;"
+    )
+    assert [tuple(r) for r in outs["Out"].collect()] == [(1, 2)]
+
+
+def test_sql_pattern_absent_mid_chain_rejected(spark):
+    import pytest
+
+    app = SqlApp(spark)
+    app.register_stream("E", spark.createDataFrame([(1,)], "v int"))
+    with pytest.raises(ValueError, match="FINAL pattern step"):
+        app.sql(
+            "INSERT INTO Out SELECT e1.v AS v FROM PATTERN "
+            "(e1=E -> NOT E FOR 10 SECONDS -> e2=E);"
+        )
