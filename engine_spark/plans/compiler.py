@@ -618,11 +618,28 @@ class SqlApp:
                 "engine_spark.streaming.nfa.logical_and_stream or a "
                 "disjunctive element filter"
             )
-        if any(isinstance(st, P.AbsentElement) for st in src.steps):
+        steps_eff = list(src.steps)
+        absent_last: P.AbsentElement | None = None
+        if steps_eff and isinstance(steps_eff[-1], P.AbsentElement):
+            absent_last = steps_eff[-1]
+            steps_eff = steps_eff[:-1]
+        if any(isinstance(st, P.AbsentElement) for st in steps_eff):
             raise ValueError(
-                "NOT ... FOR over live streams: use "
-                "engine_spark.streaming.nfa.absent_stream"
+                "NOT ... FOR over live streams is supported as the FINAL "
+                "step only"
             )
+        if not steps_eff:
+            raise ValueError(
+                "a pattern needs at least one captured element before "
+                "NOT ... FOR"
+            )
+        if absent_last is not None and absent_last.filter:
+            for st in steps_eff:
+                if re.search(rf"\b{st.alias}\.", absent_last.filter):
+                    raise ValueError(
+                        "cross-references in a live-stream NOT element's "
+                        "filter are not supported"
+                    )
         # split each element filter into local conjuncts (JVM-side, pushed
         # to the scan) and cross-reference conjuncts (evaluated inside the
         # NFA against the partial's captured events — reference
@@ -630,7 +647,7 @@ class SqlApp:
         seen: list[str] = []
         local_filters: list[str | None] = []
         cross_filters: dict[int, object] = {}
-        for idx, el in enumerate(src.steps):
+        for idx, el in enumerate(steps_eff):
             local, cross = [], []
             for conj in P.split_keyword(el.filter, "AND") if el.filter else []:
                 if any(re.search(rf"\b{a}\.", conj) for a in seen):
@@ -675,13 +692,21 @@ class SqlApp:
             base = base.withColumn("_gkey", F.lit("g"))
             key_col = "_gkey"
         preds = []
-        for el, local in zip(src.steps, local_filters):
+        for el, local in zip(steps_eff, local_filters):
             pred = F.lit(True)
             if src_tag is not None:
                 pred = pred & (F.col(src_tag) == F.lit(el.stream))
             if local:
                 pred = pred & F.expr(rewrite_expr(local))
             preds.append((el.alias, pred))
+        absent_final = None
+        if absent_last is not None:
+            ab_pred = F.lit(True)
+            if src_tag is not None:
+                ab_pred = ab_pred & (F.col(src_tag) == F.lit(absent_last.stream))
+            if absent_last.filter:
+                ab_pred = ab_pred & F.expr(rewrite_expr(absent_last.filter))
+            absent_final = (ab_pred, float(absent_last.for_seconds))
         payloads = [
             c for c in cols0 if c not in (ts_col, key_col) and c != "_src"
         ]
@@ -694,6 +719,7 @@ class SqlApp:
             payload_cols=payloads,
             every=src.every,
             cross_filters=cross_filters or None,
+            absent_final=absent_final,
         )
 
     # ------------------------------------------------------------------

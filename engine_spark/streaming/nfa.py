@@ -220,6 +220,7 @@ def chain_stream(
     every: bool = True,
     late: str = "0 seconds",
     cross_filters: dict[int, "object"] | None = None,
+    absent_final: tuple[Column, float] | None = None,
 ) -> DataFrame:
     """Streaming N-step followed-by chain `e1=A -> e2=B -> ... WITHIN d`
     per key (reference stream_pre_state_processor.rs runs arbitrary chains;
@@ -246,6 +247,13 @@ def chain_stream(
     stream_pre_state_processor.rs evaluates them in-flight; a post-filter
     would drop pairs the NFA would have matched with the next candidate).
 
+    ``absent_final=(cancel_pred, for_seconds)`` appends an absence guard
+    (`... -> NOT C FOR d`, reference AbsentStreamStateElement + timer
+    wheel): a chain that completes its last captured step becomes PENDING
+    and emits only once event time passes ``last_ts + d`` with no
+    cancelling event on the key inside that window — a cancel kills the
+    pending match. The pending queue is part of the same bounded state.
+
     Output: ``key`` + per step ``{alias}_{ts_col}`` and ``{alias}_{c}`` for
     each payload column.
     """
@@ -265,6 +273,13 @@ def chain_stream(
     tagged = df.withWatermark(ts_col, late)
     for i, (_, pred) in enumerate(steps):
         tagged = tagged.withColumn(f"_is_{i}", pred.cast("boolean"))
+    if absent_final is not None:
+        tagged = tagged.withColumn("_is_ab", absent_final[0].cast("boolean"))
+    # run() must only close over plain Python values (Column handles hold
+    # JVM locks cloudpickle can't ship) — reduce absent_final to a flag
+    has_absent = absent_final is not None
+    for_us = int(absent_final[1] * US) if has_absent else 0
+    for_ms = for_us // 1000
 
     out_parts = [f"{key_col} {schema[key_col].simpleString()}"]
     out_columns = [key_col]
@@ -291,9 +306,45 @@ def chain_stream(
             cap[c] = None if v is None or (isinstance(v, float) and v != v) else v
         return cap
 
+    def _schedule(state: GroupState, partials: list[dict]) -> None:
+        cands = []
+        for p in partials:
+            if p["i"] == n:  # pending absence: fire at its deadline
+                cands.append(p["l"] // 1000 + for_ms)
+            else:  # open chain: clean up once its horizon passes
+                cands.append(p["f"] // 1000 + within_seconds * 1000)
+        if cands:
+            _set_timeout(state, min(cands))
+
     def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
-            state.remove()
+            # quiet key: the watermark reached a deadline — emit matured
+            # pending-absence matches, drop expired opens
+            done, partials = False, []
+            if state.exists:
+                d0, pj = state.get
+                done = bool(d0)
+                partials = [json.loads(s) for s in (pj or [])]
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            ready = [
+                p for p in partials if p["i"] == n and p["l"] + for_us <= wm_us
+            ]
+            if ready and not every:
+                done, partials, ready = True, [], ready[:1]
+            else:
+                partials = [
+                    p
+                    for p in partials
+                    if (p["i"] == n and p["l"] + for_us > wm_us)
+                    or (p["i"] < n and wm_us - p["f"] <= within_us)
+                ]
+            if done or partials:
+                state.update((done, [json.dumps(p) for p in partials]))
+                _schedule(state, partials)
+            else:
+                state.remove()
+            if ready:
+                yield _build_rows(key, [(p["f"], p["cap"]) for p in ready])
             return
         done, partials = False, []
         if state.exists:
@@ -310,12 +361,18 @@ def chain_stream(
         out: list[tuple[int, list]] = []
         for r in recs:
             t = _us(r[ts_col])
+            ab = bool(r["_is_ab"]) if has_absent else False
             kept = []
             fired = False
             for p in partials:
+                i = p["i"]
+                if i == n:  # pending absence: a cancel inside the window kills
+                    if ab and p["l"] < t <= p["l"] + for_us:
+                        continue
+                    kept.append(p)
+                    continue
                 if t - p["f"] > within_us:
                     continue  # horizon passed with the chain incomplete
-                i = p["i"]
                 ok = bool(r[f"_is_{i}"]) and t > p["l"]
                 if ok and cross_filters and i in cross_filters:
                     captured = {
@@ -326,8 +383,11 @@ def chain_stream(
                 if ok:
                     cap = p["cap"] + [[t, capture(r)]]
                     if i + 1 == n:
-                        out.append((p["f"], cap))
-                        fired = True
+                        if has_absent:
+                            kept.append({"i": n, "f": p["f"], "l": t, "cap": cap})
+                        else:
+                            out.append((p["f"], cap))
+                            fired = True
                     else:
                         kept.append({"i": i + 1, "f": p["f"], "l": t, "cap": cap})
                 else:
@@ -339,39 +399,57 @@ def chain_stream(
             if bool(r["_is_0"]):
                 cap0 = [[t, capture(r)]]
                 if n == 1:
-                    out.append((t, cap0))
-                    if not every:
-                        done, partials = True, []
-                        break
+                    if has_absent:
+                        partials.append({"i": n, "f": t, "l": t, "cap": cap0})
+                    else:
+                        out.append((t, cap0))
+                        if not every:
+                            done, partials = True, []
+                            break
                 else:
                     partials.append({"i": 1, "f": t, "l": t, "cap": cap0})
         if recs and not done:
             now = _us(recs[-1][ts_col])
-            partials = [p for p in partials if now - p["f"] <= within_us]
+            # busy-key flush: the newest event (or watermark) passing a
+            # pending deadline proves its window closed uncancelled
+            flush = max(now, state.getCurrentWatermarkMs() * 1000)
+            ready = [
+                p for p in partials if p["i"] == n and p["l"] + for_us <= flush
+            ]
+            if ready and not every:
+                done, partials, ready = True, [], ready[:1]
+            else:
+                partials = [
+                    p
+                    for p in partials
+                    if (p["i"] == n and p["l"] + for_us > flush)
+                    or (p["i"] < n and now - p["f"] <= within_us)
+                ]
+            out.extend((p["f"], p["cap"]) for p in ready)
         if done:
             state.update((True, []))
         elif partials:
             state.update((False, [json.dumps(p) for p in partials]))
-            _set_timeout(
-                state,
-                max(p["f"] for p in partials) // 1000 + within_seconds * 1000,
-            )
+            _schedule(state, partials)
         else:
             state.remove()
         if out:
-            built = []
-            for _, cap in out:
-                row = [key[0]]
-                for j in range(n):
-                    tj, pj_ = cap[j]
-                    row.append(pd.Timestamp(tj * 1000))
-                    for c in payload_cols:
-                        v = pj_[c]
-                        if c in ts_payload and v is not None:
-                            v = pd.Timestamp(v)
-                        row.append(v)
-                built.append(tuple(row))
-            yield pd.DataFrame(built, columns=out_columns)
+            yield _build_rows(key, out)
+
+    def _build_rows(key, out: list[tuple[int, list]]) -> pd.DataFrame:
+        built = []
+        for _, cap in out:
+            row = [key[0]]
+            for j in range(n):
+                tj, pj_ = cap[j]
+                row.append(pd.Timestamp(tj * 1000))
+                for c in payload_cols:
+                    v = pj_[c]
+                    if c in ts_payload and v is not None:
+                        v = pd.Timestamp(v)
+                    row.append(v)
+            built.append(tuple(row))
+        return pd.DataFrame(built, columns=out_columns)
 
     return tagged.groupBy(key_col).applyInPandasWithState(
         run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout

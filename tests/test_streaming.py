@@ -527,3 +527,63 @@ def test_sql_pattern_cross_reference_filter_on_live_stream(spark):
     r.run(build)
     got = [(m["buy_p"], m["sell_p"]) for m in r.shutdown()]
     assert got == [(100.0, 110.0)]
+
+
+def test_sql_pattern_absent_final_on_live_stream(spark):
+    """`A -> NOT B FOR d` over a live stream: the chain becomes pending on
+    completion and emits only when event time passes the absence window
+    uncancelled."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "login", "eid": 1},
+        {"ts": _ts(0), "user": "u2", "etype": "login", "eid": 2},
+        {"ts": _ts(3), "user": "u2", "etype": "purchase", "eid": 3},  # cancels u2
+    ])
+    # watermark/new events pass every deadline (10 min windows)
+    r.send([{"ts": _ts(40), "user": "u3", "etype": "view", "eid": 9}])
+    r.send([{"ts": _ts(41), "user": "u3", "etype": "view", "eid": 10}])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT e1.eid AS eid "
+            "FROM EVERY PATTERN (e1=E[etype = 'login'] -> "
+            "NOT E[etype = 'purchase'] FOR 600 SECONDS) "
+            "WITHIN 3600 SECONDS; END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    assert [m["eid"] for m in r.shutdown()] == [1]
+
+
+def test_chain_stream_absent_final_after_two_steps(spark):
+    """order -> pay -> NOT ship FOR d with full payloads, across batches."""
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "order", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "etype": "pay", "v": 2.0},
+        {"ts": _ts(0), "user": "u2", "etype": "order", "v": 3.0},
+        {"ts": _ts(1), "user": "u2", "etype": "pay", "v": 4.0},
+        {"ts": _ts(3), "user": "u2", "etype": "ship", "v": 5.0},  # in time
+    ])
+    r.send([{"ts": _ts(40), "user": "u9", "etype": "noise", "v": 0.0}])
+    r.send([{"ts": _ts(41), "user": "u9", "etype": "noise", "v": 0.0}])
+    r.run(
+        lambda df: nfa.chain_stream(
+            df, "ts", "user",
+            steps=[
+                ("e1", F.col("etype") == "order"),
+                ("e2", F.col("etype") == "pay"),
+            ],
+            within_seconds=3600, payload_cols=["v"],
+            absent_final=(F.col("etype") == "ship", 600),
+        )
+    )
+    out = r.shutdown()
+    assert [(m["user"], m["e1_v"], m["e2_v"]) for m in out] == [("u1", 1.0, 2.0)]
