@@ -1399,6 +1399,8 @@ _ORDER = [
     "join_q3_shipping_priority",  # multiway covered by join_multiway_q5
     "ann_ivf_trained",            # rows-only (k-means not SQL-expressible);
                                   # oracle'd IVF covered by ann_ivf_cosine
+    "pii_scrub",                  # text family covered by text_quality/
+                                  # text_analysis inside the window
 ]
 
 

@@ -265,3 +265,23 @@ def test_ivf_trained_recall_on_clustered_data(spark):
     got = {(r["q_id"], r["cand_id"]) for r in ivf}
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"recall@{topk} = {recall}"
+
+
+def test_pii_scrub_redacts_all_classes(spark):
+    from engine_spark.datapipe.queries import PII_PATTERNS, scrub_expr
+
+    d = spark.createDataFrame(
+        [
+            (0, "contact bob@example.com or 192.168.1.10 or 555-123-4567 twice bob@example.com"),
+            (1, "clean text with no identifiers"),
+        ],
+        "doc_id long, text string",
+    )
+    out = d.select(
+        "doc_id", F.expr(scrub_expr(SP)).alias("scrubbed")
+    ).collect()
+    got = {r["doc_id"]: r["scrubbed"] for r in out}
+    assert got[0] == "contact <EMAIL> or <IPV4> or <PHONE> twice <EMAIL>"
+    assert got[1] == "clean text with no identifiers"
+    # patterns are backslash-free so the literal is dialect-portable
+    assert all("\\" not in p for p in PII_PATTERNS.values())
