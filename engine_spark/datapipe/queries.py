@@ -58,6 +58,36 @@ def r6(x: str) -> str:
 # text analysis
 # ===========================================================================
 
+#: PII patterns shared verbatim by both dialects: NO backslash classes
+#: (Spark SQL string literals process backslash escapes, DuckDB's don't —
+#: `[0-9]`/`[.]` sidestep the divergence entirely; Java regex and RE2 agree
+#: on everything used here).
+PII_PATTERNS = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
+    "ipv4": "([0-9]{1,3}[.]){3}[0-9]{1,3}",
+    "phone": "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
+}
+
+
+def scrub_expr(d: Dialect, col: str = "text") -> str:
+    """Replace each PII class with a `<CLASS>` token (row-local; DuckDB
+    needs the 'g' flag for replace-all, Spark replaces all by default)."""
+    e = col
+    for name, pat in PII_PATTERNS.items():
+        rep = f"<{name.upper()}>"
+        if d.spark:
+            e = f"regexp_replace({e}, '{pat}', '{rep}')"
+        else:
+            e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
+    return e
+
+
+def _pii_count(d: Dialect, pat: str, col: str = "text") -> str:
+    if d.spark:
+        return f"size(regexp_extract_all({col}, '{pat}', 0))"
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
 @register(
     "text_quality",
     f"""
@@ -66,10 +96,21 @@ def r6(x: str) -> str:
            {DK.size(DK.distinct(FR.tokens(DK)))} AS n_uniq,
            {r6(f"CAST({DK.size(DK.distinct(FR.tokens(DK)))} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS uniq_ratio,
            {r6(f"CAST({DK.agg_sum_int(FR.tokens(DK), 't', 'length(t)')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS avg_token_len,
-           {r6(f"CAST({FR.stopword_hits(DK, FR.tokens(DK), 'en')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS stopword_ratio
+           {r6(f"CAST({FR.stopword_hits(DK, FR.tokens(DK), 'en')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS stopword_ratio,
+           {_pii_count(DK, PII_PATTERNS['email'])} AS n_email,
+           {_pii_count(DK, PII_PATTERNS['ipv4'])} AS n_ipv4,
+           {_pii_count(DK, PII_PATTERNS['phone'])} AS n_phone,
+           md5({scrub_expr(DK)}) AS scrubbed_hash
     FROM documents
     """,
-    doc="per-document quality stats (length/uniqueness/stopword ratios); row-local",
+    doc=(
+        "per-document quality stats (length/uniqueness/stopword ratios) plus "
+        "PII redaction (emails / IPv4 / phone numbers -> <CLASS> tokens) with "
+        "per-class counts — the standard pre-training scrub stage. All "
+        "row-local regexp/array expressions fused into one projection over "
+        "one scan, map-only at any scale. The gate hashes the scrubbed text "
+        "so both engines must produce identical output byte-for-byte."
+    ),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
@@ -93,6 +134,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"/ greatest({SP.size(toks)}, 1)"
             )
         ).alias("stopword_ratio"),
+        F.expr(_pii_count(SP, PII_PATTERNS["email"])).alias("n_email"),
+        F.expr(_pii_count(SP, PII_PATTERNS["ipv4"])).alias("n_ipv4"),
+        F.expr(_pii_count(SP, PII_PATTERNS["phone"])).alias("n_phone"),
+        F.expr(f"md5({scrub_expr(SP)})").alias("scrubbed_hash"),
     )
 
 
@@ -848,65 +893,6 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk=IVF_TOPK,
     )
     return out.withColumn("cos_sim", F.expr(r6("cos_sim")))
-
-
-#: PII patterns shared verbatim by both dialects: NO backslash classes
-#: (Spark SQL string literals process backslash escapes, DuckDB's don't —
-#: `[0-9]`/`[.]` sidestep the divergence entirely; Java regex and RE2 agree
-#: on everything used here).
-PII_PATTERNS = {
-    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}",
-    "ipv4": "([0-9]{1,3}[.]){3}[0-9]{1,3}",
-    "phone": "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}",
-}
-
-
-def scrub_expr(d: Dialect, col: str = "text") -> str:
-    """Replace each PII class with a `<CLASS>` token (row-local; DuckDB
-    needs the 'g' flag for replace-all, Spark replaces all by default)."""
-    e = col
-    for name, pat in PII_PATTERNS.items():
-        rep = f"<{name.upper()}>"
-        if d.spark:
-            e = f"regexp_replace({e}, '{pat}', '{rep}')"
-        else:
-            e = f"regexp_replace({e}, '{pat}', '{rep}', 'g')"
-    return e
-
-
-def _pii_count(d: Dialect, pat: str, col: str = "text") -> str:
-    if d.spark:
-        return f"size(regexp_extract_all({col}, '{pat}', 0))"
-    return f"len(regexp_extract_all({col}, '{pat}'))"
-
-
-@register(
-    "pii_scrub",
-    f"""
-    SELECT doc_id,
-           {_pii_count(DK, PII_PATTERNS['email'])} AS n_email,
-           {_pii_count(DK, PII_PATTERNS['ipv4'])} AS n_ipv4,
-           {_pii_count(DK, PII_PATTERNS['phone'])} AS n_phone,
-           md5({scrub_expr(DK)}) AS scrubbed_hash
-    FROM documents
-    """,
-    doc=(
-        "PII redaction (emails / IPv4 / phone numbers -> <CLASS> tokens) "
-        "with per-class counts — the standard pre-training scrub stage; "
-        "row-local regexp_replace, map-only at any scale. The gate hashes "
-        "the scrubbed text so both engines must produce identical output "
-        "byte-for-byte."
-    ),
-)
-def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir)["documents"]
-    return docs.select(
-        "doc_id",
-        F.expr(_pii_count(SP, PII_PATTERNS["email"])).alias("n_email"),
-        F.expr(_pii_count(SP, PII_PATTERNS["ipv4"])).alias("n_ipv4"),
-        F.expr(_pii_count(SP, PII_PATTERNS["phone"])).alias("n_phone"),
-        F.expr(f"md5({scrub_expr(SP)})").alias("scrubbed_hash"),
-    )
 
 
 # ---------------------------------------------------------------------------

@@ -354,53 +354,61 @@ def q_join_enrich_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_left_outer",
+    "join_outer_modes",
     """
-    SELECT c_custkey, c_name, COUNT(o_orderkey) AS order_cnt
+    SELECT 'left' AS side, c_custkey AS key, c_name AS label,
+           COUNT(o_orderkey) AS n1, CAST(NULL AS BIGINT) AS n2
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 150000
     GROUP BY c_custkey, c_name
+    UNION ALL
+    SELECT 'full' AS side, nationkey AS key, CAST(NULL AS VARCHAR) AS label,
+           n_cust AS n1, n_supp AS n2
+    FROM (
+      WITH cust AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+           supp AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+      SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+             COALESCE(n_cust, 0) AS n_cust,
+             COALESCE(n_supp, 0) AS n_supp
+      FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    )
     """,
-    doc="LEFT OUTER join with ON-clause extra condition (reference join_input_stream.rs:12-26)",
+    doc="LEFT OUTER join with ON-clause extra condition (reference "
+    "join_input_stream.rs:12-26) + FULL OUTER join with null-padding "
+    "(join_processor.rs outer variants), tag-unioned into one gate",
 )
-def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_outer_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     c, o = cat["customer"], cat["orders"]
     cond = (c["c_custkey"] == o["o_custkey"]) & (o["o_totalprice"] > 150000)
-    return (
+    left = (
         c.join(o, cond, "left_outer")
         .groupBy("c_custkey", "c_name")
-        .agg(F.count("o_orderkey").alias("order_cnt"))
+        .agg(F.count("o_orderkey").alias("n1"))
+        .select(
+            F.lit("left").alias("side"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("label"),
+            "n1",
+            F.lit(None).cast("bigint").alias("n2"),
+        )
     )
-
-
-@register(
-    "join_full_outer",
-    """
-    WITH cust AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY 1),
-         supp AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
-    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
-           COALESCE(n_cust, 0) AS n_cust,
-           COALESCE(n_supp, 0) AS n_supp
-    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
-    """,
-    doc="FULL OUTER join with null-padding (reference join_processor.rs outer variants)",
-)
-def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cat = Catalog(spark, sf_dir)
     cust = cat["customer"].groupBy(F.col("c_nationkey").alias("nk")).agg(
         F.count(F.lit(1)).alias("n_cust")
     )
     supp = cat["supplier"].groupBy(F.col("s_nationkey").alias("nk")).agg(
         F.count(F.lit(1)).alias("n_supp")
     )
-    return (
+    full = (
         cust.join(supp, "nk", "full_outer")
         .select(
-            F.col("nk").alias("nationkey"),
-            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
-            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.lit("full").alias("side"),
+            F.col("nk").alias("key"),
+            F.lit(None).cast("string").alias("label"),
+            F.coalesce("n_cust", F.lit(0)).alias("n1"),
+            F.coalesce("n_supp", F.lit(0)).alias("n2"),
         )
     )
+    return left.unionByName(full)
 
 
 @register(
@@ -603,54 +611,49 @@ def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_length_5",
+    "window_length_modes",
     """
-    SELECT event_id, user_id,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_last5,
-           COUNT(*) OVER w AS n_last5
+    SELECT 'length5' AS mode, user_id, event_id AS row_key,
+           COUNT(*) OVER w AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    UNION ALL
+    SELECT 'batch50' AS mode, user_id, batch_id AS row_key, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 50 AS batch_id
+      FROM events
+    ) GROUP BY user_id, batch_id
     """,
-    doc="length(5) count window per key (reference window/mod.rs:63): rows frame",
+    doc="length(5) sliding count window (reference window/mod.rs:63, rows "
+    "frame) + lengthBatch(50) tumbling count window (window/mod.rs:645), "
+    "tag-unioned into one gate; both per-key, one shuffle each",
 )
-def q_window_length5(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_window_length_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine_spark.operators.aggregations import dec
 
     ev = Catalog(spark, sf_dir)["events"]
-    out = windows.length_sliding(
+    sliding = windows.length_sliding(
         ev,
         "ts",
         5,
         partition_by=("user_id",),
         aggs={
-            "sum_last5": F.sum(dec("value")),
-            "n_last5": F.count(F.lit(1)),
+            "sum_value": F.sum(dec("value")),
+            "n": F.count(F.lit(1)),
         },
         tiebreak=("event_id",),
+    ).select(
+        F.lit("length5").alias("mode"),
+        "user_id",
+        F.col("event_id").alias("row_key"),
+        "n",
+        F.col("sum_value").cast("double").alias("sum_value"),
     )
-    return out.select(
-        "event_id", "user_id", F.col("sum_last5").cast("double").alias("sum_last5"), "n_last5"
-    )
-
-
-@register(
-    "window_length_batch_50",
-    """
-    WITH numbered AS (
-      SELECT user_id, value,
-             (row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) // 50 AS batch_id
-      FROM events
-    )
-    SELECT user_id, batch_id, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM numbered GROUP BY user_id, batch_id
-    """,
-    doc="lengthBatch(50) tumbling count window (reference window/mod.rs:645)",
-)
-def q_window_length_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = Catalog(spark, sf_dir)["events"]
-    out = windows.length_batch(
+    batch = windows.length_batch(
         ev,
         "ts",
         50,
@@ -660,8 +663,14 @@ def q_window_length_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             decimal_sum("value").alias("sum_value"),
         ),
         tiebreak=("event_id",),
+    ).select(
+        F.lit("batch50").alias("mode"),
+        "user_id",
+        F.col("batch_id").alias("row_key"),
+        "n",
+        "sum_value",
     )
-    return out.select("user_id", "batch_id", "n", "sum_value")
+    return sliding.unionByName(batch)
 
 
 @register(
@@ -784,14 +793,23 @@ def q_pattern_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH s AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'signup'),
          e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
-    SELECT s.user_id AS user_id, s.event_id AS signup_id, e.event_id AS error_id,
+    SELECT 'and' AS branch, s.user_id AS user_id,
+           s.event_id AS a_event_id, e.event_id AS b_event_id,
            greatest(s.ts, e.ts) AS matched_at
     FROM s JOIN e ON s.user_id = e.user_id
      AND e.ts >= s.ts - INTERVAL 900 SECONDS
      AND e.ts <= s.ts + INTERVAL 900 SECONDS
+    UNION ALL
+    SELECT CASE WHEN event_type = 'signup' THEN 'or_first' ELSE 'or_second' END AS branch,
+           user_id, event_id AS a_event_id, CAST(NULL AS BIGINT) AS b_event_id,
+           ts AS matched_at
+    FROM events
+    WHERE event_type = 'signup' OR event_type = 'error'
     """,
-    doc="logical AND pattern: signup AND error within 15min, either order "
-    "(reference logical_pre_state_processor.rs, converter.rs:1660-1676)",
+    doc="logical AND + OR patterns tag-unioned into one gate (reference "
+    "logical_pre_state_processor.rs, converter.rs:1660-1676): 'and' rows = "
+    "signup AND error within 15min either order; 'or_*' rows = signup OR "
+    "error with firing-branch tag (filter-only, no shuffle)",
 )
 def q_pattern_logical_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir)["events"]
@@ -803,34 +821,27 @@ def q_pattern_logical_and(spark: SparkSession, sf_dir: str) -> DataFrame:
         second=F.col("event_type") == "error",
         within_seconds=900,
     )
-    return m.select(
+    and_rows = m.select(
+        F.lit("and").alias("branch"),
         "user_id",
-        F.col("e1_event_id").alias("signup_id"),
-        F.col("e2_event_id").alias("error_id"),
+        F.col("e1_event_id").alias("a_event_id"),
+        F.col("e2_event_id").alias("b_event_id"),
         "matched_at",
     )
-
-
-@register(
-    "pattern_logical_or",
-    """
-    SELECT event_id, user_id, ts,
-           CASE WHEN event_type = 'signup' THEN 'first' ELSE 'second' END AS branch
-    FROM events
-    WHERE event_type = 'signup' OR event_type = 'error'
-    """,
-    doc="logical OR pattern: signup OR error with branch tag "
-    "(reference logical_pre_state_processor.rs OR mode); filter-only, no shuffle",
-)
-def q_pattern_logical_or(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = Catalog(spark, sf_dir)["events"]
-    m = pattern.logical_or(
+    o = pattern.logical_or(
         ev,
         ["user_id"],
         first=F.col("event_type") == "signup",
         second=F.col("event_type") == "error",
     )
-    return m.select("event_id", "user_id", "ts", "branch")
+    or_rows = o.select(
+        F.concat(F.lit("or_"), F.col("branch")).alias("branch"),
+        "user_id",
+        F.col("event_id").alias("a_event_id"),
+        F.lit(None).cast("bigint").alias("b_event_id"),
+        F.col("ts").alias("matched_at"),
+    )
+    return and_rows.unionByName(or_rows)
 
 
 @register(
@@ -1116,13 +1127,21 @@ def q_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
     FROM events GROUP BY 1, 2
+    UNION ALL
+    SELECT CAST(range AS TIMESTAMP) AS window_start,
+           '__tick__' AS event_type,
+           CAST(0 AS BIGINT) AS n, CAST(0 AS DOUBLE) AS total
+    FROM range(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 06:00:01',
+               INTERVAL 15 MINUTES)
     """,
     doc="cron('*/5 * * * *') window: flush every 5 minutes -> periodic-cron "
     "bucketing (reference CronWindowProcessor window/mod.rs:1742; the "
-    "scheduler thread becomes a window boundary)",
+    "scheduler thread becomes a window boundary). Union-tagged '__tick__' "
+    "rows exercise the trigger runtime's batch tick relation "
+    "(trigger_definition.rs at_every; streaming twin is the rate source)",
 )
 def q_cron_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from engine_spark.operators.triggers import cron_window
+    from engine_spark.operators.triggers import cron_window, trigger_batch
 
     ev = Catalog(spark, sf_dir)["events"]
     out = cron_window(
@@ -1132,26 +1151,16 @@ def q_cron_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total"),
         ],
-    )
-    return out.select("window_start", "event_type", "n", "total")
-
-
-@register(
-    "trigger_ticks",
-    """
-    SELECT CAST(range AS TIMESTAMP) AS triggered_time
-    FROM range(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-01 06:00:01',
-               INTERVAL 15 MINUTES)
-    """,
-    doc="trigger runtime (trigger_definition.rs at_every): batch tick "
-    "relation for historical replays; streaming twin is the rate source",
-)
-def q_trigger_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from engine_spark.operators.triggers import trigger_batch
-
-    return trigger_batch(
+    ).select("window_start", "event_type", "n", "total")
+    ticks = trigger_batch(
         spark, "2024-01-01 00:00:00", "2024-01-01 06:00:00", 900
-    ).select("triggered_time")
+    ).select(
+        F.col("triggered_time").alias("window_start"),
+        F.lit("__tick__").alias("event_type"),
+        F.lit(0).cast("bigint").alias("n"),
+        F.lit(0.0).cast("double").alias("total"),
+    )
+    return out.unionByName(ticks)
 
 
 @register(
@@ -1354,8 +1363,7 @@ _ORDER = [
     "agg_approx_distinct",
     "incremental_agg_hour",
     # 2c joins
-    "join_left_outer",
-    "join_full_outer",
+    "join_outer_modes",
     "semi_anti_join",
     "stream_stream_windowed_join",
     "asof_join_last_view",
@@ -1364,8 +1372,7 @@ _ORDER = [
     "window_hopping_1h_15m",
     "window_sliding_time_10m",
     "window_session_30m",
-    "window_length_5",
-    "window_length_batch_50",
+    "window_length_modes",
     "window_sort_top3",
     "frequent_items",
     "cron_window_5min",
@@ -1393,14 +1400,12 @@ _ORDER = [
     "sample_deterministic",
     "vocab_topk",
     "pipeline_end_to_end",
-    # ---- position 51+: redundant variants of families covered above ----
-    "pattern_logical_or",         # logical family covered by pattern_logical_and
-    "trigger_ticks",              # trigger family covered by cron_window_5min
-    "join_q3_shipping_priority",  # multiway covered by join_multiway_q5
-    "ann_ivf_trained",            # rows-only (k-means not SQL-expressible);
-                                  # oracle'd IVF covered by ann_ivf_cosine
-    "pii_scrub",                  # text family covered by text_quality/
-                                  # text_analysis inside the window
+    # variants now fitting inside the 50-entry checked window after the
+    # tag-union consolidation (pii→text_quality, or→logical_and,
+    # full_outer→join_outer_modes, lengthBatch→window_length_modes,
+    # ticks→cron_window_5min)
+    "join_q3_shipping_priority",
+    "ann_ivf_trained",            # rows-only (k-means not SQL-expressible)
 ]
 
 
