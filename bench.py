@@ -59,9 +59,17 @@ def main() -> None:
     for name in headline:
         if name not in QUERIES:
             continue
-        # best of 2: this host shows heavy noisy-neighbor variance (same
-        # plan measured 4.4s and 17s back-to-back); min-of-2 reports the
-        # plan's cost, not the hypervisor's mood
+        # one untimed warm-up run first: the first execution of a plan pays
+        # one-off whole-stage-codegen compilation and JIT warm-up (measured
+        # 15.9s -> 4.4s -> 1.6s back-to-back on dedup_minhash_lsh) — a fixed
+        # cost that amortizes to nothing over a 100 TB run, so steady state
+        # is the honest per-plan number
+        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        # then best of 2: this host shows heavy noisy-neighbor variance
+        # (same plan measured 4.4s and 17s back-to-back); min-of-2 reports
+        # the plan's cost, not the hypervisor's mood
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -88,6 +96,9 @@ def main() -> None:
         ("cep_window_chain_eps", "window_sliding_time_10m", n_events),
         ("pattern_chain_eps", "pattern_followed_by", n_events),
     ):
+        QUERIES[qname].spark(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()  # untimed codegen warm-up, same rationale as above
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -8,7 +8,7 @@ option chains the matching mapper.
 | extension  | reference                      | Spark binding                  |
 |------------|--------------------------------|--------------------------------|
 | timer      | timer_source.rs (counter/N ms) | rate / rate-micro-batch source |
-| websocket  | websocket_source.rs            | socket source (host/port)      |
+| websocket  | websocket_source.rs            | RFC 6455 Python Data Source    |
 | file       | (planned in reference)         | file stream source             |
 | memory     | InputHandler (programmatic)    | StreamRunner harness dir       |
 | rabbitmq   | rabbitmq_source.rs (1,150 LoC) | gated: needs an AMQP connector |
@@ -43,15 +43,23 @@ def _timer(spark: SparkSession, opts: dict) -> DataFrame:
 
 
 def _socket(spark: SparkSession, opts: dict) -> DataFrame:
-    """websocket parity source: line-per-event over a TCP socket (the
-    reference's websocket_source.rs is WS-framed; Spark's socket source is
-    the test-parity equivalent per SURVEY §2a)."""
+    """line-per-event over a raw TCP socket (Spark's built-in socket
+    source); kept alongside the real WS-framed source below."""
     return (
         spark.readStream.format("socket")
         .option("host", opts.get("host", "localhost"))
         .option("port", int(opts.get("port", "9999")))
         .load()
     )
+
+
+def _websocket(spark: SparkSession, opts: dict) -> DataFrame:
+    """real RFC 6455 WebSocket source (sources/websocket.py): stdlib
+    handshake + framing behind a PySpark Python Data Source stream reader
+    (reference websocket_source.rs:906 — spec only)."""
+    from engine_spark.sources.websocket import ws_source
+
+    return ws_source(spark, opts)
 
 
 def _file(spark: SparkSession, opts: dict) -> DataFrame:
@@ -97,7 +105,7 @@ def _filequeue(spark: SparkSession, opts: dict) -> DataFrame:
 
 SOURCES: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "timer": _timer,
-    "websocket": _socket,
+    "websocket": _websocket,
     "socket": _socket,
     "file": _file,
     "memory": _memory,
@@ -156,11 +164,12 @@ def _rabbitmq_writer(df: DataFrame, opts: dict):
 
 
 def _websocket_writer(df: DataFrame, opts: dict):
-    raise NotImplementedError(
-        "websocket sink requires a WS client on the executors; wire a "
-        "foreachBatch broadcaster when the library is available "
-        "(reference websocket_sink.rs)"
-    )
+    """real RFC 6455 WebSocket sink (sources/websocket.py): per-partition
+    executor-side WS client connections pushing one JSON text frame per row
+    (reference websocket_sink.rs:863 — spec only)."""
+    from engine_spark.sources.websocket import ws_sink_writer
+
+    return ws_sink_writer(df, opts)
 
 
 def _filequeue_writer(df: DataFrame, opts: dict):
