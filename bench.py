@@ -42,9 +42,9 @@ def main() -> None:
         "frequent_items",
         # datapipe (LLM-training-data operators)
         "dedup_minhash_lsh",
+        "dedup_clusters",
         "dedup_embedding_cosine",
-        "ann_topk_cosine",
-        "ann_ivf_cosine",
+        "ann_search_modes",
         "text_quality",
         "pipeline_end_to_end",
         # SQL front-end end-to-end + rollups

@@ -1,0 +1,117 @@
+"""Connected-components clustering over a near-duplicate pair graph.
+
+The canonical dedup flow at corpus scale is: LSH candidate pairs → verified
+near-dup edges → **connected components** → keep one canonical document per
+component. Pair lists alone under-delete (A≈B, B≈C but A,C were never a
+candidate pair — all three are one duplicate cluster); components close the
+transitive hull. The reference engine has no dedup surface at all — this is
+part of the brief-mandated LLM-data-pipeline module, built Spark-first.
+
+Algorithm: iterative min-label propagation (a.k.a. hash-to-min). Every node
+starts labeled with itself; each round every node takes the minimum label
+among itself and its neighbors; fixpoint ⇔ every node carries the minimum
+doc_id of its component.
+
+Scale design (the part that must survive 100 TB):
+- one round = ONE shuffle-join (edges ⋈ labels on the neighbor key) + ONE
+  combine-enabled min-aggregation — both keyed shuffles, no driver data;
+- rounds needed = max component *diameter*. Near-dup components are
+  clique-like (every member shares most shingles with every other, so LSH
+  emits most pairs directly) — diameter 2-3 in practice, so 3-4 rounds.
+  For adversarially chain-shaped graphs the alternating large-star /
+  small-star variant (Kiveris et al., "Connected Components in MapReduce
+  and Beyond", SoCC 2014) converges in O(log²n) rounds by rewiring edges
+  instead of propagating labels; the round structure below (join + min-agg)
+  is the same building block;
+- per-round ``localCheckpoint`` truncates the growing lineage so round k
+  doesn't re-execute rounds 1..k-1 (the classic iterative-Spark trap);
+- the driver sees only a one-row changed-count per round, never data.
+
+The convergence check and the label update share one cached plan, so each
+round costs exactly two jobs (materialize + count), both O(|V|/cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 25,
+) -> DataFrame:
+    """Labels every vertex of the undirected graph ``edges`` with the
+    minimum vertex id of its connected component.
+
+    Returns ``(vertex, component)`` — one row per distinct vertex that
+    appears in any edge. Raises if the graph hasn't converged after
+    ``max_rounds`` (diameter > max_rounds means the input is not a
+    near-dup-shaped graph; use large-star/small-star instead).
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = (
+        sym.select("u").distinct().withColumn("lbl", F.col("u"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_rounds):
+        neighbor_lbl = sym.join(
+            labels.withColumnsRenamed({"u": "v", "lbl": "nlbl"}), "v"
+        ).select("u", F.col("nlbl").alias("lbl"))
+        new_labels = (
+            labels.union(neighbor_lbl)
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.withColumnsRenamed({"lbl": "new_lbl"})
+            .join(labels, "u")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(
+                F.col("u").alias("vertex"), F.col("lbl").alias("component")
+            )
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_rounds} rounds "
+        "(component diameter exceeds the round budget — switch to the "
+        "large-star/small-star formulation for chain-shaped graphs)"
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    left: str = "doc_a",
+    right: str = "doc_b",
+) -> DataFrame:
+    """Near-dup pair list → per-document cluster assignment.
+
+    Output: ``(doc_id, canonical_id, cluster_size, is_canonical)`` for every
+    document that appears in at least one verified near-dup pair. The
+    canonical document of a cluster is its minimum doc_id (deterministic,
+    engine-independent); downstream dedup keeps rows where
+    ``is_canonical`` and drops the rest.
+    """
+    comp = connected_components(pairs, src=left, dst=right)
+    sizes = comp.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("vertex").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+            (F.col("vertex") == F.col("component")).alias("is_canonical"),
+        )
+    )

@@ -160,12 +160,18 @@ def tokens(d: Dialect, text: str = "text") -> str:
     return d.split_ws(text)
 
 
-def shingles(d: Dialect, toks: str, k: int) -> str:
-    """Distinct word-k-grams of a token list (empty when < k tokens)."""
+def grams_all(d: Dialect, toks: str, k: int) -> str:
+    """ALL word-k-grams of a token list, duplicates preserved (empty when
+    < k tokens) — the denominator of repetition-ratio quality metrics."""
     n = d.size(toks)
     idx = d.seq1(f"{n} - {k - 1}")
     gram = d.arr_join(d.slice_k(toks, "i", k))
-    return d.distinct(d.transform(idx, "i", gram))
+    return d.transform(idx, "i", gram)
+
+
+def shingles(d: Dialect, toks: str, k: int) -> str:
+    """Distinct word-k-grams of a token list (empty when < k tokens)."""
+    return d.distinct(grams_all(d, toks, k))
 
 
 def shingle_hashes(d: Dialect, sh: str) -> str:

@@ -88,6 +88,33 @@ def _pii_count(d: Dialect, pat: str, col: str = "text") -> str:
     return f"len(regexp_extract_all({col}, '{pat}'))"
 
 
+def _repetition_cols(d: Dialect) -> list[tuple[str, str]]:
+    """Gopher/C4-style repetition and symbol filters (row-local):
+    dup_2gram_ratio = fraction of word-2-grams that are repeats of an
+    earlier 2-gram in the same doc (the Gopher duplicate-n-gram rule);
+    symbol_ratio = non-alphanumeric chars per char (C4 symbol filter);
+    max_token_len = longest token (both filters flag machine-generated /
+    boilerplate text that length and stopword ratios miss)."""
+    toks = FR.tokens(d)
+    g2 = FR.grams_all(d, toks, 2)
+    dup = (
+        f"CASE WHEN {d.size(g2)} = 0 THEN 0.0 ELSE "
+        + r6(
+            f"1.0 - CAST({d.size(d.distinct(g2))} AS DOUBLE) / {d.size(g2)}"
+        )
+        + " END"
+    )
+    sym = r6(
+        f"CAST({_pii_count(d, '[^A-Za-z0-9 ]')} AS DOUBLE) / greatest(length(text), 1)"
+    )
+    maxlen = f"coalesce({d.amax(d.transform(toks, 't', 'length(t)'))}, 0)"
+    return [
+        ("dup_2gram_ratio", dup),
+        ("symbol_ratio", sym),
+        ("max_token_len", maxlen),
+    ]
+
+
 @register(
     "text_quality",
     f"""
@@ -97,6 +124,7 @@ def _pii_count(d: Dialect, pat: str, col: str = "text") -> str:
            {r6(f"CAST({DK.size(DK.distinct(FR.tokens(DK)))} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS uniq_ratio,
            {r6(f"CAST({DK.agg_sum_int(FR.tokens(DK), 't', 'length(t)')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS avg_token_len,
            {r6(f"CAST({FR.stopword_hits(DK, FR.tokens(DK), 'en')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS stopword_ratio,
+           {", ".join(f"{e} AS {n}" for n, e in _repetition_cols(DK))},
            {_pii_count(DK, PII_PATTERNS['email'])} AS n_email,
            {_pii_count(DK, PII_PATTERNS['ipv4'])} AS n_ipv4,
            {_pii_count(DK, PII_PATTERNS['phone'])} AS n_phone,
@@ -104,12 +132,14 @@ def _pii_count(d: Dialect, pat: str, col: str = "text") -> str:
     FROM documents
     """,
     doc=(
-        "per-document quality stats (length/uniqueness/stopword ratios) plus "
-        "PII redaction (emails / IPv4 / phone numbers -> <CLASS> tokens) with "
-        "per-class counts — the standard pre-training scrub stage. All "
-        "row-local regexp/array expressions fused into one projection over "
-        "one scan, map-only at any scale. The gate hashes the scrubbed text "
-        "so both engines must produce identical output byte-for-byte."
+        "per-document quality stats (length/uniqueness/stopword ratios, "
+        "Gopher-style duplicate-2-gram + C4-style symbol-ratio + max-token-"
+        "length repetition filters) plus PII redaction (emails / IPv4 / "
+        "phone numbers -> <CLASS> tokens) with per-class counts — the "
+        "standard pre-training scrub stage. All row-local regexp/array "
+        "expressions fused into one projection over one scan, map-only at "
+        "any scale. The gate hashes the scrubbed text so both engines must "
+        "produce identical output byte-for-byte."
     ),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,6 +164,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"/ greatest({SP.size(toks)}, 1)"
             )
         ).alias("stopword_ratio"),
+        *[F.expr(e).alias(n) for n, e in _repetition_cols(SP)],
         F.expr(_pii_count(SP, PII_PATTERNS["email"])).alias("n_email"),
         F.expr(_pii_count(SP, PII_PATTERNS["ipv4"])).alias("n_ipv4"),
         F.expr(_pii_count(SP, PII_PATTERNS["phone"])).alias("n_phone"),
@@ -328,14 +359,15 @@ def _mh_exprs(d: Dialect, hashes: str) -> list[str]:
     ]
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
+    """The signature/band/candidate CTE list shared by the pair gate and the
+    cluster gate's oracle (both sides of the same dedup flow)."""
     mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
     mh_defs = ", ".join(f"{e} AS mh{i}" for i, e in enumerate(_mh_exprs(DK, "hs")))
     band_case = " ".join(
         f"WHEN {b} THEN {FR.band_key(DK, mh_cols, b)}" for b in range(LSH_BANDS)
     )
-    return f"""
-    WITH s AS (
+    return f"""s AS (
       SELECT doc_id, sh, {mh_defs}
       FROM (SELECT doc_id, sh, {FR.shingle_hashes(DK, 'sh')} AS hs
             FROM (SELECT doc_id, {FR.shingles(DK, FR.tokens(DK), 2)} AS sh FROM documents))
@@ -349,7 +381,12 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
        AND a.doc_id < b.doc_id
-    )
+    )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_pair_ctes()}
     SELECT doc_a, doc_b, {r6(FR.jaccard(DK, 'x.sh', 'y.sh'))} AS jaccard
     FROM cand JOIN s x ON cand.doc_a = x.doc_id JOIN s y ON cand.doc_b = y.doc_id
     WHERE {FR.jaccard(DK, 'x.sh', 'y.sh')} >= {JACCARD_T}
@@ -429,6 +466,54 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= JACCARD_T)
     )
     return j.select("doc_a", "doc_b", F.expr(r6("jac")).alias("jaccard"))
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_minhash_pair_ctes()},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN s x ON cand.doc_a = x.doc_id JOIN s y ON cand.doc_b = y.doc_id
+      WHERE {FR.jaccard(DK, 'x.sh', 'y.sh')} >= {JACCARD_T}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS canonical_id FROM reach GROUP BY u
+    ),
+    sizes AS (
+      SELECT canonical_id, count(*) AS cluster_size FROM comp GROUP BY canonical_id
+    )
+    SELECT c.doc_id, c.canonical_id, z.cluster_size,
+           c.doc_id = c.canonical_id AS is_canonical
+    FROM comp c JOIN sizes z ON c.canonical_id = z.canonical_id
+    """,
+    doc=(
+        "connected components over the verified MinHash near-dup pairs — "
+        "the step that turns pair lists into actual dedup decisions "
+        "(A~B, B~C but A,C never a candidate pair: all three are ONE "
+        "cluster; pairs alone under-delete). Spark side: iterative "
+        "min-label propagation, one keyed join + one combine-enabled min "
+        "aggregation per round, lineage truncated per round; rounds = "
+        "component diameter (near-dup components are clique-like, 2-4 "
+        "rounds). Oracle: recursive-CTE transitive closure. Canonical doc "
+        "= min doc_id; keep-rows are is_canonical."
+    ),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.cluster import dedup_clusters
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)
 
 
 HAMMING_T = 2
@@ -607,33 +692,11 @@ ANN_N_QUERIES = 5
 ANN_K = 5
 
 
-@register(
-    "ann_topk_cosine",
-    f"""
-    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd,
-                      {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
-               FROM embeddings),
-    q AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn FROM e WHERE vec_id < {ANN_N_QUERIES}),
-    scored AS (
-      SELECT q.q_id, e.vec_id AS cand_id,
-             {r6(f"{FR.dot_chain(DK, 'q.qv', 'e.vd', EMB_DIM)} / (q.qn * e.nrm)")} AS cos_sim
-      FROM q JOIN e ON e.vec_id <> q.q_id
-    )
-    SELECT q_id, cand_id, cos_sim, rnk
-    FROM (
-      SELECT q_id, cand_id, cos_sim,
-             row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id) AS rnk
-      FROM scored
-    ) WHERE rnk <= {ANN_K}
-    """,
-    doc=(
-        "brute-force cosine top-k (the exact baseline): the small query set "
-        "is broadcast, candidates stream through once — one scan, one "
-        "top-k shuffle keyed by query id. Ranks on the rounded score so the "
-        "order is engine-independent."
-    ),
-)
 def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline): the small query set
+    is broadcast, candidates stream through once — one scan, one top-k
+    shuffle keyed by query id. Registered via the ``ann_search_modes``
+    tag-union gate below."""
     from pyspark.sql import Window
 
     emb = Catalog(spark, sf_dir)["embeddings"]
@@ -796,37 +859,11 @@ def _ivf_probe_cells(d: Dialect, vec: str) -> str:
     )
 
 
-@register(
-    "ann_ivf_cosine",
-    f"""
-    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd,
-                      {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
-               FROM embeddings),
-    cells AS (SELECT vec_id, vd, nrm, {_ivf_cell(DK, 'vd', IVF_CENTS)} AS cell FROM e),
-    q AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn,
-                 unnest({_ivf_probe_cells(DK, 'vd')}) AS probe
-          FROM e WHERE vec_id < {ANN_N_QUERIES}),
-    scored AS (
-      SELECT q.q_id, c.vec_id AS cand_id,
-             {r6(f"{FR.dot_chain(DK, 'q.qv', 'c.vd', EMB_DIM)} / (q.qn * c.nrm)")} AS cos_sim
-      FROM q JOIN cells c ON c.cell = q.probe AND c.vec_id <> q.q_id
-    )
-    SELECT q_id, cand_id, cos_sim, rnk
-    FROM (SELECT q_id, cand_id, cos_sim,
-                 row_number() OVER (PARTITION BY q_id
-                                    ORDER BY cos_sim DESC, cand_id) AS rnk
-          FROM scored)
-    WHERE rnk <= {IVF_TOPK}
-    """,
-    doc=(
-        f"IVF ANN: vectors assigned to {IVF_K} centroid cells (row-local "
-        f"argmax), queries probe their top-{IVF_NPROBE} cells, exact cosine "
-        "ranks within probed cells only — the inverted-file scale path "
-        "(cell = shuffle key; candidates/query = nprobe/K of the corpus). "
-        "Centroids are deterministic seeds; production swaps in k-means."
-    ),
-)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the fixed seeded codebook: vectors assigned to centroid
+    cells (row-local argmax), queries probe their top-nprobe cells, exact
+    cosine ranks within probed cells only. Registered via the
+    ``ann_search_modes`` tag-union gate below."""
     from pyspark.sql import Window
 
     emb = Catalog(spark, sf_dir)["embeddings"]
@@ -863,6 +900,59 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= IVF_TOPK)
         .select("q_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+@register(
+    "ann_search_modes",
+    f"""
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd,
+                      {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn FROM e WHERE vec_id < {ANN_N_QUERIES}),
+    bscored AS (
+      SELECT q.q_id, e.vec_id AS cand_id,
+             {r6(f"{FR.dot_chain(DK, 'q.qv', 'e.vd', EMB_DIM)} / (q.qn * e.nrm)")} AS cos_sim
+      FROM q JOIN e ON e.vec_id <> q.q_id
+    ),
+    cells AS (SELECT vec_id, vd, nrm, {_ivf_cell(DK, 'vd', IVF_CENTS)} AS cell FROM e),
+    iq AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn,
+                  unnest({_ivf_probe_cells(DK, 'vd')}) AS probe
+           FROM e WHERE vec_id < {ANN_N_QUERIES}),
+    iscored AS (
+      SELECT iq.q_id, c.vec_id AS cand_id,
+             {r6(f"{FR.dot_chain(DK, 'iq.qv', 'c.vd', EMB_DIM)} / (iq.qn * c.nrm)")} AS cos_sim
+      FROM iq JOIN cells c ON c.cell = iq.probe AND c.vec_id <> iq.q_id
+    )
+    SELECT 'exact' AS mode, q_id, cand_id, cos_sim, rnk
+    FROM (SELECT q_id, cand_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, cand_id) AS rnk
+          FROM bscored)
+    WHERE rnk <= {ANN_K}
+    UNION ALL
+    SELECT 'ivf' AS mode, q_id, cand_id, cos_sim, rnk
+    FROM (SELECT q_id, cand_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos_sim DESC, cand_id) AS rnk
+          FROM iscored)
+    WHERE rnk <= {IVF_TOPK}
+    """,
+    doc=(
+        "ANN search, both physical strategies in one tag-union gate: "
+        "mode='exact' is brute-force cosine top-k (broadcast query set, one "
+        f"corpus scan — the labeled baseline); mode='ivf' assigns vectors to "
+        f"{IVF_K} centroid cells (row-local argmax), probes the query's "
+        f"top-{IVF_NPROBE} cells and ranks within probed cells only — the "
+        "inverted-file scale path (cell = shuffle key; candidates/query = "
+        "nprobe/K of the corpus). IVF centroids here are deterministic "
+        "seeds so the oracle can inline them; ann_ivf_trained runs the "
+        "k-means-trained production path."
+    ),
+)
+def q_ann_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_ann_topk_cosine(spark, sf_dir).withColumn("mode", F.lit("exact"))
+    ivf = q_ann_ivf(spark, sf_dir).withColumn("mode", F.lit("ivf"))
+    return exact.unionByName(ivf).select("mode", "q_id", "cand_id", "cos_sim", "rnk")
 
 
 @register(

@@ -1391,10 +1391,10 @@ _ORDER = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "dedup_embedding_cosine",
-    "ann_topk_cosine",
-    "ann_ivf_cosine",
+    "ann_search_modes",
     "embedding_quantize",
     "multimodal_pipeline",
     "sample_deterministic",

@@ -285,3 +285,62 @@ def test_pii_scrub_redacts_all_classes(spark):
     assert got[1] == "clean text with no identifiers"
     # patterns are backslash-free so the literal is dialect-portable
     assert all("\\" not in p for p in PII_PATTERNS.values())
+
+
+def test_connected_components_chain_and_clique(spark):
+    from engine_spark.datapipe.cluster import connected_components
+
+    # chain 1-2-3-4 (diameter 3: transitivity must propagate), clique 10-11-12,
+    # isolated pair 20-21; vertex 99 appears in no edge -> absent from output
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src long, dst long",
+    )
+    out = {r["vertex"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_canonical_and_sizes(spark):
+    from engine_spark.datapipe.cluster import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 7), (30, 31)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r for r in dedup_clusters(pairs).collect()}
+    assert got[5]["canonical_id"] == 5 and got[5]["is_canonical"]
+    assert got[7]["canonical_id"] == 5 and not got[7]["is_canonical"]
+    assert got[9]["cluster_size"] == 3
+    assert got[30]["cluster_size"] == 2 and got[31]["canonical_id"] == 30
+
+
+def test_connected_components_round_budget_raises(spark):
+    import pytest
+
+    from engine_spark.datapipe.cluster import connected_components
+
+    long_chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(long_chain, max_rounds=2)
+
+
+def test_repetition_metrics_flag_duplicated_text(spark):
+    from engine_spark.datapipe.queries import _repetition_cols
+
+    df = spark.createDataFrame(
+        [
+            (0, "spam spam spam spam spam"),   # one distinct 2-gram, 4 total
+            (1, "all fresh words never repeat"),
+            (2, "x"),                           # no 2-grams -> ratio 0 by guard
+            (3, "a b ###### c"),                # symbols + a long token
+        ],
+        "doc_id long, text string",
+    )
+    cols = [F.expr(e).alias(n) for n, e in _repetition_cols(SP)]
+    out = {r["doc_id"]: r for r in df.select("doc_id", *cols).collect()}
+    assert out[0]["dup_2gram_ratio"] == 0.75  # 1 - 1/4
+    assert out[1]["dup_2gram_ratio"] == 0.0
+    assert out[2]["dup_2gram_ratio"] == 0.0
+    assert out[3]["symbol_ratio"] > 0.4
+    assert out[3]["max_token_len"] == 6
