@@ -79,6 +79,36 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
 
+    # The Arrow/numpy production variant of the embedding dedup flow (same
+    # plan shape as dedup_embedding_cosine; gates keep the HOF fold only for
+    # cross-engine bit-exactness — see datapipe/vector.py for the 4.1×/2.4×
+    # kernel measurements). Timed here so the scale path has a number.
+    from pyspark.sql import functions as F  # noqa: F811 (re-imported below)
+
+    from engine_spark.catalog import Catalog
+    from engine_spark.datapipe.queries import (
+        COSINE_T,
+        LSH_PROJ_DIM,
+        PLANES,
+        SP,
+        _vecd,
+    )
+    from engine_spark.datapipe.vector import dedup_embedding_cosine_arrow
+
+    def _arrow_dedup():
+        vecs = Catalog(spark, sf_dir)["embeddings"].select(
+            "vec_id", F.expr(_vecd(SP)).alias("vd")
+        )
+        return dedup_embedding_cosine_arrow(vecs, PLANES, LSH_PROJ_DIM, COSINE_T)
+
+    _arrow_dedup().write.format("noop").mode("overwrite").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _arrow_dedup().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    times["dedup_embedding_cosine_arrow"] = round(best, 4)
+
     total = round(sum(times.values()), 4)
 
     # Throughput in events/second — the reference's headline unit

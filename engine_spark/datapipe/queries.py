@@ -88,26 +88,36 @@ def _pii_count(d: Dialect, pat: str, col: str = "text") -> str:
     return f"len(regexp_extract_all({col}, '{pat}'))"
 
 
+def _symbol_strip(d: Dialect, col: str = "text") -> str:
+    """text with all non-alphanumeric-non-space chars removed — the symbol
+    COUNT is then a length difference (no per-char match array, unlike
+    regexp_extract_all; the array version measured ~6x the whole-query
+    cost at sf0.1)."""
+    if d.spark:
+        return f"regexp_replace({col}, '[^A-Za-z0-9 ]', '')"
+    return f"regexp_replace({col}, '[^A-Za-z0-9 ]', '', 'g')"
+
+
 def _repetition_cols(d: Dialect) -> list[tuple[str, str]]:
     """Gopher/C4-style repetition and symbol filters (row-local):
     dup_2gram_ratio = fraction of word-2-grams that are repeats of an
     earlier 2-gram in the same doc (the Gopher duplicate-n-gram rule);
     symbol_ratio = non-alphanumeric chars per char (C4 symbol filter);
     max_token_len = longest token (both filters flag machine-generated /
-    boilerplate text that length and stopword ratios miss)."""
-    toks = FR.tokens(d)
-    g2 = FR.grams_all(d, toks, 2)
+    boilerplate text that length and stopword ratios miss).
+
+    References pre-staged ``_toks`` / ``_g2`` columns — the interpreted
+    tokenizer/gram HOFs must evaluate once per row, not once per use."""
     dup = (
-        f"CASE WHEN {d.size(g2)} = 0 THEN 0.0 ELSE "
-        + r6(
-            f"1.0 - CAST({d.size(d.distinct(g2))} AS DOUBLE) / {d.size(g2)}"
-        )
+        f"CASE WHEN {d.size('_g2')} = 0 THEN 0.0 ELSE "
+        + r6(f"1.0 - CAST({d.size(d.distinct('_g2'))} AS DOUBLE) / {d.size('_g2')}")
         + " END"
     )
     sym = r6(
-        f"CAST({_pii_count(d, '[^A-Za-z0-9 ]')} AS DOUBLE) / greatest(length(text), 1)"
+        f"CAST(length(text) - length({_symbol_strip(d)}) AS DOUBLE) "
+        "/ greatest(length(text), 1)"
     )
-    maxlen = f"coalesce({d.amax(d.transform(toks, 't', 'length(t)'))}, 0)"
+    maxlen = f"coalesce({d.amax(d.transform('_toks', 't', 'length(t)'))}, 0)"
     return [
         ("dup_2gram_ratio", dup),
         ("symbol_ratio", sym),
@@ -115,21 +125,43 @@ def _repetition_cols(d: Dialect) -> list[tuple[str, str]]:
     ]
 
 
+def _quality_cols(d: Dialect) -> list[tuple[str, str]]:
+    """All text_quality output columns over pre-staged ``_toks``/``_g2``
+    array columns (interpreted HOFs evaluate once per row, not once per
+    consumer — the staging halves were measured at 7.1 s -> ~1 s, sf0.1)."""
+    nt = f"greatest({d.size('_toks')}, 1)"
+    return [
+        ("n_tokens", d.size("_toks")),
+        ("n_uniq", d.size(d.distinct("_toks"))),
+        (
+            "uniq_ratio",
+            r6(f"CAST({d.size(d.distinct('_toks'))} AS DOUBLE) / {nt}"),
+        ),
+        (
+            "avg_token_len",
+            r6(
+                f"CAST({d.agg_sum_int('_toks', 't', 'length(t)')} AS DOUBLE) / {nt}"
+            ),
+        ),
+        (
+            "stopword_ratio",
+            r6(f"CAST({FR.stopword_hits(d, '_toks', 'en')} AS DOUBLE) / {nt}"),
+        ),
+        *_repetition_cols(d),
+        ("n_email", _pii_count(d, PII_PATTERNS["email"])),
+        ("n_ipv4", _pii_count(d, PII_PATTERNS["ipv4"])),
+        ("n_phone", _pii_count(d, PII_PATTERNS["phone"])),
+        ("scrubbed_hash", f"md5({scrub_expr(d)})"),
+    ]
+
+
 @register(
     "text_quality",
     f"""
     SELECT doc_id,
-           {DK.size(FR.tokens(DK))} AS n_tokens,
-           {DK.size(DK.distinct(FR.tokens(DK)))} AS n_uniq,
-           {r6(f"CAST({DK.size(DK.distinct(FR.tokens(DK)))} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS uniq_ratio,
-           {r6(f"CAST({DK.agg_sum_int(FR.tokens(DK), 't', 'length(t)')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS avg_token_len,
-           {r6(f"CAST({FR.stopword_hits(DK, FR.tokens(DK), 'en')} AS DOUBLE) / greatest({DK.size(FR.tokens(DK))}, 1)")} AS stopword_ratio,
-           {", ".join(f"{e} AS {n}" for n, e in _repetition_cols(DK))},
-           {_pii_count(DK, PII_PATTERNS['email'])} AS n_email,
-           {_pii_count(DK, PII_PATTERNS['ipv4'])} AS n_ipv4,
-           {_pii_count(DK, PII_PATTERNS['phone'])} AS n_phone,
-           md5({scrub_expr(DK)}) AS scrubbed_hash
-    FROM documents
+           {", ".join(f"{e} AS {n}" for n, e in _quality_cols(DK))}
+    FROM (SELECT doc_id, text, _toks, {FR.grams_all(DK, '_toks', 2)} AS _g2
+          FROM (SELECT doc_id, text, {FR.tokens(DK)} AS _toks FROM documents))
     """,
     doc=(
         "per-document quality stats (length/uniqueness/stopword ratios, "
@@ -138,37 +170,18 @@ def _repetition_cols(d: Dialect) -> list[tuple[str, str]]:
         "phone numbers -> <CLASS> tokens) with per-class counts — the "
         "standard pre-training scrub stage. All row-local regexp/array "
         "expressions fused into one projection over one scan, map-only at "
-        "any scale. The gate hashes the scrubbed text so both engines must "
-        "produce identical output byte-for-byte."
+        "any scale; the token/2-gram arrays are staged once per row. The "
+        "gate hashes the scrubbed text so both engines must produce "
+        "identical output byte-for-byte."
     ),
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
-    toks = FR.tokens(SP)
-    return docs.select(
-        "doc_id",
-        F.expr(SP.size(toks)).alias("n_tokens"),
-        F.expr(SP.size(SP.distinct(toks))).alias("n_uniq"),
-        F.expr(
-            r6(f"CAST({SP.size(SP.distinct(toks))} AS DOUBLE) / greatest({SP.size(toks)}, 1)")
-        ).alias("uniq_ratio"),
-        F.expr(
-            r6(
-                f"CAST({SP.agg_sum_int(toks, 't', 'length(t)')} AS DOUBLE) "
-                f"/ greatest({SP.size(toks)}, 1)"
-            )
-        ).alias("avg_token_len"),
-        F.expr(
-            r6(
-                f"CAST({FR.stopword_hits(SP, toks, 'en')} AS DOUBLE) "
-                f"/ greatest({SP.size(toks)}, 1)"
-            )
-        ).alias("stopword_ratio"),
-        *[F.expr(e).alias(n) for n, e in _repetition_cols(SP)],
-        F.expr(_pii_count(SP, PII_PATTERNS["email"])).alias("n_email"),
-        F.expr(_pii_count(SP, PII_PATTERNS["ipv4"])).alias("n_ipv4"),
-        F.expr(_pii_count(SP, PII_PATTERNS["phone"])).alias("n_phone"),
-        F.expr(f"md5({scrub_expr(SP)})").alias("scrubbed_hash"),
+    staged = docs.select(
+        "doc_id", "text", F.expr(FR.tokens(SP)).alias("_toks")
+    ).withColumn("_g2", F.expr(FR.grams_all(SP, "_toks", 2)))
+    return staged.select(
+        "doc_id", *[F.expr(e).alias(n) for n, e in _quality_cols(SP)]
     )
 
 

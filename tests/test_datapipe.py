@@ -337,10 +337,39 @@ def test_repetition_metrics_flag_duplicated_text(spark):
         ],
         "doc_id long, text string",
     )
+    staged = df.select(
+        "doc_id",
+        "text",
+        F.expr(FR.tokens(SP)).alias("_toks"),
+        F.expr(FR.grams_all(SP, FR.tokens(SP), 2)).alias("_g2"),
+    )
     cols = [F.expr(e).alias(n) for n, e in _repetition_cols(SP)]
-    out = {r["doc_id"]: r for r in df.select("doc_id", *cols).collect()}
+    out = {r["doc_id"]: r for r in staged.select("doc_id", *cols).collect()}
     assert out[0]["dup_2gram_ratio"] == 0.75  # 1 - 1/4
     assert out[1]["dup_2gram_ratio"] == 0.0
     assert out[2]["dup_2gram_ratio"] == 0.0
     assert out[3]["symbol_ratio"] > 0.4
     assert out[3]["max_token_len"] == 6
+
+
+def test_arrow_kernels_match_fold_path(spark):
+    """The Arrow/numpy scale path must agree with the oracle-gated HOF-fold
+    path: identical candidate pair set, cosines within float noise."""
+    from engine_spark.datapipe.queries import (
+        COSINE_T, LSH_PROJ_DIM, PLANES, SP, _vecd, q_dedup_embedding_cosine,
+    )
+    from engine_spark.datapipe.vector import dedup_embedding_cosine_arrow
+    from engine_spark.catalog import Catalog
+
+    sf = "/root/testdata/sf0.001"
+    fold = q_dedup_embedding_cosine(spark, sf)
+    emb = Catalog(spark, sf)["embeddings"]
+    vecs = emb.select("vec_id", F.expr(_vecd(SP)).alias("vd"))
+    arrow = dedup_embedding_cosine_arrow(
+        vecs, PLANES, LSH_PROJ_DIM, COSINE_T
+    )
+    f = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in fold.collect()}
+    a = {(r["vec_a"], r["vec_b"]): r["cos_sim"] for r in arrow.collect()}
+    assert set(f) == set(a)
+    assert len(f) > 0
+    assert all(abs(f[k] - a[k]) < 1e-6 for k in f)  # fold side is r6-rounded
