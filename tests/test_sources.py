@@ -40,11 +40,11 @@ def test_unknown_extension_raises(spark):
         create_source(spark, {"extension": "kafka9000"})
 
 
-def test_rabbitmq_gated(spark):
-    with pytest.raises(NotImplementedError, match="AMQP"):
+def test_rabbitmq_requires_queue(spark):
+    # the rabbitmq extension is a real AMQP connector now (tests/test_amqp.py
+    # covers the live path); without a queue it must fail fast, not hang
+    with pytest.raises(ValueError, match="queue"):
         create_source(spark, {"extension": "rabbitmq"})
-    with pytest.raises(NotImplementedError, match="AMQP"):
-        create_sink_writer(spark.range(1), {"extension": "rabbitmq"})
 
 
 def test_json_mapper_roundtrip(spark):
