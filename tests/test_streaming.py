@@ -393,6 +393,28 @@ def test_logical_and_stream_pairs_both_orders(spark):
     assert got == [(1.0, 10.0), (1.0, 20.0)]
 
 
+def test_logical_or_stream_is_stateless_filter(spark):
+    """A OR B on a live stream: either branch completes the state on the
+    event that arrives — the batch ``pattern.logical_or`` operator is
+    stateless (disjunctive filter + branch tag), so it runs unchanged on a
+    streaming DataFrame across micro-batches."""
+    from engine_spark.operators import pattern
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send([{"ts": _ts(0), "user": "u1", "etype": "a", "v": 1.0}])
+    r.send([{"ts": _ts(1), "user": "u1", "etype": "c", "v": 9.0}])  # neither
+    r.send([{"ts": _ts(2), "user": "u2", "etype": "b", "v": 2.0}])
+    r.run(
+        lambda df: pattern.logical_or(
+            df, ["user"],
+            first=F.col("etype") == "a",
+            second=F.col("etype") == "b",
+        )
+    )
+    got = sorted((m["user"], m["branch"], m["v"]) for m in r.shutdown())
+    assert got == [("u1", "first", 1.0), ("u2", "second", 2.0)]
+
+
 def test_sql_pattern_three_steps_on_live_stream(spark):
     """SQL PATTERN over a live stream routes through the streaming NFA and
     produces the same alias_column naming the relational path would."""
