@@ -268,7 +268,11 @@ def chain_stream(
     schema = {f.name: f.dataType for f in df.schema.fields}
     if payload_cols is None:
         payload_cols = [c for c in df.columns if c not in (key_col, ts_col)]
-    ts_payload = {c for c in payload_cols if isinstance(schema[c], T.TimestampType)}
+    ts_payload = {
+        c
+        for c in payload_cols
+        if isinstance(schema[c], (T.TimestampType, T.TimestampNTZType))
+    }
 
     tagged = df.withWatermark(ts_col, late)
     for i, (_, pred) in enumerate(steps):

@@ -18,7 +18,10 @@ def test_all_tables_readable(spark):
 
 def test_events_ts_is_timestamp(spark):
     ev = Catalog(spark, SF)["events"]
-    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+    # parquet written with or without isAdjustedToUTC — both are timestamps
+    assert isinstance(
+        ev.schema["ts"].dataType, (T.TimestampType, T.TimestampNTZType)
+    )
     # values are sane wall-clock times, not 1970-epoch garbage
     row = ev.select("ts").first()
     assert row["ts"].year >= 2000
