@@ -25,6 +25,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from engine_spark.functions.timeutils import epoch_micros, epoch_seconds
+
 
 def followed_by(
     df: DataFrame,
@@ -78,7 +80,7 @@ def followed_by(
     # SQL oracle computing (epoch_us(b) - epoch_us(a)) / 1e6
     return out.withColumn(
         "delay_seconds",
-        (F.unix_micros(r_ts) - F.unix_micros(l_ts)).cast("double") / F.lit(1000000.0),
+        (epoch_micros(r_ts) - epoch_micros(l_ts)).cast("double") / F.lit(1000000.0),
     )
 
 
@@ -121,7 +123,7 @@ def count_quantifier(
     filtered = df.filter(event_filter)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col).cast("long"))
+        .orderBy(epoch_seconds(ts_col))
         .rangeBetween(-within_seconds, 0)
     )
     return (
@@ -217,7 +219,7 @@ def count_quantifier_bounded(
     filtered = df.filter(event_filter)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col).cast("long"))
+        .orderBy(epoch_seconds(ts_col))
         .rangeBetween(-within_seconds, 0)
     )
     return (
@@ -248,7 +250,7 @@ def collection_aggregates(
     filtered = df.filter(event_filter)
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col(ts_col).cast("long"))
+        .orderBy(epoch_seconds(ts_col))
         .rangeBetween(-within_seconds, 0)
     )
     out = filtered

@@ -32,6 +32,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from engine_spark.functions.timeutils import epoch_seconds
+
 
 def _partition_spec(partition_by: Sequence[str] | None, allow_global: bool):
     """Keyless sliding windows degrade to one global sort task at scale, so
@@ -114,7 +116,7 @@ def time_sliding(
     ``aggs`` maps output-column-name → aggregate Column (built on input cols).
     """
     w = (
-        _wspec(partition_by, F.col(ts_col).cast("long"), allow_global)
+        _wspec(partition_by, epoch_seconds(ts_col), allow_global)
         .rangeBetween(-duration_seconds, 0)
     )
     out = df

@@ -36,6 +36,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from engine_spark.functions.timeutils import epoch_seconds, epoch_seconds_d
 from engine_spark.operators import joins as J
 from engine_spark.operators import windows as W
 from engine_spark.plans import parser as P
@@ -540,7 +541,7 @@ class SqlApp:
         )
         w = (
             SW.partitionBy(*part)
-            .orderBy(F.col(ts_col).cast("long"))  # epoch seconds
+            .orderBy(epoch_seconds(ts_col))  # epoch seconds (NTZ-safe)
             .rangeBetween(-int(within), 0)
         )
         out = renamed.withColumn("match_count", F.count(F.lit(1)).over(w))
@@ -807,7 +808,7 @@ class SqlApp:
                 if within is not None:
                     conds.append(
                         F.abs(
-                            F.col(a_ts).cast("double") - F.col(b_ts).cast("double")
+                            epoch_seconds_d(a_ts) - epoch_seconds_d(b_ts)
                         )
                         <= float(within)
                     )
@@ -870,10 +871,10 @@ class SqlApp:
                     sel_cols.append(F.col(partition_key).alias("_ab_key"))
                 sel = base.select(*sel_cols)
                 bcond = (
-                    F.col("_ab_ts").cast("double") > F.col(cur_ts).cast("double")
+                    epoch_seconds_d("_ab_ts") > epoch_seconds_d(cur_ts)
                 ) & (
-                    F.col("_ab_ts").cast("double")
-                    <= F.col(cur_ts).cast("double") + float(step.for_seconds)
+                    epoch_seconds_d("_ab_ts")
+                    <= epoch_seconds_d(cur_ts) + float(step.for_seconds)
                 )
                 if partition_key:
                     bcond = bcond & (
@@ -930,8 +931,8 @@ class SqlApp:
                 )
             if within is not None:
                 cond = cond & (
-                    F.col(nxt_ts).cast("double")
-                    <= F.col(first_ts_col).cast("double") + float(within)
+                    epoch_seconds_d(nxt_ts)
+                    <= epoch_seconds_d(first_ts_col) + float(within)
                 )
             if src.mode == "sequence":
                 # SEQUENCE: strict adjacency — no event of ANY involved
@@ -1032,7 +1033,7 @@ class SqlApp:
                 )
             if within is not None:
                 conds.append(
-                    F.abs(F.col(a_ts).cast("double") - F.col(b_ts).cast("double"))
+                    F.abs(epoch_seconds_d(a_ts) - epoch_seconds_d(b_ts))
                     <= float(within)
                 )
             if not conds and not self.allow_unbounded_groups:
@@ -1092,8 +1093,8 @@ class SqlApp:
                 )
         if within is not None:
             cond = cond & (
-                F.col(gts).cast("double")
-                <= F.col(first_ts_col).cast("double") + float(within)
+                epoch_seconds_d(gts)
+                <= epoch_seconds_d(first_ts_col) + float(within)
             )
 
         j = cur.join(g, cond, "inner")

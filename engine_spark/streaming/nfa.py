@@ -63,9 +63,10 @@ def followed_by_stream(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", second.cast("boolean"))
 
+    tstype = df.schema[ts_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} string, e1_ts timestamp, e1_value double, "
-        f"e2_ts timestamp, e2_value double, delay_seconds double"
+        f"{key_col} string, e1_ts {tstype}, e1_value double, "
+        f"e2_ts {tstype}, e2_value double, delay_seconds double"
     )
     state_schema = "starts_ts array<long>, starts_val array<double>"
 
@@ -147,7 +148,8 @@ def absent_stream(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", absent.cast("boolean"))
 
-    out_schema = f"{key_col} string, e1_ts timestamp, e1_value double"
+    tstype = df.schema[ts_col].dataType.simpleString()
+    out_schema = f"{key_col} string, e1_ts {tstype}, e1_value double"
     state_schema = "starts_ts array<long>, starts_val array<double>"
 
     def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -288,7 +290,7 @@ def chain_stream(
     out_parts = [f"{key_col} {schema[key_col].simpleString()}"]
     out_columns = [key_col]
     for alias, _ in steps:
-        out_parts.append(f"{alias}_{ts_col} timestamp")
+        out_parts.append(f"{alias}_{ts_col} {schema[ts_col].simpleString()}")
         out_columns.append(f"{alias}_{ts_col}")
         for c in payload_cols:
             out_parts.append(f"{alias}_{c} {schema[c].simpleString()}")
@@ -482,8 +484,9 @@ def count_quantifier_stream(
     within_us = within_seconds * US
     filtered = df.filter(event_filter).withWatermark(ts_col, late)
     ktype = dict((f.name, f.dataType) for f in df.schema.fields)[key_col].simpleString()
+    tstype = df.schema[ts_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} {ktype}, {ts_col} timestamp, match_count long, "
+        f"{key_col} {ktype}, {ts_col} {tstype}, match_count long, "
         f"{value_col} double"
     )
     state_schema = "buf_ts array<long>"
@@ -549,9 +552,10 @@ def logical_and_stream(
         .filter(F.col("_is_a") | F.col("_is_b"))
     )
     ktype = dict((f.name, f.dataType) for f in df.schema.fields)[key_col].simpleString()
+    tstype = df.schema[ts_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} {ktype}, e1_ts timestamp, e1_value double, "
-        f"e2_ts timestamp, e2_value double, matched_at timestamp"
+        f"{key_col} {ktype}, e1_ts {tstype}, e1_value double, "
+        f"e2_ts {tstype}, e2_value double, matched_at {tstype}"
     )
     state_schema = (
         "a_ts array<long>, a_val array<double>, b_ts array<long>, b_val array<double>"
@@ -700,8 +704,9 @@ def time_sliding_stream(
     dur_us = duration_seconds * US
     tagged = df.withWatermark(ts_col, late)
 
+    tstype = df.schema[ts_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} string, ts timestamp, n long, "
+        f"{key_col} string, ts {tstype}, n long, "
         f"sum_value double, min_value double, max_value double"
     )
     state_schema = "buf_ts array<long>, buf_val array<double>"
