@@ -51,9 +51,14 @@ def connected_components(
     ``max_rounds`` (diameter > max_rounds means the input is not a
     near-dup-shaped graph; use large-star/small-star instead).
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    # materialize the edge list ONCE before symmetrizing: the union below
+    # references it twice, and recomputing an expensive upstream (e.g. the
+    # whole MinHash-LSH candidate pipeline) per branch doubles its cost
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
+    )
+    sym = base.union(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     sym = sym.localCheckpoint(eager=True)
 
@@ -61,15 +66,36 @@ def connected_components(
         sym.select("u").distinct().withColumn("lbl", F.col("u"))
     ).localCheckpoint(eager=True)
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         neighbor_lbl = sym.join(
             labels.withColumnsRenamed({"u": "v", "lbl": "nlbl"}), "v"
         ).select("u", F.col("nlbl").alias("lbl"))
-        new_labels = (
+        stage = (
             labels.union(neighbor_lbl)
             .groupBy("u")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer jump: lbl ← min(lbl, lbl[lbl]). Following the label one
+        # extra hop per round turns O(diameter) convergence into
+        # O(log diameter) on chain-shaped components for the price of one
+        # more keyed join — the same doubling trick as large-star
+        # (Kiveris et al. 2014) without rewiring edges.
+        ptr = stage.select(F.col("u").alias("_p"), F.col("lbl").alias("_plbl"))
+        new_labels = (
+            stage.join(ptr, stage["lbl"] == ptr["_p"], "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("_plbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
         ).localCheckpoint(eager=True)
+        if rnd == 0:
+            # every component has ≥2 vertices (vertices come from edges),
+            # so round 1 always relabels the non-min members — skip the
+            # convergence job
+            labels = new_labels
+            continue
         changed = (
             new_labels.withColumnsRenamed({"lbl": "new_lbl"})
             .join(labels, "u")
