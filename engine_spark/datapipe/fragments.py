@@ -216,6 +216,15 @@ def jaccard(d: Dialect, sa: str, sb: str) -> str:
     )
 
 
+def containment(d: Dialect, sa: str, sb: str) -> str:
+    """|A∩B| / |B| (asymmetric overlap: how much of B appears in A) — the
+    train/eval decontamination metric."""
+    return (
+        f"CAST({d.intersect_size(sa, sb)} AS DOUBLE) / "
+        f"CAST({d.size(sb)} AS DOUBLE)"
+    )
+
+
 # ---- embeddings -----------------------------------------------------------
 
 def dot_chain(d: Dialect, a: str, b: str, dim: int) -> str:

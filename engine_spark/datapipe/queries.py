@@ -324,6 +324,24 @@ def ngram_candidates(shingles_df: DataFrame, df_cap: int = NGRAM_DF_CAP) -> Data
     )
 
 
+def _decon_parts():
+    """Shared constants for the contamination half of the ngram gate."""
+    from engine_spark.datapipe.decontamination import (
+        DECON_DF_CAP,
+        DECON_EVAL_RATE,
+        DECON_K,
+        DECON_SALT,
+        DECON_T,
+    )
+    from engine_spark.datapipe.sampling import DENOM, _bucket_expr
+
+    cut = int(DECON_EVAL_RATE * DENOM)
+    return DECON_DF_CAP, DECON_K, DECON_SALT, DECON_T, cut, _bucket_expr
+
+
+_DC_CAP, _DC_K, _DC_SALT, _DC_T, _DC_CUT, _dc_bucket = _decon_parts()
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
@@ -339,21 +357,49 @@ def ngram_candidates(shingles_df: DataFrame, df_cap: int = NGRAM_DF_CAP) -> Data
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM inv2 a JOIN inv2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    s3 AS (
+      SELECT doc_id, sh, {_dc_bucket(DK, 'doc_id', _DC_SALT)} < {_DC_CUT} AS is_eval
+      FROM (
+        SELECT doc_id, {FR.shingles(DK, FR.tokens(DK), _DC_K)} AS sh FROM documents
+      ) WHERE {DK.size('sh')} > 0
+    ),
+    tr AS (SELECT doc_id, sh FROM s3 WHERE NOT is_eval),
+    ev AS (SELECT doc_id, sh FROM s3 WHERE is_eval),
+    tinv AS (SELECT doc_id, unnest(sh) AS g FROM tr),
+    tkeep AS (SELECT g FROM tinv GROUP BY g HAVING count(*) <= {_DC_CAP}),
+    tinv2 AS (SELECT tinv.doc_id, tinv.g FROM tinv JOIN tkeep USING (g)),
+    einv AS (SELECT doc_id, unnest(sh) AS g FROM ev),
+    ccand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM tinv2 t JOIN einv e ON t.g = e.g
     )
-    SELECT doc_a, doc_b, {r6(FR.jaccard(DK, "x.sh", "y.sh"))} AS jaccard
+    SELECT 'neardup' AS mode, doc_a, doc_b,
+           {r6(FR.jaccard(DK, "x.sh", "y.sh"))} AS score
     FROM cand JOIN s x ON cand.doc_a = x.doc_id JOIN s y ON cand.doc_b = y.doc_id
     WHERE {FR.jaccard(DK, "x.sh", "y.sh")} >= {JACCARD_T}
+    UNION ALL
+    SELECT 'contamination' AS mode, train_id AS doc_a, eval_id AS doc_b,
+           {r6(FR.containment(DK, "x.sh", "y.sh"))} AS score
+    FROM ccand JOIN tr x ON ccand.train_id = x.doc_id
+               JOIN ev y ON ccand.eval_id = y.doc_id
+    WHERE {FR.containment(DK, "x.sh", "y.sh")} >= {_DC_T}
     """,
     doc=(
-        "2-gram Jaccard near-dup pairs via a df-capped shared-shingle "
-        f"inverted index (shingles with df > {NGRAM_DF_CAP} are excluded "
-        "from candidate generation — they cannot discriminate near-dups "
-        "and alone would make the index quadratic in the hottest key); "
-        "exact Jaccard over the full shingle sets verifies each candidate. "
-        "Oracle mirrors the same capped candidate semantics."
+        "tag-union of the two n-gram overlap scans a corpus pipeline runs: "
+        "mode='neardup' — 2-gram Jaccard near-dup pairs via a df-capped "
+        f"shared-shingle inverted index (df > {NGRAM_DF_CAP} excluded from "
+        "candidate generation; exact Jaccard over full shingle sets "
+        "verifies); mode='contamination' — train/eval benchmark-leakage "
+        f"scan: {_DC_K}-gram containment |train∩eval|/|eval| ≥ {_DC_T} of "
+        "a content-hash eval split, candidates from a BROADCAST eval "
+        "inverted index (eval sets are benchmark-sized; the TB train side "
+        "streams map-side and never shuffles on the gram key)."
     ),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.decontamination import contamination_pairs
+
     s = _shingle_df(spark, sf_dir).cache()
     cand = ngram_candidates(s)
     j = (
@@ -362,7 +408,26 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jac", F.expr(FR.jaccard(SP, "sha", "shb")))
         .filter(F.col("jac") >= JACCARD_T)
     )
-    return j.select("doc_a", "doc_b", F.expr(r6("jac")).alias("jaccard"))
+    near = j.select(
+        F.lit("neardup").alias("mode"),
+        "doc_a",
+        "doc_b",
+        F.expr(r6("jac")).alias("score"),
+    )
+
+    s3 = _shingle_df(spark, sf_dir, k=_DC_K).withColumn(
+        "is_eval", F.expr(f"{_dc_bucket(SP, 'doc_id', _DC_SALT)} < {_DC_CUT}")
+    )
+    cont = contamination_pairs(
+        s3.filter(~F.col("is_eval")).select("doc_id", "sh"),
+        s3.filter(F.col("is_eval")).select("doc_id", "sh"),
+    ).select(
+        F.lit("contamination").alias("mode"),
+        F.col("train_id").alias("doc_a"),
+        F.col("eval_id").alias("doc_b"),
+        F.expr(r6("containment")).alias("score"),
+    )
+    return near.unionByName(cont)
 
 
 def _mh_exprs(d: Dialect, hashes: str) -> list[str]:

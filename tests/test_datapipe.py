@@ -373,3 +373,57 @@ def test_arrow_kernels_match_fold_path(spark):
     assert set(f) == set(a)
     assert len(f) > 0
     assert all(abs(f[k] - a[k]) < 1e-6 for k in f)  # fold side is r6-rounded
+
+
+def test_contamination_pairs_detects_embedded_eval_doc(spark):
+    from engine_spark.datapipe.decontamination import contamination_pairs
+
+    def sh(spark_df):
+        toks = spark_df.select("doc_id", F.expr(FR.tokens(Dialect("spark"))).alias("toks"))
+        return toks.select(
+            "doc_id", F.expr(FR.shingles(Dialect("spark"), "toks", 3)).alias("sh")
+        ).filter(F.expr("size(sh) > 0"))
+
+    train = spark.createDataFrame(
+        [
+            # contains the eval doc verbatim inside a longer text
+            (1, "preamble words here the quick brown fox jumps over the lazy dog and more trailing text"),
+            # unrelated
+            (2, "completely different content about spark query engines and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = contamination_pairs(sh(train), sh(ev), threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.train_id, r.eval_id) == (1, 100)
+    assert r.containment == 1.0  # every eval 3-gram appears in train doc 1
+
+
+def test_contamination_df_cap_drops_stop_gram_candidates(spark):
+    from engine_spark.datapipe.decontamination import contamination_pairs
+
+    # every train doc shares ONE hot 3-gram with the eval doc; with the cap
+    # below the hot gram's df, no candidates can form
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma unique%d filler%d" % (i, i)) for i in range(1, 6)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+
+    def sh(spark_df):
+        toks = spark_df.select("doc_id", F.expr(FR.tokens(Dialect("spark"))).alias("toks"))
+        return toks.select(
+            "doc_id", F.expr(FR.shingles(Dialect("spark"), "toks", 3)).alias("sh")
+        ).filter(F.expr("size(sh) > 0"))
+
+    capped = contamination_pairs(sh(train), sh(ev), threshold=0.0, df_cap=3)
+    assert capped.count() == 0
+    uncapped = contamination_pairs(sh(train), sh(ev), threshold=0.0, df_cap=100)
+    assert uncapped.count() == 5

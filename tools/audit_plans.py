@@ -42,6 +42,13 @@ CHECKS = {
     "agg_pricing_summary": [
         ("hash aggregation", lambda p: "HashAggregate" in p),
     ],
+    "dedup_ngram_jaccard": [
+        # contamination half: the eval-side inverted index must broadcast
+        # (eval sets are benchmark-sized; the TB train side streams
+        # map-side) and nothing may degrade to a cartesian
+        ("no cartesian/nested-loop", lambda p: "Cartesian" not in p),
+        ("eval index broadcast", lambda p: "BroadcastHashJoin" in p),
+    ],
     "asof_join_last_view": [
         # merged-timeline formulation: ONE window over the union — a range
         # join + rank would multiply each left row by every earlier right
