@@ -427,3 +427,57 @@ def test_contamination_df_cap_drops_stop_gram_candidates(spark):
     assert capped.count() == 0
     uncapped = contamination_pairs(sh(train), sh(ev), threshold=0.0, df_cap=100)
     assert uncapped.count() == 5
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    from engine_spark.datapipe.incremental import IncrementalMinHashDeduper
+
+    dd = IncrementalMinHashDeduper(spark, str(tmp_path / "state"), threshold=0.5)
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "on the warm windowsill in the afternoon sun light"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, "an entirely different document about query engines")],
+        "doc_id long, text string",
+    )
+    p1 = dd.process_batch(b1, 0).collect()
+    assert p1 == []  # no near-dups within batch 1
+
+    # batch 2: doc 3 is a near-copy of doc 1 (one word changed)
+    b2 = spark.createDataFrame(
+        [(3, base.replace("afternoon", "morning")), (4, "yet another unrelated text body")],
+        "doc_id long, text string",
+    )
+    p2 = {(r.doc_new, r.doc_prior): r.est_jaccard for r in dd.process_batch(b2, 1).collect()}
+    assert (3, 1) in p2
+    assert p2[(3, 1)] >= 0.5
+
+
+def test_incremental_dedup_epoch_replay_is_idempotent(spark, tmp_path):
+    from engine_spark.datapipe.incremental import IncrementalMinHashDeduper
+
+    dd = IncrementalMinHashDeduper(spark, str(tmp_path / "state"), threshold=0.5)
+    b1 = spark.createDataFrame(
+        [(1, "some stable document text that is long enough to shingle")],
+        "doc_id long, text string",
+    )
+    dd.process_batch(b1, 0)
+    n_before = dd.corpus_signatures().count()
+    # crash replay of epoch 0: same result, no state growth
+    replay = dd.process_batch(b1, 0)
+    assert replay.collect() == []
+    assert dd.corpus_signatures().count() == n_before
+
+
+def test_incremental_dedup_batch_internal_pairs(spark, tmp_path):
+    from engine_spark.datapipe.incremental import IncrementalMinHashDeduper
+
+    dd = IncrementalMinHashDeduper(spark, str(tmp_path / "state"), threshold=0.5)
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b = spark.createDataFrame(
+        [(10, txt), (11, txt), (12, "unrelated words only here")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_new, r.doc_prior) for r in dd.process_batch(b, 0).collect()}
+    assert pairs == {(11, 10)}
