@@ -261,11 +261,12 @@ class SqlApp:
                         "NFA API (engine_spark.streaming.nfa)"
                     )
                 if self._pattern_streams_live(src):
-                    raise ValueError(
-                        "count quantifiers over live streams: use "
-                        "engine_spark.streaming.nfa.count_quantifier_stream"
+                    df, order_col = (
+                        self._compile_count_pattern_streaming(src, q),
+                        None,
                     )
-                df, order_col = self._compile_count_pattern(src, q), None
+                else:
+                    df, order_col = self._compile_count_pattern(src, q), None
             elif self._pattern_streams_live(src):
                 df, order_col = (
                     self._compile_pattern_streaming(src, q.partition_key),
@@ -573,6 +574,65 @@ class SqlApp:
         if el.max_count is not None:
             cond = cond & (F.col("match_count") <= el.max_count)
         return out.filter(cond)
+
+    # ------------------------------------------------------------------
+    def _compile_count_pattern_streaming(
+        self, src: P.PatternSource, q: P.Query
+    ) -> DataFrame:
+        """`PATTERN (e1=S[f]{m,n}) WITHIN d` over a LIVE stream — routes to
+        the per-key streaming NFA (nfa.count_quantifier_stream: trailing-d
+        timestamp buffer in keyed state, the exact streaming execution of
+        the relational range frame). Output columns get the same
+        ``{alias}_{col}`` names the relational path produces, so SELECT
+        rewriting is shared."""
+        from engine_spark.streaming import nfa as NFA
+
+        el = src.steps[0]
+        if src.within_seconds is None:
+            raise ValueError(
+                "count quantifier needs WITHIN — it bounds the match set "
+                "(and the state horizon in streaming)"
+            )
+        if not q.partition_key:
+            raise ValueError(
+                "count quantifier over a live stream needs PARTITION WITH "
+                "(the trailing-count state is per key)"
+            )
+        for it in list(q.select):
+            if extract_agg_calls(it.expr):
+                raise ValueError(
+                    "collection aggregates over a live-stream count "
+                    "quantifier are not supported — select match_count, or "
+                    "run the query in batch mode"
+                )
+        if q.having and extract_agg_calls(q.having):
+            raise ValueError(
+                "collection aggregates in HAVING over a live-stream count "
+                "quantifier are not supported"
+            )
+        stream = self.streams[el.stream]
+        base, ts_col = stream.df, stream.ts_col
+        if ts_col is None:
+            raise ValueError(
+                "live-stream count quantifier needs the stream registered "
+                "with ts_col (event time drives the trailing window)"
+            )
+        event_filter = (
+            F.expr(rewrite_expr(el.filter)) if el.filter else F.lit(True)
+        )
+        payload = [c for c in base.columns if c not in (q.partition_key, ts_col)]
+        out = NFA.count_quantifier_stream(
+            base,
+            ts_col,
+            q.partition_key,
+            event_filter,
+            min_count=el.min_count,
+            within_seconds=int(src.within_seconds),
+            max_count=el.max_count,
+            payload_cols=payload,
+        )
+        renames = {c: f"{el.alias}_{c}" for c in (q.partition_key, ts_col, *payload)}
+        return out.withColumnsRenamed(renames)
 
     # ------------------------------------------------------------------
     def _pattern_element_streams(self, src: P.PatternSource) -> list[str]:

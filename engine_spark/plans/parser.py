@@ -567,14 +567,18 @@ def _parse_pattern_step(txt: str):
 def _parse_pattern_element(txt: str) -> PatternElement:
     m = re.match(
         r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*"
-        r"(?:\[(.*?)\])?\s*(?:\{\s*(\d+)\s*(?:,\s*(\d+)\s*)?\})?\s*$",
+        r"(?:\[(.*?)\])?\s*(?:\{\s*(\d+)\s*(,\s*(\d+)?\s*)?\})?\s*$",
         txt.strip(),
         re.DOTALL,
     )
     if not m:
         raise ValueError(f"cannot parse pattern element {txt!r}")
     mn = int(m.group(4)) if m.group(4) is not None else None
-    mx = int(m.group(5)) if m.group(5) is not None else mn  # {m} → exactly m
+    if m.group(5) is None:
+        mx = mn  # {m} → exactly m
+    else:
+        # {m,} → unbounded; {m,n} → n
+        mx = int(m.group(6)) if m.group(6) is not None else None
     if mn is not None:
         if mn < 1:
             raise ValueError(

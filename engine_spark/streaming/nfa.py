@@ -469,9 +469,10 @@ def count_quantifier_stream(
     event_filter: Column,
     min_count: int,
     within_seconds: int,
-    value_col: str,
+    value_col: str | None = None,
     max_count: int | None = None,
     late: str = "0 seconds",
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """Streaming `e1=A{m,}` / `A{m,n}` WITHIN d (reference
     count_pre_state_processor.rs): an event fires when the trailing-d count
@@ -479,17 +480,39 @@ def count_quantifier_stream(
     of the batch ``pattern.count_quantifier_bounded`` range frame, held as
     a per-key timestamp buffer whose size the horizon bounds.
 
-    Output: (key, ts, match_count, value).
+    ``payload_cols`` carries arbitrary event columns through to the output
+    (types preserved from the input schema — what the SQL routing needs);
+    the legacy ``value_col`` form emits that one column as double.
+
+    Output: (key, ts, match_count, *payload).
     """
+    if payload_cols is None:
+        if value_col is None:
+            raise ValueError("pass payload_cols or value_col")
+        carry = [value_col]
+        carry_types = ["double"]
+    else:
+        carry = list(payload_cols)
+        schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        carry_types = [schema[c] for c in carry]
     within_us = within_seconds * US
     filtered = df.filter(event_filter).withWatermark(ts_col, late)
     ktype = dict((f.name, f.dataType) for f in df.schema.fields)[key_col].simpleString()
     tstype = df.schema[ts_col].dataType.simpleString()
-    out_schema = (
-        f"{key_col} {ktype}, {ts_col} {tstype}, match_count long, "
-        f"{value_col} double"
+    out_schema = ", ".join(
+        [f"{key_col} {ktype}", f"{ts_col} {tstype}", "match_count long"]
+        + [f"{c} {t}" for c, t in zip(carry, carry_types)]
     )
     state_schema = "buf_ts array<long>"
+    legacy = payload_cols is None
+
+    def _carry_value(r, c):
+        v = r[c]
+        if legacy:
+            return float(v)
+        if hasattr(v, "item"):  # numpy scalar → python
+            v = v.item()
+        return v
 
     def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -510,7 +533,12 @@ def count_quantifier_stream(
             cnt = len(buf)
             if cnt >= min_count and (max_count is None or cnt <= max_count):
                 out.append(
-                    (key[0], pd.Timestamp(t * 1000), cnt, float(r[value_col]))
+                    (
+                        key[0],
+                        pd.Timestamp(t * 1000),
+                        cnt,
+                        *[_carry_value(r, c) for c in carry],
+                    )
                 )
         if buf:
             state.update((buf,))
@@ -519,7 +547,7 @@ def count_quantifier_stream(
             state.remove()
         if out:
             yield pd.DataFrame(
-                out, columns=[key_col, ts_col, "match_count", value_col]
+                out, columns=[key_col, ts_col, "match_count", *carry]
             )
 
     return filtered.groupBy(key_col).applyInPandasWithState(

@@ -637,3 +637,20 @@ def test_sql_pattern_absent_mid_chain_rejected(spark):
             "INSERT INTO Out SELECT e1.v AS v FROM PATTERN "
             "(e1=E -> NOT E FOR 10 SECONDS -> e2=E);"
         )
+
+
+def test_sql_pattern_count_open_ended(spark):
+    """`{m,}` (no upper bound) fires on every event with trailing count >= m
+    (reference PatternExpression::Count with max=None)."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [(t0 + timedelta(minutes=i), i) for i in range(5)]
+    app.register_stream(
+        "E", spark.createDataFrame(rows_, "ts timestamp, eid int"), ts_col="ts"
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.eid AS eid, match_count AS mc "
+        "FROM PATTERN (e1=E{3,}) WITHIN 1 HOURS;"
+    )
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    assert got == [(2, 3), (3, 4), (4, 5)]

@@ -609,3 +609,62 @@ def test_chain_stream_absent_final_after_two_steps(spark):
     )
     out = r.shutdown()
     assert [(m["user"], m["e1_v"], m["e2_v"]) for m in out] == [("u1", 1.0, 2.0)]
+
+
+def test_sql_count_quantifier_on_live_stream(spark):
+    """SQL `{m,n}` count quantifier over a LIVE stream routes through
+    nfa.count_quantifier_stream with the relational path's alias_column
+    naming — the trailing count crosses micro-batch boundaries."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "err", "eid": 1},
+        {"ts": _ts(1), "user": "u1", "etype": "err", "eid": 2},
+        {"ts": _ts(1, 30), "user": "u1", "etype": "ok", "eid": 90},  # no count
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "etype": "err", "eid": 3},   # count 3 fires
+        {"ts": _ts(3), "user": "u1", "etype": "err", "eid": 4},   # count 4 > max
+        {"ts": _ts(4), "user": "u2", "etype": "err", "eid": 5},   # other key: 1
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT e1.user AS u, e1.eid AS eid, "
+            "match_count AS mc "
+            "FROM PATTERN (e1=E[etype = 'err']{3,3}) WITHIN 3600 SECONDS; "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted((m["u"], m["eid"], m["mc"]) for m in r.shutdown())
+    assert got == [("u1", 3, 3)]
+
+
+def test_sql_count_quantifier_live_requires_partition(spark):
+    import pytest
+
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, eid int")
+    r.send([{"ts": _ts(0), "user": "u1", "eid": 1}])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        with pytest.raises(ValueError, match="PARTITION WITH"):
+            app.sql(
+                "INSERT INTO Out SELECT e1.eid AS eid, match_count AS mc "
+                "FROM PATTERN (e1=E{2,4}) WITHIN 600 SECONDS;"
+            )
+        return sdf.limit(0)
+
+    r.run(build)
+    r.shutdown()
