@@ -81,6 +81,26 @@ def is_aggregate(expr: str) -> bool:
     return bool(_AGG_RE.search(expr))
 
 
+def _simple_agg_spec(text: str, alias: str) -> tuple[str, str | None, str]:
+    """Parse ``fn(column)`` / ``count(*)`` into the keyed-state sliding
+    window's (fn, col, alias) vocabulary; reject anything richer with a
+    pointer at batch mode."""
+    m = re.match(
+        r"^\s*(count|sum|avg|min|max)\s*\(\s*(\*|[A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$",
+        text,
+        re.IGNORECASE,
+    )
+    if not m:
+        raise ValueError(
+            f"aggregate {text!r} over a live-stream count/sliding window "
+            "must be a simple fn(column) with fn in count/sum/avg/min/max "
+            "(run richer expressions in batch mode)"
+        )
+    fn = m.group(1).lower()
+    col = None if m.group(2) == "*" else m.group(2)
+    return (fn, col, alias)
+
+
 def extract_agg_calls(text: str) -> list[str]:
     """Full aggregate-call substrings (balanced parens) inside an expression,
     e.g. ``SUM(a) > 5 AND avg(b) < 2`` → ``['SUM(a)', 'avg(b)']``."""
@@ -363,6 +383,7 @@ class SqlApp:
         # each aggregate call as a hidden column, filter on it post-agg, drop
         # at final projection.
         having_filter: str | None = None
+        having_calls: list[tuple[str, str]] = []  # (hidden name, raw call text)
         if q.having:
             htext = q.having
             for i, call in enumerate(extract_agg_calls(htext)):
@@ -370,6 +391,7 @@ class SqlApp:
                 col = F.expr(rewrite_expr(call))
                 agg_aliases[hname] = col
                 agg_exprs.append(col.alias(hname))
+                having_calls.append((hname, call))
                 htext = htext.replace(call, hname)
             having_filter = htext
             q.having = None  # fully handled here
@@ -413,6 +435,43 @@ class SqlApp:
                 return fin(out)
             if kind == "session":
                 out = SWIN.session(df, ts, interval(params[0]), group_keys, agg_exprs)
+                return fin(out)
+            if kind in ("length", "lengthbatch", "time", "externaltime"):
+                # keyed-state per-event windows: arrival count / per-event
+                # emission aren't Catalyst concepts — route to the
+                # applyInPandasWithState op with a simple-agg vocabulary
+                if len(partition_by) != 1:
+                    raise ValueError(
+                        f"window {kind!r} over a live stream needs exactly "
+                        "one key (PARTITION WITH or a single GROUP BY) — "
+                        "the frame buffer is per-key state"
+                    )
+                specs = []
+                for i, it in enumerate(q.select):
+                    if is_aggregate(it.expr):
+                        specs.append(
+                            _simple_agg_spec(it.expr, it.alias or f"_agg{i}")
+                        )
+                for hname, call in having_calls:
+                    specs.append(_simple_agg_spec(call, hname))
+                if kind == "externaltime":
+                    ts = params[0].strip()
+                    params = params[1:]
+                size = (
+                    int(params[0])
+                    if kind in ("length", "lengthbatch")
+                    else int(dur(params[0]))
+                )
+                out = SWIN.sliding_stream(
+                    df,
+                    ts,
+                    partition_by[0],
+                    specs,
+                    mode="lengthbatch" if kind == "lengthbatch" else (
+                        "length" if kind == "length" else "time"
+                    ),
+                    size=size,
+                )
                 return fin(out)
             raise ValueError(
                 f"window kind {kind!r} on a live stream needs the keyed-state "

@@ -1,10 +1,12 @@
 """Streaming window builders — the incremental execution of the batch
 window semantics in operators/windows.py.
 
-Native Spark streaming handles every time-based window; count-based
-windows (length/lengthBatch — reference window/mod.rs:63,645) need keyed
-state because arrival *count* isn't a Catalyst concept; they live in
-``state.py`` (applyInPandasWithState).
+Native Spark streaming handles every tumbling/hopping/session window;
+count-based and per-event sliding windows (length/lengthBatch/time —
+reference window/mod.rs:63,645,196) need keyed state because arrival
+*count* and per-event emission aren't Catalyst concepts; they run in
+``sliding_stream`` below (applyInPandasWithState), which the SQL compiler
+routes to for live streams.
 
 Watermark choice: the reference has no late-data machinery (SURVEY §1) — a
 0-delay watermark reproduces its semantics exactly; pass ``late`` to be
@@ -85,3 +87,183 @@ def session(
     return out.withColumn("session_start", F.col("session_window.start")).withColumn(
         "session_end", F.col("session_window.end")
     ).drop("session_window")
+
+
+# ---------------------------------------------------------------------------
+# per-event count/sliding windows (keyed state — arrival count / per-event
+# emission aren't Catalyst concepts)
+# ---------------------------------------------------------------------------
+
+#: simple-aggregate vocabulary the keyed-state ops evaluate in pandas.
+SIMPLE_AGG_FNS = ("count", "sum", "avg", "min", "max")
+
+
+def _agg_over(buf_vals: list, fn: str) -> float | int | None:
+    vals = [v for v in buf_vals if v is not None]
+    if fn == "count":
+        return len(vals)
+    if not vals:
+        return None
+    if fn == "sum":
+        return float(sum(vals))
+    if fn == "avg":
+        return float(sum(vals)) / len(vals)
+    if fn == "min":
+        return float(min(vals))
+    return float(max(vals))
+
+
+def sliding_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    aggs: Sequence[tuple[str, str | None, str]],
+    mode: str,
+    size: int,
+    late: str = "0 seconds",
+) -> DataFrame:
+    """Per-event streaming execution of the count/sliding windows
+    (reference window/mod.rs:63 length, :196 time, :645 lengthBatch).
+
+    ``aggs`` is ``[(fn, col | None, alias), ...]`` with fn in
+    ``SIMPLE_AGG_FNS`` (``col=None`` ⇔ ``count(*)``). Modes:
+
+    - ``'length'``: every event sees the aggregate of the last ``size``
+      events on its key (previous size-1 + itself) — the streaming
+      equivalent of the batch rows-frame in operators/windows.py;
+    - ``'time'``: every event sees the trailing ``size``-second frame;
+    - ``'lengthbatch'``: one row per completed batch of ``size`` events,
+      output ``(key, batch_id, *aggs)``.
+
+    Sliding modes emit the FULL input row plus the aggregate columns, so
+    SQL SELECT items over event columns keep working. State per key is the
+    bounded frame buffer (``size`` rows of the referenced agg columns) —
+    the same bound the reference's window buffer held.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from engine_spark.streaming.nfa import _set_timeout, _us
+
+    if mode not in ("length", "time", "lengthbatch"):
+        raise ValueError(f"unknown sliding_stream mode {mode!r}")
+    for fn, _, _ in aggs:
+        if fn not in SIMPLE_AGG_FNS:
+            raise ValueError(
+                f"aggregate {fn!r} not in the keyed-state vocabulary "
+                f"{SIMPLE_AGG_FNS}"
+            )
+    need_cols = sorted({c for _, c, _ in aggs if c is not None})
+    schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    agg_type = {a: ("long" if fn == "count" else "double") for fn, _, a in aggs}
+
+    if mode == "lengthbatch":
+        out_cols = [key_col, "batch_id", *[a for _, _, a in aggs]]
+        out_schema = ", ".join(
+            [f"{key_col} {schema[key_col]}", "batch_id long"]
+            + [f"{a} {agg_type[a]}" for _, _, a in aggs]
+        )
+    else:
+        out_cols = [*df.columns, *[a for _, _, a in aggs]]
+        out_schema = ", ".join(
+            [f"{c} {schema[c]}" for c in df.columns]
+            + [f"{a} {agg_type[a]}" for _, _, a in aggs]
+        )
+    state_schema = ", ".join(
+        ["batch_id long", "buf_ts array<long>"]
+        + [f"buf_{i} array<double>" for i in range(len(need_cols))]
+    )
+    within_us = size * 1_000_000 if mode == "time" else 0
+    payload_cols = list(df.columns)
+
+    def _plain(v):
+        if hasattr(v, "item"):
+            v = v.item()
+        if isinstance(v, float) and v != v:  # NaN → NULL
+            return None
+        return v
+
+    def run(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch_id, buf = 0, []
+        if state.exists:
+            got = state.get
+            batch_id = got[0] or 0
+            bts = got[1] or []
+            cols = [list(got[2 + i] or []) for i in range(len(need_cols))]
+            buf = [
+                (t, {c: cols[i][j] for i, c in enumerate(need_cols)})
+                for j, t in enumerate(bts)
+            ]
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="mergesort"
+        )
+        out = []
+        for r in rows.to_dict("records"):
+            t = _us(r[ts_col])
+            entry = (
+                t,
+                {
+                    c: (None if r[c] is None or r[c] != r[c] else float(r[c]))
+                    for c in need_cols
+                },
+            )
+            if mode == "time":
+                buf = [(bt, bv) for bt, bv in buf if t - bt <= within_us]
+                buf.append(entry)
+            elif mode == "length":
+                buf = buf[-(size - 1):] if size > 1 else []
+                buf.append(entry)
+            else:  # lengthbatch
+                buf.append(entry)
+                if len(buf) == size:
+                    agg_vals = [
+                        _agg_over(
+                            [bv.get(c) for _, bv in buf] if c else [1] * len(buf),
+                            fn,
+                        )
+                        for fn, c, _ in aggs
+                    ]
+                    out.append((_plain(r[key_col]), batch_id, *agg_vals))
+                    batch_id += 1
+                    buf = []
+                continue
+            agg_vals = [
+                _agg_over(
+                    [bv.get(c) for _, bv in buf] if c else [1] * len(buf), fn
+                )
+                for fn, c, _ in aggs
+            ]
+            row_vals = [
+                pd.Timestamp(r[c]) if schema[c].startswith("timestamp") else _plain(r[c])
+                for c in payload_cols
+            ]
+            out.append((*row_vals, *agg_vals))
+        # persist + evict
+        state.update(
+            (
+                batch_id,
+                [t for t, _ in buf],
+                *[[bv.get(c) for _, bv in buf] for c in need_cols],
+            )
+        )
+        if mode == "time":
+            if buf:
+                _set_timeout(state, max(t for t, _ in buf) // 1000 + size * 1000)
+            else:
+                state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    timeout = (
+        GroupStateTimeout.EventTimeTimeout
+        if mode == "time"
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        df.withWatermark(ts_col, late)
+        .groupBy(key_col)
+        .applyInPandasWithState(run, out_schema, state_schema, "append", timeout)
+    )

@@ -668,3 +668,106 @@ def test_sql_count_quantifier_live_requires_partition(spark):
 
     r.run(build)
     r.shutdown()
+
+
+def test_sql_length_window_on_live_stream(spark):
+    """SQL WINDOW('length', n) over a LIVE stream: every event sees the
+    aggregate of the last n events on its key, across micro-batches."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "v": 2.0},
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "v": 4.0},   # frame {2,4}: sum 6
+        {"ts": _ts(3), "user": "u2", "v": 10.0},  # frame {10}: sum 10
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT user AS u, v AS v, sum(v) AS s, "
+            "count(*) AS n FROM E WINDOW('length', 2); "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted((m["u"], m["v"], m["s"], m["n"]) for m in r.shutdown())
+    assert got == [
+        ("u1", 1.0, 1.0, 1),
+        ("u1", 2.0, 3.0, 2),
+        ("u1", 4.0, 6.0, 2),
+        ("u2", 10.0, 10.0, 1),
+    ]
+
+
+def test_sql_lengthbatch_window_on_live_stream(spark):
+    """SQL WINDOW('lengthBatch', n) over a LIVE stream: one row per
+    completed batch of n events per key — partial batches stay buffered
+    across micro-batches."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "v": 1.0},
+        {"ts": _ts(1), "user": "u1", "v": 2.0},
+        {"ts": _ts(2), "user": "u1", "v": 3.0},
+    ])
+    r.send([
+        {"ts": _ts(3), "user": "u1", "v": 4.0},  # completes batch 1 (3+4? no)
+        {"ts": _ts(4), "user": "u1", "v": 5.0},
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT user AS u, sum(v) AS s, count(*) AS n "
+            "FROM E WINDOW('lengthBatch', 2); "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted((m["u"], m["s"], m["n"]) for m in r.shutdown())
+    # batches per arrival order: {1,2} then {3,4}; 5 stays buffered
+    assert got == [("u1", 3.0, 2), ("u1", 7.0, 2)]
+
+
+def test_sql_time_window_on_live_stream_per_event(spark):
+    """SQL WINDOW('time', d) over a LIVE stream: per-event trailing-d
+    frame with state eviction at the horizon."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "v": 1.0},
+        {"ts": _ts(5), "user": "u1", "v": 2.0},   # 0 within 10m: frame {1,2}
+    ])
+    r.send([
+        {"ts": _ts(20), "user": "u1", "v": 4.0},  # both expired: frame {4}
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT user AS u, v AS v, avg(v) AS a "
+            "FROM E WINDOW('time', 10 MINUTES); "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted((m["u"], m["v"], m["a"]) for m in r.shutdown())
+    assert got == [("u1", 1.0, 1.0), ("u1", 2.0, 1.5), ("u1", 4.0, 4.0)]
