@@ -635,6 +635,83 @@ class SqlApp:
         return out.filter(cond)
 
     # ------------------------------------------------------------------
+    def _compile_group_streaming(
+        self, src: P.PatternSource, partition_key: str | None
+    ) -> DataFrame:
+        """Single AND/OR group over a LIVE stream.
+
+        OR is stateless (disjunctive filter + null-padded union — the exact
+        relational formulation works on a streaming DataFrame), so it
+        reuses ``_compile_pattern``. AND routes to the keyed-state pair
+        buffer (nfa.logical_and_stream_payload) with the relational
+        first-step group's ``{alias}_{col}`` + ``_match_ts`` naming."""
+        from engine_spark.streaming import nfa as NFA
+
+        g = src.steps[0]
+        if not src.every:
+            raise ValueError(
+                "a group over a live stream needs EVERY — fire-once keeps "
+                "only the globally earliest match, which a stream cannot "
+                "rank"
+            )
+        if g.op == "or":
+            return self._compile_pattern(src, partition_key)
+        # AND: keyed pair-buffer state
+        if src.within_seconds is None:
+            raise ValueError(
+                "AND group over a live stream requires WITHIN — it is the "
+                "pair-buffer eviction horizon"
+            )
+        if not partition_key:
+            raise ValueError(
+                "AND group over a live stream needs PARTITION WITH (the "
+                "pair buffers are per-key state)"
+            )
+        if g.first.stream != g.second.stream:
+            raise ValueError(
+                "AND group over live streams: both elements must read the "
+                "same stream (union differing streams into one first)"
+            )
+        for el, other in ((g.first, g.second), (g.second, g.first)):
+            if el.filter and re.search(rf"\b{other.alias}\.", el.filter):
+                raise ValueError(
+                    "cross-references between AND-group elements are not "
+                    "supported over live streams"
+                )
+        stream = self.streams[g.first.stream]
+        base, ts_col = stream.df, stream.ts_col
+        if ts_col is None:
+            raise ValueError(
+                "live-stream AND group needs the stream registered with "
+                "ts_col"
+            )
+        first = (
+            F.expr(rewrite_expr(g.first.filter)) if g.first.filter else F.lit(True)
+        )
+        second = (
+            F.expr(rewrite_expr(g.second.filter))
+            if g.second.filter
+            else F.lit(True)
+        )
+        payload = [c for c in base.columns if c != ts_col]
+        out = NFA.logical_and_stream_payload(
+            base,
+            ts_col,
+            partition_key,
+            first,
+            second,
+            int(src.within_seconds),
+            aliases=(g.first.alias, g.second.alias),
+            payload_cols=[c for c in payload if c != partition_key],
+        )
+        # the relational path exposes the key under BOTH aliases; surface
+        # it under each so SELECT can reference either
+        out = out.withColumn(
+            f"{g.first.alias}_{partition_key}", F.col(partition_key)
+        ).withColumn(f"{g.second.alias}_{partition_key}", F.col(partition_key))
+        return out
+
+    # ------------------------------------------------------------------
     def _compile_count_pattern_streaming(
         self, src: P.PatternSource, q: P.Query
     ) -> DataFrame:
@@ -733,10 +810,12 @@ class SqlApp:
                 "accumulate forever)"
             )
         if any(isinstance(st, P.PatternGroup) for st in src.steps):
+            if len(src.steps) == 1 and isinstance(src.steps[0], P.PatternGroup):
+                return self._compile_group_streaming(src, partition_key)
             raise ValueError(
-                "AND/OR groups over live streams: use "
-                "engine_spark.streaming.nfa.logical_and_stream or a "
-                "disjunctive element filter"
+                "AND/OR groups mid-chain over live streams are not "
+                "supported; run the query in batch mode or compose "
+                "engine_spark.streaming.nfa operators"
             )
         steps_eff = list(src.steps)
         absent_last: P.AbsentElement | None = None

@@ -555,6 +555,147 @@ def count_quantifier_stream(
     )
 
 
+def logical_and_stream_payload(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    first: Column,
+    second: Column,
+    within_seconds: int,
+    aliases: tuple[str, str] = ("e1", "e2"),
+    payload_cols: list[str] | None = None,
+    late: str = "0 seconds",
+) -> DataFrame:
+    """`e1=A AND e2=B` over a live stream with FULL payload capture — the
+    SQL-routing variant of ``logical_and_stream`` (which carries one double).
+
+    Output: key + ``{a1}_{ts_col}``/``{a1}_{col}…`` + ``{a2}_…`` +
+    ``_match_ts`` — the same column names the relational first-step group
+    produces, so shared SELECT rewriting works. State = the in-horizon A/B
+    buffers per key with payloads as JSON (the chain_stream representation).
+    """
+    import json
+
+    from pyspark.sql import types as T
+
+    a1, a2 = aliases
+    within_us = within_seconds * US
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    if payload_cols is None:
+        payload_cols = [c for c in df.columns if c not in (key_col, ts_col)]
+    ts_payload = {
+        c
+        for c in payload_cols
+        if isinstance(schema[c], (T.TimestampType, T.TimestampNTZType))
+    }
+    tagged = (
+        df.withWatermark(ts_col, late)
+        .withColumn("_is_a", first.cast("boolean"))
+        .withColumn("_is_b", second.cast("boolean"))
+        .filter(F.col("_is_a") | F.col("_is_b"))
+    )
+    ktype = schema[key_col].simpleString()
+    tstype = schema[ts_col].simpleString()
+    out_parts = [f"{key_col} {ktype}"]
+    out_columns = [key_col]
+    for alias in (a1, a2):
+        out_parts.append(f"{alias}_{ts_col} {tstype}")
+        out_columns.append(f"{alias}_{ts_col}")
+        for c in payload_cols:
+            out_parts.append(f"{alias}_{c} {schema[c].simpleString()}")
+            out_columns.append(f"{alias}_{c}")
+    out_parts.append(f"_match_ts {tstype}")
+    out_columns.append("_match_ts")
+    out_schema = ", ".join(out_parts)
+    state_schema = "a_ts array<long>, a_pay array<string>, b_ts array<long>, b_pay array<string>"
+
+    def capture(rec: dict) -> str:
+        cap = {}
+        for c in payload_cols:
+            v = rec[c]
+            if hasattr(v, "item"):
+                v = v.item()
+            if c in ts_payload and v is not None:
+                v = pd.Timestamp(v).isoformat()
+            cap[c] = None if v is None or (isinstance(v, float) and v != v) else v
+        return json.dumps(cap)
+
+    def revive(pay: str, c: str):
+        v = json.loads(pay).get(c)
+        if c in ts_payload and v is not None:
+            return pd.Timestamp(v)
+        return v
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        a_buf: list[tuple[int, str]] = []
+        b_buf: list[tuple[int, str]] = []
+        if state.exists:
+            ats, aps, bts, bps = state.get
+            a_buf = list(zip(ats or [], aps or []))
+            b_buf = list(zip(bts or [], bps or []))
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="mergesort"
+        )
+        out = []
+
+        def emit(ta: int, pa: str, tb: int, pb: str) -> None:
+            out.append(
+                (
+                    key[0],
+                    pd.Timestamp(ta * 1000),
+                    *[revive(pa, c) for c in payload_cols],
+                    pd.Timestamp(tb * 1000),
+                    *[revive(pb, c) for c in payload_cols],
+                    pd.Timestamp(max(ta, tb) * 1000),
+                )
+            )
+
+        for r in rows.to_dict("records"):
+            t = _us(r[ts_col])
+            pay = capture(r)
+            ia, ib = bool(r["_is_a"]), bool(r["_is_b"])
+            if ia:
+                for tb, pb in b_buf:
+                    if abs(t - tb) <= within_us:
+                        emit(t, pay, tb, pb)
+            if ib:
+                for ta, pa in a_buf:
+                    if abs(t - ta) <= within_us:
+                        emit(ta, pa, t, pay)
+            if ia and ib:
+                emit(t, pay, t, pay)
+            if ia:
+                a_buf.append((t, pay))
+            if ib:
+                b_buf.append((t, pay))
+        if len(rows):
+            now = _us(rows[ts_col].iloc[-1])
+            a_buf = [(ta, pa) for ta, pa in a_buf if now - ta <= within_us]
+            b_buf = [(tb, pb) for tb, pb in b_buf if now - tb <= within_us]
+        if a_buf or b_buf:
+            state.update(
+                (
+                    [t for t, _ in a_buf],
+                    [p for _, p in a_buf],
+                    [t for t, _ in b_buf],
+                    [p for _, p in b_buf],
+                )
+            )
+            newest = max([t for t, _ in a_buf] + [t for t, _ in b_buf])
+            _set_timeout(state, newest // 1000 + within_seconds * 1000)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=out_columns)
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+    )
+
+
 def logical_and_stream(
     df: DataFrame,
     ts_col: str,

@@ -771,3 +771,66 @@ def test_sql_time_window_on_live_stream_per_event(spark):
     r.run(build)
     got = sorted((m["u"], m["v"], m["a"]) for m in r.shutdown())
     assert got == [("u1", 1.0, 1.0), ("u1", 2.0, 1.5), ("u1", 4.0, 4.0)]
+
+
+def test_sql_and_group_on_live_stream(spark):
+    """SQL `(e1=A AND e2=B)` over a LIVE stream: both branches must arrive
+    within d on the key (either order), pairs crossing micro-batches."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "a", "eid": 1},
+        {"ts": _ts(1), "user": "u2", "etype": "b", "eid": 2},  # no partner
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "etype": "b", "eid": 3},  # pairs with 1
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT e1.user AS u, e1.eid AS a, e2.eid AS b "
+            "FROM EVERY PATTERN ((e1=E[etype = 'a'] AND e2=E[etype = 'b'])) "
+            "WITHIN 600 SECONDS; "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted((m["u"], m["a"], m["b"]) for m in r.shutdown())
+    assert got == [("u1", 1, 3)]
+
+
+def test_sql_or_group_on_live_stream(spark):
+    """SQL `(e1=A OR e2=B)` over a LIVE stream: stateless disjunctive
+    union — either branch fires with the other side's columns null."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "a", "eid": 1},
+        {"ts": _ts(1), "user": "u2", "etype": "b", "eid": 2},
+        {"ts": _ts(2), "user": "u3", "etype": "c", "eid": 3},  # neither
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b "
+            "FROM EVERY PATTERN ((e1=E[etype = 'a'] OR e2=E[etype = 'b'])) "
+            "WITHIN 600 SECONDS;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted(
+        ((m["a"], m["b"]) for m in r.shutdown()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [(1, None), (None, 2)]
