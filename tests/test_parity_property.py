@@ -337,3 +337,67 @@ def test_count_quantifier_batch_equals_streaming(spark, events, split):
         (m["user"], str(m["ts"]), m["match_count"], m["v"]) for m in r.shutdown()
     }
     assert stream_set == batch_set
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=30),  # minute offset
+            st.integers(min_value=-5, max_value=5),  # value
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    split=st.integers(min_value=1, max_value=3),
+    n=st.integers(min_value=1, max_value=4),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_length_sliding_batch_equals_streaming(spark, events, split, n):
+    """The batch rows-frame window (operators.windows.length_sliding) and
+    the streaming keyed-state frame buffer (streaming.windows.sliding_stream
+    mode='length') must agree on every event's trailing-n aggregate."""
+    from engine_spark.operators import windows as BW
+    from engine_spark.streaming import windows as SW2
+
+    rows = sorted(
+        [
+            (T0 + timedelta(minutes=m, seconds=i), u, float(v))
+            for i, (u, m, v) in enumerate(events)
+        ],
+        key=lambda r: r[0],
+    )
+
+    df = spark.createDataFrame(rows, "ts timestamp, user string, v double")
+    batch = BW.length_sliding(
+        df, "ts", n, partition_by=["user"],
+        aggs={"s": F.sum("v"), "c": F.count(F.lit(1))},
+        tiebreak=["v"],
+    )
+    batch_set = sorted(
+        (r["user"], r["v"], r["s"], r["c"])
+        for r in batch.select("user", "v", "s", "c").collect()
+    )
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    nn = max(1, len(rows) // split)
+    for i in range(0, len(rows), nn):
+        r.send(
+            [
+                {"ts": t.strftime("%Y-%m-%dT%H:%M:%S"), "user": u, "v": v}
+                for t, u, v in rows[i : i + nn]
+            ]
+        )
+    r.run(
+        lambda sdf: SW2.sliding_stream(
+            sdf, "ts", "user",
+            [("sum", "v", "s"), ("count", None, "c")],
+            mode="length", size=n,
+        )
+    )
+    stream_set = sorted((m["user"], m["v"], m["s"], m["c"]) for m in r.shutdown())
+    assert stream_set == batch_set
