@@ -734,18 +734,23 @@ class SqlApp:
                 "count quantifier over a live stream needs PARTITION WITH "
                 "(the trailing-count state is per key)"
             )
+        # collection aggregates over the MATCHED SET (the trailing buffer,
+        # reference collection_aggregation_executor.rs): rewrite each call
+        # to a hidden column the keyed-state op computes per firing event —
+        # mirrors the relational path's window-frame rewrite
+        specs: list[tuple[str, str | None, str]] = []
         for it in list(q.select):
-            if extract_agg_calls(it.expr):
-                raise ValueError(
-                    "collection aggregates over a live-stream count "
-                    "quantifier are not supported — select match_count, or "
-                    "run the query in batch mode"
-                )
-        if q.having and extract_agg_calls(q.having):
-            raise ValueError(
-                "collection aggregates in HAVING over a live-stream count "
-                "quantifier are not supported"
-            )
+            for call in extract_agg_calls(it.expr):
+                name = f"_collagg{len(specs)}"
+                qualified = re.sub(rf"\b{el.alias}\.", "", call)
+                specs.append(_simple_agg_spec(qualified, name))
+                it.expr = it.expr.replace(call, name)
+        if q.having:
+            for call in extract_agg_calls(q.having):
+                name = f"_collagg{len(specs)}"
+                qualified = re.sub(rf"\b{el.alias}\.", "", call)
+                specs.append(_simple_agg_spec(qualified, name))
+                q.having = q.having.replace(call, name)
         stream = self.streams[el.stream]
         base, ts_col = stream.df, stream.ts_col
         if ts_col is None:
@@ -766,6 +771,7 @@ class SqlApp:
             within_seconds=int(src.within_seconds),
             max_count=el.max_count,
             payload_cols=payload,
+            collect_aggs=specs or None,
         )
         renames = {c: f"{el.alias}_{c}" for c in (q.partition_key, ts_col, *payload)}
         return out.withColumnsRenamed(renames)

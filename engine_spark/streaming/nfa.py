@@ -473,6 +473,7 @@ def count_quantifier_stream(
     max_count: int | None = None,
     late: str = "0 seconds",
     payload_cols: list[str] | None = None,
+    collect_aggs: list[tuple[str, str | None, str]] | None = None,
 ) -> DataFrame:
     """Streaming `e1=A{m,}` / `A{m,n}` WITHIN d (reference
     count_pre_state_processor.rs): an event fires when the trailing-d count
@@ -484,7 +485,12 @@ def count_quantifier_stream(
     (types preserved from the input schema — what the SQL routing needs);
     the legacy ``value_col`` form emits that one column as double.
 
-    Output: (key, ts, match_count, *payload).
+    ``collect_aggs`` = ``[(fn, col | None, alias), ...]`` with fn in
+    count/sum/avg/min/max: collection aggregates over the MATCHED SET
+    (the trailing-d buffer, reference collection_aggregation_executor.rs)
+    — the buffer then also holds the referenced columns' values.
+
+    Output: (key, ts, match_count, *payload, *collect_agg_aliases).
     """
     if payload_cols is None:
         if value_col is None:
@@ -499,11 +505,27 @@ def count_quantifier_stream(
     filtered = df.filter(event_filter).withWatermark(ts_col, late)
     ktype = dict((f.name, f.dataType) for f in df.schema.fields)[key_col].simpleString()
     tstype = df.schema[ts_col].dataType.simpleString()
+    collect_aggs = list(collect_aggs or [])
+    from engine_spark.streaming.windows import SIMPLE_AGG_FNS, _agg_over
+
+    for fn, _, _ in collect_aggs:
+        if fn not in SIMPLE_AGG_FNS:
+            raise ValueError(
+                f"collection aggregate {fn!r} not in {SIMPLE_AGG_FNS}"
+            )
+    agg_cols = sorted({c for _, c, _ in collect_aggs if c is not None})
     out_schema = ", ".join(
         [f"{key_col} {ktype}", f"{ts_col} {tstype}", "match_count long"]
         + [f"{c} {t}" for c, t in zip(carry, carry_types)]
+        + [
+            f"{a} {'long' if fn == 'count' else 'double'}"
+            for fn, _, a in collect_aggs
+        ]
     )
-    state_schema = "buf_ts array<long>"
+    state_schema = ", ".join(
+        ["buf_ts array<long>"]
+        + [f"buf_{i} array<double>" for i in range(len(agg_cols))]
+    )
     legacy = payload_cols is None
 
     def _carry_value(r, c):
@@ -518,36 +540,73 @@ def count_quantifier_stream(
         if state.hasTimedOut:
             state.remove()
             return
-        buf: list[int] = []
+        buf: list[tuple] = []  # (ts, *agg_col_values)
         if state.exists:
-            (bts,) = state.get
-            buf = list(bts or [])
+            got = state.get
+            bts = got[0] or []
+            cols = [list(got[1 + i] or []) for i in range(len(agg_cols))]
+            buf = [
+                (t, *[cols[i][j] for i in range(len(agg_cols))])
+                for j, t in enumerate(bts)
+            ]
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ts_col, kind="mergesort"
         )
         out = []
         for r in rows.to_dict("records"):
             t = _us(r[ts_col])
-            buf = [b for b in buf if t - b <= within_us]
-            buf.append(t)
+            buf = [b for b in buf if t - b[0] <= within_us]
+            buf.append(
+                (
+                    t,
+                    *[
+                        None if r[c] is None or r[c] != r[c] else float(r[c])
+                        for c in agg_cols
+                    ],
+                )
+            )
             cnt = len(buf)
             if cnt >= min_count and (max_count is None or cnt <= max_count):
+                agg_vals = [
+                    _agg_over(
+                        [b[1 + agg_cols.index(c)] for b in buf]
+                        if c
+                        else [1] * len(buf),
+                        fn,
+                    )
+                    for fn, c, _ in collect_aggs
+                ]
                 out.append(
                     (
                         key[0],
                         pd.Timestamp(t * 1000),
                         cnt,
                         *[_carry_value(r, c) for c in carry],
+                        *agg_vals,
                     )
                 )
         if buf:
-            state.update((buf,))
-            _set_timeout(state, max(buf) // 1000 + within_seconds * 1000)
+            state.update(
+                (
+                    [b[0] for b in buf],
+                    *[[b[1 + i] for b in buf] for i in range(len(agg_cols))],
+                )
+            )
+            _set_timeout(
+                state, max(b[0] for b in buf) // 1000 + within_seconds * 1000
+            )
         else:
             state.remove()
         if out:
             yield pd.DataFrame(
-                out, columns=[key_col, ts_col, "match_count", *carry]
+                out,
+                columns=[
+                    key_col,
+                    ts_col,
+                    "match_count",
+                    *carry,
+                    *[a for _, _, a in collect_aggs],
+                ],
             )
 
     return filtered.groupBy(key_col).applyInPandasWithState(

@@ -834,3 +834,36 @@ def test_sql_or_group_on_live_stream(spark):
         key=lambda t: (t[0] is None, t),
     )
     assert got == [(1, None), (None, 2)]
+
+
+def test_sql_count_quantifier_collection_aggs_on_live_stream(spark):
+    """Collection aggregates over a live-stream count quantifier aggregate
+    the MATCHED SET (trailing buffer) per firing event, across batches."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, price double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "price": 1.0},
+        {"ts": _ts(1), "user": "u1", "price": 2.0},   # count 2: sum 3
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "price": 3.0},   # count 3: sum 6
+        {"ts": _ts(3), "user": "u1", "price": 4.0},   # count 4 > max: silent
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["T"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF T) BEGIN "
+            "INSERT INTO Out SELECT e1.price AS p, match_count AS mc, "
+            "sum(e1.price) AS s, max(e1.price) AS mx "
+            "FROM PATTERN (e1=T{2,3}) WITHIN 3600 SECONDS; "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted((m["p"], m["mc"], m["s"], m["mx"]) for m in r.shutdown())
+    assert got == [(2.0, 2, 3.0, 2.0), (3.0, 3, 6.0, 3.0)]
