@@ -273,13 +273,27 @@ class SqlApp:
                 for st in src.steps
                 if getattr(st, "min_count", None) is not None
             ]
-            if quantified:
-                if len(src.steps) != 1:
+            if quantified and len(src.steps) != 1:
+                # mid-chain quantifiers ride the normal chain compile: the
+                # hop advances on the step's m-th qualifying event. A
+                # quantified FIRST step would need a self-hop anchor —
+                # restructure as the single-step form instead.
+                first_st = src.steps[0]
+                if getattr(first_st, "min_count", None) is not None:
                     raise ValueError(
-                        "count quantifiers inside multi-step chains are not "
-                        "supported in the relational path; use the streaming "
-                        "NFA API (engine_spark.streaming.nfa)"
+                        "a count quantifier on the FIRST step of a chain "
+                        "is not supported — anchor the chain on a "
+                        "single-step quantifier query feeding a stream, or "
+                        "put the quantified element later in the chain"
                     )
+                if src.mode == "sequence":
+                    raise ValueError(
+                        "count quantifiers in SEQUENCE mode are not "
+                        "supported (strict adjacency over a counted set is "
+                        "ill-defined)"
+                    )
+                quantified = []  # handled by the chain paths below
+            if quantified:
                 if self._pattern_streams_live(src):
                     df, order_col = (
                         self._compile_count_pattern_streaming(src, q),
@@ -915,6 +929,13 @@ class SqlApp:
         payloads = [
             c for c in cols0 if c not in (ts_col, key_col) and c != "_src"
         ]
+        step_mins = [getattr(el, "min_count", None) or 1 for el in steps_eff]
+        if step_mins[0] != 1:
+            raise ValueError(
+                "a count quantifier on the FIRST step of a live-stream "
+                "chain is not supported — anchor on a single-step "
+                "quantifier query, or put the quantified element later"
+            )
         return NFA.chain_stream(
             base,
             ts_col,
@@ -925,6 +946,7 @@ class SqlApp:
             every=src.every,
             cross_filters=cross_filters or None,
             absent_final=absent_final,
+            step_mins=step_mins if any(m != 1 for m in step_mins) else None,
         )
 
     # ------------------------------------------------------------------
@@ -1148,14 +1170,21 @@ class SqlApp:
                 cur_ts = nxt_ts
                 continue
             j = cur.join(nxt, cond, "inner")
-            # first match per current partial-match identity (PATTERN mode)
+            # first match per current partial-match identity (PATTERN mode).
+            # A quantified step B{m,…} advances the chain on its m-th
+            # qualifying event (the count state completes at min; in
+            # skip-till-next-match extra B's are skippable anyway, so the
+            # max bound cannot gate the advance — reference
+            # count_pre_state_processor.rs): rank == m instead of == 1,
+            # capturing the m-th event as the step's columns.
             from pyspark.sql import Window as SW
 
+            advance_rank = getattr(step, "min_count", None) or 1
             ident = [c for c in cur.columns]
             w = SW.partitionBy(*ident).orderBy(F.col(nxt_ts))
             cur = (
                 j.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
+                .filter(F.col("_rn") == advance_rank)
                 .drop("_rn")
             )
             cur_ts = nxt_ts

@@ -223,6 +223,7 @@ def chain_stream(
     late: str = "0 seconds",
     cross_filters: dict[int, "object"] | None = None,
     absent_final: tuple[Column, float] | None = None,
+    step_mins: list[int] | None = None,
 ) -> DataFrame:
     """Streaming N-step followed-by chain `e1=A -> e2=B -> ... WITHIN d`
     per key (reference stream_pre_state_processor.rs runs arbitrary chains;
@@ -256,6 +257,12 @@ def chain_stream(
     cancelling event on the key inside that window — a cancel kills the
     pending match. The pending queue is part of the same bounded state.
 
+    ``step_mins`` gives each step a count quantifier minimum (`B{m,…}`):
+    the partial counts qualifying events and advances on the m-th —
+    capturing that event (reference count_pre_state_processor.rs completes
+    its count state at min; in skip-till-next-match mode extra events are
+    skippable, so a max bound cannot gate the advance).
+
     Output: ``key`` + per step ``{alias}_{ts_col}`` and ``{alias}_{c}`` for
     each payload column.
     """
@@ -266,6 +273,14 @@ def chain_stream(
     n = len(steps)
     if n == 0:
         raise ValueError("chain_stream: at least one step required")
+    step_mins = list(step_mins) if step_mins else [1] * n
+    if len(step_mins) != n:
+        raise ValueError("step_mins must have one entry per step")
+    if step_mins[0] != 1:
+        raise ValueError(
+            "step 0 cannot carry a count quantifier (a quantified anchor "
+            "needs the single-step count operator)"
+        )
     within_us = within_seconds * US
     schema = {f.name: f.dataType for f in df.schema.fields}
     if payload_cols is None:
@@ -387,7 +402,13 @@ def chain_stream(
                     }
                     ok = bool(cross_filters[i](captured, r))
                 if ok:
-                    cap = p["cap"] + [[t, capture(r)]]
+                    c = p.get("c", 0) + 1
+                    if c < step_mins[i]:
+                        # quantified step still collecting (count state):
+                        # stay at step i with the counter bumped
+                        kept.append({**p, "c": c, "l": t})
+                        continue
+                    cap = p["cap"] + [[t, capture(r)]]  # the m-th event
                     if i + 1 == n:
                         if has_absent:
                             kept.append({"i": n, "f": p["f"], "l": t, "cap": cap})
@@ -395,7 +416,9 @@ def chain_stream(
                             out.append((p["f"], cap))
                             fired = True
                     else:
-                        kept.append({"i": i + 1, "f": p["f"], "l": t, "cap": cap})
+                        kept.append(
+                            {"i": i + 1, "f": p["f"], "l": t, "cap": cap, "c": 0}
+                        )
                 else:
                     kept.append(p)
             partials = kept

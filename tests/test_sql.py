@@ -654,3 +654,53 @@ def test_sql_pattern_count_open_ended(spark):
     )
     got = sorted(tuple(r) for r in outs["Out"].collect())
     assert got == [(2, 3), (3, 4), (4, 5)]
+
+
+def test_sql_pattern_midchain_count_quantifier(spark):
+    """`e1=A -> e2=B{2,} -> e3=C`: the chain advances on B's 2nd
+    qualifying event (the count state completes at min; reference
+    count_pre_state_processor.rs), capturing that event as e2."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [
+        (t0 + timedelta(minutes=0), "u1", "a", 1),
+        (t0 + timedelta(minutes=1), "u1", "b", 2),
+        (t0 + timedelta(minutes=2), "u1", "b", 3),   # 2nd B → e2
+        (t0 + timedelta(minutes=3), "u1", "c", 4),   # e3
+        # u2: only one B → chain never completes
+        (t0 + timedelta(minutes=0), "u2", "a", 5),
+        (t0 + timedelta(minutes=1), "u2", "b", 6),
+        (t0 + timedelta(minutes=2), "u2", "c", 7),
+    ]
+    app.register_stream(
+        "E",
+        spark.createDataFrame(rows_, "ts timestamp, user string, etype string, eid int"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "PARTITION WITH (user OF E) BEGIN "
+        "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b, e3.eid AS c "
+        "FROM EVERY PATTERN (e1=E[etype = 'a'] -> e2=E[etype = 'b']{2,} "
+        "-> e3=E[etype = 'c']) WITHIN 1 HOURS; "
+        "END;"
+    )
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    assert got == [(1, 3, 4)]
+
+
+def test_sql_pattern_first_step_quantifier_in_chain_rejected(spark):
+    import pytest
+
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    app.register_stream(
+        "E",
+        spark.createDataFrame([(t0, "a", 1)], "ts timestamp, etype string, eid int"),
+        ts_col="ts",
+    )
+    with pytest.raises(ValueError, match="FIRST step"):
+        app.sql(
+            "INSERT INTO Out SELECT e2.eid AS b "
+            "FROM PATTERN (e1=E[etype = 'a']{2,} -> e2=E[etype = 'b']) "
+            "WITHIN 1 HOURS;"
+        )

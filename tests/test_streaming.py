@@ -867,3 +867,40 @@ def test_sql_count_quantifier_collection_aggs_on_live_stream(spark):
     r.run(build)
     got = sorted((m["p"], m["mc"], m["s"], m["mx"]) for m in r.shutdown())
     assert got == [(2.0, 2, 3.0, 2.0), (3.0, 3, 6.0, 3.0)]
+
+
+def test_sql_midchain_count_quantifier_on_live_stream(spark):
+    """`A -> B{2,} -> C` over a LIVE stream: the NFA counts B's per
+    partial and advances on the 2nd, across micro-batch boundaries."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "a", "eid": 1},
+        {"ts": _ts(1), "user": "u1", "etype": "b", "eid": 2},
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "etype": "b", "eid": 3},  # 2nd B → e2
+        {"ts": _ts(3), "user": "u1", "etype": "c", "eid": 4},  # completes
+        # u2 never gets a second b
+        {"ts": _ts(0), "user": "u2", "etype": "a", "eid": 5},
+        {"ts": _ts(1), "user": "u2", "etype": "b", "eid": 6},
+        {"ts": _ts(2), "user": "u2", "etype": "c", "eid": 7},
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b, e3.eid AS c "
+            "FROM EVERY PATTERN (e1=E[etype = 'a'] -> e2=E[etype = 'b']{2,} "
+            "-> e3=E[etype = 'c']) WITHIN 3600 SECONDS; "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = [(m["a"], m["b"], m["c"]) for m in r.shutdown()]
+    assert got == [(1, 3, 4)]
