@@ -487,6 +487,40 @@ class SqlApp:
                     size=size,
                 )
                 return fin(out)
+            if kind == "sort":
+                # bounded priority buffer: arriving events emit
+                # action='current', expelled events action='expired' (the
+                # reference's current/expired pair stream — append mode
+                # cannot retract, so expiry is an event)
+                if agg_exprs:
+                    raise ValueError(
+                        "aggregates over a live-stream sort window are not "
+                        "supported — the buffer retracts; consume the "
+                        "current/expired event stream, or run in batch mode"
+                    )
+                if len(partition_by) != 1:
+                    raise ValueError(
+                        "sort window over a live stream needs exactly one "
+                        "key (PARTITION WITH or a single GROUP BY)"
+                    )
+                nkeep = int(params[0])
+                specs: list[tuple[str, bool]] = []
+                i = 1
+                while i < len(params):
+                    colname = params[i].strip()
+                    nxt_p = (
+                        params[i + 1].strip().strip("'").lower()
+                        if i + 1 < len(params)
+                        else ""
+                    )
+                    if nxt_p in ("asc", "desc"):
+                        specs.append((colname, nxt_p == "desc"))
+                        i += 2
+                    else:
+                        specs.append((colname, False))
+                        i += 1
+                out = SWIN.sort_stream(df, ts, partition_by[0], nkeep, specs)
+                return fin(out)
             raise ValueError(
                 f"window kind {kind!r} on a live stream needs the keyed-state "
                 "operators (engine_spark.streaming.nfa) — count-based windows "

@@ -267,3 +267,119 @@ def sliding_stream(
         .groupBy(key_col)
         .applyInPandasWithState(run, out_schema, state_schema, "append", timeout)
     )
+
+
+class _Rev:
+    """Inverts comparison for DESC sort-key components."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        # None sorts first ASC ⇒ last under _Rev; mirror tuple semantics
+        a, b = self.v, other.v
+        if a is None:
+            return False
+        if b is None:
+            return True
+        return b < a
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+def sort_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    n: int,
+    order_specs: Sequence[tuple[str, bool]],
+    late: str = "0 seconds",
+) -> DataFrame:
+    """Streaming sort(n, attrs…) window (reference
+    sort_window_processor.rs:25 — a bounded priority buffer): each arriving
+    event enters the buffer and is emitted with ``action='current'``; when
+    capacity is exceeded the worst event under the sort order is expelled
+    and emitted with ``action='expired'`` (the reference's current/expired
+    pair stream — append mode cannot retract, so expiry is an event).
+
+    ``order_specs`` = [(column, desc)] — the kept set is the TOP-n under
+    this order. State per key = the n-row buffer.
+    """
+    import json
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    ts_like = {
+        c
+        for c, t in schema.items()
+        if isinstance(t, (T.TimestampType, T.TimestampNTZType))
+    }
+    cols = list(df.columns)
+    out_schema = ", ".join(
+        ["action string"] + [f"{c} {schema[c].simpleString()}" for c in cols]
+    )
+    state_schema = "buf array<string>"
+
+    def capture(rec: dict) -> str:
+        cap = {}
+        for c in cols:
+            v = rec[c]
+            if hasattr(v, "item"):
+                v = v.item()
+            if c in ts_like and v is not None:
+                v = pd.Timestamp(v).isoformat()
+            cap[c] = None if v is None or (isinstance(v, float) and v != v) else v
+        return json.dumps(cap)
+
+    def revive(pay: str) -> list:
+        d = json.loads(pay)
+        return [
+            pd.Timestamp(d[c]) if c in ts_like and d[c] is not None else d[c]
+            for c in cols
+        ]
+
+    def sort_key(pay: str):
+        d = json.loads(pay)
+        out = []
+        for c, desc in order_specs:
+            v = d.get(c)
+            out.append(_Rev(v) if desc else (v is None, v))
+        return tuple(out)
+
+    def run(key, pdfs, state: GroupState):
+        buf: list[str] = []
+        if state.exists:
+            (b,) = state.get
+            buf = list(b or [])
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ts_col, kind="mergesort"
+        )
+        out = []
+        for r in rows.to_dict("records"):
+            pay = capture(r)
+            out.append(("current", *revive(pay)))
+            buf.append(pay)
+            if len(buf) > n:
+                buf.sort(key=sort_key)
+                worst = buf.pop()  # last under the kept order = worst
+                out.append(("expired", *revive(worst)))
+        if buf:
+            state.update((buf,))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(out, columns=["action", *cols])
+
+    return (
+        df.withWatermark(ts_col, late)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -904,3 +904,43 @@ def test_sql_midchain_count_quantifier_on_live_stream(spark):
     r.run(build)
     got = [(m["a"], m["b"], m["c"]) for m in r.shutdown()]
     assert got == [(1, 3, 4)]
+
+
+def test_sql_sort_window_on_live_stream(spark):
+    """SQL WINDOW('sort', n, attr, 'desc') over a LIVE stream: arriving
+    events emit action='current'; when the per-key top-n buffer overflows
+    the worst event emits action='expired'."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, p double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "p": 5.0},
+        {"ts": _ts(1), "user": "u1", "p": 9.0},
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "p": 7.0},  # buffer {9,7}: 5 expires
+        {"ts": _ts(3), "user": "u1", "p": 1.0},  # 1 enters then expires itself
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["S"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF S) BEGIN "
+            "INSERT INTO Out SELECT action AS a, p AS p "
+            "FROM S WINDOW('sort', 2, p, 'desc'); "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted((m["a"], m["p"]) for m in r.shutdown())
+    assert got == [
+        ("current", 1.0),
+        ("current", 5.0),
+        ("current", 7.0),
+        ("current", 9.0),
+        ("expired", 1.0),
+        ("expired", 5.0),
+    ]
