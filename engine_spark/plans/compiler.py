@@ -1110,18 +1110,25 @@ class SqlApp:
         first_ts_col = cur_ts  # WITHIN bounds the WHOLE pattern from its
         # first element (reference converter.rs:1521-1543), not per hop
 
+        #: seconds of absence window(s) the NEXT captured element must wait
+        #: out: after `… -> NOT B FOR d`, the absent state completes at its
+        #: deadline and only then does the next state activate (reference
+        #: AbsentStreamStateElement) — so the next hop requires
+        #: t > cur_ts + d, and consecutive absents stack their windows.
+        wait_offset = 0.0
         for step_idx, step in enumerate(steps[1:], start=1):
             if isinstance(step, P.AbsentElement):
                 # `prefix -> NOT B FOR d` (reference AbsentStreamStateElement,
                 # converter.rs:1687-1727): anti-join the partial matches
-                # against absent-stream events in (cur_ts, cur_ts + d] — the
-                # timer wheel becomes a time-range predicate, like the
-                # relational `pattern.absent` operator.
-                if step_idx != len(steps) - 1:
+                # against absent-stream events in the window — the timer
+                # wheel becomes a time-range predicate, like the relational
+                # `pattern.absent` operator. Mid-chain, the window opens
+                # after any prior absent windows (wait_offset).
+                if src.mode == "sequence" and step_idx != len(steps) - 1:
                     raise ValueError(
-                        "NOT ... FOR is supported as the FINAL pattern step "
-                        "(an absence mid-chain would need the next element "
-                        "to wait out the window; not implemented)"
+                        "NOT ... FOR mid-chain in SEQUENCE mode is not "
+                        "supported (strict adjacency across a waited-out "
+                        "window is ill-defined)"
                     )
                 base, b_order = self._input(P.StreamRef(name=step.stream))
                 if step.filter:
@@ -1131,10 +1138,13 @@ class SqlApp:
                     sel_cols.append(F.col(partition_key).alias("_ab_key"))
                 sel = base.select(*sel_cols)
                 bcond = (
-                    epoch_seconds_d("_ab_ts") > epoch_seconds_d(cur_ts)
+                    epoch_seconds_d("_ab_ts")
+                    > epoch_seconds_d(cur_ts) + wait_offset
                 ) & (
                     epoch_seconds_d("_ab_ts")
-                    <= epoch_seconds_d(cur_ts) + float(step.for_seconds)
+                    <= epoch_seconds_d(cur_ts)
+                    + wait_offset
+                    + float(step.for_seconds)
                 )
                 if partition_key:
                     bcond = bcond & (
@@ -1142,6 +1152,8 @@ class SqlApp:
                         == F.col("_ab_key")
                     )
                 cur = cur.join(sel, bcond, "left_anti")
+                if step_idx != len(steps) - 1:
+                    wait_offset += float(step.for_seconds)
                 continue
             if isinstance(step, P.PatternGroup):
                 if src.mode == "sequence":
@@ -1149,6 +1161,12 @@ class SqlApp:
                         "AND/OR groups in SEQUENCE mode are only supported "
                         "as the first step (strict adjacency over a group "
                         "pair is ill-defined mid-chain)"
+                    )
+                if wait_offset:
+                    raise ValueError(
+                        "an AND/OR group directly after a mid-chain "
+                        "NOT ... FOR is not supported (the group pair would "
+                        "need to wait out the absence window)"
                     )
                 cur, cur_ts = self._hop_group(
                     cur,
@@ -1166,7 +1184,15 @@ class SqlApp:
                 continue
             local_f, cross_f = split_filter(step)
             nxt, nxt_ts = element_df(step, step.alias, local_f)
-            cond = F.col(nxt_ts) > F.col(cur_ts)
+            if wait_offset:
+                # preceding mid-chain absence: this element only matches
+                # after its window(s) elapsed clean
+                cond = epoch_seconds_d(nxt_ts) > (
+                    epoch_seconds_d(cur_ts) + wait_offset
+                )
+                wait_offset = 0.0
+            else:
+                cond = F.col(nxt_ts) > F.col(cur_ts)
             if cross_f:
                 # qualify alias refs (a.col → a_col), then the element's own
                 # BARE columns (v → e2_v): inside the hop join every column

@@ -627,14 +627,17 @@ def test_sql_pattern_absent_after_two_step_prefix(spark):
     assert [tuple(r) for r in outs["Out"].collect()] == [(1, 2)]
 
 
-def test_sql_pattern_absent_mid_chain_rejected(spark):
+def test_sql_pattern_absent_mid_chain_sequence_rejected(spark):
+    """Mid-chain absence is supported in PATTERN mode (see
+    test_sql_pattern_midchain_absent); SEQUENCE mode still rejects it —
+    strict adjacency across a waited-out window is ill-defined."""
     import pytest
 
     app = SqlApp(spark)
     app.register_stream("E", spark.createDataFrame([(1,)], "v int"))
-    with pytest.raises(ValueError, match="FINAL pattern step"):
+    with pytest.raises(ValueError, match="SEQUENCE"):
         app.sql(
-            "INSERT INTO Out SELECT e1.v AS v FROM PATTERN "
+            "INSERT INTO Out SELECT e1.v AS v FROM SEQUENCE "
             "(e1=E -> NOT E FOR 10 SECONDS -> e2=E);"
         )
 
@@ -704,3 +707,37 @@ def test_sql_pattern_first_step_quantifier_in_chain_rejected(spark):
             "FROM PATTERN (e1=E[etype = 'a']{2,} -> e2=E[etype = 'b']) "
             "WITHIN 1 HOURS;"
         )
+
+
+def test_sql_pattern_midchain_absent(spark):
+    """`e1=A -> NOT B FOR d -> e2=C`: the absence window must elapse clean
+    AND the next element must arrive after it (reference
+    AbsentStreamStateElement: the next state activates at the deadline)."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [
+        # u1: clean window, C after deadline → match
+        (t0 + timedelta(minutes=0), "u1", "a", 1),
+        (t0 + timedelta(minutes=12), "u1", "c", 2),
+        # u2: B inside the window kills it
+        (t0 + timedelta(minutes=0), "u2", "a", 3),
+        (t0 + timedelta(minutes=5), "u2", "b", 4),
+        (t0 + timedelta(minutes=12), "u2", "c", 5),
+        # u3: C arrives before the window elapses → no match
+        (t0 + timedelta(minutes=0), "u3", "a", 6),
+        (t0 + timedelta(minutes=5), "u3", "c", 7),
+    ]
+    app.register_stream(
+        "E",
+        spark.createDataFrame(rows_, "ts timestamp, user string, etype string, eid int"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "PARTITION WITH (user OF E) BEGIN "
+        "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS c "
+        "FROM EVERY PATTERN (e1=E[etype = 'a'] -> NOT E[etype = 'b'] "
+        "FOR 600 SECONDS -> e2=E[etype = 'c']) WITHIN 1 HOURS; "
+        "END;"
+    )
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    assert got == [(1, 2)]
