@@ -1238,11 +1238,30 @@ QUERIES["agg_approx_distinct"] = QueryDef(
     .agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.count_distinct("user_id").alias("exact_users"),
+    )
+    .select(
+        "event_type",
+        "exact_users",
+        # HLL++ is deterministic for fixed input+rsd, so the error bound is
+        # a stable fact DuckDB can predict without replicating the sketch:
+        # the oracle asserts TRUE and the gate fails if Spark's estimate
+        # ever drifts past 5× the requested rsd
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("approx_within_5pct"),
     ),
-    oracle=None,  # approximate by design → rows-only check
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
     doc="approxDistinctCount: the 100TB-scale path for distinctCount "
-    "(HyperLogLog++, no exact shuffle of the distinct set); rows-only "
-    "because approximation is engine-specific",
+    "(HyperLogLog++, no exact shuffle of the distinct set). The estimate "
+    "itself is engine-specific, but it is DETERMINISTIC for fixed input, "
+    "so the gate exposes exact_users plus a bounded-error assertion the "
+    "oracle can check exactly",
 )
 
 
