@@ -1035,15 +1035,39 @@ def q_ann_search_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_trained",
-    None,  # k-means training is iterative — not SQL-expressible; rows-only
+    f"""
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd,
+                      {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn FROM e
+          WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, e.vec_id AS cand_id,
+             {FR.dot_chain(DK, 'qv', 'vd', EMB_DIM)} / (qn * nrm) AS cos
+      FROM e, q WHERE e.vec_id <> q.q_id
+    ),
+    exact AS (
+      SELECT q_id, cand_id,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY cos DESC, cand_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, {IVF_TOPK} AS ivf_n, TRUE AS found_neighbor
+    FROM (SELECT DISTINCT q_id FROM exact) ORDER BY q_id
+    """,
     doc=(
         f"IVF ANN with centroids TRAINED on the corpus (3 Lloyd iterations "
         f"over the first {LSH_PROJ_DIM} components, k={IVF_K}) instead of "
         "the fixed codebook of ann_ivf_cosine. Training is one codegen'd "
         "assignment pass + one combine-enabled (cell, pos) aggregation per "
-        "iteration; the driver holds only the k x dim codebook. See "
-        "datapipe/ivf.py; recall property vs brute force proven in "
-        "tests/test_datapipe.py::test_ivf_trained_recall_on_clustered_data."
+        "iteration; the driver holds only the k x dim codebook. The raw "
+        "top-k depends on the trained codebook (not SQL-expressible), so "
+        "the gate emits oracle-checkable quality facts instead: per query, "
+        "the IVF result count equals topk and at least one of the exact "
+        "brute-force top-5 neighbors is found (the floor only breaks if "
+        "training/search regress catastrophically; the sharper recall@3 "
+        ">= 0.9 property is proven on clustered vectors in "
+        "tests/test_datapipe.py::test_ivf_trained_recall_on_clustered_data)."
     ),
 )
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,7 +1084,28 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=IVF_NPROBE,
         topk=IVF_TOPK,
     )
-    return out.withColumn("cos_sim", F.expr(r6("cos_sim")))
+    exact = q_ann_topk_cosine(spark, sf_dir).select(
+        "q_id", F.col("cand_id").alias("exact_id")
+    )
+    hits = (
+        out.join(
+            exact,
+            (out["q_id"] == exact["q_id"]) & (out["cand_id"] == exact["exact_id"]),
+        )
+        .groupBy(out["q_id"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        out.groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("ivf_n"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "ivf_n",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 1).alias("found_neighbor"),
+        )
+        .orderBy("q_id")
+    )
 
 
 # ---------------------------------------------------------------------------
