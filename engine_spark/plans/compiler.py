@@ -866,11 +866,14 @@ class SqlApp:
         if any(isinstance(st, P.PatternGroup) for st in src.steps):
             if len(src.steps) == 1 and isinstance(src.steps[0], P.PatternGroup):
                 return self._compile_group_streaming(src, partition_key)
-            raise ValueError(
-                "AND/OR groups mid-chain over live streams are not "
-                "supported; run the query in batch mode or compose "
-                "engine_spark.streaming.nfa operators"
-            )
+            if isinstance(src.steps[0], P.PatternGroup):
+                raise ValueError(
+                    "an AND/OR group as the FIRST step of a live-stream "
+                    "chain is not supported (an unanchored group's pair "
+                    "multiplicity needs the single-group operator); put a "
+                    "plain element first"
+                )
+            # mid-chain groups ride chain_stream's group steps below
         steps_eff = list(src.steps)
         absent_last: P.AbsentElement | None = None
         if steps_eff and isinstance(steps_eff[-1], P.AbsentElement):
@@ -887,8 +890,14 @@ class SqlApp:
                 "NOT ... FOR"
             )
         if absent_last is not None and absent_last.filter:
+            chain_aliases = []
             for st in steps_eff:
-                if re.search(rf"\b{st.alias}\.", absent_last.filter):
+                if isinstance(st, P.PatternGroup):
+                    chain_aliases.extend([st.first.alias, st.second.alias])
+                else:
+                    chain_aliases.append(st.alias)
+            for a in chain_aliases:
+                if re.search(rf"\b{a}\.", absent_last.filter):
                     raise ValueError(
                         "cross-references in a live-stream NOT element's "
                         "filter are not supported"
@@ -899,8 +908,24 @@ class SqlApp:
         # stream_pre_state_processor.rs evaluates them during matching)
         seen: list[str] = []
         local_filters: list[str | None] = []
+        group_specs: dict[int, tuple] = {}  # idx → (el2, op)
         cross_filters: dict[int, object] = {}
-        for idx, el in enumerate(steps_eff):
+        for idx, st in enumerate(steps_eff):
+            if isinstance(st, P.PatternGroup):
+                for member in (st.first, st.second):
+                    if member.filter and any(
+                        re.search(rf"\b{a}\.", member.filter)
+                        for a in seen + [st.first.alias, st.second.alias]
+                    ):
+                        raise ValueError(
+                            "cross-reference filters inside a mid-chain "
+                            "group over a live stream are not supported"
+                        )
+                group_specs[idx] = (st.second, st.op)
+                local_filters.append(st.first.filter or None)
+                seen.extend([st.first.alias, st.second.alias])
+                continue
+            el = st
             local, cross = [], []
             for conj in P.split_keyword(el.filter, "AND") if el.filter else []:
                 if any(re.search(rf"\b{a}\.", conj) for a in seen):
@@ -944,14 +969,29 @@ class SqlApp:
             # single-junction runtime
             base = base.withColumn("_gkey", F.lit("g"))
             key_col = "_gkey"
-        preds = []
-        for el, local in zip(steps_eff, local_filters):
+        def _member_pred(stream_name: str, flt: str | None):
             pred = F.lit(True)
             if src_tag is not None:
-                pred = pred & (F.col(src_tag) == F.lit(el.stream))
-            if local:
-                pred = pred & F.expr(rewrite_expr(local))
-            preds.append((el.alias, pred))
+                pred = pred & (F.col(src_tag) == F.lit(stream_name))
+            if flt:
+                pred = pred & F.expr(rewrite_expr(flt))
+            return pred
+
+        preds = []
+        nfa_groups: dict[int, tuple[str, F.Column, str]] = {}
+        for idx, (st, local) in enumerate(zip(steps_eff, local_filters)):
+            if isinstance(st, P.PatternGroup):
+                el2, op = group_specs[idx]
+                preds.append(
+                    (st.first.alias, _member_pred(st.first.stream, local))
+                )
+                nfa_groups[idx] = (
+                    el2.alias,
+                    _member_pred(el2.stream, el2.filter or None),
+                    op,
+                )
+                continue
+            preds.append((st.alias, _member_pred(st.stream, local)))
         absent_final = None
         if absent_last is not None:
             ab_pred = F.lit(True)
@@ -963,7 +1003,7 @@ class SqlApp:
         payloads = [
             c for c in cols0 if c not in (ts_col, key_col) and c != "_src"
         ]
-        step_mins = [getattr(el, "min_count", None) or 1 for el in steps_eff]
+        step_mins = [getattr(st, "min_count", None) or 1 for st in steps_eff]
         if step_mins[0] != 1:
             raise ValueError(
                 "a count quantifier on the FIRST step of a live-stream "
@@ -981,6 +1021,7 @@ class SqlApp:
             cross_filters=cross_filters or None,
             absent_final=absent_final,
             step_mins=step_mins if any(m != 1 for m in step_mins) else None,
+            group_steps=nfa_groups or None,
         )
 
     # ------------------------------------------------------------------

@@ -224,6 +224,7 @@ def chain_stream(
     cross_filters: dict[int, "object"] | None = None,
     absent_final: tuple[Column, float] | None = None,
     step_mins: list[int] | None = None,
+    group_steps: dict[int, tuple[str, Column, str]] | None = None,
 ) -> DataFrame:
     """Streaming N-step followed-by chain `e1=A -> e2=B -> ... WITHIN d`
     per key (reference stream_pre_state_processor.rs runs arbitrary chains;
@@ -257,6 +258,15 @@ def chain_stream(
     cancelling event on the key inside that window — a cancel kills the
     pending match. The pending queue is part of the same bounded state.
 
+    ``group_steps`` maps a step index (≥ 1) to ``(alias2, pred2, op)``,
+    turning that step into an AND/OR group (`… -> (B AND C) -> …`,
+    reference logical_pre_state_processor.rs mid-chain): AND holds the
+    first match of each member (either arrival order, both after the
+    previous captured step) and advances when both are present, at the
+    later arrival; OR advances on the first event matching either member,
+    null-padding the other member's columns (an event matching both
+    advances via the first member).
+
     ``step_mins`` gives each step a count quantifier minimum (`B{m,…}`):
     the partial counts qualifying events and advances on the m-th —
     capturing that event (reference count_pre_state_processor.rs completes
@@ -281,6 +291,21 @@ def chain_stream(
             "step 0 cannot carry a count quantifier (a quantified anchor "
             "needs the single-step count operator)"
         )
+    group_steps = dict(group_steps or {})
+    group_ops = {i: op for i, (_, _, op) in group_steps.items()}
+    if 0 in group_steps:
+        raise ValueError(
+            "step 0 cannot be a group in a multi-step chain (pair "
+            "multiplicity of an unanchored group needs the dedicated "
+            "single-group operator)"
+        )
+    for i in group_steps:
+        if step_mins[i] != 1:
+            raise ValueError("a group step cannot carry a count quantifier")
+        if cross_filters and i in cross_filters:
+            raise ValueError(
+                "cross-reference filters on a group step are not supported"
+            )
     within_us = within_seconds * US
     schema = {f.name: f.dataType for f in df.schema.fields}
     if payload_cols is None:
@@ -294,6 +319,8 @@ def chain_stream(
     tagged = df.withWatermark(ts_col, late)
     for i, (_, pred) in enumerate(steps):
         tagged = tagged.withColumn(f"_is_{i}", pred.cast("boolean"))
+    for i, (_, pred2, _) in group_steps.items():
+        tagged = tagged.withColumn(f"_is_{i}b", pred2.cast("boolean"))
     if absent_final is not None:
         tagged = tagged.withColumn("_is_ab", absent_final[0].cast("boolean"))
     # run() must only close over plain Python values (Column handles hold
@@ -302,9 +329,16 @@ def chain_stream(
     for_us = int(absent_final[1] * US) if has_absent else 0
     for_ms = for_us // 1000
 
+    #: flattened capture positions: group steps contribute TWO entries
+    flat_aliases: list[str] = []
+    for i, (alias, _) in enumerate(steps):
+        flat_aliases.append(alias)
+        if i in group_steps:
+            flat_aliases.append(group_steps[i][0])
+    n_flat = len(flat_aliases)
     out_parts = [f"{key_col} {schema[key_col].simpleString()}"]
     out_columns = [key_col]
-    for alias, _ in steps:
+    for alias in flat_aliases:
         out_parts.append(f"{alias}_{ts_col} {schema[ts_col].simpleString()}")
         out_columns.append(f"{alias}_{ts_col}")
         for c in payload_cols:
@@ -315,6 +349,7 @@ def chain_stream(
     # the run closure must not capture `steps` itself: Column objects hold
     # JVM handles that cloudpickle can't ship to the workers
     step_aliases = [a for a, _ in steps]
+    group_aliases = {i: a2 for i, (a2, _, _) in group_steps.items()}
 
     def capture(rec: dict) -> dict:
         cap = {}
@@ -394,10 +429,49 @@ def chain_stream(
                     continue
                 if t - p["f"] > within_us:
                     continue  # horizon passed with the chain incomplete
+                if i in group_ops:
+                    # AND/OR group step: two member predicates
+                    ma = bool(r[f"_is_{i}"]) and t > p["l"]
+                    mb = bool(r[f"_is_{i}b"]) and t > p["l"]
+                    if not (ma or mb):
+                        kept.append(p)
+                        continue
+                    ent = [t, capture(r)]
+                    if group_ops[i] == "or":
+                        # first member wins when an event matches both
+                        pair = [ent, [None, None]] if ma else [[None, None], ent]
+                        cap = p["cap"] + pair
+                        adv_l = t
+                    else:  # and: hold first match per member, either order
+                        ga = p.get("ga") or (ent if ma else None)
+                        gb = p.get("gb") or (ent if mb else None)
+                        if not (ga and gb):
+                            q2 = {k: v for k, v in p.items() if k not in ("ga", "gb")}
+                            if ga:
+                                q2["ga"] = ga
+                            if gb:
+                                q2["gb"] = gb
+                            kept.append(q2)
+                            continue
+                        cap = p["cap"] + [ga, gb]
+                        adv_l = max(ga[0], gb[0])
+                    if i + 1 == n:
+                        if has_absent:
+                            kept.append(
+                                {"i": n, "f": p["f"], "l": adv_l, "cap": cap}
+                            )
+                        else:
+                            out.append((p["f"], cap))
+                            fired = True
+                    else:
+                        kept.append(
+                            {"i": i + 1, "f": p["f"], "l": adv_l, "cap": cap, "c": 0}
+                        )
+                    continue
                 ok = bool(r[f"_is_{i}"]) and t > p["l"]
                 if ok and cross_filters and i in cross_filters:
                     captured = {
-                        step_aliases[j]: p["cap"][j][1]
+                        flat_aliases[j]: p["cap"][j][1]
                         for j in range(len(p["cap"]))
                     }
                     ok = bool(cross_filters[i](captured, r))
@@ -469,8 +543,12 @@ def chain_stream(
         built = []
         for _, cap in out:
             row = [key[0]]
-            for j in range(n):
+            for j in range(n_flat):
                 tj, pj_ = cap[j]
+                if pj_ is None:  # unmatched OR-group member: all-null
+                    row.append(None)
+                    row.extend([None] * len(payload_cols))
+                    continue
                 row.append(pd.Timestamp(tj * 1000))
                 for c in payload_cols:
                     v = pj_[c]

@@ -944,3 +944,79 @@ def test_sql_sort_window_on_live_stream(spark):
         ("expired", 1.0),
         ("expired", 5.0),
     ]
+
+
+def test_sql_midchain_and_group_on_live_stream(spark):
+    """`A -> (B AND C) -> D` over a LIVE stream: the group holds its first
+    match per member (either order) and advances at the later arrival."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "a", "eid": 1},
+        {"ts": _ts(1), "user": "u1", "etype": "c", "eid": 2},  # group member 2 first
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "etype": "b", "eid": 3},  # completes group
+        {"ts": _ts(3), "user": "u1", "etype": "d", "eid": 4},  # completes chain
+        # u2: group never completes (no c)
+        {"ts": _ts(0), "user": "u2", "etype": "a", "eid": 5},
+        {"ts": _ts(1), "user": "u2", "etype": "b", "eid": 6},
+        {"ts": _ts(2), "user": "u2", "etype": "d", "eid": 7},
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b, e3.eid AS c, "
+            "e4.eid AS d "
+            "FROM EVERY PATTERN (e1=E[etype = 'a'] -> "
+            "(e2=E[etype = 'b'] AND e3=E[etype = 'c']) -> "
+            "e4=E[etype = 'd']) WITHIN 3600 SECONDS; "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = [(m["a"], m["b"], m["c"], m["d"]) for m in r.shutdown()]
+    assert got == [(1, 3, 2, 4)]
+
+
+def test_sql_midchain_or_group_on_live_stream(spark):
+    """`A -> (B OR C)` over a LIVE stream: either member advances; the
+    unmatched member's columns are null."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "etype": "a", "eid": 1},
+        {"ts": _ts(1), "user": "u2", "etype": "a", "eid": 2},
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "etype": "c", "eid": 3},  # second branch
+        {"ts": _ts(3), "user": "u2", "etype": "b", "eid": 4},  # first branch
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b, e3.eid AS c "
+            "FROM EVERY PATTERN (e1=E[etype = 'a'] -> "
+            "(e2=E[etype = 'b'] OR e3=E[etype = 'c'])) "
+            "WITHIN 3600 SECONDS; "
+            "END;"
+        )
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted(
+        ((m["a"], m["b"], m["c"]) for m in r.shutdown()),
+        key=lambda x: x[0],
+    )
+    assert got == [(1, None, 3), (2, 4, None)]
