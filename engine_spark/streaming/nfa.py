@@ -349,7 +349,6 @@ def chain_stream(
     # the run closure must not capture `steps` itself: Column objects hold
     # JVM handles that cloudpickle can't ship to the workers
     step_aliases = [a for a, _ in steps]
-    group_aliases = {i: a2 for i, (a2, _, _) in group_steps.items()}
 
     def capture(rec: dict) -> dict:
         cap = {}
