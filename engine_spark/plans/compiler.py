@@ -1435,7 +1435,12 @@ class SqlApp:
         from pyspark.sql import Window as SW
 
         ident = [c for c in cur.columns]
-        w = SW.partitionBy(*ident).orderBy(F.col(gts))
+        # first-completing pair per partial; member timestamps tie-break so
+        # equal completion times pick the earliest members — deterministic,
+        # and the pair the streaming NFA (first match per member) captures
+        w = SW.partitionBy(*ident).orderBy(
+            F.col(gts), F.col(a_ts), F.col(b_ts)
+        )
         out = (
             j.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)

@@ -401,3 +401,81 @@ def test_length_sliding_batch_equals_streaming(spark, events, split, n):
     )
     stream_set = sorted((m["user"], m["v"], m["s"], m["c"]) for m in r.shutdown())
     assert stream_set == batch_set
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=25),  # minute offset
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    split=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_midchain_and_group_batch_equals_streaming(spark, events, split):
+    """`A -> (B AND C)`: the relational chain (join + first-completing-pair
+    rank) and the streaming NFA (group step holding first match per member)
+    must produce identical match sets on any totally-ordered schedule."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+    from engine_spark.streaming.harness import StreamRunner
+
+    within = 1200
+    sql = (
+        "PARTITION WITH (user OF E) BEGIN "
+        "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b, e3.eid AS c "
+        "FROM EVERY PATTERN (e1=E[etype = 'a'] -> "
+        "(e2=E[etype = 'b'] AND e3=E[etype = 'c'])) "
+        f"WITHIN {within} SECONDS; "
+        "END;"
+    )
+    rows = sorted(
+        [
+            (T0 + timedelta(minutes=m, seconds=i), u, t, i)
+            for i, (t, u, m) in enumerate(events)
+        ],
+        key=lambda r: r[0],
+    )
+
+    # --- batch ---------------------------------------------------------
+    app = SqlApp(spark)
+    bdf = spark.createDataFrame(
+        rows, "ts timestamp, user string, etype string, eid int"
+    )
+    app.register_stream("E", bdf, ts_col="ts")
+    batch_set = {
+        (r["a"], r["b"], r["c"]) for r in app.sql(sql)["Out"].collect()
+    }
+
+    # --- streaming -----------------------------------------------------
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    nn = max(1, len(rows) // split)
+    for i in range(0, len(rows), nn):
+        r.send(
+            [
+                {
+                    "ts": t.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "user": u,
+                    "etype": ty,
+                    "eid": e,
+                }
+                for t, u, ty, e in rows[i : i + nn]
+            ]
+        )
+
+    def build(sdf):
+        app2 = SqlApp(spark)
+        app2.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        return app2.sql(sql)["Out"]
+
+    r.run(build)
+    stream_set = {(m["a"], m["b"], m["c"]) for m in r.shutdown()}
+    assert stream_set == batch_set
