@@ -123,9 +123,18 @@ class IncrementalMinHashDeduper:
     def committed(self, epoch_id: int) -> bool:
         return os.path.exists(self._epoch_path(epoch_id))
 
-    def corpus_signatures(self) -> DataFrame | None:
-        """Every committed signature; None when the store is empty."""
+    def corpus_signatures(self, before_epoch: int | None = None) -> DataFrame | None:
+        """Every committed signature; None when the store is empty.
+
+        ``before_epoch`` restricts the read to epochs strictly earlier than
+        the given id — process_batch uses it so a crash-replay of an
+        already-committed epoch sees exactly the state that existed when the
+        epoch first ran (its own signatures excluded), keeping the returned
+        pair set deterministic across replays.
+        """
         epochs = [d for d in os.listdir(self.sig_dir) if d.startswith("epoch-")]
+        if before_epoch is not None:
+            epochs = [d for d in epochs if int(d.split("-")[1]) < before_epoch]
         if not epochs:
             return None
         return self.spark.read.parquet(
@@ -152,7 +161,12 @@ class IncrementalMinHashDeduper:
         sig = minhash_signatures(batch_df).localCheckpoint(eager=True)
         new_bands = band_keys(sig)
 
-        corpus = self.corpus_signatures()
+        # Exclude this epoch (and any later ones) from the corpus read: on a
+        # crash replay of a committed epoch the store already holds the
+        # batch's own signatures, and including them would re-emit every
+        # batch-internal pair a second time via the batch⋈corpus join (in
+        # both orientations) — non-deterministic replay output.
+        corpus = self.corpus_signatures(before_epoch=epoch_id)
         prefixed_new = sig.select(
             F.col("doc_id").alias("doc_new"),
             *[F.col(c).alias(f"a_{c}") for c in _MH_COLS],

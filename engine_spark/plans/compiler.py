@@ -267,6 +267,7 @@ class SqlApp:
     # ------------------------------------------------------------------
     def _compile(self, q: P.Query) -> DataFrame:
         src = q.source
+        having_pre_projection = False
         if isinstance(src, P.PatternSource):
             quantified = [
                 st
@@ -301,6 +302,10 @@ class SqlApp:
                     )
                 else:
                     df, order_col = self._compile_count_pattern(src, q), None
+                # HAVING agg calls were rewritten to hidden _collaggN
+                # columns that the final projection drops — the filter must
+                # run while they still exist (i.e. before the projection)
+                having_pre_projection = True
             elif self._pattern_streams_live(src):
                 df, order_col = (
                     self._compile_pattern_streaming(src, q.partition_key),
@@ -325,6 +330,10 @@ class SqlApp:
 
         if q.where:
             df = df.filter(F.expr(rewrite_expr(q.where)))
+
+        if q.having and having_pre_projection:
+            df = df.filter(F.expr(rewrite_expr(q.having)))
+            q.having = None
 
         window = src.window if isinstance(src, P.StreamRef) else None
         agg_items = [s for s in q.select if is_aggregate(s.expr)]

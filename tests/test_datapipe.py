@@ -469,6 +469,25 @@ def test_incremental_dedup_epoch_replay_is_idempotent(spark, tmp_path):
     assert replay.collect() == []
     assert dd.corpus_signatures().count() == n_before
 
+    # a replayed batch containing an internal near-dup pair must emit the
+    # pair set ONCE, not re-emit it via the batch-vs-corpus join against the
+    # epoch's own committed signatures (in both orientations)
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    b2 = spark.createDataFrame(
+        [(20, txt), (21, txt), (22, "some other unrelated body of words")],
+        "doc_id long, text string",
+    )
+    first = sorted(
+        (r.doc_new, r.doc_prior) for r in dd.process_batch(b2, 1).collect()
+    )
+    assert first == [(21, 20)]
+    n_after = dd.corpus_signatures().count()
+    replay2 = sorted(
+        (r.doc_new, r.doc_prior) for r in dd.process_batch(b2, 1).collect()
+    )
+    assert replay2 == first
+    assert dd.corpus_signatures().count() == n_after
+
 
 def test_incremental_dedup_batch_internal_pairs(spark, tmp_path):
     from engine_spark.datapipe.incremental import IncrementalMinHashDeduper

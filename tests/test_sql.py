@@ -568,6 +568,31 @@ def test_sql_pattern_count_collection_aggregates(spark):
     assert got == [(2.0, 2, 3.0, 2.0), (3.0, 3, 6.0, 3.0)]
 
 
+def test_sql_pattern_count_having_on_collection_agg(spark):
+    """HAVING over a collection aggregate (`HAVING sum(e1.price) > …`) on a
+    count-quantifier pattern: the agg is rewritten to a hidden _collagg
+    column, and the filter must run while that column still exists (before
+    the final projection drops it)."""
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    rows_ = [(t0 + timedelta(minutes=i), "u1", float(i + 1)) for i in range(4)]
+    app.register_stream(
+        "T",
+        spark.createDataFrame(rows_, "ts timestamp, user string, price double"),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "INSERT INTO Out SELECT e1.price AS p, match_count AS mc "
+        "FROM PATTERN (e1=T{2,3}) WITHIN 1 HOURS "
+        "HAVING sum(e1.price) > 4;"
+    )
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    # firing events: count 2 (sum 3, filtered out), count 3 (sum 6, kept)
+    assert got == [(3.0, 3)]
+    # the hidden _collagg column must NOT leak into the output schema
+    assert set(outs["Out"].columns) == {"p", "mc"}
+
+
 def test_sql_pattern_zero_count_rejected(spark):
     import pytest
 

@@ -869,6 +869,41 @@ def test_sql_count_quantifier_collection_aggs_on_live_stream(spark):
     assert got == [(2.0, 2, 3.0, 2.0), (3.0, 3, 6.0, 3.0)]
 
 
+def test_sql_count_quantifier_having_on_live_stream(spark):
+    """HAVING over a collection aggregate on a LIVE-stream count
+    quantifier: the hidden _collagg column the keyed-state op emits must
+    survive until the HAVING filter runs (it is applied before the final
+    projection) and must not leak into the output schema."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, price double")
+    r.send([
+        {"ts": _ts(0), "user": "u1", "price": 1.0},
+        {"ts": _ts(1), "user": "u1", "price": 2.0},   # count 2: sum 3 → filtered
+    ])
+    r.send([
+        {"ts": _ts(2), "user": "u1", "price": 3.0},   # count 3: sum 6 → kept
+    ])
+
+    def build(sdf):
+        app = SqlApp(spark)
+        app.streams["T"] = _Stream(df=sdf, ts_col="ts")
+        outs = app.sql(
+            "PARTITION WITH (user OF T) BEGIN "
+            "INSERT INTO Out SELECT e1.price AS p, match_count AS mc "
+            "FROM PATTERN (e1=T{2,3}) WITHIN 3600 SECONDS "
+            "HAVING sum(e1.price) > 4; "
+            "END;"
+        )
+        assert set(outs["Out"].columns) == {"p", "mc"}
+        return outs["Out"]
+
+    r.run(build)
+    got = sorted((m["p"], m["mc"]) for m in r.shutdown())
+    assert got == [(3.0, 3)]
+
+
 def test_sql_midchain_count_quantifier_on_live_stream(spark):
     """`A -> B{2,} -> C` over a LIVE stream: the NFA counts B's per
     partial and advances on the 2nd, across micro-batch boundaries."""
