@@ -24,7 +24,7 @@ Scale design (100 TB corpus, benchmark-sized eval set):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from engine_spark.datapipe import fragments as FR
@@ -56,13 +56,24 @@ def contamination_pairs(
     with ``fragments.shingles``). Output: ``(train_id, eval_id,
     containment)`` where containment = |sh_train ∩ sh_eval| / |sh_eval|.
     """
-    inv_t = train_sh.select("doc_id", F.explode("sh").alias("g"))
-    inv_t = (
-        inv_t.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("g")))
-        .filter(F.col("_df") <= df_cap)
-        .drop("_df")
-    )
     inv_e = eval_sh.select("doc_id", F.explode("sh").alias("g"))
+    # df-cap without shuffling the TB-scale train side on the gram key:
+    # document frequency is only needed for grams that appear in some eval
+    # doc (others can never generate candidates), so first prune the train
+    # inverted index map-side against the broadcast eval gram set — the
+    # semi join keeps ALL train rows of a surviving gram, so the df counted
+    # after it equals the full-corpus df for exactly the grams that matter.
+    # groupBy().count() is a combine-enabled partial aggregate (shuffle
+    # volume <= partitions x |eval grams|), vs the previous
+    # Window.partitionBy(g) which shuffled every train gram row.
+    eval_grams = inv_e.select("g").distinct()
+    inv_t = train_sh.select("doc_id", F.explode("sh").alias("g")).join(
+        F.broadcast(eval_grams), "g", "semi"
+    )
+    ok_grams = inv_t.groupBy("g").count().filter(F.col("count") <= df_cap).drop(
+        "count"
+    )
+    inv_t = inv_t.join(F.broadcast(ok_grams), "g", "semi")
     cand = (
         inv_t.alias("t")
         .join(F.broadcast(inv_e.alias("e")), "g")

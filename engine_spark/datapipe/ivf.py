@@ -12,9 +12,11 @@ Scale design (the part that must survive 100 TB):
   carries at most k x dim x partitions partial rows;
 - the driver only ever holds the codebook itself (k x dim floats), never
   data rows — collect volume is independent of corpus size;
-- init picks the k rows with the smallest content hash: deterministic,
-  cluster-size-independent (same property as datapipe.sampling), one
-  ``orderBy(hash).limit(k)`` which Spark executes as a distributed top-k.
+- init is ONE distributed pass (k-means||-shaped): a deterministic
+  content-hash top-m sample (m = max(8k, 64), executed as distributed
+  top-m) collected to the driver, then greedy k-center on the sample in
+  numpy — O(m·k·dim) driver work, collect volume bounded by k and
+  independent of corpus size. No per-seed full scans.
 
 Reference parity: the reference engine has no ANN/IVF operator — this module
 is part of the brief-mandated LLM-data-pipeline surface (similarity search
@@ -87,44 +89,41 @@ def kmeans_train(
         ),
     ).filter(F.expr(f"size(_v) = {dim}"))
 
-    # deterministic farthest-point init (greedy k-center): first seed = row
-    # with the smallest content hash, each next seed = the row farthest from
-    # all current seeds. Hash-only init routinely drops a cluster (two seeds
-    # land in one dense cluster, Lloyd never recovers); farthest-point
-    # guarantees every well-separated cluster contributes a seed. Cost:
-    # k distributed top-1 passes — collect volume stays one row each.
-    first = (
+    # Deterministic sampled k-center init (one pass — the k-means|| shape,
+    # Bahmani et al. 2012): a pure farthest-point init needs k distributed
+    # full scans (a scale-killer on a TB corpus), so instead take a bounded
+    # content-hash sample of m = max(8k, 64) rows in ONE distributed top-m
+    # pass, then run greedy k-center (farthest-point, first seed = smallest
+    # hash) driver-side on the sample. The hash sample is uniform-ish, so
+    # every cluster holding >= n/m of the data lands candidates in it and
+    # the k-center finish still seeds each well-separated cluster (a
+    # hash-ONLY init routinely drops one: two seeds in one dense cluster,
+    # Lloyd never recovers). Collect volume is m x dim floats — bounded by
+    # k, independent of corpus size.
+    m = max(8 * k, 64)
+    sample = (
         v.withColumn(
             "_h", F.expr("conv(substring(md5(concat('ivf', _id)), 1, 14), 16, 10)")
         )
         .orderBy("_h", "_id")
-        .limit(1)
-        .select("_v", "_id")
+        .limit(m)
+        .select("_v")
         .collect()
     )
-    if not first:
+    if not sample:
         raise ValueError("kmeans_train: empty input")
-    cents = [list(first[0]["_v"])]
-    while len(cents) < k:
-        dists = []
-        for c in cents:
-            terms = " + ".join(
-                f"(element_at(_v, {i + 1}) - ({c[i]!r})) * "
-                f"(element_at(_v, {i + 1}) - ({c[i]!r}))"
-                for i in range(dim)
-            )
-            dists.append(f"({terms})")
-        arr = f"array({', '.join(dists)})"
-        far = (
-            v.withColumn("_d", F.expr(f"array_min({arr})"))
-            .orderBy(F.col("_d").desc(), "_id")
-            .limit(1)
-            .select("_v")
-            .collect()
-        )
-        if not far:
-            raise ValueError(f"kmeans_train: need >= {k} vectors")
-        cents.append(list(far[0]["_v"]))
+    if len(sample) < k:
+        raise ValueError(f"kmeans_train: need >= {k} vectors")
+    import numpy as np
+
+    pts = np.array([r["_v"] for r in sample], dtype=np.float64)  # (m, dim)
+    cents_np = [pts[0]]
+    d2 = ((pts - pts[0]) ** 2).sum(axis=1)
+    while len(cents_np) < k:
+        nxt = int(d2.argmax())  # farthest from all chosen seeds
+        cents_np.append(pts[nxt])
+        d2 = np.minimum(d2, ((pts - pts[nxt]) ** 2).sum(axis=1))
+    cents = [[float(x) for x in c] for c in cents_np]
 
     for _ in range(iters):
         assigned = v.withColumn("_cell", F.expr(_argmin_dist_expr("_v", cents, dim)))

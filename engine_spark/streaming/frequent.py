@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from engine_spark.streaming.eventtime import watermarked
+
 
 def space_saving_stream(
     df: DataFrame,
@@ -45,7 +47,7 @@ def space_saving_stream(
     ``capacity`` rows per key per batch; ``count_est - error`` is a
     guaranteed lower bound on the item's true count.
     """
-    tagged = df.withWatermark(ts_col, late)
+    tagged = watermarked(df, ts_col, late)
     ktype = {f.name: f.dataType for f in df.schema.fields}[key_col].simpleString()
     out_schema = (
         f"{key_col} {ktype}, as_of_ts timestamp, item string, "

@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from engine_spark.streaming.eventtime import watermarked
+
 US = 1_000_000
 
 
@@ -59,7 +61,7 @@ def followed_by_stream(
     Output: (key, e1_ts, e1_value, e2_ts, e2_value, delay_seconds).
     """
     within_us = within_seconds * US
-    tagged = df.withWatermark(ts_col, late).withColumn(
+    tagged = watermarked(df, ts_col, late).withColumn(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", second.cast("boolean"))
 
@@ -144,7 +146,7 @@ def absent_stream(
     passes ``A.ts + d`` with no cancelling B seen.
     """
     within_us = within_seconds * US
-    tagged = df.withWatermark(ts_col, late).withColumn(
+    tagged = watermarked(df, ts_col, late).withColumn(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", absent.cast("boolean"))
 
@@ -316,7 +318,7 @@ def chain_stream(
         if isinstance(schema[c], (T.TimestampType, T.TimestampNTZType))
     }
 
-    tagged = df.withWatermark(ts_col, late)
+    tagged = watermarked(df, ts_col, late)
     for i, (_, pred) in enumerate(steps):
         tagged = tagged.withColumn(f"_is_{i}", pred.cast("boolean"))
     for i, (_, pred2, _) in group_steps.items():
@@ -467,7 +469,14 @@ def chain_stream(
                             {"i": i + 1, "f": p["f"], "l": adv_l, "cap": cap, "c": 0}
                         )
                     continue
-                ok = bool(r[f"_is_{i}"]) and t > p["l"]
+                # Tie semantics must match the batch path: the FIRST event
+                # of a step is strictly after the previous step's event
+                # (hop join cond `nxt_ts > cur_ts`), but while a quantified
+                # step is counting (c > 0), batch ranks ALL qualifying
+                # events by ts — co-timestamped events each count — so the
+                # streaming counter accepts t >= last-counted timestamp.
+                _after = t >= p["l"] if p.get("c", 0) > 0 else t > p["l"]
+                ok = bool(r[f"_is_{i}"]) and _after
                 if ok and cross_filters and i in cross_filters:
                     captured = {
                         flat_aliases[j]: p["cap"][j][1]
@@ -748,7 +757,7 @@ def logical_and_stream_payload(
         if isinstance(schema[c], (T.TimestampType, T.TimestampNTZType))
     }
     tagged = (
-        df.withWatermark(ts_col, late)
+        watermarked(df, ts_col, late)
         .withColumn("_is_a", first.cast("boolean"))
         .withColumn("_is_b", second.cast("boolean"))
         .filter(F.col("_is_a") | F.col("_is_b"))
@@ -874,7 +883,7 @@ def logical_and_stream(
     """
     within_us = within_seconds * US
     tagged = (
-        df.withWatermark(ts_col, late)
+        watermarked(df, ts_col, late)
         .withColumn("_is_a", first.cast("boolean"))
         .withColumn("_is_b", second.cast("boolean"))
         .filter(F.col("_is_a") | F.col("_is_b"))
@@ -1030,7 +1039,7 @@ def time_sliding_stream(
     Output: (key, ts, n, sum_value, min_value, max_value).
     """
     dur_us = duration_seconds * US
-    tagged = df.withWatermark(ts_col, late)
+    tagged = watermarked(df, ts_col, late)
 
     tstype = df.schema[ts_col].dataType.simpleString()
     out_schema = (

@@ -20,6 +20,8 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from engine_spark.streaming.eventtime import watermarked
+
 
 def tumbling(
     df: DataFrame,
@@ -33,12 +35,13 @@ def tumbling(
     emission when the watermark passes window end (the reference's batch
     flush, window/mod.rs:965)."""
     out = (
-        df.withWatermark(ts_col, late)
+        watermarked(df, ts_col, late)
         .groupBy(F.window(F.col(ts_col), duration), *[F.col(c) for c in group_by])
         .agg(*aggs)
     )
-    return out.withColumn("window_start", F.col("window.start")).withColumn(
-        "window_end", F.col("window.end")
+    tst = df.schema[ts_col].dataType.simpleString()
+    return out.withColumn("window_start", F.col("window.start").cast(tst)).withColumn(
+        "window_end", F.col("window.end").cast(tst)
     ).drop("window")
 
 
@@ -54,15 +57,16 @@ def hopping(
     """SLIDING(size, slide) — native hopping window (the reference parses
     this and errors; converter.rs:659-667)."""
     out = (
-        df.withWatermark(ts_col, late)
+        watermarked(df, ts_col, late)
         .groupBy(
             F.window(F.col(ts_col), duration, slide),
             *[F.col(c) for c in group_by],
         )
         .agg(*aggs)
     )
-    return out.withColumn("window_start", F.col("window.start")).withColumn(
-        "window_end", F.col("window.end")
+    tst = df.schema[ts_col].dataType.simpleString()
+    return out.withColumn("window_start", F.col("window.start").cast(tst)).withColumn(
+        "window_end", F.col("window.end").cast(tst)
     ).drop("window")
 
 
@@ -77,15 +81,16 @@ def session(
     """session(gap[, key]) — native session_window with state-store session
     merging (replaces the reference's 1,900-LoC session processor)."""
     out = (
-        df.withWatermark(ts_col, late)
+        watermarked(df, ts_col, late)
         .groupBy(
             F.session_window(F.col(ts_col), gap),
             *[F.col(c) for c in group_by],
         )
         .agg(*aggs)
     )
-    return out.withColumn("session_start", F.col("session_window.start")).withColumn(
-        "session_end", F.col("session_window.end")
+    tst = df.schema[ts_col].dataType.simpleString()
+    return out.withColumn("session_start", F.col("session_window.start").cast(tst)).withColumn(
+        "session_end", F.col("session_window.end").cast(tst)
     ).drop("session_window")
 
 
@@ -263,7 +268,7 @@ def sliding_stream(
         else GroupStateTimeout.NoTimeout
     )
     return (
-        df.withWatermark(ts_col, late)
+        watermarked(df, ts_col, late)
         .groupBy(key_col)
         .applyInPandasWithState(run, out_schema, state_schema, "append", timeout)
     )
@@ -377,7 +382,7 @@ def sort_stream(
             yield pd.DataFrame(out, columns=["action", *cols])
 
     return (
-        df.withWatermark(ts_col, late)
+        watermarked(df, ts_col, late)
         .groupBy(key_col)
         .applyInPandasWithState(
             run, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

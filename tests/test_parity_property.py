@@ -406,6 +406,89 @@ def test_length_sliding_batch_equals_streaming(spark, events, split, n):
 @given(
     events=st.lists(
         st.tuples(
+            st.sampled_from(["a", "b", "b", "c", "x"]),  # b twice: tie-prone
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=8),  # minute offset
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    split=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_midchain_quantifier_ties_batch_equals_streaming(spark, events, split):
+    """`A -> B{2,} -> C` with CO-TIMESTAMPED B events: the batch path ranks
+    all qualifying B's by ts (ties each count toward the quantifier), so the
+    streaming counter must accept t >= last-counted-timestamp rather than
+    strictly-after. B events carry second offset 0 (two B's in the same
+    minute tie exactly) and a payload derived from the timestamp alone, so
+    capture is identical whichever tied event ranks m-th; A/C events get
+    unique per-event second offsets, keeping every cross-step comparison
+    strict and unambiguous in both engines."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    sql = (
+        "PARTITION WITH (user OF E) BEGIN "
+        "INSERT INTO Out SELECT e1.eid AS a, e2.bmin AS bm, e3.eid AS c "
+        "FROM EVERY PATTERN (e1=E[etype = 'a'] -> e2=E[etype = 'b']{2,} "
+        "-> e3=E[etype = 'c']) WITHIN 1200 SECONDS; "
+        "END;"
+    )
+    rows = sorted(
+        [
+            (
+                T0 + timedelta(minutes=m, seconds=0 if t == "b" else i + 10),
+                u,
+                t,
+                i,
+                m if t == "b" else -1,
+            )
+            for i, (t, u, m) in enumerate(events)
+        ],
+        key=lambda r: r[0],
+    )
+    schema = "ts timestamp, user string, etype string, eid int, bmin int"
+
+    app = SqlApp(spark)
+    app.register_stream("E", spark.createDataFrame(rows, schema), ts_col="ts")
+    batch_set = {
+        (r["a"], r["bm"], r["c"]) for r in app.sql(sql)["Out"].collect()
+    }
+
+    r = StreamRunner(spark, schema)
+    nn = max(1, len(rows) // split)
+    for i in range(0, len(rows), nn):
+        r.send(
+            [
+                {
+                    "ts": t.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "user": u,
+                    "etype": ty,
+                    "eid": e,
+                    "bmin": bm,
+                }
+                for t, u, ty, e, bm in rows[i : i + nn]
+            ]
+        )
+
+    def build(sdf):
+        app2 = SqlApp(spark)
+        app2.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        return app2.sql(sql)["Out"]
+
+    r.run(build)
+    stream_set = {(m["a"], m["bm"], m["c"]) for m in r.shutdown()}
+    assert stream_set == batch_set
+
+
+@given(
+    events=st.lists(
+        st.tuples(
             st.sampled_from(["a", "b", "c", "x"]),
             st.sampled_from(["u1", "u2"]),
             st.integers(min_value=0, max_value=25),  # minute offset

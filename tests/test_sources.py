@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -160,6 +162,21 @@ def test_file_queue_exactly_once_across_crash_and_restart(spark, tmp_path):
     q2.awaitTermination()
     got = sorted((r["id"], r["v"]) for r in qout.read_all(spark, schema).collect())
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)]
+
+    # locus check: epochs are committed EXECUTOR-side — each segment is a
+    # Spark-written directory of part files (atomic dir rename), never a
+    # driver-serialized JSONL, and no staging residue survives the commit
+    epoch_dirs = [
+        d for d in os.listdir(qout.segments) if os.path.isdir(os.path.join(qout.segments, d))
+    ]
+    assert epoch_dirs, "expected directory-shaped (distributed) epoch segments"
+    for d in epoch_dirs:
+        assert any(
+            f.startswith("part-") for f in os.listdir(os.path.join(qout.segments, d))
+        )
+    assert not os.path.exists(os.path.join(qout.path, "_staging")) or not os.listdir(
+        os.path.join(qout.path, "_staging")
+    )
 
     # phase 3: publish while the consumer is down, restart again — the new
     # segment arrives exactly once on top of the already-delivered ones

@@ -88,6 +88,99 @@ def test_followed_by_both_types(spark, ts_type):
 
 
 @pytest.mark.parametrize("ts_type", TS_TYPES)
+def test_chain_stream_preserves_ts_type_and_values(spark, ts_type):
+    """The streaming NFA's per-step output timestamp columns must carry the
+    INPUT ts type (an NTZ ts_col round-trips as timestamp_ntz, not
+    timestamp) and naive values must come back unshifted even under a
+    non-UTC session timezone — the silent +offset shift is exactly what the
+    driver's TIMESTAMP_NTZ testdata would hit.
+
+    The non-UTC session tz applies to the NTZ variant only: for TIMESTAMP
+    input the harness's collect() renders os-local (UTC) naive datetimes
+    while the JSON parse used the session tz — the instant round-trips but
+    the wall-clock string is a display artifact, so that variant pins the
+    UTC-session behavior instead."""
+    from engine_spark.streaming import nfa
+    from engine_spark.streaming.harness import StreamRunner
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    if ts_type == "timestamp_ntz":
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        r = StreamRunner(
+            spark, f"ts {ts_type}, user string, etype string, v double"
+        )
+        r.send(
+            [
+                {"ts": "2026-01-01T12:00:00", "user": "u1", "etype": "a", "v": 1.0},
+                {"ts": "2026-01-01T12:05:00", "user": "u1", "etype": "b", "v": 2.0},
+            ]
+        )
+
+        out_types = {}
+
+        def build(sdf):
+            assert sdf.schema["ts"].dataType.simpleString() == ts_type
+            out = nfa.chain_stream(
+                sdf,
+                "ts",
+                "user",
+                steps=[
+                    ("e1", F.col("etype") == "a"),
+                    ("e2", F.col("etype") == "b"),
+                ],
+                within_seconds=3600,
+                payload_cols=["v"],
+            )
+            for c in ("e1_ts", "e2_ts"):
+                out_types[c] = out.schema[c].dataType.simpleString()
+            return out
+
+        r.run(build)
+        matches = r.shutdown()
+        assert out_types == {"e1_ts": ts_type, "e2_ts": ts_type}
+        assert len(matches) == 1
+        m = matches[0]
+        assert str(m["e1_ts"]) == "2026-01-01 12:00:00"
+        assert str(m["e2_ts"]) == "2026-01-01 12:05:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+@pytest.mark.parametrize("ts_type", TS_TYPES)
+def test_streaming_tumbling_preserves_ts_type(spark, ts_type):
+    """Streaming tumbling windows accept NTZ event time (cast to TIMESTAMP
+    for the watermark — Spark refuses NTZ there) and the window-bound
+    columns come back in the INPUT ts type with unshifted wall clock."""
+    from engine_spark.streaming import windows as SW
+    from engine_spark.streaming.harness import StreamRunner
+
+    r = StreamRunner(spark, f"ts {ts_type}, user string, v double")
+    r.send([
+        {"ts": "2026-01-01T12:01:00", "user": "u1", "v": 1.0},
+        {"ts": "2026-01-01T12:02:00", "user": "u1", "v": 2.0},
+    ])
+    r.send([{"ts": "2026-01-01T15:00:00", "user": "zz", "v": 0.0}])  # close
+
+    out_types = {}
+
+    def build(sdf):
+        out = SW.tumbling(
+            sdf, "ts", "5 minutes", ["user"], [F.sum("v").alias("s")]
+        )
+        out_types["window_start"] = out.schema["window_start"].dataType.simpleString()
+        out_types["window_end"] = out.schema["window_end"].dataType.simpleString()
+        return out
+
+    r.run(build)
+    got = [m for m in r.shutdown() if m["user"] == "u1"]
+    assert out_types == {"window_start": ts_type, "window_end": ts_type}
+    assert len(got) == 1
+    assert str(got[0]["window_start"]) == "2026-01-01 12:00:00"
+    assert got[0]["s"] == 3.0
+
+
+@pytest.mark.parametrize("ts_type", TS_TYPES)
 def test_count_quantifier_both_types(spark, ts_type):
     df = _events(spark, ts_type)
     out = pattern.count_quantifier(
