@@ -232,8 +232,36 @@ class SqlApp:
                         df=sdf, ts_col=opts.get("timestamp.column")
                     )
             elif isinstance(stmt, P.Partition):
-                for q in stmt.queries:
-                    self._run_query(q)
+                # RANGE partitions (reference range_partition_type.rs /
+                # partition_type.rs:7-21 Range variant): derive a `_range`
+                # bucket-label column scoped to this BEGIN…END block — one
+                # map-only explode over the labels whose condition the
+                # event matches (multi-match → processed in every matching
+                # range; no match → dropped), then the queries key on it
+                # like any value partition.
+                saved: dict[str, _Stream] = {}
+                for name, spec in stmt.keys.items():
+                    if isinstance(spec, list) and name in self.streams:
+                        s = self.streams[name]
+                        saved[name] = s
+                        arms = ", ".join(
+                            f"CASE WHEN {rewrite_expr(cond)} THEN '{lbl}' END"
+                            for lbl, cond in spec
+                        )
+                        ddf = s.df.withColumn(
+                            "_range",
+                            F.explode(
+                                F.expr(
+                                    f"filter(array({arms}), x -> x IS NOT NULL)"
+                                )
+                            ),
+                        )
+                        self.streams[name] = _Stream(df=ddf, ts_col=s.ts_col)
+                try:
+                    for q in stmt.queries:
+                        self._run_query(q)
+                finally:
+                    self.streams.update(saved)
             elif isinstance(stmt, P.Query):
                 self._run_query(stmt)
         return dict(self.outputs)

@@ -237,7 +237,11 @@ class Query:
 
 @dataclass
 class Partition:
-    keys: dict[str, str]  # stream name → key column
+    #: stream name → key column (value partition, partition_type.rs Value)
+    #: or list[(label, condition_sql)] (range partition, Range variant:
+    #: an event is processed in EVERY range whose condition it matches,
+    #: and dropped when none matches)
+    keys: dict[str, object]
     queries: list[Query] = field(default_factory=list)
 
 
@@ -315,30 +319,57 @@ def _parse_partition(stmt: str) -> Partition:
     )
     if not m:
         raise ValueError(f"cannot parse PARTITION: {stmt[:80]!r}")
-    keys: dict[str, str] = {}
+    keys: dict[str, object] = {}
     for part in split_top_level(m.group(1), ","):
+        p = part.strip()
         km = re.match(
             r"([A-Za-z_][A-Za-z0-9_]*)\s+OF\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
-            part.strip(),
+            p,
             re.IGNORECASE,
         )
-        if not km:
-            raise ValueError(f"cannot parse partition key {part!r}")
-        keys[km.group(2)] = km.group(1)
+        if km:
+            keys[km.group(2)] = km.group(1)
+            continue
+        # RANGE partition (reference range_partition_type.rs: a list of
+        # (condition, label) RangePartitionProperty per stream):
+        #   cond AS 'label' [OR cond AS 'label']... OF Stream
+        rm = re.match(
+            r"(.+)\s+OF\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
+            p,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if rm and re.search(r"\bAS\s+'", rm.group(1), re.IGNORECASE):
+            ranges = re.findall(
+                r"(.+?)\s+AS\s+'([^']+)'\s*(?:\bOR\b\s*|$)",
+                rm.group(1),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if ranges:
+                keys[rm.group(2)] = [
+                    (lbl, cond.strip()) for cond, lbl in ranges
+                ]
+                continue
+        raise ValueError(f"cannot parse partition key {part!r}")
     queries = []
     for q in split_top_level(m.group(2), ";"):
         if q.strip():
             queries.append(parse_query(q.strip()))
+    def _key_for(stream: str) -> str:
+        spec = keys[stream]
+        # range partitions key on the derived bucket-label column the
+        # compiler injects (one map-only explode over matching labels)
+        return "_range" if isinstance(spec, list) else spec
+
     for q in queries:
         src = q.source
         if isinstance(src, StreamRef) and src.name in keys:
-            q.partition_key = keys[src.name]
+            q.partition_key = _key_for(src.name)
         elif isinstance(src, PatternSource):
             for step in src.steps:
                 els = [step.first, step.second] if isinstance(step, PatternGroup) else [step]
                 for el in els:
                     if el.stream in keys:
-                        q.partition_key = keys[el.stream]
+                        q.partition_key = _key_for(el.stream)
                         break
     return Partition(keys=keys, queries=queries)
 

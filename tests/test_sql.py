@@ -287,6 +287,90 @@ def test_partition_with_key(spark):
     assert rows(outs["Out"]) == [("x", 1.0), ("x", 3.0), ("y", 9.0)]
 
 
+def test_partition_with_range(spark):
+    """Range partition (reference range_partition_type.rs /
+    partition_type.rs:7-21): `cond AS 'label' OR cond AS 'label' OF S` —
+    each event is processed in EVERY range whose condition it matches and
+    dropped when none matches; queries inside the block key on the range
+    label like a value partition."""
+    app = SqlApp(spark)
+    app.register_stream(
+        "In",
+        spark.createDataFrame(
+            [("a", 5.0), ("b", 15.0), ("c", 9.0), ("d", 40.0)],
+            "sym string, price double",
+        ),
+    )
+    outs = app.sql(
+        """
+        PARTITION WITH (price < 10 AS 'low' OR price >= 10 AND price < 20
+          AS 'mid' OR price >= 8 AS 'wide' OF In) BEGIN
+          INSERT INTO Out SELECT _range AS bucket, sum(price) AS s,
+            count(*) AS n FROM In WINDOW('lengthBatch', 10);
+        END;
+        """
+    )
+    got = {(r["bucket"], r["s"], r["n"]) for r in outs["Out"].collect()}
+    # 5.0,9.0 → low; 15.0 → mid; 9.0,15.0,40.0 → wide (9 and 15 processed
+    # in TWO ranges); nothing matching no range here, but a price of 25
+    # would be wide-only
+    assert got == {("low", 14.0, 2), ("mid", 15.0, 1), ("wide", 64.0, 3)}
+
+
+def test_partition_with_range_pattern_scoped(spark):
+    """A pattern inside a range partition only matches within one range
+    bucket (the NFA is cloned per label, reference partition/mod.rs:9-31)."""
+    from datetime import datetime, timedelta
+
+    app = SqlApp(spark)
+    t0 = datetime(2026, 1, 1, 12, 0)
+    app.register_stream(
+        "E",
+        spark.createDataFrame(
+            [
+                # low bucket: a then b → match
+                (t0, "a", 1.0, 1),
+                (t0 + timedelta(minutes=1), "b", 2.0, 2),
+                # high bucket: only the 'a'; its 'b' is in low → no match
+                (t0 + timedelta(minutes=2), "a", 50.0, 3),
+                (t0 + timedelta(minutes=3), "b", 4.0, 4),
+            ],
+            "ts timestamp, etype string, v double, eid int",
+        ),
+        ts_col="ts",
+    )
+    outs = app.sql(
+        "PARTITION WITH (v < 10 AS 'low' OR v >= 10 AS 'high' OF E) BEGIN "
+        "INSERT INTO Out SELECT e1.eid AS x, e2.eid AS y "
+        "FROM EVERY PATTERN (e1=E[etype = 'a'] -> e2=E[etype = 'b']) "
+        "WITHIN 3600 SECONDS; "
+        "END;"
+    )
+    got = sorted(tuple(r) for r in outs["Out"].collect())
+    # (1,2): both low, first match. eid3 (high) has no high 'b' — the low
+    # 'b' at eid4 must NOT complete it across buckets.
+    assert got == [(1, 2)]
+
+
+def test_partition_with_range_drops_unmatched(spark):
+    """An event matching NO range condition is dropped from the block."""
+    app = SqlApp(spark)
+    app.register_stream(
+        "In",
+        spark.createDataFrame([(1.0,), (5.0,), (100.0,)], "v double"),
+    )
+    outs = app.sql(
+        """
+        PARTITION WITH (v < 2 AS 'tiny' OR v >= 2 AND v < 10 AS 'small' OF In) BEGIN
+          INSERT INTO Out SELECT _range AS bucket, count(*) AS n
+          FROM In WINDOW('lengthBatch', 10);
+        END;
+        """
+    )
+    got = {(r["bucket"], r["n"]) for r in outs["Out"].collect()}
+    assert got == {("tiny", 1), ("small", 1)}  # 100.0 dropped
+
+
 def test_chained_queries_stream_to_stream(spark):
     app = SqlApp(spark)
     app.register_stream("In", spark.createDataFrame([(1,), (20,), (300,)], "v int"))
