@@ -337,9 +337,10 @@ def jdbc_table(
     predicate pushdown): Spark's JDBC source pushes filters and column
     pruning to the database natively — the reference's hand-built SQL
     generation (docs/writing_extensions.md:40-47) is the built-in behavior
-    here. Requires a JDBC driver jar on the classpath; none ships in this
-    environment, so connection attempts fail at read time with the driver
-    error, but plan construction (and pushdown) is the standard Spark path.
+    here. Any JDBC driver jar on the classpath works; the end-to-end test
+    uses the Derby embedded driver that ships inside Spark's own jars
+    (tests/test_tables.py::test_jdbc_table_end_to_end_with_embedded_derby:
+    write → read-back → pushdown assert → enrichment join).
     """
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in (properties or {}).items():
