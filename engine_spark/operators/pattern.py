@@ -45,6 +45,73 @@ def followed_by(
     plus ``delay_seconds``. With ``strict=True`` (SEQUENCE mode) the B event
     must be the key's *immediately next* event after A.
     """
+    if strict:
+        return _followed_by_strict(
+            df, ts_col, key_cols, first, second, within_seconds
+        )
+    # PATTERN mode as ONE window pass instead of join + rank: the A×B join
+    # multiplies every (A, B-within-d) pair per key before the rank throws
+    # all but the earliest away — quadratic on a hot key. Here both sides
+    # shuffle ONCE on the key; ordering by epoch micros DESC with a
+    # growing range frame (unbounded preceding .. 1 preceding = events
+    # strictly LATER than this row) makes min(b_struct) an incremental
+    # running aggregate, so each A reads its earliest following B in O(1)
+    # amortized. The WITHIN bound is applied afterward: if the earliest
+    # following B is outside d, no B inside d exists. Two A events with
+    # identical key+timestamp each keep their own match (the reference
+    # spawns a state per arriving event, stream_pre_state_processor.rs) —
+    # they are distinct rows here, so that holds by construction.
+    payload = [c for c in df.columns if c not in key_cols]
+    tagged = (
+        df.withColumn("_is_a", first.cast("boolean"))
+        .withColumn("_is_b", second.cast("boolean"))
+        .filter(F.col("_is_a") | F.col("_is_b"))
+        .withColumn("_us", epoch_micros(F.col(ts_col)))
+    )
+    b_struct = F.when(
+        F.col("_is_b"),
+        F.struct(
+            F.col("_us").alias("_bus"),
+            *[F.col(c).alias(f"e2_{c}") for c in payload],
+        ),
+    )
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_us").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    within_us = int(within_seconds) * 1_000_000
+    m = (
+        tagged.withColumn("_nb", F.min(b_struct).over(w))
+        .filter(
+            F.col("_is_a")
+            & F.col("_nb").isNotNull()
+            & (F.col("_nb._bus") <= F.col("_us") + F.lit(within_us))
+        )
+    )
+    # exact integer microseconds → one double division; bit-identical to a
+    # SQL oracle computing (epoch_us(b) - epoch_us(a)) / 1e6
+    return m.select(
+        *key_cols,
+        *[F.col(c).alias(f"e1_{c}") for c in payload],
+        *[F.col(f"_nb.e2_{c}").alias(f"e2_{c}") for c in payload],
+        ((F.col("_nb._bus") - F.col("_us")).cast("double") / F.lit(1000000.0)).alias(
+            "delay_seconds"
+        ),
+    )
+
+
+def _followed_by_strict(
+    df: DataFrame,
+    ts_col: str,
+    key_cols: Sequence[str],
+    first: Column,
+    second: Column,
+    within_seconds: int,
+) -> DataFrame:
+    """SEQUENCE mode (strict adjacency) — the join + rank + anti-join
+    formulation; strictness needs every event of the key between A and B,
+    which the A/B-only window pass above does not see."""
     e1 = df.filter(first).select(
         *key_cols, *[F.col(c).alias(f"e1_{c}") for c in df.columns if c not in key_cols]
     )
@@ -58,26 +125,18 @@ def followed_by(
         cond = cond & (F.col(k) == F.col(f"_k2_{k}"))
     cond = cond & (r_ts > l_ts) & (r_ts <= l_ts + F.expr(f"INTERVAL {within_seconds} SECONDS"))
     j = e1.join(e2, cond, "inner").drop(*[f"_k2_{k}" for k in key_cols])
-    # first (earliest) B per A — PATTERN takes the first match. The rank
-    # window partitions by the *full e1 identity* (every e1_* column), not
-    # just (key, e1_ts): two A events with identical key+timestamp are
-    # distinct NFA starts in the reference (stream_pre_state_processor.rs
-    # spawns a state per arriving event) and each keeps its own match.
     e1_ident = [c for c in j.columns if c.startswith("e1_")]
     w = Window.partitionBy(*key_cols, *e1_ident).orderBy(r_ts, F.col(f"e2_{ts_col}"))
     out = j.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-    if strict:
-        # SEQUENCE: no event of any type may sit between A and B on this key
-        nxt = df.select(
-            *[F.col(c).alias(f"_n_{c}") for c in (*key_cols, ts_col)]
-        )
-        between = F.lit(True)
-        for k in key_cols:
-            between = between & (F.col(k) == F.col(f"_n_{k}"))
-        between = between & (F.col(f"_n_{ts_col}") > l_ts) & (F.col(f"_n_{ts_col}") < r_ts)
-        out = out.join(nxt, between, "left_anti")
-    # exact integer microseconds → one double division; bit-identical to a
-    # SQL oracle computing (epoch_us(b) - epoch_us(a)) / 1e6
+    # SEQUENCE: no event of any type may sit between A and B on this key
+    nxt = df.select(
+        *[F.col(c).alias(f"_n_{c}") for c in (*key_cols, ts_col)]
+    )
+    between = F.lit(True)
+    for k in key_cols:
+        between = between & (F.col(k) == F.col(f"_n_{k}"))
+    between = between & (F.col(f"_n_{ts_col}") > l_ts) & (F.col(f"_n_{ts_col}") < r_ts)
+    out = out.join(nxt, between, "left_anti")
     return out.withColumn(
         "delay_seconds",
         (epoch_micros(r_ts) - epoch_micros(l_ts)).cast("double") / F.lit(1000000.0),

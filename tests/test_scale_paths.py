@@ -56,3 +56,64 @@ def test_streaming_exact_dedup_across_microbatches(spark):
     )
     got = sorted(x["doc_hash"] for x in r.shutdown())
     assert got == ["h1", "h2", "h3"]
+
+
+def test_nfa_hot_key_throughput_floor(spark):
+    """The documented hot-key CEP ceiling (PERF.md): all events of one key
+    funnel through a single python worker in applyInPandasWithState, so a
+    single hot key is bound to one core's automaton rate — keyed
+    parallelism scales the aggregate rate, not the per-key rate. This
+    records that per-key rate as a tested number: a 40k-event single-key
+    micro-batch must clear the conservative floor (the measured rate is
+    printed for PERF.md; the floor is ~5x under typical local[32] numbers
+    to stay robust on noisy VMs)."""
+    import time
+
+    from engine_spark.streaming import nfa
+
+    n = 40_000
+    base = 1_700_000_000
+    rows_ = [
+        {
+            "ts": time.strftime(
+                "%Y-%m-%dT%H:%M:%S", time.gmtime(base + i)
+            ),
+            "user": "hot",
+            "etype": "a" if i % 2 == 0 else "b",
+            "v": float(i),
+        }
+        for i in range(n)
+    ]
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+
+    def build(sdf):
+        return nfa.followed_by_stream(
+            sdf, "ts", "user",
+            first=F.col("etype") == "a",
+            second=F.col("etype") == "b",
+            within_seconds=10, value_col="v",
+        )
+
+    # run 1: pays JVM/streaming/python-worker startup (discarded).
+    # run 2 (tiny) vs run 3 (40k): both are availableNow restarts with the
+    # same fixed cost, so the delta isolates the per-event automaton rate.
+    r.send(rows_[:20])
+    r.run(build)
+    r.send(rows_[20:50])
+    t0 = time.perf_counter()
+    r.run(build)
+    t_small = time.perf_counter() - t0
+
+    r.send(rows_[50:])
+    t0 = time.perf_counter()
+    r.run(build)
+    t_big = time.perf_counter() - t0
+
+    eps = (n - 50) / max(t_big - t_small, 1e-3)
+    matches = r.shutdown()
+    assert len(matches) > n // 3  # the chain actually matched throughout
+    print(f"\nhot-key NFA rate: {eps:,.0f} events/sec/key (big {t_big:.2f}s, small {t_small:.2f}s)")
+    assert eps >= 8_000, (
+        f"hot-key NFA per-key rate {eps:,.0f} eps fell below the documented "
+        "8k floor (PERF.md hot-key ceiling)"
+    )
