@@ -64,12 +64,79 @@ def decode_meta(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """(format, width, height) from raw image bytes — pure stdlib, no
+    imaging library. Parses the four public container formats whose
+    dimensions live in fixed header fields or a marker walk:
+
+    - PNG: 8-byte signature, IHDR width/height big-endian u32 at 16..24
+      (PNG spec, RFC 2083 §11.2.2)
+    - GIF: GIF87a/GIF89a, logical-screen width/height little-endian u16
+      at 6..10 (GIF89a spec §18)
+    - BMP: 'BM', BITMAPINFOHEADER signed LE i32 at 18..26 (height may be
+      negative = top-down; magnitude is the pixel height)
+    - JPEG: marker walk to the first SOFn (height, width big-endian u16
+      at offset +5 in the frame header; ITU T.81 §B.2.2)
+
+    Unknown/truncated payloads → (None, None, None); decode stays a
+    per-row total function so mapInPandas batches never throw.
+    """
+    import struct
+
+    if len(b) >= 24 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return "png", int(w), int(h)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return "gif", int(w), int(h)
+    if len(b) >= 26 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        return "bmp", int(w), abs(int(h))
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                break
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                i += 2  # standalone markers carry no length
+                continue
+            (seglen,) = struct.unpack(">H", b[i + 2 : i + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return "jpeg", int(w), int(h)
+            i += 2 + seglen
+    return None, None, None
+
+
+HEADER_SCHEMA = "doc_id long, format string, width int, height int"
+
+
+def decode_image_headers(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL (non-gated) decode path: (doc_id, payload) → container format +
+    pixel dimensions parsed from the actual bytes with the stdlib header
+    parser — same Arrow-batched mapInPandas plumbing as decode_meta, no
+    imaging library needed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [parse_image_header(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(meta, columns=["format", "width", "height"])
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return df.mapInPandas(run, schema=HEADER_SCHEMA)
+
+
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real image decode → (width, height, mode). Requires PIL."""
+    """Full pixel decode → (width, height, mode). Requires PIL; for
+    header-level dimensions use decode_image_headers (stdlib, no gate)."""
     if not HAS_PIL:  # pragma: no cover
         raise NotImplementedError(
-            "image decoding requires Pillow, which is not installed in this "
-            "environment; use decode_meta() for the deterministic stand-in"
+            "pixel decoding requires Pillow, which is not installed in this "
+            "environment; decode_image_headers() parses real PNG/GIF/BMP/"
+            "JPEG headers without it, decode_meta() is the deterministic "
+            "stand-in for full decode"
         )
     raise NotImplementedError("PIL present but decoder not wired yet")
 

@@ -873,6 +873,52 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(decode_meta(bin_df), "doc_id")
 
 
+@register(
+    "multimodal_headers",
+    """
+    SELECT doc_id,
+           CASE doc_id % 2 WHEN 0 THEN 'png' ELSE 'gif' END AS format,
+           (n_chars % 600 + 16)::INT AS width,
+           (doc_id % 400 + 16)::INT AS height
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "REAL image decoding, no gate: each document gets a byte-exact "
+        "PNG or GIF header built IN-PLAN from its attributes (PNG stores "
+        "dimensions big-endian u32, GIF little-endian u16 — so a parser "
+        "that didn't actually read the bytes cannot pass both), then the "
+        "stdlib header parser (multimodal.parse_image_header, public "
+        "format specs) recovers format/width/height via Arrow-batched "
+        "mapInPandas. The oracle recomputes the generating formulas; the "
+        "Spark side only sees the binary payload."
+    ),
+)
+def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import decode_image_headers
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    # big-endian u32 via hex-pad; little-endian u16 by swapping the two
+    # bytes of the padded hex — all codegen'd, payload never leaves the JVM
+    be32 = lambda e: f"unhex(lpad(hex({e}), 8, '0'))"  # noqa: E731
+    le16 = (
+        lambda e: f"unhex(concat(substring(lpad(hex({e}), 4, '0'), 3, 2), "
+        f"substring(lpad(hex({e}), 4, '0'), 1, 2)))"
+    )  # noqa: E731
+    w, h = "(n_chars % 600 + 16)", "(doc_id % 400 + 16)"
+    png = (
+        f"concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), "
+        f"unhex('49484452'), {be32(w)}, {be32(h)}, unhex('0806000000'))"
+    )
+    gif = f"concat(cast('GIF89a' as binary), {le16(w)}, {le16(h)})"
+    payloads = docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE doc_id % 2 WHEN 0 THEN {png} ELSE {gif} END"
+        ).alias("payload"),
+    )
+    return decode_image_headers(payloads).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN: inverted-file index with deterministic seeded centroids
 # ---------------------------------------------------------------------------

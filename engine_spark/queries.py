@@ -1416,6 +1416,7 @@ _ORDER = [
     "ann_search_modes",
     "embedding_quantize",
     "multimodal_pipeline",
+    "multimodal_headers",
     "sample_deterministic",
     "vocab_topk",
     "pipeline_end_to_end",

@@ -500,3 +500,37 @@ def test_incremental_dedup_batch_internal_pairs(spark, tmp_path):
     )
     pairs = {(r.doc_new, r.doc_prior) for r in dd.process_batch(b, 0).collect()}
     assert pairs == {(11, 10)}
+
+
+def test_parse_image_header_all_formats():
+    """Byte-exact header parsing for all four stdlib-parsable containers,
+    including formats the oracle gate doesn't exercise (BMP, JPEG) and
+    garbage/truncated payloads."""
+    import struct
+
+    from engine_spark.datapipe.multimodal import parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    assert parse_image_header(png) == ("png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200)
+    assert parse_image_header(gif) == ("gif", 320, 200)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 4
+    assert parse_image_header(bmp) == ("bmp", 800, 600)  # top-down height
+
+    # minimal JPEG: SOI, APP0 (skipped via its length), SOF0, dims 1024x768
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"\x00\x00"  # APP0 len 4
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 768, 1024) + b"\x03"
+    )
+    assert parse_image_header(jpeg) == ("jpeg", 1024, 768)
+
+    assert parse_image_header(b"not an image") == (None, None, None)
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(png[:10]) == (None, None, None)  # truncated
