@@ -197,6 +197,37 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         amortized[tname] = int(nrows / best)
 
+    # Materialized-replication throughput: the amortized numbers above
+    # replicate in-plan (explode), which skips scan I/O for the replicas.
+    # Here the REP× tables are written to parquet ONCE (cached across runs)
+    # and the same chains are measured against real parquet scans — eps at
+    # an sf1-equivalent row count including decode + scan cost, the honest
+    # end-to-end basis for the reference's single-node claims.
+    mat_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".benchdata",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_rep{REP}",
+    )
+    mat = {}
+    for tbl, src in (("events", ev_rep), ("lineitem", li_rep)):
+        path = os.path.join(mat_root, tbl)
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            src.repartition(32).write.mode("overwrite").parquet(path)
+        mat[tbl] = spark.read.parquet(path)
+    materialized = {}
+    for tname, build, src, nrows in (
+        ("filter_chain_eps", _filter_chain, mat["lineitem"], n_lineitem * REP),
+        ("cep_window_chain_eps", _cep_chain, mat["events"], n_events * REP),
+        ("pattern_chain_eps", _pattern_chain, mat["events"], n_events * REP),
+    ):
+        build(src).write.format("noop").mode("overwrite").save()  # codegen warm-up
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            build(src).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        materialized[tname] = int(nrows / best)
+
     print(
         json.dumps(
             {
@@ -206,6 +237,7 @@ def main() -> None:
                 "queries": times,
                 "throughput_events_per_sec": throughput,
                 "throughput_events_per_sec_amortized": amortized,
+                "throughput_events_per_sec_materialized": materialized,
                 "amortized_replication": REP,
                 "sf": sf,
             }

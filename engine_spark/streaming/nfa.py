@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +44,24 @@ def _set_timeout(state: GroupState, deadline_ms: int) -> None:
 
 def _us(ts) -> int:
     return int(pd.Timestamp(ts).value // 1000)  # ns → µs
+
+
+def _ts_us_arr(s: pd.Series) -> np.ndarray:
+    """Whole-column µs-since-epoch conversion — one vectorized cast instead
+    of a ``pd.Timestamp`` construction per event. ``.values`` on a tz-aware
+    series yields UTC datetime64, matching ``pd.Timestamp(x).value``."""
+    v = s.values
+    if v.dtype.kind == "M":
+        return v.astype("datetime64[ns]").astype("int64") // 1000
+    return np.fromiter((_us(x) for x in v), dtype="int64", count=len(v))
+
+
+def _bool_arr(s: pd.Series) -> np.ndarray:
+    """Predicate column → dense bool array; SQL three-valued NULL means
+    'not matched' (the batch WHERE treats NULL as false)."""
+    if s.dtype == bool:
+        return s.to_numpy()
+    return s.fillna(False).to_numpy(dtype=bool)
 
 
 def followed_by_stream(
@@ -82,10 +101,17 @@ def followed_by_stream(
             starts = list(zip(sts or [], svs or []))
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(ts_col, kind="mergesort")
+        # vectorized row access: one cast per column instead of a dict +
+        # pd.Timestamp per event; only A/B rows enter the automaton (other
+        # events cannot change state — eviction re-checks at batch end)
+        ts_us = _ts_us_arr(rows[ts_col])
+        is_a = _bool_arr(rows["_is_a"])
+        is_b = _bool_arr(rows["_is_b"])
+        vals = rows[value_col].to_numpy(dtype="float64", na_value=float("nan"))
         out = []
-        for r in rows.to_dict("records"):
-            t = _us(r[ts_col])
-            if bool(r["_is_b"]):
+        for j in np.flatnonzero(is_a | is_b):
+            t = int(ts_us[j])
+            if is_b[j]:
                 kept = []
                 for ta, va in starts:
                     if t > ta and t - ta <= within_us:
@@ -95,7 +121,7 @@ def followed_by_stream(
                                 pd.Timestamp(ta * 1000),
                                 va,
                                 pd.Timestamp(t * 1000),
-                                float(r[value_col]),
+                                float(vals[j]),
                                 (t - ta) / US,
                             )
                         )
@@ -103,11 +129,11 @@ def followed_by_stream(
                         kept.append((ta, va))  # B not after A: keep open
                     # else: expired start, drop
                 starts = kept
-            if bool(r["_is_a"]):
-                starts.append((t, float(r[value_col])))
+            if is_a[j]:
+                starts.append((t, float(vals[j])))
         # evict expired opens relative to the newest event seen
         if len(rows):
-            now = _us(rows[ts_col].iloc[-1])
+            now = int(ts_us[-1])
             starts = [(ta, va) for ta, va in starts if now - ta <= within_us]
         if starts:
             state.update(([t for t, _ in starts], [v for _, v in starts]))
@@ -179,15 +205,19 @@ def absent_stream(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ts_col, kind="mergesort"
         )
-        for r in rows.to_dict("records"):
-            t = _us(r[ts_col])
-            if bool(r["_is_b"]):
+        ts_us = _ts_us_arr(rows[ts_col])
+        is_a = _bool_arr(rows["_is_a"])
+        is_b = _bool_arr(rows["_is_b"])
+        vals = rows[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+        for j in np.flatnonzero(is_a | is_b):
+            t = int(ts_us[j])
+            if is_b[j]:
                 # cancel every open A the B falls within
                 starts = [
                     (ta, va) for ta, va in starts if not (t > ta and t - ta <= within_us)
                 ]
-            if bool(r["_is_a"]):
-                starts.append((t, float(r[value_col])))
+            if is_a[j]:
+                starts.append((t, float(vals[j])))
         # Flush matured As on the DATA path too: Spark never sets hasTimedOut
         # for a key that receives data every micro-batch, so a busy key would
         # otherwise defer its "A with no B within d" emissions indefinitely
@@ -352,17 +382,6 @@ def chain_stream(
     # JVM handles that cloudpickle can't ship to the workers
     step_aliases = [a for a, _ in steps]
 
-    def capture(rec: dict) -> dict:
-        cap = {}
-        for c in payload_cols:
-            v = rec[c]
-            if hasattr(v, "item"):  # numpy scalar → python
-                v = v.item()
-            if c in ts_payload and v is not None:
-                v = pd.Timestamp(v).isoformat()
-            cap[c] = None if v is None or (isinstance(v, float) and v != v) else v
-        return cap
-
     def _schedule(state: GroupState, partials: list[dict]) -> None:
         cands = []
         for p in partials:
@@ -414,11 +433,51 @@ def chain_stream(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ts_col, kind="mergesort"
         )
-        recs = rows.to_dict("records")
+        # vectorized row access (one cast per column, not a dict per event);
+        # rows matching no step / group / cancel predicate are skipped — they
+        # cannot change NFA state, and horizon eviction is re-checked both on
+        # later matching events and at batch end
+        ts_us = _ts_us_arr(rows[ts_col])
+        step_f = [_bool_arr(rows[f"_is_{i}"]) for i in range(n)]
+        grp_f = {i: _bool_arr(rows[f"_is_{i}b"]) for i in group_ops}
+        ab_f = _bool_arr(rows["_is_ab"]) if has_absent else None
+        pay_a = {c: rows[c].values for c in payload_cols}
+        relevant = np.zeros(len(rows), dtype=bool)
+        for f_ in step_f:
+            relevant |= f_
+        for f_ in grp_f.values():
+            relevant |= f_
+        if ab_f is not None:
+            relevant |= ab_f
+
+        def capture_at(j: int) -> dict:
+            cap = {}
+            for c in payload_cols:
+                v = pay_a[c][j]
+                if c in ts_payload:
+                    cap[c] = (
+                        None if v is None or v != v else pd.Timestamp(v).isoformat()
+                    )
+                    continue
+                if hasattr(v, "item"):  # numpy scalar → python
+                    v = v.item()
+                cap[c] = (
+                    None if v is None or (isinstance(v, float) and v != v) else v
+                )
+            return cap
+
+        col_a: dict | None = None
+
+        def row_at(j: int) -> dict:  # full row view for cross-ref predicates
+            nonlocal col_a
+            if col_a is None:
+                col_a = {c: rows[c].values for c in rows.columns}
+            return {c: col_a[c][j] for c in rows.columns}
+
         out: list[tuple[int, list]] = []
-        for r in recs:
-            t = _us(r[ts_col])
-            ab = bool(r["_is_ab"]) if has_absent else False
+        for j in np.flatnonzero(relevant):
+            t = int(ts_us[j])
+            ab = bool(ab_f[j]) if has_absent else False
             kept = []
             fired = False
             for p in partials:
@@ -432,12 +491,12 @@ def chain_stream(
                     continue  # horizon passed with the chain incomplete
                 if i in group_ops:
                     # AND/OR group step: two member predicates
-                    ma = bool(r[f"_is_{i}"]) and t > p["l"]
-                    mb = bool(r[f"_is_{i}b"]) and t > p["l"]
+                    ma = bool(step_f[i][j]) and t > p["l"]
+                    mb = bool(grp_f[i][j]) and t > p["l"]
                     if not (ma or mb):
                         kept.append(p)
                         continue
-                    ent = [t, capture(r)]
+                    ent = [t, capture_at(j)]
                     if group_ops[i] == "or":
                         # first member wins when an event matches both
                         pair = [ent, [None, None]] if ma else [[None, None], ent]
@@ -476,13 +535,13 @@ def chain_stream(
                 # events by ts — co-timestamped events each count — so the
                 # streaming counter accepts t >= last-counted timestamp.
                 _after = t >= p["l"] if p.get("c", 0) > 0 else t > p["l"]
-                ok = bool(r[f"_is_{i}"]) and _after
+                ok = bool(step_f[i][j]) and _after
                 if ok and cross_filters and i in cross_filters:
                     captured = {
-                        flat_aliases[j]: p["cap"][j][1]
-                        for j in range(len(p["cap"]))
+                        flat_aliases[q]: p["cap"][q][1]
+                        for q in range(len(p["cap"]))
                     }
-                    ok = bool(cross_filters[i](captured, r))
+                    ok = bool(cross_filters[i](captured, row_at(j)))
                 if ok:
                     c = p.get("c", 0) + 1
                     if c < step_mins[i]:
@@ -490,7 +549,7 @@ def chain_stream(
                         # stay at step i with the counter bumped
                         kept.append({**p, "c": c, "l": t})
                         continue
-                    cap = p["cap"] + [[t, capture(r)]]  # the m-th event
+                    cap = p["cap"] + [[t, capture_at(j)]]  # the m-th event
                     if i + 1 == n:
                         if has_absent:
                             kept.append({"i": n, "f": p["f"], "l": t, "cap": cap})
@@ -507,8 +566,8 @@ def chain_stream(
             if fired and not every:
                 done, partials = True, []
                 break
-            if bool(r["_is_0"]):
-                cap0 = [[t, capture(r)]]
+            if bool(step_f[0][j]):
+                cap0 = [[t, capture_at(j)]]
                 if n == 1:
                     if has_absent:
                         partials.append({"i": n, "f": t, "l": t, "cap": cap0})
@@ -519,8 +578,8 @@ def chain_stream(
                             break
                 else:
                     partials.append({"i": 1, "f": t, "l": t, "cap": cap0})
-        if recs and not done:
-            now = _us(recs[-1][ts_col])
+        if len(rows) and not done:
+            now = int(ts_us[-1])
             # busy-key flush: the newest event (or watermark) passing a
             # pending deadline proves its window closed uncancelled
             flush = max(now, state.getCurrentWatermarkMs() * 1000)
@@ -637,10 +696,11 @@ def count_quantifier_stream(
     )
     legacy = payload_cols is None
 
-    def _carry_value(r, c):
-        v = r[c]
+    def _carry_value(v):
         if legacy:
             return float(v)
+        if isinstance(v, np.datetime64):
+            return pd.Timestamp(v)  # .item() on datetime64[ns] is raw int ns
         if hasattr(v, "item"):  # numpy scalar → python
             v = v.item()
         return v
@@ -662,14 +722,19 @@ def count_quantifier_stream(
             ts_col, kind="mergesort"
         )
         out = []
-        for r in rows.to_dict("records"):
-            t = _us(r[ts_col])
+        ts_us = _ts_us_arr(rows[ts_col])
+        agg_a = {c: rows[c].values for c in agg_cols}
+        carry_a = {c: rows[c].values for c in carry}
+        for j in range(len(rows)):
+            t = int(ts_us[j])
             buf = [b for b in buf if t - b[0] <= within_us]
             buf.append(
                 (
                     t,
                     *[
-                        None if r[c] is None or r[c] != r[c] else float(r[c])
+                        None
+                        if agg_a[c][j] is None or agg_a[c][j] != agg_a[c][j]
+                        else float(agg_a[c][j])
                         for c in agg_cols
                     ],
                 )
@@ -690,7 +755,7 @@ def count_quantifier_stream(
                         key[0],
                         pd.Timestamp(t * 1000),
                         cnt,
-                        *[_carry_value(r, c) for c in carry],
+                        *[_carry_value(carry_a[c][j]) for c in carry],
                         *agg_vals,
                     )
                 )
@@ -925,10 +990,14 @@ def logical_and_stream(
                 )
             )
 
-        for r in rows.to_dict("records"):
-            t = _us(r[ts_col])
-            v = float(r[value_col])
-            ia, ib = bool(r["_is_a"]), bool(r["_is_b"])
+        ts_us = _ts_us_arr(rows[ts_col])
+        is_a = _bool_arr(rows["_is_a"])
+        is_b = _bool_arr(rows["_is_b"])
+        vals = rows[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+        for j in range(len(rows)):
+            t = int(ts_us[j])
+            v = float(vals[j])
+            ia, ib = bool(is_a[j]), bool(is_b[j])
             if ia:
                 for tb, vb in b_buf:
                     if abs(t - tb) <= within_us:
@@ -1000,8 +1069,10 @@ def length_batch_stream(
             ts_col, kind="mergesort"
         )
         out = []
-        for r in rows.to_dict("records"):
-            buf.append((_us(r[ts_col]), float(r[value_col])))
+        ts_us = _ts_us_arr(rows[ts_col])
+        in_vals = rows[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+        for j in range(len(rows)):
+            buf.append((int(ts_us[j]), float(in_vals[j])))
             if len(buf) == n:
                 vals = [v for _, v in buf]
                 out.append(
@@ -1059,31 +1130,39 @@ def time_sliding_stream(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ts_col, kind="mergesort"
         )
-        out = []
-        for r in rows.to_dict("records"):
-            t = _us(r[ts_col])
+        ts_us = _ts_us_arr(rows[ts_col])
+        in_vals = rows[value_col].to_numpy(dtype="float64", na_value=float("nan"))
+        m = len(rows)
+        ns = np.empty(m, dtype="int64")
+        sums = np.empty(m, dtype="float64")
+        mins = np.empty(m, dtype="float64")
+        maxs = np.empty(m, dtype="float64")
+        for j in range(m):
+            t = int(ts_us[j])
             buf = [(bt, bv) for bt, bv in buf if t - bt < dur_us]
-            buf.append((t, float(r[value_col])))
+            buf.append((t, float(in_vals[j])))
             vals = [v for _, v in buf]
-            out.append(
-                (
-                    key[0],
-                    pd.Timestamp(t * 1000),
-                    len(vals),
-                    float(sum(vals)),
-                    min(vals),
-                    max(vals),
-                )
-            )
+            ns[j] = len(vals)
+            sums[j] = sum(vals)
+            mins[j] = min(vals)
+            maxs[j] = max(vals)
         if buf:
             state.update(([t for t, _ in buf], [v for _, v in buf]))
             _set_timeout(state, max(t for t, _ in buf) // 1000 + duration_seconds * 1000)
         else:
             state.remove()
-        if out:
+        if m:
+            # one output row per arrival, in sorted order — the ts column IS
+            # the sorted input column (no per-row Timestamp re-construction)
             yield pd.DataFrame(
-                out,
-                columns=[key_col, "ts", "n", "sum_value", "min_value", "max_value"],
+                {
+                    key_col: np.repeat(key[0], m),
+                    "ts": rows[ts_col].to_numpy(),
+                    "n": ns,
+                    "sum_value": sums,
+                    "min_value": mins,
+                    "max_value": maxs,
+                }
             )
 
     return tagged.groupBy(key_col).applyInPandasWithState(

@@ -148,7 +148,7 @@ def sliding_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from engine_spark.streaming.nfa import _set_timeout, _us
+    from engine_spark.streaming.nfa import _set_timeout, _ts_us_arr
 
     if mode not in ("length", "time", "lengthbatch"):
         raise ValueError(f"unknown sliding_stream mode {mode!r}")
@@ -206,12 +206,18 @@ def sliding_stream(
             ts_col, kind="mergesort"
         )
         out = []
-        for r in rows.to_dict("records"):
-            t = _us(r[ts_col])
+        ts_us = _ts_us_arr(rows[ts_col])
+        col_a = {c: rows[c].values for c in payload_cols}
+        for j in range(len(rows)):
+            t = int(ts_us[j])
             entry = (
                 t,
                 {
-                    c: (None if r[c] is None or r[c] != r[c] else float(r[c]))
+                    c: (
+                        None
+                        if col_a[c][j] is None or col_a[c][j] != col_a[c][j]
+                        else float(col_a[c][j])
+                    )
                     for c in need_cols
                 },
             )
@@ -231,7 +237,7 @@ def sliding_stream(
                         )
                         for fn, c, _ in aggs
                     ]
-                    out.append((_plain(r[key_col]), batch_id, *agg_vals))
+                    out.append((_plain(col_a[key_col][j]), batch_id, *agg_vals))
                     batch_id += 1
                     buf = []
                 continue
@@ -242,7 +248,9 @@ def sliding_stream(
                 for fn, c, _ in aggs
             ]
             row_vals = [
-                pd.Timestamp(r[c]) if schema[c].startswith("timestamp") else _plain(r[c])
+                pd.Timestamp(col_a[c][j])
+                if schema[c].startswith("timestamp")
+                else _plain(col_a[c][j])
                 for c in payload_cols
             ]
             out.append((*row_vals, *agg_vals))
