@@ -346,3 +346,135 @@ def jdbc_table(
     for k, v in (properties or {}).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+class CacheTable:
+    """Bounded in-memory table with size-capped eviction (reference
+    cache_table.rs: table type ``cache`` with a required ``max_size``
+    property; insert trims beyond max_size via trim_if_needed, plus
+    update/delete/find/contains on equality conditions). The reference's
+    config layer additionally declares ``CacheEvictionPolicy``
+    {Fifo, Lru (default), Lfu} (application_config.rs:651-671) without
+    wiring it into the table — here all three policies are implemented:
+
+    - ``fifo``: evict the oldest INSERT (the reference's actual
+      ``trim_if_needed`` behavior — pop_front on the VecDeque);
+    - ``lru``: evict the least-recently TOUCHED row (find/contains/update
+      hits refresh recency);
+    - ``lfu``: evict the least-frequently touched row (ties broken by
+      insertion order, oldest first).
+
+    Scale shape: a cache table is bounded by construction (max_size rows),
+    so its Spark face is a broadcast dimension — ``df`` builds a DataFrame
+    that enrichment joins broadcast; the row store itself is driver-side
+    exactly like the reference's in-process VecDeque. Row identity for
+    update/delete/find is whole-row or column-subset equality, matching
+    InMemoryCompiledCondition's value comparison.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        schema: str,
+        max_size: int,
+        policy: str = "fifo",
+    ):
+        if max_size < 1:
+            raise ValueError("max_size must be >= 1")
+        if policy not in ("fifo", "lru", "lfu"):
+            raise ValueError(f"unknown eviction policy {policy!r}")
+        self.spark = spark
+        self.schema = schema
+        self.max_size = max_size
+        self.policy = policy
+        self._rows: list[dict] = []  # insertion order preserved
+        self._seq = 0
+        self._meta: dict[int, list] = {}  # id(row slot) -> [last_touch, freq]
+        self._ids: list[int] = []  # parallel to _rows: stable slot ids
+
+    # -- internals -------------------------------------------------------
+    def _touch(self, idx: int) -> None:
+        self._seq += 1
+        m = self._meta[self._ids[idx]]
+        m[0] = self._seq
+        m[1] += 1
+
+    def _evict_if_needed(self) -> None:
+        while len(self._rows) > self.max_size:
+            if self.policy == "fifo":
+                victim = 0
+            elif self.policy == "lru":
+                victim = min(
+                    range(len(self._rows)),
+                    key=lambda i: self._meta[self._ids[i]][0],
+                )
+            else:  # lfu; ties -> oldest insertion (list order)
+                victim = min(
+                    range(len(self._rows)),
+                    key=lambda i: (self._meta[self._ids[i]][1], i),
+                )
+            self._meta.pop(self._ids[victim])
+            self._rows.pop(victim)
+            self._ids.pop(victim)
+
+    def _matches(self, row: dict, cond: dict) -> bool:
+        return all(row.get(k) == v for k, v in cond.items())
+
+    # -- reference Table API --------------------------------------------
+    def insert(self, row: dict) -> None:
+        self._seq += 1
+        slot = self._seq
+        self._rows.append(dict(row))
+        self._ids.append(slot)
+        self._meta[slot] = [self._seq, 1]
+        self._evict_if_needed()
+
+    def update(self, cond: dict, set_values: dict) -> bool:
+        updated = False
+        for i, row in enumerate(self._rows):
+            if self._matches(row, cond):
+                row.update(set_values)
+                self._touch(i)
+                updated = True
+        return updated
+
+    def delete(self, cond: dict) -> bool:
+        keep = [
+            (r, s) for r, s in zip(self._rows, self._ids)
+            if not self._matches(r, cond)
+        ]
+        changed = len(keep) != len(self._rows)
+        for s in set(self._ids) - {s for _, s in keep}:
+            self._meta.pop(s)
+        self._rows = [r for r, _ in keep]
+        self._ids = [s for _, s in keep]
+        return changed
+
+    def find(self, cond: dict) -> dict | None:
+        for i, row in enumerate(self._rows):
+            if self._matches(row, cond):
+                self._touch(i)
+                return dict(row)
+        return None
+
+    def contains(self, cond: dict) -> bool:
+        return self.find(cond) is not None
+
+    def all_rows(self) -> list[dict]:
+        return [dict(r) for r in self._rows]
+
+    def __len__(self) -> int:
+        return len(self._rows)
+
+    # -- Spark face ------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        """Current contents as a broadcast-sized DataFrame (≤ max_size
+        rows by construction) for enrichment joins."""
+        return self.spark.createDataFrame(
+            [tuple(r[c.split()[0]] for c in self.schema.split(", "))
+             for r in self._rows]
+            if self._rows
+            else [],
+            self.schema,
+        )

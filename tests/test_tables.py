@@ -250,3 +250,66 @@ def test_jdbc_table_end_to_end_with_embedded_derby(spark, tmp_path):
         for r in facts.join(F.broadcast(t), "id").select("region", "v").collect()
     )
     assert got == [("eu", 5.0), ("eu", 10.0), ("us", 20.0)]
+
+
+def test_cache_table_fifo_eviction_matches_reference(spark):
+    """Reference cache_table.rs trim_if_needed pops the OLDEST insert once
+    len > max_size — exact FIFO parity, plus the find/update/delete API."""
+    from engine_spark.tables import CacheTable
+
+    t = CacheTable(spark, "k int, v string", max_size=3, policy="fifo")
+    for k, v in [(1, "a"), (2, "b"), (3, "c")]:
+        t.insert({"k": k, "v": v})
+    t.insert({"k": 4, "v": "d"})  # evicts k=1 (oldest insert)
+    assert [r["k"] for r in t.all_rows()] == [2, 3, 4]
+    # touching k=2 must NOT save it under fifo (reference has no recency)
+    assert t.find({"k": 2}) == {"k": 2, "v": "b"}
+    t.insert({"k": 5, "v": "e"})
+    assert [r["k"] for r in t.all_rows()] == [3, 4, 5]
+    assert t.update({"k": 4}, {"v": "D"}) is True
+    assert t.find({"k": 4})["v"] == "D"
+    assert t.delete({"k": 3}) is True
+    assert t.delete({"k": 99}) is False
+    assert len(t) == 2 and not t.contains({"k": 3})
+
+
+def test_cache_table_lru_and_lfu_policies(spark):
+    """The reference config layer declares Lru (default) and Lfu eviction
+    (application_config.rs:651-671) without wiring them; here they work."""
+    from engine_spark.tables import CacheTable
+
+    lru = CacheTable(spark, "k int", max_size=3, policy="lru")
+    for k in (1, 2, 3):
+        lru.insert({"k": k})
+    lru.find({"k": 1})  # 1 is now most-recently used
+    lru.insert({"k": 4})  # evicts 2 (least recently touched)
+    assert sorted(r["k"] for r in lru.all_rows()) == [1, 3, 4]
+
+    lfu = CacheTable(spark, "k int", max_size=3, policy="lfu")
+    for k in (1, 2, 3):
+        lfu.insert({"k": k})
+    for _ in range(3):
+        lfu.find({"k": 1})
+    lfu.find({"k": 3})
+    lfu.insert({"k": 4})  # evicts 2 (lowest touch count; 4 is fresh but ties lose to OLDER — 2 has freq 1, 4 has freq 1, 2 is older)
+    assert sorted(r["k"] for r in lfu.all_rows()) == [1, 3, 4]
+
+
+def test_cache_table_broadcast_enrichment(spark):
+    """The Spark face: a cache table is ≤ max_size rows by construction,
+    so enrichment joins broadcast it — no shuffle of the stream side."""
+    from engine_spark.tables import CacheTable
+
+    t = CacheTable(spark, "code string, label string", max_size=10)
+    t.insert({"code": "a", "label": "alpha"})
+    t.insert({"code": "b", "label": "beta"})
+    facts = spark.range(100).select(
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("code"),
+        F.col("id").alias("n"),
+    )
+    j = facts.join(F.broadcast(t.df), "code")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:400]
+    assert j.count() == 100
+    got = j.filter(F.col("n") == 0).select("label").first()["label"]
+    assert got == "alpha"
