@@ -1,0 +1,136 @@
+"""Corpus-assembly operators: sequence packing and domain mixing.
+
+The last mile of a training-data pipeline, after dedup/quality/sampling:
+deciding *which* documents enter the corpus in what proportions (domain
+mixing) and *where* each document's tokens land in the fixed-length
+training sequences (packing). The reference engine has no equivalent —
+these are brief-mandated LLM-data-pipeline operators, built Spark-first.
+
+**Sequence packing** uses the concatenate-and-chunk formulation standard in
+LLM training (documents are laid end-to-end in a deterministic order and
+the token stream is cut into fixed ``seq_len`` windows; a document may span
+a sequence boundary). That formulation is exactly a prefix sum:
+
+    offset(doc)  = Σ n_tokens of all earlier docs      (window cumsum)
+    seq_first    = offset       // seq_len
+    seq_last     = (offset + n_tokens - 1) // seq_len
+
+A single global order would funnel the cumsum through one partition, so
+packing is SHARDED: documents hash into ``n_shards`` independent token
+streams and the prefix sum runs per shard (``Window.partitionBy(shard)``) —
+one shuffle on the shard key, per-shard sort, no global bottleneck. Shard
+count scales with the cluster; each shard is an independent training-data
+file, which is how packed corpora are materialized in practice anyway.
+
+**Domain mixing** computes, from target weights w_s over the ``source``
+column, the largest total corpus T every target can satisfy
+(T = min_s count_s / w_s — the binding domain is fully consumed) and
+hash-samples each domain at rate w_s·T/count_s. Content-hash sampling (see
+``sampling.py``) keeps the draw reproducible across engines and cluster
+sizes. The per-domain stats aggregate is dimension-sized (one row per
+domain) and broadcast back — the corpus itself is touched by exactly one
+map-only filter pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine_spark.datapipe.fragments import Dialect
+from engine_spark.datapipe.sampling import DENOM, _bucket_expr
+
+PACK_SEQ_LEN = 64
+PACK_SHARDS = 16
+PACK_SALT = "pack"
+
+
+def shard_expr(d: Dialect, key: str, n_shards: int = PACK_SHARDS,
+               salt: str = PACK_SALT) -> str:
+    """Deterministic shard in [0, n_shards) by content hash."""
+    salted = f"concat('{salt}', {key})"
+    return f"({d.hash56(salted)} % {n_shards})"
+
+
+def sequence_pack(
+    df: DataFrame,
+    n_tokens_col: str,
+    doc_id: str = "doc_id",
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Assign every document a position in the packed token stream.
+
+    Returns the input columns plus ``shard``, ``seq_first``, ``seq_last``
+    (which fixed-length sequences the document's tokens occupy) and
+    ``begin_off`` (token offset inside seq_first). Documents with zero
+    tokens are excluded (they occupy no stream position).
+    """
+    d = Dialect("spark")
+    sharded = df.filter(F.col(n_tokens_col) >= 1).withColumn(
+        "shard", F.expr(shard_expr(d, doc_id, n_shards))
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(doc_id)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(n_tokens_col).over(w)
+    off = cum - F.col(n_tokens_col)
+    return (
+        sharded.withColumn("_cum", cum)
+        .withColumn("begin_off", (F.col("_cum") - F.col(n_tokens_col)) % seq_len)
+        .withColumn(
+            "seq_first",
+            F.floor((F.col("_cum") - F.col(n_tokens_col)) / seq_len),
+        )
+        .withColumn("seq_last", F.floor((F.col("_cum") - 1) / seq_len))
+        .drop("_cum")
+    )
+
+
+def domain_mix_rates(
+    counts: DataFrame, weights: dict[str, float], source_col: str = "source"
+) -> DataFrame:
+    """Per-domain keep rates achieving the target mixture.
+
+    ``counts``: one row per domain with a ``n`` column. Domains absent from
+    ``weights`` get rate 0 (dropped). The result is dimension-sized.
+    """
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    withw = counts.withColumn("w", wmap[F.col(source_col)]).filter(
+        F.col("w").isNotNull()
+    )
+    # T = min over targeted domains of count/weight: the largest corpus for
+    # which every domain can supply its target share
+    t = withw.select(F.min(F.col("n") / F.col("w")).alias("t"))
+    return withw.crossJoin(F.broadcast(t)).select(
+        source_col,
+        ((F.col("w") * F.col("t")) / F.col("n")).alias("rate"),
+    )
+
+
+def domain_mix_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Hash-sample ``df`` so the kept rows match the target domain mixture.
+
+    One tiny aggregation (rows = #domains) joined back broadcast; the data
+    pass is a map-only filter. Reproducible: membership depends only on
+    (salt, key) content hashes and the domain counts.
+    """
+    d = Dialect("spark")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
+    rates = domain_mix_rates(counts, weights, source_col)
+    cut = F.expr(f"CAST(rate * {DENOM} AS BIGINT)")
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(F.expr(_bucket_expr(d, key_col, salt)) < cut)
+        .drop("rate")
+    )

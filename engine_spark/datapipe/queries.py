@@ -1160,23 +1160,118 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_RATE = 0.2
 
+#: target corpus mixture over the `source` column: non-uniform weights over
+#: four domains; every other domain is dropped (weight 0). src3 is the
+#: binding domain (weights sum to 1; the smallest count/weight ratio fully
+#: consumes that domain and scales the rest down proportionally).
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+MIX_SALT = "mix"
+
+
+def _mix_oracle() -> str:
+    from engine_spark.datapipe.sampling import DENOM, _bucket_expr
+
+    wcase = " ".join(f"WHEN '{s}' THEN {w}" for s, w in MIX_WEIGHTS.items())
+    return f"""
+    counts AS (
+      SELECT source, count(*) AS n, CASE source {wcase} END AS w
+      FROM documents GROUP BY source
+    ),
+    targeted AS (SELECT * FROM counts WHERE w IS NOT NULL),
+    tot AS (SELECT min(n / w) AS t FROM targeted),
+    rates AS (
+      SELECT source, CAST((w * t) / n * {DENOM} AS BIGINT) AS cut
+      FROM targeted, tot
+    ),
+    mixed AS (
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN rates USING (source)
+      WHERE {_bucket_expr(DK, 'd.doc_id', MIX_SALT)} < cut
+    )"""
+
 
 @register(
-    "sample_deterministic",
+    "sampling_modes",
     f"""
-    SELECT doc_id, lang
+    WITH {_mix_oracle()}
+    SELECT 'hash' AS mode, doc_id, lang AS grp
     FROM documents
     WHERE (('0x' || substring(md5(concat('s0', doc_id)), 1, 14)))::BIGINT
           % 1000000 < {int(SAMPLE_RATE * 1_000_000)}
+    UNION ALL
+    SELECT 'domain_mix' AS mode, doc_id, source AS grp FROM mixed
     """,
-    doc="content-hash sampling: reproducible across runs/engines/cluster "
-    "sizes (df.sample() is none of those); the train/eval-split primitive",
+    doc=(
+        "tag-union of the two deterministic draw operators: mode='hash' — "
+        "content-hash sampling, reproducible across runs/engines/cluster "
+        "sizes (df.sample() is none of those; the train/eval-split "
+        "primitive); mode='domain_mix' — domain-weighted corpus mixing: "
+        "per-source keep rates derived from target weights (binding domain "
+        "fully consumed, others scaled to preserve the mixture), applied as "
+        "one map-only hash filter after a dimension-sized stats broadcast."
+    ),
 )
-def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sampling_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.packing import domain_mix_sample
     from engine_spark.datapipe.sampling import hash_sample
 
     docs = Catalog(spark, sf_dir)["documents"]
-    return hash_sample(docs, "doc_id", SAMPLE_RATE).select("doc_id", "lang")
+    hashed = hash_sample(docs, "doc_id", SAMPLE_RATE).select(
+        F.lit("hash").alias("mode"), "doc_id", F.col("lang").alias("grp")
+    )
+    mixed = domain_mix_sample(docs, MIX_WEIGHTS, salt=MIX_SALT).select(
+        F.lit("domain_mix").alias("mode"), "doc_id", F.col("source").alias("grp")
+    )
+    return hashed.unionByName(mixed)
+
+
+PACK_LEN = 64
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST({DK.size(FR.tokens(DK))} AS BIGINT) AS n_tokens,
+             (('0x' || substring(md5(concat('pack', doc_id)), 1, 14)))::BIGINT
+               % 16 AS shard
+      FROM documents
+      WHERE {DK.size(FR.tokens(DK))} >= 1
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM t
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST((cum - n_tokens) % {PACK_LEN} AS BIGINT) AS begin_off,
+           CAST(floor((cum - n_tokens) / {PACK_LEN}) AS BIGINT) AS seq_first,
+           CAST(floor((cum - 1) / {PACK_LEN}) AS BIGINT) AS seq_last
+    FROM c
+    """,
+    doc=(
+        "sequence packing (concatenate-and-chunk): documents hash into 16 "
+        f"independent token streams, a per-shard prefix sum lays tokens "
+        f"end-to-end, and every doc learns which fixed-{PACK_LEN}-token "
+        "training sequences it occupies (seq_first..seq_last) and its "
+        "offset in the first. One shuffle on the shard key, per-shard "
+        "sort — no global-order bottleneck; shard count scales with the "
+        "cluster."
+    ),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.packing import sequence_pack
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    t = docs.select(
+        "doc_id",
+        F.expr(f"CAST({SP.size(FR.tokens(SP))} AS BIGINT)").alias("n_tokens"),
+    )
+    return sequence_pack(t, "n_tokens", seq_len=PACK_LEN, n_shards=16).select(
+        "doc_id", "shard", "n_tokens", "begin_off", "seq_first", "seq_last"
+    )
 
 
 @register(

@@ -1416,16 +1416,18 @@ _ORDER = [
     "ann_search_modes",
     "embedding_quantize",
     "multimodal_pipeline",
-    "multimodal_headers",
-    "sample_deterministic",
+    "sampling_modes",             # hash sampling + domain-weighted mixing
     "vocab_topk",
     "pipeline_end_to_end",
-    # variants now fitting inside the 50-entry checked window after the
-    # tag-union consolidation (pii→text_quality, or→logical_and,
-    # full_outer→join_outer_modes, lengthBatch→window_length_modes,
-    # ticks→cron_window_5min)
+    "sequence_packing",           # corpus assembly: concat-and-chunk packing
+    "ann_ivf_trained",
+    # ---- entries past the driver's 50-gate window: redundant VARIANTS of
+    # families already checked above (multimodal_headers = header-decode
+    # variant of multimodal_pipeline; q3 = third table↔table join gate).
+    # Both remain fully oracle-checked via tools/check_correctness.py and
+    # pytest — see COVERAGE.md.
     "join_q3_shipping_priority",
-    "ann_ivf_trained",            # rows-only (k-means not SQL-expressible)
+    "multimodal_headers",
 ]
 
 

@@ -534,3 +534,66 @@ def test_parse_image_header_all_formats():
     assert parse_image_header(b"not an image") == (None, None, None)
     assert parse_image_header(b"") == (None, None, None)
     assert parse_image_header(png[:10]) == (None, None, None)  # truncated
+
+
+def test_sequence_pack_offsets_and_spans(spark):
+    """Concat-and-chunk invariants on a crafted single-shard stream."""
+    from engine_spark.datapipe.packing import sequence_pack
+
+    d = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 70), (4, 3), (5, 0)],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r.doc_id: r
+        for r in sequence_pack(d, "n_tokens", seq_len=64, n_shards=1).collect()
+    }
+    assert 5 not in out  # zero-token docs occupy no stream position
+    # stream: doc1 [0,10) doc2 [10,60) doc3 [60,130) doc4 [130,133)
+    assert (out[1].seq_first, out[1].seq_last, out[1].begin_off) == (0, 0, 0)
+    assert (out[2].seq_first, out[2].seq_last, out[2].begin_off) == (0, 0, 10)
+    assert (out[3].seq_first, out[3].seq_last, out[3].begin_off) == (0, 2, 60)
+    assert (out[4].seq_first, out[4].seq_last, out[4].begin_off) == (2, 2, 2)
+
+
+def test_sequence_pack_shards_are_independent_streams(spark):
+    """Every shard's token stream starts at offset 0 and is gap-free:
+    within a shard, each doc's offset equals the previous doc's end."""
+    from engine_spark.datapipe.packing import sequence_pack
+
+    d = spark.range(1, 200).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    rows = sequence_pack(d, "n_tokens", seq_len=16, n_shards=4).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert len(by_shard) == 4
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        expect_off = 0
+        for r in shard_rows:
+            assert r.seq_first * 16 + r.begin_off == expect_off
+            assert r.seq_last == (expect_off + r.n_tokens - 1) // 16
+            expect_off += r.n_tokens
+
+
+def test_domain_mix_hits_target_mixture(spark):
+    """Kept counts track w_s * T with the binding domain fully consumed."""
+    from engine_spark.datapipe.packing import domain_mix_sample
+
+    rows = [(i, f"src{i % 4}") for i in range(4000)]  # 1000 docs per domain
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    weights = {"src0": 0.6, "src1": 0.2, "src2": 0.2}  # src3 dropped
+    out = domain_mix_sample(d, weights).groupBy("source").count()
+    got = {r.source: r["count"] for r in out.collect()}
+    assert "src3" not in got
+    # T = min(1000/0.6, 1000/0.2) = 1666.6; targets: 1000, 333, 333.
+    # Hash sampling is rate-based: allow +-15% per domain.
+    assert got["src0"] == 1000  # binding domain: rate 1.0, exact
+    for s in ("src1", "src2"):
+        assert 283 <= got[s] <= 383
+    # deterministic: a second draw selects the identical rows
+    a = {r.doc_id for r in domain_mix_sample(d, weights).select("doc_id").collect()}
+    b = {r.doc_id for r in domain_mix_sample(d, weights).select("doc_id").collect()}
+    assert a == b
