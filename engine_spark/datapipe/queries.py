@@ -342,6 +342,15 @@ def _decon_parts():
 _DC_CAP, _DC_K, _DC_SALT, _DC_T, _DC_CUT, _dc_bucket = _decon_parts()
 
 
+def _span_parts():
+    from engine_spark.datapipe.spans import MIN_SPAN_TOKENS, SPAN_DF_CAP, SPAN_K
+
+    return SPAN_K, SPAN_DF_CAP, MIN_SPAN_TOKENS
+
+
+_SPAN_K, _SPAN_CAP, _SPAN_MIN = _span_parts()
+
+
 @register(
     "dedup_ngram_jaccard",
     f"""
@@ -373,6 +382,38 @@ _DC_CAP, _DC_K, _DC_SALT, _DC_T, _DC_CUT, _dc_bucket = _decon_parts()
     ccand AS (
       SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
       FROM tinv2 t JOIN einv e ON t.g = e.g
+    ),
+    ptoks AS (SELECT doc_id, {FR.tokens(DK)} AS toks FROM documents),
+    pg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, {DK.size('toks')} - {_SPAN_K - 1} + 1),
+               i -> {{'pos': i, 'gram': {DK.arr_join(DK.slice_k('toks', 'i', _SPAN_K))}}}))
+             AS sg
+      FROM ptoks
+    ),
+    pinv AS (SELECT doc_id, sg.pos AS pos, sg.gram AS gram FROM pg),
+    pkeep AS (SELECT gram FROM pinv GROUP BY gram
+              HAVING count(*) <= {_SPAN_CAP}),
+    pinv2 AS (SELECT pinv.doc_id, pinv.pos, pinv.gram
+              FROM pinv JOIN pkeep USING (gram)),
+    pm AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      FROM pinv2 a JOIN pinv2 b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    pr AS (
+      SELECT doc_a, doc_b, pa, pa - pb AS diag,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                     ORDER BY pa) AS isl
+      FROM pm
+    ),
+    pruns AS (
+      SELECT doc_a, doc_b, count(*) + {_SPAN_K - 1} AS span
+      FROM pr GROUP BY doc_a, doc_b, diag, isl
+    ),
+    pspans AS (
+      SELECT doc_a, doc_b, max(span) AS max_span
+      FROM pruns GROUP BY doc_a, doc_b
+      HAVING max(span) >= {_SPAN_MIN}
     )
     SELECT 'neardup' AS mode, doc_a, doc_b,
            {r6(FR.jaccard(DK, "x.sh", "y.sh"))} AS score
@@ -384,6 +425,10 @@ _DC_CAP, _DC_K, _DC_SALT, _DC_T, _DC_CUT, _dc_bucket = _decon_parts()
     FROM ccand JOIN tr x ON ccand.train_id = x.doc_id
                JOIN ev y ON ccand.eval_id = y.doc_id
     WHERE {FR.containment(DK, "x.sh", "y.sh")} >= {_DC_T}
+    UNION ALL
+    SELECT 'substring_run' AS mode, doc_a, doc_b,
+           CAST(max_span AS DOUBLE) AS score
+    FROM pspans
     """,
     doc=(
         "tag-union of the two n-gram overlap scans a corpus pipeline runs: "
@@ -394,11 +439,16 @@ _DC_CAP, _DC_K, _DC_SALT, _DC_T, _DC_CUT, _dc_bucket = _decon_parts()
         f"scan: {_DC_K}-gram containment |train∩eval|/|eval| ≥ {_DC_T} of "
         "a content-hash eval split, candidates from a BROADCAST eval "
         "inverted index (eval sets are benchmark-sized; the TB train side "
-        "streams map-side and never shuffles on the gram key)."
+        "streams map-side and never shuffles on the gram key); "
+        f"mode='substring_run' — verbatim shared token runs ≥ {_SPAN_MIN} "
+        "tokens (the memorization-length dedup axis) via positional "
+        f"{_SPAN_K}-grams + gaps-and-islands on the match diagonal — "
+        "keyed shuffles only, no suffix array, no all-pairs."
     ),
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine_spark.datapipe.decontamination import contamination_pairs
+    from engine_spark.datapipe.spans import substring_run_pairs
 
     s = _shingle_df(spark, sf_dir).cache()
     cand = ngram_candidates(s)
@@ -427,7 +477,14 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("eval_id").alias("doc_b"),
         F.expr(r6("containment")).alias("score"),
     )
-    return near.unionByName(cont)
+
+    spans = substring_run_pairs(Catalog(spark, sf_dir)["documents"]).select(
+        F.lit("substring_run").alias("mode"),
+        "doc_a",
+        "doc_b",
+        F.col("max_span").cast("double").alias("score"),
+    )
+    return near.unionByName(cont).unionByName(spans)
 
 
 def _mh_exprs(d: Dialect, hashes: str) -> list[str]:

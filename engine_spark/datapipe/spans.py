@@ -1,0 +1,93 @@
+"""Shared-substring-run detection between document pairs.
+
+Exact-substring duplication is the third axis of corpus dedup (beside
+set-overlap Jaccard and signature-based MinHash/SimHash): two documents
+that share a long *contiguous* token run are near-certainly quoting or
+mirroring each other even when their overall shingle overlap is small, and
+verbatim runs are exactly what a language model memorizes (the motivation
+for suffix-array substring dedup in the public literature — see PAPERS.md).
+
+A distributed suffix array is overkill for run *detection*; the same
+answer falls out of the n-gram inverted index the pipeline already builds:
+
+1. k-gram + POSITION per document (row-local transform + posexplode);
+2. document-frequency cap on the gram key (identical to the Jaccard
+   candidate index: a corpus stop-gram would fan out quadratically);
+3. equi-join on the gram → matched position pairs (pa, pb);
+4. gaps-and-islands: within one (doc_a, doc_b) pair, matches on the same
+   DIAGONAL (pa - pb constant) at consecutive pa form one run —
+   ``island = pa - row_number()`` groups them without any iteration;
+5. a run of m consecutive matching k-grams = a shared token run of
+   m + k - 1 tokens.
+
+Every step is a keyed shuffle (gram, then pair+diagonal) — no all-pairs,
+no driver data. The df-cap can split a run containing a capped hot gram
+into two shorter runs; both engines apply the same cap, and a run whose
+every window is corpus-hot is the stop-phrase class a dedup pass should
+not fire on anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from engine_spark.datapipe import fragments as FR
+from engine_spark.datapipe.fragments import Dialect
+
+SPAN_K = 3           #: gram width for run detection
+SPAN_DF_CAP = 64     #: gram occurrences above this are excluded from matching
+MIN_SPAN_TOKENS = 10  #: shortest shared run worth reporting
+
+
+def positional_grams(docs: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, pos, gram) — every k-gram with its 1-based token position."""
+    d = Dialect("spark")
+    toks = docs.select("doc_id", F.expr(FR.tokens(d)).alias("toks"))
+    grams = toks.select(
+        "doc_id", F.posexplode(F.expr(FR.grams_all(d, "toks", k))).alias("p0", "gram")
+    )
+    return grams.select("doc_id", (F.col("p0") + 1).alias("pos"), "gram")
+
+
+def substring_run_pairs(
+    docs: DataFrame,
+    k: int = SPAN_K,
+    df_cap: int = SPAN_DF_CAP,
+    min_span: int = MIN_SPAN_TOKENS,
+) -> DataFrame:
+    """(doc_a, doc_b, max_span, n_runs) for pairs sharing a token run of at
+    least ``min_span`` tokens."""
+    inv = positional_grams(docs, k)
+    inv2 = (
+        inv.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+        .filter(F.col("_df") <= df_cap)
+        .drop("_df")
+    )
+    m = (
+        inv2.alias("a")
+        .join(
+            inv2.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            F.col("b.pos").alias("pb"),
+        )
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        m.select("doc_a", "doc_b", "pa", diag)
+        .withColumn("isl", F.col("pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isl")
+        .agg((F.count(F.lit(1)) + (k - 1)).alias("span"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("span").alias("max_span"), F.count(F.lit(1)).alias("n_runs"))
+        .filter(F.col("max_span") >= min_span)
+    )

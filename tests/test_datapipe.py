@@ -597,3 +597,38 @@ def test_domain_mix_hits_target_mixture(spark):
     a = {r.doc_id for r in domain_mix_sample(d, weights).select("doc_id").collect()}
     b = {r.doc_id for r in domain_mix_sample(d, weights).select("doc_id").collect()}
     assert a == b
+
+
+def test_substring_run_pairs_detects_verbatim_quote(spark):
+    """A 12-token verbatim quote inside otherwise-different docs is found
+    with the exact span length; unrelated docs produce no pair."""
+    from engine_spark.datapipe.spans import substring_run_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"  # 12 toks
+    d = spark.createDataFrame(
+        [
+            (1, "intro words here " + quote + " and a unique tail one"),
+            (2, "other opening text " + quote + " closing remarks two"),
+            (3, "entirely disjoint vocabulary in this third document"),
+        ],
+        "doc_id long, text string",
+    )
+    out = substring_run_pairs(d, k=3, df_cap=64, min_span=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.max_span == 12
+
+
+def test_substring_run_two_separate_runs_not_merged(spark):
+    """Two shared runs separated by divergent text stay separate islands:
+    max_span is the longer one, n_runs counts both."""
+    from engine_spark.datapipe.spans import substring_run_pairs
+
+    a = "alpha beta gamma delta epsilon X1 X2 zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon Y1 Y2 zeta eta theta iota kappa"
+    d = spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string")
+    out = substring_run_pairs(d, k=2, df_cap=64, min_span=3).collect()
+    assert len(out) == 1
+    assert out[0].max_span == 5
+    assert out[0].n_runs == 2
