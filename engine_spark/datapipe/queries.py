@@ -753,6 +753,48 @@ def _bucket_case_duckdb() -> str:
     return f"CASE t {whens} END"
 
 
+IVF_K = 8        # centroid count (cells)
+IVF_NPROBE = 2   # cells probed per query
+IVF_TOPK = 3
+
+
+def _ivf_cell(d: Dialect, vec: str, cents: list[list[float]]) -> str:
+    """Cell id = argmax cosine(vec, centroid_i); first max wins (both
+    engines' array_position/list_position return the first occurrence)."""
+    sub = d.slice_k(vec, "1", LSH_PROJ_DIM)
+    scores = []
+    for c in cents:
+        lits = ", ".join(repr(x) for x in c)
+        arr = f"array({lits})" if d.spark else f"[{lits}]"
+        scores.append(
+            f"({FR.dot_chain(d, sub, arr, LSH_PROJ_DIM)})"
+        )
+    if d.spark:
+        lst = f"array({', '.join(scores)})"
+        return f"CAST(array_position({lst}, array_max({lst})) AS INT)"
+    lst = f"[{', '.join(scores)}]"
+    return f"CAST(list_position({lst}, list_max({lst})) AS INT)"
+
+
+def _ivf_centroids() -> list[list[float]]:
+    """Deterministic 'trained' centroids: unit-ish directions from the same
+    LCG family as the hyperplanes (production IVF trains k-means; the index
+    mechanics — cell assignment, nprobe search — are identical)."""
+    g = FR._lcg(99_2026)
+    return [
+        [(next(g) % 2_000_001) / 1_000_000.0 - 1.0 for _ in range(LSH_PROJ_DIM)]
+        for _ in range(IVF_K)
+    ]
+
+
+IVF_CENTS = _ivf_centroids()
+
+
+#: SemDeDup-style threshold: pairs this close inside one fine cluster are
+#: semantic duplicates (testdata vectors are near-orthogonal, max cos ≈ .40)
+SEM_T = 0.25
+
+
 @register(
     "dedup_embedding_cosine",
     f"""
@@ -772,15 +814,35 @@ def _bucket_case_duckdb() -> str:
       SELECT vec_a, vec_b,
              ({FR.dot_chain(DK, 'x.vd', 'y.vd', EMB_DIM)} / (x.nrm * y.nrm)) AS cos
       FROM cand JOIN e x ON cand.vec_a = x.vec_id JOIN e y ON cand.vec_b = y.vec_id
+    ),
+    sc AS (
+      SELECT vec_id, vd, nrm, {{_SEM_CELL}} AS cell, {{_SEM_B0}} AS b0 FROM e
+    ),
+    sem AS (
+      SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+             ({FR.dot_chain(DK, 'a.vd', 'b2.vd', EMB_DIM)} / (a.nrm * b2.nrm)) AS cos
+      FROM sc a JOIN sc b2 ON a.cell = b2.cell AND a.b0 = b2.b0
+       AND a.vec_id < b2.vec_id
     )
-    SELECT vec_a, vec_b, {r6('cos')} AS cos_sim
+    SELECT 'neardup' AS mode, vec_a, vec_b, {r6('cos')} AS cos_sim
     FROM scored WHERE cos >= {COSINE_T}
-    """,
+    UNION ALL
+    SELECT 'semdedup' AS mode, vec_a, vec_b, {r6('cos')} AS cos_sim
+    FROM sem WHERE cos >= {SEM_T}
+    """.replace("{_SEM_CELL}", _ivf_cell(DK, "vd", IVF_CENTS)).replace(
+        "{_SEM_B0}", FR.hyperplane_bits(DK, "vd", PLANES[0], LSH_PROJ_DIM)
+    ),
     doc=(
-        f"embedding near-dup: {LSH_TABLES} random-hyperplane tables x "
-        f"{LSH_BITS} bits (deterministic planes over first {LSH_PROJ_DIM} "
-        "dims) bucket the vectors; exact cosine (explicit-order double "
-        "chain) verifies bucket-mates. Candidates never all-pairs."
+        f"tag-union of the two embedding-space dedup scans: mode='neardup' "
+        f"— {LSH_TABLES} random-hyperplane tables x {LSH_BITS} bits "
+        f"(deterministic planes over first {LSH_PROJ_DIM} dims) bucket the "
+        "vectors, exact cosine (explicit-order double chain) verifies "
+        "bucket-mates; mode='semdedup' — SemDeDup-style cluster-scoped "
+        "dedup: vectors assigned to fine clusters (centroid cell × "
+        "hyperplane sub-bucket), pairwise cosine only WITHIN a cluster, "
+        f"pairs ≥ {SEM_T} are semantic duplicates (drop the higher vec_id "
+        "to dedup). Cluster count scales with corpus size so per-cluster "
+        "membership stays bounded. Candidates never all-pairs either way."
     ),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -820,7 +882,47 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos") >= COSINE_T)
     )
-    return j.select("vec_a", "vec_b", F.expr(r6("cos")).alias("cos_sim"))
+    near = j.select(
+        F.lit("neardup").alias("mode"),
+        "vec_a",
+        "vec_b",
+        F.expr(r6("cos")).alias("cos_sim"),
+    )
+
+    # SemDeDup-style: ONE fine clustering (centroid cell x hyperplane
+    # sub-bucket), all-pairs strictly inside a cluster — cluster count
+    # grows with the corpus, so per-cluster membership stays bounded
+    sc = e.select(
+        "vec_id",
+        "vd",
+        "nrm",
+        F.expr(_ivf_cell(SP, "vd", IVF_CENTS)).alias("cell"),
+        F.expr(FR.hyperplane_bits(SP, "vd", PLANES[0], LSH_PROJ_DIM)).alias("b0"),
+    )
+    sem = (
+        sc.alias("a")
+        .join(
+            sc.alias("b2"),
+            (F.col("a.cell") == F.col("b2.cell"))
+            & (F.col("a.b0") == F.col("b2.b0"))
+            & (F.col("a.vec_id") < F.col("b2.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b2.vec_id").alias("vec_b"),
+            F.expr(
+                f"{FR.dot_chain(SP, 'a.vd', 'b2.vd', EMB_DIM)} / (a.nrm * b2.nrm)"
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= SEM_T)
+        .select(
+            F.lit("semdedup").alias("mode"),
+            "vec_a",
+            "vec_b",
+            F.expr(r6("cos")).alias("cos_sim"),
+        )
+    )
+    return near.unionByName(sem)
 
 
 ANN_N_QUERIES = 5
@@ -980,41 +1082,6 @@ def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF ANN: inverted-file index with deterministic seeded centroids
 # ---------------------------------------------------------------------------
 
-IVF_K = 8        # centroid count (cells)
-IVF_NPROBE = 2   # cells probed per query
-IVF_TOPK = 3
-
-
-def _ivf_cell(d: Dialect, vec: str, cents: list[list[float]]) -> str:
-    """Cell id = argmax cosine(vec, centroid_i); first max wins (both
-    engines' array_position/list_position return the first occurrence)."""
-    sub = d.slice_k(vec, "1", LSH_PROJ_DIM)
-    scores = []
-    for c in cents:
-        lits = ", ".join(repr(x) for x in c)
-        arr = f"array({lits})" if d.spark else f"[{lits}]"
-        scores.append(
-            f"({FR.dot_chain(d, sub, arr, LSH_PROJ_DIM)})"
-        )
-    if d.spark:
-        lst = f"array({', '.join(scores)})"
-        return f"CAST(array_position({lst}, array_max({lst})) AS INT)"
-    lst = f"[{', '.join(scores)}]"
-    return f"CAST(list_position({lst}, list_max({lst})) AS INT)"
-
-
-def _ivf_centroids() -> list[list[float]]:
-    """Deterministic 'trained' centroids: unit-ish directions from the same
-    LCG family as the hyperplanes (production IVF trains k-means; the index
-    mechanics — cell assignment, nprobe search — are identical)."""
-    g = FR._lcg(99_2026)
-    return [
-        [(next(g) % 2_000_001) / 1_000_000.0 - 1.0 for _ in range(LSH_PROJ_DIM)]
-        for _ in range(IVF_K)
-    ]
-
-
-IVF_CENTS = _ivf_centroids()
 
 
 def _ivf_probe_cells(d: Dialect, vec: str) -> str:

@@ -362,7 +362,7 @@ def test_arrow_kernels_match_fold_path(spark):
     from engine_spark.catalog import Catalog
 
     sf = "/root/testdata/sf0.001"
-    fold = q_dedup_embedding_cosine(spark, sf)
+    fold = q_dedup_embedding_cosine(spark, sf).filter("mode = 'neardup'")
     emb = Catalog(spark, sf)["embeddings"]
     vecs = emb.select("vec_id", F.expr(_vecd(SP)).alias("vd"))
     arrow = dedup_embedding_cosine_arrow(
@@ -632,3 +632,32 @@ def test_substring_run_two_separate_runs_not_merged(spark):
     assert len(out) == 1
     assert out[0].max_span == 5
     assert out[0].n_runs == 2
+
+
+def test_semdedup_pairs_are_cluster_scoped(spark):
+    """semdedup rows only pair vectors in the SAME fine cluster, and every
+    reported pair clears the threshold; neardup and semdedup modes coexist."""
+    from engine_spark.catalog import Catalog
+    from engine_spark.datapipe.queries import (
+        IVF_CENTS, LSH_PROJ_DIM, PLANES, SEM_T, SP, _ivf_cell, _vecd,
+        q_dedup_embedding_cosine,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dedup_embedding_cosine(spark, sf)
+    sem = out.filter("mode = 'semdedup'").collect()
+    assert len(sem) > 0
+    assert all(r.cos_sim >= SEM_T for r in sem)
+
+    emb = Catalog(spark, sf)["embeddings"]
+    cl = {
+        r.vec_id: (r.cell, r.b0)
+        for r in emb.select(
+            "vec_id",
+            F.expr(_ivf_cell(SP, _vecd(SP), IVF_CENTS)).alias("cell"),
+            F.expr(
+                FR.hyperplane_bits(SP, _vecd(SP), PLANES[0], LSH_PROJ_DIM)
+            ).alias("b0"),
+        ).collect()
+    }
+    assert all(cl[r.vec_a] == cl[r.vec_b] for r in sem)
