@@ -49,6 +49,19 @@ CHECKS = {
         ("no cartesian/nested-loop", lambda p: "Cartesian" not in p),
         ("eval index broadcast", lambda p: "BroadcastHashJoin" in p),
     ],
+    "sequence_packing": [
+        # sharded prefix sum: exactly one shuffle (the shard key); a global
+        # cumsum would show a single-partition Exchange
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("no single-partition window", lambda p: "Exchange SinglePartition" not in p),
+        ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "sampling_modes": [
+        # domain-mix rates are dimension-sized and must broadcast back;
+        # the corpus pass itself is a map-only filter
+        ("rates broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+    ],
     "asof_join_last_view": [
         # merged-timeline formulation: ONE window over the union — a range
         # join + rank would multiply each left row by every earlier right
