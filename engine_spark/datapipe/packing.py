@@ -128,7 +128,9 @@ def domain_mix_sample(
     d = Dialect("spark")
     counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n"))
     rates = domain_mix_rates(counts, weights, source_col)
-    cut = F.expr(f"CAST(rate * {DENOM} AS BIGINT)")
+    # explicit floor: Spark's double->BIGINT cast truncates but DuckDB's
+    # ROUNDS - a rate*DENOM of .9999 would diverge between the engines
+    cut = F.expr(f"CAST(floor(rate * {DENOM}) AS BIGINT)")
     return (
         df.join(F.broadcast(rates), source_col)
         .filter(F.expr(_bucket_expr(d, key_col, salt)) < cut)

@@ -1304,7 +1304,7 @@ def _mix_oracle() -> str:
     targeted AS (SELECT * FROM counts WHERE w IS NOT NULL),
     tot AS (SELECT min(n / w) AS t FROM targeted),
     rates AS (
-      SELECT source, CAST((w * t) / n * {DENOM} AS BIGINT) AS cut
+      SELECT source, CAST(floor((w * t) / n * {DENOM}) AS BIGINT) AS cut
       FROM targeted, tot
     ),
     mixed AS (
