@@ -98,6 +98,9 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
             if b[i] != 0xFF:
                 break
             marker = b[i + 1]
+            if marker == 0xFF:
+                i += 1  # fill byte before a marker (ITU T.81 B.1.1.2)
+                continue
             if marker == 0x01 or 0xD0 <= marker <= 0xD9:
                 i += 2  # standalone markers carry no length
                 continue
@@ -120,7 +123,12 @@ def decode_image_headers(df: DataFrame, payload_col: str = "payload") -> DataFra
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [parse_image_header(bytes(p)) for p in pdf[payload_col]]
+            # NULL payloads are normal in a real corpus: decode must stay a
+            # per-row total function (bytes(None) would kill the whole task)
+            meta = [
+                (None, None, None) if p is None else parse_image_header(bytes(p))
+                for p in pdf[payload_col]
+            ]
             out = pd.DataFrame(meta, columns=["format", "width", "height"])
             out.insert(0, "doc_id", pdf["doc_id"].values)
             yield out

@@ -75,15 +75,11 @@ def sequence_pack(
         .orderBy(doc_id)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = F.sum(n_tokens_col).over(w)
-    off = cum - F.col(n_tokens_col)
+    off = F.col("_cum") - F.col(n_tokens_col)  # first token's stream offset
     return (
-        sharded.withColumn("_cum", cum)
-        .withColumn("begin_off", (F.col("_cum") - F.col(n_tokens_col)) % seq_len)
-        .withColumn(
-            "seq_first",
-            F.floor((F.col("_cum") - F.col(n_tokens_col)) / seq_len),
-        )
+        sharded.withColumn("_cum", F.sum(n_tokens_col).over(w))
+        .withColumn("begin_off", off % seq_len)
+        .withColumn("seq_first", F.floor(off / seq_len))
         .withColumn("seq_last", F.floor((F.col("_cum") - 1) / seq_len))
         .drop("_cum")
     )

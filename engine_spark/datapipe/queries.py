@@ -299,19 +299,21 @@ NGRAM_DF_CAP = 128
 def ngram_candidates(shingles_df: DataFrame, df_cap: int = NGRAM_DF_CAP) -> DataFrame:
     """Distinct (doc_a, doc_b) pairs sharing ≥1 shingle with df ≤ df_cap.
 
-    One shuffle on ``shingle`` computes document frequency (window count)
-    and feeds the self-join, which reuses the partitioning. Candidate
-    volume is bounded by Σ_shingle min(df, cap)²/2 — linear in corpus size
-    for any fixed cap, vs quadratic in the hottest shingle without it.
+    Document frequency comes from a combine-enabled ``groupBy().count()``
+    (one partial row per (shingle, partition) shuffles, not every inverted-
+    index row) and a keyed semi-join prunes; the self-join reuses the
+    shingle-keyed partitioning. Candidate volume is bounded by
+    Σ_shingle min(df, cap)²/2 — linear in corpus size for any fixed cap,
+    vs quadratic in the hottest shingle without it.
     """
-    from pyspark.sql import Window
-
     inv = shingles_df.select("doc_id", F.explode("sh").alias("shingle"))
-    inv2 = (
-        inv.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .filter(F.col("_df") <= df_cap)
-        .drop("_df")
+    ok = (
+        inv.groupBy("shingle")
+        .count()
+        .filter(F.col("count") <= df_cap)
+        .drop("count")
     )
+    inv2 = inv.join(ok, "shingle", "semi")
     return (
         inv2.alias("x")
         .join(

@@ -59,11 +59,17 @@ def substring_run_pairs(
     """(doc_a, doc_b, max_span, n_runs) for pairs sharing a token run of at
     least ``min_span`` tokens."""
     inv = positional_grams(docs, k)
-    inv2 = (
-        inv.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("gram")))
-        .filter(F.col("_df") <= df_cap)
-        .drop("_df")
+    # combine-enabled df-cap: groupBy().count() shuffles one partial row per
+    # (gram, partition), then a keyed semi-join prunes — the gram-keyed
+    # partitioning is reused by the match join below. (A Window.partitionBy
+    # count would shuffle every positional gram row with no combine.)
+    ok = (
+        inv.groupBy("gram")
+        .count()
+        .filter(F.col("count") <= df_cap)
+        .drop("count")
     )
+    inv2 = inv.join(ok, "gram", "semi")
     m = (
         inv2.alias("a")
         .join(

@@ -57,10 +57,12 @@ def followed_by(
     # strictly LATER than this row) makes min(b_struct) an incremental
     # running aggregate, so each A reads its earliest following B in O(1)
     # amortized. The WITHIN bound is applied afterward: if the earliest
-    # following B is outside d, no B inside d exists. Two A events with
-    # identical key+timestamp each keep their own match (the reference
-    # spawns a state per arriving event, stream_pre_state_processor.rs) —
-    # they are distinct rows here, so that holds by construction.
+    # following B is outside d, no B inside d exists. BYTE-IDENTICAL
+    # duplicate A rows collapse to ONE match (relational set semantics —
+    # consistent with the SQL oracle's GROUP BY and with SEQUENCE mode's
+    # full-identity rank; the streaming NFA keeps the reference's
+    # state-per-arriving-event duplicate semantics,
+    # stream_pre_state_processor.rs).
     payload = [c for c in df.columns if c not in key_cols]
     tagged = (
         df.withColumn("_is_a", first.cast("boolean"))
@@ -91,7 +93,7 @@ def followed_by(
     )
     # exact integer microseconds → one double division; bit-identical to a
     # SQL oracle computing (epoch_us(b) - epoch_us(a)) / 1e6
-    return m.select(
+    out = m.select(
         *key_cols,
         *[F.col(c).alias(f"e1_{c}") for c in payload],
         *[F.col(f"_nb.e2_{c}").alias(f"e2_{c}") for c in payload],
@@ -99,6 +101,10 @@ def followed_by(
             "delay_seconds"
         ),
     )
+    # duplicate-A collapse: e2_*/delay are functionally determined by the A
+    # identity (deterministic min), so deduping on (key, e1_*) costs one
+    # shuffle of the MATCHED set only — matches, not input events
+    return out.dropDuplicates([*key_cols, *[f"e1_{c}" for c in payload]])
 
 
 def _followed_by_strict(

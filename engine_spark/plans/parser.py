@@ -339,15 +339,26 @@ def _parse_partition(stmt: str) -> Partition:
             re.IGNORECASE | re.DOTALL,
         )
         if rm and re.search(r"\bAS\s+'", rm.group(1), re.IGNORECASE):
-            ranges = re.findall(
-                r"(.+?)\s+AS\s+'([^']+)'\s*(?:\bOR\b\s*|$)",
-                rm.group(1),
+            # anchored arm-by-arm consumption: findall would silently DROP a
+            # malformed tail after a valid prefix (events of the dropped arms
+            # then vanish from the block instead of the statement failing)
+            txt = rm.group(1).strip()
+            arm = re.compile(
+                r"(.+?)\s+AS\s+'([^']+)'\s*(?:\bOR\b\s+|$)",
                 re.IGNORECASE | re.DOTALL,
             )
+            pos = 0
+            ranges = []
+            while pos < len(txt):
+                am = arm.match(txt, pos)
+                if not am:
+                    raise ValueError(
+                        f"cannot parse range partition arm at {txt[pos:pos + 60]!r}"
+                    )
+                ranges.append((am.group(2), am.group(1).strip()))
+                pos = am.end()
             if ranges:
-                keys[rm.group(2)] = [
-                    (lbl, cond.strip()) for cond, lbl in ranges
-                ]
+                keys[rm.group(2)] = ranges
                 continue
         raise ValueError(f"cannot parse partition key {part!r}")
     queries = []

@@ -670,7 +670,7 @@ def count_quantifier_stream(
         schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         carry_types = [schema[c] for c in carry]
     within_us = within_seconds * US
-    filtered = df.filter(event_filter).withWatermark(ts_col, late)
+    filtered = watermarked(df.filter(event_filter), ts_col, late)
     ktype = dict((f.name, f.dataType) for f in df.schema.fields)[key_col].simpleString()
     tstype = df.schema[ts_col].dataType.simpleString()
     collect_aggs = list(collect_aggs or [])

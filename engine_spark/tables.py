@@ -470,10 +470,15 @@ class CacheTable:
     @property
     def df(self) -> DataFrame:
         """Current contents as a broadcast-sized DataFrame (≤ max_size
-        rows by construction) for enrichment joins."""
+        rows by construction) for enrichment joins. Field names come from
+        Spark's own DDL parser (naive string-splitting broke on legal
+        spacing like ``"k int,v string"``); a row missing a schema column
+        yields NULL there instead of raising at read time."""
+        from pyspark.sql.types import StructType
+
+        names = [f.name for f in StructType.fromDDL(self.schema).fields]
         return self.spark.createDataFrame(
-            [tuple(r[c.split()[0]] for c in self.schema.split(", "))
-             for r in self._rows]
+            [tuple(r.get(n) for n in names) for r in self._rows]
             if self._rows
             else [],
             self.schema,

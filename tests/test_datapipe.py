@@ -661,3 +661,30 @@ def test_semdedup_pairs_are_cluster_scoped(spark):
         ).collect()
     }
     assert all(cl[r.vec_a] == cl[r.vec_b] for r in sem)
+
+
+def test_parse_image_header_jpeg_fill_bytes_and_null_payload(spark):
+    """ITU T.81 B.1.1.2 permits 0xFF fill bytes before any marker — the
+    parser must skip them, not misread a segment length; and a NULL payload
+    row must yield (None, None, None) instead of killing the task."""
+    import struct
+
+    from engine_spark.datapipe.multimodal import (
+        decode_image_headers, parse_image_header,
+    )
+
+    jpeg_fill = (
+        b"\xff\xd8"
+        + b"\xff\xff\xff"  # fill bytes before SOF0
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 480, 640) + b"\x03"
+    )
+    assert parse_image_header(jpeg_fill) == ("jpeg", 640, 480)
+
+    d = spark.createDataFrame(
+        [(1, bytearray(jpeg_fill)), (2, None)], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: (r.format, r.width, r.height)
+           for r in decode_image_headers(d).collect()}
+    assert got[1] == ("jpeg", 640, 480)
+    assert got[2] == (None, None, None)

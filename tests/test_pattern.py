@@ -183,3 +183,27 @@ def test_collection_aggregates_over_match_set(spark):
     )
     got = rows(out, "eid", "n", "s", "mx")
     assert got == [(1, 1, 10.0, 10.0), (2, 2, 30.0, 20.0), (3, 3, 60.0, 30.0)]
+
+
+def test_followed_by_duplicate_a_rows_collapse(spark):
+    """Byte-identical duplicate A events yield ONE match in both PATTERN and
+    SEQUENCE modes (relational set semantics, matching the SQL oracle);
+    per-event duplicate semantics live in the streaming NFA."""
+    from tests.conftest import ts
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(0), "a", 1.0),
+            (1, ts(0), "a", 1.0),  # exact duplicate (at-least-once upstream)
+            (1, ts(1), "b", 2.0),
+        ],
+        "user_id long, ts timestamp, kind string, value double",
+    )
+    for strict in (False, True):
+        out = pattern.followed_by(
+            df, "ts", ["user_id"],
+            F.col("kind") == "a", F.col("kind") == "b",
+            within_seconds=600, strict=strict,
+        ).collect()
+        assert len(out) == 1, f"strict={strict}: {out}"
+        assert out[0]["e1_value"] == 1.0 and out[0]["e2_value"] == 2.0

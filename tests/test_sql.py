@@ -850,3 +850,21 @@ def test_sql_pattern_midchain_absent(spark):
     )
     got = sorted(tuple(r) for r in outs["Out"].collect())
     assert got == [(1, 2)]
+
+
+def test_partition_with_range_malformed_arm_raises(spark):
+    """A malformed trailing arm must fail the statement, not be silently
+    dropped (a dropped arm means its events vanish from the block)."""
+    import pytest as _pt
+
+    from engine_spark.plans.parser import parse_app
+
+    bad = """
+    CREATE STREAM S (price DOUBLE, user VARCHAR);
+    PARTITION WITH (price < 10 AS 'low' OR price >= 10 AS'high' OF S)
+    BEGIN
+      INSERT INTO Out SELECT _range AS bucket FROM S;
+    END
+    """
+    with _pt.raises(ValueError, match="range partition arm"):
+        parse_app(bad)

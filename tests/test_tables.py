@@ -313,3 +313,15 @@ def test_cache_table_broadcast_enrichment(spark):
     assert j.count() == 100
     got = j.filter(F.col("n") == 0).select("label").first()["label"]
     assert got == "alpha"
+
+
+def test_cache_table_df_tolerates_spacing_and_missing_cols(spark):
+    """`.df` must use Spark's DDL parser (not naive ', ' splitting) and
+    emit NULL for a row inserted without some schema column."""
+    from engine_spark.tables import CacheTable
+
+    t = CacheTable(spark, "k int,v string", max_size=3)  # no space after comma
+    t.insert({"k": 1, "v": "a"})
+    t.insert({"k": 2})  # missing v -> NULL, not KeyError
+    got = {r.k: r.v for r in t.df.collect()}
+    assert got == {1: "a", 2: None}

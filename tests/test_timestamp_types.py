@@ -188,3 +188,39 @@ def test_count_quantifier_both_types(spark, ts_type):
     )
     got = rows(out, "user_id", "match_count")
     assert got == [(1, 2)]
+
+
+@pytest.mark.parametrize("ts_type", TS_TYPES)
+def test_count_quantifier_stream_accepts_both_ts_types(spark, ts_type):
+    """count_quantifier_stream was the one stateful op still calling
+    withWatermark directly — an NTZ event-time stream crashed with
+    EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE instead of routing through the
+    watermarked() shim like its siblings. Pin both types end-to-end and
+    the output ts type round-trip."""
+    from engine_spark.streaming import nfa
+    from engine_spark.streaming.harness import StreamRunner
+
+    r = StreamRunner(spark, f"ts {ts_type}, user string, v double")
+    r.send([
+        {"ts": "2026-01-01T12:00:00", "user": "u1", "v": 1.0},
+        {"ts": "2026-01-01T12:00:10", "user": "u1", "v": 2.0},
+        {"ts": "2026-01-01T12:00:20", "user": "u1", "v": 3.0},
+    ])
+
+    out_types = {}
+
+    def build(sdf):
+        assert sdf.schema["ts"].dataType.simpleString() == ts_type
+        out = nfa.count_quantifier_stream(
+            sdf, "ts", "user",
+            event_filter=F.lit(True),
+            min_count=2, max_count=4,
+            within_seconds=600, value_col="v",
+        )
+        out_types["ts"] = out.schema["ts"].dataType.simpleString()
+        return out
+
+    r.run(build)
+    out = r.shutdown()
+    assert out_types["ts"] == ts_type
+    assert [(m["match_count"], m["v"]) for m in out] == [(2, 2.0), (3, 3.0)]
