@@ -91,9 +91,21 @@ def followed_by(
             & (F.col("_nb._bus") <= F.col("_us") + F.lit(within_us))
         )
     )
+    # duplicate-A collapse WITHOUT a new exchange: e2_*/delay are
+    # functionally determined by the A identity (deterministic min), and
+    # the matches are already partitioned by key — sorting the matched set
+    # within each key partition and keeping rows that differ from their
+    # predecessor (null-safe struct compare) dedupes in place, where a
+    # dropDuplicates would reshuffle on the full identity
+    ident = F.struct(*[F.col(c).alias(c) for c in payload])
+    w2 = Window.partitionBy(*key_cols).orderBy(ident)
+    m = (
+        m.withColumn("_prev", F.lag(ident).over(w2))
+        .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(ident))
+    )
     # exact integer microseconds → one double division; bit-identical to a
     # SQL oracle computing (epoch_us(b) - epoch_us(a)) / 1e6
-    out = m.select(
+    return m.select(
         *key_cols,
         *[F.col(c).alias(f"e1_{c}") for c in payload],
         *[F.col(f"_nb.e2_{c}").alias(f"e2_{c}") for c in payload],
@@ -101,10 +113,6 @@ def followed_by(
             "delay_seconds"
         ),
     )
-    # duplicate-A collapse: e2_*/delay are functionally determined by the A
-    # identity (deterministic min), so deduping on (key, e1_*) costs one
-    # shuffle of the MATCHED set only — matches, not input events
-    return out.dropDuplicates([*key_cols, *[f"e1_{c}" for c in payload]])
 
 
 def _followed_by_strict(
