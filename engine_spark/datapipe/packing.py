@@ -85,6 +85,70 @@ def sequence_pack(
     )
 
 
+CHUNK_W = 32       #: tokens per chunk
+CHUNK_STRIDE = 24  #: tokens between chunk starts (W - STRIDE = overlap)
+
+
+def chunk_exprs(d: Dialect, toks: str, w: int = CHUNK_W,
+                stride: int = CHUNK_STRIDE) -> str:
+    """Array of chunk structs ``{idx, tok_start, tok_end}`` over a token
+    list: fixed-width windows with overlap, last window clipped. Row-local
+    (explode downstream) — the standard retrieval/context chunking shape.
+
+    Chunk count = 1 for n ≤ w else ceil((n - w) / stride) + 1, so every
+    token lands in ≥ 1 chunk and starts advance by exactly ``stride``.
+    """
+    n = d.size(toks)
+    n_chunks = (
+        f"(CASE WHEN {n} <= {w} THEN 1 "
+        f"ELSE CAST(ceil(CAST({n} - {w} AS DOUBLE) / {stride}) AS INT) + 1 END)"
+    )
+    idx = "CAST(i - 1 AS BIGINT)"
+    start = f"CAST((i - 1) * {stride} + 1 AS BIGINT)"
+    end = f"CAST(least((i - 1) * {stride} + {w}, {n}) AS BIGINT)"
+    body = (
+        f"{{'idx': {idx}, 'tok_start': {start}, 'tok_end': {end}}}"
+        if not d.spark
+        else f"struct({idx} AS idx, {start} AS tok_start, {end} AS tok_end)"
+    )
+    return d.transform(d.seq1(n_chunks), "i", body)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    w: int = CHUNK_W,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Explode documents into overlapping token-window chunks.
+
+    Output: (doc_id, chunk_idx, tok_start, tok_end, chunk_tokens,
+    chunk_hash) — chunk_hash is the md5 of the space-joined chunk tokens
+    (content address for downstream chunk-level dedup / retrieval keys).
+    Map-only: tokenize + per-row struct transform + explode; no shuffle.
+    """
+    from engine_spark.datapipe import fragments as FR
+
+    d = Dialect("spark")
+    toks = docs.select(
+        "doc_id", F.expr(FR.tokens(d, text_col)).alias("toks")
+    ).filter(F.expr(d.size("toks")) >= 1)
+    ch = toks.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr(chunk_exprs(d, "toks", w, stride))).alias("c"),
+    )
+    chunk_toks = f"slice(toks, c.tok_start, c.tok_end - c.tok_start + 1)"
+    return ch.select(
+        "doc_id",
+        F.col("c.idx").alias("chunk_idx"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.col("c.tok_end").alias("tok_end"),
+        F.expr(f"CAST(c.tok_end - c.tok_start + 1 AS INT)").alias("chunk_tokens"),
+        F.expr(f"md5({d.arr_join(chunk_toks)})").alias("chunk_hash"),
+    )
+
+
 def domain_mix_rates(
     counts: DataFrame, weights: dict[str, float], source_col: str = "source"
 ) -> DataFrame:

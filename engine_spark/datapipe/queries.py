@@ -1400,6 +1400,42 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _chunk_oracle() -> str:
+    from engine_spark.datapipe.packing import chunk_exprs
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {FR.tokens(DK)} AS toks FROM documents
+      WHERE {DK.size(FR.tokens(DK))} >= 1
+    ),
+    ch AS (SELECT doc_id, toks, unnest({chunk_exprs(DK, 'toks')}) AS c FROM t)
+    SELECT doc_id, c.idx AS chunk_idx, c.tok_start AS tok_start,
+           c.tok_end AS tok_end,
+           CAST(c.tok_end - c.tok_start + 1 AS INT) AS chunk_tokens,
+           md5(array_to_string(toks[c.tok_start:c.tok_end], ' ')) AS chunk_hash
+    FROM ch
+    """
+
+
+@register(
+    "doc_chunking",
+    _chunk_oracle(),
+    doc=(
+        "overlapping token-window chunking (the retrieval/context-window "
+        "shape): fixed 32-token chunks advancing by 24, last chunk "
+        "clipped, every token covered; emits per-chunk positions + a "
+        "content-address md5 of the chunk tokens for chunk-level dedup / "
+        "retrieval keys. Map-only: tokenize + row-local struct transform "
+        "+ explode — zero shuffle at any corpus size."
+    ),
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.packing import chunk_documents
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    return chunk_documents(docs)
+
+
 @register(
     "vocab_topk",
     f"""

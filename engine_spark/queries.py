@@ -1428,6 +1428,7 @@ _ORDER = [
     # pytest — see COVERAGE.md.
     "join_q3_shipping_priority",
     "multimodal_headers",
+    "doc_chunking",               # corpus assembly: overlapping chunk explode
 ]
 
 

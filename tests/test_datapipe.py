@@ -688,3 +688,33 @@ def test_parse_image_header_jpeg_fill_bytes_and_null_payload(spark):
            for r in decode_image_headers(d).collect()}
     assert got[1] == ("jpeg", 640, 480)
     assert got[2] == (None, None, None)
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token is covered, starts advance by exactly the stride, the
+    last chunk is clipped, and a short doc yields one chunk."""
+    from engine_spark.datapipe.packing import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(80))  # 80 tokens
+    d = spark.createDataFrame(
+        [(1, long_text), (2, "just five little tokens here"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows_ = chunk_documents(d, w=32, stride=24).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows_:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # empty doc: no chunks
+    one = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # 80 tokens, w=32, stride=24 -> ceil(48/24)+1 = 3 chunks
+    assert [(r.tok_start, r.tok_end) for r in one] == [(1, 32), (25, 56), (49, 80)]
+    assert {r.chunk_tokens for r in one} == {32}
+    covered = set()
+    for r in one:
+        covered.update(range(r.tok_start, r.tok_end + 1))
+    assert covered == set(range(1, 81))
+    short = by_doc[2]
+    assert len(short) == 1
+    assert (short[0].tok_start, short[0].tok_end, short[0].chunk_tokens) == (1, 5, 5)
+    # distinct content -> distinct hashes; overlap regions shared
+    assert len({r.chunk_hash for r in one}) == 3
