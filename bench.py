@@ -47,6 +47,8 @@ def main() -> None:
         "ann_search_modes",
         "text_quality",
         "pipeline_end_to_end",
+        "sequence_packing",
+        "doc_chunking",
         # SQL front-end end-to-end + rollups
         "sql_window_tumbling",
         "incremental_agg_hour",
