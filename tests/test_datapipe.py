@@ -718,3 +718,58 @@ def test_chunk_documents_coverage_and_overlap(spark):
     assert (short[0].tok_start, short[0].tok_end, short[0].chunk_tokens) == (1, 5, 5)
     # distinct content -> distinct hashes; overlap regions shared
     assert len({r.chunk_hash for r in one}) == 3
+
+
+def test_substring_runs_match_bruteforce_property(spark):
+    """Property: on random small corpora, substring_run_pairs (inverted
+    index + gaps-and-islands) equals a brute-force longest-shared-run scan
+    computed in plain Python."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from engine_spark.datapipe.spans import substring_run_pairs
+
+    K, MIN_SPAN = 2, 3
+    vocab = ["a", "b", "c", "d"]
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=12),
+        min_size=2,
+        max_size=4,
+    )
+
+    def brute_max_run(ta: list[str], tb: list[str]) -> int:
+        best = 0
+        for i in range(len(ta)):
+            for j in range(len(tb)):
+                L = 0
+                while i + L < len(ta) and j + L < len(tb) and ta[i + L] == tb[j + L]:
+                    L += 1
+                best = max(best, L)
+        return best
+
+    @given(corpus=corpus_strategy)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(corpus):
+        d = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b): r.max_span
+            for r in substring_run_pairs(
+                d, k=K, df_cap=10_000, min_span=MIN_SPAN
+            ).collect()
+        }
+        want = {}
+        for i in range(len(corpus)):
+            for j in range(i + 1, len(corpus)):
+                span = brute_max_run(corpus[i], corpus[j])
+                if span >= MIN_SPAN:
+                    want[(i, j)] = span
+        assert got == want
+
+    prop()
