@@ -210,17 +210,34 @@ def main() -> None:
         ".benchdata",
         f"{os.path.basename(sf_dir.rstrip('/'))}_rep{REP}",
     )
+    # documents replicated with SHIFTED doc_ids: replicas are exact copies
+    # content-wise, so the replicated corpus is a 90%-duplicate crawl — the
+    # signature build (the linear-at-scale stage) is what gets measured
+    docs_rep = (
+        cat["documents"]
+        .select("doc_id", "text")
+        .withColumn("_r", F.explode(F.array(*[F.lit(i) for i in range(REP)])))
+        .withColumn("doc_id", F.col("doc_id") + F.col("_r") * F.lit(10_000_000))
+        .drop("_r")
+    )
     mat = {}
-    for tbl, src in (("events", ev_rep), ("lineitem", li_rep)):
+    for tbl, src in (("events", ev_rep), ("lineitem", li_rep), ("documents", docs_rep)):
         path = os.path.join(mat_root, tbl)
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             src.repartition(32).write.mode("overwrite").parquet(path)
         mat[tbl] = spark.read.parquet(path)
+    from engine_spark.datapipe.queries import minhash_signatures, shingles_of
+
+    def _minhash_sig_chain(d):
+        return minhash_signatures(shingles_of(d))
+
+    n_docs = cat["documents"].count()
     materialized = {}
     for tname, build, src, nrows in (
         ("filter_chain_eps", _filter_chain, mat["lineitem"], n_lineitem * REP),
         ("cep_window_chain_eps", _cep_chain, mat["events"], n_events * REP),
         ("pattern_chain_eps", _pattern_chain, mat["events"], n_events * REP),
+        ("minhash_signature_docs_per_sec", _minhash_sig_chain, mat["documents"], n_docs * REP),
     ):
         build(src).write.format("noop").mode("overwrite").save()  # codegen warm-up
         best = float("inf")

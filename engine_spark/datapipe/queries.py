@@ -268,7 +268,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
+def shingles_of(docs: DataFrame, k: int = 2) -> DataFrame:
     """doc_id + distinct word-k-gram shingles (row-local).
 
     Tokens are staged as a column first: higher-order-function lambdas are
@@ -276,11 +276,14 @@ def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
     times (size guard, index range, slice) — inlining the tokenizer there
     evaluates it 3x per row.
     """
-    docs = Catalog(spark, sf_dir)["documents"]
     toks = docs.select("doc_id", F.expr(FR.tokens(SP)).alias("toks"))
     return toks.select(
         "doc_id", F.expr(FR.shingles(SP, "toks", k)).alias("sh")
     ).filter(F.expr(SP.size("sh")) > 0)
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str, k: int = 2) -> DataFrame:
+    return shingles_of(Catalog(spark, sf_dir)["documents"], k)
 
 
 #: Shingles appearing in more documents than this are excluded from the
@@ -530,6 +533,31 @@ def _minhash_oracle() -> str:
     """
 
 
+def minhash_signatures(shingles_df: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mhK-1) from (doc_id, sh).
+
+    Signature via explode + K codegen'd min-aggregates, NOT K array
+    transforms: Spark interprets higher-order-function lambdas row-at-a-
+    time (no codegen), which measured 11.8s/5k docs; the exploded
+    formulation stays in whole-stage codegen with map-side combine, so
+    the shuffle carries one partial row per (doc, partition). Same math,
+    same values — the DuckDB oracle keeps the list formulation (its list
+    kernels are vectorized C++).
+    """
+    exploded = shingles_df.select(
+        "doc_id", F.explode(F.expr(FR.shingle_hashes(SP, "sh"))).alias("h")
+    )
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {FR.MINHASH_P}")
+            ).alias(f"mh{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+
+
+
 @register(
     "dedup_minhash_lsh",
     _minhash_oracle(),
@@ -541,31 +569,9 @@ def _minhash_oracle() -> str:
     ),
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Signature via explode + 32 codegen'd min-aggregates, NOT 32 array
-    # transforms: Spark interprets higher-order-function lambdas row-at-a-
-    # time (no codegen), which measured 11.8s/5k docs; the exploded
-    # formulation stays in whole-stage codegen with map-side combine, so
-    # the shuffle carries one partial row per (doc, partition). Same math,
-    # same values — the DuckDB oracle keeps the list formulation (its list
-    # kernels are vectorized C++).
     s = _shingle_df(spark, sf_dir).cache()
     mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
-    exploded = s.select(
-        "doc_id", F.explode(F.expr(FR.shingle_hashes(SP, "sh"))).alias("h")
-    )
-    sig = (
-        exploded.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(
-                    F.expr(f"({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {FR.MINHASH_P}")
-                ).alias(mh_cols[i])
-                for i in range(MINHASH_K)
-            ]
-        )
-        .join(s, "doc_id")
-        .cache()
-    )
+    sig = minhash_signatures(s).join(s, "doc_id").cache()
     # Materialize the signature table BEFORE the band self-join: both join
     # sides and the verify stage reuse it, and an unmaterialized cache gets
     # recomputed per consumer inside a single job. One tiny action here
