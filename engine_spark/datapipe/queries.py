@@ -241,6 +241,59 @@ def q_text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_surprisal",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({FR.tokens(DK)}) AS token FROM documents
+    ),
+    tf AS (SELECT token, count(*) AS tf FROM tok GROUP BY token),
+    tot AS (SELECT sum(tf) AS n FROM tf),
+    scored AS (
+      SELECT tok.doc_id,
+             CAST({r6('-ln(CAST(tf AS DOUBLE) / n)')} AS DECIMAL(28, 6)) AS s
+      FROM tok JOIN tf USING (token), tot
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           {r6('CAST(sum(s) AS DOUBLE) / count(*)')} AS mean_surprisal
+    FROM scored GROUP BY doc_id
+    """,
+    doc=(
+        "perplexity-proxy quality scoring (the CCNet-style LM filter axis, "
+        "with the corpus's own unigram model standing in for an external "
+        "LM): per-token surprisal -ln(tf/N), averaged per document — high "
+        "mean = rare-token gibberish, low mean = boilerplate. Shapes: one "
+        "combine-enabled tf aggregation, one token-keyed join back, one "
+        "per-doc aggregation. Per-token surprisals are rounded then summed "
+        "as DECIMAL so the double sum is partitioning-independent."
+    ),
+)
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return surprisal_scores(Catalog(spark, sf_dir)["documents"])
+
+
+def surprisal_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, mean_surprisal) under the corpus unigram model."""
+    tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("token"))
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tf.agg(F.sum("tf").alias("n"))
+    scored = (
+        tok.join(tf, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                f"CAST({r6('-ln(CAST(tf AS DOUBLE) / n)')} AS DECIMAL(28, 6))"
+            ).alias("s"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr(r6("CAST(sum(s) AS DOUBLE) / count(*)")).alias("mean_surprisal"),
+    )
+
+
 # ===========================================================================
 # deduplication
 # ===========================================================================

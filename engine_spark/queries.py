@@ -1429,6 +1429,7 @@ _ORDER = [
     "join_q3_shipping_priority",
     "multimodal_headers",
     "doc_chunking",               # corpus assembly: overlapping chunk explode
+    "text_surprisal",             # unigram-LM perplexity-proxy quality axis
 ]
 
 

@@ -773,3 +773,23 @@ def test_substring_runs_match_bruteforce_property(spark):
         assert got == want
 
     prop()
+
+
+def test_surprisal_ranks_rare_tokens_above_boilerplate(spark):
+    """Mean unigram surprisal must score a rare-token doc above a doc made
+    of corpus-dominant tokens, and repeated runs must agree exactly
+    (decimal-summed rounded surprisals are partitioning-independent)."""
+    from engine_spark.datapipe.queries import surprisal_scores
+
+    d = spark.createDataFrame(
+        [(1, "the the the the the the the the"),
+         (2, "the the the the the the the zyzzyva")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.mean_surprisal for r in surprisal_scores(d).collect()}
+    assert got[2] > got[1] > 0  # the rare token raises mean surprisal
+
+    # exact repeatability across runs (and across repartitionings)
+    a = {r.doc_id: r.mean_surprisal
+         for r in surprisal_scores(d.repartition(7)).collect()}
+    assert a == got
