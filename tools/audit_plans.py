@@ -62,6 +62,19 @@ CHECKS = {
         ("rates broadcast", lambda p: "BroadcastHashJoin" in p),
         ("no cartesian", lambda p: "Cartesian" not in p),
     ],
+    "doc_chunking": [
+        # tokenize + row-local struct transform + explode: a MAP-ONLY plan —
+        # any Exchange here means the chunker stopped scaling linearly
+        ("zero exchanges (map-only)", lambda p: "Exchange" not in p),
+        ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "text_surprisal": [
+        # unigram model: combine-enabled tf agg + token-keyed join back +
+        # per-doc agg; the one-row total must broadcast, never shuffle-join
+        ("hash aggregation (map-side combine)", lambda p: "HashAggregate" in p),
+        ("corpus total broadcast", lambda p: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     "asof_join_last_view": [
         # merged-timeline formulation: ONE window over the union — a range
         # join + rank would multiply each left row by every earlier right
