@@ -81,29 +81,30 @@ def connected_components(
         # more keyed join — the same doubling trick as large-star
         # (Kiveris et al. 2014) without rewiring edges.
         ptr = stage.select(F.col("u").alias("_p"), F.col("lbl").alias("_plbl"))
-        new_labels = (
-            stage.join(ptr, stage["lbl"] == ptr["_p"], "left")
-            .select(
-                "u",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("_plbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-        ).localCheckpoint(eager=True)
+        jumped = stage.join(ptr, stage["lbl"] == ptr["_p"], "left").select(
+            "u",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("_plbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
         if rnd == 0:
             # every component has ≥2 vertices (vertices come from edges),
             # so round 1 always relabels the non-min members — skip the
-            # convergence job
-            labels = new_labels
+            # convergence check entirely
+            labels = jumped.localCheckpoint(eager=True)
             continue
-        changed = (
-            new_labels.withColumnsRenamed({"lbl": "new_lbl"})
-            .join(labels, "u")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # fuse the convergence flag INTO the round's one materialization:
+        # the old-label join runs inside the same checkpoint job, and the
+        # changed-count is then a cheap scan of checkpointed partitions
+        # instead of a second join job per round
+        prev = labels.select("u", F.col("lbl").alias("_old"))
+        new_labels = (
+            jumped.join(prev, "u")
+            .withColumn("_chg", F.col("lbl") != F.col("_old"))
+            .drop("_old")
+        ).localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.drop("_chg")
         if changed == 0:
             return labels.select(
                 F.col("u").alias("vertex"), F.col("lbl").alias("component")
