@@ -138,13 +138,13 @@ def chunk_documents(
         "toks",
         F.explode(F.expr(chunk_exprs(d, "toks", w, stride))).alias("c"),
     )
-    chunk_toks = f"slice(toks, c.tok_start, c.tok_end - c.tok_start + 1)"
+    chunk_toks = "slice(toks, c.tok_start, c.tok_end - c.tok_start + 1)"
     return ch.select(
         "doc_id",
         F.col("c.idx").alias("chunk_idx"),
         F.col("c.tok_start").alias("tok_start"),
         F.col("c.tok_end").alias("tok_end"),
-        F.expr(f"CAST(c.tok_end - c.tok_start + 1 AS INT)").alias("chunk_tokens"),
+        F.expr("CAST(c.tok_end - c.tok_start + 1 AS INT)").alias("chunk_tokens"),
         F.expr(f"md5({d.arr_join(chunk_toks)})").alias("chunk_hash"),
     )
 

@@ -344,7 +344,9 @@ def _parse_partition(stmt: str) -> Partition:
             # then vanish from the block instead of the statement failing)
             txt = rm.group(1).strip()
             arm = re.compile(
-                r"(.+?)\s+AS\s+'([^']+)'\s*(?:\bOR\b\s+|$)",
+                # \s* after OR: "OR(cond)" is legal; progress is still
+                # guaranteed because the OR token itself is consumed
+                r"(.+?)\s+AS\s+'([^']+)'\s*(?:\bOR\b\s*|$)",
                 re.IGNORECASE | re.DOTALL,
             )
             pos = 0

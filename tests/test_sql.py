@@ -868,3 +868,13 @@ def test_partition_with_range_malformed_arm_raises(spark):
     """
     with _pt.raises(ValueError, match="range partition arm"):
         parse_app(bad)
+
+
+def test_partition_with_range_or_without_space(spark):
+    """`OR(cond)` with no whitespace after OR is a legal arm separator."""
+    from engine_spark.plans.parser import _parse_partition
+
+    stmt = ("PARTITION WITH (price < 10 AS 'low' OR(price >= 10) AS 'high' "
+            "OF S) BEGIN INSERT INTO Out SELECT _range AS bucket FROM S; END")
+    ranges = list(_parse_partition(stmt).keys.values())[0]
+    assert ranges == [("low", "price < 10"), ("high", "(price >= 10)")]
