@@ -149,6 +149,67 @@ def chunk_documents(
     )
 
 
+def sequence_pack_stream(
+    df: DataFrame,
+    n_tokens_col: str,
+    doc_id: str = "doc_id",
+    seq_len: int = PACK_SEQ_LEN,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Streaming-incremental packing: the per-shard token stream CONTINUES
+    across micro-batches (state = one cumulative count per shard), so an
+    appended crawl snapshot packs after the existing corpus instead of
+    restarting every offset at zero.
+
+    Emits the same columns as :func:`sequence_pack`. Within a micro-batch,
+    documents pack in ``doc_id`` order; across batches, in arrival order —
+    identical to the batch operator whenever arrival respects doc_id order
+    (pinned by the parity test). State is one LONG per shard: bounded by
+    ``n_shards`` forever.
+    """
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    d = Dialect("spark")
+    sharded = df.filter(F.col(n_tokens_col) >= 1).withColumn(
+        "shard", F.expr(shard_expr(d, doc_id, n_shards))
+    )
+    in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    out_schema = (
+        f"{doc_id} {in_types[doc_id]}, shard bigint, "
+        f"{n_tokens_col} {in_types[n_tokens_col]}, "
+        "begin_off bigint, seq_first bigint, seq_last bigint"
+    )
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        cum = state.get[0] if state.exists else 0
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            doc_id, kind="mergesort"
+        )
+        out = []
+        for did, ntok in zip(rows[doc_id], rows[n_tokens_col]):
+            ntok = int(ntok)
+            off = cum
+            cum += ntok
+            out.append(
+                (did, key[0], ntok, off % seq_len, off // seq_len,
+                 (cum - 1) // seq_len)
+            )
+        state.update((cum,))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[doc_id, "shard", n_tokens_col, "begin_off",
+                         "seq_first", "seq_last"],
+            )
+
+    return sharded.groupBy("shard").applyInPandasWithState(
+        run, out_schema, "cum long", "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def domain_mix_rates(
     counts: DataFrame, weights: dict[str, float], source_col: str = "source"
 ) -> DataFrame:

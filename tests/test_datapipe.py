@@ -793,3 +793,35 @@ def test_surprisal_ranks_rare_tokens_above_boilerplate(spark):
     a = {r.doc_id: r.mean_surprisal
          for r in surprisal_scores(d.repartition(7)).collect()}
     assert a == got
+
+
+def test_sequence_pack_stream_matches_batch(spark):
+    """Incremental packing across micro-batches equals the batch prefix sum
+    when arrival respects doc_id order — per-shard offsets must CONTINUE
+    across batches, not restart."""
+    from engine_spark.datapipe.packing import sequence_pack, sequence_pack_stream
+    from engine_spark.streaming.harness import StreamRunner
+
+    docs = [{"doc_id": i, "n_tokens": (i % 7) + 1} for i in range(1, 41)]
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["n_tokens"]) for d in docs], "doc_id long, n_tokens long"
+    )
+    want = {
+        r.doc_id: (r.shard, r.begin_off, r.seq_first, r.seq_last)
+        for r in sequence_pack(batch_df, "n_tokens", seq_len=16, n_shards=4).collect()
+    }
+
+    r = StreamRunner(spark, "doc_id long, n_tokens long")
+    r.send(docs[:15])
+    r.send(docs[15:30])
+    r.send(docs[30:])
+    r.run(
+        lambda sdf: sequence_pack_stream(
+            sdf, "n_tokens", seq_len=16, n_shards=4
+        )
+    )
+    got = {
+        m["doc_id"]: (m["shard"], m["begin_off"], m["seq_first"], m["seq_last"])
+        for m in r.shutdown()
+    }
+    assert got == want
