@@ -11,7 +11,7 @@ All row-local (map-only): hash56(key) % DENOM < rate * DENOM.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from engine_spark.datapipe.fragments import Dialect

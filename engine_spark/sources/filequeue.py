@@ -30,8 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 
 
