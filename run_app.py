@@ -44,6 +44,11 @@ def parse_args(argv):
     )
     p.add_argument("--show", type=int, default=20, help="rows to print per output")
     p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument(
+        "-e", "--extension", action="append", default=[], metavar="MODULE",
+        help="plugin module with a register() hook (reference: -e ext.so); "
+        "repeatable",
+    )
     return p.parse_args(argv)
 
 
@@ -69,6 +74,11 @@ def main(argv=None) -> int:
 
     spark = get_spark("run_app", master=args.master, extra_conf=conf)
     spark.sparkContext.setLogLevel("WARN")
+
+    from engine_spark.extensions import load_plugin
+
+    for mod in args.extension:
+        load_plugin(mod)
 
     from engine_spark.plans import SqlApp
 
