@@ -1352,6 +1352,22 @@ SAMPLE_RATE = 0.2
 MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 MIX_SALT = "mix"
 
+#: per-language keep rates: downsample dominant English, keep the rest —
+#: the language-rebalancing counterpart of source-level mixing
+STRAT_RATES = {"en": 0.25, "zh": 0.5, "de": 1.0, "fr": 1.0, "es": 1.0}
+STRAT_SALT = "strat"
+
+
+def _strat_oracle_where() -> str:
+    from engine_spark.datapipe.sampling import DENOM, _bucket_expr
+
+    b = _bucket_expr(DK, "doc_id", STRAT_SALT)
+    arms = " OR ".join(
+        f"(lang = '{s}' AND {b} < {int(r * DENOM)})"
+        for s, r in STRAT_RATES.items()
+    )
+    return arms
+
 
 def _mix_oracle() -> str:
     from engine_spark.datapipe.sampling import DENOM, _bucket_expr
@@ -1385,20 +1401,25 @@ def _mix_oracle() -> str:
           % 1000000 < {int(SAMPLE_RATE * 1_000_000)}
     UNION ALL
     SELECT 'domain_mix' AS mode, doc_id, source AS grp FROM mixed
+    UNION ALL
+    SELECT 'stratified' AS mode, doc_id, lang AS grp
+    FROM documents WHERE {_strat_oracle_where()}
     """,
     doc=(
-        "tag-union of the two deterministic draw operators: mode='hash' — "
+        "tag-union of the three deterministic draw operators: mode='hash' — "
         "content-hash sampling, reproducible across runs/engines/cluster "
         "sizes (df.sample() is none of those; the train/eval-split "
         "primitive); mode='domain_mix' — domain-weighted corpus mixing: "
         "per-source keep rates derived from target weights (binding domain "
         "fully consumed, others scaled to preserve the mixture), applied as "
-        "one map-only hash filter after a dimension-sized stats broadcast."
+        "one map-only hash filter after a dimension-sized stats broadcast; "
+        "mode='stratified' — fixed per-language keep rates (downsample "
+        "dominant languages), pure map-only filter."
     ),
 )
 def q_sampling_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine_spark.datapipe.packing import domain_mix_sample
-    from engine_spark.datapipe.sampling import hash_sample
+    from engine_spark.datapipe.sampling import hash_sample, stratified_hash_sample
 
     docs = Catalog(spark, sf_dir)["documents"]
     hashed = hash_sample(docs, "doc_id", SAMPLE_RATE).select(
@@ -1407,7 +1428,10 @@ def q_sampling_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixed = domain_mix_sample(docs, MIX_WEIGHTS, salt=MIX_SALT).select(
         F.lit("domain_mix").alias("mode"), "doc_id", F.col("source").alias("grp")
     )
-    return hashed.unionByName(mixed)
+    strat = stratified_hash_sample(
+        docs, "doc_id", "lang", STRAT_RATES, salt=STRAT_SALT
+    ).select(F.lit("stratified").alias("mode"), "doc_id", F.col("lang").alias("grp"))
+    return hashed.unionByName(mixed).unionByName(strat)
 
 
 PACK_LEN = 64
