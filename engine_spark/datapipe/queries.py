@@ -1339,6 +1339,97 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_parts():
+    from engine_spark.datapipe.pq import PQ_K, PQ_M, pq_code, pq_recon
+
+    return PQ_M, PQ_K, pq_code, pq_recon
+
+
+_PQ_M, _PQ_K, _pq_code, _pq_recon = _pq_parts()
+_PQ_CODES = [f"c{m}" for m in range(_PQ_M)]
+
+
+def _pq_oracle() -> str:
+    codes = ", ".join(
+        f"{_pq_code(DK, 'vd', m)} AS c{m}" for m in range(_PQ_M)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd,
+                      {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
+               FROM embeddings),
+    coded AS (SELECT vec_id, {codes} FROM e),
+    recon AS (
+      SELECT vec_id, rv, {FR.norm_chain(DK, 'rv', EMB_DIM)} AS rnrm
+      FROM (SELECT vec_id, {_pq_recon(DK, _PQ_CODES)} AS rv FROM coded)
+    ),
+    q AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn
+          FROM e WHERE vec_id < {ANN_N_QUERIES}),
+    scored AS (
+      SELECT q.q_id, r.vec_id AS cand_id,
+             {r6(f"{FR.dot_chain(DK, 'q.qv', 'r.rv', EMB_DIM)} / (q.qn * r.rnrm)")}
+               AS adc_cos
+      FROM q JOIN recon r ON r.vec_id <> q.q_id
+    )
+    SELECT q_id, cand_id, adc_cos, rnk
+    FROM (SELECT q_id, cand_id, adc_cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc_cos DESC, cand_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {ANN_K}
+    """
+
+
+@register(
+    "ann_pq",
+    _pq_oracle(),
+    doc=(
+        f"product-quantization ANN: each vector compresses to {_PQ_M} "
+        f"4-bit codes ({_PQ_M} subspaces × {_PQ_K}-codeword codebooks — "
+        "128× smaller than the raw doubles), assignment is a row-local "
+        "argmin per subspace (map-only); search scores candidates from the "
+        "code-reconstructed vectors against the EXACT query vector "
+        "(asymmetric distance) and ranks per query — the classic "
+        "scan-compression path, composable with IVF cell pruning. "
+        "Codebooks are deterministic seeds so the oracle inlines them; "
+        "production training is per-subspace k-means (ivf.kmeans_train "
+        "applies per subspace unchanged)."
+    ),
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    e = emb.select(
+        "vec_id",
+        F.expr(_vecd(SP)).alias("vd"),
+        F.expr(FR.norm_chain(SP, _vecd(SP), EMB_DIM)).alias("nrm"),
+    )
+    coded = e.select(
+        "vec_id",
+        *[F.expr(_pq_code(SP, "vd", m)).alias(f"c{m}") for m in range(_PQ_M)],
+    )
+    recon = coded.select(
+        "vec_id", F.expr(_pq_recon(SP, _PQ_CODES)).alias("rv")
+    ).withColumn("rnrm", F.expr(FR.norm_chain(SP, "rv", EMB_DIM)))
+    q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("vd").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        recon.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .withColumn(
+            "adc_cos",
+            F.expr(r6(f"{FR.dot_chain(SP, 'qv', 'rv', EMB_DIM)} / (qn * rnrm)")),
+        )
+        .select("q_id", F.col("vec_id").alias("cand_id"), "adc_cos")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc_cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "cand_id", "adc_cos", "rnk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling + corpus vocabulary stats
 # ---------------------------------------------------------------------------

@@ -1430,6 +1430,7 @@ _ORDER = [
     "multimodal_headers",
     "doc_chunking",               # corpus assembly: overlapping chunk explode
     "text_surprisal",             # unigram-LM perplexity-proxy quality axis
+    "ann_pq",                     # product-quantization ANN (ADC scan)
 ]
 
 
