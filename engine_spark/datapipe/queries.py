@@ -1359,8 +1359,10 @@ def _pq_oracle() -> str:
                FROM embeddings),
     coded AS (SELECT vec_id, {codes} FROM e),
     recon AS (
-      SELECT vec_id, rv, {FR.norm_chain(DK, 'rv', EMB_DIM)} AS rnrm
-      FROM (SELECT vec_id, {_pq_recon(DK, _PQ_CODES)} AS rv FROM coded)
+      SELECT r0.vec_id, rv, {FR.norm_chain(DK, 'rv', EMB_DIM)} AS rnrm,
+             {_ivf_cell(DK, 'e.vd', IVF_CENTS)} AS cell
+      FROM (SELECT vec_id, {_pq_recon(DK, _PQ_CODES)} AS rv FROM coded) r0
+      JOIN e ON e.vec_id = r0.vec_id
     ),
     q AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn
           FROM e WHERE vec_id < {ANN_N_QUERIES}),
@@ -1369,13 +1371,29 @@ def _pq_oracle() -> str:
              {r6(f"{FR.dot_chain(DK, 'q.qv', 'r.rv', EMB_DIM)} / (q.qn * r.rnrm)")}
                AS adc_cos
       FROM q JOIN recon r ON r.vec_id <> q.q_id
+    ),
+    iq AS (SELECT vec_id AS q_id, vd AS qv, nrm AS qn,
+                  unnest({_ivf_probe_cells(DK, 'vd')}) AS probe
+           FROM e WHERE vec_id < {ANN_N_QUERIES}),
+    iscored AS (
+      SELECT iq.q_id, r.vec_id AS cand_id,
+             {r6(f"{FR.dot_chain(DK, 'iq.qv', 'r.rv', EMB_DIM)} / (iq.qn * r.rnrm)")}
+               AS adc_cos
+      FROM iq JOIN recon r ON r.cell = iq.probe AND r.vec_id <> iq.q_id
     )
-    SELECT q_id, cand_id, adc_cos, rnk
+    SELECT 'adc_full' AS mode, q_id, cand_id, adc_cos, rnk
     FROM (SELECT q_id, cand_id, adc_cos,
                  row_number() OVER (PARTITION BY q_id
                                     ORDER BY adc_cos DESC, cand_id) AS rnk
           FROM scored)
     WHERE rnk <= {ANN_K}
+    UNION ALL
+    SELECT 'ivfpq' AS mode, q_id, cand_id, adc_cos, rnk
+    FROM (SELECT q_id, cand_id, adc_cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY adc_cos DESC, cand_id) AS rnk
+          FROM iscored)
+    WHERE rnk <= {IVF_TOPK}
     """
 
 
@@ -1388,11 +1406,13 @@ def _pq_oracle() -> str:
         "128× smaller than the raw doubles), assignment is a row-local "
         "argmin per subspace (map-only); search scores candidates from the "
         "code-reconstructed vectors against the EXACT query vector "
-        "(asymmetric distance) and ranks per query — the classic "
-        "scan-compression path, composable with IVF cell pruning. "
-        "Codebooks are deterministic seeds so the oracle inlines them; "
-        "production training is per-subspace k-means (ivf.kmeans_train "
-        "applies per subspace unchanged)."
+        "(asymmetric distance) and ranks per query. mode='adc_full' scans "
+        "all candidates (pure PQ); mode='ivfpq' composes with IVF cell "
+        "pruning — ADC only inside the query's probed cells, the "
+        "FAISS-style production index shape (cell = shuffle key, scan side "
+        "= 4-byte codes). Codebooks are deterministic seeds so the oracle "
+        "inlines them; production training is per-subspace k-means "
+        "(ivf.kmeans_train applies per subspace unchanged)."
     ),
 )
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1406,28 +1426,60 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coded = e.select(
         "vec_id",
+        F.expr(_ivf_cell(SP, "vd", IVF_CENTS)).alias("cell"),
         *[F.expr(_pq_code(SP, "vd", m)).alias(f"c{m}") for m in range(_PQ_M)],
     )
     recon = coded.select(
-        "vec_id", F.expr(_pq_recon(SP, _PQ_CODES)).alias("rv")
-    ).withColumn("rnrm", F.expr(FR.norm_chain(SP, "rv", EMB_DIM)))
+        "vec_id", "cell", F.expr(_pq_recon(SP, _PQ_CODES)).alias("rv")
+    ).withColumn("rnrm", F.expr(FR.norm_chain(SP, "rv", EMB_DIM))).cache()
     q = e.filter(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("q_id"), F.col("vd").alias("qv"), F.col("nrm").alias("qn")
     )
-    scored = (
+
+    def ranked(scored: DataFrame, topk: int) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(
+            F.col("adc_cos").desc(), F.col("cand_id")
+        )
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= topk)
+            .select("q_id", "cand_id", "adc_cos", "rnk")
+        )
+
+    full = ranked(
         recon.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
         .withColumn(
             "adc_cos",
             F.expr(r6(f"{FR.dot_chain(SP, 'qv', 'rv', EMB_DIM)} / (qn * rnrm)")),
         )
-        .select("q_id", F.col("vec_id").alias("cand_id"), "adc_cos")
+        .select("q_id", F.col("vec_id").alias("cand_id"), "adc_cos"),
+        ANN_K,
+    ).select(F.lit("adc_full").alias("mode"), "q_id", "cand_id", "adc_cos", "rnk")
+
+    iq = (
+        e.filter(F.col("vec_id") < ANN_N_QUERIES)
+        .withColumn("probe", F.explode(F.expr(_ivf_probe_cells(SP, "vd"))))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vd").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "probe",
+        )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("adc_cos").desc(), F.col("cand_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= ANN_K)
-        .select("q_id", "cand_id", "adc_cos", "rnk")
-    )
+    ivfpq = ranked(
+        recon.join(
+            F.broadcast(iq),
+            (F.col("cell") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "adc_cos",
+            F.expr(r6(f"{FR.dot_chain(SP, 'qv', 'rv', EMB_DIM)} / (qn * rnrm)")),
+        )
+        .select("q_id", F.col("vec_id").alias("cand_id"), "adc_cos"),
+        IVF_TOPK,
+    ).select(F.lit("ivfpq").alias("mode"), "q_id", "cand_id", "adc_cos", "rnk")
+
+    return full.unionByName(ivfpq)
 
 
 # ---------------------------------------------------------------------------
