@@ -27,6 +27,9 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Reference semantics are lenient (division by zero -> NULL,
+    # divide.rs:82-88); Spark 4's ANSI default would throw instead.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -40,6 +40,12 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Reference semantics are lenient, not ANSI: division by zero yields
+        # NULL (executor/math/divide.rs:82-88), null operands propagate, and
+        # failed conversions yield NULL rather than erroring. Spark 4 turned
+        # ANSI on by default, which would CRASH a reference query on the
+        # first zero divisor — pin the lenient mode the dialect promises.
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))

@@ -878,3 +878,22 @@ def test_partition_with_range_or_without_space(spark):
             "OF S) BEGIN INSERT INTO Out SELECT _range AS bucket FROM S; END")
     ranges = list(_parse_partition(stmt).keys.values())[0]
     assert ranges == [("low", "price < 10"), ("high", "(price >= 10)")]
+
+
+def test_division_by_zero_yields_null_like_reference(spark):
+    """Reference divide executor returns NULL on zero divisor and on NULL
+    operands (executor/math/divide.rs:71-88); the engine session pins
+    non-ANSI mode so SQL apps match instead of crashing."""
+    from engine_spark.plans import SqlApp
+
+    d = spark.createDataFrame(
+        [(1, 10.0, 2.0), (2, 10.0, 0.0), (3, None, 2.0)],
+        "id long, a double, b double",
+    )
+    app = SqlApp(spark)
+    app.register_stream("S", d)
+    out = app.sql("INSERT INTO Out SELECT id, a / b AS q FROM S;")["Out"]
+    got = {r.id: r.q for r in out.collect()}
+    assert got[1] == 5.0
+    assert got[2] is None  # zero divisor -> NULL, not SparkArithmeticException
+    assert got[3] is None  # NULL operand propagates
