@@ -870,3 +870,35 @@ def test_pq_codes_deterministic_and_recon_close(spark):
     mean_own = sum(r.d_own for r in got) / len(got)
     mean_zero = sum(sum(x * x for x in r.vd) for r in got) / len(got)
     assert mean_own < mean_zero
+
+
+def test_sequence_pack_stream_state_survives_restart(spark):
+    """Per-shard cumulative offsets must come back from the checkpoint: a
+    restarted query continues each shard's token stream where the previous
+    run stopped, never restarting offsets at zero."""
+    from engine_spark.datapipe.packing import sequence_pack, sequence_pack_stream
+    from engine_spark.streaming.harness import StreamRunner
+
+    docs = [{"doc_id": i, "n_tokens": 10} for i in range(1, 9)]
+    batch_df = spark.createDataFrame(
+        [(d["doc_id"], d["n_tokens"]) for d in docs], "doc_id long, n_tokens long"
+    )
+    want = {
+        r.doc_id: (r.begin_off, r.seq_first, r.seq_last)
+        for r in sequence_pack(batch_df, "n_tokens", seq_len=16, n_shards=1).collect()
+    }
+
+    r = StreamRunner(spark, "doc_id long, n_tokens long")
+
+    def build(sdf):
+        return sequence_pack_stream(sdf, "n_tokens", seq_len=16, n_shards=1)
+
+    r.send(docs[:4])
+    r.run(build)      # query #1 packs docs 1-4, checkpoints cum=40
+    r.send(docs[4:])
+    r.run(build)      # query #2 restores cum=40 and continues
+    got = {
+        m["doc_id"]: (m["begin_off"], m["seq_first"], m["seq_last"])
+        for m in r.shutdown()
+    }
+    assert got == want
