@@ -161,11 +161,12 @@ def sequence_pack_stream(
     appended crawl snapshot packs after the existing corpus instead of
     restarting every offset at zero.
 
-    Emits the same columns as :func:`sequence_pack`. Within a micro-batch,
-    documents pack in ``doc_id`` order; across batches, in arrival order —
-    identical to the batch operator whenever arrival respects doc_id order
-    (pinned by the parity test). State is one LONG per shard: bounded by
-    ``n_shards`` forever.
+    Emits the same columns as :func:`sequence_pack` — every input column
+    is carried through, plus ``shard``/``begin_off``/``seq_first``/
+    ``seq_last``. Within a micro-batch, documents pack in ``doc_id``
+    order; across batches, in arrival order — identical to the batch
+    operator whenever arrival respects doc_id order (pinned by the parity
+    test). State is one LONG per shard: bounded by ``n_shards`` forever.
     """
     from typing import Iterator
 
@@ -176,11 +177,12 @@ def sequence_pack_stream(
     sharded = df.filter(F.col(n_tokens_col) >= 1).withColumn(
         "shard", F.expr(shard_expr(d, doc_id, n_shards))
     )
+    in_cols = list(df.columns)
     in_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    out_schema = (
-        f"{doc_id} {in_types[doc_id]}, shard bigint, "
-        f"{n_tokens_col} {in_types[n_tokens_col]}, "
-        "begin_off bigint, seq_first bigint, seq_last bigint"
+    out_schema = ", ".join(
+        [f"{c} {in_types[c]}" for c in in_cols]
+        + ["shard bigint", "begin_off bigint", "seq_first bigint",
+           "seq_last bigint"]
     )
 
     def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -188,22 +190,22 @@ def sequence_pack_stream(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             doc_id, kind="mergesort"
         )
-        out = []
-        for did, ntok in zip(rows[doc_id], rows[n_tokens_col]):
+        offs, firsts, lasts = [], [], []
+        for ntok in rows[n_tokens_col]:
             ntok = int(ntok)
             off = cum
             cum += ntok
-            out.append(
-                (did, key[0], ntok, off % seq_len, off // seq_len,
-                 (cum - 1) // seq_len)
-            )
+            offs.append(off % seq_len)
+            firsts.append(off // seq_len)
+            lasts.append((cum - 1) // seq_len)
         state.update((cum,))
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=[doc_id, "shard", n_tokens_col, "begin_off",
-                         "seq_first", "seq_last"],
-            )
+        if len(rows):
+            out = rows[in_cols].copy()
+            out["shard"] = key[0]
+            out["begin_off"] = offs
+            out["seq_first"] = firsts
+            out["seq_last"] = lasts
+            yield out
 
     return sharded.groupBy("shard").applyInPandasWithState(
         run, out_schema, "cum long", "append", GroupStateTimeout.NoTimeout

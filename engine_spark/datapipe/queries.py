@@ -1339,13 +1339,13 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_parts():
-    from engine_spark.datapipe.pq import PQ_K, PQ_M, pq_code, pq_recon
+from engine_spark.datapipe.pq import (  # noqa: E402 (registry section)
+    PQ_K as _PQ_K,
+    PQ_M as _PQ_M,
+    pq_code as _pq_code,
+    pq_recon as _pq_recon,
+)
 
-    return PQ_M, PQ_K, pq_code, pq_recon
-
-
-_PQ_M, _PQ_K, _pq_code, _pq_recon = _pq_parts()
 _PQ_CODES = [f"c{m}" for m in range(_PQ_M)]
 
 

@@ -345,8 +345,10 @@ def _parse_partition(stmt: str) -> Partition:
             txt = rm.group(1).strip()
             arm = re.compile(
                 # \s* after OR: "OR(cond)" is legal; progress is still
-                # guaranteed because the OR token itself is consumed
-                r"(.+?)\s+AS\s+'([^']+)'\s*(?:\bOR\b\s*|$)",
+                # guaranteed because the OR token itself is consumed. The
+                # separator is captured so a DANGLING trailing OR (consumed
+                # with no arm after it) still fails loudly.
+                r"(.+?)\s+AS\s+'([^']+)'\s*(\bOR\b\s*|$)",
                 re.IGNORECASE | re.DOTALL,
             )
             pos = 0
@@ -357,8 +359,19 @@ def _parse_partition(stmt: str) -> Partition:
                     raise ValueError(
                         f"cannot parse range partition arm at {txt[pos:pos + 60]!r}"
                     )
-                ranges.append((am.group(2), am.group(1).strip()))
+                cond = am.group(1).strip()
+                if re.match(r"OR\b", cond, re.IGNORECASE):
+                    # "... OR OR c AS 'y'": a doubled separator leaks into
+                    # the next arm's condition — refuse, don't compile garbage
+                    raise ValueError(
+                        f"cannot parse range partition arm at {cond[:60]!r}"
+                    )
+                ranges.append((am.group(2), cond))
                 pos = am.end()
+                if pos >= len(txt) and am.group(3).strip():
+                    raise ValueError(
+                        "dangling OR after the last range partition arm"
+                    )
             if ranges:
                 keys[rm.group(2)] = ranges
                 continue

@@ -20,9 +20,7 @@ from engine_spark.datapipe.cluster import dedup_clusters
 from engine_spark.datapipe.packing import (
     chunk_documents, domain_mix_sample, sequence_pack,
 )
-from engine_spark.datapipe.queries import (
-    minhash_signatures, shingles_of, surprisal_scores,
-)
+from engine_spark.datapipe.queries import surprisal_scores
 from engine_spark.session import get_spark
 
 

@@ -802,16 +802,20 @@ def test_sequence_pack_stream_matches_batch(spark):
     from engine_spark.datapipe.packing import sequence_pack, sequence_pack_stream
     from engine_spark.streaming.harness import StreamRunner
 
-    docs = [{"doc_id": i, "n_tokens": (i % 7) + 1} for i in range(1, 41)]
+    docs = [
+        {"doc_id": i, "n_tokens": (i % 7) + 1, "text": f"body{i}"}
+        for i in range(1, 41)
+    ]
     batch_df = spark.createDataFrame(
-        [(d["doc_id"], d["n_tokens"]) for d in docs], "doc_id long, n_tokens long"
+        [(d["doc_id"], d["n_tokens"], d["text"]) for d in docs],
+        "doc_id long, n_tokens long, text string",
     )
     want = {
-        r.doc_id: (r.shard, r.begin_off, r.seq_first, r.seq_last)
+        r.doc_id: (r.shard, r.begin_off, r.seq_first, r.seq_last, r.text)
         for r in sequence_pack(batch_df, "n_tokens", seq_len=16, n_shards=4).collect()
     }
 
-    r = StreamRunner(spark, "doc_id long, n_tokens long")
+    r = StreamRunner(spark, "doc_id long, n_tokens long, text string")
     r.send(docs[:15])
     r.send(docs[15:30])
     r.send(docs[30:])
@@ -821,7 +825,8 @@ def test_sequence_pack_stream_matches_batch(spark):
         )
     )
     got = {
-        m["doc_id"]: (m["shard"], m["begin_off"], m["seq_first"], m["seq_last"])
+        m["doc_id"]: (m["shard"], m["begin_off"], m["seq_first"], m["seq_last"],
+                      m["text"])  # payload columns carry through
         for m in r.shutdown()
     }
     assert got == want

@@ -897,3 +897,20 @@ def test_division_by_zero_yields_null_like_reference(spark):
     assert got[1] == 5.0
     assert got[2] is None  # zero divisor -> NULL, not SparkArithmeticException
     assert got[3] is None  # NULL operand propagates
+
+
+def test_partition_with_range_dangling_or_raises(spark):
+    """A trailing OR with no arm after it, or a doubled OR, must fail the
+    statement rather than silently dropping or garbling arms."""
+    import pytest as _pt
+
+    from engine_spark.plans.parser import _parse_partition
+
+    for bad in (
+        "PARTITION WITH (price < 10 AS 'low' OR OF S) "
+        "BEGIN INSERT INTO Out SELECT _range AS b FROM S; END",
+        "PARTITION WITH (a < 1 AS 'x' OR OR b > 2 AS 'y' OF S) "
+        "BEGIN INSERT INTO Out SELECT _range AS b FROM S; END",
+    ):
+        with _pt.raises(ValueError):
+            _parse_partition(bad)
