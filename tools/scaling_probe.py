@@ -1,0 +1,113 @@
+"""Measured scaling curves: the same operator chains on 1x vs 10x parquet.
+
+The 100 TB claim everyone hand-waves is a scaling EXPONENT claim: a chain
+whose runtime grows by ~Nx on Nx rows is shuffle/scan-bound and survives a
+cluster scale-up; one that grows faster is hiding quadratic work. This
+probe materializes nothing new — it reuses bench.py's cached 10x
+replicated parquet (.benchdata) and times each chain on the 1x original
+and the 10x replica, reporting the growth ratio (ideal: <= replication
+factor; fixed job overhead makes small inputs LOOK slower per row, so
+ratios well under 10 are expected at these sizes).
+
+Usage: python tools/scaling_probe.py [sf_dir]   (default /root/testdata/sf0.1)
+Prints one JSON line: {"chains": {name: {"t1": s, "t10": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from pyspark.sql import functions as F
+
+    from engine_spark.catalog import Catalog
+    from engine_spark.datapipe.queries import minhash_signatures, shingles_of
+    from engine_spark.operators import pattern, windows
+    from engine_spark.operators.aggregations import dec
+    from engine_spark.session import get_spark
+
+    spark = get_spark("scaling_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = Catalog(spark, sf_dir)
+
+    rep_root = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".benchdata",
+        f"{os.path.basename(sf_dir.rstrip('/'))}_rep10",
+    )
+    if not os.path.exists(rep_root):
+        raise SystemExit(f"run bench.py first to materialize {rep_root}")
+    rep = {t: spark.read.parquet(os.path.join(rep_root, t))
+           for t in ("events", "lineitem", "documents")}
+
+    def filter_chain(d):
+        return d.filter(
+            (F.col("l_quantity") > 45) & (F.col("l_returnflag") != "N")
+        ).select(
+            "l_orderkey",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+
+    def agg_chain(d):
+        return d.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(dec("l_quantity")).alias("sq"),
+            F.avg(dec("l_extendedprice")).alias("ap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def cep_chain(d):
+        return windows.time_sliding(
+            d, "ts", 600, partition_by=("user_id",),
+            aggs={"n": F.count(F.lit(1))},
+        )
+
+    def pattern_chain(d):
+        return pattern.followed_by(
+            d, "ts", ["user_id"],
+            first=F.col("event_type") == "signup",
+            second=F.col("event_type") == "purchase",
+            within_seconds=1800,
+        )
+
+    def minhash_chain(d):
+        return minhash_signatures(shingles_of(d))
+
+    chains = {
+        "filter_project": (filter_chain, "lineitem"),
+        "hash_aggregate": (agg_chain, "lineitem"),
+        "sliding_window_cep": (cep_chain, "events"),
+        "pattern_followed_by": (pattern_chain, "events"),
+        "minhash_signatures": (minhash_chain, "documents"),
+    }
+
+    def t(df) -> float:
+        df.write.format("noop").mode("overwrite").save()  # warm
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    out = {}
+    for name, (build, tbl) in chains.items():
+        t1 = t(build(cat[tbl]))
+        t10 = t(build(rep[tbl]))
+        out[name] = {
+            "t1": round(t1, 4),
+            "t10": round(t10, 4),
+            "ratio": round(t10 / t1, 2),
+        }
+    print(json.dumps({"sf": sf_dir, "replication": 10, "chains": out}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
