@@ -58,7 +58,12 @@ def substring_run_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, max_span, n_runs) for pairs sharing a token run of at
     least ``min_span`` tokens."""
-    inv = positional_grams(docs, k)
+    # the positional index is consumed three times (df count, and both
+    # sides of the match join) — materialize it once; at cluster scale the
+    # same index would be written to parquet rather than recomputed per
+    # consumer (cache() keeps the plan identical across invocations, so
+    # repeated gate runs share it)
+    inv = positional_grams(docs, k).cache()
     # combine-enabled df-cap: groupBy().count() shuffles one partial row per
     # (gram, partition), then a keyed semi-join prunes — the gram-keyed
     # partitioning is reused by the match join below. (A Window.partitionBy
@@ -69,7 +74,7 @@ def substring_run_pairs(
         .filter(F.col("count") <= df_cap)
         .drop("count")
     )
-    inv2 = inv.join(ok, "gram", "semi")
+    inv2 = inv.join(ok, "gram", "semi").cache()
     m = (
         inv2.alias("a")
         .join(
