@@ -211,6 +211,11 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        # AFTER the filter (predicate pushdown to the scan is preserved):
+        # spread the decimal partial aggregation — the local testdata is one
+        # unsplittable parquet row group, so without this the 7-aggregate
+        # decimal pass over 600k rows runs on a single core
+        .repartition(spark.sparkContext.defaultParallelism)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             decimal_sum("l_quantity").alias("sum_qty"),
