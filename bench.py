@@ -98,8 +98,12 @@ def main() -> None:
     from engine_spark.datapipe.vector import dedup_embedding_cosine_arrow
 
     def _arrow_dedup():
-        vecs = Catalog(spark, sf_dir)["embeddings"].select(
-            "vec_id", F.expr(_vecd(SP)).alias("vd")
+        # split the single-row-group scan so the Arrow bucket kernel runs on
+        # all cores (same mitigation as the gated query)
+        vecs = (
+            Catalog(spark, sf_dir)["embeddings"]
+            .repartition(spark.sparkContext.defaultParallelism)
+            .select("vec_id", F.expr(_vecd(SP)).alias("vd"))
         )
         return dedup_embedding_cosine_arrow(vecs, PLANES, LSH_PROJ_DIM, COSINE_T)
 
