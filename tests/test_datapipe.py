@@ -907,3 +907,51 @@ def test_sequence_pack_stream_state_survives_restart(spark):
         for m in r.shutdown()
     }
     assert got == want
+
+
+def test_chunking_invariants_property(spark):
+    """Property over random corpora and (w, stride) configs: every token is
+    covered, chunk starts advance by exactly the stride, only the last
+    chunk may be short, and the chunk count matches the closed form."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from engine_spark.datapipe.packing import chunk_documents
+
+    @given(
+        lens=st.lists(st.integers(min_value=0, max_value=90), min_size=1, max_size=6),
+        w=st.integers(min_value=2, max_value=40),
+        stride_frac=st.floats(min_value=0.3, max_value=1.0),
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(lens, w, stride_frac):
+        stride = max(1, int(w * stride_frac))
+        d = spark.createDataFrame(
+            [(i, " ".join(f"t{i}x{j}" for j in range(n))) for i, n in enumerate(lens)],
+            "doc_id long, text string",
+        )
+        rows_ = chunk_documents(d, w=w, stride=stride).collect()
+        by_doc: dict[int, list] = {}
+        for r in rows_:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for i, n in enumerate(lens):
+            if n == 0:
+                assert i not in by_doc
+                continue
+            ch = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+            expect = 1 if n <= w else -(-(n - w) // stride) + 1
+            assert len(ch) == expect
+            assert [r.chunk_idx for r in ch] == list(range(expect))
+            covered = set()
+            for j, r in enumerate(ch):
+                assert r.tok_start == j * stride + 1
+                assert r.tok_end == min(j * stride + w, n)
+                assert 1 <= r.chunk_tokens <= w
+                covered.update(range(r.tok_start, r.tok_end + 1))
+            assert covered == set(range(1, n + 1))
+
+    prop()
