@@ -149,12 +149,97 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     raise NotImplementedError("PIL present but decoder not wired yet")
 
 
-def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Real image resize. Requires PIL."""
-    raise NotImplementedError(
-        "image resize requires Pillow, which is not installed in this "
-        "environment; the mapInPandas plumbing mirrors decode_meta()"
-    )
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, scale_x double, scale_y double, "
+    "payload binary"
+)
+
+
+def resize_image(
+    df: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Resize plumbing: (doc_id, payload) → target dims + scale factors +
+    resized payload, via the same Arrow-batched mapInPandas shape a real
+    resampler uses. The pixel kernel is gated: with Pillow installed the
+    payload would decode → resample → re-encode inside the loop; without
+    it a DETERMINISTIC stand-in keeps the full pipeline runnable and
+    testable — source dims come from the real stdlib header parser when
+    the payload is a known container (else the fake-decode dims), scale
+    factors are exact doubles, and the stand-in 'resized' payload is a
+    length-scaled deterministic byte slice (bounded, content-derived).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows = []
+        for pdf in batches:
+            for did, p in zip(pdf["doc_id"], pdf[payload_col]):
+                b = b"" if p is None else bytes(p)
+                fmt, sw, sh = parse_image_header(b)
+                if sw is None or sh is None or not sw or not sh:
+                    sw, sh, _, _ = _fake_decode(b)
+                    sw, sh = max(sw, 1), max(sh, 1)
+                if HAS_PIL:  # pragma: no cover - library absent here
+                    raise NotImplementedError(
+                        "PIL present but the pixel resampler is not wired; "
+                        "decode b -> Image.resize((width, height)) -> bytes"
+                    )
+                scale_x = width / sw
+                scale_y = height / sh
+                # stand-in payload: deterministic length-scaled slice
+                n_out = max(1, min(len(b), int(len(b) * scale_x * scale_y)))
+                out_rows.append(
+                    (int(did), width, height, scale_x, scale_y, b[:n_out])
+                )
+            if out_rows:
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["doc_id", "width", "height", "scale_x",
+                             "scale_y", "payload"],
+                )
+                out_rows = []
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, byte_start long, byte_end long"
+)
+
+
+def frame_sample(
+    df: DataFrame, every_k: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Frame sampling plumbing: (doc_id, payload) → one row per sampled
+    frame index (every ``every_k``-th), with the byte range a container
+    demuxer would hand the decoder. Without a media library the frame
+    COUNT comes from the deterministic stand-in decoder and byte ranges
+    are the uniform partition of the payload — the Spark shape (explode
+    via mapInPandas, map-only, payload never shuffled) is the real one;
+    a pyav-backed kernel would only change the two marked lines.
+    """
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf[payload_col]):
+                b = b"" if p is None else bytes(p)
+                _, _, n_frames, _ = _fake_decode(b)  # ← real demuxer here
+                per = max(1, len(b) // max(n_frames, 1))  # ← and here
+                for fi in range(0, n_frames, every_k):
+                    rows.append(
+                        (int(did), fi, n_frames, fi * per,
+                         min((fi + 1) * per, len(b)))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "frame_idx", "n_frames",
+                             "byte_start", "byte_end"],
+                )
+
+    return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -955,3 +955,38 @@ def test_chunking_invariants_property(spark):
             assert covered == set(range(1, n + 1))
 
     prop()
+
+
+def test_resize_and_frame_sample_plumbing(spark):
+    """The resize and frame-sample mapInPandas plumbing is real (schema,
+    batch shape, null-safety); pixel/demux kernels are deterministic
+    stand-ins gated for the absent media libraries."""
+    import struct
+
+    from engine_spark.datapipe.multimodal import frame_sample, resize_image
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00" + b"x" * 300
+    )
+    d = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image" * 40)), (3, None)],
+        "doc_id long, payload binary",
+    )
+
+    rz = {r.doc_id: r for r in resize_image(d, 320, 240).collect()}
+    assert (rz[1].width, rz[1].height) == (320, 240)
+    assert rz[1].scale_x == 0.5 and rz[1].scale_y == 0.5  # real header dims
+    assert len(rz[1].payload) >= 1
+    assert rz[2].scale_x > 0 and rz[3].width == 320  # fake-dims + null-safe
+
+    fs = frame_sample(d, every_k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in fs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    f1 = sorted(by_doc[1], key=lambda r: r.frame_idx)
+    # payload 333 bytes -> n_frames = 4; every 2nd -> frames 0, 2
+    assert [r.frame_idx for r in f1] == [0, 2]
+    assert all(r.n_frames == 4 for r in f1)
+    assert all(0 <= r.byte_start <= r.byte_end <= len(png) for r in f1)
+    assert by_doc[3][0].n_frames == 1  # null payload -> 1 empty frame
