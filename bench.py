@@ -233,7 +233,7 @@ def main() -> None:
     from engine_spark.datapipe.queries import minhash_signatures, shingles_of
 
     def _minhash_sig_chain(d):
-        return minhash_signatures(shingles_of(d))
+        return minhash_signatures(shingles_of(d, materialize=False))
 
     n_docs = cat["documents"].count()
     materialized = {}

@@ -168,6 +168,14 @@ def resize_image(
     factors are exact doubles, and the stand-in 'resized' payload is a
     length-scaled deterministic byte slice (bounded, content-derived).
     """
+    if width < 1 or height < 1:
+        raise ValueError("resize target dimensions must be >= 1")
+    if HAS_PIL:  # pragma: no cover - library absent here
+        # fail fast on the DRIVER (like decode_image), not per task
+        raise NotImplementedError(
+            "PIL present but the pixel resampler is not wired; decode "
+            "payload -> Image.resize((width, height)) -> bytes in run()"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_rows = []
@@ -178,11 +186,6 @@ def resize_image(
                 if sw is None or sh is None or not sw or not sh:
                     sw, sh, _, _ = _fake_decode(b)
                     sw, sh = max(sw, 1), max(sh, 1)
-                if HAS_PIL:  # pragma: no cover - library absent here
-                    raise NotImplementedError(
-                        "PIL present but the pixel resampler is not wired; "
-                        "decode b -> Image.resize((width, height)) -> bytes"
-                    )
                 scale_x = width / sw
                 scale_y = height / sh
                 # stand-in payload: deterministic length-scaled slice
@@ -228,10 +231,13 @@ def frame_sample(
                 _, _, n_frames, _ = _fake_decode(b)  # ← real demuxer here
                 per = max(1, len(b) // max(n_frames, 1))  # ← and here
                 for fi in range(0, n_frames, every_k):
-                    rows.append(
-                        (int(did), fi, n_frames, fi * per,
-                         min((fi + 1) * per, len(b)))
+                    # the LAST frame absorbs the floor-division remainder so
+                    # the frame ranges partition the whole payload (no
+                    # unreachable tail bytes)
+                    end = len(b) if fi == n_frames - 1 else min(
+                        (fi + 1) * per, len(b)
                     )
+                    rows.append((int(did), fi, n_frames, fi * per, end))
             if rows:
                 yield pd.DataFrame(
                     rows,

@@ -329,7 +329,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingles_of(docs: DataFrame, k: int = 2) -> DataFrame:
+def shingles_of(docs: DataFrame, k: int = 2, materialize: bool = True) -> DataFrame:
     """doc_id + distinct word-k-gram shingles (row-local).
 
     Tokens are staged as a column first: higher-order-function lambdas are
@@ -347,14 +347,20 @@ def shingles_of(docs: DataFrame, k: int = 2) -> DataFrame:
     identical across invocations, so Spark's cache manager shares the
     tokenized partitions between the minhash and n-gram gates. Production
     many-row-group scans are parallel to begin with — the exchange is then
-    noise.
+    noise. One cache entry pins per distinct input plan for the session
+    (bounded by the gate count here; long-lived sessions can
+    ``spark.catalog.clearCache()``).
+
+    ``materialize=False`` skips the cache (keeps the exchange): for
+    throughput MEASUREMENT of the raw parquet→signatures chain, where a
+    cache hit would time memory reads instead of the pipeline.
     """
     spark = docs.sparkSession
-    toks = (
-        docs.select("doc_id", F.expr(FR.tokens(SP)).alias("toks"))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .cache()
+    toks = docs.select("doc_id", F.expr(FR.tokens(SP)).alias("toks")).repartition(
+        spark.sparkContext.defaultParallelism
     )
+    if materialize:
+        toks = toks.cache()
     return toks.select(
         "doc_id", F.expr(FR.shingles(SP, "toks", k)).alias("sh")
     ).filter(F.expr(SP.size("sh")) > 0)

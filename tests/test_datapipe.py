@@ -985,8 +985,16 @@ def test_resize_and_frame_sample_plumbing(spark):
     for r in fs:
         by_doc.setdefault(r.doc_id, []).append(r)
     f1 = sorted(by_doc[1], key=lambda r: r.frame_idx)
-    # payload 333 bytes -> n_frames = 4; every 2nd -> frames 0, 2
+    # payload 329 bytes -> n_frames = 329//100+1 = 4; every 2nd -> frames 0, 2
     assert [r.frame_idx for r in f1] == [0, 2]
     assert all(r.n_frames == 4 for r in f1)
     assert all(0 <= r.byte_start <= r.byte_end <= len(png) for r in f1)
+    # full sampling partitions the ENTIRE payload: the last frame absorbs
+    # the floor-division remainder (no unreachable tail bytes)
+    full = sorted(
+        (r for r in frame_sample(d, every_k=1).collect() if r.doc_id == 1),
+        key=lambda r: r.frame_idx,
+    )
+    assert full[0].byte_start == 0 and full[-1].byte_end == len(png)
+    assert all(a.byte_end == b.byte_start for a, b in zip(full, full[1:]))
     assert by_doc[3][0].n_frames == 1  # null payload -> 1 empty frame

@@ -77,7 +77,7 @@ def main() -> None:
         )
 
     def minhash_chain(d):
-        return minhash_signatures(shingles_of(d))
+        return minhash_signatures(shingles_of(d, materialize=False))
 
     chains = {
         "filter_project": (filter_chain, "lineitem"),
