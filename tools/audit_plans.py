@@ -62,6 +62,16 @@ CHECKS = {
         ("rates broadcast", lambda p: "BroadcastHashJoin" in p),
         ("no cartesian", lambda p: "Cartesian" not in p),
     ],
+    "agg_having_topn": [
+        # ORDER BY + LIMIT must fuse into a per-partition top-k + driver
+        # merge (no global sort of the aggregate output)
+        ("take-ordered pushdown", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "window_sort_top3": [
+        # rank() <= k must push the limit INTO the window sort so each key
+        # keeps only k rows before ranking (Spark's WindowGroupLimit)
+        ("per-key group limit pushdown", lambda p: "WindowGroupLimit" in p),
+    ],
     "doc_chunking": [
         # tokenize + row-local struct transform + explode: a MAP-ONLY plan —
         # any Exchange here means the chunker stopped scaling linearly
