@@ -17,7 +17,7 @@ config.yaml keys (all optional)::
       spark.sql.shuffle.partitions: "64"
     streams:                    # name → {path: …, ts_col: …}
       events: {path: /data/events.parquet, ts_col: ts}
-    output: console | parquet:/path | count
+    output: console | parquet:/path | filequeue:/path | count
 
 Batch mode runs every INSERT INTO query and materializes outputs; a query
 whose source stream is a streaming source (WITH type=source) starts a
@@ -98,9 +98,27 @@ def main(argv=None) -> int:
     sink = cfg.get("output", "console")
     for name, df in outputs.items():
         if df.isStreaming:
-            print(f"[{name}] streaming query → console (Ctrl-C to stop)")
-            q = df.writeStream.format("console").outputMode("append").start()
+            if str(sink).startswith("filequeue:"):
+                # durable exactly-once sink: epochs land as idempotent
+                # segments (see sources/filequeue.py for the crash contract)
+                from engine_spark.sources.filequeue import file_queue_writer
+
+                root = f"{str(sink)[10:]}/{name}"
+                print(f"[{name}] streaming query → filequeue {root} (Ctrl-C to stop)")
+                q = file_queue_writer(
+                    df, root, checkpoint=f"{root}/_checkpoint"
+                ).start()
+            else:
+                print(f"[{name}] streaming query → console (Ctrl-C to stop)")
+                q = df.writeStream.format("console").outputMode("append").start()
             q.awaitTermination()
+        elif str(sink).startswith("filequeue:"):
+            from engine_spark.sources.filequeue import FileQueue
+
+            root = f"{str(sink)[10:]}/{name}"
+            fq = FileQueue(root)
+            fq.publish_epoch_distributed(df, 0)
+            print(f"[{name}] written as epoch segment under {root}")
         elif sink == "count":
             print(f"[{name}] {df.count()} rows")
         elif str(sink).startswith("parquet:"):
