@@ -302,6 +302,64 @@ def surprisal_scores(docs: DataFrame) -> DataFrame:
     )
 
 
+KEYWORDS_K = 3
+
+
+@register(
+    "text_keywords",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({FR.tokens(DK)}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token,
+             {r6('tf * ln(CAST(n_docs AS DOUBLE) / df)')} AS score
+      FROM tf JOIN df USING (token), n
+    )
+    SELECT doc_id, token, score, rnk
+    FROM (SELECT doc_id, token, score,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score DESC, token) AS rnk
+          FROM scored)
+    WHERE rnk <= {KEYWORDS_K}
+    """,
+    doc=(
+        f"tf-idf keyword extraction: top-{KEYWORDS_K} terms per document by "
+        "tf·ln(N/df). Two combine-enabled aggregations (per-doc tf, corpus "
+        "df) + one token-keyed join back + a per-doc WindowGroupLimit "
+        "top-k — the classic labeling/routing primitive for corpus "
+        "curation. Scores round to 6 decimals before ranking so both "
+        "engines order identically."
+    ),
+)
+def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.expr(r6("tf * ln(CAST(n_docs AS DOUBLE) / df)")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KEYWORDS_K)
+        .select("doc_id", "token", "score", "rnk")
+    )
+
+
 # ===========================================================================
 # deduplication
 # ===========================================================================

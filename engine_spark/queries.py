@@ -1436,6 +1436,7 @@ _ORDER = [
     "doc_chunking",               # corpus assembly: overlapping chunk explode
     "text_surprisal",             # unigram-LM perplexity-proxy quality axis
     "ann_pq",                     # product-quantization ANN (ADC scan)
+    "text_keywords",              # tf-idf top-k keyword extraction
 ]
 
 
