@@ -61,7 +61,7 @@ def load_config(path: str | None) -> dict:
         return yaml.safe_load(f) or {}
 
 
-def main(argv=None) -> int:
+def main(argv=None, stop: bool = True) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     cfg = load_config(args.config)
 
@@ -128,7 +128,8 @@ def main(argv=None) -> int:
         else:
             print(f"[{name}]")
             df.show(args.show, truncate=False)
-    spark.stop()
+    if stop:  # in-process callers (tests) share the session: stop=False
+        spark.stop()
     return 0
 
 
