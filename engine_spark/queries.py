@@ -1421,22 +1421,23 @@ _ORDER = [
     "ann_search_modes",
     "embedding_quantize",
     "multimodal_pipeline",
-    "sampling_modes",             # hash sampling + domain-weighted mixing
-    "vocab_topk",
+    "sampling_modes",             # hash + domain-mix + stratified draws
+    "text_keywords",              # tf-idf top-k (subsumes vocab tf/df stats)
     "pipeline_end_to_end",
     "sequence_packing",           # corpus assembly: concat-and-chunk packing
     "ann_ivf_trained",
     # ---- entries past the driver's 50-gate window: redundant VARIANTS of
     # families already checked above (multimodal_headers = header-decode
-    # variant of multimodal_pipeline; q3 = third table↔table join gate).
-    # Both remain fully oracle-checked via tools/check_correctness.py and
-    # pytest — see COVERAGE.md.
+    # variant of multimodal_pipeline; q3 = third table↔table join gate;
+    # vocab_topk = the tf/df half of text_keywords) plus the newest
+    # extras. ALL remain fully oracle-checked on every run of
+    # tools/check_correctness.py and by pytest — see COVERAGE.md.
     "join_q3_shipping_priority",
     "multimodal_headers",
+    "vocab_topk",
     "doc_chunking",               # corpus assembly: overlapping chunk explode
     "text_surprisal",             # unigram-LM perplexity-proxy quality axis
     "ann_pq",                     # product-quantization ANN (ADC scan)
-    "text_keywords",              # tf-idf top-k keyword extraction
 ]
 
 
