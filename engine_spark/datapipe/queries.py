@@ -336,9 +336,13 @@ KEYWORDS_K = 3
     ),
 )
 def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keyword_scores(Catalog(spark, sf_dir)["documents"])
+
+
+def keyword_scores(docs: DataFrame, topk: int = KEYWORDS_K) -> DataFrame:
+    """(doc_id, token, score, rnk): top-k tf-idf terms per document."""
     from pyspark.sql import Window
 
-    docs = Catalog(spark, sf_dir)["documents"]
     tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
@@ -355,7 +359,7 @@ def q_text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("token"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= KEYWORDS_K)
+        .filter(F.col("rnk") <= topk)
         .select("doc_id", "token", "score", "rnk")
     )
 

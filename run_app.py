@@ -95,34 +95,59 @@ def main(argv=None, stop: bool = True) -> int:
     with open(args.sql_file) as f:
         outputs = app.sql(f.read())
 
-    sink = cfg.get("output", "console")
+    sink = str(cfg.get("output", "console"))
+    scheme, _, sink_base = sink.partition(":")  # console|count have no base
     for name, df in outputs.items():
         if df.isStreaming:
-            if str(sink).startswith("filequeue:"):
+            if scheme == "filequeue":
                 # durable exactly-once sink: epochs land as idempotent
                 # segments (see sources/filequeue.py for the crash contract)
                 from engine_spark.sources.filequeue import file_queue_writer
 
-                root = f"{str(sink)[10:]}/{name}"
+                root = f"{sink_base}/{name}"
                 print(f"[{name}] streaming query → filequeue {root} (Ctrl-C to stop)")
                 q = file_queue_writer(
                     df, root, checkpoint=f"{root}/_checkpoint"
                 ).start()
+            elif scheme == "parquet":
+                dest = f"{sink_base}/{name}"
+                print(f"[{name}] streaming query → parquet {dest} (Ctrl-C to stop)")
+                q = (
+                    df.writeStream.format("parquet")
+                    .option("path", dest)
+                    .option("checkpointLocation", f"{dest}/_checkpoint")
+                    .outputMode("append")
+                    .start()
+                )
+            elif scheme == "count":
+                raise ValueError(
+                    "output: count is batch-only; streaming queries support "
+                    "console, parquet:, or filequeue: sinks"
+                )
             else:
                 print(f"[{name}] streaming query → console (Ctrl-C to stop)")
                 q = df.writeStream.format("console").outputMode("append").start()
             q.awaitTermination()
-        elif str(sink).startswith("filequeue:"):
+        elif scheme == "filequeue":
+            import os as _os
+
             from engine_spark.sources.filequeue import FileQueue
 
-            root = f"{str(sink)[10:]}/{name}"
+            root = f"{sink_base}/{name}"
             fq = FileQueue(root)
-            fq.publish_epoch_distributed(df, 0)
-            print(f"[{name}] written as epoch segment under {root}")
-        elif sink == "count":
+            # each batch run appends the NEXT epoch (rerunning must not
+            # silently no-op against the already-committed epoch 0)
+            epoch = sum(
+                1 for d in _os.listdir(fq.segments) if d.startswith("epoch-")
+            )
+            if fq.publish_epoch_distributed(df, epoch):
+                print(f"[{name}] written as epoch {epoch} under {root}")
+            else:  # pragma: no cover - concurrent writer race
+                print(f"[{name}] epoch {epoch} already committed; nothing written")
+        elif scheme == "count":
             print(f"[{name}] {df.count()} rows")
-        elif str(sink).startswith("parquet:"):
-            dest = f"{str(sink)[8:]}/{name}"
+        elif scheme == "parquet":
+            dest = f"{sink_base}/{name}"
             df.write.mode("overwrite").parquet(dest)
             print(f"[{name}] written to {dest}")
         else:

@@ -1001,13 +1001,10 @@ def test_resize_and_frame_sample_plumbing(spark):
 
 
 def test_keywords_rank_distinctive_terms(spark):
-    """tf-idf must rank a document's distinctive term above corpus-wide
-    terms, and ties break deterministically by token."""
-    from engine_spark.registry import QUERIES
-    import engine_spark.queries  # noqa: F401
-
-    import engine_spark.datapipe.queries as DQ
-    from pyspark.sql import functions as F_
+    """tf-idf (via the registered gate's kernel) must rank a document's
+    distinctive term above corpus-wide terms, with deterministic token
+    tie-break."""
+    from engine_spark.datapipe.queries import keyword_scores
 
     d = spark.createDataFrame(
         [
@@ -1017,20 +1014,9 @@ def test_keywords_rank_distinctive_terms(spark):
         ],
         "doc_id long, text string",
     )
-    # run the same pipeline as the gate over the crafted corpus
-    tok = d.select("doc_id", F_.explode(F_.expr(DQ.FR.tokens(DQ.SP))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F_.count(F_.lit(1)).alias("tf"))
-    df_ = tok.groupBy("token").agg(F_.count_distinct("doc_id").alias("df"))
-    n = d.agg(F_.count(F_.lit(1)).alias("n_docs"))
-    from engine_spark.datapipe.queries import r6
-    from pyspark.sql import Window
-    scored = tf.join(df_, "token").crossJoin(F_.broadcast(n)).select(
-        "doc_id", "token",
-        F_.expr(r6("tf * ln(CAST(n_docs AS DOUBLE) / df)")).alias("score"))
-    w = Window.partitionBy("doc_id").orderBy(F_.col("score").desc(), F_.col("token"))
-    top = {r.doc_id: r.token for r in
-           scored.withColumn("rnk", F_.row_number().over(w))
-           .filter("rnk = 1").collect()}
+    out = keyword_scores(d).collect()
+    top = {r.doc_id: r.token for r in out if r.rnk == 1}
     assert top[1] == "zebra"   # 2 x ln(3) beats 3 x ln(1)=0 for 'common'
     assert top[2] == "plume"
     assert top[3] != "common"  # df=3 -> idf 0: common can never rank first
+    assert all(r.rnk <= 3 for r in out)

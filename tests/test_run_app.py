@@ -71,6 +71,13 @@ def test_cli_parquet_and_filequeue_sinks(spark, tmp_path):
     assert len(rows) == got.count()
     assert all(r["value"] > 4 for r in rows)
 
+    # a SECOND batch run appends epoch 1 (no silent no-op on rerun)
+    assert run_app.main(
+        stop=False,
+        argv=[sql, "-c", cfg2, "--register", f"events={SF}/events.parquet:ts"],
+    ) == 0
+    assert os.path.isdir(f"{tmp_path}/fq/Out/segments/epoch-0000000001")
+
 
 def test_cli_yaml_streams_and_extension(spark, tmp_path, capsys):
     sql = _write(tmp_path, "app.sql", APP_SQL)
