@@ -58,28 +58,35 @@ def main() -> None:
     # warm the JVM + parquet footer cache with one cheap full run
     QUERIES["agg_pricing_summary"].spark(spark, sf_dir).collect()
 
+    errors: dict[str, str] = {}
     for name in headline:
         if name not in QUERIES:
             continue
-        # one untimed warm-up run first: the first execution of a plan pays
-        # one-off whole-stage-codegen compilation and JIT warm-up (measured
-        # 15.9s -> 4.4s -> 1.6s back-to-back on dedup_minhash_lsh) — a fixed
-        # cost that amortizes to nothing over a 100 TB run, so steady state
-        # is the honest per-plan number
-        QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-        # then best of 2: this host shows heavy noisy-neighbor variance
-        # (same plan measured 4.4s and 17s back-to-back); min-of-2 reports
-        # the plan's cost, not the hypervisor's mood
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = QUERIES[name].spark(spark, sf_dir)
-            # force full execution without shipping wide rows to the driver
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
+        # A single broken query must not void the whole round's bench (the
+        # round-3 TIMESTAMP_NTZ crash zeroed every number): record the
+        # error, keep measuring the rest.
+        try:
+            # one untimed warm-up run first: the first execution of a plan
+            # pays one-off whole-stage-codegen compilation and JIT warm-up
+            # (measured 15.9s -> 4.4s -> 1.6s back-to-back on
+            # dedup_minhash_lsh) — a fixed cost that amortizes to nothing
+            # over a 100 TB run, so steady state is the honest number
+            QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            # then best of 2: this host shows heavy noisy-neighbor variance
+            # (same plan measured 4.4s and 17s back-to-back); min-of-2
+            # reports the plan's cost, not the hypervisor's mood
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = QUERIES[name].spark(spark, sf_dir)
+                # full execution without shipping wide rows to the driver
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            times[name] = round(best, 4)
+        except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # The Arrow/numpy production variant of the embedding dedup flow (same
     # plan shape as dedup_embedding_cosine; gates keep the HOF fold only for
@@ -132,17 +139,20 @@ def main() -> None:
         ("cep_window_chain_eps", "window_sliding_time_10m", n_events),
         ("pattern_chain_eps", "pattern_followed_by", n_events),
     ):
-        QUERIES[qname].spark(spark, sf_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()  # untimed codegen warm-up, same rationale as above
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
+        try:
             QUERIES[qname].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        throughput[tname] = int(nrows / best)
+            ).save()  # untimed codegen warm-up, same rationale as above
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[qname].spark(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                best = min(best, time.perf_counter() - t0)
+            throughput[tname] = int(nrows / best)
+        except Exception as e:  # noqa: BLE001
+            errors[tname] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # Amortized throughput: the raw numbers above carry ~0.4 s of fixed job
     # overhead on only ~100k events (sf0.1), which floor-bounds eps far below
@@ -262,6 +272,7 @@ def main() -> None:
                 "throughput_events_per_sec_amortized": amortized,
                 "throughput_events_per_sec_materialized": materialized,
                 "amortized_replication": REP,
+                "errors": errors,
                 "sf": sf,
             }
         )
