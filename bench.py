@@ -49,6 +49,11 @@ def main() -> None:
         "pipeline_end_to_end",
         "sequence_packing",
         "doc_chunking",
+        # ANN production paths: trained IVF (pruned exact) and IVF-PQ (ADC
+        # scan over 4-bit codes) — tracked so the speedup over
+        # ann_search_modes' brute-force mode stays visible
+        "ann_ivf_trained",
+        "ann_pq",
         # SQL front-end end-to-end + rollups
         "sql_window_tumbling",
         "incremental_agg_hour",
@@ -114,13 +119,16 @@ def main() -> None:
         )
         return dedup_embedding_cosine_arrow(vecs, PLANES, LSH_PROJ_DIM, COSINE_T)
 
-    _arrow_dedup().write.format("noop").mode("overwrite").save()
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
+    try:
         _arrow_dedup().write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    times["dedup_embedding_cosine_arrow"] = round(best, 4)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _arrow_dedup().write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times["dedup_embedding_cosine_arrow"] = round(best, 4)
+    except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+        errors["dedup_embedding_cosine_arrow"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     total = round(sum(times.values()), 4)
 
@@ -206,12 +214,15 @@ def main() -> None:
         ("cep_window_chain_eps", _cep_chain, ev_rep, n_events * REP),
         ("pattern_chain_eps", _pattern_chain, ev_rep, n_events * REP),
     ):
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            build(src).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        amortized[tname] = int(nrows / best)
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build(src).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            amortized[tname] = int(nrows / best)
+        except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+            errors[f"amortized:{tname}"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # Materialized-replication throughput: the amortized numbers above
     # replicate in-plan (explode), which skips scan I/O for the replicas.
@@ -253,13 +264,100 @@ def main() -> None:
         ("pattern_chain_eps", _pattern_chain, mat["events"], n_events * REP),
         ("minhash_signature_docs_per_sec", _minhash_sig_chain, mat["documents"], n_docs * REP),
     ):
-        build(src).write.format("noop").mode("overwrite").save()  # codegen warm-up
-        best = float("inf")
-        for _ in range(2):
+        try:
+            build(src).write.format("noop").mode("overwrite").save()  # codegen warm-up
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build(src).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            materialized[tname] = int(nrows / best)
+        except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+            errors[f"materialized:{tname}"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    # sf1 scale rehearsal: the dedup→cluster→pack pipeline end-to-end at
+    # 10× the bench scale (the materialized REP× corpus — a 90%-duplicate
+    # crawl), per-stage wall seconds + rows/s. This is the proof that the
+    # banded/df-capped/pointer-jump designs hold off the toy scale, and it
+    # exercises the PERSISTED (parquet, not cache) signature table — the
+    # 100 TB materialization path.
+    pipeline_sf1: dict[str, dict[str, float]] = {}
+    try:
+        from engine_spark.datapipe.cluster import dedup_clusters
+        from engine_spark.datapipe.packing import sequence_pack
+        from engine_spark.datapipe.queries import (
+            FR,
+            minhash_lsh_pairs,
+            shingles_of,
+            signature_table,
+        )
+
+        n_rep_docs = n_docs * REP
+        sig_path = os.path.join(mat_root, "_sig_table")
+
+        def _stage(name, nrows, fn):
             t0 = time.perf_counter()
-            build(src).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        materialized[tname] = int(nrows / best)
+            out_rows = fn()
+            dt = time.perf_counter() - t0
+            pipeline_sf1[name] = {
+                "sec": round(dt, 4),
+                "in_rows": int(nrows),
+                "rows_per_sec": int(nrows / dt),
+                "out_rows": int(out_rows),
+            }
+
+        # stage 1: signatures+shingles built once, persisted as parquet
+        import shutil
+
+        shutil.rmtree(sig_path, ignore_errors=True)  # time the real build
+        sig_holder = {}
+
+        def _build_sig():
+            sig_holder["sig"] = signature_table(
+                shingles_of(mat["documents"], materialize=False),
+                storage="parquet",
+                path=sig_path,
+            )
+            return sig_holder["sig"].count()
+
+        _stage("signatures", n_rep_docs, _build_sig)
+        sig = sig_holder["sig"]
+        # stage 2: LSH candidates + exact-Jaccard verify off the persisted table
+        pairs_holder = {}
+
+        def _build_pairs():
+            p = minhash_lsh_pairs(sig).select("doc_a", "doc_b")
+            pairs_holder["pairs"] = p.cache()
+            return pairs_holder["pairs"].count()
+
+        _stage("lsh_pairs_verified", n_rep_docs, _build_pairs)
+        # stage 3: connected components (pointer jumping) over the pairs
+        comp_holder = {}
+
+        def _build_comp():
+            c = dedup_clusters(pairs_holder["pairs"]).cache()
+            comp_holder["comp"] = c
+            return c.count()
+
+        _stage("clusters", n_rep_docs, _build_comp)
+        # stage 4: pack the deduped (canonical) docs into training sequences
+        def _build_pack():
+            comp = comp_holder["comp"]
+            # keep = docs never seen in a near-dup pair + one canonical per cluster
+            in_comp = comp.select("doc_id")
+            canon = comp.filter("is_canonical").select("doc_id")
+            kept = mat["documents"].join(in_comp, "doc_id", "left_anti").unionByName(
+                mat["documents"].join(canon, "doc_id", "semi")
+            ).select("doc_id", F.expr(f"CAST({SP.size(FR.tokens(SP))} AS BIGINT)").alias("n_tokens"))
+            packed = sequence_pack(kept, "n_tokens", seq_len=64, n_shards=32)
+            t = packed.count()
+            return t
+
+        _stage("pack", n_rep_docs, _build_pack)
+        pairs_holder["pairs"].unpersist()
+        comp_holder["comp"].unpersist()
+    except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+        errors["pipeline_sf1"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     print(
         json.dumps(
@@ -271,6 +369,7 @@ def main() -> None:
                 "throughput_events_per_sec": throughput,
                 "throughput_events_per_sec_amortized": amortized,
                 "throughput_events_per_sec_materialized": materialized,
+                "pipeline_sf1": pipeline_sf1,
                 "amortized_replication": REP,
                 "errors": errors,
                 "sf": sf,

@@ -219,10 +219,26 @@ def domain_mix_rates(
 
     ``counts``: one row per domain with a ``n`` column. Domains absent from
     ``weights`` get rate 0 (dropped). The result is dimension-sized.
+
+    Raises ``ValueError`` when a domain in ``weights`` has no rows in
+    ``counts``: the target mixture is unsatisfiable (min(count/weight) over
+    present domains only would silently emit 100% of the others instead).
+    The check is dimension-sized — ``counts`` has one row per domain, so the
+    collect is bounded regardless of corpus size.
     """
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
+    present = {
+        r[0] for r in counts.select(source_col).distinct().collect()
+    }
+    absent = sorted(set(weights) - present)
+    if absent:
+        raise ValueError(
+            f"domain_mix target domains absent from corpus: {absent} — "
+            "the requested mixture is unsatisfiable (remove them from "
+            "`weights` or supply rows for them)"
+        )
     withw = counts.withColumn("w", wmap[F.col(source_col)]).filter(
         F.col("w").isNotNull()
     )

@@ -704,26 +704,52 @@ def minhash_signatures(shingles_df: DataFrame) -> DataFrame:
 
 
 
-@register(
-    "dedup_minhash_lsh",
-    _minhash_oracle(),
-    doc=(
-        f"MinHash({MINHASH_K})+LSH({LSH_BANDS}x{FR.LSH_ROWS}) near-dup: "
-        "signatures are row-local array exprs (map-only); candidates come "
-        "from band-bucket joins (the ONLY shuffle keys); exact Jaccard "
-        "verifies candidates. Never all-pairs."
-    ),
-)
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = _shingle_df(spark, sf_dir).cache()
+def signature_table(
+    shingles_df: DataFrame, storage: str = "cache", path: str | None = None
+) -> DataFrame:
+    """Materialized (doc_id, mh0..mhK-1, sh) signature table.
+
+    The band self-join and the Jaccard verify stage all re-read this table;
+    without a materialization boundary the tokenize+shingle pipeline is
+    recomputed per consumer inside a single job.
+
+    ``storage``:
+    - ``"cache"``  — executor-memory cache + one bounded count() action
+      (one row per doc at any scale). Right for interactive sessions.
+    - ``"parquet"`` — write the table to ``path`` once and read it back.
+      The 100 TB path: a corpus-sized signature table must not depend on
+      executor cache memory (eviction silently re-runs the shingle
+      pipeline per consumer), and a persisted table is reusable across
+      jobs/sessions (signatures are the expensive linear stage of the
+      whole dedup flow). Idempotent: an existing ``_SUCCESS`` marker skips
+      the rewrite.
+    - ``"none"``   — no boundary (throughput measurement of the raw chain).
+    """
+    sig = minhash_signatures(shingles_df).join(shingles_df, "doc_id")
+    if storage == "cache":
+        sig = sig.cache()
+        sig.count()
+        return sig
+    if storage == "parquet":
+        if path is None:
+            raise ValueError("storage='parquet' requires a path")
+        import os as _os
+
+        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+            sig.write.mode("overwrite").parquet(path)
+        return shingles_df.sparkSession.read.parquet(path)
+    if storage == "none":
+        return sig
+    raise ValueError(f"unknown storage mode: {storage!r}")
+
+
+def minhash_lsh_pairs(sig: DataFrame) -> DataFrame:
+    """Verified near-dup pairs from a materialized signature table.
+
+    Candidates come from band-bucket self-joins (the ONLY shuffle keys);
+    exact Jaccard over the full shingle sets verifies. Never all-pairs.
+    """
     mh_cols = [f"mh{i}" for i in range(MINHASH_K)]
-    sig = minhash_signatures(s).join(s, "doc_id").cache()
-    # Materialize the signature table BEFORE the band self-join: both join
-    # sides and the verify stage reuse it, and an unmaterialized cache gets
-    # recomputed per consumer inside a single job. One tiny action here
-    # (5k rows/sf0.1; one row per doc at any scale) saves 3 recomputes of
-    # the tokenize+shingle pipeline.
-    sig.count()
     band_structs = F.array(
         *[
             F.struct(
@@ -755,6 +781,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= JACCARD_T)
     )
     return j.select("doc_a", "doc_b", F.expr(r6("jac")).alias("jaccard"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    _minhash_oracle(),
+    doc=(
+        f"MinHash({MINHASH_K})+LSH({LSH_BANDS}x{FR.LSH_ROWS}) near-dup: "
+        "signatures are row-local array exprs (map-only); candidates come "
+        "from band-bucket joins (the ONLY shuffle keys); exact Jaccard "
+        "verifies candidates. Never all-pairs. Shared signature table is "
+        "materialized once (signature_table; storage='parquet' for the "
+        "persisted 100 TB path, exercised by bench pipeline_sf1 + tests)."
+    ),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _shingle_df(spark, sf_dir).cache()
+    sig = signature_table(s, storage="cache")
+    return minhash_lsh_pairs(sig)
 
 
 @register(

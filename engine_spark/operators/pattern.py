@@ -36,6 +36,7 @@ def followed_by(
     second: Column,
     within_seconds: int,
     strict: bool = False,
+    dedupe: bool = True,
 ) -> DataFrame:
     """`e1=A -> e2=B WITHIN d` — for each A event, the earliest subsequent B
     event on the same key within d (PATTERN mode: events between A and B are
@@ -44,6 +45,14 @@ def followed_by(
     Returns one row per matched pair with ``e1_*`` / ``e2_*`` prefixed columns
     plus ``delay_seconds``. With ``strict=True`` (SEQUENCE mode) the B event
     must be the key's *immediately next* event after A.
+
+    ``dedupe`` (default True) collapses byte-identical duplicate A events to
+    ONE match — relational set semantics, consistent with a SQL oracle's
+    GROUP BY. Pass ``dedupe=False`` for the reference's per-arriving-event
+    semantics (stream_pre_state_processor.rs: each duplicate A opens its own
+    state and fires its own match), which is also what the streaming NFA
+    emits — use it when batch/stream parity on at-least-once duplicate input
+    matters more than set semantics.
     """
     if strict:
         return _followed_by_strict(
@@ -97,12 +106,14 @@ def followed_by(
     # within each key partition and keeping rows that differ from their
     # predecessor (null-safe struct compare) dedupes in place, where a
     # dropDuplicates would reshuffle on the full identity
-    ident = F.struct(*[F.col(c).alias(c) for c in payload])
-    w2 = Window.partitionBy(*key_cols).orderBy(ident)
-    m = (
-        m.withColumn("_prev", F.lag(ident).over(w2))
-        .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(ident))
-    )
+    if dedupe:
+        ident = F.struct(*[F.col(c).alias(c) for c in payload])
+        w2 = Window.partitionBy(*key_cols).orderBy(ident)
+        m = (
+            m.withColumn("_prev", F.lag(ident).over(w2))
+            .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(ident))
+            .drop("_prev")
+        )
     # exact integer microseconds → one double division; bit-identical to a
     # SQL oracle computing (epoch_us(b) - epoch_us(a)) / 1e6
     return m.select(

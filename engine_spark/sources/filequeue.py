@@ -72,16 +72,25 @@ class FileQueue:
         self._write_segment(name, rows)
         return True
 
-    def publish_epoch_distributed(self, batch_df: DataFrame, epoch_id: int) -> bool:
+    def publish_epoch_distributed(
+        self, batch_df: DataFrame, epoch_id: int, prefix: str = "epoch-"
+    ) -> bool:
         """Idempotent DISTRIBUTED publish: the epoch is written by the
         executors into a staging dir outside the segment root, then one
         atomic directory rename commits it. No rows touch the driver —
         this is the 100 TB path; ``publish_epoch`` (driver-side JSONL) is
-        the small-batch convenience."""
-        final = os.path.join(self.segments, f"epoch-{epoch_id:010d}")
+        the small-batch convenience.
+
+        ``prefix`` namespaces the idempotence key: streaming epochs use the
+        default ``epoch-`` (keyed by Spark's epoch id), while batch runs
+        sharing the same queue root must use a distinct prefix (run_app uses
+        ``batch-``) — otherwise a batch-written epoch-0 would make a later
+        stream's micro-batch 0 look like a crash replay and silently drop it.
+        """
+        final = os.path.join(self.segments, f"{prefix}{epoch_id:010d}")
         if os.path.exists(final):
             return False  # crash replay of a committed epoch
-        staging = os.path.join(self.path, "_staging", f"epoch-{epoch_id:010d}")
+        staging = os.path.join(self.path, "_staging", f"{prefix}{epoch_id:010d}")
         batch_df.write.mode("overwrite").json(staging)
         os.makedirs(os.path.dirname(final), exist_ok=True)
         os.rename(staging, final)

@@ -136,11 +136,14 @@ def main(argv=None, stop: bool = True) -> int:
             root = f"{sink_base}/{name}"
             fq = FileQueue(root)
             # each batch run appends the NEXT epoch (rerunning must not
-            # silently no-op against the already-committed epoch 0)
+            # silently no-op against the already-committed epoch 0). Batch
+            # epochs live in their own 'batch-' namespace so a later
+            # STREAMING run on the same root (whose Spark epochs restart at
+            # 0) never mistakes a batch segment for its own crash replay.
             epoch = sum(
-                1 for d in _os.listdir(fq.segments) if d.startswith("epoch-")
+                1 for d in _os.listdir(fq.segments) if d.startswith("batch-")
             )
-            if fq.publish_epoch_distributed(df, epoch):
+            if fq.publish_epoch_distributed(df, epoch, prefix="batch-"):
                 print(f"[{name}] written as epoch {epoch} under {root}")
             else:  # pragma: no cover - concurrent writer race
                 print(f"[{name}] epoch {epoch} already committed; nothing written")

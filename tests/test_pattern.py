@@ -207,3 +207,27 @@ def test_followed_by_duplicate_a_rows_collapse(spark):
         ).collect()
         assert len(out) == 1, f"strict={strict}: {out}"
         assert out[0]["e1_value"] == 1.0 and out[0]["e2_value"] == 2.0
+
+
+def test_followed_by_dedupe_false_keeps_per_event_duplicates(spark):
+    """``dedupe=False`` opts into the reference's per-arriving-event
+    semantics (stream_pre_state_processor.rs: every duplicate A opens its
+    own state and fires its own match) — batch then agrees with the
+    streaming NFA on at-least-once duplicate input."""
+    from tests.conftest import ts
+
+    df = spark.createDataFrame(
+        [
+            (1, ts(0), "a", 1.0),
+            (1, ts(0), "a", 1.0),  # exact duplicate (at-least-once upstream)
+            (1, ts(1), "b", 2.0),
+        ],
+        "user_id long, ts timestamp, kind string, value double",
+    )
+    out = pattern.followed_by(
+        df, "ts", ["user_id"],
+        F.col("kind") == "a", F.col("kind") == "b",
+        within_seconds=600, dedupe=False,
+    ).collect()
+    assert len(out) == 2
+    assert all(r["e1_value"] == 1.0 and r["e2_value"] == 2.0 for r in out)

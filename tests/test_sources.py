@@ -217,3 +217,20 @@ def test_file_queue_with_clause_registration(spark, tmp_path):
     q.awaitTermination()
     out = FileQueue(str(tmp_path / "wout")).read_all(spark, "id long").collect()
     assert [r["id"] for r in out] == [7]
+
+
+def test_file_queue_batch_and_stream_epoch_namespaces(spark, tmp_path):
+    """A batch publish (prefix 'batch-') must not make a later stream's
+    epoch 0 look like a crash replay: the two namespaces are disjoint, so
+    both epoch-0 publishes land."""
+    from engine_spark.sources.filequeue import FileQueue
+
+    q = FileQueue(str(tmp_path / "q"))
+    df = spark.createDataFrame([(1,)], "id long")
+    assert q.publish_epoch_distributed(df, 0, prefix="batch-") is True
+    # streaming epoch 0 on the same root: NOT a replay of the batch epoch
+    assert q.publish_epoch_distributed(df, 0) is True
+    # genuine replays within each namespace are still detected
+    assert q.publish_epoch_distributed(df, 0, prefix="batch-") is False
+    assert q.publish_epoch_distributed(df, 0) is False
+    assert q.read_all(spark, "id long").count() == 2

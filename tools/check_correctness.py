@@ -78,8 +78,14 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -99,6 +105,7 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    snapshot: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -108,18 +115,30 @@ def main() -> None:
             print(f"ERR  {name}: spark side crashed")
             traceback.print_exc(limit=3)
             n_fail += 1
+            snapshot[name] = {"pass": False, "err": "spark side crashed"}
             continue
         if name not in oracles:
             print(f"rows {name}: {len(sdf)} rows (no oracle)")
             n_rows_only += 1
+            snapshot[name] = {
+                "pass": None, "spark_rows": len(sdf), "err": None,
+                "note": "rows-only (no SQL-expressible oracle)",
+            }
             continue
         try:
             odf = load_oracle(con, oracles[name])
         except Exception as e:  # noqa: BLE001
             print(f"ERR  {name}: oracle crashed: {e}")
             n_fail += 1
+            snapshot[name] = {"pass": False, "err": f"oracle crashed: {e}"}
             continue
         problems = compare(name, sdf, odf)
+        snapshot[name] = {
+            "pass": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
@@ -127,6 +146,12 @@ def main() -> None:
             print(f"pass {name} ({len(sdf)} rows)")
             n_pass += 1
     print(f"\n== {n_pass} pass, {n_fail} fail, {n_rows_only} rows-only ==")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as f:
+            _json.dump({"sf_dir": sf_dir, "results": snapshot}, f, indent=1)
+        print(f"snapshot written to {json_out}")
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
