@@ -1290,6 +1290,68 @@ def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_headers(payloads).orderBy("doc_id")
 
 
+RESIZE_W, RESIZE_H = 16, 12
+
+
+@register(
+    "multimodal_resize",
+    f"""
+    SELECT doc_id, 'png' AS format,
+           {RESIZE_W}::INT AS width, {RESIZE_H}::INT AS height,
+           (CASE doc_id % 2 WHEN 0 THEN 1 ELSE 3 END)::INT AS channels,
+           CAST((CASE doc_id % 2
+                 WHEN 0 THEN doc_id % 256
+                 ELSE (doc_id % 256) + (doc_id * 3) % 256 + (doc_id * 7) % 256
+                 END) * {RESIZE_W * RESIZE_H} AS BIGINT) AS pix_sum
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "REAL pixel decode + bilinear resample + re-encode, zero stand-ins "
+        "on this path: each document becomes a genuine solid-color PNG "
+        "(gray or RGB by parity, pixel values derived from doc_id; stdlib "
+        "encoder: filter rows + zlib deflate + crc32), resize_image "
+        "decodes it (zlib inflate + per-row unfilter), resamples to "
+        f"{RESIZE_W}x{RESIZE_H} with numpy bilinear, re-encodes — and the "
+        "gate re-DECODES the output payload, summing its actual pixels. "
+        "A constant image resamples to itself exactly, so the oracle "
+        "recomputes the pixel sum in closed form (value x W x H) — wrong "
+        "dims, wrong unfilter math, or a fake payload all break the sum. "
+        "Map-only end to end: payloads never shuffle."
+    ),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import (
+        decode_image,
+        encode_png,
+        resize_image,
+    )
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w, h, v = nc % 48 + 8, did % 40 + 8, did % 256
+                if did % 2 == 0:
+                    arr = np.full((h, w, 1), v, np.uint8)
+                else:
+                    arr = np.empty((h, w, 3), np.uint8)
+                    arr[:, :, 0] = v
+                    arr[:, :, 1] = (did * 3) % 256
+                    arr[:, :, 2] = (did * 7) % 256
+                rows.append((did, encode_png(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    resized = resize_image(payloads, RESIZE_W, RESIZE_H)
+    return decode_image(resized.select("doc_id", "payload")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN: inverted-file index with deterministic seeded centroids
 # ---------------------------------------------------------------------------

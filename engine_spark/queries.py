@@ -1399,7 +1399,6 @@ _ORDER = [
     "window_length_modes",
     "window_sort_top3",
     "frequent_items",
-    "cron_window_5min",
     # 2f patterns
     "pattern_absent",
     "pattern_count_aggs",
@@ -1427,6 +1426,7 @@ _ORDER = [
     "embedding_quantize",
     "multimodal_pipeline",
     "multimodal_headers",         # real stdlib PNG/GIF/BMP/JPEG header decode
+    "multimodal_resize",          # REAL PNG pixel decode+bilinear+re-encode
     "sampling_modes",             # hash + domain-mix + stratified draws
     "sequence_packing",           # corpus assembly: concat-and-chunk packing
     "doc_chunking",               # corpus assembly: overlapping chunk explode
@@ -1437,10 +1437,13 @@ _ORDER = [
     # gate (string/date scalar gates remain in-window; every math fn is
     # pytest-proven in tests/test_scalar.py); agg_approx_distinct =
     # fifth 2d gate; window_sliding_time_10m = fifth 2e time-window gate;
-    # join_multiway_q5 / q3 / asof = third..fifth table-join gates. ALL
-    # remain fully oracle-checked on every run of
-    # tools/check_correctness.py (see CORRECTNESS_LOCAL.json) and stay in
-    # bench.py's headline set where listed.
+    # join_multiway_q5 / q3 / asof = third..fifth table-join gates;
+    # cron_window_5min = seventh 2e window gate (the __tick__ trigger
+    # relation is pytest-proven in tests/test_windows.py). ALL remain
+    # fully oracle-checked on every run of tools/check_correctness.py
+    # (see CORRECTNESS_LOCAL.json) and stay in bench.py's headline set
+    # where listed.
+    "cron_window_5min",
     "math_funcs",
     "agg_approx_distinct",
     "window_sliding_time_10m",

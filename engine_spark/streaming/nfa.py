@@ -64,6 +64,27 @@ def _bool_arr(s: pd.Series) -> np.ndarray:
     return s.fillna(False).to_numpy(dtype=bool)
 
 
+#: Per-key per-micro-batch event count above which the stateful NFA logs an
+#: executor-side hot-key warning (the per-key rate ceiling is documented in
+#: PERF.md; the fix is the ``salt`` parameter below or the relational path).
+HOT_KEY_WARN_EVENTS = 200_000
+
+
+def _warn_hot_key(key, n: int, salted: bool) -> None:
+    if salted or n <= HOT_KEY_WARN_EVENTS:
+        return
+    import warnings
+
+    warnings.warn(
+        f"streaming NFA hot key {key!r}: {n} events in one micro-batch "
+        f"(> {HOT_KEY_WARN_EVENTS}) funnel through a single python worker "
+        "(~70-90k events/s/key ceiling, see PERF.md). Pass salt=R to "
+        "followed_by_stream (exact semantics preserved) or route this key "
+        "to the relational batch path.",
+        stacklevel=2,
+    )
+
+
 def followed_by_stream(
     df: DataFrame,
     ts_col: str,
@@ -73,16 +94,48 @@ def followed_by_stream(
     within_seconds: int,
     value_col: str,
     late: str = "0 seconds",
+    salt: int | None = None,
 ) -> DataFrame:
     """Streaming `e1=A -> e2=B WITHIN d` per key (EVERY semantics: every A
     opens a state; each A takes its earliest B — first-match, PATTERN mode).
 
     Output: (key, e1_ts, e1_value, e2_ts, e2_value, delay_seconds).
+
+    ``salt=R`` breaks the single-hot-key ceiling EXACTLY: all events of one
+    key otherwise funnel through one python worker (~70-90k events/s/key,
+    PERF.md). Each A event hashes to ONE of R sub-keys while every B event
+    is replicated to ALL R — so every sub-key still sees the full B stream
+    in order and each A meets its true earliest B. Matches are emitted once
+    (an A lives in exactly one sub-key): the union of sub-key outputs IS the
+    unsalted output, no merge step. Cost: B-volume ×R — right when the
+    A-side dominates (probe-heavy patterns); for B-heavy streams prefer the
+    relational path. State stays bounded per sub-key (same eviction +
+    event-time timeout). A per-batch detector also warns (executor log)
+    when an unsalted key exceeds HOT_KEY_WARN_EVENTS in one micro-batch.
     """
     within_us = within_seconds * US
     tagged = watermarked(df, ts_col, late).withColumn(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", second.cast("boolean"))
+    if salt is not None:
+        if salt < 1:
+            raise ValueError("salt must be >= 1")
+        # A rows own one deterministic sub-key; B rows fan out to all R.
+        # A row that is BOTH A and B keeps its A role only in its own
+        # sub-key (otherwise R copies would each open a start).
+        own = F.pmod(F.xxhash64(F.col(ts_col), F.col(value_col)), F.lit(salt))
+        tagged = (
+            tagged.withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        F.col("_is_b"),
+                        F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long")),
+                    ).otherwise(F.array(own))
+                ),
+            )
+            .withColumn("_is_a", F.col("_is_a") & (F.col("_salt") == own))
+        )
 
     tstype = df.schema[ts_col].dataType.simpleString()
     out_schema = (
@@ -90,6 +143,7 @@ def followed_by_stream(
         f"e2_ts {tstype}, e2_value double, delay_seconds double"
     )
     state_schema = "starts_ts array<long>, starts_val array<double>"
+    salted = salt is not None
 
     def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -100,6 +154,7 @@ def followed_by_stream(
             sts, svs = state.get
             starts = list(zip(sts or [], svs or []))
         rows = pd.concat(list(pdfs), ignore_index=True)
+        _warn_hot_key(key[0], len(rows), salted)
         rows = rows.sort_values(ts_col, kind="mergesort")
         # vectorized row access: one cast per column instead of a dict +
         # pd.Timestamp per event; only A/B rows enter the automaton (other
@@ -149,7 +204,8 @@ def followed_by_stream(
                 ],
             )
 
-    return tagged.groupBy(key_col).applyInPandasWithState(
+    group_cols = [key_col, "_salt"] if salted else [key_col]
+    return tagged.groupBy(*group_cols).applyInPandasWithState(
         run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 

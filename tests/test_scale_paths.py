@@ -117,3 +117,115 @@ def test_nfa_hot_key_throughput_floor(spark):
         f"hot-key NFA per-key rate {eps:,.0f} eps fell below the documented "
         "8k floor (PERF.md hot-key ceiling)"
     )
+
+
+def test_nfa_salted_matches_unsalted_exactly(spark):
+    """salt=R must be a pure parallelization: the union of sub-key outputs
+    equals the unsalted output row-for-row (every A hashes to one sub-key;
+    every B is replicated to all, so each A still meets its true earliest
+    B). Includes an event that is both A and B (must not double-open)."""
+    import time
+
+    from engine_spark.streaming import nfa
+
+    base = 1_700_000_000
+    rows_ = []
+    for i in range(400):
+        et = "b" if i % 7 == 3 else "a"
+        if i % 50 == 10:
+            et = "ab"  # both roles
+        rows_.append(
+            {
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(base + i)),
+                "user": f"u{i % 3}",
+                "etype": et,
+                "v": float(i),
+            }
+        )
+
+    def build(salt):
+        def b(sdf):
+            return nfa.followed_by_stream(
+                sdf, "ts", "user",
+                first=F.col("etype").isin("a", "ab"),
+                second=F.col("etype").isin("b", "ab"),
+                within_seconds=30, value_col="v", salt=salt,
+            )
+        return b
+
+    outs = {}
+    for salt in (None, 4):
+        r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+        r.send(rows_[:150])
+        r.run(build(salt))
+        r.send(rows_[150:])
+        r.run(build(salt))
+        outs[salt] = sorted(
+            (m["user"], m["e1_ts"], m["e1_value"], m["e2_ts"], m["e2_value"])
+            for m in r.shutdown()
+        )
+    assert outs[4] == outs[None] and len(outs[None]) > 100
+
+
+def test_nfa_salted_hot_key_throughput(spark):
+    """The hot-key fix, measured: a 320k-event single hot key at a
+    probe-heavy mix (2% B) through salt=16 sustains >150k events/s where
+    the unsalted path ceilings on one python worker (measured 149k on this
+    workload on a calm VM — and it trips the HOT_KEY_WARN_EVENTS executor
+    warning; heavier-emission workloads ceiling at the documented 70-90k,
+    PERF.md). Both arms are measured with the same startup-cost-isolating
+    protocol as the floor test above; match sets must agree. The relative
+    bound (salted >= 1.8x unsalted) carries the claim when the VM is too
+    noisy for the calm-VM absolute number (~340k measured)."""
+    import time
+
+    from engine_spark.streaming import nfa
+
+    n = 320_000
+    base = 1_700_000_000
+    rows_ = [
+        {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(base + i)),
+            "user": "hot",
+            "etype": "b" if i % 50 == 49 else "a",
+            "v": float(i),
+        }
+        for i in range(n)
+    ]
+
+    def measure(salt):
+        r = StreamRunner(
+            spark, "ts timestamp, user string, etype string, v double"
+        )
+
+        def build(sdf):
+            return nfa.followed_by_stream(
+                sdf, "ts", "user",
+                first=F.col("etype") == "a",
+                second=F.col("etype") == "b",
+                within_seconds=10, value_col="v", salt=salt,
+            )
+
+        r.send(rows_[:20])
+        r.run(build)
+        r.send(rows_[20:50])
+        t0 = time.perf_counter()
+        r.run(build)
+        t_small = time.perf_counter() - t0
+        r.send(rows_[50:])
+        t0 = time.perf_counter()
+        r.run(build)
+        t_big = time.perf_counter() - t0
+        return (n - 50) / max(t_big - t_small, 1e-3), r.shutdown()
+
+    eps_plain, m_plain = measure(None)
+    eps_salted, m_salted = measure(16)
+    assert len(m_salted) == len(m_plain) > n // 10  # same matches, at scale
+    print(
+        f"\nhot-key NFA rate: unsalted {eps_plain:,.0f} -> salted(16) "
+        f"{eps_salted:,.0f} events/sec/key"
+    )
+    assert eps_salted >= 150_000 or eps_salted >= 1.8 * eps_plain, (
+        f"salted (R=16) hot-key rate {eps_salted:,.0f} eps cleared neither "
+        f"the 150k absolute target nor 1.8x the unsalted {eps_plain:,.0f}"
+    )
