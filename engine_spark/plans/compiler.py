@@ -171,6 +171,8 @@ class SqlApp:
         self.streams: dict[str, _Stream] = {}
         self.schemas: dict[str, P.CreateStream] = {}
         self.outputs: dict[str, DataFrame] = {}
+        #: CREATE AGGREGATION name → IncrementalAggregation cascade
+        self.aggregations: dict[str, object] = {}
         #: an AND group with neither PARTITION key nor WITHIN compiles to an
         #: unbounded cross join (every A pairs with every B, state can never
         #: be evicted in streaming) — refused unless explicitly opted in
@@ -198,6 +200,17 @@ class SqlApp:
         if name in self.streams:
             return self.streams[name].df
         raise KeyError(f"unknown stream/table {name!r}")
+
+    def aggregation_data(
+        self, name: str, per: str, within: tuple | None = None
+    ) -> DataFrame:
+        """On-demand read of a CREATE AGGREGATION cascade at one granularity
+        — runner.get_aggregation_data parity (reference
+        eventflux_app_runtime.rs:982-993: name, within, per). Columns:
+        group keys, bucket_start, cnt, sum_v, avg_v, min_v, max_v."""
+        if name not in self.aggregations:
+            raise KeyError(f"unknown aggregation {name!r}")
+        return self.aggregations[name].query(per=per, within=within)
 
     # ------------------------------------------------------------------
     def sql(self, text: str) -> dict[str, DataFrame]:
@@ -231,6 +244,31 @@ class SqlApp:
                     self.streams[stmt.name] = _Stream(
                         df=sdf, ts_col=opts.get("timestamp.column")
                     )
+            elif isinstance(stmt, P.CreateAggregation):
+                # the reference never got this past its grammar (every
+                # aggregation test is #[ignore]d, app_runner_aggregations.rs);
+                # here the DDL compiles straight onto the incremental cascade
+                if stmt.source not in self.streams:
+                    raise ValueError(
+                        f"CREATE AGGREGATION {stmt.name}: unknown source "
+                        f"stream {stmt.source!r} (register it first)"
+                    )
+                s = self.streams[stmt.source]
+                if s.ts_col is None:
+                    raise ValueError(
+                        f"CREATE AGGREGATION {stmt.name}: source stream "
+                        f"{stmt.source!r} has no event-time column — "
+                        "register_stream(..., ts_col=...) is required"
+                    )
+                from engine_spark.tables import IncrementalAggregation
+
+                self.aggregations[stmt.name] = IncrementalAggregation(
+                    s.df,
+                    s.ts_col,
+                    stmt.group_by,
+                    stmt.value_col,
+                    granularities=stmt.granularities,
+                )
             elif isinstance(stmt, P.Partition):
                 # RANGE partitions (reference range_partition_type.rs /
                 # partition_type.rs:7-21 Range variant): derive a `_range`

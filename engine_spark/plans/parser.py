@@ -155,6 +155,25 @@ class CreateStream:
 
 
 @dataclass
+class CreateAggregation:
+    """``CREATE AGGREGATION Name FROM Stream SELECT aggs GROUP BY cols
+    AGGREGATE EVERY unit [... unit];`` — incremental multi-granularity
+    rollup DDL. The reference defines the AST (aggregation_definition.rs,
+    time_period.rs) but its SQL grammar never implemented it (every test is
+    #[ignore]d "Requires DEFINE AGGREGATION", app_runner_aggregations.rs:15);
+    this dialect makes the reference's own ignored test shapes runnable,
+    backed by tables.IncrementalAggregation (the cascade each level
+    re-aggregates from the level below)."""
+
+    name: str
+    source: str
+    value_col: str
+    select: list["SelectItem"]
+    group_by: list[str]
+    granularities: list[str]  # normalized date_trunc units, e.g. ["second"]
+
+
+@dataclass
 class WindowSpec:
     kind: str  # normalized lower-case: length, lengthbatch, time, timebatch,
     #            externaltime, externaltimebatch, session, sort, tumbling, sliding
@@ -262,7 +281,9 @@ def parse_app(text: str) -> list:
         if not stmt:
             continue
         up = stmt.upper()
-        if up.startswith("CREATE STREAM") or up.startswith("CREATE TABLE"):
+        if up.startswith("CREATE AGGREGATION"):
+            out.append(_parse_create_aggregation(stmt))
+        elif up.startswith("CREATE STREAM") or up.startswith("CREATE TABLE"):
             out.append(_parse_create(stmt))
         elif up.startswith("PARTITION WITH"):
             # re-assemble the BEGIN … END block (it contained ';')
@@ -308,6 +329,82 @@ def _parse_create(stmt: str) -> CreateStream:
             options[km.group(1)] = km.group(2)
     return CreateStream(
         name=name, columns=cols, is_table=kind.upper() == "TABLE", options=options
+    )
+
+
+#: time_period.rs:8 unit spellings → date_trunc granularity (the reference
+#: grammar planned sec…year; weeks are not in its Duration enum either)
+_GRAN_ALIASES = {
+    "sec": "second", "second": "second", "seconds": "second",
+    "min": "minute", "minute": "minute", "minutes": "minute",
+    "hour": "hour", "hours": "hour",
+    "day": "day", "days": "day",
+    "month": "month", "months": "month",
+    "year": "year", "years": "year",
+}
+_GRAN_ORDER = ["second", "minute", "hour", "day", "month", "year"]
+
+
+def _parse_create_aggregation(stmt: str) -> CreateAggregation:
+    m = re.match(
+        r"CREATE\s+AGGREGATION\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+        r"FROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+SELECT\s+(.*?)\s+"
+        r"(?:GROUP\s+BY\s+(.*?)\s+)?AGGREGATE\s+EVERY\s+(.*?)\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE AGGREGATION: {stmt[:80]!r}")
+    name, source, sel_txt, grp_txt, gran_txt = m.groups()
+    select = []
+    value_cols: set[str] = set()
+    for item in split_top_level(sel_txt, ","):
+        am = re.match(r"(.*?)(?:\s+AS\s+([A-Za-z_][A-Za-z0-9_]*))?\s*$", item,
+                      re.IGNORECASE | re.DOTALL)
+        expr, alias = am.group(1).strip(), am.group(2)
+        select.append(SelectItem(expr=expr, alias=alias))
+        for fm in re.finditer(
+            r"\b(sum|count|avg|min|max)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*|\*)\s*\)",
+            expr, re.IGNORECASE,
+        ):
+            if fm.group(2) != "*":
+                value_cols.add(fm.group(2))
+    if len(value_cols) != 1:
+        raise ValueError(
+            f"CREATE AGGREGATION {name}: the incremental cascade keeps "
+            f"count/sum/min/max partials of ONE value column; select "
+            f"references {sorted(value_cols) or 'none'}"
+        )
+    group_by = split_top_level(grp_txt, ",") if grp_txt else []
+    # 'SECONDS', 'second, minute', or a range 'sec ... year'
+    if "..." in gran_txt:
+        lo_t, hi_t = (p.strip() for p in gran_txt.split("...", 1))
+        lo, hi = _GRAN_ALIASES.get(lo_t.lower()), _GRAN_ALIASES.get(hi_t.lower())
+        if lo is None or hi is None:
+            raise ValueError(f"unknown granularity in range {gran_txt!r}")
+        i, j = _GRAN_ORDER.index(lo), _GRAN_ORDER.index(hi)
+        if i > j:
+            raise ValueError(f"granularity range reversed: {gran_txt!r}")
+        grans = _GRAN_ORDER[i : j + 1]
+    else:
+        grans = []
+        for g in re.split(r"[,\s]+", gran_txt.strip()):
+            if not g:
+                continue
+            gn = _GRAN_ALIASES.get(g.lower())
+            if gn is None:
+                raise ValueError(f"unknown granularity {g!r} (supported: "
+                                 f"{sorted(set(_GRAN_ALIASES))})")
+            grans.append(gn)
+        if not grans:
+            raise ValueError("AGGREGATE EVERY needs at least one granularity")
+    return CreateAggregation(
+        name=name,
+        source=source,
+        value_col=value_cols.pop(),
+        select=select,
+        group_by=group_by,
+        granularities=grans,
     )
 
 

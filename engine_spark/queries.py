@@ -1077,6 +1077,34 @@ def q_incremental_agg_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_create_aggregation",
+    """
+    SELECT event_type, time_bucket(INTERVAL 1 MINUTE, ts) AS bucket_start,
+           count(*) AS cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_v,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY 1, 2
+    """,
+    doc="CREATE AGGREGATION SQL DDL end-to-end: the same incremental "
+    "cascade as incremental_agg_hour but declared through the SQL "
+    "front-end (`AGGREGATE EVERY sec ... hour`) and read back with "
+    "aggregation_data(per='minute'). The reference defines the AST but "
+    "its grammar never ran this (#[ignore]d, app_runner_aggregations.rs)",
+)
+def q_sql_create_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.plans import SqlApp
+
+    app = SqlApp(spark)
+    app.register_stream("E", Catalog(spark, sf_dir)["events"], ts_col="ts")
+    app.sql(
+        "CREATE AGGREGATION Agg FROM E SELECT sum(value) AS total "
+        "GROUP BY event_type AGGREGATE EVERY sec ... hour;"
+    )
+    return app.aggregation_data("Agg", per="minute")
+
+
+@register(
     "table_dml",
     """
     SELECT n_nationkey,
@@ -1444,6 +1472,7 @@ _ORDER = [
     # (see CORRECTNESS_LOCAL.json) and stay in bench.py's headline set
     # where listed.
     "cron_window_5min",
+    "sql_create_aggregation",     # the DDL variant of incremental_agg_hour
     "math_funcs",
     "agg_approx_distinct",
     "window_sliding_time_10m",

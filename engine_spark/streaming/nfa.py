@@ -210,6 +210,31 @@ def followed_by_stream(
     )
 
 
+def _salt_a_b(tagged: DataFrame, ts_col: str, hash_cols: list[str], salt: int):
+    """Shared hot-key salting for A→B-shaped stateful operators: the
+    stateful role (A: opens state) hashes to ONE of ``salt`` sub-keys; the
+    reactive role (B: closes/cancels state) replicates to ALL — every
+    sub-key sees the full B stream, so per-A outcomes are EXACT and the
+    sub-key union is the unsalted output. An event in both roles keeps its
+    A role only in its own sub-key. Returns the salted frame (adds
+    ``_salt``, rewrites ``_is_a``)."""
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+    own = F.pmod(F.xxhash64(*[F.col(c) for c in [ts_col, *hash_cols]]), F.lit(salt))
+    return (
+        tagged.withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_is_b"),
+                    F.sequence(F.lit(0).cast("long"), F.lit(salt - 1).cast("long")),
+                ).otherwise(F.array(own))
+            ),
+        )
+        .withColumn("_is_a", F.col("_is_a") & (F.col("_salt") == own))
+    )
+
+
 def absent_stream(
     df: DataFrame,
     ts_col: str,
@@ -219,6 +244,7 @@ def absent_stream(
     within_seconds: int,
     value_col: str,
     late: str = "0 seconds",
+    salt: int | None = None,
 ) -> DataFrame:
     """Streaming `e1=A NOT B FOR d`: emit A once d elapses with no B on the
     key (reference absent_stream_state_element.rs + timer_wheel.rs — the
@@ -226,11 +252,18 @@ def absent_stream(
 
     Emission is driven by the watermark: an A is emitted when the watermark
     passes ``A.ts + d`` with no cancelling B seen.
+
+    ``salt=R``: exact hot-key parallelization — A events hash to one of R
+    sub-keys, cancelling B events replicate to all R (see _salt_a_b; same
+    contract as followed_by_stream: per-sub-key outcomes are exact, the
+    union is the unsalted output).
     """
     within_us = within_seconds * US
     tagged = watermarked(df, ts_col, late).withColumn(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", absent.cast("boolean"))
+    if salt is not None:
+        tagged = _salt_a_b(tagged, ts_col, [value_col], salt)
 
     tstype = df.schema[ts_col].dataType.simpleString()
     out_schema = f"{key_col} string, e1_ts {tstype}, e1_value double"
@@ -295,7 +328,8 @@ def absent_stream(
             )
         return
 
-    return tagged.groupBy(key_col).applyInPandasWithState(
+    group_cols = [key_col, "_salt"] if salt is not None else [key_col]
+    return tagged.groupBy(*group_cols).applyInPandasWithState(
         run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 
@@ -313,6 +347,7 @@ def chain_stream(
     absent_final: tuple[Column, float] | None = None,
     step_mins: list[int] | None = None,
     group_steps: dict[int, tuple[str, Column, str]] | None = None,
+    salt: int | None = None,
 ) -> DataFrame:
     """Streaming N-step followed-by chain `e1=A -> e2=B -> ... WITHIN d`
     per key (reference stream_pre_state_processor.rs runs arbitrary chains;
@@ -360,6 +395,15 @@ def chain_stream(
     capturing that event (reference count_pre_state_processor.rs completes
     its count state at min; in skip-till-next-match mode extra events are
     skippable, so a max bound cannot gate the advance).
+
+    ``salt=R``: exact hot-key parallelization. Every partial is anchored at
+    its step-0 event, which hashes to ONE of R sub-keys; events matching
+    any later step / group member / absence cancel replicate to ALL R, so
+    each sub-key sees the complete continuation stream in order and every
+    partial advances exactly as unsalted — the sub-key union IS the
+    unsalted output. Requires ``every=True`` (fire-once is per-KEY state
+    that sub-keys cannot share). Cost: continuation-event volume ×R —
+    right when step-0 events dominate the stream.
 
     Output: ``key`` + per step ``{alias}_{ts_col}`` and ``{alias}_{c}`` for
     each payload column.
@@ -411,6 +455,38 @@ def chain_stream(
         tagged = tagged.withColumn(f"_is_{i}b", pred2.cast("boolean"))
     if absent_final is not None:
         tagged = tagged.withColumn("_is_ab", absent_final[0].cast("boolean"))
+    if salt is not None:
+        if not every:
+            raise ValueError(
+                "salt requires every=True: fire-once is per-KEY state that "
+                "salted sub-keys cannot share exactly"
+            )
+        if salt < 1:
+            raise ValueError("salt must be >= 1")
+        later_flags = [F.col(f"_is_{i}") for i in range(1, n)]
+        later_flags += [F.col(f"_is_{i}b") for i in group_steps]
+        if absent_final is not None:
+            later_flags.append(F.col("_is_ab"))
+        later = F.lit(False)
+        for fcol in later_flags:
+            later = later | F.coalesce(fcol, F.lit(False))
+        own = F.pmod(
+            F.xxhash64(*[F.col(c) for c in [ts_col, *payload_cols]]), F.lit(salt)
+        )
+        tagged = (
+            tagged.withColumn(
+                "_salt",
+                F.explode(
+                    F.when(
+                        later,
+                        F.sequence(
+                            F.lit(0).cast("long"), F.lit(salt - 1).cast("long")
+                        ),
+                    ).otherwise(F.array(own))
+                ),
+            )
+            .withColumn("_is_0", F.col("_is_0") & (F.col("_salt") == own))
+        )
     # run() must only close over plain Python values (Column handles hold
     # JVM locks cloudpickle can't ship) — reduce absent_final to a flag
     has_absent = absent_final is not None
@@ -681,7 +757,8 @@ def chain_stream(
             built.append(tuple(row))
         return pd.DataFrame(built, columns=out_columns)
 
-    return tagged.groupBy(key_col).applyInPandasWithState(
+    group_cols = [key_col, "_salt"] if salt is not None else [key_col]
+    return tagged.groupBy(*group_cols).applyInPandasWithState(
         run, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )
 

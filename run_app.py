@@ -43,6 +43,11 @@ def parse_args(argv):
         help="bind a parquet path as an input stream (repeatable)",
     )
     p.add_argument("--show", type=int, default=20, help="rows to print per output")
+    p.add_argument(
+        "--agg", action="append", default=[], metavar="NAME=PER",
+        help="materialize a CREATE AGGREGATION cascade at one granularity "
+        "as an output (e.g. --agg Agg=minute); repeatable",
+    )
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument(
         "-e", "--extension", action="append", default=[], metavar="MODULE",
@@ -94,6 +99,10 @@ def main(argv=None, stop: bool = True) -> int:
 
     with open(args.sql_file) as f:
         outputs = app.sql(f.read())
+
+    for spec in args.agg:
+        aname, _, per = spec.partition("=")
+        outputs[f"{aname}_{per}"] = app.aggregation_data(aname, per=per)
 
     sink = str(cfg.get("output", "console"))
     scheme, _, sink_base = sink.partition(":")  # console|count have no base

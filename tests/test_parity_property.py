@@ -8,12 +8,21 @@ example-based tests, and the property the reference enforces implicitly by
 having only one engine.
 
 Hypothesis generates random event schedules (type, user, minute offsets);
-each example replays the stream in 1-3 micro-batch splits. Schedules are
-made TOTALLY ORDERED (a per-event second offset breaks minute ties): when
-two candidate events carry the identical timestamp, "first match" is
-arrival order in the streaming engine but an arbitrary rank in the
-relational one — parity on ties is undefined in both this design and the
-reference (which never sees two events at once on a single input thread).
+each example replays the stream in 1-3 micro-batch splits. Two schedule
+regimes:
+
+- TOTALLY ORDERED (per-event second offsets break minute ties): pins the
+  base semantics where "first match" is unambiguous.
+- TIE-HEAVY (the *_ties_* suites below): every event lands on an exact
+  minute, so co-timestamped events are the norm. WHICH of two tied
+  candidates matches is engine-specific (arrival order in the stream, a
+  deterministic rank in the relational plan) — the reference never sees
+  two events at once on a single input thread — so tie payloads derive
+  from the timestamp alone, making tied events interchangeable and the
+  match SET well-defined. Both engines advance pattern steps
+  strictly-after and count quantified events at >= the last-counted ts
+  (the round-4 tie fix, nfa.py); these properties pin that contract for
+  followed-by, absent, 3-chains, quantifiers, and AND/OR groups.
 """
 
 from __future__ import annotations
@@ -561,4 +570,242 @@ def test_midchain_and_group_batch_equals_streaming(spark, events, split):
 
     r.run(build)
     stream_set = {(m["a"], m["b"], m["c"]) for m in r.shutdown()}
+    assert stream_set == batch_set
+
+
+# ---------------------------------------------------------------------------
+# Tie-heavy schedules: every event lands on an exact minute (second offset
+# 0), so co-timestamped events are the NORM, and payloads are derived from
+# the timestamp alone — tied events are interchangeable, making the match
+# SET well-defined even where "which tied event" is engine-specific
+# (streaming picks arrival order, relational picks a deterministic rank).
+# Both engines advance steps strictly-after (batch hop join `nxt_ts >
+# cur_ts`; NFA `t > p['l']`), so cross-step ties must never match — these
+# properties pin that, plus set-equality, across micro-batch splits.
+# ---------------------------------------------------------------------------
+
+tie_events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["login", "purchase", "view"]),
+        st.sampled_from(["u1", "u2"]),
+        st.integers(min_value=0, max_value=6),  # tiny range: ties everywhere
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _tie_rows(events):
+    """Second offset always 0; payload = minute (identical for all events
+    sharing a timestamp, so capture is tie-insensitive)."""
+    return sorted(
+        [
+            (T0 + timedelta(minutes=m), u, t, float(m))
+            for (t, u, m) in events
+        ],
+        key=lambda r: r[0],
+    )
+
+
+@given(events=tie_events_strategy, split=st.integers(min_value=1, max_value=3))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_followed_by_ties_batch_equals_streaming(spark, events, split):
+    within = 120
+    rows = _tie_rows(events)
+    df = spark.createDataFrame(rows, "ts timestamp, user string, etype string, v double")
+    batch = pattern.followed_by(
+        df, "ts", ["user"],
+        first=F.col("etype") == "login",
+        second=F.col("etype") == "purchase",
+        within_seconds=within,
+    )
+    batch_set = {
+        (r["user"], r["e1_v"], r["e2_v"])
+        for r in batch.select("user", "e1_v", "e2_v").collect()
+    }
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    n = max(1, len(rows) // split)
+    for i in range(0, len(rows), n):
+        r.send(
+            [
+                {"ts": ts.isoformat(), "user": u, "etype": t, "v": v}
+                for ts, u, t, v in rows[i : i + n]
+            ]
+        )
+    r.run(
+        lambda sdf: nfa.followed_by_stream(
+            sdf, "ts", "user",
+            first=F.col("etype") == "login",
+            second=F.col("etype") == "purchase",
+            within_seconds=within, value_col="v",
+        )
+    )
+    stream_set = {(m["user"], m["e1_value"], m["e2_value"]) for m in r.shutdown()}
+    assert batch_set == stream_set
+
+
+@given(events=tie_events_strategy)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_absent_ties_batch_equals_streaming(spark, events):
+    from engine_spark.operators import pattern as PT
+
+    within = 120
+    rows = _tie_rows(events)
+    df = spark.createDataFrame(rows, "ts timestamp, user string, etype string, v double")
+    batch = PT.absent(
+        df, "ts", ["user"],
+        first=F.col("etype") == "login",
+        absent_filter=F.col("etype") == "purchase",
+        within_seconds=within,
+    )
+    batch_set = sorted(
+        (r["user"], r["v"]) for r in batch.select("user", "v").collect()
+    )
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    r.send(
+        [
+            {"ts": ts.isoformat(), "user": u, "etype": t, "v": v}
+            for ts, u, t, v in rows
+        ]
+    )
+    r.send([{"ts": (T0 + timedelta(hours=5)).isoformat(), "user": "zz", "etype": "view", "v": 0.0}])
+    r.send([{"ts": (T0 + timedelta(hours=6)).isoformat(), "user": "zz", "etype": "view", "v": 0.0}])
+    r.run(
+        lambda sdf: nfa.absent_stream(
+            sdf, "ts", "user",
+            first=F.col("etype") == "login",
+            absent=F.col("etype") == "purchase",
+            within_seconds=within, value_col="v",
+        )
+    )
+    stream_set = sorted((m["user"], m["e1_value"]) for m in r.shutdown())
+    assert stream_set == batch_set
+
+
+@given(events=tie_events_strategy, split=st.integers(min_value=1, max_value=3))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chain3_ties_batch_equals_streaming(spark, events, split):
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    within = 300
+    rows = _tie_rows(events)
+    sql = (
+        "PARTITION WITH (user OF E) BEGIN "
+        "INSERT INTO Out SELECT e1.user AS u, e1.v AS v1, e2.v AS v2, e3.v AS v3 "
+        "FROM EVERY PATTERN (e1=E[etype = 'login'] -> e2=E[etype = 'view'] "
+        f"-> e3=E[etype = 'purchase']) WITHIN {within} SECONDS; END;"
+    )
+    df = spark.createDataFrame(rows, "ts timestamp, user string, etype string, v double")
+    app = SqlApp(spark)
+    app.streams["E"] = _Stream(df=df, ts_col="ts")
+    batch_set = {tuple(r) for r in app.sql(sql)["Out"].collect()}
+
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+    n = max(1, len(rows) // split)
+    for i in range(0, len(rows), n):
+        r.send(
+            [
+                {"ts": ts.isoformat(), "user": u, "etype": t, "v": v}
+                for ts, u, t, v in rows[i : i + n]
+            ]
+        )
+    r.run(
+        lambda sdf: nfa.chain_stream(
+            sdf, "ts", "user",
+            steps=[
+                ("e1", F.col("etype") == "login"),
+                ("e2", F.col("etype") == "view"),
+                ("e3", F.col("etype") == "purchase"),
+            ],
+            within_seconds=within, payload_cols=["v"],
+        )
+    )
+    stream_set = {
+        (m["user"], m["e1_v"], m["e2_v"], m["e3_v"]) for m in r.shutdown()
+    }
+    assert batch_set == stream_set
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "x"]),
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=6),
+        ),
+        min_size=2,
+        max_size=10,
+    ),
+    split=st.integers(min_value=1, max_value=3),
+    connective=st.sampled_from(["AND", "OR"]),
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_group_ties_batch_equals_streaming(spark, events, split, connective):
+    """`A -> (B AND C)` and `A -> (B OR C)` on tie-heavy schedules. For OR
+    the firing member is engine-specific on a tie, so the projection takes
+    coalesce(e2.v, e3.v) — member-agnostic, well-defined either way."""
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    within = 300
+    rows = sorted(
+        [
+            (T0 + timedelta(minutes=m), u, t, float(m))
+            for (t, u, m) in events
+        ],
+        key=lambda r: r[0],
+    )
+    proj = (
+        "e2.v AS b, e3.v AS c" if connective == "AND"
+        else "coalesce(e2.v, e3.v) AS bc"
+    )
+    sql = (
+        "PARTITION WITH (user OF E) BEGIN "
+        f"INSERT INTO Out SELECT e1.v AS a, {proj} "
+        f"FROM EVERY PATTERN (e1=E[etype = 'a'] -> "
+        f"(e2=E[etype = 'b'] {connective} e3=E[etype = 'c'])) "
+        f"WITHIN {within} SECONDS; END;"
+    )
+    schema = "ts timestamp, user string, etype string, v double"
+    app = SqlApp(spark)
+    app.register_stream("E", spark.createDataFrame(rows, schema), ts_col="ts")
+    batch_set = sorted(tuple(r) for r in app.sql(sql)["Out"].collect())
+
+    r = StreamRunner(spark, schema)
+    nn = max(1, len(rows) // split)
+    for i in range(0, len(rows), nn):
+        r.send(
+            [
+                {"ts": t.isoformat(), "user": u, "etype": ty, "v": v}
+                for t, u, ty, v in rows[i : i + nn]
+            ]
+        )
+
+    def build(sdf):
+        app2 = SqlApp(spark)
+        app2.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        return app2.sql(sql)["Out"]
+
+    r.run(build)
+    cols = ("a", "b", "c") if connective == "AND" else ("a", "bc")
+    stream_set = sorted(tuple(m[c] for c in cols) for m in r.shutdown())
     assert stream_set == batch_set

@@ -61,7 +61,9 @@ def test_cli_parquet_and_filequeue_sinks(spark, tmp_path):
         stop=False,
         argv=[sql, "-c", cfg2, "--register", f"events={SF}/events.parquet:ts"],
     ) == 0
-    seg_root = f"{tmp_path}/fq/Out/segments/epoch-0000000000"
+    # batch runs use their own 'batch-' namespace so a later STREAMING
+    # run on the same root cannot mistake them for its own epochs
+    seg_root = f"{tmp_path}/fq/Out/segments/batch-0000000000"
     rows = [
         json.loads(line)
         for f in os.listdir(seg_root)
@@ -76,7 +78,7 @@ def test_cli_parquet_and_filequeue_sinks(spark, tmp_path):
         stop=False,
         argv=[sql, "-c", cfg2, "--register", f"events={SF}/events.parquet:ts"],
     ) == 0
-    assert os.path.isdir(f"{tmp_path}/fq/Out/segments/epoch-0000000001")
+    assert os.path.isdir(f"{tmp_path}/fq/Out/segments/batch-0000000001")
 
 
 def test_cli_yaml_streams_and_extension(spark, tmp_path, capsys):

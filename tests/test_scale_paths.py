@@ -229,3 +229,123 @@ def test_nfa_salted_hot_key_throughput(spark):
         f"salted (R=16) hot-key rate {eps_salted:,.0f} eps cleared neither "
         f"the 150k absolute target nor 1.8x the unsalted {eps_plain:,.0f}"
     )
+
+
+def test_nfa_salted_absent_matches_unsalted(spark):
+    """absent_stream(salt=R): A events hash to one sub-key, cancelling B
+    events replicate to all — identical emission set to unsalted."""
+    import time
+
+    from engine_spark.streaming import nfa
+
+    base = 1_700_000_000
+    rows_ = []
+    for i in range(300):
+        et = "b" if i % 9 == 5 else ("a" if i % 3 == 0 else "x")
+        rows_.append(
+            {
+                "ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(base + i * 3)),
+                "user": f"u{i % 2}",
+                "etype": et,
+                "v": float(i),
+            }
+        )
+    sentinel = [
+        {"ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(base + 99000 + k)),
+         "user": "zz", "etype": "x", "v": 0.0}
+        for k in range(2)
+    ]
+
+    outs = {}
+    for salt in (None, 4):
+        r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+        r.send(rows_[:150])
+        r.run(lambda sdf: nfa.absent_stream(
+            sdf, "ts", "user",
+            first=F.col("etype") == "a", absent=F.col("etype") == "b",
+            within_seconds=20, value_col="v", salt=salt,
+        ))
+        r.send(rows_[150:])
+        r.send([sentinel[0]])
+        r.send([sentinel[1]])
+        r.run(lambda sdf: nfa.absent_stream(
+            sdf, "ts", "user",
+            first=F.col("etype") == "a", absent=F.col("etype") == "b",
+            within_seconds=20, value_col="v", salt=salt,
+        ))
+        outs[salt] = sorted(
+            (m["user"], m["e1_ts"], m["e1_value"]) for m in r.shutdown()
+        )
+    assert outs[4] == outs[None] and len(outs[None]) > 20
+
+
+def test_nfa_salted_chain_matches_unsalted(spark):
+    """chain_stream(salt=R) with a mid-chain AND group and a final absence
+    guard: step-0 events hash to one sub-key, every continuation /
+    group-member / cancel event replicates — identical match sets."""
+    import time
+
+    import pytest as _pytest
+
+    from engine_spark.streaming import nfa
+
+    base = 1_700_000_000
+    kinds = ["a", "b", "c", "d", "b", "c", "d"]  # len 7 (odd): both users
+    # see every kind; cancels are sparse + parity-alternating so some
+    # pending matches die and some survive
+    rows_ = [
+        {
+            "ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(base + i * 2)),
+            "user": f"u{i % 2}",
+            "etype": "x" if i % 23 == 11 else kinds[i % len(kinds)],
+            "v": float(i),
+        }
+        for i in range(280)
+    ]
+    sentinel = [
+        {"ts": time.strftime("%Y-%m-%dT%H:%M:%S", time.gmtime(base + 99000 + k)),
+         "user": "zz", "etype": "x", "v": 0.0}
+        for k in range(2)
+    ]
+
+    def build(salt):
+        def b(sdf):
+            return nfa.chain_stream(
+                sdf, "ts", "user",
+                steps=[
+                    ("e1", F.col("etype") == "a"),
+                    ("e2", F.col("etype") == "b"),
+                    ("e3", F.col("etype") == "c"),
+                ],
+                within_seconds=60, payload_cols=["v"],
+                group_steps={2: ("e4", F.col("etype") == "d", "and")},
+                absent_final=(F.col("etype") == "x", 6.0),
+                salt=salt,
+            )
+        return b
+
+    outs = {}
+    for salt in (None, 4):
+        r = StreamRunner(spark, "ts timestamp, user string, etype string, v double")
+        r.send(rows_[:140])
+        r.run(build(salt))
+        r.send(rows_[140:])
+        r.send([sentinel[0]])
+        r.send([sentinel[1]])
+        r.run(build(salt))
+        outs[salt] = sorted(
+            (m["user"], m["e1_v"], m["e2_v"], m["e3_v"], m["e4_v"])
+            for m in r.shutdown()
+        )
+    assert outs[4] == outs[None] and len(outs[None]) > 5
+
+    # fire-once (every=False) per-KEY state cannot be sub-keyed exactly
+    with _pytest.raises(ValueError, match="every=True"):
+        nfa.chain_stream(
+            spark.createDataFrame(
+                [], "ts timestamp, user string, etype string, v double"
+            ),
+            "ts", "user",
+            steps=[("e1", F.col("etype") == "a"), ("e2", F.col("etype") == "b")],
+            within_seconds=60, payload_cols=["v"], every=False, salt=4,
+        )

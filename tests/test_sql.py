@@ -914,3 +914,90 @@ def test_partition_with_range_dangling_or_raises(spark):
     ):
         with _pt.raises(ValueError):
             _parse_partition(bad)
+
+
+def test_create_aggregation_ddl_reference_shape(spark):
+    """The reference's OWN ignored test shape (app_runner_aggregations.rs:15
+    incremental_sum_seconds — '#[ignore] Requires DEFINE AGGREGATION'),
+    runnable here: events at 0/500/1500/1600/2000 ms, sum(value) grouped,
+    AGGREGATE EVERY SECONDS → per-second buckets [2, 2, 1]."""
+    from datetime import datetime, timezone
+
+    from engine_spark.plans import SqlApp
+
+    def ts(ms):
+        return datetime.fromtimestamp(ms / 1000.0, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = [(ts(t), 1) for t in (0, 500, 1500, 1600, 2000)]
+    df = spark.createDataFrame(rows, "ts timestamp, value int")
+    app = SqlApp(spark)
+    app.register_stream("In", df, ts_col="ts")
+    out = app.sql(
+        "CREATE AGGREGATION Agg FROM In SELECT sum(value) AS total "
+        "GROUP BY value AGGREGATE EVERY SECONDS; "
+        "INSERT INTO Out SELECT value AS v FROM In;"
+    )
+    assert out["Out"].count() == 5  # the pass-through query still runs
+    data = app.aggregation_data("Agg", per="second").orderBy("bucket_start")
+    got = [(r["value"], int(r["sum_v"]), r["cnt"]) for r in data.collect()]
+    assert got == [(1, 2, 2), (1, 2, 2), (1, 1, 1)]
+
+
+def test_create_aggregation_range_and_within(spark):
+    """`AGGREGATE EVERY sec ... hour` expands to the cascade levels
+    second/minute/hour; WITHIN bounds the read; higher levels re-aggregate
+    from the level below (counts add up)."""
+    from datetime import datetime, timezone
+
+    from engine_spark.plans import SqlApp
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (t0.replace(minute=mi, second=s), "g", float(v))
+        for mi, s, v in [(0, 1, 10), (0, 2, 20), (1, 0, 30), (30, 0, 40)]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, grp string, value double")
+    app = SqlApp(spark)
+    app.register_stream("E", df, ts_col="ts")
+    app.sql(
+        "CREATE AGGREGATION A2 FROM E SELECT sum(value) AS s, min(value) AS lo "
+        "GROUP BY grp AGGREGATE EVERY sec ... hour;"
+    )
+    assert sorted(app.aggregations["A2"].levels) == ["hour", "minute", "second"]
+    mins = app.aggregation_data("A2", per="minute").orderBy("bucket_start").collect()
+    assert [(int(r["sum_v"]), r["cnt"], r["min_v"]) for r in mins] == [
+        (30, 2, 10.0), (30, 1, 30.0), (40, 1, 40.0),
+    ]
+    hour = app.aggregation_data("A2", per="hour").collect()
+    assert len(hour) == 1 and int(hour[0]["sum_v"]) == 100 and hour[0]["cnt"] == 4
+    bounded = app.aggregation_data(
+        "A2", per="minute", within=(t0, t0.replace(minute=2))
+    ).collect()
+    assert sum(r["cnt"] for r in bounded) == 3  # the :30 bucket excluded
+
+
+def test_create_aggregation_errors(spark):
+    import pytest as _pytest
+
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans import parser as P
+
+    with _pytest.raises(ValueError, match="ONE value column"):
+        P.parse_app(
+            "CREATE AGGREGATION X FROM S SELECT sum(a) AS x, max(b) AS y "
+            "AGGREGATE EVERY SECONDS;"
+        )
+    with _pytest.raises(ValueError, match="unknown granularity"):
+        P.parse_app(
+            "CREATE AGGREGATION X FROM S SELECT sum(a) AS x AGGREGATE EVERY fortnight;"
+        )
+    app = SqlApp(spark)
+    df = spark.createDataFrame([(1.0,)], "value double")
+    app.register_stream("NoTs", df)  # no ts_col
+    with _pytest.raises(ValueError, match="no event-time column"):
+        app.sql(
+            "CREATE AGGREGATION X FROM NoTs SELECT sum(value) AS s "
+            "AGGREGATE EVERY SECONDS;"
+        )
