@@ -142,7 +142,16 @@ def kmeans_train(
         for ci, entries in byc.items():
             for p, s, n in entries:
                 new[ci][p] = s / n
+        # converged centroids make every further iteration a no-op full
+        # scan — stop early (each iteration is a complete pass over the
+        # corpus, so this is the 100 TB saving, not just a local one)
+        shift = max(
+            sum((a - b) ** 2 for a, b in zip(c0, c1))
+            for c0, c1 in zip(cents, new)
+        )
         cents = new
+        if shift < 1e-12:
+            break
     return cents
 
 

@@ -480,3 +480,105 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
         "frame sampling requires pyav, which is not installed in this "
         "environment; the mapInPandas plumbing mirrors decode_meta()"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib WAV/RIFF PCM audio codec (public RIFF/WAVE spec: 'RIFF' size
+# 'WAVE' + 'fmt ' chunk with LE fields + 'data' chunk of raw samples).
+# PCM16 decodes to real samples; other encodings report header metadata
+# with NULL sample features (their codecs genuinely need an audio library).
+# ---------------------------------------------------------------------------
+
+
+def parse_wav_header(b: bytes) -> dict | None:
+    """RIFF/WAVE 'fmt ' + 'data' chunk walk → dict(audio_format, channels,
+    sample_rate, bits, data_off, data_len) or None if not a WAV."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        body = b[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt " and clen >= 16:
+            af, nch, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt = {"audio_format": af, "channels": nch, "sample_rate": rate,
+                   "bits": bits}
+        elif cid == b"data":
+            data = (pos + 8, clen)
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    fmt["data_off"], fmt["data_len"] = data
+    return fmt
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Mono PCM16 int16 numpy array → WAV bytes (stdlib struct only)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, np.int16)
+    data = a.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    out = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(out)) + out
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, format string, channels int, sample_rate int, "
+    "n_samples long, duration_s double, rms double, zero_crossings long, "
+    "peak int"
+)
+
+
+def decode_audio(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL audio decode for WAV/PCM16 payloads → header metadata + sample
+    features (RMS energy, zero-crossing count, peak amplitude) computed
+    from the ACTUAL samples, vectorized numpy inside Arrow-batched
+    mapInPandas. Non-PCM16 WAVs report header fields with NULL features;
+    non-WAV payloads are all-NULL rows (per-row total function). Map-only:
+    payload bytes never shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf[payload_col]):
+                b = b"" if p is None else bytes(p)
+                h = parse_wav_header(b)
+                if h is None:
+                    rows.append((int(did), None, None, None, None, None,
+                                 None, None, None))
+                    continue
+                base = (int(did), "wav", h["channels"], h["sample_rate"])
+                if h["audio_format"] != 1 or h["bits"] != 16:
+                    rows.append(base + (None, None, None, None, None))
+                    continue
+                raw = b[h["data_off"] : h["data_off"] + h["data_len"]]
+                a = np.frombuffer(
+                    raw[: len(raw) // 2 * 2], "<i2"
+                ).astype(np.int64)
+                n = len(a) // h["channels"] if h["channels"] else 0
+                if len(a) == 0:
+                    rows.append(base + (0, 0.0, None, None, None))
+                    continue
+                dur = n / h["sample_rate"]
+                rms = float(np.sqrt((a * a).mean()))
+                zc = int(np.count_nonzero(np.signbit(a[:-1]) != np.signbit(a[1:])))
+                rows.append(base + (n, dur, rms, zc, int(np.abs(a).max())))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "format", "channels", "sample_rate",
+                         "n_samples", "duration_s", "rms", "zero_crossings",
+                         "peak"],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)

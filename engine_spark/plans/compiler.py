@@ -391,6 +391,11 @@ class SqlApp:
                     q.having = pat.sub(repl, q.having)
         elif isinstance(src, P.JoinSource):
             df, order_col = self._compile_join(src), None
+        elif isinstance(src, P.AggregationRef):
+            df, order_col = (
+                self.aggregation_data(src.name, per=src.per, within=src.within),
+                "bucket_start",
+            )
         else:
             df, order_col = self._input(src)
 

@@ -188,6 +188,18 @@ class StreamRef:
 
 
 @dataclass
+class AggregationRef:
+    """``FROM Agg [WITHIN 'start' AND 'end'] PER 'granularity'`` — the
+    on-demand read of a CREATE AGGREGATION cascade (reference
+    aggregation_input_store.rs / query_aggregation within+per,
+    eventflux_app_runtime.rs:982; its SQL grammar never shipped)."""
+
+    name: str
+    per: str
+    within: tuple[str, str] | None = None
+
+
+@dataclass
 class JoinSource:
     left: StreamRef
     right: StreamRef
@@ -569,6 +581,25 @@ def _parse_source(from_txt: str):
     up = from_txt.upper()
     if up.startswith("PATTERN") or up.startswith("SEQUENCE") or up.startswith("EVERY"):
         return _parse_pattern(from_txt), None
+
+    am = re.match(
+        r"^([A-Za-z_][A-Za-z0-9_]*)\s+"
+        r"(?:WITHIN\s+'([^']+)'\s+AND\s+'([^']+)'\s+)?"
+        r"PER\s+'([^']+)'\s*$",
+        from_txt,
+        re.IGNORECASE,
+    )
+    if am:
+        name, lo, hi, per_txt = am.groups()
+        per = _GRAN_ALIASES.get(per_txt.lower())
+        if per is None:
+            raise ValueError(
+                f"unknown PER granularity {per_txt!r} (supported: "
+                f"{sorted(set(_GRAN_ALIASES))})"
+            )
+        return AggregationRef(
+            name=name, per=per, within=(lo, hi) if lo else None
+        ), None
 
     # join chain? split at top-level JOIN keywords. The reference allows
     # exactly ONE join per query (converter.rs:531); Spark has no such

@@ -1473,6 +1473,7 @@ _ORDER = [
     # where listed.
     "cron_window_5min",
     "sql_create_aggregation",     # the DDL variant of incremental_agg_hour
+    "multimodal_audio",           # REAL WAV/PCM16 decode + sample features
     "math_funcs",
     "agg_approx_distinct",
     "window_sliding_time_10m",

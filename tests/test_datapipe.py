@@ -1174,3 +1174,50 @@ def test_decode_image_png_real_nonpng_null(spark):
     assert rows[1].pix_sum == int(a.sum())
     assert rows[2].format == "gif" and rows[2].width is None  # codec gated
     assert rows[3].format is None and rows[3].pix_sum is None  # null-safe
+
+
+def test_wav_codec_roundtrip_and_features(spark):
+    """encode_wav → decode_audio recovers exact sample features; non-PCM16
+    and non-WAV payloads degrade to header-only / all-NULL rows."""
+    import struct
+
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import (
+        decode_audio,
+        encode_wav,
+        parse_wav_header,
+    )
+
+    sine = np.round(1000 * np.sin(np.arange(800) * 0.1)).astype(np.int16)
+    wav = encode_wav(sine, 16000)
+    h = parse_wav_header(wav)
+    assert (h["audio_format"], h["channels"], h["sample_rate"], h["bits"]) == (
+        1, 1, 16000, 16,
+    )
+    assert h["data_len"] == 1600
+    # a float32 (non-PCM16) WAV: header parses, features NULL
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    f32 = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    d = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(f32)), (3, bytearray(b"not audio")),
+         (4, None)],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_audio(d).collect()}
+    r1 = rows[1]
+    assert (r1.format, r1.channels, r1.sample_rate, r1.n_samples) == (
+        "wav", 1, 16000, 800,
+    )
+    assert r1.duration_s == 0.05 and r1.peak == int(np.abs(sine).max())
+    a = sine.astype(np.int64)
+    assert r1.rms == float(np.sqrt((a * a).mean()))
+    assert r1.zero_crossings == int(
+        np.count_nonzero(np.signbit(a[:-1]) != np.signbit(a[1:]))
+    )
+    assert rows[2].format == "wav" and rows[2].rms is None  # codec gated
+    assert rows[3].format is None and rows[4].rms is None  # total function

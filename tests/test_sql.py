@@ -1001,3 +1001,33 @@ def test_create_aggregation_errors(spark):
             "CREATE AGGREGATION X FROM NoTs SELECT sum(value) AS s "
             "AGGREGATE EVERY SECONDS;"
         )
+
+
+def test_aggregation_sql_read_within_per(spark):
+    """`SELECT ... FROM Agg WITHIN 'a' AND 'b' PER 'minute'` — the
+    reference's on-demand aggregation read (within+per), as SQL."""
+    from datetime import datetime
+
+    from engine_spark.plans import SqlApp
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (t0.replace(minute=mi, second=s), "g", float(v))
+        for mi, s, v in [(0, 1, 10), (0, 2, 20), (1, 0, 30), (30, 0, 40)]
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, grp string, value double")
+    app = SqlApp(spark)
+    app.register_stream("E", df, ts_col="ts")
+    out = app.sql(
+        "CREATE AGGREGATION Agg FROM E SELECT sum(value) AS s "
+        "GROUP BY grp AGGREGATE EVERY sec ... hour; "
+        "INSERT INTO Out SELECT grp, bucket_start, sum_v, cnt "
+        "FROM Agg WITHIN '2026-01-01 12:00:00' AND '2026-01-01 12:02:00' "
+        "PER 'minute' ORDER BY bucket_start;"
+    )["Out"].collect()
+    assert [(r["sum_v"], r["cnt"]) for r in out] == [(30.0, 2), (30.0, 1)]
+    # PER without WITHIN reads the whole level
+    app2_out = app.sql(
+        "INSERT INTO All SELECT grp, sum_v FROM Agg PER 'hour';"
+    )["All"].collect()
+    assert len(app2_out) == 1 and app2_out[0]["sum_v"] == 100.0
