@@ -1231,6 +1231,18 @@ class SqlApp:
         first_ts_col = cur_ts  # WITHIN bounds the WHOLE pattern from its
         # first element (reference converter.rs:1521-1543), not per hop
 
+        # Per-arriving-event partial-match identity (reference
+        # stream_pre_state_processor.rs: every anchor event opens its OWN
+        # state, so byte-identical duplicate anchors each fire their own
+        # match — the streaming NFA does the same). The hop ranks below
+        # partition by cur's columns; without a unique id, duplicate
+        # partials land in one window partition and row_number()==1
+        # collapses them to a single match. The id rides along in
+        # cur.columns through every hop (and _hop_group/_anti_between) and
+        # is dropped before returning; fire-once ranks by key only, so it
+        # still keeps one match per key.
+        cur = cur.withColumn("_pm_uid", F.monotonically_increasing_id())
+
         #: seconds of absence window(s) the NEXT captured element must wait
         #: out: after `… -> NOT B FOR d`, the absent state completes at its
         #: deadline and only then does the next state activate (reference
@@ -1392,7 +1404,7 @@ class SqlApp:
                 .drop("_rn")
             )
         del PT
-        return cur
+        return cur.drop("_pm_uid")
 
     def _hop_group(
         self,
