@@ -32,6 +32,17 @@ try:  # pragma: no cover - not present in this container
 except ImportError:
     HAS_PIL = False
 
+import struct as _struct
+import zlib as _zlib
+
+#: Everything a malformed payload can raise out of the stdlib codecs:
+#: corrupt IDAT → zlib.error, truncated chunk → struct.error, out-of-range
+#: palette index → IndexError, plus our own ValueError for profile checks.
+#: Decode call sites catch this tuple so one bad crawled file degrades to
+#: the metadata-only row instead of failing the executor task (per-row
+#: total-function contract).
+DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError)
+
 DECODE_SCHEMA = (
     "doc_id long, width int, height int, n_frames int, checksum long"
 )
@@ -353,8 +364,8 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                             )
                         )
                         continue
-                    except ValueError:
-                        pass  # exotic profile (16-bit/Adam7/truncated)
+                    except DECODE_ERRORS:
+                        pass  # exotic profile or corrupt payload
                 rows.append((int(did), fmt, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -407,8 +418,8 @@ def resize_image(
                              height / arr.shape[0], out)
                         )
                         continue
-                    except ValueError:
-                        pass  # exotic profile → stand-in path below
+                    except DECODE_ERRORS:
+                        pass  # exotic/corrupt payload → stand-in path below
                 if sw is None or sh is None or not sw or not sh:
                     sw, sh, _, _ = _fake_decode(b)
                     sw, sh = max(sw, 1), max(sh, 1)

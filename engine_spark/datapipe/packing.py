@@ -226,28 +226,29 @@ def domain_mix_rates(
     The check is dimension-sized — ``counts`` has one row per domain, so the
     collect is bounded regardless of corpus size.
     """
-    wmap = F.create_map(
-        *[F.lit(x) for kv in weights.items() for x in kv]
-    )
-    present = {
-        r[0] for r in counts.select(source_col).distinct().collect()
-    }
-    absent = sorted(set(weights) - present)
+    # ONE bounded collect (counts is one row per domain) feeds both the
+    # absent-domain check and the rate computation — the per-domain
+    # aggregation behind `counts` (a full corpus scan at scale) runs once,
+    # not once for the check and again when rates are consumed.
+    rows = counts.select(source_col, "n").collect()
+    absent = sorted(set(weights) - {r[0] for r in rows})
     if absent:
         raise ValueError(
             f"domain_mix target domains absent from corpus: {absent} — "
             "the requested mixture is unsatisfiable (remove them from "
             "`weights` or supply rows for them)"
         )
-    withw = counts.withColumn("w", wmap[F.col(source_col)]).filter(
-        F.col("w").isNotNull()
-    )
     # T = min over targeted domains of count/weight: the largest corpus for
-    # which every domain can supply its target share
-    t = withw.select(F.min(F.col("n") / F.col("w")).alias("t"))
-    return withw.crossJoin(F.broadcast(t)).select(
-        source_col,
-        ((F.col("w") * F.col("t")) / F.col("n")).alias("rate"),
+    # which every domain can supply its target share. Same IEEE-double op
+    # order as the SQL oracle: t = min(n / w); rate = (w * t) / n.
+    t = min(float(r[1]) / weights[r[0]] for r in rows if r[0] in weights)
+    rates = [
+        (r[0], (weights[r[0]] * t) / float(r[1]))
+        for r in rows
+        if r[0] in weights
+    ]
+    return counts.sparkSession.createDataFrame(
+        rates, f"{source_col} string, rate double"
     )
 
 

@@ -733,11 +733,18 @@ def signature_table(
     if storage == "parquet":
         if path is None:
             raise ValueError("storage='parquet' requires a path")
-        import os as _os
-
-        if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        # Probe the _SUCCESS marker through the Hadoop FileSystem API so
+        # idempotence holds on HDFS/S3 too — a driver-local
+        # os.path.exists would always be False there and silently rewrite
+        # the corpus-sized signature table on every call.
+        spark = shingles_df.sparkSession
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        marker = jvm.org.apache.hadoop.fs.Path(path + "/_SUCCESS")
+        fs = marker.getFileSystem(hconf)
+        if not fs.exists(marker):
             sig.write.mode("overwrite").parquet(path)
-        return shingles_df.sparkSession.read.parquet(path)
+        return spark.read.parquet(path)
     if storage == "none":
         return sig
     raise ValueError(f"unknown storage mode: {storage!r}")

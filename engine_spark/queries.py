@@ -1440,7 +1440,6 @@ _ORDER = [
     "text_quality",
     "text_analysis",
     "text_surprisal",             # unigram-LM perplexity-proxy quality axis
-    "text_keywords",              # tf-idf top-k
     "vocab_topk",                 # corpus tf/df stats (inverted-index build)
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -1452,28 +1451,35 @@ _ORDER = [
     "ann_ivf_trained",
     "ann_pq",                     # product-quantization ANN (ADC scan)
     "embedding_quantize",
-    "multimodal_pipeline",
     "multimodal_headers",         # real stdlib PNG/GIF/BMP/JPEG header decode
     "multimodal_resize",          # REAL PNG pixel decode+bilinear+re-encode
+    "multimodal_audio",           # REAL WAV/PCM16 decode + sample features
+    "sql_create_aggregation",     # CREATE AGGREGATION DDL (incremental agg)
     "sampling_modes",             # hash + domain-mix + stratified draws
     "sequence_packing",           # corpus assembly: concat-and-chunk packing
     "doc_chunking",               # corpus assembly: overlapping chunk explode
     "pipeline_end_to_end",
     # ---- entries past the driver's 50-gate window: redundant VARIANTS of
-    # families already checked above, rotated out in round 6 after five
-    # consecutive driver-green rounds each. math_funcs = merged 2h scalar
-    # gate (string/date scalar gates remain in-window; every math fn is
-    # pytest-proven in tests/test_scalar.py); agg_approx_distinct =
-    # fifth 2d gate; window_sliding_time_10m = fifth 2e time-window gate;
+    # families already checked above, rotated out after multiple
+    # consecutive driver-green rounds each, with at least one
+    # representative of every family still inside the window.
+    # Round 7 rotated IN sql_create_aggregation + multimodal_audio (the
+    # only gates that had never faced the driver's oracle) and OUT
+    # text_keywords (text family keeps quality/analysis/surprisal/vocab
+    # in-window) and multimodal_pipeline (family keeps headers/resize/
+    # audio). math_funcs = merged 2h scalar gate (string/date scalar
+    # gates remain in-window; every math fn is pytest-proven in
+    # tests/test_scalar.py); agg_approx_distinct = fifth 2d gate;
+    # window_sliding_time_10m = fifth 2e time-window gate;
     # join_multiway_q5 / q3 / asof = third..fifth table-join gates;
     # cron_window_5min = seventh 2e window gate (the __tick__ trigger
     # relation is pytest-proven in tests/test_windows.py). ALL remain
     # fully oracle-checked on every run of tools/check_correctness.py
     # (see CORRECTNESS_LOCAL.json) and stay in bench.py's headline set
     # where listed.
+    "text_keywords",              # tf-idf top-k (vocab_topk stays in-window)
+    "multimodal_pipeline",        # composition of headers/resize/audio gates
     "cron_window_5min",
-    "sql_create_aggregation",     # the DDL variant of incremental_agg_hour
-    "multimodal_audio",           # REAL WAV/PCM16 decode + sample features
     "math_funcs",
     "agg_approx_distinct",
     "window_sliding_time_10m",
