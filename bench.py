@@ -59,7 +59,32 @@ def main() -> None:
         "incremental_agg_hour",
     ]
 
+    # Load context: this host shows heavy noisy-neighbor variance (PERF.md
+    # records 17-29 s for identical code). Recording the 1-minute load
+    # average before and after lets a reviewer adjudicate "regression or
+    # noisy VM" from the artifact itself instead of guessing.
+    load_before = os.getloadavg()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+
     times: dict[str, float] = {}
+    times_median: dict[str, float] = {}
+
+    def _timed_reps(run) -> tuple[float, float]:
+        """(min, median) wall seconds over `reps` timed runs of `run`."""
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            run()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        n = len(samples)
+        med = (
+            samples[n // 2]
+            if n % 2
+            else (samples[n // 2 - 1] + samples[n // 2]) / 2
+        )
+        return samples[0], med
+
     # warm the JVM + parquet footer cache with one cheap full run
     QUERIES["agg_pricing_summary"].spark(spark, sf_dir).collect()
 
@@ -79,17 +104,19 @@ def main() -> None:
             QUERIES[name].spark(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            # then best of 2: this host shows heavy noisy-neighbor variance
-            # (same plan measured 4.4s and 17s back-to-back); min-of-2
-            # reports the plan's cost, not the hypervisor's mood
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                df = QUERIES[name].spark(spark, sf_dir)
+            # then min + median of `reps` runs: min reports the plan's
+            # cost, not the hypervisor's mood; the min/median spread
+            # quantifies how noisy this particular measurement was
+            best, med = _timed_reps(
                 # full execution without shipping wide rows to the driver
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
+                lambda: QUERIES[name]
+                .spark(spark, sf_dir)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
             times[name] = round(best, 4)
+            times_median[name] = round(med, 4)
         except Exception as e:  # noqa: BLE001 - recorded, not swallowed
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
 
@@ -121,12 +148,11 @@ def main() -> None:
 
     try:
         _arrow_dedup().write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _arrow_dedup().write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+        best, med = _timed_reps(
+            lambda: _arrow_dedup().write.format("noop").mode("overwrite").save()
+        )
         times["dedup_embedding_cosine_arrow"] = round(best, 4)
+        times_median["dedup_embedding_cosine_arrow"] = round(med, 4)
     except Exception as e:  # noqa: BLE001 - recorded, not swallowed
         errors["dedup_embedding_cosine_arrow"] = f"{type(e).__name__}: {str(e)[:200]}"
 
@@ -366,6 +392,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_median": times_median,
+                "reps": reps,
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.cpu_count(),
                 "throughput_events_per_sec": throughput,
                 "throughput_events_per_sec_amortized": amortized,
                 "throughput_events_per_sec_materialized": materialized,
