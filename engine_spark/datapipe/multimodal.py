@@ -162,15 +162,6 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    """Paeth predictor (PNG spec §6.6): the neighbor closest to a+b-c."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
-
-
 def decode_png(b: bytes):
     """PNG bytes → HxWxC uint8 numpy array. Pure stdlib: chunk walk,
     concatenated-IDAT zlib inflate, per-row unfilter (all five filter
@@ -212,34 +203,69 @@ def decode_png(b: bytes):
     raw = zlib.decompress(b"".join(idat))
     if len(raw) < h * (stride + 1):
         raise ValueError("IDAT shorter than image")
+    # Unfilter with (w, nch) row layout so the x-sequential filters use
+    # vectorized channel math. Real-world libpng output is mostly adaptive
+    # Sub/Average/Paeth rows, so these paths — not just filter 0 — are the
+    # 100 TB hot path.
     out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
+    prev = np.zeros((w, nch), np.int32)
     rpos = 0
     for y in range(h):
         f = raw[rpos]
-        line = np.frombuffer(raw[rpos + 1 : rpos + 1 + stride], np.uint8).astype(
-            np.int32
+        line = (
+            np.frombuffer(raw[rpos + 1 : rpos + 1 + stride], np.uint8)
+            .astype(np.int32)
+            .reshape(w, nch)
         )
         rpos += 1 + stride
         if f == 0:  # None
             cur = line
         elif f == 2:  # Up — vectorized (no left dependency)
             cur = (line + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
-            cur = line.copy()
-            for i in range(stride):
-                left = int(cur[i - nch]) if i >= nch else 0
-                up = int(prev[i])
-                ul = int(prev[i - nch]) if i >= nch else 0
-                if f == 1:
-                    cur[i] = (cur[i] + left) & 0xFF
-                elif f == 3:
-                    cur[i] = (cur[i] + ((left + up) >> 1)) & 0xFF
-                else:
-                    cur[i] = (cur[i] + _paeth(left, up, ul)) & 0xFF
+        elif f == 1:
+            # Sub: cur[x] = sum(line[0..x]) mod 256 per channel lane — mod
+            # distributes over +, so the whole row is one cumsum
+            cur = (np.cumsum(line, axis=0, dtype=np.int64) & 0xFF).astype(
+                np.int32
+            )
+        elif f in (3, 4):  # Average / Paeth: x-sequential recurrence. A
+            # tight byte loop over plain Python ints with the predictor
+            # inlined — numpy scalar indexing plus a per-byte function
+            # call is ~8x slower, per-pixel small-array numpy ~12x
+            # (PERF.md); no full vectorization exists (cur[i] depends on
+            # cur[i-nch] through a nonlinear floor/branch).
+            cur_l = list(raw[rpos - stride : rpos])
+            prev_l = prev.ravel().tolist()
+            if f == 3:
+                for i in range(stride):
+                    left = cur_l[i - nch] if i >= nch else 0
+                    cur_l[i] = (cur_l[i] + ((left + prev_l[i]) >> 1)) & 0xFF
+            else:
+                for i in range(stride):
+                    left = cur_l[i - nch] if i >= nch else 0
+                    up = prev_l[i]
+                    ul = prev_l[i - nch] if i >= nch else 0
+                    p = left + up - ul
+                    pa = p - left
+                    pb = p - up
+                    pc = p - ul
+                    if pa < 0:
+                        pa = -pa
+                    if pb < 0:
+                        pb = -pb
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    cur_l[i] = (cur_l[i] + pred) & 0xFF
+            cur = np.array(cur_l, np.int32).reshape(w, nch)
         else:
             raise ValueError(f"bad filter type {f} at row {y}")
-        out[y] = cur.astype(np.uint8)
+        out[y] = cur.astype(np.uint8).reshape(stride)
         prev = cur
     arr = out.reshape(h, w, nch)
     if ctype == 3:
@@ -266,27 +292,39 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
         a = a[:, :, None]
     h, w, nch = a.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
-    flat = a.reshape(h, w * nch).astype(np.int32)
+    # Filtering (unlike UNfiltering) references the ORIGINAL neighbor
+    # bytes, not the filtered ones — no recurrence, so every filter type
+    # vectorizes whole-row: shift the scanline by one pixel for `left`,
+    # use the prior scanline for `up`/`ul`.
+    flat = a.reshape(h, w, nch).astype(np.int32)
     rows = []
-    prev = np.zeros(w * nch, np.int32)
+    prev = np.zeros((w, nch), np.int32)
+
+    def lshift(row: "np.ndarray") -> "np.ndarray":
+        out = np.zeros_like(row)
+        out[1:] = row[:-1]
+        return out
+
     for y in range(h):
         line = flat[y]
         if filter_type == 0:
             filt = line
+        elif filter_type == 1:
+            filt = (line - lshift(line)) & 0xFF
         elif filter_type == 2:
             filt = (line - prev) & 0xFF
-        elif filter_type in (1, 3, 4):
-            filt = np.empty_like(line)
-            for i in range(len(line)):
-                left = int(line[i - nch]) if i >= nch else 0
-                up = int(prev[i])
-                ul = int(prev[i - nch]) if i >= nch else 0
-                if filter_type == 1:
-                    filt[i] = (line[i] - left) & 0xFF
-                elif filter_type == 3:
-                    filt[i] = (line[i] - ((left + up) >> 1)) & 0xFF
-                else:
-                    filt[i] = (line[i] - _paeth(left, up, ul)) & 0xFF
+        elif filter_type == 3:
+            filt = (line - ((lshift(line) + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            left, up, ul = lshift(line), prev, lshift(prev)
+            p = left + up - ul
+            pa = np.abs(p - left)
+            pb = np.abs(p - up)
+            pc = np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            filt = (line - pred) & 0xFF
         else:
             raise ValueError(f"bad filter type {filter_type}")
         rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())

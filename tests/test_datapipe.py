@@ -1176,6 +1176,36 @@ def test_decode_image_png_real_nonpng_null(spark):
     assert rows[3].format is None and rows[3].pix_sum is None  # null-safe
 
 
+def test_decode_image_corrupt_png_degrades_not_crashes(spark):
+    """A malformed PNG (valid header, corrupt IDAT → zlib.error; truncated
+    chunk → struct.error) yields the metadata-only row instead of failing
+    the executor task — the per-row total-function contract for crawled
+    corpora."""
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import (
+        decode_image,
+        encode_png,
+        resize_image,
+    )
+
+    good = encode_png(np.arange(24, dtype=np.uint8).reshape(4, 6))
+    corrupt_idat = bytearray(good)
+    corrupt_idat[40] ^= 0xFF  # inside the IDAT stream: breaks zlib inflate
+    truncated = good[:30]  # cut mid-chunk: struct.unpack on short reads
+    d = spark.createDataFrame(
+        [(1, bytearray(good)), (2, corrupt_idat), (3, bytearray(truncated))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image(d).collect()}
+    assert rows[1].pix_sum == int(np.arange(24).sum())
+    assert rows[2].format == "png" and rows[2].pix_sum is None
+    assert rows[3].pix_sum is None
+    # resize takes the stand-in path for the corrupt rows, crashing neither
+    out = {r.doc_id: r for r in resize_image(d, 3, 2).collect()}
+    assert len(out) == 3 and out[1].width == 3
+
+
 def test_wav_codec_roundtrip_and_features(spark):
     """encode_wav → decode_audio recovers exact sample features; non-PCM16
     and non-WAV payloads degrade to header-only / all-NULL rows."""
