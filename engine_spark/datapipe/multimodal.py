@@ -2,14 +2,17 @@
 columns with typed metadata, processed by Arrow-batched pandas functions
 over ``mapInPandas``.
 
-PNG is decoded, resampled, and re-encoded FOR REAL — pure stdlib (zlib
-inflate + per-row unfilter per the public PNG spec / RFC 2083, numpy
-bilinear resample, zlib deflate + crc32 on the way out); header dimensions
-for GIF/BMP/JPEG are parsed for real too (parse_image_header). Only the
-non-PNG *pixel* codecs and the video demuxer remain gated: those genuinely
-need imaging/av libraries absent in this container, so they use documented
-deterministic stand-ins that keep the Arrow plumbing (schemas, batch
-iteration, null-safety, partition-level parallelism) fully testable.
+PNG, BMP and GIF are decoded, resampled, and re-encoded FOR REAL — pure
+stdlib (PNG: zlib inflate + per-row unfilter per the public PNG spec /
+RFC 2083; BMP: BI_RGB row walk with palette expansion; GIF: variable-width
+LZW per the GIF89a spec; numpy bilinear resample; zlib deflate + crc32 on
+the PNG way out). WAV/PCM16 audio decodes for real (RIFF chunk walk), and
+MP4 video DEMUXES for real (ISO-BMFF box walk: stts/stsz/stsc/stco sample
+tables → per-frame byte ranges). Only JPEG pixel entropy decode and
+actual video FRAME decode remain gated: those genuinely need imaging/av
+libraries absent in this container, so they use documented deterministic
+stand-ins that keep the Arrow plumbing (schemas, batch iteration,
+null-safety, partition-level parallelism) fully testable.
 
 Scale notes: mapInPandas streams Arrow record batches — payload bytes never
 materialize on the driver; batch size is bounded by
@@ -366,6 +369,269 @@ def bilinear_resize(arr, out_w: int, out_h: int):
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# REAL stdlib BMP codec (public BITMAPINFOHEADER spec): uncompressed BI_RGB
+# at 8 (paletted), 24 (BGR) and 32 (BGRA) bits per pixel, bottom-up and
+# top-down row orders, 4-byte row padding. Other compressions (RLE, bit
+# fields) raise ValueError — caught by callers as "not decodable here".
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(b: bytes):
+    """BMP bytes → HxWxC uint8 numpy array (RGB order; C=4 keeps alpha)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_off,) = struct.unpack("<I", b[10:14])
+    (hdr_size,) = struct.unpack("<I", b[14:18])
+    if hdr_size < 40:
+        raise ValueError("BITMAPCOREHEADER not supported")
+    w, h_signed = struct.unpack("<ii", b[18:26])
+    _planes, bpp = struct.unpack("<HH", b[26:30])
+    (compression,) = struct.unpack("<I", b[30:34])
+    if compression != 0:
+        raise ValueError(f"BMP compression {compression} not supported (BI_RGB only)")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"BMP bpp {bpp} not supported")
+    if w <= 0 or h_signed == 0:
+        raise ValueError("bad BMP dimensions")
+    h = abs(h_signed)
+    stride = (w * (bpp // 8) + 3) & ~3  # rows pad to 4 bytes
+    if len(b) < data_off + stride * h:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(
+        b, np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)[:, : w * (bpp // 8)]
+    if h_signed > 0:  # bottom-up (the common case)
+        rows = rows[::-1]
+    if bpp == 8:
+        # palette: BGRX quads between the DIB header and the pixel data
+        pal_off = 14 + hdr_size
+        n_pal = (data_off - pal_off) // 4
+        if n_pal < 1:
+            raise ValueError("paletted BMP without palette")
+        pal = np.frombuffer(
+            b, np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)[:, [2, 1, 0]]  # BGRX → RGB
+        return pal[rows]
+    px = rows.reshape(h, w, bpp // 8)
+    if bpp == 24:
+        return px[:, :, [2, 1, 0]].copy()  # BGR → RGB
+    return px[:, :, [2, 1, 0, 3]].copy()  # BGRA → RGBA
+
+
+def encode_bmp(arr) -> bytes:
+    """HxW or HxWx3 uint8 numpy array (RGB) → 24-bit BI_RGB BMP bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None].repeat(3, axis=2)
+    if a.shape[2] == 1:
+        a = a.repeat(3, axis=2)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = a[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # RGB→BGR, bottom-up
+    data = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(data), 0, 0, 54)
+    return hdr + dib + data
+
+
+# ---------------------------------------------------------------------------
+# REAL stdlib GIF codec (public GIF89a spec): logical screen descriptor,
+# global/local color tables, LZW decompression with variable code width
+# (LSB-first packing, spec appendix F), 4-pass interlace reorder; first
+# image frame only. The encoder emits the classic "uncompressed GIF" LZW
+# stream (literal codes with periodic clear codes so the width never
+# grows) — a genuinely valid stream any conformant decoder reads back.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, n_pixels: int) -> bytes:
+    """GIF LZW → palette indexes (exactly n_pixels of them)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while bitpos + code_size <= total and len(out) < n_pixels:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 4], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code + 1
+            table = table[: clear + 2]
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return bytes(out[:n_pixels])
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(b: bytes):
+    """GIF bytes → HxWx3 uint8 numpy array (first frame, palette-expanded)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = b[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(b, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(b):
+        blk = b[pos]
+        if blk == 0x21:  # extension: label + sub-blocks until terminator
+            pos += 2
+            while pos < len(b) and b[pos]:
+                pos += 1 + b[pos]
+            pos += 1
+        elif blk == 0x2C:  # image descriptor
+            _l, _t, w, h = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+            ipacked = b[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:  # local color table
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(b, np.uint8, count=n * 3, offset=pos).reshape(
+                    n, 3
+                )
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image without color table")
+            min_code = b[pos]
+            pos += 1
+            parts = []
+            while pos < len(b) and b[pos]:
+                ln = b[pos]
+                parts.append(b[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _gif_lzw_decode(b"".join(parts), min_code, w * h), np.uint8
+            ).reshape(h, w)
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("GIF index outside color table")
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y
+                    for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, h, step)
+                ]
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            return pal[idx]
+        elif blk == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    raise ValueError("GIF without image data")
+
+
+def encode_gif(indices, palette) -> bytes:
+    """HxW uint8 palette-index array + Nx3 RGB palette → GIF89a bytes."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, np.uint8)
+    pal = np.asarray(palette, np.uint8).reshape(-1, 3)
+    h, w = idx.shape
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("index outside palette")
+    k = max(1, (len(pal) - 1).bit_length() - 1)  # GCT holds 2^(k+1) entries
+    n_ct = 2 << k
+    ct = np.zeros((n_ct, 3), np.uint8)
+    ct[: len(pal)] = pal
+    min_code = max(2, k + 1)
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    # literal-code stream with periodic clears so the width never grows
+    acc = bitlen = 0
+    packed = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, bitlen
+        acc |= code << bitlen
+        bitlen += code_size
+        while bitlen >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+
+    emit(clear)
+    run = 0
+    for v in idx.ravel():
+        emit(int(v))
+        run += 1
+        if run >= (1 << min_code) - 2:  # table would force a wider code
+            emit(clear)
+            run = 0
+    emit(end)
+    if bitlen:
+        packed.append(acc & 0xFF)
+    blocks = b"".join(
+        bytes([min(255, len(packed) - i)]) + bytes(packed[i : i + 255])
+        for i in range(0, len(packed), 255)
+    )
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | k, 0, 0)
+        + ct.tobytes()
+        + b"\x2c"
+        + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code])
+        + blocks
+        + b"\x00\x3b"
+    )
+
+
+def decode_pixels(b: bytes):
+    """(format, HxWxC uint8 array) for any container with a real stdlib
+    pixel codec here (png/bmp/gif); (format, None) when only the header is
+    parseable (jpeg — entropy decode genuinely needs an imaging library);
+    (None, None) for unknown bytes. Raises DECODE_ERRORS members on
+    corrupt payloads — callers catch and degrade."""
+    fmt, _, _ = parse_image_header(b)
+    if fmt == "png":
+        return fmt, decode_png(b)
+    if fmt == "bmp":
+        return fmt, decode_bmp(b)
+    if fmt == "gif":
+        return fmt, decode_gif(b)
+    return fmt, None
+
+
 DECODE_IMAGE_SCHEMA = (
     "doc_id long, format string, width int, height int, channels int, "
     "pix_sum long"
@@ -373,37 +639,39 @@ DECODE_IMAGE_SCHEMA = (
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL full pixel decode for PNG payloads → (format, true pixel width/
-    height, channel count, sum of all decoded pixel values) via Arrow-batched
-    mapInPandas. PNG is decoded entirely stdlib-side (decode_png: zlib
-    inflate + per-row unfilter); non-PNG containers (gif/bmp/jpeg — their
-    pixel codecs genuinely need an imaging library absent here) report their
-    header format with NULL pixel fields, keeping decode a per-row total
-    function. With Pillow installed the per-row branch would hand non-PNG
-    bytes to ``PIL.Image`` instead; everything else is identical."""
+    """REAL full pixel decode for PNG / BMP / GIF payloads → (format, true
+    pixel width/height, channel count, sum of all decoded pixel values) via
+    Arrow-batched mapInPandas, entirely stdlib-side (decode_png /
+    decode_bmp / decode_gif). JPEG — the one pixel codec that genuinely
+    needs an imaging library (baseline entropy decode) — reports its header
+    format with NULL pixel fields, keeping decode a per-row total function.
+    With Pillow installed the fallback branch would hand those bytes to
+    ``PIL.Image``; everything else is identical."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for did, p in zip(pdf["doc_id"], pdf[payload_col]):
                 b = b"" if p is None else bytes(p)
-                fmt, _, _ = parse_image_header(b)
-                if fmt == "png":
-                    try:
-                        arr = decode_png(b)
-                        rows.append(
-                            (
-                                int(did),
-                                "png",
-                                arr.shape[1],
-                                arr.shape[0],
-                                arr.shape[2],
-                                int(arr.sum(dtype="int64")),
-                            )
+                fmt = None
+                try:
+                    fmt, arr = decode_pixels(b)
+                except DECODE_ERRORS:
+                    arr = None  # corrupt payload → metadata-only row
+                    if fmt is None:
+                        fmt, _, _ = parse_image_header(b)
+                if arr is not None:
+                    rows.append(
+                        (
+                            int(did),
+                            fmt,
+                            arr.shape[1],
+                            arr.shape[0],
+                            arr.shape[2],
+                            int(arr.sum(dtype="int64")),
                         )
-                        continue
-                    except DECODE_ERRORS:
-                        pass  # exotic profile or corrupt payload
+                    )
+                    continue
                 rows.append((int(did), fmt, None, None, None, None))
             yield pd.DataFrame(
                 rows,
@@ -427,13 +695,14 @@ def resize_image(
     resized payload, Arrow-batched mapInPandas (map-only; payload bytes
     never shuffle).
 
-    PNG payloads take the REAL pixel path — stdlib decode (decode_png:
-    zlib inflate + per-row unfilter), vectorized numpy bilinear resample,
-    stdlib PNG re-encode — so the output payload is a genuine PNG whose
-    header parses to (width, height) and whose pixels are the resampled
-    source. Non-PNG containers (gif/bmp/jpeg: pixel codecs genuinely need
-    an imaging library absent in this environment; with Pillow installed
-    the same branch would call it) fall back to a DETERMINISTIC stand-in —
+    PNG / BMP / GIF payloads take the REAL pixel path — stdlib decode
+    (decode_pixels), vectorized numpy bilinear resample, stdlib PNG
+    re-encode — so the output payload is a genuine PNG whose header parses
+    to (width, height) and whose pixels are the resampled source (output
+    is normalized to PNG regardless of input container, the standard
+    pipeline move; GIF re-palettization is out of scope). JPEG (the one
+    codec genuinely needing an imaging library; with Pillow installed the
+    same branch would call it) falls back to a DETERMINISTIC stand-in —
     source dims from the real header parser (else the fake-decode dims),
     exact scale factors, and a length-scaled byte slice as the payload —
     keeping the full pipeline runnable and testable end-to-end.
@@ -447,9 +716,11 @@ def resize_image(
             for did, p in zip(pdf["doc_id"], pdf[payload_col]):
                 b = b"" if p is None else bytes(p)
                 fmt, sw, sh = parse_image_header(b)
-                if fmt == "png":
+                if fmt in ("png", "bmp", "gif"):
                     try:
-                        arr = decode_png(b)
+                        _, arr = decode_pixels(b)
+                        if arr is not None and arr.shape[2] == 4 and fmt != "png":
+                            arr = arr[:, :, :3]  # RGBA BMP → RGB for PNG out
                         out = encode_png(bilinear_resize(arr, width, height))
                         out_rows.append(
                             (int(did), width, height, width / arr.shape[1],
@@ -479,6 +750,226 @@ def resize_image(
     return df.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL stdlib MP4/ISO-BMFF demuxer (public ISO/IEC 14496-12 box structure):
+# walk moov → trak → mdia → minf → stbl and read the sample tables —
+# stts (decode timestamps/durations), stsz (sample sizes), stsc
+# (sample→chunk mapping), stco/co64 (chunk offsets) — exactly the byte
+# ranges a frame decoder would be handed. Frame PIXEL decode stays gated
+# (needs an av library); the demux is real.
+# ---------------------------------------------------------------------------
+
+
+def _mp4_boxes(b: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
+    import struct
+
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", b[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError("bad MP4 box size")
+        yield typ, pos + hdr, pos + size
+        pos += size
+
+
+def _mp4_child(b: bytes, start: int, end: int, fourcc: bytes):
+    for typ, s, e in _mp4_boxes(b, start, end):
+        if typ == fourcc:
+            return s, e
+    return None
+
+
+def parse_mp4(b: bytes) -> dict:
+    """MP4 bytes → dict(n_frames, timescale, offsets, sizes, times) for the
+    first VIDEO track (hdlr handler 'vide'). offsets/sizes are absolute
+    per-sample byte positions derived from stsc x stco x stsz; times are
+    decode timestamps in timescale units from stts."""
+    import struct
+
+    if len(b) < 12:
+        raise ValueError("not an MP4")
+    top = list(_mp4_boxes(b, 0, len(b)))
+    if not any(t in (b"ftyp", b"moov") for t, _, _ in top):
+        raise ValueError("not an MP4 (no ftyp/moov)")
+    moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4 without moov")
+    for typ, ts, te in _mp4_boxes(b, *moov):
+        if typ != b"trak":
+            continue
+        mdia = _mp4_child(b, ts, te, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = _mp4_child(b, *mdia, b"hdlr")
+        if hdlr is None or b[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = _mp4_child(b, *mdia, b"mdhd")
+        timescale = 0
+        if mdhd is not None:
+            ver = b[mdhd[0]]
+            off = mdhd[0] + (20 if ver == 1 else 12)
+            (timescale,) = struct.unpack(">I", b[off : off + 4])
+        minf = _mp4_child(b, *mdia, b"minf")
+        stbl = _mp4_child(b, *minf, b"stbl") if minf else None
+        if stbl is None:
+            continue
+
+        def body(fourcc: bytes) -> tuple[int, int]:
+            c = _mp4_child(b, *stbl, fourcc)
+            if c is None:
+                raise ValueError(f"MP4 stbl missing {fourcc.decode()}")
+            return c
+
+        # stts → per-sample decode times/durations
+        s, _ = body(b"stts")
+        (n_ent,) = struct.unpack(">I", b[s + 4 : s + 8])
+        times, t = [], 0
+        for i in range(n_ent):
+            cnt, delta = struct.unpack(">II", b[s + 8 + 8 * i : s + 16 + 8 * i])
+            for _ in range(cnt):
+                times.append(t)
+                t += delta
+        n = len(times)
+        # stsz → per-sample sizes
+        s, _ = body(b"stsz")
+        uniform, n_sz = struct.unpack(">II", b[s + 4 : s + 12])
+        if uniform:
+            sizes = [uniform] * n_sz
+        else:
+            sizes = list(
+                struct.unpack(f">{n_sz}I", b[s + 12 : s + 12 + 4 * n_sz])
+            )
+        if n_sz != n:
+            raise ValueError("MP4 stts/stsz sample count mismatch")
+        # stco/co64 → chunk offsets
+        co = _mp4_child(b, *stbl, b"stco")
+        if co is not None:
+            s = co[0]
+            (n_ch,) = struct.unpack(">I", b[s + 4 : s + 8])
+            chunk_offs = list(
+                struct.unpack(f">{n_ch}I", b[s + 8 : s + 8 + 4 * n_ch])
+            )
+        else:
+            s, _ = body(b"co64")
+            (n_ch,) = struct.unpack(">I", b[s + 4 : s + 8])
+            chunk_offs = list(
+                struct.unpack(f">{n_ch}Q", b[s + 8 : s + 8 + 8 * n_ch])
+            )
+        # stsc → samples per chunk, run-length encoded over chunk runs
+        s, _ = body(b"stsc")
+        (n_ent,) = struct.unpack(">I", b[s + 4 : s + 8])
+        runs = [
+            struct.unpack(">III", b[s + 8 + 12 * i : s + 20 + 12 * i])
+            for i in range(n_ent)
+        ]
+        offsets, si = [], 0
+        for ci in range(len(chunk_offs)):
+            spc = 0
+            for first, cnt, _desc in runs:
+                if first <= ci + 1:
+                    spc = cnt
+                else:
+                    break
+            pos = chunk_offs[ci]
+            for _ in range(spc):
+                if si >= n:
+                    break
+                offsets.append(pos)
+                pos += sizes[si]
+                si += 1
+        if si != n:
+            raise ValueError("MP4 stsc/stco cover fewer samples than stsz")
+        return {
+            "n_frames": n,
+            "timescale": timescale,
+            "offsets": offsets,
+            "sizes": sizes,
+            "times": times,
+        }
+    raise ValueError("MP4 without a video track")
+
+
+def encode_mp4(frames: list[bytes], timescale: int = 600,
+               frame_duration: int = 25) -> bytes:
+    """List of per-frame byte strings → minimal but structurally genuine
+    MP4: ftyp + mdat holding the concatenated frames + moov/trak/mdia/
+    mdhd/hdlr/minf/stbl with real stts/stsz/stsc/stco tables (two samples
+    per chunk, so the stsc expansion is non-trivial). Any conformant
+    demuxer recovers the exact frame byte ranges."""
+    import struct
+
+    def box(typ: bytes, *payload: bytes) -> bytes:
+        data = b"".join(payload)
+        return struct.pack(">I", len(data) + 8) + typ + data
+
+    n = len(frames)
+    ftyp = box(b"ftyp", b"isom", struct.pack(">I", 0), b"isom")
+    mdat_payload = b"".join(frames)
+    # sample offsets are absolute: ftyp + mdat header precede the payload
+    base = len(ftyp) + 8
+    sizes = [len(f) for f in frames]
+    # two samples per chunk; last chunk holds the remainder
+    spc = 2
+    chunk_offs, pos, i = [], base, 0
+    while i < n:
+        chunk_offs.append(pos)
+        for j in range(i, min(i + spc, n)):
+            pos += sizes[j]
+        i += spc
+    stts = box(
+        b"stts", struct.pack(">II", 0, 1), struct.pack(">II", n, frame_duration)
+    )
+    stsz = box(
+        b"stsz", struct.pack(">III", 0, 0, n), struct.pack(f">{n}I", *sizes)
+    )
+    if n % spc and len(chunk_offs) > 1:
+        stsc_entries = struct.pack(">III", 1, spc, 1) + struct.pack(
+            ">III", len(chunk_offs), n % spc, 1
+        )
+        stsc = box(b"stsc", struct.pack(">II", 0, 2), stsc_entries)
+    else:  # single (possibly short) chunk, or all chunks full
+        stsc = box(
+            b"stsc",
+            struct.pack(">II", 0, 1),
+            struct.pack(">III", 1, min(spc, n) if n else spc, 1),
+        )
+    stco = box(
+        b"stco",
+        struct.pack(">II", 0, len(chunk_offs)),
+        struct.pack(f">{len(chunk_offs)}I", *chunk_offs),
+    )
+    stbl = box(b"stbl", stts, stsc, stsz, stco)
+    minf = box(b"minf", stbl)
+    hdlr = box(
+        b"hdlr", struct.pack(">II", 0, 0), b"vide", b"\x00" * 12, b"demo\x00"
+    )
+    mdhd = box(
+        b"mdhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, n * frame_duration),
+        struct.pack(">HH", 0x55C4, 0),
+    )
+    mdia = box(b"mdia", mdhd, hdlr, minf)
+    tkhd = box(b"tkhd", struct.pack(">IIIII", 0x7, 0, 0, 1, 0), b"\x00" * 60)
+    trak = box(b"trak", tkhd, mdia)
+    mvhd = box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, n * frame_duration),
+        b"\x00" * 80,
+    )
+    moov = box(b"moov", mvhd, trak)
+    return ftyp + box(b"mdat", mdat_payload) + moov
+
+
 FRAME_SAMPLE_SCHEMA = (
     "doc_id long, frame_idx int, n_frames int, byte_start long, byte_end long"
 )
@@ -487,13 +978,15 @@ FRAME_SAMPLE_SCHEMA = (
 def frame_sample(
     df: DataFrame, every_k: int, payload_col: str = "payload"
 ) -> DataFrame:
-    """Frame sampling plumbing: (doc_id, payload) → one row per sampled
-    frame index (every ``every_k``-th), with the byte range a container
-    demuxer would hand the decoder. Without a media library the frame
-    COUNT comes from the deterministic stand-in decoder and byte ranges
-    are the uniform partition of the payload — the Spark shape (explode
-    via mapInPandas, map-only, payload never shuffled) is the real one;
-    a pyav-backed kernel would only change the two marked lines.
+    """Frame sampling: (doc_id, payload) → one row per sampled frame index
+    (every ``every_k``-th), with the byte range a decoder would be handed.
+
+    MP4 payloads are demuxed FOR REAL: parse_mp4 walks the ISO-BMFF sample
+    tables (stts/stsz/stsc/stco) and the emitted ranges are each frame's
+    actual absolute byte extent inside mdat. Non-MP4 payloads keep the
+    documented deterministic stand-in (frame count from _fake_decode, byte
+    ranges a uniform partition of the payload) so the pipeline stays total
+    over a mixed corpus. Map-only; payloads never shuffle.
     """
     if every_k < 1:
         raise ValueError("every_k must be >= 1")
@@ -503,8 +996,25 @@ def frame_sample(
             rows = []
             for did, p in zip(pdf["doc_id"], pdf[payload_col]):
                 b = b"" if p is None else bytes(p)
-                _, _, n_frames, _ = _fake_decode(b)  # ← real demuxer here
-                per = max(1, len(b) // max(n_frames, 1))  # ← and here
+                try:
+                    mp4 = parse_mp4(b)
+                except DECODE_ERRORS:
+                    mp4 = None
+                if mp4 is not None:
+                    n_frames = mp4["n_frames"]
+                    for fi in range(0, n_frames, every_k):
+                        rows.append(
+                            (
+                                int(did),
+                                fi,
+                                n_frames,
+                                mp4["offsets"][fi],
+                                mp4["offsets"][fi] + mp4["sizes"][fi],
+                            )
+                        )
+                    continue
+                _, _, n_frames, _ = _fake_decode(b)  # stand-in (non-MP4)
+                per = max(1, len(b) // max(n_frames, 1))
                 for fi in range(0, n_frames, every_k):
                     # the LAST frame absorbs the floor-division remainder so
                     # the frame ranges partition the whole payload (no
@@ -524,10 +1034,12 @@ def frame_sample(
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling. Requires an av library."""
+    """Video frame PIXEL decode. The MP4 demux (frame byte ranges, counts,
+    timestamps) is real — use ``frame_sample``; decoding the sampled
+    frames' pixels requires an av library."""
     raise NotImplementedError(
-        "frame sampling requires pyav, which is not installed in this "
-        "environment; the mapInPandas plumbing mirrors decode_meta()"
+        "frame pixel decode requires pyav, which is not installed in this "
+        "environment; frame_sample() provides the real MP4 demux half"
     )
 
 

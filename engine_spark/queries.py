@@ -1486,6 +1486,10 @@ _ORDER = [
     "join_multiway_q5",
     "asof_join_last_view",
     "join_q3_shipping_priority",
+    # round-7 additions (newest gates enter past the window, then rotate
+    # in next round per the rotation policy above)
+    "multimodal_bmp_gif",          # REAL BMP BI_RGB + GIF LZW pixel decode
+    "multimodal_frames",           # REAL MP4 ISO-BMFF sample-table demux
 ]
 
 

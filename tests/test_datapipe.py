@@ -1065,6 +1065,107 @@ def test_signature_table_parquet_matches_cache(spark, tmp_path):
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mt
 
 
+def test_bmp_codec_roundtrip_and_variants():
+    """decode(encode(a)) == a for 24-bit BI_RGB; hand-built 8-bit paletted
+    top-down and 32-bit BGRA files decode correctly too."""
+    import struct
+
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.RandomState(3)
+    for shape in [(7, 5, 3), (13, 17, 3), (1, 1, 3), (4, 6)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        got = decode_bmp(encode_bmp(a))
+        ref = a if a.ndim == 3 else a[:, :, None].repeat(3, axis=2)
+        assert got.shape == ref.shape and (got == ref).all(), shape
+    # 8-bit paletted, negative height = top-down row order
+    pal = bytes(v for i in range(4) for v in (i * 10 + 2, i * 10 + 1, i * 10, 0))
+    px = bytes([0, 1, 2, 0] + [3, 2, 1, 0])  # 3px rows padded to 4
+    dib = struct.pack("<IiiHHIIiiII", 40, 3, -2, 1, 8, 0, len(px), 0, 0, 4, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 70 + len(px), 0, 0, 70)
+    got = decode_bmp(hdr + dib + pal + px)
+    assert tuple(got[0, 0]) == (0, 1, 2) and tuple(got[1, 0]) == (30, 31, 32)
+    # 32bpp BGRA keeps alpha
+    a = np.arange(4 * 2 * 4, dtype=np.uint8).reshape(2, 4, 4)
+    rows = a[::-1][:, :, [2, 1, 0, 3]].reshape(2, 16).tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 32, 0, len(rows), 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(rows), 0, 0, 54)
+    got = decode_bmp(hdr + dib + rows)
+    assert got.shape == (2, 4, 4) and (got == a).all()
+    # RLE compression is honestly rejected, not mis-decoded
+    dib_rle = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, 8, 0, 0, 0, 0)
+    try:
+        decode_bmp(hdr[:14] + dib_rle + b"\x00" * 60)
+        raise AssertionError("RLE BMP should raise")
+    except ValueError:
+        pass
+
+
+def test_gif_codec_roundtrip_palettes_and_lzw():
+    """encode_gif emits a genuinely valid variable-width LZW stream the
+    decoder reads back exactly, across palette sizes that exercise code
+    widths 3..9 bits and the periodic clear-code path."""
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import decode_gif, encode_gif
+
+    rng = np.random.RandomState(5)
+    for n_pal, shape in [(2, (3, 3)), (4, (5, 9)), (16, (11, 7)), (256, (23, 31))]:
+        pal = rng.randint(0, 256, size=(n_pal, 3)).astype(np.uint8)
+        idx = rng.randint(0, n_pal, size=shape).astype(np.uint8)
+        got = decode_gif(encode_gif(idx, pal))
+        assert got.shape == (*shape, 3)
+        assert (got == pal[idx]).all(), (n_pal, shape)
+    # truncated stream raises a DECODE_ERRORS member (upstream degrade)
+    from engine_spark.datapipe.multimodal import DECODE_ERRORS
+
+    g = encode_gif(np.zeros((6, 6), np.uint8), np.array([[1, 2, 3]], np.uint8))
+    try:
+        decode_gif(g[: len(g) // 2])
+        raise AssertionError("truncated GIF should raise")
+    except DECODE_ERRORS:
+        pass
+
+
+def test_mp4_demux_roundtrip_and_frame_sample(spark):
+    """encode_mp4 → parse_mp4 recovers exact per-frame byte ranges through
+    the stts/stsz/stsc/stco tables (two samples per chunk, so the chunk-run
+    expansion is exercised); frame_sample emits those REAL ranges for MP4
+    payloads and keeps the documented stand-in for non-MP4 bytes."""
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import (
+        encode_mp4,
+        frame_sample,
+        parse_mp4,
+    )
+
+    for sizes in [[10, 20, 30], [7], [5, 6], [11, 12, 13, 14, 15]]:
+        frames = [bytes([i % 251]) * s for i, s in enumerate(sizes)]
+        b = encode_mp4(frames, timescale=600, frame_duration=25)
+        m = parse_mp4(b)
+        assert m["n_frames"] == len(sizes) and m["sizes"] == sizes
+        assert m["times"] == [25 * i for i in range(len(sizes))]
+        for i, (o, s) in enumerate(zip(m["offsets"], m["sizes"])):
+            assert b[o : o + s] == frames[i]
+
+    frames = [b"A" * 10, b"B" * 20, b"C" * 30]
+    mp4 = encode_mp4(frames)
+    d = spark.createDataFrame(
+        [(1, bytearray(mp4)), (2, bytearray(b"\x00" * 150))],
+        "doc_id long, payload binary",
+    )
+    rows = frame_sample(d, 2).collect()
+    got = {(r.doc_id, r.frame_idx): r for r in rows}
+    assert got[(1, 0)].n_frames == 3
+    assert mp4[got[(1, 0)].byte_start : got[(1, 0)].byte_end] == frames[0]
+    assert mp4[got[(1, 2)].byte_start : got[(1, 2)].byte_end] == frames[2]
+    assert (1, 1) not in got  # every_k=2 skips frame 1
+    assert got[(2, 0)].n_frames == 2  # stand-in path for non-MP4 bytes
+
+
 def test_png_codec_roundtrip_all_filters_and_channels():
     """decode(encode(a)) == a for every PNG filter type (0-4) and channel
     count — exercises each unfilter branch (Sub/Up/Average/Paeth) of the
@@ -1172,7 +1273,9 @@ def test_decode_image_png_real_nonpng_null(spark):
         "png", 6, 4, 1,
     )
     assert rows[1].pix_sum == int(a.sum())
-    assert rows[2].format == "gif" and rows[2].width is None  # codec gated
+    # header-only GIF (no image data blocks): real codec now tries and
+    # degrades to the metadata-only row
+    assert rows[2].format == "gif" and rows[2].width is None
     assert rows[3].format is None and rows[3].pix_sum is None  # null-safe
 
 
