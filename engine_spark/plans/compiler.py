@@ -1240,8 +1240,11 @@ class SqlApp:
         # collapses them to a single match. The id rides along in
         # cur.columns through every hop (and _hop_group/_anti_between) and
         # is dropped before returning; fire-once ranks by key only, so it
-        # still keeps one match per key.
-        cur = cur.withColumn("_pm_uid", F.monotonically_increasing_id())
+        # still keeps one match per key. Streaming DataFrames reach this
+        # path only for single-step OR groups (no hops → no rank → no id
+        # needed), and monotonically_increasing_id is unsupported there.
+        if not cur.isStreaming:
+            cur = cur.withColumn("_pm_uid", F.monotonically_increasing_id())
 
         #: seconds of absence window(s) the NEXT captured element must wait
         #: out: after `… -> NOT B FOR d`, the absent state completes at its

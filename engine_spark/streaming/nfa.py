@@ -70,18 +70,95 @@ def _bool_arr(s: pd.Series) -> np.ndarray:
 HOT_KEY_WARN_EVENTS = 200_000
 
 
-def _warn_hot_key(key, n: int, salted: bool) -> None:
-    if salted or n <= HOT_KEY_WARN_EVENTS:
+def _warn_hot_key(key, n: int, salted: bool, threshold: int | None = None) -> None:
+    if salted or n <= (threshold or HOT_KEY_WARN_EVENTS):
         return
     import warnings
 
     warnings.warn(
         f"streaming NFA hot key {key!r}: {n} events in one micro-batch "
-        f"(> {HOT_KEY_WARN_EVENTS}) funnel through a single python worker "
-        "(~70-90k events/s/key ceiling, see PERF.md). Pass salt=R to "
-        "followed_by_stream (exact semantics preserved) or route this key "
-        "to the relational batch path.",
+        f"(> {threshold or HOT_KEY_WARN_EVENTS}) funnel through a single "
+        "python worker (~70-90k events/s/key ceiling, see PERF.md). Pass "
+        "salt=R or salt='auto' to followed_by_stream (exact semantics "
+        "preserved) or route this key to the relational batch path.",
         stacklevel=2,
+    )
+
+
+def _mark_hot_key(hot_dir: str, key_str: str) -> None:
+    """Executor-side: persist a hot-key marker (idempotent, atomic rename)
+    so the NEXT micro-batch's plan salts this key. ``hot_dir`` must be a
+    path visible to both executors and driver — on a cluster, shared
+    storage next to the checkpoint dir (same durability requirement)."""
+    import hashlib
+    import json as _json
+    import os
+
+    fn = os.path.join(
+        hot_dir, hashlib.md5(key_str.encode()).hexdigest() + ".json"
+    )
+    if os.path.exists(fn):
+        return
+    tmp = f"{fn}.tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps({"k": key_str}) + "\n")
+    os.replace(tmp, fn)
+
+
+def _auto_salt(
+    tagged: DataFrame,
+    ts_col: str,
+    key_col: str,
+    hash_cols: list[str],
+    hot_key_dir: str,
+    r: int,
+    repl_cond: Column | None = None,
+    anchor_col: str = "_is_a",
+) -> DataFrame:
+    """Hot-key-only salting, driven by the marker registry: keys listed in
+    ``hot_key_dir`` get the exact A-owns-one/B-fans-to-all-R treatment
+    (same contract as ``_salt_a_b``); cold keys ride in sub-key 0 with no
+    replication cost. The registry is a static json read RE-PLANNED every
+    micro-batch (stream-static join), so a marker written by the detector
+    in batch N re-keys batch N+1 — and membership is sticky, which keeps
+    the cold→hot transition exact: pre-salt state lives in sub-key 0 and
+    B events replicate to ALL sub-keys including 0, so existing opens
+    still meet every B; a hot→cold flip would strand state in sub-keys
+    1..R-1, which is why markers are never removed."""
+    import os
+
+    os.makedirs(hot_key_dir, exist_ok=True)
+    spark = tagged.sparkSession
+    hot = (
+        spark.read.schema("k string")
+        .json(hot_key_dir)
+        .distinct()
+        .withColumnRenamed("k", "_hot_k")
+        .withColumn("_hot", F.lit(True))
+    )
+    tagged = tagged.join(
+        F.broadcast(hot),
+        F.col(key_col).cast("string") == F.col("_hot_k"),
+        "left",
+    ).drop("_hot_k")
+    if repl_cond is None:
+        repl_cond = F.col("_is_b")
+    own = F.when(
+        F.col("_hot"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in [ts_col, *hash_cols]]), F.lit(r)),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        tagged.withColumn(
+            "_salt",
+            F.explode(
+                F.when(
+                    F.col("_hot") & repl_cond,
+                    F.sequence(F.lit(0).cast("long"), F.lit(r - 1).cast("long")),
+                ).otherwise(F.array(own))
+            ),
+        )
+        .withColumn(anchor_col, F.col(anchor_col) & (F.col("_salt") == own))
+        .drop("_hot")
     )
 
 
@@ -94,7 +171,10 @@ def followed_by_stream(
     within_seconds: int,
     value_col: str,
     late: str = "0 seconds",
-    salt: int | None = None,
+    salt: int | str | None = None,
+    hot_key_dir: str | None = None,
+    auto_salt_r: int = 8,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Streaming `e1=A -> e2=B WITHIN d` per key (EVERY semantics: every A
     opens a state; each A takes its earliest B — first-match, PATTERN mode).
@@ -112,12 +192,32 @@ def followed_by_stream(
     relational path. State stays bounded per sub-key (same eviction +
     event-time timeout). A per-batch detector also warns (executor log)
     when an unsalted key exceeds HOT_KEY_WARN_EVENTS in one micro-batch.
+
+    ``salt="auto"`` wires the detector to the fix: pass ``hot_key_dir`` (a
+    path visible to executors AND driver — put it next to the checkpoint
+    dir, which has the same shared-storage requirement). When a key's
+    per-micro-batch volume crosses ``hot_threshold`` (default
+    HOT_KEY_WARN_EVENTS) the detector persists a marker; the salting join
+    re-reads the registry every micro-batch, so the NEXT batch re-keys
+    that key across ``auto_salt_r`` sub-keys with the same exactness
+    contract as static salt. Membership is sticky (see _auto_salt for why
+    that is required for exactness). Cold keys pay only a broadcast join
+    against the (tiny) hot set — no replication.
     """
     within_us = within_seconds * US
     tagged = watermarked(df, ts_col, late).withColumn(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", second.cast("boolean"))
-    if salt is not None:
+    auto = salt == "auto"
+    if auto:
+        if not hot_key_dir:
+            raise ValueError("salt='auto' requires hot_key_dir")
+        if auto_salt_r < 2:
+            raise ValueError("auto_salt_r must be >= 2")
+        tagged = _auto_salt(
+            tagged, ts_col, key_col, [value_col], hot_key_dir, auto_salt_r
+        )
+    elif salt is not None:
         if salt < 1:
             raise ValueError("salt must be >= 1")
         # A rows own one deterministic sub-key; B rows fan out to all R.
@@ -144,6 +244,7 @@ def followed_by_stream(
     )
     state_schema = "starts_ts array<long>, starts_val array<double>"
     salted = salt is not None
+    _threshold = hot_threshold
 
     def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -154,7 +255,13 @@ def followed_by_stream(
             sts, svs = state.get
             starts = list(zip(sts or [], svs or []))
         rows = pd.concat(list(pdfs), ignore_index=True)
-        _warn_hot_key(key[0], len(rows), salted)
+        if auto:
+            # sub-key 0 carries a cold key's whole stream; crossing the
+            # threshold there marks the key so the NEXT batch salts it
+            if key[1] == 0 and len(rows) > (_threshold or HOT_KEY_WARN_EVENTS):
+                _mark_hot_key(hot_key_dir, str(key[0]))
+        else:
+            _warn_hot_key(key[0], len(rows), salted, _threshold)
         rows = rows.sort_values(ts_col, kind="mergesort")
         # vectorized row access: one cast per column instead of a dict +
         # pd.Timestamp per event; only A/B rows enter the automaton (other
@@ -244,7 +351,10 @@ def absent_stream(
     within_seconds: int,
     value_col: str,
     late: str = "0 seconds",
-    salt: int | None = None,
+    salt: int | str | None = None,
+    hot_key_dir: str | None = None,
+    auto_salt_r: int = 8,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Streaming `e1=A NOT B FOR d`: emit A once d elapses with no B on the
     key (reference absent_stream_state_element.rs + timer_wheel.rs — the
@@ -256,13 +366,21 @@ def absent_stream(
     ``salt=R``: exact hot-key parallelization — A events hash to one of R
     sub-keys, cancelling B events replicate to all R (see _salt_a_b; same
     contract as followed_by_stream: per-sub-key outcomes are exact, the
-    union is the unsalted output).
+    union is the unsalted output). ``salt="auto"`` + ``hot_key_dir``: the
+    detector-driven variant — see followed_by_stream.
     """
     within_us = within_seconds * US
     tagged = watermarked(df, ts_col, late).withColumn(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", absent.cast("boolean"))
-    if salt is not None:
+    auto = salt == "auto"
+    if auto:
+        if not hot_key_dir:
+            raise ValueError("salt='auto' requires hot_key_dir")
+        tagged = _auto_salt(
+            tagged, ts_col, key_col, [value_col], hot_key_dir, auto_salt_r
+        )
+    elif salt is not None:
         tagged = _salt_a_b(tagged, ts_col, [value_col], salt)
 
     tstype = df.schema[ts_col].dataType.simpleString()
@@ -294,6 +412,10 @@ def absent_stream(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ts_col, kind="mergesort"
         )
+        if auto and key[1] == 0 and len(rows) > (
+            hot_threshold or HOT_KEY_WARN_EVENTS
+        ):
+            _mark_hot_key(hot_key_dir, str(key[0]))
         ts_us = _ts_us_arr(rows[ts_col])
         is_a = _bool_arr(rows["_is_a"])
         is_b = _bool_arr(rows["_is_b"])
@@ -347,7 +469,10 @@ def chain_stream(
     absent_final: tuple[Column, float] | None = None,
     step_mins: list[int] | None = None,
     group_steps: dict[int, tuple[str, Column, str]] | None = None,
-    salt: int | None = None,
+    salt: int | str | None = None,
+    hot_key_dir: str | None = None,
+    auto_salt_r: int = 8,
+    hot_threshold: int | None = None,
 ) -> DataFrame:
     """Streaming N-step followed-by chain `e1=A -> e2=B -> ... WITHIN d`
     per key (reference stream_pre_state_processor.rs runs arbitrary chains;
@@ -455,14 +580,13 @@ def chain_stream(
         tagged = tagged.withColumn(f"_is_{i}b", pred2.cast("boolean"))
     if absent_final is not None:
         tagged = tagged.withColumn("_is_ab", absent_final[0].cast("boolean"))
+    auto = salt == "auto"
     if salt is not None:
         if not every:
             raise ValueError(
                 "salt requires every=True: fire-once is per-KEY state that "
                 "salted sub-keys cannot share exactly"
             )
-        if salt < 1:
-            raise ValueError("salt must be >= 1")
         later_flags = [F.col(f"_is_{i}") for i in range(1, n)]
         later_flags += [F.col(f"_is_{i}b") for i in group_steps]
         if absent_final is not None:
@@ -470,23 +594,34 @@ def chain_stream(
         later = F.lit(False)
         for fcol in later_flags:
             later = later | F.coalesce(fcol, F.lit(False))
-        own = F.pmod(
-            F.xxhash64(*[F.col(c) for c in [ts_col, *payload_cols]]), F.lit(salt)
-        )
-        tagged = (
-            tagged.withColumn(
-                "_salt",
-                F.explode(
-                    F.when(
-                        later,
-                        F.sequence(
-                            F.lit(0).cast("long"), F.lit(salt - 1).cast("long")
-                        ),
-                    ).otherwise(F.array(own))
-                ),
+        if auto:
+            if not hot_key_dir:
+                raise ValueError("salt='auto' requires hot_key_dir")
+            tagged = _auto_salt(
+                tagged, ts_col, key_col, payload_cols, hot_key_dir,
+                auto_salt_r, repl_cond=later, anchor_col="_is_0",
             )
-            .withColumn("_is_0", F.col("_is_0") & (F.col("_salt") == own))
-        )
+        else:
+            if salt < 1:
+                raise ValueError("salt must be >= 1")
+            own = F.pmod(
+                F.xxhash64(*[F.col(c) for c in [ts_col, *payload_cols]]),
+                F.lit(salt),
+            )
+            tagged = (
+                tagged.withColumn(
+                    "_salt",
+                    F.explode(
+                        F.when(
+                            later,
+                            F.sequence(
+                                F.lit(0).cast("long"), F.lit(salt - 1).cast("long")
+                            ),
+                        ).otherwise(F.array(own))
+                    ),
+                )
+                .withColumn("_is_0", F.col("_is_0") & (F.col("_salt") == own))
+            )
     # run() must only close over plain Python values (Column handles hold
     # JVM locks cloudpickle can't ship) — reduce absent_final to a flag
     has_absent = absent_final is not None
@@ -565,6 +700,10 @@ def chain_stream(
         rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
             ts_col, kind="mergesort"
         )
+        if auto and key[1] == 0 and len(rows) > (
+            hot_threshold or HOT_KEY_WARN_EVENTS
+        ):
+            _mark_hot_key(hot_key_dir, str(key[0]))
         # vectorized row access (one cast per column, not a dict per event);
         # rows matching no step / group / cancel predicate are skipped — they
         # cannot change NFA state, and horizon eviction is re-checked both on
