@@ -166,7 +166,15 @@ class SqlApp:
     streams (the programmatic-InputHandler entry point,
     reference eventflux_app_runtime.rs:306)."""
 
-    def __init__(self, spark: SparkSession, allow_unbounded_groups: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        allow_unbounded_groups: bool = False,
+        nfa_salt: int | str | None = None,
+        nfa_hot_key_dir: str | None = None,
+        nfa_auto_salt_r: int = 8,
+        nfa_hot_threshold: int | None = None,
+    ):
         self.spark = spark
         self.streams: dict[str, _Stream] = {}
         self.schemas: dict[str, P.CreateStream] = {}
@@ -177,6 +185,15 @@ class SqlApp:
         #: unbounded cross join (every A pairs with every B, state can never
         #: be evicted in streaming) — refused unless explicitly opted in
         self.allow_unbounded_groups = allow_unbounded_groups
+        #: hot-key salting defaults for live-stream PATTERN queries:
+        #: nfa_salt=R (static) or "auto" (detector-driven re-key; needs
+        #: nfa_hot_key_dir on shared storage — see streaming.nfa). Applied
+        #: to EVERY-mode chains only: fire-once is per-key state that
+        #: sub-keys cannot share, so those queries compile unsalted.
+        self.nfa_salt = nfa_salt
+        self.nfa_hot_key_dir = nfa_hot_key_dir
+        self.nfa_auto_salt_r = nfa_auto_salt_r
+        self.nfa_hot_threshold = nfa_hot_threshold
 
     # ------------------------------------------------------------------
     def register_stream(
@@ -1102,6 +1119,12 @@ class SqlApp:
             absent_final=absent_final,
             step_mins=step_mins if any(m != 1 for m in step_mins) else None,
             group_steps=nfa_groups or None,
+            # app-level hot-key salting default (EVERY only: fire-once is
+            # per-key state sub-keys cannot share)
+            salt=self.nfa_salt if src.every else None,
+            hot_key_dir=self.nfa_hot_key_dir,
+            auto_salt_r=self.nfa_auto_salt_r,
+            hot_threshold=self.nfa_hot_threshold,
         )
 
     # ------------------------------------------------------------------

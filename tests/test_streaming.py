@@ -450,6 +450,50 @@ def test_sql_pattern_three_steps_on_live_stream(spark):
     assert got == [(1, 3, 4)]
 
 
+def test_sql_pattern_auto_salt_app_config(spark, tmp_path):
+    """SqlApp(nfa_salt='auto', nfa_hot_key_dir=...) routes the hot-key
+    config into the streaming NFA: a key crossing the threshold gets
+    marked and the SQL query's output stays exactly the unsalted result."""
+    import os
+
+    from engine_spark.plans import SqlApp
+    from engine_spark.plans.compiler import _Stream
+
+    hot_dir = str(tmp_path / "hot")
+    r = StreamRunner(spark, "ts timestamp, user string, etype string, eid int")
+    # batch 1: 25 logins on u1 (> threshold 20) — marks u1 hot
+    r.send(
+        [{"ts": _ts(i), "user": "u1", "etype": "login", "eid": i}
+         for i in range(25)]
+    )
+    # batch 2: the continuation events arrive after the re-key
+    r.send([
+        {"ts": _ts(30), "user": "u1", "etype": "view", "eid": 100},
+        {"ts": _ts(31), "user": "u1", "etype": "purchase", "eid": 101},
+    ])
+
+    def build(sdf):
+        app = SqlApp(
+            spark, nfa_salt="auto", nfa_hot_key_dir=hot_dir,
+            nfa_auto_salt_r=4, nfa_hot_threshold=20,
+        )
+        app.streams["E"] = _Stream(df=sdf, ts_col="ts")
+        return app.sql(
+            "PARTITION WITH (user OF E) BEGIN "
+            "INSERT INTO Out SELECT e1.eid AS a, e2.eid AS b, e3.eid AS c "
+            "FROM EVERY PATTERN (e1=E[etype = 'login'] -> e2=E[etype = 'view'] "
+            "-> e3=E[etype = 'purchase']) WITHIN 3600 SECONDS; "
+            "END;"
+        )["Out"]
+
+    r.run(build)
+    got = sorted((m["a"], m["b"], m["c"]) for m in r.shutdown())
+    # every one of the 25 opened logins (all from the cold batch, state in
+    # sub-key 0) completes through the post-re-key continuations
+    assert got == [(i, 100, 101) for i in range(25)]
+    assert len(os.listdir(hot_dir)) == 1
+
+
 def test_space_saving_state_bounded_and_heavy_hitters_kept(spark):
     """Streaming frequent items: 40 distinct items flow through a
     capacity-8 summary; state (and each per-batch emission) never exceeds 8
