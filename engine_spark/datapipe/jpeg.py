@@ -1,0 +1,553 @@
+"""REAL stdlib+numpy baseline JPEG codec (public ITU-T T.81 spec).
+
+Decoder: marker walk (DQT/SOF0/DHT/SOS/DRI), canonical Huffman decode of
+the entropy-coded segment (byte-unstuffing, restart markers), DC
+prediction, run-length AC, dequantize + de-zigzag, orthonormal 8x8 IDCT as
+two numpy matrix multiplies over ALL blocks at once, nearest-neighbor
+chroma upsample for subsampled scans, and the BT.601 YCbCr→RGB transform.
+Baseline sequential DCT only — progressive (SOF2), arithmetic coding and
+12-bit precision raise ValueError (callers degrade to header-only rows).
+
+Encoder: the reverse pipeline with the spec's Annex K example quantization
+and Huffman tables (scaled by a quality knob), optional 4:2:0 subsampling.
+Lossy like any JPEG — round-trip tests assert tolerance, and exactness
+tests use flat blocks (a constant block has only a DC coefficient, which
+survives quantization exactly at q=1, so solid colors round-trip
+bit-exactly; the oracle gate leans on this).
+
+Reference parity: eventflux-io/engine has no media codecs at all; this
+extends the multimodal pipeline axis (SURVEY.md LLM-data-pipeline
+section) the same way the PNG/BMP/GIF/WAV/MP4 codecs do.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zig-zag scan order (T.81 Figure 5): index i in scan order → (row, col)
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: orthonormal DCT-II basis: A[k, n] = c(k) * cos((2n+1) k pi / 16)
+_A = np.array([
+    [float(np.sqrt(1 / 8)) if k == 0 else float(np.sqrt(2 / 8))
+     * float(np.cos((2 * n + 1) * k * np.pi / 16)) for n in range(8)]
+    for k in range(8)
+])
+
+# Annex K.1 example luminance / chrominance quantization tables (in zigzag
+# source order as table K.1/K.2 list them row-major; we store row-major)
+_QY = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+_QC = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+# Annex K.3 typical Huffman tables: (BITS list of 16 counts, HUFFVAL)
+_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(code_length, code) → symbol, per T.81 Annex C code assignment."""
+    codes: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment with 0xFF00
+    unstuffing; stops (and records position) at any other marker."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n <= 24:
+            if self.pos >= len(self.b):
+                self.acc = (self.acc << 8) | 0  # pad past end (EOB territory)
+                self.n += 8
+                continue
+            byte = self.b[self.pos]
+            if byte == 0xFF:
+                nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # restart marker: consumed by caller
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+                else:  # real marker: segment over, pad
+                    self.acc = (self.acc << 8) | 0
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self) -> None:
+        """Byte-align and consume one RSTn marker."""
+        self.acc, self.n = 0, 0
+        while self.pos + 1 < len(self.b):
+            if self.b[self.pos] == 0xFF and 0xD0 <= self.b[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+        raise ValueError("expected JPEG restart marker")
+
+
+def _huff_decode(r: _BitReader, codes: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.bit()
+        length += 1
+        sym = codes.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t-bit magnitude to signed coefficient."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → HxWx3 (or HxWx1 grayscale) uint8 array."""
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → codes
+    comps: list[dict] = []
+    w = h = None
+    restart = 0
+    pos = 2
+    scan_comps: list[dict] = []
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                tbl = np.frombuffer(seg, np.uint8, 64, i + 1).astype(np.int64)
+                dez = np.zeros(64, np.int64)
+                dez[_ZIGZAG] = tbl  # stored in zigzag order → natural
+                qt[tq] = dez.reshape(8, 8)
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError("only 8-bit JPEG supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            n = seg[5]
+            comps = []
+            for ci in range(n):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline sequential JPEG supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _canonical_codes(bits, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = seg[0]
+            scan_comps = []
+            for ci in range(ns):
+                cs, tdta = seg[1 + 2 * ci : 3 + 2 * ci]
+                comp = next(c for c in comps if c["id"] == cs)
+                scan_comps.append(
+                    {**comp, "td": tdta >> 4, "ta": tdta & 0xF}
+                )
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    if w is None or not scan_comps:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient planes (in blocks)
+    planes = {
+        c["id"]: np.zeros(
+            (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64
+        )
+        for c in scan_comps
+    }
+    r = _BitReader(b, pos)
+    pred = {c["id"]: 0 for c in scan_comps}
+    blocks: dict[int, list[tuple[int, int, np.ndarray]]] = {
+        c["id"]: [] for c in scan_comps
+    }
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                r.align_restart()
+                pred = {c["id"]: 0 for c in scan_comps}
+            for c in scan_comps:
+                dc_codes = huff.get((0, c["td"]))
+                ac_codes = huff.get((1, c["ta"]))
+                if dc_codes is None or ac_codes is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                q = qt.get(c["tq"])
+                if q is None:
+                    raise ValueError("JPEG scan references missing DQT")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, np.int64)
+                        t = _huff_decode(r, dc_codes)
+                        diff = _extend(r.bits(t), t)
+                        pred[c["id"]] += diff
+                        zz[0] = pred[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(r, ac_codes)
+                            rrrr, ssss = rs >> 4, rs & 0xF
+                            if ssss == 0:
+                                if rrrr == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += rrrr
+                            if k > 63:
+                                raise ValueError("JPEG AC run overflow")
+                            zz[k] = _extend(r.bits(ssss), ssss)
+                            k += 1
+                        coeff = np.zeros(64, np.int64)
+                        coeff[_ZIGZAG] = zz
+                        blocks[c["id"]].append(
+                            (
+                                (my * c["v"] + by) * 8,
+                                (mx * c["h"] + bx) * 8,
+                                coeff.reshape(8, 8) * q,
+                            )
+                        )
+            mcu_count += 1
+    # IDCT all blocks of each component at once: two matmuls over a stack
+    for c in scan_comps:
+        bl = blocks[c["id"]]
+        if not bl:
+            continue
+        stack = np.stack([m for _, _, m in bl]).astype(np.float64)
+        pix = np.einsum("kb,nkl,lc->nbc", _A, stack, _A) + 128.0
+        plane = planes[c["id"]]
+        for (y0, x0, _), blk in zip(bl, pix):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+    # upsample to full resolution and stack components
+    out = []
+    for c in scan_comps:
+        plane = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        out.append(plane[:h, :w])
+    if len(out) == 1:
+        y = np.clip(np.rint(out[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out) != 3:
+        raise ValueError(f"unsupported JPEG component count {len(out)}")
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def bits(self, v: int, k: int) -> None:
+        for i in range(k - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((v >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> None:
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+
+
+def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for encoding."""
+    return {
+        sym: (code, length)
+        for (length, code), sym in _canonical_codes(bits, vals).items()
+    }
+
+
+def _mag_bits(v: int) -> tuple[int, int]:
+    """signed value → (category t, t-bit magnitude code) per F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+def encode_jpeg(arr, quality: int = 90, subsample: bool = False) -> bytes:
+    """HxW / HxWx1 / HxWx3 uint8 array → baseline JFIF JPEG bytes.
+
+    quality 1-100 scales the Annex K tables (libjpeg's mapping); 100 →
+    all-ones quantization, at which flat 8x8 regions survive EXACTLY.
+    ``subsample=True`` emits 4:2:0 chroma.
+    """
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nch = a.shape
+    if nch not in (1, 3):
+        raise ValueError("encode_jpeg needs 1 or 3 channels")
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    def scaled(tbl: np.ndarray) -> np.ndarray:
+        q = (tbl * scale + 50) // 100
+        return np.clip(q, 1, 255)
+    qy = scaled(_QY).reshape(8, 8)
+    qc = scaled(_QC).reshape(8, 8)
+
+    if nch == 3:
+        rf = a.astype(np.float64)
+        y = 0.299 * rf[:, :, 0] + 0.587 * rf[:, :, 1] + 0.114 * rf[:, :, 2]
+        cb = -0.168736 * rf[:, :, 0] - 0.331264 * rf[:, :, 1] + 0.5 * rf[:, :, 2] + 128
+        cr = 0.5 * rf[:, :, 0] - 0.418688 * rf[:, :, 1] - 0.081312 * rf[:, :, 2] + 128
+        if subsample:
+            def down(p):
+                ph = p[: (p.shape[0] // 2) * 2, : (p.shape[1] // 2) * 2]
+                if ph.size == 0:  # degenerate 1-px dimension
+                    return p[:1, :1]
+                return ph.reshape(ph.shape[0] // 2, 2, ph.shape[1] // 2, 2).mean(
+                    axis=(1, 3)
+                )
+            planes = [(y, qy, 0, (2, 2)), (down(cb), qc, 1, (1, 1)),
+                      (down(cr), qc, 1, (1, 1))]
+        else:
+            planes = [(y, qy, 0, (1, 1)), (cb, qc, 1, (1, 1)),
+                      (cr, qc, 1, (1, 1))]
+    else:
+        planes = [(a[:, :, 0].astype(np.float64), qy, 0, (1, 1))]
+
+    hmax = max(p[3][0] for p in planes)
+    vmax = max(p[3][1] for p in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    dc_tabs = [_encode_codes(*_DC_LUM), _encode_codes(*_DC_CHR)]
+    ac_tabs = [_encode_codes(*_AC_LUM), _encode_codes(*_AC_CHR)]
+
+    # pad each plane to its own MCU-aligned size (edge replicate)
+    padded = []
+    for p, q, tid, (ch, cv) in planes:
+        ph = mcuy * cv * 8
+        pw = mcux * ch * 8
+        pp = np.empty((ph, pw), np.float64)
+        src_h = min(p.shape[0], ph)
+        src_w = min(p.shape[1], pw)
+        pp[:src_h, :src_w] = p[:src_h, :src_w]
+        if src_w < pw:
+            pp[:src_h, src_w:] = pp[:src_h, src_w - 1 : src_w]
+        if src_h < ph:
+            pp[src_h:] = pp[src_h - 1 : src_h]
+        padded.append((pp, q, tid, (ch, cv)))
+
+    bw = _BitWriter()
+    pred = [0] * len(padded)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (pp, q, tid, (ch, cv)) in enumerate(padded):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        blk = pp[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                        coeff = _A @ blk @ _A.T
+                        qz = np.rint(coeff / q).astype(np.int64)
+                        zz = qz.reshape(64)[_ZIGZAG]  # natural → scan order
+                        diff = int(zz[0]) - pred[ci]
+                        pred[ci] = int(zz[0])
+                        t, mag = _mag_bits(diff)
+                        code, ln = dc_tabs[tid][t]
+                        bw.bits(code, ln)
+                        if t:
+                            bw.bits(mag, t)
+                        run = 0
+                        last_nz = int(np.max(np.nonzero(zz)[0])) if zz.any() else 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                code, ln = ac_tabs[tid][0xF0]  # ZRL
+                                bw.bits(code, ln)
+                                run -= 16
+                            t, mag = _mag_bits(v)
+                            code, ln = ac_tabs[tid][(run << 4) | t]
+                            bw.bits(code, ln)
+                            bw.bits(mag, t)
+                            run = 0
+                        if last_nz < 63:
+                            code, ln = ac_tabs[tid][0x00]  # EOB
+                            bw.bits(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tid]) + bytes(q.reshape(64)[_ZIGZAG].astype(np.uint8)))
+
+    def dht(tc: int, th: int, tab: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = tab
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qy)
+    if nch == 3:
+        out += dqt(1, qc)
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nch])
+    for ci, (_, _, tid, (ch, cv)) in enumerate(planes):
+        sof += bytes([ci + 1, (ch << 4) | cv, tid])
+    out += seg(0xC0, sof)
+    out += dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
+    if nch == 3:
+        out += dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
+    sos = bytes([nch])
+    for ci, (_, _, tid, _hv) in enumerate(planes):
+        sos += bytes([ci + 1, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -2,17 +2,19 @@
 columns with typed metadata, processed by Arrow-batched pandas functions
 over ``mapInPandas``.
 
-PNG, BMP and GIF are decoded, resampled, and re-encoded FOR REAL — pure
-stdlib (PNG: zlib inflate + per-row unfilter per the public PNG spec /
-RFC 2083; BMP: BI_RGB row walk with palette expansion; GIF: variable-width
-LZW per the GIF89a spec; numpy bilinear resample; zlib deflate + crc32 on
-the PNG way out). WAV/PCM16 audio decodes for real (RIFF chunk walk), and
-MP4 video DEMUXES for real (ISO-BMFF box walk: stts/stsz/stsc/stco sample
-tables → per-frame byte ranges). Only JPEG pixel entropy decode and
-actual video FRAME decode remain gated: those genuinely need imaging/av
-libraries absent in this container, so they use documented deterministic
-stand-ins that keep the Arrow plumbing (schemas, batch iteration,
-null-safety, partition-level parallelism) fully testable.
+PNG, BMP, GIF and baseline JPEG are decoded, resampled, and re-encoded
+FOR REAL — pure stdlib+numpy (PNG: zlib inflate + per-row unfilter per
+the public PNG spec / RFC 2083; BMP: BI_RGB row walk with palette
+expansion; GIF: variable-width LZW per the GIF89a spec; JPEG: Huffman +
+dequant + IDCT per ITU-T T.81, see datapipe.jpeg; numpy bilinear
+resample; zlib deflate + crc32 on the PNG way out). WAV/PCM16 audio
+decodes for real (RIFF chunk walk), and MP4 video DEMUXES for real
+(ISO-BMFF box walk: stts/stsz/stsc/stco sample tables → per-frame byte
+ranges). Only video FRAME pixel decode (and exotic profiles: progressive
+JPEG, 16-bit PNG) remains gated — that genuinely needs an av library
+absent in this container, so it uses a documented deterministic stand-in
+that keeps the Arrow plumbing (schemas, batch iteration, null-safety,
+partition-level parallelism) fully testable.
 
 Scale notes: mapInPandas streams Arrow record batches — payload bytes never
 materialize on the driver; batch size is bounded by
@@ -618,10 +620,11 @@ def encode_gif(indices, palette) -> bytes:
 
 def decode_pixels(b: bytes):
     """(format, HxWxC uint8 array) for any container with a real stdlib
-    pixel codec here (png/bmp/gif); (format, None) when only the header is
-    parseable (jpeg — entropy decode genuinely needs an imaging library);
-    (None, None) for unknown bytes. Raises DECODE_ERRORS members on
-    corrupt payloads — callers catch and degrade."""
+    pixel codec here (png/bmp/gif/baseline jpeg — see datapipe.jpeg for
+    the Huffman+IDCT decoder); (format, None) when only the header is
+    parseable (progressive/arithmetic JPEG profiles); (None, None) for
+    unknown bytes. Raises DECODE_ERRORS members on corrupt payloads —
+    callers catch and degrade."""
     fmt, _, _ = parse_image_header(b)
     if fmt == "png":
         return fmt, decode_png(b)
@@ -629,6 +632,10 @@ def decode_pixels(b: bytes):
         return fmt, decode_bmp(b)
     if fmt == "gif":
         return fmt, decode_gif(b)
+    if fmt == "jpeg":
+        from engine_spark.datapipe.jpeg import decode_jpeg
+
+        return fmt, decode_jpeg(b)
     return fmt, None
 
 
@@ -639,14 +646,13 @@ DECODE_IMAGE_SCHEMA = (
 
 
 def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL full pixel decode for PNG / BMP / GIF payloads → (format, true
-    pixel width/height, channel count, sum of all decoded pixel values) via
-    Arrow-batched mapInPandas, entirely stdlib-side (decode_png /
-    decode_bmp / decode_gif). JPEG — the one pixel codec that genuinely
-    needs an imaging library (baseline entropy decode) — reports its header
-    format with NULL pixel fields, keeping decode a per-row total function.
-    With Pillow installed the fallback branch would hand those bytes to
-    ``PIL.Image``; everything else is identical."""
+    """REAL full pixel decode for PNG / BMP / GIF / baseline-JPEG payloads
+    → (format, true pixel width/height, channel count, sum of all decoded
+    pixel values) via Arrow-batched mapInPandas, entirely stdlib-side
+    (decode_png / decode_bmp / decode_gif / datapipe.jpeg.decode_jpeg).
+    Exotic profiles (progressive or arithmetic-coded JPEG, 16-bit or
+    Adam7 PNG) report their header format with NULL pixel fields, keeping
+    decode a per-row total function."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -695,17 +701,18 @@ def resize_image(
     resized payload, Arrow-batched mapInPandas (map-only; payload bytes
     never shuffle).
 
-    PNG / BMP / GIF payloads take the REAL pixel path — stdlib decode
-    (decode_pixels), vectorized numpy bilinear resample, stdlib PNG
-    re-encode — so the output payload is a genuine PNG whose header parses
-    to (width, height) and whose pixels are the resampled source (output
-    is normalized to PNG regardless of input container, the standard
-    pipeline move; GIF re-palettization is out of scope). JPEG (the one
-    codec genuinely needing an imaging library; with Pillow installed the
-    same branch would call it) falls back to a DETERMINISTIC stand-in —
-    source dims from the real header parser (else the fake-decode dims),
-    exact scale factors, and a length-scaled byte slice as the payload —
-    keeping the full pipeline runnable and testable end-to-end.
+    PNG / BMP / GIF / baseline-JPEG payloads take the REAL pixel path —
+    stdlib decode (decode_pixels; JPEG via datapipe.jpeg's Huffman+IDCT),
+    vectorized numpy bilinear resample, stdlib PNG re-encode — so the
+    output payload is a genuine PNG whose header parses to (width,
+    height) and whose pixels are the resampled source (output is
+    normalized to PNG regardless of input container, the standard
+    pipeline move; GIF re-palettization and JPEG re-encode-lossy are out
+    of scope for the output side). Undecodable profiles (progressive
+    JPEG, 16-bit PNG) fall back to a DETERMINISTIC stand-in — source dims
+    from the real header parser (else the fake-decode dims), exact scale
+    factors, and a length-scaled byte slice as the payload — keeping the
+    full pipeline runnable and testable end-to-end.
     """
     if width < 1 or height < 1:
         raise ValueError("resize target dimensions must be >= 1")
@@ -716,7 +723,7 @@ def resize_image(
             for did, p in zip(pdf["doc_id"], pdf[payload_col]):
                 b = b"" if p is None else bytes(p)
                 fmt, sw, sh = parse_image_header(b)
-                if fmt in ("png", "bmp", "gif"):
+                if fmt in ("png", "bmp", "gif", "jpeg"):
                     try:
                         _, arr = decode_pixels(b)
                         if arr is not None and arr.shape[2] == 4 and fmt != "png":

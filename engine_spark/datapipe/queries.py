@@ -1467,6 +1467,57 @@ def q_multimodal_bmp_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(payloads).orderBy("doc_id")
 
 
+@register(
+    "multimodal_jpeg",
+    """
+    SELECT doc_id, 'jpeg' AS format,
+           (n_chars % 24 + 4)::INT AS width,
+           (doc_id % 20 + 4)::INT AS height,
+           3::INT AS channels,
+           CAST(((doc_id % 256) + (doc_id * 7) % 256 + (doc_id * 13) % 256)
+                * (n_chars % 24 + 4) * (doc_id % 20 + 4) AS BIGINT) AS pix_sum
+    FROM documents ORDER BY doc_id
+    """,
+    doc=(
+        "REAL baseline JPEG decode (datapipe.jpeg: marker walk, canonical "
+        "Huffman, dequant, de-zigzag, orthonormal IDCT, 4:2:0 chroma "
+        "upsample, BT.601 YCbCr->RGB), zero stand-ins on this path: each "
+        "document becomes a genuine JFIF file (stdlib encoder, Annex K "
+        "tables at quality=100; odd doc_ids emit 4:2:0) holding a solid "
+        "color — a constant block has only a DC coefficient, which "
+        "survives q=1 quantization exactly, so the decode is bit-exact "
+        "and the oracle recomputes the pixel sum in closed form. A wrong "
+        "zigzag, a broken Huffman table, a bad color transform, or an "
+        "off-by-one in the chroma upsample all break the sum. Map-only."
+    ),
+)
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import decode_image
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from engine_spark.datapipe.jpeg import encode_jpeg
+
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w, h = nc % 24 + 4, did % 20 + 4
+                arr = np.empty((h, w, 3), np.uint8)
+                arr[:, :] = (did % 256, (did * 7) % 256, (did * 13) % 256)
+                rows.append(
+                    (did, encode_jpeg(arr, quality=100, subsample=did % 2 == 1))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_image(payloads).orderBy("doc_id")
+
+
 FRAMES_EVERY_K = 2
 
 

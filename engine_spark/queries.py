@@ -1490,6 +1490,7 @@ _ORDER = [
     # in next round per the rotation policy above)
     "multimodal_bmp_gif",          # REAL BMP BI_RGB + GIF LZW pixel decode
     "multimodal_frames",           # REAL MP4 ISO-BMFF sample-table demux
+    "multimodal_jpeg",             # REAL baseline JPEG Huffman+IDCT decode
 ]
 
 

@@ -1129,6 +1129,78 @@ def test_gif_codec_roundtrip_palettes_and_lzw():
         pass
 
 
+def test_jpeg_codec_roundtrip_exact_and_lossy():
+    """Baseline JPEG codec (datapipe.jpeg): solid colors round-trip
+    BIT-EXACTLY at quality=100 (a constant block is DC-only, which q=1
+    quantization preserves); gradients round-trip within JPEG-typical
+    tolerance at q=90 for 4:4:4 and 4:2:0; grayscale works; progressive
+    streams and garbage are rejected with ValueError."""
+    import numpy as np
+
+    from engine_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    for v in ((0, 0, 0), (77, 200, 13), (255, 255, 255), (128, 50, 220)):
+        a = np.empty((16, 24, 3), np.uint8)
+        a[:, :] = v
+        for sub in (False, True):
+            d = decode_jpeg(encode_jpeg(a, quality=100, subsample=sub))
+            assert d.shape == a.shape and (d == a).all(), (v, sub)
+
+    g = ((np.arange(40)[:, None] + np.arange(56)[None, :]) * 3 % 256).astype(
+        np.uint8
+    )
+    img = np.stack([g, g[::-1], (g * 2) % 256], axis=2).astype(np.uint8)
+    for sub, tol in ((False, 6), (True, 10)):
+        d = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        err = np.abs(d.astype(int) - img.astype(int)).mean()
+        assert d.shape == img.shape and err < tol, (sub, err)
+
+    gray = (np.arange(32)[:, None] * 8 % 256 * np.ones((1, 40))).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(gray, quality=95))
+    assert d.shape == (32, 40, 1)
+    assert np.abs(d[:, :, 0].astype(int) - gray.astype(int)).mean() < 4
+
+    # non-multiple-of-8 dims exercise the edge-replicate padding
+    rng = np.random.RandomState(1)
+    odd = rng.randint(0, 256, size=(13, 19, 3)).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(odd, quality=100))
+    assert d.shape == (13, 19, 3)
+
+    # progressive (SOF2) honestly rejected, not mis-decoded
+    b = bytearray(encode_jpeg(odd))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2
+    try:
+        decode_jpeg(bytes(b))
+        raise AssertionError("progressive JPEG should raise")
+    except ValueError:
+        pass
+    for bad in (b"", b"\xff\xd8\xff\xd9", b"\x89PNG"):
+        try:
+            decode_jpeg(bad)
+            raise AssertionError("garbage should raise")
+        except ValueError:
+            pass
+
+
+def test_decode_image_jpeg_real_pixels(spark):
+    """decode_image now reports REAL pixel fields for baseline JPEG."""
+    import numpy as np
+
+    from engine_spark.datapipe.jpeg import encode_jpeg
+    from engine_spark.datapipe.multimodal import decode_image
+
+    a = np.empty((6, 9, 3), np.uint8)
+    a[:, :] = (10, 200, 30)
+    d = spark.createDataFrame(
+        [(1, bytearray(encode_jpeg(a, quality=100)))],
+        "doc_id long, payload binary",
+    )
+    row = decode_image(d).collect()[0]
+    assert (row.format, row.width, row.height, row.channels) == ("jpeg", 9, 6, 3)
+    assert row.pix_sum == 240 * 6 * 9
+
+
 def test_mp4_demux_roundtrip_and_frame_sample(spark):
     """encode_mp4 → parse_mp4 recovers exact per-frame byte ranges through
     the stts/stsz/stsc/stco tables (two samples per chunk, so the chunk-run
