@@ -837,6 +837,14 @@ def parse_mp4(b: bytes) -> dict:
                 raise ValueError(f"MP4 stbl missing {fourcc.decode()}")
             return c
 
+        codec = None
+        stsd = _mp4_child(b, *stbl, b"stsd")
+        if stsd is not None:
+            (n_sd,) = struct.unpack(">I", b[stsd[0] + 4 : stsd[0] + 8])
+            if n_sd >= 1 and stsd[0] + 16 <= stsd[1]:
+                codec = b[stsd[0] + 12 : stsd[0] + 16].decode(
+                    "ascii", "replace"
+                )
         # stts → per-sample decode times/durations
         s, _ = body(b"stts")
         (n_ent,) = struct.unpack(">I", b[s + 4 : s + 8])
@@ -902,17 +910,20 @@ def parse_mp4(b: bytes) -> dict:
             "offsets": offsets,
             "sizes": sizes,
             "times": times,
+            "codec": codec,
         }
     raise ValueError("MP4 without a video track")
 
 
 def encode_mp4(frames: list[bytes], timescale: int = 600,
-               frame_duration: int = 25) -> bytes:
+               frame_duration: int = 25, codec: bytes = b"jpeg") -> bytes:
     """List of per-frame byte strings → minimal but structurally genuine
     MP4: ftyp + mdat holding the concatenated frames + moov/trak/mdia/
-    mdhd/hdlr/minf/stbl with real stts/stsz/stsc/stco tables (two samples
-    per chunk, so the stsc expansion is non-trivial). Any conformant
-    demuxer recovers the exact frame byte ranges."""
+    mdhd/hdlr/minf/stbl with real stsd/stts/stsz/stsc/stco tables (two
+    samples per chunk, so the stsc expansion is non-trivial). Any
+    conformant demuxer recovers the exact frame byte ranges. ``codec`` is
+    the stsd sample-entry fourcc — b"jpeg" declares Motion-JPEG samples
+    (each frame is a complete JFIF image, QuickTime/ISO convention)."""
     import struct
 
     def box(typ: bytes, *payload: bytes) -> bytes:
@@ -955,7 +966,14 @@ def encode_mp4(frames: list[bytes], timescale: int = 600,
         struct.pack(">II", 0, len(chunk_offs)),
         struct.pack(f">{len(chunk_offs)}I", *chunk_offs),
     )
-    stbl = box(b"stbl", stts, stsc, stsz, stco)
+    # stsd: one VisualSampleEntry with the codec fourcc (86-byte body per
+    # ISO 14496-12 §12.1.3; width/height left 0 — frames carry their own)
+    sample_entry = (
+        struct.pack(">I", 86) + codec + b"\x00" * 6 + struct.pack(">H", 1)
+        + b"\x00" * 70
+    )
+    stsd = box(b"stsd", struct.pack(">II", 0, 1), sample_entry)
+    stbl = box(b"stbl", stsd, stts, stsc, stsz, stco)
     minf = box(b"minf", stbl)
     hdlr = box(
         b"hdlr", struct.pack(">II", 0, 0), b"vide", b"\x00" * 12, b"demo\x00"
@@ -1040,14 +1058,77 @@ def frame_sample(
     return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
+FRAME_DECODE_SCHEMA = (
+    "doc_id long, frame_idx int, n_frames int, ts_s double, width int, "
+    "height int, channels int, pix_sum long"
+)
+
+
+def decode_frames(
+    df: DataFrame, every_k: int = 10, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame PIXEL decode for Motion-JPEG MP4s: parse_mp4 walks
+    the sample tables (stsd declares the 'jpeg' sample entry — the
+    QuickTime/ISO MJPEG convention where every sample is a complete JFIF
+    image), every ``every_k``-th frame's bytes are sliced out of mdat and
+    decoded with the stdlib baseline JPEG codec; emits the frame's decode
+    timestamp (mdhd timescale units → seconds), true dimensions, and pixel
+    sum. Inter-coded codecs (avc1/hev1/vp09 — entropy+motion decode
+    genuinely needs an av library) and undecodable frames emit rows with
+    NULL pixel fields; non-MP4 payloads emit nothing. Map-only; payloads
+    never shuffle, and only the SAMPLED frames are decoded — at every_k=10
+    that is 10x less pixel work than full decode, the point of sampling."""
+    if every_k < 1:
+        raise ValueError("every_k must be >= 1")
+
+    from engine_spark.datapipe.jpeg import decode_jpeg
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf[payload_col]):
+                b = b"" if p is None else bytes(p)
+                try:
+                    mp4 = parse_mp4(b)
+                except DECODE_ERRORS:
+                    continue
+                n, tsc = mp4["n_frames"], mp4["timescale"]
+                mjpeg = mp4["codec"] in ("jpeg", "mjpa", "mjpb")
+                for fi in range(0, n, every_k):
+                    ts_s = mp4["times"][fi] / tsc if tsc else None
+                    base = (int(did), fi, n, ts_s)
+                    if mjpeg:
+                        o, sz = mp4["offsets"][fi], mp4["sizes"][fi]
+                        try:
+                            arr = decode_jpeg(b[o : o + sz])
+                            rows.append(
+                                base
+                                + (
+                                    arr.shape[1],
+                                    arr.shape[0],
+                                    arr.shape[2],
+                                    int(arr.sum(dtype="int64")),
+                                )
+                            )
+                            continue
+                        except DECODE_ERRORS:
+                            pass
+                    rows.append(base + (None, None, None, None))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "frame_idx", "n_frames", "ts_s",
+                             "width", "height", "channels", "pix_sum"],
+                )
+
+    return df.mapInPandas(run, schema=FRAME_DECODE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame PIXEL decode. The MP4 demux (frame byte ranges, counts,
-    timestamps) is real — use ``frame_sample``; decoding the sampled
-    frames' pixels requires an av library."""
-    raise NotImplementedError(
-        "frame pixel decode requires pyav, which is not installed in this "
-        "environment; frame_sample() provides the real MP4 demux half"
-    )
+    """Back-compat alias: video frame sampling WITH pixel decode — real for
+    Motion-JPEG MP4s (see decode_frames); inter-coded codecs report NULL
+    pixel fields (their decode genuinely needs an av library)."""
+    return decode_frames(df, every_n)
 
 
 # ---------------------------------------------------------------------------

@@ -1491,6 +1491,7 @@ _ORDER = [
     "multimodal_bmp_gif",          # REAL BMP BI_RGB + GIF LZW pixel decode
     "multimodal_frames",           # REAL MP4 ISO-BMFF sample-table demux
     "multimodal_jpeg",             # REAL baseline JPEG Huffman+IDCT decode
+    "multimodal_video_frames",     # REAL MJPEG MP4 frame pixel decode
 ]
 
 

@@ -1238,6 +1238,38 @@ def test_mp4_demux_roundtrip_and_frame_sample(spark):
     assert got[(2, 0)].n_frames == 2  # stand-in path for non-MP4 bytes
 
 
+def test_decode_frames_mjpeg_real_pixels_avc_gated(spark):
+    """decode_frames: Motion-JPEG MP4 samples decode to REAL pixels (dims,
+    timestamp, pixel sum); an avc1-declared track emits the honest NULL-
+    pixel rows (inter-frame decode needs an av library); non-MP4 payloads
+    emit nothing."""
+    import numpy as np
+
+    from engine_spark.datapipe.jpeg import encode_jpeg
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    frames = []
+    for i in range(5):
+        a = np.empty((8, 12, 3), np.uint8)
+        a[:, :] = (10 * i, 20, 30)
+        frames.append(encode_jpeg(a, quality=100))
+    mjpeg = encode_mp4(frames, codec=b"jpeg")
+    avc = encode_mp4([b"\x00" * 40, b"\x00" * 50], codec=b"avc1")
+    d = spark.createDataFrame(
+        [(1, bytearray(mjpeg)), (2, bytearray(avc)), (3, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    rows = {(r.doc_id, r.frame_idx): r for r in decode_frames(d, 2).collect()}
+    assert sorted(rows) == [(1, 0), (1, 2), (1, 4), (2, 0)]
+    for fi in (0, 2, 4):
+        r = rows[(1, fi)]
+        assert (r.width, r.height, r.channels) == (12, 8, 3)
+        assert r.pix_sum == (10 * fi + 50) * 8 * 12
+        assert abs(r.ts_s - fi * 25 / 600) < 1e-9
+    r = rows[(2, 0)]
+    assert r.n_frames == 2 and r.pix_sum is None and r.width is None
+
+
 def test_png_codec_roundtrip_all_filters_and_channels():
     """decode(encode(a)) == a for every PNG filter type (0-4) and channel
     count — exercises each unfilter branch (Sub/Up/Average/Paeth) of the
