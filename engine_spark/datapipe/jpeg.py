@@ -128,72 +128,69 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], 
     return codes
 
 
-class _BitReader:
-    """MSB-first bit reader over an entropy-coded segment with 0xFF00
-    unstuffing; stops (and records position) at any other marker."""
+def _unstuff(b: bytes, pos: int) -> tuple[bytes, list[int]]:
+    """Entropy-coded segment → (unstuffed bytes, restart byte offsets).
+    0xFF00 → 0xFF; RSTn markers are removed with their (unstuffed) offset
+    recorded; any other marker ends the segment. One pass up front lets
+    the bit reader below be branch-free."""
+    out = bytearray()
+    restarts: list[int] = []
+    n = len(b)
+    i = pos
+    while i < n:
+        byte = b[i]
+        if byte != 0xFF:
+            out.append(byte)
+            i += 1
+            continue
+        nxt = b[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            out.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            restarts.append(len(out))
+            i += 2
+        else:
+            break
+    return bytes(out), restarts
 
-    def __init__(self, b: bytes, pos: int):
-        self.b = b
-        self.pos = pos
-        self.acc = 0
-        self.n = 0
 
-    def _fill(self) -> None:
-        while self.n <= 24:
-            if self.pos >= len(self.b):
-                self.acc = (self.acc << 8) | 0  # pad past end (EOB territory)
-                self.n += 8
-                continue
-            byte = self.b[self.pos]
-            if byte == 0xFF:
-                nxt = self.b[self.pos + 1] if self.pos + 1 < len(self.b) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # restart marker: consumed by caller
-                    self.acc = (self.acc << 8) | 0
-                    self.n += 8
-                    continue
-                else:  # real marker: segment over, pad
-                    self.acc = (self.acc << 8) | 0
-                    self.n += 8
-                    continue
-            else:
-                self.pos += 1
-            self.acc = (self.acc << 8) | byte
-            self.n += 8
+class _FastBits:
+    """MSB-first bit cursor over pre-unstuffed bytes: 16-bit peeks feed
+    the Huffman LUT; multi-bit reads are one int.from_bytes window."""
 
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf + b"\x00" * 8  # EOB-territory padding
+        self.pos = 0
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        window = int.from_bytes(self.buf[byte : byte + 4], "big")
+        return (window >> (16 - (self.pos & 7))) & 0xFFFF
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        byte = self.pos >> 3
+        window = int.from_bytes(self.buf[byte : byte + 5], "big")
+        v = (window >> (40 - (self.pos & 7) - k)) & ((1 << k) - 1)
+        self.pos += k
         return v
 
-    def align_restart(self) -> None:
-        """Byte-align and consume one RSTn marker."""
-        self.acc, self.n = 0, 0
-        while self.pos + 1 < len(self.b):
-            if self.b[self.pos] == 0xFF and 0xD0 <= self.b[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
-        raise ValueError("expected JPEG restart marker")
 
-
-def _huff_decode(r: _BitReader, codes: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | r.bit()
-        length += 1
-        sym = codes.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid JPEG Huffman code")
+def _huff_lut(codes: dict[tuple[int, int], int]) -> list[int]:
+    """16-bit-prefix lookup table: lut[next16] = (code_length << 8) | sym.
+    One list index replaces the per-bit walk (T.81 allows codes ≤ 16
+    bits, so every code determines a unique 16-bit prefix range)."""
+    lut = [0] * 65536
+    for (ln, code), sym in codes.items():
+        base = code << (16 - ln)
+        val = (ln << 8) | sym
+        for i in range(1 << (16 - ln)):
+            lut[base + i] = val
+    return lut
 
 
 def _extend(v: int, t: int) -> int:
@@ -285,65 +282,84 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         )
         for c in scan_comps
     }
-    r = _BitReader(b, pos)
+    buf, restarts = _unstuff(b, pos)
+    r = _FastBits(buf)
+    restart_iter = iter(restarts)
+    luts: dict[tuple[int, int], list[int]] = {
+        key: _huff_lut(codes) for key, codes in huff.items()
+    }
     pred = {c["id"]: 0 for c in scan_comps}
-    blocks: dict[int, list[tuple[int, int, np.ndarray]]] = {
+    # per-component per-block scan-order coefficient rows + positions
+    coeffs: dict[int, list[list[int]]] = {c["id"]: [] for c in scan_comps}
+    positions: dict[int, list[tuple[int, int]]] = {
         c["id"]: [] for c in scan_comps
     }
+    comp_tabs = []
+    for c in scan_comps:
+        dc_lut = luts.get((0, c["td"]))
+        ac_lut = luts.get((1, c["ta"]))
+        if dc_lut is None or ac_lut is None:
+            raise ValueError("JPEG scan references missing DHT")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG scan references missing DQT")
+        comp_tabs.append((c, dc_lut, ac_lut))
     mcu_count = 0
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
-                r.align_restart()
+                nxt = next(restart_iter, None)
+                if nxt is None:
+                    raise ValueError("expected JPEG restart marker")
+                r.pos = nxt * 8
                 pred = {c["id"]: 0 for c in scan_comps}
-            for c in scan_comps:
-                dc_codes = huff.get((0, c["td"]))
-                ac_codes = huff.get((1, c["ta"]))
-                if dc_codes is None or ac_codes is None:
-                    raise ValueError("JPEG scan references missing DHT")
-                q = qt.get(c["tq"])
-                if q is None:
-                    raise ValueError("JPEG scan references missing DQT")
+            for c, dc_lut, ac_lut in comp_tabs:
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        zz = np.zeros(64, np.int64)
-                        t = _huff_decode(r, dc_codes)
+                        zz = [0] * 64
+                        v = dc_lut[r.peek16()]
+                        if not v:
+                            raise ValueError("invalid JPEG Huffman code")
+                        r.pos += v >> 8
+                        t = v & 0xFF
                         diff = _extend(r.bits(t), t)
                         pred[c["id"]] += diff
                         zz[0] = pred[c["id"]]
                         k = 1
                         while k < 64:
-                            rs = _huff_decode(r, ac_codes)
-                            rrrr, ssss = rs >> 4, rs & 0xF
+                            v = ac_lut[r.peek16()]
+                            if not v:
+                                raise ValueError("invalid JPEG Huffman code")
+                            r.pos += v >> 8
+                            rs = v & 0xFF
+                            ssss = rs & 0xF
                             if ssss == 0:
-                                if rrrr == 15:
+                                if rs == 0xF0:
                                     k += 16  # ZRL
                                     continue
                                 break  # EOB
-                            k += rrrr
+                            k += rs >> 4
                             if k > 63:
                                 raise ValueError("JPEG AC run overflow")
                             zz[k] = _extend(r.bits(ssss), ssss)
                             k += 1
-                        coeff = np.zeros(64, np.int64)
-                        coeff[_ZIGZAG] = zz
-                        blocks[c["id"]].append(
-                            (
-                                (my * c["v"] + by) * 8,
-                                (mx * c["h"] + bx) * 8,
-                                coeff.reshape(8, 8) * q,
-                            )
+                        coeffs[c["id"]].append(zz)
+                        positions[c["id"]].append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
                         )
             mcu_count += 1
-    # IDCT all blocks of each component at once: two matmuls over a stack
+    # dequantize + de-zigzag + IDCT all blocks of each component at once:
+    # one fancy-index + one einsum over the whole block stack
     for c in scan_comps:
-        bl = blocks[c["id"]]
-        if not bl:
+        rowsz = coeffs[c["id"]]
+        if not rowsz:
             continue
-        stack = np.stack([m for _, _, m in bl]).astype(np.float64)
+        scan = np.array(rowsz, np.float64)  # (n, 64) in scan order
+        nat = np.empty_like(scan)
+        nat[:, _ZIGZAG] = scan
+        stack = nat.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
         pix = np.einsum("kb,nkl,lc->nbc", _A, stack, _A) + 128.0
         plane = planes[c["id"]]
-        for (y0, x0, _), blk in zip(bl, pix):
+        for (y0, x0), blk in zip(positions[c["id"]], pix):
             plane[y0 : y0 + 8, x0 : x0 + 8] = blk
     # upsample to full resolution and stack components
     out = []
