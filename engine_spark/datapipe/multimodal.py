@@ -10,8 +10,8 @@ dequant + IDCT per ITU-T T.81, see datapipe.jpeg; numpy bilinear
 resample; zlib deflate + crc32 on the PNG way out). WAV/PCM16 audio
 decodes for real (RIFF chunk walk), and MP4 video DEMUXES for real
 (ISO-BMFF box walk: stts/stsz/stsc/stco sample tables → per-frame byte
-ranges). Only video FRAME pixel decode (and exotic profiles: progressive
-JPEG, 16-bit PNG) remains gated — that genuinely needs an av library
+ranges). Only inter-coded video FRAME pixel decode (and progressive
+JPEG) remains gated — that genuinely needs an av library
 absent in this container, so it uses a documented deterministic stand-in
 that keeps the Arrow plumbing (schemas, batch iteration, null-safety,
 partition-level parallelism) fully testable.
@@ -157,20 +157,121 @@ def decode_image_headers(df: DataFrame, payload_col: str = "payload") -> DataFra
 
 # ---------------------------------------------------------------------------
 # REAL stdlib PNG pixel codec (zlib inflate + per-row unfilter; PNG spec /
-# RFC 2083 §6: filter types 0-4). No imaging library involved. 8-bit depth,
+# RFC 2083 §6: filter types 0-4). No imaging library involved. Every legal
+# profile decodes: bit depths 1/2/4/8/16 (16-bit scales to the high byte),
 # color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-# non-interlaced — the overwhelmingly dominant PNG profile; 16-bit and
-# Adam7 raise ValueError (caught by callers as "not decodable here").
+# and Adam7 interlace (each pass an independently-filtered sub-image,
+# scattered on the pass grid).
 # ---------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+#: Adam7 pass grid: (x0, y0, x_step, y_step) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, rpos: int, ph: int, rowbytes: int, bpp: int):
+    """Unfilter ``ph`` scanlines of ``rowbytes`` bytes (filter distance
+    ``bpp`` bytes — the PNG spec's byte-level filtering, which makes this
+    one routine serve every depth: 16-bit rows filter with bpp=2*nch,
+    sub-byte rows with bpp=1). Returns ((ph, rowbytes) uint8, new rpos).
+
+    Vectorization per filter type (measured, PERF.md round 7): Up is one
+    vector add; Sub is a per-lane cumsum (mod distributes over the prefix
+    sum); Average/Paeth have a true x-sequential recurrence through a
+    nonlinear floor/branch, so the win there is a tight plain-int byte
+    loop with the predictor inlined (numpy scalar indexing is ~8x slower,
+    per-pixel small-array numpy ~12x)."""
+    import numpy as np
+
+    if len(raw) < rpos + ph * (rowbytes + 1):
+        raise ValueError("IDAT shorter than image")
+    lanes = rowbytes // bpp
+    out = np.zeros((ph, rowbytes), np.uint8)
+    prev = np.zeros((lanes, bpp), np.int32)
+    for y in range(ph):
+        f = raw[rpos]
+        line = (
+            np.frombuffer(raw[rpos + 1 : rpos + 1 + rowbytes], np.uint8)
+            .astype(np.int32)
+            .reshape(lanes, bpp)
+        )
+        rpos += 1 + rowbytes
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif f == 1:  # Sub: per-lane byte prefix sum
+            cur = (np.cumsum(line, axis=0, dtype=np.int64) & 0xFF).astype(
+                np.int32
+            )
+        elif f in (3, 4):  # Average / Paeth
+            cur_l = list(raw[rpos - rowbytes : rpos])
+            prev_l = prev.ravel().tolist()
+            if f == 3:
+                for i in range(rowbytes):
+                    left = cur_l[i - bpp] if i >= bpp else 0
+                    cur_l[i] = (cur_l[i] + ((left + prev_l[i]) >> 1)) & 0xFF
+            else:
+                for i in range(rowbytes):
+                    left = cur_l[i - bpp] if i >= bpp else 0
+                    up = prev_l[i]
+                    ul = prev_l[i - bpp] if i >= bpp else 0
+                    p = left + up - ul
+                    pa = p - left
+                    pb = p - up
+                    pc = p - ul
+                    if pa < 0:
+                        pa = -pa
+                    if pb < 0:
+                        pb = -pb
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = left
+                    elif pb <= pc:
+                        pred = up
+                    else:
+                        pred = ul
+                    cur_l[i] = (cur_l[i] + pred) & 0xFF
+            cur = np.array(cur_l, np.int32).reshape(lanes, bpp)
+        else:
+            raise ValueError(f"bad filter type {f} at row {y}")
+        out[y] = cur.astype(np.uint8).reshape(rowbytes)
+        prev = cur
+    return out, rpos
+
+
+def _png_rows_to_samples(rows, pw: int, nch: int, depth: int):
+    """(ph, rowbytes) filtered-out bytes → (ph, pw, nch) uint8 samples.
+    16-bit samples scale to 8 bits (high byte — the PNG-recommended
+    approximation); sub-byte gray/palette values unpack MSB-first."""
+    import numpy as np
+
+    ph = rows.shape[0]
+    if depth == 8:
+        return rows[:, : pw * nch].reshape(ph, pw, nch)
+    if depth == 16:
+        pairs = rows[:, : pw * nch * 2].reshape(ph, pw, nch, 2)
+        return pairs[:, :, :, 0]  # high byte == round(v / 257) ± 1
+    # depth 1/2/4: nch == 1 (gray or palette indexes), bits MSB-first
+    bits = np.unpackbits(rows, axis=1)
+    vals = bits.reshape(ph, -1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    v = (vals * weights[None, None, :]).sum(axis=2).astype(np.uint8)
+    return v[:, :pw, None]
+
+
 def decode_png(b: bytes):
     """PNG bytes → HxWxC uint8 numpy array. Pure stdlib: chunk walk,
     concatenated-IDAT zlib inflate, per-row unfilter (all five filter
-    types). Palette images are expanded through PLTE to RGB."""
+    types), Adam7 deinterlace, every legal bit depth (1/2/4/8/16 — 16-bit
+    scales to 8). Palette images are expanded through PLTE to RGB."""
     import struct
     import zlib
 
@@ -197,86 +298,39 @@ def decode_png(b: bytes):
         pos += 12 + ln  # length + type + data + crc32
     if w is None or not idat:
         raise ValueError("truncated PNG (no IHDR/IDAT)")
-    if depth != 8:
-        raise ValueError(f"bit depth {depth} not supported (8 only)")
-    if interlace != 0:
-        raise ValueError("Adam7 interlacing not supported")
     if ctype not in _PNG_CHANNELS:
         raise ValueError(f"unknown color type {ctype}")
+    if depth not in (1, 2, 4, 8, 16) or (
+        depth < 8 and ctype not in (0, 3)
+    ) or (depth == 16 and ctype == 3):
+        raise ValueError(f"illegal PNG depth/type combination {depth}/{ctype}")
     nch = _PNG_CHANNELS[ctype]
-    stride = w * nch
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) < h * (stride + 1):
-        raise ValueError("IDAT shorter than image")
-    # Unfilter with (w, nch) row layout so the x-sequential filters use
-    # vectorized channel math. Real-world libpng output is mostly adaptive
-    # Sub/Average/Paeth rows, so these paths — not just filter 0 — are the
-    # 100 TB hot path.
-    out = np.zeros((h, stride), np.uint8)
-    prev = np.zeros((w, nch), np.int32)
+    bpp = max(1, (depth * nch) // 8)
+    full = np.zeros((h, w, nch), np.uint8)
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     rpos = 0
-    for y in range(h):
-        f = raw[rpos]
-        line = (
-            np.frombuffer(raw[rpos + 1 : rpos + 1 + stride], np.uint8)
-            .astype(np.int32)
-            .reshape(w, nch)
-        )
-        rpos += 1 + stride
-        if f == 0:  # None
-            cur = line
-        elif f == 2:  # Up — vectorized (no left dependency)
-            cur = (line + prev) & 0xFF
-        elif f == 1:
-            # Sub: cur[x] = sum(line[0..x]) mod 256 per channel lane — mod
-            # distributes over +, so the whole row is one cumsum
-            cur = (np.cumsum(line, axis=0, dtype=np.int64) & 0xFF).astype(
-                np.int32
-            )
-        elif f in (3, 4):  # Average / Paeth: x-sequential recurrence. A
-            # tight byte loop over plain Python ints with the predictor
-            # inlined — numpy scalar indexing plus a per-byte function
-            # call is ~8x slower, per-pixel small-array numpy ~12x
-            # (PERF.md); no full vectorization exists (cur[i] depends on
-            # cur[i-nch] through a nonlinear floor/branch).
-            cur_l = list(raw[rpos - stride : rpos])
-            prev_l = prev.ravel().tolist()
-            if f == 3:
-                for i in range(stride):
-                    left = cur_l[i - nch] if i >= nch else 0
-                    cur_l[i] = (cur_l[i] + ((left + prev_l[i]) >> 1)) & 0xFF
-            else:
-                for i in range(stride):
-                    left = cur_l[i - nch] if i >= nch else 0
-                    up = prev_l[i]
-                    ul = prev_l[i - nch] if i >= nch else 0
-                    p = left + up - ul
-                    pa = p - left
-                    pb = p - up
-                    pc = p - ul
-                    if pa < 0:
-                        pa = -pa
-                    if pb < 0:
-                        pb = -pb
-                    if pc < 0:
-                        pc = -pc
-                    if pa <= pb and pa <= pc:
-                        pred = left
-                    elif pb <= pc:
-                        pred = up
-                    else:
-                        pred = ul
-                    cur_l[i] = (cur_l[i] + pred) & 0xFF
-            cur = np.array(cur_l, np.int32).reshape(w, nch)
-        else:
-            raise ValueError(f"bad filter type {f} at row {y}")
-        out[y] = cur.astype(np.uint8).reshape(stride)
-        prev = cur
-    arr = out.reshape(h, w, nch)
+    for x0, y0, xs, ys in passes:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes no bytes (spec §8.2)
+        rowbytes = (pw * nch * depth + 7) // 8
+        rows, rpos = _png_unfilter(raw, rpos, ph, rowbytes, bpp)
+        full[y0::ys, x0::xs] = _png_rows_to_samples(rows, pw, nch, depth)
+    arr = full
     if ctype == 3:
         if plte is None:
             raise ValueError("palette image without PLTE")
+        if int(arr[:, :, 0].max(initial=0)) >= len(plte):
+            raise ValueError("palette index outside PLTE")
         arr = plte[arr[:, :, 0]]
+    elif ctype == 0 and depth < 8:
+        arr = (arr.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     return arr
 
 
@@ -650,9 +704,9 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     → (format, true pixel width/height, channel count, sum of all decoded
     pixel values) via Arrow-batched mapInPandas, entirely stdlib-side
     (decode_png / decode_bmp / decode_gif / datapipe.jpeg.decode_jpeg).
-    Exotic profiles (progressive or arithmetic-coded JPEG, 16-bit or
-    Adam7 PNG) report their header format with NULL pixel fields, keeping
-    decode a per-row total function."""
+    Exotic profiles (progressive or arithmetic-coded JPEG) report their
+    header format with NULL pixel fields, keeping decode a per-row total
+    function."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

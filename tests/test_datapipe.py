@@ -1065,6 +1065,95 @@ def test_signature_table_parquet_matches_cache(spark, tmp_path):
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mt
 
 
+def test_png_exotic_profiles_decode():
+    """Hand-built PNGs exercise the profiles beyond the encoder's 8-bit
+    output: 16-bit gray/RGB (high-byte scaling; Sub filter at bpp=6),
+    1-bit gray, 4-bit palette (MSB-first unpacking), and Adam7 interlace
+    with both even and odd dimensions."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import _ADAM7, _PNG_SIG, decode_png
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, depth, ctype, interlace, raw, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+        out = _PNG_SIG + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    # 16-bit gray: high byte survives the 8-bit scaling
+    vals = np.array([[1000, 30000, 65535], [0, 257 * 77, 514]], np.uint16)
+    raw = b"".join(b"\x00" + vals[y].astype(">u2").tobytes() for y in range(2))
+    d = decode_png(png(3, 2, 16, 0, 0, raw))
+    assert d.shape == (2, 3, 1) and (d[:, :, 0] == (vals >> 8)).all()
+
+    # 16-bit RGB, Sub-filtered rows (filter distance = 6 bytes)
+    rgb = (np.arange(2 * 3 * 3).reshape(2, 3, 3) * 300).astype(np.uint16)
+    rows = []
+    for y in range(2):
+        lb, bpp = bytearray(rgb[y].astype(">u2").tobytes()), 6
+        filt = bytearray(
+            (lb[i] - (lb[i - bpp] if i >= bpp else 0)) & 0xFF
+            for i in range(len(lb))
+        )
+        rows.append(b"\x01" + bytes(filt))
+    d = decode_png(png(3, 2, 16, 2, 0, b"".join(rows)))
+    assert d.shape == (2, 3, 3) and (d == (rgb >> 8).astype(np.uint8)).all()
+
+    # 1-bit gray with row padding (10 px → 2 bytes/row)
+    bits = np.array(
+        [[1, 0, 1, 1, 0, 0, 1, 0, 1, 1], [0] * 10, [1] * 10], np.uint8
+    )
+    raw = b"".join(
+        b"\x00" + np.packbits(bits[y]).tobytes() for y in range(3)
+    )
+    d = decode_png(png(10, 3, 1, 0, 0, raw))
+    assert d.shape == (3, 10, 1) and (d[:, :, 0] == bits * 255).all()
+
+    # 4-bit palette, nibbles MSB-first
+    plte = bytes(
+        [10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120] + [0] * 36
+    )
+    idx = np.array([[0, 1, 2, 3, 1], [3, 3, 0, 2, 1]], np.uint8)
+    raw = b""
+    for y in range(2):
+        nib = bytearray()
+        for i in range(0, 5, 2):
+            nib.append(
+                (idx[y][i] << 4) | (idx[y][i + 1] if i + 1 < 5 else 0)
+            )
+        raw += b"\x00" + bytes(nib)
+    d = decode_png(png(5, 2, 4, 3, 0, raw, plte=plte))
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    assert d.shape == (2, 5, 3) and (d == pal[idx]).all()
+
+    # Adam7: even (8x8 gray) and odd (5x3 RGB) dimensions
+    for img in (
+        ((np.arange(64).reshape(8, 8) * 3) % 256).astype(np.uint8)[:, :, None],
+        ((np.arange(45).reshape(3, 5, 3) * 7) % 256).astype(np.uint8),
+    ):
+        hh, ww, nch = img.shape
+        raw = b""
+        for x0, y0, xs, ys in _ADAM7:
+            sub = img[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + np.ascontiguousarray(sub[y]).tobytes()
+        ctype = 0 if nch == 1 else 2
+        d = decode_png(png(ww, hh, 8, ctype, 1, raw))
+        assert d.shape == img.shape and (d == img).all(), (hh, ww)
+
+
 def test_bmp_codec_roundtrip_and_variants():
     """decode(encode(a)) == a for 24-bit BI_RGB; hand-built 8-bit paletted
     top-down and 32-bit BGRA files decode correctly too."""
