@@ -158,6 +158,82 @@ def main() -> None:
 
     total = round(sum(times.values()), 4)
 
+    # Multimodal codec throughput on a BOUNDED sample (the full-table gate
+    # queries decode every document — honest for correctness, too heavy
+    # for the bench cadence at sf0.1's 50k docs). The codecs are map-only
+    # Python kernels behind mapInPandas, so docs/s on a fixed sample IS
+    # the scale number: a cluster multiplies cores, not per-doc cost.
+    multimodal = {}
+    try:
+        from engine_spark.catalog import Catalog as _Cat
+
+        _MM_DOCS = 2000
+        mm_src = (
+            _Cat(spark, sf_dir)["documents"]
+            .select("doc_id", "n_chars")
+            .limit(_MM_DOCS)
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
+        n_mm = mm_src.count()
+
+        def _mm_png(batches):
+            import numpy as np
+            import pandas as pd
+
+            from engine_spark.datapipe.multimodal import encode_png
+
+            for pdf in batches:
+                rows = []
+                for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                    did, nc = int(did), int(nc)
+                    arr = np.full(
+                        (did % 40 + 8, nc % 48 + 8, 3), did % 256, np.uint8
+                    )
+                    rows.append((did, encode_png(arr, filter_type=4)))
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        def _mm_mp4(batches):
+            import numpy as np
+            import pandas as pd
+
+            from engine_spark.datapipe.jpeg import encode_jpeg
+            from engine_spark.datapipe.multimodal import encode_mp4
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    did = int(did)
+                    frames = [
+                        encode_jpeg(
+                            np.full((16, 16, 3), (did + i) % 256, np.uint8),
+                            quality=90,
+                        )
+                        for i in range(4)
+                    ]
+                    rows.append((did, encode_mp4(frames)))
+                yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+        from engine_spark.datapipe.multimodal import decode_frames, resize_image
+
+        pay_schema = "doc_id long, payload binary"
+        png_in = mm_src.mapInPandas(_mm_png, pay_schema)
+        mp4_in = mm_src.mapInPandas(_mm_mp4, pay_schema)
+        for mname, dfx in (
+            # Paeth-filtered PNG decode + bilinear + re-encode per doc
+            ("png_resize_docs_per_sec", resize_image(png_in, 16, 12)),
+            # MP4 demux + 2 JPEG frame decodes per doc (every_k=2 of 4)
+            ("mjpeg_frames_docs_per_sec", decode_frames(mp4_in, 2)),
+        ):
+            dfx.write.format("noop").mode("overwrite").save()  # warm-up
+            t0 = time.perf_counter()
+            dfx.write.format("noop").mode("overwrite").save()
+            multimodal[mname] = int(n_mm / (time.perf_counter() - t0))
+        multimodal["sample_docs"] = n_mm
+        mm_src.unpersist()
+    except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+        errors["multimodal"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     # Throughput in events/second — the reference's headline unit
     # (README.md:94 claims 1M+ eps single node for filter-style chains).
     # Measured on the same shapes: a filter+project chain and the full
@@ -401,6 +477,7 @@ def main() -> None:
                 "throughput_events_per_sec_amortized": amortized,
                 "throughput_events_per_sec_materialized": materialized,
                 "pipeline_sf1": pipeline_sf1,
+                "multimodal": multimodal,
                 "amortized_replication": REP,
                 "errors": errors,
                 "sf": sf,

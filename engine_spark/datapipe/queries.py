@@ -1468,6 +1468,44 @@ def q_multimodal_bmp_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(pre) AS BIGINT) AS n_pretokens,
+           CAST(coalesce(list_sum(list_transform(pre, w ->
+                length(w) + 1
+                - (length(w) - length(replace(w, 'th', ''))) // 2)), 0)
+                AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id,
+                 regexp_extract_all(lower(text),
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+', 0) AS pre
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "BPE tokenization (datapipe.bpe): the apply path run with the "
+        "single merge ('t','h'), whose effect IS SQL-expressible — BPE's "
+        "repeated leftmost-lowest-rank merge of one 2-char pair equals "
+        "non-overlapping left-to-right 'th' replacement, so per word "
+        "n_tokens = len(word) + 1 (end-of-word symbol) - th_count, and "
+        "the oracle recomputes it with replace()-arithmetic over the SAME "
+        "GPT-2-style pre-tokenizer regex. Proves the distributed apply "
+        "plumbing, the regex agreement between the JVM scan and the "
+        "Python kernel, and the end-of-word accounting; merge LEARNING "
+        "(not SQL-expressible: the greedy pair loop is sequential) is "
+        "pytest-proven on corpora with known merge sequences "
+        "(tests/test_datapipe.py::test_bpe_train_learns_expected_merges)."
+    ),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.bpe import bpe_tokenize
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
+    out = bpe_tokenize(docs, merges=[("t", "h")])
+    return out.select("doc_id", "n_pretokens", "n_tokens").orderBy("doc_id")
+
+
+@register(
     "multimodal_jpeg",
     """
     SELECT doc_id, 'jpeg' AS format,

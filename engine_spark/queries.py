@@ -1492,6 +1492,7 @@ _ORDER = [
     "multimodal_frames",           # REAL MP4 ISO-BMFF sample-table demux
     "multimodal_jpeg",             # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_video_frames",     # REAL MJPEG MP4 frame pixel decode
+    "bpe_token_counts",            # learned-subword tokenization (BPE apply)
 ]
 
 

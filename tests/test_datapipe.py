@@ -1065,6 +1065,64 @@ def test_signature_table_parquet_matches_cache(spark, tmp_path):
     assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mt
 
 
+def test_bpe_train_learns_expected_merges(spark):
+    """Merge learning on a corpus with a known frequency structure: the
+    classic {low, lower, lowest, newest, widest} set. The most frequent
+    pairs merge first and build up 'low' / 'est</w>' subwords — the
+    textbook BPE behavior (Sennrich et al. 2016 fig. 1)."""
+    rows = (
+        [("low " * 5).strip()] * 1
+        + ["lower lower"]
+        + ["newest widest newest"] * 2
+    )
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    from engine_spark.datapipe.bpe import bpe_train, bpe_tokenize
+
+    merges = bpe_train(df, num_merges=10)
+    assert len(merges) >= 5
+    joined = {a + b for a, b in merges}
+    # 'est' (from newest/widest) and 'low' (from the low-family) must both
+    # form as subwords — the exact merge path depends on tie-breaks
+    assert any("est" in j for j in joined), merges
+    assert any(j.startswith("low") for j in joined), merges
+
+    # apply: tokens per doc reconstruct the pre-tokenized words exactly
+    out = bpe_tokenize(df, merges, keep_tokens=True).collect()
+    for r in out:
+        rebuilt = "".join(r.tokens).replace("</w>", " ").strip()
+        assert rebuilt == rows[r.doc_id].lower().replace("  ", " ")
+        assert r.n_tokens == len(r.tokens)
+
+
+def test_bpe_word_frequencies_regex_matches_python(spark):
+    """The JVM-side pre-tokenizer (regexp_extract_all in the word-count
+    scan) and the Python `re` used at tokenize time must agree — trained
+    merges would otherwise never fire. Exercises the \\s class that a SQL
+    string literal would have silently corrupted."""
+    import re as _re
+
+    from engine_spark.datapipe.bpe import PRETOKEN_RE, word_frequencies
+
+    texts = [
+        "Hello, world!  it's 42 degrees...",
+        "tabs\tand\nnewlines s s s",  # literal 's' words catch \s corruption
+        "a-b_c 3.14 xx--yy",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["word"], r["n"])
+        for r in word_frequencies(df, max_words=1000).collect()
+    }
+    from collections import Counter
+
+    exp = Counter(w for t in texts for w in _re.findall(PRETOKEN_RE, t))
+    assert got == set(exp.items())
+
+
 def test_png_exotic_profiles_decode():
     """Hand-built PNGs exercise the profiles beyond the encoder's 8-bit
     output: 16-bit gray/RGB (high-byte scaling; Sub filter at bpp=6),
