@@ -1,15 +1,23 @@
 """REAL stdlib+numpy baseline JPEG codec (public ITU-T T.81 spec).
 
-Decoder: marker walk (DQT/SOF0/DHT/SOS/DRI), canonical Huffman decode of
-the entropy-coded segment (byte-unstuffing, restart markers), DC
-prediction, run-length AC, dequantize + de-zigzag, orthonormal 8x8 IDCT as
-two numpy matrix multiplies over ALL blocks at once, nearest-neighbor
+Decoder: marker walk (DQT/SOF0/SOF2/DHT/SOS/DRI), canonical Huffman
+decode of the entropy-coded segments (16-bit-prefix LUT, byte-unstuffing,
+restart markers), DC prediction, run-length AC, dequantize + de-zigzag,
+orthonormal 8x8 IDCT as one einsum over ALL blocks, nearest-neighbor
 chroma upsample for subsampled scans, and the BT.601 YCbCr→RGB transform.
-Baseline sequential DCT only — progressive (SOF2), arithmetic coding and
-12-bit precision raise ValueError (callers degrade to header-only rows).
+BOTH profiles real web JPEGs use decode: baseline sequential (SOF0/1) and
+progressive (SOF2) with spectral selection, successive approximation,
+cross-block EOB runs, and DC/AC refinement scans (T.81 annex G).
+Arithmetic coding, lossless, hierarchical and 12-bit raise ValueError
+(callers degrade to header-only rows).
 
 Encoder: the reverse pipeline with the spec's Annex K example quantization
-and Huffman tables (scaled by a quality knob), optional 4:2:0 subsampling.
+and Huffman tables (scaled by a quality knob), optional 4:2:0 subsampling,
+and a progressive mode emitting the full scan script (DC first → banded
+AC first with EOB runs → DC refine → banded AC refine) so round-trip
+tests drive every progressive decode path; progressive and baseline
+encodings of the same input decode BIT-IDENTICALLY (same quantized
+coefficients, losslessly re-serialized).
 Lossy like any JPEG — round-trip tests assert tolerance, and exactness
 tests use flat blocks (a constant block has only a DC coefficient, which
 survives quantization exactly at q=1, so solid colors round-trip
@@ -128,11 +136,13 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[tuple[int, int], 
     return codes
 
 
-def _unstuff(b: bytes, pos: int) -> tuple[bytes, list[int]]:
-    """Entropy-coded segment → (unstuffed bytes, restart byte offsets).
-    0xFF00 → 0xFF; RSTn markers are removed with their (unstuffed) offset
-    recorded; any other marker ends the segment. One pass up front lets
-    the bit reader below be branch-free."""
+def _unstuff(b: bytes, pos: int) -> tuple[bytes, list[int], int]:
+    """Entropy-coded segment → (unstuffed bytes, restart byte offsets,
+    source index of the terminating marker). 0xFF00 → 0xFF; RSTn markers
+    are removed with their (unstuffed) offset recorded; any other marker
+    ends the segment. One pass up front lets the bit reader below be
+    branch-free — and the end index lets a progressive decoder resume the
+    marker walk after each scan."""
     out = bytearray()
     restarts: list[int] = []
     n = len(b)
@@ -152,7 +162,7 @@ def _unstuff(b: bytes, pos: int) -> tuple[bytes, list[int]]:
             i += 2
         else:
             break
-    return bytes(out), restarts
+    return bytes(out), restarts, min(i, n)
 
 
 class _FastBits:
@@ -200,17 +210,171 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _decode_dc_scan(r, scan, comps_geo, coefs, luts, ah, al, restart, restarts):
+    """DC scan (Ss=Se=0): interleaved over MCUs when multi-component, else
+    the component's own block grid. First pass (Ah=0) Huffman-codes the
+    point-transformed DC diffs; refinement (Ah>0) is one raw bit per
+    block (T.81 G.1.2.1)."""
+    pred = {c["id"]: 0 for c in scan}
+    restart_iter = iter(restarts)
+    if len(scan) > 1:
+        g = comps_geo[scan[0]["id"]]
+        mcux, mcuy = g["mcux"], g["mcuy"]
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                unit = []
+                for c in scan:
+                    gg = comps_geo[c["id"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (
+                                    c,
+                                    (my * c["v"] + by) * gg["wb_pad"]
+                                    + mx * c["h"]
+                                    + bx,
+                                )
+                            )
+                units.append(unit)
+    else:
+        c = scan[0]
+        g = comps_geo[c["id"]]
+        units = [
+            [(c, by * g["wb_pad"] + bx)]
+            for by in range(g["hb"])
+            for bx in range(g["wb"])
+        ]
+    for ui, unit in enumerate(units):
+        if restart and ui and ui % restart == 0:
+            nxt = next(restart_iter, None)
+            if nxt is None:
+                raise ValueError("expected JPEG restart marker")
+            r.pos = nxt * 8
+            pred = {c["id"]: 0 for c in scan}
+        for c, bi in unit:
+            blk = coefs[c["id"]][bi]
+            if ah == 0:
+                lut = luts.get((0, c["td"]))
+                if lut is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                v = lut[r.peek16()]
+                if not v:
+                    raise ValueError("invalid JPEG Huffman code")
+                r.pos += v >> 8
+                t = v & 0xFF
+                pred[c["id"]] += _extend(r.bits(t), t)
+                blk[0] = pred[c["id"]] << al
+            else:
+                blk[0] |= r.bits(1) << al  # two's-complement low bits: the
+                # arithmetic works for negative DC too (see tests)
+
+
+def _decode_ac_scan(r, c, geo, coefs, lut, ss, se, ah, al, restart, restarts):
+    """AC scan (single component, T.81 G.1.2.2 first pass / G.1.2.3
+    refinement) over the component's NON-padded block grid in raster
+    order, with EOB runs spanning blocks."""
+    eobrun = 0
+    p1 = 1 << al
+    restart_iter = iter(restarts)
+    bcount = 0
+    for by in range(geo["hb"]):
+        for bx in range(geo["wb"]):
+            if restart and bcount and bcount % restart == 0:
+                nxt = next(restart_iter, None)
+                if nxt is None:
+                    raise ValueError("expected JPEG restart marker")
+                r.pos = nxt * 8
+                eobrun = 0
+            bcount += 1
+            blk = coefs[c["id"]][by * geo["wb_pad"] + bx]
+            if ah == 0:  # first pass for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    v = lut[r.peek16()]
+                    if not v:
+                        raise ValueError("invalid JPEG Huffman code")
+                    r.pos += v >> 8
+                    rs = v & 0xFF
+                    rr, sz = rs >> 4, rs & 0xF
+                    if sz == 0:
+                        if rr < 15:  # EOBn: run of (1<<rr)+bits blocks
+                            eobrun = (1 << rr) - 1
+                            if rr:
+                                eobrun += r.bits(rr)
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += rr
+                    if k > se:
+                        raise ValueError("JPEG AC run overflow")
+                    blk[k] = _extend(r.bits(sz), sz) << al
+                    k += 1
+            else:  # refinement pass (G.1.2.3)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        v = lut[r.peek16()]
+                        if not v:
+                            raise ValueError("invalid JPEG Huffman code")
+                        r.pos += v >> 8
+                        rs = v & 0xFF
+                        rr, sz = rs >> 4, rs & 0xF
+                        val = 0
+                        if sz == 0:
+                            if rr < 15:
+                                eobrun = (1 << rr)
+                                if rr:
+                                    eobrun += r.bits(rr)
+                                break
+                            # ZRL: cross 16 zero-history positions
+                        else:
+                            if sz != 1:
+                                raise ValueError("bad JPEG refine symbol")
+                            val = p1 if r.bits(1) else -p1
+                        # advance: pass rr zero-history positions, reading
+                        # a correction bit at every nonzero-history one
+                        while k <= se:
+                            if blk[k] != 0:
+                                if r.bits(1) and (abs(blk[k]) & p1) == 0:
+                                    blk[k] += p1 if blk[k] > 0 else -p1
+                            else:
+                                if rr == 0:
+                                    break
+                                rr -= 1
+                            k += 1
+                        if val and k <= se:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB-covered block: still carries correction bits for
+                    # every already-nonzero coefficient in the band
+                    while k <= se:
+                        if blk[k] != 0:
+                            if r.bits(1) and (abs(blk[k]) & p1) == 0:
+                                blk[k] += p1 if blk[k] > 0 else -p1
+                        k += 1
+                    eobrun -= 1
+
+
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → HxWx3 (or HxWx1 grayscale) uint8 array."""
+    """JPEG bytes → HxWx3 (or HxWx1 grayscale) uint8 array. Baseline
+    (SOF0/1) and progressive (SOF2: spectral selection + successive
+    approximation, EOB runs, DC/AC refinement scans) both decode;
+    arithmetic-coded, lossless and hierarchical profiles raise."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → codes
     comps: list[dict] = []
     w = h = None
+    progressive = False
     restart = 0
     pos = 2
-    scan_comps: list[dict] = []
+    scans: list[dict] = []
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
@@ -230,7 +394,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 dez[_ZIGZAG] = tbl  # stored in zigzag order → natural
                 qt[tq] = dez.reshape(8, 8)
                 i += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             prec = seg[0]
             if prec != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -242,9 +407,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG supported")
+            raise ValueError(
+                "arithmetic/lossless/hierarchical JPEG not supported"
+            )
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -256,7 +423,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows the header
+        elif marker == 0xDA:  # SOS: scan header + entropy segment
             ns = seg[0]
             scan_comps = []
             for ci in range(ns):
@@ -265,97 +432,177 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 scan_comps.append(
                     {**comp, "td": tdta >> 4, "ta": tdta & 0xF}
                 )
-            pos = pos + 2 + seglen
-            break
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            buf, rst, segend = _unstuff(b, pos + 2 + seglen)
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "ss": ss,
+                    "se": se,
+                    "ah": ahal >> 4,
+                    "al": ahal & 0xF,
+                    "buf": buf,
+                    "restarts": rst,
+                    "restart": restart,
+                    "luts": {
+                        key: _huff_lut(codes) for key, codes in huff.items()
+                    },
+                }
+            )
+            if not progressive:
+                break  # baseline: single scan
+            pos = segend
+            continue
         pos += 2 + seglen
-    if w is None or not scan_comps:
+    if w is None or not scans:
         raise ValueError("truncated JPEG (no SOF/SOS)")
 
-    hmax = max(c["h"] for c in scan_comps)
-    vmax = max(c["v"] for c in scan_comps)
+    all_scan_comps = scans[0]["comps"] if not progressive else comps
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    # per-component coefficient planes (in blocks)
+    # per-component geometry: MCU-padded grid (interleaved scans) and the
+    # non-padded grid (non-interleaved scans cover only real blocks)
+    comps_geo = {}
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        comps_geo[c["id"]] = {
+            "mcux": mcux,
+            "mcuy": mcuy,
+            "wb_pad": mcux * c["h"],
+            "hb_pad": mcuy * c["v"],
+            "wb": -(-cw // 8),
+            "hb": -(-ch_ // 8),
+        }
     planes = {
         c["id"]: np.zeros(
             (mcuy * c["v"] * 8, mcux * c["h"] * 8), np.float64
         )
-        for c in scan_comps
+        for c in all_scan_comps
     }
-    buf, restarts = _unstuff(b, pos)
-    r = _FastBits(buf)
-    restart_iter = iter(restarts)
-    luts: dict[tuple[int, int], list[int]] = {
-        key: _huff_lut(codes) for key, codes in huff.items()
-    }
-    pred = {c["id"]: 0 for c in scan_comps}
-    # per-component per-block scan-order coefficient rows + positions
-    coeffs: dict[int, list[list[int]]] = {c["id"]: [] for c in scan_comps}
-    positions: dict[int, list[tuple[int, int]]] = {
-        c["id"]: [] for c in scan_comps
-    }
-    comp_tabs = []
-    for c in scan_comps:
-        dc_lut = luts.get((0, c["td"]))
-        ac_lut = luts.get((1, c["ta"]))
-        if dc_lut is None or ac_lut is None:
-            raise ValueError("JPEG scan references missing DHT")
-        if c["tq"] not in qt:
-            raise ValueError("JPEG scan references missing DQT")
-        comp_tabs.append((c, dc_lut, ac_lut))
-    mcu_count = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcu_count and mcu_count % restart == 0:
-                nxt = next(restart_iter, None)
-                if nxt is None:
-                    raise ValueError("expected JPEG restart marker")
-                r.pos = nxt * 8
-                pred = {c["id"]: 0 for c in scan_comps}
-            for c, dc_lut, ac_lut in comp_tabs:
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        zz = [0] * 64
-                        v = dc_lut[r.peek16()]
-                        if not v:
-                            raise ValueError("invalid JPEG Huffman code")
-                        r.pos += v >> 8
-                        t = v & 0xFF
-                        diff = _extend(r.bits(t), t)
-                        pred[c["id"]] += diff
-                        zz[0] = pred[c["id"]]
-                        k = 1
-                        while k < 64:
-                            v = ac_lut[r.peek16()]
+    coeffs: dict[int, list[list[int]]] = {}
+    positions: dict[int, list[tuple[int, int]]] = {}
+
+    if progressive:
+        coefs = {
+            c["id"]: [
+                [0] * 64
+                for _ in range(
+                    comps_geo[c["id"]]["hb_pad"] * comps_geo[c["id"]]["wb_pad"]
+                )
+            ]
+            for c in comps
+        }
+        for sc in scans:
+            r = _FastBits(sc["buf"])
+            if sc["ss"] == 0:
+                if sc["se"] != 0:
+                    raise ValueError("progressive scan mixes DC and AC")
+                _decode_dc_scan(
+                    r, sc["comps"], comps_geo, coefs, sc["luts"],
+                    sc["ah"], sc["al"], sc["restart"], sc["restarts"],
+                )
+            else:
+                if len(sc["comps"]) != 1:
+                    raise ValueError("progressive AC scan must be one component")
+                c = sc["comps"][0]
+                lut = sc["luts"].get((1, c["ta"]))
+                if lut is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                _decode_ac_scan(
+                    r, c, comps_geo[c["id"]], coefs, lut,
+                    sc["ss"], sc["se"], sc["ah"], sc["al"],
+                    sc["restart"], sc["restarts"],
+                )
+        for c in comps:
+            g = comps_geo[c["id"]]
+            if c["tq"] not in qt:
+                raise ValueError("JPEG scan references missing DQT")
+            coeffs[c["id"]] = coefs[c["id"]]
+            positions[c["id"]] = [
+                (by * 8, bx * 8)
+                for by in range(g["hb_pad"])
+                for bx in range(g["wb_pad"])
+            ]
+        scan_comps = comps
+    else:
+        sc = scans[0]
+        scan_comps = sc["comps"]
+        buf, restarts = sc["buf"], sc["restarts"]
+        r = _FastBits(buf)
+        restart_iter = iter(restarts)
+        luts = sc["luts"]
+        pred = {c["id"]: 0 for c in scan_comps}
+        coeffs = {c["id"]: [] for c in scan_comps}
+        positions = {c["id"]: [] for c in scan_comps}
+        comp_tabs = []
+        for c in scan_comps:
+            dc_lut = luts.get((0, c["td"]))
+            ac_lut = luts.get((1, c["ta"]))
+            if dc_lut is None or ac_lut is None:
+                raise ValueError("JPEG scan references missing DHT")
+            if c["tq"] not in qt:
+                raise ValueError("JPEG scan references missing DQT")
+            comp_tabs.append((c, dc_lut, ac_lut))
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and mcu_count and mcu_count % restart == 0:
+                    nxt = next(restart_iter, None)
+                    if nxt is None:
+                        raise ValueError("expected JPEG restart marker")
+                    r.pos = nxt * 8
+                    pred = {c["id"]: 0 for c in scan_comps}
+                for c, dc_lut, ac_lut in comp_tabs:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = [0] * 64
+                            v = dc_lut[r.peek16()]
                             if not v:
                                 raise ValueError("invalid JPEG Huffman code")
                             r.pos += v >> 8
-                            rs = v & 0xFF
-                            ssss = rs & 0xF
-                            if ssss == 0:
-                                if rs == 0xF0:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += rs >> 4
-                            if k > 63:
-                                raise ValueError("JPEG AC run overflow")
-                            zz[k] = _extend(r.bits(ssss), ssss)
-                            k += 1
-                        coeffs[c["id"]].append(zz)
-                        positions[c["id"]].append(
-                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
-                        )
-            mcu_count += 1
+                            t = v & 0xFF
+                            diff = _extend(r.bits(t), t)
+                            pred[c["id"]] += diff
+                            zz[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                v = ac_lut[r.peek16()]
+                                if not v:
+                                    raise ValueError("invalid JPEG Huffman code")
+                                r.pos += v >> 8
+                                rs = v & 0xFF
+                                ssss = rs & 0xF
+                                if ssss == 0:
+                                    if rs == 0xF0:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += rs >> 4
+                                if k > 63:
+                                    raise ValueError("JPEG AC run overflow")
+                                zz[k] = _extend(r.bits(ssss), ssss)
+                                k += 1
+                            coeffs[c["id"]].append(zz)
+                            positions[c["id"]].append(
+                                (
+                                    (my * c["v"] + by) * 8,
+                                    (mx * c["h"] + bx) * 8,
+                                )
+                            )
+                mcu_count += 1
+
     # dequantize + de-zigzag + IDCT all blocks of each component at once:
     # one fancy-index + one einsum over the whole block stack
     for c in scan_comps:
         rowsz = coeffs[c["id"]]
         if not rowsz:
             continue
-        scan = np.array(rowsz, np.float64)  # (n, 64) in scan order
-        nat = np.empty_like(scan)
-        nat[:, _ZIGZAG] = scan
+        scan_mat = np.array(rowsz, np.float64)  # (n, 64) in scan order
+        nat = np.empty_like(scan_mat)
+        nat[:, _ZIGZAG] = scan_mat
         stack = nat.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
         pix = np.einsum("kb,nkl,lc->nbc", _A, stack, _A) + 128.0
         plane = planes[c["id"]]
@@ -430,13 +677,145 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return t, (v if v > 0 else v + (1 << t) - 1)
 
 
-def encode_jpeg(arr, quality: int = 90, subsample: bool = False) -> bytes:
-    """HxW / HxWx1 / HxWx3 uint8 array → baseline JFIF JPEG bytes.
+#: flat 9-bit AC Huffman table for progressive scans: the Annex K AC
+#: tables define no EOBn (n>0) symbols, so cross-block EOB runs need a
+#: custom table. All 176 symbols (run/size, ZRL, EOBn for n=0..14) at
+#: code length 9 — canonically valid (176 < 511), trivially so, at a
+#: size cost a production encoder would optimize per scan.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [(r << 4) | sz for r in range(16) for sz in range(1, 11)]
+        + [r << 4 for r in range(15)]
+        + [0xF0]
+    ),
+)
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """AC point transform (T.81 G.1.2.2): divide by 2^Al truncating
+    toward ZERO (unlike the DC transform's arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _enc_ac_first_scan(bw, zzc, geo, ac_tab, ss, se, al) -> None:
+    """AC first pass for one component over its non-padded grid, with
+    cross-block EOB runs (exercises the decoder's eobrun>1 path)."""
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun <= 0:
+            return
+        rr = eobrun.bit_length() - 1
+        code, ln = ac_tab[rr << 4]
+        bw.bits(code, ln)
+        if rr:
+            bw.bits(eobrun - (1 << rr), rr)
+        eobrun = 0
+
+    for by in range(geo["hb"]):
+        for bx in range(geo["wb"]):
+            zz = zzc[by, bx]
+            tv = [_trunc_shift(int(zz[k]), al) for k in range(ss, se + 1)]
+            nz = [i for i, t in enumerate(tv) if t]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for i in range(nz[-1] + 1):
+                t = tv[i]
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL
+                    bw.bits(code, ln)
+                    run -= 16
+                sz, mag = _mag_bits(t)
+                code, ln = ac_tab[(run << 4) | sz]
+                bw.bits(code, ln)
+                bw.bits(mag, sz)
+                run = 0
+            if nz[-1] < se - ss:
+                eobrun += 1  # trailing zeros: EOB covers this block too
+    flush_eob()
+
+
+def _enc_ac_refine_scan(bw, zzc, geo, ac_tab, ss, se, ah, al) -> None:
+    """AC refinement pass (T.81 G.1.2.3 encode): per block, emit
+    newly-significant coefficients with their zero-history run lengths,
+    interleaving correction bits of already-significant coefficients in
+    decoder crossing order; per-block EOB0 carries trailing corrections."""
+    for by in range(geo["hb"]):
+        for bx in range(geo["wb"]):
+            zz = zzc[by, bx]
+            events = []  # ('z') | ('c', bit) | ('s', signbit)
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    events.append(("z", 0))
+                elif t == 1:
+                    events.append(("s", 1 if v > 0 else 0))
+                else:
+                    events.append(("c", t & 1))
+            last_s = -1
+            for i, e in enumerate(events):
+                if e[0] == "s":
+                    last_s = i
+            j = 0
+            while j <= last_s:
+                seg = []
+                zcount = 0
+                while events[j][0] != "s":
+                    seg.append(events[j])
+                    if events[j][0] == "z":
+                        zcount += 1
+                    j += 1
+                p = 0
+                while zcount > 15:
+                    code, ln = ac_tab[0xF0]  # ZRL = 16 zero-history coeffs
+                    bw.bits(code, ln)
+                    zseen = 0
+                    while zseen < 16:
+                        ev = seg[p]
+                        p += 1
+                        if ev[0] == "z":
+                            zseen += 1
+                        else:
+                            bw.bits(ev[1], 1)
+                    zcount -= 16
+                code, ln = ac_tab[(zcount << 4) | 1]
+                bw.bits(code, ln)
+                bw.bits(events[j][1], 1)  # sign
+                for ev in seg[p:]:
+                    if ev[0] == "c":
+                        bw.bits(ev[1], 1)
+                j += 1
+            if j < len(events):  # trailing zeros/corrections → EOB0
+                code, ln = ac_tab[0x00]
+                bw.bits(code, ln)
+                for ev in events[j:]:
+                    if ev[0] == "c":
+                        bw.bits(ev[1], 1)
+
+
+def encode_jpeg(
+    arr, quality: int = 90, subsample: bool = False, progressive: bool = False
+) -> bytes:
+    """HxW / HxWx1 / HxWx3 uint8 array → JFIF JPEG bytes.
 
     quality 1-100 scales the Annex K tables (libjpeg's mapping); 100 →
     all-ones quantization, at which flat 8x8 regions survive EXACTLY.
-    ``subsample=True`` emits 4:2:0 chroma.
-    """
+    ``subsample=True`` emits 4:2:0 chroma. ``progressive=True`` emits a
+    SOF2 stream with successive approximation: DC first (Al=1) → per-
+    component AC first with cross-block EOB runs (Al=1) → DC refinement →
+    per-component AC refinement (Ah=1, Al=0) — exercising every decoder
+    path a real progressive file uses."""
     a = np.asarray(arr, np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -446,9 +825,11 @@ def encode_jpeg(arr, quality: int = 90, subsample: bool = False) -> bytes:
     if not 1 <= quality <= 100:
         raise ValueError("quality must be 1..100")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+
     def scaled(tbl: np.ndarray) -> np.ndarray:
         q = (tbl * scale + 50) // 100
         return np.clip(q, 1, 255)
+
     qy = scaled(_QY).reshape(8, 8)
     qc = scaled(_QC).reshape(8, 8)
 
@@ -478,64 +859,37 @@ def encode_jpeg(arr, quality: int = 90, subsample: bool = False) -> bytes:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
-    dc_tabs = [_encode_codes(*_DC_LUM), _encode_codes(*_DC_CHR)]
-    ac_tabs = [_encode_codes(*_AC_LUM), _encode_codes(*_AC_CHR)]
-
-    # pad each plane to its own MCU-aligned size (edge replicate)
-    padded = []
+    # pad each plane to its own MCU-aligned size (edge replicate), then
+    # FDCT + quantize + zigzag EVERY block in one vectorized shot:
+    # (hb, wb, 64) scan-order int coefficients per component
+    qcoefs = []
+    meta = []  # (tid, (ch, cv), geo)
     for p, q, tid, (ch, cv) in planes:
         ph = mcuy * cv * 8
         pw = mcux * ch * 8
         pp = np.empty((ph, pw), np.float64)
-        src_h = min(p.shape[0], ph)
-        src_w = min(p.shape[1], pw)
+        src_h, src_w = min(p.shape[0], ph), min(p.shape[1], pw)
         pp[:src_h, :src_w] = p[:src_h, :src_w]
         if src_w < pw:
             pp[:src_h, src_w:] = pp[:src_h, src_w - 1 : src_w]
         if src_h < ph:
             pp[src_h:] = pp[src_h - 1 : src_h]
-        padded.append((pp, q, tid, (ch, cv)))
+        hb, wb = ph // 8, pw // 8
+        blocks = pp.reshape(hb, 8, wb, 8).transpose(0, 2, 1, 3) - 128.0
+        co = np.einsum("kb,ijbc,lc->ijkl", _A, blocks, _A)
+        qz = np.rint(co / q).astype(np.int64).reshape(hb, wb, 64)
+        qcoefs.append(qz[:, :, _ZIGZAG])  # natural → scan order
+        # non-padded grid (progressive AC scans cover only real blocks)
+        cw = -(-w * ch // hmax)
+        chh = -(-h * cv // vmax)
+        meta.append(
+            (tid, (ch, cv),
+             {"hb_pad": hb, "wb_pad": wb,
+              "wb": -(-cw // 8), "hb": -(-chh // 8)})
+        )
 
-    bw = _BitWriter()
-    pred = [0] * len(padded)
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (pp, q, tid, (ch, cv)) in enumerate(padded):
-                for by in range(cv):
-                    for bx in range(ch):
-                        y0 = (my * cv + by) * 8
-                        x0 = (mx * ch + bx) * 8
-                        blk = pp[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coeff = _A @ blk @ _A.T
-                        qz = np.rint(coeff / q).astype(np.int64)
-                        zz = qz.reshape(64)[_ZIGZAG]  # natural → scan order
-                        diff = int(zz[0]) - pred[ci]
-                        pred[ci] = int(zz[0])
-                        t, mag = _mag_bits(diff)
-                        code, ln = dc_tabs[tid][t]
-                        bw.bits(code, ln)
-                        if t:
-                            bw.bits(mag, t)
-                        run = 0
-                        last_nz = int(np.max(np.nonzero(zz)[0])) if zz.any() else 0
-                        for k in range(1, 64):
-                            v = int(zz[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                code, ln = ac_tabs[tid][0xF0]  # ZRL
-                                bw.bits(code, ln)
-                                run -= 16
-                            t, mag = _mag_bits(v)
-                            code, ln = ac_tabs[tid][(run << 4) | t]
-                            bw.bits(code, ln)
-                            bw.bits(mag, t)
-                            run = 0
-                        if last_nz < 63:
-                            code, ln = ac_tabs[tid][0x00]  # EOB
-                            bw.bits(code, ln)
-    bw.flush()
+    dc_tabs = [_encode_codes(*_DC_LUM), _encode_codes(*_DC_CHR)]
+    ac_tabs = [_encode_codes(*_AC_LUM), _encode_codes(*_AC_CHR)]
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -553,17 +907,131 @@ def encode_jpeg(arr, quality: int = 90, subsample: bool = False) -> bytes:
     if nch == 3:
         out += dqt(1, qc)
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([nch])
-    for ci, (_, _, tid, (ch, cv)) in enumerate(planes):
+    for ci, (tid, (ch, cv), _g) in enumerate(meta):
         sof += bytes([ci + 1, (ch << 4) | cv, tid])
-    out += seg(0xC0, sof)
-    out += dht(0, 0, _DC_LUM) + dht(1, 0, _AC_LUM)
+    out += seg(0xC2 if progressive else 0xC0, sof)
+    out += dht(0, 0, _DC_LUM)
     if nch == 3:
-        out += dht(0, 1, _DC_CHR) + dht(1, 1, _AC_CHR)
-    sos = bytes([nch])
-    for ci, (_, _, tid, _hv) in enumerate(planes):
-        sos += bytes([ci + 1, (tid << 4) | tid])
-    sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+        out += dht(0, 1, _DC_CHR)
+
+    def sos_header(comp_ids: list[int], tds, tas, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid, td, ta in zip(comp_ids, tds, tas):
+            body += bytes([cid, (td << 4) | ta])
+        body += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, body)
+
+    if not progressive:
+        out += dht(1, 0, _AC_LUM)
+        if nch == 3:
+            out += dht(1, 1, _AC_CHR)
+        bw = _BitWriter()
+        pred = [0] * len(meta)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (tid, (ch, cv), _g) in enumerate(meta):
+                    for by in range(cv):
+                        for bx in range(ch):
+                            zz = qcoefs[ci][my * cv + by, mx * ch + bx]
+                            diff = int(zz[0]) - pred[ci]
+                            pred[ci] = int(zz[0])
+                            t, mag = _mag_bits(diff)
+                            code, ln = dc_tabs[tid][t]
+                            bw.bits(code, ln)
+                            if t:
+                                bw.bits(mag, t)
+                            run = 0
+                            nzs = np.nonzero(zz[1:])[0]
+                            last_nz = int(nzs[-1]) + 1 if len(nzs) else 0
+                            for k in range(1, last_nz + 1):
+                                v = int(zz[k])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    code, ln = ac_tabs[tid][0xF0]  # ZRL
+                                    bw.bits(code, ln)
+                                    run -= 16
+                                t, mag = _mag_bits(v)
+                                code, ln = ac_tabs[tid][(run << 4) | t]
+                                bw.bits(code, ln)
+                                bw.bits(mag, t)
+                                run = 0
+                            if last_nz < 63:
+                                code, ln = ac_tabs[tid][0x00]  # EOB
+                                bw.bits(code, ln)
+        bw.flush()
+        out += sos_header(
+            list(range(1, nch + 1)),
+            [m[0] for m in meta],
+            [m[0] for m in meta],
+            0, 63, 0, 0,
+        )
+        out += bw.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # ---- progressive serialization -------------------------------------
+    out += dht(1, 0, _AC_PROG)
+    ac_prog = _encode_codes(*_AC_PROG)
+    AL = 1
+
+    # scan 1: DC first, all components interleaved, Al=AL
+    bw = _BitWriter()
+    pred = [0] * len(meta)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (tid, (ch, cv), _g) in enumerate(meta):
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(qcoefs[ci][my * cv + by, mx * ch + bx, 0]) >> AL
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        t, mag = _mag_bits(diff)
+                        code, ln = dc_tabs[tid][t]
+                        bw.bits(code, ln)
+                        if t:
+                            bw.bits(mag, t)
+    bw.flush()
+    out += sos_header(
+        list(range(1, nch + 1)), [m[0] for m in meta], [0] * nch, 0, 0, 0, AL
+    )
     out += bw.out
+
+    # scans 2..: AC first per component, Al=AL, split into two spectral
+    # bands (1-5, 6-63) the way real progressive encoders order scans —
+    # exercises decoders' band bookkeeping, not just the full band
+    for ci, (_tid, _hv, g) in enumerate(meta):
+        for bss, bse in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            _enc_ac_first_scan(bw, qcoefs[ci], g, ac_prog, bss, bse, AL)
+            bw.flush()
+            out += sos_header([ci + 1], [0], [0], bss, bse, 0, AL)
+            out += bw.out
+
+    # DC refinement: one raw bit per block, interleaved
+    bw = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_tid, (ch, cv), _g) in enumerate(meta):
+                for by in range(cv):
+                    for bx in range(ch):
+                        dc = int(qcoefs[ci][my * cv + by, mx * ch + bx, 0])
+                        bw.bits(dc & 1, 1)
+    bw.flush()
+    out += sos_header(
+        list(range(1, nch + 1)), [0] * nch, [0] * nch, 0, 0, AL, 0
+    )
+    out += bw.out
+
+    # AC refinement per component, Ah=AL → Al=0, same band split
+    for ci, (_tid, _hv, g) in enumerate(meta):
+        for bss, bse in ((1, 5), (6, 63)):
+            bw = _BitWriter()
+            _enc_ac_refine_scan(bw, qcoefs[ci], g, ac_prog, bss, bse, AL, 0)
+            bw.flush()
+            out += sos_header([ci + 1], [0], [0], bss, bse, AL, 0)
+            out += bw.out
+
     out += b"\xff\xd9"
     return bytes(out)

@@ -10,8 +10,9 @@ dequant + IDCT per ITU-T T.81, see datapipe.jpeg; numpy bilinear
 resample; zlib deflate + crc32 on the PNG way out). WAV/PCM16 audio
 decodes for real (RIFF chunk walk), and MP4 video DEMUXES for real
 (ISO-BMFF box walk: stts/stsz/stsc/stco sample tables → per-frame byte
-ranges). Only inter-coded video FRAME pixel decode (and progressive
-JPEG) remains gated — that genuinely needs an av library
+ranges); progressive JPEG (SOF2 successive approximation) decodes too.
+Only inter-coded video FRAME pixel decode remains gated — that genuinely
+needs an av library
 absent in this container, so it uses a documented deterministic stand-in
 that keeps the Arrow plumbing (schemas, batch iteration, null-safety,
 partition-level parallelism) fully testable.
@@ -674,9 +675,9 @@ def encode_gif(indices, palette) -> bytes:
 
 def decode_pixels(b: bytes):
     """(format, HxWxC uint8 array) for any container with a real stdlib
-    pixel codec here (png/bmp/gif/baseline jpeg — see datapipe.jpeg for
-    the Huffman+IDCT decoder); (format, None) when only the header is
-    parseable (progressive/arithmetic JPEG profiles); (None, None) for
+    pixel codec here (png/bmp/gif/jpeg both baseline and progressive —
+    see datapipe.jpeg); (format, None) when only the header is parseable
+    (arithmetic/lossless JPEG profiles); (None, None) for
     unknown bytes. Raises DECODE_ERRORS members on corrupt payloads —
     callers catch and degrade."""
     fmt, _, _ = parse_image_header(b)
@@ -704,7 +705,7 @@ def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     → (format, true pixel width/height, channel count, sum of all decoded
     pixel values) via Arrow-batched mapInPandas, entirely stdlib-side
     (decode_png / decode_bmp / decode_gif / datapipe.jpeg.decode_jpeg).
-    Exotic profiles (progressive or arithmetic-coded JPEG) report their
+    Exotic profiles (arithmetic-coded or lossless JPEG) report their
     header format with NULL pixel fields, keeping decode a per-row total
     function."""
 

@@ -1521,12 +1521,16 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Huffman, dequant, de-zigzag, orthonormal IDCT, 4:2:0 chroma "
         "upsample, BT.601 YCbCr->RGB), zero stand-ins on this path: each "
         "document becomes a genuine JFIF file (stdlib encoder, Annex K "
-        "tables at quality=100; odd doc_ids emit 4:2:0) holding a solid "
-        "color — a constant block has only a DC coefficient, which "
-        "survives q=1 quantization exactly, so the decode is bit-exact "
-        "and the oracle recomputes the pixel sum in closed form. A wrong "
-        "zigzag, a broken Huffman table, a bad color transform, or an "
-        "off-by-one in the chroma upsample all break the sum. Map-only."
+        "tables at quality=100) holding a solid color, cycling through "
+        "the four real-world stream shapes by doc_id%4: baseline 4:4:4, "
+        "baseline 4:2:0, PROGRESSIVE 4:4:4 and PROGRESSIVE 4:2:0 (SOF2 "
+        "with successive approximation, banded AC scans, EOB runs, DC/AC "
+        "refinement) — a constant block has only a DC coefficient, which "
+        "survives q=1 quantization exactly, so every variant decodes "
+        "bit-exactly and the oracle recomputes the pixel sum in closed "
+        "form. A wrong zigzag, a broken Huffman table, a bad refinement "
+        "bit, or an off-by-one in the chroma upsample all break the sum. "
+        "Map-only."
     ),
 )
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1548,7 +1552,15 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = np.empty((h, w, 3), np.uint8)
                 arr[:, :] = (did % 256, (did * 7) % 256, (did * 13) % 256)
                 rows.append(
-                    (did, encode_jpeg(arr, quality=100, subsample=did % 2 == 1))
+                    (
+                        did,
+                        encode_jpeg(
+                            arr,
+                            quality=100,
+                            subsample=did % 2 == 1,
+                            progressive=did % 4 >= 2,
+                        ),
+                    )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -1330,6 +1330,57 @@ def test_jpeg_codec_roundtrip_exact_and_lossy():
             pass
 
 
+def test_jpeg_progressive_decodes_identical_to_baseline():
+    """Progressive (SOF2) and baseline encodings serialize the SAME
+    quantized coefficients, so their decodes must be bit-identical —
+    across 4:4:4, 4:2:0, grayscale, odd dims, and a sparse image that
+    forces cross-block EOB runs and ZRL-in-refinement paths."""
+    import numpy as np
+
+    from engine_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    g = ((np.arange(40)[:, None] + np.arange(56)[None, :]) * 3 % 256).astype(
+        np.uint8
+    )
+    img = np.stack([g, g[::-1], (g * 2) % 256], axis=2).astype(np.uint8)
+    for q, sub in [(100, False), (90, False), (90, True), (50, False)]:
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=q, subsample=sub, progressive=True)
+        )
+        assert (base == prog).all(), (q, sub)
+
+    gray = (np.arange(32)[:, None] * 8 % 256 * np.ones((1, 40))).astype(np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg(gray, quality=95))
+        == decode_jpeg(encode_jpeg(gray, quality=95, progressive=True))
+    ).all()
+
+    odd = np.random.RandomState(3).randint(0, 256, size=(13, 19, 3)).astype(
+        np.uint8
+    )
+    assert (
+        decode_jpeg(encode_jpeg(odd, quality=80))
+        == decode_jpeg(encode_jpeg(odd, quality=80, progressive=True))
+    ).all()
+
+    # mostly-flat corpus shape: long runs of empty blocks (EOB runs > 1)
+    # plus one pure highest-frequency block (62-position zero-history run
+    # → ZRL chains in both first and refinement AC passes)
+    rng = np.random.RandomState(0)
+    flat = np.full((64, 160, 3), 100, np.uint8)
+    flat[16:24, 128:136] = rng.randint(0, 256, (8, 8, 3))
+    xs = np.arange(8)
+    basis = np.cos((2 * xs + 1) * 7 * np.pi / 16)
+    hf = (128 + 60 * np.outer(basis, basis)).clip(0, 255).astype(np.uint8)
+    flat[40:48, 16:24] = hf[:, :, None]
+    for q in (95, 70):
+        assert (
+            decode_jpeg(encode_jpeg(flat, quality=q))
+            == decode_jpeg(encode_jpeg(flat, quality=q, progressive=True))
+        ).all(), q
+
+
 def test_decode_image_jpeg_real_pixels(spark):
     """decode_image now reports REAL pixel fields for baseline JPEG."""
     import numpy as np
