@@ -335,13 +335,14 @@ def decode_png(b: bytes):
     return arr
 
 
-def encode_png(arr, filter_type: int = 0) -> bytes:
+def encode_png(arr, filter_type: int | str = 0) -> bytes:
     """HxW or HxWxC uint8 numpy array → PNG bytes (stdlib zlib + crc32).
 
-    ``filter_type`` selects the per-row filter (0-4); non-zero types exist
-    so round-trip tests exercise every unfilter branch of decode_png — a
-    production encoder would pick per-row, but filter 0 + zlib is correct
-    and sufficient here."""
+    ``filter_type`` selects the per-row filter: 0-4 fix one type (round-
+    trip tests exercise each unfilter branch), ``"adaptive"`` picks the
+    best filter PER ROW by the libpng minimum-sum-of-absolute-differences
+    heuristic — what production encoders emit, and what makes real-world
+    PNGs hit the Sub/Average/Paeth decode paths row-interleaved."""
     import struct
     import zlib
 
@@ -352,6 +353,9 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
         a = a[:, :, None]
     h, w, nch = a.shape
     ctype = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    adaptive = filter_type == "adaptive"
+    if not adaptive and filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter type {filter_type}")
     # Filtering (unlike UNfiltering) references the ORIGINAL neighbor
     # bytes, not the filtered ones — no recurrence, so every filter type
     # vectorizes whole-row: shift the scanline by one pixel for `left`,
@@ -365,29 +369,42 @@ def encode_png(arr, filter_type: int = 0) -> bytes:
         out[1:] = row[:-1]
         return out
 
+    def filt_row(line: "np.ndarray", ft: int) -> "np.ndarray":
+        if ft == 0:
+            return line
+        if ft == 1:
+            return (line - lshift(line)) & 0xFF
+        if ft == 2:
+            return (line - prev) & 0xFF
+        if ft == 3:
+            return (line - ((lshift(line) + prev) >> 1)) & 0xFF
+        left, up, ul = lshift(line), prev, lshift(prev)
+        p = left + up - ul
+        pa = np.abs(p - left)
+        pb = np.abs(p - up)
+        pc = np.abs(p - ul)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+        )
+        return (line - pred) & 0xFF
+
     for y in range(h):
         line = flat[y]
-        if filter_type == 0:
-            filt = line
-        elif filter_type == 1:
-            filt = (line - lshift(line)) & 0xFF
-        elif filter_type == 2:
-            filt = (line - prev) & 0xFF
-        elif filter_type == 3:
-            filt = (line - ((lshift(line) + prev) >> 1)) & 0xFF
-        elif filter_type == 4:
-            left, up, ul = lshift(line), prev, lshift(prev)
-            p = left + up - ul
-            pa = np.abs(p - left)
-            pb = np.abs(p - up)
-            pc = np.abs(p - ul)
-            pred = np.where(
-                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
-            )
-            filt = (line - pred) & 0xFF
+        if adaptive:
+            # MSAD: treat filtered bytes as signed, pick the row whose
+            # absolute sum is smallest (libpng's selection heuristic)
+            best_ft, best_f, best_score = 0, None, None
+            for ft in range(5):
+                f = filt_row(line, ft)
+                score = int(np.abs(((f + 128) & 0xFF) - 128).sum())
+                if best_score is None or score < best_score:
+                    best_ft, best_f, best_score = ft, f, score
+            rows.append(bytes([best_ft]) + best_f.astype(np.uint8).tobytes())
         else:
-            raise ValueError(f"bad filter type {filter_type}")
-        rows.append(bytes([filter_type]) + filt.astype(np.uint8).tobytes())
+            f = filt_row(line, filter_type)
+            rows.append(
+                bytes([filter_type]) + f.astype(np.uint8).tobytes()
+            )
         prev = line
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -632,8 +649,13 @@ def encode_gif(indices, palette) -> bytes:
     ct[: len(pal)] = pal
     min_code = max(2, k + 1)
     clear, end = 1 << min_code, (1 << min_code) + 1
+    # REAL LZW compression (GIF89a appendix F): dictionary of pixel-run
+    # prefixes, variable code width growing in lockstep with the decoder's
+    # table (both sides grow when entry count reaches 2^width; width caps
+    # at 12, and the table resets via a CLEAR code when full). Repetitive
+    # images compress for real, and round-trips exercise the decoder's
+    # width-growth and KwKwK paths — which a literal-only stream never hits.
     code_size = min_code + 1
-    # literal-code stream with periodic clears so the width never grows
     acc = bitlen = 0
     packed = bytearray()
 
@@ -646,14 +668,29 @@ def encode_gif(indices, palette) -> bytes:
             acc >>= 8
             bitlen -= 8
 
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
     emit(clear)
-    run = 0
+    wbuf = b""
     for v in idx.ravel():
-        emit(int(v))
-        run += 1
-        if run >= (1 << min_code) - 2:  # table would force a wider code
+        c = bytes([int(v)])
+        wc = wbuf + c
+        if wc in table:
+            wbuf = wc
+            continue
+        emit(table[wbuf])
+        table[wc] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1  # decoder grows at the same entry count
+        elif next_code > 0xFFF:
             emit(clear)
-            run = 0
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code + 1
+        wbuf = c
+    if wbuf:
+        emit(table[wbuf])
     emit(end)
     if bitlen:
         packed.append(acc & 0xFF)
