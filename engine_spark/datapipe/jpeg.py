@@ -660,6 +660,13 @@ class _BitWriter:
             self.acc, self.n = 0, 0
 
 
+def _emit_rst(bw: "_BitWriter", idx: int) -> None:
+    """Byte-align (1-padded, stuffed) and append a restart marker — RSTn
+    cycles modulo 8 within a scan."""
+    bw.flush()
+    bw.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+
 def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) for encoding."""
     return {
@@ -698,10 +705,14 @@ def _trunc_shift(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
-def _enc_ac_first_scan(bw, zzc, geo, ac_tab, ss, se, al) -> None:
+def _enc_ac_first_scan(bw, zzc, geo, ac_tab, ss, se, al, restart=0) -> None:
     """AC first pass for one component over its non-padded grid, with
-    cross-block EOB runs (exercises the decoder's eobrun>1 path)."""
+    cross-block EOB runs (exercises the decoder's eobrun>1 path). A
+    restart interval (counted in blocks for non-interleaved scans)
+    flushes the pending EOB run — runs cannot span restarts."""
     eobrun = 0
+    bcount = 0
+    rst = 0
 
     def flush_eob() -> None:
         nonlocal eobrun
@@ -716,6 +727,11 @@ def _enc_ac_first_scan(bw, zzc, geo, ac_tab, ss, se, al) -> None:
 
     for by in range(geo["hb"]):
         for bx in range(geo["wb"]):
+            if restart and bcount and bcount % restart == 0:
+                flush_eob()
+                _emit_rst(bw, rst)
+                rst += 1
+            bcount += 1
             zz = zzc[by, bx]
             tv = [_trunc_shift(int(zz[k]), al) for k in range(ss, se + 1)]
             nz = [i for i, t in enumerate(tv) if t]
@@ -745,13 +761,19 @@ def _enc_ac_first_scan(bw, zzc, geo, ac_tab, ss, se, al) -> None:
     flush_eob()
 
 
-def _enc_ac_refine_scan(bw, zzc, geo, ac_tab, ss, se, ah, al) -> None:
+def _enc_ac_refine_scan(bw, zzc, geo, ac_tab, ss, se, ah, al, restart=0) -> None:
     """AC refinement pass (T.81 G.1.2.3 encode): per block, emit
     newly-significant coefficients with their zero-history run lengths,
     interleaving correction bits of already-significant coefficients in
     decoder crossing order; per-block EOB0 carries trailing corrections."""
+    bcount = 0
+    rst = 0
     for by in range(geo["hb"]):
         for bx in range(geo["wb"]):
+            if restart and bcount and bcount % restart == 0:
+                _emit_rst(bw, rst)
+                rst += 1
+            bcount += 1
             zz = zzc[by, bx]
             events = []  # ('z') | ('c', bit) | ('s', signbit)
             for k in range(ss, se + 1):
@@ -805,7 +827,11 @@ def _enc_ac_refine_scan(bw, zzc, geo, ac_tab, ss, se, ah, al) -> None:
 
 
 def encode_jpeg(
-    arr, quality: int = 90, subsample: bool = False, progressive: bool = False
+    arr,
+    quality: int = 90,
+    subsample: bool = False,
+    progressive: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """HxW / HxWx1 / HxWx3 uint8 array → JFIF JPEG bytes.
 
@@ -815,7 +841,9 @@ def encode_jpeg(
     SOF2 stream with successive approximation: DC first (Al=1) → per-
     component AC first with cross-block EOB runs (Al=1) → DC refinement →
     per-component AC refinement (Ah=1, Al=0) — exercising every decoder
-    path a real progressive file uses."""
+    path a real progressive file uses. ``restart_interval`` emits DRI +
+    RSTn markers every N MCUs (N blocks in non-interleaved progressive
+    scans) — the resync points real camera/web encoders emit."""
     a = np.asarray(arr, np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -910,6 +938,8 @@ def encode_jpeg(
     for ci, (tid, (ch, cv), _g) in enumerate(meta):
         sof += bytes([ci + 1, (ch << 4) | cv, tid])
     out += seg(0xC2 if progressive else 0xC0, sof)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
     out += dht(0, 0, _DC_LUM)
     if nch == 3:
         out += dht(0, 1, _DC_CHR)
@@ -927,8 +957,13 @@ def encode_jpeg(
             out += dht(1, 1, _AC_CHR)
         bw = _BitWriter()
         pred = [0] * len(meta)
+        mcu_i = 0
         for my in range(mcuy):
             for mx in range(mcux):
+                if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                    _emit_rst(bw, mcu_i // restart_interval - 1)
+                    pred = [0] * len(meta)
+                mcu_i += 1
                 for ci, (tid, (ch, cv), _g) in enumerate(meta):
                     for by in range(cv):
                         for bx in range(ch):
@@ -979,8 +1014,13 @@ def encode_jpeg(
     # scan 1: DC first, all components interleaved, Al=AL
     bw = _BitWriter()
     pred = [0] * len(meta)
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                _emit_rst(bw, mcu_i // restart_interval - 1)
+                pred = [0] * len(meta)
+            mcu_i += 1
             for ci, (tid, (ch, cv), _g) in enumerate(meta):
                 for by in range(cv):
                     for bx in range(ch):
@@ -1004,15 +1044,22 @@ def encode_jpeg(
     for ci, (_tid, _hv, g) in enumerate(meta):
         for bss, bse in ((1, 5), (6, 63)):
             bw = _BitWriter()
-            _enc_ac_first_scan(bw, qcoefs[ci], g, ac_prog, bss, bse, AL)
+            _enc_ac_first_scan(
+                bw, qcoefs[ci], g, ac_prog, bss, bse, AL,
+                restart=restart_interval,
+            )
             bw.flush()
             out += sos_header([ci + 1], [0], [0], bss, bse, 0, AL)
             out += bw.out
 
     # DC refinement: one raw bit per block, interleaved
     bw = _BitWriter()
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                _emit_rst(bw, mcu_i // restart_interval - 1)
+            mcu_i += 1
             for ci, (_tid, (ch, cv), _g) in enumerate(meta):
                 for by in range(cv):
                     for bx in range(ch):
@@ -1028,7 +1075,10 @@ def encode_jpeg(
     for ci, (_tid, _hv, g) in enumerate(meta):
         for bss, bse in ((1, 5), (6, 63)):
             bw = _BitWriter()
-            _enc_ac_refine_scan(bw, qcoefs[ci], g, ac_prog, bss, bse, AL, 0)
+            _enc_ac_refine_scan(
+                bw, qcoefs[ci], g, ac_prog, bss, bse, AL, 0,
+                restart=restart_interval,
+            )
             bw.flush()
             out += sos_header([ci + 1], [0], [0], bss, bse, AL, 0)
             out += bw.out

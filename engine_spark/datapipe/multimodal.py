@@ -800,8 +800,8 @@ def resize_image(
     height) and whose pixels are the resampled source (output is
     normalized to PNG regardless of input container, the standard
     pipeline move; GIF re-palettization and JPEG re-encode-lossy are out
-    of scope for the output side). Undecodable profiles (progressive
-    JPEG, 16-bit PNG) fall back to a DETERMINISTIC stand-in — source dims
+    of scope for the output side). Undecodable payloads (corrupt or
+    truncated files) fall back to a DETERMINISTIC stand-in — source dims
     from the real header parser (else the fake-decode dims), exact scale
     factors, and a length-scaled byte slice as the payload — keeping the
     full pipeline runnable and testable end-to-end.

@@ -1439,6 +1439,35 @@ def test_jpeg_progressive_decodes_identical_to_baseline():
         ).all(), q
 
 
+def test_jpeg_restart_intervals_all_profiles():
+    """DRI + RSTn resync markers (what real camera/web encoders emit):
+    restarted streams must decode identically to unrestarted ones across
+    baseline/progressive x 4:4:4/4:2:0 — exercises predictor resets,
+    EOB-run flushes at restart boundaries, and the unstuffer's restart
+    offset bookkeeping in every scan type."""
+    import numpy as np
+
+    from engine_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    g = ((np.arange(40)[:, None] + np.arange(56)[None, :]) * 3 % 256).astype(
+        np.uint8
+    )
+    img = np.stack([g, g[::-1], (g * 2) % 256], axis=2).astype(np.uint8)
+    for prog in (False, True):
+        for sub in (False, True):
+            ref = decode_jpeg(
+                encode_jpeg(img, quality=90, subsample=sub, progressive=prog)
+            )
+            for ri in (1, 3):
+                got = decode_jpeg(
+                    encode_jpeg(
+                        img, quality=90, subsample=sub, progressive=prog,
+                        restart_interval=ri,
+                    )
+                )
+                assert (ref == got).all(), (prog, sub, ri)
+
+
 def test_decode_image_jpeg_real_pixels(spark):
     """decode_image now reports REAL pixel fields for baseline JPEG."""
     import numpy as np
