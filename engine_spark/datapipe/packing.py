@@ -85,6 +85,42 @@ def sequence_pack(
     )
 
 
+def shuffle_shards(
+    df: DataFrame,
+    key: str = "doc_id",
+    seed: int = 42,
+    n_shards: int = PACK_SHARDS,
+) -> DataFrame:
+    """Deterministic seeded corpus shuffle: (key) → (key, shard, pos).
+
+    Training-order randomization for corpus assembly: every row gets a
+    pseudo-random but fully REPRODUCIBLE position — ``shard`` (which
+    output file) and ``pos`` (1-based order inside the shard) — derived
+    only from ``md5(seed, key)``, so any subset of shards can be
+    re-materialized bit-identically (resumable jobs, A/B data ablations
+    on the same order).
+
+    Scale shape: there is NO global sort. Shard assignment is a
+    row-local hash; the per-shard ordering window is exactly the
+    per-output-file collation a sharded write pays anyway, and
+    ``n_shards`` scales with the corpus (pick corpus_rows / shard_target
+    so one shard ≈ one output file's worth). With hash-derived sort keys
+    every shard is uniform — no skewed partitions.
+    """
+    d = Dialect("spark")
+    h = d.hash56(f"concat('shuffle:{seed}:', cast({key} as string))")
+    w = Window.partitionBy("shard").orderBy("h", key)
+    return (
+        df.select(key, F.expr(h).alias("h"))
+        .withColumn("shard", F.col("h") % n_shards)
+        .select(
+            key,
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
 CHUNK_W = 32       #: tokens per chunk
 CHUNK_STRIDE = 24  #: tokens between chunk starts (W - STRIDE = overlap)
 

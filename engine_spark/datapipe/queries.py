@@ -2292,3 +2292,88 @@ def q_pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(filtered, "doc_id", 0.5, salt="pipe").select(
         "doc_id", "lang", "n_tokens"
     )
+
+
+# ===========================================================================
+# corpus assembly round 2: segment dedup, seeded shuffle, Bloom ingest
+# ===========================================================================
+
+
+from engine_spark.datapipe.segments import segment_dedup_oracle  # noqa: E402
+
+
+@register(
+    "dedup_segments",
+    segment_dedup_oracle(),
+    doc=(
+        "segment-level exact dedup with reassembly (the 'paragraph dedup' "
+        "step of public corpus pipelines): fixed 8-token segments, "
+        "corpus-wide keep-first occurrence, documents rewritten with only "
+        "surviving segments. Two keyed shuffles (segment hash, then "
+        "doc_id); segmentation and reassembly are row-local array exprs."
+    ),
+)
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.segments import dedup_segments
+
+    return dedup_segments(Catalog(spark, sf_dir)["documents"])
+
+
+@register(
+    "corpus_shuffle",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             {DK.hash56("concat('shuffle:42:', cast(doc_id as string))")} AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           (h % 16) AS shard,
+           CAST(row_number() OVER (PARTITION BY (h % 16) ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM h
+    """,
+    doc=(
+        "deterministic seeded corpus shuffle: md5(seed,key)-derived shard "
+        "+ within-shard position. No global sort - shard is a row-local "
+        "hash and the per-shard window is the per-output-file collation a "
+        "sharded write pays anyway; reproducible training order by "
+        "construction."
+    ),
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.packing import shuffle_shards
+
+    return shuffle_shards(Catalog(spark, sf_dir)["documents"])
+
+
+@register(
+    "dedup_bloom",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, md5(lower(text)) AS text_hash,
+             ({DK.hash56("concat('doc:', cast(doc_id as string))")} % 5) AS b
+      FROM documents
+    )
+    SELECT h.doc_id, h.text_hash,
+           h.text_hash IN (SELECT text_hash FROM hashed WHERE b <> 0)
+             AS is_dup
+    FROM hashed h WHERE h.b = 0
+    """,
+    doc=(
+        "Bloom-filter-accelerated incremental ingest dedup: a 20% batch "
+        "split is checked against the other 80% 'seen corpus'. Corpus "
+        "scan sets K=5 bits per doc in a 2^20-bit filter (driver data "
+        "bounded by M, not corpus); batch rows probe the broadcast bitmap "
+        "in a vectorized pandas UDF (map-only); only Bloom-positive rows "
+        "reach the exact verify semi-join, so is_dup is EXACT while the "
+        "join input shrank to ~(true dups + fp rate). Oracle: the plain "
+        "exact formulation."
+    ),
+)
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.bloom import bloom_dedup
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    b = F.expr(SP.hash56("concat('doc:', cast(doc_id as string))")) % 5
+    return bloom_dedup(docs.filter(b == 0), docs.filter(b != 0))

@@ -1493,6 +1493,9 @@ _ORDER = [
     "multimodal_jpeg",             # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_video_frames",     # REAL MJPEG MP4 frame pixel decode
     "bpe_token_counts",            # learned-subword tokenization (BPE apply)
+    "dedup_segments",              # paragraph-granularity dedup + reassembly
+    "corpus_shuffle",              # seeded deterministic training-order shuffle
+    "dedup_bloom",                 # Bloom-prefiltered exact incremental ingest
 ]
 
 

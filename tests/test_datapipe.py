@@ -1743,3 +1743,155 @@ def test_wav_codec_roundtrip_and_features(spark):
     )
     assert rows[2].format == "wav" and rows[2].rms is None  # codec gated
     assert rows[3].format is None and rows[4].rms is None  # total function
+
+
+# ---------------------------------------------------------------------------
+# segment dedup / seeded shuffle / Bloom ingest
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_segments_drops_repeats_and_reassembles(spark):
+    """Corpus-wide keep-first over 2-token segments: the boilerplate
+    segment survives only in its lowest-(doc_id, idx) occurrence and
+    reassembly preserves original order of the survivors."""
+    from engine_spark.datapipe.segments import dedup_segments
+
+    d = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),            # segs: "aa bb", "cc dd"
+            (2, "aa bb xx yy"),            # "aa bb" repeats -> dropped
+            (3, "xx yy cc dd aa bb"),      # all three repeat -> empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_segments(d, w=2).collect()}
+    assert (out[1].n_segments, out[1].n_kept, out[1].new_text) == (
+        2, 2, "aa bb cc dd",
+    )
+    assert (out[2].n_segments, out[2].n_kept, out[2].new_text) == (
+        2, 1, "xx yy",
+    )
+    assert (out[3].n_segments, out[3].n_kept, out[3].new_text) == (3, 0, "")
+
+
+def test_dedup_segments_within_doc_repeat(spark):
+    """A segment repeated INSIDE one document keeps only its first copy
+    (idx breaks the tie after doc_id)."""
+    from engine_spark.datapipe.segments import dedup_segments
+
+    d = spark.createDataFrame(
+        [(7, "pp qq zz ww pp qq")], "doc_id long, text string"
+    )
+    (r,) = dedup_segments(d, w=2).collect()
+    assert (r.n_segments, r.n_kept, r.new_text) == (3, 2, "pp qq zz ww")
+
+
+def test_dedup_segments_paragraph_mode(spark):
+    """paragraphs=True splits on blank lines (the production unit)."""
+    from engine_spark.datapipe.segments import dedup_segments
+
+    d = spark.createDataFrame(
+        [
+            (1, "intro text\n\nshared license block\n\nbody one"),
+            (2, "other intro\n\nshared license block\n\nbody two"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_segments(d, paragraphs=True).collect()}
+    assert out[1].n_kept == 3
+    assert out[2].n_kept == 2
+    assert "shared license block" not in out[2].new_text
+    assert out[2].new_text == "other intro body two"
+
+
+def test_shuffle_shards_deterministic_and_dense(spark):
+    """Same (seed, key) -> same (shard, pos) across partition layouts;
+    positions are 1..n_shard_rows dense inside every shard."""
+    from engine_spark.datapipe.packing import shuffle_shards
+
+    d1 = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    d8 = d1.repartition(8)
+    a = rows(shuffle_shards(d1, n_shards=4))
+    b = rows(shuffle_shards(d8, n_shards=4))
+    assert a == b
+    by_shard = {}
+    for _doc, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    assert set(by_shard) == {0, 1, 2, 3}
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # a different seed is a different permutation
+    c = rows(shuffle_shards(d1, seed=43, n_shards=4))
+    assert c != a
+
+
+def test_bloom_positions_sql_numpy_parity(spark):
+    """The Spark-SQL build-side position formula and the numpy probe-side
+    formula are bit-equal (the property the filter's exactness rests on)."""
+    import numpy as np
+
+    from engine_spark.datapipe.bloom import _positions_np, _positions_sql
+
+    d = spark.createDataFrame(
+        [(x,) for x in (0, 1, 17, 2**40 + 3, 2**56 - 1)], "h long"
+    )
+    got_sql = [
+        r.p for r in d.select(
+            F.expr(_positions_sql("h")).alias("p")
+        ).orderBy("h").collect()
+    ]
+    hs = np.array(sorted((0, 1, 17, 2**40 + 3, 2**56 - 1)), dtype=np.int64)
+    got_np = _positions_np(hs)
+    for row_sql, row_np in zip(got_sql, got_np):
+        assert list(row_sql) == list(row_np)
+
+
+def test_bloom_dedup_exact_vs_plain_join(spark):
+    """bloom_dedup's answer == plain exact semi-join semantics, and the
+    Bloom prefilter admits no false negatives by construction."""
+    corpus = spark.createDataFrame(
+        [(i, f"seen document number {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        # 10 dups (case-insensitive match), 40 fresh
+        [(1000 + i, f"SEEN document number {i}") for i in range(10)]
+        + [(2000 + i, f"fresh document {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    from engine_spark.datapipe.bloom import bloom_dedup
+
+    got = {r.doc_id: r.is_dup for r in bloom_dedup(batch, corpus).collect()}
+    assert len(got) == 50
+    for i in range(10):
+        assert got[1000 + i] is True
+    for i in range(40):
+        assert got[2000 + i] is False
+
+
+def test_bloom_build_bitmap_bounded_and_probing(spark):
+    """build_bloom sets exactly the K bits per key (driver data bounded by
+    M); a disjoint batch is pruned before the verify join."""
+    import numpy as np
+
+    from engine_spark.datapipe.bloom import (
+        BLOOM_K,
+        _positions_np,
+        build_bloom,
+        content_hash56,
+    )
+    from engine_spark.datapipe.fragments import Dialect
+
+    corpus = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], "doc_id long, text string"
+    )
+    h = corpus.select(
+        F.expr(content_hash56(Dialect("spark"))).alias("h")
+    )
+    bits = build_bloom(h, "h")
+    popcount = int(np.unpackbits(bits).sum())
+    assert 0 < popcount <= 50 * BLOOM_K
+    # every corpus key's positions are set (zero false negatives)
+    hs = np.array([r.h for r in h.collect()], dtype=np.int64)
+    pos = _positions_np(hs)
+    assert ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all()

@@ -93,6 +93,27 @@ CHECKS = {
         ("single window pass", lambda p: p.count("RunningWindowFunction") <= 1),
         ("union of both sides", lambda p: "Union" in p),
     ],
+    "dedup_segments": [
+        # row-local segmentation + keep-first + reassembly: exactly two
+        # keyed shuffles (segment hash, then doc_id) — a third would mean
+        # the reassembly sort left the row-local path
+        ("two keyed exchanges", lambda p: p.count("Exchange hashpartitioning") == 2),
+        ("no single-partition exchange", lambda p: "Exchange SinglePartition" not in p),
+        ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "corpus_shuffle": [
+        # shard hash is row-local; only the per-shard position window
+        # shuffles — and never into one partition (no global sort)
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("no global sort", lambda p: "Exchange SinglePartition" not in p and "rangepartitioning" not in p),
+        ("column pruning (doc_id only)", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+    ],
+    "dedup_bloom": [
+        # Bloom probe is map-only; only the bounded position-distinct and
+        # the pruned verify join shuffle. Nothing may degrade to cartesian.
+        ("no cartesian/nested-loop", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+        ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
 }
 
 
