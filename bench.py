@@ -461,6 +461,46 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - recorded, not swallowed
         errors["pipeline_sf1"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # Corpus-assembly ops at the same 10x replicated scale: the replicated
+    # corpus is 90% duplicate content under fresh doc_ids — exactly the
+    # regime segment dedup and Bloom ingest exist for.
+    corpus_assembly: dict[str, dict[str, float]] = {}
+    try:
+        from engine_spark.datapipe.bloom import bloom_dedup
+        from engine_spark.datapipe.packing import shuffle_shards
+        from engine_spark.datapipe.segments import dedup_segments
+
+        n_ca_docs = n_docs * REP
+
+        def _ca(name, fn):
+            t0 = time.perf_counter()
+            out_rows = fn()
+            dt = time.perf_counter() - t0
+            corpus_assembly[name] = {
+                "sec": round(dt, 4),
+                "in_rows": int(n_ca_docs),
+                "rows_per_sec": int(n_ca_docs / dt),
+                "out_rows": int(out_rows),
+            }
+
+        _ca("segment_dedup", lambda: dedup_segments(mat["documents"]).count())
+        _ca(
+            "seeded_shuffle",
+            lambda: shuffle_shards(mat["documents"], n_shards=32).count(),
+        )
+        _b = (
+            F.expr(SP.hash56("concat('doc:', cast(doc_id as string))")) % 5
+        )
+        _ca(
+            "bloom_ingest",
+            lambda: bloom_dedup(
+                mat["documents"].filter(_b == 0),
+                mat["documents"].filter(_b != 0),
+            ).count(),
+        )
+    except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+        errors["corpus_assembly"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     print(
         json.dumps(
             {
@@ -477,6 +517,7 @@ def main() -> None:
                 "throughput_events_per_sec_amortized": amortized,
                 "throughput_events_per_sec_materialized": materialized,
                 "pipeline_sf1": pipeline_sf1,
+                "corpus_assembly": corpus_assembly,
                 "multimodal": multimodal,
                 "amortized_replication": REP,
                 "errors": errors,
