@@ -31,6 +31,10 @@ bit-equal.
 
 from __future__ import annotations
 
+import os
+import shutil
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -141,3 +145,152 @@ def bloom_dedup(
             F.coalesce("is_dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+class BloomDedupStore:
+    """Streaming exactly-once EXACT dedup against an append-only corpus.
+
+    The exact-content sibling of :class:`incremental.SignatureStore`
+    (near-dup): per micro-batch of new documents it answers "seen this
+    exact text before?" without ever re-scanning prior text. State per
+    committed epoch:
+
+    - ``epoch-N/`` parquet of the batch's distinct content hashes
+      (8 bytes/doc — the verify side);
+    - ``epoch-N.bloom`` the batch's M-bit Bloom bitmap (M/8 bytes, a
+      constant ~130 KiB regardless of batch size — the probe side).
+
+    Per batch: OR the prior epochs' bitmaps driver-side (tiny), probe
+    the batch map-only through the broadcast union bitmap, then verify
+    only Bloom-positive rows with a semi-join that BROADCASTS the
+    candidate hashes — the corpus hash store streams map-side and never
+    shuffles. Batch-internal repeats are caught by a keyed first-wins
+    rank. Commit is stage + atomic rename (same protocol as
+    sources/filequeue): a crash-replayed epoch reads only strictly
+    earlier state, returns the identical answer, and does not grow
+    state.
+    """
+
+    def __init__(self, spark, state_dir: str, m: int = BLOOM_M):
+        self.spark = spark
+        self.state_dir = state_dir
+        self.m = m
+        self.hash_dir = os.path.join(state_dir, "hashes")
+        os.makedirs(self.hash_dir, exist_ok=True)
+
+    # -- state ---------------------------------------------------------------
+    def _epoch_path(self, epoch_id: int) -> str:
+        return os.path.join(self.hash_dir, f"epoch-{int(epoch_id):010d}")
+
+    def committed(self, epoch_id: int) -> bool:
+        return os.path.exists(self._epoch_path(epoch_id))
+
+    def _epochs(self, before_epoch: int) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.hash_dir)
+            if d.startswith("epoch-")
+            and not d.endswith(".bloom")
+            and int(d.split("-")[1]) < before_epoch
+        )
+
+    def _union_bitmap(self, before_epoch: int) -> np.ndarray:
+        bits = np.zeros(self.m // 8, dtype=np.uint8)
+        for d in self._epochs(before_epoch):
+            with open(os.path.join(self.hash_dir, d + ".bloom"), "rb") as f:
+                bits |= np.frombuffer(f.read(), dtype=np.uint8)
+        return bits
+
+    def _corpus_hashes(self, before_epoch: int):
+        eps = self._epochs(before_epoch)
+        if not eps:
+            return None
+        return self.spark.read.parquet(
+            *[os.path.join(self.hash_dir, d) for d in eps]
+        )
+
+    def _commit(self, hashes: "DataFrame", epoch_id: int) -> None:
+        final = self._epoch_path(epoch_id)
+        if os.path.exists(final):  # crash replay of a committed epoch
+            return
+        bitmap = build_bloom(hashes, "h", self.m)
+        staging = os.path.join(
+            self.state_dir, "_staging", f"e{uuid.uuid4().hex}"
+        )
+        hashes.write.mode("overwrite").parquet(staging)
+        with open(staging + ".bloom", "wb") as f:
+            f.write(bitmap.tobytes())
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        try:
+            os.rename(staging, final)  # atomic publish
+            os.replace(staging + ".bloom", final + ".bloom")
+        except OSError:  # lost the replay race: no-op
+            shutil.rmtree(staging, ignore_errors=True)
+            try:
+                os.remove(staging + ".bloom")
+            except OSError:
+                pass
+
+    # -- per-batch -----------------------------------------------------------
+    def process_batch(
+        self, batch_df: "DataFrame", epoch_id: int, text_col: str = "text"
+    ) -> "DataFrame":
+        """(doc_id, text) batch → (doc_id, is_dup); commits exactly once.
+
+        ``is_dup`` is True when the exact (case-normalized) text was seen
+        in ANY earlier epoch or earlier in this batch (first occurrence
+        wins, ordered by doc_id — deterministic across replays).
+        """
+        from pyspark.sql import Window
+
+        d = Dialect("spark")
+        m = self.m
+        hashed = batch_df.select(
+            "doc_id", F.expr(content_hash56(d, text_col)).alias("h")
+        ).localCheckpoint(eager=True)
+
+        # batch-internal repeats: keyed first-wins rank (one shuffle of
+        # 16-byte rows on a near-unique key)
+        first = Window.partitionBy("h").orderBy("doc_id")
+        internal = hashed.withColumn(
+            "_dup_internal", F.row_number().over(first) > 1
+        )
+
+        # vs prior corpus: broadcast union bitmap, map-only probe
+        bits_bc = self.spark.sparkContext.broadcast(
+            self._union_bitmap(epoch_id)
+        )
+
+        @F.pandas_udf(T.BooleanType())
+        def maybe_seen(h: pd.Series) -> pd.Series:
+            bits = bits_bc.value
+            pos = _positions_np(h.to_numpy(np.int64), m)
+            hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            return pd.Series(hit.all(axis=1).astype(bool))
+
+        corpus = self._corpus_hashes(epoch_id)
+        if corpus is None:
+            flagged = internal.select(
+                "doc_id", F.col("_dup_internal").alias("is_dup")
+            )
+        else:
+            cand = hashed.filter(maybe_seen(F.col("h"))).select("h").distinct()
+            # candidate hashes broadcast; the corpus store streams map-side
+            seen = (
+                corpus.join(F.broadcast(cand), "h", "left_semi")
+                .distinct()
+                .withColumn("_dup_prior", F.lit(True))
+            )
+            flagged = (
+                internal.join(seen, "h", "left")
+                .select(
+                    "doc_id",
+                    (
+                        F.col("_dup_internal")
+                        | F.coalesce("_dup_prior", F.lit(False))
+                    ).alias("is_dup"),
+                )
+            )
+        out = flagged.localCheckpoint(eager=True)  # answer before state grows
+        self._commit(hashed.select("h").distinct(), epoch_id)
+        return out

@@ -1895,3 +1895,74 @@ def test_bloom_build_bitmap_bounded_and_probing(spark):
     hs = np.array([r.h for r in h.collect()], dtype=np.int64)
     pos = _positions_np(hs)
     assert ((bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all()
+
+
+def test_bloom_store_across_epochs(spark, tmp_path):
+    """Exact streaming dedup: repeats of earlier-epoch text flag True,
+    fresh text False, batch-internal repeats keep only the first."""
+    from engine_spark.datapipe.bloom import BloomDedupStore
+
+    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text"), (3, "beta TEXT")],
+        "doc_id long, text string",
+    )
+    r1 = {r.doc_id: r.is_dup for r in store.process_batch(b1, 0).collect()}
+    # case-normalized: doc 3 repeats doc 2 inside the batch
+    assert r1 == {1: False, 2: False, 3: True}
+
+    b2 = spark.createDataFrame(
+        [(10, "ALPHA text"), (11, "gamma text"), (12, "gamma text")],
+        "doc_id long, text string",
+    )
+    r2 = {r.doc_id: r.is_dup for r in store.process_batch(b2, 1).collect()}
+    assert r2 == {10: True, 11: False, 12: True}
+
+    b3 = spark.createDataFrame(
+        [(20, "gamma text"), (21, "delta text")], "doc_id long, text string"
+    )
+    r3 = {r.doc_id: r.is_dup for r in store.process_batch(b3, 2).collect()}
+    assert r3 == {20: True, 21: False}
+
+
+def test_bloom_store_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay of a committed epoch returns the identical answer and
+    does not grow state (reads only strictly-earlier epochs)."""
+    import os
+
+    from engine_spark.datapipe.bloom import BloomDedupStore
+
+    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    b1 = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id long, text string"
+    )
+    b2 = spark.createDataFrame(
+        [(3, "one"), (4, "three")], "doc_id long, text string"
+    )
+    store.process_batch(b1, 0)
+    first = {r.doc_id: r.is_dup for r in store.process_batch(b2, 1).collect()}
+    state_before = sorted(os.listdir(store.hash_dir))
+    replay = {r.doc_id: r.is_dup for r in store.process_batch(b2, 1).collect()}
+    assert replay == first == {3: True, 4: False}
+    assert sorted(os.listdir(store.hash_dir)) == state_before
+
+
+def test_bloom_store_bitmap_files_are_constant_size(spark, tmp_path):
+    """Per-epoch probe state is M/8 bytes regardless of batch size."""
+    import os
+
+    from engine_spark.datapipe.bloom import BLOOM_M, BloomDedupStore
+
+    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    small = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    big = spark.createDataFrame(
+        [(100 + i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    store.process_batch(small, 0)
+    store.process_batch(big, 1)
+    sizes = {
+        os.path.getsize(os.path.join(store.hash_dir, f))
+        for f in os.listdir(store.hash_dir)
+        if f.endswith(".bloom")
+    }
+    assert sizes == {BLOOM_M // 8}
