@@ -1384,6 +1384,102 @@ def q_join_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "analytic_functions",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           lag(o_orderkey) OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="analytic window-function family over a per-key ordered stream: "
+    "lag/lead/rank + running sum (exact decimal accumulation, explicit "
+    "ROWS frame). One keyed shuffle, one sort, all four functions share "
+    "the single window pass.",
+)
+def q_analytic_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = Catalog(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(wf)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="hierarchical subtotal aggregation (ROLLUP grouping sets with "
+    "grouping_id to distinguish subtotal NULLs from data NULLs): Spark "
+    "expands the sets inside ONE hash-aggregate pass — no per-level "
+    "re-scan.",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           floor(quantile_cont(l_quantity, 0.25) * 1000000 + 0.5) / 1000000 AS p25,
+           floor(quantile_cont(l_quantity, 0.5)  * 1000000 + 0.5) / 1000000 AS p50,
+           floor(quantile_cont(l_quantity, 0.75) * 1000000 + 0.5) / 1000000 AS p75,
+           floor(quantile_cont(l_quantity, 0.9)  * 1000000 + 0.5) / 1000000 AS p90
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="exact interpolated percentiles per group (type-7 / SQL "
+    "PERCENTILE_CONT semantics in both engines), round-half-up to 6dp "
+    "for cross-engine float determinism. Spark computes all four from "
+    "one percentile(array(...)) accumulator pass.",
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    pct = F.expr(
+        "percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.9D))"
+    ).alias("_p")
+    out = li.groupBy("l_returnflag").agg(pct)
+    cols = [
+        F.expr(
+            f"floor(element_at(_p, {i + 1}) * 1000000 + 0.5) / 1000000"
+        ).alias(name)
+        for i, name in enumerate(["p25", "p50", "p75", "p90"])
+    ]
+    return out.select("l_returnflag", *cols)
+
+
 # ===========================================================================
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries in dict order, so the order below is deliberate: one-or-more gates
@@ -1496,6 +1592,9 @@ _ORDER = [
     "dedup_segments",              # paragraph-granularity dedup + reassembly
     "corpus_shuffle",              # seeded deterministic training-order shuffle
     "dedup_bloom",                 # Bloom-prefiltered exact incremental ingest
+    "analytic_functions",          # lag/lead/rank/running-sum single window pass
+    "agg_rollup",                  # ROLLUP grouping sets, one aggregate pass
+    "agg_percentiles",             # exact interpolated percentiles per group
 ]
 
 

@@ -108,6 +108,26 @@ CHECKS = {
         ("no global sort", lambda p: "Exchange SinglePartition" not in p and "rangepartitioning" not in p),
         ("column pruning (doc_id only)", lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
     ],
+    "analytic_functions": [
+        # lag/lead/rank/running-sum must share ONE window pass: one keyed
+        # exchange, one Window operator
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("single window operator", lambda p: p.count("Window\n") <= 1 and "Window" in p),
+        ("column pruning on orders scan", lambda p: "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp" in p),
+    ],
+    "agg_rollup": [
+        # grouping sets expand inside one aggregate pass — never a Union of
+        # per-level re-aggregations
+        ("expand operator", lambda p: "Expand" in p),
+        ("no union of levels", lambda p: "Union" not in p),
+        ("hash aggregation", lambda p: "HashAggregate" in p),
+    ],
+    "agg_percentiles": [
+        # one accumulator pass with map-side partials (ObjectHashAggregate
+        # for the TypedImperative percentile), one keyed exchange
+        ("partial aggregation", lambda p: "partial_percentile" in p or "partial" in p),
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+    ],
     "dedup_bloom": [
         # Bloom probe is map-only; only the bounded position-distinct and
         # the pruned verify join shuffle. Nothing may degrade to cartesian.
