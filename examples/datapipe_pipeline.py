@@ -3,8 +3,9 @@
 
 Composes the stages a 100 TB pipeline runs, on the sf0.01 testdata:
 
-  exact dedup -> MinHash-LSH near-dup clusters -> quality + surprisal
-  filters -> domain-weighted mixing -> sequence packing -> chunking
+  exact dedup -> segment (paragraph) dedup -> MinHash-LSH near-dup
+  clusters -> quality + surprisal filters -> domain-weighted mixing ->
+  sequence packing -> seeded shuffle -> chunking
 
 Run:  python examples/datapipe_pipeline.py [sf_dir]
 """
@@ -36,6 +37,14 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         .groupBy("h").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
     docs = docs.join(keep_exact, "doc_id")
+
+    # 1b. segment-level dedup: drop repeated 8-token segments corpus-wide
+    #     and rewrite the surviving documents (kills shared boilerplate)
+    from engine_spark.datapipe.segments import dedup_segments
+    rewritten = dedup_segments(docs).filter(F.col("n_kept") > 0)
+    docs = docs.drop("text").join(
+        rewritten.select("doc_id", F.col("new_text").alias("text")), "doc_id"
+    )
 
     # 2. near-dup: MinHash signatures -> banded candidates -> verified pairs
     #    -> connected components -> keep each cluster's canonical doc
@@ -71,11 +80,16 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     packed = sequence_pack(with_counts, "n_tokens", seq_len=64, n_shards=8)
 
-    # 6. retrieval chunks over the same kept set
+    # 6. reproducible training order: seeded shard + position
+    from engine_spark.datapipe.packing import shuffle_shards
+    order = shuffle_shards(mixed, seed=7, n_shards=8)
+
+    # 7. retrieval chunks over the same kept set
     chunks = chunk_documents(mixed)
 
     print(f"documents: {n0} -> kept {mixed.count()}")
     packed.select("doc_id", "shard", "seq_first", "seq_last").show(5)
+    order.orderBy("shard", "pos").show(5)
     chunks.groupBy().agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.countDistinct("chunk_hash").alias("distinct_chunks"),
