@@ -233,25 +233,32 @@ class BloomDedupStore:
 
     # -- per-batch -----------------------------------------------------------
     def process_batch(
-        self, batch_df: "DataFrame", epoch_id: int, text_col: str = "text"
+        self,
+        batch_df: "DataFrame",
+        epoch_id: int,
+        text_col: str = "text",
+        id_col: str = "doc_id",
     ) -> "DataFrame":
-        """(doc_id, text) batch → (doc_id, is_dup); commits exactly once.
+        """(id, text) batch → (id, is_dup); commits exactly once.
 
         ``is_dup`` is True when the exact (case-normalized) text was seen
         in ANY earlier epoch or earlier in this batch (first occurrence
-        wins, ordered by doc_id — deterministic across replays).
+        wins, ordered by ``id_col`` — deterministic across replays).
+        ``id_col`` defaults to doc_id; pass a different unique key to
+        dedup at another granularity (e.g. segment uids — see
+        segments.dedup_segments_stream).
         """
         from pyspark.sql import Window
 
         d = Dialect("spark")
         m = self.m
         hashed = batch_df.select(
-            "doc_id", F.expr(content_hash56(d, text_col)).alias("h")
+            id_col, F.expr(content_hash56(d, text_col)).alias("h")
         ).localCheckpoint(eager=True)
 
         # batch-internal repeats: keyed first-wins rank (one shuffle of
         # 16-byte rows on a near-unique key)
-        first = Window.partitionBy("h").orderBy("doc_id")
+        first = Window.partitionBy("h").orderBy(id_col)
         internal = hashed.withColumn(
             "_dup_internal", F.row_number().over(first) > 1
         )
@@ -271,7 +278,7 @@ class BloomDedupStore:
         corpus = self._corpus_hashes(epoch_id)
         if corpus is None:
             flagged = internal.select(
-                "doc_id", F.col("_dup_internal").alias("is_dup")
+                id_col, F.col("_dup_internal").alias("is_dup")
             )
         else:
             cand = hashed.filter(maybe_seen(F.col("h"))).select("h").distinct()
@@ -284,7 +291,7 @@ class BloomDedupStore:
             flagged = (
                 internal.join(seen, "h", "left")
                 .select(
-                    "doc_id",
+                    id_col,
                     (
                         F.col("_dup_internal")
                         | F.coalesce("_dup_prior", F.lit(False))

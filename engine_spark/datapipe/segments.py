@@ -151,3 +151,73 @@ def segment_dedup_oracle(w: int = SEGMENT_W) -> str:
     FROM marked
     GROUP BY doc_id
     """
+
+
+#: segment index bound for the packed (doc_id, idx) uid used by the
+#: streaming path: uid = doc_id * 2^20 + idx. Bounds: idx < 2^20 segments
+#: per document, doc_id < 2^43 — both far above any real corpus row.
+_SEG_UID_BASE = 1 << 20
+
+
+def dedup_segments_stream(
+    store,
+    batch_df: DataFrame,
+    epoch_id: int,
+    w: int = SEGMENT_W,
+    paragraphs: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming segment-level dedup: one micro-batch against a
+    :class:`engine_spark.datapipe.bloom.BloomDedupStore` of every segment
+    ever seen — the Bloom-based paragraph dedup public pipelines run over
+    rolling crawls. Same output shape as :func:`dedup_segments`
+    ((doc_id, n_segments, n_kept, new_text)), but "first occurrence"
+    spans ALL PRIOR EPOCHS, exactly once per epoch: a crash-replayed
+    epoch reads only strictly-earlier state and reproduces its answer.
+
+    Wire into a stream with
+    ``foreachBatch(lambda df, eid: sink(dedup_segments_stream(store, df, eid)))``.
+
+    Scale: segmentation/reassembly are row-local; the store probe is
+    map-only against a broadcast bitmap; per-epoch state is the batch's
+    distinct segment hashes + a constant-size bitmap (see BloomDedupStore).
+    """
+    d = Dialect("spark")
+    seg_arr = (
+        paragraphs_expr(d, text_col) if paragraphs else segments_expr(d, w, text_col)
+    )
+    segs = batch_df.select(
+        "doc_id", F.posexplode(F.expr(seg_arr)).alias("idx0", "seg")
+    ).select(
+        "doc_id",
+        (F.col("idx0") + 1).alias("idx"),
+        "seg",
+        (F.col("doc_id") * _SEG_UID_BASE + F.col("idx0") + 1).alias("seg_uid"),
+    )
+    flags = store.process_batch(
+        segs.select("seg_uid", "seg"), epoch_id, text_col="seg", id_col="seg_uid"
+    )
+    marked = segs.join(flags, "seg_uid").withColumn("kept", ~F.col("is_dup"))
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("kept"), F.struct("idx", "seg"))
+                )
+            ).alias("kept_segs"),
+        )
+        .select(
+            "doc_id",
+            "n_segments",
+            "n_kept",
+            F.coalesce(
+                F.concat_ws(" ", F.expr("transform(kept_segs, s -> s.seg)")),
+                F.lit(""),
+            ).alias("new_text"),
+        )
+    )

@@ -1966,3 +1966,54 @@ def test_bloom_store_bitmap_files_are_constant_size(spark, tmp_path):
         if f.endswith(".bloom")
     }
     assert sizes == {BLOOM_M // 8}
+
+
+def test_dedup_segments_stream_first_epoch_matches_batch(spark, tmp_path):
+    """With an empty store, one epoch of streaming segment dedup equals
+    the batch operator on the same input."""
+    from engine_spark.datapipe.bloom import BloomDedupStore
+    from engine_spark.datapipe.segments import (
+        dedup_segments,
+        dedup_segments_stream,
+    )
+
+    d = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd"),
+            (2, "aa bb xx yy"),
+            (3, "xx yy cc dd aa bb"),
+        ],
+        "doc_id long, text string",
+    )
+    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    got = rows(dedup_segments_stream(store, d, 0, w=2))
+    want = rows(dedup_segments(d, w=2))
+    assert got == want
+
+
+def test_dedup_segments_stream_across_epochs(spark, tmp_path):
+    """Boilerplate seen in epoch 0 is stripped from epoch 1's documents."""
+    from engine_spark.datapipe.bloom import BloomDedupStore
+    from engine_spark.datapipe.segments import dedup_segments_stream
+
+    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    e0 = spark.createDataFrame(
+        [(1, "header boiler body one")], "doc_id long, text string"
+    )
+    e1 = spark.createDataFrame(
+        [(2, "header boiler body two"), (3, "body one fresh text")],
+        "doc_id long, text string",
+    )
+    dedup_segments_stream(store, e0, 0, w=2).collect()
+    out = {
+        r.doc_id: r
+        for r in dedup_segments_stream(store, e1, 1, w=2).collect()
+    }
+    # doc 2: "header boiler" repeats epoch 0 -> stripped; "body two" fresh
+    assert (out[2].n_segments, out[2].n_kept, out[2].new_text) == (
+        2, 1, "body two",
+    )
+    # doc 3: "body one" repeats epoch 0's second segment; "fresh text" fresh
+    assert (out[3].n_segments, out[3].n_kept, out[3].new_text) == (
+        2, 1, "fresh text",
+    )
