@@ -2017,3 +2017,55 @@ def test_dedup_segments_stream_across_epochs(spark, tmp_path):
     assert (out[3].n_segments, out[3].n_kept, out[3].new_text) == (
         2, 1, "fresh text",
     )
+
+
+def test_dedup_segments_matches_python_reference_property(spark):
+    """Property: on random small corpora, dedup_segments equals a plain
+    Python reference (global first-occurrence keep over w-token windows,
+    reassembly in original order)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from engine_spark.datapipe.segments import dedup_segments
+
+    W = 2
+    vocab = ["a", "b", "c"]
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(vocab), min_size=1, max_size=9),
+        min_size=1,
+        max_size=4,
+    )
+
+    def reference(corpus):
+        seen: set[str] = set()
+        out = {}
+        for i, toks in enumerate(corpus):
+            segs = [
+                " ".join(toks[j : j + W]) for j in range(0, len(toks), W)
+            ]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            out[i] = (len(segs), len(kept), " ".join(kept))
+        return out
+
+    @given(corpus=corpus_strategy)
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def prop(corpus):
+        d = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        got = {
+            r.doc_id: (r.n_segments, r.n_kept, r.new_text)
+            for r in dedup_segments(d, w=W).collect()
+        }
+        assert got == reference(corpus)
+
+    prop()
