@@ -1505,14 +1505,15 @@ _ORDER = [
     "table_dml",                  # 2g (update/delete/insert/upsert)
     "sql_select_join_group",      # SQL front-end
     # 2h scalars / 2b expressions
-    "string_funcs",
     "date_case_funcs",
     "expr_like_between_null",
     # 2d aggregations
     "agg_stats",
     "agg_having_topn",
-    "first_last_by_time",
     "incremental_agg_hour",
+    "agg_rollup",                 # ROLLUP grouping sets, one aggregate pass
+    "agg_percentiles",            # exact interpolated percentiles per group
+    "analytic_functions",         # lag/lead/rank/running-sum single window pass
     # 2c joins
     "join_outer_modes",
     "semi_anti_join",
@@ -1520,7 +1521,6 @@ _ORDER = [
     # 2e windows
     "window_hopping_1h_15m",
     "window_session_30m",
-    "window_length_modes",
     "window_sort_top3",
     "frequent_items",
     # 2f patterns
@@ -1530,49 +1530,69 @@ _ORDER = [
     # 2g output
     "output_rate_modes",
     # SQL front-end (remaining)
-    "sql_window_tumbling",
     "sql_pattern_partitioned",
+    "sql_create_aggregation",     # CREATE AGGREGATION DDL (incremental agg)
     # datapipe: text analysis / dedup / similarity / multimodal
     "text_quality",
-    "text_analysis",
-    "text_surprisal",             # unigram-LM perplexity-proxy quality axis
     "vocab_topk",                 # corpus tf/df stats (inverted-index build)
+    "bpe_token_counts",           # learned-subword tokenization (BPE apply)
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_segments",             # paragraph-granularity dedup + reassembly
+    "dedup_bloom",                # Bloom-prefiltered exact incremental ingest
     "ann_search_modes",
     "ann_ivf_trained",
+    "multimodal_resize",          # REAL PNG pixel decode+bilinear+re-encode
+    "multimodal_audio",           # REAL WAV/PCM16 decode + sample features
+    "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
+    "multimodal_frames",          # REAL MP4 ISO-BMFF sample-table demux
+    "multimodal_video_frames",    # REAL MJPEG MP4 frame pixel decode
+    "multimodal_bmp_gif",         # REAL BMP BI_RGB + GIF LZW pixel decode
+    "sampling_modes",             # hash + domain-mix + stratified draws
+    "sequence_packing",           # corpus assembly: concat-and-chunk packing
+    "corpus_shuffle",             # seeded deterministic training-order shuffle
+    "pipeline_end_to_end",
+    # ---- entries past the driver's 50-gate window: redundant VARIANTS of
+    # families already checked above, each with one-or-more consecutive
+    # driver-green rounds, and at least one representative of every
+    # family still inside the window.
+    # Round 7 (late session) rotated IN all eleven round-7 additions —
+    # the only gates that had never faced the driver's oracle — so that
+    # ZERO registry entries lack a driver check after this round. Rotated
+    # OUT (last driver-green round in parens): string_funcs (r6; every
+    # string fn also pytest-proven; date/expr scalar gates stay),
+    # first_last_by_time (r6; 2d keeps six gates in-window),
+    # window_length_modes (r6; 2e keeps tumbling/hopping/session/sort/
+    # frequent — length+lengthBatch remain streaming-pytest-proven),
+    # sql_window_tumbling (r6; SQL keeps select_join_group/pattern/
+    # create_aggregation; the tumbling operator itself stays in-window),
+    # text_analysis + text_surprisal (r6; text keeps quality/vocab/bpe),
+    # dedup_simhash (r6; dedup keeps seven gates in-window),
+    # ann_pq (r6; ANN keeps search_modes/ivf_trained),
+    # embedding_quantize (r6), multimodal_headers (r6; multimodal keeps
+    # six REAL-codec gates), doc_chunking (r6; assembly keeps sampling/
+    # packing/shuffle/pipeline). Earlier rotations: text_keywords,
+    # multimodal_pipeline, cron_window_5min, math_funcs,
+    # agg_approx_distinct, window_sliding_time_10m, join_multiway_q5,
+    # asof_join_last_view, join_q3_shipping_priority — rationale
+    # unchanged from the round-6/7 notes. ALL remain fully oracle-checked
+    # on every run of tools/check_correctness.py (CORRECTNESS_LOCAL.json,
+    # regenerated in lockstep) and stay in bench.py's headline set where
+    # listed.
+    "string_funcs",
+    "first_last_by_time",
+    "window_length_modes",
+    "sql_window_tumbling",
+    "text_analysis",
+    "text_surprisal",             # unigram-LM perplexity-proxy quality axis
+    "dedup_simhash",
     "ann_pq",                     # product-quantization ANN (ADC scan)
     "embedding_quantize",
     "multimodal_headers",         # real stdlib PNG/GIF/BMP/JPEG header decode
-    "multimodal_resize",          # REAL PNG pixel decode+bilinear+re-encode
-    "multimodal_audio",           # REAL WAV/PCM16 decode + sample features
-    "sql_create_aggregation",     # CREATE AGGREGATION DDL (incremental agg)
-    "sampling_modes",             # hash + domain-mix + stratified draws
-    "sequence_packing",           # corpus assembly: concat-and-chunk packing
     "doc_chunking",               # corpus assembly: overlapping chunk explode
-    "pipeline_end_to_end",
-    # ---- entries past the driver's 50-gate window: redundant VARIANTS of
-    # families already checked above, rotated out after multiple
-    # consecutive driver-green rounds each, with at least one
-    # representative of every family still inside the window.
-    # Round 7 rotated IN sql_create_aggregation + multimodal_audio (the
-    # only gates that had never faced the driver's oracle) and OUT
-    # text_keywords (text family keeps quality/analysis/surprisal/vocab
-    # in-window) and multimodal_pipeline (family keeps headers/resize/
-    # audio). math_funcs = merged 2h scalar gate (string/date scalar
-    # gates remain in-window; every math fn is pytest-proven in
-    # tests/test_scalar.py); agg_approx_distinct = fifth 2d gate;
-    # window_sliding_time_10m = fifth 2e time-window gate;
-    # join_multiway_q5 / q3 / asof = third..fifth table-join gates;
-    # cron_window_5min = seventh 2e window gate (the __tick__ trigger
-    # relation is pytest-proven in tests/test_windows.py). ALL remain
-    # fully oracle-checked on every run of tools/check_correctness.py
-    # (see CORRECTNESS_LOCAL.json) and stay in bench.py's headline set
-    # where listed.
     "text_keywords",              # tf-idf top-k (vocab_topk stays in-window)
     "multimodal_pipeline",        # composition of headers/resize/audio gates
     "cron_window_5min",
@@ -1582,19 +1602,6 @@ _ORDER = [
     "join_multiway_q5",
     "asof_join_last_view",
     "join_q3_shipping_priority",
-    # round-7 additions (newest gates enter past the window, then rotate
-    # in next round per the rotation policy above)
-    "multimodal_bmp_gif",          # REAL BMP BI_RGB + GIF LZW pixel decode
-    "multimodal_frames",           # REAL MP4 ISO-BMFF sample-table demux
-    "multimodal_jpeg",             # REAL baseline JPEG Huffman+IDCT decode
-    "multimodal_video_frames",     # REAL MJPEG MP4 frame pixel decode
-    "bpe_token_counts",            # learned-subword tokenization (BPE apply)
-    "dedup_segments",              # paragraph-granularity dedup + reassembly
-    "corpus_shuffle",              # seeded deterministic training-order shuffle
-    "dedup_bloom",                 # Bloom-prefiltered exact incremental ingest
-    "analytic_functions",          # lag/lead/rank/running-sum single window pass
-    "agg_rollup",                  # ROLLUP grouping sets, one aggregate pass
-    "agg_percentiles",             # exact interpolated percentiles per group
 ]
 
 
