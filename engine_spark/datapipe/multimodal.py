@@ -8,9 +8,11 @@ the public PNG spec / RFC 2083; BMP: BI_RGB row walk with palette
 expansion; GIF: variable-width LZW per the GIF89a spec; JPEG: Huffman +
 dequant + IDCT per ITU-T T.81, see datapipe.jpeg; numpy bilinear
 resample; zlib deflate + crc32 on the PNG way out). WAV/PCM16 audio
-decodes for real (RIFF chunk walk), and MP4 video DEMUXES for real
+decodes for real (RIFF chunk walk), MP4 video DEMUXES for real
 (ISO-BMFF box walk: stts/stsz/stsc/stco sample tables → per-frame byte
-ranges); progressive JPEG (SOF2 successive approximation) decodes too.
+ranges) with REAL pixel decode for Motion-JPEG tracks, raw YUV4MPEG2
+(.y4m) video decodes fully (plane split, chroma upsample, BT.601), and
+progressive JPEG (SOF2 successive approximation) decodes too.
 Only inter-coded video FRAME pixel decode remains gated — that genuinely
 needs an av library
 absent in this container, so it uses a documented deterministic stand-in
@@ -1007,6 +1009,148 @@ def parse_mp4(b: bytes) -> dict:
     raise ValueError("MP4 without a video track")
 
 
+def parse_y4m(b: bytes) -> dict:
+    """YUV4MPEG2 (.y4m) bytes → dict(width, height, fps_num, fps_den,
+    colorspace, color_range, n_frames, offsets, sizes).
+
+    Y4M is THE interchange format for raw video (mjpegtools/ffmpeg):
+    an ASCII stream header ``YUV4MPEG2 W.. H.. F<num>:<den> .. C<cs>``
+    then per frame an ASCII ``FRAME...`` line followed by raw planar
+    YCbCr samples. offsets/sizes address each frame's raw plane DATA
+    (past its FRAME line) — the exact slice a pixel decoder consumes.
+    Supported colorspaces: 444 (three full planes), 420 family
+    (C420/C420jpeg/C420mpeg2/C420paldv: half-resolution chroma), mono
+    (luma only). ``XCOLORRANGE=LIMITED`` is honored by the frame decoder
+    (BT.601 limited-range expansion); default is full range.
+    """
+    if not b.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = b.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated Y4M stream header")
+    width = height = None
+    fps_num, fps_den = 30, 1
+    cs, crange = "420", "FULL"
+    for tok in b[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            width = int(t[1:])
+        elif t[0] == "H":
+            height = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps_num, fps_den = int(num), int(den)
+        elif t[0] == "C":
+            cs = t[1:]
+        elif t.startswith("XCOLORRANGE="):
+            crange = t.split("=", 1)[1]
+    if not width or not height:
+        raise ValueError("Y4M header missing W/H")
+    if cs.startswith("420"):
+        fsize = width * height + 2 * ((width + 1) // 2) * ((height + 1) // 2)
+    elif cs.startswith("444"):
+        fsize = width * height * 3
+    elif cs.startswith("422"):
+        fsize = width * height + 2 * ((width + 1) // 2) * height
+    elif cs.startswith("mono"):
+        fsize = width * height
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {cs}")
+    offsets, sizes = [], []
+    pos = nl + 1
+    n = len(b)
+    while pos < n:
+        if b[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad Y4M FRAME marker")
+        fnl = b.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + fsize > n:
+            raise ValueError("truncated Y4M frame")
+        offsets.append(fnl + 1)
+        sizes.append(fsize)
+        pos = fnl + 1 + fsize
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "colorspace": cs,
+        "color_range": crange,
+        "n_frames": len(offsets),
+        "offsets": offsets,
+        "sizes": sizes,
+    }
+
+
+def decode_y4m_frame(b: bytes, meta: dict, frame_idx: int):
+    """One Y4M frame → HxWx3 RGB uint8 (HxWx1 for mono): plane split,
+    2x chroma replication for 420/422, BT.601 YCbCr→RGB (full range, or
+    limited-range expansion when the header declares XCOLORRANGE=LIMITED
+    — same matrix as the JPEG decoder's)."""
+    import numpy as np
+
+    w, h, cs = meta["width"], meta["height"], meta["colorspace"]
+    o = meta["offsets"][frame_idx]
+    raw = np.frombuffer(b, np.uint8, count=meta["sizes"][frame_idx], offset=o)
+    y = raw[: w * h].reshape(h, w).astype(np.float64)
+    if cs.startswith("mono"):
+        return np.clip(np.rint(y), 0, 255).astype(np.uint8)[:, :, None]
+    cw, ch_ = ((w + 1) // 2, (h + 1) // 2) if cs.startswith("420") else (
+        ((w + 1) // 2, h) if cs.startswith("422") else (w, h)
+    )
+    cb = raw[w * h : w * h + cw * ch_].reshape(ch_, cw).astype(np.float64)
+    cr = raw[w * h + cw * ch_ :].reshape(ch_, cw).astype(np.float64)
+    if cw != w or ch_ != h:  # chroma replication upsample, crop to luma grid
+        cb = np.repeat(np.repeat(cb, (h + ch_ - 1) // ch_, 0), 2, 1)[:h, :w]
+        cr = np.repeat(np.repeat(cr, (h + ch_ - 1) // ch_, 0), 2, 1)[:h, :w]
+    if meta.get("color_range") == "LIMITED":
+        y = (y - 16.0) * (255.0 / 219.0)
+        cb = (cb - 128.0) * (255.0 / 224.0) + 128.0
+        cr = (cr - 128.0) * (255.0 / 224.0) + 128.0
+    cbf, crf = cb - 128.0, cr - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * crf,
+            y - 0.344136 * cbf - 0.714136 * crf,
+            y + 1.772 * cbf,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def encode_y4m(frames, fps: tuple[int, int] = (30, 1)) -> bytes:
+    """List of HxWx3 RGB uint8 arrays → C444 full-range Y4M bytes (the
+    lossless-roundtrip colorspace; BT.601 forward matrix, the JPEG
+    encoder's)."""
+    import numpy as np
+
+    if not frames:
+        raise ValueError("encode_y4m needs at least one frame")
+    h, w = frames[0].shape[:2]
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()
+    )
+    for fr in frames:
+        rf = np.asarray(fr, np.float64)
+        yp = 0.299 * rf[:, :, 0] + 0.587 * rf[:, :, 1] + 0.114 * rf[:, :, 2]
+        cb = (
+            -0.168736 * rf[:, :, 0]
+            - 0.331264 * rf[:, :, 1]
+            + 0.5 * rf[:, :, 2]
+            + 128
+        )
+        cr = (
+            0.5 * rf[:, :, 0]
+            - 0.418688 * rf[:, :, 1]
+            - 0.081312 * rf[:, :, 2]
+            + 128
+        )
+        out += b"FRAME\n"
+        for plane in (yp, cb, cr):
+            out += np.clip(np.rint(plane), 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
 def encode_mp4(frames: list[bytes], timescale: int = 600,
                frame_duration: int = 25, codec: bytes = b"jpeg") -> bytes:
     """List of per-frame byte strings → minimal but structurally genuine
@@ -1113,20 +1257,23 @@ def frame_sample(
             rows = []
             for did, p in zip(pdf["doc_id"], pdf[payload_col]):
                 b = b"" if p is None else bytes(p)
-                try:
-                    mp4 = parse_mp4(b)
-                except DECODE_ERRORS:
-                    mp4 = None
-                if mp4 is not None:
-                    n_frames = mp4["n_frames"]
+                demux = None
+                for parser in (parse_mp4, parse_y4m):
+                    try:
+                        demux = parser(b)
+                        break
+                    except DECODE_ERRORS:
+                        pass
+                if demux is not None:
+                    n_frames = demux["n_frames"]
                     for fi in range(0, n_frames, every_k):
                         rows.append(
                             (
                                 int(did),
                                 fi,
                                 n_frames,
-                                mp4["offsets"][fi],
-                                mp4["offsets"][fi] + mp4["sizes"][fi],
+                                demux["offsets"][fi],
+                                demux["offsets"][fi] + demux["sizes"][fi],
                             )
                         )
                     continue
@@ -1165,11 +1312,13 @@ def decode_frames(
     image), every ``every_k``-th frame's bytes are sliced out of mdat and
     decoded with the stdlib baseline JPEG codec; emits the frame's decode
     timestamp (mdhd timescale units → seconds), true dimensions, and pixel
-    sum. Inter-coded codecs (avc1/hev1/vp09 — entropy+motion decode
-    genuinely needs an av library) and undecodable frames emit rows with
-    NULL pixel fields; non-MP4 payloads emit nothing. Map-only; payloads
-    never shuffle, and only the SAMPLED frames are decoded — at every_k=10
-    that is 10x less pixel work than full decode, the point of sampling."""
+    sum. Raw YUV4MPEG2 (.y4m) payloads also decode fully (plane split +
+    chroma upsample + BT.601 → RGB, see decode_y4m_frame). Inter-coded
+    codecs (avc1/hev1/vp09 — entropy+motion decode genuinely needs an av
+    library) and undecodable frames emit rows with NULL pixel fields;
+    other payloads emit nothing. Map-only; payloads never shuffle, and
+    only the SAMPLED frames are decoded — at every_k=10 that is 10x less
+    pixel work than full decode, the point of sampling."""
     if every_k < 1:
         raise ValueError("every_k must be >= 1")
 
@@ -1180,6 +1329,30 @@ def decode_frames(
             rows = []
             for did, p in zip(pdf["doc_id"], pdf[payload_col]):
                 b = b"" if p is None else bytes(p)
+                try:
+                    y4m = parse_y4m(b)
+                except DECODE_ERRORS:
+                    y4m = None
+                if y4m is not None:  # raw video: every frame decodes
+                    n = y4m["n_frames"]
+                    spf = y4m["fps_den"] / y4m["fps_num"]
+                    for fi in range(0, n, every_k):
+                        try:
+                            arr = decode_y4m_frame(b, y4m, fi)
+                        except DECODE_ERRORS:
+                            rows.append(
+                                (int(did), fi, n, fi * spf,
+                                 None, None, None, None)
+                            )
+                            continue
+                        rows.append(
+                            (
+                                int(did), fi, n, fi * spf,
+                                arr.shape[1], arr.shape[0], arr.shape[2],
+                                int(arr.sum(dtype="int64")),
+                            )
+                        )
+                    continue
                 try:
                     mp4 = parse_mp4(b)
                 except DECODE_ERRORS:

@@ -2069,3 +2069,117 @@ def test_dedup_segments_matches_python_reference_property(spark):
         assert got == reference(corpus)
 
     prop()
+
+
+# ---------------------------------------------------------------------------
+# Y4M raw video
+# ---------------------------------------------------------------------------
+
+
+def test_y4m_c444_gray_roundtrip_exact():
+    """Gray frames (R=G=B) survive RGB->YUV->RGB exactly in C444 full
+    range (U=V=128, Y=value): decode must be bit-identical."""
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import (
+        decode_y4m_frame,
+        encode_y4m,
+        parse_y4m,
+    )
+
+    g0 = np.repeat(
+        ((np.arange(6)[:, None] + np.arange(8)[None, :]) * 17 % 256)
+        .astype(np.uint8)[:, :, None],
+        3,
+        axis=2,
+    )
+    g1 = 255 - g0
+    b = encode_y4m([g0, g1], fps=(25, 1))
+    meta = parse_y4m(b)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (8, 6, 2)
+    assert (meta["fps_num"], meta["fps_den"]) == (25, 1)
+    assert (decode_y4m_frame(b, meta, 0) == g0).all()
+    assert (decode_y4m_frame(b, meta, 1) == g1).all()
+
+
+def test_y4m_c420_upsample_and_limited_range():
+    """Hand-built C420 stream: chroma replication doubles to the luma
+    grid; XCOLORRANGE=LIMITED expands 16..235 luma to 0..255."""
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import decode_y4m_frame, parse_y4m
+
+    w, h = 4, 2
+    y = np.full((h, w), 128, np.uint8)
+    cb = np.full((1, 2), 128, np.uint8)
+    cr = np.full((1, 2), 228, np.uint8)  # +100 red push everywhere
+    b = (
+        b"YUV4MPEG2 W4 H2 F30:1 C420jpeg\nFRAME\n"
+        + y.tobytes() + cb.tobytes() + cr.tobytes()
+    )
+    meta = parse_y4m(b)
+    arr = decode_y4m_frame(b, meta, 0)
+    assert arr.shape == (2, 4, 3)
+    # BT.601: R = Y + 1.402*(Cr-128) = 128 + 140.2 -> clipped 255 everywhere
+    assert (arr[:, :, 0] == 255).all()
+    lim = (
+        b"YUV4MPEG2 W4 H2 F30:1 C420jpeg XCOLORRANGE=LIMITED\nFRAME\n"
+        + np.full((h, w), 235, np.uint8).tobytes()
+        + np.full((1, 2), 128, np.uint8).tobytes()
+        + np.full((1, 2), 128, np.uint8).tobytes()
+    )
+    lm = parse_y4m(lim)
+    la = decode_y4m_frame(lim, lm, 0)
+    assert (la == 255).all()  # 235 is white in limited range
+
+
+def test_y4m_frame_sample_ranges_are_real(spark):
+    """frame_sample on a Y4M payload emits each sampled frame's actual
+    raw-plane byte extent (decodable by slicing the payload)."""
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import (
+        encode_y4m,
+        frame_sample,
+        parse_y4m,
+    )
+
+    frames = [
+        np.full((2, 2, 3), v, np.uint8) for v in (10, 60, 110, 160, 210)
+    ]
+    b = encode_y4m(frames)
+    meta = parse_y4m(b)
+    d = spark.createDataFrame([(1, bytearray(b))], "doc_id long, payload binary")
+    got = {
+        r.frame_idx: (r.byte_start, r.byte_end, r.n_frames)
+        for r in frame_sample(d, every_k=2).collect()
+    }
+    assert set(got) == {0, 2, 4}
+    for fi, (s, e, n) in got.items():
+        assert n == 5
+        assert (s, e) == (
+            meta["offsets"][fi], meta["offsets"][fi] + meta["sizes"][fi]
+        )
+        assert e - s == 2 * 2 * 3  # C444 plane bytes
+
+
+def test_y4m_decode_frames_spark(spark):
+    """decode_frames reports real dims/pix_sum/timestamps for Y4M video."""
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import decode_frames, encode_y4m
+
+    frames = [
+        np.repeat(
+            np.full((3, 4, 1), 40 * (i + 1), np.uint8), 3, axis=2
+        )
+        for i in range(4)
+    ]
+    b = encode_y4m(frames, fps=(10, 1))
+    d = spark.createDataFrame([(7, bytearray(b))], "doc_id long, payload binary")
+    got = {r.frame_idx: r for r in decode_frames(d, every_k=3).collect()}
+    assert set(got) == {0, 3}
+    for fi, r in got.items():
+        assert (r.width, r.height, r.channels, r.n_frames) == (4, 3, 3, 4)
+        assert r.pix_sum == 3 * 4 * 3 * 40 * (fi + 1)
+        assert abs(r.ts_s - fi / 10) < 1e-9
