@@ -2377,3 +2377,56 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
     b = F.expr(SP.hash56("concat('doc:', cast(doc_id as string))")) % 5
     return bloom_dedup(docs.filter(b == 0), docs.filter(b != 0))
+
+
+@register(
+    "multimodal_y4m",
+    """
+    SELECT doc_id, fi::INT AS frame_idx,
+           (doc_id % 4 + 2)::INT AS n_frames,
+           fi / 10.0 AS ts_s,
+           (n_chars % 8 + 2)::INT AS width,
+           (doc_id % 6 + 2)::INT AS height,
+           3::INT AS channels,
+           CAST(((doc_id * 13 + 29 * fi) % 256)
+                * (n_chars % 8 + 2) * (doc_id % 6 + 2) * 3 AS BIGINT)
+             AS pix_sum
+    FROM (SELECT doc_id, n_chars,
+                 unnest(range(0, doc_id % 4 + 2, 2)) AS fi
+          FROM documents)
+    ORDER BY doc_id, frame_idx
+    """,
+    doc=(
+        "REAL raw-video (YUV4MPEG2) frame pixel decode end-to-end: each "
+        "document becomes a genuine C444 .y4m stream of n = doc_id%4+2 "
+        "solid gray frames (R=G=B survives BT.601 bit-exactly), and "
+        "decode_frames walks the stream/FRAME headers, slices every 2nd "
+        "frame's raw planes, converts to RGB, and reports timestamp "
+        "(10 fps), true dimensions, and pixel sum — all recomputed in "
+        "closed form by the oracle. Map-only; only sampled frames decode."
+    ),
+)
+def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import decode_frames, encode_y4m
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                n = did % 4 + 2
+                w, h = nc % 8 + 2, did % 6 + 2
+                frames = [
+                    np.full((h, w, 3), (did * 13 + 29 * i) % 256, np.uint8)
+                    for i in range(n)
+                ]
+                rows.append((did, encode_y4m(frames, fps=(10, 1))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")

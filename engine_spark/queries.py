@@ -1602,6 +1602,8 @@ _ORDER = [
     "join_multiway_q5",
     "asof_join_last_view",
     "join_q3_shipping_priority",
+    # round-7 late addition (enters past the window per rotation policy)
+    "multimodal_y4m",             # REAL YUV4MPEG2 raw-video pixel decode
 ]
 
 
