@@ -79,12 +79,24 @@ def main() -> None:
     def minhash_chain(d):
         return minhash_signatures(shingles_of(d, materialize=False))
 
+    def segment_chain(d):
+        from engine_spark.datapipe.segments import dedup_segments
+
+        return dedup_segments(d.select("doc_id", "text"))
+
+    def shuffle_chain(d):
+        from engine_spark.datapipe.packing import shuffle_shards
+
+        return shuffle_shards(d.select("doc_id"), n_shards=32)
+
     chains = {
         "filter_project": (filter_chain, "lineitem"),
         "hash_aggregate": (agg_chain, "lineitem"),
         "sliding_window_cep": (cep_chain, "events"),
         "pattern_followed_by": (pattern_chain, "events"),
         "minhash_signatures": (minhash_chain, "documents"),
+        "segment_dedup": (segment_chain, "documents"),
+        "seeded_shuffle": (shuffle_chain, "documents"),
     }
 
     def t(df) -> float:
