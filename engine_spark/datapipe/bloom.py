@@ -99,6 +99,21 @@ def build_bloom(
     return bits
 
 
+def probe_udf(bits_bc, m: int = BLOOM_M):
+    """Vectorized membership probe against a broadcast bitmap: the one
+    place the bit-indexing expression lives (shared by the batch and
+    streaming paths)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_seen(h: pd.Series) -> pd.Series:
+        bits = bits_bc.value
+        pos = _positions_np(h.to_numpy(np.int64), m)
+        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return pd.Series(hit.all(axis=1).astype(bool))
+
+    return maybe_seen
+
+
 def bloom_dedup(
     batch: DataFrame,
     corpus: DataFrame,
@@ -115,13 +130,7 @@ def bloom_dedup(
     h_expr = content_hash56(d, text_col)
     corpus_h = corpus.select(F.expr(h_expr).alias("h"))
     bits_bc = spark.sparkContext.broadcast(build_bloom(corpus_h, "h", m))
-
-    @F.pandas_udf(T.BooleanType())
-    def maybe_seen(h: pd.Series) -> pd.Series:
-        bits = bits_bc.value
-        pos = _positions_np(h.to_numpy(np.int64), m)
-        hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        return pd.Series(hit.all(axis=1).astype(bool))
+    maybe_seen = probe_udf(bits_bc, m)
 
     hashed = batch.select(
         "doc_id",
@@ -155,26 +164,41 @@ class BloomDedupStore:
     exact text before?" without ever re-scanning prior text. State per
     committed epoch:
 
-    - ``epoch-N/`` parquet of the batch's distinct content hashes
-      (8 bytes/doc — the verify side);
-    - ``epoch-N.bloom`` the batch's M-bit Bloom bitmap (M/8 bytes, a
-      constant ~130 KiB regardless of batch size — the probe side).
+    - ``epoch-N/`` parquet of the batch's distinct content hashes: the
+      full 128-bit md5 (the verify side — full-width so a 56-bit probe
+      collision can never drop a distinct document) plus its 56-bit
+      probe key;
+    - ``epoch-N/_bloom`` the batch's M-bit Bloom bitmap (M/8 bytes, a
+      constant ~130 KiB regardless of batch size — the probe side;
+      underscore-prefixed so the parquet reader ignores it, and INSIDE
+      the epoch directory so the commit is ONE atomic rename).
 
     Per batch: OR the prior epochs' bitmaps driver-side (tiny), probe
     the batch map-only through the broadcast union bitmap, then verify
     only Bloom-positive rows with a semi-join that BROADCASTS the
-    candidate hashes — the corpus hash store streams map-side and never
+    candidate md5s — the corpus hash store streams map-side and never
     shuffles. Batch-internal repeats are caught by a keyed first-wins
     rank. Commit is stage + atomic rename (same protocol as
     sources/filequeue): a crash-replayed epoch reads only strictly
     earlier state, returns the identical answer, and does not grow
     state.
+
+    ``normalize=True`` (default) case-folds text before hashing — the
+    whole-document convention; pass ``normalize=False`` for
+    exact-content matching (what segment dedup uses).
     """
 
-    def __init__(self, spark, state_dir: str, m: int = BLOOM_M):
+    def __init__(
+        self,
+        spark,
+        state_dir: str,
+        m: int = BLOOM_M,
+        normalize: bool = True,
+    ):
         self.spark = spark
         self.state_dir = state_dir
         self.m = m
+        self.normalize = normalize
         self.hash_dir = os.path.join(state_dir, "hashes")
         os.makedirs(self.hash_dir, exist_ok=True)
 
@@ -190,14 +214,13 @@ class BloomDedupStore:
             d
             for d in os.listdir(self.hash_dir)
             if d.startswith("epoch-")
-            and not d.endswith(".bloom")
             and int(d.split("-")[1]) < before_epoch
         )
 
     def _union_bitmap(self, before_epoch: int) -> np.ndarray:
         bits = np.zeros(self.m // 8, dtype=np.uint8)
         for d in self._epochs(before_epoch):
-            with open(os.path.join(self.hash_dir, d + ".bloom"), "rb") as f:
+            with open(os.path.join(self.hash_dir, d, "_bloom"), "rb") as f:
                 bits |= np.frombuffer(f.read(), dtype=np.uint8)
         return bits
 
@@ -218,18 +241,16 @@ class BloomDedupStore:
             self.state_dir, "_staging", f"e{uuid.uuid4().hex}"
         )
         hashes.write.mode("overwrite").parquet(staging)
-        with open(staging + ".bloom", "wb") as f:
+        # bitmap goes INSIDE the staged directory so both artifacts
+        # publish in the ONE atomic rename below — no window where the
+        # epoch parquet exists without its bitmap
+        with open(os.path.join(staging, "_bloom"), "wb") as f:
             f.write(bitmap.tobytes())
         os.makedirs(os.path.dirname(final), exist_ok=True)
         try:
             os.rename(staging, final)  # atomic publish
-            os.replace(staging + ".bloom", final + ".bloom")
         except OSError:  # lost the replay race: no-op
             shutil.rmtree(staging, ignore_errors=True)
-            try:
-                os.remove(staging + ".bloom")
-            except OSError:
-                pass
 
     # -- per-batch -----------------------------------------------------------
     def process_batch(
@@ -241,24 +262,28 @@ class BloomDedupStore:
     ) -> "DataFrame":
         """(id, text) batch → (id, is_dup); commits exactly once.
 
-        ``is_dup`` is True when the exact (case-normalized) text was seen
-        in ANY earlier epoch or earlier in this batch (first occurrence
-        wins, ordered by ``id_col`` — deterministic across replays).
-        ``id_col`` defaults to doc_id; pass a different unique key to
-        dedup at another granularity (e.g. segment uids — see
-        segments.dedup_segments_stream).
+        ``is_dup`` is True when the same text (case-normalized unless the
+        store was built with ``normalize=False``) was seen in ANY earlier
+        epoch or earlier in this batch (first occurrence wins, ordered by
+        ``id_col`` — deterministic across replays). EXACT: the 56-bit key
+        only drives the Bloom probe; dup decisions verify against the
+        full 128-bit md5. ``id_col`` defaults to doc_id; pass a different
+        unique key to dedup at another granularity (e.g. segment uids —
+        see segments.dedup_segments_stream).
         """
         from pyspark.sql import Window
 
         d = Dialect("spark")
-        m = self.m
+        norm = f"lower({text_col})" if self.normalize else text_col
         hashed = batch_df.select(
-            id_col, F.expr(content_hash56(d, text_col)).alias("h")
+            id_col,
+            F.expr(d.hash56(norm)).alias("h"),
+            F.expr(f"md5({norm})").alias("full"),
         ).localCheckpoint(eager=True)
 
         # batch-internal repeats: keyed first-wins rank (one shuffle of
-        # 16-byte rows on a near-unique key)
-        first = Window.partitionBy("h").orderBy(id_col)
+        # ~50-byte rows on a near-unique key)
+        first = Window.partitionBy("full").orderBy(id_col)
         internal = hashed.withColumn(
             "_dup_internal", F.row_number().over(first) > 1
         )
@@ -267,13 +292,7 @@ class BloomDedupStore:
         bits_bc = self.spark.sparkContext.broadcast(
             self._union_bitmap(epoch_id)
         )
-
-        @F.pandas_udf(T.BooleanType())
-        def maybe_seen(h: pd.Series) -> pd.Series:
-            bits = bits_bc.value
-            pos = _positions_np(h.to_numpy(np.int64), m)
-            hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-            return pd.Series(hit.all(axis=1).astype(bool))
+        maybe_seen = probe_udf(bits_bc, self.m)
 
         corpus = self._corpus_hashes(epoch_id)
         if corpus is None:
@@ -281,15 +300,20 @@ class BloomDedupStore:
                 id_col, F.col("_dup_internal").alias("is_dup")
             )
         else:
-            cand = hashed.filter(maybe_seen(F.col("h"))).select("h").distinct()
-            # candidate hashes broadcast; the corpus store streams map-side
+            cand = (
+                hashed.filter(maybe_seen(F.col("h")))
+                .select("full")
+                .distinct()
+            )
+            # candidate md5s broadcast; the corpus store streams map-side
             seen = (
-                corpus.join(F.broadcast(cand), "h", "left_semi")
+                corpus.select("full")
+                .join(F.broadcast(cand), "full", "left_semi")
                 .distinct()
                 .withColumn("_dup_prior", F.lit(True))
             )
             flagged = (
-                internal.join(seen, "h", "left")
+                internal.join(seen, "full", "left")
                 .select(
                     id_col,
                     (
@@ -299,5 +323,5 @@ class BloomDedupStore:
                 )
             )
         out = flagged.localCheckpoint(eager=True)  # answer before state grows
-        self._commit(hashed.select("h").distinct(), epoch_id)
+        self._commit(hashed.select("h", "full").distinct(), epoch_id)
         return out

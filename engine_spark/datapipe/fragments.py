@@ -63,6 +63,13 @@ class Dialect:
             return f"filter(split(lower({s}), ' '), t -> t <> '')"
         return f"list_filter(string_split(lower({s}), ' '), t -> t <> '')"
 
+    def split_ws_cased(self, s: str) -> str:
+        """Whitespace tokens WITHOUT case folding — for operators that
+        rewrite text and must not alter it (e.g. segment reassembly)."""
+        if self.spark:
+            return f"filter(split({s}, ' '), t -> t <> '')"
+        return f"list_filter(string_split({s}, ' '), t -> t <> '')"
+
     def transform(self, arr: str, var: str, body: str) -> str:
         fn = "transform" if self.spark else "list_transform"
         return f"{fn}({arr}, {var} -> {body})"

@@ -1046,6 +1046,10 @@ def parse_y4m(b: bytes) -> dict:
             crange = t.split("=", 1)[1]
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
+    if fps_num <= 0 or fps_den <= 0:
+        # a zero rate would divide-by-zero in the frame decoder's
+        # timestamp math — reject at parse like missing W/H
+        raise ValueError("Y4M non-positive frame rate")
     if cs.startswith("420"):
         fsize = width * height + 2 * ((width + 1) // 2) * ((height + 1) // 2)
     elif cs.startswith("444"):
@@ -1092,7 +1096,10 @@ def decode_y4m_frame(b: bytes, meta: dict, frame_idx: int):
     o = meta["offsets"][frame_idx]
     raw = np.frombuffer(b, np.uint8, count=meta["sizes"][frame_idx], offset=o)
     y = raw[: w * h].reshape(h, w).astype(np.float64)
+    limited = meta.get("color_range") == "LIMITED"
     if cs.startswith("mono"):
+        if limited:
+            y = (y - 16.0) * (255.0 / 219.0)
         return np.clip(np.rint(y), 0, 255).astype(np.uint8)[:, :, None]
     cw, ch_ = ((w + 1) // 2, (h + 1) // 2) if cs.startswith("420") else (
         ((w + 1) // 2, h) if cs.startswith("422") else (w, h)
@@ -1102,7 +1109,7 @@ def decode_y4m_frame(b: bytes, meta: dict, frame_idx: int):
     if cw != w or ch_ != h:  # chroma replication upsample, crop to luma grid
         cb = np.repeat(np.repeat(cb, (h + ch_ - 1) // ch_, 0), 2, 1)[:h, :w]
         cr = np.repeat(np.repeat(cr, (h + ch_ - 1) // ch_, 0), 2, 1)[:h, :w]
-    if meta.get("color_range") == "LIMITED":
+    if limited:
         y = (y - 16.0) * (255.0 / 219.0)
         cb = (cb - 128.0) * (255.0 / 224.0) + 128.0
         cr = (cr - 128.0) * (255.0 / 224.0) + 128.0

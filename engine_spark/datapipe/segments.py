@@ -50,8 +50,13 @@ SEGMENT_W = 8
 
 
 def segments_expr(d: Dialect, w: int = SEGMENT_W, text: str = "text") -> str:
-    """Array of non-overlapping ``w``-token segment strings (row-local)."""
-    toks = FR.tokens(d, text)
+    """Array of non-overlapping ``w``-token segment strings (row-local).
+
+    Tokens keep their original case: segment matching is EXACT-content
+    (like the paragraph mode's md5), and reassembly must not rewrite the
+    surviving text. Layer case-insensitive matching, if wanted, by
+    normalizing the corpus before segmenting."""
+    toks = d.split_ws_cased(text)
     if d.spark:
         nseg = f"cast(ceil(size({toks}) / {w}.0) as int)"
     else:
@@ -70,33 +75,23 @@ def paragraphs_expr(d: Dialect, text: str = "text") -> str:
     )
 
 
-def dedup_segments(
-    docs: DataFrame,
-    w: int = SEGMENT_W,
-    paragraphs: bool = False,
-    text_col: str = "text",
+def _explode_segments(
+    docs: DataFrame, w: int, paragraphs: bool, text_col: str
 ) -> DataFrame:
-    """(doc_id, text) → (doc_id, n_segments, n_kept, new_text).
-
-    A segment survives iff it is the corpus-wide FIRST occurrence of its
-    content (order: lowest ``(doc_id, idx)``); ``new_text`` is the
-    document with only surviving segments, original order, space-joined
-    ('' when every segment was a repeat).
-    """
+    """(doc_id, text) → one row per segment: (doc_id, idx, seg)."""
     d = Dialect("spark")
     seg_arr = (
         paragraphs_expr(d, text_col) if paragraphs else segments_expr(d, w, text_col)
     )
-    segs = docs.select(
+    return docs.select(
         "doc_id", F.posexplode(F.expr(seg_arr)).alias("idx0", "seg")
-    ).select(
-        "doc_id",
-        (F.col("idx0") + 1).alias("idx"),
-        "seg",
-        F.expr("md5(seg)").alias("seg_hash"),
-    )
-    first = Window.partitionBy("seg_hash").orderBy("doc_id", "idx")
-    marked = segs.withColumn("kept", F.row_number().over(first) == 1)
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "seg")
+
+
+def _reassemble(marked: DataFrame, sep: str) -> DataFrame:
+    """(doc_id, idx, seg, kept) rows → (doc_id, n_segments, n_kept,
+    new_text): kept segments rejoined in original order. Shared by the
+    batch and streaming paths so their outputs cannot drift."""
     return (
         marked.groupBy("doc_id")
         .agg(
@@ -115,18 +110,40 @@ def dedup_segments(
             "n_segments",
             "n_kept",
             F.coalesce(
-                F.concat_ws(" ", F.expr("transform(kept_segs, s -> s.seg)")),
+                F.concat_ws(sep, F.expr("transform(kept_segs, s -> s.seg)")),
                 F.lit(""),
             ).alias("new_text"),
         )
     )
 
 
+def dedup_segments(
+    docs: DataFrame,
+    w: int = SEGMENT_W,
+    paragraphs: bool = False,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text) → (doc_id, n_segments, n_kept, new_text).
+
+    A segment survives iff it is the corpus-wide FIRST occurrence of its
+    exact content (order: lowest ``(doc_id, idx)``); ``new_text`` is the
+    document with only surviving segments, original order and case,
+    rejoined with the split unit's separator (space for token windows,
+    blank line for paragraphs; '' when every segment was a repeat).
+    """
+    segs = _explode_segments(docs, w, paragraphs, text_col).withColumn(
+        "seg_hash", F.expr("md5(seg)")
+    )
+    first = Window.partitionBy("seg_hash").orderBy("doc_id", "idx")
+    marked = segs.withColumn("kept", F.row_number().over(first) == 1)
+    return _reassemble(marked, "\n\n" if paragraphs else " ")
+
+
 def segment_dedup_oracle(w: int = SEGMENT_W) -> str:
     """DuckDB rendering of the identical computation (zipped unnests give
     the per-element ordinality; FILTERed ordered string_agg reassembles)."""
     d = Dialect("duckdb")
-    toks = FR.tokens(d)
+    toks = d.split_ws_cased("text")
     nseg = f"cast(ceil(len({toks}) / {w}.0) as bigint)"
     seg_i = d.arr_join(d.slice_k(toks, f"(i-1)*{w}+1", w))
     segs = d.transform(d.seq1(nseg), "i", seg_i)
@@ -178,46 +195,21 @@ def dedup_segments_stream(
     Wire into a stream with
     ``foreachBatch(lambda df, eid: sink(dedup_segments_stream(store, df, eid)))``.
 
+    The store should be constructed with ``normalize=False`` so segment
+    matching is exact-content, matching :func:`dedup_segments` (a
+    default, case-folding store still works but then dedups
+    case-insensitively — a semantics the batch operator does not have).
+
     Scale: segmentation/reassembly are row-local; the store probe is
     map-only against a broadcast bitmap; per-epoch state is the batch's
     distinct segment hashes + a constant-size bitmap (see BloomDedupStore).
     """
-    d = Dialect("spark")
-    seg_arr = (
-        paragraphs_expr(d, text_col) if paragraphs else segments_expr(d, w, text_col)
-    )
-    segs = batch_df.select(
-        "doc_id", F.posexplode(F.expr(seg_arr)).alias("idx0", "seg")
-    ).select(
-        "doc_id",
-        (F.col("idx0") + 1).alias("idx"),
-        "seg",
-        (F.col("doc_id") * _SEG_UID_BASE + F.col("idx0") + 1).alias("seg_uid"),
+    segs = _explode_segments(batch_df, w, paragraphs, text_col).withColumn(
+        "seg_uid",
+        F.col("doc_id") * _SEG_UID_BASE + F.col("idx"),
     )
     flags = store.process_batch(
         segs.select("seg_uid", "seg"), epoch_id, text_col="seg", id_col="seg_uid"
     )
     marked = segs.join(flags, "seg_uid").withColumn("kept", ~F.col("is_dup"))
-    return (
-        marked.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_segments"),
-            F.sum(F.when(F.col("kept"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_kept"),
-            F.array_sort(
-                F.collect_list(
-                    F.when(F.col("kept"), F.struct("idx", "seg"))
-                )
-            ).alias("kept_segs"),
-        )
-        .select(
-            "doc_id",
-            "n_segments",
-            "n_kept",
-            F.coalesce(
-                F.concat_ws(" ", F.expr("transform(kept_segs, s -> s.seg)")),
-                F.lit(""),
-            ).alias("new_text"),
-        )
-    )
+    return _reassemble(marked, "\n\n" if paragraphs else " ")

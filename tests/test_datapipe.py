@@ -1799,9 +1799,10 @@ def test_dedup_segments_paragraph_mode(spark):
     )
     out = {r.doc_id: r for r in dedup_segments(d, paragraphs=True).collect()}
     assert out[1].n_kept == 3
+    assert out[1].new_text == "intro text\n\nshared license block\n\nbody one"
     assert out[2].n_kept == 2
     assert "shared license block" not in out[2].new_text
-    assert out[2].new_text == "other intro body two"
+    assert out[2].new_text == "other intro\n\nbody two"
 
 
 def test_shuffle_shards_deterministic_and_dense(spark):
@@ -1961,9 +1962,8 @@ def test_bloom_store_bitmap_files_are_constant_size(spark, tmp_path):
     store.process_batch(small, 0)
     store.process_batch(big, 1)
     sizes = {
-        os.path.getsize(os.path.join(store.hash_dir, f))
-        for f in os.listdir(store.hash_dir)
-        if f.endswith(".bloom")
+        os.path.getsize(os.path.join(store.hash_dir, d, "_bloom"))
+        for d in os.listdir(store.hash_dir)
     }
     assert sizes == {BLOOM_M // 8}
 
@@ -1985,7 +1985,7 @@ def test_dedup_segments_stream_first_epoch_matches_batch(spark, tmp_path):
         ],
         "doc_id long, text string",
     )
-    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    store = BloomDedupStore(spark, str(tmp_path / "state"), normalize=False)
     got = rows(dedup_segments_stream(store, d, 0, w=2))
     want = rows(dedup_segments(d, w=2))
     assert got == want
@@ -1996,7 +1996,7 @@ def test_dedup_segments_stream_across_epochs(spark, tmp_path):
     from engine_spark.datapipe.bloom import BloomDedupStore
     from engine_spark.datapipe.segments import dedup_segments_stream
 
-    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    store = BloomDedupStore(spark, str(tmp_path / "state"), normalize=False)
     e0 = spark.createDataFrame(
         [(1, "header boiler body one")], "doc_id long, text string"
     )
@@ -2183,3 +2183,37 @@ def test_y4m_decode_frames_spark(spark):
         assert (r.width, r.height, r.channels, r.n_frames) == (4, 3, 3, 4)
         assert r.pix_sum == 3 * 4 * 3 * 40 * (fi + 1)
         assert abs(r.ts_s - fi / 10) < 1e-9
+
+
+def test_dedup_segments_preserves_case_and_text(spark):
+    """A rewrite operator must not alter surviving text: case survives,
+    and matching is exact-content (case-SENSITIVE) in both modes."""
+    from engine_spark.datapipe.segments import dedup_segments
+
+    d = spark.createDataFrame(
+        [(1, "Hello World Foo Bar"), (2, "hello world Foo Bar")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_segments(d, w=2).collect()}
+    # 'Hello World' != 'hello world' -> both survive; 'Foo Bar' dedups
+    assert out[1].new_text == "Hello World Foo Bar"
+    assert out[2].new_text == "hello world"
+    assert (out[1].n_kept, out[2].n_kept) == (2, 1)
+
+
+def test_y4m_mono_limited_range():
+    """Cmono + XCOLORRANGE=LIMITED expands luma before returning (235 is
+    white); a zero frame rate is rejected at parse."""
+    import numpy as np
+    import pytest
+
+    from engine_spark.datapipe.multimodal import decode_y4m_frame, parse_y4m
+
+    b = (
+        b"YUV4MPEG2 W3 H2 F30:1 Cmono XCOLORRANGE=LIMITED\nFRAME\n"
+        + np.full((2, 3), 235, np.uint8).tobytes()
+    )
+    meta = parse_y4m(b)
+    assert (decode_y4m_frame(b, meta, 0) == 255).all()
+    with pytest.raises(ValueError):
+        parse_y4m(b"YUV4MPEG2 W2 H2 F0:1 C444\nFRAME\n" + bytes(12))
