@@ -210,12 +210,19 @@ class BloomDedupStore:
         return os.path.exists(self._epoch_path(epoch_id))
 
     def _epochs(self, before_epoch: int) -> list[str]:
-        return sorted(
-            d
-            for d in os.listdir(self.hash_dir)
-            if d.startswith("epoch-")
-            and int(d.split("-")[1]) < before_epoch
-        )
+        out = []
+        for d in os.listdir(self.hash_dir):
+            # committed epochs are DIRECTORIES named epoch-<10 digits>;
+            # anything else (stray files, foreign formats) is ignored
+            # rather than crashing the stream
+            if not d.startswith("epoch-") or not os.path.isdir(
+                os.path.join(self.hash_dir, d)
+            ):
+                continue
+            suffix = d.split("-", 1)[1]
+            if suffix.isdigit() and int(suffix) < before_epoch:
+                out.append(d)
+        return sorted(out)
 
     def _union_bitmap(self, before_epoch: int) -> np.ndarray:
         bits = np.zeros(self.m // 8, dtype=np.uint8)
@@ -273,12 +280,15 @@ class BloomDedupStore:
         """
         from pyspark.sql import Window
 
-        d = Dialect("spark")
         norm = f"lower({text_col})" if self.normalize else text_col
+        # h is DERIVED from full (its first 14 hex digits) — one md5 per
+        # row, and the probe key is structurally the verify key's prefix
+        # (the invariant the zero-false-negative claim rests on)
         hashed = batch_df.select(
-            id_col,
-            F.expr(d.hash56(norm)).alias("h"),
-            F.expr(f"md5({norm})").alias("full"),
+            id_col, F.expr(f"md5({norm})").alias("full")
+        ).withColumn(
+            "h",
+            F.expr("cast(conv(substring(full, 1, 14), 16, 10) as bigint)"),
         ).localCheckpoint(eager=True)
 
         # batch-internal repeats: keyed first-wins rank (one shuffle of

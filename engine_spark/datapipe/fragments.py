@@ -59,9 +59,7 @@ class Dialect:
 
     # ---- array/list primitives -------------------------------------------
     def split_ws(self, s: str) -> str:
-        if self.spark:
-            return f"filter(split(lower({s}), ' '), t -> t <> '')"
-        return f"list_filter(string_split(lower({s}), ' '), t -> t <> '')"
+        return self.split_ws_cased(f"lower({s})")
 
     def split_ws_cased(self, s: str) -> str:
         """Whitespace tokens WITHOUT case folding — for operators that

@@ -1047,9 +1047,10 @@ def parse_y4m(b: bytes) -> dict:
     if not width or not height:
         raise ValueError("Y4M header missing W/H")
     if fps_num <= 0 or fps_den <= 0:
-        # a zero rate would divide-by-zero in the frame decoder's
-        # timestamp math — reject at parse like missing W/H
-        raise ValueError("Y4M non-positive frame rate")
+        # F0:0 is the mjpegtools convention for UNKNOWN frame rate — the
+        # pixels are fine, only timestamps are undefined. Keep decoding;
+        # consumers see fps_num=0 and emit NULL timestamps.
+        fps_num, fps_den = 0, 0
     if cs.startswith("420"):
         fsize = width * height + 2 * ((width + 1) // 2) * ((height + 1) // 2)
     elif cs.startswith("444"):
@@ -1342,19 +1343,25 @@ def decode_frames(
                     y4m = None
                 if y4m is not None:  # raw video: every frame decodes
                     n = y4m["n_frames"]
-                    spf = y4m["fps_den"] / y4m["fps_num"]
+                    # F0:0 = unknown rate (mjpegtools convention): pixels
+                    # decode, timestamps are NULL
+                    spf = (
+                        y4m["fps_den"] / y4m["fps_num"]
+                        if y4m["fps_num"] > 0
+                        else None
+                    )
                     for fi in range(0, n, every_k):
+                        ts = fi * spf if spf is not None else None
                         try:
                             arr = decode_y4m_frame(b, y4m, fi)
                         except DECODE_ERRORS:
                             rows.append(
-                                (int(did), fi, n, fi * spf,
-                                 None, None, None, None)
+                                (int(did), fi, n, ts, None, None, None, None)
                             )
                             continue
                         rows.append(
                             (
-                                int(did), fi, n, fi * spf,
+                                int(did), fi, n, ts,
                                 arr.shape[1], arr.shape[0], arr.shape[2],
                                 int(arr.sum(dtype="int64")),
                             )

@@ -42,7 +42,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from engine_spark.datapipe import fragments as FR
 from engine_spark.datapipe.fragments import Dialect
 
 #: default fixed-width segment size (tokens) for single-line corpora.
@@ -195,15 +194,20 @@ def dedup_segments_stream(
     Wire into a stream with
     ``foreachBatch(lambda df, eid: sink(dedup_segments_stream(store, df, eid)))``.
 
-    The store should be constructed with ``normalize=False`` so segment
-    matching is exact-content, matching :func:`dedup_segments` (a
-    default, case-folding store still works but then dedups
-    case-insensitively — a semantics the batch operator does not have).
+    The store must be constructed with ``normalize=False`` (enforced) so
+    segment matching is exact-content, matching :func:`dedup_segments`.
 
     Scale: segmentation/reassembly are row-local; the store probe is
     map-only against a broadcast bitmap; per-epoch state is the batch's
     distinct segment hashes + a constant-size bitmap (see BloomDedupStore).
     """
+    if getattr(store, "normalize", False):
+        raise ValueError(
+            "dedup_segments_stream needs an exact-content store: construct "
+            "BloomDedupStore(..., normalize=False) (a case-folding store "
+            "would dedup case-insensitively, a semantics the batch "
+            "operator does not have)"
+        )
     segs = _explode_segments(batch_df, w, paragraphs, text_col).withColumn(
         "seg_uid",
         F.col("doc_id") * _SEG_UID_BASE + F.col("idx"),

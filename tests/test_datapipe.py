@@ -2215,5 +2215,34 @@ def test_y4m_mono_limited_range():
     )
     meta = parse_y4m(b)
     assert (decode_y4m_frame(b, meta, 0) == 255).all()
-    with pytest.raises(ValueError):
-        parse_y4m(b"YUV4MPEG2 W2 H2 F0:1 C444\nFRAME\n" + bytes(12))
+    # F0:0 = unknown rate (mjpegtools convention): pixels still decode,
+    # the rate reports as 0 so consumers emit NULL timestamps
+    zm = parse_y4m(b"YUV4MPEG2 W2 H2 F0:0 C444\nFRAME\n" + bytes(12))
+    assert (zm["fps_num"], zm["n_frames"]) == (0, 1)
+
+
+def test_y4m_unknown_rate_decodes_with_null_ts(spark):
+    """F0:0 streams decode; ts_s is NULL."""
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import decode_frames, encode_y4m
+
+    b = encode_y4m([np.full((2, 2, 3), 9, np.uint8)]).replace(
+        b"F30:1", b"F0:0"
+    )
+    d = spark.createDataFrame([(1, bytearray(b))], "doc_id long, payload binary")
+    (r,) = decode_frames(d, every_k=1).collect()
+    assert r.ts_s is None and r.pix_sum == 2 * 2 * 3 * 9
+
+
+def test_dedup_segments_stream_rejects_case_folding_store(spark, tmp_path):
+    """The exact-content invariant is enforced in code, not prose."""
+    import pytest
+
+    from engine_spark.datapipe.bloom import BloomDedupStore
+    from engine_spark.datapipe.segments import dedup_segments_stream
+
+    store = BloomDedupStore(spark, str(tmp_path / "state"))  # normalize=True
+    d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="normalize=False"):
+        dedup_segments_stream(store, d, 0)
