@@ -2430,3 +2430,68 @@ def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
     return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+
+
+#: fuzzy-dedup blocking: docs sharing an 8-char prefix block together; a
+#: block larger than this is excluded from candidate generation (same
+#: df-cap rationale as NGRAM_DF_CAP — a degenerate shared prefix would
+#: fan out quadratically; pairs whose every blocking key is corpus-hot
+#: are boilerplate, not near-dups).
+FUZZY_BLOCK_CAP = 64
+FUZZY_PREFIX = 64   #: edit distance computed over this prefix (cost cap)
+FUZZY_T = 16        #: max prefix edit distance to report
+
+
+@register(
+    "dedup_fuzzy",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, substring(lower(text), 1, 8) AS blk,
+             substring(lower(text), 1, {FUZZY_PREFIX}) AS pref
+      FROM documents
+    ),
+    ok_blocks AS (
+      SELECT blk FROM keyed GROUP BY blk HAVING count(*) <= {FUZZY_BLOCK_CAP}
+    ),
+    b AS (SELECT k.* FROM keyed k JOIN ok_blocks USING (blk))
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           CAST(levenshtein(x.pref, y.pref) AS BIGINT) AS edit_dist
+    FROM b x JOIN b y ON x.blk = y.blk AND x.doc_id < y.doc_id
+    WHERE levenshtein(x.pref, y.pref) <= {FUZZY_T}
+    """,
+    doc=(
+        "edit-distance (Levenshtein) near-dup pairs: prefix-blocked "
+        "candidate join (8-char block key, size-capped like the n-gram "
+        "df cap — never all-pairs), distance computed over a bounded "
+        f"{FUZZY_PREFIX}-char prefix so per-pair cost is constant, not "
+        "O(doc_len^2). The fourth dedup axis (edit distance) beside "
+        "set-overlap, signature, and substring-run."
+    ),
+)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    keyed = docs.select(
+        "doc_id",
+        F.expr("substring(lower(text), 1, 8)").alias("blk"),
+        F.expr(f"substring(lower(text), 1, {FUZZY_PREFIX})").alias("pref"),
+    )
+    ok = keyed.groupBy("blk").count().filter(
+        F.col("count") <= FUZZY_BLOCK_CAP
+    ).select("blk")
+    b = keyed.join(ok, "blk")
+    x, y = b.alias("x"), b.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.blk") == F.col("y.blk"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("x.pref"), F.col("y.pref"))
+            .cast("bigint")
+            .alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= FUZZY_T)
+    )

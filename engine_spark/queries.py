@@ -1480,6 +1480,43 @@ def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_returnflag", *cols)
 
 
+@register(
+    "agg_pivot",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN l_returnflag = 'A'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS qty_a,
+           CAST(sum(CASE WHEN l_returnflag = 'N'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS qty_n,
+           CAST(sum(CASE WHEN l_returnflag = 'R'
+                    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS qty_r
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    doc="PIVOT (long-to-wide) aggregation with an explicit value list: "
+    "Spark's pivot compiles to conditional aggregates inside ONE hash-"
+    "aggregate pass (exactly the oracle's formulation) - no per-value "
+    "re-scan, exact decimal accumulation.",
+)
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+    )
+    return out.select(
+        "l_linestatus",
+        *[
+            F.col(v).cast("double").alias(f"qty_{v.lower()}")
+            for v in ("A", "N", "R")
+        ],
+    )
+
+
 # ===========================================================================
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries in dict order, so the order below is deliberate: one-or-more gates
@@ -1602,8 +1639,10 @@ _ORDER = [
     "join_multiway_q5",
     "asof_join_last_view",
     "join_q3_shipping_priority",
-    # round-7 late addition (enters past the window per rotation policy)
+    # round-7 late additions (enter past the window per rotation policy)
     "multimodal_y4m",             # REAL YUV4MPEG2 raw-video pixel decode
+    "agg_pivot",                  # PIVOT long-to-wide conditional aggregates
+    "dedup_fuzzy",                # edit-distance near-dup (blocked, capped)
 ]
 
 

@@ -128,6 +128,19 @@ CHECKS = {
         ("partial aggregation", lambda p: "partial_percentile" in p or "partial" in p),
         ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
     ],
+    "agg_pivot": [
+        # pivot must compile to conditional aggregates in ONE pass — no
+        # per-pivot-value scan or union
+        ("hash aggregation", lambda p: "HashAggregate" in p),
+        ("no union of values", lambda p: "Union" not in p),
+        ("single scan", lambda p: p.count("Scan parquet") == 1),
+    ],
+    "dedup_fuzzy": [
+        # prefix-blocked candidate join: equi-join on the block key,
+        # never a cartesian; distance filter rides the join
+        ("no cartesian/nested-loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
+        ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
     "dedup_bloom": [
         # Bloom probe is map-only; only the bounded position-distinct and
         # the pruned verify join shuffle. Nothing may degrade to cartesian.
