@@ -2246,3 +2246,39 @@ def test_dedup_segments_stream_rejects_case_folding_store(spark, tmp_path):
     d = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="normalize=False"):
         dedup_segments_stream(store, d, 0)
+
+
+def test_bloom_store_structured_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming wiring: a file-backed readStream with
+    foreachBatch(store.process_batch) — Spark's own epoch ids key the
+    store, dup detection spans micro-batches, and state survives because
+    the store (not the harness) owns it."""
+    from engine_spark.datapipe.bloom import BloomDedupStore
+    from engine_spark.streaming.harness import StreamRunner
+
+    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    r = StreamRunner(spark, "doc_id long, text string")
+    collected: list = []
+
+    def run_once():
+        def sink(batch_df, epoch_id):
+            collected.extend(
+                store.process_batch(batch_df, epoch_id).collect()
+            )
+
+        q = (
+            r.stream()
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", r.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    r.send([{"doc_id": 1, "text": "alpha"}, {"doc_id": 2, "text": "beta"}])
+    run_once()
+    r.send([{"doc_id": 3, "text": "ALPHA"}, {"doc_id": 4, "text": "gamma"}])
+    run_once()
+    got = {row.doc_id: row.is_dup for row in collected}
+    assert got == {1: False, 2: False, 3: True, 4: False}
+    r.shutdown()
