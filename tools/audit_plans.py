@@ -128,6 +128,17 @@ CHECKS = {
         ("partial aggregation", lambda p: "partial_percentile" in p or "partial" in p),
         ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
     ],
+    "analytic_range_frame": [
+        # both trailing-window aggregates share ONE window pass
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("single window operator", lambda p: p.count("Window\n") <= 1 and "Window" in p),
+    ],
+    "agg_unpivot": [
+        # stack() expands in the projection: ONE scan, no self-union
+        ("single scan", lambda p: p.count("Scan parquet") == 1),
+        ("no union", lambda p: "Union" not in p),
+        ("map-only (no exchange)", lambda p: "Exchange" not in p),
+    ],
     "agg_pivot": [
         # pivot must compile to conditional aggregates in ONE pass — no
         # per-pivot-value scan or union
