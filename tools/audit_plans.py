@@ -112,7 +112,7 @@ CHECKS = {
         # lag/lead/rank/running-sum must share ONE window pass: one keyed
         # exchange, one Window operator
         ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
-        ("single window operator", lambda p: p.count("Window\n") <= 1 and "Window" in p),
+        ("single window operator", lambda p: p.count("Window [") == 1),
         ("column pruning on orders scan", lambda p: "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double,o_orderdate:timestamp" in p),
     ],
     "agg_rollup": [
@@ -131,7 +131,7 @@ CHECKS = {
     "analytic_range_frame": [
         # both trailing-window aggregates share ONE window pass
         ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
-        ("single window operator", lambda p: p.count("Window\n") <= 1 and "Window" in p),
+        ("single window operator", lambda p: p.count("Window [") == 1),
     ],
     "agg_unpivot": [
         # stack() expands in the projection: ONE scan, no self-union
@@ -140,17 +140,20 @@ CHECKS = {
         ("map-only (no exchange)", lambda p: "Exchange" not in p),
     ],
     "agg_pivot": [
-        # pivot must compile to conditional aggregates in ONE pass — no
-        # per-pivot-value scan or union
+        # conditional aggregates in ONE pass: a single keyed shuffle — the
+        # .pivot() PivotFirst formulation would show two
         ("hash aggregation", lambda p: "HashAggregate" in p),
         ("no union of values", lambda p: "Union" not in p),
         ("single scan", lambda p: p.count("Scan parquet") == 1),
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
     ],
     "dedup_fuzzy": [
         # prefix-blocked candidate join: equi-join on the block key,
-        # never a cartesian; distance filter rides the join
+        # never a cartesian; distance filter rides the join; block-size
+        # cap via window count keeps it at one scan per join side
         ("no cartesian/nested-loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
         ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+        ("at most one scan per side", lambda p: p.count("Scan parquet") <= 2),
     ],
     "dedup_bloom": [
         # Bloom probe is map-only; only the bounded position-distinct and
