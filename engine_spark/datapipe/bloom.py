@@ -212,14 +212,17 @@ class BloomDedupStore:
     def _epochs(self, before_epoch: int) -> list[str]:
         out = []
         for d in os.listdir(self.hash_dir):
-            # committed epochs are DIRECTORIES named epoch-<10 digits>;
-            # anything else (stray files, foreign formats) is ignored
-            # rather than crashing the stream
+            # committed epochs are DIRECTORIES named epoch-<10 digits>
+            # (or epoch-<10 digits>-c for a compacted run covering all
+            # epochs <= that id); anything else (stray files, foreign
+            # formats) is ignored rather than crashing the stream
             if not d.startswith("epoch-") or not os.path.isdir(
                 os.path.join(self.hash_dir, d)
             ):
                 continue
             suffix = d.split("-", 1)[1]
+            if suffix.endswith("-c"):
+                suffix = suffix[:-2]
             if suffix.isdigit() and int(suffix) < before_epoch:
                 out.append(d)
         return sorted(out)
@@ -258,6 +261,65 @@ class BloomDedupStore:
             os.rename(staging, final)  # atomic publish
         except OSError:  # lost the replay race: no-op
             shutil.rmtree(staging, ignore_errors=True)
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, upto_epoch: int) -> int:
+        """Merge every epoch dir with id <= ``upto_epoch`` into ONE
+        ``epoch-<upto>-c`` dir (union of hashes + OR of bitmaps), then
+        remove the originals. Returns the number of dirs merged.
+
+        Why: a long-lived stream accumulates one directory per
+        micro-batch; thousands of tiny parquet dirs make the map-side
+        corpus scan listing-bound. Compaction restores O(1) state dirs.
+
+        Crash-safe by publish-first ordering: the merged dir lands in one
+        atomic rename BEFORE any original is removed — a crash mid-removal
+        leaves some epochs double-represented, which is harmless (dedup
+        state is a set union; duplicates cannot change any is_dup answer).
+
+        Replay-safe: only compact epochs the stream can no longer replay.
+        Structured Streaming's foreachBatch re-runs at most the LATEST
+        batch after a crash, so ``upto_epoch`` must be < the newest
+        committed epoch; compacting the newest would let its replay see
+        its own hashes and flag its rows as dups. Enforced here.
+        """
+        newest = -1
+        for d in self._epochs(1 << 62):
+            sid = d.split("-", 1)[1]
+            newest = max(newest, int(sid[:-2] if sid.endswith("-c") else sid))
+        if upto_epoch >= newest:
+            raise ValueError(
+                f"compact(upto_epoch={upto_epoch}) must be strictly below "
+                f"the newest committed epoch ({newest}): the newest batch "
+                "is the one foreachBatch may still replay"
+            )
+        final = self._epoch_path(upto_epoch) + "-c"
+        if os.path.exists(final):
+            # a prior compact already published this id; re-compacting the
+            # same watermark can't be atomic (the target exists) — callers
+            # compact to a HIGHER watermark as the stream advances
+            raise ValueError(
+                f"already compacted at epoch {upto_epoch}; pick a higher "
+                "upto_epoch"
+            )
+        victims = self._epochs(upto_epoch + 1)
+        if len(victims) <= 1:
+            return 0
+        merged = self.spark.read.parquet(
+            *[os.path.join(self.hash_dir, d) for d in victims]
+        ).distinct()
+        bits = self._union_bitmap(upto_epoch + 1)
+        staging = os.path.join(
+            self.state_dir, "_staging", f"c{uuid.uuid4().hex}"
+        )
+        merged.write.mode("overwrite").parquet(staging)
+        with open(os.path.join(staging, "_bloom"), "wb") as f:
+            f.write(bits.tobytes())
+        os.rename(staging, final)  # publish FIRST (atomic)
+        for d in victims:  # then retire originals; crash here is harmless
+            if d != os.path.basename(final):
+                shutil.rmtree(os.path.join(self.hash_dir, d))
+        return len(victims)
 
     # -- per-batch -----------------------------------------------------------
     def process_batch(

@@ -2282,3 +2282,39 @@ def test_bloom_store_structured_streaming_e2e(spark, tmp_path):
     got = {row.doc_id: row.is_dup for row in collected}
     assert got == {1: False, 2: False, 3: True, 4: False}
     r.shutdown()
+
+
+def test_bloom_store_compaction(spark, tmp_path):
+    """compact() merges all epochs <= the watermark into one dir (union
+    semantics preserved: dup answers identical before/after), refuses to
+    touch the newest replayable epoch, and later epochs still commit."""
+    import os
+
+    import pytest
+
+    from engine_spark.datapipe.bloom import BloomDedupStore
+
+    store = BloomDedupStore(spark, str(tmp_path / "state"))
+    for e, texts in enumerate([["a", "b"], ["c"], ["d"]]):
+        df = spark.createDataFrame(
+            [(e * 10 + i, t) for i, t in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        store.process_batch(df, e)
+
+    with pytest.raises(ValueError, match="strictly below"):
+        store.compact(2)  # newest epoch must stay replayable
+    assert store.compact(1) == 2  # epochs 0 and 1 merged
+    names = sorted(os.listdir(store.hash_dir))
+    assert names == ["epoch-0000000001-c", "epoch-0000000002"]
+
+    b = spark.createDataFrame(
+        [(90, "a"), (91, "c"), (92, "d"), (93, "zz")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.is_dup for r in store.process_batch(b, 3).collect()}
+    assert got == {90: True, 91: True, 92: True, 93: False}
+    # compaction advances with the stream; same watermark refuses
+    with pytest.raises(ValueError, match="already compacted"):
+        store.compact(1)
+    assert store.compact(2) == 2  # the -c dir + epoch 2 merge again
