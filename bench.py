@@ -501,30 +501,57 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - recorded, not swallowed
         errors["corpus_assembly"] = f"{type(e).__name__}: {str(e)[:200]}"
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_median": times_median,
-                "reps": reps,
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-                "cpus": os.cpu_count(),
-                "throughput_events_per_sec": throughput,
-                "throughput_events_per_sec_amortized": amortized,
-                "throughput_events_per_sec_materialized": materialized,
-                "pipeline_sf1": pipeline_sf1,
-                "corpus_assembly": corpus_assembly,
-                "multimodal": multimodal,
-                "amortized_replication": REP,
-                "errors": errors,
-                "sf": sf,
-            }
-        )
-    )
+    full = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_median": times_median,
+        "reps": reps,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
+        "throughput_events_per_sec": throughput,
+        "throughput_events_per_sec_amortized": amortized,
+        "throughput_events_per_sec_materialized": materialized,
+        "pipeline_sf1": pipeline_sf1,
+        "corpus_assembly": corpus_assembly,
+        "multimodal": multimodal,
+        "amortized_replication": REP,
+        "errors": errors,
+        "sf": sf,
+    }
+    # The driver captures only the LAST 2000 chars of stdout; round 7's
+    # full payload outgrew that and BENCH_r07 recorded "parsed": null.
+    # Keep stdout to one compact line (headline + per-query mins) and
+    # write the complete payload to BENCH_FULL.json next to this script.
+    side_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    try:
+        with open(side_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        errors["side_file"] = f"{type(e).__name__}: {str(e)[:100]}"
+    compact = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in times.items()},
+        "sf": sf,
+        "reps": reps,
+        "loadavg": [round(load_before[0], 1), round(os.getloadavg()[0], 1)],
+        "errors": {k: v[:60] for k, v in errors.items()},
+        "full": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    # Hard guarantee: stay parseable inside the driver's 2000-char tail.
+    while len(line) > 1900:
+        for drop in ("errors", "loadavg", "reps", "queries"):
+            if drop in compact:
+                del compact[drop]
+                break
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     sys.stdout.flush()
     spark.stop()
 

@@ -31,8 +31,6 @@ bit-equal.
 
 from __future__ import annotations
 
-import os
-import shutil
 import uuid
 
 import numpy as np
@@ -42,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from engine_spark.datapipe.fragments import MINHASH_P, Dialect, _lcg
+from engine_spark.fsio import HadoopFS
 
 BLOOM_M = 1 << 20  #: filter size in bits (130 KiB bitmap)
 BLOOM_K = 5        #: hash functions per key
@@ -88,7 +87,9 @@ def build_bloom(
     only the distinct positions — O(m) by construction.
     """
     pos = (
-        df.select(F.explode(F.expr(_positions_sql(hash_col, m))).alias("p"))
+        # NULL hashes (NULL text upstream) carry no identity: no bits set
+        df.filter(F.col(hash_col).isNotNull())
+        .select(F.explode(F.expr(_positions_sql(hash_col, m))).alias("p"))
         .distinct()
         .collect()
     )
@@ -107,9 +108,14 @@ def probe_udf(bits_bc, m: int = BLOOM_M):
     @F.pandas_udf(T.BooleanType())
     def maybe_seen(h: pd.Series) -> pd.Series:
         bits = bits_bc.value
-        pos = _positions_np(h.to_numpy(np.int64), m)
+        # NULL hash (NULL text upstream: md5(lower(NULL)) is NULL) →
+        # "never seen": a NULL document has no content identity, and a
+        # crawled corpus WILL contain them — the probe must stay a total
+        # function per the datapipe's degrade-don't-crash convention.
+        null = h.isna().to_numpy()
+        pos = _positions_np(h.fillna(0).to_numpy(np.int64), m)
         hit = (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        return pd.Series(hit.all(axis=1).astype(bool))
+        return pd.Series(hit.all(axis=1) & ~null)
 
     return maybe_seen
 
@@ -199,26 +205,30 @@ class BloomDedupStore:
         self.state_dir = state_dir
         self.m = m
         self.normalize = normalize
-        self.hash_dir = os.path.join(state_dir, "hashes")
-        os.makedirs(self.hash_dir, exist_ok=True)
+        self.hash_dir = f"{state_dir}/hashes"
+        # All state I/O goes through the Hadoop FileSystem API (fsio.py)
+        # so the store runs against the same substrate as the Spark
+        # checkpoint dir — hdfs://, s3a://, file:// or a bare local path —
+        # not only a POSIX mount (round-7 advice; same treatment
+        # signature_table already has in datapipe/queries.py).
+        self._fs = HadoopFS(spark, state_dir)
+        self._fs.mkdirs(self.hash_dir)
 
     # -- state ---------------------------------------------------------------
     def _epoch_path(self, epoch_id: int) -> str:
-        return os.path.join(self.hash_dir, f"epoch-{int(epoch_id):010d}")
+        return f"{self.hash_dir}/epoch-{int(epoch_id):010d}"
 
     def committed(self, epoch_id: int) -> bool:
-        return os.path.exists(self._epoch_path(epoch_id))
+        return self._fs.exists(self._epoch_path(epoch_id))
 
     def _epochs(self, before_epoch: int) -> list[str]:
         out = []
-        for d in os.listdir(self.hash_dir):
+        for d, is_dir in self._fs.list_names(self.hash_dir):
             # committed epochs are DIRECTORIES named epoch-<10 digits>
             # (or epoch-<10 digits>-c for a compacted run covering all
             # epochs <= that id); anything else (stray files, foreign
             # formats) is ignored rather than crashing the stream
-            if not d.startswith("epoch-") or not os.path.isdir(
-                os.path.join(self.hash_dir, d)
-            ):
+            if not d.startswith("epoch-") or not is_dir:
                 continue
             suffix = d.split("-", 1)[1]
             if suffix.endswith("-c"):
@@ -230,8 +240,8 @@ class BloomDedupStore:
     def _union_bitmap(self, before_epoch: int) -> np.ndarray:
         bits = np.zeros(self.m // 8, dtype=np.uint8)
         for d in self._epochs(before_epoch):
-            with open(os.path.join(self.hash_dir, d, "_bloom"), "rb") as f:
-                bits |= np.frombuffer(f.read(), dtype=np.uint8)
+            raw = self._fs.read_bytes(f"{self.hash_dir}/{d}/_bloom")
+            bits |= np.frombuffer(raw, dtype=np.uint8)
         return bits
 
     def _corpus_hashes(self, before_epoch: int):
@@ -239,28 +249,24 @@ class BloomDedupStore:
         if not eps:
             return None
         return self.spark.read.parquet(
-            *[os.path.join(self.hash_dir, d) for d in eps]
+            *[f"{self.hash_dir}/{d}" for d in eps]
         )
 
     def _commit(self, hashes: "DataFrame", epoch_id: int) -> None:
         final = self._epoch_path(epoch_id)
-        if os.path.exists(final):  # crash replay of a committed epoch
+        if self._fs.exists(final):  # crash replay of a committed epoch
             return
         bitmap = build_bloom(hashes, "h", self.m)
-        staging = os.path.join(
-            self.state_dir, "_staging", f"e{uuid.uuid4().hex}"
-        )
+        staging = f"{self.state_dir}/_staging/e{uuid.uuid4().hex}"
         hashes.write.mode("overwrite").parquet(staging)
         # bitmap goes INSIDE the staged directory so both artifacts
         # publish in the ONE atomic rename below — no window where the
         # epoch parquet exists without its bitmap
-        with open(os.path.join(staging, "_bloom"), "wb") as f:
-            f.write(bitmap.tobytes())
-        os.makedirs(os.path.dirname(final), exist_ok=True)
-        try:
-            os.rename(staging, final)  # atomic publish
-        except OSError:  # lost the replay race: no-op
-            shutil.rmtree(staging, ignore_errors=True)
+        self._fs.write_bytes(f"{staging}/_bloom", bitmap.tobytes())
+        if not self._fs.rename(staging, final):  # atomic publish
+            # lost the replay race (Hadoop rename refuses an existing
+            # destination): no-op, retire our staging copy
+            self._fs.delete(staging)
 
     # -- maintenance ---------------------------------------------------------
     def compact(self, upto_epoch: int) -> int:
@@ -294,7 +300,7 @@ class BloomDedupStore:
                 "is the one foreachBatch may still replay"
             )
         final = self._epoch_path(upto_epoch) + "-c"
-        if os.path.exists(final):
+        if self._fs.exists(final):
             # a prior compact already published this id; re-compacting the
             # same watermark can't be atomic (the target exists) — callers
             # compact to a HIGHER watermark as the stream advances
@@ -306,19 +312,18 @@ class BloomDedupStore:
         if len(victims) <= 1:
             return 0
         merged = self.spark.read.parquet(
-            *[os.path.join(self.hash_dir, d) for d in victims]
+            *[f"{self.hash_dir}/{d}" for d in victims]
         ).distinct()
         bits = self._union_bitmap(upto_epoch + 1)
-        staging = os.path.join(
-            self.state_dir, "_staging", f"c{uuid.uuid4().hex}"
-        )
+        staging = f"{self.state_dir}/_staging/c{uuid.uuid4().hex}"
         merged.write.mode("overwrite").parquet(staging)
-        with open(os.path.join(staging, "_bloom"), "wb") as f:
-            f.write(bits.tobytes())
-        os.rename(staging, final)  # publish FIRST (atomic)
+        self._fs.write_bytes(f"{staging}/_bloom", bits.tobytes())
+        if not self._fs.rename(staging, final):  # publish FIRST (atomic)
+            raise RuntimeError(f"compaction publish to {final} failed")
+        final_name = final.rsplit("/", 1)[-1]
         for d in victims:  # then retire originals; crash here is harmless
-            if d != os.path.basename(final):
-                shutil.rmtree(os.path.join(self.hash_dir, d))
+            if d != final_name:
+                self._fs.delete(f"{self.hash_dir}/{d}")
         return len(victims)
 
     # -- per-batch -----------------------------------------------------------
@@ -354,10 +359,13 @@ class BloomDedupStore:
         ).localCheckpoint(eager=True)
 
         # batch-internal repeats: keyed first-wins rank (one shuffle of
-        # ~50-byte rows on a near-unique key)
+        # ~50-byte rows on a near-unique key). NULL text (NULL md5) rows
+        # have no content identity — never dups of each other, so the
+        # window's null-grouping must not mark them.
         first = Window.partitionBy("full").orderBy(id_col)
         internal = hashed.withColumn(
-            "_dup_internal", F.row_number().over(first) > 1
+            "_dup_internal",
+            (F.row_number().over(first) > 1) & F.col("full").isNotNull(),
         )
 
         # vs prior corpus: broadcast union bitmap, map-only probe
@@ -395,5 +403,11 @@ class BloomDedupStore:
                 )
             )
         out = flagged.localCheckpoint(eager=True)  # answer before state grows
-        self._commit(hashed.select("h", "full").distinct(), epoch_id)
+        # NULL hashes carry no identity — never persisted to state
+        self._commit(
+            hashed.filter(F.col("full").isNotNull())
+            .select("h", "full")
+            .distinct(),
+            epoch_id,
+        )
         return out

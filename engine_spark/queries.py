@@ -1639,6 +1639,9 @@ _ORDER = [
     "agg_rollup",                 # ROLLUP grouping sets, one aggregate pass
     "agg_percentiles",            # exact interpolated percentiles per group
     "analytic_functions",         # lag/lead/rank/running-sum single window pass
+    "agg_pivot",                  # PIVOT long-to-wide conditional aggregates
+    "agg_unpivot",                # UNPIVOT wide-to-long via stack(), map-only
+    "analytic_range_frame",       # event-time RANGE window frames (30d trailing)
     # 2c joins
     "join_outer_modes",
     "semi_anti_join",
@@ -1646,14 +1649,11 @@ _ORDER = [
     # 2e windows
     "window_hopping_1h_15m",
     "window_session_30m",
-    "window_sort_top3",
     "frequent_items",
     # 2f patterns
     "pattern_absent",
     "pattern_count_aggs",
     "pattern_logical_and",
-    # 2g output
-    "output_rate_modes",
     # SQL front-end (remaining)
     "sql_pattern_partitioned",
     "sql_create_aggregation",     # CREATE AGGREGATION DDL (incremental agg)
@@ -1661,22 +1661,21 @@ _ORDER = [
     "text_quality",
     "vocab_topk",                 # corpus tf/df stats (inverted-index build)
     "bpe_token_counts",           # learned-subword tokenization (BPE apply)
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_embedding_cosine",
     "dedup_segments",             # paragraph-granularity dedup + reassembly
     "dedup_bloom",                # Bloom-prefiltered exact incremental ingest
+    "dedup_fuzzy",                # edit-distance near-dup (blocked, capped)
     "ann_search_modes",
     "ann_ivf_trained",
-    "multimodal_resize",          # REAL PNG pixel decode+bilinear+re-encode
     "multimodal_audio",           # REAL WAV/PCM16 decode + sample features
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_frames",          # REAL MP4 ISO-BMFF sample-table demux
     "multimodal_video_frames",    # REAL MJPEG MP4 frame pixel decode
     "multimodal_bmp_gif",         # REAL BMP BI_RGB + GIF LZW pixel decode
-    "sampling_modes",             # hash + domain-mix + stratified draws
+    "multimodal_y4m",             # REAL YUV4MPEG2 raw-video pixel decode
     "sequence_packing",           # corpus assembly: concat-and-chunk packing
     "corpus_shuffle",             # seeded deterministic training-order shuffle
     "pipeline_end_to_end",
@@ -1684,10 +1683,17 @@ _ORDER = [
     # families already checked above, each with one-or-more consecutive
     # driver-green rounds, and at least one representative of every
     # family still inside the window.
-    # Round 7 (late session) rotated IN all eleven round-7 additions —
-    # the only gates that had never faced the driver's oracle — so that
-    # ZERO registry entries lack a driver check after this round. Rotated
-    # OUT (last driver-green round in parens): string_funcs (r6; every
+    # Round 8 rotated IN the five round-7 late additions that had never
+    # faced the driver's oracle (multimodal_y4m, agg_pivot, dedup_fuzzy,
+    # analytic_range_frame, agg_unpivot — VERDICT r7 item #2). Rotated
+    # OUT (all driver-green in r7): window_sort_top3 (2e keeps tumbling/
+    # hopping/session/frequent), output_rate_modes (2g keeps table_dml +
+    # both incremental-agg gates), sampling_modes (assembly keeps
+    # packing/shuffle/pipeline), multimodal_resize (multimodal keeps six
+    # REAL-codec gates incl. the PNG path inside multimodal_pipeline's
+    # pytest), dedup_exact (dedup keeps seven gates in-window).
+    # Round 7 (late session) rotated IN all eleven round-7 additions.
+    # Earlier rotations OUT (last driver-green round in parens): string_funcs (r6; every
     # string fn also pytest-proven; date/expr scalar gates stay),
     # first_last_by_time (r6; 2d keeps six gates in-window),
     # window_length_modes (r6; 2e keeps tumbling/hopping/session/sort/
@@ -1707,6 +1713,11 @@ _ORDER = [
     # on every run of tools/check_correctness.py (CORRECTNESS_LOCAL.json,
     # regenerated in lockstep) and stay in bench.py's headline set where
     # listed.
+    "window_sort_top3",           # rotated out r8 (driver-green r6+r7)
+    "output_rate_modes",          # rotated out r8 (driver-green r6+r7)
+    "sampling_modes",             # rotated out r8 (driver-green r6+r7)
+    "multimodal_resize",          # rotated out r8 (driver-green r6+r7)
+    "dedup_exact",                # rotated out r8 (driver-green r5-r7)
     "string_funcs",
     "first_last_by_time",
     "window_length_modes",
@@ -1727,12 +1738,6 @@ _ORDER = [
     "join_multiway_q5",
     "asof_join_last_view",
     "join_q3_shipping_priority",
-    # round-7 late additions (enter past the window per rotation policy)
-    "multimodal_y4m",             # REAL YUV4MPEG2 raw-video pixel decode
-    "agg_pivot",                  # PIVOT long-to-wide conditional aggregates
-    "dedup_fuzzy",                # edit-distance near-dup (blocked, capped)
-    "analytic_range_frame",       # event-time RANGE window frames (30d trailing)
-    "agg_unpivot",                # UNPIVOT wide-to-long via stack(), map-only
 ]
 
 

@@ -86,23 +86,29 @@ def _warn_hot_key(key, n: int, salted: bool, threshold: int | None = None) -> No
 
 
 def _mark_hot_key(hot_dir: str, key_str: str) -> None:
-    """Executor-side: persist a hot-key marker (idempotent, atomic rename)
-    so the NEXT micro-batch's plan salts this key. ``hot_dir`` must be a
-    path visible to both executors and driver — on a cluster, shared
-    storage next to the checkpoint dir (same durability requirement)."""
+    """Executor-side: persist a hot-key marker (idempotent, atomic
+    single-file publish) so the NEXT plan build salts this key.
+    ``hot_dir`` must be a path visible to both executors and driver —
+    on a cluster, shared storage next to the checkpoint dir (same
+    durability requirement). Scheme-aware: local paths use os.replace,
+    ``hdfs://``/``s3a://`` go through pyarrow.fs (fsio.atomic_publish_file)
+    — a marker is best-effort; a missed publish only delays salting by a
+    batch, never breaks match correctness."""
     import hashlib
     import json as _json
     import os
 
-    fn = os.path.join(
-        hot_dir, hashlib.md5(key_str.encode()).hexdigest() + ".json"
+    from engine_spark.fsio import atomic_publish_file
+
+    fn = (
+        hot_dir.rstrip("/")
+        + "/"
+        + hashlib.md5(key_str.encode()).hexdigest()
+        + ".json"
     )
-    if os.path.exists(fn):
+    if "://" not in fn and os.path.exists(fn):
         return
-    tmp = f"{fn}.tmp{os.getpid()}"
-    with open(tmp, "w") as f:
-        f.write(_json.dumps({"k": key_str}) + "\n")
-    os.replace(tmp, fn)
+    atomic_publish_file(fn, (_json.dumps({"k": key_str}) + "\n").encode())
 
 
 def _auto_salt(
@@ -118,29 +124,50 @@ def _auto_salt(
     """Hot-key-only salting, driven by the marker registry: keys listed in
     ``hot_key_dir`` get the exact A-owns-one/B-fans-to-all-R treatment
     (same contract as ``_salt_a_b``); cold keys ride in sub-key 0 with no
-    replication cost. The registry is a static json read RE-PLANNED every
-    micro-batch (stream-static join), so a marker written by the detector
-    in batch N re-keys batch N+1 — and membership is sticky, which keeps
-    the cold→hot transition exact: pre-salt state lives in sub-key 0 and
-    B events replicate to ALL sub-keys including 0, so existing opens
-    still meet every B; a hot→cold flip would strand state in sub-keys
-    1..R-1, which is why markers are never removed."""
-    import os
+    replication cost.
 
-    os.makedirs(hot_key_dir, exist_ok=True)
+    The registry is read EAGERLY on the driver at plan-build time (one
+    Hadoop-FS listing + tiny reads — no file-source relation whose
+    InMemoryFileIndex would freeze the listing inside a long-lived
+    query), so the snapshot semantics are explicit: a marker written by
+    the detector in batch N re-keys the NEXT PLAN BUILD. Under
+    :class:`StreamRunner` (which rebuilds the plan every micro-batch,
+    the supported deployment for ``salt='auto'``) that is batch N+1; a
+    single long-lived ``writeStream.start()`` picks markers up at query
+    restart — see SCALE.md "auto-salt freshness".
+
+    Membership is sticky, which keeps the cold→hot transition exact:
+    pre-salt state lives in sub-key 0 and B events replicate to ALL
+    sub-keys including 0, so existing opens still meet every B; a
+    hot→cold flip would strand state in sub-keys 1..R-1, which is why
+    markers are never removed."""
+    import json as _json
+
+    from engine_spark.fsio import HadoopFS
+
     spark = tagged.sparkSession
-    hot = (
-        spark.read.schema("k string")
-        .json(hot_key_dir)
-        .distinct()
-        .withColumnRenamed("k", "_hot_k")
-        .withColumn("_hot", F.lit(True))
-    )
-    tagged = tagged.join(
-        F.broadcast(hot),
-        F.col(key_col).cast("string") == F.col("_hot_k"),
-        "left",
-    ).drop("_hot_k")
+    fs = HadoopFS(spark, hot_key_dir)
+    fs.mkdirs(hot_key_dir)
+    base = hot_key_dir.rstrip("/")
+    keys: set[str] = set()
+    for name, is_dir in fs.list_names(hot_key_dir):
+        if is_dir or not name.endswith(".json"):
+            continue
+        try:
+            for line in fs.read_bytes(f"{base}/{name}").decode().splitlines():
+                if line.strip():
+                    keys.add(str(_json.loads(line)["k"]))
+        except Exception:  # noqa: BLE001 - a torn marker delays, not breaks
+            continue
+    if keys:
+        tagged = tagged.withColumn(
+            "_hot",
+            F.when(
+                F.col(key_col).cast("string").isin(*sorted(keys)), F.lit(True)
+            ),
+        )
+    else:
+        tagged = tagged.withColumn("_hot", F.lit(None).cast("boolean"))
     if repl_cond is None:
         repl_cond = F.col("_is_b")
     own = F.when(
@@ -197,12 +224,14 @@ def followed_by_stream(
     path visible to executors AND driver — put it next to the checkpoint
     dir, which has the same shared-storage requirement). When a key's
     per-micro-batch volume crosses ``hot_threshold`` (default
-    HOT_KEY_WARN_EVENTS) the detector persists a marker; the salting join
-    re-reads the registry every micro-batch, so the NEXT batch re-keys
-    that key across ``auto_salt_r`` sub-keys with the same exactness
-    contract as static salt. Membership is sticky (see _auto_salt for why
-    that is required for exactness). Cold keys pay only a broadcast join
-    against the (tiny) hot set — no replication.
+    HOT_KEY_WARN_EVENTS) the detector persists a marker; the registry is
+    snapshotted at each PLAN BUILD, so under StreamRunner (which rebuilds
+    the plan per micro-batch — the supported deployment for auto mode)
+    the NEXT batch re-keys that key across ``auto_salt_r`` sub-keys with
+    the same exactness contract as static salt, while a single
+    long-lived ``start()`` picks markers up at query restart. Membership
+    is sticky (see _auto_salt for why that is required for exactness).
+    Cold keys pay only a literal IN-set membership test — no replication.
     """
     within_us = within_seconds * US
     tagged = watermarked(df, ts_col, late).withColumn(
