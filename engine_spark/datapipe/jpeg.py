@@ -171,8 +171,11 @@ class _FastBits:
 
     __slots__ = ("buf", "pos")
 
-    def __init__(self, buf: bytes):
-        self.buf = buf + b"\x00" * 8  # EOB-territory padding
+    def __init__(self, buf: bytes, padded: bool = False):
+        # padded=True: caller already appended the EOB-territory padding
+        # (lets many cursors share one buffer instead of copying the
+        # whole scan per restart segment)
+        self.buf = buf if padded else buf + b"\x00" * 8
         self.pos = 0
 
     def peek16(self) -> int:
@@ -360,11 +363,135 @@ def _decode_ac_scan(r, c, geo, coefs, lut, ss, se, ah, al, restart, restarts):
                     eobrun -= 1
 
 
-def decode_jpeg(b: bytes) -> np.ndarray:
+def _restart_segments(
+    restarts: list[int], restart: int, total_mcus: int
+) -> list[tuple[int, int, int]]:
+    """(byte_offset, mcu_lo, mcu_hi) per restart segment. Restart
+    intervals are bit-independent by design (T.81 F.2.1.3: RSTn
+    byte-aligns the stream and resets DC prediction), so each segment
+    decodes with no state from its predecessors — the property both the
+    sequential and the forked path rely on."""
+    if not restart:
+        return [(0, 0, total_mcus)]
+    n_segs = -(-total_mcus // restart)
+    if len(restarts) != n_segs - 1:
+        raise ValueError(
+            f"expected {n_segs - 1} JPEG restart markers, found {len(restarts)}"
+        )
+    offs = [0, *restarts]
+    return [
+        (offs[i], i * restart, min((i + 1) * restart, total_mcus))
+        for i in range(n_segs)
+    ]
+
+
+def _decode_baseline_mcus(
+    padded: bytes, bit_start: int, mcu_lo: int, mcu_hi: int, comp_tabs
+) -> dict[int, list[list[int]]]:
+    """Decode the contiguous MCU range [mcu_lo, mcu_hi) of a baseline
+    interleaved scan from ``bit_start`` with fresh DC predictors —
+    exactly one restart segment's contract. ``padded`` must carry
+    _FastBits' 8-byte EOB-territory padding already (segments share one
+    buffer instead of copying the scan per segment)."""
+    r = _FastBits(padded, padded=True)
+    r.pos = bit_start
+    pred = {c["id"]: 0 for c, _, _ in comp_tabs}
+    out: dict[int, list[list[int]]] = {c["id"]: [] for c, _, _ in comp_tabs}
+    for _m in range(mcu_lo, mcu_hi):
+        for c, dc_lut, ac_lut in comp_tabs:
+            cid = c["id"]
+            rows = out[cid]
+            for _by in range(c["v"]):
+                for _bx in range(c["h"]):
+                    zz = [0] * 64
+                    v = dc_lut[r.peek16()]
+                    if not v:
+                        raise ValueError("invalid JPEG Huffman code")
+                    r.pos += v >> 8
+                    t = v & 0xFF
+                    diff = _extend(r.bits(t), t)
+                    pred[cid] += diff
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        v = ac_lut[r.peek16()]
+                        if not v:
+                            raise ValueError("invalid JPEG Huffman code")
+                        r.pos += v >> 8
+                        rs = v & 0xFF
+                        ssss = rs & 0xF
+                        if ssss == 0:
+                            if rs == 0xF0:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("JPEG AC run overflow")
+                        zz[k] = _extend(r.bits(ssss), ssss)
+                        k += 1
+                    rows.append(zz)
+    return out
+
+
+#: fork-inherited state for the parallel segment decoder: set in the
+#: parent immediately before the Pool forks, cleared after — workers read
+#: it copy-on-write, so neither the scan buffer nor the 64K-entry Huffman
+#: LUTs are ever pickled.
+_FORK_STATE: dict = {}
+
+
+def _decode_segment_task(seg: tuple[int, int, int]):
+    off, lo, hi = seg
+    res = _decode_baseline_mcus(
+        _FORK_STATE["padded"], off * 8, lo, hi, _FORK_STATE["comp_tabs"]
+    )
+    # ship coefficients back as compact int32 buffers: pickling the raw
+    # list-of-lists costs more than the decode win
+    return {
+        cid: np.asarray(v, np.int32).reshape(-1, 64) for cid, v in res.items()
+    }
+
+
+def _decode_segments_forked(padded, comp_tabs, segs, workers: int):
+    """Entropy-decode restart segments on a forked process pool. Restart
+    segments are the unit of intra-image parallelism T.81 provides; the
+    fork happens after the parent stages the shared state, so per-task
+    payloads are three ints out and coefficient lists back. Falls back
+    to sequential where fork is unavailable (non-POSIX)."""
+    import multiprocessing as mp
+
+    try:
+        ctx = mp.get_context("fork")
+    except ValueError:  # platform without fork
+        return [
+            _decode_baseline_mcus(padded, off * 8, lo, hi, comp_tabs)
+            for off, lo, hi in segs
+        ]
+    _FORK_STATE["padded"] = padded
+    _FORK_STATE["comp_tabs"] = comp_tabs
+    try:
+        with ctx.Pool(min(workers, len(segs))) as pool:
+            return pool.map(
+                _decode_segment_task,
+                segs,
+                chunksize=max(1, len(segs) // (workers * 4)),
+            )
+    finally:
+        _FORK_STATE.clear()
+
+
+def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
     """JPEG bytes → HxWx3 (or HxWx1 grayscale) uint8 array. Baseline
     (SOF0/1) and progressive (SOF2: spectral selection + successive
     approximation, EOB runs, DC/AC refinement scans) both decode;
-    arithmetic-coded, lossless and hierarchical profiles raise."""
+    arithmetic-coded, lossless and hierarchical profiles raise.
+
+    ``workers > 1`` entropy-decodes a DRI-encoded baseline image's
+    restart segments on a forked process pool (bit-identical to the
+    sequential path — segments are independent by spec). Useful for a
+    FEW HUGE images; at corpus scale Spark already parallelizes across
+    images, so the datapipe keeps the default of 1."""
     if len(b) < 4 or b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
@@ -531,12 +658,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
         sc = scans[0]
         scan_comps = sc["comps"]
         buf, restarts = sc["buf"], sc["restarts"]
-        r = _FastBits(buf)
-        restart_iter = iter(restarts)
         luts = sc["luts"]
-        pred = {c["id"]: 0 for c in scan_comps}
-        coeffs = {c["id"]: [] for c in scan_comps}
-        positions = {c["id"]: [] for c in scan_comps}
         comp_tabs = []
         for c in scan_comps:
             dc_lut = luts.get((0, c["td"]))
@@ -546,59 +668,48 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             if c["tq"] not in qt:
                 raise ValueError("JPEG scan references missing DQT")
             comp_tabs.append((c, dc_lut, ac_lut))
-        mcu_count = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                if restart and mcu_count and mcu_count % restart == 0:
-                    nxt = next(restart_iter, None)
-                    if nxt is None:
-                        raise ValueError("expected JPEG restart marker")
-                    r.pos = nxt * 8
-                    pred = {c["id"]: 0 for c in scan_comps}
-                for c, dc_lut, ac_lut in comp_tabs:
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = [0] * 64
-                            v = dc_lut[r.peek16()]
-                            if not v:
-                                raise ValueError("invalid JPEG Huffman code")
-                            r.pos += v >> 8
-                            t = v & 0xFF
-                            diff = _extend(r.bits(t), t)
-                            pred[c["id"]] += diff
-                            zz[0] = pred[c["id"]]
-                            k = 1
-                            while k < 64:
-                                v = ac_lut[r.peek16()]
-                                if not v:
-                                    raise ValueError("invalid JPEG Huffman code")
-                                r.pos += v >> 8
-                                rs = v & 0xFF
-                                ssss = rs & 0xF
-                                if ssss == 0:
-                                    if rs == 0xF0:
-                                        k += 16  # ZRL
-                                        continue
-                                    break  # EOB
-                                k += rs >> 4
-                                if k > 63:
-                                    raise ValueError("JPEG AC run overflow")
-                                zz[k] = _extend(r.bits(ssss), ssss)
-                                k += 1
-                            coeffs[c["id"]].append(zz)
-                            positions[c["id"]].append(
-                                (
-                                    (my * c["v"] + by) * 8,
-                                    (mx * c["h"] + bx) * 8,
-                                )
-                            )
-                mcu_count += 1
+        total_mcus = mcux * mcuy
+        segs = _restart_segments(restarts, sc["restart"], total_mcus)
+        padded = buf + b"\x00" * 8
+        if workers > 1 and len(segs) > 1:
+            seg_results = _decode_segments_forked(padded, comp_tabs, segs, workers)
+        else:
+            seg_results = [
+                _decode_baseline_mcus(padded, off * 8, lo, hi, comp_tabs)
+                for off, lo, hi in segs
+            ]
+        coeffs = {
+            c["id"]: (
+                np.concatenate(
+                    [
+                        np.asarray(res[c["id"]], np.int32).reshape(-1, 64)
+                        for res in seg_results
+                    ]
+                )
+                if seg_results
+                else np.empty((0, 64), np.int32)
+            )
+            for c in scan_comps
+        }
+        # positions follow from MCU order alone (MCU-major, then by, bx) —
+        # identical for every segment layout
+        positions = {}
+        for c in scan_comps:
+            plist = []
+            for m in range(total_mcus):
+                my, mx = divmod(m, mcux)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        plist.append(
+                            ((my * c["v"] + by) * 8, (mx * c["h"] + bx) * 8)
+                        )
+            positions[c["id"]] = plist
 
     # dequantize + de-zigzag + IDCT all blocks of each component at once:
     # one fancy-index + one einsum over the whole block stack
     for c in scan_comps:
         rowsz = coeffs[c["id"]]
-        if not rowsz:
+        if len(rowsz) == 0:  # list (progressive) or ndarray (baseline)
             continue
         scan_mat = np.array(rowsz, np.float64)  # (n, 64) in scan order
         nat = np.empty_like(scan_mat)

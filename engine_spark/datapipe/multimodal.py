@@ -52,13 +52,16 @@ import zlib as _zlib
 DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError)
 
 DECODE_SCHEMA = (
-    "doc_id long, width int, height int, n_frames int, checksum long"
+    "doc_id long, format string, width int, height int, n_frames int, "
+    "checksum long"
 )
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
-    """Deterministic stand-in for a media decoder (documented; the oracle
-    replicates these formulas in SQL)."""
+    """Deterministic stand-in frame/dim formulas (documented; oracle-
+    replicable). Sole remaining caller: frame_sample's non-MP4/Y4M
+    fallback, where a mixed corpus still needs SOME total frame
+    partition for unrecognized containers."""
     n = len(payload)
     width = n % 640
     height = (payload[0] * 7) % 480 if n else 0
@@ -67,21 +70,76 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, n_frames, checksum
 
 
-def decode_meta(df: DataFrame) -> DataFrame:
-    """(doc_id, payload binary) → decoded metadata via mapInPandas.
+def _mp4_track_dims(b: bytes) -> tuple[int | None, int | None]:
+    """Width/height (whole pixels) from the first trak's tkhd, whose v0
+    body ends with 16.16 fixed-point width/height (ISO 14496-12 §8.3.2);
+    (None, None) when absent or zero."""
+    import struct
 
-    With a real decoder installed this is where PIL/soundfile/pyav would
-    parse the header; the Arrow plumbing is identical either way.
+    try:
+        top = list(_mp4_boxes(b, 0, len(b)))
+        moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
+        if moov is None:
+            return None, None
+        for typ, ts, te in _mp4_boxes(b, *moov):
+            if typ != b"trak":
+                continue
+            tk = _mp4_child(b, ts, te, b"tkhd")
+            if tk is None or tk[1] - tk[0] < 84:
+                continue
+            w16, h16 = struct.unpack(">II", b[tk[1] - 8 : tk[1]])
+            return (w16 >> 16) or None, (h16 >> 16) or None
+    except DECODE_ERRORS:
+        pass
+    return None, None
+
+
+def decode_meta(df: DataFrame) -> DataFrame:
+    """(doc_id, payload binary) → typed media metadata via mapInPandas.
+
+    REAL dispatch over the in-repo stdlib parsers (no imaging library):
+    image containers via parse_image_header (PNG/GIF/BMP/JPEG header
+    fields, n_frames=1 at header granularity), MP4 via parse_mp4
+    (ISO-BMFF sample tables → frame count; tkhd → track dims), WAV via
+    parse_wav_header (PCM frame count; no pixel dims). Unrecognized
+    payloads degrade to honest NULL metadata — no fabricated numbers;
+    ``checksum`` (byte sum mod 2^16) is a real total function computed
+    for every non-NULL payload regardless of format.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "format", "width", "height", "n_frames", "checksum"]
         for pdf in batches:
-            meta = [_fake_decode(bytes(p)) for p in pdf["payload"]]
-            out = pd.DataFrame(
-                meta, columns=["width", "height", "n_frames", "checksum"]
-            )
-            out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((int(did), None, None, None, None, None))
+                    continue
+                b = bytes(p)
+                ck = sum(b) % 65536
+                fmt, w, h = parse_image_header(b)
+                if fmt is not None:
+                    rows.append((int(did), fmt, w, h, 1, ck))
+                    continue
+                try:
+                    demux = parse_mp4(b)
+                    tw, th = _mp4_track_dims(b)
+                    rows.append(
+                        (int(did), "mp4", tw, th, demux["n_frames"], ck)
+                    )
+                    continue
+                except DECODE_ERRORS:
+                    pass
+                wav = parse_wav_header(b)
+                if wav is not None:
+                    bpf = max(1, wav["channels"] * max(wav["bits"], 8) // 8)
+                    rows.append(
+                        (int(did), "wav", None, None,
+                         wav["data_len"] // bpf, ck)
+                    )
+                    continue
+                rows.append((int(did), None, None, None, None, ck))
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
@@ -802,11 +860,11 @@ def resize_image(
     height) and whose pixels are the resampled source (output is
     normalized to PNG regardless of input container, the standard
     pipeline move; GIF re-palettization and JPEG re-encode-lossy are out
-    of scope for the output side). Undecodable payloads (corrupt or
-    truncated files) fall back to a DETERMINISTIC stand-in — source dims
-    from the real header parser (else the fake-decode dims), exact scale
-    factors, and a length-scaled byte slice as the payload — keeping the
-    full pipeline runnable and testable end-to-end.
+    of scope for the output side). Undecodable payloads degrade honestly:
+    if the header still parses (corrupt body, exotic profile) the row
+    keeps its exact scale factors and the payload passes through
+    untouched; fully unrecognized containers get NULL scale factors and
+    passthrough — no fabricated dims anywhere on this path.
     """
     if width < 1 or height < 1:
         raise ValueError("resize target dimensions must be >= 1")
@@ -831,14 +889,18 @@ def resize_image(
                     except DECODE_ERRORS:
                         pass  # exotic/corrupt payload → stand-in path below
                 if sw is None or sh is None or not sw or not sh:
-                    sw, sh, _, _ = _fake_decode(b)
-                    sw, sh = max(sw, 1), max(sh, 1)
-                scale_x = width / sw
-                scale_y = height / sh
-                # stand-in payload: deterministic length-scaled slice
-                n_out = max(1, min(len(b), int(len(b) * scale_x * scale_y)))
+                    # unrecognized container: honest degradation — no
+                    # fabricated source dims, payload passes through
+                    # untouched (NULL scale factors mark the row)
+                    out_rows.append(
+                        (int(did), width, height, None, None, b)
+                    )
+                    continue
+                # header dims parsed but pixels undecodable (corrupt
+                # body, exotic profile): exact scale factors from the
+                # real header, payload passthrough
                 out_rows.append(
-                    (int(did), width, height, scale_x, scale_y, b[:n_out])
+                    (int(did), width, height, width / sw, height / sh, b)
                 )
             if out_rows:
                 yield pd.DataFrame(
@@ -1160,11 +1222,14 @@ def encode_y4m(frames, fps: tuple[int, int] = (30, 1)) -> bytes:
 
 
 def encode_mp4(frames: list[bytes], timescale: int = 600,
-               frame_duration: int = 25, codec: bytes = b"jpeg") -> bytes:
+               frame_duration: int = 25, codec: bytes = b"jpeg",
+               width: int = 0, height: int = 0) -> bytes:
     """List of per-frame byte strings → minimal but structurally genuine
     MP4: ftyp + mdat holding the concatenated frames + moov/trak/mdia/
     mdhd/hdlr/minf/stbl with real stsd/stts/stsz/stsc/stco tables (two
-    samples per chunk, so the stsc expansion is non-trivial). Any
+    samples per chunk, so the stsc expansion is non-trivial) and a
+    spec-complete 84-byte v0 tkhd (identity matrix + 16.16 track
+    ``width``/``height``, 0 when the caller doesn't know them). Any
     conformant demuxer recovers the exact frame byte ranges. ``codec`` is
     the stsd sample-entry fourcc — b"jpeg" declares Motion-JPEG samples
     (each frame is a complete JFIF image, QuickTime/ISO convention)."""
@@ -1228,7 +1293,21 @@ def encode_mp4(frames: list[bytes], timescale: int = 600,
         struct.pack(">HH", 0x55C4, 0),
     )
     mdia = box(b"mdia", mdhd, hdlr, minf)
-    tkhd = box(b"tkhd", struct.pack(">IIIII", 0x7, 0, 0, 1, 0), b"\x00" * 60)
+    # tkhd v0 body is exactly 84 bytes (ISO 14496-12 §8.3.2): flags,
+    # ctime, mtime, track_id, reserved, duration, reserved[8], layer/
+    # alt_group/volume/reserved, 9x32 identity matrix, 16.16 width/height
+    # — strict demuxers (ffprobe/mp4box) reject a truncated track header
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">IIIII", 0x7, 0, 0, 1, 0),
+        struct.pack(">I", n * frame_duration),  # duration (mvhd timescale)
+        b"\x00" * 8,
+        struct.pack(">HHHH", 0, 0, 0, 0),
+        struct.pack(
+            ">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000
+        ),
+        struct.pack(">II", width << 16, height << 16),
+    )
     trak = box(b"trak", tkhd, mdia)
     mvhd = box(
         b"mvhd",

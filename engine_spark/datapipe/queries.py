@@ -1211,43 +1211,71 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_pipeline",
     """
+    WITH b AS (
+      SELECT doc_id,
+             (n_chars % 600 + 16)::BIGINT AS w,
+             (doc_id % 400 + 16)::BIGINT AS h,
+             doc_id % 3 AS m,
+             strlen(text)::BIGINT AS tlen,
+             list_sum(list_transform(range(1, strlen(text) + 1),
+                                     i -> ascii(substring(text, i, 1))))::BIGINT
+               AS tsum
+      FROM documents)
     SELECT doc_id,
-           strlen(text) AS byte_len,
-           sha256(text) AS sha,
-           CASE strlen(text) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                ELSE 'video' END AS modality,
-           strlen(text) % 640 AS width,
-           (ascii(substring(text, 1, 1)) * 7) % 480 AS height,
-           strlen(text) // 100 + 1 AS n_frames,
-           list_sum(list_transform(range(1, strlen(text) + 1),
-                                   i -> ascii(substring(text, i, 1))))::BIGINT
-             % 65536 AS checksum
-    FROM documents
+           (CASE m WHEN 0 THEN 29 WHEN 1 THEN 26 ELSE tlen END)::INT
+             AS byte_len,
+           CASE m WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' END AS format,
+           (CASE WHEN m IN (0, 1) THEN w END)::INT AS width,
+           (CASE WHEN m IN (0, 1) THEN h END)::INT AS height,
+           (CASE WHEN m IN (0, 1) THEN 1 END)::INT AS n_frames,
+           ((CASE m
+              WHEN 0 THEN 747 + w // 256 + w % 256 + h // 256 + h % 256
+              WHEN 1 THEN 143 + w // 256 + w % 256 + h // 256 + h % 256
+              ELSE tsum END) % 65536)::BIGINT AS checksum
+    FROM b
     """,
     doc=(
-        "multimodal plumbing end-to-end: payloads as opaque BINARY + typed "
-        "metadata (encode → sha2/length — the Spark side genuinely operates "
-        "on a binary column) joined with the mapInPandas (Arrow-batched) "
-        "decode stage. The decoder is a deterministic stand-in (image/audio "
-        "libs not in this container — see multimodal.py for the gated "
-        "real-decoder hooks); schema, batching, and partition behavior are "
-        "the real thing. Oracle uses the string twins (identical utf-8 bytes)."
+        "multimodal metadata decode end-to-end over REAL container bytes, "
+        "zero stand-ins: each document becomes a byte-exact PNG (big-endian "
+        "u32 dims) or BMP (little-endian i32 dims) header built IN-PLAN "
+        "from its attributes, or stays raw utf-8 text; decode_meta "
+        "dispatches to the stdlib parsers via Arrow-batched mapInPandas — "
+        "recognized containers yield format/dims/n_frames, unrecognized "
+        "payloads degrade to honest NULLs, and the byte-sum checksum is a "
+        "total function over every payload. The oracle recomputes the "
+        "generating formulas (including per-byte header sums — a parser "
+        "that didn't read the real bytes cannot match both endiannesses "
+        "AND the checksums); the Spark side only ever sees the binary."
     ),
 )
 def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine_spark.datapipe.multimodal import decode_meta
 
     docs = Catalog(spark, sf_dir)["documents"]
-    bin_df = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    meta = bin_df.select(
-        "doc_id",
-        F.expr("length(payload)").alias("byte_len"),
-        F.lower(F.sha2("payload", 256)).alias("sha"),
-        F.expr(
-            "CASE length(payload) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
-            "ELSE 'video' END"
-        ).alias("modality"),
+    # big-endian u32 via hex-pad; little-endian i32 (values < 2^16) by
+    # byte-swapping the padded hex — all codegen'd JVM-side
+    be32 = lambda e: f"unhex(lpad(hex({e}), 8, '0'))"  # noqa: E731
+    le32 = (
+        lambda e: f"unhex(concat(substring(lpad(hex({e}), 4, '0'), 3, 2), "
+        f"substring(lpad(hex({e}), 4, '0'), 1, 2), '0000'))"
+    )  # noqa: E731
+    w, h = "(n_chars % 600 + 16)", "(doc_id % 400 + 16)"
+    png = (
+        f"concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), "
+        f"unhex('49484452'), {be32(w)}, {be32(h)}, unhex('0806000000'))"
     )
+    bmp = (
+        f"concat(cast('BM' as binary), unhex(repeat('00', 16)), "
+        f"{le32(w)}, {le32(h)})"
+    )
+    bin_df = docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE doc_id % 3 WHEN 0 THEN {png} WHEN 1 THEN {bmp} "
+            "ELSE encode(text, 'utf-8') END"
+        ).alias("payload"),
+    )
+    meta = bin_df.select("doc_id", F.expr("length(payload)").alias("byte_len"))
     return meta.join(decode_meta(bin_df), "doc_id")
 
 
@@ -2475,13 +2503,9 @@ FUZZY_T = 16        #: max prefix edit distance to report
     ),
 )
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = Catalog(spark, sf_dir)["documents"]
     # ASCII-normalized prefix (see oracle comment: Spark levenshtein is
-    # char-counting, DuckDB's byte-counting); block size via a window
-    # count so each join side costs ONE scan — the groupBy-count subtree
-    # was recomputed per side (measured 4 scans; audited at <= 2 now)
+    # char-counting, DuckDB's byte-counting)
     keyed = docs.select(
         "doc_id",
         F.expr(
@@ -2491,9 +2515,22 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id", F.expr("substring(pref, 1, 8)").alias("blk"), "pref"
     )
-    b = keyed.withColumn(
-        "bn", F.count(F.lit(1)).over(W.partitionBy("blk"))
-    ).filter(F.col("bn") <= FUZZY_BLOCK_CAP).drop("bn")
+    # Block-size cap via groupBy-count + membership join, NOT a window:
+    # a window partitioned by blk funnels a degenerate corpus (most docs
+    # sharing one prefix) through a single unsplittable task before the
+    # cap filter can drop the block. The groupBy partial-aggregates
+    # map-side (the hot key ships one row per map task), and the join is
+    # a shape AQE can fix at runtime — broadcast when the eligible-block
+    # list is small (degenerate corpora: the hot rows then never shuffle
+    # at all), skew-split when it is a large sort-merge join. Costs one
+    # extra documents scan vs the window (audited <= 3).
+    eligible = (
+        keyed.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= FUZZY_BLOCK_CAP)
+        .select("blk")
+    )
+    b = keyed.join(eligible, "blk")
     x, y = b.alias("x"), b.alias("y")
     return (
         x.join(

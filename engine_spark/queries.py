@@ -1730,7 +1730,7 @@ _ORDER = [
     "multimodal_headers",         # real stdlib PNG/GIF/BMP/JPEG header decode
     "doc_chunking",               # corpus assembly: overlapping chunk explode
     "text_keywords",              # tf-idf top-k (vocab_topk stays in-window)
-    "multimodal_pipeline",        # composition of headers/resize/audio gates
+    "multimodal_pipeline",        # real decode_meta dispatch over PNG/BMP/raw
     "cron_window_5min",
     "math_funcs",
     "agg_approx_distinct",

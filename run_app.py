@@ -22,6 +22,21 @@ config.yaml keys (all optional)::
 Batch mode runs every INSERT INTO query and materializes outputs; a query
 whose source stream is a streaming source (WITH type=source) starts a
 streaming query instead and runs until interrupted.
+
+Streaming corpus dedup mode (no SQL file) drives the exactly-once
+segment-dedup pipeline end-to-end::
+
+    python run_app.py --dedup-stream /data/drops \\
+        --dedup-state /shared/dedup_state --dedup-out /data/clean \\
+        --dedup-compact-every 100
+
+Each parquet file landing in the drop dir becomes a micro-batch: its
+documents' segments dedup against the durable Bloom store (first
+occurrence wins across ALL prior epochs), the deduped docs publish
+atomically as ``epoch-N/`` under the output dir, and every N epochs the
+store compacts its per-batch state dirs behind the newest epoch. Crash
+at any point and rerun: replayed epochs reproduce their answers and
+republish nothing.
 """
 
 from __future__ import annotations
@@ -32,7 +47,42 @@ import sys
 
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("sql_file", help="EventFlux-SQL application file")
+    p.add_argument(
+        "sql_file", nargs="?", default=None,
+        help="EventFlux-SQL application file (omit in --dedup-stream mode)",
+    )
+    # --- streaming corpus dedup mode (no SQL file): watch a directory of
+    # document parquet drops, dedup segments against a durable Bloom
+    # store exactly-once, publish per-epoch parquet outputs ---
+    p.add_argument(
+        "--dedup-stream", metavar="IN_DIR",
+        help="streaming segment dedup over parquet files landing in IN_DIR "
+        "(schema: doc_id long, text string); runs availableNow and exits",
+    )
+    p.add_argument(
+        "--dedup-state", metavar="DIR",
+        help="BloomDedupStore state dir (shared storage, checkpoint-grade)",
+    )
+    p.add_argument(
+        "--dedup-out", metavar="DIR",
+        help="output dir; each micro-batch publishes epoch-N/ atomically",
+    )
+    p.add_argument(
+        "--dedup-checkpoint", metavar="DIR", default=None,
+        help="stream checkpoint (default: <dedup-state>/_checkpoint)",
+    )
+    p.add_argument(
+        "--dedup-paragraphs", action="store_true",
+        help="dedup blank-line paragraphs instead of fixed token windows",
+    )
+    p.add_argument(
+        "--dedup-compact-every", type=int, default=0, metavar="N",
+        help="compact the Bloom store's epoch dirs every N epochs "
+        "(watermark = current epoch - 1, so the newest replayable epoch "
+        "is never touched); 0 disables. Cadence guidance: state dirs "
+        "grow one per micro-batch, so pick N around the point where "
+        "listing cost matters — e.g. 100 for minute-level triggers",
+    )
     p.add_argument("-c", "--config", help="YAML config file")
     p.add_argument(
         "--set", action="append", default=[], metavar="K=V",
@@ -66,6 +116,77 @@ def load_config(path: str | None) -> dict:
         return yaml.safe_load(f) or {}
 
 
+def run_dedup_stream(spark, args) -> int:
+    """Streaming corpus segment dedup, drivable end-to-end from the CLI —
+    the streaming twin of the batch ``dedup_segments`` operator.
+
+    Per micro-batch (Spark's epoch id keys everything): segments dedup
+    against the durable BloomDedupStore (exactly-once: a crash-replayed
+    epoch reads only strictly-earlier state and reproduces its answer),
+    then the batch's deduped documents publish atomically as
+    ``<out>/epoch-N/`` (stage + no-overwrite rename — a replay finds the
+    dir and skips). Compaction cadence: with ``--dedup-compact-every N``
+    the store merges all state dirs at or below ``epoch-1`` every N
+    epochs, keeping state-dir count O(N) instead of one-per-batch; the
+    newest epoch is never compacted (the stream may still replay it).
+    """
+    import uuid as _uuid
+
+    from engine_spark.datapipe.bloom import BloomDedupStore
+    from engine_spark.datapipe.segments import dedup_segments_stream
+    from engine_spark.fsio import HadoopFS
+
+    if not args.dedup_state or not args.dedup_out:
+        raise SystemExit("--dedup-stream requires --dedup-state and --dedup-out")
+    in_dir, out_dir = args.dedup_stream, args.dedup_out.rstrip("/")
+    # the parquet stream source needs an explicit schema: take it from
+    # the files already landed (the drop dir defines the contract)
+    schema = spark.read.parquet(in_dir).schema
+    store = BloomDedupStore(spark, args.dedup_state, normalize=False)
+    fs = HadoopFS(spark, out_dir)
+    every = args.dedup_compact_every
+
+    def sink(batch_df, epoch_id):
+        out = dedup_segments_stream(
+            store, batch_df, epoch_id, paragraphs=args.dedup_paragraphs
+        )
+        final = f"{out_dir}/epoch-{int(epoch_id):010d}"
+        if fs.exists(final):
+            print(f"[dedup-stream] epoch {epoch_id} already published (replay)")
+        else:
+            staging = f"{out_dir}/_staging/e{_uuid.uuid4().hex}"
+            out.write.mode("overwrite").parquet(staging)
+            if fs.rename(staging, final):
+                print(f"[dedup-stream] epoch {epoch_id} → {final}")
+            else:  # lost a publish race: retire our copy
+                fs.delete(staging)
+        if every and epoch_id and epoch_id % every == 0:
+            try:
+                merged = store.compact(epoch_id - 1)
+                if merged:
+                    print(
+                        f"[dedup-stream] compacted {merged} state epochs "
+                        f"<= {epoch_id - 1}"
+                    )
+            except ValueError:
+                pass  # replayed batch: this watermark is already compacted
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            args.dedup_checkpoint
+            or f"{args.dedup_state.rstrip('/')}/_checkpoint",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return 0
+
+
 def main(argv=None, stop: bool = True) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     cfg = load_config(args.config)
@@ -78,6 +199,14 @@ def main(argv=None, stop: bool = True) -> int:
     from engine_spark.session import get_spark
 
     spark = get_spark("run_app", master=args.master, extra_conf=conf)
+    if args.dedup_stream:
+        try:
+            return run_dedup_stream(spark, args)
+        finally:
+            if stop:
+                spark.stop()
+    if not args.sql_file:
+        raise SystemExit("sql_file is required unless --dedup-stream is given")
     spark.sparkContext.setLogLevel("WARN")
 
     from engine_spark.extensions import load_plugin

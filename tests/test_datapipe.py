@@ -113,12 +113,67 @@ def test_fake_decode_kernel():
     assert ck == sum(payload) % 65536
 
 
-def test_decode_meta_mapinpandas(spark):
-    d = docs(spark).select("doc_id", F.encode("text", "utf-8").alias("payload"))
+def test_decode_meta_real_dispatch(spark):
+    """decode_meta routes every payload through the real stdlib parsers:
+    PNG/GIF headers, MP4 sample tables + tkhd dims, WAV PCM frames;
+    unrecognized bytes degrade to NULL metadata with a real checksum."""
+    import struct
+
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import encode_mp4, encode_wav
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    mp4 = encode_mp4(
+        [b"f0" * 10, b"f1" * 10, b"f2" * 10], codec=b"jpeg",
+        width=320, height=200,
+    )
+    wav = encode_wav(np.arange(400, dtype=np.int16), sample_rate=8000)
+    d = spark.createDataFrame(
+        [
+            (0, bytearray(png)),
+            (1, bytearray(mp4)),
+            (2, bytearray(wav)),
+            (3, bytearray(b"the cat sat on the mat")),
+            (4, None),
+        ],
+        "doc_id long, payload binary",
+    )
     out = {r["doc_id"]: r for r in decode_meta(d).collect()}
-    assert out[0]["checksum"] == sum(b"the cat sat on the mat") % 65536
-    assert out[4]["width"] == 1
-    assert out[0]["n_frames"] == 1
+    assert (out[0]["format"], out[0]["width"], out[0]["height"],
+            out[0]["n_frames"]) == ("png", 640, 480, 1)
+    assert (out[1]["format"], out[1]["n_frames"]) == ("mp4", 3)
+    assert (out[1]["width"], out[1]["height"]) == (320, 200)  # tkhd 16.16
+    assert (out[2]["format"], out[2]["n_frames"]) == ("wav", 400)
+    assert out[2]["width"] is None and out[2]["height"] is None
+    # unrecognized: honest NULLs, real checksum
+    assert out[3]["format"] is None and out[3]["width"] is None
+    assert out[3]["n_frames"] is None
+    assert out[3]["checksum"] == sum(b"the cat sat on the mat") % 65536
+    assert out[4]["checksum"] is None
+
+
+def test_encode_mp4_tkhd_is_spec_complete():
+    """tkhd v0 body is exactly 84 bytes (ISO 14496-12 §8.3.2) with the
+    identity matrix and 16.16 width/height — strict demuxers reject a
+    truncated track header."""
+    import struct
+
+    from engine_spark.datapipe.multimodal import encode_mp4
+
+    b = encode_mp4([b"x" * 8], width=64, height=48)
+    i = b.find(b"tkhd")
+    assert i > 0
+    (size,) = struct.unpack(">I", b[i - 4 : i])
+    assert size == 8 + 84, f"tkhd box is {size - 8} body bytes, want 84"
+    body = b[i + 4 : i + 4 + 84]
+    matrix = struct.unpack(">9I", body[40:76])
+    assert matrix == (0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    w16, h16 = struct.unpack(">II", body[76:84])
+    assert (w16 >> 16, h16 >> 16) == (64, 48)
 
 
 def test_lang_predict_stopword_scoring(spark):
@@ -959,8 +1014,9 @@ def test_chunking_invariants_property(spark):
 
 def test_resize_and_frame_sample_plumbing(spark):
     """The resize and frame-sample mapInPandas plumbing is real (schema,
-    batch shape, null-safety); pixel/demux kernels are deterministic
-    stand-ins gated for the absent media libraries."""
+    batch shape, null-safety); undecodable payloads degrade honestly
+    (passthrough + NULL scales); non-MP4 frame counts keep the
+    documented deterministic stand-in."""
     import struct
 
     from engine_spark.datapipe.multimodal import frame_sample, resize_image
@@ -977,8 +1033,11 @@ def test_resize_and_frame_sample_plumbing(spark):
     rz = {r.doc_id: r for r in resize_image(d, 320, 240).collect()}
     assert (rz[1].width, rz[1].height) == (320, 240)
     assert rz[1].scale_x == 0.5 and rz[1].scale_y == 0.5  # real header dims
-    assert len(rz[1].payload) >= 1
-    assert rz[2].scale_x > 0 and rz[3].width == 320  # fake-dims + null-safe
+    # corrupt body: exact header scales, payload passes through untouched
+    assert bytes(rz[1].payload) == png
+    # unrecognized container: honest NULL scales + passthrough; null-safe
+    assert rz[2].scale_x is None and bytes(rz[2].payload) == b"not an image" * 40
+    assert rz[3].width == 320 and rz[3].scale_x is None
 
     fs = frame_sample(d, every_k=2).collect()
     by_doc: dict[int, list] = {}
@@ -1466,6 +1525,31 @@ def test_jpeg_restart_intervals_all_profiles():
                     )
                 )
                 assert (ref == got).all(), (prog, sub, ri)
+
+
+def test_jpeg_forked_segment_decode_bit_identical():
+    """workers>1 entropy-decodes restart segments on a forked pool;
+    T.81 makes segments bit-independent, so the result must be
+    BIT-IDENTICAL to the sequential path — including a tail segment
+    shorter than the restart interval, and regardless of worker count
+    exceeding the segment count."""
+    import numpy as np
+
+    from engine_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    g = ((np.arange(48)[:, None] * 5 + np.arange(64)[None, :]) % 256).astype(
+        np.uint8
+    )
+    img = np.stack([g, (g * 3) % 256, g[::-1]], axis=2).astype(np.uint8)
+    for sub, ri in ((False, 3), (True, 2), (False, 7)):
+        b = encode_jpeg(img, quality=85, subsample=sub, restart_interval=ri)
+        seq = decode_jpeg(b)
+        for wk in (2, 64):
+            assert np.array_equal(seq, decode_jpeg(b, workers=wk)), (sub, ri, wk)
+    # no restart markers -> one segment: parallel request degrades to
+    # the sequential path, same bytes out
+    b0 = encode_jpeg(img, quality=85)
+    assert np.array_equal(decode_jpeg(b0), decode_jpeg(b0, workers=8))
 
 
 def test_decode_image_jpeg_real_pixels(spark):

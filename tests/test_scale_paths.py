@@ -477,3 +477,36 @@ def test_nfa_salted_chain_matches_unsalted(spark):
             steps=[("e1", F.col("etype") == "a"), ("e2", F.col("etype") == "b")],
             within_seconds=60, payload_cols=["v"], every=False, salt=4,
         )
+
+
+def test_fuzzy_dedup_degenerate_prefix_no_window_funnel(spark, tmp_path):
+    """A corpus where (almost) every doc shares one 8-char prefix must not
+    funnel through a single unsplittable task: the block-size cap is a
+    partial-aggregated groupBy + membership join (AQE-broadcastable /
+    skew-splittable), NOT a window over blk. 10k same-prefix docs
+    complete, the over-cap block contributes zero pairs, and the plan
+    carries no Window operator."""
+    import pandas as pd
+
+    from engine_spark.queries import QUERIES
+
+    # 10k docs, all sharing the prefix "commonpf"; 6 docs in a small
+    # distinct block that must still pair up
+    rows = [(i, f"commonpf boilerplate header {i % 7} lorem ipsum")
+            for i in range(10_000)]
+    rows += [(100_000 + i, f"uniqueXY tail {'a' * i}") for i in range(6)]
+    sf_dir = str(tmp_path / "sf")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+        .assign(n_chars=lambda d: d.text.str.len())
+    ).write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+
+    q = QUERIES["dedup_fuzzy"].spark(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "block cap must not be a window over blk"
+    assert "partial_count" in plan, "block counts must partial-aggregate map-side"
+    got = q.collect()
+    # every surviving pair is from the small block; the 10k-doc block is
+    # capped out entirely
+    assert all(r.doc_a >= 100_000 and r.doc_b >= 100_000 for r in got)
+    assert len(got) == 15  # C(6,2) pairs, all within the edit threshold

@@ -149,11 +149,22 @@ CHECKS = {
     ],
     "dedup_fuzzy": [
         # prefix-blocked candidate join: equi-join on the block key,
-        # never a cartesian; distance filter rides the join; block-size
-        # cap via window count keeps it at one scan per join side
+        # never a cartesian; distance filter rides the join. Block-size
+        # cap via groupBy-count + membership join — NO Window operator:
+        # a window over blk would funnel a degenerate shared-prefix
+        # corpus through one unsplittable task, while the groupBy
+        # partial-aggregates map-side and AQE can broadcast/skew-split
+        # the join (costs one extra scan, hence <= 3)
         ("no cartesian/nested-loop", lambda p: "CartesianProduct" not in p and "BroadcastNestedLoop" not in p),
         ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
-        ("at most one scan per side", lambda p: p.count("Scan parquet") <= 2),
+        ("no skew-funneling window", lambda p: "Window" not in p),
+        ("partial agg before exchange", lambda p: "partial_count" in p),
+        # 2 row scans (x, y) + 2 text-only count scans (one per side in
+        # the static plan; identical subtrees, so AQE's runtime exchange
+        # reuse can dedupe them). The extra pruned scans are the price of
+        # not funneling a degenerate shared-prefix corpus through one
+        # unsplittable Window task.
+        ("bounded scans (sides + counts)", lambda p: p.count("Scan parquet") <= 4),
     ],
     "dedup_bloom": [
         # Bloom probe is map-only; only the bounded position-distinct and
