@@ -1605,6 +1605,128 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (all 2^k dimension subsets, completing the "
+    "ROLLUP family; grouping_id disambiguates subtotal NULLs): Spark "
+    "expands the sets inside ONE hash-aggregate pass — no per-subset "
+    "re-scan.",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = Catalog(spark, sf_dir)["orders"]
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+@register(
+    "analytic_ranks",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           floor(percent_rank() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000 + 0.5) / 1000000 AS cdist,
+           first_value(o_orderkey) OVER w AS cheapest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="distribution-rank analytic family (ntile buckets, percent_rank, "
+    "cume_dist, first_value) — completes the rank side of the window-"
+    "function surface beside analytic_functions' lag/lead/rank/sum. "
+    "Total tiebreak order (price, key) makes every bucket edge "
+    "deterministic; all four functions share one window pass (one keyed "
+    "shuffle + one sort). 6dp round-half-up on the fractions for "
+    "cross-engine float determinism.",
+)
+def q_analytic_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = Catalog(spark, sf_dir)["orders"]
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r6d = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        r6d(F.percent_rank().over(w)).alias("pct_rank"),
+        r6d(F.cume_dist().over(w)).alias("cdist"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+    )
+
+
+@register(
+    "events_gapfill_1h",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY 1, 2
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(min(hour), max(hour),
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM hourly GROUP BY user_id
+    )
+    SELECT g.user_id, g.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.hour) AS filled_value,
+           h.n_events IS NULL AS is_gap
+    FROM grid g LEFT JOIN hourly h USING (user_id, hour)
+    """,
+    doc="time-series gap-fill + forward-fill: per-key hourly rollup, a "
+    "generated dense hour grid over each key's active span, and "
+    "last-non-null carry-forward for the empty hours — the resample/"
+    "interpolate step monitoring and feature pipelines run after any "
+    "event-time aggregation. The grid generates from the AGGREGATED "
+    "(key, min, max) rows — dimension-sized, never from raw events — "
+    "and the forward fill is one window pass per key.",
+)
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = Catalog(spark, sf_dir)["events"]
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        decimal_sum("value").alias("sum_value"),
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"),
+        )
+    )
+    joined = grid.join(hourly, ["user_id", "hour"], "left")
+    w = W.partitionBy("user_id").orderBy("hour")
+    return joined.select(
+        "user_id",
+        "hour",
+        F.coalesce(F.col("n_events"), F.lit(0).cast("bigint")).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )
+
+
 # ===========================================================================
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries in dict order, so the order below is deliberate: one-or-more gates
@@ -1738,6 +1860,10 @@ _ORDER = [
     "join_multiway_q5",
     "asof_join_last_view",
     "join_q3_shipping_priority",
+    # round-8 additions (enter past the window per rotation policy)
+    "agg_cube",                   # CUBE grouping sets, one aggregate pass
+    "analytic_ranks",             # ntile/percent_rank/cume_dist/first_value
+    "events_gapfill_1h",          # dense-grid gap-fill + forward-fill
 ]
 
 

@@ -166,6 +166,25 @@ CHECKS = {
         # unsplittable Window task.
         ("bounded scans (sides + counts)", lambda p: p.count("Scan parquet") <= 4),
     ],
+    "agg_cube": [
+        # all 2^k grouping sets expand inside ONE aggregate pass
+        ("expand (grouping sets)", lambda p: "Expand" in p),
+        ("single scan", lambda p: p.count("Scan parquet") == 1),
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+    ],
+    "analytic_ranks": [
+        # all four rank functions share one window pass: one shuffle, one sort
+        ("single window pass", lambda p: p.count("Window") == 1),
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("single scan", lambda p: p.count("Scan parquet") == 1),
+    ],
+    "events_gapfill_1h": [
+        # grid generates from aggregated (key, min, max) rows, never raw
+        # events; forward fill is one window pass
+        ("single window pass", lambda p: p.count("Window") == 1),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+        ("bounded scans (hourly + grid)", lambda p: p.count("Scan parquet") <= 2),
+    ],
     "dedup_bloom": [
         # Bloom probe is map-only; only the bounded position-distinct and
         # the pruned verify join shuffle. Nothing may degrade to cartesian.
