@@ -2503,7 +2503,13 @@ FUZZY_T = 16        #: max prefix edit distance to report
     ),
 )
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir)["documents"]
+    return fuzzy_pairs(Catalog(spark, sf_dir)["documents"])
+
+
+def fuzzy_pairs(docs: DataFrame) -> DataFrame:
+    """Edit-distance near-dup pairs over any (doc_id, text) frame — the
+    operator behind the ``dedup_fuzzy`` gate (also driven by
+    tools/scaling_probe.py)."""
     # ASCII-normalized prefix (see oracle comment: Spark levenshtein is
     # char-counting, DuckDB's byte-counting)
     keyed = docs.select(

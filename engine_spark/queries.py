@@ -1606,6 +1606,38 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "expr_correlated_subquery",
+    """
+    SELECT o_orderkey, o_custkey,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey = o_orderkey) AS n_items
+    FROM orders o
+    WHERE (SELECT count(*) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey) >= 20
+    """,
+    doc="correlated subqueries, scalar (SELECT-list count per outer row) "
+    "and in WHERE (per-customer order count gate): Catalyst decorrelates "
+    "both into aggregate + join subplans — no per-row re-execution, the "
+    "classic O(n^2) trap a naive evaluator falls into. Exact integer "
+    "counts keep the gate float-free.",
+)
+def q_expr_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cat["orders"].createOrReplaceTempView("_sub_orders")
+    cat["lineitem"].createOrReplaceTempView("_sub_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey,
+               (SELECT count(*) FROM _sub_lineitem
+                WHERE l_orderkey = o_orderkey) AS n_items
+        FROM _sub_orders o
+        WHERE (SELECT count(*) FROM _sub_orders o2
+               WHERE o2.o_custkey = o.o_custkey) >= 20
+        """
+    )
+
+
+@register(
     "agg_cube",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -1864,6 +1896,7 @@ _ORDER = [
     "agg_cube",                   # CUBE grouping sets, one aggregate pass
     "analytic_ranks",             # ntile/percent_rank/cume_dist/first_value
     "events_gapfill_1h",          # dense-grid gap-fill + forward-fill
+    "expr_correlated_subquery",   # decorrelated scalar + WHERE subqueries
 ]
 
 

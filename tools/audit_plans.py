@@ -166,6 +166,15 @@ CHECKS = {
         # unsplittable Window task.
         ("bounded scans (sides + counts)", lambda p: p.count("Scan parquet") <= 4),
     ],
+    "expr_correlated_subquery": [
+        # both correlated subqueries must DECORRELATE into aggregate+join
+        # subplans (the O(n^2) per-row re-execution trap shows up as a
+        # nested-loop/subquery node instead)
+        ("no cartesian/nested-loop", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+        ("decorrelated to joins", lambda p: ("BroadcastHashJoin" in p or "SortMergeJoin" in p)),
+        ("no per-row subquery exec", lambda p: "Subquery" not in p),
+        ("bounded scans", lambda p: p.count("Scan parquet") <= 3),
+    ],
     "agg_cube": [
         # all 2^k grouping sets expand inside ONE aggregate pass
         ("expand (grouping sets)", lambda p: "Expand" in p),

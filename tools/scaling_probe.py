@@ -89,6 +89,33 @@ def main() -> None:
 
         return shuffle_shards(d.select("doc_id"), n_shards=32)
 
+    def fuzzy_chain(d):
+        # the replicated corpus repeats every prefix 10x — exactly the
+        # block-growth regime the groupBy+join cap (not a window) handles
+        from engine_spark.datapipe.queries import fuzzy_pairs
+
+        return fuzzy_pairs(d.select("doc_id", "text"))
+
+    def gapfill_chain(d):
+        # the dense grid generates from per-key aggregated spans, so 10x
+        # events must NOT mean 10x grid rows (key count drives the grid)
+        from pyspark.sql import Window as W
+
+        hourly = d.groupBy(
+            "user_id", F.date_trunc("hour", F.col("ts")).alias("hour")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        grid = (
+            hourly.groupBy("user_id")
+            .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+            .select("user_id", F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"))
+        )
+        w = W.partitionBy("user_id").orderBy("hour")
+        return grid.join(hourly, ["user_id", "hour"], "left").select(
+            "user_id", "hour",
+            F.last("n", ignorenulls=True).over(w).alias("filled"),
+        )
+
     chains = {
         "filter_project": (filter_chain, "lineitem"),
         "hash_aggregate": (agg_chain, "lineitem"),
@@ -97,6 +124,8 @@ def main() -> None:
         "minhash_signatures": (minhash_chain, "documents"),
         "segment_dedup": (segment_chain, "documents"),
         "seeded_shuffle": (shuffle_chain, "documents"),
+        "fuzzy_dedup": (fuzzy_chain, "documents"),
+        "events_gapfill": (gapfill_chain, "events"),
     }
 
     def t(df) -> float:
