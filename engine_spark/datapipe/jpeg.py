@@ -213,13 +213,10 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def _decode_dc_scan(r, scan, comps_geo, coefs, luts, ah, al, restart, restarts):
-    """DC scan (Ss=Se=0): interleaved over MCUs when multi-component, else
-    the component's own block grid. First pass (Ah=0) Huffman-codes the
-    point-transformed DC diffs; refinement (Ah>0) is one raw bit per
-    block (T.81 G.1.2.1)."""
-    pred = {c["id"]: 0 for c in scan}
-    restart_iter = iter(restarts)
+def _dc_units(scan, comps_geo):
+    """Ordered decode units of a DC scan: MCUs (interleaved multi-
+    component) or single blocks (one component), each a list of
+    (component, block_index) in spec order."""
     if len(scan) > 1:
         g = comps_geo[scan[0]["id"]]
         mcux, mcuy = g["mcux"], g["mcuy"]
@@ -240,23 +237,30 @@ def _decode_dc_scan(r, scan, comps_geo, coefs, luts, ah, al, restart, restarts):
                                 )
                             )
                 units.append(unit)
-    else:
-        c = scan[0]
-        g = comps_geo[c["id"]]
-        units = [
-            [(c, by * g["wb_pad"] + bx)]
-            for by in range(g["hb"])
-            for bx in range(g["wb"])
-        ]
-    for ui, unit in enumerate(units):
-        if restart and ui and ui % restart == 0:
-            nxt = next(restart_iter, None)
-            if nxt is None:
-                raise ValueError("expected JPEG restart marker")
-            r.pos = nxt * 8
-            pred = {c["id"]: 0 for c in scan}
+        return units
+    c = scan[0]
+    g = comps_geo[c["id"]]
+    return [
+        [(c, by * g["wb_pad"] + bx)]
+        for by in range(g["hb"])
+        for bx in range(g["wb"])
+    ]
+
+
+def _decode_dc_units(
+    padded, bit_start, units, lo, hi, scan, coefs, luts, ah, al
+):
+    """One restart segment of a DC scan (units [lo, hi) from bit_start,
+    fresh predictors — T.81 G.1.2.1). Returns (comp_id, block_index,
+    new_dc) triples instead of writing coefs, so a forked worker can
+    ship results back; the caller applies them."""
+    r = _FastBits(padded, padded=True)
+    r.pos = bit_start
+    pred = {c["id"]: 0 for c in scan}
+    out = []
+    for unit in units[lo:hi]:
         for c, bi in unit:
-            blk = coefs[c["id"]][bi]
+            cid = c["id"]
             if ah == 0:
                 lut = luts.get((0, c["td"]))
                 if lut is None:
@@ -266,101 +270,189 @@ def _decode_dc_scan(r, scan, comps_geo, coefs, luts, ah, al, restart, restarts):
                     raise ValueError("invalid JPEG Huffman code")
                 r.pos += v >> 8
                 t = v & 0xFF
-                pred[c["id"]] += _extend(r.bits(t), t)
-                blk[0] = pred[c["id"]] << al
+                pred[cid] += _extend(r.bits(t), t)
+                out.append((cid, bi, pred[cid] << al))
             else:
-                blk[0] |= r.bits(1) << al  # two's-complement low bits: the
-                # arithmetic works for negative DC too (see tests)
+                # two's-complement low bits: the arithmetic works for
+                # negative DC too (see tests)
+                out.append((cid, bi, coefs[cid][bi][0] | (r.bits(1) << al)))
+    # compact transfer: one int32 matrix instead of n python tuples
+    return [(np.array(out, np.int32) if out else np.empty((0, 3), np.int32))]
 
 
-def _decode_ac_scan(r, c, geo, coefs, lut, ss, se, ah, al, restart, restarts):
-    """AC scan (single component, T.81 G.1.2.2 first pass / G.1.2.3
-    refinement) over the component's NON-padded block grid in raster
-    order, with EOB runs spanning blocks."""
+def _decode_dc_scan(
+    padded, scan, comps_geo, coefs, luts, ah, al, restart, restarts,
+    workers: int = 1,
+):
+    """DC scan (Ss=Se=0): interleaved over MCUs when multi-component, else
+    the component's own block grid. First pass (Ah=0) Huffman-codes the
+    point-transformed DC diffs; refinement (Ah>0) is one raw bit per
+    block (T.81 G.1.2.1). Restart segments decode independently
+    (predictors reset), on a forked pool when ``workers > 1``."""
+    units = _dc_units(scan, comps_geo)
+    segs = _restart_segments(restarts, restart, len(units))
+
+    def run(seg):
+        off, lo, hi = seg
+        return _decode_dc_units(
+            padded, off * 8, units, lo, hi, scan, coefs, luts, ah, al
+        )
+
+    for seg_mat in _run_scan_segments(run, segs, workers):
+        for cid, bi, v in seg_mat.tolist():
+            coefs[cid][bi][0] = v
+
+
+def _ac_block_first(r, blk, lut, ss, se, al, eobrun):
+    """First AC pass for one block (T.81 G.1.2.2); returns the new EOB
+    run count."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        v = lut[r.peek16()]
+        if not v:
+            raise ValueError("invalid JPEG Huffman code")
+        r.pos += v >> 8
+        rs = v & 0xFF
+        rr, sz = rs >> 4, rs & 0xF
+        if sz == 0:
+            if rr < 15:  # EOBn: run of (1<<rr)+bits blocks
+                eobrun = (1 << rr) - 1
+                if rr:
+                    eobrun += r.bits(rr)
+                break
+            k += 16  # ZRL
+            continue
+        k += rr
+        if k > se:
+            raise ValueError("JPEG AC run overflow")
+        blk[k] = _extend(r.bits(sz), sz) << al
+        k += 1
+    return eobrun
+
+
+def _ac_block_refine(r, blk, lut, ss, se, al, p1, eobrun):
+    """AC refinement for one block (T.81 G.1.2.3); returns the new EOB
+    run count."""
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            v = lut[r.peek16()]
+            if not v:
+                raise ValueError("invalid JPEG Huffman code")
+            r.pos += v >> 8
+            rs = v & 0xFF
+            rr, sz = rs >> 4, rs & 0xF
+            val = 0
+            if sz == 0:
+                if rr < 15:
+                    eobrun = (1 << rr)
+                    if rr:
+                        eobrun += r.bits(rr)
+                    break
+                # ZRL: cross 16 zero-history positions
+            else:
+                if sz != 1:
+                    raise ValueError("bad JPEG refine symbol")
+                val = p1 if r.bits(1) else -p1
+            # advance: pass rr zero-history positions, reading a
+            # correction bit at every nonzero-history one
+            while k <= se:
+                if blk[k] != 0:
+                    if r.bits(1) and (abs(blk[k]) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                else:
+                    if rr == 0:
+                        break
+                    rr -= 1
+                k += 1
+            if val and k <= se:
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        # EOB-covered block: still carries correction bits for every
+        # already-nonzero coefficient in the band
+        while k <= se:
+            if blk[k] != 0:
+                if r.bits(1) and (abs(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_ac_blocks(padded, bit_start, lo, hi, c, geo, coefs, lut,
+                      ss, se, ah, al):
+    """One restart segment of an AC scan (blocks [lo, hi) in raster
+    order from bit_start, EOB run reset). Returns (block_index, block)
+    pairs over COPIES so a forked worker can ship them back."""
+    r = _FastBits(padded, padded=True)
+    r.pos = bit_start
     eobrun = 0
     p1 = 1 << al
-    restart_iter = iter(restarts)
-    bcount = 0
-    for by in range(geo["hb"]):
-        for bx in range(geo["wb"]):
-            if restart and bcount and bcount % restart == 0:
-                nxt = next(restart_iter, None)
-                if nxt is None:
-                    raise ValueError("expected JPEG restart marker")
-                r.pos = nxt * 8
-                eobrun = 0
-            bcount += 1
-            blk = coefs[c["id"]][by * geo["wb_pad"] + bx]
-            if ah == 0:  # first pass for this band
-                if eobrun > 0:
-                    eobrun -= 1
-                    continue
-                k = ss
-                while k <= se:
-                    v = lut[r.peek16()]
-                    if not v:
-                        raise ValueError("invalid JPEG Huffman code")
-                    r.pos += v >> 8
-                    rs = v & 0xFF
-                    rr, sz = rs >> 4, rs & 0xF
-                    if sz == 0:
-                        if rr < 15:  # EOBn: run of (1<<rr)+bits blocks
-                            eobrun = (1 << rr) - 1
-                            if rr:
-                                eobrun += r.bits(rr)
-                            break
-                        k += 16  # ZRL
-                        continue
-                    k += rr
-                    if k > se:
-                        raise ValueError("JPEG AC run overflow")
-                    blk[k] = _extend(r.bits(sz), sz) << al
-                    k += 1
-            else:  # refinement pass (G.1.2.3)
-                k = ss
-                if eobrun == 0:
-                    while k <= se:
-                        v = lut[r.peek16()]
-                        if not v:
-                            raise ValueError("invalid JPEG Huffman code")
-                        r.pos += v >> 8
-                        rs = v & 0xFF
-                        rr, sz = rs >> 4, rs & 0xF
-                        val = 0
-                        if sz == 0:
-                            if rr < 15:
-                                eobrun = (1 << rr)
-                                if rr:
-                                    eobrun += r.bits(rr)
-                                break
-                            # ZRL: cross 16 zero-history positions
-                        else:
-                            if sz != 1:
-                                raise ValueError("bad JPEG refine symbol")
-                            val = p1 if r.bits(1) else -p1
-                        # advance: pass rr zero-history positions, reading
-                        # a correction bit at every nonzero-history one
-                        while k <= se:
-                            if blk[k] != 0:
-                                if r.bits(1) and (abs(blk[k]) & p1) == 0:
-                                    blk[k] += p1 if blk[k] > 0 else -p1
-                            else:
-                                if rr == 0:
-                                    break
-                                rr -= 1
-                            k += 1
-                        if val and k <= se:
-                            blk[k] = val
-                        k += 1
-                if eobrun > 0:
-                    # EOB-covered block: still carries correction bits for
-                    # every already-nonzero coefficient in the band
-                    while k <= se:
-                        if blk[k] != 0:
-                            if r.bits(1) and (abs(blk[k]) & p1) == 0:
-                                blk[k] += p1 if blk[k] > 0 else -p1
-                        k += 1
-                    eobrun -= 1
+    cid = c["id"]
+    out = []
+    for idx in range(lo, hi):
+        by, bx = divmod(idx, geo["wb"])
+        bi = by * geo["wb_pad"] + bx
+        blk = list(coefs[cid][bi])
+        if ah == 0:
+            eobrun = _ac_block_first(r, blk, lut, ss, se, al, eobrun)
+        else:
+            eobrun = _ac_block_refine(r, blk, lut, ss, se, al, p1, eobrun)
+        out.append((bi, blk))
+    # ship back as two compact int32 buffers: per-block python lists cost
+    # more to pickle than the entropy decode saves
+    bis = np.array([bi for bi, _ in out], np.int32)
+    mat = (
+        np.array([blk for _, blk in out], np.int32)
+        if out
+        else np.empty((0, 64), np.int32)
+    )
+    return [(bis, mat)]
+
+
+def _decode_ac_scan(
+    padded, c, geo, coefs, lut, ss, se, ah, al, restart, restarts,
+    workers: int = 1,
+):
+    """AC scan (single component, T.81 G.1.2.2 first pass / G.1.2.3
+    refinement) over the component's NON-padded block grid in raster
+    order, with EOB runs spanning blocks — but never spanning restarts,
+    which is what lets segments decode independently (forked pool when
+    ``workers > 1``). Sequential fast path mutates coefs in place."""
+    n = geo["hb"] * geo["wb"]
+    segs = _restart_segments(restarts, restart, n)
+    cid = c["id"]
+    if workers <= 1 or len(segs) < 2:
+        p1 = 1 << al
+        for off, lo, hi in segs:
+            r = _FastBits(padded, padded=True)
+            r.pos = off * 8
+            eobrun = 0
+            for idx in range(lo, hi):
+                by, bx = divmod(idx, geo["wb"])
+                blk = coefs[cid][by * geo["wb_pad"] + bx]
+                if ah == 0:
+                    eobrun = _ac_block_first(r, blk, lut, ss, se, al, eobrun)
+                else:
+                    eobrun = _ac_block_refine(
+                        r, blk, lut, ss, se, al, p1, eobrun
+                    )
+        return
+
+    def run(seg):
+        off, lo, hi = seg
+        return _decode_ac_blocks(
+            padded, off * 8, lo, hi, c, geo, coefs, lut, ss, se, ah, al
+        )
+
+    for bis, mat in _run_scan_segments(run, segs, workers):
+        rows = mat.tolist()
+        for j, bi in enumerate(bis.tolist()):
+            coefs[cid][bi] = rows[j]
+
 
 
 def _restart_segments(
@@ -479,6 +571,41 @@ def _decode_segments_forked(padded, comp_tabs, segs, workers: int):
             )
     finally:
         _FORK_STATE.clear()
+
+
+def _scan_seg_task(seg):
+    return _FORK_STATE["run"](seg)
+
+
+def _run_scan_segments(run, segs, workers: int) -> list:
+    """Run one scan's restart segments through ``run`` — sequentially, or
+    on a forked pool when ``workers > 1`` (the closure and everything it
+    captures — padded buffer, LUTs, prior coefficients — reach workers
+    via fork copy-on-write, never pickled; only the per-segment result
+    lists ship back). Results concatenate in segment order."""
+    if workers > 1 and len(segs) > 1:
+        import multiprocessing as mp
+
+        try:
+            ctx = mp.get_context("fork")
+        except ValueError:  # platform without fork
+            ctx = None
+        if ctx is not None:
+            _FORK_STATE["run"] = run
+            try:
+                with ctx.Pool(min(workers, len(segs))) as pool:
+                    chunks = pool.map(
+                        _scan_seg_task,
+                        segs,
+                        chunksize=max(1, len(segs) // (workers * 4)),
+                    )
+            finally:
+                _FORK_STATE.pop("run", None)
+            return [item for ch in chunks for item in ch]
+    out = []
+    for seg in segs:
+        out.extend(run(seg))
+    return out
 
 
 def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
@@ -623,13 +750,14 @@ def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
             for c in comps
         }
         for sc in scans:
-            r = _FastBits(sc["buf"])
+            padded = sc["buf"] + b"\x00" * 8
             if sc["ss"] == 0:
                 if sc["se"] != 0:
                     raise ValueError("progressive scan mixes DC and AC")
                 _decode_dc_scan(
-                    r, sc["comps"], comps_geo, coefs, sc["luts"],
+                    padded, sc["comps"], comps_geo, coefs, sc["luts"],
                     sc["ah"], sc["al"], sc["restart"], sc["restarts"],
+                    workers=workers,
                 )
             else:
                 if len(sc["comps"]) != 1:
@@ -639,9 +767,9 @@ def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
                 if lut is None:
                     raise ValueError("JPEG scan references missing DHT")
                 _decode_ac_scan(
-                    r, c, comps_geo[c["id"]], coefs, lut,
+                    padded, c, comps_geo[c["id"]], coefs, lut,
                     sc["ss"], sc["se"], sc["ah"], sc["al"],
-                    sc["restart"], sc["restarts"],
+                    sc["restart"], sc["restarts"], workers=workers,
                 )
         for c in comps:
             g = comps_geo[c["id"]]

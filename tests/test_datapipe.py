@@ -1541,11 +1541,17 @@ def test_jpeg_forked_segment_decode_bit_identical():
         np.uint8
     )
     img = np.stack([g, (g * 3) % 256, g[::-1]], axis=2).astype(np.uint8)
-    for sub, ri in ((False, 3), (True, 2), (False, 7)):
-        b = encode_jpeg(img, quality=85, subsample=sub, restart_interval=ri)
-        seq = decode_jpeg(b)
-        for wk in (2, 64):
-            assert np.array_equal(seq, decode_jpeg(b, workers=wk)), (sub, ri, wk)
+    for prog in (False, True):
+        for sub, ri in ((False, 3), (True, 2), (False, 7)):
+            b = encode_jpeg(
+                img, quality=85, subsample=sub, progressive=prog,
+                restart_interval=ri,
+            )
+            seq = decode_jpeg(b)
+            for wk in (2, 64):
+                assert np.array_equal(
+                    seq, decode_jpeg(b, workers=wk)
+                ), (prog, sub, ri, wk)
     # no restart markers -> one segment: parallel request degrades to
     # the sequential path, same bytes out
     b0 = encode_jpeg(img, quality=85)
