@@ -291,6 +291,10 @@ def _decode_dc_scan(
     (predictors reset), on a forked pool when ``workers > 1``."""
     units = _dc_units(scan, comps_geo)
     segs = _restart_segments(restarts, restart, len(units))
+    if ah > 0:
+        # DC refinement is one raw bit per block, no Huffman work —
+        # fork overhead would dominate; always decode in-process
+        workers = 1
 
     def run(seg):
         off, lo, hi = seg
