@@ -1180,6 +1180,114 @@ def q_ann_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sign_word(d: Dialect, arr: str, lo: int, hi: int) -> str:
+    """Pack the sign bits of 1-based elements [lo..hi] (MSB-first) into a
+    non-negative BIGINT word — 32 dims per word keeps every intermediate
+    under 2^32 (DuckDB BIGINT overflow raises; no wraparound to lean on)."""
+    if d.spark:
+        return (
+            f"aggregate(sequence({lo}, {hi}), cast(0 as bigint), (acc, i) -> "
+            f"acc * 2 + CASE WHEN element_at({arr}, i) > 0 THEN 1 ELSE 0 END)"
+        )
+    return (
+        # elements cast BIGINT up front: list_reduce seeds the accumulator
+        # from the FIRST element, and an INT32 accumulator overflows
+        f"list_reduce(list_transform(range({lo}, {hi} + 1), "
+        f"i -> (CASE WHEN {arr}[i] > 0 THEN 1 ELSE 0 END)::BIGINT), "
+        f"(acc, v) -> acc * 2 + v)"
+    )
+
+
+@register(
+    "ann_hamming_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_vecd(DK)} AS vd FROM embeddings),
+    b AS (SELECT vec_id,
+                 {_sign_word(DK, 'vd', 1, 32)} AS b0,
+                 {_sign_word(DK, 'vd', 33, 64)} AS b1
+          FROM e),
+    q AS (SELECT vec_id AS q_id, b0 AS qb0, b1 AS qb1 FROM b
+          WHERE vec_id < {ANN_N_QUERIES})
+    SELECT q_id, cand_id, hamming, rnk FROM (
+      SELECT q.q_id, c.vec_id AS cand_id,
+             CAST(bit_count(xor(q.qb0, c.b0))
+                  + bit_count(xor(q.qb1, c.b1)) AS BIGINT) AS hamming,
+             CAST(row_number() OVER (
+               PARTITION BY q.q_id
+               ORDER BY bit_count(xor(q.qb0, c.b0))
+                        + bit_count(xor(q.qb1, c.b1)), c.vec_id
+             ) AS BIGINT) AS rnk
+      FROM q JOIN b c ON c.vec_id <> q.q_id
+    ) t WHERE rnk <= {ANN_K}
+    """,
+    doc="binary (1-bit) embedding quantization + Hamming top-k search: "
+    "sign bits pack 32 dims per BIGINT word (64-dim vector -> 16 bytes, "
+    "a 16x memory cut vs float32), candidates score with two XOR+popcount "
+    "instructions per pair — the standard first-stage filter in front of "
+    "exact re-ranking at corpus scale. Map-only quantization, broadcast "
+    "query set, one top-k window keyed by query.",
+)
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    b = emb.select(
+        "vec_id",
+        F.expr(_sign_word(SP, _vecd(SP), 1, 32)).alias("b0"),
+        F.expr(_sign_word(SP, _vecd(SP), 33, 64)).alias("b1"),
+    )
+    q = b.filter(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("b0").alias("qb0"),
+        F.col("b1").alias("qb1"),
+    )
+    scored = (
+        b.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("cand_id"),
+            F.expr(
+                "CAST(bit_count(qb0 ^ b0) + bit_count(qb1 ^ b1) AS BIGINT)"
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "cand_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= ANN_K)
+        .select("q_id", "cand_id", "hamming", "rnk")
+    )
+
+
+@register(
+    "corpus_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 {DK.hash56("concat('split:', cast(doc_id as varchar))")} % 100
+                   AS h
+          FROM documents) t
+    """,
+    doc="deterministic train/val/test corpus split (90/5/5): the split is "
+    "a pure hash of the document key + a salt string, so it is stable "
+    "across runs, machines, and corpus growth (a new document never "
+    "reassigns an old one) — the property eval-set hygiene depends on. "
+    "Map-only, no shuffle, no sampling state.",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    h = SP.hash56("concat('split:', cast(doc_id as string))")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN {h} % 100 < 90 THEN 'train' "
+            f"WHEN {h} % 100 < 95 THEN 'val' ELSE 'test' END"
+        ).alias("split"),
+    )
+
+
 @register(
     "embedding_quantize",
     f"""

@@ -1897,6 +1897,8 @@ _ORDER = [
     "analytic_ranks",             # ntile/percent_rank/cume_dist/first_value
     "events_gapfill_1h",          # dense-grid gap-fill + forward-fill
     "expr_correlated_subquery",   # decorrelated scalar + WHERE subqueries
+    "ann_hamming_topk",           # 1-bit quantization + XOR/popcount top-k
+    "corpus_split",               # deterministic hash train/val/test split
 ]
 
 
