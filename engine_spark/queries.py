@@ -1606,6 +1606,91 @@ def q_agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= DATE '1995-01-01'
+      AND o.o_orderdate <  DATE '1995-04-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item revenue by customer): return-flag "
+    "and quarter predicates push to both fact scans, nation broadcasts, "
+    "one custkey aggregate shuffle, top-20 with total tiebreak.",
+)
+def q_join_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    )
+    li = cat["lineitem"].filter(F.col("l_returnflag") == "R")
+    j = (
+        cat["customer"]
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(cat["nation"]),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "join_q18_large_orders",
+    """
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(t.qty AS DOUBLE) AS total_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250) t
+      ON t.l_orderkey = o.o_orderkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): the HAVING aggregate runs "
+    "FIRST and shrinks the fact side to the rare heavy orders before any "
+    "join — the aggregate-then-join ordering that keeps the shuffle "
+    "proportional to qualifying orders, not lineitems.",
+)
+def q_join_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    heavy = (
+        cat["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"))
+        .filter(F.col("qty") > 250)
+    )
+    return (
+        cat["orders"]
+        .join(heavy, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey", "o_orderkey", "o_orderdate",
+            F.col("qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
     "expr_correlated_subquery",
     """
     SELECT o_orderkey, o_custkey,
@@ -1899,6 +1984,8 @@ _ORDER = [
     "expr_correlated_subquery",   # decorrelated scalar + WHERE subqueries
     "ann_hamming_topk",           # 1-bit quantization + XOR/popcount top-k
     "corpus_split",               # deterministic hash train/val/test split
+    "join_q10_returned_items",    # TPC-H Q10 shape (broadcast dim + agg)
+    "join_q18_large_orders",      # TPC-H Q18 shape (aggregate-then-join)
 ]
 
 

@@ -2408,3 +2408,66 @@ def test_bloom_store_compaction(spark, tmp_path):
     with pytest.raises(ValueError, match="already compacted"):
         store.compact(1)
     assert store.compact(2) == 2  # the -c dir + epoch 2 merge again
+
+
+def test_fuzzy_pairs_match_bruteforce_property(spark):
+    """Property: fuzzy_pairs equals a pure-Python brute force that
+    replicates the documented semantics exactly — ASCII-normalized
+    64-char prefix, 8-char block key, blocks over FUZZY_BLOCK_CAP
+    excluded, Levenshtein over prefixes <= FUZZY_T. Randomized corpora
+    cover ties, shared prefixes, empty prefixes, and non-ASCII."""
+    import random
+    import re
+
+    from engine_spark.datapipe.queries import (
+        FUZZY_BLOCK_CAP,
+        FUZZY_PREFIX,
+        FUZZY_T,
+        fuzzy_pairs,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "délta", "ZETA", "the", "x1"]
+    rows = []
+    for did in range(120):
+        base = " ".join(rng.choices(words, k=rng.randint(0, 12)))
+        rows.append((did, base))
+    # hot shared prefix to exercise the cap
+    rows += [(1000 + i, "shared prefix block " + "a" * (i % 3))
+             for i in range(FUZZY_BLOCK_CAP + 10)]
+
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in fuzzy_pairs(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+
+    prefs = {
+        did: re.sub(r"[^ -~]", "", text.lower()[:FUZZY_PREFIX])
+        for did, text in rows
+    }
+    from collections import Counter
+
+    bn = Counter(p[:8] for p in prefs.values())
+    want = set()
+    ids = sorted(prefs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            pa, pb = prefs[a], prefs[b]
+            if pa[:8] != pb[:8] or bn[pa[:8]] > FUZZY_BLOCK_CAP:
+                continue
+            d = lev(pa, pb)
+            if d <= FUZZY_T:
+                want.add((a, b, d))
+    assert got == want

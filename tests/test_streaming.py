@@ -1099,3 +1099,71 @@ def test_sql_midchain_or_group_on_live_stream(spark):
         key=lambda x: x[0],
     )
     assert got == [(1, None, 3), (2, 4, None)]
+
+
+def _hts(hour: int, minute: int = 0) -> str:
+    return f"2026-01-01T{hour:02d}:{minute:02d}:00.000Z"
+
+
+def test_streaming_gapfill_forward_fills_closed_hours(spark):
+    """gapfill_stream: dense per-key hours emit exactly once as the
+    watermark closes them; empty hours forward-fill the last sum and
+    flag is_gap; emission never outruns the key's newest event hour."""
+    from engine_spark.streaming.gapfill import gapfill_stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    # hour 10: two events (sum 3); hour 11: silent; hour 12: one event
+    r.send([
+        {"ts": _hts(10, 5), "user": "u1", "v": 1.0},
+        {"ts": _hts(10, 40), "user": "u1", "v": 2.0},
+        {"ts": _hts(12, 10), "user": "u1", "v": 7.0},
+    ])
+    # watermark pushes past hour 12's end; also a second key
+    r.send([
+        {"ts": _hts(13, 30), "user": "u1", "v": 4.0},
+        {"ts": _hts(13, 35), "user": "u2", "v": 9.0},
+    ])
+    # flush batches: watermark trails one batch behind in availableNow
+    # runs, and the second flush also fires u2's event-time timeout
+    # (idle keys emit via timeout, not batch membership)
+    r.send([{"ts": _hts(15, 0), "user": "u1", "v": 0.0}])
+    r.send([{"ts": _hts(16, 0), "user": "u1", "v": 0.0}])
+    r.run(lambda df: gapfill_stream(df, "ts", "user", "v"))
+    got = sorted(
+        (m["user"], m["hour"].hour, m["n_events"], m["filled_value"],
+         m["is_gap"])
+        for m in r.shutdown()
+    )
+    assert got == [
+        ("u1", 10, 2, 3.0, False),
+        ("u1", 11, 0, 3.0, True),
+        ("u1", 12, 1, 7.0, False),
+        ("u1", 13, 1, 4.0, False),
+        ("u1", 14, 0, 4.0, True),
+        ("u2", 13, 1, 9.0, False),
+    ]
+
+
+def test_streaming_gapfill_no_unbounded_gap_emission(spark):
+    """An idle key must not emit gap rows as wall-clock/watermark advance
+    past its last event — emission is bounded by max seen event hour."""
+    from engine_spark.streaming.gapfill import gapfill_stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([{"ts": _hts(1, 0), "user": "quiet", "v": 5.0}])
+    # another key's events race the watermark hours ahead
+    r.send([{"ts": _hts(9, 0), "user": "busy", "v": 1.0}])
+    r.send([{"ts": _hts(11, 0), "user": "busy", "v": 2.0}])
+    r.send([{"ts": _hts(13, 0), "user": "busy", "v": 3.0}])
+    r.run(lambda df: gapfill_stream(df, "ts", "user", "v"))
+    got = sorted(
+        (m["user"], m["hour"].hour, m["is_gap"]) for m in r.shutdown()
+    )
+    # quiet: exactly its one hour (timeout-fired), then SILENCE — no gap
+    # rows trail behind the racing watermark (emission is bounded by the
+    # key's own newest event hour). busy: events at 9/11 with the gap
+    # between, up to its newest closed hour; 13 stays open.
+    assert got == [
+        ("busy", 9, False), ("busy", 10, True), ("busy", 11, False),
+        ("busy", 12, True), ("quiet", 1, False),
+    ]

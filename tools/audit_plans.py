@@ -166,6 +166,19 @@ CHECKS = {
         # unsplittable Window task.
         ("bounded scans (sides + counts)", lambda p: p.count("Scan parquet") <= 4),
     ],
+    "join_q10_returned_items": [
+        ("nation broadcasts", lambda p: "BroadcastHashJoin" in p),
+        ("return-flag pushed to scan", lambda p: "PushedFilters: [" in p and "l_returnflag" in p),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+    ],
+    "join_q18_large_orders": [
+        # the HAVING aggregate must run BEFORE the joins (shuffle scales
+        # with qualifying orders, not lineitems): the lineitem side's
+        # aggregate sits below the join in the plan
+        ("hash aggregate present", lambda p: "HashAggregate" in p),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+        ("lineitem scan pruned to two cols", lambda p: "struct<l_orderkey:bigint,l_quantity:" in p),
+    ],
     "expr_correlated_subquery": [
         # both correlated subqueries must DECORRELATE into aggregate+join
         # subplans (the O(n^2) per-row re-execution trap shows up as a
