@@ -470,11 +470,14 @@ def _restart_segments(
     if not restart:
         return [(0, 0, total_mcus)]
     n_segs = -(-total_mcus // restart)
-    if len(restarts) != n_segs - 1:
+    if len(restarts) < n_segs - 1:
         raise ValueError(
             f"expected {n_segs - 1} JPEG restart markers, found {len(restarts)}"
         )
-    offs = [0, *restarts]
+    # extra trailing markers (some encoders emit one after the final
+    # interval) are ignored, matching the pre-segmented decoder, which
+    # simply never consumed them
+    offs = [0, *restarts[: n_segs - 1]]
     return [
         (offs[i], i * restart, min((i + 1) * restart, total_mcus))
         for i in range(n_segs)
@@ -533,48 +536,12 @@ def _decode_baseline_mcus(
 #: fork-inherited state for the parallel segment decoder: set in the
 #: parent immediately before the Pool forks, cleared after — workers read
 #: it copy-on-write, so neither the scan buffer nor the 64K-entry Huffman
-#: LUTs are ever pickled.
+#: LUTs are ever pickled. Guarded by _FORK_LOCK: the state is module-
+#: global, so concurrent decode_jpeg(workers>1) calls from multiple
+#: threads must stage-and-fork one at a time (each fork is quick; the
+#: pool itself runs outside any contention with the child processes).
 _FORK_STATE: dict = {}
-
-
-def _decode_segment_task(seg: tuple[int, int, int]):
-    off, lo, hi = seg
-    res = _decode_baseline_mcus(
-        _FORK_STATE["padded"], off * 8, lo, hi, _FORK_STATE["comp_tabs"]
-    )
-    # ship coefficients back as compact int32 buffers: pickling the raw
-    # list-of-lists costs more than the decode win
-    return {
-        cid: np.asarray(v, np.int32).reshape(-1, 64) for cid, v in res.items()
-    }
-
-
-def _decode_segments_forked(padded, comp_tabs, segs, workers: int):
-    """Entropy-decode restart segments on a forked process pool. Restart
-    segments are the unit of intra-image parallelism T.81 provides; the
-    fork happens after the parent stages the shared state, so per-task
-    payloads are three ints out and coefficient lists back. Falls back
-    to sequential where fork is unavailable (non-POSIX)."""
-    import multiprocessing as mp
-
-    try:
-        ctx = mp.get_context("fork")
-    except ValueError:  # platform without fork
-        return [
-            _decode_baseline_mcus(padded, off * 8, lo, hi, comp_tabs)
-            for off, lo, hi in segs
-        ]
-    _FORK_STATE["padded"] = padded
-    _FORK_STATE["comp_tabs"] = comp_tabs
-    try:
-        with ctx.Pool(min(workers, len(segs))) as pool:
-            return pool.map(
-                _decode_segment_task,
-                segs,
-                chunksize=max(1, len(segs) // (workers * 4)),
-            )
-    finally:
-        _FORK_STATE.clear()
+_FORK_LOCK = None  # created lazily: threading import kept off the hot path
 
 
 def _scan_seg_task(seg):
@@ -586,25 +553,31 @@ def _run_scan_segments(run, segs, workers: int) -> list:
     on a forked pool when ``workers > 1`` (the closure and everything it
     captures — padded buffer, LUTs, prior coefficients — reach workers
     via fork copy-on-write, never pickled; only the per-segment result
-    lists ship back). Results concatenate in segment order."""
+    lists ship back). Results concatenate in segment order. Thread-safe:
+    concurrent callers serialize on the module fork lock."""
     if workers > 1 and len(segs) > 1:
         import multiprocessing as mp
+        import threading
 
+        global _FORK_LOCK
+        if _FORK_LOCK is None:
+            _FORK_LOCK = threading.Lock()
         try:
             ctx = mp.get_context("fork")
         except ValueError:  # platform without fork
             ctx = None
         if ctx is not None:
-            _FORK_STATE["run"] = run
-            try:
-                with ctx.Pool(min(workers, len(segs))) as pool:
-                    chunks = pool.map(
-                        _scan_seg_task,
-                        segs,
-                        chunksize=max(1, len(segs) // (workers * 4)),
-                    )
-            finally:
-                _FORK_STATE.pop("run", None)
+            with _FORK_LOCK:
+                _FORK_STATE["run"] = run
+                try:
+                    with ctx.Pool(min(workers, len(segs))) as pool:
+                        chunks = pool.map(
+                            _scan_seg_task,
+                            segs,
+                            chunksize=max(1, len(segs) // (workers * 4)),
+                        )
+                finally:
+                    _FORK_STATE.pop("run", None)
             return [item for ch in chunks for item in ch]
     out = []
     for seg in segs:
@@ -803,13 +776,20 @@ def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
         total_mcus = mcux * mcuy
         segs = _restart_segments(restarts, sc["restart"], total_mcus)
         padded = buf + b"\x00" * 8
-        if workers > 1 and len(segs) > 1:
-            seg_results = _decode_segments_forked(padded, comp_tabs, segs, workers)
-        else:
-            seg_results = [
-                _decode_baseline_mcus(padded, off * 8, lo, hi, comp_tabs)
-                for off, lo, hi in segs
+
+        def _baseline_seg(seg):
+            off, lo, hi = seg
+            res = _decode_baseline_mcus(padded, off * 8, lo, hi, comp_tabs)
+            # ship coefficients as compact int32 buffers: pickling the
+            # raw list-of-lists costs more than the decode win
+            return [
+                {
+                    cid: np.asarray(v, np.int32).reshape(-1, 64)
+                    for cid, v in res.items()
+                }
             ]
+
+        seg_results = _run_scan_segments(_baseline_seg, segs, workers)
         coeffs = {
             c["id"]: (
                 np.concatenate(

@@ -71,24 +71,42 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def _mp4_track_dims(b: bytes) -> tuple[int | None, int | None]:
-    """Width/height (whole pixels) from the first trak's tkhd, whose v0
-    body ends with 16.16 fixed-point width/height (ISO 14496-12 §8.3.2);
-    (None, None) when absent or zero."""
+    """Width/height (whole pixels) from the VIDEO trak's tkhd, whose v0
+    body ends with 16.16 fixed-point width/height (ISO 14496-12 §8.3.2).
+    Traks are checked by hdlr type: an audio-first track layout (tkhd
+    dims legitimately zero) must not shadow a later video trak's real
+    dimensions. Falls back to the first trak with nonzero dims when no
+    trak declares 'vide'; (None, None) when nothing qualifies."""
     import struct
+
+    def tkhd_dims(ts: int, te: int) -> tuple[int | None, int | None]:
+        tk = _mp4_child(b, ts, te, b"tkhd")
+        if tk is None or tk[1] - tk[0] < 84:
+            return None, None
+        w16, h16 = struct.unpack(">II", b[tk[1] - 8 : tk[1]])
+        return (w16 >> 16) or None, (h16 >> 16) or None
 
     try:
         top = list(_mp4_boxes(b, 0, len(b)))
         moov = next(((s, e) for t, s, e in top if t == b"moov"), None)
         if moov is None:
             return None, None
+        fallback: tuple[int | None, int | None] = (None, None)
         for typ, ts, te in _mp4_boxes(b, *moov):
             if typ != b"trak":
                 continue
-            tk = _mp4_child(b, ts, te, b"tkhd")
-            if tk is None or tk[1] - tk[0] < 84:
-                continue
-            w16, h16 = struct.unpack(">II", b[tk[1] - 8 : tk[1]])
-            return (w16 >> 16) or None, (h16 >> 16) or None
+            mdia = _mp4_child(b, ts, te, b"mdia")
+            hdlr = _mp4_child(b, *mdia, b"hdlr") if mdia else None
+            is_video = (
+                hdlr is not None
+                and b[hdlr[0] + 8 : hdlr[0] + 12] == b"vide"
+            )
+            w, h = tkhd_dims(ts, te)
+            if is_video:
+                return w, h
+            if fallback == (None, None) and (w or h):
+                fallback = (w, h)
+        return fallback
     except DECODE_ERRORS:
         pass
     return None, None
@@ -107,6 +125,12 @@ def decode_meta(df: DataFrame) -> DataFrame:
     for every non-NULL payload regardless of format.
     """
 
+    def _i32(v):
+        # DECODE_SCHEMA columns are INT; a hostile/corrupt header can
+        # declare dims or frame counts >= 2^31, which Spark's unsafe
+        # Arrow cast would silently WRAP — degrade to NULL instead
+        return v if v is not None and 0 <= v < 2**31 else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "width", "height", "n_frames", "checksum"]
         for pdf in batches:
@@ -119,13 +143,14 @@ def decode_meta(df: DataFrame) -> DataFrame:
                 ck = sum(b) % 65536
                 fmt, w, h = parse_image_header(b)
                 if fmt is not None:
-                    rows.append((int(did), fmt, w, h, 1, ck))
+                    rows.append((int(did), fmt, _i32(w), _i32(h), 1, ck))
                     continue
                 try:
                     demux = parse_mp4(b)
                     tw, th = _mp4_track_dims(b)
                     rows.append(
-                        (int(did), "mp4", tw, th, demux["n_frames"], ck)
+                        (int(did), "mp4", _i32(tw), _i32(th),
+                         _i32(demux["n_frames"]), ck)
                     )
                     continue
                 except DECODE_ERRORS:
@@ -135,7 +160,7 @@ def decode_meta(df: DataFrame) -> DataFrame:
                     bpf = max(1, wav["channels"] * max(wav["bits"], 8) // 8)
                     rows.append(
                         (int(did), "wav", None, None,
-                         wav["data_len"] // bpf, ck)
+                         _i32(wav["data_len"] // bpf), ck)
                     )
                     continue
                 rows.append((int(did), None, None, None, None, ck))
@@ -170,8 +195,16 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
         w, h = struct.unpack("<HH", b[6:10])
         return "gif", int(w), int(h)
     if len(b) >= 26 and b[:2] == b"BM":
+        # 'BM' is two printable chars, so prose text ("BMW dealers...")
+        # can collide; require a known 32-bit-dims DIB header size at
+        # offset 14 (BITMAPINFOHEADER and the V2-V5 extensions — the
+        # 16-bit-dims CORE variant isn't parsed here) and a positive
+        # width before claiming the payload is a bitmap
+        (dib,) = struct.unpack("<I", b[14:18])
         w, h = struct.unpack("<ii", b[18:26])
-        return "bmp", int(w), abs(int(h))
+        if dib in (40, 52, 56, 64, 108, 124) and w > 0 and h != 0:
+            return "bmp", int(w), abs(int(h))
+        return None, None, None
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2
         while i + 9 < len(b):

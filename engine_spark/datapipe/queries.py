@@ -1338,7 +1338,7 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CASE WHEN m IN (0, 1) THEN 1 END)::INT AS n_frames,
            ((CASE m
               WHEN 0 THEN 747 + w // 256 + w % 256 + h // 256 + h % 256
-              WHEN 1 THEN 143 + w // 256 + w % 256 + h // 256 + h % 256
+              WHEN 1 THEN 183 + w // 256 + w % 256 + h // 256 + h % 256
               ELSE tsum END) % 65536)::BIGINT AS checksum
     FROM b
     """,
@@ -1372,9 +1372,11 @@ def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), "
         f"unhex('49484452'), {be32(w)}, {be32(h)}, unhex('0806000000'))"
     )
+    # offset 14 carries the DIB header size (40 = BITMAPINFOHEADER, LE)
+    # — parse_image_header requires a real DIB size to accept 'BM'
     bmp = (
-        f"concat(cast('BM' as binary), unhex(repeat('00', 16)), "
-        f"{le32(w)}, {le32(h)})"
+        f"concat(cast('BM' as binary), unhex(repeat('00', 12)), "
+        f"unhex('28000000'), {le32(w)}, {le32(h)})"
     )
     bin_df = docs.select(
         "doc_id",

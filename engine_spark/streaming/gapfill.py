@@ -82,12 +82,26 @@ def gapfill_stream(
             )
             hours = (ts_ms // _HOUR_MS) * _HOUR_MS
             vals = rows[value_col].astype(float)
-            for h, v in zip(hours, vals):
+            # the emit cursor may still move DOWN while nothing has been
+            # emitted (last_value is None ⇔ no emission yet — the first
+            # emitted hour is always an event hour, which sets it): an
+            # allowed-late event older than the first-seen hour must
+            # still get its row. Once emission started, events below the
+            # cursor are watermark-late for an already-emitted hour —
+            # dropped, like any post-watermark event (merging them into
+            # pending would leak state forever: the cursor never returns).
+            if next_hour is None or last_value is None:
+                next_hour = (
+                    int(hours.min())
+                    if next_hour is None
+                    else min(next_hour, int(hours.min()))
+                )
+            live = hours >= next_hour
+            for h, v in zip(hours[live], vals[live]):
                 c, s = pending.get(int(h), (0, 0.0))
                 pending[int(h)] = (c + 1, s + float(v))
-            max_hour = max(max_hour, int(hours.max()))
-            if next_hour is None:
-                next_hour = int(hours.min())
+            if live.any():
+                max_hour = max(max_hour, int(hours[live].max()))
         out = []
         wm = state.getCurrentWatermarkMs()
         while (

@@ -147,19 +147,27 @@ def run_dedup_stream(spark, args) -> int:
     every = args.dedup_compact_every
 
     def sink(batch_df, epoch_id):
-        out = dedup_segments_stream(
-            store, batch_df, epoch_id, paragraphs=args.dedup_paragraphs
-        )
         final = f"{out_dir}/epoch-{int(epoch_id):010d}"
         if fs.exists(final):
+            # crash replay of a fully-published epoch: the state publish
+            # always PRECEDES the output publish, so an existing output
+            # dir implies the store epoch is durable too — skip the
+            # whole recompute (hashing, ranking, Bloom probe), not just
+            # the write
             print(f"[dedup-stream] epoch {epoch_id} already published (replay)")
         else:
+            out = dedup_segments_stream(
+                store, batch_df, epoch_id, paragraphs=args.dedup_paragraphs
+            )
             staging = f"{out_dir}/_staging/e{_uuid.uuid4().hex}"
             out.write.mode("overwrite").parquet(staging)
             if fs.rename(staging, final):
                 print(f"[dedup-stream] epoch {epoch_id} → {final}")
             else:  # lost a publish race: retire our copy
                 fs.delete(staging)
+        # compaction runs on the replay path too: a crash between the
+        # output publish and the compact would otherwise defer state
+        # cleanup to the next cadence multiple
         if every and epoch_id and epoch_id % every == 0:
             try:
                 merged = store.compact(epoch_id - 1)

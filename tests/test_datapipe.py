@@ -574,7 +574,12 @@ def test_parse_image_header_all_formats():
     gif = b"GIF89a" + struct.pack("<HH", 320, 200)
     assert parse_image_header(gif) == ("gif", 320, 200)
 
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 800, -600) + b"\x00" * 4
+    # offset 14 must carry a real DIB header size (40 = BITMAPINFOHEADER):
+    # prose starting 'BM' must not classify as a bitmap
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", 800, -600) + b"\x00" * 4
+    )
     assert parse_image_header(bmp) == ("bmp", 800, 600)  # top-down height
 
     # minimal JPEG: SOI, APP0 (skipped via its length), SOF0, dims 1024x768
@@ -2471,3 +2476,101 @@ def test_fuzzy_pairs_match_bruteforce_property(spark):
             if d <= FUZZY_T:
                 want.add((a, b, d))
     assert got == want
+
+
+def test_parse_image_header_rejects_bm_prose():
+    """'BM' is printable prose ('BMW dealers...'); without a real DIB
+    header size at offset 14 the payload must not classify as a bitmap
+    (review fix: text rows were picking up fabricated dimensions)."""
+    from engine_spark.datapipe.multimodal import parse_image_header
+
+    prose = b"BMW dealers reported record sales this quarter overall."
+    assert parse_image_header(prose) == (None, None, None)
+    # a real BITMAPINFOHEADER still parses
+    import struct
+
+    bmp = (
+        b"BM" + b"\x00" * 12 + struct.pack("<I", 40)
+        + struct.pack("<ii", 64, -48)
+    )
+    assert parse_image_header(bmp) == ("bmp", 64, 48)
+
+
+def test_jpeg_trailing_restart_marker_tolerated():
+    """Some encoders emit one RSTn after the final interval; the
+    segmented decoder must ignore extras like the pre-segmented one did
+    (strictly FEWER markers than intervals still raises)."""
+    import numpy as np
+
+    from engine_spark.datapipe.jpeg import decode_jpeg, encode_jpeg
+
+    g = ((np.arange(24)[:, None] + np.arange(32)[None, :]) % 256).astype(
+        np.uint8
+    )
+    img = np.stack([g, g, g], axis=2)
+    b = encode_jpeg(img, quality=90, restart_interval=2)
+    ref = decode_jpeg(b)
+    # inject a spurious trailing RST7 right before the EOI marker
+    eoi = b.rfind(b"\xff\xd9")
+    patched = b[:eoi] + b"\xff\xd7" + b[eoi:]
+    assert (decode_jpeg(patched) == ref).all()
+
+
+def test_mp4_track_dims_prefers_video_trak(spark):
+    """An audio-first MP4 (audio tkhd dims legitimately zero) must not
+    shadow the video trak's real 16.16 dimensions."""
+    import struct
+
+    from engine_spark.datapipe.multimodal import (
+        _mp4_track_dims,
+        encode_mp4,
+    )
+
+    mp4 = encode_mp4([b"frame" * 4], width=320, height=200)
+    # build an audio trak (hdlr 'soun', zero-dim tkhd) and splice it in
+    # FRONT of the video trak inside moov
+    def box(typ, *payload):
+        data = b"".join(payload)
+        return struct.pack(">I", len(data) + 8) + typ + data
+
+    tkhd = box(
+        b"tkhd",
+        struct.pack(">IIIII", 0x7, 0, 0, 2, 0),
+        struct.pack(">I", 0), b"\x00" * 8,
+        struct.pack(">HHHH", 0, 0, 0x0100, 0),
+        struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000),
+        struct.pack(">II", 0, 0),
+    )
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0), b"soun",
+               b"\x00" * 12, b"aud\x00")
+    audio_trak = box(b"trak", tkhd, box(b"mdia", hdlr))
+    i = mp4.find(b"moov")
+    (moov_size,) = struct.unpack(">I", mp4[i - 4 : i])
+    new_moov_size = moov_size + len(audio_trak)
+    # moov header is 8 bytes; insert the audio trak right after it
+    patched = (
+        mp4[: i - 4]
+        + struct.pack(">I", new_moov_size)
+        + b"moov"
+        + audio_trak
+        + mp4[i + 4 :]
+    )
+    assert _mp4_track_dims(patched) == (320, 200)
+
+
+def test_decode_meta_clamps_hostile_dims(spark):
+    """A corrupt header declaring dims >= 2^31 must degrade to NULL, not
+    wrap through the INT cast."""
+    import struct
+
+    from engine_spark.datapipe.multimodal import decode_meta
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" + b"IHDR"
+        + struct.pack(">II", 3_000_000_000, 480) + b"\x08\x06\x00\x00\x00"
+    )
+    d = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    (r,) = decode_meta(d).collect()
+    assert r.format == "png" and r.width is None and r.height == 480

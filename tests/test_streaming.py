@@ -1167,3 +1167,31 @@ def test_streaming_gapfill_no_unbounded_gap_emission(spark):
         ("busy", 9, False), ("busy", 10, True), ("busy", 11, False),
         ("busy", 12, True), ("quiet", 1, False),
     ]
+
+
+def test_streaming_gapfill_allowed_late_event_before_first_hour(spark):
+    """An in-watermark out-of-order event OLDER than the key's first-seen
+    hour must still get its row while nothing has been emitted (the emit
+    cursor moves down pre-emission); once emission starts, events below
+    the cursor are watermark-late and dropped rather than leaked into
+    state (review fix)."""
+    from engine_spark.streaming.gapfill import gapfill_stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, v double")
+    r.send([{"ts": _hts(10, 30), "user": "u1", "v": 2.0}])
+    # out-of-order but allowed by late='2 hours': watermark after batch
+    # 1 is 8:30, so hour 9 has not been closed or emitted
+    r.send([{"ts": _hts(9, 15), "user": "u1", "v": 5.0}])
+    # flush batches to close hours 9 and 10
+    r.send([{"ts": _hts(14, 0), "user": "u1", "v": 0.0}])
+    r.send([{"ts": _hts(16, 0), "user": "u1", "v": 0.0}])
+    r.run(lambda df: gapfill_stream(df, "ts", "user", "v", late="2 hours"))
+    got = sorted(
+        (m["hour"].hour, m["n_events"], m["filled_value"], m["is_gap"])
+        for m in r.shutdown()
+    )
+    assert got[0] == (9, 1, 5.0, False), "late pre-emission hour must emit"
+    assert got[1] == (10, 1, 2.0, False)
+    # and nothing lingers in pending below the cursor: the gap rows after
+    # hour 10 forward-fill hour 10's value
+    assert all(g[3] for g in got[2:] if g[0] in (11, 12))
