@@ -57,6 +57,11 @@ def main() -> None:
         # SQL front-end end-to-end + rollups
         "sql_window_tumbling",
         "incremental_agg_hour",
+        # round 8: broadcast-dim star join, dense-grid gap-fill, and the
+        # XOR/popcount binary-ANN first stage
+        "join_q10_returned_items",
+        "events_gapfill_1h",
+        "ann_hamming_topk",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md
