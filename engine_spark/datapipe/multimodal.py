@@ -116,10 +116,11 @@ def decode_meta(df: DataFrame) -> DataFrame:
     """(doc_id, payload binary) → typed media metadata via mapInPandas.
 
     REAL dispatch over the in-repo stdlib parsers (no imaging library):
-    image containers via parse_image_header (PNG/GIF/BMP/JPEG header
-    fields, n_frames=1 at header granularity), MP4 via parse_mp4
+    image containers via parse_image_header (PNG/GIF/BMP/JPEG/TIFF
+    header fields, n_frames=1 at header granularity), MP4 via parse_mp4
     (ISO-BMFF sample tables → frame count; tkhd → track dims), WAV via
-    parse_wav_header (PCM frame count; no pixel dims). Unrecognized
+    parse_wav_header (PCM frame count; no pixel dims), FLAC via
+    parse_flac_header (STREAMINFO total samples). Unrecognized
     payloads degrade to honest NULL metadata — no fabricated numbers;
     ``checksum`` (byte sum mod 2^16) is a real total function computed
     for every non-NULL payload regardless of format.
@@ -163,6 +164,13 @@ def decode_meta(df: DataFrame) -> DataFrame:
                          _i32(wav["data_len"] // bpf), ck)
                     )
                     continue
+                flac = parse_flac_header(b)
+                if flac is not None:
+                    rows.append(
+                        (int(did), "flac", None, None,
+                         _i32(flac["total_samples"]), ck)
+                    )
+                    continue
                 rows.append((int(did), None, None, None, None, ck))
             yield pd.DataFrame(rows, columns=cols)
 
@@ -204,6 +212,35 @@ def parse_image_header(b: bytes) -> tuple[str | None, int | None, int | None]:
         w, h = struct.unpack("<ii", b[18:26])
         if dib in (40, 52, 56, 64, 108, 124) and w > 0 and h != 0:
             return "bmp", int(w), abs(int(h))
+        return None, None, None
+    if len(b) >= 8 and b[:4] in (b"II*\x00", b"MM\x00*"):
+        # TIFF: endianness from the magic, first IFD walk for tags 256
+        # (ImageWidth) / 257 (ImageLength); SHORT(3) and LONG(4) values
+        # are inline when they fit (TIFF 6.0 spec §2)
+        end = "<" if b[:2] == b"II" else ">"
+        try:
+            (ifd,) = struct.unpack(f"{end}I", b[4:8])
+            (n_ent,) = struct.unpack(f"{end}H", b[ifd : ifd + 2])
+            w = h = None
+            for k in range(n_ent):
+                off = ifd + 2 + 12 * k
+                tag, typ = struct.unpack(f"{end}HH", b[off : off + 4])
+                if tag not in (256, 257):
+                    continue
+                if typ == 3:  # SHORT
+                    (v,) = struct.unpack(f"{end}H", b[off + 8 : off + 10])
+                elif typ == 4:  # LONG
+                    (v,) = struct.unpack(f"{end}I", b[off + 8 : off + 12])
+                else:
+                    continue
+                if tag == 256:
+                    w = int(v)
+                else:
+                    h = int(v)
+            if w and h:
+                return "tiff", w, h
+        except DECODE_ERRORS:
+            pass
         return None, None, None
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         i = 2
@@ -1553,6 +1590,37 @@ def parse_wav_header(b: bytes) -> dict | None:
         return None
     fmt["data_off"], fmt["data_len"] = data
     return fmt
+
+
+def parse_flac_header(b: bytes) -> dict | None:
+    """FLAC 'fLaC' + STREAMINFO metadata block → dict(sample_rate,
+    channels, bits, total_samples) or None if not a FLAC (public FLAC
+    format spec: 16+16 block sizes, 24+24 frame sizes, 20-bit sample
+    rate, 3-bit channels-1, 5-bit bits-1, 36-bit total samples)."""
+    if len(b) < 4 or b[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(b):
+        hdr = b[pos]
+        blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
+        body = b[pos + 4 : pos + 4 + blen]
+        if (hdr & 0x7F) == 0 and blen >= 18:  # STREAMINFO
+            sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
+            channels = ((body[12] >> 1) & 0x7) + 1
+            bits = (((body[12] & 0x1) << 4) | (body[13] >> 4)) + 1
+            total = ((body[13] & 0x0F) << 32) | int.from_bytes(
+                body[14:18], "big"
+            )
+            return {
+                "sample_rate": sr,
+                "channels": channels,
+                "bits": bits,
+                "total_samples": total,
+            }
+        if hdr & 0x80:  # last metadata block and no STREAMINFO found
+            return None
+        pos += 4 + blen
+    return None
 
 
 def encode_wav(samples, sample_rate: int = 8000) -> bytes:

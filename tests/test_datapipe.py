@@ -2574,3 +2574,62 @@ def test_decode_meta_clamps_hostile_dims(spark):
     )
     (r,) = decode_meta(d).collect()
     assert r.format == "png" and r.width is None and r.height == 480
+
+
+def test_parse_tiff_and_flac_headers(spark):
+    """TIFF (both endiannesses, SHORT and LONG dim tags) and FLAC
+    STREAMINFO parse through the real stdlib parsers and dispatch in
+    decode_meta."""
+    import struct
+
+    from engine_spark.datapipe.multimodal import (
+        decode_meta,
+        parse_flac_header,
+        parse_image_header,
+    )
+
+    def tiff(end, typ, w, h):
+        e = "<" if end == b"II" else ">"
+        magic = b"II*\x00" if end == b"II" else b"MM\x00*"
+        fmt = "H" if typ == 3 else "I"
+        def val(v):
+            raw = struct.pack(f"{e}{fmt}", v)
+            return raw + b"\x00" * (4 - len(raw))
+        ifd = (
+            struct.pack(f"{e}H", 2)
+            + struct.pack(f"{e}HHI", 256, typ, 1) + val(w)
+            + struct.pack(f"{e}HHI", 257, typ, 1) + val(h)
+            + struct.pack(f"{e}I", 0)
+        )
+        return magic + struct.pack(f"{e}I", 8) + ifd
+
+    assert parse_image_header(tiff(b"II", 3, 640, 480)) == ("tiff", 640, 480)
+    assert parse_image_header(tiff(b"MM", 4, 1920, 1080)) == ("tiff", 1920, 1080)
+    # truncated TIFF degrades, never raises
+    assert parse_image_header(b"II*\x00\x08\x00\x00\x00\x02")[0] is None
+
+    def flac(sr, ch, bits, total):
+        si = bytearray(34)
+        si[10] = (sr >> 12) & 0xFF
+        si[11] = (sr >> 4) & 0xFF
+        si[12] = ((sr & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)
+        si[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+        si[14:18] = struct.pack(">I", total & 0xFFFFFFFF)
+        return b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+
+    got = parse_flac_header(flac(44100, 2, 16, 1_000_000))
+    assert got == {"sample_rate": 44100, "channels": 2, "bits": 16,
+                   "total_samples": 1_000_000}
+    assert parse_flac_header(b"not flac at all") is None
+
+    d = spark.createDataFrame(
+        [
+            (1, bytearray(tiff(b"II", 3, 320, 200))),
+            (2, bytearray(flac(8000, 1, 16, 12345))),
+        ],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in decode_meta(d).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("tiff", 320, 200)
+    assert (out[2].format, out[2].n_frames) == ("flac", 12345)
+    assert out[2].width is None
