@@ -31,6 +31,7 @@ section) the same way the PNG/BMP/GIF/WAV/MP4 codecs do.
 from __future__ import annotations
 
 import struct
+import threading
 
 import numpy as np
 
@@ -290,7 +291,7 @@ def _decode_dc_scan(
     block (T.81 G.1.2.1). Restart segments decode independently
     (predictors reset), on a forked pool when ``workers > 1``."""
     units = _dc_units(scan, comps_geo)
-    segs = _restart_segments(restarts, restart, len(units))
+    segs = _restart_segments(restarts, restart, len(units), len(padded) - 8)
     if ah > 0:
         # DC refinement is one raw bit per block, no Huffman work —
         # fork overhead would dominate; always decode in-process
@@ -427,7 +428,7 @@ def _decode_ac_scan(
     which is what lets segments decode independently (forked pool when
     ``workers > 1``). Sequential fast path mutates coefs in place."""
     n = geo["hb"] * geo["wb"]
-    segs = _restart_segments(restarts, restart, n)
+    segs = _restart_segments(restarts, restart, n, len(padded) - 8)
     cid = c["id"]
     if workers <= 1 or len(segs) < 2:
         p1 = 1 << al
@@ -460,7 +461,8 @@ def _decode_ac_scan(
 
 
 def _restart_segments(
-    restarts: list[int], restart: int, total_mcus: int
+    restarts: list[int], restart: int, total_mcus: int,
+    buf_len: int | None = None,
 ) -> list[tuple[int, int, int]]:
     """(byte_offset, mcu_lo, mcu_hi) per restart segment. Restart
     intervals are bit-independent by design (T.81 F.2.1.3: RSTn
@@ -474,9 +476,21 @@ def _restart_segments(
         raise ValueError(
             f"expected {n_segs - 1} JPEG restart markers, found {len(restarts)}"
         )
-    # extra trailing markers (some encoders emit one after the final
-    # interval) are ignored, matching the pre-segmented decoder, which
-    # simply never consumed them
+    if len(restarts) > n_segs - 1:
+        # ONE extra marker AT THE STREAM'S END is a benign encoder quirk
+        # (the pre-segmented decoder simply never consumed it); any other
+        # surplus means the stream restarts more often than DRI declares —
+        # slicing would silently misalign every later segment, so fail
+        # loudly instead
+        trailing_ok = (
+            len(restarts) == n_segs
+            and (buf_len is None or restarts[-1] >= buf_len)
+        )
+        if not trailing_ok:
+            raise ValueError(
+                f"expected {n_segs - 1} JPEG restart markers, found "
+                f"{len(restarts)} (not a single trailing marker)"
+            )
     offs = [0, *restarts[: n_segs - 1]]
     return [
         (offs[i], i * restart, min((i + 1) * restart, total_mcus))
@@ -541,7 +555,8 @@ def _decode_baseline_mcus(
 #: threads must stage-and-fork one at a time (each fork is quick; the
 #: pool itself runs outside any contention with the child processes).
 _FORK_STATE: dict = {}
-_FORK_LOCK = None  # created lazily: threading import kept off the hot path
+_FORK_LOCK = threading.Lock()  # created at import: a lazy check-then-act
+# init would race on concurrent first use, defeating the lock's purpose
 
 
 def _scan_seg_task(seg):
@@ -557,11 +572,7 @@ def _run_scan_segments(run, segs, workers: int) -> list:
     concurrent callers serialize on the module fork lock."""
     if workers > 1 and len(segs) > 1:
         import multiprocessing as mp
-        import threading
 
-        global _FORK_LOCK
-        if _FORK_LOCK is None:
-            _FORK_LOCK = threading.Lock()
         try:
             ctx = mp.get_context("fork")
         except ValueError:  # platform without fork
@@ -774,7 +785,9 @@ def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
                 raise ValueError("JPEG scan references missing DQT")
             comp_tabs.append((c, dc_lut, ac_lut))
         total_mcus = mcux * mcuy
-        segs = _restart_segments(restarts, sc["restart"], total_mcus)
+        segs = _restart_segments(
+            restarts, sc["restart"], total_mcus, len(buf)
+        )
         padded = buf + b"\x00" * 8
 
         def _baseline_seg(seg):

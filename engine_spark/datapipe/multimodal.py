@@ -112,6 +112,13 @@ def _mp4_track_dims(b: bytes) -> tuple[int | None, int | None]:
     return None, None
 
 
+def _i32(v):
+    """Clamp header-declared values into the INT Arrow columns: a hostile
+    or corrupt container can declare dims/frame counts >= 2^31, which
+    Spark's unsafe Arrow cast would silently WRAP — degrade to NULL."""
+    return v if v is not None and 0 <= v < 2**31 else None
+
+
 def decode_meta(df: DataFrame) -> DataFrame:
     """(doc_id, payload binary) → typed media metadata via mapInPandas.
 
@@ -125,12 +132,6 @@ def decode_meta(df: DataFrame) -> DataFrame:
     ``checksum`` (byte sum mod 2^16) is a real total function computed
     for every non-NULL payload regardless of format.
     """
-
-    def _i32(v):
-        # DECODE_SCHEMA columns are INT; a hostile/corrupt header can
-        # declare dims or frame counts >= 2^31, which Spark's unsafe
-        # Arrow cast would silently WRAP — degrade to NULL instead
-        return v if v is not None and 0 <= v < 2**31 else None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "width", "height", "n_frames", "checksum"]
@@ -276,7 +277,11 @@ def decode_image_headers(df: DataFrame, payload_col: str = "payload") -> DataFra
             # NULL payloads are normal in a real corpus: decode must stay a
             # per-row total function (bytes(None) would kill the whole task)
             meta = [
-                (None, None, None) if p is None else parse_image_header(bytes(p))
+                (None, None, None)
+                if p is None
+                else (
+                    lambda t: (t[0], _i32(t[1]), _i32(t[2]))
+                )(parse_image_header(bytes(p)))
                 for p in pdf[payload_col]
             ]
             out = pd.DataFrame(meta, columns=["format", "width", "height"])
@@ -1604,7 +1609,9 @@ def parse_flac_header(b: bytes) -> dict | None:
         hdr = b[pos]
         blen = int.from_bytes(b[pos + 1 : pos + 4], "big")
         body = b[pos + 4 : pos + 4 + blen]
-        if (hdr & 0x7F) == 0 and blen >= 18:  # STREAMINFO
+        # validate the ACTUAL body length, not the declared one — a
+        # truncated payload must return None, never throw (total function)
+        if (hdr & 0x7F) == 0 and len(body) >= 18:  # STREAMINFO
             sr = (body[10] << 12) | (body[11] << 4) | (body[12] >> 4)
             channels = ((body[12] >> 1) & 0x7) + 1
             bits = (((body[12] & 0x1) << 4) | (body[13] >> 4)) + 1

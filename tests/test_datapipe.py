@@ -2514,9 +2514,19 @@ def test_jpeg_trailing_restart_marker_tolerated():
     eoi = b.rfind(b"\xff\xd9")
     patched = b[:eoi] + b"\xff\xd7" + b[eoi:]
     assert (decode_jpeg(patched) == ref).all()
+    # a MID-STREAM surplus marker is corruption (the stream restarts more
+    # often than DRI declares): must fail LOUDLY, not misalign silently
+    import pytest
+
+    sos = b.find(b"\xff\xda")
+    mid = b.find(b"\xff\xd0", sos)  # first real RST0
+    assert mid > 0
+    corrupt = b[:mid] + b"\xff\xd1" + b[mid:]
+    with pytest.raises(ValueError):
+        decode_jpeg(corrupt)
 
 
-def test_mp4_track_dims_prefers_video_trak(spark):
+def test_mp4_track_dims_prefers_video_trak():
     """An audio-first MP4 (audio tkhd dims legitimately zero) must not
     shadow the video trak's real 16.16 dimensions."""
     import struct
@@ -2633,3 +2643,15 @@ def test_parse_tiff_and_flac_headers(spark):
     assert (out[1].format, out[1].width, out[1].height) == ("tiff", 320, 200)
     assert (out[2].format, out[2].n_frames) == ("flac", 12345)
     assert out[2].width is None
+
+
+def test_parse_flac_header_truncation_is_total():
+    """A STREAMINFO whose declared length exceeds the actual bytes must
+    return None (total function), never raise; an undersized body must
+    not silently yield zeroed fields."""
+    from engine_spark.datapipe.multimodal import parse_flac_header
+
+    truncated = b"fLaC" + b"\x00" + (18).to_bytes(3, "big") + b"\x00" * 5
+    assert parse_flac_header(truncated) is None
+    short = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + b"\x00" * 14
+    assert parse_flac_header(short) is None
