@@ -551,10 +551,14 @@ def main() -> None:
     line = json.dumps(compact, separators=(",", ":"))
     # Hard guarantee: stay parseable inside the driver's 2000-char tail.
     while len(line) > 1900:
+        dropped = False
         for drop in ("errors", "loadavg", "reps", "queries"):
             if drop in compact:
                 del compact[drop]
+                dropped = True
                 break
+        if not dropped:  # nothing left to shed — don't spin forever
+            break
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
     sys.stdout.flush()

@@ -277,8 +277,16 @@ def _decode_dc_units(
                 # two's-complement low bits: the arithmetic works for
                 # negative DC too (see tests)
                 out.append((cid, bi, coefs[cid][bi][0] | (r.bits(1) << al)))
-    # compact transfer: one int32 matrix instead of n python tuples
-    return [(np.array(out, np.int32) if out else np.empty((0, 3), np.int32))]
+    # compact transfer: one int32 matrix instead of n python tuples.
+    # Pack via int64 first: a crafted stream can walk the DC predictor
+    # past 2^31, which int32 packing would silently wrap on numpy 1.x
+    # (numpy 2.x raises OverflowError) — range-check, then narrow.
+    if not out:
+        return [np.empty((0, 3), np.int32)]
+    mat = np.array(out, np.int64)
+    if np.abs(mat[:, 2]).max() > 0x7FFFFFFF:
+        raise ValueError("JPEG DC coefficient out of int32 range")
+    return [mat.astype(np.int32)]
 
 
 def _decode_dc_scan(
@@ -472,6 +480,16 @@ def _restart_segments(
     if not restart:
         return [(0, 0, total_mcus)]
     n_segs = -(-total_mcus // restart)
+    if n_segs == 0:
+        # zero MCUs (e.g. zero-height / DNL-deferred SOF): nothing to
+        # decode; any restart marker in the stream contradicts DRI.
+        # Without this branch the surplus check below would index
+        # restarts[-1] on an empty list (IndexError, not our contract).
+        if restarts:
+            raise ValueError(
+                f"JPEG stream declares 0 MCUs but has {len(restarts)} restart markers"
+            )
+        return []
     if len(restarts) < n_segs - 1:
         raise ValueError(
             f"expected {n_segs - 1} JPEG restart markers, found {len(restarts)}"

@@ -49,7 +49,11 @@ import zlib as _zlib
 #: Decode call sites catch this tuple so one bad crawled file degrades to
 #: the metadata-only row instead of failing the executor task (per-row
 #: total-function contract).
-DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError)
+#: OverflowError: a crafted JPEG stream can walk the DC predictor past
+#: 2^31; numpy 2.x raises OverflowError packing it into int32 — degrade
+#: that row to NULL like every other poisoned payload (numpy 1.x wraps,
+#: which the predictor-range check in jpeg.py catches first).
+DECODE_ERRORS = (ValueError, _zlib.error, _struct.error, IndexError, OverflowError)
 
 DECODE_SCHEMA = (
     "doc_id long, format string, width int, height int, n_frames int, "
@@ -102,7 +106,10 @@ def _mp4_track_dims(b: bytes) -> tuple[int | None, int | None]:
                 and b[hdlr[0] + 8 : hdlr[0] + 12] == b"vide"
             )
             w, h = tkhd_dims(ts, te)
-            if is_video:
+            if is_video and (w or h):
+                # only short-circuit on a video trak that declares REAL
+                # dims — a zero-dim video trak must not shadow a later
+                # one with dimensions (or the non-video fallback)
                 return w, h
             if fallback == (None, None) and (w or h):
                 fallback = (w, h)

@@ -2655,3 +2655,42 @@ def test_parse_flac_header_truncation_is_total():
     assert parse_flac_header(truncated) is None
     short = b"fLaC" + b"\x80" + (34).to_bytes(3, "big") + b"\x00" * 14
     assert parse_flac_header(short) is None
+
+
+def test_restart_segments_zero_mcus():
+    """restart>0 with total_mcus==0 (zero-height/DNL-deferred SOF): no
+    segments when there are no markers; a ValueError (decoder contract,
+    not IndexError) when markers exist anyway — ADVICE r8 regression."""
+    import pytest as _pytest
+
+    from engine_spark.datapipe.jpeg import _restart_segments
+
+    assert _restart_segments([], 4, 0, 100) == []
+    with _pytest.raises(ValueError, match="0 MCUs"):
+        _restart_segments([10], 4, 0, 100)
+
+
+def test_mp4_track_dims_zero_dim_video_trak_does_not_shadow():
+    """A 'vide' trak whose tkhd declares 0x0 must not shadow a later video
+    trak with real dimensions — ADVICE r8 regression."""
+    import struct as _struct
+
+    from engine_spark.datapipe.multimodal import _mp4_track_dims
+
+    def box(typ, body):
+        return _struct.pack(">I", 8 + len(body)) + typ + body
+
+    def trak(handler, w, h):
+        tkhd = box(
+            b"tkhd",
+            b"\x00" + b"\x00" * 3 + b"\x00" * 72
+            + _struct.pack(">II", w << 16, h << 16),
+        )
+        hdlr = box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+        mdia = box(b"mdia", hdlr)
+        return box(b"trak", tkhd + mdia)
+
+    payload = box(b"moov", trak(b"vide", 0, 0) + trak(b"vide", 640, 480))
+    assert _mp4_track_dims(payload) == (640, 480)
+    # zero-dim video trak alone still degrades to (None, None)
+    assert _mp4_track_dims(box(b"moov", trak(b"vide", 0, 0))) == (None, None)
