@@ -33,8 +33,30 @@ def cron_to_period(cron: str) -> tuple[int, int]:
     Anything with day-of-month/month/day-of-week restrictions is aperiodic.
     """
     fields = cron.split()
+    if len(fields) == 6:
+        # 6-field (seconds-resolution, Quartz-style) cron — the form the
+        # reference's trigger tests use (`*/1 * * * * *`,
+        # tests/compatibility/triggers.rs:124)
+        sec, rest = fields[0], fields[1:]
+        s_step = re.fullmatch(r"\*/(\d+)", sec)
+        if s_step:
+            if rest != ["*"] * 5:
+                raise ValueError(
+                    f"cron {cron!r}: */n seconds requires all other fields '*'"
+                )
+            return int(s_step.group(1)), 0
+        if sec == "*":
+            if rest == ["*"] * 5:
+                return 1, 0  # every second
+            raise ValueError(
+                f"cron {cron!r}: seconds wildcard with restricted fields is aperiodic"
+            )
+        if not sec.isdigit():
+            raise ValueError(f"cron {cron!r}: unsupported seconds field")
+        period, offset = cron_to_period(" ".join(rest))
+        return period, offset + int(sec)
     if len(fields) != 5:
-        raise ValueError(f"cron {cron!r}: expected 5 fields")
+        raise ValueError(f"cron {cron!r}: expected 5 or 6 fields")
     minute, hour, dom, mon, dow = fields
     if (dom, mon, dow) != ("*", "*", "*"):
         raise ValueError(
@@ -105,17 +127,47 @@ def trigger_stream(spark: SparkSession, every_ms: int) -> DataFrame:
 
 
 def trigger_batch(
-    spark: SparkSession, start, end, every_seconds: int
+    spark: SparkSession, start, end, every_seconds: float
 ) -> DataFrame:
     """Batch tick relation: the events a trigger would have emitted in
-    [start, end) — drives historical replays and cron-style joins."""
+    [start, end] — drives historical replays and cron-style joins.
+    Sub-second intervals compile to a MILLISECONDS step."""
+    if every_seconds == int(every_seconds):
+        step = f"INTERVAL {int(every_seconds)} SECONDS"
+    else:
+        step = f"INTERVAL {round(every_seconds * 1000)} MILLISECONDS"
     ticks = spark.range(1).select(
         F.posexplode(
             F.sequence(
                 F.lit(start).cast("timestamp"),
                 F.lit(end).cast("timestamp"),
-                F.expr(f"INTERVAL {every_seconds} SECONDS"),
+                F.expr(step),
             )
         ).alias("counter", "triggered_time")
     )
     return ticks.select("triggered_time", F.col("counter").cast("bigint"))
+
+
+def trigger_batch_cron(spark: SparkSession, start, end, cron: str) -> DataFrame:
+    """Batch tick relation for a (periodic) cron trigger: ticks at every
+    instant t in [start, end] with ``(epoch(t) - offset) % period == 0`` —
+    i.e. aligned to the cron grid, not to ``start``."""
+    import datetime as _dt
+
+    period, offset = cron_to_period(cron)
+    s = start if isinstance(start, _dt.datetime) else _dt.datetime.fromisoformat(str(start))
+    es = (s - _dt.datetime(1970, 1, 1)).total_seconds()
+    first = es + ((offset - es) % period)
+    return trigger_batch(
+        spark, _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=first), end, period
+    )
+
+
+def trigger_once_stream(spark: SparkSession) -> DataFrame:
+    """Streaming AT START trigger: exactly one event at query start
+    (reference trigger_runtime.rs start-mode; triggers.rs:101-108)."""
+    df = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    return df.filter(F.col("value") == 0).select(
+        F.col("timestamp").alias("triggered_time"),
+        F.col("value").alias("counter"),
+    )

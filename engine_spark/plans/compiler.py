@@ -174,8 +174,16 @@ class SqlApp:
         nfa_hot_key_dir: str | None = None,
         nfa_auto_salt_r: int = 8,
         nfa_hot_threshold: int | None = None,
+        trigger_horizon: tuple | None = None,
+        streaming_triggers: bool = False,
     ):
         self.spark = spark
+        #: CREATE TRIGGER replay horizon for batch compiles: (start, end)
+        #: timestamps the tick relation spans. Streaming compiles
+        #: (streaming_triggers=True) use the rate source instead and
+        #: ignore the horizon.
+        self.trigger_horizon = trigger_horizon
+        self.streaming_triggers = streaming_triggers
         self.streams: dict[str, _Stream] = {}
         self.schemas: dict[str, P.CreateStream] = {}
         self.outputs: dict[str, DataFrame] = {}
@@ -261,6 +269,10 @@ class SqlApp:
                     self.streams[stmt.name] = _Stream(
                         df=sdf, ts_col=opts.get("timestamp.column")
                     )
+            elif isinstance(stmt, P.CreateTrigger):
+                self.streams[stmt.name] = _Stream(
+                    df=self._trigger_df(stmt), ts_col="triggered_time"
+                )
             elif isinstance(stmt, P.CreateAggregation):
                 # the reference never got this past its grammar (every
                 # aggregation test is #[ignore]d, app_runner_aggregations.rs);
@@ -320,6 +332,48 @@ class SqlApp:
             elif isinstance(stmt, P.Query):
                 self._run_query(stmt)
         return dict(self.outputs)
+
+    # ------------------------------------------------------------------
+    def _trigger_df(self, t: P.CreateTrigger) -> DataFrame:
+        """CREATE TRIGGER → a (triggered_time, counter) stream.
+
+        Streaming (streaming_triggers=True): the rate source — AT START
+        emits one row at query start, AT EVERY n ticks on the interval,
+        AT CRON ticks on the cron's period (wall-clock grid alignment is
+        best-effort: the rate source starts at query start, matching the
+        reference's scheduler-relative behavior, trigger_runtime.rs).
+        Batch: an explicit tick relation over ``trigger_horizon`` — the
+        events the trigger WOULD have emitted in that span, which is what
+        a historical replay of a trigger-driven app needs.
+        """
+        from engine_spark.operators.triggers import (
+            trigger_batch,
+            trigger_batch_cron,
+            trigger_once_stream,
+            trigger_stream,
+        )
+
+        if self.streaming_triggers:
+            if t.timing == "start":
+                return trigger_once_stream(self.spark)
+            if t.timing == "every":
+                return trigger_stream(self.spark, t.interval_ms)
+            from engine_spark.operators.triggers import cron_to_period
+
+            period, _ = cron_to_period(t.cron)
+            return trigger_stream(self.spark, period * 1000)
+        if self.trigger_horizon is None:
+            raise ValueError(
+                f"CREATE TRIGGER {t.name}: batch compile needs "
+                "SqlApp(trigger_horizon=(start, end)) to bound the tick "
+                "relation (or streaming_triggers=True for a live timer)"
+            )
+        start, end = self.trigger_horizon
+        if t.timing == "start":
+            return trigger_batch(self.spark, start, start, 1)
+        if t.timing == "every":
+            return trigger_batch(self.spark, start, end, t.interval_ms / 1000)
+        return trigger_batch_cron(self.spark, start, end, t.cron)
 
     # ------------------------------------------------------------------
     def _run_query(self, q: P.Query) -> DataFrame:

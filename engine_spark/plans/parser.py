@@ -155,6 +155,21 @@ class CreateStream:
 
 
 @dataclass
+class CreateTrigger:
+    """``CREATE TRIGGER Name AT START | AT EVERY <n> <unit> | AT CRON
+    '<expr>';`` — a timer-generated stream queryable as ``FROM Name``
+    (reference sqlparser CreateStreamTrigger, consumed at
+    sql_compiler/application.rs:21-35; run verbatim by
+    tests/compatibility/triggers.rs:103-150). Tick rows carry
+    ``(triggered_time TIMESTAMP, counter BIGINT)``."""
+
+    name: str
+    timing: str  # "start" | "every" | "cron"
+    interval_ms: int | None = None  # timing == "every"
+    cron: str | None = None  # timing == "cron"
+
+
+@dataclass
 class CreateAggregation:
     """``CREATE AGGREGATION Name FROM Stream SELECT aggs GROUP BY cols
     AGGREGATE EVERY unit [... unit];`` — incremental multi-granularity
@@ -295,6 +310,8 @@ def parse_app(text: str) -> list:
         up = stmt.upper()
         if up.startswith("CREATE AGGREGATION"):
             out.append(_parse_create_aggregation(stmt))
+        elif up.startswith("CREATE TRIGGER"):
+            out.append(_parse_create_trigger(stmt))
         elif up.startswith("CREATE STREAM") or up.startswith("CREATE TABLE"):
             out.append(_parse_create(stmt))
         elif up.startswith("PARTITION WITH"):
@@ -355,6 +372,36 @@ _GRAN_ALIASES = {
     "year": "year", "years": "year",
 }
 _GRAN_ORDER = ["second", "minute", "hour", "day", "month", "year"]
+
+
+def _parse_create_trigger(stmt: str) -> CreateTrigger:
+    """``CREATE TRIGGER Name AT START / AT EVERY n unit / AT CRON 'expr'``
+    (reference tests/compatibility/triggers.rs:103-150 run these verbatim;
+    sqlparser StreamTriggerTiming pre-computes interval_ms the same way —
+    application.rs:29-32)."""
+    m = re.match(
+        r"CREATE\s+TRIGGER\s+([A-Za-z_][A-Za-z0-9_]*)\s+AT\s+(.+?)\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(f"cannot parse CREATE TRIGGER: {stmt[:80]!r}")
+    name, timing_txt = m.group(1), m.group(2).strip()
+    up = timing_txt.upper()
+    if up == "START":
+        return CreateTrigger(name, "start")
+    if up.startswith("EVERY"):
+        secs = parse_duration_seconds(timing_txt[5:].strip())
+        if secs <= 0:
+            raise ValueError(f"CREATE TRIGGER {name}: non-positive interval")
+        return CreateTrigger(name, "every", interval_ms=round(secs * 1000))
+    cm = re.match(r"CRON\s+'([^']+)'\s*$", timing_txt, re.IGNORECASE)
+    if cm:
+        return CreateTrigger(name, "cron", cron=cm.group(1))
+    raise ValueError(
+        f"CREATE TRIGGER {name}: expected AT START, AT EVERY <n> <unit>, "
+        f"or AT CRON '<expr>' — got {timing_txt[:40]!r}"
+    )
 
 
 def _parse_create_aggregation(stmt: str) -> CreateAggregation:

@@ -1105,6 +1105,59 @@ def q_sql_create_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_trigger_ticks",
+    """
+    WITH ticks AS (
+        SELECT g.ts AS tick,
+               date_diff('second', TIMESTAMP '2024-01-01 00:00:00', g.ts) // 900
+                   AS counter
+        FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                             TIMESTAMP '2024-01-07 23:45:00',
+                             INTERVAL 15 MINUTE) AS g(ts)
+    ),
+    ev AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS bucket, count(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT t.tick, t.counter, COALESCE(ev.n, CAST(0 AS BIGINT)) AS n_events
+    FROM ticks t LEFT JOIN ev ON ev.bucket = t.tick
+    """,
+    doc="CREATE TRIGGER SQL DDL end-to-end: `AT EVERY 15 MINUTES` parsed "
+    "by the SQL front-end (reference sqlparser CreateStreamTrigger, "
+    "application.rs:21-35; tests/compatibility/triggers.rs:103-150 run "
+    "the statements verbatim), compiled to a batch tick relation over the "
+    "replay horizon, queried through INSERT INTO ... FROM Trigger (the "
+    "triggers.rs:9 'SELECT FROM TriggerName' heartbeat shape), then used "
+    "as a polling join: ticks equi-joined to 15-min event buckets — the "
+    "scale-correct trigger-poll plan (no range join; the dimension side "
+    "is the tick relation)",
+)
+def q_sql_trigger_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.plans import SqlApp
+
+    app = SqlApp(
+        spark,
+        trigger_horizon=("2024-01-01 00:00:00", "2024-01-07 23:45:00"),
+    )
+    out = app.sql(
+        "CREATE TRIGGER Poll AT EVERY 15 MINUTES; "
+        "CREATE STREAM ticks (triggered_time TIMESTAMP, counter BIGINT); "
+        "INSERT INTO ticks SELECT triggered_time, counter FROM Poll;"
+    )["ticks"]
+    ev = (
+        Catalog(spark, sf_dir)["events"]
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("bucket"), "n")
+    )
+    return out.join(ev, out.triggered_time == ev.bucket, "left").select(
+        F.col("triggered_time").alias("tick"),
+        "counter",
+        F.coalesce("n", F.lit(0).cast("long")).alias("n_events"),
+    )
+
+
+@register(
     "table_dml",
     """
     SELECT n_nationkey,
@@ -1871,20 +1924,23 @@ _ORDER = [
     # 2h scalars / 2b expressions
     "date_case_funcs",
     "expr_like_between_null",
+    "expr_correlated_subquery",   # decorrelated scalar + WHERE subqueries (r9 rotation)
     # 2d aggregations
     "agg_stats",
     "agg_having_topn",
     "incremental_agg_hour",
-    "agg_rollup",                 # ROLLUP grouping sets, one aggregate pass
-    "agg_percentiles",            # exact interpolated percentiles per group
-    "analytic_functions",         # lag/lead/rank/running-sum single window pass
+    "agg_cube",                   # CUBE grouping sets, one Expand + one agg (r9 rotation)
+    "analytic_ranks",             # ntile/percent_rank/cume_dist/first_value (r9 rotation)
     "agg_pivot",                  # PIVOT long-to-wide conditional aggregates
     "agg_unpivot",                # UNPIVOT wide-to-long via stack(), map-only
     "analytic_range_frame",       # event-time RANGE window frames (30d trailing)
+    "events_gapfill_1h",          # dense-grid gap-fill + forward-fill (r9 rotation)
     # 2c joins
     "join_outer_modes",
     "semi_anti_join",
     "stream_stream_windowed_join",
+    "join_q10_returned_items",    # TPC-H Q10 shape: broadcast dim + agg (r9 rotation)
+    "join_q18_large_orders",      # TPC-H Q18 shape: aggregate-then-join (r9 rotation)
     # 2e windows
     "window_hopping_1h_15m",
     "window_session_30m",
@@ -1892,36 +1948,47 @@ _ORDER = [
     # 2f patterns
     "pattern_absent",
     "pattern_count_aggs",
-    "pattern_logical_and",
     # SQL front-end (remaining)
     "sql_pattern_partitioned",
     "sql_create_aggregation",     # CREATE AGGREGATION DDL (incremental agg)
+    "sql_trigger_ticks",          # CREATE TRIGGER DDL: AT EVERY/CRON tick relation (NEW r9)
     # datapipe: text analysis / dedup / similarity / multimodal
     "text_quality",
-    "vocab_topk",                 # corpus tf/df stats (inverted-index build)
     "bpe_token_counts",           # learned-subword tokenization (BPE apply)
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "dedup_segments",             # paragraph-granularity dedup + reassembly
     "dedup_bloom",                # Bloom-prefiltered exact incremental ingest
     "dedup_fuzzy",                # edit-distance near-dup (blocked, capped)
     "ann_search_modes",
     "ann_ivf_trained",
+    "ann_hamming_topk",           # 1-bit quantization + XOR/popcount top-k (r9 rotation)
+    "corpus_split",               # deterministic hash train/val/test split (r9 rotation)
     "multimodal_audio",           # REAL WAV/PCM16 decode + sample features
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_frames",          # REAL MP4 ISO-BMFF sample-table demux
     "multimodal_video_frames",    # REAL MJPEG MP4 frame pixel decode
-    "multimodal_bmp_gif",         # REAL BMP BI_RGB + GIF LZW pixel decode
     "multimodal_y4m",             # REAL YUV4MPEG2 raw-video pixel decode
     "sequence_packing",           # corpus assembly: concat-and-chunk packing
-    "corpus_shuffle",             # seeded deterministic training-order shuffle
     "pipeline_end_to_end",
     # ---- entries past the driver's 50-gate window: redundant VARIANTS of
     # families already checked above, each with one-or-more consecutive
     # driver-green rounds, and at least one representative of every
     # family still inside the window.
+    # Round 9 rotated IN the eight round-8 additions that had never faced
+    # the driver's oracle (agg_cube, analytic_ranks, events_gapfill_1h,
+    # expr_correlated_subquery, ann_hamming_topk, corpus_split,
+    # join_q10_returned_items, join_q18_large_orders — VERDICT r8 item #1)
+    # plus the NEW sql_trigger_ticks gate (VERDICT r8 item #2 asked for it
+    # in-window directly). Rotated OUT nine driver-green variants (green
+    # rounds in parens): agg_rollup (r7-r8; CUBE reps grouping sets),
+    # agg_percentiles (r7-r8), analytic_functions (r7-r8; ranks +
+    # range_frame rep window-analytics), pattern_logical_and (r2-r8; 2f
+    # keeps followed_by/absent/count_aggs), dedup_ngram_jaccard (r2-r8),
+    # dedup_segments (r7-r8; dedup keeps five gates in-window),
+    # multimodal_bmp_gif (r7-r8; multimodal keeps five REAL-codec gates),
+    # corpus_shuffle (r7-r8; assembly keeps packing/split/pipeline),
+    # vocab_topk (r2-r8; text keeps quality/bpe).
     # Round 8 rotated IN the five round-7 late additions that had never
     # faced the driver's oracle (multimodal_y4m, agg_pivot, dedup_fuzzy,
     # analytic_range_frame, agg_unpivot — VERDICT r7 item #2). Rotated
@@ -1952,6 +2019,15 @@ _ORDER = [
     # on every run of tools/check_correctness.py (CORRECTNESS_LOCAL.json,
     # regenerated in lockstep) and stay in bench.py's headline set where
     # listed.
+    "agg_rollup",                 # rotated out r9 (driver-green r7+r8)
+    "agg_percentiles",            # rotated out r9 (driver-green r7+r8)
+    "analytic_functions",         # rotated out r9 (driver-green r7+r8)
+    "pattern_logical_and",        # rotated out r9 (driver-green r2-r8)
+    "dedup_ngram_jaccard",        # rotated out r9 (driver-green r2-r8)
+    "dedup_segments",             # rotated out r9 (driver-green r7+r8)
+    "multimodal_bmp_gif",         # rotated out r9 (driver-green r7+r8)
+    "corpus_shuffle",             # rotated out r9 (driver-green r7+r8)
+    "vocab_topk",                 # rotated out r9 (driver-green r2-r8)
     "window_sort_top3",           # rotated out r8 (driver-green r6+r7)
     "output_rate_modes",          # rotated out r8 (driver-green r6+r7)
     "sampling_modes",             # rotated out r8 (driver-green r6+r7)
@@ -1977,15 +2053,6 @@ _ORDER = [
     "join_multiway_q5",
     "asof_join_last_view",
     "join_q3_shipping_priority",
-    # round-8 additions (enter past the window per rotation policy)
-    "agg_cube",                   # CUBE grouping sets, one aggregate pass
-    "analytic_ranks",             # ntile/percent_rank/cume_dist/first_value
-    "events_gapfill_1h",          # dense-grid gap-fill + forward-fill
-    "expr_correlated_subquery",   # decorrelated scalar + WHERE subqueries
-    "ann_hamming_topk",           # 1-bit quantization + XOR/popcount top-k
-    "corpus_split",               # deterministic hash train/val/test split
-    "join_q10_returned_items",    # TPC-H Q10 shape (broadcast dim + agg)
-    "join_q18_large_orders",      # TPC-H Q18 shape (aggregate-then-join)
 ]
 
 

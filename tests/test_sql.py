@@ -1031,3 +1031,117 @@ def test_aggregation_sql_read_within_per(spark):
         "INSERT INTO All SELECT grp, sum_v FROM Agg PER 'hour';"
     )["All"].collect()
     assert len(app2_out) == 1 and app2_out[0]["sum_v"] == 100.0
+
+
+# ---------------------------------------------------------------------------
+# CREATE TRIGGER DDL (reference tests/compatibility/triggers.rs:101-150,
+# sqlparser CreateStreamTrigger consumed at sql_compiler/application.rs:21-35)
+# ---------------------------------------------------------------------------
+
+def test_create_trigger_start_batch(spark):
+    # reference trigger_test6_sql_start: "CREATE TRIGGER StartTrigger AT
+    # START;" emits exactly one event
+    app = SqlApp(spark, trigger_horizon=("2024-01-01 00:00:00", "2024-01-01 01:00:00"))
+    outs = app.sql(
+        """
+        CREATE TRIGGER StartTrigger AT START;
+        CREATE STREAM outputStream (triggered_time TIMESTAMP, counter BIGINT);
+        INSERT INTO outputStream SELECT triggered_time, counter FROM StartTrigger;
+        """
+    )
+    got = outs["outputStream"].collect()
+    assert len(got) == 1
+    assert got[0].counter == 0
+    assert got[0].triggered_time == datetime(2024, 1, 1, 0, 0, 0)
+
+
+def test_create_trigger_every_batch_ticks(spark):
+    # reference trigger_test7_sql_periodic: periodic trigger ticks on the
+    # interval; batch replay = the ticks the horizon would have produced
+    app = SqlApp(spark, trigger_horizon=("2024-01-01 00:00:00", "2024-01-01 00:00:59"))
+    outs = app.sql(
+        """
+        CREATE TRIGGER PeriodicTrigger AT EVERY 15 SECONDS;
+        CREATE STREAM o (triggered_time TIMESTAMP, counter BIGINT);
+        INSERT INTO o SELECT triggered_time, counter FROM PeriodicTrigger;
+        """
+    )
+    got = sorted(outs["o"].collect(), key=lambda r: r.counter)
+    assert [r.counter for r in got] == [0, 1, 2, 3]
+    assert got[3].triggered_time == datetime(2024, 1, 1, 0, 0, 45)
+
+
+def test_create_trigger_every_milliseconds(spark):
+    # sub-second interval (the reference's AT EVERY 50 MILLISECONDS form)
+    app = SqlApp(spark, trigger_horizon=("2024-01-01 00:00:00", "2024-01-01 00:00:00.2"))
+    outs = app.sql(
+        """
+        CREATE TRIGGER T AT EVERY 50 MILLISECONDS;
+        CREATE STREAM o (triggered_time TIMESTAMP, counter BIGINT);
+        INSERT INTO o SELECT triggered_time, counter FROM T;
+        """
+    )
+    assert outs["o"].count() == 5  # 0, 50, 100, 150, 200 ms
+
+
+def test_create_trigger_cron_batch_grid_aligned(spark):
+    # reference trigger_test8_sql_cron uses a 6-field seconds cron; ticks
+    # align to the cron GRID, not to the horizon start
+    app = SqlApp(spark, trigger_horizon=("2024-01-01 00:00:07", "2024-01-01 00:01:00"))
+    outs = app.sql(
+        """
+        CREATE TRIGGER CronTrigger AT CRON '*/15 * * * * *';
+        CREATE STREAM o (triggered_time TIMESTAMP, counter BIGINT);
+        INSERT INTO o SELECT triggered_time, counter FROM CronTrigger;
+        """
+    )
+    got = sorted(r.triggered_time for r in outs["o"].collect())
+    assert got == [
+        datetime(2024, 1, 1, 0, 0, 15),
+        datetime(2024, 1, 1, 0, 0, 30),
+        datetime(2024, 1, 1, 0, 0, 45),
+        datetime(2024, 1, 1, 0, 1, 0),
+    ]
+
+
+def test_create_trigger_heartbeat_query_expressions(spark):
+    # reference trigger_test9_with_query: "SELECT FROM TriggerName" with
+    # expressions over the tick row flows through the query pipeline
+    app = SqlApp(spark, trigger_horizon=("2024-01-01 00:00:00", "2024-01-01 02:00:00"))
+    outs = app.sql(
+        """
+        CREATE TRIGGER HeartbeatTrigger AT EVERY 1 HOURS;
+        CREATE STREAM outputStream (c BIGINT);
+        INSERT INTO outputStream SELECT counter * 10 AS c FROM HeartbeatTrigger;
+        """
+    )
+    assert sorted(r.c for r in outs["outputStream"].collect()) == [0, 10, 20]
+
+
+def test_create_trigger_batch_without_horizon_raises(spark):
+    app = SqlApp(spark)
+    with pytest.raises(ValueError, match="trigger_horizon"):
+        app.sql("CREATE TRIGGER T AT EVERY 1 SECONDS;")
+
+
+def test_create_trigger_parse_errors(spark):
+    with pytest.raises(ValueError, match="AT START, AT EVERY"):
+        parse_app("CREATE TRIGGER T AT NOON;")
+    with pytest.raises(ValueError, match="non-positive"):
+        parse_app("CREATE TRIGGER T AT EVERY 0 SECONDS;")
+
+
+def test_create_trigger_streaming_rate_source(spark):
+    # streaming_triggers=True compiles the trigger onto the rate source —
+    # a live timer, matching the reference's scheduler thread
+    app = SqlApp(spark, streaming_triggers=True)
+    outs = app.sql(
+        """
+        CREATE TRIGGER T AT EVERY 100 MILLISECONDS;
+        CREATE STREAM o (triggered_time TIMESTAMP, counter BIGINT);
+        INSERT INTO o SELECT triggered_time, counter FROM T;
+        """
+    )
+    df = outs["o"]
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == ["triggered_time", "counter"]
