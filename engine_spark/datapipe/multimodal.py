@@ -61,19 +61,6 @@ DECODE_SCHEMA = (
 )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
-    """Deterministic stand-in frame/dim formulas (documented; oracle-
-    replicable). Sole remaining caller: frame_sample's non-MP4/Y4M
-    fallback, where a mixed corpus still needs SOME total frame
-    partition for unrecognized containers."""
-    n = len(payload)
-    width = n % 640
-    height = (payload[0] * 7) % 480 if n else 0
-    n_frames = n // 100 + 1
-    checksum = sum(payload) % 65536
-    return width, height, n_frames, checksum
-
-
 def _mp4_track_dims(b: bytes) -> tuple[int | None, int | None]:
     """Width/height (whole pixels) from the VIDEO trak's tkhd, whose v0
     body ends with 16.16 fixed-point width/height (ISO 14496-12 §8.3.2).
@@ -1413,10 +1400,13 @@ def frame_sample(
 
     MP4 payloads are demuxed FOR REAL: parse_mp4 walks the ISO-BMFF sample
     tables (stts/stsz/stsc/stco) and the emitted ranges are each frame's
-    actual absolute byte extent inside mdat. Non-MP4 payloads keep the
-    documented deterministic stand-in (frame count from _fake_decode, byte
-    ranges a uniform partition of the payload) so the pipeline stays total
-    over a mixed corpus. Map-only; payloads never shuffle.
+    actual absolute byte extent inside mdat; Y4M likewise. A recognized
+    single-image container (parse_image_header: PNG/GIF/BMP/JPEG/TIFF) is
+    one frame spanning the whole payload — the real extent a still-image
+    decoder would be handed. Anything else degrades to ONE row with NULL
+    frame fields (decode_meta's honest-NULL convention — no fabricated
+    frame counts), keeping the pipeline total over a mixed corpus.
+    Map-only; payloads never shuffle.
     """
     if every_k < 1:
         raise ValueError("every_k must be >= 1")
@@ -1446,16 +1436,12 @@ def frame_sample(
                             )
                         )
                     continue
-                _, _, n_frames, _ = _fake_decode(b)  # stand-in (non-MP4)
-                per = max(1, len(b) // max(n_frames, 1))
-                for fi in range(0, n_frames, every_k):
-                    # the LAST frame absorbs the floor-division remainder so
-                    # the frame ranges partition the whole payload (no
-                    # unreachable tail bytes)
-                    end = len(b) if fi == n_frames - 1 else min(
-                        (fi + 1) * per, len(b)
-                    )
-                    rows.append((int(did), fi, n_frames, fi * per, end))
+                fmt, _, _ = parse_image_header(b)
+                if fmt is not None:
+                    # a still image IS one frame: the whole payload
+                    rows.append((int(did), 0, 1, 0, len(b)))
+                else:
+                    rows.append((int(did), None, None, None, None))
             if rows:
                 yield pd.DataFrame(
                     rows,

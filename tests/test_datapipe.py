@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from engine_spark.datapipe import fragments as FR
 from engine_spark.datapipe.fragments import Dialect
-from engine_spark.datapipe.multimodal import _fake_decode, decode_meta
+from engine_spark.datapipe.multimodal import decode_meta
 from tests.conftest import rows
 
 SP = Dialect("spark")
@@ -106,11 +106,12 @@ def test_hyperplane_bucket_deterministic(spark):
     assert b1 == b2 and 0 <= b1 < 16
 
 
-def test_fake_decode_kernel():
-    payload = b"hello world"
-    w, h, nf, ck = _fake_decode(payload)
-    assert (w, h, nf) == (11, (ord("h") * 7) % 480, 1)
-    assert ck == sum(payload) % 65536
+def test_no_fake_decode_remnant():
+    """_fake_decode is fully retired: every unrecognized-payload path in
+    the multimodal pipeline degrades to honest NULLs."""
+    from engine_spark.datapipe import multimodal
+
+    assert not hasattr(multimodal, "_fake_decode")
 
 
 def test_decode_meta_real_dispatch(spark):
@@ -1020,8 +1021,9 @@ def test_chunking_invariants_property(spark):
 def test_resize_and_frame_sample_plumbing(spark):
     """The resize and frame-sample mapInPandas plumbing is real (schema,
     batch shape, null-safety); undecodable payloads degrade honestly
-    (passthrough + NULL scales); non-MP4 frame counts keep the
-    documented deterministic stand-in."""
+    (passthrough + NULL scales); a recognized still image is one frame
+    spanning the whole payload; unrecognized payloads get NULL frame
+    fields — no fabricated counts anywhere."""
     import struct
 
     from engine_spark.datapipe.multimodal import frame_sample, resize_image
@@ -1048,20 +1050,18 @@ def test_resize_and_frame_sample_plumbing(spark):
     by_doc: dict[int, list] = {}
     for r in fs:
         by_doc.setdefault(r.doc_id, []).append(r)
-    f1 = sorted(by_doc[1], key=lambda r: r.frame_idx)
-    # payload 329 bytes -> n_frames = 329//100+1 = 4; every 2nd -> frames 0, 2
-    assert [r.frame_idx for r in f1] == [0, 2]
-    assert all(r.n_frames == 4 for r in f1)
-    assert all(0 <= r.byte_start <= r.byte_end <= len(png) for r in f1)
-    # full sampling partitions the ENTIRE payload: the last frame absorbs
-    # the floor-division remainder (no unreachable tail bytes)
-    full = sorted(
-        (r for r in frame_sample(d, every_k=1).collect() if r.doc_id == 1),
-        key=lambda r: r.frame_idx,
-    )
-    assert full[0].byte_start == 0 and full[-1].byte_end == len(png)
-    assert all(a.byte_end == b.byte_start for a, b in zip(full, full[1:]))
-    assert by_doc[3][0].n_frames == 1  # null payload -> 1 empty frame
+    # recognized still image (PNG): ONE real frame = the whole payload
+    f1 = by_doc[1]
+    assert len(f1) == 1
+    assert (f1[0].frame_idx, f1[0].n_frames) == (0, 1)
+    assert (f1[0].byte_start, f1[0].byte_end) == (0, len(png))
+    # unrecognized container / NULL payload: one honest NULL row each —
+    # the doc stays visible, nothing is fabricated
+    for did in (2, 3):
+        assert len(by_doc[did]) == 1
+        r = by_doc[did][0]
+        assert r.frame_idx is None and r.n_frames is None
+        assert r.byte_start is None and r.byte_end is None
 
 
 def test_keywords_rank_distinctive_terms(spark):
@@ -1585,7 +1585,7 @@ def test_mp4_demux_roundtrip_and_frame_sample(spark):
     """encode_mp4 → parse_mp4 recovers exact per-frame byte ranges through
     the stts/stsz/stsc/stco tables (two samples per chunk, so the chunk-run
     expansion is exercised); frame_sample emits those REAL ranges for MP4
-    payloads and keeps the documented stand-in for non-MP4 bytes."""
+    payloads and honest NULL frame fields for unrecognized bytes."""
     import numpy as np
 
     from engine_spark.datapipe.multimodal import (
@@ -1615,7 +1615,7 @@ def test_mp4_demux_roundtrip_and_frame_sample(spark):
     assert mp4[got[(1, 0)].byte_start : got[(1, 0)].byte_end] == frames[0]
     assert mp4[got[(1, 2)].byte_start : got[(1, 2)].byte_end] == frames[2]
     assert (1, 1) not in got  # every_k=2 skips frame 1
-    assert got[(2, 0)].n_frames == 2  # stand-in path for non-MP4 bytes
+    assert got[(2, None)].n_frames is None  # honest NULL for non-MP4 bytes
 
 
 def test_decode_frames_mjpeg_real_pixels_avc_gated(spark):
