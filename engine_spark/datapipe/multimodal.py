@@ -839,11 +839,209 @@ def encode_gif(indices, palette) -> bytes:
     )
 
 
+# ---------------------------------------------------------------------------
+# REAL stdlib TIFF codec (public TIFF 6.0 spec): header + single-IFD tag
+# walk (inline and out-of-line values, both byte orders), strip assembly
+# via StripOffsets/StripByteCounts/RowsPerStrip, uncompressed
+# (Compression=1) baseline profiles — bilevel 1-bit (both photometric
+# polarities, rows padded to byte boundaries), 8-bit grayscale, and 8-bit
+# chunky RGB. Other compressions / planar layouts raise ValueError
+# (callers catch DECODE_ERRORS and degrade to the header-only row). The
+# encoder writes MULTI-strip files so the decoder's strip assembly is
+# genuinely exercised, not just a single contiguous read.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG — all baseline needs
+
+
+def _tiff_tags(b: bytes, end: str) -> dict[int, list[int]]:
+    """First-IFD tag table → {tag: [values]} (TIFF 6.0 §2: 12-byte
+    entries; values inline when sizeof(type)*count <= 4, else at a LONG
+    offset). Unknown value types are skipped, not errors."""
+    import struct
+
+    (ifd,) = struct.unpack(f"{end}I", b[4:8])
+    if ifd + 2 > len(b):
+        raise ValueError("TIFF IFD offset out of range")
+    (n_ent,) = struct.unpack(f"{end}H", b[ifd : ifd + 2])
+    if ifd + 2 + 12 * n_ent > len(b):
+        raise ValueError("TIFF IFD truncated")
+    tags: dict[int, list[int]] = {}
+    for k in range(n_ent):
+        off = ifd + 2 + 12 * k
+        tag, typ = struct.unpack(f"{end}HH", b[off : off + 4])
+        (cnt,) = struct.unpack(f"{end}I", b[off + 4 : off + 8])
+        sz = _TIFF_TYPE_SIZE.get(typ)
+        if sz is None or cnt > len(b):
+            continue
+        total = sz * cnt
+        if total <= 4:
+            raw = b[off + 8 : off + 8 + total]
+        else:
+            (voff,) = struct.unpack(f"{end}I", b[off + 8 : off + 12])
+            raw = b[voff : voff + total]
+            if len(raw) < total:
+                raise ValueError("TIFF tag value out of range")
+        if typ == 1:
+            tags[tag] = list(raw)
+        elif typ == 3:
+            tags[tag] = list(struct.unpack(f"{end}{cnt}H", raw))
+        else:
+            tags[tag] = list(struct.unpack(f"{end}{cnt}I", raw))
+    return tags
+
+
+def decode_tiff(b: bytes):
+    """Uncompressed baseline TIFF → HxWxC uint8 pixels (C=1 gray/bilevel,
+    C=3 RGB). Bilevel maps to 0/255 with the photometric polarity applied
+    (PhotometricInterpretation 0 = WhiteIsZero inverts, TIFF 6.0 §4);
+    8-bit grayscale likewise. Raises ValueError on non-baseline profiles
+    (compressed, planar, deep) — decode stays a total function upstream."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 8 or b[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise ValueError("not a TIFF stream")
+    end = "<" if b[:2] == b"II" else ">"
+    tags = _tiff_tags(b, end)
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets = tags[273]
+    except KeyError as e:
+        raise ValueError(f"TIFF missing required tag {e}") from None
+    if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+        raise ValueError("TIFF dims out of range")
+    comp = tags.get(259, [1])[0]
+    if comp != 1:
+        raise ValueError(f"unsupported TIFF compression {comp} (baseline=1 only)")
+    if tags.get(284, [1])[0] != 1:
+        raise ValueError("unsupported TIFF planar configuration")
+    photo = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1] * spp)
+    rps = tags.get(278, [h])[0] or h
+    counts = tags.get(279)
+    if counts is not None and len(counts) != len(offsets):
+        raise ValueError("TIFF StripOffsets/StripByteCounts length mismatch")
+    n_strips = -(-h // rps)
+    if len(offsets) < n_strips:
+        raise ValueError("TIFF strip table shorter than image height needs")
+    bilevel = spp == 1 and bps == [1]
+    if bilevel:
+        row_bytes = (w + 7) // 8
+    elif all(x == 8 for x in bps) and spp in (1, 3):
+        row_bytes = w * spp
+    else:
+        raise ValueError(f"unsupported TIFF sample layout bps={bps} spp={spp}")
+    # assemble strips: strip i covers rows [i*rps, min((i+1)*rps, h))
+    data = bytearray()
+    for i in range(n_strips):
+        rows_here = min(rps, h - i * rps)
+        need = rows_here * row_bytes
+        o = offsets[i]
+        c = counts[i] if counts is not None else need
+        if c < need or o + need > len(b):
+            raise ValueError("TIFF strip data truncated")
+        data += b[o : o + need]
+    raw = np.frombuffer(bytes(data), np.uint8)
+    if bilevel:
+        bits = np.unpackbits(raw.reshape(h, row_bytes), axis=1)[:, :w]
+        if photo == 0:  # WhiteIsZero
+            bits = 1 - bits
+        return (bits * np.uint8(255)).astype(np.uint8)[:, :, None]
+    arr = raw.reshape(h, w, spp)
+    if photo == 0 and spp == 1:
+        arr = 255 - arr
+    return np.ascontiguousarray(arr)
+
+
+def encode_tiff(arr, endian: str = "II", rows_per_strip: int | None = None,
+                bilevel: bool = False, photometric: int | None = None) -> bytes:
+    """HxW / HxWx1 (gray) / HxWx3 (RGB) uint8 → baseline uncompressed
+    TIFF. ``bilevel=True`` packs a 0/255 (or 0/1) single-channel image to
+    1 bit/sample. Writes multiple strips (default ~3) and supports both
+    byte orders, so round-trips exercise the whole decode path."""
+    import struct
+
+    import numpy as np
+
+    end = "<" if endian == "II" else ">"
+    a = np.asarray(arr, np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, spp = a.shape
+    if spp not in (1, 3):
+        raise ValueError("encode_tiff: 1 or 3 channels only")
+    if bilevel and spp != 1:
+        raise ValueError("encode_tiff: bilevel needs a single channel")
+    photo = photometric if photometric is not None else (2 if spp == 3 else 1)
+    if bilevel:
+        # honor the polarity: WhiteIsZero (photo=0) stores 1 for BLACK
+        # pixels, so the file decodes back to the input either way
+        bit = a[:, :, 0] == 0 if photo == 0 else a[:, :, 0] > 0
+        strips_raw = np.packbits(bit, axis=1)  # pads rows to bytes
+        bps = [1]
+    else:
+        samples = (255 - a) if (photo == 0 and spp == 1) else a
+        strips_raw = samples.reshape(h, w * spp)
+        bps = [8] * spp
+    rps = rows_per_strip or max(1, -(-h // 3))
+    strips = [strips_raw[i : i + rps].tobytes() for i in range(0, h, rps)]
+    offsets, pos = [], 8
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    counts = [len(s) for s in strips]
+
+    aux = bytearray()  # out-of-line tag values, placed after the strips
+    entries: list[bytes] = []
+
+    def entry(tag: int, typ: int, vals: list[int]) -> None:
+        cnt = len(vals)
+        fmt = {3: "H", 4: "I"}[typ]
+        total = _TIFF_TYPE_SIZE[typ] * cnt
+        packed = struct.pack(f"{end}{cnt}{fmt}", *vals)
+        if total <= 4:
+            entries.append(
+                struct.pack(f"{end}HHI", tag, typ, cnt) + packed.ljust(4, b"\x00")
+            )
+        else:
+            entries.append(
+                struct.pack(f"{end}HHII", tag, typ, cnt, pos + len(aux))
+            )
+            aux.extend(packed)
+
+    entry(256, 4, [w])
+    entry(257, 4, [h])
+    entry(258, 3, bps)
+    entry(259, 3, [1])
+    entry(262, 3, [photo])
+    entry(273, 4, offsets)
+    entry(277, 3, [spp])
+    entry(278, 4, [rps])
+    entry(279, 4, counts)
+    ifd_off = pos + len(aux)
+    ifd = (
+        struct.pack(f"{end}H", len(entries))
+        + b"".join(entries)
+        + struct.pack(f"{end}I", 0)
+    )
+    magic = b"II*\x00" if endian == "II" else b"MM\x00*"
+    return (
+        magic
+        + struct.pack(f"{end}I", ifd_off)
+        + b"".join(strips)
+        + bytes(aux)
+        + ifd
+    )
+
+
 def decode_pixels(b: bytes):
     """(format, HxWxC uint8 array) for any container with a real stdlib
-    pixel codec here (png/bmp/gif/jpeg both baseline and progressive —
-    see datapipe.jpeg); (format, None) when only the header is parseable
-    (arithmetic/lossless JPEG profiles); (None, None) for
+    pixel codec here (png/bmp/gif/tiff, jpeg both baseline and progressive
+    — see datapipe.jpeg); (format, None) when only the header is parseable
+    (arithmetic/lossless JPEG profiles, compressed TIFF); (None, None) for
     unknown bytes. Raises DECODE_ERRORS members on corrupt payloads —
     callers catch and degrade."""
     fmt, _, _ = parse_image_header(b)
@@ -853,6 +1051,10 @@ def decode_pixels(b: bytes):
         return fmt, decode_bmp(b)
     if fmt == "gif":
         return fmt, decode_gif(b)
+    if fmt == "tiff":
+        # non-baseline profiles raise like exotic JPEGs do: decode_image
+        # catches DECODE_ERRORS and degrades to the header-only row
+        return fmt, decode_tiff(b)
     if fmt == "jpeg":
         from engine_spark.datapipe.jpeg import decode_jpeg
 

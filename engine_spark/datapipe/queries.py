@@ -1606,6 +1606,70 @@ def q_multimodal_bmp_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_tiff",
+    """
+    SELECT doc_id, 'tiff' AS format, w::INT AS width, h::INT AS height,
+           (CASE doc_id % 3 WHEN 0 THEN 3 ELSE 1 END)::INT AS channels,
+           CAST(CASE doc_id % 3
+                WHEN 0 THEN (doc_id % 256 + (doc_id * 5) % 256
+                             + (doc_id * 11) % 256) * w * h
+                WHEN 1 THEN ((doc_id * 13) % 256) * w * h
+                ELSE 255 * (((w + 1) // 2) * (h // 2)
+                            + (w // 2) * ((h + 1) // 2))
+           END AS BIGINT) AS pix_sum
+    FROM (SELECT doc_id, n_chars % 40 + 4 AS w, doc_id % 30 + 4 AS h
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    doc=(
+        "REAL TIFF pixel decode (TIFF 6.0 baseline, stdlib codec, "
+        "multimodal.py decode_tiff): each document becomes a genuine "
+        "multi-strip uncompressed TIFF — solid RGB little-endian "
+        "(doc_id%3==0), solid 8-bit gray BIG-endian with WhiteIsZero "
+        "polarity (==1, so the sample inversion is exercised), or a "
+        "1-bit bilevel checkerboard (==2, exercising row-padded "
+        "unpackbits and the odd-parity count) — and decode_image "
+        "recovers true dims, channels, and the sum of ACTUAL decoded "
+        "pixels. The oracle recomputes each variant in closed form; "
+        "wrong endianness, skipped photometric inversion, or broken "
+        "strip assembly all break the sum. Map-only; payloads never "
+        "shuffle. Closes the r8 header-vs-pixel asymmetry for TIFF "
+        "(VERDICT r8 task #8)."
+    ),
+)
+def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import decode_image, encode_tiff
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "n_chars")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                w, h = nc % 40 + 4, did % 30 + 4
+                if did % 3 == 0:
+                    arr = np.empty((h, w, 3), np.uint8)
+                    arr[:, :] = (did % 256, (did * 5) % 256, (did * 11) % 256)
+                    payload = encode_tiff(arr, endian="II")
+                elif did % 3 == 1:
+                    arr = np.full((h, w), (did * 13) % 256, np.uint8)
+                    payload = encode_tiff(arr, endian="MM", photometric=0)
+                else:
+                    ys, xs = np.mgrid[0:h, 0:w]
+                    arr = (((ys + xs) % 2) * 255).astype(np.uint8)
+                    payload = encode_tiff(arr, bilevel=True)
+                rows.append((did, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_image(payloads).orderBy("doc_id")
+
+
+@register(
     "bpe_token_counts",
     """
     SELECT doc_id,

@@ -2053,6 +2053,9 @@ _ORDER = [
     "join_multiway_q5",
     "asof_join_last_view",
     "join_q3_shipping_priority",
+    # round-9 additions (enter past the window per rotation policy;
+    # sql_trigger_ticks went straight in-window at the judge's request)
+    "multimodal_tiff",            # REAL TIFF 6.0 baseline pixel decode
 ]
 
 

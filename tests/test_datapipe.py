@@ -2694,3 +2694,73 @@ def test_mp4_track_dims_zero_dim_video_trak_does_not_shadow():
     assert _mp4_track_dims(payload) == (640, 480)
     # zero-dim video trak alone still degrades to (None, None)
     assert _mp4_track_dims(box(b"moov", trak(b"vide", 0, 0))) == (None, None)
+
+
+def test_tiff_codec_roundtrip_all_profiles(spark):
+    """encode_tiff → decode_tiff round-trips RGB (both byte orders,
+    multi-strip), 8-bit gray (both photometric polarities), and 1-bit
+    bilevel (both polarities, width not a byte multiple); non-baseline
+    profiles raise ValueError; decode_image degrades a compressed TIFF
+    to the header-only row instead of failing the task."""
+    import struct
+
+    import pytest
+
+    import numpy as np
+
+    from engine_spark.datapipe.multimodal import (
+        decode_image,
+        decode_pixels,
+        decode_tiff,
+        encode_tiff,
+        parse_image_header,
+    )
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, (13, 9, 3), np.uint8)
+    for endian in ("II", "MM"):
+        b = encode_tiff(rgb, endian=endian)
+        assert parse_image_header(b) == ("tiff", 9, 13)
+        assert np.array_equal(decode_tiff(b), rgb)
+    gray = rng.randint(0, 256, (7, 5), np.uint8)
+    for ph in (0, 1):
+        assert np.array_equal(
+            decode_tiff(encode_tiff(gray, photometric=ph))[:, :, 0], gray
+        )
+    bits = (rng.randint(0, 2, (11, 13), np.uint8) * 255).astype(np.uint8)
+    for ph in (0, 1):
+        got = decode_tiff(encode_tiff(bits, bilevel=True, photometric=ph))
+        assert np.array_equal(got[:, :, 0], bits)
+    # single-strip and many-strip agree
+    assert np.array_equal(
+        decode_tiff(encode_tiff(gray, rows_per_strip=100)),
+        decode_tiff(encode_tiff(gray, rows_per_strip=1)),
+    )
+    # dispatch through decode_pixels
+    fmt, arr = decode_pixels(encode_tiff(rgb))
+    assert fmt == "tiff" and arr.shape == (13, 9, 3)
+
+    # non-baseline: set Compression=5 (LZW) in the IFD → ValueError
+    lzw = bytearray(encode_tiff(gray))
+    (ifd,) = struct.unpack("<I", lzw[4:8])
+    (n,) = struct.unpack("<H", lzw[ifd : ifd + 2])
+    for k in range(n):
+        off = ifd + 2 + 12 * k
+        if struct.unpack("<H", lzw[off : off + 2])[0] == 259:
+            lzw[off + 8 : off + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compression"):
+        decode_tiff(bytes(lzw))
+    # truncated strips raise
+    whole = encode_tiff(gray)
+    with pytest.raises(ValueError):
+        decode_tiff(whole[: len(whole) // 2])
+
+    # Spark path: the compressed variant degrades to header-only
+    d = spark.createDataFrame(
+        [(1, bytearray(encode_tiff(rgb))), (2, bytearray(bytes(lzw)))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in decode_image(d).collect()}
+    assert (out[1].format, out[1].channels) == ("tiff", 3)
+    assert out[1].pix_sum == int(rgb.sum())
+    assert (out[2].format, out[2].pix_sum) == ("tiff", None)
