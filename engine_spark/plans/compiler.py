@@ -254,10 +254,15 @@ class SqlApp:
                 self.schemas[stmt.name] = stmt
                 if stmt.options.get("type") == "source":
                     # auto-attach the WITH(...)-declared source (reference
-                    # eventflux_app_runtime.rs:995-1007)
-                    from engine_spark.sources import create_source
+                    # eventflux_app_runtime.rs:995-1007); on.error='fault'
+                    # additionally registers <Name>_fault (reference
+                    # stream_junction.rs:31-66 fault_stream_junction)
+                    from engine_spark.sources.registry import (
+                        create_source_with_faults,
+                    )
 
                     opts = dict(stmt.options)
+                    opts.setdefault("name", stmt.name)
                     opts.setdefault(
                         "event.schema",
                         ", ".join(
@@ -265,10 +270,14 @@ class SqlApp:
                             for n, t in stmt.columns
                         ),
                     )
-                    sdf = create_source(self.spark, opts)
+                    sdf, faults = create_source_with_faults(self.spark, opts)
                     self.streams[stmt.name] = _Stream(
                         df=sdf, ts_col=opts.get("timestamp.column")
                     )
+                    if faults is not None:
+                        self.streams[f"{stmt.name}_fault"] = _Stream(
+                            df=faults, ts_col=None
+                        )
             elif isinstance(stmt, P.CreateTrigger):
                 self.streams[stmt.name] = _Stream(
                     df=self._trigger_df(stmt), ts_col="triggered_time"

@@ -69,3 +69,58 @@ def map_in(fmt: str, df: DataFrame, schema: str | None = None, **kw) -> DataFram
 def map_out(fmt: str, df: DataFrame, **kw) -> DataFrame:
     _, fout = MAPPERS[fmt.lower()]
     return fout(df, **kw)
+
+
+#: the fault-stream row shape (reference stream_junction.rs:31-66
+#: OnErrorAction + fault_stream_junction): the raw payload that failed
+#: the mapper plus a diagnostic, queryable like any stream
+FAULT_SCHEMA = "payload string, error string"
+
+
+def map_in_split(
+    fmt: str,
+    df: DataFrame,
+    schema: str | None = None,
+    value_col: str = "value",
+    observe_name: str | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Mapper with fault routing: → (good rows, fault rows | None).
+
+    Spark-first split: instead of a per-row try/except loop, the parse
+    runs once in PERMISSIVE mode with a corrupt-record column
+    (from_json/from_csv keep malformed payloads in ``_corrupt``
+    JVM-side), and good/fault are two filters over the same parsed
+    column — vectorized, codegen'd, and computed in one pass per branch.
+    A NULL payload is a fault too (the reference junction treats an
+    unmappable event as an error event, stream_junction.rs:31).
+    ``bytes`` is a total cast, so its fault branch is None.
+    """
+    f = fmt.lower()
+    if f == "bytes":
+        return bytes_in(df, value_col=value_col), None
+    if f not in MAPPERS:
+        raise KeyError(f"unknown mapper {fmt!r}")
+    if schema is None:
+        raise ValueError(f"{fmt} mapper needs a schema")
+    opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
+    full = f"{schema}, _corrupt STRING"
+    raw = F.col(value_col).cast("string")
+    parse = F.from_json(raw, full, opts) if f == "json" else F.from_csv(raw, full, opts)
+    parsed = df.withColumn("_ev", parse)
+    bad = F.col("_ev").isNull() | F.col("_ev._corrupt").isNotNull()
+    if observe_name:
+        # attached BEFORE the good/fault filters so the metric counts
+        # malformed rows in the same pass the good branch consumes
+        parsed = parsed.observe(
+            observe_name,
+            F.count_if(bad).alias("malformed"),
+            F.count(F.lit(1)).alias("events"),
+        )
+    good = parsed.filter(~bad).select("_ev.*").drop("_corrupt")
+    faults = parsed.filter(bad).select(
+        raw.alias("payload"),
+        F.when(F.col("_ev").isNull(), F.lit(f"{f} mapper: null payload"))
+        .otherwise(F.lit(f"{f} mapper: malformed payload"))
+        .alias("error"),
+    )
+    return good, faults

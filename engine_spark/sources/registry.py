@@ -115,9 +115,25 @@ SOURCES: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
 }
 
 
-def create_source(spark: SparkSession, options: dict) -> DataFrame:
+def create_source_with_faults(
+    spark: SparkSession, options: dict
+) -> tuple[DataFrame, DataFrame | None]:
     """WITH(...)-driven source construction + mapper attach
-    (with_clause.rs:38-135 → auto-attach eventflux_app_runtime.rs:995-1007).
+    (with_clause.rs:38-135 → auto-attach eventflux_app_runtime.rs:995-1007)
+    with ``'on.error'`` routing (reference stream_junction.rs:31-66
+    OnErrorAction):
+
+    - ``'log'`` (default): malformed payloads are dropped from the good
+      stream and counted per batch through a named ``observe()`` metric
+      (``on_error_<n>``) any QueryListener/batch observation can read —
+      the Spark-native "log it, keep going" hook.
+    - ``'drop'``: malformed payloads silently dropped.
+    - ``'fault'`` / ``'stream'``: returns (good, faults) — the caller
+      registers faults as ``<Stream>_fault`` (payload, error), queryable
+      like any stream; sink it anywhere for a DLQ.
+    - ``'store'``: not a separate mode here — compose the fault stream
+      with any sink (parquet/filequeue) for a durable error store;
+      raises with that guidance.
     """
     ext = options.get("extension")
     if ext not in SOURCES:
@@ -126,8 +142,40 @@ def create_source(spark: SparkSession, options: dict) -> DataFrame:
         )
     df = SOURCES[ext](spark, options)
     fmt = options.get("format")
-    if fmt and fmt != "native":
-        df = map_in(fmt, df, schema=options.get("event.schema"))
+    on_error = options.get("on.error", "log").lower()
+    if on_error == "store":
+        raise ValueError(
+            "on.error='store': use on.error='fault' and sink the "
+            "<Stream>_fault stream to parquet/filequeue for a durable "
+            "error store (the reference's STORE is a built-in sink; "
+            "Spark's model composes it from the fault stream)"
+        )
+    if on_error not in ("log", "drop", "fault", "stream"):
+        raise ValueError(
+            f"unknown on.error action {on_error!r} "
+            "(log | drop | fault | stream)"
+        )
+    if not fmt or fmt == "native":
+        return df, None
+    from engine_spark.sources.mappers import map_in_split
+
+    # log mode: per-batch (malformed, events) counts as an observation
+    # metric named on_error_<stream> — surfaces via listeners/Observation
+    # on batch and streaming alike, computed in the same pass
+    obs = (
+        f"on_error_{options.get('name', ext)}" if on_error == "log" else None
+    )
+    good, faults = map_in_split(
+        fmt, df, schema=options.get("event.schema"), observe_name=obs
+    )
+    if faults is None or on_error in ("drop", "log"):
+        return good, None
+    return good, faults
+
+
+def create_source(spark: SparkSession, options: dict) -> DataFrame:
+    """create_source_with_faults, good rows only (compat surface)."""
+    df, _ = create_source_with_faults(spark, options)
     return df
 
 

@@ -234,3 +234,118 @@ def test_file_queue_batch_and_stream_epoch_namespaces(spark, tmp_path):
     assert q.publish_epoch_distributed(df, 0, prefix="batch-") is False
     assert q.publish_epoch_distributed(df, 0) is False
     assert q.read_all(spark, "id long").count() == 2
+
+
+# ---------------------------------------------------------------------------
+# on.error fault routing (reference stream_junction.rs:31-66 OnErrorAction
+# + fault_stream_junction)
+# ---------------------------------------------------------------------------
+
+def test_map_in_split_json_good_and_faults(spark):
+    from engine_spark.sources.mappers import map_in_split
+
+    d = spark.createDataFrame(
+        [('{"a": 1, "b": "x"}',), ("not json",), ('{"a": "oops"}',), (None,)],
+        "value string",
+    )
+    good, faults = map_in_split("json", d, "a INT, b STRING")
+    assert [tuple(r) for r in good.collect()] == [(1, "x")]
+    got = {r.payload: r.error for r in faults.collect()}
+    assert got["not json"] == "json mapper: malformed payload"
+    assert got['{"a": "oops"}'] == "json mapper: malformed payload"
+    assert got[None] == "json mapper: null payload"
+
+
+def test_map_in_split_csv_and_bytes(spark):
+    from engine_spark.sources.mappers import map_in_split
+
+    d = spark.createDataFrame([("1,x",), ("zz,y",), ("1,2,3",)], "value string")
+    good, faults = map_in_split("csv", d, "a INT, b STRING")
+    assert [tuple(r) for r in good.collect()] == [(1, "x")]
+    assert sorted(r.payload for r in faults.collect()) == ["1,2,3", "zz,y"]
+    # bytes is a total cast: no fault branch
+    good, faults = map_in_split("bytes", d)
+    assert faults is None and good.count() == 3
+
+
+def test_on_error_fault_stream_in_sql_app(spark, tmp_path):
+    """Feed one malformed JSON row through a WITH('on.error'='fault')
+    source: it arrives on <Stream>_fault (payload + error) while the main
+    query keeps running over the good rows — the reference's
+    OnErrorAction::STREAM fault-junction behavior."""
+    from engine_spark.plans import SqlApp
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.txt").write_text('{"a": 5, "b": "ok"}\nBROKEN {\n{"a": 6, "b": "yo"}\n')
+    app = SqlApp(spark)
+    outs = app.sql(
+        f"""
+        CREATE STREAM In (a INT, b STRING) WITH (
+            'type'='source', 'extension'='file', 'path'='{p}',
+            'file.format'='text', 'schema'='value string',
+            'format'='json', 'on.error'='fault');
+        CREATE STREAM outOk (a INT, b STRING);
+        CREATE STREAM outBad (payload STRING, error STRING);
+        INSERT INTO outOk SELECT a, b FROM In;
+        INSERT INTO outBad SELECT payload, error FROM In_fault;
+        """
+    )
+    okq = (
+        outs["outOk"].writeStream.format("memory").queryName("fr_ok")
+        .trigger(availableNow=True).start()
+    )
+    badq = (
+        outs["outBad"].writeStream.format("memory").queryName("fr_bad")
+        .trigger(availableNow=True).start()
+    )
+    okq.awaitTermination(60)
+    badq.awaitTermination(60)
+    ok = {(r.a, r.b) for r in spark.sql("select * from fr_ok").collect()}
+    bad = [tuple(r) for r in spark.sql("select * from fr_bad").collect()]
+    assert ok == {(5, "ok"), (6, "yo")}
+    assert bad == [("BROKEN {", "json mapper: malformed payload")]
+
+
+def test_on_error_log_counts_malformed_via_observation(spark, tmp_path):
+    """Default on.error='log': malformed rows are dropped from the good
+    stream and counted through the on_error_<name> observation metric."""
+    from engine_spark.plans import SqlApp
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.txt").write_text('{"a": 1}\nnope\n{"a": 2}\n')
+    app = SqlApp(spark)
+    outs = app.sql(
+        f"""
+        CREATE STREAM In (a INT) WITH (
+            'type'='source', 'extension'='file', 'path'='{p}',
+            'file.format'='text', 'schema'='value string', 'format'='json');
+        CREATE STREAM o (a INT);
+        INSERT INTO o SELECT a FROM In;
+        """
+    )
+    assert "In_fault" not in app.streams  # log mode has no fault stream
+    q = (
+        outs["o"].writeStream.format("memory").queryName("fr_log")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    assert {r.a for r in spark.sql("select * from fr_log").collect()} == {1, 2}
+    obs = q.lastProgress["observedMetrics"].get("on_error_In")
+    assert obs is not None and obs["malformed"] == 1 and obs["events"] == 3
+
+
+def test_on_error_store_and_unknown_raise(spark):
+    from engine_spark.sources.registry import create_source_with_faults
+
+    with pytest.raises(ValueError, match="on.error='store'"):
+        create_source_with_faults(
+            spark,
+            {"extension": "timer", "format": "json",
+             "event.schema": "a INT", "on.error": "store"},
+        )
+    with pytest.raises(ValueError, match="unknown on.error"):
+        create_source_with_faults(
+            spark, {"extension": "timer", "on.error": "explode"}
+        )
