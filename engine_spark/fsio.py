@@ -141,3 +141,42 @@ def atomic_publish_file(path: str, data: bytes) -> bool:
         return True
     except Exception:  # noqa: BLE001 - marker publish is best-effort
         return False
+
+
+def executor_read_small_files(dir_path: str, suffix: str = ".json") -> list[bytes]:
+    """Executor-safe listing+read of every small file under ``dir_path``
+    ending in ``suffix`` (no SparkSession required — the worker-side twin
+    of HadoopFS.list_names/read_bytes). Local paths use os.listdir; URI
+    paths go through pyarrow.fs. A missing/unreachable directory returns
+    [] (callers treat the registry as empty and degrade gracefully)."""
+    out: list[bytes] = []
+    if "://" not in dir_path:
+        try:
+            names = os.listdir(dir_path)
+        except OSError:
+            return out
+        for n in sorted(names):
+            if not n.endswith(suffix):
+                continue
+            try:
+                with open(os.path.join(dir_path, n), "rb") as f:
+                    out.append(f.read())
+            except OSError:
+                continue
+        return out
+    try:
+        from pyarrow import fs as pafs
+
+        filesystem, rel = pafs.FileSystem.from_uri(dir_path)
+        sel = pafs.FileSelector(rel, allow_not_found=True)
+        for info in sorted(filesystem.get_file_info(sel), key=lambda i: i.path):
+            if info.type != pafs.FileType.File or not info.path.endswith(suffix):
+                continue
+            try:
+                with filesystem.open_input_stream(info.path) as f:
+                    out.append(f.read())
+            except OSError:
+                continue
+    except Exception:  # noqa: BLE001 - unreachable scheme → empty registry
+        return []
+    return out

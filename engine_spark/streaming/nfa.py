@@ -111,6 +111,42 @@ def _mark_hot_key(hot_dir: str, key_str: str) -> None:
     atomic_publish_file(fn, (_json.dumps({"k": key_str}) + "\n").encode())
 
 
+#: executor-side hot-key registry reload cadence for ``salt='auto-live'``
+#: (seconds). A marker written in batch N is visible to every executor
+#: within this TTL — set it at or below the trigger interval so batch
+#: N+1 re-keys. Tests set 0 to force a reload per Arrow batch.
+HOT_RELOAD_TTL_S = 2.0
+
+#: per-process registry snapshot cache: dir → (monotonic_read_time, keys)
+_HOT_LIVE_CACHE: dict[str, tuple[float, frozenset]] = {}
+
+
+def _hot_keys_live(hot_dir: str, ttl: float) -> frozenset:
+    """Executor-side marker-set read with a TTL cache (the worker twin of
+    the driver's eager plan-build listing): one small-dir listing per
+    process per TTL window, never per row."""
+    import json as _json
+    import time as _time
+
+    now = _time.monotonic()
+    ent = _HOT_LIVE_CACHE.get(hot_dir)
+    if ent is not None and now - ent[0] < ttl:
+        return ent[1]
+    from engine_spark.fsio import executor_read_small_files
+
+    keys: set[str] = set()
+    for data in executor_read_small_files(hot_dir, ".json"):
+        try:
+            for line in data.decode().splitlines():
+                if line.strip():
+                    keys.add(str(_json.loads(line)["k"]))
+        except Exception:  # noqa: BLE001 - torn marker delays, not breaks
+            continue
+    snap = frozenset(keys)
+    _HOT_LIVE_CACHE[hot_dir] = (now, snap)
+    return snap
+
+
 def _auto_salt(
     tagged: DataFrame,
     ts_col: str,
@@ -120,6 +156,7 @@ def _auto_salt(
     r: int,
     repl_cond: Column | None = None,
     anchor_col: str = "_is_a",
+    live: bool = False,
 ) -> DataFrame:
     """Hot-key-only salting, driven by the marker registry: keys listed in
     ``hot_key_dir`` get the exact A-owns-one/B-fans-to-all-R treatment
@@ -140,7 +177,17 @@ def _auto_salt(
     pre-salt state lives in sub-key 0 and B events replicate to ALL
     sub-keys including 0, so existing opens still meet every B; a
     hot→cold flip would strand state in sub-keys 1..R-1, which is why
-    markers are never removed."""
+    markers are never removed.
+
+    ``live=True`` (``salt='auto-live'``): instead of freezing the
+    registry into an ``isin`` literal at plan build, the ``_hot`` flag
+    comes from an Arrow-batched pandas UDF whose per-process marker
+    snapshot refreshes on :data:`HOT_RELOAD_TTL_S` — so a marker written
+    in batch N re-keys batch N+1 under a SINGLE long-lived
+    ``writeStream.start()``, no restart and no StreamRunner re-plan.
+    Cost: one vectorized set-membership pass over the key column per
+    batch (cold keys included), vs zero Python for the frozen literal —
+    which is why the snapshot mode stays the default."""
     import json as _json
 
     from engine_spark.fsio import HadoopFS
@@ -148,26 +195,41 @@ def _auto_salt(
     spark = tagged.sparkSession
     fs = HadoopFS(spark, hot_key_dir)
     fs.mkdirs(hot_key_dir)
-    base = hot_key_dir.rstrip("/")
-    keys: set[str] = set()
-    for name, is_dir in fs.list_names(hot_key_dir):
-        if is_dir or not name.endswith(".json"):
-            continue
-        try:
-            for line in fs.read_bytes(f"{base}/{name}").decode().splitlines():
-                if line.strip():
-                    keys.add(str(_json.loads(line)["k"]))
-        except Exception:  # noqa: BLE001 - a torn marker delays, not breaks
-            continue
-    if keys:
+    if live:
+        ttl = HOT_RELOAD_TTL_S
+
+        @F.pandas_udf("boolean")
+        def _hot_live(k: pd.Series) -> pd.Series:
+            keys = _hot_keys_live(hot_key_dir, ttl)
+            if not keys:
+                return pd.Series(False, index=k.index)
+            return k.isin(list(keys))
+
         tagged = tagged.withColumn(
-            "_hot",
-            F.when(
-                F.col(key_col).cast("string").isin(*sorted(keys)), F.lit(True)
-            ),
+            "_hot", _hot_live(F.col(key_col).cast("string"))
         )
     else:
-        tagged = tagged.withColumn("_hot", F.lit(None).cast("boolean"))
+        base = hot_key_dir.rstrip("/")
+        keys: set[str] = set()
+        for name, is_dir in fs.list_names(hot_key_dir):
+            if is_dir or not name.endswith(".json"):
+                continue
+            try:
+                for line in fs.read_bytes(f"{base}/{name}").decode().splitlines():
+                    if line.strip():
+                        keys.add(str(_json.loads(line)["k"]))
+            except Exception:  # noqa: BLE001 - torn marker delays, not breaks
+                continue
+        if keys:
+            tagged = tagged.withColumn(
+                "_hot",
+                F.when(
+                    F.col(key_col).cast("string").isin(*sorted(keys)),
+                    F.lit(True),
+                ),
+            )
+        else:
+            tagged = tagged.withColumn("_hot", F.lit(None).cast("boolean"))
     if repl_cond is None:
         repl_cond = F.col("_is_b")
     own = F.when(
@@ -228,23 +290,27 @@ def followed_by_stream(
     snapshotted at each PLAN BUILD, so under StreamRunner (which rebuilds
     the plan per micro-batch — the supported deployment for auto mode)
     the NEXT batch re-keys that key across ``auto_salt_r`` sub-keys with
-    the same exactness contract as static salt, while a single
-    long-lived ``start()`` picks markers up at query restart. Membership
-    is sticky (see _auto_salt for why that is required for exactness).
+    the same exactness contract as static salt. ``salt="auto-live"`` is
+    the variant for a SINGLE long-lived ``start()``: membership is
+    re-read executor-side on a TTL (HOT_RELOAD_TTL_S), so a marker from
+    batch N re-keys batch N+1 with no restart and no re-plan, at the
+    cost of one Arrow-batched membership pass per batch. Membership is
+    sticky (see _auto_salt for why that is required for exactness).
     Cold keys pay only a literal IN-set membership test — no replication.
     """
     within_us = within_seconds * US
     tagged = watermarked(df, ts_col, late).withColumn(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", second.cast("boolean"))
-    auto = salt == "auto"
+    auto = salt in ("auto", "auto-live")
     if auto:
         if not hot_key_dir:
             raise ValueError("salt='auto' requires hot_key_dir")
         if auto_salt_r < 2:
             raise ValueError("auto_salt_r must be >= 2")
         tagged = _auto_salt(
-            tagged, ts_col, key_col, [value_col], hot_key_dir, auto_salt_r
+            tagged, ts_col, key_col, [value_col], hot_key_dir, auto_salt_r,
+            live=salt == "auto-live",
         )
     elif salt is not None:
         if salt < 1:
@@ -402,12 +468,13 @@ def absent_stream(
     tagged = watermarked(df, ts_col, late).withColumn(
         "_is_a", first.cast("boolean")
     ).withColumn("_is_b", absent.cast("boolean"))
-    auto = salt == "auto"
+    auto = salt in ("auto", "auto-live")
     if auto:
         if not hot_key_dir:
             raise ValueError("salt='auto' requires hot_key_dir")
         tagged = _auto_salt(
-            tagged, ts_col, key_col, [value_col], hot_key_dir, auto_salt_r
+            tagged, ts_col, key_col, [value_col], hot_key_dir, auto_salt_r,
+            live=salt == "auto-live",
         )
     elif salt is not None:
         tagged = _salt_a_b(tagged, ts_col, [value_col], salt)
@@ -609,7 +676,7 @@ def chain_stream(
         tagged = tagged.withColumn(f"_is_{i}b", pred2.cast("boolean"))
     if absent_final is not None:
         tagged = tagged.withColumn("_is_ab", absent_final[0].cast("boolean"))
-    auto = salt == "auto"
+    auto = salt in ("auto", "auto-live")
     if salt is not None:
         if not every:
             raise ValueError(
@@ -629,6 +696,7 @@ def chain_stream(
             tagged = _auto_salt(
                 tagged, ts_col, key_col, payload_cols, hot_key_dir,
                 auto_salt_r, repl_cond=later, anchor_col="_is_0",
+                live=salt == "auto-live",
             )
         else:
             if salt < 1:

@@ -1195,3 +1195,112 @@ def test_streaming_gapfill_allowed_late_event_before_first_hour(spark):
     # and nothing lingers in pending below the cursor: the gap rows after
     # hour 10 forward-fill hour 10's value
     assert all(g[3] for g in got[2:] if g[0] in (11, 12))
+
+
+def test_auto_live_salt_same_plan_rekeys_after_marker(spark, tmp_path, monkeypatch):
+    """salt='auto-live': the hot-key membership is evaluated per batch by
+    an executor-side TTL-cached reader, NOT frozen into the plan — so the
+    SAME DataFrame (built once, never re-planned) starts salting a key
+    after its marker lands mid-life. This is the per-micro-batch reload
+    the plan-build snapshot mode cannot do (VERDICT r8 task #4)."""
+    from engine_spark.streaming import nfa
+
+    monkeypatch.setattr(nfa, "HOT_RELOAD_TTL_S", 0.0)
+    hot = str(tmp_path / "hot")
+    from datetime import datetime as _dt
+
+    tagged = (
+        spark.createDataFrame(
+            [(_dt(2026, 1, 1, 12, 0), "u1", "a", 1.0),
+             (_dt(2026, 1, 1, 12, 1), "u1", "b", 2.0),
+             (_dt(2026, 1, 1, 12, 2), "u2", "b", 3.0)],
+            "ts timestamp, user string, etype string, v double",
+        )
+        .withColumn("_is_a", F.col("etype") == "a")
+        .withColumn("_is_b", F.col("etype") == "b")
+    )
+    plan = nfa._auto_salt(
+        tagged, "ts", "user", ["v"], hot, 4, live=True
+    )  # built ONCE — reused below without rebuilding
+    cold = plan.collect()
+    assert len(cold) == 3 and {r._salt for r in cold} == {0}
+
+    nfa._mark_hot_key(hot, "u1")  # marker lands AFTER the plan exists
+    hotrun = plan.collect()
+    u1_b = [r for r in hotrun if r.user == "u1" and r.etype == "b"]
+    assert sorted(r._salt for r in u1_b) == [0, 1, 2, 3]  # B fans to all R
+    u1_a = [r for r in hotrun if r.user == "u1" and r.etype == "a"]
+    assert len(u1_a) == 1 and u1_a[0]._is_a  # A owns exactly one sub-key
+    assert [r._salt for r in hotrun if r.user == "u2"] == [0]  # cold key
+
+
+def test_auto_live_salt_single_long_lived_query_exact(spark, tmp_path, monkeypatch):
+    """One writeStream.start() (no restart, no StreamRunner re-plan): a
+    marker written between micro-batches re-keys the next batch while the
+    match output stays exactly the unsalted result — every open A meets
+    the earliest B once, through the cold→hot transition."""
+    import json
+    import time
+
+    from engine_spark.streaming import nfa
+
+    monkeypatch.setattr(nfa, "HOT_RELOAD_TTL_S", 0.0)
+    hot = str(tmp_path / "hot")
+    indir = tmp_path / "in"
+    indir.mkdir()
+    n_sent = [0]
+
+    def feed(rows):
+        p = indir / f"b{n_sent[0]:05d}.json"
+        n_sent[0] += 1
+        with open(str(p) + ".tmp", "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        (indir / (p.name + ".tmp")).rename(p)
+        t = 1_700_000_000 + n_sent[0]
+        import os as _os
+
+        _os.utime(p, (t, t))
+
+    feed([
+        {"ts": "2024-01-01 00:00:00", "user": "u1", "etype": "a", "v": float(i)}
+        for i in range(3)
+    ])
+    src = (
+        spark.readStream.schema("ts timestamp, user string, etype string, v double")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(indir))
+    )
+    plan = nfa.followed_by_stream(
+        src, "ts", "user", F.col("etype") == "a", F.col("etype") == "b",
+        within_seconds=600, value_col="v",
+        salt="auto-live", hot_key_dir=hot, auto_salt_r=4,
+    )
+    got: list = []
+    q = (
+        plan.writeStream.foreachBatch(lambda b, _i: got.extend(b.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if sum(p["numInputRows"] for p in q.recentProgress) >= 3:
+                break
+            time.sleep(0.2)
+        else:
+            raise AssertionError("batch 1 never processed")
+        nfa._mark_hot_key(hot, "u1")  # mid-query, between micro-batches
+        feed([{"ts": "2024-01-01 00:00:10", "user": "u1", "etype": "b", "v": 50.0},
+              {"ts": "2024-01-01 00:00:11", "user": "u1", "etype": "b", "v": 60.0}])
+        deadline = time.time() + 60
+        while time.time() < deadline and len(got) < 3:
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    matches = sorted((r.e1_value, r.e2_value) for r in got)
+    # exactly once per opened A, each taking the EARLIEST B — no fan-out
+    # duplicates, no missed opens across the cold→hot re-key
+    assert matches == [(0.0, 50.0), (1.0, 50.0), (2.0, 50.0)]
