@@ -278,6 +278,8 @@ class SqlApp:
                         self.streams[f"{stmt.name}_fault"] = _Stream(
                             df=faults, ts_col=None
                         )
+            elif isinstance(stmt, P.TableDml):
+                self._run_table_dml(stmt)
             elif isinstance(stmt, P.CreateTrigger):
                 self.streams[stmt.name] = _Stream(
                     df=self._trigger_df(stmt), ts_col="triggered_time"
@@ -341,6 +343,139 @@ class SqlApp:
             elif isinstance(stmt, P.Query):
                 self._run_query(stmt)
         return dict(self.outputs)
+
+    # ------------------------------------------------------------------
+    def _equi_pairs(
+        self, cond: str, table: str, source: str
+    ) -> list[tuple[str, str]] | None:
+        """A conjunction of ``Table.a = Source.b`` equalities →
+        [(table_col, source_col)]; None when the condition has any other
+        shape (the caller decides whether that is an error)."""
+        pairs: list[tuple[str, str]] = []
+        for part in P.split_keyword(cond, "AND"):
+            m = re.match(r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$", part.strip())
+            if not m:
+                return None
+            q1, c1, q2, c2 = m.groups()
+            if q1 == table and q2 == source:
+                pairs.append((c1, c2))
+            elif q1 == source and q2 == table:
+                pairs.append((c2, c1))
+            else:
+                return None
+        return pairs or None
+
+    def _last_per_key(self, name: str, df: DataFrame, keys: list) -> DataFrame:
+        """Stream events collapse to the LAST event per match key — the
+        reference junction applies table DML event-at-a-time in arrival
+        order, so on a batch replay the final table state reflects each
+        key's newest event. Order = the stream's event-time column, else
+        the _seq arrival column register_stream stamps."""
+        from pyspark.sql import Window as W
+
+        s = self.streams[name]
+        ord_col = s.ts_col if s.ts_col else ("_seq" if "_seq" in df.columns else None)
+        if ord_col is None:
+            df = df.withColumn("_seq", F.monotonically_increasing_id())
+            ord_col = "_seq"
+        w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(ord_col).desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _run_table_dml(self, d: P.TableDml) -> None:
+        """Stream-driven table DML, batch-replay semantics: the table's
+        new contents are what the reference's event-at-a-time processors
+        (update/delete/update_or_insert_table_processor.rs) would leave
+        after consuming the source stream. UPDATE and UPSERT require an
+        equi-match condition (that is the processors' key-lookup shape);
+        DELETE takes any condition (a left_anti join)."""
+        ddl = self.schemas.get(d.table)
+        if ddl is None or not ddl.is_table:
+            raise ValueError(
+                f"{d.kind}: {d.table!r} is not a CREATE TABLE relation"
+            )
+        if d.source not in self.streams:
+            raise ValueError(f"{d.kind}: unknown source stream {d.source!r}")
+        tcols = [c for c, _ in ddl.columns]
+        tdf = self.table(d.table).select(*tcols)
+        sdf = self.streams[d.source].df
+        cond = F.expr(rewrite_expr(d.cond))
+        if d.kind == "delete":
+            new = (
+                tdf.alias(d.table)
+                .join(sdf.alias(d.source), cond, "left_anti")
+                .select(*tcols)
+            )
+        elif d.kind == "update":
+            pairs = self._equi_pairs(d.cond, d.table, d.source)
+            if pairs is None:
+                raise ValueError(
+                    f"UPDATE {d.table}: WHERE must be a conjunction of "
+                    f"{d.table}.col = {d.source}.col equalities (the "
+                    "reference's key-lookup update shape)"
+                )
+            set_map = {c: rewrite_expr(e) for c, e in d.set_items}
+            unknown = set(set_map) - set(tcols)
+            if unknown:
+                raise ValueError(f"UPDATE {d.table}: unknown SET columns {sorted(unknown)}")
+            u = self._last_per_key(d.source, sdf, [s for _, s in pairs])
+            u = u.withColumn("_m", F.lit(True))
+            joined = tdf.alias(d.table).join(u.alias(d.source), cond, "left")
+            new = joined.select(
+                *[
+                    F.when(F.col(f"{d.source}._m"), F.expr(set_map[c]))
+                    .otherwise(F.col(f"{d.table}.{c}"))
+                    .alias(c)
+                    if c in set_map
+                    else F.col(f"{d.table}.{c}").alias(c)
+                    for c in tcols
+                ]
+            )
+        else:  # upsert
+            pairs = self._equi_pairs(d.cond, d.table, d.source)
+            if pairs is None:
+                raise ValueError(
+                    f"UPDATE OR INSERT INTO {d.table}: ON must be a "
+                    f"conjunction of {d.table}.col = {d.source}.col "
+                    "equalities"
+                )
+            if len(d.select_items) != len(tcols):
+                raise ValueError(
+                    f"UPDATE OR INSERT INTO {d.table}: {len(d.select_items)} "
+                    f"select items for {len(tcols)}-column table"
+                )
+            s = self.streams[d.source]
+            ord_col = s.ts_col if s.ts_col else ("_seq" if "_seq" in sdf.columns else None)
+            proj = sdf.alias(d.source).select(
+                *[
+                    F.expr(rewrite_expr(it.expr)).alias(c)
+                    for it, c in zip(d.select_items, tcols)
+                ],
+                *([F.col(ord_col).alias("_ord")] if ord_col else []),
+            )
+            keys = [t for t, _ in pairs]
+            if ord_col:
+                from pyspark.sql import Window as W
+
+                w = W.partitionBy(*keys).orderBy(F.col("_ord").desc())
+                proj = (
+                    proj.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_ord")
+                )
+            repl = proj.select(
+                *[
+                    F.col(c).cast(TYPE_MAP[re.sub(r"\(.*", "", typ).strip()]).alias(c)
+                    for c, (_, typ) in zip(tcols, ddl.columns)
+                ]
+            )
+            keep = tdf.join(repl.select(*keys), keys, "left_anti")
+            new = keep.unionByName(repl)
+        self.outputs[d.table] = new
+        self.register_stream(d.table, new)
 
     # ------------------------------------------------------------------
     def _trigger_df(self, t: P.CreateTrigger) -> DataFrame:

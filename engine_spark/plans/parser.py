@@ -170,6 +170,27 @@ class CreateTrigger:
 
 
 @dataclass
+class TableDml:
+    """SQL table DML driven by a stream (reference
+    tests/compatibility/tables.rs:155-206,375-388 — UpdateTableTestCase /
+    DeleteFromTableTestCase / UpdateOrInsertTableTestCase shapes; the
+    reference defines the syntax but #[ignore]s every test, like
+    CREATE AGGREGATION):
+
+    - ``UPDATE T SET c = expr, ... FROM S WHERE T.k = S.k``
+    - ``DELETE FROM T FROM S WHERE <cond>``
+    - ``UPDATE OR INSERT INTO T SELECT ... FROM S ON T.k = S.k``
+    """
+
+    kind: str  # "update" | "delete" | "upsert"
+    table: str
+    source: str
+    cond: str
+    set_items: list[tuple[str, str]] | None = None  # update
+    select_items: list | None = None  # upsert (SelectItem list)
+
+
+@dataclass
 class CreateAggregation:
     """``CREATE AGGREGATION Name FROM Stream SELECT aggs GROUP BY cols
     AGGREGATE EVERY unit [... unit];`` — incremental multi-granularity
@@ -312,6 +333,12 @@ def parse_app(text: str) -> list:
             out.append(_parse_create_aggregation(stmt))
         elif up.startswith("CREATE TRIGGER"):
             out.append(_parse_create_trigger(stmt))
+        elif (
+            up.startswith("UPDATE OR INSERT INTO")
+            or up.startswith("UPDATE ")
+            or up.startswith("DELETE FROM")
+        ):
+            out.append(_parse_table_dml(stmt))
         elif up.startswith("CREATE STREAM") or up.startswith("CREATE TABLE"):
             out.append(_parse_create(stmt))
         elif up.startswith("PARTITION WITH"):
@@ -402,6 +429,50 @@ def _parse_create_trigger(stmt: str) -> CreateTrigger:
         f"CREATE TRIGGER {name}: expected AT START, AT EVERY <n> <unit>, "
         f"or AT CRON '<expr>' — got {timing_txt[:40]!r}"
     )
+
+
+def _parse_table_dml(stmt: str) -> TableDml:
+    """The three stream-driven table DML statements (see TableDml)."""
+    nm = r"[A-Za-z_][A-Za-z0-9_]*"
+    m = re.match(
+        rf"UPDATE\s+OR\s+INSERT\s+INTO\s+({nm})\s+SELECT\s+(.*?)\s+"
+        rf"FROM\s+({nm})\s+ON\s+(.+?)\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        table, items_txt, source, cond = m.groups()
+        items = []
+        for item in split_top_level(items_txt, ","):
+            am = re.match(r"(.*)\s+AS\s+(\w+)\s*$", item, re.IGNORECASE | re.DOTALL)
+            if am:
+                items.append(SelectItem(expr=am.group(1).strip(), alias=am.group(2)))
+            else:
+                items.append(SelectItem(expr=item.strip(), alias=None))
+        return TableDml("upsert", table, source, cond.strip(), select_items=items)
+    m = re.match(
+        rf"UPDATE\s+({nm})\s+SET\s+(.*?)\s+FROM\s+({nm})\s+WHERE\s+(.+?)\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        table, set_txt, source, cond = m.groups()
+        sets = []
+        for part in split_top_level(set_txt, ","):
+            sm = re.match(r"(\w+)\s*=\s*(.+)$", part.strip(), re.DOTALL)
+            if not sm:
+                raise ValueError(f"cannot parse SET item {part!r}")
+            sets.append((sm.group(1), sm.group(2).strip()))
+        return TableDml("update", table, source, cond.strip(), set_items=sets)
+    m = re.match(
+        rf"DELETE\s+FROM\s+({nm})\s+FROM\s+({nm})\s+WHERE\s+(.+?)\s*$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if m:
+        table, source, cond = m.groups()
+        return TableDml("delete", table, source, cond.strip())
+    raise ValueError(f"cannot parse table DML: {stmt[:80]!r}")
 
 
 def _parse_create_aggregation(stmt: str) -> CreateAggregation:

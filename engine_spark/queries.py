@@ -1158,6 +1158,77 @@ def q_sql_trigger_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_table_dml",
+    """
+    WITH u AS (SELECT s_nationkey AS nk, max(s_acctbal) AS m
+               FROM supplier GROUP BY 1),
+    base AS (
+        SELECT n_nationkey AS k, n_name AS name, n_regionkey AS r,
+               COALESCE(u.m, 0.0) AS bal
+        FROM nation LEFT JOIN u ON u.nk = n_nationkey),
+    afterdel AS (
+        SELECT * FROM base
+        WHERE k NOT IN (SELECT nk FROM u WHERE m < 1000)),
+    repl AS (
+        SELECT 900 + r_regionkey AS k, 'R_' || r_name AS name,
+               r_regionkey AS r, -1.0 AS bal FROM region)
+    SELECT k, name, r, bal FROM afterdel
+    WHERE k NOT IN (SELECT k FROM repl)
+    UNION ALL SELECT k, name, r, bal FROM repl
+    ORDER BY k
+    """,
+    doc="stream-driven table DML through the SQL front-end: UPDATE ... "
+    "FROM stream WHERE equi-cond (per-key update, last event wins), "
+    "DELETE FROM ... FROM stream, and UPDATE OR INSERT INTO ... ON "
+    "(anti-join + union upsert) applied in statement order. The "
+    "reference defines exactly these shapes "
+    "(tests/compatibility/tables.rs:160-169,197-206,381-388 — "
+    "update/delete/update_or_insert_table_processor.rs) but #[ignore]s "
+    "the tests; here they compile onto joins Catalyst plans (broadcast "
+    "for the dim-sized streams). Update values are sf-dependent "
+    "(supplier max acctbal per nation)",
+)
+def q_sql_table_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.plans import SqlApp
+
+    cat = Catalog(spark, sf_dir)
+    app = SqlApp(spark)
+    nation, supplier, region = cat["nation"], cat["supplier"], cat["region"]
+    app.register_stream(
+        "SeedS",
+        nation.select(
+            F.col("n_nationkey").alias("k"), F.col("n_name").alias("name"),
+            F.col("n_regionkey").alias("r"), F.lit(0.0).alias("bal"),
+        ),
+    )
+    u = supplier.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.max("s_acctbal").alias("m")
+    )
+    app.register_stream("U", u)
+    app.register_stream("D", u.filter(F.col("m") < 1000).select("nk"))
+    app.register_stream(
+        "I",
+        region.select(
+            (F.lit(900) + F.col("r_regionkey")).alias("k"),
+            F.concat(F.lit("R_"), F.col("r_name")).alias("name"),
+            F.col("r_regionkey").alias("r"), F.lit(-1.0).alias("bal"),
+        ),
+    )
+    app.sql(
+        "CREATE TABLE T (k BIGINT, name STRING, r BIGINT, bal DOUBLE);"
+        "CREATE STREAM SeedS (k BIGINT, name STRING, r BIGINT, bal DOUBLE);"
+        "CREATE STREAM U (nk BIGINT, m DOUBLE);"
+        "CREATE STREAM D (nk BIGINT);"
+        "CREATE STREAM I (k BIGINT, name STRING, r BIGINT, bal DOUBLE);"
+        "INSERT INTO T SELECT * FROM SeedS;"
+        "UPDATE T SET bal = U.m FROM U WHERE T.k = U.nk;"
+        "DELETE FROM T FROM D WHERE T.k = D.nk;"
+        "UPDATE OR INSERT INTO T SELECT k, name, r, bal FROM I ON T.k = I.k;"
+    )
+    return app.table("T").select("k", "name", "r", "bal").orderBy("k")
+
+
+@register(
     "table_dml",
     """
     SELECT n_nationkey,
@@ -2056,6 +2127,7 @@ _ORDER = [
     # round-9 additions (enter past the window per rotation policy;
     # sql_trigger_ticks went straight in-window at the judge's request)
     "multimodal_tiff",            # REAL TIFF 6.0 baseline pixel decode
+    "sql_table_dml",              # UPDATE/DELETE/UPSERT SQL DML statements
 ]
 
 

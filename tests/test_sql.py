@@ -1145,3 +1145,91 @@ def test_create_trigger_streaming_rate_source(spark):
     df = outs["o"]
     assert df.isStreaming
     assert [f.name for f in df.schema.fields] == ["triggered_time", "counter"]
+
+
+# ---------------------------------------------------------------------------
+# Stream-driven table DML (reference tests/compatibility/tables.rs defines
+# the UPDATE / DELETE FROM / UPDATE OR INSERT syntax at :160-169, :197-206,
+# :381-388 but #[ignore]s every test — like CREATE AGGREGATION, the DDL
+# compiles here onto the real operators)
+# ---------------------------------------------------------------------------
+
+def test_sql_update_table_from_stream(spark):
+    # tables.rs:160-169 (UpdateTableTestCase.java shape); two update
+    # events on one key — the LAST event wins, matching event-at-a-time
+    # replay order
+    app = SqlApp(spark)
+    app.register_stream("stockStream", spark.createDataFrame(
+        [("IBM", 100.0, 100), ("MSFT", 50.0, 20)],
+        "symbol string, price double, volume int"))
+    app.register_stream("updateStream", spark.createDataFrame(
+        [("IBM", 123.0), ("IBM", 150.0)], "symbol string, newPrice double"))
+    app.sql(
+        "CREATE TABLE stockTable (symbol STRING, price FLOAT, volume INT);"
+        "CREATE STREAM stockStream (symbol STRING, price FLOAT, volume INT);"
+        "CREATE STREAM updateStream (symbol STRING, newPrice FLOAT);"
+        "INSERT INTO stockTable SELECT * FROM stockStream;"
+        "UPDATE stockTable SET price = updateStream.newPrice FROM updateStream "
+        "WHERE stockTable.symbol = updateStream.symbol;"
+    )
+    got = sorted((r.symbol, r.price, r.volume) for r in
+                 app.table("stockTable").select("symbol", "price", "volume").collect())
+    assert got == [("IBM", 150.0, 100), ("MSFT", 50.0, 20)]
+
+
+def test_sql_delete_from_table(spark):
+    # tables.rs:197-206 (DeleteFromTableTestCase.java shape)
+    app = SqlApp(spark)
+    app.register_stream("stockStream", spark.createDataFrame(
+        [("IBM", 100.0, 100), ("MSFT", 50.0, 20)],
+        "symbol string, price double, volume int"))
+    app.register_stream("deleteStream",
+                        spark.createDataFrame([("IBM",)], "symbol string"))
+    app.sql(
+        "CREATE TABLE stockTable (symbol STRING, price FLOAT, volume INT);"
+        "CREATE STREAM stockStream (symbol STRING, price FLOAT, volume INT);"
+        "CREATE STREAM deleteStream (symbol STRING);"
+        "INSERT INTO stockTable SELECT * FROM stockStream;"
+        "DELETE FROM stockTable FROM deleteStream "
+        "WHERE stockTable.symbol = deleteStream.symbol;"
+    )
+    assert [r.symbol for r in app.table("stockTable").select("symbol").collect()] == ["MSFT"]
+
+
+def test_sql_update_or_insert_into_table(spark):
+    # tables.rs:381-388 (UpdateOrInsertTableTestCase.java shape): the
+    # stream replaces matching keys and inserts the rest
+    app = SqlApp(spark)
+    app.register_stream("seedStream", spark.createDataFrame(
+        [("IBM", 1.0, 1), ("MSFT", 2.0, 2)],
+        "symbol string, price double, volume int"))
+    app.register_stream("stockStream", spark.createDataFrame(
+        [("IBM", 200.0, 5), ("GOOG", 77.0, 7)],
+        "symbol string, price double, volume int"))
+    app.sql(
+        "CREATE TABLE stockTable (symbol STRING, price FLOAT, volume INT);"
+        "CREATE STREAM seedStream (symbol STRING, price FLOAT, volume INT);"
+        "CREATE STREAM stockStream (symbol STRING, price FLOAT, volume INT);"
+        "INSERT INTO stockTable SELECT * FROM seedStream;"
+        "UPDATE OR INSERT INTO stockTable SELECT symbol, price, volume "
+        "FROM stockStream ON stockTable.symbol = stockStream.symbol;"
+    )
+    got = sorted((r.symbol, r.price, r.volume) for r in
+                 app.table("stockTable").select("symbol", "price", "volume").collect())
+    assert got == [("GOOG", 77.0, 7), ("IBM", 200.0, 5), ("MSFT", 2.0, 2)]
+
+
+def test_sql_table_dml_errors(spark):
+    app = SqlApp(spark)
+    app.register_stream("S", spark.createDataFrame([(1,)], "a int"))
+    app.sql("CREATE TABLE T (a INT); CREATE STREAM S (a INT);"
+            "INSERT INTO T SELECT * FROM S;")
+    # non-equi UPDATE condition refused (the key-lookup shape is required)
+    with pytest.raises(ValueError, match="equalities"):
+        app.sql("UPDATE T SET a = S.a FROM S WHERE T.a > S.a;")
+    # DML against a non-table refused
+    with pytest.raises(ValueError, match="not a CREATE TABLE"):
+        app.sql("DELETE FROM S FROM S WHERE S.a = S.a;")
+    # unknown SET column refused
+    with pytest.raises(ValueError, match="unknown SET"):
+        app.sql("UPDATE T SET zz = S.a FROM S WHERE T.a = S.a;")
