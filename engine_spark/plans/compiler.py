@@ -520,7 +520,71 @@ class SqlApp:
         return trigger_batch_cron(self.spark, start, end, t.cron)
 
     # ------------------------------------------------------------------
+    _CONTAINS_IN = re.compile(
+        r"^\(?\s*([A-Za-z_][A-Za-z0-9_.]*)\s+CONTAINS\s+IN\s+"
+        r"([A-Za-z_][A-Za-z0-9_]*)\s*\)?$",
+        re.IGNORECASE,
+    )
+
+    def _apply_contains_in(self, q: P.Query) -> None:
+        """``X CONTAINS IN Table`` (reference ContainsInTableTestCase
+        shape, tables.rs:419-431 — defined but #[ignore]d upstream):
+        membership of a stream value in a table column (the probe's base
+        name). Compiles to a broadcast left join against the table's
+        distinct keys — never a collected literal list, so a large table
+        stays distributed. Supported as a whole select item or the whole
+        WHERE clause on a plain stream source."""
+        import dataclasses
+
+        if not isinstance(q.source, P.StreamRef):
+            return
+        sel_hits = [
+            (i, m)
+            for i, it in enumerate(q.select)
+            if (m := self._CONTAINS_IN.match(it.expr.strip()))
+        ]
+        where_hit = (
+            self._CONTAINS_IN.match(q.where.strip()) if q.where else None
+        )
+        if not sel_hits and not where_hit:
+            return
+        s = self.streams.get(q.source.name)
+        if s is None:
+            raise KeyError(f"stream {q.source.name!r} not registered")
+        df = s.df
+        hits = sel_hits + ([(-1, where_hit)] if where_hit else [])
+        for i, m in hits:
+            probe, tname = m.groups()
+            base = probe.split(".")[-1]
+            tdf = self.table(tname)
+            if base not in tdf.columns:
+                raise ValueError(
+                    f"CONTAINS IN {tname}: no column {base!r} in the table"
+                )
+            tag = f"_cin_{i if i >= 0 else 'w'}"
+            keys = (
+                tdf.select(F.col(base).alias(f"{tag}_k"))
+                .distinct()
+                .withColumn(f"{tag}_p", F.lit(True))
+            )
+            df = df.join(
+                F.broadcast(keys),
+                F.col(base) == F.col(f"{tag}_k"),
+                "left",
+            ).drop(f"{tag}_k")
+            flag = f"coalesce({tag}_p, false)"
+            if i >= 0:
+                q.select[i] = P.SelectItem(
+                    expr=flag, alias=q.select[i].alias
+                )
+            else:
+                q.where = flag
+        tmp = f"_cin_src_{abs(id(q)) % 10**9}"
+        self.streams[tmp] = _Stream(df=df, ts_col=s.ts_col)
+        q.source = dataclasses.replace(q.source, name=tmp)
+
     def _run_query(self, q: P.Query) -> DataFrame:
+        self._apply_contains_in(q)
         df = self._compile(q)
         if q.insert_into:
             ddl = self.schemas.get(q.insert_into)
@@ -537,6 +601,32 @@ class SqlApp:
                         F.col(src).cast(TYPE_MAP[re.sub(r"\(.*", "", typ)]).alias(dst)
                         for src, (dst, typ) in zip(df.columns, ddl.columns)
                     ]
+                )
+            if ddl is not None and ddl.is_table and ddl.primary_key:
+                # PRIMARY KEY table: inserts stay key-unique, newest event
+                # winning (reference DefineTableTestCase, tables.rs:229-255
+                # — "Table should have only one IBM entry")
+                from pyspark.sql import Window as W
+
+                missing = [c for c in ddl.primary_key if c not in df.columns]
+                if missing:
+                    raise ValueError(
+                        f"INSERT INTO {q.insert_into}: primary key columns "
+                        f"{missing} absent from the inserted relation"
+                    )
+                ord_col = "_seq" if "_seq" in df.columns else None
+                if ord_col is None:
+                    df = df.withColumn(
+                        "_pk_ord", F.monotonically_increasing_id()
+                    )
+                    ord_col = "_pk_ord"
+                w = W.partitionBy(*ddl.primary_key).orderBy(
+                    F.col(ord_col).desc()
+                )
+                df = (
+                    df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .drop("_rn", "_pk_ord")
                 )
             self.outputs[q.insert_into] = df
             # outputs are streams: later queries may read them. Register

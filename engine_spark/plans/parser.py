@@ -152,6 +152,9 @@ class CreateStream:
     columns: list[tuple[str, str]]  # (name, sql_type)
     is_table: bool = False
     options: dict[str, str] = field(default_factory=dict)
+    #: PRIMARY KEY columns (tables only): inserts stay key-unique, the
+    #: newest event per key winning (reference DefineTableTestCase shape)
+    primary_key: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -341,7 +344,7 @@ def parse_app(text: str) -> list:
             out.append(_parse_table_dml(stmt))
         elif up.startswith("CREATE STREAM") or up.startswith("CREATE TABLE"):
             out.append(_parse_create(stmt))
-        elif up.startswith("PARTITION WITH"):
+        elif up.startswith("PARTITION WITH") or up.startswith("PARTITION BY"):
             # re-assemble the BEGIN … END block (it contained ';')
             block = stmt
             while "END" not in block.upper().split() and idx < len(stmts):
@@ -370,11 +373,25 @@ def _parse_create(stmt: str) -> CreateStream:
         raise ValueError(f"cannot parse DDL: {stmt[:80]!r}")
     kind, name, cols_txt, with_txt = m.groups()
     cols = []
+    pk: list[str] = []
     for c in split_top_level(cols_txt, ","):
-        cm = re.match(rf"([A-Za-z_][A-Za-z0-9_]*)\s+({_TYPE_RE})\s*$", c.strip())
+        cm = re.match(
+            rf"([A-Za-z_][A-Za-z0-9_]*)\s+({_TYPE_RE})"
+            r"(\s+PRIMARY\s+KEY)?\s*$",
+            c.strip(),
+            re.IGNORECASE,
+        )
         if not cm:
             raise ValueError(f"cannot parse column def {c!r} in {name}")
         cols.append((cm.group(1), cm.group(2).upper()))
+        if cm.group(3):
+            # reference DefineTableTestCase shape (tables.rs:232): a PK
+            # column makes inserts key-unique, newest event winning
+            if kind.upper() != "TABLE":
+                raise ValueError(
+                    f"PRIMARY KEY on stream {name}: only tables have keys"
+                )
+            pk.append(cm.group(1))
     options: dict[str, str] = {}
     if with_txt:
         # WITH ('type'='source', 'extension'='timer', …) — with_clause.rs:38-135
@@ -384,7 +401,8 @@ def _parse_create(stmt: str) -> CreateStream:
                 raise ValueError(f"cannot parse WITH option {kv!r}")
             options[km.group(1)] = km.group(2)
     return CreateStream(
-        name=name, columns=cols, is_table=kind.upper() == "TABLE", options=options
+        name=name, columns=cols, is_table=kind.upper() == "TABLE",
+        options=options, primary_key=pk,
     )
 
 
@@ -539,6 +557,16 @@ def _parse_create_aggregation(stmt: str) -> CreateAggregation:
 
 
 def _parse_partition(stmt: str) -> Partition:
+    # `PARTITION BY key OF Stream BEGIN ... END` (the spelling the
+    # reference's compatibility corpus uses, tables.rs:75 — its own
+    # grammar never supported it) normalizes to the PARTITION WITH form
+    bm = re.match(
+        r"PARTITION\s+BY\s+(.+?)\s*(BEGIN\b.*)$",
+        stmt,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if bm:
+        stmt = f"PARTITION WITH ({bm.group(1)}) {bm.group(2)}"
     m = re.match(
         r"PARTITION\s+WITH\s*\((.*?)\)\s*BEGIN\b(.*?)\bEND\s*$",
         stmt,

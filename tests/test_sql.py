@@ -1233,3 +1233,93 @@ def test_sql_table_dml_errors(spark):
     # unknown SET column refused
     with pytest.raises(ValueError, match="unknown SET"):
         app.sql("UPDATE T SET zz = S.a FROM S WHERE T.a = S.a;")
+
+
+def test_partition_by_spelling(spark):
+    # tables.rs:69-80 partition_test1 (#[ignore]d upstream): PARTITION BY
+    # is the compatibility-corpus spelling of PARTITION WITH
+    app = SqlApp(spark)
+    app.register_stream("stockStream", spark.createDataFrame(
+        [("IBM", 10.0, 1), ("IBM", 11.0, 2), ("MSFT", 20.0, 3), ("IBM", 12.0, 4)],
+        "symbol string, price double, volume int"))
+    outs = app.sql(
+        "CREATE STREAM stockStream (symbol STRING, price FLOAT, volume INT);"
+        "CREATE STREAM outputStream (symbol STRING, totalVolume BIGINT);"
+        "PARTITION BY symbol OF stockStream BEGIN "
+        "INSERT INTO outputStream SELECT symbol, sum(volume) AS totalVolume "
+        "FROM stockStream WINDOW('length', 2); END;"
+    )
+    got = sorted((r.symbol, r.totalVolume) for r in outs["outputStream"].collect())
+    assert got == [("IBM", 1), ("IBM", 3), ("IBM", 6), ("MSFT", 3)]
+
+
+def test_create_table_primary_key_dedupes_inserts(spark):
+    # tables.rs:229-255 table_test4 (#[ignore]d upstream): "Table should
+    # have only one IBM entry" — the newest event per key wins
+    app = SqlApp(spark)
+    app.register_stream("stockStream", spark.createDataFrame(
+        [("IBM", 100.0, 100), ("IBM", 150.0, 200), ("MSFT", 9.0, 9)],
+        "symbol string, price double, volume int"))
+    app.sql(
+        "CREATE TABLE stockTable (symbol STRING PRIMARY KEY, price FLOAT, volume INT);"
+        "CREATE STREAM stockStream (symbol STRING, price FLOAT, volume INT);"
+        "INSERT INTO stockTable SELECT * FROM stockStream;"
+    )
+    got = sorted((r.symbol, r.price, r.volume) for r in
+                 app.table("stockTable").select("symbol", "price", "volume").collect())
+    assert got == [("IBM", 150.0, 200), ("MSFT", 9.0, 9)]
+    # PRIMARY KEY on a stream is rejected
+    with pytest.raises(ValueError, match="only tables"):
+        parse_app("CREATE STREAM S (a INT PRIMARY KEY);")
+
+
+def test_contains_in_table_expression(spark):
+    # tables.rs:416-445 table_test8 (#[ignore]d upstream): membership of a
+    # stream value in a table column, as a select item AND a WHERE clause;
+    # compiles to a broadcast semi-join shape, not a collected literal
+    app = SqlApp(spark)
+    app.register_stream("insertStream", spark.createDataFrame(
+        [("IBM", 100.0)], "symbol string, price double"))
+    app.register_stream("checkStream", spark.createDataFrame(
+        [("IBM",), ("ZZZ",)], "symbol string"))
+    outs = app.sql(
+        "CREATE TABLE stockTable (symbol STRING, price FLOAT);"
+        "CREATE STREAM insertStream (symbol STRING, price FLOAT);"
+        "CREATE STREAM checkStream (symbol STRING);"
+        "CREATE STREAM outputStream (exists BOOLEAN);"
+        "INSERT INTO stockTable SELECT * FROM insertStream;"
+        "INSERT INTO outputStream "
+        "SELECT (checkStream.symbol CONTAINS IN stockTable) AS exists "
+        "FROM checkStream;"
+    )
+    assert sorted(r.exists for r in outs["outputStream"].collect()) == [False, True]
+    outs2 = app.sql(
+        "CREATE STREAM hits (symbol STRING);"
+        "INSERT INTO hits SELECT symbol FROM checkStream "
+        "WHERE checkStream.symbol CONTAINS IN stockTable;"
+    )
+    assert [r.symbol for r in outs2["hits"].collect()] == ["IBM"]
+
+
+def test_table_join_aggregation_reference_shape(spark):
+    # tables.rs:315-340 table_test6 (#[ignore]d upstream as "Complex GROUP
+    # BY with table join not yet supported"): runs here unchanged
+    app = SqlApp(spark)
+    app.register_stream("insertStream", spark.createDataFrame(
+        [(1, "US", 100.0), (2, "US", 50.0), (3, "EU", 70.0)],
+        "productId int, region string, amount double"))
+    app.register_stream("queryStream",
+                        spark.createDataFrame([("US",)], "region string"))
+    outs = app.sql(
+        "CREATE TABLE salesTable (productId INT, region STRING, amount FLOAT);"
+        "CREATE STREAM insertStream (productId INT, region STRING, amount FLOAT);"
+        "CREATE STREAM queryStream (region STRING);"
+        "CREATE STREAM outputStream (region STRING, total DOUBLE);"
+        "INSERT INTO salesTable SELECT * FROM insertStream;"
+        "INSERT INTO outputStream "
+        "SELECT salesTable.region AS region, sum(salesTable.amount) AS total "
+        "FROM queryStream JOIN salesTable "
+        "ON queryStream.region = salesTable.region "
+        "GROUP BY salesTable.region;"
+    )
+    assert [(r.region, r.total) for r in outs["outputStream"].collect()] == [("US", 150.0)]
