@@ -245,3 +245,104 @@ def frequent_items(
         .filter(F.col("freq") >= F.col("_thr"))
         .drop("_thr")
     )
+
+
+def unique_window(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str | Column,
+    partition_by: Sequence[str] | None = None,
+    keep_first: bool = False,
+) -> DataFrame:
+    """unique(attrs…) / firstUnique(attrs…) (reference
+    tests/compatibility/windows.rs:852-905 — syntax defined, tests
+    #[ignore]d upstream): the window retains ONE event per distinct key —
+    the newest (unique: a same-key arrival expels its predecessor) or the
+    first (firstUnique: later same-key arrivals are dropped). Batch
+    relation = that retained set. One window-function pass, no join."""
+    from pyspark.sql import Window as W
+
+    keys = [*(partition_by or []), *key_cols]
+    ord_c = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        ord_c.asc() if keep_first else ord_c.desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def delay_window(df: DataFrame, ts_col: str, delay_seconds: float) -> DataFrame:
+    """delay(d) (reference windows.rs delay test, #[ignore]d upstream):
+    every event exits the window d after it entered — the relation with
+    the event-time column shifted by +d (the emission time a downstream
+    join or window sees). Map-only, no shuffle."""
+    ms = int(round(delay_seconds * 1000))
+    return df.withColumn(
+        ts_col, F.col(ts_col) + F.expr(f"INTERVAL {ms} MILLISECONDS")
+    )
+
+
+def frequent_window(
+    df: DataFrame,
+    item_col: str,
+    n: int,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """frequent(n, attr) (reference Misra-Gries frequent window;
+    windows.rs frequent test #[ignore]d upstream): keep the events whose
+    attr value is among the n most frequent values. Exact here — the
+    counting the reference approximates row-at-a-time is one map-side-
+    combined groupBy; the survivors list is distinct-item-sized and
+    broadcast back, so the event relation never collects. Deterministic
+    tie-break on the item value."""
+    from pyspark.sql import Window as W
+
+    pb = list(partition_by or [])
+    counts = df.groupBy(*[F.col(c) for c in [*pb, item_col]]).agg(
+        F.count(F.lit(1)).alias("_freq")
+    )
+    w = W.partitionBy(*[F.col(c) for c in pb]).orderBy(
+        F.col("_freq").desc(), F.col(item_col).asc()
+    )
+    top = (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n)
+        .select(*pb, item_col)
+    )
+    return df.join(F.broadcast(top), [*pb, item_col], "left_semi")
+
+
+def lossy_counting_window(
+    df: DataFrame,
+    item_col: str,
+    min_support: float,
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """lossyCounting(support, attr) as an EVENT relation: keep events
+    whose attr frequency is ≥ support·N (the reference window's admit
+    contract; frequent_items above is the grouped-summary face). The
+    distinct-item count table is broadcast back — no global window, no
+    single-partition funnel."""
+    pb = list(partition_by or [])
+    counts = df.groupBy(*[F.col(c) for c in [*pb, item_col]]).agg(
+        F.count(F.lit(1)).alias("_freq")
+    )
+    if pb:
+        from pyspark.sql import Window as W
+
+        tot = F.sum("_freq").over(W.partitionBy(*pb))
+    else:
+        # grouped result is distinct-item-sized — the global total over it
+        # is a cheap scalar agg over a tiny relation, not over the events
+        from pyspark.sql import Window as W
+
+        tot = F.sum("_freq").over(W.partitionBy())
+    keep = (
+        counts.withColumn("_tot", tot)
+        .filter(F.col("_freq") >= F.lit(min_support) * F.col("_tot"))
+        .select(*pb, item_col)
+    )
+    return df.join(F.broadcast(keep), [*pb, item_col], "left_semi")

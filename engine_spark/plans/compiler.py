@@ -977,6 +977,53 @@ class SqlApp:
                     if group_keys else out.agg(*agg_exprs)
             return fin(out)
 
+        # the retained-set windows partition by the PARTITION WITH key
+        # only: a GROUP BY key is an aggregation dimension applied AFTER
+        # the window's retention decision, not a window partition (folding
+        # it in would e.g. make every value top-ranked for 'frequent')
+        part_only = [q.partition_key] if q.partition_key else None
+        if kind in ("unique", "firstunique"):
+            keys = [p.strip() for p in params]
+            if not keys:
+                raise ValueError(f"window {kind!r} needs at least one key attribute")
+            out = W.unique_window(
+                df, keys, ts, part_only,
+                keep_first=kind == "firstunique",
+            )
+            if agg_exprs:
+                out = (
+                    out.groupBy(*[F.expr(g) for g in group_keys]).agg(*agg_exprs)
+                    if group_keys else out.agg(*agg_exprs)
+                )
+            return fin(out)
+        if kind == "delay":
+            out = W.delay_window(df, ts, dur(params[0]))
+            if agg_exprs:
+                out = (
+                    out.groupBy(*[F.expr(g) for g in group_keys]).agg(*agg_exprs)
+                    if group_keys else out.agg(*agg_exprs)
+                )
+            return fin(out)
+        if kind in ("frequent", "lossycounting"):
+            if len(params) < 2:
+                raise ValueError(
+                    f"window {kind!r} needs (threshold, attribute) parameters"
+                )
+            item = params[1].strip()
+            out = (
+                W.frequent_window(df, item, int(params[0]), part_only)
+                if kind == "frequent"
+                else W.lossy_counting_window(
+                    df, item, float(params[0]), part_only
+                )
+            )
+            if agg_exprs:
+                out = (
+                    out.groupBy(*[F.expr(g) for g in group_keys]).agg(*agg_exprs)
+                    if group_keys else out.agg(*agg_exprs)
+                )
+            return fin(out)
+
         from engine_spark.extensions import WINDOW_FACTORIES
 
         if kind in WINDOW_FACTORIES:

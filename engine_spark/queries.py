@@ -1158,6 +1158,66 @@ def q_sql_trigger_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_unique_newest",
+    """
+    SELECT user_id, event_type, value FROM (
+        SELECT user_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) AS rn
+        FROM events) t
+    WHERE rn = 1
+    """,
+    doc="unique(attr) window through the SQL front-end (reference "
+    "windows.rs:852-895 — syntax defined, #[ignore]d upstream): the "
+    "window retains the NEWEST event per distinct key; batch relation = "
+    "that retained set via one row_number pass, no join. "
+    "(user_id, ts) is duplicate-free in the testdata at both scales, so "
+    "the survivor set is deterministic",
+)
+def q_window_unique_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.plans import SqlApp
+
+    app = SqlApp(spark)
+    app.register_stream("E", Catalog(spark, sf_dir)["events"], ts_col="ts")
+    outs = app.sql(
+        "CREATE STREAM u (user_id BIGINT, event_type STRING, value DOUBLE);"
+        "INSERT INTO u SELECT user_id, event_type, value "
+        "FROM E WINDOW('unique', user_id);"
+    )
+    return outs["u"]
+
+
+@register(
+    "window_frequent_topk",
+    """
+    WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+    top AS (SELECT event_type FROM c ORDER BY n DESC, event_type ASC LIMIT 3)
+    SELECT e.event_type, count(*) AS cnt,
+           min(e.value) AS mn, max(e.value) AS mx
+    FROM events e SEMI JOIN top ON e.event_type = top.event_type
+    GROUP BY e.event_type
+    """,
+    doc="frequent(n, attr) window through the SQL front-end (reference "
+    "Misra-Gries frequent window; windows.rs frequent test #[ignore]d "
+    "upstream): events of the top-n most frequent attr values survive "
+    "(exact counting — one map-side-combined groupBy; the survivor list "
+    "is broadcast back, the event relation never collects). "
+    "Deterministic count-desc/value-asc tie-break in both engines",
+)
+def q_window_frequent_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.plans import SqlApp
+
+    app = SqlApp(spark)
+    app.register_stream("E", Catalog(spark, sf_dir)["events"], ts_col="ts")
+    outs = app.sql(
+        "CREATE STREAM f (event_type STRING, cnt BIGINT, mn DOUBLE, mx DOUBLE);"
+        "INSERT INTO f SELECT event_type, count(*) AS cnt, "
+        "min(value) AS mn, max(value) AS mx "
+        "FROM E WINDOW('frequent', 3, event_type) GROUP BY event_type;"
+    )
+    return outs["f"]
+
+
+@register(
     "sql_table_dml",
     """
     WITH u AS (SELECT s_nationkey AS nk, max(s_acctbal) AS m
@@ -2128,6 +2188,8 @@ _ORDER = [
     # sql_trigger_ticks went straight in-window at the judge's request)
     "multimodal_tiff",            # REAL TIFF 6.0 baseline pixel decode
     "sql_table_dml",              # UPDATE/DELETE/UPSERT SQL DML statements
+    "window_unique_newest",       # unique(attr) retained-newest window
+    "window_frequent_topk",       # frequent(n, attr) top-k-values window
 ]
 
 

@@ -1323,3 +1323,68 @@ def test_table_join_aggregation_reference_shape(spark):
         "GROUP BY salesTable.region;"
     )
     assert [(r.region, r.total) for r in outs["outputStream"].collect()] == [("US", 150.0)]
+
+
+def test_window_unique_and_first_unique(spark):
+    # windows.rs:852-905 (#[ignore]d upstream): unique keeps the newest
+    # event per key, firstUnique the first
+    app = SqlApp(spark)
+    app.register_stream("stockStream", spark.createDataFrame(
+        [("IBM", 100.0, 10), ("MSFT", 50.0, 5), ("IBM", 110.0, 20)],
+        "symbol string, price double, volume int"))
+    outs = app.sql(
+        "CREATE STREAM stockStream (symbol STRING, price FLOAT, volume INT);"
+        "CREATE STREAM o1 (symbol STRING, price FLOAT);"
+        "CREATE STREAM o2 (symbol STRING, price FLOAT);"
+        "INSERT INTO o1 SELECT symbol, price FROM stockStream WINDOW('unique', symbol);"
+        "INSERT INTO o2 SELECT symbol, price FROM stockStream WINDOW('firstUnique', symbol);"
+    )
+    assert sorted((r.symbol, r.price) for r in outs["o1"].collect()) == [
+        ("IBM", 110.0), ("MSFT", 50.0)]
+    assert sorted((r.symbol, r.price) for r in outs["o2"].collect()) == [
+        ("IBM", 100.0), ("MSFT", 50.0)]
+
+
+def test_window_delay_shifts_event_time(spark):
+    from datetime import datetime
+
+    app = SqlApp(spark)
+    app.register_stream("S", spark.createDataFrame(
+        [(datetime(2024, 1, 1, 0, 0, 0), 1.0)], "ts timestamp, v double"),
+        ts_col="ts")
+    outs = app.sql(
+        "CREATE STREAM S (ts TIMESTAMP, v DOUBLE);"
+        "CREATE STREAM o (ts TIMESTAMP, v DOUBLE);"
+        "INSERT INTO o SELECT ts, v FROM S WINDOW('delay', 30 SECONDS);"
+    )
+    got = outs["o"].collect()
+    assert got[0].ts == datetime(2024, 1, 1, 0, 0, 30) and got[0].v == 1.0
+
+
+def test_window_frequent_and_lossy_counting(spark):
+    app = SqlApp(spark)
+    app.register_stream("S", spark.createDataFrame(
+        [("A", 1.0), ("A", 2.0), ("B", 3.0), ("C", 4.0)],
+        "symbol string, v double"))
+    app.sql("CREATE STREAM S (symbol STRING, v DOUBLE);")
+    outs = app.sql(
+        "CREATE STREAM o (symbol STRING, v DOUBLE);"
+        "INSERT INTO o SELECT symbol, v FROM S WINDOW('frequent', 1, symbol);"
+    )
+    assert sorted((r.symbol, r.v) for r in outs["o"].collect()) == [
+        ("A", 1.0), ("A", 2.0)]
+    # lossyCounting(0.5): only symbols with >= 50% of the events survive
+    outs2 = app.sql(
+        "CREATE STREAM o2 (symbol STRING, v DOUBLE);"
+        "INSERT INTO o2 SELECT symbol, v FROM S WINDOW('lossyCounting', 0.5, symbol);"
+    )
+    assert sorted((r.symbol, r.v) for r in outs2["o2"].collect()) == [
+        ("A", 1.0), ("A", 2.0)]
+    # group-by aggregation composes after the retention decision
+    outs3 = app.sql(
+        "CREATE STREAM o3 (symbol STRING, cnt BIGINT);"
+        "INSERT INTO o3 SELECT symbol, count(*) AS cnt FROM S "
+        "WINDOW('frequent', 2, symbol) GROUP BY symbol;"
+    )
+    got = sorted((r.symbol, r.cnt) for r in outs3["o3"].collect())
+    assert got == [("A", 2), ("B", 1)]  # deterministic value-asc tie-break B<C
