@@ -1260,7 +1260,7 @@ class SqlApp:
     def _pattern_element_streams(self, src: P.PatternSource) -> list[str]:
         names: list[str] = []
         for st in src.steps:
-            els = [st.first, st.second] if isinstance(st, P.PatternGroup) else [st]
+            els = [st.first, st.second, *st.rest] if isinstance(st, P.PatternGroup) else [st]
             for el in els:
                 if el.stream not in names:
                     names.append(el.stream)
@@ -1294,6 +1294,13 @@ class SqlApp:
                 "PATTERN over a live stream requires WITHIN — it is the "
                 "state-eviction horizon (without it open partial matches "
                 "accumulate forever)"
+            )
+        if any(
+            isinstance(st, P.PatternGroup) and st.rest for st in src.steps
+        ) and len(src.steps) > 1:
+            raise ValueError(
+                "n-ary OR groups in a live-stream chain are not supported "
+                "(standalone n-ary OR works; chains pair two members)"
             )
         if any(isinstance(st, P.PatternGroup) for st in src.steps):
             if len(src.steps) == 1 and isinstance(src.steps[0], P.PatternGroup):
@@ -1525,10 +1532,15 @@ class SqlApp:
 
         first = steps[0]
         if isinstance(first, P.PatternGroup):
-            seen_aliases.extend([first.first.alias, first.second.alias])
+            seen_aliases.extend(
+                [first.first.alias, first.second.alias]
+                + [m.alias for m in first.rest]
+            )
         else:
             seen_aliases.append(first.alias)
         if isinstance(first, P.PatternGroup):
+            if first.rest and first.op != "or":
+                raise ValueError("n-ary groups are OR-only")
             a_df, a_ts = element_df(first.first, first.first.alias)
             b_df, b_ts = element_df(first.second, first.second.alias)
             if first.op == "and":
@@ -1567,22 +1579,31 @@ class SqlApp:
                 cur = j.withColumn(
                     "_match_ts", F.greatest(F.col(a_ts), F.col(b_ts))
                 )
-            else:  # OR: either branch fires; the other side's columns are null
-                all_cols = a_df.columns + [
-                    c for c in b_df.columns if c not in a_df.columns
+            else:  # OR: any branch fires; the other sides' columns are null
+                # n-ary ready: OR is associative and stateless, so extra
+                # branches (patterns.rs:1246 three-way OR — #[ignore]d
+                # upstream) just extend the padded union
+                branches = [(a_df, a_ts), (b_df, b_ts)] + [
+                    element_df(m, m.alias) for m in first.rest
                 ]
+                all_cols: list[str] = []
+                types: dict[str, object] = {}
+                for dfx, _ in branches:
+                    for c in dfx.columns:
+                        if c not in types:
+                            all_cols.append(c)
+                            types[c] = dfx.schema[c].dataType
 
-                def pad(dfx: DataFrame, other: DataFrame) -> DataFrame:
+                def pad(dfx: DataFrame) -> DataFrame:
                     for c in all_cols:
                         if c not in dfx.columns:
-                            dfx = dfx.withColumn(
-                                c, F.lit(None).cast(other.schema[c].dataType)
-                            )
+                            dfx = dfx.withColumn(c, F.lit(None).cast(types[c]))
                     return dfx.select(*all_cols)
 
-                a_side = pad(a_df, b_df).withColumn("_match_ts", F.col(a_ts))
-                b_side = pad(b_df, a_df).withColumn("_match_ts", F.col(b_ts))
-                cur = a_side.unionByName(b_side)
+                cur = None
+                for dfx, tsx in branches:
+                    side = pad(dfx).withColumn("_match_ts", F.col(tsx))
+                    cur = side if cur is None else cur.unionByName(side)
             cur_ts = "_match_ts"
         else:
             cur, cur_ts = element_df(first, first.alias)
@@ -1650,6 +1671,11 @@ class SqlApp:
                     wait_offset += float(step.for_seconds)
                 continue
             if isinstance(step, P.PatternGroup):
+                if step.rest:
+                    raise ValueError(
+                        "n-ary OR groups are supported as the pattern's "
+                        "first/standalone step only"
+                    )
                 if src.mode == "sequence":
                     raise ValueError(
                         "AND/OR groups in SEQUENCE mode are only supported "
@@ -1919,7 +1945,7 @@ class SqlApp:
         )
         streams = []
         for st in src.steps:
-            els = [st.first, st.second] if isinstance(st, P.PatternGroup) else [st]
+            els = [st.first, st.second, *st.rest] if isinstance(st, P.PatternGroup) else [st]
             for el in els:
                 if el.stream not in streams:
                     streams.append(el.stream)
@@ -1949,7 +1975,7 @@ class SqlApp:
             if isinstance(step, P.AbsentElement):
                 continue  # absent elements contribute no output columns
             els = (
-                [step.first, step.second]
+                [step.first, step.second, *step.rest]
                 if isinstance(step, P.PatternGroup)
                 else [step]
             )

@@ -260,11 +260,17 @@ class PatternElement:
 
 @dataclass
 class PatternGroup:
-    """2-element AND/OR group (reference logical_pre_state_processor.rs)."""
+    """AND/OR group (reference logical_pre_state_processor.rs). The
+    reference pairs exactly two elements; ``rest`` carries extra OR
+    branches for the n-ary chain (``e1=A OR e2=B OR e3=C``,
+    patterns.rs:1246 — defined upstream but #[ignore]d as unsupported).
+    n-ary AND stays rejected (all-of state over >2 streams is not in the
+    reference's model either)."""
 
     op: str  # "and" | "or"
     first: PatternElement
     second: PatternElement
+    rest: list = field(default_factory=list)  # extra OR branches (3rd+)
 
 
 @dataclass
@@ -891,6 +897,17 @@ def _parse_pattern_step(txt: str):
                 op=op.lower(),
                 first=_parse_pattern_element(parts[0]),
                 second=_parse_pattern_element(parts[1]),
+            )
+        if len(parts) > 2:
+            if op == "AND":
+                raise ValueError(
+                    "n-ary AND groups are not supported (the reference "
+                    "pairs exactly two streams; chain 2-element ANDs "
+                    "through intermediate streams instead)"
+                )
+            els = [_parse_pattern_element(p) for p in parts]
+            return PatternGroup(
+                op="or", first=els[0], second=els[1], rest=els[2:]
             )
     return _parse_pattern_element(txt)
 

@@ -1388,3 +1388,65 @@ def test_window_frequent_and_lossy_counting(spark):
     )
     got = sorted((r.symbol, r.cnt) for r in outs3["o3"].collect())
     assert got == [("A", 2), ("B", 1)]  # deterministic value-asc tie-break B<C
+
+
+def test_pattern_three_way_or(spark):
+    # patterns.rs:1246-1261 pattern_test_three_way_or (#[ignore]d
+    # upstream): OR is associative and stateless, so extra branches
+    # extend the padded union; only B fires here
+    app = SqlApp(spark)
+    app.register_stream("A", spark.createDataFrame([], "val int"))
+    app.register_stream("B", spark.createDataFrame([(20,)], "val int"))
+    app.register_stream("C", spark.createDataFrame([], "val int"))
+    outs = app.sql(
+        "CREATE STREAM A (val INT); CREATE STREAM B (val INT);"
+        "CREATE STREAM C (val INT); CREATE STREAM Out (result INT);"
+        "INSERT INTO Out SELECT coalesce(e1.val, e2.val, e3.val) AS result "
+        "FROM PATTERN (e1=A OR e2=B OR e3=C);"
+    )
+    assert [r.result for r in outs["Out"].collect()] == [20]
+    # EVERY mode with all three branches firing: three rows, each padded
+    # with the other branches' NULLs (fire-once above kept the earliest)
+    app.register_stream("A", spark.createDataFrame([(1,)], "val int"))
+    app.register_stream("C", spark.createDataFrame([(3,)], "val int"))
+    outs2 = app.sql(
+        "CREATE STREAM Out2 (result INT);"
+        "INSERT INTO Out2 SELECT coalesce(e1.val, e2.val, e3.val) AS result "
+        "FROM EVERY PATTERN (e1=A OR e2=B OR e3=C);"
+    )
+    assert sorted(r.result for r in outs2["Out2"].collect()) == [1, 3, 20]
+    # n-ary AND stays rejected with a clear message
+    with pytest.raises(ValueError, match="n-ary AND"):
+        parse_app("INSERT INTO O SELECT 1 AS x FROM PATTERN (e1=A AND e2=B AND e3=C);")
+
+
+def test_table_join_where_filter_reference_shapes(spark):
+    # tables.rs:2613-2662 (#[ignore]d upstream as "WHERE filter with table
+    # JOIN not yet supported"): NOT(...) and conjunctive WHERE over a
+    # stream-table join run here unchanged
+    app = SqlApp(spark)
+    app.register_stream("insertStream", spark.createDataFrame(
+        [(1, 60, 5), (2, 40, 5), (3, 90, 0)], "id int, price int, stock int"))
+    app.register_stream("queryStream",
+                        spark.createDataFrame([(1,), (2,), (3,)], "id int"))
+    outs = app.sql(
+        "CREATE TABLE productTable (id INT, price INT, stock INT);"
+        "CREATE STREAM insertStream (id INT, price INT, stock INT);"
+        "CREATE STREAM queryStream (id INT);"
+        "CREATE STREAM outputStream (id INT, price INT);"
+        "INSERT INTO productTable SELECT * FROM insertStream;"
+        "INSERT INTO outputStream "
+        "SELECT productTable.id AS id, productTable.price AS price "
+        "FROM queryStream JOIN productTable "
+        "ON queryStream.id = productTable.id "
+        "WHERE productTable.price > 50 AND productTable.stock > 0;"
+    )
+    assert [(r.id, r.price) for r in outs["outputStream"].collect()] == [(1, 60)]
+    outs2 = app.sql(
+        "CREATE STREAM o2 (id INT);"
+        "INSERT INTO o2 SELECT productTable.id AS id "
+        "FROM queryStream JOIN productTable "
+        "ON queryStream.id = productTable.id "
+        "WHERE NOT (productTable.stock = 0);"
+    )
+    assert sorted(r.id for r in outs2["o2"].collect()) == [1, 2]
