@@ -62,6 +62,13 @@ def main() -> None:
         "join_q10_returned_items",
         "events_gapfill_1h",
         "ann_hamming_topk",
+        # round 9: trigger tick-relation poll join, real TIFF pixel
+        # decode, SQL table DML, retained-set windows
+        "sql_trigger_ticks",
+        "multimodal_tiff",
+        "sql_table_dml",
+        "window_unique_newest",
+        "window_frequent_topk",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

@@ -304,14 +304,24 @@ def frequent_window(
     counts = df.groupBy(*[F.col(c) for c in [*pb, item_col]]).agg(
         F.count(F.lit(1)).alias("_freq")
     )
-    w = W.partitionBy(*[F.col(c) for c in pb]).orderBy(
-        F.col("_freq").desc(), F.col(item_col).asc()
-    )
-    top = (
-        counts.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= n)
-        .select(*pb, item_col)
-    )
+    if pb:
+        w = W.partitionBy(*[F.col(c) for c in pb]).orderBy(
+            F.col("_freq").desc(), F.col(item_col).asc()
+        )
+        top = (
+            counts.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n)
+            .select(*pb, item_col)
+        )
+    else:
+        # global top-n: orderBy+limit compiles to TakeOrderedAndProject —
+        # per-partition heaps, no single-partition window funnel even
+        # when the distinct-item relation is large
+        top = (
+            counts.orderBy(F.col("_freq").desc(), F.col(item_col).asc())
+            .limit(n)
+            .select(item_col)
+        )
     return df.join(F.broadcast(top), [*pb, item_col], "left_semi")
 
 
@@ -333,16 +343,18 @@ def lossy_counting_window(
     if pb:
         from pyspark.sql import Window as W
 
-        tot = F.sum("_freq").over(W.partitionBy(*pb))
+        keep = (
+            counts.withColumn("_tot", F.sum("_freq").over(W.partitionBy(*pb)))
+            .filter(F.col("_freq") >= F.lit(min_support) * F.col("_tot"))
+            .select(*pb, item_col)
+        )
     else:
-        # grouped result is distinct-item-sized — the global total over it
-        # is a cheap scalar agg over a tiny relation, not over the events
-        from pyspark.sql import Window as W
-
-        tot = F.sum("_freq").over(W.partitionBy())
-    keep = (
-        counts.withColumn("_tot", tot)
-        .filter(F.col("_freq") >= F.lit(min_support) * F.col("_tot"))
-        .select(*pb, item_col)
-    )
+        # global total as a broadcast one-row scalar joined back — no
+        # single-partition window over the distinct-item relation
+        total = counts.agg(F.sum("_freq").alias("_tot"))
+        keep = (
+            counts.crossJoin(F.broadcast(total))
+            .filter(F.col("_freq") >= F.lit(min_support) * F.col("_tot"))
+            .select(item_col)
+        )
     return df.join(F.broadcast(keep), [*pb, item_col], "left_semi")

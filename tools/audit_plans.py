@@ -207,6 +207,34 @@ CHECKS = {
         ("no cartesian", lambda p: "Cartesian" not in p),
         ("bounded scans (hourly + grid)", lambda p: p.count("Scan parquet") <= 2),
     ],
+    "sql_trigger_ticks": [
+        # the tick relation is dimension-sized and must broadcast against
+        # the bucketed events; one shuffle (the 15-min bucket agg)
+        ("tick join broadcasts", lambda p: "BroadcastHashJoin" in p),
+        ("no sort-merge/cartesian", lambda p: "SortMergeJoin" not in p and "Cartesian" not in p),
+        ("single events shuffle", lambda p: p.count("Exchange hashpartitioning") == 1),
+    ],
+    "window_unique_newest": [
+        # retained-newest = one keyed window pass (WindowGroupLimit pushes
+        # the rank-1 filter below the sort); no join
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("rank filter pushed (group-limit)", lambda p: "WindowGroupLimit" in p),
+        ("no join", lambda p: "Join" not in p),
+    ],
+    "window_frequent_topk": [
+        # exact top-k values: map-side-combined count, global top-n via
+        # per-partition heaps (TakeOrdered), survivors broadcast back —
+        # never a single-partition window over the distinct-item relation
+        ("survivors broadcast (semi)", lambda p: "BroadcastHashJoin" in p and "LeftSemi" in p),
+        ("top-n via TakeOrdered", lambda p: "TakeOrderedAndProject" in p),
+        ("no single-partition funnel", lambda p: "Exchange SinglePartition" not in p),
+    ],
+    "sql_table_dml": [
+        # update/delete/upsert streams are dim-sized here and broadcast;
+        # nothing degrades to sort-merge or cartesian
+        ("dim joins broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no sort-merge/cartesian", lambda p: "SortMergeJoin" not in p and "Cartesian" not in p),
+    ],
     "dedup_bloom": [
         # Bloom probe is map-only; only the bounded position-distinct and
         # the pruned verify join shuffle. Nothing may degrade to cartesian.
