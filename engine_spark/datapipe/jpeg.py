@@ -284,7 +284,8 @@ def _decode_dc_units(
     if not out:
         return [np.empty((0, 3), np.int32)]
     mat = np.array(out, np.int64)
-    if np.abs(mat[:, 2]).max() > 0x7FFFFFFF:
+    dc = mat[:, 2]
+    if dc.max() > 0x7FFFFFFF or dc.min() < -0x80000000:
         raise ValueError("JPEG DC coefficient out of int32 range")
     return [mat.astype(np.int32)]
 

@@ -44,6 +44,8 @@ def cron_to_period(cron: str) -> tuple[int, int]:
                 raise ValueError(
                     f"cron {cron!r}: */n seconds requires all other fields '*'"
                 )
+            if int(s_step.group(1)) == 0:
+                raise ValueError(f"cron {cron!r}: zero step")
             return int(s_step.group(1)), 0
         if sec == "*":
             if rest == ["*"] * 5:
@@ -67,6 +69,8 @@ def cron_to_period(cron: str) -> tuple[int, int]:
     if m_step:
         if hour != "*":
             raise ValueError(f"cron {cron!r}: */n minutes requires hour='*'")
+        if int(m_step.group(1)) == 0:
+            raise ValueError(f"cron {cron!r}: zero step")
         return int(m_step.group(1)) * 60, 0
     if minute == "*":
         return 60, 0
@@ -156,11 +160,18 @@ def trigger_batch_cron(spark: SparkSession, start, end, cron: str) -> DataFrame:
 
     period, offset = cron_to_period(cron)
     s = start if isinstance(start, _dt.datetime) else _dt.datetime.fromisoformat(str(start))
+    e = end if isinstance(end, _dt.datetime) else _dt.datetime.fromisoformat(str(end))
     es = (s - _dt.datetime(1970, 1, 1)).total_seconds()
-    first = es + ((offset - es) % period)
-    return trigger_batch(
-        spark, _dt.datetime(1970, 1, 1) + _dt.timedelta(seconds=first), end, period
+    first_dt = _dt.datetime(1970, 1, 1) + _dt.timedelta(
+        seconds=es + ((offset - es) % period)
     )
+    if first_dt > e:
+        # a horizon shorter than one period holds no grid point: zero
+        # ticks, not a sequence() boundary error
+        return spark.createDataFrame(
+            [], "triggered_time timestamp, counter bigint"
+        )
+    return trigger_batch(spark, first_dt, e, period)
 
 
 def trigger_once_stream(spark: SparkSession) -> DataFrame:

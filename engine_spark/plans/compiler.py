@@ -365,25 +365,35 @@ class SqlApp:
                 return None
         return pairs or None
 
+    @staticmethod
+    def _keep_newest(df: DataFrame, keys: list, ord_col: str | None) -> DataFrame:
+        """One row per key, the newest by ``ord_col`` winning (row_number
+        over a descending sort — the same idiom unique_window uses). With
+        no order column, micro-batch row order stands in via
+        monotonically_increasing_id."""
+        from pyspark.sql import Window as W
+
+        if ord_col is None:
+            df = df.withColumn("_kn_ord", F.monotonically_increasing_id())
+            ord_col = "_kn_ord"
+        w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(ord_col).desc())
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_kn_ord")
+        )
+
+    def _stream_order_col(self, name: str, df: DataFrame) -> str | None:
+        s = self.streams[name]
+        return s.ts_col if s.ts_col else ("_seq" if "_seq" in df.columns else None)
+
     def _last_per_key(self, name: str, df: DataFrame, keys: list) -> DataFrame:
         """Stream events collapse to the LAST event per match key — the
         reference junction applies table DML event-at-a-time in arrival
         order, so on a batch replay the final table state reflects each
         key's newest event. Order = the stream's event-time column, else
         the _seq arrival column register_stream stamps."""
-        from pyspark.sql import Window as W
-
-        s = self.streams[name]
-        ord_col = s.ts_col if s.ts_col else ("_seq" if "_seq" in df.columns else None)
-        if ord_col is None:
-            df = df.withColumn("_seq", F.monotonically_increasing_id())
-            ord_col = "_seq"
-        w = W.partitionBy(*[F.col(k) for k in keys]).orderBy(F.col(ord_col).desc())
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        return self._keep_newest(df, keys, self._stream_order_col(name, df))
 
     def _run_table_dml(self, d: P.TableDml) -> None:
         """Stream-driven table DML, batch-replay semantics: the table's
@@ -400,7 +410,18 @@ class SqlApp:
         if d.source not in self.streams:
             raise ValueError(f"{d.kind}: unknown source stream {d.source!r}")
         tcols = [c for c, _ in ddl.columns]
-        tdf = self.table(d.table).select(*tcols)
+        if d.table in self.outputs or d.table in self.streams:
+            tdf = self.table(d.table).select(*tcols)
+        else:
+            # declared but never inserted: DML against an EMPTY table (the
+            # reference's initial-load upsert starts exactly here)
+            tdf = self.spark.createDataFrame(
+                [],
+                ", ".join(
+                    f"{c} {TYPE_MAP[re.sub(r'[(].*', '', t).strip()]}"
+                    for c, t in ddl.columns
+                ),
+            )
         sdf = self.streams[d.source].df
         cond = F.expr(rewrite_expr(d.cond))
         if d.kind == "delete":
@@ -447,32 +468,26 @@ class SqlApp:
                     f"UPDATE OR INSERT INTO {d.table}: {len(d.select_items)} "
                     f"select items for {len(tcols)}-column table"
                 )
-            s = self.streams[d.source]
-            ord_col = s.ts_col if s.ts_col else ("_seq" if "_seq" in sdf.columns else None)
-            proj = sdf.alias(d.source).select(
+            # newest stream event per ON-key wins (shared keep-newest
+            # idiom, with the no-order fallback the UPDATE path gets)
+            u = self._last_per_key(d.source, sdf, [sc for _, sc in pairs])
+            repl = u.alias(d.source).select(
                 *[
-                    F.expr(rewrite_expr(it.expr)).alias(c)
-                    for it, c in zip(d.select_items, tcols)
-                ],
-                *([F.col(ord_col).alias("_ord")] if ord_col else []),
-            )
-            keys = [t for t, _ in pairs]
-            if ord_col:
-                from pyspark.sql import Window as W
-
-                w = W.partitionBy(*keys).orderBy(F.col("_ord").desc())
-                proj = (
-                    proj.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn", "_ord")
-                )
-            repl = proj.select(
-                *[
-                    F.col(c).cast(TYPE_MAP[re.sub(r"\(.*", "", typ).strip()]).alias(c)
-                    for c, (_, typ) in zip(tcols, ddl.columns)
+                    F.expr(rewrite_expr(it.expr))
+                    .cast(TYPE_MAP[re.sub(r"\(.*", "", typ).strip()])
+                    .alias(c)
+                    for it, (c, typ) in zip(d.select_items, ddl.columns)
                 ]
             )
-            keep = tdf.join(repl.select(*keys), keys, "left_anti")
+            # rows matching per the ON condition are REPLACED: anti-join
+            # the table against the deduped stream on the condition itself
+            # (keying on the SELECT output would break non-identity key
+            # projections)
+            keep = (
+                tdf.alias(d.table)
+                .join(u.alias(d.source), cond, "left_anti")
+                .select(*tcols)
+            )
             new = keep.unionByName(repl)
         self.outputs[d.table] = new
         self.register_stream(d.table, new)
@@ -579,6 +594,20 @@ class SqlApp:
                 )
             else:
                 q.where = flag
+        # expand a bare `*` to the SOURCE's own user-visible columns so
+        # the internal _cin_* flag columns (and the _seq arrival column)
+        # never leak into SELECT * outputs
+        expanded: list[P.SelectItem] = []
+        for it in q.select:
+            if it.expr.strip() == "*":
+                expanded.extend(
+                    P.SelectItem(expr=c, alias=None)
+                    for c in s.df.columns
+                    if not c.startswith("_")
+                )
+            else:
+                expanded.append(it)
+        q.select = expanded
         tmp = f"_cin_src_{abs(id(q)) % 10**9}"
         self.streams[tmp] = _Stream(df=df, ts_col=s.ts_col)
         q.source = dataclasses.replace(q.source, name=tmp)
@@ -606,27 +635,15 @@ class SqlApp:
                 # PRIMARY KEY table: inserts stay key-unique, newest event
                 # winning (reference DefineTableTestCase, tables.rs:229-255
                 # — "Table should have only one IBM entry")
-                from pyspark.sql import Window as W
-
                 missing = [c for c in ddl.primary_key if c not in df.columns]
                 if missing:
                     raise ValueError(
                         f"INSERT INTO {q.insert_into}: primary key columns "
                         f"{missing} absent from the inserted relation"
                     )
-                ord_col = "_seq" if "_seq" in df.columns else None
-                if ord_col is None:
-                    df = df.withColumn(
-                        "_pk_ord", F.monotonically_increasing_id()
-                    )
-                    ord_col = "_pk_ord"
-                w = W.partitionBy(*ddl.primary_key).orderBy(
-                    F.col(ord_col).desc()
-                )
-                df = (
-                    df.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1)
-                    .drop("_rn", "_pk_ord")
+                df = self._keep_newest(
+                    df, ddl.primary_key,
+                    "_seq" if "_seq" in df.columns else None,
                 )
             self.outputs[q.insert_into] = df
             # outputs are streams: later queries may read them. Register

@@ -1450,3 +1450,84 @@ def test_table_join_where_filter_reference_shapes(spark):
         "WHERE NOT (productTable.stock = 0);"
     )
     assert sorted(r.id for r in outs2["o2"].collect()) == [1, 2]
+
+
+def test_table_dml_review_regressions(spark):
+    """Round-9 review findings: DML against a declared-but-empty table,
+    upsert key-dedup without an order column, non-identity upsert key
+    projections, CONTAINS IN under SELECT *, and short cron horizons."""
+    # initial-load upsert into a never-inserted table
+    app = SqlApp(spark)
+    app.register_stream("S", spark.createDataFrame(
+        [("IBM", 1.0), ("IBM", 2.0)], "symbol string, price double"))
+    app.sql(
+        "CREATE TABLE T (symbol STRING, price FLOAT);"
+        "CREATE STREAM S (symbol STRING, price FLOAT);"
+        "UPDATE OR INSERT INTO T SELECT symbol, price FROM S "
+        "ON T.symbol = S.symbol;"
+    )
+    got = [(r.symbol, r.price) for r in
+           app.table("T").select("symbol", "price").collect()]
+    # key-unique even from an empty start, newest event winning
+    assert got == [("IBM", 2.0)]
+    # UPDATE and DELETE against an empty table are no-ops, not crashes
+    app.sql("UPDATE T SET price = S.price FROM S WHERE T.symbol = S.symbol;")
+    app2 = SqlApp(spark)
+    app2.register_stream("D", spark.createDataFrame([("X",)], "symbol string"))
+    app2.sql(
+        "CREATE TABLE T2 (symbol STRING); CREATE STREAM D (symbol STRING);"
+        "DELETE FROM T2 FROM D WHERE T2.symbol = D.symbol;"
+    )
+    assert app2.table("T2").count() == 0
+
+    # non-identity key projection: ON matches on I.k, inserted rows carry
+    # k+1000 — matching table rows must be REPLACED, not duplicated
+    app3 = SqlApp(spark)
+    app3.register_stream("Seed", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k int, name string"))
+    app3.register_stream("I", spark.createDataFrame([(1, "z")], "k int, name string"))
+    app3.sql(
+        "CREATE TABLE T3 (k INT, name STRING);"
+        "CREATE STREAM Seed (k INT, name STRING);"
+        "CREATE STREAM I (k INT, name STRING);"
+        "INSERT INTO T3 SELECT * FROM Seed;"
+        "UPDATE OR INSERT INTO T3 SELECT k + 1000 AS k, name FROM I "
+        "ON T3.k = I.k;"
+    )
+    got3 = sorted((r.k, r.name) for r in app3.table("T3").select("k", "name").collect())
+    assert got3 == [(2, "b"), (1001, "z")]
+
+
+def test_contains_in_select_star_no_internal_columns(spark):
+    app = SqlApp(spark)
+    app.register_stream("ins", spark.createDataFrame([("IBM",)], "symbol string"))
+    app.register_stream("chk", spark.createDataFrame(
+        [("IBM",), ("ZZZ",)], "symbol string"))
+    outs = app.sql(
+        "CREATE TABLE tbl (symbol STRING); CREATE STREAM ins (symbol STRING);"
+        "CREATE STREAM chk (symbol STRING);"
+        "CREATE STREAM hits (symbol STRING);"
+        "INSERT INTO tbl SELECT * FROM ins;"
+        "INSERT INTO hits SELECT * FROM chk "
+        "WHERE chk.symbol CONTAINS IN tbl;"
+    )
+    df = outs["hits"]
+    assert not any(c.startswith("_cin_") for c in df.columns)
+    assert [r.symbol for r in df.collect()] == ["IBM"]
+
+
+def test_trigger_cron_edge_cases(spark):
+    from engine_spark.operators.triggers import cron_to_period
+
+    # horizon shorter than one period: zero ticks, not a sequence error
+    app = SqlApp(spark, trigger_horizon=("2024-01-01 00:00:00", "2024-01-01 00:10:00"))
+    outs = app.sql(
+        "CREATE TRIGGER T AT CRON '30 * * * *';"
+        "CREATE STREAM o (triggered_time TIMESTAMP, counter BIGINT);"
+        "INSERT INTO o SELECT triggered_time, counter FROM T;"
+    )
+    assert outs["o"].count() == 0
+    # zero cron steps rejected at parse
+    for bad in ("*/0 * * * * *", "*/0 * * * *"):
+        with pytest.raises(ValueError, match="zero step"):
+            cron_to_period(bad)
