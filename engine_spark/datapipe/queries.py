@@ -365,6 +365,307 @@ def keyword_scores(docs: DataFrame, topk: int = KEYWORDS_K) -> DataFrame:
 
 
 # ===========================================================================
+# ranked retrieval (BM25 + hybrid lexical/semantic fusion)
+# ===========================================================================
+
+#: Okapi BM25 constants (standard defaults) and the fixed keyword query set
+#: for the `search_bm25` gate — terms from the synthetic corpus vocabulary.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_QUERIES = [
+    (0, "window"), (0, "agg"), (0, "stream"),
+    (1, "join"), (1, "merge"), (1, "hash"),
+    (2, "customer"), (2, "order"), (2, "scan"),
+]
+
+
+def _bm25_contrib() -> str:
+    """Per-(query-term, candidate-doc) Okapi BM25 contribution as plain SQL
+    shared verbatim by both engines. Expects columns ``tf`` (term freq in
+    doc), ``df`` (docs containing term), ``dl`` (doc length), ``n_docs``,
+    ``total_len`` in scope. The FIRST operand of every division is forced
+    DOUBLE so neither engine runs its own decimal-division scale rules;
+    the transcendental ln is rounded to 6 decimals before the DECIMAL cast
+    so the cross-partition score sum is order-independent."""
+    idf = "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)"
+    tfn = (
+        f"(CAST(tf AS DOUBLE) * ({BM25_K1} + 1.0)) / "
+        f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * "
+        f"(dl * n_docs / CAST(total_len AS DOUBLE))))"
+    )
+    return f"CAST({r6(f'({idf}) * ({tfn})')} AS DECIMAL(28, 6))"
+
+
+def _bm25_corpus_ctes(d: Dialect) -> str:
+    """Shared oracle CTEs: token postings, per-doc tf, doc lengths, document
+    frequencies, corpus stats."""
+    return f"""
+    tok AS (SELECT doc_id, unnest({FR.tokens(d)}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT sum(dl) FROM dl) AS total_len)
+    """
+
+
+def _bm25_parts(docs: DataFrame):
+    """Spark twins of `_bm25_corpus_ctes`: (tf, dl, dfq, stats) DataFrames.
+
+    Scale shapes: tf/dl/dfq are combine-enabled aggregations over one
+    posting explode; dfq is vocabulary-sized (broadcastable); stats is one
+    row. Nothing here materializes per-pair state."""
+    tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.sum("dl").alias("total_len"))
+    )
+    return tf, dl, dfq, stats
+
+
+def bm25_scores(docs: DataFrame, qdf: DataFrame) -> DataFrame:
+    """(q_id, doc_id, score): Okapi BM25 of every query against every doc
+    containing at least one query term. The tiny query set broadcasts into
+    the postings join FIRST, shrinking tf to query-term postings before the
+    doc-length join — candidate volume scales with postings of the queried
+    terms, never with |corpus| x |queries|."""
+    tf, dl, dfq, stats = _bm25_parts(docs)
+    contrib = (
+        F.broadcast(qdf)
+        .join(tf, "term")
+        .join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", F.expr(_bm25_contrib()).alias("s"))
+    )
+    return contrib.groupBy("q_id", "doc_id").agg(
+        F.expr(r6("CAST(sum(s) AS DOUBLE)")).alias("score")
+    )
+
+
+def _topk_by(df: DataFrame, part: str, order_col: str, rank_name: str,
+             k: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(part).orderBy(
+        F.col(order_col).desc(), F.col("doc_id" if "doc_id" in df.columns else "cand_id")
+    )
+    return df.withColumn(rank_name, F.row_number().over(w)).filter(
+        F.col(rank_name) <= k
+    )
+
+
+@register(
+    "search_bm25",
+    f"""
+    WITH {_bm25_corpus_ctes(DK)},
+    q (q_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)}),
+    contrib AS (
+      SELECT q.q_id, tf.doc_id, {_bm25_contrib()} AS s
+      FROM q JOIN tf USING (term) JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id, stats
+    ),
+    scored AS (SELECT q_id, doc_id, {r6('CAST(sum(s) AS DOUBLE)')} AS score
+               FROM contrib GROUP BY q_id, doc_id)
+    SELECT q_id, doc_id, score, rnk
+    FROM (SELECT q_id, doc_id, score,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= {BM25_TOPK}
+    """,
+    doc=(
+        f"Okapi BM25 ranked retrieval (k1={BM25_K1}, b={BM25_B}): "
+        f"top-{BM25_TOPK} documents per keyword query. The inverted-index "
+        "shape — per-(doc,term) tf, vocabulary-sized df (broadcast), "
+        "one-row corpus stats — with the broadcast query set shrinking the "
+        "postings join before anything touches doc lengths. Per-term "
+        "contributions are rounded then summed as DECIMAL so the score is "
+        "partitioning-independent; ranking ties break on doc_id."
+    ),
+)
+def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"]
+    qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+    scored = bm25_scores(docs, qdf)
+    return _topk_by(scored, "q_id", "score", "rnk", BM25_TOPK).select(
+        "q_id", "doc_id", "score", "rnk"
+    )
+
+
+#: Hybrid retrieval constants: seed documents 0..RRF_SEEDS-1 act as
+#: "more-like-this" queries (doc_id == vec_id in the testdata); each seed's
+#: RRF_QTERMS rarest distinct terms form its lexical query; both rankers
+#: contribute a depth-RRF_POOL pool fused by reciprocal-rank fusion.
+RRF_SEEDS = 3
+RRF_QTERMS = 5
+RRF_POOL = 20
+RRF_TOPK = 10
+RRF_C = 60  # the standard RRF dampening constant
+
+
+def _rrf_vecd(d: Dialect) -> str:
+    # same element-wise double cast as `_vecd` below (defined later in the
+    # module; duplicated here so the section reads standalone at import time)
+    return d.transform("embedding", "x", "CAST(x AS DOUBLE)")
+
+
+def _rrf_expr() -> str:
+    return r6(
+        f"coalesce(CAST(1 AS DOUBLE) / ({RRF_C} + lex_rnk), CAST(0 AS DOUBLE))"
+        f" + coalesce(CAST(1 AS DOUBLE) / ({RRF_C} + sem_rnk), CAST(0 AS DOUBLE))"
+    )
+
+
+@register(
+    "search_hybrid_rrf",
+    f"""
+    WITH {_bm25_corpus_ctes(DK)},
+    seed_tok AS (SELECT DISTINCT doc_id AS q_id, term FROM tok
+                 WHERE doc_id < {RRF_SEEDS}),
+    qterms AS (
+      SELECT q_id, term FROM (
+        SELECT st.q_id, st.term,
+               row_number() OVER (PARTITION BY st.q_id
+                                  ORDER BY dfq.df ASC, st.term) AS trnk
+        FROM seed_tok st JOIN dfq USING (term))
+      WHERE trnk <= {RRF_QTERMS}),
+    contrib AS (
+      SELECT qterms.q_id, tf.doc_id, {_bm25_contrib()} AS s
+      FROM qterms JOIN tf USING (term) JOIN dfq USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id, stats
+      WHERE tf.doc_id <> qterms.q_id),
+    lex AS (
+      SELECT q_id, cand_id, lex_rnk FROM (
+        SELECT q_id, doc_id AS cand_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, doc_id) AS lex_rnk
+        FROM (SELECT q_id, doc_id, {r6('CAST(sum(s) AS DOUBLE)')} AS score
+              FROM contrib GROUP BY q_id, doc_id))
+      WHERE lex_rnk <= {RRF_POOL}),
+    e AS (SELECT vec_id, {_rrf_vecd(DK)} AS vd,
+                 {FR.norm_chain(DK, _rrf_vecd(DK), EMB_DIM)} AS nrm
+          FROM embeddings),
+    sem AS (
+      SELECT q_id, cand_id, sem_rnk FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {r6(f"{FR.dot_chain(DK, 'q.vd', 'e.vd', EMB_DIM)} / (q.nrm * e.nrm)")} DESC,
+                          e.vec_id) AS sem_rnk
+        FROM (SELECT * FROM e WHERE vec_id < {RRF_SEEDS}) q
+        JOIN e ON e.vec_id <> q.vec_id)
+      WHERE sem_rnk <= {RRF_POOL}),
+    fused AS (
+      SELECT coalesce(lex.q_id, sem.q_id) AS q_id,
+             coalesce(lex.cand_id, sem.cand_id) AS cand_id,
+             lex_rnk, sem_rnk
+      FROM lex FULL JOIN sem
+        ON lex.q_id = sem.q_id AND lex.cand_id = sem.cand_id),
+    rrf AS (SELECT q_id, cand_id, lex_rnk, sem_rnk, {_rrf_expr()} AS rrf_score
+            FROM fused)
+    SELECT q_id, cand_id, rrf_score, lex_rnk, sem_rnk, fused_rnk
+    FROM (SELECT q_id, cand_id, rrf_score, lex_rnk, sem_rnk,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY rrf_score DESC, cand_id) AS fused_rnk
+          FROM rrf)
+    WHERE fused_rnk <= {RRF_TOPK}
+    """,
+    doc=(
+        "hybrid retrieval with reciprocal-rank fusion: for each seed "
+        "document, a lexical ranking (Okapi BM25 over the seed's "
+        f"{RRF_QTERMS} rarest distinct terms — the idf-trimmed query bounds "
+        "postings fan-out at scale) and a semantic ranking (exact cosine "
+        "over the embedding column) each produce a depth-"
+        f"{RRF_POOL} pool; RRF fuses them as sum(1/({RRF_C}+rank)) via one "
+        "full-outer join on (query, candidate). Ranks are integers, so the "
+        "fusion is float-stable by construction; candidates missing from "
+        "one ranker contribute only the other (NULL rank preserved in the "
+        "output). The classic retrieval-ensembling primitive for "
+        "RAG-corpus curation."
+    ),
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    docs, emb = cat["documents"], cat["embeddings"]
+
+    # --- lexical ranking: BM25 over each seed's rarest-QTERMS query ------
+    tf, dl, dfq, stats = _bm25_parts(docs)
+    tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("term"))
+    seed_tok = (
+        tok.filter(F.col("doc_id") < RRF_SEEDS)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .distinct()
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("df").asc(), F.col("term"))
+    qterms = (
+        seed_tok.join(F.broadcast(dfq), "term")
+        .withColumn("trnk", F.row_number().over(wq))
+        .filter(F.col("trnk") <= RRF_QTERMS)
+        .select("q_id", "term")
+    )
+    contrib = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", F.expr(_bm25_contrib()).alias("s"))
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.expr(r6("CAST(sum(s) AS DOUBLE)")).alias("score")
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    lex = (
+        scored.withColumn("lex_rnk", F.row_number().over(wl))
+        .filter(F.col("lex_rnk") <= RRF_POOL)
+        .select("q_id", F.col("doc_id").alias("cand_id"), "lex_rnk")
+    )
+
+    # --- semantic ranking: exact cosine top-POOL per seed vector ---------
+    e = emb.select(
+        "vec_id",
+        F.expr(_rrf_vecd(SP)).alias("vd"),
+        F.expr(FR.norm_chain(SP, _rrf_vecd(SP), EMB_DIM)).alias("nrm"),
+    )
+    q = e.filter(F.col("vec_id") < RRF_SEEDS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("vd").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    pairs = F.broadcast(q).join(e, F.col("vec_id") != F.col("q_id"))
+    cos = F.expr(r6(f"{FR.dot_chain(SP, 'qv', 'vd', EMB_DIM)} / (qn * nrm)"))
+    ws = Window.partitionBy("q_id").orderBy(
+        F.col("_cos").desc(), F.col("vec_id")
+    )
+    sem = (
+        pairs.withColumn("_cos", cos)
+        .withColumn("sem_rnk", F.row_number().over(ws))
+        .filter(F.col("sem_rnk") <= RRF_POOL)
+        .select("q_id", F.col("vec_id").alias("cand_id"), "sem_rnk")
+    )
+
+    # --- reciprocal-rank fusion ------------------------------------------
+    fused = lex.join(sem, ["q_id", "cand_id"], "full").withColumn(
+        "rrf_score", F.expr(_rrf_expr())
+    )
+    wf = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("fused_rnk", F.row_number().over(wf))
+        .filter(F.col("fused_rnk") <= RRF_TOPK)
+        .select("q_id", "cand_id", "rrf_score", "lex_rnk", "sem_rnk", "fused_rnk")
+    )
+
+
+# ===========================================================================
 # deduplication
 # ===========================================================================
 

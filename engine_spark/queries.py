@@ -1875,6 +1875,75 @@ def q_join_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_q7_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS ship_year,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_9'  AND n2.n_name = 'NATION_10')
+        OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9'))
+      AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, CAST(year(l.l_shipdate) AS INT)
+    """,
+    doc="TPC-H Q7 shape (volume shipping between a nation pair): the "
+    "nation-name predicate is applied to the 25-row nation dim FIRST and "
+    "broadcast into supplier/customer, shrinking both before they touch "
+    "the facts — lineitem is cut ~2/25 by the supplier semi-shrink before "
+    "the one big-big orderkey shuffle; the (supp, cust) directional pair "
+    "check runs post-join on the two tiny enriched name columns. Decimal "
+    "revenue sum keeps the double order-independent.",
+)
+def q_join_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    pair = ("NATION_9", "NATION_10")
+    n = cat["nation"].filter(F.col("n_name").isin(*pair)).select(
+        "n_nationkey", "n_name"
+    )
+    s = (
+        cat["supplier"]
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        cat["customer"]
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = cat["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    j = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cat["orders"].select("o_orderkey", "o_custkey"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+        ).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
     "expr_correlated_subquery",
     """
     SELECT o_orderkey, o_custkey,
@@ -2190,6 +2259,9 @@ _ORDER = [
     "sql_table_dml",              # UPDATE/DELETE/UPSERT SQL DML statements
     "window_unique_newest",       # unique(attr) retained-newest window
     "window_frequent_topk",       # frequent(n, attr) top-k-values window
+    "join_q7_volume_shipping",    # TPC-H Q7 shape: dim-filter pushdown, pair check
+    "search_bm25",                # Okapi BM25 ranked retrieval top-k
+    "search_hybrid_rrf",          # lexical+semantic reciprocal-rank fusion
 ]
 
 

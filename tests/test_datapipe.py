@@ -2764,3 +2764,62 @@ def test_tiff_codec_roundtrip_all_profiles(spark):
     assert (out[1].format, out[1].channels) == ("tiff", 3)
     assert out[1].pix_sum == int(rgb.sum())
     assert (out[2].format, out[2].pix_sum) == ("tiff", None)
+
+
+def test_bm25_scores_tf_idf_and_length(spark):
+    """Okapi BM25 axioms on a hand corpus: higher tf wins within a doc
+    length class; rarer terms outscore common ones at equal tf; a longer
+    doc is penalized vs a shorter one with the same tf. Scores must be
+    exactly repartitioning-invariant (rounded-then-DECIMAL-summed)."""
+    from engine_spark.datapipe.queries import bm25_scores
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat cat dog"),        # tf(cat)=3, short
+         (2, "cat dog dog dog"),        # tf(cat)=1
+         (3, "cat cat cat dog " * 8),   # tf(cat)=24 but 8x longer
+         (4, "bird dog dog dog")],      # rare term holder
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "cat"), (1, "bird"), (2, "dog")], "q_id int, term string"
+    )
+    got = {(r.q_id, r.doc_id): r.score for r in bm25_scores(docs, q).collect()}
+    # tf monotonicity within equal-length docs
+    assert got[(0, 1)] > got[(0, 2)]
+    # doc-length normalization: doc 3 repeats doc 1 eight times — same
+    # tf DENSITY, but saturation + length penalty keep it from 8x the score
+    assert got[(0, 3)] < 8 * got[(0, 1)]
+    # idf: 'bird' (df=1) in doc 4 outscores 'dog' (df=4) in the same doc
+    assert got[(1, 4)] > got[(2, 4)]
+    # partitioning invariance, exact
+    again = {(r.q_id, r.doc_id): r.score
+             for r in bm25_scores(docs.repartition(7), q).collect()}
+    assert again == got
+
+
+def test_hybrid_rrf_fuses_both_rankers(spark):
+    """The RRF gate on the sf0.001 testdata: every fused score must equal
+    1/(60+lex)+1/(60+sem) recomputed from its own rank columns (NULL rank
+    contributes 0), pools cap at RRF_TOPK rows per query, and at least one
+    candidate must carry BOTH ranks (genuine fusion, not a disjoint union)."""
+    from engine_spark.datapipe.queries import (
+        RRF_C, RRF_SEEDS, RRF_TOPK, q_search_hybrid_rrf,
+    )
+
+    rows = q_search_hybrid_rrf(spark, "/root/testdata/sf0.001").collect()
+    assert {r.q_id for r in rows} == set(range(RRF_SEEDS))
+    both = 0
+    for r in rows:
+        want = (1.0 / (RRF_C + r.lex_rnk) if r.lex_rnk is not None else 0.0) \
+             + (1.0 / (RRF_C + r.sem_rnk) if r.sem_rnk is not None else 0.0)
+        assert abs(r.rrf_score - want) <= 1e-6
+        assert r.cand_id != r.q_id  # self-matches excluded from both pools
+        both += r.lex_rnk is not None and r.sem_rnk is not None
+    assert both > 0
+    from collections import Counter
+    per_q = Counter(r.q_id for r in rows)
+    assert all(n <= RRF_TOPK for n in per_q.values())
+    # fused_rnk is dense 1..n per query
+    for qid in per_q:
+        ranks = sorted(r.fused_rnk for r in rows if r.q_id == qid)
+        assert ranks == list(range(1, len(ranks) + 1))

@@ -241,6 +241,33 @@ CHECKS = {
         ("no cartesian/nested-loop", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
         ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
+    "join_q7_volume_shipping": [
+        # the nation-pair predicate must reach the 25-row nation scans and
+        # the ship-date range must reach the lineitem scan; no cartesian
+        ("nation-name filter pushed", lambda p: "In(n_name" in p),
+        ("shipdate pushed to lineitem scan",
+         lambda p: "GreaterThanOrEqual(l_shipdate" in p),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+        ("nation dims broadcast", lambda p: "BroadcastHashJoin" in p),
+    ],
+    "search_bm25": [
+        # inverted-index shape: the tiny query set and the vocabulary-sized
+        # df relation broadcast; candidates never cross-join the corpus
+        # (the only nested-loop is the one-row stats broadcast)
+        ("query set broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no data-sized cartesian", lambda p: "CartesianProduct" not in p),
+        ("top-k pushed down (WindowGroupLimit)",
+         lambda p: "WindowGroupLimit" in p),
+        ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "search_hybrid_rrf": [
+        # both rankers bound their pool before the fusion join; the seed
+        # (query) sides broadcast; no data-sized cartesian anywhere
+        ("seed sides broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no data-sized cartesian", lambda p: "CartesianProduct" not in p),
+        ("pool caps pushed down (WindowGroupLimit)",
+         lambda p: "WindowGroupLimit" in p),
+    ],
 }
 
 
