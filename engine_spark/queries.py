@@ -2097,6 +2097,89 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) >= 50) AS n_high
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="semi-structured JSON property extraction (the reference's JSON "
+    "mapper handles I/O mapping — attribute_mapping.rs; this is in-QUERY "
+    "extraction from a JSON string column): from_json with an explicit "
+    "schema parses props ONCE per row into a typed struct, then ordinary "
+    "typed aggregation — row-local, map-only ahead of one hash aggregate; "
+    "the JSON never reaches the shuffle. Spark's schema-checked from_json "
+    "vs the oracle's path extraction must agree on every value.",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.count_if(F.col("k") >= 50).alias("n_high"),
+        )
+    )
+
+
+@register(
+    "events_cohort_retention",
+    """
+    WITH activity AS (
+      SELECT user_id, date_trunc('day', ts) AS day
+      FROM events GROUP BY user_id, date_trunc('day', ts)
+    ),
+    cohort AS (SELECT user_id, min(day) AS cohort_day
+               FROM activity GROUP BY user_id)
+    SELECT c.cohort_day,
+           CAST(datediff('day', c.cohort_day, a.day) AS INT) AS day_offset,
+           count(*) AS n_active_users
+    FROM activity a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day, datediff('day', c.cohort_day, a.day)
+    """,
+    doc="cohort retention matrix (the standard product-analytics rollup). "
+    "The oracle states it relationally (distinct activity days, per-user "
+    "first day, join back); the Spark plan collapses all of it into ONE "
+    "user-keyed shuffle: collect_set(day) partial-aggregates map-side and "
+    "is bounded by the calendar span (days per user), never by event "
+    "volume; cohort day is array_min — row-local, no second aggregation, "
+    "no join. Exploding the day set back out is dimension-sized. "
+    "count(*) over the distinct pairs IS distinct users — no expensive "
+    "count_distinct in the final pass.",
+)
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir)["events"]
+    per_user = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("user_id")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    return (
+        per_user.select(
+            F.array_min("days").alias("cohort_day"),
+            F.explode("days").alias("day"),
+        )
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+    )
+
+
 # ===========================================================================
 # Registry ordering. The driver's correctness gate checks the FIRST 50
 # entries in dict order, so the order below is deliberate: one-or-more gates
@@ -2262,6 +2345,8 @@ _ORDER = [
     "join_q7_volume_shipping",    # TPC-H Q7 shape: dim-filter pushdown, pair check
     "search_bm25",                # Okapi BM25 ranked retrieval top-k
     "search_hybrid_rrf",          # lexical+semantic reciprocal-rank fusion
+    "events_json_props",          # typed from_json extraction + aggregation
+    "events_cohort_retention",    # cohort/day-offset retention matrix
 ]
 
 

@@ -260,6 +260,21 @@ CHECKS = {
          lambda p: "WindowGroupLimit" in p),
         ("column pruning on docs scan", lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
+    "events_json_props": [
+        # typed from_json projection is row-local: one hash-agg exchange,
+        # no join, JSON never reaches the shuffle
+        ("single exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("no join", lambda p: "Join" not in p),
+        ("column pruning on events scan",
+         lambda p: "ReadSchema: struct<event_type:string,props:string>" in p),
+    ],
+    "events_cohort_retention": [
+        # ONE user-keyed shuffle (bounded collect_set) + the final matrix
+        # aggregate; the relational two-agg+join shape must have collapsed
+        ("exactly two exchanges", lambda p: p.count("Exchange hashpartitioning") == 2),
+        ("no join", lambda p: "Join" not in p),
+        ("map-side partial set", lambda p: "partial_collect_set" in p or "objHashAggregate" in p.lower()),
+    ],
     "search_hybrid_rrf": [
         # both rankers bound their pool before the fusion join; the seed
         # (query) sides broadcast; no data-sized cartesian anywhere
