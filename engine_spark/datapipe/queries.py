@@ -665,6 +665,223 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: MMR (maximal marginal relevance) diversified rerank constants: greedy
+#: selection of MMR_K results from each seed's MMR_POOL cosine candidates,
+#: trading relevance against similarity-to-already-selected at MMR_LAMBDA.
+MMR_SEEDS = 3
+MMR_POOL = 20
+MMR_K = 5
+MMR_LAMBDA = 0.7  # mmr = LAMBDA * rel - (1 - LAMBDA) * max_sim_to_selected
+
+
+def _mmr_pool_ctes(d: Dialect) -> str:
+    """Candidate pool (top-MMR_POOL cosine per seed, r6-rounded relevance)
+    and the pairwise candidate-candidate cosine matrix WITHIN each pool —
+    pool-sized^2 per query (dimension-sized), never corpus-sized."""
+    cos_qe = r6(f"{FR.dot_chain(d, 'q.vd', 'e.vd', EMB_DIM)} / (q.nrm * e.nrm)")
+    cos_ab = r6(f"{FR.dot_chain(d, 'ea.vd', 'eb.vd', EMB_DIM)} / (ea.nrm * eb.nrm)")
+    return f"""
+    e AS (SELECT vec_id, {_rrf_vecd(d)} AS vd,
+                 {FR.norm_chain(d, _rrf_vecd(d), EMB_DIM)} AS nrm
+          FROM embeddings),
+    pool AS (
+      SELECT q_id, cand_id, rel FROM (
+        SELECT q.vec_id AS q_id, e.vec_id AS cand_id, {cos_qe} AS rel,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_qe} DESC, e.vec_id) AS rn
+        FROM (SELECT * FROM e WHERE vec_id < {MMR_SEEDS}) q
+        JOIN e ON e.vec_id <> q.vec_id)
+      WHERE rn <= {MMR_POOL}),
+    sims AS (
+      SELECT pa.q_id, pa.cand_id AS a, pb.cand_id AS b, {cos_ab} AS sim
+      FROM pool pa
+      JOIN pool pb ON pa.q_id = pb.q_id AND pa.cand_id <> pb.cand_id
+      JOIN e ea ON ea.vec_id = pa.cand_id
+      JOIN e eb ON eb.vec_id = pb.cand_id)
+    """
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR unrolled into MMR_K chained CTEs (no recursion needed for
+    a fixed k): step i scores every unselected pool candidate as
+    r6(LAMBDA*rel - (1-LAMBDA)*greatest(sim to each of the i-1 selected))
+    and picks the row_number()=1 winner with a cand_id tiebreak."""
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    steps = [f"""
+    s1 AS (
+      SELECT q_id, cand_id AS c1, {r6(f'{lam} * rel')} AS m1 FROM (
+        SELECT q_id, cand_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, cand_id) AS rn
+        FROM pool) WHERE rn = 1)"""]
+    for i in range(2, MMR_K + 1):
+        prev = ", ".join(f"c{j}" for j in range(1, i))
+        prev_m = ", ".join(f"m{j}" for j in range(1, i))
+        sim_joins = "\n        ".join(
+            f"JOIN sims x{j} ON x{j}.q_id = pool.q_id"
+            f" AND x{j}.a = pool.cand_id AND x{j}.b = s.c{j}"
+            for j in range(1, i)
+        )
+        pen = (f"greatest({', '.join(f'x{j}.sim' for j in range(1, i))})"
+               if i > 2 else "x1.sim")
+        not_in = ", ".join(f"s.c{j}" for j in range(1, i))
+        steps.append(f"""
+    s{i} AS (
+      SELECT q_id, {prev}, {prev_m}, cand_id AS c{i}, mmr AS m{i} FROM (
+        SELECT pool.q_id, {", ".join(f"s.c{j}" for j in range(1, i))},
+               {", ".join(f"s.m{j}" for j in range(1, i))},
+               pool.cand_id, {r6(f'{lam} * rel - {mu} * ({pen})')} AS mmr,
+               row_number() OVER (PARTITION BY pool.q_id
+                                  ORDER BY {r6(f'{lam} * rel - {mu} * ({pen})')} DESC,
+                                           pool.cand_id) AS rn
+        FROM pool
+        JOIN s{i - 1} s ON s.q_id = pool.q_id
+        {sim_joins}
+        WHERE pool.cand_id NOT IN ({not_in})) WHERE rn = 1)""")
+    finals = "\n    UNION ALL\n    ".join(
+        f"SELECT q_id, c{i} AS cand_id, {i} AS mmr_rank, m{i} AS mmr_score FROM s{MMR_K}"
+        for i in range(1, MMR_K + 1)
+    )
+    return f"""
+    WITH {_mmr_pool_ctes(DK)},
+    {",".join(steps)}
+    {finals}
+    """
+
+
+def _mmr_greedy(pool_pdf, sims_pdf):
+    """Row-local greedy MMR over ONE query's (already r6-rounded) pool.
+    Pure control flow on rounded inputs — the float math mirrors the
+    oracle's expression text operation-for-operation, so both engines
+    agree bit-for-bit."""
+    import math
+
+    import pandas as pd
+
+    if pool_pdf.empty:
+        return pd.DataFrame(
+            columns=["q_id", "cand_id", "mmr_rank", "mmr_score"]
+        )
+    lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    r6f = lambda x: math.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
+    rel = dict(zip(pool_pdf["cand_id"], pool_pdf["rel"]))
+    sim = {(a, b): s for a, b, s in
+           zip(sims_pdf["a"], sims_pdf["b"], sims_pdf["sim"])}
+    qid = int(pool_pdf["q_id"].iloc[0])
+    selected: list[tuple[int, float]] = []
+    remaining = set(rel)
+    for _ in range(min(MMR_K, len(rel))):
+        best = None
+        for c in remaining:
+            if selected:
+                pen = max(sim[(c, s)] for s, _ in selected)
+                score = r6f(lam * rel[c] - mu * pen)
+            else:
+                score = r6f(lam * rel[c])
+            # max by (score, -cand_id): ties break on the SMALLER cand_id
+            if best is None or (score, -c) > (best[1], -best[0]):
+                best = (c, score)
+        selected.append(best)
+        remaining.discard(best[0])
+    return pd.DataFrame(
+        {
+            "q_id": [qid] * len(selected),
+            "cand_id": [c for c, _ in selected],
+            "mmr_rank": range(1, len(selected) + 1),
+            "mmr_score": [s for _, s in selected],
+        }
+    )
+
+
+@register(
+    "search_mmr_rerank",
+    _mmr_oracle(),
+    doc=(
+        "MMR (maximal marginal relevance) diversified reranking — the "
+        "third retrieval primitive beside relevance ranking and rank "
+        f"fusion: greedily pick {MMR_K} of each seed's top-{MMR_POOL} "
+        f"cosine candidates, scoring lambda*rel - (1-lambda)*max-sim-to-"
+        "selected so near-duplicates of an already-picked result are "
+        "demoted. The relevance pool and the pool-internal similarity "
+        "matrix are computed relationally (r6-rounded, pool^2 per query — "
+        "dimension-sized); the sequential greedy step — genuinely "
+        "iterative, not expressible as one SQL pass — runs as a cogrouped "
+        "applyInPandas over (pool, sims) per query, pure control flow on "
+        "pre-rounded numbers. The oracle unrolls the same greedy loop "
+        f"into {MMR_K} chained CTEs; both engines must agree on every "
+        "pick and score."
+    ),
+)
+def q_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = Catalog(spark, sf_dir)["embeddings"]
+
+    def _staged() -> DataFrame:
+        return emb.select(
+            "vec_id",
+            F.expr(_rrf_vecd(SP)).alias("vd"),
+            F.expr(FR.norm_chain(SP, _rrf_vecd(SP), EMB_DIM)).alias("nrm"),
+        )
+
+    def _pool() -> DataFrame:
+        # built twice (fresh attribute lineage each time) because the
+        # cogroup below joins pool with the pool-derived sims relation and
+        # Spark's self-join ambiguity check rejects shared lineage
+        e = _staged()
+        q = e.filter(F.col("vec_id") < MMR_SEEDS).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vd").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        cos_qe = F.expr(
+            r6(f"{FR.dot_chain(SP, 'qv', 'vd', EMB_DIM)} / (qn * nrm)")
+        )
+        wp = Window.partitionBy("q_id").orderBy(
+            F.col("rel").desc(), F.col("vec_id")
+        )
+        return (
+            F.broadcast(q)
+            .join(e, F.col("vec_id") != F.col("q_id"))
+            .withColumn("rel", cos_qe)
+            .withColumn("rn", F.row_number().over(wp))
+            .filter(F.col("rn") <= MMR_POOL)
+            .select("q_id", F.col("vec_id").alias("cand_id"), "rel")
+        )
+
+    pool = _pool()
+    e = _staged()
+    pool_b = _pool()
+    pa = pool_b.select("q_id", F.col("cand_id").alias("a"))
+    pb = _pool().select(
+        F.col("q_id").alias("q_id_b"), F.col("cand_id").alias("b")
+    )
+    ea = e.select(F.col("vec_id").alias("a"), F.col("vd").alias("va"),
+                  F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("b"), F.col("vd").alias("vb"),
+                  F.col("nrm").alias("nb"))
+    sims = (
+        pa.join(pb, (F.col("q_id") == F.col("q_id_b")) & (F.col("a") != F.col("b")))
+        .join(ea, "a")
+        .join(eb, "b")
+        .select(
+            "q_id", "a", "b",
+            F.expr(r6(f"{FR.dot_chain(SP, 'va', 'vb', EMB_DIM)} / (na * nb)")).alias("sim"),
+        )
+    )
+
+    def _apply(pool_pdf, sims_pdf):
+        return _mmr_greedy(pool_pdf, sims_pdf)
+
+    return (
+        pool.groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(
+            _apply, "q_id long, cand_id long, mmr_rank int, mmr_score double"
+        )
+    )
+
+
 # ===========================================================================
 # deduplication
 # ===========================================================================

@@ -2347,6 +2347,7 @@ _ORDER = [
     "search_hybrid_rrf",          # lexical+semantic reciprocal-rank fusion
     "events_json_props",          # typed from_json extraction + aggregation
     "events_cohort_retention",    # cohort/day-offset retention matrix
+    "search_mmr_rerank",          # greedy MMR diversity rerank (cogrouped pandas)
 ]
 
 

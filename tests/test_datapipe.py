@@ -2823,3 +2823,39 @@ def test_hybrid_rrf_fuses_both_rankers(spark):
     for qid in per_q:
         ranks = sorted(r.fused_rnk for r in rows if r.q_id == qid)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_mmr_greedy_demotes_near_duplicates():
+    """Greedy MMR on a hand pool: candidate 11 is a near-duplicate of the
+    top-relevance pick 10, so pure-relevance order (10, 11, ...) must become
+    (10, <diverse>, ...) with 11 demoted; scores must follow the
+    lambda*rel - (1-lambda)*max-sim formula on the rounded inputs."""
+    import math
+
+    import pandas as pd
+
+    from engine_spark.datapipe.queries import MMR_LAMBDA, _mmr_greedy
+
+    pool = pd.DataFrame(
+        {"q_id": [0] * 4, "cand_id": [10, 11, 12, 13],
+         "rel": [0.95, 0.94, 0.80, 0.60]}
+    )
+    sims_rows = []
+    sim = {(10, 11): 0.99, (10, 12): 0.10, (10, 13): 0.05,
+           (11, 12): 0.12, (11, 13): 0.06, (12, 13): 0.50}
+    for (a, b), s in sim.items():
+        sims_rows += [(0, a, b, s), (0, b, a, s)]
+    sims = pd.DataFrame(sims_rows, columns=["q_id", "a", "b", "sim"])
+
+    out = _mmr_greedy(pool, sims)
+    order = list(out["cand_id"])
+    assert order[0] == 10                      # pure relevance first
+    assert order[1] == 12                      # near-dup 11 demoted
+    assert order.index(11) > order.index(12)
+    # score formula check for the second pick
+    r6f = lambda x: math.floor(x * 1000000 + 0.5) / 1000000  # noqa: E731
+    mu = round(1 - MMR_LAMBDA, 6)
+    want = r6f(MMR_LAMBDA * 0.80 - mu * 0.10)
+    assert out.loc[out["cand_id"] == 12, "mmr_score"].iloc[0] == want
+    # k never exceeds the pool
+    assert len(out) == 4

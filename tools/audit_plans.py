@@ -275,6 +275,16 @@ CHECKS = {
         ("no join", lambda p: "Join" not in p),
         ("map-side partial set", lambda p: "partial_collect_set" in p or "objHashAggregate" in p.lower()),
     ],
+    "search_mmr_rerank": [
+        # pool-bounded before the greedy step: the corpus-sized side joins
+        # only against broadcast seeds; the iterative selection runs as a
+        # cogrouped Arrow-batched pandas stage over dimension-sized groups
+        ("pool caps pushed down (WindowGroupLimit)",
+         lambda p: "WindowGroupLimit" in p),
+        ("greedy step is cogrouped pandas",
+         lambda p: "FlatMapCoGroupsInPandas" in p),
+        ("no data-sized cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     "search_hybrid_rrf": [
         # both rankers bound their pool before the fusion join; the seed
         # (query) sides broadcast; no data-sized cartesian anywhere
