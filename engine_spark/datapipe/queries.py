@@ -368,6 +368,12 @@ def keyword_scores(docs: DataFrame, topk: int = KEYWORDS_K) -> DataFrame:
 # ranked retrieval (BM25 + hybrid lexical/semantic fusion)
 # ===========================================================================
 
+def _vecd(d: Dialect, col: str = "embedding") -> str:
+    """Element-wise double cast for embedding arrays (shared by the
+    retrieval and ANN sections below)."""
+    return d.transform(col, "x", "CAST(x AS DOUBLE)")
+
+
 #: Okapi BM25 constants (standard defaults) and the fixed keyword query set
 #: for the `search_bm25` gate — terms from the synthetic corpus vocabulary.
 BM25_K1 = 1.2
@@ -446,12 +452,12 @@ def bm25_scores(docs: DataFrame, qdf: DataFrame) -> DataFrame:
     )
 
 
-def _topk_by(df: DataFrame, part: str, order_col: str, rank_name: str,
-             k: int) -> DataFrame:
+def _topk_by(df: DataFrame, part: str, order_col: str, tiebreak: str,
+             rank_name: str, k: int) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy(part).orderBy(
-        F.col(order_col).desc(), F.col("doc_id" if "doc_id" in df.columns else "cand_id")
+        F.col(order_col).desc(), F.col(tiebreak)
     )
     return df.withColumn(rank_name, F.row_number().over(w)).filter(
         F.col(rank_name) <= k
@@ -491,7 +497,7 @@ def q_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir)["documents"]
     qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
     scored = bm25_scores(docs, qdf)
-    return _topk_by(scored, "q_id", "score", "rnk", BM25_TOPK).select(
+    return _topk_by(scored, "q_id", "score", "doc_id", "rnk", BM25_TOPK).select(
         "q_id", "doc_id", "score", "rnk"
     )
 
@@ -505,12 +511,6 @@ RRF_QTERMS = 5
 RRF_POOL = 20
 RRF_TOPK = 10
 RRF_C = 60  # the standard RRF dampening constant
-
-
-def _rrf_vecd(d: Dialect) -> str:
-    # same element-wise double cast as `_vecd` below (defined later in the
-    # module; duplicated here so the section reads standalone at import time)
-    return d.transform("embedding", "x", "CAST(x AS DOUBLE)")
 
 
 def _rrf_expr() -> str:
@@ -546,8 +546,8 @@ def _rrf_expr() -> str:
         FROM (SELECT q_id, doc_id, {r6('CAST(sum(s) AS DOUBLE)')} AS score
               FROM contrib GROUP BY q_id, doc_id))
       WHERE lex_rnk <= {RRF_POOL}),
-    e AS (SELECT vec_id, {_rrf_vecd(DK)} AS vd,
-                 {FR.norm_chain(DK, _rrf_vecd(DK), EMB_DIM)} AS nrm
+    e AS (SELECT vec_id, {_vecd(DK)} AS vd,
+                 {FR.norm_chain(DK, _vecd(DK), EMB_DIM)} AS nrm
           FROM embeddings),
     sem AS (
       SELECT q_id, cand_id, sem_rnk FROM (
@@ -631,8 +631,8 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- semantic ranking: exact cosine top-POOL per seed vector ---------
     e = emb.select(
         "vec_id",
-        F.expr(_rrf_vecd(SP)).alias("vd"),
-        F.expr(FR.norm_chain(SP, _rrf_vecd(SP), EMB_DIM)).alias("nrm"),
+        F.expr(_vecd(SP)).alias("vd"),
+        F.expr(FR.norm_chain(SP, _vecd(SP), EMB_DIM)).alias("nrm"),
     )
     q = e.filter(F.col("vec_id") < RRF_SEEDS).select(
         F.col("vec_id").alias("q_id"),
@@ -681,8 +681,8 @@ def _mmr_pool_ctes(d: Dialect) -> str:
     cos_qe = r6(f"{FR.dot_chain(d, 'q.vd', 'e.vd', EMB_DIM)} / (q.nrm * e.nrm)")
     cos_ab = r6(f"{FR.dot_chain(d, 'ea.vd', 'eb.vd', EMB_DIM)} / (ea.nrm * eb.nrm)")
     return f"""
-    e AS (SELECT vec_id, {_rrf_vecd(d)} AS vd,
-                 {FR.norm_chain(d, _rrf_vecd(d), EMB_DIM)} AS nrm
+    e AS (SELECT vec_id, {_vecd(d)} AS vd,
+                 {FR.norm_chain(d, _vecd(d), EMB_DIM)} AS nrm
           FROM embeddings),
     pool AS (
       SELECT q_id, cand_id, rel FROM (
@@ -707,12 +707,15 @@ def _mmr_oracle() -> str:
     r6(LAMBDA*rel - (1-LAMBDA)*greatest(sim to each of the i-1 selected))
     and picks the row_number()=1 winner with a cand_id tiebreak."""
     lam, mu = MMR_LAMBDA, round(1 - MMR_LAMBDA, 6)
+    # step 1 ranks on the SAME rounded score the greedy uses (r6(lam*rel),
+    # not raw rel): rounding can collapse two distinct rels into a tie, and
+    # both engines must then break it on cand_id identically
     steps = [f"""
     s1 AS (
-      SELECT q_id, cand_id AS c1, {r6(f'{lam} * rel')} AS m1 FROM (
-        SELECT q_id, cand_id, rel,
+      SELECT q_id, cand_id AS c1, m1 FROM (
+        SELECT q_id, cand_id, {r6(f'{lam} * rel')} AS m1,
                row_number() OVER (PARTITION BY q_id
-                                  ORDER BY rel DESC, cand_id) AS rn
+                                  ORDER BY {r6(f'{lam} * rel')} DESC, cand_id) AS rn
         FROM pool) WHERE rn = 1)"""]
     for i in range(2, MMR_K + 1):
         prev = ", ".join(f"c{j}" for j in range(1, i))
@@ -738,8 +741,11 @@ def _mmr_oracle() -> str:
         JOIN s{i - 1} s ON s.q_id = pool.q_id
         {sim_joins}
         WHERE pool.cand_id NOT IN ({not_in})) WHERE rn = 1)""")
+    # each step emits from its OWN CTE (not all from the last one): a query
+    # whose pool holds fewer than MMR_K candidates still yields its partial
+    # selection, matching the Spark greedy's min(MMR_K, |pool|) rows
     finals = "\n    UNION ALL\n    ".join(
-        f"SELECT q_id, c{i} AS cand_id, {i} AS mmr_rank, m{i} AS mmr_score FROM s{MMR_K}"
+        f"SELECT q_id, c{i} AS cand_id, {i} AS mmr_rank, m{i} AS mmr_score FROM s{i}"
         for i in range(1, MMR_K + 1)
     )
     return f"""
@@ -820,14 +826,11 @@ def q_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _staged() -> DataFrame:
         return emb.select(
             "vec_id",
-            F.expr(_rrf_vecd(SP)).alias("vd"),
-            F.expr(FR.norm_chain(SP, _rrf_vecd(SP), EMB_DIM)).alias("nrm"),
+            F.expr(_vecd(SP)).alias("vd"),
+            F.expr(FR.norm_chain(SP, _vecd(SP), EMB_DIM)).alias("nrm"),
         )
 
     def _pool() -> DataFrame:
-        # built twice (fresh attribute lineage each time) because the
-        # cogroup below joins pool with the pool-derived sims relation and
-        # Spark's self-join ambiguity check rejects shared lineage
         e = _staged()
         q = e.filter(F.col("vec_id") < MMR_SEEDS).select(
             F.col("vec_id").alias("q_id"),
@@ -849,11 +852,14 @@ def q_search_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", F.col("vec_id").alias("cand_id"), "rel")
         )
 
+    # ONE pool computation: the corpus-sized cosine + top-k stage must not
+    # run per derived relation. Every reuse re-aliases all columns (Alias
+    # mints fresh attribute ids), which is what keeps Spark's self-join
+    # ambiguity check satisfied across the pool/sims cogroup below.
     pool = _pool()
     e = _staged()
-    pool_b = _pool()
-    pa = pool_b.select("q_id", F.col("cand_id").alias("a"))
-    pb = _pool().select(
+    pa = pool.select(F.col("q_id").alias("q_id"), F.col("cand_id").alias("a"))
+    pb = pool.select(
         F.col("q_id").alias("q_id_b"), F.col("cand_id").alias("b")
     )
     ea = e.select(F.col("vec_id").alias("a"), F.col("vd").alias("va"),
@@ -1453,10 +1459,6 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # embeddings: similarity search + near-dup
 # ===========================================================================
-
-def _vecd(d: Dialect, col: str = "embedding") -> str:
-    return d.transform(col, "x", "CAST(x AS DOUBLE)")
-
 
 def _bucket_structs_spark() -> F.Column:
     return F.array(

@@ -2102,13 +2102,20 @@ def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                AS BIGINT) AS sum_k,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           count(*) FILTER (WHERE CAST(json_extract_string(props, '$.k')
-                                       AS BIGINT) >= 50) AS n_high
-    FROM events
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k,
+           max(k) AS max_k,
+           count(*) FILTER (WHERE k >= 50) AS n_high
+    FROM (
+      -- mirror Spark's TYPED from_json semantics exactly: only an integral
+      -- JSON number yields a value; strings ("50"), floats (3.7), missing
+      -- keys, JSON nulls, out-of-range ints, and malformed JSON are NULL
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                   AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events)
     GROUP BY event_type
     """,
     doc="semi-structured JSON property extraction (the reference's JSON "
@@ -2140,7 +2147,8 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH activity AS (
       SELECT user_id, date_trunc('day', ts) AS day
-      FROM events GROUP BY user_id, date_trunc('day', ts)
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY user_id, date_trunc('day', ts)
     ),
     cohort AS (SELECT user_id, min(day) AS cohort_day
                FROM activity GROUP BY user_id)
@@ -2162,8 +2170,12 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = Catalog(spark, sf_dir)["events"]
+    # NULL-ts events are not activity — filtered EXPLICITLY on both sides
+    # (collect_set would drop NULL days silently on the Spark side only,
+    # diverging from the oracle's GROUP BY which keeps a NULL-day row)
     per_user = (
-        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        ev.filter(F.col("ts").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("day"))
         .groupBy("user_id")
         .agg(F.collect_set("day").alias("days"))
     )

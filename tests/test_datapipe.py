@@ -2859,3 +2859,43 @@ def test_mmr_greedy_demotes_near_duplicates():
     assert out.loc[out["cand_id"] == 12, "mmr_score"].iloc[0] == want
     # k never exceeds the pool
     assert len(out) == 4
+
+
+def test_mmr_small_pool_matches_oracle(spark, tmp_path):
+    """Regression: a corpus with fewer than MMR_K candidates per seed must
+    yield the same PARTIAL selection from the Spark greedy and the unrolled
+    SQL oracle (the oracle once emitted zero rows when the final CTE went
+    empty). 4 vectors -> each of the 3 seeds has a 3-candidate pool."""
+    import duckdb
+    import pandas as pd
+
+    from engine_spark.datapipe.queries import EMB_DIM
+    from engine_spark.queries import QUERIES
+
+    rng = [[(i * 7 + j * 3) % 13 / 13.0 + 0.1 for j in range(EMB_DIM)]
+           for i in range(4)]
+    pdf = pd.DataFrame(
+        {"vec_id": range(4),
+         "embedding": [pd.array(v, dtype="float32") for v in rng],
+         "label": [0] * 4}
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {"vec_id": pa.array(range(4), pa.int64()),
+         "embedding": pa.array(rng, pa.list_(pa.float32())),
+         "label": pa.array([0] * 4, pa.int32())}
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    sdf = QUERIES["search_mmr_rerank"].spark(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM '{tmp_path}/embeddings.parquet'")
+    odf = con.sql(QUERIES["search_mmr_rerank"].oracle).df()
+    key = ["q_id", "mmr_rank"]
+    s = sdf.sort_values(key).reset_index(drop=True)
+    o = odf.sort_values(key).reset_index(drop=True)
+    assert len(s) == len(o) == 9  # 3 seeds x 3-candidate partial selections
+    assert list(s["cand_id"]) == list(o["cand_id"])
+    assert list(s["mmr_score"]) == list(o["mmr_score"])

@@ -273,7 +273,7 @@ CHECKS = {
         # aggregate; the relational two-agg+join shape must have collapsed
         ("exactly two exchanges", lambda p: p.count("Exchange hashpartitioning") == 2),
         ("no join", lambda p: "Join" not in p),
-        ("map-side partial set", lambda p: "partial_collect_set" in p or "objHashAggregate" in p.lower()),
+        ("map-side partial set", lambda p: "partial_collect_set" in p or "objhashaggregate" in p.lower()),
     ],
     "search_mmr_rerank": [
         # pool-bounded before the greedy step: the corpus-sized side joins
