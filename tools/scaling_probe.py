@@ -116,6 +116,36 @@ def main() -> None:
             F.last("n", ignorenulls=True).over(w).alias("filled"),
         )
 
+    def bm25_chain(d):
+        # index aggregations scale with postings; the broadcast query set
+        # bounds scoring at postings-of-queried-terms, so 10x docs must
+        # cost ~10x index work, never 10x * |queries| scoring work
+        from engine_spark.datapipe.queries import BM25_QUERIES, bm25_scores
+
+        qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+        return bm25_scores(d.select("doc_id", "text"), qdf)
+
+    def cohort_chain(d):
+        # collect_set(day) is calendar-bounded per user: 10x events over
+        # the same user/day span combine map-side to the SAME set sizes
+        per_user = (
+            d.filter(F.col("ts").isNotNull())
+            .select("user_id", F.date_trunc("day", "ts").alias("day"))
+            .groupBy("user_id")
+            .agg(F.collect_set("day").alias("days"))
+        )
+        return (
+            per_user.select(
+                F.array_min("days").alias("cohort_day"),
+                F.explode("days").alias("day"),
+            )
+            .groupBy(
+                "cohort_day",
+                F.datediff(F.col("day"), F.col("cohort_day")).alias("off"),
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
     chains = {
         "filter_project": (filter_chain, "lineitem"),
         "hash_aggregate": (agg_chain, "lineitem"),
@@ -126,6 +156,8 @@ def main() -> None:
         "seeded_shuffle": (shuffle_chain, "documents"),
         "fuzzy_dedup": (fuzzy_chain, "documents"),
         "events_gapfill": (gapfill_chain, "events"),
+        "bm25_retrieval": (bm25_chain, "documents"),
+        "cohort_retention": (cohort_chain, "events"),
     }
 
     def t(df) -> float:
