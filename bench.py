@@ -69,6 +69,13 @@ def main() -> None:
         "sql_table_dml",
         "window_unique_newest",
         "window_frequent_topk",
+        # round 9 (late): ranked retrieval, diversity rerank, TPC-H Q7,
+        # JSON extraction, cohort retention
+        "search_bm25",
+        "search_mmr_rerank",
+        "join_q7_volume_shipping",
+        "events_json_props",
+        "events_cohort_retention",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md
