@@ -911,3 +911,77 @@ def test_gapfill_stream_matches_batch(spark, events, split):
         ).collect()
     )
     assert stream == batch
+
+
+cohort_events = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2", "u3"]),
+        st.integers(min_value=0, max_value=5),   # day offset from T0
+        st.integers(min_value=0, max_value=23),  # hour of day
+    ),
+    min_size=1,
+    max_size=14,
+)
+
+
+@given(events=cohort_events, split=st.integers(min_value=1, max_value=3))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cohort_stream_matches_batch(spark, events, split):
+    """Cohort assignment: the streaming operator (watermark-final cohorts
+    from applyInPandasWithState) must emit exactly the batch gate's
+    (user, cohort_day, day, day_offset) pairs — one per distinct active
+    day, offsets against the user's minimum day — for any event schedule
+    and any micro-batch split, and the aggregated retention matrix must
+    match the events_cohort_retention gate shape."""
+    from collections import Counter
+
+    from engine_spark.streaming.cohort import cohort_stream
+
+    evs = sorted(
+        ((u, T0 + timedelta(days=d, hours=h)) for u, d, h in events),
+        key=lambda e: e[1],
+    )
+
+    r = StreamRunner(spark, "ts timestamp, user string")
+    per = -(-len(evs) // split)
+    for i in range(0, len(evs), per):
+        r.send([{"ts": e[1].isoformat(), "user": e[0]} for e in evs[i : i + per]])
+    for flush_d in (8, 9):  # push the watermark past every real day
+        r.send([{"ts": (T0 + timedelta(days=flush_d)).isoformat(), "user": "zz"}])
+    r.run(lambda df: cohort_stream(df, "ts", "user"))
+    stream_pairs = sorted(
+        (m["user"], m["cohort_day"], m["day"], m["day_offset"])
+        for m in r.shutdown()
+        if m["user"] != "zz"
+    )
+
+    # -- batch twin: the events_cohort_retention gate shape
+    bdf = spark.createDataFrame(evs, "user string, ts timestamp")
+    per_user = (
+        bdf.select("user", F.date_trunc("day", "ts").alias("day"))
+        .groupBy("user")
+        .agg(F.collect_set("day").alias("days"))
+    )
+    batch_pairs = sorted(
+        (row.user, row.cohort_day, row.day, row.day_offset)
+        for row in per_user.select(
+            "user",
+            F.array_min("days").alias("cohort_day"),
+            F.explode("days").alias("day"),
+        )
+        .withColumn(
+            "day_offset",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("int"),
+        )
+        .collect()
+    )
+    assert stream_pairs == batch_pairs
+
+    # matrix parity: counting the streamed pairs IS the retention matrix
+    stream_matrix = Counter((c, o) for _, c, _, o in stream_pairs)
+    batch_matrix = Counter((c, o) for _, c, _, o in batch_pairs)
+    assert stream_matrix == batch_matrix

@@ -1304,3 +1304,37 @@ def test_auto_live_salt_single_long_lived_query_exact(spark, tmp_path, monkeypat
     # exactly once per opened A, each taking the EARLIEST B — no fan-out
     # duplicates, no missed opens across the cold→hot re-key
     assert matches == [(0.0, 50.0), (1.0, 50.0), (2.0, 50.0)]
+
+
+def test_streaming_cohort_drops_late_and_keeps_cohort_final(spark):
+    """cohort_stream: once the watermark passes a user's cohort-day start
+    the cohort is final — a later-arriving event for an EARLIER day is
+    watermark-late and dropped (no retroactive cohort shift, no pair row);
+    new days keep emitting with offsets against the final cohort; each
+    (user, day) pair emits exactly once despite repeat events."""
+    from engine_spark.streaming.cohort import cohort_stream
+
+    def _dts(day: int, hour: int = 12) -> str:
+        return f"2026-01-{day:02d}T{hour:02d}:00:00.000Z"
+
+    r = StreamRunner(spark, "ts timestamp, user string")
+    # batch 1: first sighting on Jan 3 (watermark advances to Jan 3 12:00,
+    # past the Jan 3 day start -> cohort final immediately)
+    r.send([{"ts": _dts(3), "user": "u1"}])
+    # batch 2: a Jan 1 straggler (late: ts < watermark -> dropped), a
+    # repeat Jan 3 event (pair already emitted -> no duplicate), and a
+    # new Jan 5 activity day
+    r.send([
+        {"ts": _dts(1), "user": "u1"},
+        {"ts": _dts(3, 13), "user": "u1"},
+        {"ts": _dts(5), "user": "u1"},
+    ])
+    # flush: advance the watermark well past every day
+    r.send([{"ts": _dts(9), "user": "zz"}])
+    r.run(lambda df: cohort_stream(df, "ts", "user"))
+    rows = sorted(
+        (m["user"], m["cohort_day"].day, m["day"].day, m["day_offset"])
+        for m in r.shutdown()
+        if m["user"] == "u1"
+    )
+    assert rows == [("u1", 3, 3, 0), ("u1", 3, 5, 2)]
