@@ -2169,14 +2169,20 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count_distinct in the final pass.",
 )
 def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = Catalog(spark, sf_dir)["events"]
+    return cohort_retention(Catalog(spark, sf_dir)["events"])
+
+
+def cohort_retention(ev: DataFrame, ts_col: str = "ts",
+                     key_col: str = "user_id") -> DataFrame:
+    """(cohort_day, day_offset, n_active_users) retention matrix — the
+    one-shuffle plan shared by the gate and tools/scaling_probe.py."""
     # NULL-ts events are not activity — filtered EXPLICITLY on both sides
     # (collect_set would drop NULL days silently on the Spark side only,
     # diverging from the oracle's GROUP BY which keeps a NULL-day row)
     per_user = (
-        ev.filter(F.col("ts").isNotNull())
-        .select("user_id", F.date_trunc("day", "ts").alias("day"))
-        .groupBy("user_id")
+        ev.filter(F.col(ts_col).isNotNull())
+        .select(key_col, F.date_trunc("day", ts_col).alias("day"))
+        .groupBy(key_col)
         .agg(F.collect_set("day").alias("days"))
     )
     return (

@@ -67,7 +67,10 @@ def cohort_stream(
         cohort, hot, pending = None, set(), set()
         if state.exists:
             c, h, p = state.get
-            cohort = c if c >= 0 else None
+            # -1 is collision-free as the no-cohort sentinel: real cohorts
+            # are day-aligned epoch ms (multiples of _DAY_MS, negative ones
+            # included for pre-1970 event times), never -1
+            cohort = None if c == -1 else c
             hot, pending = set(h or []), set(p or [])
         wm = state.getCurrentWatermarkMs()
         # emitted days whose end has passed the watermark can never

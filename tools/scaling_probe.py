@@ -127,24 +127,12 @@ def main() -> None:
 
     def cohort_chain(d):
         # collect_set(day) is calendar-bounded per user: 10x events over
-        # the same user/day span combine map-side to the SAME set sizes
-        per_user = (
-            d.filter(F.col("ts").isNotNull())
-            .select("user_id", F.date_trunc("day", "ts").alias("day"))
-            .groupBy("user_id")
-            .agg(F.collect_set("day").alias("days"))
-        )
-        return (
-            per_user.select(
-                F.array_min("days").alias("cohort_day"),
-                F.explode("days").alias("day"),
-            )
-            .groupBy(
-                "cohort_day",
-                F.datediff(F.col("day"), F.col("cohort_day")).alias("off"),
-            )
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
+        # the same user/day span combine map-side to the SAME set sizes.
+        # Times the gate's OWN plan (shared helper), so SCALE.md can never
+        # drift from what the engine actually runs.
+        from engine_spark.queries import cohort_retention
+
+        return cohort_retention(d)
 
     chains = {
         "filter_project": (filter_chain, "lineitem"),
