@@ -76,6 +76,11 @@ def main() -> None:
         "join_q7_volume_shipping",
         "events_json_props",
         "events_cohort_retention",
+        # round 9 (session 2): disjunct-pushdown join, EXISTS-pair agg
+        # rewrite, single-exchange conversion funnel
+        "join_q19_disjunctive",
+        "join_q21_waiting_supplier",
+        "events_funnel_24h",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

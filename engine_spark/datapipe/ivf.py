@@ -85,11 +85,12 @@ def kmeans_train(
 
     Training input is CAPPED at ``max_train_rows`` (default ``256*k``, the
     standard IVF training budget — faiss trains on the same order): one
-    content-hash top-N pass bounds it, the Lloyd iterations then run over
-    that cached codebook-sized sample instead of re-scanning the full
-    corpus each round. At 100 TB this is the difference between `iters`
-    extra full-corpus scans and none — the corpus is assigned to the
-    trained cells exactly once, in ``ivf_search``. Codebook quality is
+    content-hash top-N pass bounds it, then the k-center init AND the
+    Lloyd iterations run driver-side in numpy over that collected
+    codebook-sized sample — zero Spark jobs per round. At 100 TB this is
+    the difference between `iters` extra full-corpus scans and none —
+    the corpus is assigned to the trained cells exactly once, in
+    ``ivf_search``. Codebook quality is
     statistically equivalent (centroids are means; a 256/cell sample
     estimates them within ~6% of a cell stddev) — the recall property
     test pins it.
@@ -114,64 +115,55 @@ def kmeans_train(
     # k, independent of corpus size.
     m = max(8 * k, 64)
     cap = max(max_train_rows if max_train_rows is not None else 256 * k, m)
-    # the ONE full-corpus pass: deterministic content-hash top-`cap` sample,
-    # cached for the Lloyd rounds below (cap rows x dim doubles — bounded
-    # by k, independent of corpus size)
-    train = (
+    # the ONE full-corpus pass: deterministic content-hash top-`cap` sample.
+    # The collect is cap x dim doubles — bounded by k, independent of corpus
+    # size (for k=16/dim=16 that's ~0.5 MB) — so BOTH the k-center init and
+    # the Lloyd rounds run driver-side in numpy: zero further Spark jobs.
+    # (An earlier revision cached the sample as a DataFrame and ran each
+    # Lloyd round as a distributed aggregate — correct, but it paid
+    # `iters` job/shuffle round-trips to average a driver-sized sample.
+    # The distributed passes that actually touch the corpus remain the
+    # sample top-cap above and the final cell assignment in ivf_search.)
+    train_rows = (
         v.withColumn(
             "_h", F.expr("conv(substring(md5(concat('ivf', _id)), 1, 14), 16, 10)")
         )
         .orderBy("_h", "_id")
         .limit(cap)
-        .cache()
+        .select("_v")
+        .collect()
     )
-    sample = train.orderBy("_h", "_id").limit(m).select("_v").collect()
-    if not sample:
+    if not train_rows:
         raise ValueError("kmeans_train: empty input")
-    if len(sample) < k:
+    if len(train_rows) < k:
         raise ValueError(f"kmeans_train: need >= {k} vectors")
     import numpy as np
 
-    pts = np.array([r["_v"] for r in sample], dtype=np.float64)  # (m, dim)
+    all_pts = np.array([r["_v"] for r in train_rows], dtype=np.float64)  # (cap, dim)
+    pts = all_pts[:m]  # init sample: the m smallest hashes, as before
     cents_np = [pts[0]]
     d2 = ((pts - pts[0]) ** 2).sum(axis=1)
     while len(cents_np) < k:
         nxt = int(d2.argmax())  # farthest from all chosen seeds
         cents_np.append(pts[nxt])
         d2 = np.minimum(d2, ((pts - pts[nxt]) ** 2).sum(axis=1))
-    cents = [[float(x) for x in c] for c in cents_np]
+    cents = np.array(cents_np)  # (k, dim)
 
     for _ in range(iters):
-        assigned = train.withColumn(
-            "_cell", F.expr(_argmin_dist_expr("_v", cents, dim))
-        )
-        # mean per (cell, position): posexplode keeps everything codegen'd
-        # and the groupBy combines map-side — k*dim*partitions partials max
-        sums = (
-            assigned.select("_cell", F.posexplode("_v").alias("_p", "_x"))
-            .groupBy("_cell", "_p")
-            .agg(F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        new = [list(c) for c in cents]
-        byc: dict[int, list[tuple[int, float, int]]] = {}
-        for r in sums:
-            byc.setdefault(r["_cell"] - 1, []).append((r["_p"], r["_s"], r["_n"]))
-        for ci, entries in byc.items():
-            for p, s, n in entries:
-                new[ci][p] = s / n
-        # converged centroids make every further iteration a no-op full
-        # scan — stop early (each iteration is a complete pass over the
-        # corpus, so this is the 100 TB saving, not just a local one)
-        shift = max(
-            sum((a - b) ** 2 for a, b in zip(c0, c1))
-            for c0, c1 in zip(cents, new)
-        )
+        # (cap, k) squared distances -> per-point argmin -> per-cell means;
+        # empty cells keep their previous centroid (stable codebook size)
+        d2 = ((all_pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cell = d2.argmin(axis=1)
+        new = cents.copy()
+        for ci in range(k):
+            mask = cell == ci
+            if mask.any():
+                new[ci] = all_pts[mask].mean(axis=0)
+        shift = float(((cents - new) ** 2).sum(axis=1).max())
         cents = new
-        if shift < 1e-12:
+        if shift < 1e-12:  # converged: further rounds are no-ops
             break
-    train.unpersist()
-    return cents
+    return [[float(x) for x in c] for c in cents]
 
 
 def ivf_search(

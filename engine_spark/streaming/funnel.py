@@ -1,0 +1,158 @@
+"""Streaming conversion funnel (stage-1 -> stage-2 within gap -> stage-3).
+
+The streaming twin of the batch ``events_funnel_24h`` gate
+(engine_spark/queries.py): live conversion dashboards want each user's
+stage transitions as events arrive, not in a nightly batch. Per user:
+
+- t1 = the MINIMUM stage-1 ("signup") event time;
+- t2 = the minimum stage-2 ("click") time in (t1, t1 + gap];
+- t3 = the minimum stage-3 ("purchase") time in (t2, t2 + gap];
+- each resolved stage emits EXACTLY ONE row
+  (key, stage, ts, delay_us vs the previous stage).
+
+Finality is a watermark theorem, stage by stage (the same argument the
+cohort twin makes for min-day): a candidate tK computed from arrived
+events is final once the watermark reaches it, because any event that
+could lower tK would carry ts < tK <= watermark and is by definition
+watermark-late. Stage K+1 only resolves after stage K is final, so
+emissions are monotone and never retracted.
+
+State per user is delay-bounded, independent of stream length:
+
+- stage-1 collapses to ONE scalar (the running min);
+- buffered stage-2/3 events with ts <= watermark are provably dead
+  unless their predecessor stage is final (any eventual predecessor
+  timestamp would be >= watermark >= ts, and eligibility needs
+  ts > predecessor) — so the buffers only ever hold events newer than
+  the watermark, i.e. at most the configured lateness horizon;
+- once a stage resolves its buffer clears, and when the last stage
+  emits the key's state is removed entirely.
+
+An event-time timeout re-wakes idle keys so a candidate that was ahead
+of the watermark at arrival still emits when the watermark catches up.
+
+Relation to the CEP path: ``signup -> click WITHIN gap`` is expressible
+as an NFA pattern (streaming/nfa.py), but pattern semantics match EVERY
+qualifying pair; the funnel wants the canonical first-touch chain
+(min-timestamps) with exactly-once stage emission — a different
+operator, shaped like the batch gate's three window minima.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from engine_spark.streaming.eventtime import watermarked
+
+_NONE = -(2**62)  # sentinel: no candidate (real epoch-ms never reach it)
+
+
+def funnel_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str = "event_type",
+    stages: tuple[str, str, str] = ("signup", "click", "purchase"),
+    gap_ms: int = 86_400_000,
+    late: str = "0 seconds",
+) -> DataFrame:
+    """(streaming df) -> (key, stage, ts, delay_us), one row per resolved
+    stage per key; see module docstring for the contract."""
+    tagged = watermarked(df, ts_col, late)
+    ktype = {f.name: f.dataType for f in df.schema.fields}[
+        key_col
+    ].simpleString()
+    out_schema = (
+        f"{key_col} {ktype}, stage string, ts timestamp, delay_us long"
+    )
+    state_schema = (
+        "t1 long, t2 long, t3 long, "
+        "pending2 array<long>, pending3 array<long>, emitted int"
+    )
+    s1, s2, s3 = stages
+
+    def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        t1, t2, t3, p2, p3, emitted = _NONE, _NONE, _NONE, [], [], 0
+        if state.exists:
+            t1, t2, t3, p2raw, p3raw, emitted = state.get
+            p2, p3 = list(p2raw or []), list(p3raw or [])
+        wm = state.getCurrentWatermarkMs()
+
+        frames = [] if state.hasTimedOut else list(pdfs)
+        rows = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+        if len(rows):
+            ts_ms = rows[ts_col].astype("datetime64[ms]").astype("int64")
+            kinds = rows[type_col]
+            live = ts_ms >= wm  # watermark-late events are dropped
+            for t, kind in zip(ts_ms[live], kinds[live]):
+                t = int(t)
+                if kind == s1:
+                    t1 = t if t1 == _NONE else min(t1, t)
+                elif kind == s2 and t2 == _NONE:
+                    p2.append(t)
+                elif kind == s3 and t3 == _NONE:
+                    p3.append(t)
+
+        out = []
+        # stage 1: the running min is final once the watermark passes it
+        t1_final = t1 != _NONE and t1 <= wm
+        if t1_final and not emitted & 1:
+            out.append((key[0], s1, t1, 0))
+            emitted |= 1
+        # stage 2
+        if t2 == _NONE:
+            if t1_final:
+                p2 = [t for t in p2 if t1 < t <= t1 + gap_ms]
+                if p2 and min(p2) <= wm:
+                    t2 = min(p2)
+                    p2 = []
+            else:
+                # eventual t1 >= wm, so any buffered t <= wm fails t > t1
+                p2 = [t for t in p2 if t > wm]
+        if t2 != _NONE and not emitted & 2:
+            out.append((key[0], s2, t2, (t2 - t1) * 1000))
+            emitted |= 2
+        # stage 3 (same shape, one stage down)
+        if t3 == _NONE:
+            if t2 != _NONE:
+                p3 = [t for t in p3 if t2 < t <= t2 + gap_ms]
+                if p3 and min(p3) <= wm:
+                    t3 = min(p3)
+                    p3 = []
+            else:
+                p3 = [t for t in p3 if t > wm]
+        if t3 != _NONE and not emitted & 4:
+            out.append((key[0], s3, t3, (t3 - t2) * 1000))
+            emitted |= 4
+
+        if emitted & 4:
+            state.remove()  # chain complete: nothing left to resolve
+        else:
+            state.update((t1, t2, t3, sorted(p2), sorted(p3), emitted))
+            # re-wake when the watermark reaches the nearest unresolved
+            # candidate so an idle key still emits
+            targets = []
+            if t1 != _NONE and not emitted & 1:
+                targets.append(t1)
+            targets += p2 + p3
+            if targets:
+                state.setTimeoutTimestamp(max(min(targets), wm + 1))
+        if out:
+            pdf = pd.DataFrame(
+                out, columns=[key_col, "stage", "ts", "delay_us"]
+            )
+            pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ms")
+            pdf["delay_us"] = pdf["delay_us"].astype("int64")
+            yield pdf
+
+    return tagged.groupBy(key_col).applyInPandasWithState(
+        run,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

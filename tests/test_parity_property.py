@@ -985,3 +985,108 @@ def test_cohort_stream_matches_batch(spark, events, split):
     stream_matrix = Counter((c, o) for _, c, _, o in stream_pairs)
     batch_matrix = Counter((c, o) for _, c, _, o in batch_pairs)
     assert stream_matrix == batch_matrix
+
+
+funnel_events = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        st.sampled_from(["signup", "click", "purchase", "view"]),
+        st.integers(min_value=0, max_value=60),  # hours from T0
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@given(events=funnel_events, split=st.integers(min_value=1, max_value=3))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_funnel_stream_matches_batch(spark, events, split):
+    """Conversion funnel: the streaming operator (watermark-final stage
+    minima from applyInPandasWithState) must emit exactly the batch
+    gate's (user, stage, ts, delay) rows — t1 = min signup, t2 = first
+    click in (t1, t1+24h], t3 = first purchase in (t2, t2+24h] — for any
+    event schedule and any micro-batch split. Events are sent in
+    event-time order (the watermark contract — a LATE signup is dropped
+    by design, which the batch twin cannot see); disorder is still
+    exercised inside each micro-batch, where stage events and their
+    predecessors arrive together and the watermark lags one batch."""
+    from engine_spark.streaming.funnel import funnel_stream
+
+    evs = sorted(
+        ((u, k, T0 + timedelta(hours=h)) for u, k, h in events),
+        key=lambda e: e[2],
+    )
+
+    r = StreamRunner(spark, "ts timestamp, user string, event_type string")
+    per = -(-len(evs) // split)
+    for i in range(0, len(evs), per):
+        r.send(
+            [
+                {"ts": e[2].isoformat(), "user": e[0], "event_type": e[1]}
+                for e in evs[i : i + per]
+            ]
+        )
+    for flush_h in (200, 201):  # push the watermark past every candidate
+        r.send(
+            [
+                {
+                    "ts": (T0 + timedelta(hours=flush_h)).isoformat(),
+                    "user": "zz",
+                    "event_type": "view",
+                }
+            ]
+        )
+    r.run(lambda df: funnel_stream(df, "ts", "user"))
+    stream_rows = sorted(
+        (m["user"], m["stage"], m["ts"], m["delay_us"])
+        for m in r.shutdown()
+        if m["user"] != "zz"
+    )
+
+    # -- batch twin: the events_funnel_24h gate's per-user stage minima
+    from pyspark.sql import Window as W
+
+    bdf = spark.createDataFrame(
+        [(u, k, t) for u, k, t in evs], "user string, event_type string, ts timestamp"
+    )
+    w = W.partitionBy("user")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    d1 = bdf.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 24 HOURS")),
+            F.col("ts"),
+        )
+    ).over(w)
+    d2 = d1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOURS")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        d2.withColumn("t3", t3)
+        .groupBy("user")
+        .agg(F.min("t1").alias("t1"), F.min("t2").alias("t2"), F.min("t3").alias("t3"))
+        .collect()
+    )
+    batch_rows = []
+    for row in per_user:
+        if row.t1 is not None:
+            batch_rows.append((row.user, "signup", row.t1, 0))
+        if row.t2 is not None:
+            us = int((row.t2 - row.t1).total_seconds() * 1_000_000)
+            batch_rows.append((row.user, "click", row.t2, us))
+        if row.t3 is not None:
+            us = int((row.t3 - row.t2).total_seconds() * 1_000_000)
+            batch_rows.append((row.user, "purchase", row.t3, us))
+    assert stream_rows == sorted(batch_rows)

@@ -179,6 +179,43 @@ CHECKS = {
         ("no cartesian", lambda p: "Cartesian" not in p),
         ("lineitem scan pruned to two cols", lambda p: "struct<l_orderkey:bigint,l_quantity:" in p),
     ],
+    "join_q19_disjunctive": [
+        # the per-side portions of the OR-of-ANDs must reach BOTH parquet
+        # scans (disjunct pushdown), the part side must broadcast, and the
+        # cross-side disjunction re-check stays on the join — not a filter
+        # above a full cartesian
+        ("disjunct pushed to lineitem scan", lambda p: "PushedFilters: [Or(" in p),
+        ("part side broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+        ("two scans only", lambda p: p.count("Scan parquet") == 2),
+    ],
+    "join_q21_waiting_supplier": [
+        # the EXISTS/NOT EXISTS pair is rewritten as ONE per-(order,supplier)
+        # aggregate chain — the literal form's 3x lineitem self-join never
+        # appears (lineitem is scanned once; the oracle scans it thrice)
+        ("single lineitem scan", lambda p: p.count("lineitem.parquet") == 1),
+        ("order-status pushed to scan", lambda p: "EqualTo(o_orderstatus,F)" in p),
+        ("no cartesian/nested-loop", lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+        ("top-n via TakeOrdered", lambda p: "TakeOrderedAndProject" in p),
+    ],
+    "join_q22_dormant_customers": [
+        # scalar (n, sum) aggregate broadcasts into the filter (1-row build
+        # side — the BroadcastNestedLoop here is by design); the NOT EXISTS
+        # is an anti join against the priority/date-pruned orders slice
+        ("anti join", lambda p: "LeftAnti" in p),
+        ("orders slice pruned at scan", lambda p: "EqualTo(o_orderpriority,1-URGENT)" in p),
+        ("scalar stats broadcast", lambda p: "BroadcastExchange IdentityBroadcastMode" in p),
+        ("no shuffled join", lambda p: "SortMergeJoin" not in p),
+    ],
+    "events_funnel_24h": [
+        # three stage timestamps resolve in ONE user-keyed exchange with
+        # three window passes over it (the oracle's chained CTEs cost three
+        # fact shuffles); the stage rollup exchanges 3 rows after partial agg
+        ("one user-keyed exchange", lambda p: p.count("Exchange hashpartitioning(user_id") == 1),
+        ("three fused window passes", lambda p: p.count("Window") == 3),
+        ("single events scan", lambda p: p.count("Scan parquet") == 1),
+        ("partial agg before stage exchange", lambda p: "partial_count" in p),
+    ],
     "expr_correlated_subquery": [
         # both correlated subqueries must DECORRELATE into aggregate+join
         # subplans (the O(n^2) per-row re-execution trap shows up as a

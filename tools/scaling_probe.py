@@ -134,6 +134,14 @@ def main() -> None:
 
         return cohort_retention(d)
 
+    def funnel_chain(d):
+        # all three stage minima resolve in ONE user-keyed exchange; 10x
+        # events over the same users must cost ~one bigger window pass,
+        # never three more fact shuffles. Times the gate's OWN plan.
+        from engine_spark.queries import funnel_stages
+
+        return funnel_stages(d)
+
     chains = {
         "filter_project": (filter_chain, "lineitem"),
         "hash_aggregate": (agg_chain, "lineitem"),
@@ -146,6 +154,7 @@ def main() -> None:
         "events_gapfill": (gapfill_chain, "events"),
         "bm25_retrieval": (bm25_chain, "documents"),
         "cohort_retention": (cohort_chain, "events"),
+        "events_funnel": (funnel_chain, "events"),
     }
 
     def t(df) -> float:
