@@ -179,6 +179,14 @@ CHECKS = {
         ("no cartesian", lambda p: "Cartesian" not in p),
         ("lineitem scan pruned to two cols", lambda p: "struct<l_orderkey:bigint,l_quantity:" in p),
     ],
+    "setops_union_intersect_except": [
+        # INTERSECT/EXCEPT must compile to semi/anti joins over the
+        # deduplicated key sets, with the year slices pruned at the scan
+        ("intersect is a semi join", lambda p: "LeftSemi" in p),
+        ("except is an anti join", lambda p: "LeftAnti" in p),
+        ("year slices pushed to scan", lambda p: "GreaterThanOrEqual(o_orderdate" in p),
+        ("no cartesian", lambda p: "Cartesian" not in p),
+    ],
     "join_q19_disjunctive": [
         # the per-side portions of the OR-of-ANDs must reach BOTH parquet
         # scans (disjunct pushdown), the part side must broadcast, and the
