@@ -1338,3 +1338,53 @@ def test_streaming_cohort_drops_late_and_keeps_cohort_final(spark):
         if m["user"] == "u1"
     )
     assert rows == [("u1", 3, 3, 0), ("u1", 3, 5, 2)]
+
+
+def test_funnel_stream_state_survives_restart(spark):
+    """Funnel state (stage minima + pending buffers) must survive a query
+    restart from the same checkpoint, and each stage must emit exactly
+    once across restarts — the exactly-once contract a live conversion
+    dashboard depends on."""
+    from engine_spark.streaming.funnel import funnel_stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, event_type string")
+
+    # 15-minute lateness keeps the watermark BEHIND each run's own events,
+    # so candidates genuinely buffer in checkpointed state across restarts
+    # (with 0s lateness the post-batch timeout trigger would resolve them
+    # inside the same run)
+    def build(df):
+        return funnel_stream(df, "ts", "user", late="15 minutes")
+
+    # run #1: signup arrives; watermark stays behind it — nothing emits
+    r.send([{"ts": _ts(0), "user": "u1", "event_type": "signup"}])
+    r.run(build)
+    assert r.collected == []
+
+    # run #2 (restart): click arrives; watermark (t10 - 15m) still below
+    # the restored signup — everything stays buffered
+    r.send([{"ts": _ts(10), "user": "u1", "event_type": "click"}])
+    r.run(build)
+    assert r.collected == []
+
+    # run #3 (second restart): purchase pushes the watermark to t5 —
+    # only the restored signup (t0) is final; click/purchase buffered
+    r.send([{"ts": _ts(20), "user": "u1", "event_type": "purchase"}])
+    r.run(build)
+    assert [m["stage"] for m in r.collected] == ["signup"]
+
+    # run #4 (third restart): a flush event pushes the watermark past both
+    # buffered candidates — click and purchase emit exactly once, with
+    # delays measured from the restored predecessor timestamps
+    r.send([{"ts": _ts(50), "user": "zz", "event_type": "view"}])
+    r.run(build)
+    out = [
+        (m["stage"], m["delay_us"])
+        for m in r.shutdown()
+        if m["user"] == "u1"
+    ]
+    assert out == [
+        ("signup", 0),
+        ("click", 10 * 60 * 1_000_000),
+        ("purchase", 10 * 60 * 1_000_000),
+    ]
