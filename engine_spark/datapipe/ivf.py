@@ -149,10 +149,14 @@ def kmeans_train(
         d2 = np.minimum(d2, ((pts - pts[nxt]) ** 2).sum(axis=1))
     cents = np.array(cents_np)  # (k, dim)
 
+    pts_sq = (all_pts**2).sum(axis=1, keepdims=True)  # (cap, 1), reused
     for _ in range(iters):
-        # (cap, k) squared distances -> per-point argmin -> per-cell means;
+        # (cap, k) squared distances via ||a||^2 + ||c||^2 - 2*a@c.T — a
+        # matmul, NOT a broadcast (cap, k, dim) tensor, which at the
+        # general-machinery end (k=256, dim=128, cap=256k) would be a
+        # ~17 GB driver allocation; per-point argmin -> per-cell means;
         # empty cells keep their previous centroid (stable codebook size)
-        d2 = ((all_pts[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        d2 = pts_sq + (cents**2).sum(axis=1)[None, :] - 2.0 * (all_pts @ cents.T)
         cell = d2.argmin(axis=1)
         new = cents.copy()
         for ci in range(k):

@@ -1966,25 +1966,29 @@ def q_join_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pattern that keeps a 100-TB scan from feeding the join unfiltered.",
 )
 def q_join_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
     cat = Catalog(spark, sf_dir)
-    part_side = (
-        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
-        | (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
-        | (F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 40)
-    )
-    li_side = (
-        (F.col("l_quantity") <= 15) & (F.col("l_returnflag") == "N")
-        | F.col("l_quantity").between(10, 25) & (F.col("l_linestatus") == "O")
-        | F.col("l_quantity").between(20, 35)
-    )
-    full = (
-        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
-        & (F.col("l_quantity") <= 15) & (F.col("l_returnflag") == "N")
-        | (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
-        & F.col("l_quantity").between(10, 25) & (F.col("l_linestatus") == "O")
-        | (F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 40)
-        & F.col("l_quantity").between(20, 35)
-    )
+    # each disjunct written ONCE as its (part-side, lineitem-side) pair;
+    # the pushdown filters and the exact post-join recheck derive from the
+    # same literals, so a bound edited in one place cannot silently drift
+    disjuncts = [
+        (
+            (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15),
+            (F.col("l_quantity") <= 15) & (F.col("l_returnflag") == "N"),
+        ),
+        (
+            (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25),
+            F.col("l_quantity").between(10, 25) & (F.col("l_linestatus") == "O"),
+        ),
+        (
+            (F.col("p_brand") == "Brand#34") & F.col("p_size").between(20, 40),
+            F.col("l_quantity").between(20, 35),
+        ),
+    ]
+    part_side = reduce(lambda a, b: a | b, [p for p, _ in disjuncts])
+    li_side = reduce(lambda a, b: a | b, [li for _, li in disjuncts])
+    full = reduce(lambda a, b: a | b, [p & li for p, li in disjuncts])
     p = cat["part"].filter(part_side).select("p_partkey", "p_brand", "p_size")
     li = cat["lineitem"].filter(li_side)
     return (

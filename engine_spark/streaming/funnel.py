@@ -23,13 +23,28 @@ State per user is delay-bounded, independent of stream length:
 - buffered stage-2/3 events with ts <= watermark are provably dead
   unless their predecessor stage is final (any eventual predecessor
   timestamp would be >= watermark >= ts, and eligibility needs
-  ts > predecessor) — so the buffers only ever hold events newer than
-  the watermark, i.e. at most the configured lateness horizon;
+  ts > predecessor) — so the buffers only ever hold DISTINCT timestamps
+  newer than the watermark (a set, like the cohort twin's pending days):
+  bounded by the lateness horizon's distinct event times, not by how
+  many duplicate events a hot key fires;
 - once a stage resolves its buffer clears, and when the last stage
-  emits the key's state is removed entirely.
+  emits the key's state is removed entirely;
+- a key whose funnel stalls (stage emitted, successor window expired,
+  buffers pruned empty) converges to its floor: the three stage scalars
+  plus the emitted bitmask — ~30 bytes. That floor must persist for the
+  stream's lifetime to keep emission exactly-once (dropping it would let
+  a later out-of-window event re-open the chain and re-emit) — the same
+  per-key-ever-seen floor any exactly-once dedup store carries, vs the
+  reference's equivalent per-key pattern state.
 
 An event-time timeout re-wakes idle keys so a candidate that was ahead
 of the watermark at arrival still emits when the watermark catches up.
+
+Event-time domain: POST-EPOCH. Spark floors the watermark at 0, so for
+pre-1970 event times "no event lower than the watermark can arrive" is
+not decidable — this operator treats them as watermark-late (dropped),
+exactly as Spark's own windowed aggregations do, rather than risk a
+wrong early emission.
 
 Relation to the CEP path: ``signup -> click WITHIN gap`` is expressible
 as an NFA pattern (streaming/nfa.py), but pattern semantics match EVERY
@@ -63,11 +78,13 @@ def funnel_stream(
     """(streaming df) -> (key, stage, ts, delay_us), one row per resolved
     stage per key; see module docstring for the contract."""
     tagged = watermarked(df, ts_col, late)
-    ktype = {f.name: f.dataType for f in df.schema.fields}[
-        key_col
-    ].simpleString()
+    types = {f.name: f.dataType for f in df.schema.fields}
+    ktype = types[key_col].simpleString()
+    # output ts keeps the INPUT column's type (an NTZ source round-trips
+    # as NTZ — the same invariant the NFA operators uphold; eventtime.py)
+    ttype = types[ts_col].simpleString()
     out_schema = (
-        f"{key_col} {ktype}, stage string, ts timestamp, delay_us long"
+        f"{key_col} {ktype}, stage string, ts {ttype}, delay_us long"
     )
     state_schema = (
         "t1 long, t2 long, t3 long, "
@@ -76,10 +93,10 @@ def funnel_stream(
     s1, s2, s3 = stages
 
     def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        t1, t2, t3, p2, p3, emitted = _NONE, _NONE, _NONE, [], [], 0
+        t1, t2, t3, p2, p3, emitted = _NONE, _NONE, _NONE, set(), set(), 0
         if state.exists:
             t1, t2, t3, p2raw, p3raw, emitted = state.get
-            p2, p3 = list(p2raw or []), list(p3raw or [])
+            p2, p3 = set(p2raw or []), set(p3raw or [])
         wm = state.getCurrentWatermarkMs()
 
         frames = [] if state.hasTimedOut else list(pdfs)
@@ -93,9 +110,9 @@ def funnel_stream(
                 if kind == s1:
                     t1 = t if t1 == _NONE else min(t1, t)
                 elif kind == s2 and t2 == _NONE:
-                    p2.append(t)
+                    p2.add(t)  # sets dedup a hot key's duplicate timestamps
                 elif kind == s3 and t3 == _NONE:
-                    p3.append(t)
+                    p3.add(t)
 
         out = []
         # stage 1: the running min is final once the watermark passes it
@@ -106,25 +123,25 @@ def funnel_stream(
         # stage 2
         if t2 == _NONE:
             if t1_final:
-                p2 = [t for t in p2 if t1 < t <= t1 + gap_ms]
+                p2 = {t for t in p2 if t1 < t <= t1 + gap_ms}
                 if p2 and min(p2) <= wm:
                     t2 = min(p2)
-                    p2 = []
+                    p2 = set()
             else:
                 # eventual t1 >= wm, so any buffered t <= wm fails t > t1
-                p2 = [t for t in p2 if t > wm]
+                p2 = {t for t in p2 if t > wm}
         if t2 != _NONE and not emitted & 2:
             out.append((key[0], s2, t2, (t2 - t1) * 1000))
             emitted |= 2
         # stage 3 (same shape, one stage down)
         if t3 == _NONE:
             if t2 != _NONE:
-                p3 = [t for t in p3 if t2 < t <= t2 + gap_ms]
+                p3 = {t for t in p3 if t2 < t <= t2 + gap_ms}
                 if p3 and min(p3) <= wm:
                     t3 = min(p3)
-                    p3 = []
+                    p3 = set()
             else:
-                p3 = [t for t in p3 if t > wm]
+                p3 = {t for t in p3 if t > wm}
         if t3 != _NONE and not emitted & 4:
             out.append((key[0], s3, t3, (t3 - t2) * 1000))
             emitted |= 4
@@ -138,7 +155,7 @@ def funnel_stream(
             targets = []
             if t1 != _NONE and not emitted & 1:
                 targets.append(t1)
-            targets += p2 + p3
+            targets += list(p2) + list(p3)
             if targets:
                 state.setTimeoutTimestamp(max(min(targets), wm + 1))
         if out:

@@ -224,3 +224,19 @@ def test_count_quantifier_stream_accepts_both_ts_types(spark, ts_type):
     out = r.shutdown()
     assert out_types["ts"] == ts_type
     assert [(m["match_count"], m["v"]) for m in out] == [(2, 2.0), (3, 3.0)]
+
+
+@pytest.mark.parametrize("ts_type", TS_TYPES)
+def test_funnel_stream_preserves_input_ts_type(spark, ts_type, tmp_path):
+    """funnel_stream's output ts column must keep the INPUT column's type
+    (an NTZ source round-trips as NTZ), like every NFA operator."""
+    from engine_spark.streaming.funnel import funnel_stream
+
+    src = (
+        spark.readStream.schema(
+            f"ts {ts_type}, user string, event_type string"
+        ).json(str(tmp_path))
+    )
+    out = funnel_stream(src, "ts", "user")
+    assert out.schema["ts"].dataType.simpleString() == ts_type
+    assert out.schema["delay_us"].dataType.simpleString() == "bigint"
