@@ -77,10 +77,12 @@ def main() -> None:
         "events_json_props",
         "events_cohort_retention",
         # round 9 (session 2): disjunct-pushdown join, EXISTS-pair agg
-        # rewrite, single-exchange conversion funnel
+        # rewrite, single-exchange conversion funnel, set ops, histogram
         "join_q19_disjunctive",
         "join_q21_waiting_supplier",
         "events_funnel_24h",
+        "setops_union_intersect_except",
+        "agg_histogram",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

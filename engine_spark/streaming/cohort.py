@@ -21,7 +21,10 @@ Semantics, per user:
   usually advances the watermark past its own day start) and emit
   immediately afterwards;
 - watermark-late events are dropped, exactly like every other
-  event-time operator here.
+  event-time operator here. Event-time domain: POST-EPOCH — Spark
+  floors the watermark at 0, so pre-1970 arrivals in the wm==0 phase
+  are treated as late (the state encoding itself handles negative
+  day values; see the sentinel note below).
 
 Scale: state per user = the cohort scalar + the set of not-yet-cold
 emitted days (a day goes cold once the watermark passes its end — an
