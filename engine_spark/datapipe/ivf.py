@@ -229,3 +229,120 @@ def ivf_search(
         .filter(F.col("rnk") <= topk)
         .select("q_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+def ivf_index_build(
+    spark,
+    vectors: DataFrame,
+    path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    full_dim: int,
+    cell_dim: int,
+    k: int,
+    iters: int = 3,
+    max_train_rows: int | None = None,
+) -> list[list[float]]:
+    """Train centroids and PERSIST the index at ``path``: the vectors (with
+    precomputed norms) as parquet PARTITIONED BY cell, plus the codebook as
+    a JSON sidecar. Returns the trained codebook.
+
+    This is the 100 TB shape the per-query-retrain gate deliberately
+    skips: training and cell assignment each touch the corpus once at
+    BUILD time; a search then reads only its probed cells' files (static
+    partition pruning — see ``ivf_index_search``), ~nprobe/k of the data,
+    and no query ever pays the assignment scan again. ``path`` may be any
+    Hadoop-FS URI (file://, hdfs://, s3a://) — both the parquet and the
+    sidecar go through the same filesystem the state stores use.
+    """
+    import json
+
+    from engine_spark.datapipe import fragments as FR
+    from engine_spark.datapipe.fragments import Dialect
+    from engine_spark.fsio import HadoopFS
+
+    cents = kmeans_train(
+        vectors, vec_col, dim=cell_dim, k=k, iters=iters,
+        id_col=id_col, max_train_rows=max_train_rows,
+    )
+    SP = Dialect("spark")
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("vd"),
+        F.expr(
+            FR.norm_chain(SP, f"transform({vec_col}, x -> CAST(x AS DOUBLE))", full_dim)
+        ).alias("nrm"),
+    ).withColumn("cell", F.expr(_argmin_dist_expr("vd", cents, cell_dim)))
+    e.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
+    meta = {"cents": cents, "full_dim": full_dim, "cell_dim": cell_dim, "k": k}
+    fs = HadoopFS(spark, path)
+    fs.write_bytes(f"{path}/codebook.json", json.dumps(meta).encode())
+    return cents
+
+
+def ivf_index_search(
+    spark,
+    path: str,
+    *,
+    n_queries: int,
+    nprobe: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """Top-k cosine search against a PERSISTED index (``ivf_index_build``).
+
+    The probed cells are computed driver-side from the sidecar codebook and
+    applied as a LITERAL ``cell IN (...)`` filter, so parquet partition
+    pruning guarantees the scan touches only the probed cells' files —
+    ~nprobe/k of the index regardless of corpus size (asserted on the
+    executed plan in tests). Queries are the index's own first
+    ``n_queries`` vectors, matching the ``ann_ivf_trained`` gate contract.
+    """
+    import json
+
+    from engine_spark.datapipe import fragments as FR
+    from engine_spark.datapipe.fragments import Dialect
+    from engine_spark.fsio import HadoopFS
+    from pyspark.sql import Window
+
+    SP = Dialect("spark")
+    fs = HadoopFS(spark, path)
+    meta = json.loads(fs.read_bytes(f"{path}/codebook.json").decode())
+    cents = meta["cents"]
+    full_dim, cell_dim = meta["full_dim"], meta["cell_dim"]
+
+    vec = spark.read.parquet(f"{path}/vectors")
+    q = (
+        vec.filter(F.col("vec_id") < n_queries)
+        .withColumn(
+            "probe", F.explode(F.expr(_probe_cells_expr("vd", cents, cell_dim, nprobe)))
+        )
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("vd").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "probe",
+        )
+    )
+    # the probed-cell set is dimension-sized (<= min(k, n_queries*nprobe)):
+    # collecting it makes the cell filter a LITERAL, which is what lets the
+    # parquet source prune partitions statically
+    probed = sorted({r["probe"] for r in q.select("probe").distinct().collect()})
+    cand = vec.filter(F.col("cell").isin(probed))
+    scored = (
+        cand.join(
+            F.broadcast(q),
+            (F.col("cell") == F.col("probe")) & (F.col("vec_id") != F.col("q_id")),
+        )
+        .withColumn(
+            "cos_sim",
+            F.expr(f"{FR.dot_chain(SP, 'qv', 'vd', full_dim)} / (qn * nrm)"),
+        )
+        .select("q_id", F.col("vec_id").alias("cand_id"), "cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= topk)
+        .select("q_id", "cand_id", "cos_sim", "rnk")
+    )

@@ -2899,3 +2899,33 @@ def test_mmr_small_pool_matches_oracle(spark, tmp_path):
     assert len(s) == len(o) == 9  # 3 seeds x 3-candidate partial selections
     assert list(s["cand_id"]) == list(o["cand_id"])
     assert list(s["mmr_score"]) == list(o["mmr_score"])
+
+
+def test_ivf_persisted_index_matches_live_search(spark, tmp_path):
+    """ivf_index_build persists cell-partitioned vectors + a codebook
+    sidecar; ivf_index_search against the index must (a) prune the scan to
+    the probed cells' partitions — the ~nprobe/k read that makes a
+    persisted index the 100 TB shape — and (b) return exactly what the
+    live (retrain-and-assign) ivf_search returns for the same codebook."""
+    from engine_spark.datapipe.ivf import (
+        ivf_index_build,
+        ivf_index_search,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = f"file://{tmp_path}/ivf_idx"
+    cents = ivf_index_build(
+        spark, emb, path, full_dim=64, cell_dim=16, k=8, iters=3
+    )
+    got = ivf_index_search(spark, path, n_queries=5, nprobe=2, topk=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the literal cell IN (...) filter must reach the partitioned source
+    assert "PartitionFilters: [" in plan and "cell" in plan.split(
+        "PartitionFilters: ["
+    )[1][:200]
+    live = ivf_search(
+        emb, cents, full_dim=64, cell_dim=16,
+        n_queries=5, nprobe=2, topk=3,
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, live.collect()))
