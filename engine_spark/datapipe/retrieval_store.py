@@ -1,0 +1,237 @@
+"""Incremental (streaming) BM25 index over an append-only corpus.
+
+Batch BM25 (``bm25_scores``) re-tokenizes the whole corpus per run; a live
+retrieval service over a growing corpus cannot. This module keeps a
+persistent POSTINGS STORE — per new-document micro-batch it appends one
+epoch directory of (doc_id, term, tf, dl) rows PARTITIONED BY a term-hash
+bucket, plus a one-row corpus-stats sidecar — and answers queries against
+the accumulated index without ever re-reading document text.
+
+Scale design:
+
+- postings are partitioned by ``bucket = pmod(xxhash64(term), N_BUCKETS)``
+  INSIDE each epoch dir, so a query's terms prune the scan to their
+  buckets (~|query terms| / N_BUCKETS of the index) via parquet partition
+  pruning — the same literal-IN mechanism as the persisted IVF index;
+- per-epoch corpus stats (n_docs, total_len) live in a ``_stats.json``
+  sidecar (the leading underscore hides it from the parquet reader);
+  query-time N and avgdl are the driver-side sum over epochs — epoch-count
+  bounded, and compaction keeps the epoch count O(1);
+- document frequency is computed AT QUERY TIME from the pruned postings of
+  the queried terms only — exact over the full corpus, never
+  vocabulary-sized state on the driver;
+- epoch commit is stage + atomic rename on the Hadoop FS API (hdfs:///s3a
+  ready), so a crash-replayed ``foreachBatch`` epoch is a no-op and state
+  growth is exactly-once — the same protocol as the Bloom/minhash stores;
+- compaction merges epochs ``<= upto`` into one ``epoch-<upto>-c`` dir.
+  Unlike the Bloom store (whose set-union state is idempotent under
+  double-representation), duplicated postings WOULD double-count tf — so
+  readers resolve the canonical epoch set at LISTING time: a ``-c`` dir
+  shadows every plain epoch with id <= its own, making a crash between
+  publish and victim-removal harmless.
+
+Contract: doc_ids are append-only and unique across epochs (each document
+is ingested once — re-ingesting under the same id would double its
+postings, exactly like inserting a duplicate row into any append-only
+store). Scoring matches ``bm25_scores`` bit-for-bit: same tokenizer, same
+contribution expression, same rounded-DECIMAL sum (test-pinned by feeding
+one corpus in two epochs and comparing against the batch path).
+
+Reference parity: the reference engine has no retrieval surface — this is
+part of the brief-mandated LLM-data-pipeline extensions, the incremental
+face of the ``search_bm25`` gate.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from engine_spark.datapipe import fragments as FR
+from engine_spark.datapipe.fragments import Dialect
+from engine_spark.fsio import HadoopFS
+
+_SP = Dialect("spark")
+
+N_BUCKETS = 64
+
+
+class IncrementalBM25Index:
+    """Persistent postings store + query-time BM25 scoring.
+
+    Wire into a stream with ``foreachBatch(lambda df, eid:
+    index.add_batch(df, eid))``, or drive from any batch loop; query with
+    ``search(qdf, topk)`` where ``qdf`` is (q_id INT, term STRING).
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str):
+        self.spark = spark
+        self.state_dir = state_dir.rstrip("/")
+        self.post_dir = f"{self.state_dir}/postings"
+        self._fs = HadoopFS(spark, self.state_dir)
+        self._fs.mkdirs(self.post_dir)
+
+    # -- state ----------------------------------------------------------
+    def _epoch_path(self, epoch_id: int, compacted: bool = False) -> str:
+        suffix = "-c" if compacted else ""
+        return f"{self.post_dir}/epoch-{int(epoch_id):010d}{suffix}"
+
+    def committed(self, epoch_id: int) -> bool:
+        return self._fs.exists(self._epoch_path(epoch_id)) or any(
+            eid >= epoch_id for eid, _ in self._epochs()
+        )
+
+    def _epochs(self) -> list[tuple[int, str]]:
+        """Canonical (epoch_id, dir) list: a ``-c`` dir SHADOWS every plain
+        epoch with id <= its own (crash between compaction publish and
+        victim removal leaves shadowed dirs — ignored, never double-read).
+        """
+        entries = []
+        for name, is_dir in self._fs.list_names(self.post_dir):
+            if not (is_dir and name.startswith("epoch-")):
+                continue
+            sid = name.split("-", 1)[1]
+            compacted = sid.endswith("-c")
+            entries.append((int(sid[:-2] if compacted else sid), compacted, name))
+        cut = max((eid for eid, c, _ in entries if c), default=-1)
+        return sorted(
+            (eid, f"{self.post_dir}/{name}")
+            for eid, c, name in entries
+            if c or eid > cut
+        )
+
+    def _publish(self, postings: DataFrame, stats: dict, final: str) -> bool:
+        staging = f"{self.state_dir}/_staging/e{uuid.uuid4().hex}"
+        (
+            postings.repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(staging)
+        )
+        self._fs.write_bytes(f"{staging}/_stats.json", json.dumps(stats).encode())
+        if self._fs.rename(staging, final):
+            return True
+        self._fs.delete(staging)  # lost the race / already committed: no-op
+        return False
+
+    # -- ingest ---------------------------------------------------------
+    def add_batch(self, docs: DataFrame, epoch_id: int,
+                  text_col: str = "text") -> None:
+        """Tokenize the batch and commit its postings exactly once."""
+        final = self._epoch_path(epoch_id)
+        if self.committed(epoch_id):
+            return
+        tok = docs.select(
+            "doc_id", F.explode(F.expr(FR.tokens(_SP, text_col))).alias("term")
+        )
+        tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        postings = tf.join(dl, "doc_id").withColumn(
+            "bucket", F.expr(f"pmod(xxhash64(term), {N_BUCKETS})")
+        )
+        n_docs, total_len = (
+            docs.agg(
+                F.count(F.lit(1)).alias("n"),
+            ).crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t")))
+        ).collect()[0]
+        self._publish(postings, {"n_docs": n_docs, "total_len": int(total_len)}, final)
+
+    # -- query ----------------------------------------------------------
+    def corpus_stats(self) -> tuple[int, int]:
+        n, t = 0, 0
+        for _, path in self._epochs():
+            s = json.loads(self._fs.read_bytes(f"{path}/_stats.json").decode())
+            n += s["n_docs"]
+            t += s["total_len"]
+        return n, t
+
+    def search(self, qdf: DataFrame, topk: int = 10) -> DataFrame:
+        """(q_id, doc_id, score, rnk): BM25 top-k against the whole
+        accumulated index. The scan is pruned to the query terms' buckets
+        at the parquet source (literal bucket IN, PartitionFilters)."""
+        from engine_spark.datapipe.queries import _bm25_contrib, r6
+
+        epochs = self._epochs()
+        if not epochs:
+            raise ValueError("search on an empty index")
+        terms = [r["term"] for r in qdf.select("term").distinct().collect()]
+        buckets = sorted(
+            {
+                r["b"]
+                for r in self.spark.createDataFrame(
+                    [(t,) for t in terms], "term string"
+                )
+                .select(F.expr(f"pmod(xxhash64(term), {N_BUCKETS})").alias("b"))
+                .collect()
+            }
+        )
+        parts = [self.spark.read.parquet(p) for _, p in epochs]
+        post = parts[0]
+        for p in parts[1:]:
+            post = post.unionByName(p)
+        post = post.filter(
+            F.col("bucket").isin(buckets) & F.col("term").isin(terms)
+        )
+        dfq = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n_docs, total_len = self.corpus_stats()
+        stats = self.spark.createDataFrame(
+            [(n_docs, total_len)], "n_docs long, total_len long"
+        )
+        contrib = (
+            F.broadcast(qdf)
+            .join(post, "term")
+            .join(F.broadcast(dfq), "term")
+            .crossJoin(F.broadcast(stats))
+            .select("q_id", "doc_id", F.expr(_bm25_contrib()).alias("s"))
+        )
+        scored = contrib.groupBy("q_id", "doc_id").agg(
+            F.expr(r6("CAST(sum(s) AS DOUBLE)")).alias("score")
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= topk)
+            .select("q_id", "doc_id", "score", "rnk")
+        )
+
+    # -- maintenance ----------------------------------------------------
+    def compact(self, upto_epoch: int) -> int:
+        """Merge every canonical epoch with id <= ``upto_epoch`` into ONE
+        ``epoch-<upto>-c`` dir, then remove the originals. Returns the
+        number of dirs merged. Publish-first ordering + listing-time
+        shadowing makes a crash mid-removal harmless (shadowed dirs are
+        never read); like the Bloom store, only compact epochs the stream
+        can no longer replay (upto < newest committed epoch)."""
+        epochs = self._epochs()
+        newest = max((eid for eid, _ in epochs), default=-1)
+        if upto_epoch >= newest:
+            raise ValueError(
+                f"compact(upto_epoch={upto_epoch}) must be strictly below "
+                f"the newest committed epoch ({newest})"
+            )
+        final = self._epoch_path(upto_epoch, compacted=True)
+        if self._fs.exists(final):
+            raise ValueError(
+                f"already compacted at epoch {upto_epoch}; pick a higher one"
+            )
+        victims = [(eid, p) for eid, p in epochs if eid <= upto_epoch]
+        if len(victims) <= 1:
+            return 0
+        merged = self.spark.read.parquet(victims[0][1])
+        for _, p in victims[1:]:
+            merged = merged.unionByName(self.spark.read.parquet(p))
+        n, t = 0, 0
+        for _, p in victims:
+            s = json.loads(self._fs.read_bytes(f"{p}/_stats.json").decode())
+            n += s["n_docs"]
+            t += s["total_len"]
+        if not self._publish(merged, {"n_docs": n, "total_len": t}, final):
+            raise RuntimeError(f"compaction publish to {final} failed")
+        for _, p in victims:
+            self._fs.delete(p)
+        return len(victims)

@@ -2929,3 +2929,39 @@ def test_ivf_persisted_index_matches_live_search(spark, tmp_path):
         n_queries=5, nprobe=2, topk=3,
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, live.collect()))
+
+
+def test_incremental_bm25_index_matches_batch(spark, tmp_path):
+    """The incremental postings store, fed the corpus over three epochs,
+    must score queries exactly like the one-shot batch bm25_scores; the
+    query scan must prune to the query terms' buckets; a crash-replayed
+    epoch must be a no-op; compaction must preserve both the scores and
+    exactly-once semantics."""
+    from engine_spark.datapipe.queries import BM25_QUERIES, BM25_TOPK, bm25_scores, _topk_by
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+
+    idx = IncrementalBM25Index(spark, f"file://{tmp_path}/bm25_idx")
+    for eid in range(3):
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == eid), eid)
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 1), 1)  # crash replay: no-op
+
+    got = idx.search(qdf, topk=BM25_TOPK)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan  # bucket pruning reached the scan
+
+    batch = _topk_by(
+        bm25_scores(docs, qdf), "q_id", "score", "doc_id", "rnk", BM25_TOPK
+    ).select("q_id", "doc_id", "score", "rnk")
+    want = sorted(map(tuple, batch.collect()))
+    assert sorted(map(tuple, got.collect())) == want
+
+    # compaction: merge epochs 0..1 into one -c dir; scores unchanged
+    assert idx.compact(1) == 2
+    assert [eid for eid, _ in idx._epochs()] == [1, 2]
+    assert sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect())) == want
+    # exactly-once survives compaction: replaying a shadowed epoch is a no-op
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    assert sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect())) == want
