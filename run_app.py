@@ -23,6 +23,14 @@ Batch mode runs every INSERT INTO query and materializes outputs; a query
 whose source stream is a streaming source (WITH type=source) starts a
 streaming query instead and runs until interrupted.
 
+Streaming corpus indexing mode (no SQL file) maintains the exactly-once
+incremental BM25 postings store and answers queries from it::
+
+    python run_app.py --index-stream /data/drops \\
+        --index-state /shared/bm25_index \\
+        --index-query "spark cluster;training data" \\
+        --index-compact-every 100
+
 Streaming corpus dedup mode (no SQL file) drives the exactly-once
 segment-dedup pipeline end-to-end::
 
@@ -82,6 +90,33 @@ def parse_args(argv):
         "is never touched); 0 disables. Cadence guidance: state dirs "
         "grow one per micro-batch, so pick N around the point where "
         "listing cost matters — e.g. 100 for minute-level triggers",
+    )
+    # --- streaming corpus indexing mode (no SQL file): watch a directory
+    # of document parquet drops, maintain the incremental BM25 postings
+    # store exactly-once, optionally answer queries after draining ---
+    p.add_argument(
+        "--index-stream", metavar="IN_DIR",
+        help="streaming BM25 indexing over parquet files landing in IN_DIR "
+        "(schema: doc_id long, text string); runs availableNow and exits",
+    )
+    p.add_argument(
+        "--index-state", metavar="DIR",
+        help="IncrementalBM25Index state dir (shared storage)",
+    )
+    p.add_argument(
+        "--index-checkpoint", metavar="DIR", default=None,
+        help="stream checkpoint (default: <index-state>/_checkpoint)",
+    )
+    p.add_argument(
+        "--index-query", metavar="Q", default=None,
+        help="after draining, run BM25 queries against the accumulated "
+        "index and print the top hits; ';' separates queries, spaces "
+        "separate terms (e.g. 'spark cluster;training data')",
+    )
+    p.add_argument(
+        "--index-compact-every", type=int, default=0, metavar="N",
+        help="compact the postings store's epoch dirs every N epochs "
+        "(watermark = current epoch - 1); 0 disables",
     )
     p.add_argument("-c", "--config", help="YAML config file")
     p.add_argument(
@@ -195,6 +230,72 @@ def run_dedup_stream(spark, args) -> int:
     return 0
 
 
+def run_index_stream(spark, args) -> int:
+    """Streaming BM25 corpus indexing, drivable end-to-end from the CLI —
+    the incremental face of the ``search_bm25`` operator.
+
+    Per micro-batch (Spark's epoch id keys the store): the batch's
+    documents tokenize into one exactly-once postings epoch
+    (term-hash-bucket partitioned; a crash-replayed epoch is a no-op).
+    After the stream drains, ``--index-query`` runs BM25 against the
+    ENTIRE accumulated index — postings pruned to the query terms'
+    buckets at the parquet scan. Compaction cadence mirrors
+    ``--dedup-compact-every``: state-dir count stays O(N), and the
+    newest replayable epoch is never touched.
+    """
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    if not args.index_state:
+        raise SystemExit("--index-stream requires --index-state")
+    in_dir = args.index_stream
+    schema = spark.read.parquet(in_dir).schema
+    idx = IncrementalBM25Index(spark, args.index_state)
+    every = args.index_compact_every
+
+    def sink(batch_df, epoch_id):
+        idx.add_batch(batch_df, epoch_id)
+        print(f"[index-stream] epoch {epoch_id} committed")
+        if every and epoch_id and epoch_id % every == 0:
+            try:
+                merged = idx.compact(epoch_id - 1)
+                if merged:
+                    print(
+                        f"[index-stream] compacted {merged} postings epochs "
+                        f"<= {epoch_id - 1}"
+                    )
+            except ValueError:
+                pass  # replayed batch: this watermark is already compacted
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            args.index_checkpoint
+            or f"{args.index_state.rstrip('/')}/_checkpoint",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if args.index_query:
+        pairs = [
+            (qi, term)
+            for qi, q_str in enumerate(args.index_query.split(";"))
+            for term in q_str.split()
+        ]
+        qdf = spark.createDataFrame(pairs, "q_id INT, term STRING")
+        hits = idx.search(qdf, topk=args.show)
+        for row in hits.orderBy("q_id", "rnk").collect():
+            print(
+                f"[index-query] q{row['q_id']} #{row['rnk']}: "
+                f"doc {row['doc_id']} score {row['score']}"
+            )
+    return 0
+
+
 def main(argv=None, stop: bool = True) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     cfg = load_config(args.config)
@@ -213,8 +314,16 @@ def main(argv=None, stop: bool = True) -> int:
         finally:
             if stop:
                 spark.stop()
+    if args.index_stream:
+        try:
+            return run_index_stream(spark, args)
+        finally:
+            if stop:
+                spark.stop()
     if not args.sql_file:
-        raise SystemExit("sql_file is required unless --dedup-stream is given")
+        raise SystemExit(
+            "sql_file is required unless --dedup-stream/--index-stream is given"
+        )
     spark.sparkContext.setLogLevel("WARN")
 
     from engine_spark.extensions import load_plugin

@@ -2965,3 +2965,57 @@ def test_incremental_bm25_index_matches_batch(spark, tmp_path):
     # exactly-once survives compaction: replaying a shadowed epoch is a no-op
     idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
     assert sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect())) == want
+
+
+def test_incremental_bm25_structured_streaming_e2e(spark, tmp_path):
+    """Real Structured Streaming wiring for the BM25 store: a file-backed
+    readStream with foreachBatch(index.add_batch) — Spark's own epoch ids
+    key the store, and a query after the stream drains scores exactly
+    like batch BM25 over everything ingested."""
+    from engine_spark.datapipe.queries import bm25_scores
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+    from engine_spark.streaming.harness import StreamRunner
+
+    idx = IncrementalBM25Index(spark, f"file://{tmp_path}/idx")
+    r = StreamRunner(spark, "doc_id long, text string")
+
+    def run_once():
+        q = (
+            r.stream()
+            .writeStream.foreachBatch(
+                lambda df, eid: idx.add_batch(df, eid)
+            )
+            .option("checkpointLocation", r.checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "the cluster scales spark jobs"),
+        (3, "data pipelines feed training jobs"),
+        (4, "an unrelated document about cats"),
+    ]
+    r.send([{"doc_id": i, "text": t} for i, t in rows[:2]])
+    run_once()
+    r.send([{"doc_id": i, "text": t} for i, t in rows[2:]])
+    run_once()
+
+    qdf = spark.createDataFrame(
+        [(0, "spark"), (0, "cluster"), (1, "jobs")], "q_id INT, term STRING"
+    )
+    got = sorted(map(tuple, idx.search(qdf, topk=4).collect()))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from engine_spark.datapipe.queries import _topk_by
+
+    want = sorted(
+        map(
+            tuple,
+            _topk_by(bm25_scores(docs, qdf), "q_id", "score", "doc_id", "rnk", 4)
+            .select("q_id", "doc_id", "score", "rnk")
+            .collect(),
+        )
+    )
+    assert got == want
+    r.shutdown()

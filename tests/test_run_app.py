@@ -188,3 +188,59 @@ def test_cli_dedup_stream_two_epochs_compaction_and_replay(spark, tmp_path):
     )
     (row,) = dedup_segments_stream(store, probe, 99).collect()
     assert row.n_kept == 0
+
+
+def test_cli_index_stream_two_epochs_query_and_replay(spark, tmp_path, capsys):
+    """--index-stream end-to-end: two micro-batch ingests grow the BM25
+    postings store exactly-once, --index-query answers from the whole
+    accumulated index, and re-running over the same drops (same
+    checkpoint) replays nothing and returns identical hits."""
+    import shutil
+
+    in_dir = tmp_path / "drops"
+    state = tmp_path / "state"
+    in_dir.mkdir()
+
+    def drop(rows, name):
+        stage = tmp_path / "stage" / name
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        (part,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+        shutil.copy(str(part), str(in_dir / f"{name}.parquet"))
+
+    argv = [
+        "--index-stream", str(in_dir),
+        "--index-state", str(state),
+        "--index-query", "spark cluster;cats",
+    ]
+    drop([(1, "spark shuffles data across the cluster"),
+          (2, "the cluster scales spark jobs")], "b0")
+    assert run_app.main(stop=False, argv=argv) == 0
+    first = [
+        line for line in capsys.readouterr().out.splitlines()
+        if line.startswith("[index-query]")
+    ]
+    assert any("q0" in line for line in first)
+    assert not any("q1" in line for line in first)  # no cats doc yet
+
+    drop([(3, "data pipelines feed training jobs"),
+          (4, "an unrelated document about cats")], "b1")
+    assert run_app.main(stop=False, argv=argv) == 0
+    second = [
+        line for line in capsys.readouterr().out.splitlines()
+        if line.startswith("[index-query]")
+    ]
+    assert any("q1 #1: doc 4" in line for line in second)
+
+    # replay: nothing new to ingest; hits identical
+    assert run_app.main(stop=False, argv=argv) == 0
+    third = [
+        line for line in capsys.readouterr().out.splitlines()
+        if line.startswith("[index-query]")
+    ]
+    assert third == second
+    # exactly-once state growth: two epochs, no duplicates
+    epochs = [d.name for d in (state / "postings").iterdir()
+              if d.name.startswith("epoch-")]
+    assert sorted(epochs) == ["epoch-0000000000", "epoch-0000000001"]
