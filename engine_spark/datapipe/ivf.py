@@ -311,7 +311,7 @@ def ivf_index_search(
     cents = meta["cents"]
     full_dim, cell_dim = meta["full_dim"], meta["cell_dim"]
 
-    vec = spark.read.parquet(f"{path}/vectors")
+    vec = _ivf_index_vectors(spark, path)  # base build + ingest epochs
     q = (
         vec.filter(F.col("vec_id") < n_queries)
         .withColumn(
@@ -346,3 +346,69 @@ def ivf_index_search(
         .filter(F.col("rnk") <= topk)
         .select("q_id", "cand_id", "cos_sim", "rnk")
     )
+
+
+def ivf_index_add_batch(
+    spark,
+    vectors: DataFrame,
+    path: str,
+    epoch_id: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append a micro-batch of NEW vectors to a persisted IVF index
+    exactly once — the live-ingest face of ``ivf_index_build``.
+
+    The batch assigns to the EXISTING codebook (read from the sidecar —
+    centroids stay frozen, the standard IVF ingest contract: retrain is a
+    rebuild) and lands as one cell-partitioned ``epoch-N`` directory under
+    ``<path>/epochs`` via stage + atomic rename, so a crash-replayed
+    ``foreachBatch`` epoch is a no-op. ``ivf_index_search`` reads the base
+    build plus every committed epoch with the same literal-IN partition
+    pruning. Contract: vec_ids are append-only unique (re-ingesting an id
+    would duplicate its rows, like any append-only store).
+    """
+    import json
+    import uuid
+
+    from engine_spark.datapipe import fragments as FR
+    from engine_spark.datapipe.fragments import Dialect
+    from engine_spark.fsio import HadoopFS
+
+    SP = Dialect("spark")
+    fs = HadoopFS(spark, path)
+    final = f"{path}/epochs/epoch-{int(epoch_id):010d}"
+    if fs.exists(final):
+        return  # crash replay of a committed epoch
+    meta = json.loads(fs.read_bytes(f"{path}/codebook.json").decode())
+    cents, full_dim, cell_dim = meta["cents"], meta["full_dim"], meta["cell_dim"]
+    e = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("vd"),
+        F.expr(
+            FR.norm_chain(SP, f"transform({vec_col}, x -> CAST(x AS DOUBLE))", full_dim)
+        ).alias("nrm"),
+    ).withColumn("cell", F.expr(_argmin_dist_expr("vd", cents, cell_dim)))
+    staging = f"{path}/_staging/e{uuid.uuid4().hex}"
+    e.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(staging)
+    fs.mkdirs(f"{path}/epochs")  # rename needs the parent to exist
+    if not fs.rename(staging, final):
+        fs.delete(staging)  # lost the race: already committed
+
+
+def _ivf_index_vectors(spark, path: str) -> DataFrame:
+    """The full persisted index: the base build UNION every committed
+    ingest epoch (each side keeps its own cell partitioning for pruning)."""
+    from engine_spark.fsio import HadoopFS
+
+    fs = HadoopFS(spark, path)
+    vec = spark.read.parquet(f"{path}/vectors")
+    epochs = sorted(
+        name
+        for name, is_dir in fs.list_names(f"{path}/epochs")
+        if is_dir and name.startswith("epoch-")
+    )
+    for name in epochs:
+        vec = vec.unionByName(spark.read.parquet(f"{path}/epochs/{name}"))
+    return vec

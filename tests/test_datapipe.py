@@ -3019,3 +3019,35 @@ def test_incremental_bm25_structured_streaming_e2e(spark, tmp_path):
     )
     assert got == want
     r.shutdown()
+
+
+def test_ivf_index_incremental_ingest(spark, tmp_path):
+    """ivf_index_add_batch appends new vectors to a persisted index
+    exactly once (frozen codebook, cell-partitioned epoch dirs); search
+    over base+epochs equals live ivf_search over the union corpus with
+    the same codebook, and a replayed epoch changes nothing."""
+    from engine_spark.datapipe.ivf import (
+        ivf_index_add_batch,
+        ivf_index_build,
+        ivf_index_search,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    incr = emb.filter(F.col("vec_id") % 2 == 1)
+    path = f"file://{tmp_path}/ivf_live"
+    cents = ivf_index_build(
+        spark, base, path, full_dim=64, cell_dim=16, k=8, iters=3
+    )
+    ivf_index_add_batch(spark, incr, path, 0)
+    ivf_index_add_batch(spark, incr, path, 0)  # crash replay: no-op
+
+    got = sorted(
+        map(tuple, ivf_index_search(spark, path, n_queries=5, nprobe=2,
+                                    topk=3).collect())
+    )
+    live = ivf_search(
+        emb, cents, full_dim=64, cell_dim=16, n_queries=5, nprobe=2, topk=3
+    )
+    assert got == sorted(map(tuple, live.collect()))
