@@ -296,7 +296,12 @@ def ivf_index_search(
     pruning guarantees the scan touches only the probed cells' files —
     ~nprobe/k of the index regardless of corpus size (asserted on the
     executed plan in tests). Queries are the index's own first
-    ``n_queries`` vectors, matching the ``ann_ivf_trained`` gate contract.
+    ``n_queries`` vectors, matching the ``ann_ivf_trained`` gate contract
+    — locating them costs ONE unpruned lookup pass over the index
+    (materialized once via localCheckpoint so the probe-collect and the
+    scoring join don't each pay it); a caller holding the query vectors
+    themselves skips that lookup entirely by scoring against
+    ``_ivf_index_vectors`` directly.
     """
     import json
 
@@ -323,6 +328,9 @@ def ivf_index_search(
             F.col("nrm").alias("qn"),
             "probe",
         )
+        # query rows are codebook-sized; materialize once so the lookup
+        # scan isn't paid again when the broadcast join executes
+        .localCheckpoint(eager=True)
     )
     # the probed-cell set is dimension-sized (<= min(k, n_queries*nprobe)):
     # collecting it makes the cell filter a LITERAL, which is what lets the
@@ -370,7 +378,6 @@ def ivf_index_add_batch(
     would duplicate its rows, like any append-only store).
     """
     import json
-    import uuid
 
     from engine_spark.datapipe import fragments as FR
     from engine_spark.datapipe.fragments import Dialect
@@ -390,16 +397,17 @@ def ivf_index_add_batch(
             FR.norm_chain(SP, f"transform({vec_col}, x -> CAST(x AS DOUBLE))", full_dim)
         ).alias("nrm"),
     ).withColumn("cell", F.expr(_argmin_dist_expr("vd", cents, cell_dim)))
-    staging = f"{path}/_staging/e{uuid.uuid4().hex}"
-    e.repartition("cell").write.mode("overwrite").partitionBy("cell").parquet(staging)
-    fs.mkdirs(f"{path}/epochs")  # rename needs the parent to exist
-    if not fs.rename(staging, final):
-        fs.delete(staging)  # lost the race: already committed
+    from engine_spark.fsio import publish_parquet_dir
+
+    publish_parquet_dir(fs, e, path, final, partition_by="cell")
 
 
 def _ivf_index_vectors(spark, path: str) -> DataFrame:
     """The full persisted index: the base build UNION every committed
-    ingest epoch (each side keeps its own cell partitioning for pruning)."""
+    ingest epoch (each side keeps its own cell partitioning for pruning).
+    Epoch reads use the base build's EXPLICIT schema — an epoch whose
+    micro-batch was empty is a dir with only _SUCCESS, where schema
+    inference would throw but an explicit schema reads as zero rows."""
     from engine_spark.fsio import HadoopFS
 
     fs = HadoopFS(spark, path)
@@ -410,5 +418,7 @@ def _ivf_index_vectors(spark, path: str) -> DataFrame:
         if is_dir and name.startswith("epoch-")
     )
     for name in epochs:
-        vec = vec.unionByName(spark.read.parquet(f"{path}/epochs/{name}"))
+        vec = vec.unionByName(
+            spark.read.schema(vec.schema).parquet(f"{path}/epochs/{name}")
+        )
     return vec

@@ -45,7 +45,6 @@ face of the ``search_bm25`` gate.
 from __future__ import annotations
 
 import json
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +56,12 @@ from engine_spark.fsio import HadoopFS
 _SP = Dialect("spark")
 
 N_BUCKETS = 64
+
+#: explicit schema for every epoch read: an epoch whose batch produced no
+#: postings (idle trigger, token-less docs) is a dir with only _SUCCESS +
+#: _stats.json — schema inference would throw; an explicit schema returns
+#: an empty frame and keeps the stats contribution
+POSTINGS_SCHEMA = "doc_id bigint, term string, tf bigint, dl bigint, bucket bigint"
 
 
 class IncrementalBM25Index:
@@ -80,15 +85,17 @@ class IncrementalBM25Index:
         return f"{self.post_dir}/epoch-{int(epoch_id):010d}{suffix}"
 
     def committed(self, epoch_id: int) -> bool:
-        return self._fs.exists(self._epoch_path(epoch_id)) or any(
-            eid >= epoch_id for eid, _ in self._epochs()
-        )
+        """An epoch is provably committed when its dir exists or a
+        compaction watermark covers it. A HIGHER plain epoch proves
+        nothing (epoch counters restart when a stream's checkpoint is
+        rebuilt; out-of-order ids are legal on the batch-loop API) — so
+        only those two positive signals skip an ingest."""
+        if self._fs.exists(self._epoch_path(epoch_id)):
+            return True
+        cut = max((eid for eid, c, _ in self._entries() if c), default=-1)
+        return epoch_id <= cut
 
-    def _epochs(self) -> list[tuple[int, str]]:
-        """Canonical (epoch_id, dir) list: a ``-c`` dir SHADOWS every plain
-        epoch with id <= its own (crash between compaction publish and
-        victim removal leaves shadowed dirs — ignored, never double-read).
-        """
+    def _entries(self) -> list[tuple[int, bool, str]]:
         entries = []
         for name, is_dir in self._fs.list_names(self.post_dir):
             if not (is_dir and name.startswith("epoch-")):
@@ -96,26 +103,34 @@ class IncrementalBM25Index:
             sid = name.split("-", 1)[1]
             compacted = sid.endswith("-c")
             entries.append((int(sid[:-2] if compacted else sid), compacted, name))
+        return entries
+
+    def _epochs(self) -> list[tuple[int, str]]:
+        """Canonical (epoch_id, dir) list: only the MAXIMAL ``-c`` dir
+        counts, and it SHADOWS every dir — plain or previously compacted —
+        with id <= its own (a crash between compaction publish and victim
+        removal leaves shadowed dirs behind; reading them would
+        double-count tf, so they are resolved away at listing time).
+        """
+        entries = self._entries()
         cut = max((eid for eid, c, _ in entries if c), default=-1)
         return sorted(
             (eid, f"{self.post_dir}/{name}")
             for eid, c, name in entries
-            if c or eid > cut
+            if (c and eid == cut) or eid > cut
         )
 
     def _publish(self, postings: DataFrame, stats: dict, final: str) -> bool:
-        staging = f"{self.state_dir}/_staging/e{uuid.uuid4().hex}"
-        (
-            postings.repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(staging)
+        from engine_spark.fsio import publish_parquet_dir
+
+        return publish_parquet_dir(
+            self._fs, postings, self.state_dir, final,
+            partition_by="bucket",
+            sidecar=("_stats.json", json.dumps(stats).encode()),
         )
-        self._fs.write_bytes(f"{staging}/_stats.json", json.dumps(stats).encode())
-        if self._fs.rename(staging, final):
-            return True
-        self._fs.delete(staging)  # lost the race / already committed: no-op
-        return False
+
+    def _read_epoch(self, path: str) -> DataFrame:
+        return self.spark.read.schema(POSTINGS_SCHEMA).parquet(path)
 
     # -- ingest ---------------------------------------------------------
     def add_batch(self, docs: DataFrame, epoch_id: int,
@@ -124,14 +139,20 @@ class IncrementalBM25Index:
         final = self._epoch_path(epoch_id)
         if self.committed(epoch_id):
             return
+        # one tokenization per batch: tok feeds tf, dl AND the stats agg
+        # (localCheckpoint is the house per-batch materialization; without
+        # it the ingest hot path would tokenize every document twice)
         tok = docs.select(
             "doc_id", F.explode(F.expr(FR.tokens(_SP, text_col))).alias("term")
-        )
+        ).localCheckpoint(eager=True)
         tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
         dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
         postings = tf.join(dl, "doc_id").withColumn(
             "bucket", F.expr(f"pmod(xxhash64(term), {N_BUCKETS})")
         )
+        # n_docs counts EVERY batch document (token-less ones included —
+        # they are corpus members for the BM25 n_docs), so it comes from
+        # the raw batch, not from dl
         n_docs, total_len = (
             docs.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -168,7 +189,7 @@ class IncrementalBM25Index:
                 .collect()
             }
         )
-        parts = [self.spark.read.parquet(p) for _, p in epochs]
+        parts = [self._read_epoch(p) for _, p in epochs]
         post = parts[0]
         for p in parts[1:]:
             post = post.unionByName(p)
@@ -222,9 +243,9 @@ class IncrementalBM25Index:
         victims = [(eid, p) for eid, p in epochs if eid <= upto_epoch]
         if len(victims) <= 1:
             return 0
-        merged = self.spark.read.parquet(victims[0][1])
+        merged = self._read_epoch(victims[0][1])
         for _, p in victims[1:]:
-            merged = merged.unionByName(self.spark.read.parquet(p))
+            merged = merged.unionByName(self._read_epoch(p))
         n, t = 0, 0
         for _, p in victims:
             s = json.loads(self._fs.read_bytes(f"{p}/_stats.json").decode())

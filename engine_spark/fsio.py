@@ -180,3 +180,41 @@ def executor_read_small_files(dir_path: str, suffix: str = ".json") -> list[byte
     except Exception:  # noqa: BLE001 - unreachable scheme → empty registry
         return []
     return out
+
+
+def publish_parquet_dir(
+    fs: "HadoopFS",
+    df,
+    state_dir: str,
+    final: str,
+    partition_by: str | None = None,
+    sidecar: tuple[str, bytes] | None = None,
+) -> bool:
+    """Stage-then-atomic-rename publish of one parquet directory — the
+    epoch-commit protocol shared by the incremental stores (Bloom /
+    minhash predate this helper and keep their own copies; the BM25 and
+    IVF stores route through here so a protocol fix lands once).
+
+    Writes ``df`` to a uuid staging dir under ``<state_dir>/_staging``
+    (plus an optional ``sidecar`` file, e.g. ``_stats.json``), creates
+    the destination's parent, and renames atomically. Returns False —
+    after retiring the staging copy — when the destination already
+    exists (crash replay or a lost publish race: both no-ops).
+    """
+    import uuid as _uuid
+
+    staging = f"{state_dir.rstrip('/')}/_staging/e{_uuid.uuid4().hex}"
+    writer = df.repartition(partition_by) if partition_by else df
+    w = writer.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(staging)
+    if sidecar is not None:
+        name, data = sidecar
+        fs.write_bytes(f"{staging}/{name}", data)
+    parent = final.rsplit("/", 1)[0]
+    fs.mkdirs(parent)
+    if fs.rename(staging, final):
+        return True
+    fs.delete(staging)
+    return False

@@ -248,7 +248,10 @@ def run_index_stream(spark, args) -> int:
     if not args.index_state:
         raise SystemExit("--index-stream requires --index-state")
     in_dir = args.index_stream
-    schema = spark.read.parquet(in_dir).schema
+    # the contract is fixed (see --help) — a literal schema lets the
+    # service start BEFORE the first document lands (batch-inferring from
+    # the drop dir would crash on an empty directory)
+    schema = "doc_id long, text string"
     idx = IncrementalBM25Index(spark, args.index_state)
     every = args.index_compact_every
 

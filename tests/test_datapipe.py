@@ -3051,3 +3051,59 @@ def test_ivf_index_incremental_ingest(spark, tmp_path):
         emb, cents, full_dim=64, cell_dim=16, n_queries=5, nprobe=2, topk=3
     )
     assert got == sorted(map(tuple, live.collect()))
+
+
+def test_incremental_stores_survive_empty_batches_and_stale_compaction(
+    spark, tmp_path
+):
+    """Hardening cases from review: (a) an EMPTY micro-batch commits a
+    data-file-less epoch dir that must not brick later reads (explicit
+    schemas, not inference); (b) a crash between a compaction's publish
+    and its victim removal leaves an older -c dir behind — only the
+    MAXIMAL -c dir may be read, or shadowed postings double-count."""
+    import shutil
+
+    from engine_spark.datapipe.ivf import (
+        ivf_index_add_batch,
+        ivf_index_build,
+        ivf_index_search,
+    )
+    from engine_spark.datapipe.queries import BM25_QUERIES, BM25_TOPK
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+    empty_docs = docs.filter(F.lit(False))
+
+    # (a) BM25: epochs 0..3 with epoch 2 EMPTY; search must still work
+    idx = IncrementalBM25Index(spark, f"file://{tmp_path}/bm25")
+    for eid in range(4):
+        batch = empty_docs if eid == 2 else docs.filter(F.col("doc_id") % 3 == eid)
+        idx.add_batch(batch, eid)
+    want = sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect()))
+    assert want  # non-degenerate
+
+    # (b) compact 0..1, then simulate the crash window: after a LATER
+    # compaction to epoch-2-c, the stale epoch-1-c reappears (copied back
+    # as if the victim delete never ran) — scores must not change
+    assert idx.compact(1) == 2
+    post_dir = tmp_path / "bm25" / "postings"
+    stale = tmp_path / "stale-1c"
+    shutil.copytree(str(post_dir / "epoch-0000000001-c"), str(stale))
+    assert idx.compact(2) == 2  # merges epoch-1-c + (empty) epoch-2
+    shutil.copytree(str(stale), str(post_dir / "epoch-0000000001-c"))
+    assert [eid for eid, _ in idx._epochs()] == [2, 3]  # stale -c shadowed
+    assert sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect())) == want
+
+    # (a') IVF: an empty ingest epoch must not brick the index either
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = f"file://{tmp_path}/ivf"
+    ivf_index_build(spark, emb, path, full_dim=64, cell_dim=16, k=8, iters=2)
+    before = sorted(
+        map(tuple, ivf_index_search(spark, path, n_queries=3, topk=3).collect())
+    )
+    ivf_index_add_batch(spark, emb.filter(F.lit(False)), path, 0)
+    after = sorted(
+        map(tuple, ivf_index_search(spark, path, n_queries=3, topk=3).collect())
+    )
+    assert after == before
