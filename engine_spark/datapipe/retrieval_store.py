@@ -256,3 +256,54 @@ class IncrementalBM25Index:
         for _, p in victims:
             self._fs.delete(p)
         return len(victims)
+
+
+def hybrid_search_incremental(
+    spark: SparkSession,
+    bm25: IncrementalBM25Index,
+    ivf_path: str,
+    qdf: DataFrame,
+    *,
+    n_seed_queries: int,
+    pool: int = 20,
+    topk: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Reciprocal-rank fusion over the two LIVE stores — the incremental
+    face of the ``search_hybrid_rrf`` gate.
+
+    The lexical pool comes from the incremental BM25 postings store
+    (``qdf`` = (q_id, term), q_id aligned with the seed ids), the semantic
+    pool from the persisted IVF index (seeds = its first
+    ``n_seed_queries`` vectors), and the fusion is the gate's own
+    ``sum(1/(C+rank))`` expression over a full outer join of the two
+    rank lists — a candidate ranked by only one side keeps that side's
+    contribution. Both pools are top-``pool`` bounded, so the fusion
+    join is dimension-sized regardless of corpus size.
+    """
+    from engine_spark.datapipe.ivf import ivf_index_search
+    from engine_spark.datapipe.queries import _rrf_expr
+    from pyspark.sql import Window
+
+    lex = (
+        bm25.search(qdf, topk=pool)
+        .select("q_id", F.col("doc_id").alias("cand_id"),
+                F.col("rnk").alias("lex_rnk"))
+    )
+    sem = (
+        ivf_index_search(
+            spark, ivf_path, n_queries=n_seed_queries, nprobe=nprobe, topk=pool
+        )
+        .select("q_id", "cand_id", F.col("rnk").alias("sem_rnk"))
+    )
+    fused = lex.join(sem, ["q_id", "cand_id"], "full_outer").withColumn(
+        "rrf_score", F.expr(_rrf_expr())
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("rrf_score").desc(), F.col("cand_id")
+    )
+    return (
+        fused.withColumn("fused_rnk", F.row_number().over(w))
+        .filter(F.col("fused_rnk") <= topk)
+        .select("q_id", "cand_id", "rrf_score", "lex_rnk", "sem_rnk", "fused_rnk")
+    )

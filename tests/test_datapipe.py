@@ -3107,3 +3107,68 @@ def test_incremental_stores_survive_empty_batches_and_stale_compaction(
         map(tuple, ivf_index_search(spark, path, n_queries=3, topk=3).collect())
     )
     assert after == before
+
+
+def test_hybrid_search_incremental_composes_both_stores(spark, tmp_path):
+    """RRF fusion over the LIVE stores: lexical ranks from the incremental
+    BM25 postings store, semantic ranks from the persisted IVF index,
+    fused with the gate's own sum(1/(C+rank)). Verified against an
+    independent fusion of the two component rankings (full-outer
+    semantics: one-sided candidates keep their side's contribution)."""
+    from engine_spark.datapipe.ivf import ivf_index_build, ivf_index_search
+    from engine_spark.datapipe.queries import BM25_QUERIES, RRF_C
+    from engine_spark.datapipe.retrieval_store import (
+        IncrementalBM25Index,
+        hybrid_search_incremental,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+
+    bm25 = IncrementalBM25Index(spark, f"file://{tmp_path}/bm25")
+    for eid in range(2):
+        bm25.add_batch(docs.filter(F.col("doc_id") % 2 == eid), eid)
+    ivf_path = f"file://{tmp_path}/ivf"
+    ivf_index_build(spark, emb, ivf_path, full_dim=64, cell_dim=16, k=8, iters=2)
+
+    got = hybrid_search_incremental(
+        spark, bm25, ivf_path, qdf, n_seed_queries=3, pool=10, topk=5
+    ).collect()
+
+    # independent expectation from the two component rankings
+    lex = {
+        (r.q_id, r.doc_id): r.rnk for r in bm25.search(qdf, topk=10).collect()
+    }
+    sem = {
+        (r.q_id, r.cand_id): r.rnk
+        for r in ivf_index_search(
+            spark, ivf_path, n_queries=3, nprobe=2, topk=10
+        ).collect()
+    }
+    import collections
+
+    scores = collections.defaultdict(float)
+    for (q, d), rk in lex.items():
+        scores[(q, d)] += 1.0 / (RRF_C + rk)
+    for (q, d), rk in sem.items():
+        scores[(q, d)] += 1.0 / (RRF_C + rk)
+    import math
+
+    r6d = lambda x: math.floor(x * 1e6 + 0.5) / 1e6  # the gate's rounding # noqa: E731
+    want = {}
+    for q in {k[0] for k in scores}:
+        ranked = sorted(
+            ((d, r6d(s)) for (qq, d), s in scores.items() if qq == q),
+            key=lambda x: (-x[1], x[0]),
+        )[:5]
+        for i, (d, s) in enumerate(ranked, 1):
+            want[(q, d)] = (i, s)
+    got_map = {
+        (r.q_id, r.cand_id): (r.fused_rnk, r.rrf_score) for r in got
+    }
+    assert got_map == want
+    # one-sided candidates must appear (full-outer fusion, not inner)
+    assert any(
+        (r.lex_rnk is None) != (r.sem_rnk is None) for r in got
+    )
