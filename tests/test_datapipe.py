@@ -3172,3 +3172,64 @@ def test_hybrid_search_incremental_composes_both_stores(spark, tmp_path):
     assert any(
         (r.lex_rnk is None) != (r.sem_rnk is None) for r in got
     )
+
+
+def test_bm25_store_epoch_split_property(spark, tmp_path):
+    """Property: for ANY assignment of documents to epochs (including
+    empty epochs) and ANY legal compaction point, the incremental store's
+    scores equal the one-shot batch BM25 over the same corpus. Pins the
+    invariant the epoch protocol exists for: HOW the corpus arrived can
+    never change a score."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from engine_spark.datapipe.queries import BM25_QUERIES, bm25_scores, _topk_by
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 40).cache()
+    qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+    want = sorted(
+        map(
+            tuple,
+            _topk_by(bm25_scores(docs, qdf), "q_id", "score", "doc_id", "rnk", 5)
+            .select("q_id", "doc_id", "score", "rnk")
+            .collect(),
+        )
+    )
+    case = [0]
+
+    @given(
+        assign=st.lists(
+            st.integers(min_value=0, max_value=3), min_size=40, max_size=40
+        ),
+        compact_at=st.one_of(st.none(), st.integers(min_value=0, max_value=2)),
+    )
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def run(assign, compact_at):
+        case[0] += 1
+        idx = IncrementalBM25Index(
+            spark, f"file://{tmp_path}/idx{case[0]}"
+        )
+        amap = {i: e for i, e in enumerate(assign)}
+        mapping = F.create_map(
+            *[F.lit(x) for kv in amap.items() for x in kv]
+        )
+        tagged = docs.withColumn("_e", mapping[F.col("doc_id")])
+        for eid in range(4):
+            idx.add_batch(tagged.filter(F.col("_e") == eid).drop("_e"), eid)
+        if compact_at is not None:
+            try:
+                idx.compact(compact_at)
+            except ValueError:
+                pass  # nothing (or only one dir) below the watermark
+        got = sorted(map(tuple, idx.search(qdf, topk=5).collect()))
+        assert got == want
+
+    run()
+    docs.unpersist()
