@@ -2669,6 +2669,13 @@ _ORDER = [
     # ivf_trained + hamming_topk), multimodal_frames (r7-r8; video_frames
     # covers the same MP4 demux PLUS pixel decode), sequence_packing
     # (r7-r8; assembly keeps corpus_split + pipeline_end_to_end).
+    # Two further NEW gates followed, also in-window for their debut
+    # (setops_union_intersect_except, agg_histogram), rotating out
+    # multimodal_y4m (r8; jpeg/video_frames/tiff rep the REAL codecs) and
+    # bpe_token_counts (r7-r8; text_quality reps tokenization in-window,
+    # BPE stays pytest+LOCAL-proven). Round-9 total: seventeen additions,
+    # every one driver-checked in its debut round; sixteen rotate-outs,
+    # each with driver-green history and an in-window family rep.
     # Round 9 rotated IN the eight round-8 additions that had never faced
     # the driver's oracle (agg_cube, analytic_ranks, events_gapfill_1h,
     # expr_correlated_subquery, ann_hamming_topk, corpus_split,
