@@ -651,7 +651,18 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", F.col("vec_id").alias("cand_id"), "sem_rnk")
     )
 
-    # --- reciprocal-rank fusion ------------------------------------------
+    return fuse_rrf(lex, sem, RRF_TOPK)
+
+
+def fuse_rrf(lex: DataFrame, sem: DataFrame, topk: int) -> DataFrame:
+    """Reciprocal-rank fusion of (q_id, cand_id, lex_rnk) and
+    (q_id, cand_id, sem_rnk) rank lists — the ONE source of the fusion
+    contract, shared by the search_hybrid_rrf gate and the incremental
+    composition (retrieval_store.hybrid_search_incremental). Full-outer
+    semantics: a one-sided candidate keeps its side's 1/(C+rank)
+    contribution; ties break on cand_id."""
+    from pyspark.sql import Window
+
     fused = lex.join(sem, ["q_id", "cand_id"], "full").withColumn(
         "rrf_score", F.expr(_rrf_expr())
     )
@@ -660,7 +671,7 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         fused.withColumn("fused_rnk", F.row_number().over(wf))
-        .filter(F.col("fused_rnk") <= RRF_TOPK)
+        .filter(F.col("fused_rnk") <= topk)
         .select("q_id", "cand_id", "rrf_score", "lex_rnk", "sem_rnk", "fused_rnk")
     )
 

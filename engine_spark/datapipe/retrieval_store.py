@@ -85,15 +85,25 @@ class IncrementalBM25Index:
         return f"{self.post_dir}/epoch-{int(epoch_id):010d}{suffix}"
 
     def committed(self, epoch_id: int) -> bool:
-        """An epoch is provably committed when its dir exists or a
-        compaction watermark covers it. A HIGHER plain epoch proves
-        nothing (epoch counters restart when a stream's checkpoint is
-        rebuilt; out-of-order ids are legal on the batch-loop API) — so
-        only those two positive signals skip an ingest."""
+        """An epoch is provably committed when its dir exists or the
+        compaction sidecar's MERGED-ID SET contains it. A HIGHER plain
+        epoch proves nothing (epoch counters restart when a stream's
+        checkpoint is rebuilt; out-of-order ids are legal on the
+        batch-loop API), and an id merely BELOW the compaction watermark
+        proves nothing either — a never-ingested id under the watermark
+        must still be ingestable later."""
         if self._fs.exists(self._epoch_path(epoch_id)):
             return True
-        cut = max((eid for eid, c, _ in self._entries() if c), default=-1)
-        return epoch_id <= cut
+        return epoch_id in self._compacted_ids(self._entries())
+
+    def _compacted_ids(self, entries) -> set[int]:
+        """Epoch ids merged into the maximal -c dir (from its sidecar)."""
+        cut = max((eid for eid, c, _ in entries if c), default=-1)
+        if cut < 0:
+            return set()
+        path = self._epoch_path(cut, compacted=True)
+        s = json.loads(self._fs.read_bytes(f"{path}/_stats.json").decode())
+        return set(s["epochs"])
 
     def _entries(self) -> list[tuple[int, bool, str]]:
         entries = []
@@ -107,17 +117,20 @@ class IncrementalBM25Index:
 
     def _epochs(self) -> list[tuple[int, str]]:
         """Canonical (epoch_id, dir) list: only the MAXIMAL ``-c`` dir
-        counts, and it SHADOWS every dir — plain or previously compacted —
-        with id <= its own (a crash between compaction publish and victim
-        removal leaves shadowed dirs behind; reading them would
-        double-count tf, so they are resolved away at listing time).
+        counts, and it SHADOWS exactly the ids in its sidecar's merged
+        set (a crash between compaction publish and victim removal leaves
+        those dirs behind; reading them would double-count tf, so they
+        are resolved away at listing time). A plain epoch BELOW the
+        watermark whose id is NOT in the merged set is a legitimate
+        late out-of-order ingest and stays readable.
         """
         entries = self._entries()
         cut = max((eid for eid, c, _ in entries if c), default=-1)
+        merged = self._compacted_ids(entries)
         return sorted(
             (eid, f"{self.post_dir}/{name}")
             for eid, c, name in entries
-            if (c and eid == cut) or eid > cut
+            if (c and eid == cut) or (not c and eid not in merged)
         )
 
     def _publish(self, postings: DataFrame, stats: dict, final: str) -> bool:
@@ -139,14 +152,21 @@ class IncrementalBM25Index:
         final = self._epoch_path(epoch_id)
         if self.committed(epoch_id):
             return
-        # one tokenization per batch: tok feeds tf, dl AND the stats agg
-        # (localCheckpoint is the house per-batch materialization; without
-        # it the ingest hot path would tokenize every document twice)
+        # one tokenization per batch: tf is the ONLY aggregate computed
+        # from the raw token stream, and it is the one that gets
+        # materialized (localCheckpoint) — distinct-(doc,term)-sized, far
+        # smaller than the per-occurrence token stream; dl and total_len
+        # both derive from it (dl = sum of tf per doc) without
+        # re-tokenizing anything
         tok = docs.select(
             "doc_id", F.explode(F.expr(FR.tokens(_SP, text_col))).alias("term")
-        ).localCheckpoint(eager=True)
-        tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-        dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+        )
+        tf = (
+            tok.groupBy("doc_id", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         postings = tf.join(dl, "doc_id").withColumn(
             "bucket", F.expr(f"pmod(xxhash64(term), {N_BUCKETS})")
         )
@@ -169,10 +189,14 @@ class IncrementalBM25Index:
             t += s["total_len"]
         return n, t
 
-    def search(self, qdf: DataFrame, topk: int = 10) -> DataFrame:
+    def search(self, qdf: DataFrame, topk: int = 10,
+               exclude_self: bool = False) -> DataFrame:
         """(q_id, doc_id, score, rnk): BM25 top-k against the whole
         accumulated index. The scan is pruned to the query terms' buckets
-        at the parquet source (literal bucket IN, PartitionFilters)."""
+        at the parquet source (literal bucket IN, PartitionFilters).
+        ``exclude_self`` drops candidates with doc_id == q_id BEFORE
+        ranking — the more-like-this contract where query ids are seed
+        document ids (the search_hybrid_rrf gate's lexical side)."""
         from engine_spark.datapipe.queries import _bm25_contrib, r6
 
         epochs = self._epochs()
@@ -201,10 +225,11 @@ class IncrementalBM25Index:
         stats = self.spark.createDataFrame(
             [(n_docs, total_len)], "n_docs long, total_len long"
         )
+        contrib = F.broadcast(qdf).join(post, "term")
+        if exclude_self:
+            contrib = contrib.filter(F.col("doc_id") != F.col("q_id"))
         contrib = (
-            F.broadcast(qdf)
-            .join(post, "term")
-            .join(F.broadcast(dfq), "term")
+            contrib.join(F.broadcast(dfq), "term")
             .crossJoin(F.broadcast(stats))
             .select("q_id", "doc_id", F.expr(_bm25_contrib()).alias("s"))
         )
@@ -235,6 +260,16 @@ class IncrementalBM25Index:
                 f"compact(upto_epoch={upto_epoch}) must be strictly below "
                 f"the newest committed epoch ({newest})"
             )
+        if upto_epoch not in {eid for eid, _ in epochs}:
+            # the watermark must be an ACTUALLY-INGESTED epoch: after the
+            # merge, per-id existence below the watermark survives only in
+            # the sidecar's merged-id set, and a watermark at a phantom id
+            # would make committed() undecidable for it
+            raise ValueError(
+                f"compact(upto_epoch={upto_epoch}) must name a committed "
+                "epoch (out-of-order ingests below a phantom watermark "
+                "would be silently dropped)"
+            )
         final = self._epoch_path(upto_epoch, compacted=True)
         if self._fs.exists(final):
             raise ValueError(
@@ -247,11 +282,14 @@ class IncrementalBM25Index:
         for _, p in victims[1:]:
             merged = merged.unionByName(self._read_epoch(p))
         n, t = 0, 0
-        for _, p in victims:
+        merged_ids: set[int] = set()  # prior -c victims carry their own list
+        for eid, p in victims:
             s = json.loads(self._fs.read_bytes(f"{p}/_stats.json").decode())
             n += s["n_docs"]
             t += s["total_len"]
-        if not self._publish(merged, {"n_docs": n, "total_len": t}, final):
+            merged_ids.update(s.get("epochs", [eid]))
+        stats = {"n_docs": n, "total_len": t, "epochs": sorted(merged_ids)}
+        if not self._publish(merged, stats, final):
             raise RuntimeError(f"compaction publish to {final} failed")
         for _, p in victims:
             self._fs.delete(p)
@@ -273,20 +311,20 @@ def hybrid_search_incremental(
     face of the ``search_hybrid_rrf`` gate.
 
     The lexical pool comes from the incremental BM25 postings store
-    (``qdf`` = (q_id, term), q_id aligned with the seed ids), the semantic
-    pool from the persisted IVF index (seeds = its first
-    ``n_seed_queries`` vectors), and the fusion is the gate's own
-    ``sum(1/(C+rank))`` expression over a full outer join of the two
-    rank lists — a candidate ranked by only one side keeps that side's
-    contribution. Both pools are top-``pool`` bounded, so the fusion
-    join is dimension-sized regardless of corpus size.
+    (``qdf`` = (q_id, term), q_id aligned with the seed DOCUMENT ids —
+    the gate's more-like-this contract, so the seed excludes itself from
+    its own lexical ranking exactly as the gate does), the semantic pool
+    from the persisted IVF index (seeds = its first ``n_seed_queries``
+    vectors, self-excluded likewise), and the fusion is the gate's own
+    ``fuse_rrf`` — ONE shared implementation, not a copy. Both pools are
+    top-``pool`` bounded, so the fusion join is dimension-sized
+    regardless of corpus size.
     """
     from engine_spark.datapipe.ivf import ivf_index_search
-    from engine_spark.datapipe.queries import _rrf_expr
-    from pyspark.sql import Window
+    from engine_spark.datapipe.queries import fuse_rrf
 
     lex = (
-        bm25.search(qdf, topk=pool)
+        bm25.search(qdf, topk=pool, exclude_self=True)
         .select("q_id", F.col("doc_id").alias("cand_id"),
                 F.col("rnk").alias("lex_rnk"))
     )
@@ -296,14 +334,4 @@ def hybrid_search_incremental(
         )
         .select("q_id", "cand_id", F.col("rnk").alias("sem_rnk"))
     )
-    fused = lex.join(sem, ["q_id", "cand_id"], "full_outer").withColumn(
-        "rrf_score", F.expr(_rrf_expr())
-    )
-    w = Window.partitionBy("q_id").orderBy(
-        F.col("rrf_score").desc(), F.col("cand_id")
-    )
-    return (
-        fused.withColumn("fused_rnk", F.row_number().over(w))
-        .filter(F.col("fused_rnk") <= topk)
-        .select("q_id", "cand_id", "rrf_score", "lex_rnk", "sem_rnk", "fused_rnk")
-    )
+    return fuse_rrf(lex, sem, topk)

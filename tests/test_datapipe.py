@@ -3136,9 +3136,11 @@ def test_hybrid_search_incremental_composes_both_stores(spark, tmp_path):
         spark, bm25, ivf_path, qdf, n_seed_queries=3, pool=10, topk=5
     ).collect()
 
-    # independent expectation from the two component rankings
+    # independent expectation from the two component rankings (the gate's
+    # more-like-this contract: the seed excludes itself on both sides)
     lex = {
-        (r.q_id, r.doc_id): r.rnk for r in bm25.search(qdf, topk=10).collect()
+        (r.q_id, r.doc_id): r.rnk
+        for r in bm25.search(qdf, topk=10, exclude_self=True).collect()
     }
     sem = {
         (r.q_id, r.cand_id): r.rnk
@@ -3172,6 +3174,8 @@ def test_hybrid_search_incremental_composes_both_stores(spark, tmp_path):
     assert any(
         (r.lex_rnk is None) != (r.sem_rnk is None) for r in got
     )
+    # the seed never ranks itself (a result the batch gate cannot return)
+    assert all(r.q_id != r.cand_id for r in got)
 
 
 def test_bm25_store_epoch_split_property(spark, tmp_path):
@@ -3233,3 +3237,35 @@ def test_bm25_store_epoch_split_property(spark, tmp_path):
 
     run()
     docs.unpersist()
+
+
+def test_bm25_store_out_of_order_ingest_and_phantom_watermark(spark, tmp_path):
+    """A compaction watermark must name an ACTUALLY-INGESTED epoch, and an
+    out-of-order ingest below the watermark of ids NOT in the merged set
+    must still land — the sidecar's merged-id list, not mere id ordering,
+    decides committed()."""
+    import pytest as _pytest
+
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 30)
+    idx = IncrementalBM25Index(spark, f"file://{tmp_path}/idx")
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 1), 1)
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 2), 2)
+    idx.add_batch(docs.filter(F.col("doc_id") >= 900), 4)  # empty epoch 4
+
+    # phantom watermark: 3 was never ingested
+    with _pytest.raises(ValueError, match="phantom|committed epoch"):
+        idx.compact(3)
+
+    assert idx.compact(2) == 2  # merges epochs 1, 2
+    # epoch 0 is BELOW the watermark but was never ingested: it must not
+    # read as committed, and its late ingest must land
+    assert not idx.committed(0)
+    assert idx.committed(1) and idx.committed(2)
+    n_before, _ = idx.corpus_stats()
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
+    n_after, _ = idx.corpus_stats()
+    assert n_after == n_before + docs.filter(F.col("doc_id") % 3 == 0).count()
