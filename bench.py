@@ -16,6 +16,25 @@ import sys
 import time
 
 
+def _trim_stdout_line(compact: dict) -> str:
+    """One JSON line <= 1900 chars (the driver parses stdout's last 2000):
+    shed optional keys biggest-first; if nothing droppable remains, return
+    the oversized line rather than spinning (ADVICE r9 regression — the
+    loop must terminate even when every droppable key is already gone)."""
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900:
+        dropped = False
+        for drop in ("errors", "loadavg", "reps", "queries"):
+            if drop in compact:
+                del compact[drop]
+                dropped = True
+                break
+        if not dropped:  # nothing left to shed — don't spin forever
+            break
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -569,19 +588,8 @@ def main() -> None:
         "errors": {k: v[:60] for k, v in errors.items()},
         "full": "BENCH_FULL.json",
     }
-    line = json.dumps(compact, separators=(",", ":"))
     # Hard guarantee: stay parseable inside the driver's 2000-char tail.
-    while len(line) > 1900:
-        dropped = False
-        for drop in ("errors", "loadavg", "reps", "queries"):
-            if drop in compact:
-                del compact[drop]
-                dropped = True
-                break
-        if not dropped:  # nothing left to shed — don't spin forever
-            break
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(_trim_stdout_line(compact))
     sys.stdout.flush()
     spark.stop()
 

@@ -2696,6 +2696,33 @@ def test_mp4_track_dims_zero_dim_video_trak_does_not_shadow():
     assert _mp4_track_dims(box(b"moov", trak(b"vide", 0, 0))) == (None, None)
 
 
+def test_jpeg_dc_predictor_overflow_raises_valueerror():
+    """A crafted stream can walk the DC predictor past int32: the decoder
+    must raise ValueError (in DECODE_ERRORS, so callers degrade the row
+    to NULL) rather than wrap on numpy 1.x / leak OverflowError on 2.x —
+    ADVICE r8 regression for the int64-pack range check."""
+    import pytest as _pytest
+
+    from engine_spark.datapipe.jpeg import _decode_dc_units, _huff_lut
+    from engine_spark.datapipe.multimodal import DECODE_ERRORS
+
+    # one 1-bit Huffman code "0" -> DC category 15 (15-bit diff)
+    lut = _huff_lut({(1, 0): 15})
+    # each 16-bit unit: code bit 0, then 15 ones -> diff +32767
+    n_units = 9  # 9 * 32767 << 13 walks past 2^31
+    buf = b"\x7f\xff" * n_units + b"\x00" * 8  # pre-padded for _FastBits
+    scan = [{"id": 1, "td": 0}]
+    units = [[(scan[0], i)] for i in range(n_units)]
+    with _pytest.raises(ValueError, match="int32 range") as ei:
+        _decode_dc_units(buf, 0, units, 0, n_units, scan, {}, {(0, 0): lut},
+                         ah=0, al=13)
+    assert isinstance(ei.value, DECODE_ERRORS)
+    # the same stream stays decodable below the overflow point
+    out = _decode_dc_units(buf, 0, units, 0, n_units, scan, {}, {(0, 0): lut},
+                           ah=0, al=0)
+    assert out[0][-1][2] == 32767 * n_units
+
+
 def test_tiff_codec_roundtrip_all_profiles(spark):
     """encode_tiff → decode_tiff round-trips RGB (both byte orders,
     multi-strip), 8-bit gray (both photometric polarities), and 1-bit
