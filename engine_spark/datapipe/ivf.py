@@ -266,6 +266,14 @@ def ivf_index_build(
         vectors, vec_col, dim=cell_dim, k=k, iters=iters,
         id_col=id_col, max_train_rows=max_train_rows,
     )
+    fs = HadoopFS(spark, path)
+    # Retrain is a REBUILD (ivf_index_add_batch's contract): ingest epochs
+    # assigned under the OLD codebook must never be unioned with the new
+    # build — retire them BEFORE publishing, so the worst crash window
+    # leaves the old build minus its epochs (consistent, merely smaller)
+    # instead of a mixed-codebook index with duplicate ids (ADVICE r10).
+    fs.delete(f"{path}/epochs")
+    fs.delete(f"{path}/_staging")  # dead uncommitted copies from old ingests
     SP = Dialect("spark")
     e = vectors.select(
         F.col(id_col).alias("vec_id"),
@@ -276,7 +284,6 @@ def ivf_index_build(
     ).withColumn("cell", F.expr(_argmin_dist_expr("vd", cents, cell_dim)))
     e.write.partitionBy("cell").mode("overwrite").parquet(f"{path}/vectors")
     meta = {"cents": cents, "full_dim": full_dim, "cell_dim": cell_dim, "k": k}
-    fs = HadoopFS(spark, path)
     fs.write_bytes(f"{path}/codebook.json", json.dumps(meta).encode())
     return cents
 

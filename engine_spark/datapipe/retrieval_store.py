@@ -72,12 +72,36 @@ class IncrementalBM25Index:
     ``search(qdf, topk)`` where ``qdf`` is (q_id INT, term STRING).
     """
 
-    def __init__(self, spark: SparkSession, state_dir: str):
+    def __init__(self, spark: SparkSession, state_dir: str,
+                 n_buckets: int | None = None):
         self.spark = spark
         self.state_dir = state_dir.rstrip("/")
         self.post_dir = f"{self.state_dir}/postings"
         self._fs = HadoopFS(spark, self.state_dir)
         self._fs.mkdirs(self.post_dir)
+        # The bucket count is PART OF THE STORE'S ON-DISK LAYOUT: postings
+        # written under one modulus are unreachable through another (the
+        # pruning filter would look in the wrong partitions and silently
+        # miss them — ADVICE r10). Persist it in a store-level sidecar at
+        # creation and read it back on every reopen; an explicit argument
+        # that contradicts the persisted layout fails loudly.
+        meta_path = f"{self.state_dir}/_meta.json"
+        if self._fs.exists(meta_path):
+            persisted = int(
+                json.loads(self._fs.read_bytes(meta_path).decode())["n_buckets"]
+            )
+            if n_buckets is not None and n_buckets != persisted:
+                raise ValueError(
+                    f"store at {self.state_dir} was written with "
+                    f"n_buckets={persisted}; reopening with {n_buckets} "
+                    "would prune queries to the wrong buckets"
+                )
+            self.n_buckets = persisted
+        else:
+            self.n_buckets = int(n_buckets if n_buckets is not None else N_BUCKETS)
+            self._fs.write_bytes(
+                meta_path, json.dumps({"n_buckets": self.n_buckets}).encode()
+            )
 
     # -- state ----------------------------------------------------------
     def _epoch_path(self, epoch_id: int, compacted: bool = False) -> str:
@@ -168,7 +192,7 @@ class IncrementalBM25Index:
         )
         dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
         postings = tf.join(dl, "doc_id").withColumn(
-            "bucket", F.expr(f"pmod(xxhash64(term), {N_BUCKETS})")
+            "bucket", F.expr(f"pmod(xxhash64(term), {self.n_buckets})")
         )
         # n_docs counts EVERY batch document (token-less ones included —
         # they are corpus members for the BM25 n_docs), so it comes from
@@ -209,7 +233,7 @@ class IncrementalBM25Index:
                 for r in self.spark.createDataFrame(
                     [(t,) for t in terms], "term string"
                 )
-                .select(F.expr(f"pmod(xxhash64(term), {N_BUCKETS})").alias("b"))
+                .select(F.expr(f"pmod(xxhash64(term), {self.n_buckets})").alias("b"))
                 .collect()
             }
         )

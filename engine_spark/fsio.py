@@ -200,10 +200,19 @@ def publish_parquet_dir(
     the destination's parent, and renames atomically. Returns False —
     after retiring the staging copy — when the destination already
     exists (crash replay or a lost publish race: both no-ops).
+
+    Anything still under ``_staging`` when a publish starts is by
+    construction uncommitted garbage (a crash between the parquet write
+    and the rename), so it is swept here — otherwise repeated
+    crash-replays accumulate dead copies forever (ADVICE r10). The sweep
+    is safe under the stores' single-writer contract (one foreachBatch /
+    batch loop per state_dir); it only ever touches THIS state_dir.
     """
     import uuid as _uuid
 
-    staging = f"{state_dir.rstrip('/')}/_staging/e{_uuid.uuid4().hex}"
+    staging_root = f"{state_dir.rstrip('/')}/_staging"
+    fs.delete(staging_root)
+    staging = f"{staging_root}/e{_uuid.uuid4().hex}"
     writer = df.repartition(partition_by) if partition_by else df
     w = writer.write.mode("overwrite")
     if partition_by:

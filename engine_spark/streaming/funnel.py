@@ -63,7 +63,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from engine_spark.streaming.eventtime import watermarked
 
-_NONE = -(2**62)  # sentinel: no candidate (real epoch-ms never reach it)
+_NONE = -(2**62)  # sentinel: no candidate (real epoch-us never reach it)
 
 
 def funnel_stream(
@@ -76,7 +76,10 @@ def funnel_stream(
     late: str = "0 seconds",
 ) -> DataFrame:
     """(streaming df) -> (key, stage, ts, delay_us), one row per resolved
-    stage per key; see module docstring for the contract."""
+    stage per key; see module docstring for the contract. Event times are
+    carried as epoch MICROSECONDS end-to-end (state scalars, buffers,
+    delay_us), matching the batch twin's unix_micros precision — only the
+    watermark and timeout clocks are ms-granular (Spark's API unit)."""
     tagged = watermarked(df, ts_col, late)
     types = {f.name: f.dataType for f in df.schema.fields}
     ktype = types[key_col].simpleString()
@@ -92,20 +95,29 @@ def funnel_stream(
     )
     s1, s2, s3 = stages
 
+    gap_us = gap_ms * 1000
+
     def run(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         t1, t2, t3, p2, p3, emitted = _NONE, _NONE, _NONE, set(), set(), 0
         if state.exists:
             t1, t2, t3, p2raw, p3raw, emitted = state.get
             p2, p3 = set(p2raw or []), set(p3raw or [])
+        # all event-time arithmetic below is in MICROSECONDS — the batch
+        # twin's unix_micros precision and the NFA operators' unit (a ms
+        # truncation here would quantize delay_us and floor emitted ts
+        # for sub-ms data — ADVICE r9). Spark's watermark is ms-granular;
+        # wm scaled to us keeps every comparison exact: t <= wm_us is
+        # precisely "the ms-watermark has passed t".
         wm = state.getCurrentWatermarkMs()
+        wm_us = wm * 1000
 
         frames = [] if state.hasTimedOut else list(pdfs)
         rows = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
         if len(rows):
-            ts_ms = rows[ts_col].astype("datetime64[ms]").astype("int64")
+            ts_us = rows[ts_col].astype("datetime64[ns]").astype("int64") // 1000
             kinds = rows[type_col]
-            live = ts_ms >= wm  # watermark-late events are dropped
-            for t, kind in zip(ts_ms[live], kinds[live]):
+            live = ts_us >= wm_us  # watermark-late events are dropped
+            for t, kind in zip(ts_us[live], kinds[live]):
                 t = int(t)
                 if kind == s1:
                     t1 = t if t1 == _NONE else min(t1, t)
@@ -116,34 +128,34 @@ def funnel_stream(
 
         out = []
         # stage 1: the running min is final once the watermark passes it
-        t1_final = t1 != _NONE and t1 <= wm
+        t1_final = t1 != _NONE and t1 <= wm_us
         if t1_final and not emitted & 1:
             out.append((key[0], s1, t1, 0))
             emitted |= 1
         # stage 2
         if t2 == _NONE:
             if t1_final:
-                p2 = {t for t in p2 if t1 < t <= t1 + gap_ms}
-                if p2 and min(p2) <= wm:
+                p2 = {t for t in p2 if t1 < t <= t1 + gap_us}
+                if p2 and min(p2) <= wm_us:
                     t2 = min(p2)
                     p2 = set()
             else:
-                # eventual t1 >= wm, so any buffered t <= wm fails t > t1
-                p2 = {t for t in p2 if t > wm}
+                # eventual t1 >= wm_us, so any buffered t <= wm_us fails t > t1
+                p2 = {t for t in p2 if t > wm_us}
         if t2 != _NONE and not emitted & 2:
-            out.append((key[0], s2, t2, (t2 - t1) * 1000))
+            out.append((key[0], s2, t2, t2 - t1))
             emitted |= 2
         # stage 3 (same shape, one stage down)
         if t3 == _NONE:
             if t2 != _NONE:
-                p3 = {t for t in p3 if t2 < t <= t2 + gap_ms}
-                if p3 and min(p3) <= wm:
+                p3 = {t for t in p3 if t2 < t <= t2 + gap_us}
+                if p3 and min(p3) <= wm_us:
                     t3 = min(p3)
                     p3 = set()
             else:
-                p3 = {t for t in p3 if t > wm}
+                p3 = {t for t in p3 if t > wm_us}
         if t3 != _NONE and not emitted & 4:
-            out.append((key[0], s3, t3, (t3 - t2) * 1000))
+            out.append((key[0], s3, t3, t3 - t2))
             emitted |= 4
 
         if emitted & 4:
@@ -157,12 +169,15 @@ def funnel_stream(
                 targets.append(t1)
             targets += list(p2) + list(p3)
             if targets:
-                state.setTimeoutTimestamp(max(min(targets), wm + 1))
+                # timeout is ms-granular: ceil the us target so the wake
+                # fires when the ms-watermark has provably passed it
+                wake_ms = -(-min(targets) // 1000)
+                state.setTimeoutTimestamp(max(wake_ms, wm + 1))
         if out:
             pdf = pd.DataFrame(
                 out, columns=[key_col, "stage", "ts", "delay_us"]
             )
-            pdf["ts"] = pd.to_datetime(pdf["ts"], unit="ms")
+            pdf["ts"] = pd.to_datetime(pdf["ts"], unit="us")
             pdf["delay_us"] = pdf["delay_us"].astype("int64")
             yield pdf
 

@@ -266,8 +266,16 @@ def run_index_stream(spark, args) -> int:
                         f"[index-stream] compacted {merged} postings epochs "
                         f"<= {epoch_id - 1}"
                     )
-            except ValueError:
-                pass  # replayed batch: this watermark is already compacted
+            except ValueError as e:
+                # ONLY the replayed-batch case is a benign no-op (the -c
+                # dir already exists). Any other ValueError — a phantom or
+                # stale watermark after a checkpoint rebuild restarts
+                # epoch ids — means compaction is silently never running:
+                # surface it instead of discarding (ADVICE r10).
+                if "already compacted" in str(e):
+                    pass
+                else:
+                    print(f"[index-stream] compaction skipped: {e}")
 
     q = (
         spark.readStream.schema(schema)

@@ -3296,3 +3296,93 @@ def test_bm25_store_out_of_order_ingest_and_phantom_watermark(spark, tmp_path):
     idx.add_batch(docs.filter(F.col("doc_id") % 3 == 0), 0)
     n_after, _ = idx.corpus_stats()
     assert n_after == n_before + docs.filter(F.col("doc_id") % 3 == 0).count()
+
+
+def test_ivf_index_rebuild_retires_stale_epochs(spark, tmp_path):
+    """Rebuilding an IVF index on a path that has ingest epochs must
+    RETIRE them: the old epochs were assigned under the old codebook, so
+    unioning them into the new build would return wrong (and duplicate-id)
+    search results with no error — ADVICE r10 regression."""
+    from engine_spark.datapipe.ivf import (
+        _ivf_index_vectors,
+        ivf_index_add_batch,
+        ivf_index_build,
+        ivf_index_search,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = f"file://{tmp_path}/ivf_rebuild"
+    ivf_index_build(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), path,
+        full_dim=64, cell_dim=16, k=8, iters=2,
+    )
+    ivf_index_add_batch(spark, emb.filter(F.col("vec_id") % 2 == 1), path, 0)
+    assert (tmp_path / "ivf_rebuild" / "epochs").exists()
+
+    # rebuild on a DIFFERENT corpus: the stale epoch must be gone
+    rebuild = emb.filter(F.col("vec_id") % 3 == 0)
+    cents = ivf_index_build(
+        spark, rebuild, path, full_dim=64, cell_dim=16, k=8, iters=2
+    )
+    assert not (tmp_path / "ivf_rebuild" / "epochs").exists()
+    assert _ivf_index_vectors(spark, path).count() == rebuild.count()
+    got = sorted(
+        map(tuple, ivf_index_search(spark, path, n_queries=3, topk=3).collect())
+    )
+    live = ivf_search(
+        rebuild, cents, full_dim=64, cell_dim=16, n_queries=3, nprobe=2, topk=3
+    )
+    assert got == sorted(map(tuple, live.collect()))
+
+
+def test_bm25_store_bucket_count_persisted(spark, tmp_path):
+    """The bucket modulus is part of the store's on-disk layout: a reopen
+    must adopt the PERSISTED value (not the code constant), and an
+    explicit contradicting value must fail loudly instead of silently
+    pruning queries to the wrong partitions — ADVICE r10 regression."""
+    import pytest as _pytest
+
+    from engine_spark.datapipe.queries import BM25_QUERIES, BM25_TOPK
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+    state = f"file://{tmp_path}/bm25_nb"
+
+    idx = IncrementalBM25Index(spark, state, n_buckets=7)
+    idx.add_batch(docs, 0)
+    want = sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect()))
+
+    reopened = IncrementalBM25Index(spark, state)  # default constructor
+    assert reopened.n_buckets == 7  # adopted from the sidecar, not N_BUCKETS
+    assert sorted(map(tuple, reopened.search(qdf, topk=BM25_TOPK).collect())) == want
+
+    with _pytest.raises(ValueError, match="n_buckets=7"):
+        IncrementalBM25Index(spark, state, n_buckets=64)
+
+    # scoring under a non-default modulus still matches the batch gate's
+    # corpus-wide answer (bucketing is layout, not semantics)
+    batch_idx = IncrementalBM25Index(spark, f"file://{tmp_path}/bm25_nb_ref")
+    batch_idx.add_batch(docs, 0)
+    assert sorted(map(tuple, batch_idx.search(qdf, topk=BM25_TOPK).collect())) == want
+
+
+def test_publish_sweeps_stale_staging(spark, tmp_path):
+    """A crash between a staging write and its rename leaves an orphaned
+    copy under _staging forever; the next publish must sweep it (anything
+    in _staging is by construction uncommitted) — ADVICE r10 regression."""
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") < 20)
+    idx = IncrementalBM25Index(spark, f"file://{tmp_path}/bm25_gc")
+    orphan = tmp_path / "bm25_gc" / "_staging" / "e_dead"
+    orphan.mkdir(parents=True)
+    (orphan / "part-junk.parquet").write_bytes(b"\x00" * 16)
+
+    idx.add_batch(docs, 0)
+    staging = tmp_path / "bm25_gc" / "_staging"
+    assert not staging.exists() or not any(staging.iterdir())
+    assert idx.committed(0)

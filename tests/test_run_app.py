@@ -244,3 +244,57 @@ def test_cli_index_stream_two_epochs_query_and_replay(spark, tmp_path, capsys):
     epochs = [d.name for d in (state / "postings").iterdir()
               if d.name.startswith("epoch-")]
     assert sorted(epochs) == ["epoch-0000000000", "epoch-0000000001"]
+
+
+def test_cli_index_stream_compaction_errors_surface(
+    spark, tmp_path, capsys, monkeypatch
+):
+    """The compaction sink must swallow ONLY the benign replayed-watermark
+    case ("already compacted"); any other ValueError — a phantom or stale
+    watermark after a checkpoint rebuild — must surface on stdout instead
+    of silently disabling compaction forever — ADVICE r10 regression."""
+    import shutil
+
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    in_dir = tmp_path / "drops"
+    state = tmp_path / "state"
+    in_dir.mkdir()
+
+    def drop(rows, name):
+        stage = tmp_path / "stage" / name
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(stage))
+        (part,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+        shutil.copy(str(part), str(in_dir / f"{name}.parquet"))
+
+    argv = [
+        "--index-stream", str(in_dir),
+        "--index-state", str(state),
+        "--index-compact-every", "1",
+    ]
+    # separate runs so the checkpoint advances the epoch counter past 0
+    # (epoch 0 never triggers the every-N compaction cadence)
+    drop([(1, "alpha beta")], "b0")
+    assert run_app.main(stop=False, argv=argv) == 0
+    capsys.readouterr()
+
+    # a phantom-watermark failure must be printed, not discarded
+    def phantom(self, upto):
+        raise ValueError(f"compact(upto_epoch={upto}) must name a committed epoch")
+
+    monkeypatch.setattr(IncrementalBM25Index, "compact", phantom)
+    drop([(2, "beta gamma")], "b1")
+    assert run_app.main(stop=False, argv=argv) == 0
+    out = capsys.readouterr().out
+    assert "compaction skipped" in out and "committed epoch" in out
+
+    # the benign replay case stays silent
+    def replayed(self, upto):
+        raise ValueError(f"already compacted at epoch {upto}; pick a higher one")
+
+    drop([(3, "gamma delta")], "b2")
+    monkeypatch.setattr(IncrementalBM25Index, "compact", replayed)
+    assert run_app.main(stop=False, argv=argv) == 0
+    assert "compaction skipped" not in capsys.readouterr().out

@@ -1340,6 +1340,37 @@ def test_streaming_cohort_drops_late_and_keeps_cohort_final(spark):
     assert rows == [("u1", 3, 3, 0), ("u1", 3, 5, 2)]
 
 
+def test_funnel_stream_microsecond_precision(spark):
+    """Sub-millisecond event times must survive the funnel exactly: the
+    emitted ts keeps its microsecond component and delay_us is the exact
+    unix_micros difference (the batch twin's unit) — ADVICE r9 regression
+    for the former datetime64[ms] truncation, which the hour-granularity
+    parity property could never catch."""
+    from engine_spark.streaming.funnel import funnel_stream
+
+    r = StreamRunner(spark, "ts timestamp, user string, event_type string")
+    base = "2026-01-01T12:00:00"
+    r.send([
+        {"ts": f"{base}.000123Z", "user": "u1", "event_type": "signup"},
+        # click 1 ms + 877 us after the signup: ms truncation would have
+        # quantized the delay to 1000 us and floored the emitted ts
+        {"ts": f"{base}.002000Z", "user": "u1", "event_type": "click"},
+        {"ts": f"{base}.004500Z", "user": "u1", "event_type": "purchase"},
+    ])
+    r.send([{"ts": "2026-01-02T12:00:00Z", "user": "zz", "event_type": "view"}])
+    r.run(lambda df: funnel_stream(df, "ts", "user"))
+    out = {
+        m["stage"]: (m["ts"].microsecond, m["delay_us"])
+        for m in r.shutdown()
+        if m["user"] == "u1"
+    }
+    assert out == {
+        "signup": (123, 0),
+        "click": (2000, 1877),
+        "purchase": (4500, 2500),
+    }
+
+
 def test_funnel_stream_state_survives_restart(spark):
     """Funnel state (stage minima + pending buffers) must survive a query
     restart from the same checkpoint, and each stage must emit exactly
