@@ -28,7 +28,13 @@ Scale design:
   double-representation), duplicated postings WOULD double-count tf — so
   readers resolve the canonical epoch set at LISTING time: a ``-c`` dir
   shadows every plain epoch with id <= its own, making a crash between
-  publish and victim-removal harmless.
+  publish and victim-removal harmless;
+- searches running CONCURRENTLY with compaction get snapshot isolation:
+  ``compact(upto, vacuum=False)`` publishes the ``-c`` dir but leaves the
+  shadowed victims on disk, so a query that resolved its epoch listing
+  before the publish keeps reading its intact (bit-identical)
+  pre-compaction snapshot; a later ``vacuum()`` — after a grace period
+  longer than the slowest query — reclaims the shadowed dirs.
 
 Contract: doc_ids are append-only and unique across epochs (each document
 is ingested once — re-ingesting under the same id would double its
@@ -270,13 +276,26 @@ class IncrementalBM25Index:
         )
 
     # -- maintenance ----------------------------------------------------
-    def compact(self, upto_epoch: int) -> int:
+    def compact(self, upto_epoch: int, vacuum: bool = True) -> int:
         """Merge every canonical epoch with id <= ``upto_epoch`` into ONE
         ``epoch-<upto>-c`` dir, then remove the originals. Returns the
         number of dirs merged. Publish-first ordering + listing-time
         shadowing makes a crash mid-removal harmless (shadowed dirs are
         never read); like the Bloom store, only compact epochs the stream
-        can no longer replay (upto < newest committed epoch)."""
+        can no longer replay (upto < newest committed epoch).
+
+        ``vacuum=False`` defers the victim removal to a later
+        :meth:`vacuum` call — SNAPSHOT ISOLATION for a live service where
+        searches run concurrently with maintenance: a search plans its
+        scan from the epoch listing it resolved at build time, so deleting
+        victims out from under an in-flight query would fail (or, with
+        ignoreMissingFiles, silently lose postings). With deferred vacuum
+        the in-flight query keeps reading its intact pre-compaction
+        snapshot (bit-identical postings — compaction only re-groups
+        them), while every listing AFTER the -c publish resolves to the
+        compacted set via shadowing. The caller grants a grace period
+        longer than its slowest query before vacuuming, exactly the
+        Delta/Iceberg VACUUM contract."""
         epochs = self._epochs()
         newest = max((eid for eid, _ in epochs), default=-1)
         if upto_epoch >= newest:
@@ -315,8 +334,30 @@ class IncrementalBM25Index:
         stats = {"n_docs": n, "total_len": t, "epochs": sorted(merged_ids)}
         if not self._publish(merged, stats, final):
             raise RuntimeError(f"compaction publish to {final} failed")
-        for _, p in victims:
-            self._fs.delete(p)
+        if vacuum:
+            for _, p in victims:
+                self._fs.delete(p)
+        return len(victims)
+
+    def vacuum(self) -> int:
+        """Delete every epoch dir shadowed by the maximal ``-c`` dir (its
+        merged plain epochs, plus any lower stale ``-c`` dirs a crash left
+        behind). Returns the number of dirs removed. Caller contract: run
+        only when no in-flight query's epoch listing predates the newest
+        compaction publish — in a live service, a grace period longer
+        than the slowest query (see :meth:`compact`)."""
+        entries = self._entries()
+        cut = max((eid for eid, c, _ in entries if c), default=-1)
+        if cut < 0:
+            return 0
+        merged = self._compacted_ids(entries)
+        victims = [
+            name
+            for eid, c, name in entries
+            if (c and eid < cut) or (not c and eid in merged)
+        ]
+        for name in victims:
+            self._fs.delete(f"{self.post_dir}/{name}")
         return len(victims)
 
 

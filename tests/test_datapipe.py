@@ -3386,3 +3386,56 @@ def test_publish_sweeps_stale_staging(spark, tmp_path):
     staging = tmp_path / "bm25_gc" / "_staging"
     assert not staging.exists() or not any(staging.iterdir())
     assert idx.committed(0)
+
+
+def test_bm25_store_search_concurrent_with_compaction(spark, tmp_path):
+    """Deterministic interleave of the list-then-read race (VERDICT r9
+    task #6): a search PLANS its scan from the epoch listing resolved at
+    build time, then compaction renames underneath it before the scan
+    EXECUTES. With vacuum=False the victims stay on disk, so
+
+    - the in-flight search reads its intact pre-compaction snapshot and
+      returns exactly the pre-compaction scores (compaction only
+      re-groups postings, so the snapshots are bit-identical);
+    - a listing AFTER the publish resolves to the compacted set (the -c
+      dir shadows its victims even while they still exist);
+    - vacuum() after the grace period removes exactly the shadowed dirs,
+      and searches keep returning the same scores.
+    """
+    from engine_spark.datapipe.queries import BM25_QUERIES, BM25_TOPK
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+    idx = IncrementalBM25Index(spark, f"file://{tmp_path}/bm25_race")
+    for eid in range(3):
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == eid), eid)
+    want = sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect()))
+
+    # t0: the query resolves its listing (lazy plan pins the victim paths)
+    in_flight = idx.search(qdf, topk=BM25_TOPK)
+    assert [eid for eid, _ in idx._epochs()] == [0, 1, 2]
+
+    # t1: compaction publishes the -c dir; victims stay (deferred vacuum)
+    assert idx.compact(1, vacuum=False) == 2
+    assert (tmp_path / "bm25_race" / "postings" / "epoch-0000000000").exists()
+    assert [eid for eid, _ in idx._epochs()] == [1, 2]  # shadowed already
+
+    # t2: the in-flight query executes AFTER the rename — snapshot intact
+    assert sorted(map(tuple, in_flight.collect())) == want
+    # a fresh search (post-publish listing) agrees
+    assert sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect())) == want
+
+    # t3: grace over — vacuum reclaims exactly the two shadowed epochs
+    assert idx.vacuum() == 2
+    assert not (tmp_path / "bm25_race" / "postings" / "epoch-0000000000").exists()
+    assert not (tmp_path / "bm25_race" / "postings" / "epoch-0000000001").exists()
+    assert idx.vacuum() == 0  # idempotent
+    assert sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect())) == want
+
+    # vacuum also reclaims a stale lower -c dir a crashed compaction left
+    idx.add_batch(docs.filter(F.lit(False)), 3)
+    assert idx.compact(2, vacuum=False) == 2  # merges epoch-1-c + epoch-2
+    assert idx.vacuum() == 2
+    assert [eid for eid, _ in idx._epochs()] == [2, 3]
+    assert sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect())) == want
