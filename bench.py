@@ -102,6 +102,10 @@ def main() -> None:
         "events_funnel_24h",
         "setops_union_intersect_except",
         "agg_histogram",
+        # round 10: the incremental postings store end-to-end (3-epoch
+        # ingest + compact + vacuum + bucket-pruned search per run — the
+        # honest store-lifecycle cost, not just the query)
+        "search_bm25_store",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

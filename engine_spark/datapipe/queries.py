@@ -15,6 +15,8 @@ Scale notes (the design constraint, per brief):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -464,9 +466,11 @@ def _topk_by(df: DataFrame, part: str, order_col: str, tiebreak: str,
     )
 
 
-@register(
-    "search_bm25",
-    f"""
+#: one batch-BM25 top-k oracle, shared verbatim by the one-shot gate
+#: (search_bm25) and the incremental-store gate (search_bm25_store): the
+#: store's scoring contract IS "bit-equal to the batch computation", so
+#: the two gates stating the same SQL is the point, not duplication
+_BM25_TOPK_ORACLE = f"""
     WITH {_bm25_corpus_ctes(DK)},
     q (q_id, term) AS (VALUES {", ".join(f"({i}, '{t}')" for i, t in BM25_QUERIES)}),
     contrib AS (
@@ -482,7 +486,12 @@ def _topk_by(df: DataFrame, part: str, order_col: str, tiebreak: str,
                                     ORDER BY score DESC, doc_id) AS rnk
           FROM scored)
     WHERE rnk <= {BM25_TOPK}
-    """,
+    """
+
+
+@register(
+    "search_bm25",
+    _BM25_TOPK_ORACLE,
     doc=(
         f"Okapi BM25 ranked retrieval (k1={BM25_K1}, b={BM25_B}): "
         f"top-{BM25_TOPK} documents per keyword query. The inverted-index "
@@ -674,6 +683,51 @@ def fuse_rrf(lex: DataFrame, sem: DataFrame, topk: int) -> DataFrame:
         .filter(F.col("fused_rnk") <= topk)
         .select("q_id", "cand_id", "rrf_score", "lex_rnk", "sem_rnk", "fused_rnk")
     )
+
+
+def _gate_store_dir(kind: str, sf_dir: str) -> str:
+    """Deterministic scratch dir for the incremental-store gates, keyed by
+    sf so repeated runs rebuild IN PLACE instead of leaking tmp dirs (the
+    driver and bench call each gate several times). Wiped at every call —
+    the gates exist to exercise the ingest path fresh, not to cache."""
+    import shutil
+
+    base = f"/tmp/engine_spark_gate_stores/{kind}_{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(base, ignore_errors=True)
+    return base
+
+
+@register(
+    "search_bm25_store",
+    _BM25_TOPK_ORACLE,
+    doc=(
+        "The INCREMENTAL postings store driven end-to-end against the "
+        "batch oracle: the corpus is ingested in three exactly-once "
+        "epochs (stage + atomic rename; a replayed epoch is a no-op), "
+        "epochs 0-1 are compacted with deferred vacuum (snapshot "
+        "isolation for concurrent searches) and then vacuumed, and the "
+        "query runs against the accumulated index with the scan pruned "
+        "to the query terms' hash buckets (parquet partition pruning). "
+        "Scores must be BIT-EQUAL to the one-shot batch computation — "
+        "same tokenizer, same contribution expression, same "
+        "rounded-DECIMAL sum — so the oracle is search_bm25's, verbatim. "
+        "This is the driver-facing face of "
+        "engine_spark/datapipe/retrieval_store.py (VERDICT r9 task #1)."
+    ),
+)
+def q_search_bm25_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+    docs = Catalog(spark, sf_dir)["documents"]
+    qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+    state = _gate_store_dir("bm25", sf_dir)
+    idx = IncrementalBM25Index(spark, f"file://{state}")
+    for eid in range(3):
+        idx.add_batch(docs.filter(F.col("doc_id") % 3 == eid), eid)
+    idx.add_batch(docs.filter(F.col("doc_id") % 3 == 1), 1)  # replay: no-op
+    idx.compact(1, vacuum=False)  # publish-then-shadow
+    idx.vacuum()  # grace over: reclaim the shadowed epochs
+    return idx.search(qdf, topk=BM25_TOPK).select("q_id", "doc_id", "score", "rnk")
 
 
 #: MMR (maximal marginal relevance) diversified rerank constants: greedy
@@ -2676,6 +2730,131 @@ def _pq_oracle() -> str:
           FROM iscored)
     WHERE rnk <= {IVF_TOPK}
     """
+
+
+@register(
+    "search_hybrid_store",
+    f"""
+    SELECT vec_id AS q_id, TRUE AS store_matches_live
+    FROM embeddings WHERE vec_id < {RRF_SEEDS} ORDER BY q_id
+    """,
+    doc=(
+        "Hybrid retrieval composed from BOTH persisted stores — the "
+        "incremental BM25 postings store (two exactly-once epochs) and "
+        "the persisted IVF index (base build + one frozen-codebook ingest "
+        "epoch, searches partition-pruned to the probed cells) — fused "
+        "with the gate-shared fuse_rrf. The trained codebook is not "
+        "SQL-expressible (same adjudication as ann_ivf_trained), so the "
+        "gate emits a per-seed PARITY FACT instead: the store-composed "
+        "ranking must be row-identical (null-safe on every rank and "
+        "score) to the live twin computed independently from the raw "
+        "tables with the same codebook — lexical BM25 over each seed's "
+        f"{RRF_QTERMS} rarest terms, semantic IVF cosine at "
+        f"nprobe={IVF_NPROBE}, RRF fusion. A store that dropped an epoch, "
+        "double-counted postings, pruned a wrong bucket/cell, or skewed a "
+        "score turns its seed's fact FALSE and hash-fails the gate."
+    ),
+)
+def q_search_hybrid_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from engine_spark.datapipe.ivf import (
+        ivf_index_add_batch,
+        ivf_index_build,
+        ivf_search,
+    )
+    from engine_spark.datapipe.retrieval_store import (
+        IncrementalBM25Index,
+        hybrid_search_incremental,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    docs, emb = cat["documents"], cat["embeddings"]
+    root = _gate_store_dir("hybrid", sf_dir)
+
+    # --- build the two live stores -----------------------------------
+    bm25 = IncrementalBM25Index(spark, f"file://{root}/bm25")
+    for eid in range(2):
+        bm25.add_batch(docs.filter(F.col("doc_id") % 2 == eid), eid)
+    ivf_path = f"file://{root}/ivf"
+    cents = ivf_index_build(
+        spark, emb.filter(F.col("vec_id") % 2 == 0), ivf_path,
+        full_dim=EMB_DIM, cell_dim=LSH_PROJ_DIM, k=IVF_K, iters=3,
+    )
+    ivf_index_add_batch(spark, emb.filter(F.col("vec_id") % 2 == 1), ivf_path, 0)
+
+    # --- seed queries: each seed's RRF_QTERMS rarest distinct terms ---
+    # (corpus-derived, identical for store and twin by construction)
+    tf, dl, dfq, stats = _bm25_parts(docs)
+    tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("term"))
+    seed_tok = (
+        tok.filter(F.col("doc_id") < RRF_SEEDS)
+        .select(F.col("doc_id").alias("q_id"), "term")
+        .distinct()
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("df").asc(), F.col("term"))
+    qterms = (
+        seed_tok.join(F.broadcast(dfq), "term")
+        .withColumn("trnk", F.row_number().over(wq))
+        .filter(F.col("trnk") <= RRF_QTERMS)
+        .select("q_id", "term")
+        .localCheckpoint(eager=True)  # one qterms computation, both sides
+    )
+
+    # --- the store-composed ranking -----------------------------------
+    store = hybrid_search_incremental(
+        spark, bm25, ivf_path, qterms,
+        n_seed_queries=RRF_SEEDS, pool=RRF_POOL, topk=RRF_TOPK,
+        nprobe=IVF_NPROBE,
+    )
+
+    # --- the live twin: same math from the raw tables ------------------
+    contrib = (
+        F.broadcast(qterms)
+        .join(tf, "term")
+        .filter(F.col("doc_id") != F.col("q_id"))
+        .join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("q_id", "doc_id", F.expr(_bm25_contrib()).alias("s"))
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.expr(r6("CAST(sum(s) AS DOUBLE)")).alias("score")
+    )
+    lex = (
+        _topk_by(scored, "q_id", "score", "doc_id", "lex_rnk", RRF_POOL)
+        .select("q_id", F.col("doc_id").alias("cand_id"), "lex_rnk")
+    )
+    sem = (
+        ivf_search(
+            emb, cents, full_dim=EMB_DIM, cell_dim=LSH_PROJ_DIM,
+            n_queries=RRF_SEEDS, nprobe=IVF_NPROBE, topk=RRF_POOL,
+        )
+        .select("q_id", "cand_id", F.col("rnk").alias("sem_rnk"))
+    )
+    live = fuse_rrf(lex, sem, RRF_TOPK)
+
+    # --- per-seed parity facts ------------------------------------------
+    s, l = store.alias("s"), live.alias("l")
+    row_ok = (
+        F.expr("s.rrf_score <=> l.rrf_score")
+        & F.expr("s.lex_rnk <=> l.lex_rnk")
+        & F.expr("s.sem_rnk <=> l.sem_rnk")
+        & F.expr("s.fused_rnk <=> l.fused_rnk")
+    )
+    per_q = (
+        s.join(l, ["q_id", "cand_id"], "full")
+        .groupBy("q_id")
+        .agg(F.min(row_ok).alias("_ok"))
+    )
+    # a seed absent from BOTH rankings is vacuous parity (left-join null);
+    # absent from ONE side it appears above with _ok = false
+    seeds = spark.range(RRF_SEEDS).select(F.col("id").alias("q_id"))
+    return (
+        seeds.join(per_q, "q_id", "left")
+        .select("q_id", F.coalesce("_ok", F.lit(True)).alias("store_matches_live"))
+    )
+
 
 
 @register(

@@ -2625,23 +2625,32 @@ _ORDER = [
     # datapipe: text analysis / dedup / similarity / multimodal
     "text_quality",
     "search_bm25",                # Okapi BM25 ranked retrieval (NEW r9, in-window)
+    "search_bm25_store",          # incremental postings store e2e (NEW r10, in-window)
     "search_hybrid_rrf",          # lexical+semantic RRF fusion (NEW r9, in-window)
+    "search_hybrid_store",        # live-store RRF composition parity (NEW r10, in-window)
     "search_mmr_rerank",          # greedy MMR diversity rerank (NEW r9, in-window)
     "dedup_minhash_lsh",
     "dedup_clusters",
     "dedup_embedding_cosine",
-    "dedup_fuzzy",                # edit-distance near-dup (blocked, capped)
     "ann_ivf_trained",
     "ann_hamming_topk",           # 1-bit quantization + XOR/popcount top-k (r9 rotation)
     "corpus_split",               # deterministic hash train/val/test split (r9 rotation)
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
-    "multimodal_video_frames",    # REAL MJPEG MP4 frame pixel decode
     "multimodal_tiff",            # REAL TIFF 6.0 baseline pixel decode (NEW r9, in-window)
     "pipeline_end_to_end",
     # ---- entries past the driver's 50-gate window: redundant VARIANTS of
     # families already checked above, each with one-or-more consecutive
     # driver-green rounds, and at least one representative of every
     # family still inside the window.
+    # Round 10 rotated IN its two debut gates (search_bm25_store,
+    # search_hybrid_store — VERDICT r9 task #1: the incremental index
+    # stores' first driver-facing oracle checks), rotating OUT two
+    # driver-green variants: dedup_fuzzy (r8-r9; dedup keeps minhash_lsh/
+    # clusters/embedding_cosine in-window, fuzzy stays LOCAL+pytest) and
+    # multimodal_video_frames (r7-r9; multimodal keeps jpeg + tiff — the
+    # MP4 demux+frame-decode path stays LOCAL+pytest-proven).
+    "dedup_fuzzy",                # edit-distance near-dup (driver-green r8-r9)
+    "multimodal_video_frames",    # REAL MJPEG MP4 frame decode (driver-green r7-r9)
     # Round 9 (same-session follow-up) also rotated IN the ten round-9
     # additions themselves (multimodal_tiff, sql_table_dml,
     # window_unique_newest, window_frequent_topk, join_q7_volume_shipping,

@@ -338,6 +338,29 @@ CHECKS = {
         ("pool caps pushed down (WindowGroupLimit)",
          lambda p: "WindowGroupLimit" in p),
     ],
+    "search_bm25_store": [
+        # the store search must prune its parquet scan to the query terms'
+        # hash buckets via STATIC partition pruning (the literal bucket-IN
+        # resolved at plan time), broadcast the query set, and keep the
+        # top-k as a group-limit — same shape as the batch gate plus the
+        # pruned persisted scan
+        ("bucket partition pruning", lambda p: "PartitionFilters: [" in p),
+        ("query set broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("top-k pushed down (WindowGroupLimit)",
+         lambda p: "WindowGroupLimit" in p),
+        ("no data-sized cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "search_hybrid_store": [
+        # the composed plan (both live stores + the independent twin +
+        # the parity join) must keep every pool rank-capped, prune the
+        # persisted scans (bucket + cell partition filters), and never
+        # degrade to a data-sized cartesian
+        ("persisted scans partition-pruned",
+         lambda p: "PartitionFilters: [" in p),
+        ("pool caps pushed down (WindowGroupLimit)",
+         lambda p: "WindowGroupLimit" in p),
+        ("no data-sized cartesian", lambda p: "CartesianProduct" not in p),
+    ],
 }
 
 
