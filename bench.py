@@ -408,23 +408,38 @@ def main() -> None:
         return minhash_signatures(shingles_of(d, materialize=False))
 
     n_docs = cat["documents"].count()
-    materialized = {}
-    for tname, build, src, nrows in (
+    mat_chains = (
         ("filter_chain_eps", _filter_chain, mat["lineitem"], n_lineitem * REP),
         ("cep_window_chain_eps", _cep_chain, mat["events"], n_events * REP),
         ("pattern_chain_eps", _pattern_chain, mat["events"], n_events * REP),
         ("minhash_signature_docs_per_sec", _minhash_sig_chain, mat["documents"], n_docs * REP),
-    ):
-        try:
-            build(src).write.format("noop").mode("overwrite").save()  # codegen warm-up
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                build(src).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            materialized[tname] = int(nrows / best)
-        except Exception as e:  # noqa: BLE001 - recorded, not swallowed
-            errors[f"materialized:{tname}"] = f"{type(e).__name__}: {str(e)[:200]}"
+    )
+
+    def _measure_mat(warm: bool) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for tname, build, src, nrows in mat_chains:
+            try:
+                if warm:  # untimed codegen warm-up, same rationale as above
+                    build(src).write.format("noop").mode("overwrite").save()
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    build(src).write.format("noop").mode("overwrite").save()
+                    best = min(best, time.perf_counter() - t0)
+                out[tname] = int(nrows / best)
+            except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+                errors[f"materialized:{tname}"] = f"{type(e).__name__}: {str(e)[:200]}"
+        return out
+
+    # Load defense (VERDICT r9 task #3): the r9 artifact recorded CEP at
+    # 641k eps purely because the bench is its own noisy neighbor (loadavg
+    # 1.9 -> 15 across the run). Measure once here, AGAIN at end-of-bench
+    # (after the heavy pipeline/corpus stages), keep the per-chain BEST,
+    # and record both readings + their loadavgs so any residual miss
+    # carries its load context in the artifact itself.
+    mat_first = _measure_mat(warm=True)
+    mat_load_first = [round(x, 2) for x in os.getloadavg()]
+    materialized = dict(mat_first)
 
     # sf1 scale rehearsal: the dedup→cluster→pack pipeline end-to-end at
     # 10× the bench scale (the materialized REP× corpus — a 90%-duplicate
@@ -550,6 +565,21 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - recorded, not swallowed
         errors["corpus_assembly"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # end-of-bench retry pass for the materialized chains (load defense,
+    # see above): plans are already codegen-warm, so no warm-up run
+    mat_retry = _measure_mat(warm=False)
+    mat_load_retry = [round(x, 2) for x in os.getloadavg()]
+    for k, v in mat_retry.items():
+        if v > materialized.get(k, 0):
+            materialized[k] = v
+    materialized_context = {
+        "first_pass": mat_first,
+        "retry_pass": mat_retry,
+        "loadavg_first": mat_load_first,
+        "loadavg_retry": mat_load_retry,
+        "policy": "per-chain best of the two passes",
+    }
+
     full = {
         "metric": "headline_total_runtime",
         "value": total,
@@ -563,6 +593,7 @@ def main() -> None:
         "throughput_events_per_sec": throughput,
         "throughput_events_per_sec_amortized": amortized,
         "throughput_events_per_sec_materialized": materialized,
+        "materialized_context": materialized_context,
         "pipeline_sf1": pipeline_sf1,
         "corpus_assembly": corpus_assembly,
         "multimodal": multimodal,
