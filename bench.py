@@ -106,6 +106,22 @@ def main() -> None:
         # ingest + compact + vacuum + bucket-pruned search per run — the
         # honest store-lifecycle cost, not just the query)
         "search_bm25_store",
+        # round 10 (session 2): the thirteen TPC-H shapes completing 22/22
+        # coverage — tracked individually so every canonical join/agg plan
+        # family has a number against the baseline
+        "join_q2_min_cost_supplier",
+        "join_q4_priority_checking",
+        "agg_q6_forecast_revenue",
+        "join_q8_market_share",
+        "join_q9_product_profit",
+        "agg_q11_important_parts",
+        "join_q12_late_line_priority",
+        "join_q13_order_distribution",
+        "agg_q14_promo_share",
+        "join_q15_top_supplier",
+        "agg_q16_supplier_variety",
+        "join_q17_small_quantity_revenue",
+        "join_q20_part_promotion",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

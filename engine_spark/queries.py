@@ -2138,6 +2138,738 @@ def q_join_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 10: the remaining TPC-H query shapes, completing 22/22 coverage.
+# The driver's schema has no partsupp table and no l_commitdate/l_receiptdate
+# /l_shipmode/c_phone columns, so Q2/Q11/Q16/Q20 treat lineitem's
+# (partkey, suppkey) pairs as the part-supplier relation and Q4/Q12/Q21 use
+# "shipped long after the order date" as the lateness predicate — each gate's
+# doc states its adaptation. The SHAPES (correlated-min decorrelation,
+# EXISTS semi join, scalar-threshold HAVING, two-level aggregation, ratio
+# aggregates, share-of-group window) are the TPC-H originals.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): a single scan-filter-"
+    "aggregate with NO join and NO group key — the pure pushdown showcase. "
+    "All three predicates reach the parquet scan as PushedFilters and only "
+    "three columns survive pruning; the aggregate is map-side partial plus "
+    "a 1-row final merge, so the whole query is one scan at any scale.",
+)
+def q_agg_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_q4_priority_checking",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order priority checking): EXISTS over lineitem "
+    "compiled as a LEFT SEMI join whose condition carries the correlated "
+    "date comparison — each order contributes at most once no matter how "
+    "many late lines it has, with no DISTINCT pass. The quarter filter "
+    "prunes the orders scan ~25x before the orderkey shuffle; lineitem "
+    "needs only (orderkey, shipdate) after column pruning. Lateness "
+    "adapts Q4's commit<receipt to this schema: shipped more than 60 "
+    "days after the order date.",
+)
+def q_join_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    o = cat["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01 00:00:00").cast("timestamp"))
+    )
+    li = cat["lineitem"].select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "join_q2_min_cost_supplier",
+    """
+    WITH offers AS (
+      SELECT l_partkey, s.s_name,
+             l_extendedprice / l_quantity AS unit_price
+      FROM lineitem
+      JOIN supplier s ON s.s_suppkey = l_suppkey
+      JOIN nation n   ON n.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE' AND l_quantity > 0
+    )
+    SELECT DISTINCT p.p_partkey, p.p_name, o.s_name, o.unit_price
+    FROM part p JOIN offers o ON o.l_partkey = p.p_partkey
+    WHERE p.p_size BETWEEN 40 AND 50
+      AND o.unit_price = (SELECT min(o2.unit_price) FROM offers o2
+                          WHERE o2.l_partkey = p.p_partkey)
+    ORDER BY o.unit_price, p.p_partkey, o.s_name
+    LIMIT 30
+    """,
+    doc="TPC-H Q2 shape (minimum-cost supplier): the correlated scalar-min "
+    "subquery, decorrelated in Spark as min() OVER (PARTITION BY partkey) "
+    "on the size-pruned offer set — the region/nation dims broadcast into "
+    "the fact, the pruned part dim broadcasts next, then ONE partkey "
+    "shuffle computes the per-part floor and keeps the rows that sit on "
+    "it. The oracle states the literal correlated form. lineitem's "
+    "(partkey, suppkey, unit price) stands in for partsupp; unit price "
+    "is a row-level IEEE division, identical in both engines, so the "
+    "min-equality join is exact. Top-30 under a total tiebreak order.",
+)
+def q_join_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    eu_nations = (
+        cat["nation"]
+        .join(
+            F.broadcast(cat["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey")
+    )
+    supp = (
+        cat["supplier"]
+        .join(F.broadcast(eu_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    p = cat["part"].filter(F.col("p_size").between(40, 50)).select(
+        "p_partkey", "p_name"
+    )
+    offers = (
+        cat["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "l_partkey",
+            "s_name",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        offers.withColumn("floor_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("floor_price"))
+        .select("p_partkey", "p_name", "s_name", "unit_price")
+        .distinct()
+        .orderBy("unit_price", "p_partkey", "s_name")
+        .limit(30)
+    )
+
+
+@register(
+    "join_q8_market_share",
+    """
+    WITH v AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders o   ON o.o_orderkey  = l_orderkey
+      JOIN customer c ON c.c_custkey   = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey  = n1.n_regionkey
+      JOIN supplier s ON s.s_suppkey    = l_suppkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey    = l_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    )
+    SELECT o_year,
+           round(COALESCE(CAST(sum(CASE WHEN supp_nation = 'NATION_5'
+                                        THEN volume END) AS DOUBLE), 0.0)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+           count(*) AS n_items
+    FROM v GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): one nation table playing "
+    "two roles (customer side gates the market region, supplier side "
+    "tags the share numerator) and a conditional-over-total ratio per "
+    "order year. Spark broadcasts every dim — region-pruned nations into "
+    "customer, type-pruned part into lineitem — so the only big exchange "
+    "is lineitem-orders on orderkey; the ratio is two decimal-exact sums "
+    "in ONE aggregate pass (no self-join, no second scan), divided as "
+    "doubles and rounded past the ulp.",
+)
+def q_join_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    am_nations = (
+        cat["nation"]
+        .join(
+            F.broadcast(cat["region"].filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cust_nk"))
+    )
+    cust = cat["customer"].join(
+        F.broadcast(am_nations), F.col("c_nationkey") == F.col("cust_nk")
+    ).select("c_custkey")
+    supp = (
+        cat["supplier"]
+        .join(
+            F.broadcast(cat["nation"].select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    p = cat["part"].filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = cat["orders"].join(cust, F.col("c_custkey") == F.col("o_custkey")).select(
+        "o_orderkey", "o_orderdate"
+    )
+    v = (
+        cat["lineitem"]
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("volume"),
+            "supp_nation",
+        )
+    )
+    return v.groupBy("o_year").agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")))
+                .cast("double"),
+                F.lit(0.0),
+            )
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "join_q9_product_profit",
+    """
+    SELECT n.n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity * 0.1
+                         AS DECIMAL(18,4))) AS DOUBLE) AS profit,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part p     ON p.p_partkey   = l_partkey
+    JOIN supplier s ON s.s_suppkey   = l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN orders o   ON o.o_orderkey  = l_orderkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY n.n_name, CAST(year(o_orderdate) AS INT)
+    """,
+    doc="TPC-H Q9 shape (product-type profit): profit per supplier nation "
+    "per order year for name-matched parts, with p_retailprice*qty*0.1 "
+    "standing in for ps_supplycost*qty. The LIKE-pruned part dim and the "
+    "nation-tagged supplier dim broadcast into lineitem (the part filter "
+    "shrinks the fact ~6x before any exchange); orders joins on the "
+    "orderkey shuffle only to supply the year. Profit is a row-level "
+    "double expression cast to decimal per row, so the grouped sums are "
+    "order-independent and exact across engines.",
+)
+def q_join_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    p = cat["part"].filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        cat["supplier"]
+        .join(
+            F.broadcast(cat["nation"].select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+    ).cast("decimal(18,4)")
+    return (
+        cat["lineitem"]
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            cat["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            "nation",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            profit.alias("profit_dec"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(
+            F.sum("profit_dec").cast("double").alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "agg_q11_important_parts",
+    """
+    WITH pv AS (
+      SELECT l_partkey AS partkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS val
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS value
+    FROM pv
+    WHERE CAST(val AS DOUBLE)
+            > (SELECT CAST(sum(val) AS DOUBLE) / count(*) FROM pv) * 2.0
+    """,
+    doc="TPC-H Q11 shape (important stock): per-part value restricted to a "
+    "nation group, kept only when it exceeds a multiple of the GLOBAL "
+    "mean — the scalar-aggregate-threshold HAVING. TPC-H divides its "
+    "share fraction by SF to keep selectivity scale-free; thresholding "
+    "at 2x the mean per-part value achieves the same invariance without "
+    "baking the scale factor into the query text. Spark computes the "
+    "per-part aggregate once (nation-pruned suppliers broadcast, one "
+    "partkey shuffle), then derives the global total by RE-AGGREGATING "
+    "that small result — never a second fact scan — and cross-broadcasts "
+    "the 1-row scalar into the filter. Decimal sums make the total "
+    "exactly equal to the oracle's direct sum regardless of addend "
+    "order; the threshold compare happens in double on both engines.",
+)
+def q_agg_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    supp = (
+        cat["supplier"]
+        .join(
+            F.broadcast(
+                cat["nation"].filter(
+                    F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        cat["lineitem"]
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("val")
+        )
+    )
+    total = pv.agg(
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("mean_val")
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("mean_val") * 2.0)
+        .select("partkey", F.col("val").cast("double").alias("value"))
+    )
+
+
+@register(
+    "join_q12_late_line_priority",
+    """
+    SELECT l_returnflag,
+           count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_count,
+           count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_count
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+    doc="TPC-H Q12 shape (shipping modes & order priority): late lines "
+    "bucketed by a line attribute with high/low-priority orders counted "
+    "conditionally in ONE pass — l_returnflag stands in for the absent "
+    "l_shipmode and ship-30-days-past-order for receipt>commit. The "
+    "year filter prunes the lineitem scan before the orderkey shuffle; "
+    "the cross-table lateness predicate rides the join condition. "
+    "count(CASE…) keeps both engines in BIGINT (DuckDB's sum(int) would "
+    "widen to HUGEINT and break the dtype-kind compare).",
+)
+def q_join_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    o = cat["orders"].select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            o,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_count"),
+            F.count(F.when(~high, 1)).alias("low_count"),
+        )
+    )
+
+
+@register(
+    "join_q13_order_distribution",
+    """
+    WITH co AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM co GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape (customer order distribution): LEFT OUTER join so "
+    "zero-order customers survive with count 0, then a second aggregate "
+    "histograms customers by order count. The priority exclusion lives "
+    "in the JOIN condition (not WHERE — that would turn the outer join "
+    "inner and drop the zero bucket). Spark: one custkey shuffle for "
+    "join+count (partial counts combine map-side), then the second "
+    "aggregate runs over a customer-sized relation — the classic "
+    "two-level rollup where the second exchange is ~cardinality(c_count) "
+    "wide, effectively free.",
+)
+def q_join_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    c = cat["customer"].select("c_custkey")
+    o = cat["orders"].filter(F.col("o_orderpriority") != "4-NOT SPECIFIED").select(
+        "o_custkey", "o_orderkey"
+    )
+    co = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "agg_q14_promo_share",
+    """
+    SELECT round((100.0 * COALESCE(CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount)
+                               AS DECIMAL(18,4)) END) AS DOUBLE), 0.0))
+                 / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE), 6)
+             AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): percentage of one month's "
+    "revenue from PROMO-typed parts — a conditional/total ratio computed "
+    "in ONE aggregate over the month-pruned fact with the 2-column part "
+    "dim broadcast in. Both sums are decimal-exact; the 100*x/y is "
+    "evaluated with identical association on both engines and rounded "
+    "to 6 places past the ulp.",
+)
+def q_agg_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1998-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+    )
+    p = cat["part"].select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.coalesce(
+                        F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double"),
+                        F.lit(0.0),
+                    )
+                )
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+               AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2000-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+    FROM supplier JOIN rev ON suppkey = s_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    doc="TPC-H Q15 shape (top supplier): a quarter's revenue per supplier, "
+    "keeping the supplier(s) that hit the maximum — Q15's CREATE VIEW + "
+    "scalar-max correlated predicate. Spark materializes the per-supplier "
+    "aggregate once (one suppkey shuffle over the date-pruned fact), "
+    "re-aggregates THAT to the 1-row max, and cross-broadcasts it into "
+    "the equality filter — no second fact scan, no window over an "
+    "unpartitioned frame. The max-equality compares exact decimals, so "
+    "ties and cross-engine agreement are both safe.",
+)
+def q_join_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-04-01 00:00:00").cast("timestamp"))
+            # explicit, so BOTH consumers of rev (the filter branch and the
+            # scalar-max branch) see canonically-equal subtrees and AQE
+            # reuses one suppkey exchange instead of scanning the fact twice
+            # (the supplier join would otherwise infer isnotnull into only
+            # the probe branch and break exchange-reuse equality)
+            & F.col("l_suppkey").isNotNull()
+        )
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ).alias("total_rev")
+        )
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(
+            F.broadcast(cat["supplier"].select("s_suppkey", "s_name")),
+            F.col("s_suppkey") == F.col("suppkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_rev"))
+    )
+
+
+@register(
+    "agg_q16_supplier_variety",
+    """
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'MEDIUM'
+      AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (parts/supplier relationship): how many distinct "
+    "suppliers can supply each surviving (brand, type, size) bucket, "
+    "excluding blacklisted suppliers — the NOT IN anti-join plus "
+    "count(DISTINCT). lineitem's distinct (partkey, suppkey) pairs stand "
+    "in for partsupp and negative account balance for the complaints "
+    "blacklist. Spark: ONE partkey-suppkey shuffle dedups the pairs, "
+    "the triple-pruned part dim broadcasts in, the blacklist (tiny) "
+    "broadcasts as LEFT ANTI, and the distinct count reuses the "
+    "already-distinct pairs.",
+)
+def q_agg_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ps = cat["lineitem"].select("l_partkey", "l_suppkey").distinct()
+    p = cat["part"].filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "MEDIUM")
+        & F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    blacklist = cat["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(blacklist),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "join_q17_small_quantity_revenue",
+    """
+    SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < 0.5 *
+            (SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                    / count(*)
+             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue): lines under half "
+    "their part's average quantity, for one brand — the correlated AVG "
+    "decorrelated. Spark joins the brand-pruned part dim (broadcast) "
+    "into lineitem FIRST, then computes the per-part mean as window "
+    "sums over ONE partkey shuffle of the ~1/25-brand slice — because "
+    "the correlation key is also the join key, averaging after the "
+    "brand prune sees exactly the rows the oracle's correlated subquery "
+    "sees. The mean is an exact decimal sum divided by count in double "
+    "on both engines, so the 0.5x threshold compare cannot ulp-flip.",
+)
+def q_join_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    p = cat["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    li = cat["lineitem"].join(
+        F.broadcast(p), F.col("p_partkey") == F.col("l_partkey")
+    )
+    w = W.partitionBy("l_partkey")
+    avg_qty = (
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        li.withColumn("part_avg", avg_qty)
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("part_avg"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_q20_part_promotion",
+    """
+    WITH sq AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(l_quantity AS DECIMAL(18,4))) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM sq GROUP BY l_partkey)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM sq
+    JOIN pt ON pt.l_partkey = sq.l_partkey
+    JOIN part p     ON p.p_partkey = sq.l_partkey AND p.p_name LIKE 'small%'
+    JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_7', 'NATION_8', 'NATION_9', 'NATION_10')
+      AND CAST(sq.supp_qty AS DOUBLE) > 0.3 * CAST(pt.part_qty AS DOUBLE)
+    """,
+    doc="TPC-H Q20 shape (potential part promotion): suppliers in a nation "
+    "group who shipped more than 30% of a name-matched part's yearly "
+    "volume — Q20's nested IN/availqty>half-demand test restated on the "
+    "lineitem-as-partsupp relation. Spark aggregates (partkey, suppkey) "
+    "once over the year-pruned fact, then gets the per-part total as "
+    "sum() OVER (PARTITION BY partkey) on that aggregate — the oracle's "
+    "second CTE + self-join collapses into a window on the SAME keyed "
+    "distribution, costing zero extra exchanges. Name-pruned parts and "
+    "the nation-pruned supplier dim broadcast; DISTINCT dedups the "
+    "supplier across qualifying parts. Exact decimal quantities under "
+    "the double share compare.",
+)
+def q_join_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    cat = Catalog(spark, sf_dir)
+    sq = (
+        cat["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("supp_qty"))
+    )
+    part_qty = F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+    p = cat["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+    supp = (
+        cat["supplier"]
+        .join(
+            F.broadcast(
+                cat["nation"].filter(
+                    F.col("n_name").isin(
+                        "NATION_7", "NATION_8", "NATION_9", "NATION_10"
+                    )
+                )
+            ),
+            F.col("n_nationkey") == F.col("s_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sq.withColumn("part_qty", part_qty)
+        .filter(
+            F.col("supp_qty").cast("double")
+            > F.lit(0.3) * F.col("part_qty").cast("double")
+        )
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
 @register(
     "setops_union_intersect_except",
     """
@@ -2589,38 +3321,41 @@ _ORDER = [
     "sql_select_join_group",      # SQL front-end
     # 2h scalars / 2b expressions
     "expr_like_between_null",
-    "expr_correlated_subquery",   # decorrelated scalar + WHERE subqueries (r9 rotation)
     # 2d aggregations
     "agg_having_topn",
     "incremental_agg_hour",
-    "agg_cube",                   # CUBE grouping sets, one Expand + one agg (r9 rotation)
     "analytic_ranks",             # ntile/percent_rank/cume_dist/first_value (r9 rotation)
-    "agg_unpivot",                # UNPIVOT wide-to-long via stack(), map-only
-    "agg_histogram",              # fixed-width numeric histogram (NEW r9, in-window)
+    "agg_histogram",              # fixed-width numeric histogram (driver-green r9)
+    "agg_q6_forecast_revenue",    # TPC-H Q6 shape: scan-only pushdown agg (NEW r10)
+    "agg_q11_important_parts",    # TPC-H Q11 shape: scalar-threshold HAVING (NEW r10)
+    "agg_q14_promo_share",        # TPC-H Q14 shape: conditional/total ratio (NEW r10)
+    "agg_q16_supplier_variety",   # TPC-H Q16 shape: distinct pairs + anti join (NEW r10)
     "events_gapfill_1h",          # dense-grid gap-fill + forward-fill (r9 rotation)
-    "events_json_props",          # typed from_json extraction + agg (NEW r9, in-window)
     "events_cohort_retention",    # cohort/day-offset retention matrix (NEW r9, in-window)
     "events_funnel_24h",          # ordered conversion funnel, one exchange (NEW r9)
     # 2c joins
     "join_outer_modes",
     "stream_stream_windowed_join",
-    "join_q10_returned_items",    # TPC-H Q10 shape: broadcast dim + agg (r9 rotation)
-    "join_q18_large_orders",      # TPC-H Q18 shape: aggregate-then-join (r9 rotation)
+    "join_q2_min_cost_supplier",  # TPC-H Q2 shape: correlated-min decorrelation (NEW r10)
+    "join_q4_priority_checking",  # TPC-H Q4 shape: correlated EXISTS semi join (NEW r10)
     "join_q7_volume_shipping",    # TPC-H Q7 shape: pair-filtered dims (NEW r9, in-window)
+    "join_q8_market_share",       # TPC-H Q8 shape: dual-role nation + ratio (NEW r10)
+    "join_q9_product_profit",     # TPC-H Q9 shape: profit by nation x year (NEW r10)
+    "join_q12_late_line_priority",  # TPC-H Q12 shape: conditional counts on join (NEW r10)
+    "join_q13_order_distribution",  # TPC-H Q13 shape: outer join + 2-level agg (NEW r10)
+    "join_q15_top_supplier",      # TPC-H Q15 shape: view + scalar-max filter (NEW r10)
+    "join_q17_small_quantity_revenue",  # TPC-H Q17 shape: correlated AVG (NEW r10)
     "join_q19_disjunctive",       # TPC-H Q19 shape: OR-of-ANDs pushdown (NEW r9, in-window)
+    "join_q20_part_promotion",    # TPC-H Q20 shape: share-of-part window (NEW r10)
     "join_q21_waiting_supplier",  # TPC-H Q21 shape: EXISTS/NOT EXISTS -> one agg (NEW r9)
     "join_q22_dormant_customers", # TPC-H Q22 shape: scalar-avg gate + anti join (NEW r9)
     # 2e windows
-    "window_unique_newest",       # unique(attr) retained-newest window (NEW r9, in-window)
-    "window_frequent_topk",       # frequent(n, attr) top-k window (NEW r9, in-window)
-    # 2f patterns
-    "pattern_absent",
-    # relational set operations (NEW r9, in-window)
-    "setops_union_intersect_except",
+    "window_frequent_topk",       # frequent(n, attr) top-k window (driver-green r9)
+    # relational set operations
+    "setops_union_intersect_except",  # driver-green r9
     # SQL front-end (remaining)
     "sql_pattern_partitioned",
     "sql_create_aggregation",     # CREATE AGGREGATION DDL (incremental agg)
-    "sql_trigger_ticks",          # CREATE TRIGGER DDL: AT EVERY/CRON tick relation (NEW r9)
     "sql_table_dml",              # UPDATE/DELETE/UPSERT SQL DML (NEW r9, in-window)
     # datapipe: text analysis / dedup / similarity / multimodal
     "text_quality",
@@ -2628,13 +3363,9 @@ _ORDER = [
     "search_bm25_store",          # incremental postings store e2e (NEW r10, in-window)
     "search_hybrid_rrf",          # lexical+semantic RRF fusion (NEW r9, in-window)
     "search_hybrid_store",        # live-store RRF composition parity (NEW r10, in-window)
-    "search_mmr_rerank",          # greedy MMR diversity rerank (NEW r9, in-window)
     "dedup_minhash_lsh",
     "dedup_clusters",
-    "dedup_embedding_cosine",
     "ann_ivf_trained",
-    "ann_hamming_topk",           # 1-bit quantization + XOR/popcount top-k (r9 rotation)
-    "corpus_split",               # deterministic hash train/val/test split (r9 rotation)
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_tiff",            # REAL TIFF 6.0 baseline pixel decode (NEW r9, in-window)
     "pipeline_end_to_end",
@@ -2642,11 +3373,45 @@ _ORDER = [
     # families already checked above, each with one-or-more consecutive
     # driver-green rounds, and at least one representative of every
     # family still inside the window.
-    # Round 10 rotated IN its two debut gates (search_bm25_store,
-    # search_hybrid_store — VERDICT r9 task #1: the incremental index
-    # stores' first driver-facing oracle checks), rotating OUT two
-    # driver-green variants: dedup_fuzzy (r8-r9; dedup keeps minhash_lsh/
-    # clusters/embedding_cosine in-window, fuzzy stays LOCAL+pytest) and
+    # Round 10 (this session) rotated IN the thirteen remaining TPC-H
+    # query shapes (Q2/Q4/Q6/Q8/Q9/Q11/Q12/Q13/Q14/Q15/Q16/Q17/Q20 —
+    # completing 22/22 TPC-H shape coverage), every one in-window at its
+    # debut per the standing policy. Rotated OUT thirteen driver-green
+    # variants, each leaving an in-window family rep: agg_cube (green
+    # r9; aggs keep pricing_summary/having_topn/histogram/incremental
+    # plus the four new TPC-H agg shapes), agg_unpivot (r8-r9; the
+    # reshape pair stays LOCAL+pytest), events_json_props (r9; events
+    # keeps gapfill/cohort/funnel), join_q10_returned_items and
+    # join_q18_large_orders (r9; the join family now fields eleven
+    # TPC-H shapes in-window), window_unique_newest (r9; 2e keeps
+    # tumbling's SQL twin sql_window_tumbling LOCAL + frequent_topk
+    # in-window), pattern_absent (r2-r9; 2f keeps followed_by +
+    # sql_pattern_partitioned), expr_correlated_subquery (r9; the new
+    # Q2/Q17 gates ARE correlated-subquery decorrelation proofs, and
+    # 2b/2h keeps expr_like_between_null), sql_trigger_ticks (r9; SQL
+    # keeps four gates), search_mmr_rerank (r9; search keeps bm25 +
+    # both stores + hybrid_rrf), dedup_embedding_cosine (r2-r9; dedup
+    # keeps minhash_lsh + clusters), ann_hamming_topk (r9; ANN keeps
+    # ivf_trained), corpus_split (r9; assembly keeps
+    # pipeline_end_to_end).
+    "expr_correlated_subquery",   # decorrelated scalar + WHERE subqueries (green r9)
+    "agg_cube",                   # CUBE grouping sets, one Expand + one agg (green r9)
+    "agg_unpivot",                # UNPIVOT wide-to-long via stack(), map-only (r8-r9)
+    "events_json_props",          # typed from_json extraction + agg (green r9)
+    "join_q10_returned_items",    # TPC-H Q10 shape: broadcast dim + agg (green r9)
+    "join_q18_large_orders",      # TPC-H Q18 shape: aggregate-then-join (green r9)
+    "window_unique_newest",       # unique(attr) retained-newest window (green r9)
+    "pattern_absent",             # NOT-FOR absent pattern (driver-green r2-r9)
+    "sql_trigger_ticks",          # CREATE TRIGGER DDL tick relation (green r9)
+    "search_mmr_rerank",          # greedy MMR diversity rerank (green r9)
+    "dedup_embedding_cosine",     # bucketed cosine near-dup (driver-green r2-r9)
+    "ann_hamming_topk",           # 1-bit quantize + XOR/popcount top-k (green r9)
+    "corpus_split",               # deterministic hash train/val/test split (green r9)
+    # Round 10 (earlier session) rotated IN its two debut gates
+    # (search_bm25_store, search_hybrid_store — VERDICT r9 task #1: the
+    # incremental index stores' first driver-facing oracle checks),
+    # rotating OUT two driver-green variants: dedup_fuzzy (r8-r9; dedup
+    # keeps minhash_lsh/clusters in-window, fuzzy stays LOCAL+pytest) and
     # multimodal_video_frames (r7-r9; multimodal keeps jpeg + tiff — the
     # MP4 demux+frame-decode path stays LOCAL+pytest-proven).
     "dedup_fuzzy",                # edit-distance near-dup (driver-green r8-r9)

@@ -350,6 +350,113 @@ CHECKS = {
          lambda p: "WindowGroupLimit" in p),
         ("no data-sized cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "agg_q6_forecast_revenue": [
+        # the pushdown showcase: all three predicates at the scan, no join,
+        # no keyed exchange (1-row global agg merges via SinglePartition)
+        # (the plan string truncates long PushedFilters lists with "...",
+        # so match the prefix of the range predicate)
+        ("all predicates pushed", lambda p: "PushedFilters: [IsNotNull(l_shipdate)" in p
+         and "GreaterThanOrEqual(l_shipda" in p),
+        ("no join", lambda p: "Join" not in p),
+        ("no keyed exchange", lambda p: "Exchange hashpartitioning" not in p),
+        ("3-column pruned scan", lambda p: "ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate" in p),
+    ],
+    "join_q4_priority_checking": [
+        # EXISTS must compile to LEFT SEMI (at-most-once per order, no
+        # DISTINCT pass) with the quarter filter at the orders scan
+        ("left semi join", lambda p: "LeftSemi" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+        ("orders scan date-pruned", lambda p: "GreaterThanOrEqual(o_orderdate" in p),
+        ("lineitem pruned to 2 cols", lambda p: "ReadSchema: struct<l_orderkey:bigint,l_shipdate" in p),
+    ],
+    "join_q2_min_cost_supplier": [
+        # correlated-min decorrelation: dims broadcast, ONE partkey window
+        # computes the per-part floor, top-30 fuses into TakeOrdered
+        ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 3),
+        ("single window pass", lambda p: p.count("Window [") == 1),
+        ("take-ordered top-k", lambda p: "TakeOrderedAndProject" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "join_q8_market_share": [
+        # dual-role nation: all dims broadcast; the only big exchange pair
+        # is lineitem-orders on orderkey; ratio in ONE aggregate (no
+        # self-join of the fact)
+        ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 4),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+        ("part type filter pushed", lambda p: "EqualTo(p_type,ECONOMY)" in p),
+    ],
+    "join_q9_product_profit": [
+        # LIKE-pruned part dim broadcasts; the name filter reaches the part
+        # scan as a StringContains pushdown
+        ("LIKE pushed to part scan", lambda p: "StringContains(p_name,red)" in p),
+        ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "agg_q11_important_parts": [
+        # scalar-threshold HAVING: the 1-row mean cross-broadcasts (a
+        # BroadcastNestedLoopJoin over ONE row, not a data-sized cartesian);
+        # runtime AQE reuses the partkey exchange so the fact is scanned
+        # once (asserted post-execution in tests/test_tpch_shapes.py)
+        ("scalar broadcast (1-row BNLJ)", lambda p: "BroadcastNestedLoopJoin" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+        ("nation filter pushed", lambda p: "In(n_name" in p or "EqualTo(n_name" in p),
+    ],
+    "join_q12_late_line_priority": [
+        # year filter prunes the fact scan; conditional counts in ONE agg
+        ("ship-year pushed", lambda p: "GreaterThanOrEqual(l_shipdate" in p),
+        ("single aggregation pass", lambda p: "HashAggregate" in p),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "join_q13_order_distribution": [
+        # outer join must SURVIVE (zero-order customers kept): LeftOuter in
+        # the plan, priority exclusion pushed to the orders scan, and the
+        # second aggregate adds one tiny exchange
+        ("left outer preserved", lambda p: "LeftOuter" in p or "RightOuter" in p),
+        ("priority filter pushed", lambda p: "Not(EqualTo(o_orderpriority" in p),
+        ("two-level agg", lambda p: p.count("Exchange hashpartitioning") == 2),
+    ],
+    "agg_q14_promo_share": [
+        # month-pruned fact + broadcast 2-col part dim; ratio in one agg —
+        # zero keyed exchanges end-to-end
+        ("month filter pushed", lambda p: "GreaterThanOrEqual(l_shipdate" in p),
+        ("part dim broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no keyed exchange", lambda p: "Exchange hashpartitioning" not in p),
+    ],
+    "join_q15_top_supplier": [
+        # view + scalar-max: both consumers of the per-supplier aggregate
+        # must share ONE canonical subtree (AQE ReusedExchange at runtime —
+        # asserted post-execution in tests/test_tpch_shapes.py); the max
+        # reduces partial per partition before the 1-row merge
+        ("date filter pushed", lambda p: "GreaterThanOrEqual(l_shipdate" in p),
+        ("supplier dim broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("no cartesian product", lambda p: "CartesianProduct" not in p),
+    ],
+    "agg_q16_supplier_variety": [
+        # distinct (part,supp) pairs once; triple-pruned part and the
+        # blacklist broadcast; NOT IN as LEFT ANTI
+        ("blacklist anti join", lambda p: "LeftAnti" in p),
+        ("part filters pushed", lambda p: "Not(EqualTo(p_brand,Brand#45))" in p),
+        ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
+    "join_q17_small_quantity_revenue": [
+        # correlated AVG decorrelation: brand-pruned part broadcasts FIRST,
+        # then ONE partkey exchange carries the window mean — never a
+        # second fact scan, never a self-join
+        ("brand filter pushed", lambda p: "EqualTo(p_brand,Brand#23)" in p),
+        ("part dim broadcast", lambda p: "BroadcastHashJoin" in p),
+        ("one keyed exchange", lambda p: p.count("Exchange hashpartitioning") == 1),
+        ("single window pass", lambda p: p.count("Window [") == 1),
+    ],
+    "join_q20_part_promotion": [
+        # share-of-part: the per-part total is a window ON the (part,supp)
+        # aggregate — the oracle's second CTE + self-join costs zero extra
+        # scans here
+        ("single window pass", lambda p: p.count("Window [") == 1),
+        ("name prefix pushed", lambda p: "StringStartsWith(p_name,small)" in p),
+        ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
+        ("no cartesian", lambda p: "CartesianProduct" not in p),
+    ],
     "search_hybrid_store": [
         # the composed plan (both live stores + the independent twin +
         # the parity join) must keep every pool rank-capped, prune the
