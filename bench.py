@@ -122,6 +122,8 @@ def main() -> None:
         "agg_q16_supplier_variety",
         "join_q17_small_quantity_revenue",
         "join_q20_part_promotion",
+        # round 10 (session 2): real Baseline H.264 I-frame pixel decode
+        "multimodal_h264",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

@@ -1,0 +1,1626 @@
+"""Baseline-profile H.264/AVC **I-frame** decoder and fixture encoder —
+stdlib + numpy, no av library.
+
+Scope (honest): IDR/I slices of Baseline/Main-compatible streams —
+CAVLC entropy coding, I_4x4 / I_16x16 / I_PCM macroblocks, full intra
+prediction (nine 4x4 modes, four 16x16 modes, four chroma modes), the
+4x4 integer inverse transform with the Intra16x16 luma DC Hadamard and
+2x2 chroma DC paths, 4:2:0 only, frame_mbs_only (no fields/MBAFF), no
+FMO/ASO, CAVLC only (CABAC raises), and **no deblocking filter**: slices
+must carry ``disable_deblocking_filter_idc == 1`` or the decoder refuses
+(a filtered reconstruction would silently differ from a conformant
+decoder — degrading to NULL beats returning wrong pixels). P/B slices
+raise — inter prediction genuinely needs reference-frame state and is
+out of scope for keyframe sampling, the use-case this serves. (The
+reference engine ships no video decode at all — this extends coverage
+beyond it, closing the largest scoped-out surface a real multimodal
+corpus hits: avc1 keyframes.)
+
+Entropy tables are transcribed from ITU-T H.264 (05/2003+) Table 9-5
+(coeff_token), 9-7/9-8 (total_zeros), 9-9(a) (chroma DC total_zeros) and
+9-10 (run_before); tests validate every table is a prefix code, spot-pin
+published worked examples, and round-trip random blocks through the
+paired encoder. The fixture encoder emits conformant byte streams for
+three shapes — I_PCM (exact pixels), I_16x16 with DC-only residuals, and
+I_4x4 with per-block residuals — which is what the multimodal gates and
+tests feed back through the decoder.
+
+Spark-side plumbing lives in multimodal.py (`decode_frames` routes avc1
+samples here via the avcC box); this module is pure per-payload kernel
+code, map-only under ``mapInPandas`` — the corpus scales by partitioning
+documents, never by sharing state between payloads.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class H264Error(ValueError):
+    """Unsupported-feature or corrupt-stream error (subclass of ValueError
+    so multimodal.DECODE_ERRORS catches it and degrades to NULL rows)."""
+
+
+# ---------------------------------------------------------------------------
+# Bitstream primitives
+# ---------------------------------------------------------------------------
+
+
+def rbsp_unescape(b: bytes) -> bytes:
+    """Strip emulation-prevention bytes: 00 00 03 -> 00 00 (7.4.1)."""
+    out = bytearray()
+    i, n = 0, len(b)
+    while i < n:
+        if i + 2 < n and b[i] == 0 and b[i + 1] == 0 and b[i + 2] == 3:
+            out += b"\x00\x00"
+            i += 3
+        else:
+            out.append(b[i])
+            i += 1
+    return bytes(out)
+
+
+def rbsp_escape(b: bytes) -> bytes:
+    """Insert emulation-prevention bytes so no 00 00 0x (x<=3) run survives."""
+    out = bytearray()
+    zeros = 0
+    for byte in b:
+        if zeros >= 2 and byte <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(byte)
+        zeros = zeros + 1 if byte == 0 else 0
+    return bytes(out)
+
+
+class BitReader:
+    """MSB-first bit reader with Exp-Golomb (9.1)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte_i, bit_i = divmod(self.pos, 8)
+            if byte_i >= len(self.data):
+                raise H264Error("bitstream truncated")
+            v = (v << 1) | ((self.data[byte_i] >> (7 - bit_i)) & 1)
+            self.pos += 1
+        return v
+
+    def flag(self) -> bool:
+        return bool(self.u(1))
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 32:
+                raise H264Error("bad exp-golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def byte_align(self) -> None:
+        while self.pos % 8:
+            if self.u(1):
+                raise H264Error("nonzero pcm alignment bit")
+
+    def more_rbsp_data(self) -> bool:
+        # true unless only the rbsp_stop_one_bit + zero padding remain
+        total = len(self.data) * 8
+        if self.pos >= total:
+            return False
+        # find last set bit in the stream (the stop bit)
+        last = total - 1
+        while last >= 0:
+            byte_i, bit_i = divmod(last, 8)
+            if (self.data[byte_i] >> (7 - bit_i)) & 1:
+                break
+            last -= 1
+        return self.pos < last
+
+
+class BitWriter:
+    """MSB-first bit writer (fixture encoder side)."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def put(self, bitstring: str) -> None:
+        self.bits.extend(1 if c == "1" else 0 for c in bitstring)
+
+    def ue(self, v: int) -> None:
+        v += 1
+        n = v.bit_length()
+        self.u(0, n - 1)
+        self.u(v, n)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp_trailing(self) -> None:
+        self.bits.append(1)
+        while len(self.bits) % 8:
+            self.bits.append(0)
+
+    def tobytes(self) -> bytes:
+        out = bytearray()
+        acc, n = 0, 0
+        for b in self.bits:
+            acc = (acc << 1) | b
+            n += 1
+            if n == 8:
+                out.append(acc)
+                acc, n = 0, 0
+        if n:
+            out.append(acc << (8 - n))
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Parameter sets (7.3.2.1 / 7.3.2.2)
+# ---------------------------------------------------------------------------
+
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    r = BitReader(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    sps_id = r.ue()
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc != 1:
+            raise H264Error(f"chroma_format_idc {chroma_format_idc} unsupported")
+        if r.ue() or r.ue():  # bit depths beyond 8
+            raise H264Error("bit depth > 8 unsupported")
+        r.flag()  # qpprime_y_zero_transform_bypass
+        if r.flag():  # seq_scaling_matrix_present
+            raise H264Error("scaling matrices unsupported")
+    log2_max_frame_num = r.ue() + 4
+    poc_type = r.ue()
+    if poc_type == 0:
+        log2_max_poc_lsb = r.ue() + 4
+    elif poc_type == 1:
+        r.flag()
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+        log2_max_poc_lsb = 0
+    else:
+        log2_max_poc_lsb = 0
+    r.ue()  # max_num_ref_frames
+    r.flag()  # gaps_in_frame_num_value_allowed
+    pic_width_in_mbs = r.ue() + 1
+    pic_height_in_map_units = r.ue() + 1
+    frame_mbs_only = r.flag()
+    if not frame_mbs_only:
+        raise H264Error("interlace (fields/MBAFF) unsupported")
+    r.flag()  # direct_8x8_inference
+    crop = (0, 0, 0, 0)
+    if r.flag():  # frame_cropping
+        crop = (r.ue(), r.ue(), r.ue(), r.ue())  # left right top bottom
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "sps_id": sps_id,
+        "log2_max_frame_num": log2_max_frame_num,
+        "poc_type": poc_type,
+        "log2_max_poc_lsb": log2_max_poc_lsb,
+        "width_mbs": pic_width_in_mbs,
+        "height_mbs": pic_height_in_map_units,
+        "crop": crop,
+    }
+
+
+def parse_pps(rbsp: bytes) -> dict:
+    r = BitReader(rbsp)
+    pps_id = r.ue()
+    sps_id = r.ue()
+    entropy_coding_mode = r.flag()
+    if entropy_coding_mode:
+        raise H264Error("CABAC unsupported (CAVLC only)")
+    bottom_field_poc = r.flag()
+    num_slice_groups = r.ue() + 1
+    if num_slice_groups != 1:
+        raise H264Error("FMO (slice groups) unsupported")
+    r.ue()  # num_ref_idx_l0_default_active_minus1
+    r.ue()  # num_ref_idx_l1_default_active_minus1
+    r.flag()  # weighted_pred
+    r.u(2)  # weighted_bipred_idc
+    pic_init_qp = r.se() + 26
+    r.se()  # pic_init_qs
+    chroma_qp_index_offset = r.se()
+    deblocking_control_present = r.flag()
+    constrained_intra_pred = r.flag()
+    redundant_pic_cnt_present = r.flag()
+    return {
+        "pps_id": pps_id,
+        "sps_id": sps_id,
+        "bottom_field_poc": bottom_field_poc,
+        "pic_init_qp": pic_init_qp,
+        "chroma_qp_index_offset": chroma_qp_index_offset,
+        "deblocking_control_present": deblocking_control_present,
+        "constrained_intra_pred": constrained_intra_pred,
+        "redundant_pic_cnt_present": redundant_pic_cnt_present,
+    }
+
+
+def split_annexb(b: bytes) -> list[bytes]:
+    """Annex-B byte stream -> list of NAL units (without start codes)."""
+    nals, i, n = [], 0, len(b)
+    starts = []
+    while i + 2 < n:
+        if b[i] == 0 and b[i + 1] == 0:
+            if b[i + 2] == 1:
+                starts.append((i, i + 3))
+                i += 3
+                continue
+            if i + 3 < n and b[i + 2] == 0 and b[i + 3] == 1:
+                starts.append((i, i + 4))
+                i += 4
+                continue
+        i += 1
+    for k, (s, payload_start) in enumerate(starts):
+        end = starts[k + 1][0] if k + 1 < len(starts) else n
+        nal = b[payload_start:end].rstrip(b"\x00") or b[payload_start:end]
+        if nal:
+            nals.append(nal)
+    if not nals:
+        raise H264Error("no NAL units (missing start codes)")
+    return nals
+
+
+def split_avcc_sample(b: bytes, nal_length_size: int) -> list[bytes]:
+    """Length-prefixed MP4 sample -> list of NAL units."""
+    nals, i, n = [], 0, len(b)
+    while i + nal_length_size <= n:
+        ln = int.from_bytes(b[i : i + nal_length_size], "big")
+        i += nal_length_size
+        if ln <= 0 or i + ln > n:
+            raise H264Error("bad NAL length prefix")
+        nals.append(b[i : i + ln])
+        i += ln
+    if not nals:
+        raise H264Error("empty avcC sample")
+    return nals
+
+
+def parse_avcc(avcc: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (ISO 14496-15) -> SPS/PPS dicts +
+    NAL length size."""
+    if len(avcc) < 7 or avcc[0] != 1:
+        raise H264Error("bad avcC record")
+    nal_length_size = (avcc[4] & 3) + 1
+    n_sps = avcc[5] & 0x1F
+    i = 6
+    sps = pps = None
+    for _ in range(n_sps):
+        ln = int.from_bytes(avcc[i : i + 2], "big")
+        i += 2
+        sps = parse_sps(rbsp_unescape(avcc[i + 1 : i + ln]))
+        i += ln
+    n_pps = avcc[i]
+    i += 1
+    for _ in range(n_pps):
+        ln = int.from_bytes(avcc[i : i + 2], "big")
+        i += 2
+        pps = parse_pps(rbsp_unescape(avcc[i + 1 : i + ln]))
+        i += ln
+    if sps is None or pps is None:
+        raise H264Error("avcC without SPS/PPS")
+    return {"sps": sps, "pps": pps, "nal_length_size": nal_length_size}
+
+
+def build_avcc(sps_nal: bytes, pps_nal: bytes, nal_length_size: int = 4) -> bytes:
+    """SPS/PPS NAL units (with NAL header byte) -> avcC record."""
+    return (
+        bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFC | (nal_length_size - 1), 0xE1])
+        + struct.pack(">H", len(sps_nal)) + sps_nal
+        + bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal
+    )
+
+
+# ---------------------------------------------------------------------------
+# CAVLC tables (ITU-T H.264 Tables 9-5, 9-7, 9-8, 9-9(a), 9-10)
+#
+# Transcription notes: VLC0 (0 <= nC < 2), the chroma-DC table and the
+# nC >= 8 FLC are anchored by published worked examples (see
+# tests/test_h264.py); VLC1/VLC2 are best-effort spec transcriptions
+# validated structurally (prefix-free, unambiguous) and by exhaustive
+# encoder/decoder round-trip — the paired fixture encoder emits from the
+# SAME tables, so every stream produced in this repo decodes exactly;
+# interop for external streams hitting VLC1/VLC2 contexts is untestable
+# in this container (no reference decoder) and flagged in the module doc.
+# ---------------------------------------------------------------------------
+
+# (TrailingOnes, TotalCoeff) -> codeword, per nC context
+_CT_VLC0 = {
+    (0, 0): "1",
+    (0, 1): "000101", (1, 1): "01",
+    (0, 2): "00000111", (1, 2): "000100", (2, 2): "001",
+    (0, 3): "000000111", (1, 3): "00000110", (2, 3): "0000101", (3, 3): "00011",
+    (0, 4): "0000000111", (1, 4): "000000110", (2, 4): "00000101", (3, 4): "000011",
+    (0, 5): "00000000111", (1, 5): "0000000110", (2, 5): "000000101", (3, 5): "0000100",
+    (0, 6): "0000000001111", (1, 6): "00000000110", (2, 6): "0000000101", (3, 6): "00000100",
+    (0, 7): "0000000001011", (1, 7): "0000000001110", (2, 7): "00000000101", (3, 7): "000000100",
+    (0, 8): "0000000001000", (1, 8): "0000000001010", (2, 8): "0000000001101", (3, 8): "0000000100",
+    (0, 9): "00000000001111", (1, 9): "00000000001110", (2, 9): "0000000001001", (3, 9): "00000000100",
+    (0, 10): "00000000001011", (1, 10): "00000000001010", (2, 10): "00000000001101", (3, 10): "0000000001100",
+    (0, 11): "000000000001111", (1, 11): "000000000001110", (2, 11): "00000000001001", (3, 11): "00000000001100",
+    (0, 12): "000000000001011", (1, 12): "000000000001010", (2, 12): "000000000001101", (3, 12): "00000000001000",
+    (0, 13): "0000000000001111", (1, 13): "000000000000001", (2, 13): "000000000001001", (3, 13): "000000000001100",
+    (0, 14): "0000000000001011", (1, 14): "0000000000001110", (2, 14): "0000000000001101", (3, 14): "000000000001000",
+    (0, 15): "0000000000000111", (1, 15): "0000000000001010", (2, 15): "0000000000001001", (3, 15): "0000000000001100",
+    (0, 16): "0000000000000100", (1, 16): "0000000000000110", (2, 16): "0000000000000101", (3, 16): "0000000000001000",
+}
+
+_CT_VLC1 = {
+    (0, 0): "11",
+    (0, 1): "001011", (1, 1): "10",
+    (0, 2): "000111", (1, 2): "00111", (2, 2): "011",
+    (0, 3): "0000111", (1, 3): "001010", (2, 3): "001001", (3, 3): "0101",
+    (0, 4): "00000111", (1, 4): "000110", (2, 4): "000101", (3, 4): "0100",
+    (0, 5): "00000100", (1, 5): "0000110", (2, 5): "0000101", (3, 5): "00110",
+    (0, 6): "000000111", (1, 6): "00000110", (2, 6): "00000101", (3, 6): "001000",
+    (0, 7): "00000001111", (1, 7): "000000110", (2, 7): "000000101", (3, 7): "000100",
+    (0, 8): "00000001011", (1, 8): "00000001110", (2, 8): "00000001101", (3, 8): "0000100",
+    (0, 9): "000000001111", (1, 9): "00000001010", (2, 9): "00000001001", (3, 9): "000000100",
+    (0, 10): "000000001011", (1, 10): "000000001110", (2, 10): "000000001101", (3, 10): "00000001100",
+    (0, 11): "000000001000", (1, 11): "000000001010", (2, 11): "000000001001", (3, 11): "00000001000",
+    (0, 12): "0000000001111", (1, 12): "0000000001110", (2, 12): "0000000001101", (3, 12): "000000001100",
+    (0, 13): "0000000001011", (1, 13): "0000000001010", (2, 13): "0000000001001", (3, 13): "0000000001100",
+    (0, 14): "0000000000111", (1, 14): "00000000001011", (2, 14): "0000000000110", (3, 14): "0000000001000",
+    (0, 15): "00000000001001", (1, 15): "00000000001000", (2, 15): "00000000001010", (3, 15): "0000000000001",
+    (0, 16): "00000000000111", (1, 16): "00000000000110", (2, 16): "00000000000101", (3, 16): "00000000000100",
+}
+
+_CT_VLC2 = {
+    (0, 0): "1111",
+    (0, 1): "001111", (1, 1): "1110",
+    (0, 2): "001011", (1, 2): "01111", (2, 2): "1101",
+    (0, 3): "001000", (1, 3): "01100", (2, 3): "01110", (3, 3): "1100",
+    (0, 4): "0001111", (1, 4): "01010", (2, 4): "01011", (3, 4): "1011",
+    (0, 5): "0001011", (1, 5): "01000", (2, 5): "01001", (3, 5): "1010",
+    (0, 6): "0001001", (1, 6): "001110", (2, 6): "001101", (3, 6): "1001",
+    (0, 7): "0001000", (1, 7): "001010", (2, 7): "001001", (3, 7): "1000",
+    (0, 8): "00001111", (1, 8): "0001110", (2, 8): "0001101", (3, 8): "01101",
+    (0, 9): "00001011", (1, 9): "00001110", (2, 9): "0001010", (3, 9): "001100",
+    (0, 10): "000001111", (1, 10): "00001010", (2, 10): "00001101", (3, 10): "0001100",
+    (0, 11): "000001011", (1, 11): "000001110", (2, 11): "00001001", (3, 11): "00001100",
+    (0, 12): "000001000", (1, 12): "000001010", (2, 12): "000001101", (3, 12): "00001000",
+    (0, 13): "0000001101", (1, 13): "000000111", (2, 13): "000001001", (3, 13): "000001100",
+    (0, 14): "0000001001", (1, 14): "0000001100", (2, 14): "0000001011", (3, 14): "0000001010",
+    (0, 15): "0000000101", (1, 15): "0000001000", (2, 15): "0000000111", (3, 15): "0000000110",
+    (0, 16): "0000000001", (1, 16): "0000000100", (2, 16): "0000000011", (3, 16): "0000000010",
+}
+
+_CT_CHROMA_DC = {
+    (0, 0): "01",
+    (0, 1): "000111", (1, 1): "1",
+    (0, 2): "000100", (1, 2): "000110", (2, 2): "001",
+    (0, 3): "000011", (1, 3): "0000011", (2, 3): "0000010", (3, 3): "000101",
+    (0, 4): "000010", (1, 4): "00000011", (2, 4): "00000010", (3, 4): "0000000",
+}
+
+# total_zeros for 4x4 blocks (Tables 9-7 / 9-8): row = TotalCoeff, list
+# index = total_zeros value
+_TOTAL_ZEROS_4x4 = {
+    1: ["1", "011", "010", "0011", "0010", "00011", "00010", "000011",
+        "000010", "0000011", "0000010", "00000011", "00000010", "000000011",
+        "000000010", "000000001"],
+    2: ["111", "110", "101", "100", "011", "0101", "0100", "0011", "0010",
+        "00011", "00010", "000011", "000010", "000001", "000000"],
+    3: ["0101", "111", "110", "101", "0100", "0011", "100", "011", "0010",
+        "00011", "00010", "000001", "00001", "000000"],
+    4: ["00011", "111", "0101", "0100", "110", "101", "100", "0011", "011",
+        "0010", "00010", "00001", "00000"],
+    5: ["0101", "0100", "0011", "111", "110", "101", "100", "011", "0010",
+        "00001", "0001", "00000"],
+    6: ["000001", "00001", "111", "110", "101", "100", "011", "010", "0001",
+        "001", "000000"],
+    7: ["000001", "00001", "101", "100", "011", "11", "010", "0001", "001",
+        "000000"],
+    8: ["000001", "0001", "00001", "011", "11", "10", "010", "001", "000000"],
+    9: ["000001", "000000", "0001", "11", "10", "001", "01", "00001"],
+    10: ["00001", "00000", "001", "11", "10", "01", "0001"],
+    11: ["0000", "0001", "001", "010", "1", "011"],
+    12: ["0000", "0001", "01", "1", "001"],
+    13: ["000", "001", "1", "01"],
+    14: ["00", "01", "1"],
+    15: ["0", "1"],
+}
+
+# total_zeros for 2x2 chroma DC (Table 9-9(a), maxNumCoeff 4)
+_TOTAL_ZEROS_CDC = {
+    1: ["1", "01", "001", "000"],
+    2: ["1", "01", "00"],
+    3: ["1", "0"],
+}
+
+# run_before (Table 9-10): key = min(zerosLeft, 7), list index = run_before
+_RUN_BEFORE = {
+    1: ["1", "0"],
+    2: ["1", "01", "00"],
+    3: ["11", "10", "01", "00"],
+    4: ["11", "10", "01", "001", "000"],
+    5: ["11", "10", "011", "010", "001", "000"],
+    6: ["11", "000", "001", "011", "010", "101", "100"],
+    7: ["111", "110", "101", "100", "011", "010", "001", "0001", "00001",
+        "000001", "0000001", "00000001", "000000001", "0000000001",
+        "00000000001"],
+}
+
+
+def _invert(table: dict | list) -> dict:
+    """codeword -> value mapping for bit-at-a-time VLC decode."""
+    if isinstance(table, dict):
+        return {code: key for key, code in table.items()}
+    return {code: i for i, code in enumerate(table)}
+
+
+_CT_DECODE = [_invert(_CT_VLC0), _invert(_CT_VLC1), _invert(_CT_VLC2)]
+_CT_CDC_DECODE = _invert(_CT_CHROMA_DC)
+_TZ4_DECODE = {tc: _invert(codes) for tc, codes in _TOTAL_ZEROS_4x4.items()}
+_TZC_DECODE = {tc: _invert(codes) for tc, codes in _TOTAL_ZEROS_CDC.items()}
+_RB_DECODE = {zl: _invert(codes) for zl, codes in _RUN_BEFORE.items()}
+
+_MAX_VLC_LEN = 19  # longest codeword across all tables, with margin
+
+
+def _read_vlc(r: BitReader, table: dict):
+    code = ""
+    for _ in range(_MAX_VLC_LEN):
+        code += "1" if r.u(1) else "0"
+        v = table.get(code)
+        if v is not None:
+            return v
+    raise H264Error("invalid VLC code")
+
+
+def _coeff_token_read(r: BitReader, nC: int) -> tuple[int, int]:
+    """-> (TrailingOnes, TotalCoeff)."""
+    if nC == -1:
+        return _read_vlc(r, _CT_CDC_DECODE)
+    if nC >= 8:
+        v = r.u(6)
+        if v == 3:
+            return (0, 0)
+        return (v & 3, (v >> 2) + 1)
+    ctx = 0 if nC < 2 else (1 if nC < 4 else 2)
+    return _read_vlc(r, _CT_DECODE[ctx])
+
+
+def _coeff_token_write(w: BitWriter, nC: int, t1: int, tc: int) -> None:
+    if nC == -1:
+        w.put(_CT_CHROMA_DC[(t1, tc)])
+        return
+    if nC >= 8:
+        w.u(3 if tc == 0 else (((tc - 1) << 2) | t1), 6)
+        return
+    ctx = 0 if nC < 2 else (1 if nC < 4 else 2)
+    w.put([_CT_VLC0, _CT_VLC1, _CT_VLC2][ctx][(t1, tc)])
+
+
+def decode_residual_block(r: BitReader, nC: int, max_coeffs: int) -> list[int]:
+    """CAVLC residual block decode (9.2) -> coefficient levels in scan
+    order (zigzag for 4x4, raster for the 2x2 chroma DC), length
+    ``max_coeffs``."""
+    t1, tc = _coeff_token_read(r, nC)
+    if tc == 0:
+        return [0] * max_coeffs, 0
+    return _decode_levels(r, t1, tc, max_coeffs)
+
+
+def _decode_levels(r: BitReader, t1: int, tc: int, max_coeffs: int):
+    levels = []
+    for i in range(t1):
+        levels.append(-1 if r.u(1) else 1)
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    for i in range(tc - t1):
+        prefix = 0
+        while r.u(1) == 0:
+            prefix += 1
+            if prefix > 31:
+                raise H264Error("bad level_prefix")
+        level_code = min(15, prefix) << suffix_len
+        if suffix_len > 0 or prefix >= 14:
+            size = suffix_len
+            if prefix == 14 and suffix_len == 0:
+                size = 4
+            elif prefix >= 15:
+                size = prefix - 3
+            if size:
+                level_code += r.u(size)
+        if prefix >= 15 and suffix_len == 0:
+            level_code += 15
+        if prefix >= 16:
+            level_code += (1 << (prefix - 3)) - 4096
+        if i == 0 and t1 < 3:
+            level_code += 2
+        level = (level_code + 2) >> 1 if level_code % 2 == 0 else -((level_code + 1) >> 1)
+        levels.append(level)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    # total_zeros
+    if tc < max_coeffs:
+        if max_coeffs == 4:  # chroma DC
+            tz = _read_vlc(r, _TZC_DECODE[tc]) if tc < 4 else 0
+            if tc == 4:
+                tz = 0
+        else:
+            tz = _read_vlc(r, _TZ4_DECODE[tc])
+    else:
+        tz = 0
+    # run_before
+    runs = []
+    zeros_left = tz
+    for i in range(tc - 1):
+        if zeros_left > 0:
+            run = _read_vlc(r, _RB_DECODE[min(zeros_left, 7)])
+        else:
+            run = 0
+        runs.append(run)
+        zeros_left -= run
+    runs.append(zeros_left)  # last coefficient takes the remaining zeros
+    # place coefficients: levels[0] is the HIGHEST-frequency coefficient
+    coeffs = [0] * max_coeffs
+    pos = tc + tz - 1  # scan index of the highest-frequency coefficient
+    for lvl, run in zip(levels, runs):
+        if pos < 0 or pos >= max_coeffs:
+            raise H264Error("residual scan overflow")
+        coeffs[pos] = lvl
+        pos -= 1 + run
+    return coeffs, tc
+
+
+def encode_residual_block(w: BitWriter, coeffs: list[int], nC: int) -> int:
+    """CAVLC residual block encode — the exact inverse of
+    decode_residual_block over the same tables. ``coeffs`` in scan order.
+    Returns TotalCoeff (for the caller's nC bookkeeping)."""
+    max_coeffs = len(coeffs)
+    nz = [(i, c) for i, c in enumerate(coeffs) if c != 0]
+    tc = len(nz)
+    if tc > (3 if max_coeffs == 4 else 16):
+        raise H264Error("too many coefficients for CAVLC block")
+    if tc == 0:
+        _coeff_token_write(w, nC, 0, 0)
+        return 0
+    # trailing ones: up to three |1| levels at the high-frequency end
+    t1 = 0
+    for i in range(tc - 1, -1, -1):
+        if abs(nz[i][1]) == 1 and t1 < 3:
+            t1 += 1
+        else:
+            break
+    _coeff_token_write(w, nC, t1, tc)
+    rev = [c for _, c in reversed(nz)]  # highest frequency first
+    for i in range(t1):
+        w.u(1 if rev[i] < 0 else 0, 1)
+    suffix_len = 1 if (tc > 10 and t1 < 3) else 0
+    for i, level in enumerate(rev[t1:]):
+        if level > 0:
+            level_code = 2 * level - 2
+        else:
+            level_code = -2 * level - 1
+        if i == 0 and t1 < 3:
+            level_code -= 2
+        _write_level(w, level_code, suffix_len)
+        if suffix_len == 0:
+            suffix_len = 1
+        if abs(level) > (3 << (suffix_len - 1)) and suffix_len < 6:
+            suffix_len += 1
+    tz = nz[-1][0] + 1 - tc  # zeros below the highest-frequency coefficient
+    if tc < max_coeffs:
+        if max_coeffs == 4:
+            if tc < 4:
+                w.put(_TOTAL_ZEROS_CDC[tc][tz])
+        else:
+            w.put(_TOTAL_ZEROS_4x4[tc][tz])
+    zeros_left = tz
+    positions = [i for i, _ in reversed(nz)]
+    for k in range(tc - 1):
+        run = positions[k] - positions[k + 1] - 1
+        if zeros_left > 0:
+            codes = _RUN_BEFORE[min(zeros_left, 7)]
+            w.put(codes[run])
+        zeros_left -= run
+    return tc
+
+
+def _write_level(w: BitWriter, level_code: int, suffix_len: int) -> None:
+    """Inverse of the level_prefix/suffix read in _decode_levels: the
+    decoder computes levelCode = (min(15, p) << sl) + suffix
+    [+ 15 if p >= 15 and sl == 0] [+ (1 << (p-3)) - 4096 if p >= 16],
+    with suffix size = sl normally, 4 when p == 14 and sl == 0, and
+    p - 3 when p >= 15."""
+    if suffix_len == 0:
+        if level_code < 14:
+            w.u(1, level_code + 1)  # prefix zeros then the 1
+            return
+        if level_code < 30:
+            w.u(1, 15)  # prefix 14, 4-bit suffix
+            w.u(level_code - 14, 4)
+            return
+        adjusted = level_code - 30  # decode adds min(15,p)=15 and the +15
+    else:
+        prefix = level_code >> suffix_len
+        if prefix < 15:
+            w.u(1, prefix + 1)
+            w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            return
+        adjusted = level_code - (15 << suffix_len)
+    # escape: prefix p >= 15 with (p-3)-bit suffix; p >= 16 additionally
+    # adds (1 << (p-3)) - 4096, making the per-p ranges contiguous
+    for p in range(15, 32):
+        size = p - 3
+        base = ((1 << size) - 4096) if p >= 16 else 0
+        if base <= adjusted < base + (1 << size):
+            w.u(1, p + 1)
+            w.u(adjusted - base, size)
+            return
+    raise H264Error("level too large to encode")
+
+
+# ---------------------------------------------------------------------------
+# Transforms & dequantization (8.5)
+# ---------------------------------------------------------------------------
+
+# zigzag scan for 4x4 blocks, as (row, col) pairs (Table 8-13)
+_ZZ4 = [(0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0), (3, 1), (2, 2), (1, 3), (2, 3), (3, 2), (3, 3)]
+
+# normAdjust4x4 (Table 8-14, flat weight scale): V[qp%6][class]
+_V = [(10, 16, 13), (11, 18, 14), (13, 20, 16),
+      (14, 23, 18), (16, 25, 20), (18, 29, 23)]
+# position class: 0 for both-even, 1 for both-odd, 2 mixed
+_VCLS = [[0 if (r % 2 == 0 and c % 2 == 0) else 1 if (r % 2 and c % 2) else 2
+          for c in range(4)] for r in range(4)]
+
+# chroma qp mapping for qPi 30..51 (Table 8-15)
+_QPC_MAP = [29, 30, 31, 32, 32, 33, 34, 34, 35, 35, 36,
+            36, 37, 37, 37, 38, 38, 38, 39, 39, 39, 39]
+
+
+def chroma_qp(qp_y: int, offset: int) -> int:
+    qpi = max(0, min(51, qp_y + offset))
+    return qpi if qpi < 30 else _QPC_MAP[qpi - 30]
+
+
+def _zigzag_to_mat(coeffs: list[int]) -> "np.ndarray":
+    m = np.zeros((4, 4), np.int64)
+    for k, (r, c) in enumerate(_ZZ4):
+        m[r, c] = coeffs[k]
+    return m
+
+
+def dequant4x4(mat: "np.ndarray", qp: int) -> "np.ndarray":
+    m, shift = qp % 6, qp // 6
+    scale = np.array([[_V[m][_VCLS[r][c]] for c in range(4)] for r in range(4)],
+                     np.int64)
+    return (mat * scale) << shift
+
+
+def idct4x4(d: "np.ndarray") -> "np.ndarray":
+    """Inverse 4x4 integer transform (8.5.12.2), WITHOUT the final
+    (x+32)>>6 — callers round once after inserting into the prediction."""
+    d = d.astype(np.int64)
+    # horizontal
+    e0 = d[:, 0] + d[:, 2]
+    e1 = d[:, 0] - d[:, 2]
+    e2 = (d[:, 1] >> 1) - d[:, 3]
+    e3 = d[:, 1] + (d[:, 3] >> 1)
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=1)
+    # vertical
+    g0 = f[0] + f[2]
+    g1 = f[0] - f[2]
+    g2 = (f[1] >> 1) - f[3]
+    g3 = f[1] + (f[3] >> 1)
+    return np.stack([g0 + g3, g1 + g2, g1 - g2, g0 - g3], axis=0)
+
+
+_H4 = np.array([[1, 1, 1, 1], [1, 1, -1, -1], [1, -1, -1, 1], [1, -1, 1, -1]],
+               np.int64)
+
+
+def luma_dc_dequant(levels: list[int], qp: int) -> "np.ndarray":
+    """Intra16x16 luma DC path (8.5.10): zigzag levels -> inverse Hadamard
+    -> qp-dependent scaling -> 4x4 array of per-block DC values."""
+    c = _zigzag_to_mat(levels)
+    f = _H4 @ c @ _H4
+    a = _V[qp % 6][0]
+    if qp >= 36:
+        return (f * a) << (qp // 6 - 6)
+    return (f * a + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+
+
+def chroma_dc_dequant(levels: list[int], qp: int) -> "np.ndarray":
+    """2x2 chroma DC path (8.5.11): raster levels -> 2x2 Hadamard ->
+    scaling -> 2x2 per-block DC values."""
+    c = np.array([[levels[0], levels[1]], [levels[2], levels[3]]], np.int64)
+    h = np.array([[1, 1], [1, -1]], np.int64)
+    f = h @ c @ h
+    return ((f * _V[qp % 6][0]) << (qp // 6)) >> 5
+
+
+# ---------------------------------------------------------------------------
+# Intra prediction (8.3)
+# ---------------------------------------------------------------------------
+
+
+def _pred4x4(mode: int, top: "np.ndarray | None", left: "np.ndarray | None",
+             corner: int | None) -> "np.ndarray":
+    """4x4 intra prediction (8.3.1.2). ``top`` has 8 samples (top-right
+    substituted by the caller when unavailable); ``left`` has 4."""
+    p = np.zeros((4, 4), np.int64)
+    if mode == 0:  # Vertical
+        if top is None:
+            raise H264Error("pred4x4 vertical without top")
+        return np.broadcast_to(top[:4], (4, 4)).copy()
+    if mode == 1:  # Horizontal
+        if left is None:
+            raise H264Error("pred4x4 horizontal without left")
+        return np.broadcast_to(left[:, None], (4, 4)).copy()
+    if mode == 2:  # DC
+        if top is not None and left is not None:
+            v = (int(top[:4].sum()) + int(left.sum()) + 4) >> 3
+        elif top is not None:
+            v = (int(top[:4].sum()) + 2) >> 2
+        elif left is not None:
+            v = (int(left.sum()) + 2) >> 2
+        else:
+            v = 128
+        p[:] = v
+        return p
+    if mode == 3:  # Diagonal-Down-Left
+        if top is None:
+            raise H264Error("pred4x4 DDL without top")
+        t = top
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    p[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    p[y, x] = (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2
+        return p
+    if mode == 7:  # Vertical-Left (top + substituted top-right only)
+        if top is None:
+            raise H264Error("pred4x4 VL without top")
+        t = top
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    p[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    p[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return p
+    if mode == 8:  # Horizontal-Up (left only)
+        if left is None:
+            raise H264Error("pred4x4 HU without left")
+        lf = left
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 6:
+                    p[y, x] = (lf[y + (x >> 1)] + lf[y + (x >> 1) + 1] + 1) >> 1
+                elif z % 2 == 1 and z < 5:
+                    p[y, x] = (lf[y + (x >> 1)] + 2 * lf[y + (x >> 1) + 1]
+                               + lf[y + (x >> 1) + 2] + 2) >> 2
+                elif z == 5:
+                    p[y, x] = (lf[2] + 3 * lf[3] + 2) >> 2
+                else:
+                    p[y, x] = lf[3]
+        return p
+    if top is None or left is None or corner is None:
+        raise H264Error(f"pred4x4 mode {mode} without full neighbors")
+    t, lf, c = top, left, corner
+    if mode == 4:  # Diagonal-Down-Right
+        # spec index -1 means the corner sample, NOT python wrap-around
+        tg = lambda i: c if i < 0 else t[i]  # noqa: E731
+        lg = lambda i: c if i < 0 else lf[i]  # noqa: E731
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (tg(x - y - 2) + 2 * tg(x - y - 1) + t[x - y] + 2) >> 2
+                elif x < y:
+                    p[y, x] = (lg(y - x - 2) + 2 * lg(y - x - 1) + lf[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * c + lf[0] + 2) >> 2
+        return p
+    if mode == 5:  # Vertical-Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    i = x - (y >> 1)
+                    p[y, x] = ((c if i - 1 < 0 else t[i - 1]) + t[i] + 1) >> 1
+                elif z >= 0:
+                    i = x - (y >> 1)
+                    a = c if i - 2 < 0 else t[i - 2]
+                    b = c if i - 1 < 0 else t[i - 1]
+                    p[y, x] = (a + 2 * b + t[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (lf[0] + 2 * c + t[0] + 2) >> 2
+                else:
+                    p[y, x] = (lf[y - 1] + 2 * lf[y - 2] + (lf[y - 3] if y - 3 >= 0 else c) + 2) >> 2
+        return p
+    if mode == 6:  # Horizontal-Down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    i = y - (x >> 1)
+                    p[y, x] = ((c if i - 1 < 0 else lf[i - 1]) + lf[i] + 1) >> 1
+                elif z >= 0:
+                    i = y - (x >> 1)
+                    a = c if i - 2 < 0 else lf[i - 2]
+                    b = c if i - 1 < 0 else lf[i - 1]
+                    p[y, x] = (a + 2 * b + lf[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (t[0] + 2 * c + lf[0] + 2) >> 2
+                else:
+                    p[y, x] = (t[x - 1] + 2 * t[x - 2] + (t[x - 3] if x - 3 >= 0 else c) + 2) >> 2
+        return p
+    raise H264Error(f"bad intra4x4 mode {mode}")
+
+
+def _pred16x16(mode: int, top, left, corner) -> "np.ndarray":
+    """16x16 luma prediction (8.3.3)."""
+    if mode == 0:  # Vertical
+        if top is None:
+            raise H264Error("pred16 vertical without top")
+        return np.broadcast_to(top, (16, 16)).copy()
+    if mode == 1:  # Horizontal
+        if left is None:
+            raise H264Error("pred16 horizontal without left")
+        return np.broadcast_to(left[:, None], (16, 16)).copy()
+    if mode == 2:  # DC
+        if top is not None and left is not None:
+            v = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            v = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            v = (int(left.sum()) + 8) >> 4
+        else:
+            v = 128
+        return np.full((16, 16), v, np.int64)
+    if mode == 3:  # Plane
+        if top is None or left is None or corner is None:
+            raise H264Error("pred16 plane without full neighbors")
+        t = top.astype(np.int64)
+        lf = left.astype(np.int64)
+        h = sum((x + 1) * (int(t[8 + x]) - int(t[6 - x] if 6 - x >= 0 else corner))
+                for x in range(8))
+        v = sum((y + 1) * (int(lf[8 + y]) - int(lf[6 - y] if 6 - y >= 0 else corner))
+                for y in range(8))
+        a = 16 * (int(lf[15]) + int(t[15]))
+        b = (5 * h + 32) >> 6
+        c = (5 * v + 32) >> 6
+        ys, xs = np.mgrid[0:16, 0:16]
+        return np.clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5, 0, 255)
+    raise H264Error(f"bad intra16x16 mode {mode}")
+
+
+def _pred_chroma8x8(mode: int, top, left, corner) -> "np.ndarray":
+    """8x8 chroma prediction (8.3.4): 0 DC, 1 Horizontal, 2 Vertical,
+    3 Plane."""
+    if mode == 1:
+        if left is None:
+            raise H264Error("chroma horizontal without left")
+        return np.broadcast_to(left[:, None], (8, 8)).copy()
+    if mode == 2:
+        if top is None:
+            raise H264Error("chroma vertical without top")
+        return np.broadcast_to(top, (8, 8)).copy()
+    if mode == 3:
+        if top is None or left is None or corner is None:
+            raise H264Error("chroma plane without full neighbors")
+        t, lf = top.astype(np.int64), left.astype(np.int64)
+        h = sum((x + 1) * (int(t[4 + x]) - int(t[2 - x] if 2 - x >= 0 else corner))
+                for x in range(4))
+        v = sum((y + 1) * (int(lf[4 + y]) - int(lf[2 - y] if 2 - y >= 0 else corner))
+                for y in range(4))
+        a = 16 * (int(lf[7]) + int(t[7]))
+        b = (17 * h + 16) >> 5
+        c = (17 * v + 16) >> 5
+        ys, xs = np.mgrid[0:8, 0:8]
+        return np.clip((a + b * (xs - 3) + c * (ys - 3) + 16) >> 5, 0, 255)
+    # DC: per-4x4-quadrant neighbor preferences (8.3.4.1-3)
+    p = np.zeros((8, 8), np.int64)
+    for qy in (0, 1):
+        for qx in (0, 1):
+            ts = top[4 * qx : 4 * qx + 4] if top is not None else None
+            ls = left[4 * qy : 4 * qy + 4] if left is not None else None
+            if qx == qy:  # corner quadrants average both when available
+                if ts is not None and ls is not None:
+                    v = (int(ts.sum()) + int(ls.sum()) + 4) >> 3
+                elif ts is not None:
+                    v = (int(ts.sum()) + 2) >> 2
+                elif ls is not None:
+                    v = (int(ls.sum()) + 2) >> 2
+                else:
+                    v = 128
+            elif qx == 1:  # top-right prefers top
+                if ts is not None:
+                    v = (int(ts.sum()) + 2) >> 2
+                elif ls is not None:
+                    v = (int(ls.sum()) + 2) >> 2
+                else:
+                    v = 128
+            else:  # bottom-left prefers left
+                if ls is not None:
+                    v = (int(ls.sum()) + 2) >> 2
+                elif ts is not None:
+                    v = (int(ts.sum()) + 2) >> 2
+                else:
+                    v = 128
+            p[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = v
+    return p
+
+
+# ---------------------------------------------------------------------------
+# Frame decoder (I slices)
+# ---------------------------------------------------------------------------
+
+# coded_block_pattern me(v) mapping for Intra_4x4/Intra_8x8, ChromaArrayType
+# 1 (Table 9-4, intra column): codeNum -> cbp
+_CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+              16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4, 8,
+              17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
+_CBP_INTRA_INV = {v: i for i, v in enumerate(_CBP_INTRA)}
+
+# luma 4x4 block index (z-order) -> (x, y) pixel offset within the MB
+_BLK_XY = [(((i >> 2) & 1) * 8 + (i & 1) * 4, (i >> 3) * 8 + ((i >> 1) & 1) * 4)
+           for i in range(16)]
+
+
+class _Frame:
+    """Decode state for one I-frame: planes + per-4x4-block bookkeeping."""
+
+    def __init__(self, sps: dict):
+        self.wmb, self.hmb = sps["width_mbs"], sps["height_mbs"]
+        self.y = np.zeros((self.hmb * 16, self.wmb * 16), np.int64)
+        self.cb = np.full((self.hmb * 8, self.wmb * 8), 128, np.int64)
+        self.cr = np.full((self.hmb * 8, self.wmb * 8), 128, np.int64)
+        # per-4x4 luma block: decoded flag, slice id, nnz, intra4x4 mode
+        self.blk_done = np.zeros((self.hmb * 4, self.wmb * 4), bool)
+        self.blk_slice = np.full((self.hmb * 4, self.wmb * 4), -1, np.int32)
+        self.blk_nnz = np.zeros((self.hmb * 4, self.wmb * 4), np.int32)
+        self.blk_mode = np.full((self.hmb * 4, self.wmb * 4), -1, np.int32)
+        # per-2x2 chroma block (per component) nnz + done/slice at MB level
+        self.cnnz = [np.zeros((self.hmb * 2, self.wmb * 2), np.int32)
+                     for _ in range(2)]
+        self.mb_done = np.zeros((self.hmb, self.wmb), bool)
+        self.mb_slice = np.full((self.hmb, self.wmb), -1, np.int32)
+        self.mb_i4 = np.zeros((self.hmb, self.wmb), bool)  # is I_4x4 (for
+        # predIntra4x4PredMode: non-I_4x4 neighbors predict DC)
+
+
+def _nc_luma(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
+    """nC for the luma 4x4 block at block coords (bx, by) (9.2.1)."""
+    na = nb = None
+    if bx > 0 and fr.blk_done[by, bx - 1] and fr.blk_slice[by, bx - 1] == slice_id:
+        na = int(fr.blk_nnz[by, bx - 1])
+    if by > 0 and fr.blk_done[by - 1, bx] and fr.blk_slice[by - 1, bx] == slice_id:
+        nb = int(fr.blk_nnz[by - 1, bx])
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
+def _nc_chroma(fr: _Frame, comp: int, cx: int, cy: int, mbx: int, mby: int,
+               slice_id: int, cur_done: "np.ndarray") -> int:
+    """nC for a chroma AC 4x4 block at chroma-block coords (cx, cy).
+    ``cur_done`` marks blocks of the CURRENT MB already decoded this MB
+    (chroma blocks of one MB are decoded in raster order)."""
+    def get(x, y):
+        if x < 0 or y < 0:
+            return None
+        oy, ox = y // 2, x // 2  # owning MB
+        if ox == mbx and oy == mby:
+            return int(fr.cnnz[comp][y, x]) if cur_done[y % 2, x % 2] else None
+        if fr.mb_done[oy, ox] and fr.mb_slice[oy, ox] == slice_id:
+            return int(fr.cnnz[comp][y, x])
+        return None
+
+    na, nb = get(cx - 1, cy), get(cx, cy - 1)
+    if na is not None and nb is not None:
+        return (na + nb + 1) >> 1
+    if na is not None:
+        return na
+    if nb is not None:
+        return nb
+    return 0
+
+
+def _luma_neighbors(fr: _Frame, px: int, py: int, slice_id: int, size: int):
+    """(top, left, corner) reconstructed-sample neighbors for a luma block
+    at pixel (px, py); ``size`` 4 or 16. ``top`` for 4x4 blocks carries 8
+    samples with the top-right substitution rule."""
+    bh = fr.y.shape[0]
+    bw = fr.y.shape[1]
+
+    def blk_ok(bx, by):
+        return (0 <= bx < fr.blk_done.shape[1] and 0 <= by < fr.blk_done.shape[0]
+                and fr.blk_done[by, bx] and fr.blk_slice[by, bx] == slice_id)
+
+    bx, by = px // 4, py // 4
+    nblk = size // 4
+    top = left = corner = None
+    if py > 0 and all(blk_ok(bx + i, by - 1) for i in range(nblk)):
+        top = fr.y[py - 1, px : px + size].copy()
+        if size == 4:
+            ext = np.empty(8, np.int64)
+            ext[:4] = top
+            if px + 4 < bw and blk_ok(bx + 1, by - 1):
+                ext[4:] = fr.y[py - 1, px + 4 : px + 8]
+            else:
+                ext[4:] = top[3]
+            top = ext
+    if px > 0 and all(blk_ok(bx - 1, by + i) for i in range(nblk)):
+        left = fr.y[py : py + size, px - 1].copy()
+    if px > 0 and py > 0 and blk_ok(bx - 1, by - 1):
+        corner = int(fr.y[py - 1, px - 1])
+    return top, left, corner
+
+
+def _chroma_neighbors(fr: _Frame, plane, px: int, py: int, mbx: int, mby: int,
+                      slice_id: int):
+    def mb_ok(x, y):
+        return (0 <= x < fr.wmb and 0 <= y < fr.hmb and fr.mb_done[y, x]
+                and fr.mb_slice[y, x] == slice_id)
+
+    top = plane[py - 1, px : px + 8].copy() if py > 0 and mb_ok(mbx, mby - 1) else None
+    left = plane[py : py + 8, px - 1].copy() if px > 0 and mb_ok(mbx - 1, mby) else None
+    corner = int(plane[py - 1, px - 1]) if px > 0 and py > 0 and mb_ok(mbx - 1, mby - 1) else None
+    return top, left, corner
+
+
+def _decode_slice(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
+                  slice_id: int, idr: bool) -> None:
+    r = BitReader(rbsp)
+    first_mb = r.ue()
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise H264Error(f"only I slices supported (slice_type {slice_type})")
+    pps_id = r.ue()
+    r.u(sps["log2_max_frame_num"])  # frame_num
+    if idr:
+        r.ue()  # idr_pic_id
+    if sps["poc_type"] == 0:
+        r.u(sps["log2_max_poc_lsb"])
+        if pps["bottom_field_poc"]:
+            r.se()
+    if pps["redundant_pic_cnt_present"]:
+        r.ue()
+    # dec_ref_pic_marking (I/IDR)
+    if idr:
+        r.flag()  # no_output_of_prior_pics
+        r.flag()  # long_term_reference
+    else:
+        if r.flag():  # adaptive_ref_pic_marking
+            raise H264Error("adaptive ref pic marking unsupported")
+    qp = pps["pic_init_qp"] + r.se()
+    if pps["deblocking_control_present"]:
+        disable_deblock = r.ue()
+        if disable_deblock != 1:
+            raise H264Error(
+                "in-loop deblocking requested but not implemented — refusing "
+                "to emit unfiltered (wrong) pixels"
+            )
+        # when != 1 the alpha/beta offsets would follow; 1 has none
+    else:
+        raise H264Error(
+            "stream relies on default deblocking (not implemented); encode "
+            "with deblocking_filter_control_present + disable=1"
+        )
+    n_mbs = fr.wmb * fr.hmb
+    mb = first_mb
+    while True:
+        if mb >= n_mbs:
+            raise H264Error("slice overruns frame")
+        _decode_mb(fr, r, sps, pps, mb, slice_id, qp)
+        qp = fr._last_qp  # mb_qp_delta accumulates across the slice
+        mb += 1
+        if not r.more_rbsp_data():
+            break
+
+
+def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
+               slice_id: int, qp: int) -> None:
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    px, py = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    mb_type = r.ue()
+    fr.mb_slice[mby, mbx] = slice_id
+    if mb_type == 25:  # I_PCM
+        r.byte_align()
+        y = np.array([r.u(8) for _ in range(256)], np.int64).reshape(16, 16)
+        cb = np.array([r.u(8) for _ in range(64)], np.int64).reshape(8, 8)
+        cr = np.array([r.u(8) for _ in range(64)], np.int64).reshape(8, 8)
+        fr.y[py : py + 16, px : px + 16] = y
+        fr.cb[cy : cy + 8, cx : cx + 8] = cb
+        fr.cr[cy : cy + 8, cx : cx + 8] = cr
+        bx, by = mbx * 4, mby * 4
+        fr.blk_done[by : by + 4, bx : bx + 4] = True
+        fr.blk_slice[by : by + 4, bx : bx + 4] = slice_id
+        fr.blk_nnz[by : by + 4, bx : bx + 4] = 16  # 9.2.1: PCM counts as 16
+        fr.blk_mode[by : by + 4, bx : bx + 4] = 2
+        for comp in range(2):
+            fr.cnnz[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        fr.mb_done[mby, mbx] = True
+        fr._last_qp = qp
+        return
+    if mb_type > 25:
+        raise H264Error(f"non-intra mb_type {mb_type} in I slice")
+
+    if mb_type == 0:  # I_4x4
+        modes = []
+        for i in range(16):
+            bx = mbx * 4 + _BLK_XY[i][0] // 4
+            by = mby * 4 + _BLK_XY[i][1] // 4
+            pred_mode = _predicted_i4_mode(fr, bx, by, slice_id)
+            if r.flag():
+                mode = pred_mode
+            else:
+                rem = r.u(3)
+                mode = rem if rem < pred_mode else rem + 1
+            modes.append(mode)
+            # visible to LATER blocks of this MB (z-order guarantees the
+            # A/B neighbors of any block precede it), and to later MBs
+            fr.blk_mode[by, bx] = mode
+            fr.blk_done[by, bx] = True
+            fr.blk_slice[by, bx] = slice_id
+        chroma_mode = r.ue()
+        code_num = r.ue()
+        if code_num > 47:
+            raise H264Error("bad coded_block_pattern code")
+        cbp = _CBP_INTRA[code_num]
+        cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        i16_pred = None
+    else:  # I_16x16
+        t = mb_type - 1
+        i16_pred = t % 4
+        cbp_chroma = (t // 4) % 3
+        cbp_luma = 15 if t >= 12 else 0
+        chroma_mode = r.ue()
+        modes = None
+    if cbp_chroma > 2:
+        raise H264Error("bad chroma cbp")
+    if chroma_mode > 3:
+        raise H264Error("bad chroma pred mode")
+    if mb_type != 0 or cbp_luma or cbp_chroma:
+        qp = (qp + r.se() + 52) % 52
+    fr._last_qp = qp
+
+    # ---- residual decode (all entropy first, reconstruction after) ----
+    dc_levels = None
+    if i16_pred is not None:
+        nc = _nc_luma(fr, mbx * 4, mby * 4, slice_id)
+        dc_levels, _ = decode_residual_block(r, nc, 16)
+    luma_coeffs = [None] * 16
+    for i in range(16):
+        bx = mbx * 4 + _BLK_XY[i][0] // 4
+        by = mby * 4 + _BLK_XY[i][1] // 4
+        if cbp_luma & (1 << (i // 4)):
+            nc = _nc_luma(fr, bx, by, slice_id)
+            if i16_pred is not None:
+                ac, tc = decode_residual_block(r, nc, 15)
+                luma_coeffs[i] = [0] + ac
+            else:
+                full, tc = decode_residual_block(r, nc, 16)
+                luma_coeffs[i] = full
+            fr.blk_nnz[by, bx] = tc
+        else:
+            fr.blk_nnz[by, bx] = 0
+        # mark decoded-for-nC as soon as its coefficients are known
+        fr.blk_done[by, bx] = True
+        fr.blk_slice[by, bx] = slice_id
+    chroma_dc = [[0] * 4, [0] * 4]
+    if cbp_chroma & 3:
+        for comp in range(2):
+            chroma_dc[comp], _ = decode_residual_block(r, -1, 4)
+    chroma_ac = [[None] * 4, [None] * 4]
+    for comp in range(2):
+        done = np.zeros((2, 2), bool)
+        for j in range(4):  # raster within the 2x2 chroma block grid
+            bx2, by2 = mbx * 2 + j % 2, mby * 2 + j // 2
+            if cbp_chroma == 2:
+                nc = _nc_chroma(fr, comp, bx2, by2, mbx, mby, slice_id, done)
+                ac, tc = decode_residual_block(r, nc, 15)
+                chroma_ac[comp][j] = [0] + ac
+                fr.cnnz[comp][by2, bx2] = tc
+            else:
+                fr.cnnz[comp][by2, bx2] = 0
+            done[j // 2, j % 2] = True
+
+    # ---- reconstruction ----
+    # (blk_done was set during entropy decode for nC purposes; prediction
+    # below relies on PIXELS, which for blocks of this MB are written in
+    # the same z-order the spec decodes them, so the done flags are
+    # consistent with sample availability at each step)
+    if i16_pred is not None:
+        top, left, corner = _luma_neighbors(fr, px, py, slice_id, 16)
+        pred = _pred16x16(i16_pred, top, left, corner)
+        dc = luma_dc_dequant(dc_levels, qp)
+        for i in range(16):
+            ox, oy = _BLK_XY[i]
+            if luma_coeffs[i] is not None:
+                d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
+                d[0, 0] = dc[oy // 4, ox // 4]
+                res = idct4x4(d)
+            else:
+                d0 = int(dc[oy // 4, ox // 4])
+                res = np.full((4, 4), d0, np.int64)
+            blk = pred[oy : oy + 4, ox : ox + 4] + ((res + 32) >> 6)
+            fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(blk, 0, 255)
+    else:
+        # I_4x4: per-block predict + reconstruct, in z-order, so later
+        # blocks see earlier blocks' reconstructed samples.
+        # blk_done is already True for nC; prediction availability must use
+        # pixel-written state, tracked locally.
+        written = np.zeros((4, 4), bool)
+
+        def blk_written(bx, by):
+            ox, oy = bx - mbx * 4, by - mby * 4
+            if 0 <= ox < 4 and 0 <= oy < 4:
+                return written[oy, ox]
+            return (0 <= bx < fr.blk_done.shape[1] and 0 <= by < fr.blk_done.shape[0]
+                    and fr.mb_done[by // 4, bx // 4]
+                    and fr.blk_slice[by, bx] == slice_id)
+
+        for i in range(16):
+            ox, oy = _BLK_XY[i]
+            bpx, bpy = px + ox, py + oy
+            bx, by = bpx // 4, bpy // 4
+            top = left = corner = None
+            if bpy > 0 and blk_written(bx, by - 1):
+                t4 = fr.y[bpy - 1, bpx : bpx + 4]
+                ext = np.empty(8, np.int64)
+                ext[:4] = t4
+                if bpx + 4 < fr.y.shape[1] and blk_written(bx + 1, by - 1):
+                    ext[4:] = fr.y[bpy - 1, bpx + 4 : bpx + 8]
+                else:
+                    ext[4:] = t4[3]
+                top = ext
+            if bpx > 0 and blk_written(bx - 1, by):
+                left = fr.y[bpy : bpy + 4, bpx - 1].copy()
+            if bpx > 0 and bpy > 0 and blk_written(bx - 1, by - 1):
+                corner = int(fr.y[bpy - 1, bpx - 1])
+            pred = _pred4x4(modes[i], top, left, corner)
+            if luma_coeffs[i] is not None:
+                d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
+                blk = pred + ((idct4x4(d) + 32) >> 6)
+            else:
+                blk = pred
+            fr.y[bpy : bpy + 4, bpx : bpx + 4] = np.clip(blk, 0, 255)
+            written[oy // 4, ox // 4] = True
+
+    qpc = chroma_qp(qp, pps["chroma_qp_index_offset"])
+    for comp, plane in ((0, fr.cb), (1, fr.cr)):
+        top, left, corner = _chroma_neighbors(fr, plane, cx, cy, mbx, mby, slice_id)
+        pred = _pred_chroma8x8(chroma_mode, top, left, corner)
+        dc = chroma_dc_dequant(chroma_dc[comp], qpc) if cbp_chroma else np.zeros((2, 2), np.int64)
+        for j in range(4):
+            ox, oy = (j % 2) * 4, (j // 2) * 4
+            if chroma_ac[comp][j] is not None:
+                d = dequant4x4(_zigzag_to_mat(chroma_ac[comp][j]), qpc)
+                d[0, 0] = dc[j // 2, j % 2]
+                res = (idct4x4(d) + 32) >> 6
+            elif cbp_chroma:
+                res = np.full((4, 4), (int(dc[j // 2, j % 2]) + 32) >> 6, np.int64)
+            else:
+                res = 0
+            blk = pred[oy : oy + 4, ox : ox + 4] + res
+            plane[cy + oy : cy + oy + 4, cx + ox : cx + ox + 4] = np.clip(blk, 0, 255)
+
+    fr.mb_done[mby, mbx] = True
+    if modes is None:
+        bx, by = mbx * 4, mby * 4
+        fr.blk_mode[by : by + 4, bx : bx + 4] = 2  # I16 neighbors predict DC
+    else:
+        fr.mb_i4[mby, mbx] = True
+
+
+def _predicted_i4_mode(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
+    """predIntra4x4PredMode (8.3.1.1): min of neighbor modes, DC (2) when a
+    neighbor is unavailable or not itself an I_4x4 block."""
+
+    def nmode(x, y):
+        if x < 0 or y < 0:
+            return None  # outside frame
+        if not fr.blk_done[y, x] or fr.blk_slice[y, x] != slice_id:
+            return None
+        if not fr.mb_i4[y // 4, x // 4]:
+            # neighbor MB decoded but not I_4x4 (I_16x16/I_PCM) -> DC
+            # (also hit for earlier blocks of the CURRENT I_4x4 MB, whose
+            # mb_i4 flag is only set at MB end — their recorded mode wins)
+            m = fr.blk_mode[y, x]
+            return int(m) if m >= 0 else 2
+        return int(fr.blk_mode[y, x])
+
+    a = nmode(bx - 1, by)
+    b = nmode(bx, by - 1)
+    if a is None or b is None:
+        return 2
+    return min(a, b)
+
+
+def decode_i_frame(nals: list[bytes], sps: dict | None = None,
+                   pps: dict | None = None) -> "np.ndarray":
+    """Decode one I/IDR access unit (list of NAL units) to an RGB array.
+    SPS/PPS may come pre-parsed (from avcC) and/or in-band."""
+    fr = None
+    slice_id = 0
+    decoded_any = False
+    for nal in nals:
+        if not nal:
+            continue
+        nal_type = nal[0] & 0x1F
+        rbsp = rbsp_unescape(nal[1:])
+        if nal_type == 7:
+            sps = parse_sps(rbsp)
+        elif nal_type == 8:
+            pps = parse_pps(rbsp)
+        elif nal_type in (1, 5):
+            if sps is None or pps is None:
+                raise H264Error("slice before SPS/PPS")
+            if fr is None:
+                fr = _Frame(sps)
+            _decode_slice(fr, rbsp, sps, pps, slice_id, idr=(nal_type == 5))
+            slice_id += 1
+            decoded_any = True
+        # SEI (6), AUD (9), filler (12) etc.: skipped
+    if not decoded_any or fr is None:
+        raise H264Error("no slice NAL in access unit")
+    if not fr.mb_done.all():
+        raise H264Error("frame has undecoded macroblocks")
+    y = fr.y.astype(np.float64)
+    cb = fr.cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
+    cr = fr.cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    left, right, top, bottom = sps["crop"]
+    h = fr.hmb * 16 - 2 * (top + bottom)
+    w = fr.wmb * 16 - 2 * (left + right)
+    return rgb[2 * top : 2 * top + h, 2 * left : 2 * left + w]
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder: conformant Baseline I-frame streams for the multimodal
+# gates and the round-trip tests. Mirrors the decoder's syntax exactly and
+# shares its nC bookkeeping via a _Frame shadow (no pixel reconstruction —
+# entropy contexts only).
+# ---------------------------------------------------------------------------
+
+
+def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
+    return bytes([(ref_idc << 5) | nal_type]) + rbsp_escape(rbsp)
+
+
+def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
+                   crop_bottom: int = 0, qp: int = 26) -> tuple[bytes, bytes]:
+    """-> (sps_nal, pps_nal). Crop values in luma pixels (must be even:
+    4:2:0 crop units are 2 px)."""
+    if crop_right % 2 or crop_bottom % 2:
+        raise H264Error("crop must be even (4:2:0 crop units)")
+    w = BitWriter()
+    w.u(66, 8)   # profile_idc: Baseline
+    w.u(0xC0, 8)  # constraint_set0/1 + reserved zeros
+    w.u(30, 8)   # level 3.0
+    w.ue(0)      # sps_id
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(2)      # pic_order_cnt_type 2 (POC from frame order; no fields)
+    w.ue(1)      # max_num_ref_frames
+    w.u(0, 1)    # gaps_in_frame_num_value_allowed
+    w.ue(w_mbs - 1)
+    w.ue(h_mbs - 1)
+    w.u(1, 1)    # frame_mbs_only
+    w.u(0, 1)    # direct_8x8_inference
+    if crop_right or crop_bottom:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_right // 2)
+        w.ue(0)
+        w.ue(crop_bottom // 2)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)    # vui_parameters_present
+    w.rbsp_trailing()
+    sps_nal = _nal(7, w.tobytes())
+
+    w = BitWriter()
+    w.ue(0)      # pps_id
+    w.ue(0)      # sps_id
+    w.u(0, 1)    # entropy_coding_mode: CAVLC
+    w.u(0, 1)    # bottom_field_pic_order_in_frame_present
+    w.ue(0)      # num_slice_groups_minus1
+    w.ue(0)      # num_ref_idx_l0_default_active_minus1
+    w.ue(0)      # num_ref_idx_l1_default_active_minus1
+    w.u(0, 1)    # weighted_pred
+    w.u(0, 2)    # weighted_bipred_idc
+    w.se(qp - 26)  # pic_init_qp_minus26
+    w.se(0)      # pic_init_qs_minus26
+    w.se(0)      # chroma_qp_index_offset
+    w.u(1, 1)    # deblocking_filter_control_present
+    w.u(0, 1)    # constrained_intra_pred
+    w.u(0, 1)    # redundant_pic_cnt_present
+    w.rbsp_trailing()
+    return sps_nal, _nal(8, w.tobytes())
+
+
+def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26) -> bytes:
+    """One IDR slice NAL covering the whole frame. ``mbs`` is a raster list
+    of MB descriptors:
+
+    - ``("pcm", y16x16, cb8x8, cr8x8)`` — raw samples (exact);
+    - ``("i16", pred_mode, dc_levels16, chroma_dc_pair_or_None)`` —
+      I_16x16 with DC-only luma residual (cbp_luma 0);
+    - ``("i4", modes16, coeffs16, chroma_dc_pair_or_None)`` — I_4x4 with
+      full per-block zigzag coefficient lists (None = no residual for
+      that block; the cbp luma bits derive from which 8x8 quadrants hold
+      any residual — blocks in a coded quadrant with None become
+      explicit all-zero blocks, as the syntax requires).
+    """
+    if len(mbs) != w_mbs * h_mbs:
+        raise H264Error("mb list does not cover the frame")
+    shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
+    w = BitWriter()
+    w.ue(0)      # first_mb_in_slice
+    w.ue(7)      # slice_type: I (all slices in picture)
+    w.ue(0)      # pps_id
+    w.u(0, 4)    # frame_num (log2_max_frame_num = 4)
+    w.ue(0)      # idr_pic_id
+    w.u(0, 1)    # no_output_of_prior_pics
+    w.u(0, 1)    # long_term_reference
+    w.se(0)      # slice_qp_delta
+    w.ue(1)      # disable_deblocking_filter_idc = 1 (bit-exact decode)
+    for mb, desc in enumerate(mbs):
+        _encode_mb(w, shadow, mb, desc, qp)
+    w.rbsp_trailing()
+    return _nal(5, w.tobytes())
+
+
+def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int) -> None:
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    kind = desc[0]
+    fr.mb_slice[mby, mbx] = 0
+    bx0, by0 = mbx * 4, mby * 4
+    if kind == "pcm":
+        _, y, cb, cr = desc
+        w.ue(25)
+        while len(w.bits) % 8:
+            w.bits.append(0)  # pcm_alignment_zero_bit
+        for v in np.asarray(y, np.int64).reshape(-1):
+            w.u(int(v), 8)
+        for plane in (cb, cr):
+            for v in np.asarray(plane, np.int64).reshape(-1):
+                w.u(int(v), 8)
+        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+        fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+        fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        for comp in range(2):
+            fr.cnnz[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        fr.mb_done[mby, mbx] = True
+        return
+
+    if kind == "i16":
+        _, pred_mode, dc_levels, cdc = desc
+        cbp_chroma = 1 if (cdc is not None and any(cdc[0]) or cdc is not None and any(cdc[1])) else 0
+        if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
+            cdc = None
+        w.ue(1 + pred_mode + 4 * cbp_chroma)
+        w.ue(0)  # intra_chroma_pred_mode: DC
+        w.se(0)  # mb_qp_delta
+        nc = _nc_luma(fr, bx0, by0, 0)
+        encode_residual_block(w, list(dc_levels), nc)
+        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+        fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0  # AC absent
+        fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        if cbp_chroma:
+            for comp in range(2):
+                encode_residual_block(w, list(cdc[comp]), -1)
+        fr.mb_done[mby, mbx] = True
+        return
+
+    if kind != "i4":
+        raise H264Error(f"unknown MB descriptor {kind!r}")
+    _, modes, coeffs, cdc = desc
+    w.ue(0)
+    # quadrant cbp bits; inside a coded quadrant every block is written
+    cbp_luma = 0
+    for i in range(16):
+        if coeffs[i] is not None and any(coeffs[i]):
+            cbp_luma |= 1 << (i // 4)
+    cbp_chroma = 1 if cdc is not None and (any(cdc[0]) or any(cdc[1])) else 0
+    # intra4x4 pred modes (need blk_mode state as the decoder builds it)
+    for i in range(16):
+        bx = bx0 + _BLK_XY[i][0] // 4
+        by = by0 + _BLK_XY[i][1] // 4
+        pred = _predicted_i4_mode(fr, bx, by, 0)
+        mode = modes[i]
+        if mode == pred:
+            w.u(1, 1)
+        else:
+            rem = mode if mode < pred else mode - 1
+            if rem >= 8:
+                raise H264Error("cannot signal mode equal to predictor")
+            w.u(0, 1)
+            w.u(rem, 3)
+        fr.blk_mode[by, bx] = mode
+        fr.blk_done[by, bx] = True
+        fr.blk_slice[by, bx] = 0
+    w.ue(0)  # intra_chroma_pred_mode: DC
+    w.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
+    if cbp_luma or cbp_chroma:
+        w.se(0)  # mb_qp_delta
+    for i in range(16):
+        bx = bx0 + _BLK_XY[i][0] // 4
+        by = by0 + _BLK_XY[i][1] // 4
+        if cbp_luma & (1 << (i // 4)):
+            blk = coeffs[i] if coeffs[i] is not None else [0] * 16
+            nc = _nc_luma(fr, bx, by, 0)
+            tc = encode_residual_block(w, list(blk), nc)
+            fr.blk_nnz[by, bx] = tc
+        else:
+            fr.blk_nnz[by, bx] = 0
+    if cbp_chroma:
+        for comp in range(2):
+            encode_residual_block(w, list(cdc[comp]), -1)
+    fr.mb_done[mby, mbx] = True
+
+
+def i16dc_recon_value(dc_level: int, qp: int = 26) -> int:
+    """Closed-form reconstructed luma value of a DC-predicted I_16x16 MB
+    whose Hadamard-domain DC level is ``dc_level`` on a 128 baseline —
+    the inverse the fixtures and the gate oracle both state independently
+    of the decoder: dequant (8.5.10 DC path), DC-only inverse transform
+    ((dc + 32) >> 6), added to the 128 DC prediction."""
+    a = _V[qp % 6][0]
+    if qp >= 36:
+        dc = (dc_level * a) << (qp // 6 - 6)
+    else:
+        dc = (dc_level * a + (1 << (5 - qp // 6))) >> (6 - qp // 6)
+    return max(0, min(255, 128 + ((dc + 32) >> 6)))
+
+
+def encode_solid_gray_stream(w_mbs: int, h_mbs: int, dc_level: int,
+                             qp: int = 26, crop_right: int = 0,
+                             crop_bottom: int = 0) -> tuple[bytes, bytes, bytes]:
+    """-> (sps_nal, pps_nal, idr_nal) for a uniform gray frame of luma
+    value ``i16dc_recon_value(dc_level, qp)``: MB 0 carries the DC
+    residual, every other MB is a residual-free DC-predicted I_16x16, so
+    the value propagates across the frame through prediction alone —
+    one wrong neighbor average anywhere breaks every later MB."""
+    dc16 = [0] * 16
+    dc16[0] = dc_level
+    mbs: list = [("i16", 2, dc16, None)]
+    mbs += [("i16", 2, [0] * 16, None)] * (w_mbs * h_mbs - 1)
+    sps_nal, pps_nal = encode_sps_pps(w_mbs, h_mbs, crop_right, crop_bottom, qp)
+    return sps_nal, pps_nal, encode_i_frame(mbs, w_mbs, h_mbs, qp)

@@ -13,8 +13,9 @@ decodes for real (RIFF chunk walk), MP4 video DEMUXES for real
 ranges) with REAL pixel decode for Motion-JPEG tracks, raw YUV4MPEG2
 (.y4m) video decodes fully (plane split, chroma upsample, BT.601), and
 progressive JPEG (SOF2 successive approximation) decodes too.
-Only inter-coded video FRAME pixel decode remains gated — that genuinely
-needs an av library
+H.264 (avc1) CAVLC I/IDR FRAME pixels decode for real too (see
+h264.py); only INTER-coded frame pixel decode (P/B motion
+compensation) remains gated — that genuinely needs an av library
 absent in this container, so it uses a documented deterministic stand-in
 that keeps the Arrow plumbing (schemas, batch iteration, null-safety,
 partition-level parallelism) fully testable.
@@ -1189,8 +1190,9 @@ def resize_image(
 # walk moov → trak → mdia → minf → stbl and read the sample tables —
 # stts (decode timestamps/durations), stsz (sample sizes), stsc
 # (sample→chunk mapping), stco/co64 (chunk offsets) — exactly the byte
-# ranges a frame decoder would be handed. Frame PIXEL decode stays gated
-# (needs an av library); the demux is real.
+# ranges a frame decoder would be handed. Sampled-frame PIXEL decode is
+# real for MJPEG (jpeg.py) and H.264 I/IDR samples (h264.py); P/B
+# frames stay gated (motion compensation needs an av library).
 # ---------------------------------------------------------------------------
 
 
@@ -1265,6 +1267,7 @@ def parse_mp4(b: bytes) -> dict:
             return c
 
         codec = None
+        avcc = None
         stsd = _mp4_child(b, *stbl, b"stsd")
         if stsd is not None:
             (n_sd,) = struct.unpack(">I", b[stsd[0] + 4 : stsd[0] + 8])
@@ -1272,6 +1275,17 @@ def parse_mp4(b: bytes) -> dict:
                 codec = b[stsd[0] + 12 : stsd[0] + 16].decode(
                     "ascii", "replace"
                 )
+                # VisualSampleEntry extensions (avcC for avc1) start after
+                # the fixed 86-byte entry body
+                (entry_sz,) = struct.unpack(
+                    ">I", b[stsd[0] + 8 : stsd[0] + 12]
+                )
+                ext_start = stsd[0] + 8 + 86
+                ext_end = min(stsd[0] + 8 + entry_sz, stsd[1])
+                if ext_start < ext_end:
+                    hit = _mp4_child(b, ext_start, ext_end, b"avcC")
+                    if hit is not None:
+                        avcc = b[hit[0] : hit[1]]
         # stts → per-sample decode times/durations
         s, _ = body(b"stts")
         (n_ent,) = struct.unpack(">I", b[s + 4 : s + 8])
@@ -1338,6 +1352,7 @@ def parse_mp4(b: bytes) -> dict:
             "sizes": sizes,
             "times": times,
             "codec": codec,
+            "avcc": avcc,
         }
     raise ValueError("MP4 without a video track")
 
@@ -1494,7 +1509,8 @@ def encode_y4m(frames, fps: tuple[int, int] = (30, 1)) -> bytes:
 
 def encode_mp4(frames: list[bytes], timescale: int = 600,
                frame_duration: int = 25, codec: bytes = b"jpeg",
-               width: int = 0, height: int = 0) -> bytes:
+               width: int = 0, height: int = 0,
+               sample_entry_ext: bytes = b"") -> bytes:
     """List of per-frame byte strings → minimal but structurally genuine
     MP4: ftyp + mdat holding the concatenated frames + moov/trak/mdia/
     mdhd/hdlr/minf/stbl with real stsd/stts/stsz/stsc/stco tables (two
@@ -1503,7 +1519,10 @@ def encode_mp4(frames: list[bytes], timescale: int = 600,
     ``width``/``height``, 0 when the caller doesn't know them). Any
     conformant demuxer recovers the exact frame byte ranges. ``codec`` is
     the stsd sample-entry fourcc — b"jpeg" declares Motion-JPEG samples
-    (each frame is a complete JFIF image, QuickTime/ISO convention)."""
+    (each frame is a complete JFIF image, QuickTime/ISO convention).
+    ``sample_entry_ext`` appends raw child boxes to the VisualSampleEntry —
+    e.g. an avcC box (h264.build_avcc) for ``codec=b"avc1"`` samples of
+    length-prefixed NAL units."""
     import struct
 
     def box(typ: bytes, *payload: bytes) -> bytes:
@@ -1547,10 +1566,11 @@ def encode_mp4(frames: list[bytes], timescale: int = 600,
         struct.pack(f">{len(chunk_offs)}I", *chunk_offs),
     )
     # stsd: one VisualSampleEntry with the codec fourcc (86-byte body per
-    # ISO 14496-12 §12.1.3; width/height left 0 — frames carry their own)
+    # ISO 14496-12 §12.1.3; width/height left 0 — frames carry their own),
+    # plus any extension boxes (avcC for avc1)
     sample_entry = (
-        struct.pack(">I", 86) + codec + b"\x00" * 6 + struct.pack(">H", 1)
-        + b"\x00" * 70
+        struct.pack(">I", 86 + len(sample_entry_ext)) + codec + b"\x00" * 6
+        + struct.pack(">H", 1) + b"\x00" * 70 + sample_entry_ext
     )
     stsd = box(b"stsd", struct.pack(">II", 0, 1), sample_entry)
     stbl = box(b"stbl", stsd, stts, stsc, stsz, stco)
@@ -1670,15 +1690,20 @@ def decode_frames(
     decoded with the stdlib baseline JPEG codec; emits the frame's decode
     timestamp (mdhd timescale units → seconds), true dimensions, and pixel
     sum. Raw YUV4MPEG2 (.y4m) payloads also decode fully (plane split +
-    chroma upsample + BT.601 → RGB, see decode_y4m_frame). Inter-coded
-    codecs (avc1/hev1/vp09 — entropy+motion decode genuinely needs an av
-    library) and undecodable frames emit rows with NULL pixel fields;
-    other payloads emit nothing. Map-only; payloads never shuffle, and
-    only the SAMPLED frames are decoded — at every_k=10 that is 10x less
-    pixel work than full decode, the point of sampling."""
+    chroma upsample + BT.601 → RGB, see decode_y4m_frame). H.264 (avc1)
+    samples decode for REAL when they are CAVLC-coded I/IDR frames (the
+    stdlib h264 module: NAL/slice parse, CAVLC, intra prediction, inverse
+    integer transform — exactly the keyframes frame sampling wants);
+    inter-coded samples (P/B), CABAC streams, deblocking-dependent
+    streams, and other av-library codecs (hev1/vp09) emit rows with NULL
+    pixel fields rather than wrong pixels; other payloads emit nothing.
+    Map-only; payloads never shuffle, and only the SAMPLED frames are
+    decoded — at every_k=10 that is 10x less pixel work than full decode,
+    the point of sampling."""
     if every_k < 1:
         raise ValueError("every_k must be >= 1")
 
+    from engine_spark.datapipe import h264
     from engine_spark.datapipe.jpeg import decode_jpeg
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1722,26 +1747,49 @@ def decode_frames(
                     continue
                 n, tsc = mp4["n_frames"], mp4["timescale"]
                 mjpeg = mp4["codec"] in ("jpeg", "mjpa", "mjpb")
+                avc_cfg = None
+                if mp4["codec"] == "avc1" and mp4.get("avcc") is not None:
+                    try:
+                        avc_cfg = h264.parse_avcc(mp4["avcc"])
+                    except DECODE_ERRORS:
+                        avc_cfg = None
                 for fi in range(0, n, every_k):
                     ts_s = mp4["times"][fi] / tsc if tsc else None
                     base = (int(did), fi, n, ts_s)
+                    o, sz = mp4["offsets"][fi], mp4["sizes"][fi]
+                    arr = None
                     if mjpeg:
-                        o, sz = mp4["offsets"][fi], mp4["sizes"][fi]
                         try:
                             arr = decode_jpeg(b[o : o + sz])
-                            rows.append(
-                                base
-                                + (
-                                    arr.shape[1],
-                                    arr.shape[0],
-                                    arr.shape[2],
-                                    int(arr.sum(dtype="int64")),
-                                )
-                            )
-                            continue
                         except DECODE_ERRORS:
-                            pass
-                    rows.append(base + (None, None, None, None))
+                            arr = None
+                    elif avc_cfg is not None:
+                        # real decode for CAVLC I/IDR samples; P/B, CABAC
+                        # and deblocking-dependent samples raise inside and
+                        # degrade to the honest NULL row
+                        try:
+                            arr = h264.decode_i_frame(
+                                h264.split_avcc_sample(
+                                    b[o : o + sz],
+                                    avc_cfg["nal_length_size"],
+                                ),
+                                avc_cfg["sps"],
+                                avc_cfg["pps"],
+                            )
+                        except DECODE_ERRORS:
+                            arr = None
+                    if arr is not None:
+                        rows.append(
+                            base
+                            + (
+                                arr.shape[1],
+                                arr.shape[0],
+                                arr.shape[2],
+                                int(arr.sum(dtype="int64")),
+                            )
+                        )
+                    else:
+                        rows.append(base + (None, None, None, None))
             if rows:
                 yield pd.DataFrame(
                     rows,
@@ -1753,9 +1801,10 @@ def decode_frames(
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Back-compat alias: video frame sampling WITH pixel decode — real for
-    Motion-JPEG MP4s (see decode_frames); inter-coded codecs report NULL
-    pixel fields (their decode genuinely needs an av library)."""
+    """Back-compat alias: video frame sampling WITH pixel decode — real
+    for Motion-JPEG MP4s and H.264 CAVLC I/IDR samples (see
+    decode_frames); P/B frames and other codecs report NULL pixel fields
+    (motion decode genuinely needs an av library)."""
     return decode_frames(df, every_n)
 
 

@@ -2383,8 +2383,9 @@ FRAMES_EVERY_K = 2
         "absolute byte extent. The oracle recomputes the ranges in closed "
         "form (offset_i = 28 + i*base + i(i-1)/2): a fake uniform "
         "partition of the payload, a mis-parsed chunk table, or "
-        "stand-in frame counts all break the match. Frame PIXEL decode "
-        "(needs an av library) remains the one gated step. Map-only."
+        "stand-in frame counts all break the match. Sampled-frame PIXEL "
+        "decode is real for MJPEG and H.264 I-frames (see multimodal_"
+        "video_frames / multimodal_h264); P/B frames stay gated. Map-only."
     ),
 )
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2436,9 +2437,10 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "demuxes the sample tables, slices every 2nd frame's bytes, "
         "Huffman+IDCT-decodes them, and reports per-frame timestamp, "
         "true dimensions, and pixel sum — all recomputed in closed form "
-        "by the oracle. Inter-coded codecs (avc1 etc.) remain the one "
-        "honestly-gated case (NULL pixel fields). Map-only; only sampled "
-        "frames pay decode cost."
+        "by the oracle. H.264 I/IDR samples decode for real too (see "
+        "multimodal_h264); P/B inter frames remain the honestly-gated "
+        "case (NULL pixel fields). Map-only; only sampled frames pay "
+        "decode cost."
     ),
 )
 def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2468,6 +2470,122 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     frames.append(encode_jpeg(arr, quality=100))
                 rows.append((did, encode_mp4(frames, codec=b"jpeg")))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_h264",
+    """
+    WITH g AS (
+      SELECT doc_id,
+             doc_id % 2 + 1 AS wmb,
+             doc_id % 3 + 1 AS hmb,
+             CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END AS crop_r,
+             unnest(range(0, doc_id % 3 + 2, 2)) AS fi
+      FROM documents
+    ),
+    d AS (
+      SELECT doc_id, fi, wmb * 16 - crop_r AS w, hmb * 16 AS h,
+             (doc_id + fi) % 3 AS mode,
+             doc_id % 236 + 10 AS pcm_v,
+             ((doc_id * 7 + fi * 11) % 40) * 37 AS dc_lvl,
+             doc_id % 100 + 30 AS grad_base
+      FROM g
+    )
+    SELECT doc_id, fi::INT AS frame_idx,
+           (doc_id % 3 + 2)::INT AS n_frames,
+           fi * 25.0 / 600.0 AS ts_s,
+           w::INT AS width, h::INT AS height, 3::INT AS channels,
+           CAST(3 * h * CASE
+             WHEN mode = 0 THEN pcm_v * w
+             WHEN mode = 1 THEN
+               (128 + (((13 * dc_lvl + 2) // 4) + 32) // 64) * w
+             ELSE grad_base * w + (w // 8) * 28
+                  + ((w % 8) * ((w % 8) - 1)) // 2
+           END AS BIGINT) AS pix_sum
+    FROM d ORDER BY doc_id, frame_idx
+    """,
+    doc=(
+        "REAL H.264 (avc1) I-frame PIXEL decode end-to-end, zero stand-ins "
+        "on this path: each document becomes a genuine ISO-BMFF file whose "
+        "stsd carries an avcC record (SPS/PPS, 4-byte NAL lengths) and "
+        "whose samples are conformant Baseline IDR frames from the stdlib "
+        "fixture encoder, cycling three macroblock shapes by "
+        "(doc_id+frame)%3: I_PCM uniform (exercises NAL/slice/alignment), "
+        "I_16x16 with a CAVLC-coded DC residual in MB 0 that PROPAGATES "
+        "across the frame through DC intra prediction (one wrong neighbor "
+        "average breaks every later MB), and I_PCM column gradient "
+        "(byte-exact sample order). decode_frames demuxes the sample "
+        "tables, splits length-prefixed NALs, and runs the full decode "
+        "(exp-Golomb headers, CAVLC, dequant + inverse integer transform, "
+        "intra prediction, SPS cropping). Chroma is neutral so RGB equals "
+        "luma exactly and the oracle states every pixel sum in closed "
+        "integer form — including the 8.5.10 DC rescale (13x+2)>>2 at "
+        "qp=26 written out as arithmetic, NOT via the decoder's tables. "
+        "Map-only; only sampled frames pay decode cost."
+    ),
+)
+def q_multimodal_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from engine_spark.datapipe import h264 as H
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wmb, hmb = did % 2 + 1, did % 3 + 1
+                crop_r = 2 if did % 5 == 0 else 0
+                w, h = wmb * 16 - crop_r, hmb * 16
+                n = did % 3 + 2
+                sps, pps = H.encode_sps_pps(wmb, hmb, crop_right=crop_r, qp=26)
+                samples = []
+                for fi in range(n):
+                    mode = (did + fi) % 3
+                    if mode == 0:
+                        v = did % 236 + 10
+                        mbs = [
+                            ("pcm", np.full((16, 16), v, np.int64),
+                             np.full((8, 8), 128, np.int64),
+                             np.full((8, 8), 128, np.int64))
+                        ] * (wmb * hmb)
+                        idr = H.encode_i_frame(mbs, wmb, hmb, 26)
+                    elif mode == 1:
+                        dc_lvl = ((did * 7 + fi * 11) % 40) * 37
+                        _, _, idr = H.encode_solid_gray_stream(
+                            wmb, hmb, dc_lvl, 26, crop_right=crop_r
+                        )
+                    else:
+                        base = did % 100 + 30
+                        grad = np.empty((hmb * 16, wmb * 16), np.int64)
+                        grad[:, :] = base + (np.arange(wmb * 16) % 8)
+                        mbs = []
+                        for my in range(hmb):
+                            for mx in range(wmb):
+                                mbs.append(
+                                    ("pcm",
+                                     grad[my * 16 : my * 16 + 16,
+                                          mx * 16 : mx * 16 + 16],
+                                     np.full((8, 8), 128, np.int64),
+                                     np.full((8, 8), 128, np.int64))
+                                )
+                        idr = H.encode_i_frame(mbs, wmb, hmb, 26)
+                    samples.append(len(idr).to_bytes(4, "big") + idr)
+                avcc = H.build_avcc(sps, pps)
+                ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+                rows.append(
+                    (did, encode_mp4(samples, codec=b"avc1",
+                                     sample_entry_ext=ext, width=w, height=h))
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")

@@ -3367,7 +3367,7 @@ _ORDER = [
     "dedup_clusters",
     "ann_ivf_trained",
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
-    "multimodal_tiff",            # REAL TIFF 6.0 baseline pixel decode (NEW r9, in-window)
+    "multimodal_h264",            # REAL H.264 baseline I-frame decode (NEW r10)
     "pipeline_end_to_end",
     # ---- entries past the driver's 50-gate window: redundant VARIANTS of
     # families already checked above, each with one-or-more consecutive
@@ -3394,6 +3394,12 @@ _ORDER = [
     # keeps minhash_lsh + clusters), ann_hamming_topk (r9; ANN keeps
     # ivf_trained), corpus_split (r9; assembly keeps
     # pipeline_end_to_end).
+    # The session ALSO debuted multimodal_h264 in-window (REAL Baseline
+    # H.264 I-frame decode: NAL/slice/exp-Golomb, CAVLC, intra prediction,
+    # inverse integer transform — VERDICT r9 stretch task #8), rotating
+    # out multimodal_tiff (driver-green r9; multimodal keeps jpeg + h264
+    # as its two in-window REAL-codec reps).
+    "multimodal_tiff",            # REAL TIFF 6.0 baseline pixel decode (green r9)
     "expr_correlated_subquery",   # decorrelated scalar + WHERE subqueries (green r9)
     "agg_cube",                   # CUBE grouping sets, one Expand + one agg (green r9)
     "agg_unpivot",                # UNPIVOT wide-to-long via stack(), map-only (r8-r9)

@@ -1,0 +1,507 @@
+"""H.264 baseline I-frame codec tests.
+
+Anchors, in increasing strength:
+- structural table validity (prefix-free, unambiguous, Kraft bounds,
+  CBP bijection) — a mistranscribed VLC row usually breaks these;
+- the published CAVLC worked example (Richardson, "H.264 and MPEG-4
+  Video Compression", example 1) pins VLC0 + total_zeros + run_before
+  bit-exactly;
+- I_PCM round-trip — pixel-exact with NO shared entropy tables on the
+  sample path;
+- closed-form uniform frames (I_16x16 DC chain) — the expected value is
+  derived by independent integer math (i16dc_recon_value), and ONE wrong
+  neighbor average anywhere breaks every downstream macroblock;
+- an independent reconstruction reference (re-derived from the spec in
+  this file, vectorized where the decoder loops) for I_4x4 frames with
+  random modes and residuals — exercises every intra4x4 mode, the CAVLC
+  contexts up to nC >= 8, cbp quadrants, and the chroma DC path.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from engine_spark.datapipe import h264 as H
+
+
+# ---------------------------------------------------------------------------
+# table structure
+# ---------------------------------------------------------------------------
+
+
+def _codes(table):
+    return list(table.values()) if isinstance(table, dict) else list(table)
+
+
+def _assert_prefix_free(codes, name):
+    assert len(set(codes)) == len(codes), f"{name}: duplicate codes"
+    for a in codes:
+        for b in codes:
+            if a != b and b.startswith(a):
+                raise AssertionError(f"{name}: {a!r} prefixes {b!r}")
+
+
+def test_vlc_tables_structurally_valid():
+    for nm in ("_CT_VLC0", "_CT_VLC1", "_CT_VLC2", "_CT_CHROMA_DC"):
+        codes = _codes(getattr(H, nm))
+        _assert_prefix_free(codes, nm)
+        kraft = sum(2.0 ** -len(c) for c in codes)
+        assert kraft <= 1 + 1e-12, f"{nm}: ambiguous (kraft {kraft})"
+    for tc, row in H._TOTAL_ZEROS_4x4.items():
+        _assert_prefix_free(row, f"tz4[{tc}]")
+        k = sum(2.0 ** -len(c) for c in row)
+        # TC=1 is the spec's one incomplete row (all-zeros codeword unused)
+        assert abs(k - (1 - 2**-9 if tc == 1 else 1)) < 1e-12, (tc, k)
+    for tc, row in H._TOTAL_ZEROS_CDC.items():
+        _assert_prefix_free(row, f"tzc[{tc}]")
+        assert abs(sum(2.0 ** -len(c) for c in row) - 1) < 1e-12
+    for zl, row in H._RUN_BEFORE.items():
+        _assert_prefix_free(row, f"rb[{zl}]")
+        if zl < 7:
+            assert abs(sum(2.0 ** -len(c) for c in row) - 1) < 1e-12
+
+
+def test_coeff_token_key_sets():
+    for nm in ("_CT_VLC0", "_CT_VLC1", "_CT_VLC2"):
+        keys = set(getattr(H, nm))
+        expect = {(t1, tc) for tc in range(17) for t1 in range(min(tc, 3) + 1)}
+        assert keys == expect, nm
+    assert set(H._CT_CHROMA_DC) == {
+        (t1, tc) for tc in range(5) for t1 in range(min(tc, 3) + 1)
+    }
+
+
+def test_cbp_intra_table_is_a_bijection():
+    assert sorted(H._CBP_INTRA) == list(range(48))
+    assert H._CBP_INTRA[3] == 0 and H._CBP_INTRA[0] == 47
+
+
+def test_run_before_row_lengths():
+    for zl in range(1, 7):
+        assert len(H._RUN_BEFORE[zl]) == zl + 1
+    assert len(H._RUN_BEFORE[7]) == 15
+
+
+# ---------------------------------------------------------------------------
+# CAVLC block coding
+# ---------------------------------------------------------------------------
+
+
+def test_published_cavlc_example_decodes_and_reencodes():
+    # Richardson example 1: zigzag coeffs 0,3,0,1,-1,-1,0,1,0... with
+    # nC = 0 encode to exactly 000010001110010111101101
+    bits = "000010001110010111101101"
+    r = H.BitReader(int(bits, 2).to_bytes(3, "big"))
+    coeffs, tc = H.decode_residual_block(r, 0, 16)
+    assert coeffs == [0, 3, 0, 1, -1, -1, 0, 1] + [0] * 8
+    assert tc == 5 and r.pos == len(bits)
+    w = H.BitWriter()
+    H.encode_residual_block(w, coeffs, 0)
+    assert "".join(map(str, w.bits)) == bits
+
+
+def test_cavlc_roundtrip_all_contexts():
+    rng = random.Random(1234)
+    for _ in range(3000):
+        n = rng.choice([4, 15, 16])
+        maxc = 3 if n == 4 else 16
+        coeffs = [0] * n
+        for p in rng.sample(range(n), rng.randint(0, min(n, maxc))):
+            coeffs[p] = rng.choice(
+                (-30000, -3000, -200, -17, -3, -2, -1, 1, 2, 3, 17, 200, 30000)
+            )
+        nC = -1 if n == 4 else rng.choice([0, 1, 2, 3, 4, 7, 8, 16])
+        w = H.BitWriter()
+        H.encode_residual_block(w, coeffs, nC)
+        w.u(0, 32)
+        got, _ = H.decode_residual_block(H.BitReader(w.tobytes()), nC, n)
+        assert got == coeffs, (nC, coeffs, got)
+
+
+def test_exp_golomb_roundtrip():
+    w = H.BitWriter()
+    vals = list(range(40)) + [255, 1000, 65535]
+    svals = [0, 1, -1, 2, -2, 17, -17, 300, -300]
+    for v in vals:
+        w.ue(v)
+    for v in svals:
+        w.se(v)
+    w.u(0, 8)
+    r = H.BitReader(w.tobytes())
+    assert [r.ue() for _ in vals] == vals
+    assert [r.se() for _ in svals] == svals
+
+
+def test_rbsp_escape_roundtrip():
+    rng = random.Random(7)
+    for _ in range(200):
+        raw = bytes(rng.choice([0, 0, 0, 1, 2, 3, 255]) for _ in range(rng.randint(0, 64)))
+        esc = H.rbsp_escape(raw)
+        # no start-code emulation survives
+        assert b"\x00\x00\x00" not in esc and b"\x00\x00\x01" not in esc
+        assert H.rbsp_unescape(esc) == raw
+
+
+# ---------------------------------------------------------------------------
+# end-to-end frames
+# ---------------------------------------------------------------------------
+
+
+def _bt601(y, cb, cr):
+    yf = y.astype(np.float64)
+    cbf = cb.repeat(2, 0).repeat(2, 1).astype(np.float64) - 128.0
+    crf = cr.repeat(2, 0).repeat(2, 1).astype(np.float64) - 128.0
+    rgb = np.stack(
+        [yf + 1.402 * crf, yf - 0.344136 * cbf - 0.714136 * crf, yf + 1.772 * cbf],
+        axis=2,
+    )
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def test_pcm_frame_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    wmb, hmb = 3, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16), dtype=np.int64)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8), dtype=np.int64)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8), dtype=np.int64)
+    mbs = [
+        ("pcm",
+         y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16],
+         cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+         cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8])
+        for my in range(hmb) for mx in range(wmb)
+    ]
+    sps, pps = H.encode_sps_pps(wmb, hmb)
+    rgb = H.decode_i_frame([sps, pps, H.encode_i_frame(mbs, wmb, hmb)])
+    assert (rgb == _bt601(y, cb, cr)).all()
+
+
+@pytest.mark.parametrize("dc,qp", [(16, 26), (160, 26), (-160, 26),
+                                   (500, 20), (40, 40), (0, 26), (2000, 10)])
+def test_i16dc_uniform_frame(dc, qp):
+    sn, pn, idr = H.encode_solid_gray_stream(4, 3, dc, qp)
+    rgb = H.decode_i_frame([sn, pn, idr])
+    v = H.i16dc_recon_value(dc, qp)
+    assert rgb.shape == (48, 64, 3)
+    assert (rgb == v).all()
+
+
+def test_cropping():
+    sn, pn, idr = H.encode_solid_gray_stream(2, 2, 160, 26,
+                                             crop_right=6, crop_bottom=10)
+    assert H.decode_i_frame([sn, pn, idr]).shape == (22, 26, 3)
+
+
+# ---------------------------------------------------------------------------
+# I_4x4 vs an independent reconstruction reference
+# ---------------------------------------------------------------------------
+
+_ZZ = H._ZZ4
+
+
+def _ref_dequant_idct(coeffs, qp):
+    """Independent transcription of 8.5.12 (vectorized, unlike the
+    decoder's row/column butterflies)."""
+    m = np.zeros((4, 4), np.int64)
+    for k, (r, c) in enumerate(_ZZ):
+        m[r, c] = coeffs[k]
+    v = H._V[qp % 6]
+    scale = np.array(
+        [[v[0 if (r % 2 == 0 and c % 2 == 0) else 1 if (r % 2 and c % 2) else 2]
+          for c in range(4)] for r in range(4)], np.int64)
+    d = (m * scale) << (qp // 6)
+    # matrix form of the inverse transform: T' d T with the spec's
+    # half-pel rows requires the exact integer shifts, so do butterflies
+    # but in a one-shot einsum-free layout distinct from the decoder's
+    out = np.empty((4, 4), np.int64)
+    tmp = np.empty((4, 4), np.int64)
+    for i in range(4):
+        d0, d1, d2, d3 = (int(x) for x in d[i])
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        tmp[i] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+    for j in range(4):
+        d0, d1, d2, d3 = (int(x) for x in tmp[:, j])
+        e0, e1 = d0 + d2, d0 - d2
+        e2, e3 = (d1 >> 1) - d3, d1 + (d3 >> 1)
+        out[:, j] = (e0 + e3, e1 + e2, e1 - e2, e0 - e3)
+    return out
+
+
+def _ref_pred4(mode, top8, left4, corner):
+    """Second transcription of 8.3.1.2 used only as the test oracle."""
+    t = None if top8 is None else [int(x) for x in top8]
+    lf = None if left4 is None else [int(x) for x in left4]
+    c = None if corner is None else int(corner)
+    p = np.zeros((4, 4), np.int64)
+    if mode == 0:
+        p[:] = t[:4]
+    elif mode == 1:
+        for y in range(4):
+            p[y, :] = lf[y]
+    elif mode == 2:
+        if t is not None and lf is not None:
+            p[:] = (sum(t[:4]) + sum(lf) + 4) >> 3
+        elif t is not None:
+            p[:] = (sum(t[:4]) + 2) >> 2
+        elif lf is not None:
+            p[:] = (sum(lf) + 2) >> 2
+        else:
+            p[:] = 128
+    elif mode == 3:
+        for y in range(4):
+            for x in range(4):
+                p[y, x] = ((t[6] + 3 * t[7] + 2) >> 2 if x == y == 3
+                           else (t[x + y] + 2 * t[x + y + 1] + t[x + y + 2] + 2) >> 2)
+    elif mode == 4:
+        full = {-1: c}
+        for i in range(8):
+            full[i] = t[i]
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    p[y, x] = (full[x - y - 2] + 2 * full[x - y - 1] + full[x - y] + 2) >> 2
+                elif x < y:
+                    lfull = {-1: c}
+                    for i in range(4):
+                        lfull[i] = lf[i]
+                    p[y, x] = (lfull[y - x - 2] + 2 * lfull[y - x - 1] + lfull[y - x] + 2) >> 2
+                else:
+                    p[y, x] = (t[0] + 2 * c + lf[0] + 2) >> 2
+    elif mode in (5, 6):
+        tt = {-1: c}
+        for i in range(8):
+            tt[i] = t[i] if t is not None else None
+        ll = {-1: c}
+        for i in range(4):
+            ll[i] = lf[i] if lf is not None else None
+        a, b = (tt, ll) if mode == 5 else (ll, tt)
+        for y in range(4):
+            for x in range(4):
+                u, v = (x, y) if mode == 5 else (y, x)
+                z = 2 * u - v
+                if z >= 0 and z % 2 == 0:
+                    i = u - (v >> 1)
+                    p[y, x] = (a[i - 1] + a[i] + 1) >> 1
+                elif z >= 0:
+                    i = u - (v >> 1)
+                    p[y, x] = (a[i - 2] + 2 * a[i - 1] + a[i] + 2) >> 2
+                elif z == -1:
+                    p[y, x] = (ll[0] + 2 * c + tt[0] + 2) >> 2
+                else:
+                    p[y, x] = (b[v - 1] + 2 * b[v - 2] + b[v - 3] + 2) >> 2
+    elif mode == 7:
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                p[y, x] = ((t[i] + t[i + 1] + 1) >> 1 if y % 2 == 0
+                           else (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2)
+    elif mode == 8:
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                if z % 2 == 0 and z < 6:
+                    p[y, x] = (lf[y + (x >> 1)] + lf[y + (x >> 1) + 1] + 1) >> 1
+                elif z % 2 == 1 and z < 5:
+                    p[y, x] = (lf[y + (x >> 1)] + 2 * lf[y + (x >> 1) + 1]
+                               + lf[y + (x >> 1) + 2] + 2) >> 2
+                elif z == 5:
+                    p[y, x] = (lf[2] + 3 * lf[3] + 2) >> 2
+                else:
+                    p[y, x] = lf[3]
+    return p
+
+
+def _ref_decode_i4_frame(wmb, hmb, all_mbs, qp):
+    """Independent I_4x4 frame reconstruction from the ENCODER'S INTENT
+    (modes + coefficients), bypassing entropy coding entirely."""
+    y = np.zeros((hmb * 16, wmb * 16), np.int64)
+    for mb, (_, modes, coeffs, cdc) in enumerate(all_mbs):
+        mbx, mby = mb % wmb, mb // wmb
+        px, py = mbx * 16, mby * 16
+        cbp_luma = 0
+        for i in range(16):
+            if coeffs[i] is not None and any(coeffs[i]):
+                cbp_luma |= 1 << (i // 4)
+        written = set()
+        for i in range(16):
+            ox, oy = H._BLK_XY[i]
+            bpx, bpy = px + ox, py + oy
+
+            def ok(bx4, by4):
+                if bx4 < 0 or by4 < 0 or bx4 >= wmb * 4 or by4 >= hmb * 4:
+                    return False
+                if by4 // 4 == mby and bx4 // 4 == mbx:
+                    return (bx4, by4) in written
+                return by4 // 4 * wmb + bx4 // 4 < mb
+
+            bx4, by4 = bpx // 4, bpy // 4
+            top = left = corner = None
+            if ok(bx4, by4 - 1):
+                top = list(y[bpy - 1, bpx : bpx + 4])
+                top += (list(y[bpy - 1, bpx + 4 : bpx + 8])
+                        if ok(bx4 + 1, by4 - 1) and bpx + 4 < wmb * 16
+                        else [top[3]] * 4)
+            if ok(bx4 - 1, by4):
+                left = list(y[bpy : bpy + 4, bpx - 1])
+            if ok(bx4 - 1, by4 - 1):
+                corner = int(y[bpy - 1, bpx - 1])
+            pred = _ref_pred4(modes[i], top, left, corner)
+            if cbp_luma & (1 << (i // 4)):
+                res = (_ref_dequant_idct(coeffs[i] or [0] * 16, qp) + 32) >> 6
+            else:
+                res = 0
+            y[bpy : bpy + 4, bpx : bpx + 4] = np.clip(pred + res, 0, 255)
+            written.add((bx4, by4))
+    return y
+
+
+def _mode_legal(mode, i, mbx, mby, wmb):
+    """Which intra4x4 modes have their required neighbors available for
+    block i of MB (mbx, mby) in a raster-decoded frame."""
+    ox, oy = H._BLK_XY[i]
+    has_top = mby > 0 or oy > 0
+    has_left = mbx > 0 or ox > 0
+    # top-right REAL availability doesn't matter: substitution covers it
+    if mode in (0, 3, 7):
+        return has_top
+    if mode in (1, 8):
+        return has_left
+    if mode == 2:
+        return True
+    return has_top and has_left  # 4, 5, 6 also need the corner
+
+
+def test_i4x4_random_frames_match_independent_reference():
+    rng = random.Random(99)
+    for trial in range(6):
+        wmb, hmb, qp = 3, 2, rng.choice([20, 26, 32])
+        mbs = []
+        for mb in range(wmb * hmb):
+            mbx, mby = mb % wmb, mb // wmb
+            modes, coeffs = [], []
+            for i in range(16):
+                legal = [m for m in range(9) if _mode_legal(m, i, mbx, mby, wmb)]
+                modes.append(rng.choice(legal))
+                if rng.random() < 0.7:
+                    blk = [0] * 16
+                    for p in rng.sample(range(16), rng.randint(1, 6)):
+                        blk[p] = rng.randint(-8, 8)
+                    coeffs.append(blk if any(blk) else None)
+                else:
+                    coeffs.append(None)
+            mbs.append(("i4", modes, coeffs, None))
+        sps, pps = H.encode_sps_pps(wmb, hmb, qp=qp)
+        idr = H.encode_i_frame(mbs, wmb, hmb, qp)
+        rgb = H.decode_i_frame([sps, pps, idr])
+        y_ref = _ref_decode_i4_frame(wmb, hmb, mbs, qp)
+        # gray chroma -> R == G == B == Y exactly
+        assert (rgb[:, :, 0] == y_ref).all(), f"trial {trial}"
+        assert (rgb[:, :, 1] == y_ref).all() and (rgb[:, :, 2] == y_ref).all()
+
+
+def test_i4x4_chroma_dc_residual():
+    # one MB, flat luma, chroma DC levels shift Cb/Cr uniformly
+    mbs = [("i4", [2] * 16, [None] * 16, ([40, 0, 0, 0], [-40, 0, 0, 0]))]
+    sps, pps = H.encode_sps_pps(1, 1, qp=26)
+    rgb = H.decode_i_frame([sps, pps, H.encode_i_frame(mbs, 1, 1, 26)])
+    # independent chroma math: f = H2 c H2 with only c00=L -> f = L at all
+    # four positions; dcC = ((L * V0) << (qp//6)) >> 5; res = (dc+32)>>6
+    qp = H.chroma_qp(26, 0)
+    for lev, chan, sign in ((40, 2, 1.772), (-40, 1, None)):
+        dc = ((lev * H._V[qp % 6][0]) << (qp // 6)) >> 5
+        res = (dc + 32) >> 6
+        cbcr = 128 + res
+        if lev == 40:  # Cb plane
+            exp_b = np.clip(np.rint(128 + 1.772 * (cbcr - 128)), 0, 255)
+            assert (rgb[:, :, 2] == exp_b).all()
+
+
+# ---------------------------------------------------------------------------
+# refusal paths (honest NULL degradation upstream)
+# ---------------------------------------------------------------------------
+
+
+def test_cabac_pps_refused():
+    w = H.BitWriter()
+    w.ue(0); w.ue(0); w.u(1, 1)  # entropy_coding_mode = CABAC
+    w.u(0, 1); w.ue(0); w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+    w.se(0); w.se(0); w.se(0); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    w.rbsp_trailing()
+    with pytest.raises(H.H264Error, match="CABAC"):
+        H.parse_pps(w.tobytes())
+
+
+def test_p_slice_refused():
+    sps, pps = H.encode_sps_pps(1, 1)
+    w = H.BitWriter()
+    w.ue(0)
+    w.ue(5)  # slice_type P (all slices)
+    w.ue(0)
+    w.u(0, 4)
+    w.rbsp_trailing()
+    nal = bytes([0x61]) + H.rbsp_escape(w.tobytes())
+    with pytest.raises(H.H264Error, match="I slices"):
+        H.decode_i_frame([sps, pps, nal])
+
+
+def test_deblocking_enabled_refused():
+    sps_nal, pps_nal, idr = H.encode_solid_gray_stream(1, 1, 16, 26)
+    # flip the slice's disable_deblocking_filter_idc from ue(1)='010' to
+    # ue(0)='1' is a bit-level surgery; simpler: craft a PPS WITHOUT
+    # deblocking control and expect the decoder's refusal
+    w = H.BitWriter()
+    w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0); w.ue(0); w.ue(0)
+    w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
+    w.u(0, 1)  # deblocking_filter_control_present = 0 -> default filter ON
+    w.u(0, 1); w.u(0, 1)
+    w.rbsp_trailing()
+    no_ctl_pps = bytes([0x68]) + H.rbsp_escape(w.tobytes())
+    with pytest.raises(H.H264Error, match="deblocking"):
+        H.decode_i_frame([sps_nal, no_ctl_pps, idr])
+
+
+def test_truncated_stream_raises_decode_error_class():
+    sps, pps, idr = H.encode_solid_gray_stream(2, 2, 160, 26)
+    with pytest.raises(ValueError):
+        H.decode_i_frame([sps, pps, idr[: len(idr) // 2]])
+
+
+def test_annexb_split():
+    sps, pps, idr = H.encode_solid_gray_stream(2, 1, 160, 26)
+    stream = b"\x00\x00\x00\x01" + sps + b"\x00\x00\x01" + pps + b"\x00\x00\x00\x01" + idr
+    nals = H.split_annexb(stream)
+    assert [n[0] & 0x1F for n in nals] == [7, 8, 5]
+    assert (H.decode_i_frame(nals) == H.i16dc_recon_value(160, 26)).all()
+
+
+# ---------------------------------------------------------------------------
+# MP4 avc1 integration (pure-python side; the Spark gate covers the rest)
+# ---------------------------------------------------------------------------
+
+
+def test_avcc_mp4_sample_roundtrip():
+    from engine_spark.datapipe import multimodal as M
+
+    samples, values = [], []
+    sps = pps = None
+    for dc in (160, -160, 500):
+        sps, pps, idr = H.encode_solid_gray_stream(3, 2, dc, 26)
+        samples.append(len(idr).to_bytes(4, "big") + idr)
+        values.append(H.i16dc_recon_value(dc, 26))
+    avcc = H.build_avcc(sps, pps)
+    ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+    mp4 = M.encode_mp4(samples, codec=b"avc1", sample_entry_ext=ext)
+    info = M.parse_mp4(mp4)
+    assert info["codec"] == "avc1" and info["avcc"] == avcc
+    cfg = H.parse_avcc(info["avcc"])
+    assert cfg["nal_length_size"] == 4
+    for fi, v in enumerate(values):
+        o, sz = info["offsets"][fi], info["sizes"][fi]
+        arr = H.decode_i_frame(
+            H.split_avcc_sample(mp4[o : o + sz], 4), cfg["sps"], cfg["pps"]
+        )
+        assert (arr == v).all()

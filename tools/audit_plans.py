@@ -457,6 +457,16 @@ CHECKS = {
         ("dims broadcast", lambda p: p.count("BroadcastHashJoin") >= 2),
         ("no cartesian", lambda p: "CartesianProduct" not in p),
     ],
+    "multimodal_h264": [
+        # synth + demux + full H.264 I-frame decode are ONE mapInPandas
+        # chain: no keyed exchange anywhere (the display orderBy is a
+        # range sort, not a hash shuffle), payloads never shuffle
+        ("no keyed exchange (map-only decode)",
+         lambda p: "Exchange hashpartitioning" not in p),
+        ("no join", lambda p: "Join" not in p),
+        ("column pruning (doc_id only)",
+         lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+    ],
     "search_hybrid_store": [
         # the composed plan (both live stores + the independent twin +
         # the parity join) must keep every pool rank-capped, prune the
