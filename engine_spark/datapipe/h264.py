@@ -6,10 +6,10 @@ CAVLC entropy coding, I_4x4 / I_16x16 / I_PCM macroblocks, full intra
 prediction (nine 4x4 modes, four 16x16 modes, four chroma modes), the
 4x4 integer inverse transform with the Intra16x16 luma DC Hadamard and
 2x2 chroma DC paths, 4:2:0 only, frame_mbs_only (no fields/MBAFF), no
-FMO/ASO, CAVLC only (CABAC raises), and **no deblocking filter**: slices
-must carry ``disable_deblocking_filter_idc == 1`` or the decoder refuses
-(a filtered reconstruction would silently differ from a conformant
-decoder — degrading to NULL beats returning wrong pixels). P/B slices
+FMO/ASO, CAVLC only (CABAC raises), and the in-loop deblocking filter
+(8.7) in its I-frame subset — bS 4 on macroblock edges, 3 on internal
+edges, strong + normal paths, luma and chroma, slice alpha/beta offsets,
+idc 0/1/2 including the idc-2 don't-cross-slice rule. P/B slices
 raise — inter prediction genuinely needs reference-frame state and is
 out of scope for keyframe sampling, the use-case this serves. (The
 reference engine ships no video decode at all — this extends coverage
@@ -49,30 +49,37 @@ class H264Error(ValueError):
 
 
 def rbsp_unescape(b: bytes) -> bytes:
-    """Strip emulation-prevention bytes: 00 00 03 -> 00 00 (7.4.1)."""
+    """Strip emulation-prevention bytes: 00 00 03 -> 00 00 (7.4.1).
+    find()-based so clean spans copy at C speed (payloads are KBs and
+    this runs once per NAL per sampled frame)."""
     out = bytearray()
-    i, n = 0, len(b)
-    while i < n:
-        if i + 2 < n and b[i] == 0 and b[i + 1] == 0 and b[i + 2] == 3:
-            out += b"\x00\x00"
-            i += 3
-        else:
-            out.append(b[i])
-            i += 1
-    return bytes(out)
+    i = 0
+    while True:
+        j = b.find(b"\x00\x00\x03", i)
+        if j == -1:
+            out += b[i:]
+            return bytes(out)
+        out += b[i : j + 2]
+        i = j + 3
 
 
 def rbsp_escape(b: bytes) -> bytes:
-    """Insert emulation-prevention bytes so no 00 00 0x (x<=3) run survives."""
+    """Insert emulation-prevention bytes so no 00 00 0x (x<=3) run
+    survives. find()-based: only zero-pair sites pay per-byte work."""
     out = bytearray()
-    zeros = 0
-    for byte in b:
-        if zeros >= 2 and byte <= 3:
+    i = 0
+    while True:
+        j = b.find(b"\x00\x00", i)
+        if j == -1 or j + 2 >= len(b):
+            out += b[i:]
+            return bytes(out)
+        if b[j + 2] <= 3:
+            out += b[i : j + 2]
             out.append(3)
-            zeros = 0
-        out.append(byte)
-        zeros = zeros + 1 if byte == 0 else 0
-    return bytes(out)
+            i = j + 2  # the protected byte re-scans (00 00 00 00 case)
+        else:
+            out += b[i : j + 3]
+            i = j + 3
 
 
 class BitReader:
@@ -112,19 +119,34 @@ class BitReader:
             if self.u(1):
                 raise H264Error("nonzero pcm alignment bit")
 
+    def read_aligned_bytes(self, n: int) -> bytes:
+        """Bulk byte read at a byte-aligned position (the I_PCM fast
+        path: 384 samples per MB would cost 3072 bit-loop iterations)."""
+        if self.pos % 8:
+            raise H264Error("read_aligned_bytes at unaligned position")
+        start = self.pos // 8
+        if start + n > len(self.data):
+            raise H264Error("bitstream truncated")
+        self.pos += 8 * n
+        return self.data[start : start + n]
+
     def more_rbsp_data(self) -> bool:
-        # true unless only the rbsp_stop_one_bit + zero padding remain
-        total = len(self.data) * 8
-        if self.pos >= total:
-            return False
-        # find last set bit in the stream (the stop bit)
-        last = total - 1
-        while last >= 0:
-            byte_i, bit_i = divmod(last, 8)
-            if (self.data[byte_i] >> (7 - bit_i)) & 1:
-                break
-            last -= 1
-        return self.pos < last
+        # true unless only the rbsp_stop_one_bit + zero padding remain;
+        # the stop-bit position is immutable, so scan for it ONCE (this
+        # is called per macroblock)
+        stop = getattr(self, "_stop_bit", None)
+        if stop is None:
+            data = self.data.rstrip(b"\x00")
+            if not data:
+                stop = -1
+            else:
+                last_byte = data[-1]
+                bit = 0
+                while not (last_byte >> bit) & 1:
+                    bit += 1
+                stop = len(data) * 8 - 1 - bit
+            self._stop_bit = stop
+        return self.pos < stop
 
 
 class BitWriter:
@@ -139,6 +161,16 @@ class BitWriter:
 
     def put(self, bitstring: str) -> None:
         self.bits.extend(1 if c == "1" else 0 for c in bitstring)
+
+    _BYTE_BITS = [tuple((v >> i) & 1 for i in range(7, -1, -1))
+                  for v in range(256)]
+
+    def put_bytes(self, bs) -> None:
+        """Bulk byte append (the I_PCM encode fast path)."""
+        table = self._BYTE_BITS
+        bits = self.bits
+        for v in bs:
+            bits.extend(table[v])
 
     def ue(self, v: int) -> None:
         v += 1
@@ -155,17 +187,8 @@ class BitWriter:
             self.bits.append(0)
 
     def tobytes(self) -> bytes:
-        out = bytearray()
-        acc, n = 0, 0
-        for b in self.bits:
-            acc = (acc << 1) | b
-            n += 1
-            if n == 8:
-                out.append(acc)
-                acc, n = 0, 0
-        if n:
-            out.append(acc << (8 - n))
-        return bytes(out)
+        arr = np.array(self.bits, np.uint8)
+        return np.packbits(arr).tobytes()  # right-pads the last byte with 0s
 
 
 # ---------------------------------------------------------------------------
@@ -1011,6 +1034,13 @@ class _Frame:
         self.mb_slice = np.full((self.hmb, self.wmb), -1, np.int32)
         self.mb_i4 = np.zeros((self.hmb, self.wmb), bool)  # is I_4x4 (for
         # predIntra4x4PredMode: non-I_4x4 neighbors predict DC)
+        # deblocking inputs, captured per MB at decode time (the filter
+        # runs as a second pass after all slices): the MB's QPy (0 for
+        # I_PCM per 8.7), the slice's disable idc and alpha/beta offsets
+        self.mb_qp = np.zeros((self.hmb, self.wmb), np.int32)
+        self.mb_deblock = np.ones((self.hmb, self.wmb), np.int32)
+        self.mb_off_a = np.zeros((self.hmb, self.wmb), np.int32)
+        self.mb_off_b = np.zeros((self.hmb, self.wmb), np.int32)
 
 
 def _nc_luma(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
@@ -1122,19 +1152,16 @@ def _decode_slice(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
         if r.flag():  # adaptive_ref_pic_marking
             raise H264Error("adaptive ref pic marking unsupported")
     qp = pps["pic_init_qp"] + r.se()
+    # deblocking parameters: idc 0 = filter all edges (the default when
+    # the PPS carries no control flag), 1 = off, 2 = all but slice edges
+    disable_deblock, off_a, off_b = 0, 0, 0
     if pps["deblocking_control_present"]:
         disable_deblock = r.ue()
+        if disable_deblock > 2:
+            raise H264Error("bad disable_deblocking_filter_idc")
         if disable_deblock != 1:
-            raise H264Error(
-                "in-loop deblocking requested but not implemented — refusing "
-                "to emit unfiltered (wrong) pixels"
-            )
-        # when != 1 the alpha/beta offsets would follow; 1 has none
-    else:
-        raise H264Error(
-            "stream relies on default deblocking (not implemented); encode "
-            "with deblocking_filter_control_present + disable=1"
-        )
+            off_a = 2 * r.se()
+            off_b = 2 * r.se()
     n_mbs = fr.wmb * fr.hmb
     mb = first_mb
     while True:
@@ -1142,6 +1169,10 @@ def _decode_slice(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
             raise H264Error("slice overruns frame")
         _decode_mb(fr, r, sps, pps, mb, slice_id, qp)
         qp = fr._last_qp  # mb_qp_delta accumulates across the slice
+        mbx, mby = mb % fr.wmb, mb // fr.wmb
+        fr.mb_deblock[mby, mbx] = disable_deblock
+        fr.mb_off_a[mby, mbx] = off_a
+        fr.mb_off_b[mby, mbx] = off_b
         mb += 1
         if not r.more_rbsp_data():
             break
@@ -1156,9 +1187,10 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
     fr.mb_slice[mby, mbx] = slice_id
     if mb_type == 25:  # I_PCM
         r.byte_align()
-        y = np.array([r.u(8) for _ in range(256)], np.int64).reshape(16, 16)
-        cb = np.array([r.u(8) for _ in range(64)], np.int64).reshape(8, 8)
-        cr = np.array([r.u(8) for _ in range(64)], np.int64).reshape(8, 8)
+        raw = np.frombuffer(r.read_aligned_bytes(384), np.uint8).astype(np.int64)
+        y = raw[:256].reshape(16, 16)
+        cb = raw[256:320].reshape(8, 8)
+        cr = raw[320:].reshape(8, 8)
         fr.y[py : py + 16, px : px + 16] = y
         fr.cb[cy : cy + 8, cx : cx + 8] = cb
         fr.cr[cy : cy + 8, cx : cx + 8] = cr
@@ -1170,6 +1202,7 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
         for comp in range(2):
             fr.cnnz[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
         fr.mb_done[mby, mbx] = True
+        fr.mb_qp[mby, mbx] = 0  # 8.7: I_PCM filters as QPy = 0
         fr._last_qp = qp
         return
     if mb_type > 25:
@@ -1336,6 +1369,7 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
             plane[cy + oy : cy + oy + 4, cx + ox : cx + ox + 4] = np.clip(blk, 0, 255)
 
     fr.mb_done[mby, mbx] = True
+    fr.mb_qp[mby, mbx] = qp
     if modes is None:
         bx, by = mbx * 4, mby * 4
         fr.blk_mode[by : by + 4, bx : bx + 4] = 2  # I16 neighbors predict DC
@@ -1396,6 +1430,8 @@ def decode_i_frame(nals: list[bytes], sps: dict | None = None,
         raise H264Error("no slice NAL in access unit")
     if not fr.mb_done.all():
         raise H264Error("frame has undecoded macroblocks")
+    if (fr.mb_deblock != 1).any():
+        deblock_frame(fr, pps["chroma_qp_index_offset"])
     y = fr.y.astype(np.float64)
     cb = fr.cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
     cr = fr.cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
@@ -1473,7 +1509,8 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
     return sps_nal, _nal(8, w.tobytes())
 
 
-def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26) -> bytes:
+def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
+                   deblock_idc: int = 1) -> bytes:
     """One IDR slice NAL covering the whole frame. ``mbs`` is a raster list
     of MB descriptors:
 
@@ -1498,7 +1535,10 @@ def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26) -> bytes:
     w.u(0, 1)    # no_output_of_prior_pics
     w.u(0, 1)    # long_term_reference
     w.se(0)      # slice_qp_delta
-    w.ue(1)      # disable_deblocking_filter_idc = 1 (bit-exact decode)
+    w.ue(deblock_idc)  # 1 = off (the fixtures' default); 0/2 filter
+    if deblock_idc != 1:
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
     for mb, desc in enumerate(mbs):
         _encode_mb(w, shadow, mb, desc, qp)
     w.rbsp_trailing()
@@ -1515,11 +1555,11 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int) -> None:
         w.ue(25)
         while len(w.bits) % 8:
             w.bits.append(0)  # pcm_alignment_zero_bit
-        for v in np.asarray(y, np.int64).reshape(-1):
-            w.u(int(v), 8)
+        w.put_bytes(np.asarray(y, np.int64).reshape(-1).astype(np.uint8).tobytes())
         for plane in (cb, cr):
-            for v in np.asarray(plane, np.int64).reshape(-1):
-                w.u(int(v), 8)
+            w.put_bytes(
+                np.asarray(plane, np.int64).reshape(-1).astype(np.uint8).tobytes()
+            )
         fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
         fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = 0
         fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 16
@@ -1624,3 +1664,192 @@ def encode_solid_gray_stream(w_mbs: int, h_mbs: int, dc_level: int,
     mbs += [("i16", 2, [0] * 16, None)] * (w_mbs * h_mbs - 1)
     sps_nal, pps_nal = encode_sps_pps(w_mbs, h_mbs, crop_right, crop_bottom, qp)
     return sps_nal, pps_nal, encode_i_frame(mbs, w_mbs, h_mbs, qp)
+
+
+# ---------------------------------------------------------------------------
+# In-loop deblocking filter (8.7), I-frame subset: bS is 4 on macroblock
+# edges and 3 on internal 4x4 edges (every MB is intra), so only the
+# bS=3 column of the tc0 table and the strong-filter path are exercised.
+# Tables transcribed from Tables 8-16/8-17; validated by monotonicity +
+# anchor checks and a second independent transcription in the tests
+# (same external-interop caveat as the CAVLC tables — no reference
+# decoder exists in this container).
+# ---------------------------------------------------------------------------
+
+_ALPHA = [0] * 16 + [4, 4, 5, 6, 7, 8, 9, 10, 12, 13, 15, 17, 20, 22, 25,
+                     28, 32, 36, 40, 45, 50, 56, 63, 71, 80, 90, 101, 113,
+                     127, 144, 162, 182, 203, 226, 255, 255]
+_BETA = [0] * 16 + [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9,
+                    10, 10, 11, 11, 12, 12, 13, 13, 14, 14, 15, 15, 16, 16,
+                    17, 17, 18, 18]
+# tc0 by (indexA, bS-1); bS in 1..3
+_TC0 = [[0, 0, 0]] * 17 + [
+    [0, 0, 1], [0, 0, 1], [0, 1, 1], [0, 1, 1], [1, 1, 1], [1, 1, 1],
+    [1, 1, 1], [1, 1, 2], [1, 1, 2], [1, 1, 2], [1, 1, 2], [1, 2, 3],
+    [1, 2, 3], [2, 2, 3], [2, 2, 4], [2, 3, 4], [2, 3, 4], [3, 3, 5],
+    [3, 4, 6], [3, 4, 6], [4, 5, 7], [4, 5, 8], [4, 6, 9], [5, 7, 10],
+    [6, 8, 11], [6, 8, 13], [7, 10, 14], [8, 11, 16], [9, 12, 18],
+    [10, 13, 20], [11, 15, 23], [13, 17, 25], [14, 19, 28], [16, 21, 31],
+    [18, 23, 34],
+]
+
+
+def _clip3(lo, hi, v):
+    return lo if v < lo else hi if v > hi else v
+
+
+def _filter_edge_luma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
+    """Filter one 4-sample luma edge segment starting at (xs, ys), with
+    the edge normal along (dx, dy) (p side at -1, q side at 0) and the
+    edge direction perpendicular."""
+    idx_a = _clip3(0, 51, qpa + off_a)
+    idx_b = _clip3(0, 51, qpa + off_b)
+    alpha, beta = _ALPHA[idx_a], _BETA[idx_b]
+    if alpha == 0 or beta == 0:
+        return
+    ex, ey = (0, 1) if dx else (1, 0)  # direction along the edge
+    for k in range(4):
+        x, y = xs + k * ex, ys + k * ey
+        # p0..p3 at offsets -1..-4 along the normal; q0..q3 at 0..3
+        p = [int(plane[y - dy * (i + 1), x - dx * (i + 1)]) for i in range(4)]
+        q = [int(plane[y + dy * i, x + dx * i]) for i in range(4)]
+        if not (abs(p[0] - q[0]) < alpha and abs(p[1] - p[0]) < beta
+                and abs(q[1] - q[0]) < beta):
+            continue
+        ap = abs(p[2] - p[0]) < beta
+        aq = abs(q[2] - q[0]) < beta
+        if bs == 4:
+            strong = abs(p[0] - q[0]) < (alpha >> 2) + 2
+            if ap and strong:
+                np0 = (p[2] + 2 * p[1] + 2 * p[0] + 2 * q[0] + q[1] + 4) >> 3
+                np1 = (p[2] + p[1] + p[0] + q[0] + 2) >> 2
+                np2 = (2 * p[3] + 3 * p[2] + p[1] + p[0] + q[0] + 4) >> 3
+            else:
+                np0 = (2 * p[1] + p[0] + q[1] + 2) >> 2
+                np1, np2 = p[1], p[2]
+            if aq and strong:
+                nq0 = (q[2] + 2 * q[1] + 2 * q[0] + 2 * p[0] + p[1] + 4) >> 3
+                nq1 = (q[2] + q[1] + q[0] + p[0] + 2) >> 2
+                nq2 = (2 * q[3] + 3 * q[2] + q[1] + q[0] + p[0] + 4) >> 3
+            else:
+                nq0 = (2 * q[1] + q[0] + p[1] + 2) >> 2
+                nq1, nq2 = q[1], q[2]
+            plane[y - dy, x - dx] = np0
+            plane[y - 2 * dy, x - 2 * dx] = np1
+            plane[y - 3 * dy, x - 3 * dx] = np2
+            plane[y, x] = nq0
+            plane[y + dy, x + dx] = nq1
+            plane[y + 2 * dy, x + 2 * dx] = nq2
+        else:
+            tc0 = _TC0[idx_a][bs - 1]
+            tc = tc0 + (1 if ap else 0) + (1 if aq else 0)
+            delta = _clip3(-tc, tc,
+                           (((q[0] - p[0]) << 2) + (p[1] - q[1]) + 4) >> 3)
+            plane[y - dy, x - dx] = _clip3(0, 255, p[0] + delta)
+            plane[y, x] = _clip3(0, 255, q[0] - delta)
+            if ap:
+                plane[y - 2 * dy, x - 2 * dx] = p[1] + _clip3(
+                    -tc0, tc0, (p[2] + ((p[0] + q[0] + 1) >> 1) - 2 * p[1]) >> 1
+                )
+            if aq:
+                plane[y + dy, x + dx] = q[1] + _clip3(
+                    -tc0, tc0, (q[2] + ((q[0] + p[0] + 1) >> 1) - 2 * q[1]) >> 1
+                )
+
+
+def _filter_edge_chroma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
+    """One 2-sample chroma edge segment (chroma filters only p0/q0)."""
+    idx_a = _clip3(0, 51, qpa + off_a)
+    idx_b = _clip3(0, 51, qpa + off_b)
+    alpha, beta = _ALPHA[idx_a], _BETA[idx_b]
+    if alpha == 0 or beta == 0:
+        return
+    ex, ey = (0, 1) if dx else (1, 0)
+    for k in range(2):
+        x, y = xs + k * ex, ys + k * ey
+        p = [int(plane[y - dy * (i + 1), x - dx * (i + 1)]) for i in range(2)]
+        q = [int(plane[y + dy * i, x + dx * i]) for i in range(2)]
+        if not (abs(p[0] - q[0]) < alpha and abs(p[1] - p[0]) < beta
+                and abs(q[1] - q[0]) < beta):
+            continue
+        if bs == 4:
+            plane[y - dy, x - dx] = (2 * p[1] + p[0] + q[1] + 2) >> 2
+            plane[y, x] = (2 * q[1] + q[0] + p[1] + 2) >> 2
+        else:
+            tc = _TC0[idx_a][bs - 1] + 1
+            delta = _clip3(-tc, tc,
+                           (((q[0] - p[0]) << 2) + (p[1] - q[1]) + 4) >> 3)
+            plane[y - dy, x - dx] = _clip3(0, 255, p[0] + delta)
+            plane[y, x] = _clip3(0, 255, q[0] - delta)
+
+
+def deblock_frame(fr: _Frame, chroma_qp_offset: int) -> None:
+    """Apply the in-loop deblocking filter to the reconstructed frame
+    (8.7, I-frame subset). Per-MB state captured during decode drives it:
+    ``fr.mb_qp`` (0 for I_PCM per the spec), ``fr.mb_deblock`` (the
+    slice's disable_deblocking_filter_idc), ``fr.mb_off_a``/``mb_off_b``
+    (slice alpha/beta offsets), ``fr.mb_slice``. MBs filter in raster
+    order — vertical edges left-to-right then horizontal top-to-bottom —
+    each edge reading the partially filtered samples, as the spec
+    requires."""
+    for mby in range(fr.hmb):
+        for mbx in range(fr.wmb):
+            idc = int(fr.mb_deblock[mby, mbx])
+            if idc == 1:
+                continue
+            off_a = int(fr.mb_off_a[mby, mbx])
+            off_b = int(fr.mb_off_b[mby, mbx])
+            qp_cur = int(fr.mb_qp[mby, mbx])
+            sid = int(fr.mb_slice[mby, mbx])
+
+            def neighbor_ok(nx, ny):
+                if nx < 0 or ny < 0:
+                    return False
+                if idc == 2 and fr.mb_slice[ny, nx] != sid:
+                    return False  # idc 2: don't cross slice boundaries
+                return True
+
+            px, py = mbx * 16, mby * 16
+            cx, cy = mbx * 8, mby * 8
+            # vertical edges (normal = x)
+            for e in range(4):
+                if e == 0:
+                    if not neighbor_ok(mbx - 1, mby):
+                        continue
+                    qp_n = int(fr.mb_qp[mby, mbx - 1])
+                    bs = 4
+                else:
+                    qp_n, bs = qp_cur, 3
+                qpa = (qp_cur + qp_n + 1) >> 1
+                for seg in range(4):
+                    _filter_edge_luma(fr.y, px + 4 * e, py + 4 * seg, 1, 0,
+                                      bs, qpa, off_a, off_b)
+                if e in (0, 2):
+                    qpc_a = (chroma_qp(qp_cur, chroma_qp_offset)
+                             + chroma_qp(qp_n, chroma_qp_offset) + 1) >> 1
+                    for plane in (fr.cb, fr.cr):
+                        for seg in range(4):
+                            _filter_edge_chroma(plane, cx + 2 * e,
+                                                cy + 2 * seg, 1, 0, bs,
+                                                qpc_a, off_a, off_b)
+            # horizontal edges (normal = y)
+            for e in range(4):
+                if e == 0:
+                    if not neighbor_ok(mbx, mby - 1):
+                        continue
+                    qp_n = int(fr.mb_qp[mby - 1, mbx])
+                    bs = 4
+                else:
+                    qp_n, bs = qp_cur, 3
+                qpa = (qp_cur + qp_n + 1) >> 1
+                for seg in range(4):
+                    _filter_edge_luma(fr.y, px + 4 * seg, py + 4 * e, 0, 1,
+                                      bs, qpa, off_a, off_b)
+                if e in (0, 2):
+                    qpc_a = (chroma_qp(qp_cur, chroma_qp_offset)
+                             + chroma_qp(qp_n, chroma_qp_offset) + 1) >> 1
+                    for plane in (fr.cb, fr.cr):
+                        for seg in range(4):
+                            _filter_edge_chroma(plane, cx + 2 * seg,
+                                                cy + 2 * e, 0, 1, bs,
+                                                qpc_a, off_a, off_b)

@@ -1693,9 +1693,9 @@ def decode_frames(
     chroma upsample + BT.601 → RGB, see decode_y4m_frame). H.264 (avc1)
     samples decode for REAL when they are CAVLC-coded I/IDR frames (the
     stdlib h264 module: NAL/slice parse, CAVLC, intra prediction, inverse
-    integer transform — exactly the keyframes frame sampling wants);
-    inter-coded samples (P/B), CABAC streams, deblocking-dependent
-    streams, and other av-library codecs (hev1/vp09) emit rows with NULL
+    integer transform, in-loop deblocking — exactly the keyframes frame
+    sampling wants); inter-coded samples (P/B), CABAC streams,
+    and other av-library codecs (hev1/vp09) emit rows with NULL
     pixel fields rather than wrong pixels; other payloads emit nothing.
     Map-only; payloads never shuffle, and only the SAMPLED frames are
     decoded — at every_k=10 that is 10x less pixel work than full decode,

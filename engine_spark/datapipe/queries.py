@@ -2531,7 +2531,16 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
 
-    docs = Catalog(spark, sf_dir)["documents"].select("doc_id")
+    # documents is one small parquet file -> one input partition; the
+    # per-doc encode+decode kernel is the cost here, so spread the 8-byte
+    # doc ids across the cores BEFORE synthesis — ids shuffle, payloads
+    # never do (they are born after the exchange). At 100 TB the input
+    # arrives in thousands of partitions and this exchange disappears.
+    docs = (
+        Catalog(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         import numpy as np

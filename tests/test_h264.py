@@ -448,20 +448,215 @@ def test_p_slice_refused():
         H.decode_i_frame([sps, pps, nal])
 
 
-def test_deblocking_enabled_refused():
-    sps_nal, pps_nal, idr = H.encode_solid_gray_stream(1, 1, 16, 26)
-    # flip the slice's disable_deblocking_filter_idc from ue(1)='010' to
-    # ue(0)='1' is a bit-level surgery; simpler: craft a PPS WITHOUT
-    # deblocking control and expect the decoder's refusal
+# ---------------------------------------------------------------------------
+# deblocking filter (8.7, I-frame subset)
+# ---------------------------------------------------------------------------
+
+
+def test_deblock_tables_structure():
+    for tab, lo_anchor, hi_anchor in ((H._ALPHA, (16, 4), (51, 255)),
+                                      (H._BETA, (16, 2), (51, 18))):
+        assert len(tab) == 52 and all(v == 0 for v in tab[:16])
+        assert all(tab[i] <= tab[i + 1] for i in range(51))
+        assert tab[lo_anchor[0]] == lo_anchor[1]
+        assert tab[hi_anchor[0]] == hi_anchor[1]
+    assert len(H._TC0) == 52
+    for col in range(3):
+        vals = [row[col] for row in H._TC0]
+        assert all(vals[i] <= vals[i + 1] for i in range(51))
+    assert H._TC0[51] == [18, 23, 34]
+    # tc0 columns are ordered: larger bS never filters less
+    for row in H._TC0:
+        assert row[0] <= row[1] <= row[2]
+
+
+def test_deblock_noop_on_uniform_frame():
+    # flat content: every delta the filter can compute is zero
+    dc16 = [0] * 16
+    dc16[0] = 160
+    mbs = [("i16", 2, dc16, None)] + [("i16", 2, [0] * 16, None)] * 11
+    sps, pps = H.encode_sps_pps(4, 3)
+    off = H.decode_i_frame([sps, pps, H.encode_i_frame(mbs, 4, 3, 26, deblock_idc=1)])
+    on = H.decode_i_frame([sps, pps, H.encode_i_frame(mbs, 4, 3, 26, deblock_idc=0)])
+    assert (off == on).all()
+
+
+def test_deblock_strong_filter_hand_example():
+    # isolated bS=4 vertical edge, step 136 -> 140 at qp=26 (alpha 15,
+    # beta 6; |p0-q0| = 4 < (15>>2)+2 takes the strong path): boundary
+    # samples hand-computed from the 8.7 strong-filter formulas
+    v1, v2 = 136, 140
+    plane = np.zeros((4, 8), np.int64)
+    plane[:, :4] = v1
+    plane[:, 4:] = v2
+    H._filter_edge_luma(plane, 4, 0, 1, 0, 4, 26, 0, 0)
+    p0 = (5 * v1 + 3 * v2 + 4) >> 3
+    p1 = (3 * v1 + v2 + 2) >> 2
+    p2 = (7 * v1 + v2 + 4) >> 3
+    q0 = (5 * v2 + 3 * v1 + 4) >> 3
+    q1 = (3 * v2 + v1 + 2) >> 2
+    q2 = (7 * v2 + v1 + 4) >> 3
+    assert list(plane[0]) == [v1, p2, p1, p0, q0, q1, q2, v2]
+
+
+def test_deblock_smooths_mb_step_monotonically():
+    # full-frame sanity on the same step: two I_16x16 MBs, the filtered
+    # cross-edge profile must be monotone nondecreasing and pin the
+    # unchanged far columns (the subsequent internal edges legitimately
+    # retouch p1/q1 of the MB edge — the spec filters later edges on
+    # partially filtered samples, so the exact boundary values are
+    # pinned by the isolated-edge test above, the shape here)
+    d1, d2 = 160, 80  # qp=26 rescale (13D+2)>>2: v1 = 136, step +4
+    mb0 = [0] * 16
+    mb0[0] = d1
+    mb1 = [0] * 16
+    mb1[0] = d2
+    sps, pps = H.encode_sps_pps(2, 1)
+    idr = H.encode_i_frame([("i16", 2, mb0, None), ("i16", 2, mb1, None)],
+                           2, 1, 26, deblock_idc=0)
+    out = H.decode_i_frame([sps, pps, idr])[:, :, 0].astype(int)
+    assert (out == out[0]).all()  # every row identical (vertical edges only)
+    row = out[0]
+    assert row[0] == 136 and row[-1] == 140
+    assert all(row[i] <= row[i + 1] for i in range(len(row) - 1))
+    assert row[15] == 138 and row[16] == 139  # strong-filtered p0/q0 stay
+
+
+def _ref_deblock_luma(y, wmb, hmb, qp):
+    """Independent transcription of the 8.7 luma filter for single-slice
+    all-intra frames with zero offsets (test oracle only)."""
+    alpha, beta = H._ALPHA[qp], H._BETA[qp]
+    tc0_bs3 = H._TC0[qp][2]
+
+    def one_line(p, q, bs):
+        if not (abs(p[0] - q[0]) < alpha and abs(p[1] - p[0]) < beta
+                and abs(q[1] - q[0]) < beta):
+            return p, q
+        p, q = list(p), list(q)
+        ap, aq = abs(p[2] - p[0]) < beta, abs(q[2] - q[0]) < beta
+        if bs == 4:
+            if ap and abs(p[0] - q[0]) < (alpha >> 2) + 2:
+                np_ = [(p[2] + 2 * p[1] + 2 * p[0] + 2 * q[0] + q[1] + 4) >> 3,
+                       (p[2] + p[1] + p[0] + q[0] + 2) >> 2,
+                       (2 * p[3] + 3 * p[2] + p[1] + p[0] + q[0] + 4) >> 3, p[3]]
+            else:
+                np_ = [(2 * p[1] + p[0] + q[1] + 2) >> 2, p[1], p[2], p[3]]
+            if aq and abs(p[0] - q[0]) < (alpha >> 2) + 2:
+                nq_ = [(q[2] + 2 * q[1] + 2 * q[0] + 2 * p[0] + p[1] + 4) >> 3,
+                       (q[2] + q[1] + q[0] + p[0] + 2) >> 2,
+                       (2 * q[3] + 3 * q[2] + q[1] + q[0] + p[0] + 4) >> 3, q[3]]
+            else:
+                nq_ = [(2 * q[1] + q[0] + p[1] + 2) >> 2, q[1], q[2], q[3]]
+            return np_, nq_
+        tc = tc0_bs3 + ap + aq
+        delta = max(-tc, min(tc, (((q[0] - p[0]) << 2) + (p[1] - q[1]) + 4) >> 3))
+        np_, nq_ = list(p), list(q)
+        np_[0] = max(0, min(255, p[0] + delta))
+        nq_[0] = max(0, min(255, q[0] - delta))
+        if ap:
+            np_[1] = p[1] + max(-tc0_bs3, min(tc0_bs3,
+                     (p[2] + ((p[0] + q[0] + 1) >> 1) - 2 * p[1]) >> 1))
+        if aq:
+            nq_[1] = q[1] + max(-tc0_bs3, min(tc0_bs3,
+                     (q[2] + ((q[0] + p[0] + 1) >> 1) - 2 * q[1]) >> 1))
+        return np_, nq_
+
+    y = y.copy()
+    for mby in range(hmb):
+        for mbx in range(wmb):
+            px, py = mbx * 16, mby * 16
+            for e in range(4):  # vertical edges
+                x = px + 4 * e
+                if e == 0 and mbx == 0:
+                    continue
+                bs = 4 if e == 0 else 3
+                for r in range(py, py + 16):
+                    p = [int(y[r, x - 1 - i]) for i in range(4)]
+                    q = [int(y[r, x + i]) for i in range(4)]
+                    np_, nq_ = one_line(p, q, bs)
+                    for i in range(4):
+                        y[r, x - 1 - i] = np_[i]
+                        y[r, x + i] = nq_[i]
+            for e in range(4):  # horizontal edges
+                yy = py + 4 * e
+                if e == 0 and mby == 0:
+                    continue
+                bs = 4 if e == 0 else 3
+                for c in range(px, px + 16):
+                    p = [int(y[yy - 1 - i, c]) for i in range(4)]
+                    q = [int(y[yy + i, c]) for i in range(4)]
+                    np_, nq_ = one_line(p, q, bs)
+                    for i in range(4):
+                        y[yy - 1 - i, c] = np_[i]
+                        y[yy + i, c] = nq_[i]
+    return y
+
+
+def test_deblock_random_i4_frames_match_independent_reference():
+    rng = random.Random(4242)
+    for trial in range(4):
+        wmb, hmb, qp = 2, 2, rng.choice([22, 26, 30])
+        mbs = []
+        for mb in range(wmb * hmb):
+            mbx, mby = mb % wmb, mb // wmb
+            modes, coeffs = [], []
+            for i in range(16):
+                legal = [m for m in range(9) if _mode_legal(m, i, mbx, mby, wmb)]
+                modes.append(rng.choice(legal))
+                if rng.random() < 0.7:
+                    blk = [0] * 16
+                    for p in rng.sample(range(16), rng.randint(1, 5)):
+                        blk[p] = rng.randint(-6, 6)
+                    coeffs.append(blk if any(blk) else None)
+                else:
+                    coeffs.append(None)
+            mbs.append(("i4", modes, coeffs, None))
+        sps, pps = H.encode_sps_pps(wmb, hmb, qp=qp)
+        unfiltered = H.decode_i_frame(
+            [sps, pps, H.encode_i_frame(mbs, wmb, hmb, qp, deblock_idc=1)]
+        )[:, :, 0].astype(np.int64)
+        filtered = H.decode_i_frame(
+            [sps, pps, H.encode_i_frame(mbs, wmb, hmb, qp, deblock_idc=0)]
+        )[:, :, 0].astype(np.int64)
+        ref = _ref_deblock_luma(unfiltered, wmb, hmb, qp)
+        assert (filtered == ref).all(), f"trial {trial} qp {qp}"
+        # and the filter genuinely fired somewhere
+        assert (filtered != unfiltered).any()
+
+
+def test_deblock_default_pps_filters():
+    # a PPS without the deblocking control flag means filter ON with
+    # zero offsets — same output as an explicit idc=0 slice
+    dc16 = [0] * 16
+    dc16[0] = 800
+    mb1 = [0] * 16
+    mb1[0] = 96
+    mbs = [("i16", 2, dc16, None), ("i16", 2, mb1, None)]
+    sps, pps_ctl = H.encode_sps_pps(2, 1)
+    explicit = H.decode_i_frame(
+        [sps, pps_ctl, H.encode_i_frame(mbs, 2, 1, 26, deblock_idc=0)]
+    )
     w = H.BitWriter()
     w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 1); w.ue(0); w.ue(0); w.ue(0)
     w.u(0, 1); w.u(0, 2); w.se(0); w.se(0); w.se(0)
-    w.u(0, 1)  # deblocking_filter_control_present = 0 -> default filter ON
+    w.u(0, 1)  # deblocking_filter_control_present = 0
     w.u(0, 1); w.u(0, 1)
     w.rbsp_trailing()
     no_ctl_pps = bytes([0x68]) + H.rbsp_escape(w.tobytes())
-    with pytest.raises(H.H264Error, match="deblocking"):
-        H.decode_i_frame([sps_nal, no_ctl_pps, idr])
+    # slice must not carry the idc field when the PPS has no control flag:
+    # re-encode the slice against a control-free PPS by patching the
+    # fixture slice is brittle — instead decode the SAME control-present
+    # stream and assert the no-control PPS path on a fresh slice
+    w2 = H.BitWriter()
+    w2.ue(0); w2.ue(7); w2.ue(0); w2.u(0, 4); w2.ue(0)
+    w2.u(0, 1); w2.u(0, 1); w2.se(0)
+    shadow = H._Frame({"width_mbs": 2, "height_mbs": 1})
+    for mb, desc in enumerate(mbs):
+        H._encode_mb(w2, shadow, mb, desc, 26)
+    w2.rbsp_trailing()
+    idr_no_ctl = bytes([0x65]) + H.rbsp_escape(w2.tobytes())
+    implicit = H.decode_i_frame([sps, no_ctl_pps, idr_no_ctl])
+    assert (implicit == explicit).all()
 
 
 def test_truncated_stream_raises_decode_error_class():

@@ -459,10 +459,14 @@ CHECKS = {
     ],
     "multimodal_h264": [
         # synth + demux + full H.264 I-frame decode are ONE mapInPandas
-        # chain: no keyed exchange anywhere (the display orderBy is a
-        # range sort, not a hash shuffle), payloads never shuffle
-        ("no keyed exchange (map-only decode)",
-         lambda p: "Exchange hashpartitioning" not in p),
+        # chain AFTER a round-robin spread of the 8-byte doc ids (the
+        # local single-file input would otherwise serialize the decode
+        # kernel on one core; at scale the input is already partitioned).
+        # PAYLOADS never shuffle — they are created after that exchange;
+        # no keyed exchange, no join (the display orderBy is a range sort)
+        ("no keyed exchange", lambda p: "Exchange hashpartitioning" not in p),
+        ("ids spread before synthesis (payloads never shuffle)",
+         lambda p: "RoundRobinPartitioning" in p),
         ("no join", lambda p: "Join" not in p),
         ("column pruning (doc_id only)",
          lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
