@@ -1525,30 +1525,54 @@ def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     """
     if len(mbs) != w_mbs * h_mbs:
         raise H264Error("mb list does not cover the frame")
+    return encode_i_frame_slices(mbs, w_mbs, h_mbs, qp, deblock_idc)[0]
+
+
+def encode_i_frame_slices(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
+                          deblock_idc: int = 1,
+                          slice_starts: tuple = (0,)) -> list[bytes]:
+    """Like encode_i_frame but splitting the MB raster into one IDR slice
+    NAL per entry of ``slice_starts`` (ascending, first must be 0). The
+    shared shadow state carries SLICE IDS so predicted intra modes and
+    CAVLC nC contexts reset at slice boundaries exactly as a conformant
+    decoder resets them — a mode equal to its predictor in 1-slice form
+    may need explicit signaling in 2-slice form, and vice versa."""
+    if len(mbs) != w_mbs * h_mbs:
+        raise H264Error("mb list does not cover the frame")
+    if not slice_starts or slice_starts[0] != 0 or list(slice_starts) != sorted(set(slice_starts)):
+        raise H264Error("slice_starts must be ascending and start at 0")
     shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
-    w = BitWriter()
-    w.ue(0)      # first_mb_in_slice
-    w.ue(7)      # slice_type: I (all slices in picture)
-    w.ue(0)      # pps_id
-    w.u(0, 4)    # frame_num (log2_max_frame_num = 4)
-    w.ue(0)      # idr_pic_id
-    w.u(0, 1)    # no_output_of_prior_pics
-    w.u(0, 1)    # long_term_reference
-    w.se(0)      # slice_qp_delta
-    w.ue(deblock_idc)  # 1 = off (the fixtures' default); 0/2 filter
-    if deblock_idc != 1:
-        w.se(0)  # slice_alpha_c0_offset_div2
-        w.se(0)  # slice_beta_offset_div2
-    for mb, desc in enumerate(mbs):
-        _encode_mb(w, shadow, mb, desc, qp)
-    w.rbsp_trailing()
-    return _nal(5, w.tobytes())
+    bounds = list(slice_starts) + [len(mbs)]
+    nals = []
+    for sid in range(len(slice_starts)):
+        first, last = bounds[sid], bounds[sid + 1]
+        if first >= last:
+            raise H264Error("empty slice")
+        w = BitWriter()
+        w.ue(first)  # first_mb_in_slice
+        w.ue(7)      # slice_type: I (all slices in picture)
+        w.ue(0)      # pps_id
+        w.u(0, 4)    # frame_num (log2_max_frame_num = 4)
+        w.ue(0)      # idr_pic_id
+        w.u(0, 1)    # no_output_of_prior_pics
+        w.u(0, 1)    # long_term_reference
+        w.se(0)      # slice_qp_delta
+        w.ue(deblock_idc)  # 1 = off (the fixtures' default); 0/2 filter
+        if deblock_idc != 1:
+            w.se(0)  # slice_alpha_c0_offset_div2
+            w.se(0)  # slice_beta_offset_div2
+        for mb in range(first, last):
+            _encode_mb(w, shadow, mb, mbs[mb], qp, sid)
+        w.rbsp_trailing()
+        nals.append(_nal(5, w.tobytes()))
+    return nals
 
 
-def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int) -> None:
+def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
+               slice_id: int = 0) -> None:
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     kind = desc[0]
-    fr.mb_slice[mby, mbx] = 0
+    fr.mb_slice[mby, mbx] = slice_id
     bx0, by0 = mbx * 4, mby * 4
     if kind == "pcm":
         _, y, cb, cr = desc
@@ -1561,7 +1585,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int) -> None:
                 np.asarray(plane, np.int64).reshape(-1).astype(np.uint8).tobytes()
             )
         fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
-        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
         fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 16
         fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
         for comp in range(2):
@@ -1577,10 +1601,10 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int) -> None:
         w.ue(1 + pred_mode + 4 * cbp_chroma)
         w.ue(0)  # intra_chroma_pred_mode: DC
         w.se(0)  # mb_qp_delta
-        nc = _nc_luma(fr, bx0, by0, 0)
+        nc = _nc_luma(fr, bx0, by0, slice_id)
         encode_residual_block(w, list(dc_levels), nc)
         fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
-        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
         fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0  # AC absent
         fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
         if cbp_chroma:
@@ -1603,7 +1627,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int) -> None:
     for i in range(16):
         bx = bx0 + _BLK_XY[i][0] // 4
         by = by0 + _BLK_XY[i][1] // 4
-        pred = _predicted_i4_mode(fr, bx, by, 0)
+        pred = _predicted_i4_mode(fr, bx, by, slice_id)
         mode = modes[i]
         if mode == pred:
             w.u(1, 1)
@@ -1615,7 +1639,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int) -> None:
             w.u(rem, 3)
         fr.blk_mode[by, bx] = mode
         fr.blk_done[by, bx] = True
-        fr.blk_slice[by, bx] = 0
+        fr.blk_slice[by, bx] = slice_id
     w.ue(0)  # intra_chroma_pred_mode: DC
     w.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
     if cbp_luma or cbp_chroma:
@@ -1625,7 +1649,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int) -> None:
         by = by0 + _BLK_XY[i][1] // 4
         if cbp_luma & (1 << (i // 4)):
             blk = coeffs[i] if coeffs[i] is not None else [0] * 16
-            nc = _nc_luma(fr, bx, by, 0)
+            nc = _nc_luma(fr, bx, by, slice_id)
             tc = encode_residual_block(w, list(blk), nc)
             fr.blk_nnz[by, bx] = tc
         else:

@@ -700,3 +700,164 @@ def test_avcc_mp4_sample_roundtrip():
             H.split_avcc_sample(mp4[o : o + sz], 4), cfg["sps"], cfg["pps"]
         )
         assert (arr == v).all()
+
+
+# ---------------------------------------------------------------------------
+# multi-slice frames: prediction/nC reset at slice boundaries, idc=2
+# ---------------------------------------------------------------------------
+
+
+def test_two_slice_pcm_equals_one_slice():
+    rng = np.random.default_rng(11)
+    wmb, hmb = 2, 2
+    y = rng.integers(0, 256, (hmb * 16, wmb * 16), dtype=np.int64)
+    cb = rng.integers(0, 256, (hmb * 8, wmb * 8), dtype=np.int64)
+    cr = rng.integers(0, 256, (hmb * 8, wmb * 8), dtype=np.int64)
+    mbs = [
+        ("pcm",
+         y[my * 16 : my * 16 + 16, mx * 16 : mx * 16 + 16],
+         cb[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8],
+         cr[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8])
+        for my in range(hmb) for mx in range(wmb)
+    ]
+    sps, pps = H.encode_sps_pps(wmb, hmb)
+    one = H.decode_i_frame([sps, pps, H.encode_i_frame(mbs, wmb, hmb)])
+    nals = H.encode_i_frame_slices(mbs, wmb, hmb, slice_starts=(0, 2))
+    two = H.decode_i_frame([sps, pps] + nals)
+    assert (one == two).all()
+
+
+def test_two_slice_prediction_resets_at_boundary():
+    # slice 1 (MB row 0) carries value A via a DC residual in MB 0;
+    # slice 2 (MB row 1) cannot see slice 1's pixels, so its first MB
+    # predicts from the 128 baseline and needs its own residual for B
+    wmb, hmb = 3, 2
+    dA, dB = 160, 480  # qp=26: rA = 8 -> A = 136; rB = 25 -> B = 153
+    row1 = [("i16", 2, [dA] + [0] * 15, None)] + \
+           [("i16", 2, [0] * 16, None)] * (wmb - 1)
+    row2 = [("i16", 2, [dB] + [0] * 15, None)] + \
+           [("i16", 2, [0] * 16, None)] * (wmb - 1)
+    mbs = row1 + row2
+    sps, pps = H.encode_sps_pps(wmb, hmb)
+    nals = H.encode_i_frame_slices(mbs, wmb, hmb, slice_starts=(0, wmb))
+    out = H.decode_i_frame([sps, pps] + nals)[:, :, 0]
+    a, b = H.i16dc_recon_value(dA, 26), H.i16dc_recon_value(dB, 26)
+    assert a != b
+    assert (out[:16] == a).all() and (out[16:] == b).all()
+    # the SAME mb list as ONE slice behaves differently: slice 2's first
+    # MB predicts from the row above (a) instead of the 128 baseline and
+    # stacks its residual on top, so the lower half is neither b nor
+    # uniform (later MBs mix the a top row into their DC averages)
+    one = H.decode_i_frame(
+        [sps, pps, H.encode_i_frame(mbs, wmb, hmb)]
+    )[:, :, 0]
+    assert (one[:16] == a).all()
+    assert (one[16:] != out[16:]).any()
+    assert one[16, 0] == a + (b - 128)  # first MB: residual on top of a
+
+
+def test_deblock_idc2_does_not_cross_slice_boundary():
+    # two uniform slices with a value step UNDER the filter's alpha(qp=26)
+    # threshold (136 -> 142; a +16 step would be left alone as real
+    # content): idc=0 smooths the horizontal slice boundary; idc=2 must
+    # leave it untouched (and everything else here is flat, so idc=2
+    # equals the unfiltered decode exactly)
+    wmb, hmb = 2, 2
+    dA, dB = 160, 280
+    mbs = ([("i16", 2, [dA] + [0] * 15, None)]
+           + [("i16", 2, [0] * 16, None)] * (wmb - 1)
+           + [("i16", 2, [dB] + [0] * 15, None)]
+           + [("i16", 2, [0] * 16, None)] * (wmb - 1))
+    sps, pps = H.encode_sps_pps(wmb, hmb)
+    outs = {}
+    for idc in (0, 1, 2):
+        nals = H.encode_i_frame_slices(mbs, wmb, hmb, deblock_idc=idc,
+                                       slice_starts=(0, wmb))
+        outs[idc] = H.decode_i_frame([sps, pps] + nals)[:, :, 0].astype(int)
+    assert (outs[2] == outs[1]).all()
+    assert (outs[0] != outs[1]).any()
+    boundary = outs[0][14:18, 0]
+    assert all(int(boundary[i]) <= int(boundary[i + 1]) for i in range(3))
+    assert outs[1][15, 0] != outs[0][15, 0]  # p0 row actually filtered
+
+
+def test_two_slice_i4x4_matches_slice_aware_reference():
+    rng = random.Random(314)
+    wmb, hmb = 2, 2
+    slice_starts = (0, 2)
+
+    def slice_of(mb):
+        return 0 if mb < 2 else 1
+
+    mbs = []
+    for mb in range(wmb * hmb):
+        mbx, mby = mb % wmb, mb // wmb
+        modes, coeffs = [], []
+        for i in range(16):
+            ox, oy = H._BLK_XY[i]
+            # availability under SLICE boundaries: the top neighbor MB
+            # must be in the same slice for top-dependent modes
+            has_top = oy > 0 or (mby > 0 and slice_of(mb - wmb) == slice_of(mb))
+            has_left = ox > 0 or (mbx > 0 and slice_of(mb - 1) == slice_of(mb))
+            legal = [2]
+            if has_top:
+                legal += [0, 3, 7]
+            if has_left:
+                legal += [1, 8]
+            if has_top and has_left:
+                legal += [4, 5, 6]
+            modes.append(rng.choice(legal))
+            if rng.random() < 0.6:
+                blk = [0] * 16
+                for p in rng.sample(range(16), rng.randint(1, 5)):
+                    blk[p] = rng.randint(-6, 6)
+                coeffs.append(blk if any(blk) else None)
+            else:
+                coeffs.append(None)
+        mbs.append(("i4", modes, coeffs, None))
+    qp = 26
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=qp)
+    nals = H.encode_i_frame_slices(mbs, wmb, hmb, qp, slice_starts=slice_starts)
+    got = H.decode_i_frame([sps, pps] + nals)[:, :, 0].astype(np.int64)
+
+    # slice-aware variant of the independent reference
+    y = np.zeros((hmb * 16, wmb * 16), np.int64)
+    for mb, (_, modes, coeffs, _cdc) in enumerate(mbs):
+        mbx, mby = mb % wmb, mb // wmb
+        px, py = mbx * 16, mby * 16
+        cbp_luma = 0
+        for i in range(16):
+            if coeffs[i] is not None and any(coeffs[i]):
+                cbp_luma |= 1 << (i // 4)
+        written = set()
+        for i in range(16):
+            ox, oy = H._BLK_XY[i]
+            bpx, bpy = px + ox, py + oy
+
+            def ok(bx4, by4):
+                if bx4 < 0 or by4 < 0 or bx4 >= wmb * 4 or by4 >= hmb * 4:
+                    return False
+                omb = (by4 // 4) * wmb + bx4 // 4
+                if omb == mb:
+                    return (bx4, by4) in written
+                return omb < mb and slice_of(omb) == slice_of(mb)
+
+            bx4, by4 = bpx // 4, bpy // 4
+            top = left = corner = None
+            if ok(bx4, by4 - 1):
+                top = list(y[bpy - 1, bpx : bpx + 4])
+                top += (list(y[bpy - 1, bpx + 4 : bpx + 8])
+                        if ok(bx4 + 1, by4 - 1) and bpx + 4 < wmb * 16
+                        else [top[3]] * 4)
+            if ok(bx4 - 1, by4):
+                left = list(y[bpy : bpy + 4, bpx - 1])
+            if ok(bx4 - 1, by4 - 1):
+                corner = int(y[bpy - 1, bpx - 1])
+            pred = _ref_pred4(modes[i], top, left, corner)
+            if cbp_luma & (1 << (i // 4)):
+                res = (_ref_dequant_idct(coeffs[i] or [0] * 16, qp) + 32) >> 6
+            else:
+                res = 0
+            y[bpy : bpy + 4, bpx : bpx + 4] = np.clip(pred + res, 0, 255)
+            written.add((bx4, by4))
+    assert (got == y).all()
