@@ -1676,18 +1676,22 @@ def i16dc_recon_value(dc_level: int, qp: int = 26) -> int:
 
 def encode_solid_gray_stream(w_mbs: int, h_mbs: int, dc_level: int,
                              qp: int = 26, crop_right: int = 0,
-                             crop_bottom: int = 0) -> tuple[bytes, bytes, bytes]:
+                             crop_bottom: int = 0,
+                             deblock_idc: int = 1) -> tuple[bytes, bytes, bytes]:
     """-> (sps_nal, pps_nal, idr_nal) for a uniform gray frame of luma
     value ``i16dc_recon_value(dc_level, qp)``: MB 0 carries the DC
     residual, every other MB is a residual-free DC-predicted I_16x16, so
     the value propagates across the frame through prediction alone —
-    one wrong neighbor average anywhere breaks every later MB."""
+    one wrong neighbor average anywhere breaks every later MB. With
+    ``deblock_idc=0`` the in-loop filter RUNS and must be a no-op on the
+    flat result (every delta it can compute is zero) — the same closed
+    form holds, so gates can drive the filter code path too."""
     dc16 = [0] * 16
     dc16[0] = dc_level
     mbs: list = [("i16", 2, dc16, None)]
     mbs += [("i16", 2, [0] * 16, None)] * (w_mbs * h_mbs - 1)
     sps_nal, pps_nal = encode_sps_pps(w_mbs, h_mbs, crop_right, crop_bottom, qp)
-    return sps_nal, pps_nal, encode_i_frame(mbs, w_mbs, h_mbs, qp)
+    return sps_nal, pps_nal, encode_i_frame(mbs, w_mbs, h_mbs, qp, deblock_idc)
 
 
 # ---------------------------------------------------------------------------

@@ -2521,7 +2521,10 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(byte-exact sample order). decode_frames demuxes the sample "
         "tables, splits length-prefixed NALs, and runs the full decode "
         "(exp-Golomb headers, CAVLC, dequant + inverse integer transform, "
-        "intra prediction, SPS cropping). Chroma is neutral so RGB equals "
+        "intra prediction, SPS cropping; even docs' I_16x16 frames enable "
+        "the in-loop deblocking filter, an exact no-op on flat frames — "
+        "the same closed form doubles as a filter-corruption check). "
+        "Chroma is neutral so RGB equals "
         "luma exactly and the oracle states every pixel sum in closed "
         "integer form — including the 8.5.10 DC rescale (13x+2)>>2 at "
         "qp=26 written out as arithmetic, NOT via the decoder's tables. "
@@ -2570,8 +2573,13 @@ def q_multimodal_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
                         idr = H.encode_i_frame(mbs, wmb, hmb, 26)
                     elif mode == 1:
                         dc_lvl = ((did * 7 + fi * 11) % 40) * 37
+                        # even docs enable the in-loop deblocking filter:
+                        # on a flat frame it must be an exact no-op, so
+                        # the closed-form sum ALSO verifies the filter
+                        # ran without corrupting anything
                         _, _, idr = H.encode_solid_gray_stream(
-                            wmb, hmb, dc_lvl, 26, crop_right=crop_r
+                            wmb, hmb, dc_lvl, 26, crop_right=crop_r,
+                            deblock_idc=0 if did % 2 == 0 else 1,
                         )
                     else:
                         base = did % 100 + 30
