@@ -145,6 +145,18 @@ def decode_meta(df: DataFrame) -> DataFrame:
                 try:
                     demux = parse_mp4(b)
                     tw, th = _mp4_track_dims(b)
+                    if (not tw or not th) and demux.get("avcc"):
+                        # tkhd dims are optional in the wild; for avc1
+                        # the SPS states the coded size authoritatively
+                        try:
+                            from engine_spark.datapipe.h264 import parse_avcc
+
+                            sps = parse_avcc(demux["avcc"])["sps"]
+                            cl, cr_, ct, cb_ = sps["crop"]
+                            tw = sps["width_mbs"] * 16 - 2 * (cl + cr_)
+                            th = sps["height_mbs"] * 16 - 2 * (ct + cb_)
+                        except DECODE_ERRORS:
+                            pass
                     rows.append(
                         (int(did), "mp4", _i32(tw), _i32(th),
                          _i32(demux["n_frames"]), ck)

@@ -861,3 +861,67 @@ def test_two_slice_i4x4_matches_slice_aware_reference():
             y[bpy : bpy + 4, bpx : bpx + 4] = np.clip(pred + res, 0, 255)
             written.add((bx4, by4))
     assert (got == y).all()
+
+
+def test_deblock_chroma_edge_filters():
+    # chroma DC residuals +40 / -40 put a 4-level Cb step at the MB edge
+    # (132 | 128 at qpc 26); the bS=4 chroma filter replaces only p0/q0:
+    # p0' = (2*132 + 132 + 128 + 2) >> 2 = 131, q0' = (2*128+128+132+2)>>2
+    # = 129 — hand-computed from 8.7's chroma path
+    mb0 = ("i16", 2, [160] + [0] * 15, ([40, 0, 0, 0], [0, 0, 0, 0]))
+    mb1 = ("i16", 2, [0] * 16, ([-40, 0, 0, 0], [0, 0, 0, 0]))
+    sps, pps = H.encode_sps_pps(2, 1)
+    spsd = H.parse_sps(H.rbsp_unescape(sps[1:]))
+    ppsd = H.parse_pps(H.rbsp_unescape(pps[1:]))
+
+    def planes(idc):
+        fr = H._Frame(spsd)
+        idr = H.encode_i_frame([mb0, mb1], 2, 1, 26, deblock_idc=idc)
+        H._decode_slice(fr, H.rbsp_unescape(idr[1:]), spsd, ppsd, 0, True)
+        if idc != 1:
+            H.deblock_frame(fr, ppsd["chroma_qp_index_offset"])
+        return fr.cb.copy()
+
+    cb_off = planes(1)
+    assert (cb_off[:, :8] == 132).all() and (cb_off[:, 8:] == 128).all()
+    cb_on = planes(0)
+    assert (cb_on[:, 7] == 131).all()  # p0 column
+    assert (cb_on[:, 8] == 129).all()  # q0 column
+    assert (cb_on[:, :7] == 132).all() and (cb_on[:, 9:] == 128).all()
+
+
+def test_decode_frames_degrades_corrupt_avc1_sample_to_null_row():
+    # Spark-free check of the kernel contract decode_frames relies on:
+    # a truncated avc1 sample raises within DECODE_ERRORS (NULL row
+    # upstream) instead of crashing the Arrow task
+    from engine_spark.datapipe.multimodal import DECODE_ERRORS
+
+    sps, pps, idr = H.encode_solid_gray_stream(2, 2, 160, 26)
+    sample = len(idr).to_bytes(4, "big") + idr
+    for cut in (3, 7, len(sample) // 2, len(sample) - 2):
+        try:
+            H.decode_i_frame(
+                H.split_avcc_sample(sample[:cut], 4),
+                H.parse_sps(H.rbsp_unescape(sps[1:])),
+                H.parse_pps(H.rbsp_unescape(pps[1:])),
+            )
+            raise AssertionError(f"cut at {cut} decoded")
+        except DECODE_ERRORS:
+            pass
+
+
+def test_decode_meta_reads_avc1_dims_from_sps(spark):
+    # an avc1 MP4 with ZERO tkhd dims (common in the wild): decode_meta
+    # must fall back to the SPS coded size minus cropping
+    from engine_spark.datapipe.multimodal import decode_meta, encode_mp4
+
+    sps, pps, idr = H.encode_solid_gray_stream(3, 2, 160, 26,
+                                               crop_right=4, crop_bottom=2)
+    avcc = H.build_avcc(sps, pps)
+    ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+    mp4 = encode_mp4([len(idr).to_bytes(4, "big") + idr], codec=b"avc1",
+                     sample_entry_ext=ext)  # width/height default 0
+    df = spark.createDataFrame([(1, bytearray(mp4))], "doc_id long, payload binary")
+    row = decode_meta(df).collect()[0]
+    assert row["format"] == "mp4"
+    assert row["width"] == 44 and row["height"] == 30  # 48-4, 32-2
