@@ -142,6 +142,58 @@ def main() -> None:
 
         return funnel_stages(d)
 
+    def q17_chain(d):
+        # TPC-H Q17 shape (mirrors q_join_q17): brand-pruned part dim
+        # broadcast into the fact, per-part mean as window sums over ONE
+        # partkey exchange — 10x lineitem must cost ~one bigger window
+        # pass, never a second fact scan or a join blow-up
+        from pyspark.sql import Window as W
+
+        p = cat["part"].filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+        li = d.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        w = W.partitionBy("l_partkey")
+        avg_qty = (
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        )
+        return (
+            li.withColumn("part_avg", avg_qty)
+            .filter(F.col("l_quantity") < F.lit(0.5) * F.col("part_avg"))
+            .agg(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+
+    def q20_chain(d):
+        # TPC-H Q20 shape (mirrors q_join_q20): ONE (partkey, suppkey)
+        # aggregate, per-part totals as a window ON that aggregate (the
+        # oracle's second CTE + self-join shape would pay a second fact
+        # pass) — the window input is pair-sized, so 10x lineitem grows
+        # the first aggregate linearly and the window sub-linearly
+        from pyspark.sql import Window as W
+
+        sq = (
+            d.filter(
+                (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            )
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("supp_qty"))
+        )
+        part_qty = F.sum("supp_qty").over(W.partitionBy("l_partkey"))
+        p = cat["part"].filter(F.col("p_name").like("small%")).select("p_partkey")
+        return (
+            sq.withColumn("part_qty", part_qty)
+            .filter(
+                F.col("supp_qty").cast("double")
+                > F.lit(0.3) * F.col("part_qty").cast("double")
+            )
+            .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+            .select("l_suppkey").distinct()
+        )
+
     chains = {
         "filter_project": (filter_chain, "lineitem"),
         "hash_aggregate": (agg_chain, "lineitem"),
@@ -155,6 +207,8 @@ def main() -> None:
         "bm25_retrieval": (bm25_chain, "documents"),
         "cohort_retention": (cohort_chain, "events"),
         "events_funnel": (funnel_chain, "events"),
+        "tpch_q17_corr_avg": (q17_chain, "lineitem"),
+        "tpch_q20_share_window": (q20_chain, "lineitem"),
     }
 
     def t(df) -> float:
