@@ -7,6 +7,7 @@ ints/strings/timestamps; floats compared exactly first, with a fallback
 report of max abs diff so near-misses are diagnosable.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       [--json out.json] [--restart-every N]
 """
 
 from __future__ import annotations
@@ -84,6 +85,11 @@ def main() -> None:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    restart_every = 0
+    if "--restart-every" in argv:
+        i = argv.index("--restart-every")
+        restart_every = int(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -105,10 +111,21 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    n_run = 0
     snapshot: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        if restart_every and n_run and n_run % restart_every == 0:
+            # long full-registry sweeps accumulate python-worker memory
+            # across ~40+ pandas-UDF queries (observed: a worker crash
+            # mid-sf0.1-sweep that vanished on a fresh session); recycle
+            # the JVM+workers so one command can run the whole registry
+            spark.stop()
+            spark = get_spark("correctness")
+            spark.sparkContext.setLogLevel("ERROR")
+            print(f"-- session recycled after {n_run} queries --")
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception:
