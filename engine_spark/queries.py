@@ -3382,7 +3382,7 @@ _ORDER = [
     # plus the four new TPC-H agg shapes), agg_unpivot (r8-r9; the
     # reshape pair stays LOCAL+pytest), events_json_props (r9; events
     # keeps gapfill/cohort/funnel), join_q10_returned_items and
-    # join_q18_large_orders (r9; the join family now fields eleven
+    # join_q18_large_orders (r9; the join family now fields thirteen
     # TPC-H shapes in-window), window_unique_newest (r9; 2e keeps
     # tumbling's SQL twin sql_window_tumbling LOCAL + frequent_topk
     # in-window), pattern_absent (r2-r9; 2f keeps followed_by +
