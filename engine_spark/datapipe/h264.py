@@ -215,10 +215,11 @@ def parse_sps(rbsp: bytes) -> dict:
             raise H264Error("scaling matrices unsupported")
     log2_max_frame_num = r.ue() + 4
     poc_type = r.ue()
+    delta_poc_always_zero = True
     if poc_type == 0:
         log2_max_poc_lsb = r.ue() + 4
     elif poc_type == 1:
-        r.flag()
+        delta_poc_always_zero = r.flag()
         r.se()
         r.se()
         for _ in range(r.ue()):
@@ -237,12 +238,18 @@ def parse_sps(rbsp: bytes) -> dict:
     crop = (0, 0, 0, 0)
     if r.flag():  # frame_cropping
         crop = (r.ue(), r.ue(), r.ue(), r.ue())  # left right top bottom
+    # corrupt offsets must fail loudly here, not produce an empty-array
+    # "successful" decode downstream (crop units are 2 px in 4:2:0)
+    if (2 * (crop[0] + crop[1]) >= pic_width_in_mbs * 16
+            or 2 * (crop[2] + crop[3]) >= pic_height_in_map_units * 16):
+        raise H264Error("SPS cropping consumes the whole frame")
     return {
         "profile_idc": profile_idc,
         "level_idc": level_idc,
         "sps_id": sps_id,
         "log2_max_frame_num": log2_max_frame_num,
         "poc_type": poc_type,
+        "delta_poc_always_zero": delta_poc_always_zero,
         "log2_max_poc_lsb": log2_max_poc_lsb,
         "width_mbs": pic_width_in_mbs,
         "height_mbs": pic_height_in_map_units,
@@ -325,28 +332,43 @@ def split_avcc_sample(b: bytes, nal_length_size: int) -> list[bytes]:
 
 def parse_avcc(avcc: bytes) -> dict:
     """AVCDecoderConfigurationRecord (ISO 14496-15) -> SPS/PPS dicts +
-    NAL length size."""
+    NAL length size. ALL parameter sets are kept, keyed by their ids
+    (real encoders ship multiple PPS entries with e.g. different
+    pic_init_qp); "sps"/"pps" remain the FIRST of each for callers that
+    only need frame geometry."""
     if len(avcc) < 7 or avcc[0] != 1:
         raise H264Error("bad avcC record")
     nal_length_size = (avcc[4] & 3) + 1
     n_sps = avcc[5] & 0x1F
     i = 6
-    sps = pps = None
+    sps_by_id: dict[int, dict] = {}
+    pps_by_id: dict[int, dict] = {}
+    first_sps = first_pps = None
     for _ in range(n_sps):
         ln = int.from_bytes(avcc[i : i + 2], "big")
         i += 2
-        sps = parse_sps(rbsp_unescape(avcc[i + 1 : i + ln]))
+        sp = parse_sps(rbsp_unescape(avcc[i + 1 : i + ln]))
+        sps_by_id[sp["sps_id"]] = sp
+        first_sps = first_sps or sp
         i += ln
     n_pps = avcc[i]
     i += 1
     for _ in range(n_pps):
         ln = int.from_bytes(avcc[i : i + 2], "big")
         i += 2
-        pps = parse_pps(rbsp_unescape(avcc[i + 1 : i + ln]))
+        pp = parse_pps(rbsp_unescape(avcc[i + 1 : i + ln]))
+        pps_by_id[pp["pps_id"]] = pp
+        first_pps = first_pps or pp
         i += ln
-    if sps is None or pps is None:
+    if first_sps is None or first_pps is None:
         raise H264Error("avcC without SPS/PPS")
-    return {"sps": sps, "pps": pps, "nal_length_size": nal_length_size}
+    return {
+        "sps": first_sps,
+        "pps": first_pps,
+        "sps_by_id": sps_by_id,
+        "pps_by_id": pps_by_id,
+        "nal_length_size": nal_length_size,
+    }
 
 
 def build_avcc(sps_nal: bytes, pps_nal: bytes, nal_length_size: int = 4) -> bytes:
@@ -620,7 +642,7 @@ def encode_residual_block(w: BitWriter, coeffs: list[int], nC: int) -> int:
     max_coeffs = len(coeffs)
     nz = [(i, c) for i, c in enumerate(coeffs) if c != 0]
     tc = len(nz)
-    if tc > (3 if max_coeffs == 4 else 16):
+    if tc > (4 if max_coeffs == 4 else 16):
         raise H264Error("too many coefficients for CAVLC block")
     if tc == 0:
         _coeff_token_write(w, nC, 0, 0)
@@ -1038,6 +1060,7 @@ class _Frame:
         # runs as a second pass after all slices): the MB's QPy (0 for
         # I_PCM per 8.7), the slice's disable idc and alpha/beta offsets
         self.mb_qp = np.zeros((self.hmb, self.wmb), np.int32)
+        self.mb_cqpo = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_deblock = np.ones((self.hmb, self.wmb), np.int32)
         self.mb_off_a = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_off_b = np.zeros((self.hmb, self.wmb), np.int32)
@@ -1127,30 +1150,48 @@ def _chroma_neighbors(fr: _Frame, plane, px: int, py: int, mbx: int, mby: int,
     return top, left, corner
 
 
-def _decode_slice(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
-                  slice_id: int, idr: bool) -> None:
+def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
+                  pps_map: dict, slice_id: int, idr: bool,
+                  ref_idc: int) -> _Frame:
     r = BitReader(rbsp)
     first_mb = r.ue()
     slice_type = r.ue()
     if slice_type % 5 != 2:
         raise H264Error(f"only I slices supported (slice_type {slice_type})")
     pps_id = r.ue()
+    pps = pps_map.get(pps_id)
+    if pps is None:
+        raise H264Error(f"slice references unknown PPS {pps_id}")
+    sps = sps_map.get(pps["sps_id"])
+    if sps is None:
+        raise H264Error(f"PPS references unknown SPS {pps['sps_id']}")
+    if fr is None:
+        fr = _Frame(sps)
+        fr.sps = sps
+    elif (fr.wmb, fr.hmb) != (sps["width_mbs"], sps["height_mbs"]):
+        raise H264Error("slice SPS disagrees with frame geometry")
     r.u(sps["log2_max_frame_num"])  # frame_num
     if idr:
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
         r.u(sps["log2_max_poc_lsb"])
         if pps["bottom_field_poc"]:
-            r.se()
+            r.se()  # delta_pic_order_cnt_bottom
+    elif sps["poc_type"] == 1 and not sps["delta_poc_always_zero"]:
+        r.se()  # delta_pic_order_cnt[0]
+        if pps["bottom_field_poc"]:
+            r.se()  # delta_pic_order_cnt[1]
     if pps["redundant_pic_cnt_present"]:
         r.ue()
-    # dec_ref_pic_marking (I/IDR)
-    if idr:
-        r.flag()  # no_output_of_prior_pics
-        r.flag()  # long_term_reference
-    else:
-        if r.flag():  # adaptive_ref_pic_marking
-            raise H264Error("adaptive ref pic marking unsupported")
+    # dec_ref_pic_marking is present only for REFERENCE pictures
+    # (nal_ref_idc != 0, 7.3.3) — a disposable coded I slice omits it
+    if ref_idc != 0:
+        if idr:
+            r.flag()  # no_output_of_prior_pics
+            r.flag()  # long_term_reference
+        else:
+            if r.flag():  # adaptive_ref_pic_marking
+                raise H264Error("adaptive ref pic marking unsupported")
     qp = pps["pic_init_qp"] + r.se()
     # deblocking parameters: idc 0 = filter all edges (the default when
     # the PPS carries no control flag), 1 = off, 2 = all but slice edges
@@ -1173,9 +1214,11 @@ def _decode_slice(fr: _Frame, rbsp: bytes, sps: dict, pps: dict,
         fr.mb_deblock[mby, mbx] = disable_deblock
         fr.mb_off_a[mby, mbx] = off_a
         fr.mb_off_b[mby, mbx] = off_b
+        fr.mb_cqpo[mby, mbx] = pps["chroma_qp_index_offset"]
         mb += 1
         if not r.more_rbsp_data():
             break
+    return fr
 
 
 def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
@@ -1404,34 +1447,45 @@ def _predicted_i4_mode(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
 def decode_i_frame(nals: list[bytes], sps: dict | None = None,
                    pps: dict | None = None) -> "np.ndarray":
     """Decode one I/IDR access unit (list of NAL units) to an RGB array.
-    SPS/PPS may come pre-parsed (from avcC) and/or in-band."""
+    SPS/PPS may come pre-parsed (single dicts or the by-id maps from
+    parse_avcc) and/or in-band; each slice resolves its OWN pps_id, so
+    multi-parameter-set files use the parameters they reference."""
+    sps_map: dict[int, dict] = {}
+    pps_map: dict[int, dict] = {}
+    for seed, target in ((sps, sps_map), (pps, pps_map)):
+        if isinstance(seed, dict) and seed and all(
+            isinstance(k, int) for k in seed
+        ):
+            target.update(seed)  # already a by-id map
+        elif seed is not None:
+            target[seed.get("sps_id") if target is sps_map else seed.get("pps_id")] = seed
     fr = None
     slice_id = 0
-    decoded_any = False
     for nal in nals:
         if not nal:
             continue
         nal_type = nal[0] & 0x1F
+        ref_idc = (nal[0] >> 5) & 3
         rbsp = rbsp_unescape(nal[1:])
         if nal_type == 7:
-            sps = parse_sps(rbsp)
+            sp = parse_sps(rbsp)
+            sps_map[sp["sps_id"]] = sp
         elif nal_type == 8:
-            pps = parse_pps(rbsp)
+            pp = parse_pps(rbsp)
+            pps_map[pp["pps_id"]] = pp
         elif nal_type in (1, 5):
-            if sps is None or pps is None:
+            if not sps_map or not pps_map:
                 raise H264Error("slice before SPS/PPS")
-            if fr is None:
-                fr = _Frame(sps)
-            _decode_slice(fr, rbsp, sps, pps, slice_id, idr=(nal_type == 5))
+            fr = _decode_slice(fr, rbsp, sps_map, pps_map, slice_id,
+                               idr=(nal_type == 5), ref_idc=ref_idc)
             slice_id += 1
-            decoded_any = True
         # SEI (6), AUD (9), filler (12) etc.: skipped
-    if not decoded_any or fr is None:
+    if fr is None:
         raise H264Error("no slice NAL in access unit")
     if not fr.mb_done.all():
         raise H264Error("frame has undecoded macroblocks")
     if (fr.mb_deblock != 1).any():
-        deblock_frame(fr, pps["chroma_qp_index_offset"])
+        deblock_frame(fr)
     y = fr.y.astype(np.float64)
     cb = fr.cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
     cr = fr.cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
@@ -1440,9 +1494,11 @@ def decode_i_frame(nals: list[bytes], sps: dict | None = None,
         axis=2,
     )
     rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-    left, right, top, bottom = sps["crop"]
+    left, right, top, bottom = fr.sps["crop"]
     h = fr.hmb * 16 - 2 * (top + bottom)
     w = fr.wmb * 16 - 2 * (left + right)
+    if h <= 0 or w <= 0:
+        raise H264Error("cropped frame is empty")
     return rgb[2 * top : 2 * top + h, 2 * left : 2 * left + w]
 
 
@@ -1811,12 +1867,14 @@ def _filter_edge_chroma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
             plane[y, x] = _clip3(0, 255, q[0] - delta)
 
 
-def deblock_frame(fr: _Frame, chroma_qp_offset: int) -> None:
+def deblock_frame(fr: _Frame) -> None:
     """Apply the in-loop deblocking filter to the reconstructed frame
     (8.7, I-frame subset). Per-MB state captured during decode drives it:
     ``fr.mb_qp`` (0 for I_PCM per the spec), ``fr.mb_deblock`` (the
     slice's disable_deblocking_filter_idc), ``fr.mb_off_a``/``mb_off_b``
-    (slice alpha/beta offsets), ``fr.mb_slice``. MBs filter in raster
+    (slice alpha/beta offsets), ``fr.mb_cqpo`` (the slice's PPS chroma
+    qp offset — per MB, since slices may reference different PPS),
+    ``fr.mb_slice``. MBs filter in raster
     order — vertical edges left-to-right then horizontal top-to-bottom —
     each edge reading the partially filtered samples, as the spec
     requires."""
@@ -1853,8 +1911,9 @@ def deblock_frame(fr: _Frame, chroma_qp_offset: int) -> None:
                     _filter_edge_luma(fr.y, px + 4 * e, py + 4 * seg, 1, 0,
                                       bs, qpa, off_a, off_b)
                 if e in (0, 2):
-                    qpc_a = (chroma_qp(qp_cur, chroma_qp_offset)
-                             + chroma_qp(qp_n, chroma_qp_offset) + 1) >> 1
+                    cqpo = int(fr.mb_cqpo[mby, mbx])
+                    qpc_a = (chroma_qp(qp_cur, cqpo)
+                             + chroma_qp(qp_n, cqpo) + 1) >> 1
                     for plane in (fr.cb, fr.cr):
                         for seg in range(4):
                             _filter_edge_chroma(plane, cx + 2 * e,
@@ -1874,8 +1933,9 @@ def deblock_frame(fr: _Frame, chroma_qp_offset: int) -> None:
                     _filter_edge_luma(fr.y, px + 4 * seg, py + 4 * e, 0, 1,
                                       bs, qpa, off_a, off_b)
                 if e in (0, 2):
-                    qpc_a = (chroma_qp(qp_cur, chroma_qp_offset)
-                             + chroma_qp(qp_n, chroma_qp_offset) + 1) >> 1
+                    cqpo = int(fr.mb_cqpo[mby, mbx])
+                    qpc_a = (chroma_qp(qp_cur, cqpo)
+                             + chroma_qp(qp_n, cqpo) + 1) >> 1
                     for plane in (fr.cb, fr.cr):
                         for seg in range(4):
                             _filter_edge_chroma(plane, cx + 2 * seg,

@@ -875,11 +875,14 @@ def test_deblock_chroma_edge_filters():
     ppsd = H.parse_pps(H.rbsp_unescape(pps[1:]))
 
     def planes(idc):
-        fr = H._Frame(spsd)
         idr = H.encode_i_frame([mb0, mb1], 2, 1, 26, deblock_idc=idc)
-        H._decode_slice(fr, H.rbsp_unescape(idr[1:]), spsd, ppsd, 0, True)
+        fr = H._decode_slice(
+            None, H.rbsp_unescape(idr[1:]),
+            {spsd["sps_id"]: spsd}, {ppsd["pps_id"]: ppsd},
+            0, idr=True, ref_idc=3,
+        )
         if idc != 1:
-            H.deblock_frame(fr, ppsd["chroma_qp_index_offset"])
+            H.deblock_frame(fr)
         return fr.cb.copy()
 
     cb_off = planes(1)
@@ -925,3 +928,139 @@ def test_decode_meta_reads_avc1_dims_from_sps(spark):
     row = decode_meta(df).collect()[0]
     assert row["format"] == "mp4"
     assert row["width"] == 44 and row["height"] == 30  # 48-4, 32-2
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions: slice-header variants and parameter-set handling
+# ---------------------------------------------------------------------------
+
+
+def _sps_poc1_nal(wmb, hmb):
+    """Hand-built SPS with pic_order_cnt_type 1 and
+    delta_pic_order_always_zero_flag = 0 (slice headers then carry
+    delta_pic_order_cnt fields)."""
+    w = H.BitWriter()
+    w.u(66, 8); w.u(0xC0, 8); w.u(30, 8)
+    w.ue(0)      # sps_id
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(1)      # pic_order_cnt_type 1
+    w.u(0, 1)    # delta_pic_order_always_zero_flag = 0
+    w.se(0)      # offset_for_non_ref_pic
+    w.se(0)      # offset_for_top_to_bottom_field
+    w.ue(0)      # num_ref_frames_in_pic_order_cnt_cycle
+    w.ue(1)      # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(wmb - 1); w.ue(hmb - 1)
+    w.u(1, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+    w.rbsp_trailing()
+    return H._nal(7, w.tobytes())
+
+
+def _hand_slice(mbs, wmb, hmb, qp, *, poc1_delta=False, ref_idc=3,
+                pps_id=0, idr=True):
+    w = H.BitWriter()
+    w.ue(0)          # first_mb
+    w.ue(7)          # slice_type I
+    w.ue(pps_id)
+    w.u(0, 4)        # frame_num
+    if idr:
+        w.ue(0)      # idr_pic_id
+    if poc1_delta:
+        w.se(0)      # delta_pic_order_cnt[0]
+    if ref_idc != 0:
+        if idr:
+            w.u(0, 1); w.u(0, 1)
+        else:
+            w.u(0, 1)  # adaptive_ref_pic_marking = 0
+    w.se(0)          # slice_qp_delta
+    w.ue(1)          # disable_deblocking_filter_idc
+    shadow = H._Frame({"width_mbs": wmb, "height_mbs": hmb})
+    for mb, desc in enumerate(mbs):
+        H._encode_mb(w, shadow, mb, desc, qp)
+    w.rbsp_trailing()
+    return bytes([(ref_idc << 5) | (5 if idr else 1)]) + H.rbsp_escape(w.tobytes())
+
+
+def test_poc_type1_slice_header_with_delta_fields():
+    # the delta_pic_order_cnt field must be consumed or everything after
+    # it (slice_qp_delta onward) misparses
+    wmb, hmb, d = 2, 1, 160
+    mbs = [("i16", 2, [d] + [0] * 15, None), ("i16", 2, [0] * 16, None)]
+    sps = _sps_poc1_nal(wmb, hmb)
+    _, pps = H.encode_sps_pps(wmb, hmb)
+    idr = _hand_slice(mbs, wmb, hmb, 26, poc1_delta=True)
+    out = H.decode_i_frame([sps, pps, idr])
+    assert (out == H.i16dc_recon_value(d, 26)).all()
+
+
+def test_non_reference_i_slice_omits_dec_ref_pic_marking():
+    # nal_ref_idc == 0 on a non-IDR coded I slice: the spec omits
+    # dec_ref_pic_marking; consuming a phantom flag would shift
+    # slice_qp_delta
+    wmb, hmb, d = 2, 1, 480
+    mbs = [("i16", 2, [d] + [0] * 15, None), ("i16", 2, [0] * 16, None)]
+    sps, pps = H.encode_sps_pps(wmb, hmb)
+    nal = _hand_slice(mbs, wmb, hmb, 26, ref_idc=0, idr=False)
+    out = H.decode_i_frame([sps, pps, nal])
+    assert (out == H.i16dc_recon_value(d, 26)).all()
+
+
+def test_chroma_dc_four_coefficients_roundtrip():
+    # TotalCoeff = 4 is legal for the 2x2 chroma DC block; the encoder
+    # guard used to reject it
+    for coeffs in ([1, 1, 1, 1], [3, -2, 5, -7], [-1, -1, -1, -1]):
+        w = H.BitWriter()
+        H.encode_residual_block(w, coeffs, -1)
+        w.u(0, 16)
+        got, tc = H.decode_residual_block(H.BitReader(w.tobytes()), -1, 4)
+        assert got == coeffs and tc == 4
+
+
+def test_multi_pps_slice_resolves_its_own_pps():
+    # two PPS with different pic_init_qp; the slice references pps_id 1
+    # and must dequantize with ITS qp (32), not the other entry's (26)
+    wmb, hmb, d = 2, 1, 160
+    mbs = [("i16", 2, [d] + [0] * 15, None), ("i16", 2, [0] * 16, None)]
+    sps, pps26 = H.encode_sps_pps(wmb, hmb, qp=26)
+
+    w = H.BitWriter()
+    w.ue(1)      # pps_id 1
+    w.ue(0)      # sps_id
+    w.u(0, 1); w.u(0, 1); w.ue(0); w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
+    w.se(32 - 26)  # pic_init_qp_minus26 -> qp 32
+    w.se(0); w.se(0)
+    w.u(1, 1); w.u(0, 1); w.u(0, 1)
+    w.rbsp_trailing()
+    pps32 = H._nal(8, w.tobytes())
+
+    idr = _hand_slice(mbs, wmb, hmb, 32, pps_id=1)
+    out = H.decode_i_frame([sps, pps26, pps32, idr])
+    assert (out == H.i16dc_recon_value(d, 32)).all()
+    assert H.i16dc_recon_value(d, 32) != H.i16dc_recon_value(d, 26)
+    # and the avcC record keeps both entries
+    rec = bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
+    rec += len(sps).to_bytes(2, "big") + sps
+    rec += bytes([2])
+    rec += len(pps26).to_bytes(2, "big") + pps26
+    rec += len(pps32).to_bytes(2, "big") + pps32
+    cfg = H.parse_avcc(rec)
+    assert set(cfg["pps_by_id"]) == {0, 1}
+    assert cfg["pps_by_id"][1]["pic_init_qp"] == 32
+    # end-to-end through the by-id maps
+    out2 = H.decode_i_frame([idr], cfg["sps_by_id"], cfg["pps_by_id"])
+    assert (out2 == out).all()
+
+
+def test_corrupt_crop_raises_instead_of_empty_frame():
+    w = H.BitWriter()
+    w.u(66, 8); w.u(0xC0, 8); w.u(30, 8)
+    w.ue(0); w.ue(0); w.ue(2); w.ue(1); w.u(0, 1)
+    w.ue(0)  # width 1 MB
+    w.ue(0)  # height 1 MB
+    w.u(1, 1); w.u(0, 1)
+    w.u(1, 1)   # frame_cropping
+    w.ue(0); w.ue(100); w.ue(0); w.ue(0)  # right crop eats the frame
+    w.u(0, 1)
+    w.rbsp_trailing()
+    with pytest.raises(H.H264Error, match="crop"):
+        H.parse_sps(w.tobytes())
