@@ -1064,3 +1064,45 @@ def test_corrupt_crop_raises_instead_of_empty_frame():
     w.rbsp_trailing()
     with pytest.raises(H.H264Error, match="crop"):
         H.parse_sps(w.tobytes())
+
+
+def test_fuzz_corrupted_streams_never_leak_exceptions():
+    # the decode_frames contract at corpus scale: arbitrary corrupt bytes
+    # either decode to a valid array (mutation hit pixel payload) or
+    # raise within DECODE_ERRORS — never another exception type, never a
+    # hang (all VLC/level/ue reads are length-bounded)
+    from engine_spark.datapipe.multimodal import DECODE_ERRORS
+
+    rng = random.Random(2024)
+    streams = []
+    for dc, idc in ((160, 1), (480, 0), (-300, 2)):
+        sn, pn, _ = H.encode_solid_gray_stream(2, 2, dc, 26)
+        mbs = [("i16", 2, [dc] + [0] * 15, None)] + [("i16", 2, [0] * 16, None)] * 3
+        streams.append((sn, pn, H.encode_i_frame(mbs, 2, 2, 26, deblock_idc=idc)))
+    mbs_i4 = []
+    for _mb in range(4):
+        coeffs = [[rng.randint(-5, 5) if rng.random() < 0.4 else 0
+                   for _ in range(16)] for _ in range(16)]
+        mbs_i4.append(("i4", [2] * 16,
+                       [c if any(c) else None for c in coeffs], None))
+    sn, pn = H.encode_sps_pps(2, 2)
+    streams.append((sn, pn, H.encode_i_frame(mbs_i4, 2, 2, 26, deblock_idc=0)))
+
+    for trial in range(600):
+        sn, pn, idr = streams[rng.randrange(len(streams))]
+        nals = [bytearray(sn), bytearray(pn), bytearray(idr)]
+        for _ in range(rng.randint(1, 6)):
+            nal = nals[rng.randrange(3)]
+            i = rng.randrange(len(nal))
+            op = rng.random()
+            if op < 0.5:
+                nal[i] ^= 1 << rng.randrange(8)
+            elif op < 0.8:
+                nal[i] = rng.randrange(256)
+            elif len(nal) > 4:
+                del nal[i : i + rng.randint(1, 4)]
+        try:
+            arr = H.decode_i_frame([bytes(n) for n in nals])
+            assert arr.dtype == np.uint8 and arr.ndim == 3
+        except DECODE_ERRORS:
+            pass
