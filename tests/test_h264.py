@@ -1106,3 +1106,45 @@ def test_fuzz_corrupted_streams_never_leak_exceptions():
             assert arr.dtype == np.uint8 and arr.ndim == 3
         except DECODE_ERRORS:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property: CAVLC block coding is a bijection on legal blocks
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _cavlc_block(draw):
+    kind = draw(st.sampled_from(["luma16", "luma15", "chroma_dc"]))
+    n = {"luma16": 16, "luma15": 15, "chroma_dc": 4}[kind]
+    maxc = 4 if n == 4 else n
+    tc = draw(st.integers(0, maxc))
+    pos = draw(st.permutations(range(n)).map(lambda p: sorted(p[:tc])))
+    coeffs = [0] * n
+    for p in pos:
+        coeffs[p] = draw(
+            st.integers(-100000, 100000).filter(lambda v: v != 0)
+        )
+    nC = -1 if n == 4 else draw(st.sampled_from([0, 1, 2, 3, 4, 5, 7, 8, 16, 30]))
+    return coeffs, nC, n
+
+
+@given(block=_cavlc_block())
+@settings(max_examples=400, deadline=None)
+def test_cavlc_bijection_property(block):
+    # ANY legal block (any positions, any magnitudes up to the escape
+    # range, any nC context) survives encode->decode bit-exactly, and
+    # the decode consumes exactly the bits the encode produced
+    coeffs, nC, n = block
+    w = H.BitWriter()
+    H.encode_residual_block(w, coeffs, nC)
+    n_bits = len(w.bits)
+    w.u(0, 32)
+    r = H.BitReader(w.tobytes())
+    got, tc = H.decode_residual_block(r, nC, n)
+    assert got == coeffs
+    assert tc == sum(1 for c in coeffs if c)
+    assert r.pos == n_bits
