@@ -1148,3 +1148,52 @@ def test_cavlc_bijection_property(block):
     assert got == coeffs
     assert tc == sum(1 for c in coeffs if c)
     assert r.pos == n_bits
+
+
+def test_decode_frames_under_structured_streaming(spark, tmp_path):
+    # media INGESTION shape: a binaryFile stream of arriving MP4s decodes
+    # through the same mapInPandas chain as batch — keyframe metadata and
+    # pixels flow from a stream source with no operator changes
+    from pyspark.sql import functions as F
+
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    media = tmp_path / "media"
+    media.mkdir()
+    expected = {}
+    for did, dc in ((0, 160), (1, 480), (2, -300)):
+        sps, pps, idr = H.encode_solid_gray_stream(2, 2, dc, 26)
+        avcc = H.build_avcc(sps, pps)
+        ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+        mp4 = encode_mp4(
+            [len(idr).to_bytes(4, "big") + idr], codec=b"avc1",
+            sample_entry_ext=ext,
+        )
+        (media / f"{did}.mp4").write_bytes(mp4)
+        v = H.i16dc_recon_value(dc, 26)
+        expected[did] = 3 * v * 32 * 32
+    src = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(str(media))
+    )
+    docs = src.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.mp4$", 1)
+        .cast("long").alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    q = (
+        decode_frames(docs, 1)
+        .writeStream.format("memory").queryName("h264_stream")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select doc_id, pix_sum from h264_stream order by doc_id"
+    ).collect()
+    assert {r["doc_id"]: r["pix_sum"] for r in rows} == expected
