@@ -278,6 +278,22 @@ def parse_pps(rbsp: bytes) -> dict:
     deblocking_control_present = r.flag()
     constrained_intra_pred = r.flag()
     redundant_pic_cnt_present = r.flag()
+    # Optional PPS extension tail (7.3.2.2, introduced with High profile).
+    # parse_sps accepts High-profile CAVLC streams (4:2:0/8-bit), so this
+    # tail is reachable and ignoring it would MISPARSE rather than degrade
+    # (ADVICE r10): transform_8x8_mode_flag=1 changes I-slice macroblock
+    # syntax (transform_size_8x8_flag per MB) and scaling matrices change
+    # dequant — both refuse loudly (the documented raise-to-NULL path);
+    # second_chroma_qp_index_offset only shifts the Cr QP, so it is
+    # HONORED (decode + deblock read it per component). Absent tail →
+    # inferred equal to chroma_qp_index_offset, as the spec requires.
+    second_chroma_qp_index_offset = chroma_qp_index_offset
+    if r.more_rbsp_data():
+        if r.flag():
+            raise H264Error("transform_8x8_mode unsupported (Baseline syntax)")
+        if r.flag():
+            raise H264Error("pic scaling matrices unsupported")
+        second_chroma_qp_index_offset = r.se()
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
@@ -287,6 +303,7 @@ def parse_pps(rbsp: bytes) -> dict:
         "deblocking_control_present": deblocking_control_present,
         "constrained_intra_pred": constrained_intra_pred,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
+        "second_chroma_qp_index_offset": second_chroma_qp_index_offset,
     }
 
 
@@ -371,13 +388,20 @@ def parse_avcc(avcc: bytes) -> dict:
     }
 
 
-def build_avcc(sps_nal: bytes, pps_nal: bytes, nal_length_size: int = 4) -> bytes:
-    """SPS/PPS NAL units (with NAL header byte) -> avcC record."""
-    return (
+def build_avcc(sps_nal: bytes, pps_nal: bytes, nal_length_size: int = 4,
+               extra_pps: tuple = ()) -> bytes:
+    """SPS/PPS NAL units (with NAL header byte) -> avcC record.
+    ``extra_pps`` appends further PPS NALs (multi-parameter-set files —
+    the fixture for decode_frames' by-id routing)."""
+    pps_all = (pps_nal, *extra_pps)
+    out = (
         bytes([1, sps_nal[1], sps_nal[2], sps_nal[3], 0xFC | (nal_length_size - 1), 0xE1])
         + struct.pack(">H", len(sps_nal)) + sps_nal
-        + bytes([1]) + struct.pack(">H", len(pps_nal)) + pps_nal
+        + bytes([len(pps_all)])
     )
+    for p in pps_all:
+        out += struct.pack(">H", len(p)) + p
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -561,10 +585,13 @@ def _coeff_token_write(w: BitWriter, nC: int, t1: int, tc: int) -> None:
     w.put([_CT_VLC0, _CT_VLC1, _CT_VLC2][ctx][(t1, tc)])
 
 
-def decode_residual_block(r: BitReader, nC: int, max_coeffs: int) -> list[int]:
-    """CAVLC residual block decode (9.2) -> coefficient levels in scan
-    order (zigzag for 4x4, raster for the 2x2 chroma DC), length
-    ``max_coeffs``."""
+def decode_residual_block(
+    r: BitReader, nC: int, max_coeffs: int
+) -> tuple[list[int], int]:
+    """CAVLC residual block decode (9.2) -> ``(levels, total_coeff)``:
+    the coefficient levels in scan order (zigzag for 4x4, raster for the
+    2x2 chroma DC), length ``max_coeffs``, plus the block's TotalCoeff
+    (the caller's nC bookkeeping input)."""
     t1, tc = _coeff_token_read(r, nC)
     if tc == 0:
         return [0] * max_coeffs, 0
@@ -1061,6 +1088,9 @@ class _Frame:
         # I_PCM per 8.7), the slice's disable idc and alpha/beta offsets
         self.mb_qp = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_cqpo = np.zeros((self.hmb, self.wmb), np.int32)
+        # Cr's own offset (PPS second_chroma_qp_index_offset; == mb_cqpo
+        # unless the PPS extension tail set it) — deblock reads per plane
+        self.mb_cqpo2 = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_deblock = np.ones((self.hmb, self.wmb), np.int32)
         self.mb_off_a = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_off_b = np.zeros((self.hmb, self.wmb), np.int32)
@@ -1215,6 +1245,7 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
         fr.mb_off_a[mby, mbx] = off_a
         fr.mb_off_b[mby, mbx] = off_b
         fr.mb_cqpo[mby, mbx] = pps["chroma_qp_index_offset"]
+        fr.mb_cqpo2[mby, mbx] = pps["second_chroma_qp_index_offset"]
         mb += 1
         if not r.more_rbsp_data():
             break
@@ -1393,8 +1424,15 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
             fr.y[bpy : bpy + 4, bpx : bpx + 4] = np.clip(blk, 0, 255)
             written[oy // 4, ox // 4] = True
 
-    qpc = chroma_qp(qp, pps["chroma_qp_index_offset"])
+    # Cb and Cr each dequantize at their OWN chroma QP (8.5.8: Cr uses
+    # second_chroma_qp_index_offset, inferred equal to the first when the
+    # PPS extension tail is absent)
+    qpc_by_comp = (
+        chroma_qp(qp, pps["chroma_qp_index_offset"]),
+        chroma_qp(qp, pps["second_chroma_qp_index_offset"]),
+    )
     for comp, plane in ((0, fr.cb), (1, fr.cr)):
+        qpc = qpc_by_comp[comp]
         top, left, corner = _chroma_neighbors(fr, plane, cx, cy, mbx, mby, slice_id)
         pred = _pred_chroma8x8(chroma_mode, top, left, corner)
         dc = chroma_dc_dequant(chroma_dc[comp], qpc) if cbp_chroma else np.zeros((2, 2), np.int64)
@@ -1515,9 +1553,14 @@ def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
 
 
 def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
-                   crop_bottom: int = 0, qp: int = 26) -> tuple[bytes, bytes]:
+                   crop_bottom: int = 0, qp: int = 26,
+                   second_cqpo: int | None = None,
+                   pps_id: int = 0, cqpo: int = 0) -> tuple[bytes, bytes]:
     """-> (sps_nal, pps_nal). Crop values in luma pixels (must be even:
-    4:2:0 crop units are 2 px)."""
+    4:2:0 crop units are 2 px). ``second_cqpo`` emits the PPS extension
+    tail (transform_8x8=0, no scaling matrices, the given
+    second_chroma_qp_index_offset) — the fixture for the honored-tail
+    decode path."""
     if crop_right % 2 or crop_bottom % 2:
         raise H264Error("crop must be even (4:2:0 crop units)")
     w = BitWriter()
@@ -1546,7 +1589,7 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
     sps_nal = _nal(7, w.tobytes())
 
     w = BitWriter()
-    w.ue(0)      # pps_id
+    w.ue(pps_id)
     w.ue(0)      # sps_id
     w.u(0, 1)    # entropy_coding_mode: CAVLC
     w.u(0, 1)    # bottom_field_pic_order_in_frame_present
@@ -1557,10 +1600,14 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
     w.u(0, 2)    # weighted_bipred_idc
     w.se(qp - 26)  # pic_init_qp_minus26
     w.se(0)      # pic_init_qs_minus26
-    w.se(0)      # chroma_qp_index_offset
+    w.se(cqpo)   # chroma_qp_index_offset
     w.u(1, 1)    # deblocking_filter_control_present
     w.u(0, 1)    # constrained_intra_pred
     w.u(0, 1)    # redundant_pic_cnt_present
+    if second_cqpo is not None:  # PPS extension tail (7.3.2.2)
+        w.u(0, 1)  # transform_8x8_mode_flag
+        w.u(0, 1)  # pic_scaling_matrix_present_flag
+        w.se(second_cqpo)
     w.rbsp_trailing()
     return sps_nal, _nal(8, w.tobytes())
 
@@ -1911,10 +1958,14 @@ def deblock_frame(fr: _Frame) -> None:
                     _filter_edge_luma(fr.y, px + 4 * e, py + 4 * seg, 1, 0,
                                       bs, qpa, off_a, off_b)
                 if e in (0, 2):
-                    cqpo = int(fr.mb_cqpo[mby, mbx])
-                    qpc_a = (chroma_qp(qp_cur, cqpo)
-                             + chroma_qp(qp_n, cqpo) + 1) >> 1
-                    for plane in (fr.cb, fr.cr):
+                    # per-plane offsets: Cr deblocks at its own QPc when
+                    # the PPS set second_chroma_qp_index_offset (8.7.2)
+                    for plane, cqpo in (
+                        (fr.cb, int(fr.mb_cqpo[mby, mbx])),
+                        (fr.cr, int(fr.mb_cqpo2[mby, mbx])),
+                    ):
+                        qpc_a = (chroma_qp(qp_cur, cqpo)
+                                 + chroma_qp(qp_n, cqpo) + 1) >> 1
                         for seg in range(4):
                             _filter_edge_chroma(plane, cx + 2 * e,
                                                 cy + 2 * seg, 1, 0, bs,
@@ -1933,10 +1984,12 @@ def deblock_frame(fr: _Frame) -> None:
                     _filter_edge_luma(fr.y, px + 4 * seg, py + 4 * e, 0, 1,
                                       bs, qpa, off_a, off_b)
                 if e in (0, 2):
-                    cqpo = int(fr.mb_cqpo[mby, mbx])
-                    qpc_a = (chroma_qp(qp_cur, cqpo)
-                             + chroma_qp(qp_n, cqpo) + 1) >> 1
-                    for plane in (fr.cb, fr.cr):
+                    for plane, cqpo in (
+                        (fr.cb, int(fr.mb_cqpo[mby, mbx])),
+                        (fr.cr, int(fr.mb_cqpo2[mby, mbx])),
+                    ):
+                        qpc_a = (chroma_qp(qp_cur, cqpo)
+                                 + chroma_qp(qp_n, cqpo) + 1) >> 1
                         for seg in range(4):
                             _filter_edge_chroma(plane, cx + 2 * seg,
                                                 cy + 2 * e, 0, 1, bs,

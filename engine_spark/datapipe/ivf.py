@@ -388,13 +388,17 @@ def ivf_index_add_batch(
 
     from engine_spark.datapipe import fragments as FR
     from engine_spark.datapipe.fragments import Dialect
-    from engine_spark.fsio import HadoopFS
+    from engine_spark.fsio import EpochLog, HadoopFS
 
     SP = Dialect("spark")
     fs = HadoopFS(spark, path)
-    final = f"{path}/epochs/epoch-{int(epoch_id):010d}"
-    if fs.exists(final):
-        return  # crash replay of a committed epoch
+    log = EpochLog(fs, f"{path}/epochs")
+    final = log.path(epoch_id)
+    if log.committed(epoch_id):
+        # crash replay of a committed epoch — including one whose dir a
+        # later compaction already merged away (the sidecar's merged-id
+        # set proves it); re-ingesting would duplicate its vectors
+        return
     meta = json.loads(fs.read_bytes(f"{path}/codebook.json").decode())
     cents, full_dim, cell_dim = meta["cents"], meta["full_dim"], meta["cell_dim"]
     e = vectors.select(
@@ -410,22 +414,83 @@ def ivf_index_add_batch(
 
 
 def _ivf_index_vectors(spark, path: str) -> DataFrame:
-    """The full persisted index: the base build UNION every committed
+    """The full persisted index: the base build UNION every CANONICAL
     ingest epoch (each side keeps its own cell partitioning for pruning).
-    Epoch reads use the base build's EXPLICIT schema — an epoch whose
-    micro-batch was empty is a dir with only _SUCCESS, where schema
-    inference would throw but an explicit schema reads as zero rows."""
-    from engine_spark.fsio import HadoopFS
+    The epoch set resolves through the shared ``EpochLog`` shadowing
+    protocol, so a compacted ``-c`` dir replaces its merged victims even
+    while a deferred vacuum leaves them on disk — reading both would
+    duplicate candidate rows and corrupt top-k ranks. Epoch reads use
+    the base build's EXPLICIT schema — an epoch whose micro-batch was
+    empty is a dir with only _SUCCESS, where schema inference would
+    throw but an explicit schema reads as zero rows."""
+    from engine_spark.fsio import EpochLog, HadoopFS
 
     fs = HadoopFS(spark, path)
     vec = spark.read.parquet(f"{path}/vectors")
-    epochs = sorted(
-        name
-        for name, is_dir in fs.list_names(f"{path}/epochs")
-        if is_dir and name.startswith("epoch-")
-    )
-    for name in epochs:
-        vec = vec.unionByName(
-            spark.read.schema(vec.schema).parquet(f"{path}/epochs/{name}")
-        )
+    for _, epath in EpochLog(fs, f"{path}/epochs").canonical():
+        vec = vec.unionByName(spark.read.schema(vec.schema).parquet(epath))
     return vec
+
+
+def ivf_index_compact(spark, path: str, upto_epoch: int,
+                      vacuum: bool = True) -> int:
+    """Merge every canonical ingest epoch with id <= ``upto_epoch`` into
+    ONE ``epoch-<upto>-c`` dir (cell-partitioned, like every epoch), then
+    remove the originals. Returns the number of dirs merged.
+
+    This is the IVF face of the BM25 store's compaction contract
+    (retrieval_store.py): a long-lived ingest stream otherwise
+    accumulates one cell-partitioned dir per micro-batch FOREVER — the
+    listing-bound regime compaction exists to prevent; at 100 TB the
+    probed-cell partition pruning is per-epoch-dir, so epoch count
+    multiplies both listing cost and per-query file opens. Protocol
+    properties, all via the shared ``EpochLog``:
+
+    - publish-first + listing-time shadowing: a crash between the ``-c``
+      publish and victim removal is harmless (shadowed dirs are never
+      read — duplicated vectors WOULD duplicate top-k candidates, so
+      shadow resolution is mandatory, exactly like BM25's tf
+      double-count);
+    - replay-safe: the watermark must be strictly below the newest
+      committed epoch and must name an actually-ingested one;
+    - ``vacuum=False`` defers victim removal for SNAPSHOT ISOLATION — an
+      in-flight search keeps reading its intact (bit-identical: the
+      merge only re-groups rows) pre-compaction snapshot, and a later
+      :func:`ivf_index_vacuum` reclaims the shadowed dirs after a grace
+      period longer than the slowest query (the Delta/Iceberg VACUUM
+      contract).
+    """
+    import json
+
+    from engine_spark.fsio import EpochLog, HadoopFS, publish_parquet_dir
+
+    fs = HadoopFS(spark, path)
+    log = EpochLog(fs, f"{path}/epochs")
+    victims = log.compact_victims(upto_epoch)
+    if len(victims) <= 1:
+        return 0
+    schema = spark.read.parquet(f"{path}/vectors").schema
+    merged = spark.read.schema(schema).parquet(victims[0][1])
+    for _, p in victims[1:]:
+        merged = merged.unionByName(spark.read.schema(schema).parquet(p))
+    stats = {"epochs": sorted(log.merged_ids(victims))}
+    final = log.path(upto_epoch, compacted=True)
+    if not publish_parquet_dir(
+        fs, merged, path, final,
+        partition_by="cell",
+        sidecar=("_stats.json", json.dumps(stats).encode()),
+    ):
+        raise RuntimeError(f"compaction publish to {final} failed")
+    if vacuum:
+        for _, p in victims:
+            fs.delete(p)
+    return len(victims)
+
+
+def ivf_index_vacuum(spark, path: str) -> int:
+    """Delete every ingest-epoch dir shadowed by the maximal ``-c`` dir
+    (see ``EpochLog.vacuum`` for the grace-period caller contract).
+    Returns the number of dirs removed."""
+    from engine_spark.fsio import EpochLog, HadoopFS
+
+    return EpochLog(HadoopFS(spark, path), f"{path}/epochs").vacuum()

@@ -1780,13 +1780,17 @@ def decode_frames(
                         # and deblocking-dependent samples raise inside and
                         # degrade to the honest NULL row
                         try:
+                            # pass the FULL by-id parameter-set maps, not
+                            # first-of-each: a sample whose slices
+                            # reference a non-first pps_id would otherwise
+                            # degrade to NULL unnecessarily (ADVICE r10)
                             arr = h264.decode_i_frame(
                                 h264.split_avcc_sample(
                                     b[o : o + sz],
                                     avc_cfg["nal_length_size"],
                                 ),
-                                avc_cfg["sps"],
-                                avc_cfg["pps"],
+                                avc_cfg["sps_by_id"],
+                                avc_cfg["pps_by_id"],
                             )
                         except DECODE_ERRORS:
                             arr = None

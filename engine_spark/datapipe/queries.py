@@ -2876,9 +2876,11 @@ def _pq_oracle() -> str:
     doc=(
         "Hybrid retrieval composed from BOTH persisted stores — the "
         "incremental BM25 postings store (two exactly-once epochs) and "
-        "the persisted IVF index (base build + one frozen-codebook ingest "
-        "epoch, searches partition-pruned to the probed cells) — fused "
-        "with the gate-shared fuse_rrf. The trained codebook is not "
+        "the persisted IVF index (base build + THREE frozen-codebook "
+        "ingest epochs, the first two compacted with deferred vacuum and "
+        "then vacuumed — the full epoch-compaction lifecycle, VERDICT "
+        "r10 task #1 — searches partition-pruned to the probed cells) — "
+        "fused with the gate-shared fuse_rrf. The trained codebook is not "
         "SQL-expressible (same adjudication as ann_ivf_trained), so the "
         "gate emits a per-seed PARITY FACT instead: the store-composed "
         "ranking must be row-identical (null-safe on every rank and "
@@ -2896,6 +2898,8 @@ def q_search_hybrid_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     from engine_spark.datapipe.ivf import (
         ivf_index_add_batch,
         ivf_index_build,
+        ivf_index_compact,
+        ivf_index_vacuum,
         ivf_search,
     )
     from engine_spark.datapipe.retrieval_store import (
@@ -2913,10 +2917,20 @@ def q_search_hybrid_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         bm25.add_batch(docs.filter(F.col("doc_id") % 2 == eid), eid)
     ivf_path = f"file://{root}/ivf"
     cents = ivf_index_build(
-        spark, emb.filter(F.col("vec_id") % 2 == 0), ivf_path,
+        spark, emb.filter(F.col("vec_id") % 4 == 0), ivf_path,
         full_dim=EMB_DIM, cell_dim=LSH_PROJ_DIM, k=IVF_K, iters=3,
     )
-    ivf_index_add_batch(spark, emb.filter(F.col("vec_id") % 2 == 1), ivf_path, 0)
+    # three ingest epochs, then the full compaction lifecycle: epochs 0-1
+    # merge into epoch-1-c with deferred vacuum (snapshot isolation —
+    # shadowing resolves the canonical set while victims stay on disk),
+    # then vacuum reclaims the shadowed dirs; the parity twin below
+    # proves the compacted store still ranks bit-identically
+    for eid in range(3):
+        ivf_index_add_batch(
+            spark, emb.filter(F.col("vec_id") % 4 == eid + 1), ivf_path, eid
+        )
+    ivf_index_compact(spark, ivf_path, 1, vacuum=False)
+    ivf_index_vacuum(spark, ivf_path)
 
     # --- seed queries: each seed's RRF_QTERMS rarest distinct terms ---
     # (corpus-derived, identical for store and twin by construction)

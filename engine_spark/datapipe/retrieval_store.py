@@ -57,7 +57,7 @@ from pyspark.sql import functions as F
 
 from engine_spark.datapipe import fragments as FR
 from engine_spark.datapipe.fragments import Dialect
-from engine_spark.fsio import HadoopFS
+from engine_spark.fsio import EpochLog, HadoopFS
 
 _SP = Dialect("spark")
 
@@ -85,6 +85,7 @@ class IncrementalBM25Index:
         self.post_dir = f"{self.state_dir}/postings"
         self._fs = HadoopFS(spark, self.state_dir)
         self._fs.mkdirs(self.post_dir)
+        self._log = EpochLog(self._fs, self.post_dir)
         # The bucket count is PART OF THE STORE'S ON-DISK LAYOUT: postings
         # written under one modulus are unreachable through another (the
         # pruning filter would look in the wrong partitions and silently
@@ -110,58 +111,21 @@ class IncrementalBM25Index:
             )
 
     # -- state ----------------------------------------------------------
+    # Listing / commit / compaction-watermark bookkeeping delegates to the
+    # shared EpochLog (fsio.py) — one shadow-resolution protocol for the
+    # BM25 postings store and the persisted IVF index's ingest epochs.
     def _epoch_path(self, epoch_id: int, compacted: bool = False) -> str:
-        suffix = "-c" if compacted else ""
-        return f"{self.post_dir}/epoch-{int(epoch_id):010d}{suffix}"
+        return self._log.path(epoch_id, compacted)
 
     def committed(self, epoch_id: int) -> bool:
-        """An epoch is provably committed when its dir exists or the
-        compaction sidecar's MERGED-ID SET contains it. A HIGHER plain
-        epoch proves nothing (epoch counters restart when a stream's
-        checkpoint is rebuilt; out-of-order ids are legal on the
-        batch-loop API), and an id merely BELOW the compaction watermark
-        proves nothing either — a never-ingested id under the watermark
-        must still be ingestable later."""
-        if self._fs.exists(self._epoch_path(epoch_id)):
-            return True
-        return epoch_id in self._compacted_ids(self._entries())
-
-    def _compacted_ids(self, entries) -> set[int]:
-        """Epoch ids merged into the maximal -c dir (from its sidecar)."""
-        cut = max((eid for eid, c, _ in entries if c), default=-1)
-        if cut < 0:
-            return set()
-        path = self._epoch_path(cut, compacted=True)
-        s = json.loads(self._fs.read_bytes(f"{path}/_stats.json").decode())
-        return set(s["epochs"])
-
-    def _entries(self) -> list[tuple[int, bool, str]]:
-        entries = []
-        for name, is_dir in self._fs.list_names(self.post_dir):
-            if not (is_dir and name.startswith("epoch-")):
-                continue
-            sid = name.split("-", 1)[1]
-            compacted = sid.endswith("-c")
-            entries.append((int(sid[:-2] if compacted else sid), compacted, name))
-        return entries
+        """True when the epoch's dir exists or the compaction sidecar's
+        merged-id set contains it (see ``EpochLog.committed``)."""
+        return self._log.committed(epoch_id)
 
     def _epochs(self) -> list[tuple[int, str]]:
-        """Canonical (epoch_id, dir) list: only the MAXIMAL ``-c`` dir
-        counts, and it SHADOWS exactly the ids in its sidecar's merged
-        set (a crash between compaction publish and victim removal leaves
-        those dirs behind; reading them would double-count tf, so they
-        are resolved away at listing time). A plain epoch BELOW the
-        watermark whose id is NOT in the merged set is a legitimate
-        late out-of-order ingest and stays readable.
-        """
-        entries = self._entries()
-        cut = max((eid for eid, c, _ in entries if c), default=-1)
-        merged = self._compacted_ids(entries)
-        return sorted(
-            (eid, f"{self.post_dir}/{name}")
-            for eid, c, name in entries
-            if (c and eid == cut) or (not c and eid not in merged)
-        )
+        """Canonical (epoch_id, dir) list with ``-c`` shadow resolution
+        (see ``EpochLog.canonical``)."""
+        return self._log.canonical()
 
     def _publish(self, postings: DataFrame, stats: dict, final: str) -> bool:
         from engine_spark.fsio import publish_parquet_dir
@@ -295,43 +259,28 @@ class IncrementalBM25Index:
         them), while every listing AFTER the -c publish resolves to the
         compacted set via shadowing. The caller grants a grace period
         longer than its slowest query before vacuuming, exactly the
-        Delta/Iceberg VACUUM contract."""
-        epochs = self._epochs()
-        newest = max((eid for eid, _ in epochs), default=-1)
-        if upto_epoch >= newest:
-            raise ValueError(
-                f"compact(upto_epoch={upto_epoch}) must be strictly below "
-                f"the newest committed epoch ({newest})"
-            )
-        if upto_epoch not in {eid for eid, _ in epochs}:
-            # the watermark must be an ACTUALLY-INGESTED epoch: after the
-            # merge, per-id existence below the watermark survives only in
-            # the sidecar's merged-id set, and a watermark at a phantom id
-            # would make committed() undecidable for it
-            raise ValueError(
-                f"compact(upto_epoch={upto_epoch}) must name a committed "
-                "epoch (out-of-order ingests below a phantom watermark "
-                "would be silently dropped)"
-            )
-        final = self._epoch_path(upto_epoch, compacted=True)
-        if self._fs.exists(final):
-            raise ValueError(
-                f"already compacted at epoch {upto_epoch}; pick a higher one"
-            )
-        victims = [(eid, p) for eid, p in epochs if eid <= upto_epoch]
+        Delta/Iceberg VACUUM contract.
+
+        Validation (stale/phantom/too-high watermarks) and shadow
+        bookkeeping are the shared ``EpochLog`` protocol; only the merge
+        itself — postings union + summed stats — is BM25-specific."""
+        victims = self._log.compact_victims(upto_epoch)
         if len(victims) <= 1:
             return 0
         merged = self._read_epoch(victims[0][1])
         for _, p in victims[1:]:
             merged = merged.unionByName(self._read_epoch(p))
         n, t = 0, 0
-        merged_ids: set[int] = set()  # prior -c victims carry their own list
-        for eid, p in victims:
+        for _, p in victims:
             s = json.loads(self._fs.read_bytes(f"{p}/_stats.json").decode())
             n += s["n_docs"]
             t += s["total_len"]
-            merged_ids.update(s.get("epochs", [eid]))
-        stats = {"n_docs": n, "total_len": t, "epochs": sorted(merged_ids)}
+        stats = {
+            "n_docs": n,
+            "total_len": t,
+            "epochs": sorted(self._log.merged_ids(victims)),
+        }
+        final = self._epoch_path(upto_epoch, compacted=True)
         if not self._publish(merged, stats, final):
             raise RuntimeError(f"compaction publish to {final} failed")
         if vacuum:
@@ -340,25 +289,9 @@ class IncrementalBM25Index:
         return len(victims)
 
     def vacuum(self) -> int:
-        """Delete every epoch dir shadowed by the maximal ``-c`` dir (its
-        merged plain epochs, plus any lower stale ``-c`` dirs a crash left
-        behind). Returns the number of dirs removed. Caller contract: run
-        only when no in-flight query's epoch listing predates the newest
-        compaction publish — in a live service, a grace period longer
-        than the slowest query (see :meth:`compact`)."""
-        entries = self._entries()
-        cut = max((eid for eid, c, _ in entries if c), default=-1)
-        if cut < 0:
-            return 0
-        merged = self._compacted_ids(entries)
-        victims = [
-            name
-            for eid, c, name in entries
-            if (c and eid < cut) or (not c and eid in merged)
-        ]
-        for name in victims:
-            self._fs.delete(f"{self.post_dir}/{name}")
-        return len(victims)
+        """Delete every epoch dir shadowed by the maximal ``-c`` dir (see
+        ``EpochLog.vacuum`` for the grace-period caller contract)."""
+        return self._log.vacuum()
 
 
 def hybrid_search_incremental(

@@ -182,6 +182,159 @@ def executor_read_small_files(dir_path: str, suffix: str = ".json") -> list[byte
     return out
 
 
+class EpochLog:
+    """Shadow-resolving epoch-directory bookkeeping shared by the
+    incremental stores (the BM25 postings store and the persisted IVF
+    index's ingest epochs).
+
+    Layout contract under ``root``:
+
+    - a committed ingest epoch is a dir ``epoch-<10-digit-id>``;
+    - a compaction publishes ``epoch-<id>-c`` whose ``_stats.json``
+      sidecar records the merged plain-epoch ids under ``"epochs"``
+      (plus any store-specific stats the caller chooses to keep there);
+    - the CANONICAL epoch set is resolved at LISTING time: only the
+      maximal ``-c`` dir counts, and it shadows exactly the ids in its
+      sidecar's merged set — so a crash between a compaction publish
+      and victim removal (or a deferred ``vacuum``) never double-reads
+      an epoch, and a late out-of-order ingest below the watermark
+      stays readable.
+
+    The stores keep their own ``compact`` (the merge itself is
+    store-specific — postings union + stats vs cell-partitioned
+    vectors) but share this class for every listing/commit/validation
+    decision, so a protocol fix lands once (cf. ``publish_parquet_dir``).
+    """
+
+    def __init__(self, fs: "HadoopFS", root: str):
+        self.fs = fs
+        self.root = root.rstrip("/")
+
+    def path(self, epoch_id: int, compacted: bool = False) -> str:
+        suffix = "-c" if compacted else ""
+        return f"{self.root}/epoch-{int(epoch_id):010d}{suffix}"
+
+    def entries(self) -> list[tuple[int, bool, str]]:
+        """Every epoch dir on disk as (epoch_id, is_compacted, name)."""
+        out = []
+        for name, is_dir in self.fs.list_names(self.root):
+            if not (is_dir and name.startswith("epoch-")):
+                continue
+            sid = name.split("-", 1)[1]
+            compacted = sid.endswith("-c")
+            out.append((int(sid[:-2] if compacted else sid), compacted, name))
+        return out
+
+    def compacted_ids(self, entries=None) -> set[int]:
+        """Epoch ids merged into the maximal ``-c`` dir (its sidecar)."""
+        import json
+
+        if entries is None:
+            entries = self.entries()
+        cut = max((eid for eid, c, _ in entries if c), default=-1)
+        if cut < 0:
+            return set()
+        path = self.path(cut, compacted=True)
+        s = json.loads(self.fs.read_bytes(f"{path}/_stats.json").decode())
+        return set(s["epochs"])
+
+    def canonical(self) -> list[tuple[int, str]]:
+        """Canonical (epoch_id, dir) list: only the MAXIMAL ``-c`` dir
+        counts, and it SHADOWS exactly the ids in its sidecar's merged
+        set (a crash between compaction publish and victim removal
+        leaves those dirs behind; reading them would double-count, so
+        they are resolved away at listing time). A plain epoch BELOW
+        the watermark whose id is NOT in the merged set is a legitimate
+        late out-of-order ingest and stays readable."""
+        entries = self.entries()
+        cut = max((eid for eid, c, _ in entries if c), default=-1)
+        merged = self.compacted_ids(entries)
+        return sorted(
+            (eid, f"{self.root}/{name}")
+            for eid, c, name in entries
+            if (c and eid == cut) or (not c and eid not in merged)
+        )
+
+    def committed(self, epoch_id: int) -> bool:
+        """An epoch is provably committed when its dir exists or the
+        compaction sidecar's MERGED-ID SET contains it. A HIGHER plain
+        epoch proves nothing (epoch counters restart when a stream's
+        checkpoint is rebuilt; out-of-order ids are legal on the
+        batch-loop API), and an id merely BELOW the compaction
+        watermark proves nothing either — a never-ingested id under
+        the watermark must still be ingestable later."""
+        if self.fs.exists(self.path(epoch_id)):
+            return True
+        return epoch_id in self.compacted_ids()
+
+    def compact_victims(self, upto_epoch: int) -> list[tuple[int, str]]:
+        """Validate a compaction watermark and return the victim set
+        (canonical epochs with id <= ``upto_epoch``). Raises ValueError
+        with the stores' shared distinguishable messages: a stale
+        watermark ("already compacted"), a watermark at/above the
+        newest replayable epoch, or a phantom (never-ingested) id."""
+        epochs = self.canonical()
+        newest = max((eid for eid, _ in epochs), default=-1)
+        if upto_epoch >= newest:
+            raise ValueError(
+                f"compact(upto_epoch={upto_epoch}) must be strictly below "
+                f"the newest committed epoch ({newest}): the newest batch "
+                "is the one foreachBatch may still replay"
+            )
+        if upto_epoch not in {eid for eid, _ in epochs}:
+            # the watermark must be an ACTUALLY-INGESTED epoch: after the
+            # merge, per-id existence below the watermark survives only in
+            # the sidecar's merged-id set, and a watermark at a phantom id
+            # would make committed() undecidable for it
+            raise ValueError(
+                f"compact(upto_epoch={upto_epoch}) must name a committed "
+                "epoch (out-of-order ingests below a phantom watermark "
+                "would be silently dropped)"
+            )
+        if self.fs.exists(self.path(upto_epoch, compacted=True)):
+            raise ValueError(
+                f"already compacted at epoch {upto_epoch}; pick a higher one"
+            )
+        return [(eid, p) for eid, p in epochs if eid <= upto_epoch]
+
+    def merged_ids(self, victims: list[tuple[int, str]]) -> set[int]:
+        """The plain-epoch ids a compaction over ``victims`` covers: a
+        victim that is itself a ``-c`` dir contributes its sidecar's
+        merged set, a plain victim contributes its own id (sidecar-less
+        epochs — the IVF store's — fall back to the id)."""
+        import json
+
+        out: set[int] = set()
+        for eid, p in victims:
+            try:
+                s = json.loads(self.fs.read_bytes(f"{p}/_stats.json").decode())
+                out.update(s.get("epochs", [eid]))
+            except Exception:  # noqa: BLE001 - plain epoch without sidecar
+                out.add(eid)
+        return out
+
+    def vacuum(self) -> int:
+        """Delete every epoch dir shadowed by the maximal ``-c`` dir (its
+        merged plain epochs, plus any lower stale ``-c`` dirs a crash
+        left behind). Returns the number of dirs removed. Caller
+        contract: run only when no in-flight query's epoch listing
+        predates the newest compaction publish — in a live service, a
+        grace period longer than the slowest query."""
+        entries = self.entries()
+        cut = max((eid for eid, c, _ in entries if c), default=-1)
+        if cut < 0:
+            return 0
+        merged = self.compacted_ids(entries)
+        victims = [
+            name
+            for eid, c, name in entries
+            if (c and eid < cut) or (not c and eid in merged)
+        ]
+        for name in victims:
+            self.fs.delete(f"{self.root}/{name}")
+        return len(victims)
+
+
 def publish_parquet_dir(
     fs: "HadoopFS",
     df,

@@ -3439,3 +3439,100 @@ def test_bm25_store_search_concurrent_with_compaction(spark, tmp_path):
     assert idx.vacuum() == 2
     assert [eid for eid, _ in idx._epochs()] == [2, 3]
     assert sorted(map(tuple, idx.search(qdf, topk=BM25_TOPK).collect())) == want
+
+
+def test_ivf_store_compaction_snapshot_isolation(spark, tmp_path):
+    """IVF ingest-epoch compaction (VERDICT r10 task #1) under the same
+    deterministic list-then-read interleave as the BM25 store: a search
+    PLANS its scan from the epoch listing resolved at build time, then
+    compaction publishes the -c dir underneath it before the scan
+    EXECUTES. With vacuum=False the victims stay on disk, so
+
+    - the in-flight search reads its intact pre-compaction snapshot and
+      returns bit-equal results (compaction only re-groups vectors);
+    - a listing AFTER the publish resolves to the compacted set (the -c
+      dir shadows its victims even while they still exist — reading
+      both would DUPLICATE top-k candidates);
+    - ivf_index_vacuum() after the grace period removes exactly the
+      shadowed dirs, and searches keep returning the same results;
+    - a replay of a compacted-away epoch stays a no-op (committed()
+      proves it from the sidecar's merged-id set).
+    """
+    from engine_spark.datapipe.ivf import (
+        _ivf_index_vectors,
+        ivf_index_add_batch,
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_index_search,
+        ivf_index_vacuum,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = f"file://{tmp_path}/ivf_compact"
+    cents = ivf_index_build(
+        spark, emb.filter(F.col("vec_id") % 4 == 0), path,
+        full_dim=64, cell_dim=16, k=8, iters=2,
+    )
+    for eid in range(3):  # three ingest epochs: residues 1, 2, 3
+        ivf_index_add_batch(
+            spark, emb.filter(F.col("vec_id") % 4 == eid + 1), path, eid
+        )
+    want = sorted(
+        map(tuple, ivf_index_search(spark, path, n_queries=5, topk=3).collect())
+    )
+    # the store answer is the LIVE answer over the union corpus (parity
+    # anchor: compaction must preserve exactly this)
+    live = ivf_search(
+        emb, cents, full_dim=64, cell_dim=16, n_queries=5, nprobe=2, topk=3
+    )
+    assert want == sorted(map(tuple, live.collect()))
+
+    # t0: an in-flight query resolves its listing (lazy plan pins paths)
+    in_flight = ivf_index_search(spark, path, n_queries=5, topk=3)
+
+    # t1: compaction publishes epoch-1-c; victims stay (deferred vacuum)
+    assert ivf_index_compact(spark, path, 1, vacuum=False) == 2
+    ep = tmp_path / "ivf_compact" / "epochs"
+    assert (ep / "epoch-0000000000").exists()  # victim still on disk
+    assert (ep / "epoch-0000000001-c").exists()
+    # shadow resolution: canonical row count equals the full corpus (no
+    # double-counting of the still-present victims)
+    assert _ivf_index_vectors(spark, path).count() == emb.count()
+
+    # t2: the in-flight query executes AFTER the publish — snapshot intact
+    assert sorted(map(tuple, in_flight.collect())) == want
+    # a fresh search (post-publish listing) agrees bit-for-bit
+    assert sorted(
+        map(tuple, ivf_index_search(spark, path, n_queries=5, topk=3).collect())
+    ) == want
+
+    # replay of a merged-away epoch: committed() proves it from the
+    # sidecar, so the ingest is a no-op (no duplicate vectors)
+    ivf_index_add_batch(spark, emb.filter(F.col("vec_id") % 4 == 1), path, 0)
+    assert _ivf_index_vectors(spark, path).count() == emb.count()
+
+    # t3: grace over — vacuum reclaims exactly the two shadowed epochs
+    assert ivf_index_vacuum(spark, path) == 2
+    assert not (ep / "epoch-0000000000").exists()
+    assert not (ep / "epoch-0000000001").exists()
+    assert ivf_index_vacuum(spark, path) == 0  # idempotent
+    assert sorted(
+        map(tuple, ivf_index_search(spark, path, n_queries=5, topk=3).collect())
+    ) == want
+
+    # watermark validation shares the BM25 store's distinguishable errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strictly below"):
+        ivf_index_compact(spark, path, 2)  # newest epoch: still replayable
+    with _pytest.raises(ValueError, match="already compacted"):
+        ivf_index_compact(spark, path, 1)  # stale watermark
+    # a later compaction folds the -c dir + epoch 2 together; vacuum
+    # reclaims the stale lower -c dir and searches still agree
+    ivf_index_add_batch(spark, emb.filter(F.lit(False)), path, 3)  # empty
+    assert ivf_index_compact(spark, path, 2, vacuum=False) == 2
+    assert ivf_index_vacuum(spark, path) == 2
+    assert sorted(
+        map(tuple, ivf_index_search(spark, path, n_queries=5, topk=3).collect())
+    ) == want

@@ -1197,3 +1197,97 @@ def test_decode_frames_under_structured_streaming(spark, tmp_path):
         "select doc_id, pix_sum from h264_stream order by doc_id"
     ).collect()
     assert {r["doc_id"]: r["pix_sum"] for r in rows} == expected
+
+
+# ---------------------------------------------------------------------------
+# PPS extension tail (7.3.2.2) + multi-parameter-set routing — ADVICE r10
+# ---------------------------------------------------------------------------
+
+
+def test_pps_extension_tail_parsed_and_second_cqpo_honored():
+    """A PPS carrying the optional extension tail must PARSE it instead of
+    ignoring it (a High-profile CAVLC stream would otherwise misdecode
+    silently): transform_8x8 / scaling matrices refuse loudly, and
+    second_chroma_qp_index_offset is HONORED — Cr dequantizes at its own
+    QP while Cb keeps the first offset."""
+    # tail with second offset == 0 parses and decodes bit-identically to
+    # the tail-less stream
+    base_sps, base_pps = H.encode_sps_pps(1, 1, qp=26)
+    tail_pps = H.encode_sps_pps(1, 1, qp=26, second_cqpo=0)[1]
+    pp = H.parse_pps(H.rbsp_unescape(tail_pps[1:]))
+    assert pp["second_chroma_qp_index_offset"] == 0
+    # absent tail → inferred equal to chroma_qp_index_offset (spec 7.4.2.2)
+    pp0 = H.parse_pps(H.rbsp_unescape(base_pps[1:]))
+    assert (pp0["second_chroma_qp_index_offset"]
+            == pp0["chroma_qp_index_offset"])
+
+    # one-MB frame with a Cr-only chroma DC residual: the Cr plane is the
+    # only thing a second offset can change
+    cdc = ([0, 0, 0, 0], [40, 0, 0, 0])  # (cb, cr) 2x2 DC levels
+    mbs = [("i16", 2, [0] * 16, cdc)]
+    idr = H.encode_i_frame(mbs, 1, 1, 26)
+    dec_plain = H.decode_i_frame([base_sps, base_pps, idr])
+    dec_tail0 = H.decode_i_frame([base_sps, tail_pps, idr])
+    assert (dec_plain == dec_tail0).all()
+
+    # nonzero second offset: Cr decodes at chroma_qp(26, 12) != chroma_qp(26, 0)
+    tail12 = H.encode_sps_pps(1, 1, qp=26, second_cqpo=12)[1]
+    dec_tail12 = H.decode_i_frame([base_sps, tail12, idr])
+    assert not (dec_tail12 == dec_plain).all()
+    # exactness of the routing: for a Cr-ONLY residual (deblock off, flat
+    # prediction), decoding with second_cqpo=12 must equal decoding with
+    # the FIRST offset at 12 — the first offset demonstrably reaches the
+    # dequant path, so bit-equality proves the second offset reaches the
+    # same path for Cr
+    first12 = H.encode_sps_pps(1, 1, qp=26, cqpo=12)[1]
+    assert (dec_tail12 == H.decode_i_frame([base_sps, first12, idr])).all()
+
+    # a Cb-only residual must be IMMUNE to the second offset (it would
+    # not be if the tail offset were applied to both planes)
+    cdc_cb = ([40, 0, 0, 0], [0, 0, 0, 0])
+    idr_cb = H.encode_i_frame([("i16", 2, [0] * 16, cdc_cb)], 1, 1, 26)
+    assert (
+        H.decode_i_frame([base_sps, tail12, idr_cb])
+        == H.decode_i_frame([base_sps, base_pps, idr_cb])
+    ).all()
+
+    # refused tail features raise (the documented NULL-degradation path)
+    w = H.BitWriter()
+    w.ue(0); w.ue(0)              # pps_id, sps_id
+    w.u(0, 1); w.u(0, 1)          # CAVLC, bottom_field
+    w.ue(0); w.ue(0); w.ue(0)     # slice groups, ref_idx l0/l1
+    w.u(0, 1); w.u(0, 2)          # weighted_pred, bipred_idc
+    w.se(0); w.se(0); w.se(0)     # qp, qs, chroma_qp_index_offset
+    w.u(1, 1); w.u(0, 1); w.u(0, 1)  # deblock present, constrained, redundant
+    w.u(1, 1)                     # transform_8x8_mode_flag = 1 → refuse
+    w.rbsp_trailing()
+    with pytest.raises(H.H264Error, match="transform_8x8"):
+        H.parse_pps(w.tobytes())
+
+
+def test_decode_frames_uses_all_parameter_sets(spark):
+    """An avc1 MP4 whose avcC carries TWO PPS entries, the FIRST a decoy
+    (pps_id 1, wrong QP) and the SECOND the one the slices reference
+    (pps_id 0): decode_frames must route through the by-id maps and
+    decode real pixels — the first-of-each shortcut degraded these
+    samples to NULL rows unnecessarily (ADVICE r10)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    sps, pps, idr = H.encode_solid_gray_stream(2, 2, 160, 26)
+    decoy = H.encode_sps_pps(2, 2, qp=40, pps_id=1)[1]
+    avcc = H.build_avcc(sps, decoy, extra_pps=(pps,))
+    cfg = H.parse_avcc(avcc)
+    assert set(cfg["pps_by_id"]) == {0, 1}
+    assert cfg["pps"]["pps_id"] == 1  # first-of-each IS the decoy
+    ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+    mp4 = encode_mp4(
+        [len(idr).to_bytes(4, "big") + idr], codec=b"avc1",
+        sample_entry_ext=ext,
+    )
+    docs = spark.createDataFrame([(7, bytearray(mp4))], "doc_id long, payload binary")
+    rows = decode_frames(docs, 1).collect()
+    v = H.i16dc_recon_value(160, 26)
+    assert len(rows) == 1
+    assert rows[0]["pix_sum"] == 3 * v * 32 * 32  # real pixels, not NULL
