@@ -583,6 +583,87 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 - recorded, not swallowed
         errors["corpus_assembly"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # Per-phase sub-timings for the incremental-store gates (VERDICT r10
+    # task #3): the search_bm25_store headline number conflates a full
+    # store lifecycle — 3-epoch ingest, compact, vacuum, pruned search —
+    # so a regression in the pruned-SEARCH path could hide inside ingest
+    # noise. Time each phase separately (same code paths as the gates;
+    # fresh state dir per run) for both persisted stores.
+    store_phases: dict[str, dict[str, float]] = {}
+    try:
+        from engine_spark.datapipe.queries import (
+            BM25_QUERIES,
+            BM25_TOPK,
+            EMB_DIM,
+            IVF_K,
+            IVF_NPROBE,
+            LSH_PROJ_DIM,
+            RRF_SEEDS,
+            _gate_store_dir,
+        )
+        from engine_spark.datapipe.retrieval_store import IncrementalBM25Index
+
+        def _ph(d, key, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            d[key] = round(time.perf_counter() - t0, 4)
+            return out
+
+        docs_src = cat["documents"]
+        qdf = spark.createDataFrame(BM25_QUERIES, "q_id INT, term STRING")
+        bmp: dict[str, float] = {}
+        idx = IncrementalBM25Index(
+            spark, f"file://{_gate_store_dir('bm25_bench', sf_dir)}"
+        )
+        _ph(bmp, "ingest_s", lambda: [
+            idx.add_batch(docs_src.filter(F.col("doc_id") % 3 == e), e)
+            for e in range(3)
+        ])
+        _ph(bmp, "compact_s", lambda: idx.compact(1, vacuum=False))
+        _ph(bmp, "vacuum_s", lambda: idx.vacuum())
+        idx.search(qdf, topk=BM25_TOPK).write.format("noop").mode(
+            "overwrite"
+        ).save()  # codegen warm-up: steady-state search is the number
+        _ph(bmp, "search_s", lambda: idx.search(qdf, topk=BM25_TOPK)
+            .write.format("noop").mode("overwrite").save())
+        store_phases["bm25_store"] = bmp
+
+        from engine_spark.datapipe.ivf import (
+            ivf_index_add_batch,
+            ivf_index_build,
+            ivf_index_compact,
+            ivf_index_search,
+            ivf_index_vacuum,
+        )
+
+        emb_src = cat["embeddings"]
+        ivp: dict[str, float] = {}
+        ivf_path = f"file://{_gate_store_dir('ivf_bench', sf_dir)}"
+        _ph(ivp, "build_s", lambda: ivf_index_build(
+            spark, emb_src.filter(F.col("vec_id") % 4 == 0), ivf_path,
+            full_dim=EMB_DIM, cell_dim=LSH_PROJ_DIM, k=IVF_K, iters=3,
+        ))
+        _ph(ivp, "ingest_s", lambda: [
+            ivf_index_add_batch(
+                spark, emb_src.filter(F.col("vec_id") % 4 == e + 1),
+                ivf_path, e,
+            )
+            for e in range(3)
+        ])
+        _ph(ivp, "compact_s", lambda: ivf_index_compact(
+            spark, ivf_path, 1, vacuum=False
+        ))
+        _ph(ivp, "vacuum_s", lambda: ivf_index_vacuum(spark, ivf_path))
+        ivf_index_search(
+            spark, ivf_path, n_queries=RRF_SEEDS, nprobe=IVF_NPROBE, topk=10
+        ).write.format("noop").mode("overwrite").save()  # warm-up
+        _ph(ivp, "search_s", lambda: ivf_index_search(
+            spark, ivf_path, n_queries=RRF_SEEDS, nprobe=IVF_NPROBE, topk=10
+        ).write.format("noop").mode("overwrite").save())
+        store_phases["ivf_store"] = ivp
+    except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+        errors["store_phases"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     # end-of-bench retry pass for the materialized chains (load defense,
     # see above): plans are already codegen-warm, so no warm-up run
     mat_retry = _measure_mat(warm=False)
@@ -598,6 +679,70 @@ def main() -> None:
         "policy": "per-chain best of the two passes",
     }
 
+    # Headline-query load defense (VERDICT r10 task #4): the r10 artifact
+    # showed five untouched-code "regressions" purely from loadavg 7.6 at
+    # run start. Compare this run's per-query mins against the previous
+    # committed round artifact (same sf only) and re-run the worst
+    # regressors ONCE here at end-of-bench; keep the per-query best and
+    # record both readings + loadavgs so a reviewer can adjudicate
+    # reproduced-twice vs retried-and-cleared from the artifact itself.
+    headline_retry: dict = {}
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        prev, prev_n = None, -1
+        for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+            m = re.search(r"BENCH_r(\d+)\.json$", p)
+            if not m or int(m.group(1)) <= prev_n:
+                continue
+            try:
+                with open(p) as f:
+                    d = json.load(f)
+                tail = d.get("tail") or ""
+                i = tail.rfind('{"metric"')
+                parsed = json.loads(tail[i:]) if i >= 0 else (d.get("parsed") or {})
+            except (OSError, ValueError):
+                continue
+            if parsed.get("queries") and parsed.get("sf") == sf:
+                prev, prev_n = parsed["queries"], int(m.group(1))
+        if prev:
+            regressed = sorted(
+                (
+                    (name, t, prev[name])
+                    for name, t in times.items()
+                    if name in prev
+                    and t > prev[name] * 1.25
+                    and t - prev[name] > 0.1
+                ),
+                key=lambda x: x[2] - x[1],
+            )[:10]
+            retry_times: dict[str, float] = {}
+            for name, first_t, _ in regressed:
+                try:
+                    t0 = time.perf_counter()
+                    QUERIES[name].spark(spark, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    retry_times[name] = round(time.perf_counter() - t0, 4)
+                except Exception as e:  # noqa: BLE001
+                    errors[f"retry:{name}"] = f"{type(e).__name__}: {str(e)[:120]}"
+            headline_retry = {
+                "vs_round": prev_n,
+                "first_pass": {n: t for n, t, _ in regressed},
+                "prev_round": {n: p for n, _, p in regressed},
+                "retry_pass": retry_times,
+                "loadavg_retry": [round(x, 2) for x in os.getloadavg()],
+                "policy": "per-query best of first pass and end-of-bench retry",
+            }
+            for name, rt in retry_times.items():
+                if rt < times[name]:
+                    times[name] = rt
+            total = round(sum(times.values()), 4)
+    except Exception as e:  # noqa: BLE001 - the defense must never void a run
+        errors["headline_retry"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     full = {
         "metric": "headline_total_runtime",
         "value": total,
@@ -612,6 +757,8 @@ def main() -> None:
         "throughput_events_per_sec_amortized": amortized,
         "throughput_events_per_sec_materialized": materialized,
         "materialized_context": materialized_context,
+        "store_phases": store_phases,
+        "headline_retry": headline_retry,
         "pipeline_sf1": pipeline_sf1,
         "corpus_assembly": corpus_assembly,
         "multimodal": multimodal,

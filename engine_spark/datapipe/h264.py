@@ -409,12 +409,14 @@ def build_avcc(sps_nal: bytes, pps_nal: bytes, nal_length_size: int = 4,
 #
 # Transcription notes: VLC0 (0 <= nC < 2), the chroma-DC table and the
 # nC >= 8 FLC are anchored by published worked examples (see
-# tests/test_h264.py); VLC1/VLC2 are best-effort spec transcriptions
-# validated structurally (prefix-free, unambiguous) and by exhaustive
-# encoder/decoder round-trip — the paired fixture encoder emits from the
-# SAME tables, so every stream produced in this repo decodes exactly;
-# interop for external streams hitting VLC1/VLC2 contexts is untestable
-# in this container (no reference decoder) and flagged in the module doc.
+# tests/test_h264.py); VLC1/VLC2 are spec transcriptions validated
+# structurally (prefix-free, unambiguous), by exhaustive encoder/decoder
+# round-trip, AND row-by-row against a SECOND independent transcription
+# of Table 9-5 that GENERATES the coeff_token prefix of test streams the
+# decoder must reproduce (test_vlc1_vlc2_streams_from_independent_
+# transcription_decode) — a paired mistranscription can no longer cancel
+# out. Residual interop caveat: no third-party reference decoder exists
+# in this container, so agreement is between two in-repo transcriptions.
 # ---------------------------------------------------------------------------
 
 # (TrailingOnes, TotalCoeff) -> codeword, per nC context

@@ -1291,3 +1291,156 @@ def test_decode_frames_uses_all_parameter_sets(spark):
     v = H.i16dc_recon_value(160, 26)
     assert len(rows) == 1
     assert rows[0]["pix_sum"] == 3 * v * 32 * 32  # real pixels, not NULL
+
+
+# ---------------------------------------------------------------------------
+# CAVLC VLC1/VLC2 cross-transcription (VERDICT r10 task #6): the module's
+# coeff_token tables for 2<=nC<4 and 4<=nC<8 were previously validated
+# only structurally + by paired encoder/decoder round-trip (a consistent
+# mistranscription would cancel out). Here a SECOND transcription of
+# ITU-T H.264 Table 9-5 — written independently in this test file —
+# GENERATES the coeff_token prefix of each stream, and the module decoder
+# must reproduce the exact coefficients: any row where the two
+# transcriptions disagree decodes a wrong (t1, tc) or desyncs the
+# bitstream and fails loudly.
+# ---------------------------------------------------------------------------
+
+# Table 9-5, column 2 <= nC < 4: (TrailingOnes, TotalCoeff) -> codeword
+_REF2_VLC1 = {
+    (0, 0): "11",
+    (0, 1): "001011", (1, 1): "10",
+    (0, 2): "000111", (1, 2): "00111", (2, 2): "011",
+    (0, 3): "0000111", (1, 3): "001010", (2, 3): "001001", (3, 3): "0101",
+    (0, 4): "00000111", (1, 4): "000110", (2, 4): "000101", (3, 4): "0100",
+    (0, 5): "00000100", (1, 5): "0000110", (2, 5): "0000101", (3, 5): "00110",
+    (0, 6): "000000111", (1, 6): "00000110", (2, 6): "00000101", (3, 6): "001000",
+    (0, 7): "00000001111", (1, 7): "000000110", (2, 7): "000000101", (3, 7): "000100",
+    (0, 8): "00000001011", (1, 8): "00000001110", (2, 8): "00000001101", (3, 8): "0000100",
+    (0, 9): "000000001111", (1, 9): "00000001010", (2, 9): "00000001001", (3, 9): "000000100",
+    (0, 10): "000000001011", (1, 10): "000000001110", (2, 10): "000000001101", (3, 10): "00000001100",
+    (0, 11): "000000001000", (1, 11): "000000001010", (2, 11): "000000001001", (3, 11): "00000001000",
+    (0, 12): "0000000001111", (1, 12): "0000000001110", (2, 12): "0000000001101", (3, 12): "000000001100",
+    (0, 13): "0000000001011", (1, 13): "0000000001010", (2, 13): "0000000001001", (3, 13): "0000000001100",
+    (0, 14): "0000000000111", (1, 14): "00000000001011", (2, 14): "0000000000110", (3, 14): "0000000001000",
+    (0, 15): "00000000001001", (1, 15): "00000000001000", (2, 15): "00000000001010", (3, 15): "0000000000001",
+    (0, 16): "00000000000111", (1, 16): "00000000000110", (2, 16): "00000000000101", (3, 16): "00000000000100",
+}
+
+# Table 9-5, column 4 <= nC < 8
+_REF2_VLC2 = {
+    (0, 0): "1111",
+    (0, 1): "001111", (1, 1): "1110",
+    (0, 2): "001011", (1, 2): "01111", (2, 2): "1101",
+    (0, 3): "001000", (1, 3): "01100", (2, 3): "01110", (3, 3): "1100",
+    (0, 4): "0001111", (1, 4): "01010", (2, 4): "01011", (3, 4): "1011",
+    (0, 5): "0001011", (1, 5): "01000", (2, 5): "01001", (3, 5): "1010",
+    (0, 6): "0001001", (1, 6): "001110", (2, 6): "001101", (3, 6): "1001",
+    (0, 7): "0001000", (1, 7): "001010", (2, 7): "001001", (3, 7): "1000",
+    (0, 8): "00001111", (1, 8): "0001110", (2, 8): "0001101", (3, 8): "01101",
+    (0, 9): "00001011", (1, 9): "00001110", (2, 9): "0001010", (3, 9): "001100",
+    (0, 10): "000001111", (1, 10): "00001010", (2, 10): "00001101", (3, 10): "0001100",
+    (0, 11): "000001011", (1, 11): "000001110", (2, 11): "00001001", (3, 11): "00001100",
+    (0, 12): "000001000", (1, 12): "000001010", (2, 12): "000001101", (3, 12): "00001000",
+    (0, 13): "0000001101", (1, 13): "000000111", (2, 13): "000001001", (3, 13): "000001100",
+    (0, 14): "0000001001", (1, 14): "0000001100", (2, 14): "0000001011", (3, 14): "0000001010",
+    (0, 15): "0000000101", (1, 15): "0000001000", (2, 15): "0000000111", (3, 15): "0000000110",
+    (0, 16): "0000000001", (1, 16): "0000000100", (2, 16): "0000000011", (3, 16): "0000000010",
+}
+
+
+def _block_with(t1, tc, rng):
+    """A zigzag coefficient block with exactly tc nonzeros whose trailing
+    (highest-frequency) t1 values are +/-1 and the rest have |level| >= 2
+    (so the encoder derives exactly (t1, tc)). When t1 == 3 the
+    immediately-preceding coefficient may also be +/-1 only if capped —
+    avoid that by keeping non-T1 levels >= 2 always."""
+    levels = [rng.choice((-1, 1)) for _ in range(t1)]
+    levels += [rng.choice((-9, -3, -2, 2, 3, 9)) for _ in range(tc - t1)]
+    # scan-order positions: place the tc values in the FIRST tc slots is
+    # legal but exercise runs too — scatter with random zero gaps
+    pos = sorted(rng.sample(range(16), tc))
+    blk = [0] * 16
+    # levels[] above are in decode order (highest frequency first); the
+    # zigzag array stores them lowest-frequency-first, so reverse
+    for p, lv in zip(pos, list(reversed(levels))):
+        blk[p] = lv
+    return blk
+
+
+def test_vlc1_vlc2_streams_from_independent_transcription_decode():
+    rng = random.Random(4242)
+    cases = [(t, _REF2_VLC1, H._CT_VLC1) for t in ((2,), (3,))] + [
+        (t, _REF2_VLC2, H._CT_VLC2) for t in ((4,), (5,), (6,), (7,))
+    ]
+    n_checked = 0
+    for (nC,), ref_table, mod_table in cases:
+        assert set(ref_table) == set(mod_table)
+        for (t1, tc), ref_code in sorted(ref_table.items()):
+            blk = _block_with(t1, tc, rng)
+            # module encoder emits coeff_token + suffix from ITS tables;
+            # swap the prefix for the independent transcription's code —
+            # if the transcriptions disagree on this row, the decoder
+            # reads a wrong (t1, tc) or desyncs and the assert fires
+            w = H.BitWriter()
+            H.encode_residual_block(w, blk, nC)
+            mod_code = mod_table[(t1, tc)]
+            assert "".join(map(str, w.bits[: len(mod_code)])) == mod_code
+            bits = [int(b) for b in ref_code] + w.bits[len(mod_code):]
+            nbits = len(bits)
+            w2 = H.BitWriter()
+            for b in bits:
+                w2.u(b, 1)
+            w2.u(0, 32)  # padding so truncated reads fail loudly
+            got, got_tc = H.decode_residual_block(H.BitReader(w2.tobytes()), nC, 16)
+            r2 = H.BitReader(w2.tobytes())
+            H.decode_residual_block(r2, nC, 16)
+            assert got == blk, (nC, t1, tc)
+            assert got_tc == tc and r2.pos == nbits, (nC, t1, tc)
+            n_checked += 1
+    assert n_checked == 6 * len(_REF2_VLC1)
+
+
+def test_dense_frames_hit_vlc1_vlc2_contexts_against_pixel_reference():
+    """End-to-end: frames whose blocks carry 8-16 coefficients drive the
+    decoder's nC into the VLC1/VLC2 (and FLC) contexts — asserted by
+    spying the actual nC values used — and the decoded pixels must match
+    the independent reconstruction reference (test_h264.py's second
+    transcription of intra prediction + dequant + IDCT)."""
+    rng = random.Random(7)
+    wmb, hmb, qp = 3, 2, 26
+    mbs = []
+    for mb in range(wmb * hmb):
+        mbx, mby = mb % wmb, mb // wmb
+        modes, coeffs = [], []
+        for i in range(16):
+            legal = [m for m in range(9) if _mode_legal(m, i, mbx, mby, wmb)]
+            modes.append(rng.choice(legal))
+            blk = [0] * 16
+            # mixed densities so neighbor-nnz averages land in EVERY
+            # coeff_token context: low counts -> 2<=nC<4 (VLC1), mid ->
+            # 4<=nC<8 (VLC2), high -> the nC>=8 FLC
+            for p in rng.sample(range(16), rng.choice((2, 3, 3, 5, 6, 8, 12, 16))):
+                blk[p] = rng.choice((-5, -2, -1, 1, 2, 5))
+            coeffs.append(blk if any(blk) else None)
+        mbs.append(("i4", modes, coeffs, None))
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=qp)
+    idr = H.encode_i_frame(mbs, wmb, hmb, qp)
+
+    seen_nc = []
+    orig = H._coeff_token_read
+
+    def spy(r, nC):
+        seen_nc.append(nC)
+        return orig(r, nC)
+
+    H._coeff_token_read = spy
+    try:
+        rgb = H.decode_i_frame([sps, pps, idr])
+    finally:
+        H._coeff_token_read = orig
+    assert any(2 <= n < 4 for n in seen_nc), "VLC1 context never hit"
+    assert any(4 <= n < 8 for n in seen_nc), "VLC2 context never hit"
+    assert any(n >= 8 for n in seen_nc), "FLC context never hit"
+    y_ref = _ref_decode_i4_frame(wmb, hmb, mbs, qp)
+    assert (rgb[:, :, 0] == y_ref).all()
+    assert (rgb[:, :, 1] == y_ref).all() and (rgb[:, :, 2] == y_ref).all()
