@@ -124,6 +124,8 @@ def main() -> None:
         "join_q20_part_promotion",
         # round 10 (session 2): real Baseline H.264 I-frame pixel decode
         "multimodal_h264",
+        # round 11: H.264 short-GOP P-frame (inter) decode chain
+        "multimodal_h264_gop",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

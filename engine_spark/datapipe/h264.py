@@ -1,20 +1,27 @@
-"""Baseline-profile H.264/AVC **I-frame** decoder and fixture encoder —
-stdlib + numpy, no av library.
+"""Baseline-profile H.264/AVC I-frame **and short-GOP P-frame** decoder
+with a paired fixture encoder — stdlib + numpy, no av library.
 
 Scope (honest): IDR/I slices of Baseline/Main-compatible streams —
 CAVLC entropy coding, I_4x4 / I_16x16 / I_PCM macroblocks, full intra
 prediction (nine 4x4 modes, four 16x16 modes, four chroma modes), the
 4x4 integer inverse transform with the Intra16x16 luma DC Hadamard and
 2x2 chroma DC paths, 4:2:0 only, frame_mbs_only (no fields/MBAFF), no
-FMO/ASO, CAVLC only (CABAC raises), and the in-loop deblocking filter
-(8.7) in its I-frame subset — bS 4 on macroblock edges, 3 on internal
-edges, strong + normal paths, luma and chroma, slice alpha/beta offsets,
-idc 0/1/2 including the idc-2 don't-cross-slice rule. P/B slices
-raise — inter prediction genuinely needs reference-frame state and is
-out of scope for keyframe sampling, the use-case this serves. (The
-reference engine ships no video decode at all — this extends coverage
-beyond it, closing the largest scoped-out surface a real multimodal
-corpus hits: avc1 keyframes.)
+FMO/ASO, CAVLC only (CABAC raises) — PLUS the single-reference P-slice
+subset that covers short-GOP web video: P_Skip (with the 8.4.1.1 mv
+inference), P_L0_16x16 / 16x8 / 8x16 macroblock partitions and P_8x8 /
+P_8x8ref0 sub-macroblock partitions down to 4x4 (median/directional mv
+prediction, 8.4.1.3), intra MBs inside P slices, quarter-pel 6-tap luma
+and eighth-pel bilinear chroma interpolation with edge clamp
+(8.4.2.2), inter residuals via the Inter CBP mapping, and the in-loop
+deblocking filter (8.7) with per-segment boundary strengths (4/3 intra,
+2 on coefficients, 1 on mv/ref differences, 0 unfiltered), strong +
+normal paths, luma and chroma, slice alpha/beta offsets, idc 0/1/2
+including the idc-2 don't-cross-slice rule. Out of scope, raising to
+the honest NULL row upstream: B slices, multiple or reordered
+reference lists, weighted prediction, CABAC. (The reference engine
+ships no video decode at all — this extends coverage beyond it; with
+P-frame chaining, `decode_frames` now extracts REAL pixels from full
+GOPs, not just keyframes.)
 
 Entropy tables are transcribed from ITU-T H.264 (05/2003+) Table 9-5
 (coeff_token), 9-7/9-8 (total_zeros), 9-9(a) (chroma DC total_zeros) and
@@ -268,9 +275,9 @@ def parse_pps(rbsp: bytes) -> dict:
     num_slice_groups = r.ue() + 1
     if num_slice_groups != 1:
         raise H264Error("FMO (slice groups) unsupported")
-    r.ue()  # num_ref_idx_l0_default_active_minus1
+    num_ref_l0 = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
     r.ue()  # num_ref_idx_l1_default_active_minus1
-    r.flag()  # weighted_pred
+    weighted_pred = r.flag()
     r.u(2)  # weighted_bipred_idc
     pic_init_qp = r.se() + 26
     r.se()  # pic_init_qs
@@ -304,6 +311,8 @@ def parse_pps(rbsp: bytes) -> dict:
         "constrained_intra_pred": constrained_intra_pred,
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
         "second_chroma_qp_index_offset": second_chroma_qp_index_offset,
+        "num_ref_idx_l0_default": num_ref_l0,
+        "weighted_pred": weighted_pred,
     }
 
 
@@ -1060,9 +1069,25 @@ _CBP_INTRA = [47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
               17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41]
 _CBP_INTRA_INV = {v: i for i, v in enumerate(_CBP_INTRA)}
 
+# Table 9-4, Inter column: code_num -> coded_block_pattern for P/B MBs
+# (low code_nums favor the sparse patterns inter residuals produce)
+_CBP_INTER = [0, 16, 1, 2, 4, 8, 32, 3, 5, 10, 12, 15, 47, 7, 11, 13,
+              14, 6, 9, 31, 35, 37, 42, 44, 33, 34, 36, 40, 39, 43, 45, 46,
+              17, 18, 20, 24, 19, 21, 26, 28, 23, 27, 29, 30, 22, 25, 38, 41]
+_CBP_INTER_INV = {v: i for i, v in enumerate(_CBP_INTER)}
+
 # luma 4x4 block index (z-order) -> (x, y) pixel offset within the MB
 _BLK_XY = [(((i >> 2) & 1) * 8 + (i & 1) * 4, (i >> 3) * 8 + ((i >> 1) & 1) * 4)
            for i in range(16)]
+
+# P_8x8 sub_mb_type -> sub-partition layout within the 8x8 (Table 7-17):
+# (x, y, w, h) offsets, decode order
+_SUB_PARTS = {
+    0: [(0, 0, 8, 8)],
+    1: [(0, 0, 8, 4), (0, 4, 8, 4)],
+    2: [(0, 0, 4, 8), (4, 0, 4, 8)],
+    3: [(0, 0, 4, 4), (4, 0, 4, 4), (0, 4, 4, 4), (4, 4, 4, 4)],
+}
 
 
 class _Frame:
@@ -1093,6 +1118,17 @@ class _Frame:
         # Cr's own offset (PPS second_chroma_qp_index_offset; == mb_cqpo
         # unless the PPS extension tail set it) — deblock reads per plane
         self.mb_cqpo2 = np.zeros((self.hmb, self.wmb), np.int32)
+        # inter-prediction state (P slices): per-4x4-block motion vector
+        # (quarter-pel) and reference index. blk_ref is the tri-state
+        # availability marker the MV predictor and the deblock bS rules
+        # read: -2 = not yet decoded, -1 = intra (mv treated as (0,0),
+        # "different reference" per 8.4.1.3.2), 0 = inter ref0 (the only
+        # reference the short-GOP contract keeps).
+        self.blk_mv = np.zeros((self.hmb * 4, self.wmb * 4, 2), np.int32)
+        self.blk_ref = np.full((self.hmb * 4, self.wmb * 4), -2, np.int32)
+        #: previous decoded frame's planes ({"y","cb","cr"}) — the single
+        #: reference P slices predict from; None for IDR/I-only decode
+        self.ref: dict | None = None
         self.mb_deblock = np.ones((self.hmb, self.wmb), np.int32)
         self.mb_off_a = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_off_b = np.zeros((self.hmb, self.wmb), np.int32)
@@ -1182,14 +1218,277 @@ def _chroma_neighbors(fr: _Frame, plane, px: int, py: int, mbx: int, mby: int,
     return top, left, corner
 
 
+# ---------------------------------------------------------------------------
+# Inter prediction (P slices, 8.4): single-reference short-GOP subset —
+# P_Skip / P_L0_16x16 / 16x8 / 8x16 partitions + intra MBs in P slices;
+# P_8x8 sub-partitions, multiple/modified reference lists, weighted
+# prediction and B slices raise (degrading to NULL rows upstream).
+# ---------------------------------------------------------------------------
+
+
+def _interp_luma_block(ref_y: "np.ndarray", x0: int, y0: int, w: int, h: int,
+                       mvx: int, mvy: int) -> "np.ndarray":
+    """Quarter-pel luma motion-compensated block (8.4.2.2.1): 6-tap
+    [1 -5 20 20 -5 1] half-pel filter, quarter positions as averages per
+    Table 8-12, out-of-frame samples edge-clamped. Vectorized over the
+    whole w x h block."""
+    ix, fx = mvx >> 2, mvx & 3
+    iy, fy = mvy >> 2, mvy & 3
+    H, W = ref_y.shape
+    rows = np.clip(np.arange(y0 + iy - 2, y0 + iy + h + 3), 0, H - 1)
+    cols = np.clip(np.arange(x0 + ix - 2, x0 + ix + w + 3), 0, W - 1)
+    win = ref_y[np.ix_(rows, cols)].astype(np.int64)  # (h+5, w+5); G at [2,2]
+    G = win[2 : 2 + h, 2 : 2 + w]
+    if fx == 0 and fy == 0:
+        return G
+
+    def tap6_h(a):  # horizontal 6-tap at half position right of col c+2
+        return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
+                + 20 * a[:, 3:-2] - 5 * a[:, 4:-1] + a[:, 5:])
+
+    def tap6_v(a):
+        return (a[0:-5, :] - 5 * a[1:-4, :] + 20 * a[2:-3, :]
+                + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
+
+    clip255 = lambda a: np.clip(a, 0, 255)  # noqa: E731
+    # half-pel planes over one extra row/col so quarter averages that
+    # reach the NEXT integer position stay in range
+    b_ext = clip255((tap6_h(win[2 : 3 + h, :]) + 16) >> 5)  # (h+1, w+1)
+    h_ext = clip255((tap6_v(win[:, 2 : 3 + w]) + 16) >> 5)  # (h+1, w+1)
+    b = b_ext[:h, :w]
+    hh = h_ext[:h, :w]
+    if fy == 0:  # a, b, c
+        if fx == 2:
+            return b
+        Gr = win[2 : 2 + h, 3 : 3 + w]
+        return (G + b + 1) >> 1 if fx == 1 else (Gr + b + 1) >> 1
+    if fx == 0:  # d, h, n
+        if fy == 2:
+            return hh
+        Gd = win[3 : 3 + h, 2 : 2 + w]
+        return (G + hh + 1) >> 1 if fy == 1 else (Gd + hh + 1) >> 1
+    # center positions need j: vertical 6-tap intermediates (no shift),
+    # then horizontal 6-tap, >> 10
+    vraw = tap6_v(win)  # (h+1, w+5)
+    j = clip255((tap6_h(vraw[:h, :]) + 512) >> 10)  # (h, w)
+    if (fx, fy) == (2, 2):
+        return j
+    m = h_ext[:h, 1 : 1 + w]   # half-pel h at col+1
+    s = b_ext[1 : 1 + h, :w]   # half-pel b at row+1
+    if fy == 1:  # e, f, g
+        other = {1: hh, 2: j, 3: m}[fx]
+        return (b + other + 1) >> 1
+    if fx == 1 and fy == 3:  # p
+        return (hh + s + 1) >> 1
+    if fx == 2 and fy == 3:  # q
+        return (j + s + 1) >> 1
+    if fx == 3 and fy == 2:  # k
+        return (j + m + 1) >> 1
+    if fx == 1 and fy == 2:  # i
+        return (hh + j + 1) >> 1
+    # (3, 3): r
+    return (m + s + 1) >> 1
+
+
+def _interp_chroma_block(ref_c: "np.ndarray", x0: int, y0: int, w: int,
+                         h: int, mvx: int, mvy: int) -> "np.ndarray":
+    """Eighth-pel bilinear chroma MC (8.4.2.2.2); the luma quarter-pel mv
+    IS the chroma eighth-pel mv in 4:2:0. Edge-clamped."""
+    ix, dx = mvx >> 3, mvx & 7
+    iy, dy = mvy >> 3, mvy & 7
+    H, W = ref_c.shape
+    rows = np.clip(np.arange(y0 + iy, y0 + iy + h + 1), 0, H - 1)
+    cols = np.clip(np.arange(x0 + ix, x0 + ix + w + 1), 0, W - 1)
+    win = ref_c[np.ix_(rows, cols)].astype(np.int64)
+    A = win[:h, :w]
+    B = win[:h, 1:]
+    C = win[1:, :w]
+    D = win[1:, 1:]
+    return ((8 - dx) * (8 - dy) * A + dx * (8 - dy) * B
+            + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
+
+
+def _mv_neighbor(fr: _Frame, bx: int, by: int, slice_id: int):
+    """(mv, ref, mb_available) of the 4x4 block at block coords — the
+    8.4.1.3.2 neighbor fetch. Outside the frame, not yet decoded, or in
+    another slice -> mv (0,0), ref -1, unavailable; an INTRA block is
+    available with ref -1 (the 'different reference' the predictor and
+    the P_Skip rule treat it as)."""
+    Hb, Wb = fr.blk_ref.shape
+    if bx < 0 or by < 0 or bx >= Wb or by >= Hb:
+        return (0, 0), -1, False
+    ref = int(fr.blk_ref[by, bx])
+    if ref == -2 or fr.blk_slice[by, bx] != slice_id:
+        return (0, 0), -1, False
+    return (int(fr.blk_mv[by, bx, 0]), int(fr.blk_mv[by, bx, 1])), ref, True
+
+
+def _mv_pred(fr: _Frame, mbx: int, mby: int, ox: int, oy: int, w: int,
+             h: int, slice_id: int, shortcut: str | None = None):
+    """Motion vector predictor for the partition at luma offset (ox, oy),
+    size w x h (8.4.1.3): directional shortcut for 16x8/8x16 when the
+    neighbor's reference matches, else the exactly-one-matching-reference
+    rule, else the component median; mvA alone when B/C/D are all
+    unavailable."""
+    bx0, by0 = (mbx * 16 + ox) // 4, (mby * 16 + oy) // 4
+    a_mv, a_ref, a_av = _mv_neighbor(fr, bx0 - 1, by0, slice_id)
+    b_mv, b_ref, b_av = _mv_neighbor(fr, bx0, by0 - 1, slice_id)
+    c_mv, c_ref, c_av = _mv_neighbor(fr, bx0 + w // 4, by0 - 1, slice_id)
+    if not c_av:  # C unavailable -> D (above-left)
+        c_mv, c_ref, c_av = _mv_neighbor(fr, bx0 - 1, by0 - 1, slice_id)
+    if shortcut == "B" and b_ref == 0:
+        return b_mv
+    if shortcut == "A" and a_ref == 0:
+        return a_mv
+    if shortcut == "C" and c_ref == 0:
+        return c_mv
+    if a_av and not b_av and not c_av:
+        return a_mv
+    matches = [mv for mv, ref in ((a_mv, a_ref), (b_mv, b_ref), (c_mv, c_ref))
+               if ref == 0]
+    if len(matches) == 1:
+        return matches[0]
+    return (
+        int(np.median((a_mv[0], b_mv[0], c_mv[0]))),
+        int(np.median((a_mv[1], b_mv[1], c_mv[1]))),
+    )
+
+
+def _skip_mv(fr: _Frame, mbx: int, mby: int, slice_id: int):
+    """P_Skip motion vector (8.4.1.1): the 16x16 predictor, forced to
+    (0,0) when mbA/mbB is unavailable or either has ref0 zero-mv."""
+    bx0, by0 = mbx * 4, mby * 4
+    a_mv, a_ref, a_av = _mv_neighbor(fr, bx0 - 1, by0, slice_id)
+    b_mv, b_ref, b_av = _mv_neighbor(fr, bx0, by0 - 1, slice_id)
+    if not a_av or not b_av:
+        return (0, 0)
+    if (a_ref == 0 and a_mv == (0, 0)) or (b_ref == 0 and b_mv == (0, 0)):
+        return (0, 0)
+    return _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id)
+
+
+def _mc_partition(fr: _Frame, mbx: int, mby: int, ox: int, oy: int,
+                  w: int, h: int, mv: tuple, slice_id: int) -> None:
+    """Motion-compensate one partition from fr.ref into the frame planes
+    and record (mv, ref0) on its 4x4 blocks."""
+    px, py = mbx * 16 + ox, mby * 16 + oy
+    fr.y[py : py + h, px : px + w] = _interp_luma_block(
+        fr.ref["y"], px, py, w, h, mv[0], mv[1]
+    )
+    cxp, cyp, cw, ch = px // 2, py // 2, w // 2, h // 2
+    for plane, refp in (("cb", fr.cb), ("cr", fr.cr)):
+        refp[cyp : cyp + ch, cxp : cxp + cw] = _interp_chroma_block(
+            fr.ref[plane], cxp, cyp, cw, ch, mv[0], mv[1]
+        )
+    bx0, by0 = px // 4, py // 4
+    fr.blk_mv[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = mv
+    fr.blk_ref[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = 0
+    fr.blk_slice[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = slice_id
+
+
+def _finish_inter_mb(fr: _Frame, mbx: int, mby: int, slice_id: int,
+                     qp: int) -> None:
+    bx0, by0 = mbx * 4, mby * 4
+    fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+    fr.mb_done[mby, mbx] = True
+    fr.mb_qp[mby, mbx] = qp
+
+
+def _decode_p_skip(fr: _Frame, mb: int, slice_id: int, qp: int) -> None:
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    fr.mb_slice[mby, mbx] = slice_id
+    mv = _skip_mv(fr, mbx, mby, slice_id)
+    _mc_partition(fr, mbx, mby, 0, 0, 16, 16, mv, slice_id)
+    bx0, by0 = mbx * 4, mby * 4
+    fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+    for comp in range(2):
+        fr.cnnz[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
+    _finish_inter_mb(fr, mbx, mby, slice_id, qp)
+    fr._last_qp = qp
+
+
+def _decode_mb_inter(fr: _Frame, r: BitReader, pps: dict, mb: int,
+                     slice_id: int, qp: int, ptype: int) -> None:
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    px, py = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    fr.mb_slice[mby, mbx] = slice_id
+    if ptype > 4:
+        raise H264Error(f"bad P mb_type {ptype}")
+    # num_ref_idx_l0_active == 1 (enforced in the slice header), so no
+    # ref_idx_l0 bits anywhere; mvd_l0 per (sub-)partition in decode
+    # order (7.3.5.1 / 7.3.5.2), read just-in-time — nothing else
+    # interleaves in the bitstream
+    if ptype >= 3:  # P_8x8 / P_8x8ref0: per-8x8 sub_mb_type
+        subtypes = []
+        for _ in range(4):
+            st = r.ue()
+            if st > 3:
+                raise H264Error(f"bad sub_mb_type {st}")
+            subtypes.append(st)
+        for k in range(4):
+            ox8, oy8 = (k % 2) * 8, (k // 2) * 8
+            for sox, soy, w, h in _SUB_PARTS[subtypes[k]]:
+                mvd = (r.se(), r.se())
+                mvp = _mv_pred(fr, mbx, mby, ox8 + sox, oy8 + soy, w, h,
+                               slice_id)
+                _mc_partition(fr, mbx, mby, ox8 + sox, oy8 + soy, w, h,
+                              (mvp[0] + mvd[0], mvp[1] + mvd[1]), slice_id)
+    else:
+        parts = {
+            0: [(0, 0, 16, 16, None)],
+            1: [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")],
+            2: [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")],
+        }[ptype]
+        for ox, oy, w, h, sc in parts:
+            mvd = (r.se(), r.se())
+            mvp = _mv_pred(fr, mbx, mby, ox, oy, w, h, slice_id, shortcut=sc)
+            mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+            # written before the next partition predicts: the second
+            # 16x8/8x16 partition's A/B/C neighbors may be the first
+            _mc_partition(fr, mbx, mby, ox, oy, w, h, mv, slice_id)
+    code_num = r.ue()
+    if code_num > 47:
+        raise H264Error("bad coded_block_pattern code")
+    cbp = _CBP_INTER[code_num]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise H264Error("bad chroma cbp")
+    if cbp_luma or cbp_chroma:
+        qp = (qp + r.se() + 52) % 52
+    fr._last_qp = qp
+    luma_coeffs, chroma_dc, chroma_ac = _decode_residuals(
+        fr, r, mbx, mby, slice_id, cbp_luma, cbp_chroma, i16=False
+    )
+    for i in range(16):
+        if luma_coeffs[i] is None:
+            continue
+        ox, oy = _BLK_XY[i]
+        d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
+        blk = (fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4]
+               + ((idct4x4(d) + 32) >> 6))
+        fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(blk, 0, 255)
+    preds = (
+        fr.cb[cy : cy + 8, cx : cx + 8].copy(),
+        fr.cr[cy : cy + 8, cx : cx + 8].copy(),
+    )
+    _add_chroma_residual(fr, pps, qp, cx, cy, preds, chroma_dc, chroma_ac,
+                         cbp_chroma)
+    _finish_inter_mb(fr, mbx, mby, slice_id, qp)
+
+
 def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
                   pps_map: dict, slice_id: int, idr: bool,
-                  ref_idc: int) -> _Frame:
+                  ref_idc: int, ref: dict | None = None) -> _Frame:
     r = BitReader(rbsp)
     first_mb = r.ue()
     slice_type = r.ue()
-    if slice_type % 5 != 2:
-        raise H264Error(f"only I slices supported (slice_type {slice_type})")
+    st = slice_type % 5
+    if st not in (0, 2):
+        raise H264Error(f"unsupported slice_type {slice_type} (I/P only)")
+    is_p = st == 0
+    if is_p and idr:
+        raise H264Error("P slice in an IDR access unit")
     pps_id = r.ue()
     pps = pps_map.get(pps_id)
     if pps is None:
@@ -1200,6 +1499,7 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
     if fr is None:
         fr = _Frame(sps)
         fr.sps = sps
+        fr.ref = ref
     elif (fr.wmb, fr.hmb) != (sps["width_mbs"], sps["height_mbs"]):
         raise H264Error("slice SPS disagrees with frame geometry")
     r.u(sps["log2_max_frame_num"])  # frame_num
@@ -1215,6 +1515,25 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             r.se()  # delta_pic_order_cnt[1]
     if pps["redundant_pic_cnt_present"]:
         r.ue()
+    if is_p:
+        # short-GOP contract: exactly ONE reference (the previous decoded
+        # frame), the default list, unweighted — anything else raises and
+        # degrades to the honest NULL row upstream
+        if fr.ref is None:
+            raise H264Error("P slice without a reference frame")
+        if pps["weighted_pred"]:
+            raise H264Error("weighted prediction unsupported")
+        if pps["constrained_intra_pred"]:
+            raise H264Error("constrained intra in P slices unsupported")
+        n_ref = pps["num_ref_idx_l0_default"]
+        if r.flag():  # num_ref_idx_active_override
+            n_ref = r.ue() + 1
+        if n_ref != 1:
+            raise H264Error(
+                f"{n_ref} active references unsupported (single-ref P)"
+            )
+        if r.flag():  # ref_pic_list_modification_flag_l0
+            raise H264Error("ref pic list modification unsupported")
     # dec_ref_pic_marking is present only for REFERENCE pictures
     # (nal_ref_idc != 0, 7.3.3) — a disposable coded I slice omits it
     if ref_idc != 0:
@@ -1236,31 +1555,138 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             off_a = 2 * r.se()
             off_b = 2 * r.se()
     n_mbs = fr.wmb * fr.hmb
+
+    def mb_slice_params(m):
+        mx, my = m % fr.wmb, m // fr.wmb
+        fr.mb_deblock[my, mx] = disable_deblock
+        fr.mb_off_a[my, mx] = off_a
+        fr.mb_off_b[my, mx] = off_b
+        fr.mb_cqpo[my, mx] = pps["chroma_qp_index_offset"]
+        fr.mb_cqpo2[my, mx] = pps["second_chroma_qp_index_offset"]
+
     mb = first_mb
+    if not is_p:
+        while True:
+            if mb >= n_mbs:
+                raise H264Error("slice overruns frame")
+            _decode_mb(fr, r, sps, pps, mb, slice_id, qp)
+            qp = fr._last_qp  # mb_qp_delta accumulates across the slice
+            mb_slice_params(mb)
+            mb += 1
+            if not r.more_rbsp_data():
+                break
+        return fr
+    # P slice MB loop (7.3.4): a skip RUN precedes each coded MB; a
+    # trailing run may carry to the end of the slice
     while True:
+        skip_run = r.ue()
+        for _ in range(skip_run):
+            if mb >= n_mbs:
+                raise H264Error("skip run overruns frame")
+            _decode_p_skip(fr, mb, slice_id, qp)
+            mb_slice_params(mb)
+            mb += 1
+        if not r.more_rbsp_data():
+            break
         if mb >= n_mbs:
             raise H264Error("slice overruns frame")
-        _decode_mb(fr, r, sps, pps, mb, slice_id, qp)
-        qp = fr._last_qp  # mb_qp_delta accumulates across the slice
-        mbx, mby = mb % fr.wmb, mb // fr.wmb
-        fr.mb_deblock[mby, mbx] = disable_deblock
-        fr.mb_off_a[mby, mbx] = off_a
-        fr.mb_off_b[mby, mbx] = off_b
-        fr.mb_cqpo[mby, mbx] = pps["chroma_qp_index_offset"]
-        fr.mb_cqpo2[mby, mbx] = pps["second_chroma_qp_index_offset"]
+        _decode_mb(fr, r, sps, pps, mb, slice_id, qp, is_p=True)
+        qp = fr._last_qp
+        mb_slice_params(mb)
         mb += 1
         if not r.more_rbsp_data():
             break
     return fr
 
 
+def _decode_residuals(fr: _Frame, r: BitReader, mbx: int, mby: int,
+                      slice_id: int, cbp_luma: int, cbp_chroma: int,
+                      i16: bool):
+    """CAVLC residual entropy for one MB (shared by the intra and inter
+    paths): per-4x4 luma blocks in z-order per cbp quadrant (AC-only for
+    I_16x16), chroma DC pair, chroma AC grid. Updates the nC bookkeeping
+    (blk_nnz/blk_done/cnnz) as each block's TotalCoeff is known."""
+    luma_coeffs = [None] * 16
+    for i in range(16):
+        bx = mbx * 4 + _BLK_XY[i][0] // 4
+        by = mby * 4 + _BLK_XY[i][1] // 4
+        if cbp_luma & (1 << (i // 4)):
+            nc = _nc_luma(fr, bx, by, slice_id)
+            if i16:
+                ac, tc = decode_residual_block(r, nc, 15)
+                luma_coeffs[i] = [0] + ac
+            else:
+                full, tc = decode_residual_block(r, nc, 16)
+                luma_coeffs[i] = full
+            fr.blk_nnz[by, bx] = tc
+        else:
+            fr.blk_nnz[by, bx] = 0
+        # mark decoded-for-nC as soon as its coefficients are known
+        fr.blk_done[by, bx] = True
+        fr.blk_slice[by, bx] = slice_id
+    chroma_dc = [[0] * 4, [0] * 4]
+    if cbp_chroma & 3:
+        for comp in range(2):
+            chroma_dc[comp], _ = decode_residual_block(r, -1, 4)
+    chroma_ac = [[None] * 4, [None] * 4]
+    for comp in range(2):
+        done = np.zeros((2, 2), bool)
+        for j in range(4):  # raster within the 2x2 chroma block grid
+            bx2, by2 = mbx * 2 + j % 2, mby * 2 + j // 2
+            if cbp_chroma == 2:
+                nc = _nc_chroma(fr, comp, bx2, by2, mbx, mby, slice_id, done)
+                ac, tc = decode_residual_block(r, nc, 15)
+                chroma_ac[comp][j] = [0] + ac
+                fr.cnnz[comp][by2, bx2] = tc
+            else:
+                fr.cnnz[comp][by2, bx2] = 0
+            done[j // 2, j % 2] = True
+    return luma_coeffs, chroma_dc, chroma_ac
+
+
+def _add_chroma_residual(fr: _Frame, pps: dict, qp: int, cx: int, cy: int,
+                         preds, chroma_dc, chroma_ac, cbp_chroma: int) -> None:
+    """Reconstruct the two chroma 8x8s from per-component predictions +
+    decoded residuals. Cb and Cr each dequantize at their OWN chroma QP
+    (8.5.8: Cr uses second_chroma_qp_index_offset, inferred equal to the
+    first when the PPS extension tail is absent)."""
+    qpc_by_comp = (
+        chroma_qp(qp, pps["chroma_qp_index_offset"]),
+        chroma_qp(qp, pps["second_chroma_qp_index_offset"]),
+    )
+    for comp, plane in ((0, fr.cb), (1, fr.cr)):
+        qpc = qpc_by_comp[comp]
+        pred = preds[comp]
+        dc = (chroma_dc_dequant(chroma_dc[comp], qpc) if cbp_chroma
+              else np.zeros((2, 2), np.int64))
+        for j in range(4):
+            ox, oy = (j % 2) * 4, (j // 2) * 4
+            if chroma_ac[comp][j] is not None:
+                d = dequant4x4(_zigzag_to_mat(chroma_ac[comp][j]), qpc)
+                d[0, 0] = dc[j // 2, j % 2]
+                res = (idct4x4(d) + 32) >> 6
+            elif cbp_chroma:
+                res = np.full((4, 4), (int(dc[j // 2, j % 2]) + 32) >> 6, np.int64)
+            else:
+                res = 0
+            blk = pred[oy : oy + 4, ox : ox + 4] + res
+            plane[cy + oy : cy + oy + 4, cx + ox : cx + ox + 4] = np.clip(blk, 0, 255)
+
+
 def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
-               slice_id: int, qp: int) -> None:
+               slice_id: int, qp: int, is_p: bool = False) -> None:
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     px, py = mbx * 16, mby * 16
     cx, cy = mbx * 8, mby * 8
     mb_type = r.ue()
+    if is_p:
+        if mb_type < 5:  # inter MB types (P_L0_16x16 / 16x8 / 8x16 / 8x8)
+            _decode_mb_inter(fr, r, pps, mb, slice_id, qp, mb_type)
+            return
+        mb_type -= 5  # intra MB in a P slice: same layout, offset by 5
     fr.mb_slice[mby, mbx] = slice_id
+    bxa, bya = mbx * 4, mby * 4
+    fr.blk_ref[bya : bya + 4, bxa : bxa + 4] = -1  # intra: 'different ref'
     if mb_type == 25:  # I_PCM
         r.byte_align()
         raw = np.frombuffer(r.read_aligned_bytes(384), np.uint8).astype(np.int64)
@@ -1328,41 +1754,10 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
     if i16_pred is not None:
         nc = _nc_luma(fr, mbx * 4, mby * 4, slice_id)
         dc_levels, _ = decode_residual_block(r, nc, 16)
-    luma_coeffs = [None] * 16
-    for i in range(16):
-        bx = mbx * 4 + _BLK_XY[i][0] // 4
-        by = mby * 4 + _BLK_XY[i][1] // 4
-        if cbp_luma & (1 << (i // 4)):
-            nc = _nc_luma(fr, bx, by, slice_id)
-            if i16_pred is not None:
-                ac, tc = decode_residual_block(r, nc, 15)
-                luma_coeffs[i] = [0] + ac
-            else:
-                full, tc = decode_residual_block(r, nc, 16)
-                luma_coeffs[i] = full
-            fr.blk_nnz[by, bx] = tc
-        else:
-            fr.blk_nnz[by, bx] = 0
-        # mark decoded-for-nC as soon as its coefficients are known
-        fr.blk_done[by, bx] = True
-        fr.blk_slice[by, bx] = slice_id
-    chroma_dc = [[0] * 4, [0] * 4]
-    if cbp_chroma & 3:
-        for comp in range(2):
-            chroma_dc[comp], _ = decode_residual_block(r, -1, 4)
-    chroma_ac = [[None] * 4, [None] * 4]
-    for comp in range(2):
-        done = np.zeros((2, 2), bool)
-        for j in range(4):  # raster within the 2x2 chroma block grid
-            bx2, by2 = mbx * 2 + j % 2, mby * 2 + j // 2
-            if cbp_chroma == 2:
-                nc = _nc_chroma(fr, comp, bx2, by2, mbx, mby, slice_id, done)
-                ac, tc = decode_residual_block(r, nc, 15)
-                chroma_ac[comp][j] = [0] + ac
-                fr.cnnz[comp][by2, bx2] = tc
-            else:
-                fr.cnnz[comp][by2, bx2] = 0
-            done[j // 2, j % 2] = True
+    luma_coeffs, chroma_dc, chroma_ac = _decode_residuals(
+        fr, r, mbx, mby, slice_id, cbp_luma, cbp_chroma,
+        i16=i16_pred is not None,
+    )
 
     # ---- reconstruction ----
     # (blk_done was set during entropy decode for nC purposes; prediction
@@ -1426,30 +1821,12 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
             fr.y[bpy : bpy + 4, bpx : bpx + 4] = np.clip(blk, 0, 255)
             written[oy // 4, ox // 4] = True
 
-    # Cb and Cr each dequantize at their OWN chroma QP (8.5.8: Cr uses
-    # second_chroma_qp_index_offset, inferred equal to the first when the
-    # PPS extension tail is absent)
-    qpc_by_comp = (
-        chroma_qp(qp, pps["chroma_qp_index_offset"]),
-        chroma_qp(qp, pps["second_chroma_qp_index_offset"]),
-    )
+    preds = []
     for comp, plane in ((0, fr.cb), (1, fr.cr)):
-        qpc = qpc_by_comp[comp]
         top, left, corner = _chroma_neighbors(fr, plane, cx, cy, mbx, mby, slice_id)
-        pred = _pred_chroma8x8(chroma_mode, top, left, corner)
-        dc = chroma_dc_dequant(chroma_dc[comp], qpc) if cbp_chroma else np.zeros((2, 2), np.int64)
-        for j in range(4):
-            ox, oy = (j % 2) * 4, (j // 2) * 4
-            if chroma_ac[comp][j] is not None:
-                d = dequant4x4(_zigzag_to_mat(chroma_ac[comp][j]), qpc)
-                d[0, 0] = dc[j // 2, j % 2]
-                res = (idct4x4(d) + 32) >> 6
-            elif cbp_chroma:
-                res = np.full((4, 4), (int(dc[j // 2, j % 2]) + 32) >> 6, np.int64)
-            else:
-                res = 0
-            blk = pred[oy : oy + 4, ox : ox + 4] + res
-            plane[cy + oy : cy + oy + 4, cx + ox : cx + ox + 4] = np.clip(blk, 0, 255)
+        preds.append(_pred_chroma8x8(chroma_mode, top, left, corner))
+    _add_chroma_residual(fr, pps, qp, cx, cy, preds, chroma_dc, chroma_ac,
+                         cbp_chroma)
 
     fr.mb_done[mby, mbx] = True
     fr.mb_qp[mby, mbx] = qp
@@ -1484,12 +1861,9 @@ def _predicted_i4_mode(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
     return min(a, b)
 
 
-def decode_i_frame(nals: list[bytes], sps: dict | None = None,
-                   pps: dict | None = None) -> "np.ndarray":
-    """Decode one I/IDR access unit (list of NAL units) to an RGB array.
-    SPS/PPS may come pre-parsed (single dicts or the by-id maps from
-    parse_avcc) and/or in-band; each slice resolves its OWN pps_id, so
-    multi-parameter-set files use the parameters they reference."""
+def _seed_param_maps(sps: dict | None, pps: dict | None):
+    """Normalize pre-parsed SPS/PPS seeds (single dicts or the by-id maps
+    from parse_avcc) into by-id maps."""
     sps_map: dict[int, dict] = {}
     pps_map: dict[int, dict] = {}
     for seed, target in ((sps, sps_map), (pps, pps_map)):
@@ -1499,6 +1873,16 @@ def decode_i_frame(nals: list[bytes], sps: dict | None = None,
             target.update(seed)  # already a by-id map
         elif seed is not None:
             target[seed.get("sps_id") if target is sps_map else seed.get("pps_id")] = seed
+    return sps_map, pps_map
+
+
+def decode_access_unit(nals: list[bytes], sps_map: dict, pps_map: dict,
+                       ref: dict | None = None) -> _Frame:
+    """Decode one access unit (list of NAL units) to a post-deblock
+    :class:`_Frame`. In-band SPS/PPS update the maps in place; each slice
+    resolves its OWN pps_id, so multi-parameter-set files use the
+    parameters they reference. ``ref`` supplies the single reference
+    frame P slices predict from (None -> P slices raise)."""
     fr = None
     slice_id = 0
     for nal in nals:
@@ -1517,7 +1901,7 @@ def decode_i_frame(nals: list[bytes], sps: dict | None = None,
             if not sps_map or not pps_map:
                 raise H264Error("slice before SPS/PPS")
             fr = _decode_slice(fr, rbsp, sps_map, pps_map, slice_id,
-                               idr=(nal_type == 5), ref_idc=ref_idc)
+                               idr=(nal_type == 5), ref_idc=ref_idc, ref=ref)
             slice_id += 1
         # SEI (6), AUD (9), filler (12) etc.: skipped
     if fr is None:
@@ -1526,6 +1910,11 @@ def decode_i_frame(nals: list[bytes], sps: dict | None = None,
         raise H264Error("frame has undecoded macroblocks")
     if (fr.mb_deblock != 1).any():
         deblock_frame(fr)
+    return fr
+
+
+def _frame_rgb(fr: _Frame) -> "np.ndarray":
+    """YCbCr 4:2:0 planes -> cropped RGB uint8 (BT.601 full-range)."""
     y = fr.y.astype(np.float64)
     cb = fr.cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
     cr = fr.cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
@@ -1540,6 +1929,44 @@ def decode_i_frame(nals: list[bytes], sps: dict | None = None,
     if h <= 0 or w <= 0:
         raise H264Error("cropped frame is empty")
     return rgb[2 * top : 2 * top + h, 2 * left : 2 * left + w]
+
+
+def decode_i_frame(nals: list[bytes], sps: dict | None = None,
+                   pps: dict | None = None) -> "np.ndarray":
+    """Decode one I/IDR access unit to an RGB array (no reference frame,
+    so P slices raise — the keyframe-sampling entry point)."""
+    sps_map, pps_map = _seed_param_maps(sps, pps)
+    return _frame_rgb(decode_access_unit(nals, sps_map, pps_map, None))
+
+
+def decode_gop(units: list[list[bytes]], sps: dict | None = None,
+               pps: dict | None = None) -> list["np.ndarray | None"]:
+    """Decode a sequence of access units with single-reference chaining
+    (short-GOP contract: every frame references the previous decoded
+    frame; IDR units reset the chain). Returns one RGB array per unit,
+    or None where a unit failed — and every subsequent P unit until the
+    next IDR is None too (its reference is gone), the honest degradation
+    decode_frames surfaces as NULL rows."""
+    sps_map, pps_map = _seed_param_maps(sps, pps)
+    out: list = []
+    ref: dict | None = None
+    for nals in units:
+        idr = any(n and (n[0] & 0x1F) == 5 for n in nals)
+        if idr:
+            ref = None  # IDR never references across itself
+        try:
+            fr = decode_access_unit(nals, sps_map, pps_map, ref)
+            out.append(_frame_rgb(fr))
+            ref = {"y": fr.y, "cb": fr.cb, "cr": fr.cr}
+        except DECODABLE_ERRORS:
+            out.append(None)
+            ref = None  # poison the chain until the next IDR
+    return out
+
+
+#: errors decode_gop degrades to None rows (mirrors multimodal's
+#: DECODE_ERRORS contract without importing it)
+DECODABLE_ERRORS = (H264Error, ValueError, IndexError, struct.error)
 
 
 # ---------------------------------------------------------------------------
@@ -1674,14 +2101,17 @@ def encode_i_frame_slices(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
 
 
 def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
-               slice_id: int = 0) -> None:
+               slice_id: int = 0, ptype_off: int = 0) -> None:
+    """Emit one INTRA macroblock (``ptype_off`` = 5 inside P slices,
+    where intra mb_types sit above the inter ones)."""
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     kind = desc[0]
     fr.mb_slice[mby, mbx] = slice_id
     bx0, by0 = mbx * 4, mby * 4
+    fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = -1  # intra (MV-pred state)
     if kind == "pcm":
         _, y, cb, cr = desc
-        w.ue(25)
+        w.ue(25 + ptype_off)
         while len(w.bits) % 8:
             w.bits.append(0)  # pcm_alignment_zero_bit
         w.put_bytes(np.asarray(y, np.int64).reshape(-1).astype(np.uint8).tobytes())
@@ -1703,7 +2133,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
         cbp_chroma = 1 if (cdc is not None and any(cdc[0]) or cdc is not None and any(cdc[1])) else 0
         if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
             cdc = None
-        w.ue(1 + pred_mode + 4 * cbp_chroma)
+        w.ue(1 + pred_mode + 4 * cbp_chroma + ptype_off)
         w.ue(0)  # intra_chroma_pred_mode: DC
         w.se(0)  # mb_qp_delta
         nc = _nc_luma(fr, bx0, by0, slice_id)
@@ -1721,7 +2151,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
     if kind != "i4":
         raise H264Error(f"unknown MB descriptor {kind!r}")
     _, modes, coeffs, cdc = desc
-    w.ue(0)
+    w.ue(ptype_off)
     # quadrant cbp bits; inside a coded quadrant every block is written
     cbp_luma = 0
     for i in range(16):
@@ -1797,6 +2227,147 @@ def encode_solid_gray_stream(w_mbs: int, h_mbs: int, dc_level: int,
     mbs += [("i16", 2, [0] * 16, None)] * (w_mbs * h_mbs - 1)
     sps_nal, pps_nal = encode_sps_pps(w_mbs, h_mbs, crop_right, crop_bottom, qp)
     return sps_nal, pps_nal, encode_i_frame(mbs, w_mbs, h_mbs, qp, deblock_idc)
+
+
+def _encode_p_inter_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
+                       slice_id: int) -> None:
+    """Emit one inter macroblock of a P slice. Descriptors:
+
+    - ``("p16", (mvx, mvy), coeffs16_or_None, cdc_or_None)`` —
+      P_L0_16x16 with optional per-4x4 luma residual lists (i4-style)
+      and optional chroma DC pair;
+    - ``("p16x8", mv_top, mv_bot, coeffs16_or_None, cdc_or_None)``;
+    - ``("p8x16", mv_left, mv_right, coeffs16_or_None, cdc_or_None)``;
+    - ``("p8x8", subs, coeffs16_or_None, cdc_or_None)`` where ``subs``
+      is four ``(sub_mb_type, [mv, ...])`` pairs (Table 7-17 layouts).
+
+    MV prediction mirrors the decoder exactly (shared ``_mv_pred`` over
+    the same shadow-frame state), so the emitted mvd round-trips."""
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    kind = desc[0]
+    fr.mb_slice[mby, mbx] = slice_id
+    bx0, by0 = mbx * 4, mby * 4
+
+    def put_part(ox, oy, pw, ph, mv, sc=None):
+        mvp = _mv_pred(fr, mbx, mby, ox, oy, pw, ph, slice_id, shortcut=sc)
+        w.se(mv[0] - mvp[0])
+        w.se(mv[1] - mvp[1])
+        bx, by = (mbx * 16 + ox) // 4, (mby * 16 + oy) // 4
+        fr.blk_mv[by : by + ph // 4, bx : bx + pw // 4] = mv
+        fr.blk_ref[by : by + ph // 4, bx : bx + pw // 4] = 0
+        fr.blk_slice[by : by + ph // 4, bx : bx + pw // 4] = slice_id
+
+    if kind == "p8x8":
+        _, subs, coeffs, cdc = desc
+        w.ue(3)
+        for stype, _ in subs:
+            w.ue(stype)
+        for k, (stype, mvs) in enumerate(subs):
+            ox8, oy8 = (k % 2) * 8, (k // 2) * 8
+            if len(mvs) != len(_SUB_PARTS[stype]):
+                raise H264Error("sub-partition mv count mismatch")
+            for (sox, soy, pw, ph), mv in zip(_SUB_PARTS[stype], mvs):
+                put_part(ox8 + sox, oy8 + soy, pw, ph, mv)
+    else:
+        if kind == "p16":
+            ptype, parts, mvs = 0, [(0, 0, 16, 16, None)], [desc[1]]
+            coeffs, cdc = desc[2], desc[3]
+        elif kind == "p16x8":
+            ptype = 1
+            parts = [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")]
+            mvs, coeffs, cdc = [desc[1], desc[2]], desc[3], desc[4]
+        elif kind == "p8x16":
+            ptype = 2
+            parts = [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")]
+            mvs, coeffs, cdc = [desc[1], desc[2]], desc[3], desc[4]
+        else:
+            raise H264Error(f"unknown P MB descriptor {kind!r}")
+        w.ue(ptype)
+        for (ox, oy, pw, ph, sc), mv in zip(parts, mvs):
+            put_part(ox, oy, pw, ph, mv, sc)
+    cbp_luma = 0
+    if coeffs is not None:
+        for i in range(16):
+            if coeffs[i] is not None and any(coeffs[i]):
+                cbp_luma |= 1 << (i // 4)
+    if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
+        cdc = None
+    cbp_chroma = 1 if cdc is not None else 0
+    w.ue(_CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
+    if cbp_luma or cbp_chroma:
+        w.se(0)  # mb_qp_delta
+    for i in range(16):
+        bx = bx0 + _BLK_XY[i][0] // 4
+        by = by0 + _BLK_XY[i][1] // 4
+        if cbp_luma & (1 << (i // 4)):
+            blk = coeffs[i] if coeffs[i] is not None else [0] * 16
+            nc = _nc_luma(fr, bx, by, slice_id)
+            tc = encode_residual_block(w, list(blk), nc)
+            fr.blk_nnz[by, bx] = tc
+        else:
+            fr.blk_nnz[by, bx] = 0
+        fr.blk_done[by, bx] = True
+    if cbp_chroma:
+        for comp in range(2):
+            encode_residual_block(w, list(cdc[comp]), -1)
+    fr.mb_done[mby, mbx] = True
+
+
+def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
+                   frame_num: int = 1, deblock_idc: int = 1) -> bytes:
+    """One non-IDR P slice NAL covering the whole frame — the fixture for
+    the short-GOP inter decode path. ``mbs`` is a raster list of MB
+    descriptors: ``("skip",)`` (P_Skip — motion from the shared skip-MV
+    rule), the inter shapes of :func:`_encode_p_inter_mb`, or any INTRA
+    descriptor ``encode_i_frame`` accepts (emitted with the +5 P-slice
+    mb_type offset). Slice header: single reference (the previous
+    frame), default list, sliding-window marking."""
+    if len(mbs) != w_mbs * h_mbs:
+        raise H264Error("mb list does not cover the frame")
+    shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
+    w = BitWriter()
+    w.ue(0)      # first_mb_in_slice
+    w.ue(5)      # slice_type: P (all slices in picture)
+    w.ue(0)      # pps_id
+    w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    w.u(0, 1)    # num_ref_idx_active_override (PPS default = 1 ref)
+    w.u(0, 1)    # ref_pic_list_modification_flag_l0
+    w.u(0, 1)    # adaptive_ref_pic_marking (sliding window)
+    w.se(0)      # slice_qp_delta
+    w.ue(deblock_idc)
+    if deblock_idc != 1:
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
+    mb = 0
+    n = len(mbs)
+    while mb < n:
+        run = 0
+        while mb + run < n and mbs[mb + run][0] == "skip":
+            run += 1
+        w.ue(run)
+        for k in range(run):
+            m = mb + k
+            mx, my = m % w_mbs, m // w_mbs
+            shadow.mb_slice[my, mx] = 0
+            mv = _skip_mv(shadow, mx, my, 0)
+            bx, by = mx * 4, my * 4
+            shadow.blk_mv[by : by + 4, bx : bx + 4] = mv
+            shadow.blk_ref[by : by + 4, bx : bx + 4] = 0
+            shadow.blk_slice[by : by + 4, bx : bx + 4] = 0
+            shadow.blk_nnz[by : by + 4, bx : bx + 4] = 0
+            shadow.blk_done[by : by + 4, bx : bx + 4] = True
+            shadow.mb_done[my, mx] = True
+        mb += run
+        if mb >= n:
+            break
+        desc = mbs[mb]
+        if desc[0] in ("p16", "p16x8", "p8x16", "p8x8"):
+            _encode_p_inter_mb(w, shadow, mb, desc, qp, 0)
+        else:
+            _encode_mb(w, shadow, mb, desc, qp, 0, ptype_off=5)
+        mb += 1
+    w.rbsp_trailing()
+    return _nal(1, w.tobytes())
 
 
 # ---------------------------------------------------------------------------
@@ -1916,17 +2487,38 @@ def _filter_edge_chroma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
             plane[y, x] = _clip3(0, 255, q[0] - delta)
 
 
+def _edge_bs(fr: _Frame, pbx: int, pby: int, qbx: int, qby: int,
+             mb_edge: bool) -> int:
+    """Boundary strength for the edge between 4x4 blocks p and q
+    (8.7.2.1, I/P subset): 4/3 when either side is intra (MB edge /
+    internal), 2 when either side carries coefficients, 1 on a >=1-pel
+    quarter-mv component difference or reference mismatch, else 0 (the
+    edge is not filtered)."""
+    p_ref, q_ref = int(fr.blk_ref[pby, pbx]), int(fr.blk_ref[qby, qbx])
+    if p_ref < 0 or q_ref < 0:  # intra (-1) — and -2 never survives decode
+        return 4 if mb_edge else 3
+    if fr.blk_nnz[pby, pbx] or fr.blk_nnz[qby, qbx]:
+        return 2
+    if p_ref != q_ref:
+        return 1
+    if (abs(int(fr.blk_mv[pby, pbx, 0]) - int(fr.blk_mv[qby, qbx, 0])) >= 4
+            or abs(int(fr.blk_mv[pby, pbx, 1]) - int(fr.blk_mv[qby, qbx, 1])) >= 4):
+        return 1
+    return 0
+
+
 def deblock_frame(fr: _Frame) -> None:
     """Apply the in-loop deblocking filter to the reconstructed frame
-    (8.7, I-frame subset). Per-MB state captured during decode drives it:
+    (8.7, I/P subset). Per-MB state captured during decode drives it:
     ``fr.mb_qp`` (0 for I_PCM per the spec), ``fr.mb_deblock`` (the
     slice's disable_deblocking_filter_idc), ``fr.mb_off_a``/``mb_off_b``
     (slice alpha/beta offsets), ``fr.mb_cqpo`` (the slice's PPS chroma
     qp offset — per MB, since slices may reference different PPS),
-    ``fr.mb_slice``. MBs filter in raster
-    order — vertical edges left-to-right then horizontal top-to-bottom —
-    each edge reading the partially filtered samples, as the spec
-    requires."""
+    ``fr.mb_slice``; boundary strengths come per 4-sample segment from
+    ``_edge_bs`` over the blocks' intra/nnz/mv/ref state. MBs filter in
+    raster order — vertical edges left-to-right then horizontal
+    top-to-bottom — each edge reading the partially filtered samples, as
+    the spec requires."""
     for mby in range(fr.hmb):
         for mbx in range(fr.wmb):
             idc = int(fr.mb_deblock[mby, mbx])
@@ -1946,19 +2538,25 @@ def deblock_frame(fr: _Frame) -> None:
 
             px, py = mbx * 16, mby * 16
             cx, cy = mbx * 8, mby * 8
+            bx0, by0 = mbx * 4, mby * 4
             # vertical edges (normal = x)
             for e in range(4):
                 if e == 0:
                     if not neighbor_ok(mbx - 1, mby):
                         continue
                     qp_n = int(fr.mb_qp[mby, mbx - 1])
-                    bs = 4
                 else:
-                    qp_n, bs = qp_cur, 3
+                    qp_n = qp_cur
                 qpa = (qp_cur + qp_n + 1) >> 1
+                seg_bs = [
+                    _edge_bs(fr, bx0 + e - 1, by0 + seg, bx0 + e, by0 + seg,
+                             mb_edge=(e == 0))
+                    for seg in range(4)
+                ]
                 for seg in range(4):
-                    _filter_edge_luma(fr.y, px + 4 * e, py + 4 * seg, 1, 0,
-                                      bs, qpa, off_a, off_b)
+                    if seg_bs[seg]:
+                        _filter_edge_luma(fr.y, px + 4 * e, py + 4 * seg,
+                                          1, 0, seg_bs[seg], qpa, off_a, off_b)
                 if e in (0, 2):
                     # per-plane offsets: Cr deblocks at its own QPc when
                     # the PPS set second_chroma_qp_index_offset (8.7.2)
@@ -1969,22 +2567,29 @@ def deblock_frame(fr: _Frame) -> None:
                         qpc_a = (chroma_qp(qp_cur, cqpo)
                                  + chroma_qp(qp_n, cqpo) + 1) >> 1
                         for seg in range(4):
-                            _filter_edge_chroma(plane, cx + 2 * e,
-                                                cy + 2 * seg, 1, 0, bs,
-                                                qpc_a, off_a, off_b)
+                            if seg_bs[seg]:
+                                _filter_edge_chroma(plane, cx + 2 * e,
+                                                    cy + 2 * seg, 1, 0,
+                                                    seg_bs[seg],
+                                                    qpc_a, off_a, off_b)
             # horizontal edges (normal = y)
             for e in range(4):
                 if e == 0:
                     if not neighbor_ok(mbx, mby - 1):
                         continue
                     qp_n = int(fr.mb_qp[mby - 1, mbx])
-                    bs = 4
                 else:
-                    qp_n, bs = qp_cur, 3
+                    qp_n = qp_cur
                 qpa = (qp_cur + qp_n + 1) >> 1
+                seg_bs = [
+                    _edge_bs(fr, bx0 + seg, by0 + e - 1, bx0 + seg, by0 + e,
+                             mb_edge=(e == 0))
+                    for seg in range(4)
+                ]
                 for seg in range(4):
-                    _filter_edge_luma(fr.y, px + 4 * seg, py + 4 * e, 0, 1,
-                                      bs, qpa, off_a, off_b)
+                    if seg_bs[seg]:
+                        _filter_edge_luma(fr.y, px + 4 * seg, py + 4 * e,
+                                          0, 1, seg_bs[seg], qpa, off_a, off_b)
                 if e in (0, 2):
                     for plane, cqpo in (
                         (fr.cb, int(fr.mb_cqpo[mby, mbx])),
@@ -1993,6 +2598,8 @@ def deblock_frame(fr: _Frame) -> None:
                         qpc_a = (chroma_qp(qp_cur, cqpo)
                                  + chroma_qp(qp_n, cqpo) + 1) >> 1
                         for seg in range(4):
-                            _filter_edge_chroma(plane, cx + 2 * seg,
-                                                cy + 2 * e, 0, 1, bs,
-                                                qpc_a, off_a, off_b)
+                            if seg_bs[seg]:
+                                _filter_edge_chroma(plane, cx + 2 * seg,
+                                                    cy + 2 * e, 0, 1,
+                                                    seg_bs[seg],
+                                                    qpc_a, off_a, off_b)

@@ -1705,13 +1705,17 @@ def decode_frames(
     chroma upsample + BT.601 → RGB, see decode_y4m_frame). H.264 (avc1)
     samples decode for REAL when they are CAVLC-coded I/IDR frames (the
     stdlib h264 module: NAL/slice parse, CAVLC, intra prediction, inverse
-    integer transform, in-loop deblocking — exactly the keyframes frame
-    sampling wants); inter-coded samples (P/B), CABAC streams,
-    and other av-library codecs (hev1/vp09) emit rows with NULL
-    pixel fields rather than wrong pixels; other payloads emit nothing.
-    Map-only; payloads never shuffle, and only the SAMPLED frames are
-    decoded — at every_k=10 that is 10x less pixel work than full decode,
-    the point of sampling."""
+    integer transform, in-loop deblocking) OR short-GOP P frames
+    (single-reference inter prediction chained forward from the nearest
+    IDR anchor — quarter-pel 6-tap luma, eighth-pel bilinear chroma);
+    B slices, CABAC streams, multi-reference P and other av-library
+    codecs (hev1/vp09) emit rows with NULL pixel fields rather than
+    wrong pixels — and a failed frame poisons its GOP's chain so later
+    P frames in it are NULL too, until the next IDR. Other payloads emit
+    nothing. Map-only; payloads never shuffle, and only the SAMPLED
+    frames are decoded (plus, for a sampled P frame, the minimal chain
+    from its anchor) — at every_k=10 an all-keyframe stream still pays
+    10x less pixel work than full decode, the point of sampling."""
     if every_k < 1:
         raise ValueError("every_k must be >= 1")
 
@@ -1765,6 +1769,78 @@ def decode_frames(
                         avc_cfg = h264.parse_avcc(mp4["avcc"])
                     except DECODE_ERRORS:
                         avc_cfg = None
+                kinds: list = []
+                if avc_cfg is not None:
+                    # classify every sample by its first slice NAL type
+                    # (5 = IDR anchor, 1 = non-IDR I or P) — cheap header
+                    # peek, no entropy decode. Sampled I/IDR frames decode
+                    # standalone exactly as before; a sampled P frame
+                    # decodes by chaining forward from the nearest anchor
+                    # (or the rolling chain, when a previous sampled frame
+                    # already advanced it) — the short-GOP inter path.
+                    nls = avc_cfg["nal_length_size"]
+                    for fj in range(n):
+                        oj, szj = mp4["offsets"][fj], mp4["sizes"][fj]
+                        kj = None
+                        try:
+                            for nal in h264.split_avcc_sample(
+                                b[oj : oj + szj], nls
+                            ):
+                                if nal and (nal[0] & 0x1F) in (1, 5):
+                                    kj = nal[0] & 0x1F
+                                    break
+                        except DECODE_ERRORS:
+                            kj = None
+                        kinds.append(kj)
+                    # pass the FULL by-id parameter-set maps, not
+                    # first-of-each: a sample whose slices reference a
+                    # non-first pps_id would otherwise degrade to NULL
+                    # unnecessarily (ADVICE r10)
+                    sps_map, pps_map = h264._seed_param_maps(
+                        avc_cfg["sps_by_id"], avc_cfg["pps_by_id"]
+                    )
+                    chain = {"ref": None, "pos": -1}
+
+                    def _avc_decode(fi):
+                        anchor = next(
+                            (j for j in range(fi, -1, -1) if kinds[j] == 5),
+                            None,
+                        )
+                        if (chain["ref"] is not None and chain["pos"] < fi
+                                and (anchor is None or chain["pos"] >= anchor)):
+                            start = chain["pos"] + 1  # continue the chain
+                        elif anchor is not None:
+                            start = anchor
+                            chain["ref"] = None
+                        else:  # no IDR before fi: standalone (P -> NULL)
+                            start = fi
+                            chain["ref"] = None
+                        fr = None
+                        for j in range(start, fi + 1):
+                            if kinds[j] == 5:
+                                chain["ref"] = None
+                            oj, szj = mp4["offsets"][j], mp4["sizes"][j]
+                            try:
+                                fr = h264.decode_access_unit(
+                                    h264.split_avcc_sample(
+                                        b[oj : oj + szj], nls
+                                    ),
+                                    sps_map, pps_map, chain["ref"],
+                                )
+                                chain["ref"] = {
+                                    "y": fr.y, "cb": fr.cb, "cr": fr.cr
+                                }
+                            except DECODE_ERRORS:
+                                fr = None
+                                chain["ref"] = None  # poison until IDR
+                            chain["pos"] = j
+                        if fr is None:
+                            return None
+                        try:
+                            return h264._frame_rgb(fr)
+                        except DECODE_ERRORS:
+                            return None
+
                 for fi in range(0, n, every_k):
                     ts_s = mp4["times"][fi] / tsc if tsc else None
                     base = (int(did), fi, n, ts_s)
@@ -1776,24 +1852,12 @@ def decode_frames(
                         except DECODE_ERRORS:
                             arr = None
                     elif avc_cfg is not None:
-                        # real decode for CAVLC I/IDR samples; P/B, CABAC
-                        # and deblocking-dependent samples raise inside and
+                        # real decode for CAVLC I/IDR keyframes AND
+                        # short-GOP P frames (chained single-reference
+                        # inter prediction); B, CABAC, multi-ref and
+                        # other unsupported shapes raise inside and
                         # degrade to the honest NULL row
-                        try:
-                            # pass the FULL by-id parameter-set maps, not
-                            # first-of-each: a sample whose slices
-                            # reference a non-first pps_id would otherwise
-                            # degrade to NULL unnecessarily (ADVICE r10)
-                            arr = h264.decode_i_frame(
-                                h264.split_avcc_sample(
-                                    b[o : o + sz],
-                                    avc_cfg["nal_length_size"],
-                                ),
-                                avc_cfg["sps_by_id"],
-                                avc_cfg["pps_by_id"],
-                            )
-                        except DECODE_ERRORS:
-                            arr = None
+                        arr = _avc_decode(fi)
                     if arr is not None:
                         rows.append(
                             base

@@ -2609,6 +2609,112 @@ def q_multimodal_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
 
 
+@register(
+    "multimodal_h264_gop",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 2 + 1) * 16 AS w,
+             (doc_id % 2 + 1) * 16 AS h,
+             doc_id % 3 AS variant,
+             128 + (((13 * ((doc_id % 40) * 37) + 2) // 4) + 32) // 64 AS v1,
+             128 + (((13 * ((doc_id % 29) * 41) + 2) // 4) + 32) // 64 AS v2
+      FROM documents
+    ),
+    f AS (SELECT d.*, unnest([0, 2]) AS fi FROM d)
+    SELECT doc_id, fi::INT AS frame_idx, 3::INT AS n_frames,
+           fi * 25.0 / 600.0 AS ts_s,
+           w::INT AS width, h::INT AS height, 3::INT AS channels,
+           CAST(3 * CASE
+             WHEN fi = 0 OR variant < 2 THEN v1 * w * h
+             ELSE v2 * 256 + v1 * (w * h - 256)
+           END AS BIGINT) AS pix_sum
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+    doc=(
+        "REAL H.264 short-GOP PIXEL decode — the inter-prediction "
+        "(P-slice) path end-to-end: each document becomes an avc1 MP4 "
+        "whose GOP is IDR + two P frames (frame_num 1, 2; single "
+        "reference, sliding-window marking). The IDR is a solid-gray "
+        "I_16x16 frame whose CAVLC DC residual propagates through intra "
+        "prediction; P1 is ALL P_Skip (the 8.4.1.1 inferred-mv copy "
+        "path); P2 cycles by doc_id%3 — all-skip again, P_L0_16x16 MBs "
+        "with doc-dependent QUARTER-PEL motion vectors (on a flat "
+        "reference the 6-tap/bilinear interpolation chain is provably "
+        "value-preserving: 1-5+20+20-5+1 = 32 = the normalization, so "
+        "the closed-form sum verifies the full fractional-mv path "
+        "including edge clamp), or an intra I_16x16 MB 0 inside the P "
+        "slice (DC-predicted over unavailable neighbors) on top of "
+        "skips. decode_frames samples every_k=2, so frame 2 must CHAIN "
+        "through the unsampled frame 1 from the IDR anchor — the GOP "
+        "walk, sample classification, and reference handoff are all on "
+        "the measured path. The all-skip/all-p16 docs decode with the "
+        "in-loop filter ENABLED (every bS is 0 or filters a flat edge — "
+        "an exact no-op the sum would catch violating); chroma is "
+        "neutral so RGB equals luma and the oracle states every sum in "
+        "closed integer form, dequant arithmetic written out, not via "
+        "decoder tables. Reference parity: the reference engine ships "
+        "no video decode; this is brief-mandated multimodal surface."
+    ),
+)
+def q_multimodal_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    docs = (
+        Catalog(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from engine_spark.datapipe import h264 as H
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wmb = hmb = did % 2 + 1
+                n_mb = wmb * hmb
+                variant = did % 3
+                deblock = 0 if variant < 2 else 1
+                sps, pps, idr = H.encode_solid_gray_stream(
+                    wmb, hmb, (did % 40) * 37, 26,
+                    deblock_idc=deblock,
+                )
+                p1 = H.encode_p_frame(
+                    [("skip",)] * n_mb, wmb, hmb,
+                    frame_num=1, deblock_idc=deblock,
+                )
+                if variant == 0:
+                    descs = [("skip",)] * n_mb
+                elif variant == 1:
+                    mv = ((did % 13) - 6, (did % 9) - 4)  # quarter-pel
+                    descs = [("p16", mv, None, None)] * n_mb
+                else:
+                    descs = ([("i16", 2, [(did % 29) * 41] + [0] * 15, None)]
+                             + [("skip",)] * (n_mb - 1))
+                p2 = H.encode_p_frame(
+                    descs, wmb, hmb, frame_num=2, deblock_idc=deblock,
+                )
+                avcc = H.build_avcc(sps, pps)
+                ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+                samples = [
+                    len(nal).to_bytes(4, "big") + nal for nal in (idr, p1, p2)
+                ]
+                rows.append(
+                    (did, encode_mp4(
+                        samples, codec=b"avc1", sample_entry_ext=ext,
+                        width=wmb * 16, height=hmb * 16,
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+
+
 # ---------------------------------------------------------------------------
 # IVF ANN: inverted-file index with deterministic seeded centroids
 # ---------------------------------------------------------------------------

@@ -435,7 +435,9 @@ def test_cabac_pps_refused():
         H.parse_pps(w.tobytes())
 
 
-def test_p_slice_refused():
+def test_p_slice_without_reference_and_b_slice_refused():
+    # keyframe-sampling entry point (no reference): a P slice raises —
+    # decode_gop is the API that supplies the reference chain
     sps, pps = H.encode_sps_pps(1, 1)
     w = H.BitWriter()
     w.ue(0)
@@ -444,8 +446,18 @@ def test_p_slice_refused():
     w.u(0, 4)
     w.rbsp_trailing()
     nal = bytes([0x61]) + H.rbsp_escape(w.tobytes())
-    with pytest.raises(H.H264Error, match="I slices"):
+    with pytest.raises(H.H264Error, match="reference"):
         H.decode_i_frame([sps, pps, nal])
+    # B slices stay out of scope entirely
+    w = H.BitWriter()
+    w.ue(0)
+    w.ue(6)  # slice_type B (all slices)
+    w.ue(0)
+    w.u(0, 4)
+    w.rbsp_trailing()
+    nal_b = bytes([0x61]) + H.rbsp_escape(w.tobytes())
+    with pytest.raises(H.H264Error, match="slice_type"):
+        H.decode_i_frame([sps, pps, nal_b])
 
 
 # ---------------------------------------------------------------------------
@@ -1444,3 +1456,420 @@ def test_dense_frames_hit_vlc1_vlc2_contexts_against_pixel_reference():
     y_ref = _ref_decode_i4_frame(wmb, hmb, mbs, qp)
     assert (rgb[:, :, 0] == y_ref).all()
     assert (rgb[:, :, 1] == y_ref).all() and (rgb[:, :, 2] == y_ref).all()
+
+
+# ---------------------------------------------------------------------------
+# P slices (inter prediction, 8.4): short-GOP subset — skip / 16x16 /
+# 16x8 / 8x16 / intra-in-P, quarter-pel 6-tap luma + eighth-pel bilinear
+# chroma, per-segment deblock bS. The interpolation is validated against
+# an INDEPENDENT per-sample reference implemented here from the spec.
+# ---------------------------------------------------------------------------
+
+
+def _ref_luma_sample(ref, x, y, mvx, mvy):
+    """Independent scalar quarter-pel luma interpolation (8.4.2.2.1):
+    per-sample, explicit Table 8-12 case analysis, edge clamp."""
+    Hh, Ww = ref.shape
+
+    def S(xx, yy):  # edge-clamped integer sample
+        return int(ref[min(max(yy, 0), Hh - 1), min(max(xx, 0), Ww - 1)])
+
+    ix, fx = (x * 4 + mvx) >> 2, (x * 4 + mvx) & 3
+    iy, fy = (y * 4 + mvy) >> 2, (y * 4 + mvy) & 3
+
+    def halfh(xx, yy):  # b: half-pel between (xx,yy) and (xx+1,yy)
+        t = (S(xx - 2, yy) - 5 * S(xx - 1, yy) + 20 * S(xx, yy)
+             + 20 * S(xx + 1, yy) - 5 * S(xx + 2, yy) + S(xx + 3, yy))
+        return min(max((t + 16) >> 5, 0), 255)
+
+    def halfv(xx, yy):
+        t = (S(xx, yy - 2) - 5 * S(xx, yy - 1) + 20 * S(xx, yy)
+             + 20 * S(xx, yy + 1) - 5 * S(xx, yy + 2) + S(xx, yy + 3))
+        return min(max((t + 16) >> 5, 0), 255)
+
+    def centerj(xx, yy):  # j: vertical raw 6-tap then horizontal, >>10
+        def vraw(cx):
+            return (S(cx, yy - 2) - 5 * S(cx, yy - 1) + 20 * S(cx, yy)
+                    + 20 * S(cx, yy + 1) - 5 * S(cx, yy + 2) + S(cx, yy + 3))
+        t = (vraw(xx - 2) - 5 * vraw(xx - 1) + 20 * vraw(xx)
+             + 20 * vraw(xx + 1) - 5 * vraw(xx + 2) + vraw(xx + 3))
+        return min(max((t + 512) >> 10, 0), 255)
+
+    G = S(ix, iy)
+    if (fx, fy) == (0, 0):
+        return G
+    b = halfh(ix, iy)
+    h = halfv(ix, iy)
+    if fy == 0:
+        return b if fx == 2 else (G + b + 1) >> 1 if fx == 1 else (S(ix + 1, iy) + b + 1) >> 1
+    if fx == 0:
+        return h if fy == 2 else (G + h + 1) >> 1 if fy == 1 else (S(ix, iy + 1) + h + 1) >> 1
+    j = centerj(ix, iy)
+    m = halfv(ix + 1, iy)
+    s = halfh(ix, iy + 1)
+    if (fx, fy) == (1, 1):
+        return (b + h + 1) >> 1
+    if (fx, fy) == (2, 1):
+        return (b + j + 1) >> 1
+    if (fx, fy) == (3, 1):
+        return (b + m + 1) >> 1
+    if (fx, fy) == (1, 2):
+        return (h + j + 1) >> 1
+    if (fx, fy) == (2, 2):
+        return j
+    if (fx, fy) == (3, 2):
+        return (j + m + 1) >> 1
+    if (fx, fy) == (1, 3):
+        return (h + s + 1) >> 1
+    if (fx, fy) == (2, 3):
+        return (j + s + 1) >> 1
+    return (m + s + 1) >> 1  # (3, 3)
+
+
+def test_interp_luma_matches_independent_reference_all_fracs():
+    rng = np.random.RandomState(11)
+    ref = rng.randint(0, 256, (24, 28)).astype(np.int64)
+    for mvi in (-9, -1, 0, 3, 17):  # integer parts, incl. off-frame
+        for fx in range(4):
+            for fy in range(4):
+                mvx, mvy = mvi * 4 + fx, (mvi // 2) * 4 + fy
+                got = H._interp_luma_block(ref, 5, 3, 8, 8, mvx, mvy)
+                exp = np.array(
+                    [[_ref_luma_sample(ref, 5 + c, 3 + r, mvx, mvy)
+                      for c in range(8)] for r in range(8)]
+                )
+                assert (got == exp).all(), (mvx, mvy)
+
+
+def test_interp_chroma_matches_independent_bilinear():
+    rng = np.random.RandomState(5)
+    ref = rng.randint(0, 256, (12, 14)).astype(np.int64)
+
+    def S(xx, yy):
+        return int(ref[min(max(yy, 0), 11), min(max(xx, 0), 13)])
+
+    for mvx in (-11, -3, 0, 5, 13, 29):
+        for mvy in (-6, 0, 7, 18):
+            got = H._interp_chroma_block(ref, 4, 2, 4, 4, mvx, mvy)
+            ix, dx = mvx >> 3, mvx & 7
+            iy, dy = mvy >> 3, mvy & 7
+            exp = np.array([[
+                ((8 - dx) * (8 - dy) * S(4 + c + ix, 2 + r + iy)
+                 + dx * (8 - dy) * S(4 + c + ix + 1, 2 + r + iy)
+                 + (8 - dx) * dy * S(4 + c + ix, 2 + r + iy + 1)
+                 + dx * dy * S(4 + c + ix + 1, 2 + r + iy + 1) + 32) >> 6
+                for c in range(4)] for r in range(4)])
+            assert (got == exp).all(), (mvx, mvy)
+
+
+def _textured_idr(wmb, hmb, seed=3):
+    """Random-luma PCM IDR with NEUTRAL chroma (128), so the decoded RGB
+    channels all equal luma and region assertions can work on one plane
+    (a fractional luma MV implies a fractional CHROMA mv, so textured
+    chroma would interpolate rather than shift)."""
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 256, (hmb * 16, wmb * 16))
+    flat8 = np.full((8, 8), 128)
+    mbs = [("pcm", y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16],
+            flat8, flat8)
+           for my in range(hmb) for mx in range(wmb)]
+    return H.encode_i_frame(mbs, wmb, hmb, 26)
+
+
+def test_p_frame_fractional_mv_matches_reference_interp():
+    """End-to-end: a P frame whose MBs carry one global fractional MV
+    must equal the independent interpolation of the DECODED reference
+    luma (gray chroma keeps RGB = luma)."""
+    wmb, hmb = 3, 2
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26)
+    rng = np.random.RandomState(9)
+    y = rng.randint(0, 256, (hmb * 16, wmb * 16))
+    flat = np.full((8, 8), 128)
+    mbs = [("pcm", y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16], flat, flat)
+           for my in range(hmb) for mx in range(wmb)]
+    idr = H.encode_i_frame(mbs, wmb, hmb, 26)
+    for mv in ((5, 0), (0, 7), (6, 6), (-3, 9), (13, -5), (1, 3)):
+        p = H.encode_p_frame([("p16", mv, None, None)] * (wmb * hmb), wmb, hmb)
+        out = H.decode_gop([[sps, pps, idr], [p]])
+        assert out[1] is not None, mv
+        ref_y = out[0][:, :, 1].astype(np.int64)  # G == Y (gray chroma)
+        exp = np.array([[_ref_luma_sample(ref_y, x, yy, mv[0], mv[1])
+                         for x in range(wmb * 16)] for yy in range(hmb * 16)])
+        assert (out[1][:, :, 1] == exp).all(), mv
+
+
+def test_p_partitions_skip_runs_intra_and_residuals():
+    """Composite P frame: skip run, 16x16 with luma+chroma residual,
+    16x8 and 8x16 partitions with distinct MVs, an intra I_16x16 MB, and
+    a trailing skip run — pixel-exact against per-region expectations."""
+    wmb, hmb = 3, 3
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26)
+    idr = _textured_idr(wmb, hmb)
+    out0 = H.decode_gop([[sps, pps, idr]])[0]
+    blk = [0] * 16
+    blk[0] = 12
+    coeffs = [blk] + [None] * 15  # residual only in luma 4x4 block 0
+    descs = [
+        ("skip",),
+        ("p16", (8, 4), coeffs, None),
+        ("p16x8", (4, 0), (0, 4), None, None),
+        ("p8x16", (-4, 0), (0, -4), None, None),
+        ("i16", 2, [320] + [0] * 15, None),
+        ("skip",), ("skip",), ("skip",), ("skip",),
+    ]
+    p = H.encode_p_frame(descs, wmb, hmb)
+    out1 = H.decode_gop([[sps, pps, idr], [p]])[1]
+    assert out1 is not None
+    # spot-check regions with INTEGER mv against shifted reference luma
+    g0, g1 = out0[:, :, 1].astype(np.int64), out1[:, :, 1].astype(np.int64)
+
+    def shifted(x0, y0, w, h, dx, dy):
+        rows = np.clip(np.arange(y0 + dy, y0 + dy + h), 0, hmb * 16 - 1)
+        cols = np.clip(np.arange(x0 + dx, x0 + dx + w), 0, wmb * 16 - 1)
+        return g0[np.ix_(rows, cols)]
+
+    # MB 0 skip: first MB's skip-mv is (0,0) -> copy
+    assert (g1[0:16, 0:16] == g0[0:16, 0:16]).all()
+    # MB 2 (16x8): top partition mv (1,0) int, bottom (0,1) int
+    assert (g1[0:8, 32:48] == shifted(32, 0, 16, 8, 1, 0)).all()
+    assert (g1[8:16, 32:48] == shifted(32, 8, 16, 8, 0, 1)).all()
+    # MB 3 (8x16): left mv (-1,0), right (0,-1)
+    assert (g1[16:32, 0:8] == shifted(0, 16, 8, 16, -1, 0)).all()
+    assert (g1[16:32, 8:16] == shifted(8, 16, 8, 16, 0, -1)).all()
+    # MB 4: intra I_16x16 in P slice — DC prediction from P neighbors
+    # plus its own DC residual; just pin determinism vs a re-decode
+    out1b = H.decode_gop([[sps, pps, idr], [p]])[1]
+    assert (out1 == out1b).all()
+    # MB 1 (16x16, mv (2,1) int, residual): MC + independent residual
+    mc = shifted(16, 0, 16, 16, 2, 1)
+    res = (_ref_dequant_idct(blk, 26) + 32) >> 6
+    exp_blk = np.clip(mc[0:4, 0:4] + res, 0, 255)
+    assert (g1[0:4, 16:20] == exp_blk).all()
+    # rest of MB 1 luma: pure MC
+    assert (g1[4:16, 16:32] == np.clip(mc[4:16, :], 0, 255)).all()
+    # trailing skips (MBs 5-8): zero-mv copies (their neighbors' mvs are
+    # nonzero, so assert against the decoder-shared skip rule only by
+    # determinism and non-null decode — the closed-form cases above pin
+    # the arithmetic)
+
+
+def test_p_chroma_dc_residual_on_mc_prediction():
+    """A P MB's chroma DC residual lands on the MOTION-COMPENSATED
+    prediction: flat-128 chroma reference + zero-mv 16x16 with Cb-only
+    DC level 40 reproduces the intra test's closed-form Cb shift (same
+    dequant path, prediction = copied 128), Cr untouched."""
+    sps, pps = H.encode_sps_pps(1, 1, qp=26)
+    gray = np.full((16, 16), 128)
+    flat8 = np.full((8, 8), 128)
+    idr = H.encode_i_frame([("pcm", gray, flat8, flat8)], 1, 1, 26)
+    p = H.encode_p_frame(
+        [("p16", (0, 0), None, ([40, 0, 0, 0], [0, 0, 0, 0]))], 1, 1
+    )
+    out = H.decode_gop([[sps, pps, idr], [p]])[1]
+    assert out is not None
+    qpc = H.chroma_qp(26, 0)
+    dc = ((40 * H._V[qpc % 6][0]) << (qpc // 6)) >> 5
+    cb = 128 + ((dc + 32) >> 6)
+    exp_b = np.clip(np.rint(128 + 1.772 * (cb - 128)), 0, 255)
+    assert (out[:, :, 2] == exp_b).all()          # Cb moved
+    assert (out[:, :, 0] == 128).all()            # Cr (R channel) untouched
+
+
+def test_p_refusals_and_gop_poisoning():
+    wmb, hmb = 2, 1
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26)
+    sps_m, pps_m = H._seed_param_maps(
+        H.parse_sps(H.rbsp_unescape(sps[1:])), H.parse_pps(H.rbsp_unescape(pps[1:]))
+    )
+    gray = np.full((16, 16), 100)
+    flat8 = np.full((8, 8), 128)
+    idr = H.encode_i_frame([("pcm", gray, flat8, flat8)] * 2, wmb, hmb, 26)
+    ref_fr = H.decode_access_unit([sps, pps, idr], dict(sps_m), dict(pps_m))
+    ref = {"y": ref_fr.y, "cb": ref_fr.cb, "cr": ref_fr.cr}
+
+    # bad sub_mb_type refused (P_8x8 itself is supported)
+    w = H.BitWriter()
+    w.ue(0); w.ue(5); w.ue(0); w.u(1, 4)
+    w.u(0, 1); w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+    w.ue(0)   # skip run 0
+    w.ue(3)   # mb_type P_8x8
+    w.ue(4)   # sub_mb_type out of range
+    w.rbsp_trailing()
+    with pytest.raises(H.H264Error, match="sub_mb_type"):
+        H.decode_access_unit(
+            [H._nal(1, w.tobytes())], dict(sps_m), dict(pps_m), ref
+        )
+
+    # multi-reference refused (override to 2 refs)
+    w = H.BitWriter()
+    w.ue(0); w.ue(5); w.ue(0); w.u(1, 4)
+    w.u(1, 1); w.ue(1)  # override: num_ref_idx_l0_active = 2
+    w.rbsp_trailing()
+    with pytest.raises(H.H264Error, match="active references"):
+        H.decode_access_unit(
+            [H._nal(1, w.tobytes())], dict(sps_m), dict(pps_m), ref
+        )
+
+    # GOP poisoning: IDR, good P, CORRUPT P, P (poisoned), IDR recovers
+    p_ok = H.encode_p_frame([("skip",)] * 2, wmb, hmb)
+    ci = len(p_ok) - 1  # flip the trailing byte (stop bit / run syntax)
+    corrupt = p_ok[:ci] + bytes([p_ok[ci] ^ 0x7F]) + p_ok[ci + 1:]
+    out = H.decode_gop(
+        [[sps, pps, idr], [p_ok], [corrupt], [p_ok], [idr], [p_ok]]
+    )
+    assert out[0] is not None and out[1] is not None
+    assert (out[1] == out[0]).all()
+    # corrupt unit: either fails (None) or decodes to SOMETHING — if it
+    # fails, the chain must poison until the IDR
+    if out[2] is None:
+        assert out[3] is None
+    assert out[4] is not None and out[5] is not None
+    assert (out[5] == out[4]).all()
+
+
+def test_p_deblock_flat_noop_and_edge_bs():
+    # flat skip frame with deblock ON: every bS is 0 (no coeffs, equal
+    # zero mvs, same ref) -> bit-identical to deblock-off decode
+    wmb, hmb = 2, 2
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26)
+    rng = np.random.RandomState(17)
+    y = rng.randint(0, 256, (hmb * 16, wmb * 16))
+    flat8 = np.full((8, 8), 128)
+    mbs = [("pcm", y[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16], flat8, flat8)
+           for my in range(hmb) for mx in range(wmb)]
+    idr = H.encode_i_frame(mbs, wmb, hmb, 26)
+    p_on = H.encode_p_frame([("skip",)] * 4, wmb, hmb, deblock_idc=0)
+    p_off = H.encode_p_frame([("skip",)] * 4, wmb, hmb, deblock_idc=1)
+    out_on = H.decode_gop([[sps, pps, idr], [p_on]])[1]
+    out_off = H.decode_gop([[sps, pps, idr], [p_off]])[1]
+    assert out_on is not None and (out_on == out_off).all()
+
+    # _edge_bs unit rules on synthetic state
+    fr = H._Frame({"width_mbs": 2, "height_mbs": 1})
+    fr.blk_ref[:] = 0
+    fr.blk_nnz[:] = 0
+    fr.blk_mv[:] = 0
+    assert H._edge_bs(fr, 3, 0, 4, 0, mb_edge=True) == 0
+    fr.blk_nnz[0, 4] = 2
+    assert H._edge_bs(fr, 3, 0, 4, 0, mb_edge=True) == 2
+    fr.blk_nnz[0, 4] = 0
+    fr.blk_mv[0, 4] = (4, 0)  # 1-pel horizontal difference
+    assert H._edge_bs(fr, 3, 0, 4, 0, mb_edge=True) == 1
+    fr.blk_mv[0, 4] = (3, 0)  # < 1 pel
+    assert H._edge_bs(fr, 3, 0, 4, 0, mb_edge=True) == 0
+    fr.blk_ref[0, 3] = -1  # intra side
+    assert H._edge_bs(fr, 3, 0, 4, 0, mb_edge=True) == 4
+    assert H._edge_bs(fr, 3, 0, 4, 0, mb_edge=False) == 3
+
+
+def test_decode_frames_short_gop_p_chain(spark):
+    """decode_frames over an avc1 MP4 whose GOP is IDR + P + P: sampled
+    P frames decode REAL pixels by chaining from the anchor; a corrupt P
+    poisons the rest of its GOP (NULL rows) and the next IDR recovers."""
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    wmb, hmb = 2, 2
+    sps, pps, idr = H.encode_solid_gray_stream(wmb, hmb, 160, 26)
+    v = H.i16dc_recon_value(160, 26)
+    # P1: all-skip (copy); P2: one i16 DC-residual MB on top of skips
+    p1 = H.encode_p_frame([("skip",)] * 4, wmb, hmb, frame_num=1)
+    p2 = H.encode_p_frame(
+        [("i16", 2, [320] + [0] * 15, None)] + [("skip",)] * 3,
+        wmb, hmb, frame_num=2,
+    )
+    avcc = H.build_avcc(sps, pps)
+    ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+
+    def sample(nal):
+        return len(nal).to_bytes(4, "big") + nal
+
+    # GOP1: idr p1 p2; GOP2: idr p1
+    mp4 = encode_mp4(
+        [sample(idr), sample(p1), sample(p2), sample(idr), sample(p1)],
+        codec=b"avc1", sample_entry_ext=ext,
+    )
+    docs = spark.createDataFrame(
+        [(1, bytearray(mp4))], "doc_id long, payload binary"
+    )
+    rows = {r["frame_idx"]: r for r in decode_frames(docs, 1).collect()}
+    assert len(rows) == 5
+    npix = (wmb * 16) * (hmb * 16)
+    assert rows[0]["pix_sum"] == 3 * v * npix
+    assert rows[1]["pix_sum"] == 3 * v * npix  # skip copy
+    assert rows[3]["pix_sum"] == 3 * v * npix
+    assert rows[4]["pix_sum"] == 3 * v * npix
+    # frame 2: MB0 replaced by an intra DC MB predicting from P-decoded
+    # neighbors... its top/left are unavailable -> DC pred 128 + residual
+    v2 = H.i16dc_recon_value(320, 26)
+    # MB0 luma becomes v2 (DC pred over unavailable neighbors is 128
+    # baseline + dequant(320)); other MBs keep v
+    exp2 = 3 * (v2 * 256 + v * (npix - 256))
+    assert rows[2]["pix_sum"] == exp2
+
+    # sampling every_k=2 picks frames 0, 2, 4 — frame 2 is a P that
+    # must chain through unsampled frame 1
+    rows2 = {r["frame_idx"]: r for r in decode_frames(docs, 2).collect()}
+    assert sorted(rows2) == [0, 2, 4]
+    assert rows2[2]["pix_sum"] == exp2 and rows2[4]["pix_sum"] == 3 * v * npix
+
+    # corrupt P1 of GOP1: frames 1 AND 2 degrade to NULL, GOP2 intact
+    i1 = mp4.find(p1)
+    bad = bytearray(mp4)
+    bad[i1 + len(p1) - 1] ^= 0x7F
+    docs_bad = spark.createDataFrame(
+        [(2, bytes(bad))], "doc_id long, payload binary"
+    )
+    rows3 = {r["frame_idx"]: r for r in decode_frames(docs_bad, 1).collect()}
+    assert rows3[0]["pix_sum"] == 3 * v * npix
+    assert rows3[3]["pix_sum"] == 3 * v * npix  # next IDR recovers
+    assert rows3[1]["pix_sum"] is None or rows3[2]["pix_sum"] is None
+
+
+def test_p8x8_sub_partitions_integer_mvs_match_shifted_reference():
+    """P_8x8 down to 4x4 sub-partitions: each sub-block carries its OWN
+    integer mv, so every region must equal its shifted reference — and
+    the encoder's mv prediction (shared _mv_pred over the shadow state)
+    must round-trip through the decoder's, at 4x4 granularity."""
+    wmb, hmb = 2, 2
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26)
+    idr = _textured_idr(wmb, hmb, seed=21)
+    out0 = H.decode_gop([[sps, pps, idr]])[0]
+    g0 = out0[:, :, 1].astype(np.int64)
+
+    mv_a, mv_b = (4, 0), (0, 4)          # +1px right / +1px down
+    mv_c, mv_d = (-4, 4), (8, -4)        # mixed
+    descs = [
+        # MB0: four 8x8s with sub types 0/1/2/3
+        ("p8x8", [
+            (0, [mv_a]),
+            (1, [mv_b, mv_a]),
+            (2, [mv_c, mv_d]),
+            (3, [mv_a, mv_b, mv_c, mv_d]),
+        ], None, None),
+        ("skip",), ("skip",), ("skip",),
+    ]
+    p = H.encode_p_frame(descs, wmb, hmb)
+    out1 = H.decode_gop([[sps, pps, idr], [p]])[1]
+    assert out1 is not None
+    g1 = out1[:, :, 1].astype(np.int64)
+
+    def shifted(x0, y0, w, h, mv):
+        rows = np.clip(np.arange(y0 + mv[1] // 4, y0 + mv[1] // 4 + h),
+                       0, hmb * 16 - 1)
+        cols = np.clip(np.arange(x0 + mv[0] // 4, x0 + mv[0] // 4 + w),
+                       0, wmb * 16 - 1)
+        return g0[np.ix_(rows, cols)]
+
+    # 8x8 sub 0 (one 8x8, mv_a)
+    assert (g1[0:8, 0:8] == shifted(0, 0, 8, 8, mv_a)).all()
+    # 8x8 sub 1 (two 8x4: mv_b then mv_a)
+    assert (g1[0:4, 8:16] == shifted(8, 0, 8, 4, mv_b)).all()
+    assert (g1[4:8, 8:16] == shifted(8, 4, 8, 4, mv_a)).all()
+    # 8x8 sub 2 (two 4x8: mv_c then mv_d)
+    assert (g1[8:16, 0:4] == shifted(0, 8, 4, 8, mv_c)).all()
+    assert (g1[8:16, 4:8] == shifted(4, 8, 4, 8, mv_d)).all()
+    # 8x8 sub 3 (four 4x4)
+    for (sox, soy), mv in zip(((8, 8), (12, 8), (8, 12), (12, 12)),
+                              (mv_a, mv_b, mv_c, mv_d)):
+        assert (g1[soy:soy + 4, sox:sox + 4]
+                == shifted(sox, soy, 4, 4, mv)).all(), (sox, soy)

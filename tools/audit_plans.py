@@ -471,6 +471,18 @@ CHECKS = {
         ("column pruning (doc_id only)",
          lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
     ],
+    "multimodal_h264_gop": [
+        # same shape contract as multimodal_h264: the GOP synth + chained
+        # P-frame decode is ONE map-only kernel after a round-robin id
+        # spread; payloads (and reference-frame state, which lives inside
+        # the kernel) never shuffle
+        ("no keyed exchange", lambda p: "Exchange hashpartitioning" not in p),
+        ("ids spread before synthesis (payloads never shuffle)",
+         lambda p: "RoundRobinPartitioning" in p),
+        ("no join", lambda p: "Join" not in p),
+        ("column pruning (doc_id only)",
+         lambda p: "ReadSchema: struct<doc_id:bigint>" in p),
+    ],
     "search_hybrid_store": [
         # the composed plan (both live stores + the independent twin +
         # the parity join) must keep every pool rank-capped, prune the
