@@ -1873,3 +1873,66 @@ def test_p8x8_sub_partitions_integer_mvs_match_shifted_reference():
                               (mv_a, mv_b, mv_c, mv_d)):
         assert (g1[soy:soy + 4, sox:sox + 4]
                 == shifted(sox, soy, 4, 4, mv)).all(), (sox, soy)
+
+
+def test_mv_pred_spec_cases_hand_derived():
+    """_mv_pred is SHARED by encoder and decoder (mvds round-trip by
+    construction), so its spec conformance needs direct cases derived by
+    hand from 8.4.1.3 — a divergence would misdecode external streams
+    while passing every round-trip."""
+    fr = H._Frame({"width_mbs": 3, "height_mbs": 2})
+    fr.blk_slice[:] = 0
+
+    def setblk(bx, by, mv, ref):
+        fr.blk_mv[by, bx] = mv
+        fr.blk_ref[by, bx] = ref
+
+    # target partition: MB (1,1) 16x16 -> block origin (4,4)
+    # A = (3,4), B = (4,3), C = (8,3), D = (3,3)
+    # case 1: three inter neighbors with distinct mvs -> componentwise median
+    setblk(3, 4, (10, -2), 0)   # A
+    setblk(4, 3, (4, 6), 0)     # B
+    setblk(8, 3, (-8, 0), 0)    # C
+    assert H._mv_pred(fr, 1, 1, 0, 0, 16, 16, 0) == (4, 0)
+
+    # case 2: exactly one neighbor shares ref 0 (others intra) -> its mv
+    setblk(4, 3, (0, 0), -1)    # B intra
+    setblk(8, 3, (0, 0), -1)    # C intra
+    assert H._mv_pred(fr, 1, 1, 0, 0, 16, 16, 0) == (10, -2)
+
+    # case 3: C unavailable (undecoded) -> D substitutes
+    setblk(4, 3, (4, 6), 0)     # B inter again
+    fr.blk_ref[3, 8] = -2       # C undecoded
+    setblk(3, 3, (2, 2), 0)     # D
+    assert H._mv_pred(fr, 1, 1, 0, 0, 16, 16, 0) == (4, 2)  # med(10,4,2),(−2,6,2)
+
+    # case 4: A available, B/C/D all unavailable -> mvA verbatim
+    fr2 = H._Frame({"width_mbs": 3, "height_mbs": 2})
+    fr2.blk_slice[:] = 0
+    fr2.blk_mv[4, 3] = (7, 9)
+    fr2.blk_ref[4, 3] = 0       # A of MB (1,1)... but B/C/D undecoded (-2)
+    assert H._mv_pred(fr2, 1, 1, 0, 0, 16, 16, 0) == (7, 9)
+
+    # case 5: 16x8 directional shortcuts — top takes mvB when refB
+    # matches, bottom takes mvA
+    setblk(4, 3, (4, 6), 0)
+    fr.blk_ref[3, 8] = 0
+    fr.blk_mv[3, 8] = (-8, 0)
+    assert H._mv_pred(fr, 1, 1, 0, 0, 16, 8, 0, shortcut="B") == (4, 6)
+    setblk(3, 6, (1, 1), 0)     # A of the bottom 16x8 partition (row 6)
+    assert H._mv_pred(fr, 1, 1, 0, 8, 16, 8, 0, shortcut="A") == (1, 1)
+
+    # skip-mv zero conditions (8.4.1.1): A has ref0 zero-mv -> (0,0)
+    fr3 = H._Frame({"width_mbs": 3, "height_mbs": 2})
+    fr3.blk_slice[:] = 0
+    fr3.blk_ref[4, 3] = 0       # A of MB (1,1): ref0, mv (0,0)
+    fr3.blk_ref[3, 4] = 0
+    fr3.blk_mv[3, 4] = (5, 5)   # B nonzero
+    assert H._skip_mv(fr3, 1, 1, 0) == (0, 0)
+    # A nonzero, B nonzero, both available -> the 16x16 predictor
+    fr3.blk_mv[4, 3] = (5, 5)
+    fr3.blk_ref[3, 8] = 0
+    fr3.blk_mv[3, 8] = (5, 5)   # C
+    assert H._skip_mv(fr3, 1, 1, 0) == (5, 5)
+    # B (above) unavailable -> (0,0) regardless of A
+    assert H._skip_mv(fr3, 1, 0, 0) == (0, 0)

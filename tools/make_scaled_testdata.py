@@ -16,6 +16,10 @@ sf1: Spark and the DuckDB oracle read the SAME files, so every
 rows/schema/hash comparison is exact on whatever the data is. Output
 goes under the repo's gitignored .benchdata/ scratch area.
 
+Row groups are written small (16k rows) so Spark's scan splits
+parallelize — DuckDB's default single 122k-row group would serialize
+every documents/embeddings stage onto one core.
+
 Usage: python tools/make_scaled_testdata.py [out_dir] [reps]
 """
 
@@ -57,7 +61,7 @@ def main() -> None:
         src = f"'{SRC}/{t}.parquet'"
         dst = os.path.join(out, f"{t}.parquet")
         if not keys:  # fixed dimension: copy verbatim
-            con.sql(f"COPY (SELECT * FROM {src}) TO '{dst}' (FORMAT PARQUET)")
+            con.sql(f"COPY (SELECT * FROM {src}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)")
         else:
             cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()]
             sel = ", ".join(
@@ -66,7 +70,7 @@ def main() -> None:
             )
             con.sql(
                 f"COPY (SELECT {sel} FROM {src} t CROSS JOIN r) "
-                f"TO '{dst}' (FORMAT PARQUET)"
+                f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
             )
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f"{t}: {n} rows -> {dst}")
