@@ -104,9 +104,15 @@ def main() -> None:
     for t in (
         "region nation customer supplier part orders lineitem events documents embeddings"
     ).split():
-        con.sql(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        # a table may be a single parquet file (the driver's testdata) or
+        # a DIRECTORY of part files (tools/make_scaled_testdata.py writes
+        # one file per replica so Spark scans parallelize); DuckDB needs
+        # the glob form for directories
+        import os as _os
+
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if _os.path.isdir(p) else p
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()

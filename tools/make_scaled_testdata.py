@@ -60,19 +60,29 @@ def main() -> None:
     for t, keys in plans.items():
         src = f"'{SRC}/{t}.parquet'"
         dst = os.path.join(out, f"{t}.parquet")
-        if not keys:  # fixed dimension: copy verbatim
-            con.sql(f"COPY (SELECT * FROM {src}) TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)")
+        if not keys:  # fixed dimension: copy verbatim, single file
+            con.sql(f"COPY (SELECT * FROM {src}) TO '{dst}' (FORMAT PARQUET)")
+            n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         else:
+            # one FILE per replica: Spark assigns parquet splits by byte
+            # range, so a single file under maxPartitionBytes would run
+            # every scan stage on ONE core regardless of row groups — a
+            # directory of `reps` files parallelizes the sweep's doc/text
+            # kernels the way any real multi-file dataset would
             cols = [r[0] for r in con.sql(f"DESCRIBE SELECT * FROM {src}").fetchall()]
-            sel = ", ".join(
-                f"CAST(t.{c} + r.i * {SHIFT} AS BIGINT) AS {c}" if c in keys else f"t.{c}"
-                for c in cols
-            )
-            con.sql(
-                f"COPY (SELECT {sel} FROM {src} t CROSS JOIN r) "
-                f"TO '{dst}' (FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
-            )
-        n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
+            os.makedirs(dst, exist_ok=True)
+            for i in range(reps):
+                sel = ", ".join(
+                    f"CAST(t.{c} + {i * SHIFT} AS BIGINT) AS {c}" if c in keys
+                    else f"t.{c}"
+                    for c in cols
+                )
+                con.sql(
+                    f"COPY (SELECT {sel} FROM {src} t) TO "
+                    f"'{dst}/part-{i:02d}.parquet' "
+                    f"(FORMAT PARQUET, ROW_GROUP_SIZE 16384)"
+                )
+            n = con.sql(f"SELECT count(*) FROM '{dst}/*.parquet'").fetchone()[0]
         print(f"{t}: {n} rows -> {dst}")
 
 
