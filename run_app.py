@@ -31,6 +31,14 @@ incremental BM25 postings store and answers queries from it::
         --index-query "spark cluster;training data" \\
         --index-compact-every 100
 
+Streaming vector indexing mode (no SQL file) maintains the persisted
+IVF index exactly-once (first batch trains + builds; later batches are
+frozen-codebook ingest epochs) and searches it::
+
+    python run_app.py --vector-stream /data/vec_drops \\
+        --vector-state /shared/ivf_index \\
+        --vector-compact-every 100 --vector-query 3
+
 Streaming corpus dedup mode (no SQL file) drives the exactly-once
 segment-dedup pipeline end-to-end::
 
@@ -117,6 +125,38 @@ def parse_args(argv):
         "--index-compact-every", type=int, default=0, metavar="N",
         help="compact the postings store's epoch dirs every N epochs "
         "(watermark = current epoch - 1); 0 disables",
+    )
+    # --- streaming vector indexing mode (no SQL file): watch a directory
+    # of embedding parquet drops, maintain the persisted IVF index
+    # exactly-once (first batch trains + builds, later batches ingest
+    # frozen-codebook epochs), optionally search after draining ---
+    p.add_argument(
+        "--vector-stream", metavar="IN_DIR",
+        help="streaming IVF indexing over parquet files landing in IN_DIR "
+        "(schema: vec_id long, embedding array<float>); runs availableNow "
+        "and exits",
+    )
+    p.add_argument(
+        "--vector-state", metavar="DIR",
+        help="persisted IVF index dir (shared storage)",
+    )
+    p.add_argument(
+        "--vector-checkpoint", metavar="DIR", default=None,
+        help="stream checkpoint (default: <vector-state>/_checkpoint)",
+    )
+    p.add_argument(
+        "--vector-compact-every", type=int, default=0, metavar="N",
+        help="compact the index's ingest-epoch dirs every N epochs "
+        "(watermark = current epoch - 1); 0 disables",
+    )
+    p.add_argument(
+        "--vector-query", type=int, default=0, metavar="N",
+        help="after draining, run top-k cosine search for the index's "
+        "first N vectors and print the hits",
+    )
+    p.add_argument(
+        "--vector-cells", type=int, default=8, metavar="K",
+        help="IVF cell count trained on the first batch (default 8)",
     )
     p.add_argument("-c", "--config", help="YAML config file")
     p.add_argument(
@@ -316,6 +356,115 @@ def run_index_stream(spark, args) -> int:
     return 0
 
 
+def run_vector_stream(spark, args) -> int:
+    """Streaming vector (embedding) indexing, drivable end-to-end from
+    the CLI — the live-ingest face of the persisted IVF index, completing
+    the store triad (--dedup-stream: Bloom, --index-stream: BM25).
+
+    Per micro-batch (Spark's epoch id keys everything): the FIRST batch
+    trains the codebook and publishes the base build (a replay of that
+    epoch is detected via a _base_epoch sidecar and skipped); every later
+    batch lands as one exactly-once cell-partitioned ingest epoch under
+    the frozen codebook. With ``--vector-compact-every N`` the ingest
+    epochs merge behind the newest epoch on the shared EpochLog
+    publish-then-shadow contract, keeping state-dir count O(N). After the
+    stream drains, ``--vector-query N`` searches the accumulated index
+    with the scan pruned to the probed cells.
+    """
+    import json as _json
+
+    from engine_spark.datapipe.ivf import (
+        ivf_index_add_batch,
+        ivf_index_build,
+        ivf_index_compact,
+        ivf_index_search,
+        ivf_index_vacuum,
+    )
+    from engine_spark.fsio import HadoopFS
+
+    if not args.vector_state:
+        raise SystemExit("--vector-stream requires --vector-state")
+    in_dir = args.vector_stream
+    path = args.vector_state.rstrip("/")
+    fs = HadoopFS(spark, path)
+    schema = spark.read.parquet(in_dir).schema
+    dim = None
+    every = args.vector_compact_every
+
+    def sink(batch_df, epoch_id):
+        nonlocal dim
+        if dim is None:
+            row = batch_df.select("embedding").first()
+            dim = len(row["embedding"]) if row is not None else 0
+        if not fs.exists(f"{path}/codebook.json"):
+            if batch_df.isEmpty():
+                print(f"[vector-stream] epoch {epoch_id} empty before build")
+                return
+            ivf_index_build(
+                spark, batch_df, path,
+                full_dim=dim, cell_dim=min(16, dim),
+                k=args.vector_cells, iters=3,
+            )
+            fs.write_bytes(
+                f"{path}/_base_epoch.json",
+                _json.dumps({"epoch": int(epoch_id)}).encode(),
+            )
+            print(f"[vector-stream] epoch {epoch_id} trained + built base")
+            return
+        base = _json.loads(
+            fs.read_bytes(f"{path}/_base_epoch.json").decode()
+        )["epoch"]
+        if epoch_id == base:
+            print(f"[vector-stream] epoch {epoch_id} is the base build (replay)")
+            return
+        ivf_index_add_batch(spark, batch_df, path, epoch_id)
+        print(f"[vector-stream] epoch {epoch_id} committed")
+        # compaction cadence mirrors --index-stream; the watermark must
+        # name an INGESTED epoch, so skip the cadence tick whose
+        # watermark falls on the base-build epoch (not an epoch dir)
+        if every and epoch_id and epoch_id % every == 0 and epoch_id - 1 != base:
+            try:
+                merged = ivf_index_compact(spark, path, epoch_id - 1,
+                                           vacuum=False)
+                reclaimed = ivf_index_vacuum(spark, path)
+                if merged:
+                    print(
+                        f"[vector-stream] compacted {merged} ingest epochs "
+                        f"<= {epoch_id - 1} (vacuumed {reclaimed})"
+                    )
+            except ValueError as e:
+                # ONLY the replayed-watermark case is benign; surface
+                # anything else (same narrowing as the other stream sinks)
+                if "already compacted" in str(e):
+                    pass
+                else:
+                    print(f"[vector-stream] compaction skipped: {e}")
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(sink)
+        .option(
+            "checkpointLocation",
+            args.vector_checkpoint or f"{path}/_checkpoint",
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    if args.vector_query:
+        hits = ivf_index_search(
+            spark, path, n_queries=args.vector_query, nprobe=2, topk=3
+        )
+        for row in hits.orderBy("q_id", "rnk").collect():
+            print(
+                f"[vector-query] q{row['q_id']} #{row['rnk']}: "
+                f"vec {row['cand_id']} cos {row['cos_sim']:.6f}"
+            )
+    return 0
+
+
 def main(argv=None, stop: bool = True) -> int:
     args = parse_args(argv if argv is not None else sys.argv[1:])
     cfg = load_config(args.config)
@@ -340,9 +489,16 @@ def main(argv=None, stop: bool = True) -> int:
         finally:
             if stop:
                 spark.stop()
+    if args.vector_stream:
+        try:
+            return run_vector_stream(spark, args)
+        finally:
+            if stop:
+                spark.stop()
     if not args.sql_file:
         raise SystemExit(
-            "sql_file is required unless --dedup-stream/--index-stream is given"
+            "sql_file is required unless --dedup-stream/--index-stream/"
+            "--vector-stream is given"
         )
     spark.sparkContext.setLogLevel("WARN")
 

@@ -1936,3 +1936,18 @@ def test_mv_pred_spec_cases_hand_derived():
     assert H._skip_mv(fr3, 1, 1, 0) == (5, 5)
     # B (above) unavailable -> (0,0) regardless of A
     assert H._skip_mv(fr3, 1, 0, 0) == (0, 0)
+
+
+def test_cbp_inter_table_bijection_and_spec_pins():
+    """Table 9-4's Inter column: a permutation of 0..47, with the
+    low-codeNum rows pinned by hand from the published table (inter
+    coding favors sparse patterns: cbp 0 gets the shortest code, then
+    chroma-DC-only 16, then single luma quadrants) — a second
+    transcription of the rows the encoder round-trip cannot falsify."""
+    assert sorted(H._CBP_INTER) == list(range(48))
+    pins = {0: 0, 1: 16, 2: 1, 3: 2, 4: 4, 5: 8, 6: 32, 7: 3,
+            8: 5, 9: 10, 10: 12, 11: 15, 12: 47, 13: 7, 14: 11,
+            15: 13, 16: 14, 17: 6, 18: 9, 46: 38, 47: 41}
+    for code_num, cbp in pins.items():
+        assert H._CBP_INTER[code_num] == cbp, (code_num, cbp)
+    assert {v: i for i, v in enumerate(H._CBP_INTER)} == H._CBP_INTER_INV

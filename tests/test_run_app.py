@@ -359,3 +359,86 @@ def test_cli_dedup_stream_compaction_errors_surface(
     drop([(3, "ii jj kk ll")], "b2")
     assert run_app.main(stop=False, argv=argv) == 0
     assert "compaction skipped" not in capsys.readouterr().out
+
+
+def test_cli_vector_stream_build_ingest_compact_query(spark, tmp_path, capsys):
+    """--vector-stream end-to-end: the first micro-batch trains and
+    publishes the base IVF build, later batches land exactly-once ingest
+    epochs, the compaction cadence merges them behind the newest epoch,
+    a forced replay of the BUILD batch is a no-op (the _base_epoch
+    sidecar), and --vector-query answers match the live ivf_search twin
+    over the union corpus with the persisted codebook."""
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from engine_spark.datapipe.ivf import ivf_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    in_dir = tmp_path / "drops"
+    state = tmp_path / "ivf"
+    in_dir.mkdir()
+
+    def drop(df, name):
+        stage = tmp_path / "stage" / name
+        df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+        (part,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+        shutil.copy(str(part), str(in_dir / f"{name}.parquet"))
+
+    argv = [
+        "--vector-stream", str(in_dir),
+        "--vector-state", str(state),
+        "--vector-compact-every", "1",
+        "--vector-query", "4",
+    ]
+    # run 1: first batch trains + builds the base
+    drop(emb.filter(F.col("vec_id") % 3 == 0), "b0")
+    assert run_app.main(stop=False, argv=argv) == 0
+    out = capsys.readouterr().out
+    assert "trained + built base" in out
+    assert (state / "codebook.json").exists()
+
+    # forced replay of the build batch: remove the last commit marker
+    commits = state / "_checkpoint" / "commits"
+    newest = sorted(p for p in commits.iterdir() if not p.name.startswith("."))[-1]
+    newest.unlink()
+    crc = commits / f".{newest.name}.crc"
+    if crc.exists():
+        crc.unlink()
+    assert run_app.main(stop=False, argv=argv) == 0
+    out = capsys.readouterr().out
+    assert "is the base build (replay)" in out  # sidecar no-op, no rebuild
+
+    # runs 2-3: ingest epochs; the cadence compacts (watermark skips the
+    # base epoch, then merges ingest epochs 1..2 behind epoch 3)
+    drop(emb.filter(F.col("vec_id") % 3 == 1), "b1")
+    assert run_app.main(stop=False, argv=argv) == 0
+    capsys.readouterr()
+    drop(emb.filter(F.col("vec_id") % 3 == 2), "b2")
+    assert run_app.main(stop=False, argv=argv) == 0
+    out = capsys.readouterr().out
+    assert "epoch 2 committed" in out
+    drop(emb.filter(F.lit(False)), "b3")  # empty epoch 3 triggers cadence
+    assert run_app.main(stop=False, argv=argv) == 0
+    out = capsys.readouterr().out
+    assert "compacted 2 ingest epochs <= 2" in out
+    epochs = [d.name for d in (state / "epochs").iterdir()
+              if d.name.startswith("epoch-")]
+    assert "epoch-0000000002-c" in epochs
+    assert "epoch-0000000001" not in epochs  # vacuumed
+
+    # query parity: printed hits == live ivf_search over the union corpus
+    # with the PERSISTED codebook
+    hits = [line for line in out.splitlines()
+            if line.startswith("[vector-query]")]
+    cents = json.loads((state / "codebook.json").read_text())["cents"]
+    live = ivf_search(
+        emb, cents, full_dim=64, cell_dim=16, n_queries=4, nprobe=2, topk=3
+    )
+    want = [
+        f"[vector-query] q{r['q_id']} #{r['rnk']}: "
+        f"vec {r['cand_id']} cos {r['cos_sim']:.6f}"
+        for r in live.orderBy("q_id", "rnk").collect()
+    ]
+    assert hits == want
