@@ -6,22 +6,25 @@ CAVLC entropy coding, I_4x4 / I_16x16 / I_PCM macroblocks, full intra
 prediction (nine 4x4 modes, four 16x16 modes, four chroma modes), the
 4x4 integer inverse transform with the Intra16x16 luma DC Hadamard and
 2x2 chroma DC paths, 4:2:0 only, frame_mbs_only (no fields/MBAFF), no
-FMO/ASO, CAVLC only (CABAC raises) — PLUS the single-reference P-slice
-subset that covers short-GOP web video: P_Skip (with the 8.4.1.1 mv
-inference), P_L0_16x16 / 16x8 / 8x16 macroblock partitions and P_8x8 /
-P_8x8ref0 sub-macroblock partitions down to 4x4 (median/directional mv
-prediction, 8.4.1.3), intra MBs inside P slices, quarter-pel 6-tap luma
-and eighth-pel bilinear chroma interpolation with edge clamp
-(8.4.2.2), inter residuals via the Inter CBP mapping, and the in-loop
-deblocking filter (8.7) with per-segment boundary strengths (4/3 intra,
-2 on coefficients, 1 on mv/ref differences, 0 unfiltered), strong +
-normal paths, luma and chroma, slice alpha/beta offsets, idc 0/1/2
-including the idc-2 don't-cross-slice rule. Out of scope, raising to
-the honest NULL row upstream: B slices, multiple or reordered
-reference lists, weighted prediction, CABAC. (The reference engine
-ships no video decode at all — this extends coverage beyond it; with
-P-frame chaining, `decode_frames` now extracts REAL pixels from full
-GOPs, not just keyframes.)
+FMO/ASO, CAVLC only (CABAC raises) — PLUS the P-slice subset that
+covers short-GOP web video: P_Skip (with the 8.4.1.1 mv inference),
+P_L0_16x16 / 16x8 / 8x16 macroblock partitions and P_8x8 / P_8x8ref0
+sub-macroblock partitions down to 4x4 (median/directional mv
+prediction, 8.4.1.3), MULTI-REFERENCE prediction over the DEFAULT
+RefPicList0 (up to 16 past frames most-recent-first for in-order
+no-gap streams; te(v) ref_idx per partition), intra MBs inside P
+slices, quarter-pel 6-tap luma and eighth-pel bilinear chroma
+interpolation with edge clamp (8.4.2.2), inter residuals via the Inter
+CBP mapping, and the in-loop deblocking filter (8.7) with per-segment
+boundary strengths (4/3 intra, 2 on coefficients, 1 on mv/ref
+differences, 0 unfiltered), strong + normal paths, luma and chroma,
+slice alpha/beta offsets, idc 0/1/2 including the idc-2
+don't-cross-slice rule. Out of scope, raising to the honest NULL row
+upstream: B slices, REORDERED/modified reference lists, long-term
+references, weighted prediction, CABAC. (The reference engine ships no
+video decode at all — this extends coverage beyond it; with P-frame
+chaining, `decode_frames` now extracts REAL pixels from full GOPs, not
+just keyframes.)
 
 Entropy tables are transcribed from ITU-T H.264 (05/2003+) Table 9-5
 (coeff_token), 9-7/9-8 (total_zeros), 9-9(a) (chroma DC total_zeros) and
@@ -1122,13 +1125,13 @@ class _Frame:
         # (quarter-pel) and reference index. blk_ref is the tri-state
         # availability marker the MV predictor and the deblock bS rules
         # read: -2 = not yet decoded, -1 = intra (mv treated as (0,0),
-        # "different reference" per 8.4.1.3.2), 0 = inter ref0 (the only
-        # reference the short-GOP contract keeps).
+        # "different reference" per 8.4.1.3.2), >=0 = inter refIdxL0.
         self.blk_mv = np.zeros((self.hmb * 4, self.wmb * 4, 2), np.int32)
         self.blk_ref = np.full((self.hmb * 4, self.wmb * 4), -2, np.int32)
-        #: previous decoded frame's planes ({"y","cb","cr"}) — the single
-        #: reference P slices predict from; None for IDR/I-only decode
-        self.ref: dict | None = None
+        #: decoded reference frames' planes ({"y","cb","cr"}), most
+        #: recent first — the default P RefPicList0 for an in-order
+        #: no-gap stream; [] for IDR/I-only decode
+        self.refs: list = []
         self.mb_deblock = np.ones((self.hmb, self.wmb), np.int32)
         self.mb_off_a = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_off_b = np.zeros((self.hmb, self.wmb), np.int32)
@@ -1324,28 +1327,29 @@ def _mv_neighbor(fr: _Frame, bx: int, by: int, slice_id: int):
 
 
 def _mv_pred(fr: _Frame, mbx: int, mby: int, ox: int, oy: int, w: int,
-             h: int, slice_id: int, shortcut: str | None = None):
+             h: int, slice_id: int, shortcut: str | None = None,
+             ref_idx: int = 0):
     """Motion vector predictor for the partition at luma offset (ox, oy),
     size w x h (8.4.1.3): directional shortcut for 16x8/8x16 when the
-    neighbor's reference matches, else the exactly-one-matching-reference
-    rule, else the component median; mvA alone when B/C/D are all
-    unavailable."""
+    neighbor's reference matches the partition's ``ref_idx``, else the
+    exactly-one-matching-reference rule, else the component median; mvA
+    alone when B/C/D are all unavailable."""
     bx0, by0 = (mbx * 16 + ox) // 4, (mby * 16 + oy) // 4
     a_mv, a_ref, a_av = _mv_neighbor(fr, bx0 - 1, by0, slice_id)
     b_mv, b_ref, b_av = _mv_neighbor(fr, bx0, by0 - 1, slice_id)
     c_mv, c_ref, c_av = _mv_neighbor(fr, bx0 + w // 4, by0 - 1, slice_id)
     if not c_av:  # C unavailable -> D (above-left)
         c_mv, c_ref, c_av = _mv_neighbor(fr, bx0 - 1, by0 - 1, slice_id)
-    if shortcut == "B" and b_ref == 0:
+    if shortcut == "B" and b_ref == ref_idx:
         return b_mv
-    if shortcut == "A" and a_ref == 0:
+    if shortcut == "A" and a_ref == ref_idx:
         return a_mv
-    if shortcut == "C" and c_ref == 0:
+    if shortcut == "C" and c_ref == ref_idx:
         return c_mv
     if a_av and not b_av and not c_av:
         return a_mv
     matches = [mv for mv, ref in ((a_mv, a_ref), (b_mv, b_ref), (c_mv, c_ref))
-               if ref == 0]
+               if ref == ref_idx]
     if len(matches) == 1:
         return matches[0]
     return (
@@ -1368,21 +1372,23 @@ def _skip_mv(fr: _Frame, mbx: int, mby: int, slice_id: int):
 
 
 def _mc_partition(fr: _Frame, mbx: int, mby: int, ox: int, oy: int,
-                  w: int, h: int, mv: tuple, slice_id: int) -> None:
-    """Motion-compensate one partition from fr.ref into the frame planes
-    and record (mv, ref0) on its 4x4 blocks."""
+                  w: int, h: int, mv: tuple, slice_id: int,
+                  ref_idx: int = 0) -> None:
+    """Motion-compensate one partition from ``fr.refs[ref_idx]`` into the
+    frame planes and record (mv, ref_idx) on its 4x4 blocks."""
+    ref = fr.refs[ref_idx]
     px, py = mbx * 16 + ox, mby * 16 + oy
     fr.y[py : py + h, px : px + w] = _interp_luma_block(
-        fr.ref["y"], px, py, w, h, mv[0], mv[1]
+        ref["y"], px, py, w, h, mv[0], mv[1]
     )
     cxp, cyp, cw, ch = px // 2, py // 2, w // 2, h // 2
     for plane, refp in (("cb", fr.cb), ("cr", fr.cr)):
         refp[cyp : cyp + ch, cxp : cxp + cw] = _interp_chroma_block(
-            fr.ref[plane], cxp, cyp, cw, ch, mv[0], mv[1]
+            ref[plane], cxp, cyp, cw, ch, mv[0], mv[1]
         )
     bx0, by0 = px // 4, py // 4
     fr.blk_mv[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = mv
-    fr.blk_ref[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = 0
+    fr.blk_ref[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = ref_idx
     fr.blk_slice[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = slice_id
 
 
@@ -1408,17 +1414,27 @@ def _decode_p_skip(fr: _Frame, mb: int, slice_id: int, qp: int) -> None:
 
 
 def _decode_mb_inter(fr: _Frame, r: BitReader, pps: dict, mb: int,
-                     slice_id: int, qp: int, ptype: int) -> None:
+                     slice_id: int, qp: int, ptype: int,
+                     n_ref: int = 1) -> None:
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     px, py = mbx * 16, mby * 16
     cx, cy = mbx * 8, mby * 8
     fr.mb_slice[mby, mbx] = slice_id
     if ptype > 4:
         raise H264Error(f"bad P mb_type {ptype}")
-    # num_ref_idx_l0_active == 1 (enforced in the slice header), so no
-    # ref_idx_l0 bits anywhere; mvd_l0 per (sub-)partition in decode
-    # order (7.3.5.1 / 7.3.5.2), read just-in-time — nothing else
-    # interleaves in the bitstream
+
+    def read_ref():
+        """ref_idx_l0: te(v) against n_ref-1 — absent (inferred 0) when
+        the active list holds one picture (7.3.5.1)."""
+        if n_ref <= 1:
+            return 0
+        ri = (1 - r.u(1)) if n_ref == 2 else r.ue()
+        if ri >= n_ref or ri >= len(fr.refs):
+            raise H264Error(f"ref_idx_l0 {ri} outside the reference list")
+        return ri
+
+    # Syntax order (7.3.5.1 / 7.3.5.2): ALL ref_idx_l0 first, THEN all
+    # mvd_l0 in the same (sub-)partition decode order
     if ptype >= 3:  # P_8x8 / P_8x8ref0: per-8x8 sub_mb_type
         subtypes = []
         for _ in range(4):
@@ -1426,27 +1442,33 @@ def _decode_mb_inter(fr: _Frame, r: BitReader, pps: dict, mb: int,
             if st > 3:
                 raise H264Error(f"bad sub_mb_type {st}")
             subtypes.append(st)
+        # P_8x8ref0 (mb_type 4) infers every ref_idx as 0
+        refs8 = [0] * 4 if ptype == 4 else [read_ref() for _ in range(4)]
         for k in range(4):
             ox8, oy8 = (k % 2) * 8, (k // 2) * 8
             for sox, soy, w, h in _SUB_PARTS[subtypes[k]]:
                 mvd = (r.se(), r.se())
                 mvp = _mv_pred(fr, mbx, mby, ox8 + sox, oy8 + soy, w, h,
-                               slice_id)
+                               slice_id, ref_idx=refs8[k])
                 _mc_partition(fr, mbx, mby, ox8 + sox, oy8 + soy, w, h,
-                              (mvp[0] + mvd[0], mvp[1] + mvd[1]), slice_id)
+                              (mvp[0] + mvd[0], mvp[1] + mvd[1]), slice_id,
+                              ref_idx=refs8[k])
     else:
         parts = {
             0: [(0, 0, 16, 16, None)],
             1: [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")],
             2: [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")],
         }[ptype]
-        for ox, oy, w, h, sc in parts:
+        prefs = [read_ref() for _ in parts]
+        for (ox, oy, w, h, sc), ri in zip(parts, prefs):
             mvd = (r.se(), r.se())
-            mvp = _mv_pred(fr, mbx, mby, ox, oy, w, h, slice_id, shortcut=sc)
+            mvp = _mv_pred(fr, mbx, mby, ox, oy, w, h, slice_id,
+                           shortcut=sc, ref_idx=ri)
             mv = (mvp[0] + mvd[0], mvp[1] + mvd[1])
             # written before the next partition predicts: the second
             # 16x8/8x16 partition's A/B/C neighbors may be the first
-            _mc_partition(fr, mbx, mby, ox, oy, w, h, mv, slice_id)
+            _mc_partition(fr, mbx, mby, ox, oy, w, h, mv, slice_id,
+                          ref_idx=ri)
     code_num = r.ue()
     if code_num > 47:
         raise H264Error("bad coded_block_pattern code")
@@ -1479,7 +1501,7 @@ def _decode_mb_inter(fr: _Frame, r: BitReader, pps: dict, mb: int,
 
 def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
                   pps_map: dict, slice_id: int, idr: bool,
-                  ref_idc: int, ref: dict | None = None) -> _Frame:
+                  ref_idc: int, refs: list | None = None) -> _Frame:
     r = BitReader(rbsp)
     first_mb = r.ue()
     slice_type = r.ue()
@@ -1499,7 +1521,7 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
     if fr is None:
         fr = _Frame(sps)
         fr.sps = sps
-        fr.ref = ref
+        fr.refs = refs or []
     elif (fr.wmb, fr.hmb) != (sps["width_mbs"], sps["height_mbs"]):
         raise H264Error("slice SPS disagrees with frame geometry")
     r.u(sps["log2_max_frame_num"])  # frame_num
@@ -1515,11 +1537,13 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             r.se()  # delta_pic_order_cnt[1]
     if pps["redundant_pic_cnt_present"]:
         r.ue()
+    n_ref = 1
     if is_p:
-        # short-GOP contract: exactly ONE reference (the previous decoded
-        # frame), the default list, unweighted — anything else raises and
-        # degrades to the honest NULL row upstream
-        if fr.ref is None:
+        # short-GOP contract: the DEFAULT reference list over in-order
+        # past frames (most recent first), unweighted, unreordered —
+        # anything else raises and degrades to the honest NULL row
+        # upstream
+        if not fr.refs:
             raise H264Error("P slice without a reference frame")
         if pps["weighted_pred"]:
             raise H264Error("weighted prediction unsupported")
@@ -1528,10 +1552,8 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
         n_ref = pps["num_ref_idx_l0_default"]
         if r.flag():  # num_ref_idx_active_override
             n_ref = r.ue() + 1
-        if n_ref != 1:
-            raise H264Error(
-                f"{n_ref} active references unsupported (single-ref P)"
-            )
+        if n_ref > 16:
+            raise H264Error(f"bad num_ref_idx_l0_active {n_ref}")
         if r.flag():  # ref_pic_list_modification_flag_l0
             raise H264Error("ref pic list modification unsupported")
     # dec_ref_pic_marking is present only for REFERENCE pictures
@@ -1590,7 +1612,7 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             break
         if mb >= n_mbs:
             raise H264Error("slice overruns frame")
-        _decode_mb(fr, r, sps, pps, mb, slice_id, qp, is_p=True)
+        _decode_mb(fr, r, sps, pps, mb, slice_id, qp, is_p=True, n_ref=n_ref)
         qp = fr._last_qp
         mb_slice_params(mb)
         mb += 1
@@ -1674,14 +1696,15 @@ def _add_chroma_residual(fr: _Frame, pps: dict, qp: int, cx: int, cy: int,
 
 
 def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
-               slice_id: int, qp: int, is_p: bool = False) -> None:
+               slice_id: int, qp: int, is_p: bool = False,
+               n_ref: int = 1) -> None:
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     px, py = mbx * 16, mby * 16
     cx, cy = mbx * 8, mby * 8
     mb_type = r.ue()
     if is_p:
         if mb_type < 5:  # inter MB types (P_L0_16x16 / 16x8 / 8x16 / 8x8)
-            _decode_mb_inter(fr, r, pps, mb, slice_id, qp, mb_type)
+            _decode_mb_inter(fr, r, pps, mb, slice_id, qp, mb_type, n_ref)
             return
         mb_type -= 5  # intra MB in a P slice: same layout, offset by 5
     fr.mb_slice[mby, mbx] = slice_id
@@ -1877,12 +1900,15 @@ def _seed_param_maps(sps: dict | None, pps: dict | None):
 
 
 def decode_access_unit(nals: list[bytes], sps_map: dict, pps_map: dict,
-                       ref: dict | None = None) -> _Frame:
+                       ref: "dict | list | None" = None) -> _Frame:
     """Decode one access unit (list of NAL units) to a post-deblock
     :class:`_Frame`. In-band SPS/PPS update the maps in place; each slice
     resolves its OWN pps_id, so multi-parameter-set files use the
-    parameters they reference. ``ref`` supplies the single reference
-    frame P slices predict from (None -> P slices raise)."""
+    parameters they reference. ``ref`` supplies the reference list P
+    slices predict from — a single frame dict or a most-recent-first
+    list (the default P RefPicList0 for an in-order no-gap stream);
+    None/[] -> P slices raise."""
+    refs = [ref] if isinstance(ref, dict) else list(ref or [])
     fr = None
     slice_id = 0
     for nal in nals:
@@ -1901,7 +1927,8 @@ def decode_access_unit(nals: list[bytes], sps_map: dict, pps_map: dict,
             if not sps_map or not pps_map:
                 raise H264Error("slice before SPS/PPS")
             fr = _decode_slice(fr, rbsp, sps_map, pps_map, slice_id,
-                               idr=(nal_type == 5), ref_idc=ref_idc, ref=ref)
+                               idr=(nal_type == 5), ref_idc=ref_idc,
+                               refs=refs)
             slice_id += 1
         # SEI (6), AUD (9), filler (12) etc.: skipped
     if fr is None:
@@ -1940,27 +1967,29 @@ def decode_i_frame(nals: list[bytes], sps: dict | None = None,
 
 
 def decode_gop(units: list[list[bytes]], sps: dict | None = None,
-               pps: dict | None = None) -> list["np.ndarray | None"]:
-    """Decode a sequence of access units with single-reference chaining
-    (short-GOP contract: every frame references the previous decoded
-    frame; IDR units reset the chain). Returns one RGB array per unit,
-    or None where a unit failed — and every subsequent P unit until the
-    next IDR is None too (its reference is gone), the honest degradation
+               pps: dict | None = None,
+               max_refs: int = 16) -> list["np.ndarray | None"]:
+    """Decode a sequence of access units with reference-list chaining
+    (short-GOP contract: in-order no-gap streams, default RefPicList0 =
+    up to ``max_refs`` past decoded frames most-recent-first; IDR units
+    reset the list). Returns one RGB array per unit, or None where a
+    unit failed — and every subsequent P unit until the next IDR is
+    None too (its references are suspect), the honest degradation
     decode_frames surfaces as NULL rows."""
     sps_map, pps_map = _seed_param_maps(sps, pps)
     out: list = []
-    ref: dict | None = None
+    refs: list = []
     for nals in units:
         idr = any(n and (n[0] & 0x1F) == 5 for n in nals)
         if idr:
-            ref = None  # IDR never references across itself
+            refs = []  # IDR never references across itself
         try:
-            fr = decode_access_unit(nals, sps_map, pps_map, ref)
+            fr = decode_access_unit(nals, sps_map, pps_map, refs)
             out.append(_frame_rgb(fr))
-            ref = {"y": fr.y, "cb": fr.cb, "cr": fr.cr}
+            refs = [{"y": fr.y, "cb": fr.cb, "cr": fr.cr}] + refs[: max_refs - 1]
         except DECODABLE_ERRORS:
             out.append(None)
-            ref = None  # poison the chain until the next IDR
+            refs = []  # poison the chain until the next IDR
     return out
 
 
@@ -2230,61 +2259,86 @@ def encode_solid_gray_stream(w_mbs: int, h_mbs: int, dc_level: int,
 
 
 def _encode_p_inter_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
-                       slice_id: int) -> None:
+                       slice_id: int, n_ref: int = 1) -> None:
     """Emit one inter macroblock of a P slice. Descriptors:
 
-    - ``("p16", (mvx, mvy), coeffs16_or_None, cdc_or_None)`` —
-      P_L0_16x16 with optional per-4x4 luma residual lists (i4-style)
+    - ``("p16", (mvx, mvy), coeffs16_or_None, cdc_or_None[, ref_idx])``
+      — P_L0_16x16 with optional per-4x4 luma residual lists (i4-style)
       and optional chroma DC pair;
-    - ``("p16x8", mv_top, mv_bot, coeffs16_or_None, cdc_or_None)``;
-    - ``("p8x16", mv_left, mv_right, coeffs16_or_None, cdc_or_None)``;
+    - ``("p16x8", mv_top, mv_bot, coeffs16_or_None, cdc_or_None
+      [, (ri0, ri1)])``;
+    - ``("p8x16", mv_left, mv_right, coeffs16_or_None, cdc_or_None
+      [, (ri0, ri1)])``;
     - ``("p8x8", subs, coeffs16_or_None, cdc_or_None)`` where ``subs``
-      is four ``(sub_mb_type, [mv, ...])`` pairs (Table 7-17 layouts).
+      is four ``(sub_mb_type, [mv, ...][, ref_idx])`` tuples
+      (Table 7-17 layouts).
 
-    MV prediction mirrors the decoder exactly (shared ``_mv_pred`` over
-    the same shadow-frame state), so the emitted mvd round-trips."""
+    ref_idx defaults to 0; with ``n_ref > 1`` every ref_idx emits as
+    te(v) in the 7.3.5 order (ALL refs before ALL mvds). MV prediction
+    mirrors the decoder exactly (shared ``_mv_pred`` over the same
+    shadow-frame state), so the emitted mvd round-trips."""
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     kind = desc[0]
     fr.mb_slice[mby, mbx] = slice_id
     bx0, by0 = mbx * 4, mby * 4
 
-    def put_part(ox, oy, pw, ph, mv, sc=None):
-        mvp = _mv_pred(fr, mbx, mby, ox, oy, pw, ph, slice_id, shortcut=sc)
+    def put_ref(ri):
+        if n_ref <= 1:
+            if ri:
+                raise H264Error("nonzero ref_idx with a 1-entry list")
+            return
+        if n_ref == 2:
+            w.u(1 - ri, 1)  # te(v), max 1
+        else:
+            w.ue(ri)
+
+    def put_part(ox, oy, pw, ph, mv, sc=None, ri=0):
+        mvp = _mv_pred(fr, mbx, mby, ox, oy, pw, ph, slice_id, shortcut=sc,
+                       ref_idx=ri)
         w.se(mv[0] - mvp[0])
         w.se(mv[1] - mvp[1])
         bx, by = (mbx * 16 + ox) // 4, (mby * 16 + oy) // 4
         fr.blk_mv[by : by + ph // 4, bx : bx + pw // 4] = mv
-        fr.blk_ref[by : by + ph // 4, bx : bx + pw // 4] = 0
+        fr.blk_ref[by : by + ph // 4, bx : bx + pw // 4] = ri
         fr.blk_slice[by : by + ph // 4, bx : bx + pw // 4] = slice_id
 
     if kind == "p8x8":
         _, subs, coeffs, cdc = desc
         w.ue(3)
-        for stype, _ in subs:
-            w.ue(stype)
-        for k, (stype, mvs) in enumerate(subs):
+        for sub in subs:
+            w.ue(sub[0])
+        for sub in subs:
+            put_ref(sub[2] if len(sub) > 2 else 0)
+        for k, sub in enumerate(subs):
+            stype, mvs = sub[0], sub[1]
+            ri = sub[2] if len(sub) > 2 else 0
             ox8, oy8 = (k % 2) * 8, (k // 2) * 8
             if len(mvs) != len(_SUB_PARTS[stype]):
                 raise H264Error("sub-partition mv count mismatch")
             for (sox, soy, pw, ph), mv in zip(_SUB_PARTS[stype], mvs):
-                put_part(ox8 + sox, oy8 + soy, pw, ph, mv)
+                put_part(ox8 + sox, oy8 + soy, pw, ph, mv, ri=ri)
     else:
         if kind == "p16":
             ptype, parts, mvs = 0, [(0, 0, 16, 16, None)], [desc[1]]
             coeffs, cdc = desc[2], desc[3]
+            rids = [desc[4] if len(desc) > 4 else 0]
         elif kind == "p16x8":
             ptype = 1
             parts = [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")]
             mvs, coeffs, cdc = [desc[1], desc[2]], desc[3], desc[4]
+            rids = list(desc[5]) if len(desc) > 5 else [0, 0]
         elif kind == "p8x16":
             ptype = 2
             parts = [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")]
             mvs, coeffs, cdc = [desc[1], desc[2]], desc[3], desc[4]
+            rids = list(desc[5]) if len(desc) > 5 else [0, 0]
         else:
             raise H264Error(f"unknown P MB descriptor {kind!r}")
         w.ue(ptype)
-        for (ox, oy, pw, ph, sc), mv in zip(parts, mvs):
-            put_part(ox, oy, pw, ph, mv, sc)
+        for ri in rids:
+            put_ref(ri)
+        for (ox, oy, pw, ph, sc), mv, ri in zip(parts, mvs, rids):
+            put_part(ox, oy, pw, ph, mv, sc, ri)
     cbp_luma = 0
     if coeffs is not None:
         for i in range(16):
@@ -2314,14 +2368,15 @@ def _encode_p_inter_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
 
 
 def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
-                   frame_num: int = 1, deblock_idc: int = 1) -> bytes:
+                   frame_num: int = 1, deblock_idc: int = 1,
+                   n_ref: int = 1) -> bytes:
     """One non-IDR P slice NAL covering the whole frame — the fixture for
     the short-GOP inter decode path. ``mbs`` is a raster list of MB
     descriptors: ``("skip",)`` (P_Skip — motion from the shared skip-MV
     rule), the inter shapes of :func:`_encode_p_inter_mb`, or any INTRA
     descriptor ``encode_i_frame`` accepts (emitted with the +5 P-slice
-    mb_type offset). Slice header: single reference (the previous
-    frame), default list, sliding-window marking."""
+    mb_type offset). Slice header: default reference list of ``n_ref``
+    past frames (override emitted when > 1), sliding-window marking."""
     if len(mbs) != w_mbs * h_mbs:
         raise H264Error("mb list does not cover the frame")
     shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
@@ -2330,7 +2385,11 @@ def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     w.ue(5)      # slice_type: P (all slices in picture)
     w.ue(0)      # pps_id
     w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
-    w.u(0, 1)    # num_ref_idx_active_override (PPS default = 1 ref)
+    if n_ref == 1:
+        w.u(0, 1)  # num_ref_idx_active_override (PPS default = 1 ref)
+    else:
+        w.u(1, 1)
+        w.ue(n_ref - 1)
     w.u(0, 1)    # ref_pic_list_modification_flag_l0
     w.u(0, 1)    # adaptive_ref_pic_marking (sliding window)
     w.se(0)      # slice_qp_delta
@@ -2362,7 +2421,7 @@ def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
             break
         desc = mbs[mb]
         if desc[0] in ("p16", "p16x8", "p8x16", "p8x8"):
-            _encode_p_inter_mb(w, shadow, mb, desc, qp, 0)
+            _encode_p_inter_mb(w, shadow, mb, desc, qp, 0, n_ref=n_ref)
         else:
             _encode_mb(w, shadow, mb, desc, qp, 0, ptype_off=5)
         mb += 1

@@ -1799,40 +1799,43 @@ def decode_frames(
                     sps_map, pps_map = h264._seed_param_maps(
                         avc_cfg["sps_by_id"], avc_cfg["pps_by_id"]
                     )
-                    chain = {"ref": None, "pos": -1}
+                    # reference chain state: up to 16 past decoded frames
+                    # most-recent-first (the default P RefPicList0 for an
+                    # in-order no-gap stream — multi-reference P decodes)
+                    chain = {"refs": [], "pos": -1}
 
                     def _avc_decode(fi):
                         anchor = next(
                             (j for j in range(fi, -1, -1) if kinds[j] == 5),
                             None,
                         )
-                        if (chain["ref"] is not None and chain["pos"] < fi
+                        if (chain["refs"] and chain["pos"] < fi
                                 and (anchor is None or chain["pos"] >= anchor)):
                             start = chain["pos"] + 1  # continue the chain
                         elif anchor is not None:
                             start = anchor
-                            chain["ref"] = None
+                            chain["refs"] = []
                         else:  # no IDR before fi: standalone (P -> NULL)
                             start = fi
-                            chain["ref"] = None
+                            chain["refs"] = []
                         fr = None
                         for j in range(start, fi + 1):
                             if kinds[j] == 5:
-                                chain["ref"] = None
+                                chain["refs"] = []
                             oj, szj = mp4["offsets"][j], mp4["sizes"][j]
                             try:
                                 fr = h264.decode_access_unit(
                                     h264.split_avcc_sample(
                                         b[oj : oj + szj], nls
                                     ),
-                                    sps_map, pps_map, chain["ref"],
+                                    sps_map, pps_map, chain["refs"],
                                 )
-                                chain["ref"] = {
-                                    "y": fr.y, "cb": fr.cb, "cr": fr.cr
-                                }
+                                chain["refs"] = [
+                                    {"y": fr.y, "cb": fr.cb, "cr": fr.cr}
+                                ] + chain["refs"][:15]
                             except DECODE_ERRORS:
                                 fr = None
-                                chain["ref"] = None  # poison until IDR
+                                chain["refs"] = []  # poison until IDR
                             chain["pos"] = j
                         if fr is None:
                             return None

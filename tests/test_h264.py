@@ -1700,12 +1700,29 @@ def test_p_refusals_and_gop_poisoning():
             [H._nal(1, w.tobytes())], dict(sps_m), dict(pps_m), ref
         )
 
-    # multi-reference refused (override to 2 refs)
+    # a ref_idx beyond the available reference list refuses loudly
     w = H.BitWriter()
     w.ue(0); w.ue(5); w.ue(0); w.u(1, 4)
     w.u(1, 1); w.ue(1)  # override: num_ref_idx_l0_active = 2
+    w.u(0, 1)           # no list modification
+    w.u(0, 1)           # sliding-window marking
+    w.se(0); w.ue(1)    # qp delta, deblock off
+    w.ue(0)             # skip run 0
+    w.ue(0)             # mb_type P_L0_16x16
+    w.u(0, 1)           # te(v) ref_idx (max 1): bit 0 -> ref_idx 1
     w.rbsp_trailing()
-    with pytest.raises(H.H264Error, match="active references"):
+    with pytest.raises(H.H264Error, match="outside the reference list"):
+        H.decode_access_unit(
+            [H._nal(1, w.tobytes())], dict(sps_m), dict(pps_m), ref
+        )
+
+    # reordered reference lists stay refused
+    w = H.BitWriter()
+    w.ue(0); w.ue(5); w.ue(0); w.u(1, 4)
+    w.u(0, 1)           # no override
+    w.u(1, 1)           # ref_pic_list_modification_flag_l0 = 1
+    w.rbsp_trailing()
+    with pytest.raises(H.H264Error, match="modification"):
         H.decode_access_unit(
             [H._nal(1, w.tobytes())], dict(sps_m), dict(pps_m), ref
         )
@@ -1951,3 +1968,60 @@ def test_cbp_inter_table_bijection_and_spec_pins():
     for code_num, cbp in pins.items():
         assert H._CBP_INTER[code_num] == cbp, (code_num, cbp)
     assert {v: i for i, v in enumerate(H._CBP_INTER)} == H._CBP_INTER_INV
+
+
+def test_multi_reference_p_frames_pick_the_right_frame():
+    """Multi-reference P: a frame whose MBs reference DIFFERENT entries
+    of the default RefPicList0 must pull pixels from the right past
+    frames — list order (most recent first) is proven by region values,
+    and te(v) ref_idx coding round-trips through the fixture encoder."""
+    wmb, hmb = 2, 1
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26)
+    # frame 0 (IDR): value A everywhere; frame 1 (P, all-intra): value B
+    dcA, dcB = 160, 480
+    _, _, idr = H.encode_solid_gray_stream(wmb, hmb, dcA, 26)
+    vA = H.i16dc_recon_value(dcA, 26)
+    vB = H.i16dc_recon_value(dcB, 26)
+    p1 = H.encode_p_frame(
+        [("i16", 2, [dcB] + [0] * 15, None),
+         ("i16", 2, [0] * 16, None)],
+        wmb, hmb, frame_num=1,
+    )
+    # frame 2 (P, n_ref=2): MB0 references ref 1 (the IDR, value A),
+    # MB1 references ref 0 (frame 1, value B)
+    p2 = H.encode_p_frame(
+        [("p16", (0, 0), None, None, 1),
+         ("p16", (0, 0), None, None, 0)],
+        wmb, hmb, frame_num=2, n_ref=2,
+    )
+    out = H.decode_gop([[sps, pps, idr], [p1], [p2]])
+    assert all(o is not None for o in out)
+    assert (out[0] == vA).all()
+    assert (out[1] == vB).all()
+    g2 = out[2][:, :, 1]
+    assert (g2[:, 0:16] == vA).all()   # MB0 <- ref 1 (two frames back)
+    assert (g2[:, 16:32] == vB).all()  # MB1 <- ref 0 (previous frame)
+
+    # n_ref=3 exercises the ue() branch of te(v): frame 3 references the
+    # IDR (now ref 2) from both MBs
+    p3 = H.encode_p_frame(
+        [("p16", (0, 0), None, None, 2)] * 2, wmb, hmb,
+        frame_num=3, n_ref=3,
+    )
+    out2 = H.decode_gop([[sps, pps, idr], [p1], [p2], [p3]])
+    assert out2[3] is not None
+    g3 = out2[3][:, :, 1]
+    assert (g3[:, 0:16] == vA).all() and (g3[:, 16:32] == vA).all()
+
+    # per-8x8 refs in P_8x8: left 8x8s from ref 1 (A), right from ref 0
+    p2b = H.encode_p_frame(
+        [("p8x8", [(0, [(0, 0)], 1), (0, [(0, 0)], 0),
+                   (0, [(0, 0)], 1), (0, [(0, 0)], 0)], None, None),
+         ("skip",)],
+        wmb, hmb, frame_num=2, n_ref=2,
+    )
+    out3 = H.decode_gop([[sps, pps, idr], [p1], [p2b]])
+    g = out3[2][:, :, 1]
+    assert (g[:, 0:8] == vA).all() and (g[:, 8:16] == vB).all()
+    # deblock bS: the ref-mismatch edge between the 8x8s is bS 1 — but
+    # deblock is off (idc 1 default); content equality above pins MC
