@@ -12,16 +12,18 @@ P_L0_16x16 / 16x8 / 8x16 macroblock partitions and P_8x8 / P_8x8ref0
 sub-macroblock partitions down to 4x4 (median/directional mv
 prediction, 8.4.1.3), MULTI-REFERENCE prediction over the DEFAULT
 RefPicList0 (up to 16 past frames most-recent-first for in-order
-no-gap streams; te(v) ref_idx per partition), intra MBs inside P
-slices, quarter-pel 6-tap luma and eighth-pel bilinear chroma
-interpolation with edge clamp (8.4.2.2), inter residuals via the Inter
-CBP mapping, and the in-loop deblocking filter (8.7) with per-segment
-boundary strengths (4/3 intra, 2 on coefficients, 1 on mv/ref
-differences, 0 unfiltered), strong + normal paths, luma and chroma,
-slice alpha/beta offsets, idc 0/1/2 including the idc-2
-don't-cross-slice rule. Out of scope, raising to the honest NULL row
-upstream: B slices, REORDERED/modified reference lists, long-term
-references, weighted prediction, CABAC. (The reference engine ships no
+no-gap streams; te(v) ref_idx per partition), EXPLICIT WEIGHTED
+prediction (pred_weight_table per-reference luma/chroma weights and
+offsets, 8.4.2.3.2 — the fade-handling tool x264 emits with its
+default weightp), intra MBs inside P slices, quarter-pel 6-tap luma
+and eighth-pel bilinear chroma interpolation with edge clamp
+(8.4.2.2), inter residuals via the Inter CBP mapping, and the in-loop
+deblocking filter (8.7) with per-segment boundary strengths (4/3
+intra, 2 on coefficients, 1 on mv/ref differences, 0 unfiltered),
+strong + normal paths, luma and chroma, slice alpha/beta offsets, idc
+0/1/2 including the idc-2 don't-cross-slice rule. Out of scope,
+raising to the honest NULL row upstream: B slices, REORDERED/modified
+reference lists, long-term references, CABAC. (The reference engine ships no
 video decode at all — this extends coverage beyond it; with P-frame
 chaining, `decode_frames` now extracts REAL pixels from full GOPs, not
 just keyframes.)
@@ -1113,6 +1115,9 @@ class _Frame:
         self.mb_slice = np.full((self.hmb, self.wmb), -1, np.int32)
         self.mb_i4 = np.zeros((self.hmb, self.wmb), bool)  # is I_4x4 (for
         # predIntra4x4PredMode: non-I_4x4 neighbors predict DC)
+        #: current slice's explicit weighted-prediction table (set per
+        #: slice during decode; None = unweighted)
+        self._wp: dict | None = None
         # deblocking inputs, captured per MB at decode time (the filter
         # runs as a second pass after all slices): the MB's QPy (0 for
         # I_PCM per 8.7), the slice's disable idc and alpha/beta offsets
@@ -1371,21 +1376,37 @@ def _skip_mv(fr: _Frame, mbx: int, mby: int, slice_id: int):
     return _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id)
 
 
+def _wp_apply(x: "np.ndarray", w: int, o: int, logwd: int) -> "np.ndarray":
+    """Explicit weighted-prediction sample transform (8.4.2.3.2,
+    single-direction P): scale, round at the denom, offset, clip."""
+    if logwd >= 1:
+        return np.clip(((x * w + (1 << (logwd - 1))) >> logwd) + o, 0, 255)
+    return np.clip(x * w + o, 0, 255)
+
+
 def _mc_partition(fr: _Frame, mbx: int, mby: int, ox: int, oy: int,
                   w: int, h: int, mv: tuple, slice_id: int,
                   ref_idx: int = 0) -> None:
     """Motion-compensate one partition from ``fr.refs[ref_idx]`` into the
-    frame planes and record (mv, ref_idx) on its 4x4 blocks."""
+    frame planes (applying the slice's explicit weighted prediction when
+    present) and record (mv, ref_idx) on its 4x4 blocks."""
     ref = fr.refs[ref_idx]
     px, py = mbx * 16 + ox, mby * 16 + oy
-    fr.y[py : py + h, px : px + w] = _interp_luma_block(
-        ref["y"], px, py, w, h, mv[0], mv[1]
-    )
+    wp = fr._wp
+    pred_y = _interp_luma_block(ref["y"], px, py, w, h, mv[0], mv[1])
+    if wp is not None:
+        lw, lo = wp["luma"][ref_idx]
+        pred_y = _wp_apply(pred_y, lw, lo, wp["logwd_l"])
+    fr.y[py : py + h, px : px + w] = pred_y
     cxp, cyp, cw, ch = px // 2, py // 2, w // 2, h // 2
-    for plane, refp in (("cb", fr.cb), ("cr", fr.cr)):
-        refp[cyp : cyp + ch, cxp : cxp + cw] = _interp_chroma_block(
+    for comp, (plane, refp) in enumerate((("cb", fr.cb), ("cr", fr.cr))):
+        pred_c = _interp_chroma_block(
             ref[plane], cxp, cyp, cw, ch, mv[0], mv[1]
         )
+        if wp is not None:
+            cwt, cof = wp["chroma"][ref_idx][comp]
+            pred_c = _wp_apply(pred_c, cwt, cof, wp["logwd_c"])
+        refp[cyp : cyp + ch, cxp : cxp + cw] = pred_c
     bx0, by0 = px // 4, py // 4
     fr.blk_mv[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = mv
     fr.blk_ref[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = ref_idx
@@ -1538,15 +1559,13 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
     if pps["redundant_pic_cnt_present"]:
         r.ue()
     n_ref = 1
+    fr._wp = None  # per-slice explicit weighted-prediction table
     if is_p:
         # short-GOP contract: the DEFAULT reference list over in-order
-        # past frames (most recent first), unweighted, unreordered —
-        # anything else raises and degrades to the honest NULL row
-        # upstream
+        # past frames (most recent first), unreordered — reordering
+        # raises and degrades to the honest NULL row upstream
         if not fr.refs:
             raise H264Error("P slice without a reference frame")
-        if pps["weighted_pred"]:
-            raise H264Error("weighted prediction unsupported")
         if pps["constrained_intra_pred"]:
             raise H264Error("constrained intra in P slices unsupported")
         n_ref = pps["num_ref_idx_l0_default"]
@@ -1556,6 +1575,28 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             raise H264Error(f"bad num_ref_idx_l0_active {n_ref}")
         if r.flag():  # ref_pic_list_modification_flag_l0
             raise H264Error("ref pic list modification unsupported")
+        if pps["weighted_pred"]:
+            # pred_weight_table (7.3.3.2): explicit per-reference
+            # luma/chroma weights + offsets; absent flags default to the
+            # identity weight (1 << logWD, offset 0)
+            logwd_l = r.ue()
+            logwd_c = r.ue()
+            if logwd_l > 7 or logwd_c > 7:
+                raise H264Error("bad weight denom")
+            luma, chroma = [], []
+            for _ in range(n_ref):
+                if r.flag():
+                    luma.append((r.se(), r.se()))
+                else:
+                    luma.append((1 << logwd_l, 0))
+                if r.flag():
+                    cb = (r.se(), r.se())
+                    cr = (r.se(), r.se())
+                    chroma.append((cb, cr))
+                else:
+                    chroma.append(((1 << logwd_c, 0), (1 << logwd_c, 0)))
+            fr._wp = {"logwd_l": logwd_l, "logwd_c": logwd_c,
+                      "luma": luma, "chroma": chroma}
     # dec_ref_pic_marking is present only for REFERENCE pictures
     # (nal_ref_idc != 0, 7.3.3) — a disposable coded I slice omits it
     if ref_idc != 0:
@@ -2013,7 +2054,8 @@ def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
 def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
                    crop_bottom: int = 0, qp: int = 26,
                    second_cqpo: int | None = None,
-                   pps_id: int = 0, cqpo: int = 0) -> tuple[bytes, bytes]:
+                   pps_id: int = 0, cqpo: int = 0,
+                   weighted_pred: bool = False) -> tuple[bytes, bytes]:
     """-> (sps_nal, pps_nal). Crop values in luma pixels (must be even:
     4:2:0 crop units are 2 px). ``second_cqpo`` emits the PPS extension
     tail (transform_8x8=0, no scaling matrices, the given
@@ -2054,7 +2096,7 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
     w.ue(0)      # num_slice_groups_minus1
     w.ue(0)      # num_ref_idx_l0_default_active_minus1
     w.ue(0)      # num_ref_idx_l1_default_active_minus1
-    w.u(0, 1)    # weighted_pred
+    w.u(1 if weighted_pred else 0, 1)  # weighted_pred
     w.u(0, 2)    # weighted_bipred_idc
     w.se(qp - 26)  # pic_init_qp_minus26
     w.se(0)      # pic_init_qs_minus26
@@ -2369,14 +2411,18 @@ def _encode_p_inter_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
 
 def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
                    frame_num: int = 1, deblock_idc: int = 1,
-                   n_ref: int = 1) -> bytes:
+                   n_ref: int = 1, weights: dict | None = None) -> bytes:
     """One non-IDR P slice NAL covering the whole frame — the fixture for
     the short-GOP inter decode path. ``mbs`` is a raster list of MB
     descriptors: ``("skip",)`` (P_Skip — motion from the shared skip-MV
     rule), the inter shapes of :func:`_encode_p_inter_mb`, or any INTRA
     descriptor ``encode_i_frame`` accepts (emitted with the +5 P-slice
     mb_type offset). Slice header: default reference list of ``n_ref``
-    past frames (override emitted when > 1), sliding-window marking."""
+    past frames (override emitted when > 1), sliding-window marking.
+    ``weights`` emits a pred_weight_table (pair with a PPS built with
+    ``weighted_pred=True``): ``{"logwd_l": n, "logwd_c": n, "luma":
+    [(w, o) or None per ref], "chroma": [((wcb, ocb), (wcr, ocr)) or
+    None per ref]}`` — None entries emit flag 0 (identity defaults)."""
     if len(mbs) != w_mbs * h_mbs:
         raise H264Error("mb list does not cover the frame")
     shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
@@ -2391,6 +2437,25 @@ def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
         w.u(1, 1)
         w.ue(n_ref - 1)
     w.u(0, 1)    # ref_pic_list_modification_flag_l0
+    if weights is not None:  # pred_weight_table (7.3.3.2)
+        w.ue(weights["logwd_l"])
+        w.ue(weights["logwd_c"])
+        for i in range(n_ref):
+            lw = weights["luma"][i]
+            if lw is None:
+                w.u(0, 1)
+            else:
+                w.u(1, 1)
+                w.se(lw[0])
+                w.se(lw[1])
+            cw = weights["chroma"][i]
+            if cw is None:
+                w.u(0, 1)
+            else:
+                w.u(1, 1)
+                for wt, of in cw:
+                    w.se(wt)
+                    w.se(of)
     w.u(0, 1)    # adaptive_ref_pic_marking (sliding window)
     w.se(0)      # slice_qp_delta
     w.ue(deblock_idc)

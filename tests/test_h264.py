@@ -2025,3 +2025,63 @@ def test_multi_reference_p_frames_pick_the_right_frame():
     assert (g[:, 0:8] == vA).all() and (g[:, 8:16] == vB).all()
     # deblock bS: the ref-mismatch edge between the 8x8s is bS 1 — but
     # deblock is off (idc 1 default); content equality above pins MC
+
+
+def test_weighted_prediction_explicit_closed_form():
+    """Explicit weighted P prediction (8.4.2.3.2): a weighted all-skip /
+    zero-mv frame over flat content reproduces the closed-form
+    ((x*w + 2^(d-1)) >> d) + o per component; absent per-ref flags
+    default to the identity; weights are per-REFERENCE in a multi-ref
+    slice."""
+    wmb, hmb = 2, 1
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26, weighted_pred=True)
+    dcA = 160
+    _, _, idr0 = H.encode_solid_gray_stream(wmb, hmb, dcA, 26)
+    # re-encode the IDR under the weighted PPS (same pps_id 0): just
+    # reuse the IDR NAL — the IDR's I slices never read weights
+    vA = H.i16dc_recon_value(dcA, 26)
+
+    wts = {"logwd_l": 1, "logwd_c": 2,
+           "luma": [(3, 10)], "chroma": [((2, -4), (8, 5))]}
+    p = H.encode_p_frame([("p16", (0, 0), None, None)] * 2, wmb, hmb,
+                         frame_num=1, weights=wts)
+    out = H.decode_gop([[sps, pps, idr0], [p]])
+    assert out[1] is not None
+    exp_y = min(255, ((vA * 3 + 1) >> 1) + 10)
+    exp_cb = ((128 * 2 + 2) >> 2) - 4       # 60
+    exp_cr = ((128 * 8 + 2) >> 2) + 5       # 261 -> clip 255
+    exp_cr = min(255, exp_cr)
+    # RGB from (exp_y, exp_cb, exp_cr)
+    r = np.clip(round(exp_y + 1.402 * (exp_cr - 128)), 0, 255)
+    g = np.clip(round(exp_y - 0.344136 * (exp_cb - 128)
+                      - 0.714136 * (exp_cr - 128)), 0, 255)
+    b = np.clip(round(exp_y + 1.772 * (exp_cb - 128)), 0, 255)
+    assert (out[1][:, :, 0] == r).all()
+    assert (out[1][:, :, 1] == g).all()
+    assert (out[1][:, :, 2] == b).all()
+
+    # identity defaults (flag 0): bit-equal to the unweighted decode
+    wts_id = {"logwd_l": 5, "logwd_c": 3, "luma": [None], "chroma": [None]}
+    p_id = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=1,
+                            weights=wts_id)
+    out_id = H.decode_gop([[sps, pps, idr0], [p_id]])
+    assert (out_id[1] == vA).all()  # P_Skip under identity weights
+
+    # per-reference weights in a 2-ref slice: MB0 (ref 1, weighted x2)
+    # vs MB1 (ref 0, identity)
+    # weighted_pred=1 makes pred_weight_table MANDATORY in every P slice
+    # of this PPS — p1 carries identity weights
+    p1 = H.encode_p_frame([("i16", 2, [480] + [0] * 15, None),
+                           ("i16", 2, [0] * 16, None)],
+                          wmb, hmb, frame_num=1, weights=wts_id)
+    vB = H.i16dc_recon_value(480, 26)
+    wts2 = {"logwd_l": 0, "logwd_c": 0,
+            "luma": [None, (2, 0)], "chroma": [None, None]}
+    p2 = H.encode_p_frame(
+        [("p16", (0, 0), None, None, 1), ("p16", (0, 0), None, None, 0)],
+        wmb, hmb, frame_num=2, n_ref=2, weights=wts2,
+    )
+    out2 = H.decode_gop([[sps, pps, idr0], [p1], [p2]])
+    g2 = out2[2][:, :, 1]
+    assert (g2[:, 0:16] == min(255, vA * 2)).all()  # ref1 weighted 2x
+    assert (g2[:, 16:32] == vB).all()               # ref0 identity
