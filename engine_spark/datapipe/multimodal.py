@@ -1706,9 +1706,10 @@ def decode_frames(
     samples decode for REAL when they are CAVLC-coded I/IDR frames (the
     stdlib h264 module: NAL/slice parse, CAVLC, intra prediction, inverse
     integer transform, in-loop deblocking) OR short-GOP P frames
-    (single-reference inter prediction chained forward from the nearest
-    IDR anchor — quarter-pel 6-tap luma, eighth-pel bilinear chroma);
-    B slices, CABAC streams, multi-reference P and other av-library
+    (inter prediction chained forward from the nearest IDR anchor —
+    multi-reference default lists, explicit weighted prediction,
+    quarter-pel 6-tap luma, eighth-pel bilinear chroma); B slices,
+    CABAC streams, reordered reference lists and other av-library
     codecs (hev1/vp09) emit rows with NULL pixel fields rather than
     wrong pixels — and a failed frame poisons its GOP's chain so later
     P frames in it are NULL too, until the next IDR. Other payloads emit
