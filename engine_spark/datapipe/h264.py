@@ -1545,7 +1545,13 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
         fr.refs = refs or []
     elif (fr.wmb, fr.hmb) != (sps["width_mbs"], sps["height_mbs"]):
         raise H264Error("slice SPS disagrees with frame geometry")
-    r.u(sps["log2_max_frame_num"])  # frame_num
+    fn = r.u(sps["log2_max_frame_num"])  # frame_num (7.4.3)
+    if getattr(fr, "frame_num", None) is None:
+        fr.frame_num = fn
+        fr.is_ref = ref_idc != 0  # nal_ref_idc != 0 -> reference picture
+    elif fr.frame_num != fn or fr.is_ref != (ref_idc != 0):
+        raise H264Error(
+            "slices of one picture disagree on frame_num/nal_ref_idc")
     if idr:
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
@@ -2016,21 +2022,47 @@ def decode_gop(units: list[list[bytes]], sps: dict | None = None,
     reset the list). Returns one RGB array per unit, or None where a
     unit failed — and every subsequent P unit until the next IDR is
     None too (its references are suspect), the honest degradation
-    decode_frames surfaces as NULL rows."""
+    decode_frames surfaces as NULL rows.
+
+    Reference-picture bookkeeping (8.2.5 sliding window over the
+    in-order contract): only pictures whose slice NALs carry
+    nal_ref_idc != 0 enter RefPicList0 — disposable pictures
+    (nal_ref_idc == 0) are decoded and returned but never referenced.
+    frame_num is tracked across units: an IDR must carry 0, any other
+    picture must carry PrevRefFrameNum or (PrevRefFrameNum + 1) %
+    MaxFrameNum (7.4.3); a discontinuity raises inside the unit and
+    degrades it — and the chain until the next IDR — to None rows
+    rather than decoding silently wrong pixels off a shifted list."""
     sps_map, pps_map = _seed_param_maps(sps, pps)
     out: list = []
     refs: list = []
+    prev_ref_fn: int | None = None  # PrevRefFrameNum; None = unseeded
     for nals in units:
         idr = any(n and (n[0] & 0x1F) == 5 for n in nals)
         if idr:
             refs = []  # IDR never references across itself
+            prev_ref_fn = None
         try:
             fr = decode_access_unit(nals, sps_map, pps_map, refs)
+            max_fn = 1 << fr.sps["log2_max_frame_num"]
+            if idr:
+                if fr.frame_num != 0:
+                    raise H264Error(
+                        f"IDR frame_num {fr.frame_num} != 0 (7.4.3)")
+            elif prev_ref_fn is not None and fr.frame_num not in (
+                    prev_ref_fn, (prev_ref_fn + 1) % max_fn):
+                raise H264Error(
+                    f"frame_num discontinuity: {fr.frame_num} after "
+                    f"PrevRefFrameNum {prev_ref_fn}")
             out.append(_frame_rgb(fr))
-            refs = [{"y": fr.y, "cb": fr.cb, "cr": fr.cr}] + refs[: max_refs - 1]
+            if fr.is_ref:
+                refs = ([{"y": fr.y, "cb": fr.cb, "cr": fr.cr}]
+                        + refs[: max_refs - 1])
+                prev_ref_fn = fr.frame_num
         except DECODABLE_ERRORS:
             out.append(None)
             refs = []  # poison the chain until the next IDR
+            prev_ref_fn = None
     return out
 
 
@@ -2411,7 +2443,8 @@ def _encode_p_inter_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
 
 def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
                    frame_num: int = 1, deblock_idc: int = 1,
-                   n_ref: int = 1, weights: dict | None = None) -> bytes:
+                   n_ref: int = 1, weights: dict | None = None,
+                   ref_idc: int = 3) -> bytes:
     """One non-IDR P slice NAL covering the whole frame — the fixture for
     the short-GOP inter decode path. ``mbs`` is a raster list of MB
     descriptors: ``("skip",)`` (P_Skip — motion from the shared skip-MV
@@ -2422,7 +2455,9 @@ def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     ``weights`` emits a pred_weight_table (pair with a PPS built with
     ``weighted_pred=True``): ``{"logwd_l": n, "logwd_c": n, "luma":
     [(w, o) or None per ref], "chroma": [((wcb, ocb), (wcr, ocr)) or
-    None per ref]}`` — None entries emit flag 0 (identity defaults)."""
+    None per ref]}`` — None entries emit flag 0 (identity defaults).
+    ``ref_idc=0`` emits a DISPOSABLE (non-reference) picture: nal_ref_idc
+    0 in the NAL header and no dec_ref_pic_marking (7.3.3)."""
     if len(mbs) != w_mbs * h_mbs:
         raise H264Error("mb list does not cover the frame")
     shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
@@ -2456,7 +2491,8 @@ def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
                 for wt, of in cw:
                     w.se(wt)
                     w.se(of)
-    w.u(0, 1)    # adaptive_ref_pic_marking (sliding window)
+    if ref_idc != 0:  # dec_ref_pic_marking only on reference pictures
+        w.u(0, 1)    # adaptive_ref_pic_marking (sliding window)
     w.se(0)      # slice_qp_delta
     w.ue(deblock_idc)
     if deblock_idc != 1:
@@ -2491,7 +2527,7 @@ def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
             _encode_mb(w, shadow, mb, desc, qp, 0, ptype_off=5)
         mb += 1
     w.rbsp_trailing()
-    return _nal(1, w.tobytes())
+    return _nal(1, w.tobytes(), ref_idc=ref_idc)
 
 
 # ---------------------------------------------------------------------------

@@ -1800,10 +1800,14 @@ def decode_frames(
                     sps_map, pps_map = h264._seed_param_maps(
                         avc_cfg["sps_by_id"], avc_cfg["pps_by_id"]
                     )
-                    # reference chain state: up to 16 past decoded frames
-                    # most-recent-first (the default P RefPicList0 for an
-                    # in-order no-gap stream — multi-reference P decodes)
-                    chain = {"refs": [], "pos": -1}
+                    # reference chain state: up to 16 past decoded
+                    # REFERENCE frames (nal_ref_idc != 0) most-recent-first
+                    # (the default P RefPicList0 for an in-order no-gap
+                    # stream); prf = PrevRefFrameNum for the 7.4.3
+                    # frame_num continuity check — disposable pictures
+                    # decode but never enter the list, and a frame_num
+                    # gap degrades to NULL instead of wrong pixels
+                    chain = {"refs": [], "pos": -1, "prf": None}
 
                     def _avc_decode(fi):
                         anchor = next(
@@ -1816,13 +1820,16 @@ def decode_frames(
                         elif anchor is not None:
                             start = anchor
                             chain["refs"] = []
+                            chain["prf"] = None
                         else:  # no IDR before fi: standalone (P -> NULL)
                             start = fi
                             chain["refs"] = []
+                            chain["prf"] = None
                         fr = None
                         for j in range(start, fi + 1):
                             if kinds[j] == 5:
                                 chain["refs"] = []
+                                chain["prf"] = None
                             oj, szj = mp4["offsets"][j], mp4["sizes"][j]
                             try:
                                 fr = h264.decode_access_unit(
@@ -1831,12 +1838,29 @@ def decode_frames(
                                     ),
                                     sps_map, pps_map, chain["refs"],
                                 )
-                                chain["refs"] = [
-                                    {"y": fr.y, "cb": fr.cb, "cr": fr.cr}
-                                ] + chain["refs"][:15]
+                                max_fn = 1 << fr.sps["log2_max_frame_num"]
+                                if kinds[j] == 5:
+                                    if fr.frame_num != 0:
+                                        raise h264.H264Error(
+                                            "IDR frame_num != 0")
+                                elif chain["prf"] is not None and (
+                                    fr.frame_num not in (
+                                        chain["prf"],
+                                        (chain["prf"] + 1) % max_fn,
+                                    )
+                                ):
+                                    raise h264.H264Error(
+                                        "frame_num discontinuity")
+                                if fr.is_ref:
+                                    chain["refs"] = [
+                                        {"y": fr.y, "cb": fr.cb,
+                                         "cr": fr.cr}
+                                    ] + chain["refs"][:15]
+                                    chain["prf"] = fr.frame_num
                             except DECODE_ERRORS:
                                 fr = None
                                 chain["refs"] = []  # poison until IDR
+                                chain["prf"] = None
                             chain["pos"] = j
                         if fr is None:
                             return None

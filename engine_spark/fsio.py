@@ -306,11 +306,16 @@ class EpochLog:
 
         out: set[int] = set()
         for eid, p in victims:
-            try:
-                s = json.loads(self.fs.read_bytes(f"{p}/_stats.json").decode())
-                out.update(s.get("epochs", [eid]))
-            except Exception:  # noqa: BLE001 - plain epoch without sidecar
+            # fall back to {eid} ONLY when the sidecar genuinely does not
+            # exist (a plain sidecar-less epoch); a read/parse failure on
+            # an EXISTING sidecar must abort the compaction — silently
+            # dropping a -c victim's merged-id set would make those epochs
+            # report committed()=False and a stream replay re-ingest them
+            if not self.fs.exists(f"{p}/_stats.json"):
                 out.add(eid)
+                continue
+            s = json.loads(self.fs.read_bytes(f"{p}/_stats.json").decode())
+            out.update(s.get("epochs", [eid]))
         return out
 
     def vacuum(self) -> int:

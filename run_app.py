@@ -400,20 +400,30 @@ def run_vector_stream(spark, args) -> int:
             if batch_df.isEmpty():
                 print(f"[vector-stream] epoch {epoch_id} empty before build")
                 return
+            # marker FIRST: a crash between build and marker would leave
+            # codebook.json without the sidecar and wedge every replay at
+            # the read below; writing it before the build is idempotent
+            # (a crash before the build just rebuilds and overwrites)
+            fs.write_bytes(
+                f"{path}/_base_epoch.json",
+                _json.dumps({"epoch": int(epoch_id)}).encode(),
+            )
             ivf_index_build(
                 spark, batch_df, path,
                 full_dim=dim, cell_dim=min(16, dim),
                 k=args.vector_cells, iters=3,
             )
-            fs.write_bytes(
-                f"{path}/_base_epoch.json",
-                _json.dumps({"epoch": int(epoch_id)}).encode(),
-            )
             print(f"[vector-stream] epoch {epoch_id} trained + built base")
             return
-        base = _json.loads(
-            fs.read_bytes(f"{path}/_base_epoch.json").decode()
-        )["epoch"]
+        # an index pre-built OUTSIDE the stream has no sidecar: treat the
+        # missing marker as "no stream epoch is the base" instead of
+        # crashing unrecoverably
+        base = (
+            _json.loads(fs.read_bytes(f"{path}/_base_epoch.json").decode())
+            ["epoch"]
+            if fs.exists(f"{path}/_base_epoch.json")
+            else -1
+        )
         if epoch_id == base:
             print(f"[vector-stream] epoch {epoch_id} is the base build (replay)")
             return

@@ -181,3 +181,33 @@ def test_auto_salt_empty_registry_all_cold(spark, tmp_path):
     )
     out = _auto_salt(df, "ts", "user", ["v"], str(tmp_path / "hk"), r=4).collect()
     assert len(out) == 2 and {r._salt for r in out} == {0}
+
+
+def test_merged_ids_sidecar_corruption_aborts_compaction(spark, tmp_path):
+    """EpochLog.merged_ids: a plain epoch WITHOUT a _stats.json sidecar
+    falls back to its own id, but a corrupted/unreadable sidecar on an
+    EXISTING file must propagate — silently dropping a -c victim's
+    merged set would un-commit those epochs and let a stream replay
+    re-ingest them (ADVICE r11)."""
+    import json
+
+    import pytest
+
+    from engine_spark.fsio import EpochLog, HadoopFS
+
+    root = str(tmp_path / "epochs")
+    fs = HadoopFS(spark, root)
+    log = EpochLog(fs, root)
+    # plain epoch, no sidecar -> falls back to {eid}
+    fs.write_bytes(f"{log.path(1)}/part.parquet", b"x")
+    # -c epoch with a valid sidecar -> contributes its merged set
+    fs.write_bytes(
+        f"{log.path(2, compacted=True)}/_stats.json",
+        json.dumps({"epochs": [0, 2]}).encode(),
+    )
+    victims = [(1, log.path(1)), (2, log.path(2, compacted=True))]
+    assert log.merged_ids(victims) == {0, 1, 2}
+    # corrupt the sidecar: must raise, not fall back to {2}
+    fs.write_bytes(f"{log.path(2, compacted=True)}/_stats.json", b"{not json")
+    with pytest.raises(json.JSONDecodeError):
+        log.merged_ids(victims)

@@ -2085,3 +2085,59 @@ def test_weighted_prediction_explicit_closed_form():
     g2 = out2[2][:, :, 1]
     assert (g2[:, 0:16] == min(255, vA * 2)).all()  # ref1 weighted 2x
     assert (g2[:, 16:32] == vB).all()               # ref0 identity
+
+
+def test_non_reference_pictures_never_enter_the_ref_list():
+    """A disposable P (nal_ref_idc=0) decodes and is returned, but the
+    NEXT P predicts from the last REFERENCE picture — an unconditional
+    ref-list append would shift RefPicList0 and copy the disposable
+    frame's pixels instead (ADVICE r11)."""
+    wmb, hmb = 2, 1
+    sps, pps, idr = H.encode_solid_gray_stream(wmb, hmb, 160, 26)
+    vA = H.i16dc_recon_value(160, 26)
+    # disposable P: intra DC bump on both MBs -> visibly different frame;
+    # non-ref pictures share the upcoming frame_num (PrevRefFrameNum + 1)
+    p_disp = H.encode_p_frame(
+        [("i16", 2, [480] + [0] * 15, None)] * 2, wmb, hmb,
+        frame_num=1, ref_idc=0,
+    )
+    # reference P: all-skip copy of ITS ref[0] — must be the IDR
+    p_ref = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=1)
+    out = H.decode_gop([[sps, pps, idr], [p_disp], [p_ref]])
+    assert all(o is not None for o in out)
+    assert (out[1] != vA).any()           # disposable frame IS returned
+    assert (out[2] == vA).all()           # skip copied the IDR, not p_disp
+
+
+def test_frame_num_gap_degrades_to_null_not_wrong_pixels():
+    """A frame_num discontinuity (7.4.3) poisons the chain to None rows
+    until the next IDR instead of decoding off a misaligned list."""
+    wmb, hmb = 2, 1
+    sps, pps, idr = H.encode_solid_gray_stream(wmb, hmb, 160, 26)
+    vA = H.i16dc_recon_value(160, 26)
+    p1 = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=1)
+    p_gap = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=3)
+    p2 = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=2)
+    out = H.decode_gop(
+        [[sps, pps, idr], [p1], [p_gap], [p2], [sps, pps, idr], [p1]]
+    )
+    assert out[0] is not None and out[1] is not None
+    assert out[2] is None                 # the gapped unit
+    assert out[3] is None                 # poisoned until the next IDR
+    assert out[4] is not None and (out[5] == vA).all()  # IDR recovers
+
+
+def test_non_ref_then_ref_same_frame_num_is_legal():
+    """The in-order convention where consecutive non-reference pictures
+    share (PrevRefFrameNum + 1): disposable fn=1 then reference fn=1
+    both decode; the reference then bumps PrevRefFrameNum so fn=2 chains."""
+    wmb, hmb = 2, 1
+    sps, pps, idr = H.encode_solid_gray_stream(wmb, hmb, 160, 26)
+    vA = H.i16dc_recon_value(160, 26)
+    p_d = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=1,
+                           ref_idc=0)
+    p_r = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=1)
+    p_2 = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=2)
+    out = H.decode_gop([[sps, pps, idr], [p_d], [p_r], [p_2]])
+    assert all(o is not None for o in out)
+    assert (out[3] == vA).all()

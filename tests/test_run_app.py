@@ -442,3 +442,44 @@ def test_cli_vector_stream_build_ingest_compact_query(spark, tmp_path, capsys):
         for r in live.orderBy("q_id", "rnk").collect()
     ]
     assert hits == want
+
+
+def test_cli_vector_stream_over_prebuilt_index_recovers(spark, tmp_path,
+                                                        capsys):
+    """An IVF index built OUTSIDE the stream has no _base_epoch.json
+    sidecar; the stream must treat the missing marker as 'no stream
+    epoch is the base' and ingest normally instead of crashing at the
+    sidecar read forever (ADVICE r11)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from engine_spark.datapipe.ivf import ivf_index_build
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    in_dir = tmp_path / "drops"
+    state = tmp_path / "ivf"
+    in_dir.mkdir()
+
+    ivf_index_build(
+        spark, emb.filter(F.col("vec_id") % 3 == 0), str(state),
+        full_dim=64, cell_dim=16, k=4, iters=2,
+    )
+    assert (state / "codebook.json").exists()
+    assert not (state / "_base_epoch.json").exists()
+
+    stage = tmp_path / "stage"
+    df = emb.filter(F.col("vec_id") % 3 == 1)
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    (part,) = [p for p in stage.iterdir() if p.name.endswith(".parquet")]
+    shutil.copy(str(part), str(in_dir / "b0.parquet"))
+
+    argv = [
+        "--vector-stream", str(in_dir),
+        "--vector-state", str(state),
+        "--vector-query", "2",
+    ]
+    assert run_app.main(stop=False, argv=argv) == 0
+    out = capsys.readouterr().out
+    assert "epoch 0 committed" in out
+    assert "[vector-query]" in out
