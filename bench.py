@@ -126,6 +126,10 @@ def main() -> None:
         "multimodal_h264",
         # round 11: H.264 short-GOP P-frame (inter) decode chain
         "multimodal_h264_gop",
+        # round 12: the scale-true SimHash rework (56-bit signature,
+        # capped 14-bit chunk blocking) — tracked so the candidate-join
+        # cost stays visible against the MinHash-LSH twin
+        "dedup_simhash",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

@@ -39,7 +39,11 @@ _g = _lcg(20260813)
 MINHASH_A = [next(_g) % 999_999_937 + 1 for _ in range(MINHASH_K)]
 MINHASH_B = [next(_g) % 999_999_937 for _ in range(MINHASH_K)]
 
-SIMHASH_BITS = 32
+#: SimHash signature width. 56 = the full hash56 token-hash width: any
+#: higher bit would be constant-zero across every document (hash56 values
+#: are < 2^56), collapsing that chunk of the blocking scheme into ONE
+#: degenerate bucket holding the whole corpus.
+SIMHASH_BITS = 56
 
 STOPWORDS = {
     "en": ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
@@ -197,7 +201,7 @@ def band_key(d: Dialect, mh_cols: list[str], band: int) -> str:
 
 
 def simhash(d: Dialect, tok_hashes: str) -> str:
-    """32-bit SimHash over a list of 56-bit token hashes.
+    """56-bit SimHash over a list of 56-bit token hashes.
 
     bit_i set ⇔ more one-bits than zero-bits at position i across tokens
     (2 * count_ones > n). Rendered as an explicit 32-term sum — row-local.

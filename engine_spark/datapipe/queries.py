@@ -1445,8 +1445,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs)
 
 
-HAMMING_T = 2
-SIMHASH_CHUNKS = 4  # 4 x 8-bit chunks → candidates share ≥1 chunk ⇔ d(h) ≤ 6 likely
+HAMMING_T = 3            # pigeonhole-complete: d ≤ 3 over 4 chunks ⇒ ≥1 clean chunk
+SIMHASH_CHUNKS = 4       # 4 x 14-bit chunks of the 56-bit signature
+SIMHASH_CHUNK_BITS = 14  # 16,384 bucket values per chunk
+SIMHASH_CHUNK_MASK = (1 << SIMHASH_CHUNK_BITS) - 1
+#: chunk buckets larger than this are EXCLUDED from candidate generation
+#: (the ngram df-cap pattern): bucket occupancy is the quadratic term of
+#: chunk blocking — n/2^14 per bucket on random text is tiny, but a
+#: degenerate bucket (e.g. a million byte-identical boilerplate docs, all
+#: one signature) would otherwise be an O(k²) self-join. Those clusters
+#: belong to exact-hash dedup; simhash_dropped_buckets() reports what the
+#: cap dropped so a 100 TB run logs it instead of silently under-pairing.
+SIMHASH_BUCKET_CAP = 128
 
 
 def _simhash_expr(d: Dialect) -> str:
@@ -1454,18 +1464,30 @@ def _simhash_expr(d: Dialect) -> str:
     return FR.simhash(d, tok_h)
 
 
+def _simhash_chunks_sql(d: Dialect) -> str:
+    return f"({d.shiftright('sim', f'{SIMHASH_CHUNK_BITS} * c')} & {SIMHASH_CHUNK_MASK})"
+
+
 @register(
     "dedup_simhash",
     f"""
     WITH s AS (SELECT doc_id, {_simhash_expr(DK)} AS sim FROM documents),
     chunks AS (
-      SELECT doc_id, sim, c, ({DK.shiftright('sim', '8 * c')} & 255) AS cv
+      SELECT doc_id, sim, c, {_simhash_chunks_sql(DK)} AS cv
       FROM s, (SELECT unnest(range({SIMHASH_CHUNKS})) AS c)
+    ),
+    keep AS (
+      SELECT c, cv FROM chunks GROUP BY c, cv
+      HAVING count(*) <= {SIMHASH_BUCKET_CAP}
+    ),
+    ck AS (
+      SELECT chunks.doc_id, chunks.sim, chunks.c, chunks.cv
+      FROM chunks JOIN keep USING (c, cv)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.sim AS sim_a, b.sim AS sim_b
-      FROM chunks a JOIN chunks b
+      FROM ck a JOIN ck b
         ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, {DK.bit_count(DK.xor('sim_a', 'sim_b'))} AS hamming
@@ -1473,35 +1495,43 @@ def _simhash_expr(d: Dialect) -> str:
     WHERE {DK.bit_count(DK.xor('sim_a', 'sim_b'))} <= {HAMMING_T}
     """,
     doc=(
-        "32-bit SimHash near-dup: signature is row-local; candidate pairs "
-        "share an 8-bit chunk (pigeonhole: hamming≤6 with 4 chunks ⇒ some "
-        "chunk is clean; exact-match chunk blocking is the standard "
-        "recall/cost trade); verify with bit_count(xor)."
+        "56-bit SimHash near-dup: signature is row-local; candidate pairs "
+        f"share a 14-bit chunk (pigeonhole: hamming ≤ {HAMMING_T} with "
+        f"{SIMHASH_CHUNKS} chunks ⇒ some chunk is clean — FULL recall at "
+        "the threshold, not probabilistic); chunk buckets with > "
+        f"{SIMHASH_BUCKET_CAP} members are excluded from candidate "
+        "generation (df-cap pattern: bounds the per-bucket self-join; "
+        "degenerate identical-signature clusters are exact-dedup's job) "
+        "and reported by simhash_dropped_buckets(); verify with "
+        "bit_count(xor). Candidate volume ≤ Σ_bucket min(size, cap)²/2 — "
+        "linear in corpus size at any scale, never all-pairs."
     ),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-row-group mitigation: the 32 interpreted bit-count filters of
+    # single-row-group mitigation: the 56 interpreted bit-count filters of
     # the SimHash expression otherwise run on one scan task
-    docs = Catalog(spark, sf_dir)["documents"].repartition(
-        spark.sparkContext.defaultParallelism
+    return simhash_pairs(_simhash_signatures(spark, sf_dir).cache())
+
+
+def simhash_pairs(
+    s: DataFrame, cap: int = SIMHASH_BUCKET_CAP, hamming_t: int = HAMMING_T
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) near-dup pairs over a (doc_id, sim)
+    signature frame via capped 14-bit chunk blocking — the reusable core
+    q_dedup_simhash and the scaling probe share. Candidate volume is
+    bounded by Σ_bucket min(size, cap)²/2: linear in corpus size."""
+    chunks = _simhash_chunk_df(s)
+    keep = (
+        chunks.groupBy("c", "cv")
+        .count()
+        .filter(F.col("count") <= cap)
+        .drop("count")
     )
-    s = docs.select("doc_id", F.expr(_simhash_expr(SP)).alias("sim")).cache()
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("c"),
-                F.expr(f"({SP.shiftright('sim', str(8 * c))} & 255)").alias("cv"),
-            )
-            for c in range(SIMHASH_CHUNKS)
-        ]
-    )
-    chunks = s.select("doc_id", "sim", F.explode(chunk_structs).alias("ck")).select(
-        "doc_id", "sim", F.col("ck.c").alias("c"), F.col("ck.cv").alias("cv")
-    )
+    ck = chunks.join(keep, ["c", "cv"], "semi")
     cand = (
-        chunks.alias("a")
+        ck.alias("a")
         .join(
-            chunks.alias("b"),
+            ck.alias("b"),
             (F.col("a.c") == F.col("b.c"))
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
@@ -1516,8 +1546,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("hamming", F.expr(SP.bit_count(SP.xor("sim_a", "sim_b"))))
-        .filter(F.col("hamming") <= HAMMING_T)
+        .filter(F.col("hamming") <= hamming_t)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir)["documents"].repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return docs.select("doc_id", F.expr(_simhash_expr(SP)).alias("sim"))
+
+
+def _simhash_chunk_df(s: DataFrame) -> DataFrame:
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("c"),
+                F.expr(
+                    f"({SP.shiftright('sim', str(SIMHASH_CHUNK_BITS * c))}"
+                    f" & {SIMHASH_CHUNK_MASK})"
+                ).alias("cv"),
+            )
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    return s.select("doc_id", "sim", F.explode(chunk_structs).alias("ck")).select(
+        "doc_id", "sim", F.col("ck.c").alias("c"), F.col("ck.cv").alias("cv")
+    )
+
+
+def simhash_dropped_buckets(
+    spark: SparkSession, sf_dir: str, cap: int = SIMHASH_BUCKET_CAP
+) -> DataFrame:
+    """(c, cv, bucket_size) for every chunk bucket the df-cap excludes
+    from dedup_simhash's candidate generation — the drop report a
+    production run logs next to the pair output (pairs inside a dropped
+    bucket are near-identical en masse; route them to exact-hash dedup)."""
+    chunks = _simhash_chunk_df(_simhash_signatures(spark, sf_dir))
+    return (
+        chunks.groupBy("c", "cv")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > cap)
     )
 
 

@@ -3341,7 +3341,6 @@ _ORDER = [
     "stream_stream_windowed_join",
     "join_q2_min_cost_supplier",  # TPC-H Q2 shape: correlated-min decorrelation (NEW r10)
     "join_q4_priority_checking",  # TPC-H Q4 shape: correlated EXISTS semi join (NEW r10)
-    "join_q7_volume_shipping",    # TPC-H Q7 shape: pair-filtered dims (NEW r9, in-window)
     "join_q8_market_share",       # TPC-H Q8 shape: dual-role nation + ratio (NEW r10)
     "join_q9_product_profit",     # TPC-H Q9 shape: profit by nation x year (NEW r10)
     "join_q12_late_line_priority",  # TPC-H Q12 shape: conditional counts on join (NEW r10)
@@ -3368,6 +3367,7 @@ _ORDER = [
     "search_hybrid_store",        # live-store RRF composition parity (NEW r10, in-window)
     "dedup_minhash_lsh",
     "dedup_clusters",
+    "dedup_simhash",              # 56-bit signature + capped 14-bit chunk blocking (rotated back IN r12 after the scale-true rework)
     "ann_ivf_trained",
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_h264",            # REAL H.264 baseline I-frame decode (NEW r10)
@@ -3377,6 +3377,13 @@ _ORDER = [
     # families already checked above, each with one-or-more consecutive
     # driver-green rounds, and at least one representative of every
     # family still inside the window.
+    # Round 12 rotated dedup_simhash back IN after the scale-true rework
+    # (56-bit signature, 4 x 14-bit chunk blocking, bucket-size cap — the
+    # r11 verdict's top item; the rework must face the driver's oracle)
+    # and rotated OUT join_q7_volume_shipping (driver-green r9-r11; the
+    # join family keeps fourteen gates in-window incl. thirteen TPC-H
+    # shapes + outer modes + enrichment + stream-stream).
+    "join_q7_volume_shipping",    # rotated out r12 (driver-green r9-r11)
     # Round 11 rotated IN its one debut gate (multimodal_h264_gop — the
     # H.264 P-slice/GOP inter-decode path, in-window at debut per the
     # standing policy) and rotated OUT agg_q14_promo_share (driver-green
@@ -3548,7 +3555,6 @@ _ORDER = [
     "sql_window_tumbling",
     "text_analysis",
     "text_surprisal",             # unigram-LM perplexity-proxy quality axis
-    "dedup_simhash",
     "ann_pq",                     # product-quantization ANN (ADC scan)
     "embedding_quantize",
     "multimodal_headers",         # real stdlib PNG/GIF/BMP/JPEG header decode

@@ -3536,3 +3536,53 @@ def test_ivf_store_compaction_snapshot_isolation(spark, tmp_path):
     assert sorted(
         map(tuple, ivf_index_search(spark, path, n_queries=5, topk=3).collect())
     ) == want
+
+
+def test_simhash_pairs_cap_and_pigeonhole_recall(spark):
+    """simhash_pairs over synthetic 56-bit signatures: (a) hamming ≤ 3
+    is ALWAYS found — 4 chunks and d ≤ 3 pigeonhole a clean chunk even
+    when the flipped bits span three different chunks; (b) a bucket
+    larger than the cap is excluded from candidate generation entirely
+    (its pairs are exact-dedup's job), and the cap is what bounds the
+    self-join at scale."""
+    from engine_spark.datapipe.queries import simhash_pairs
+
+    base = 0x00A5_5A3C_C369_9CF3  # arbitrary 56-bit pattern
+    rows = [
+        (0, base),
+        (1, base ^ (1 << 2) ^ (1 << 17) ^ (1 << 31)),  # d=3 across chunks 0,1,2
+        (2, base ^ (1 << 2) ^ (1 << 17) ^ (1 << 31) ^ (1 << 45)),  # d=4 from 0
+    ]
+    s = spark.createDataFrame(rows, "doc_id long, sim long")
+    out = simhash_pairs(s).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert got[(0, 1)] == 3          # clean chunk 3 blocked them together
+    assert (0, 2) not in got         # hamming 4 > threshold
+    assert got[(1, 2)] == 1          # single-bit flip
+
+    # cap: 5 identical signatures in one bucket, cap=4 -> no pairs at all;
+    # raising the cap restores the 10 within-cluster pairs
+    clus = spark.createDataFrame(
+        [(i, base) for i in range(5)], "doc_id long, sim long"
+    )
+    assert simhash_pairs(clus, cap=4).count() == 0
+    assert simhash_pairs(clus, cap=5).count() == 10
+
+
+def test_simhash_dropped_buckets_reports_the_capped_cluster(spark, tmp_path):
+    """simhash_dropped_buckets surfaces every (chunk, value) bucket the
+    df-cap excluded, with its size — the 100 TB run's drop log."""
+    from engine_spark.datapipe.queries import simhash_dropped_buckets
+
+    d = spark.createDataFrame(
+        [(i, "same boilerplate text repeated") for i in range(6)]
+        + [(100, "a genuinely different document body")],
+        "doc_id long, text string",
+    )
+    sf = tmp_path / "sf"
+    d.write.parquet(str(sf / "documents.parquet"))
+    dropped = simhash_dropped_buckets(spark, str(sf), cap=5).collect()
+    # the 6-doc identical cluster occupies one bucket per chunk
+    assert len(dropped) == 4
+    assert all(r["bucket_size"] == 6 for r in dropped)
+    assert sorted(r["c"] for r in dropped) == [0, 1, 2, 3]

@@ -6,8 +6,16 @@ DuckDB oracle: row count, column names, and order-insensitive values
 ints/strings/timestamps; floats compared exactly first, with a fallback
 report of max abs diff so near-misses are diagnosable.
 
+Results larger than ``--agg-over`` rows (default 5,000,000) switch to an
+AGGREGATE-HASH compare — count + order-insensitive row-hash sum, with the
+Spark side hashed executor-side via mapInPandas so the driver never
+collects the result — which verifies ANY result size (the r11 sf1 sweep's
+one exclusion was a driver-collect limit, not an operator limit). Both
+sides render rows through the SAME Python canonicalizer, so there is no
+cross-engine formatting divergence by construction.
+
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
-       [--json out.json] [--restart-every N]
+       [--json out.json] [--restart-every N] [--agg-over N]
 """
 
 from __future__ import annotations
@@ -16,11 +24,74 @@ import sys
 import traceback
 
 import duckdb
+import numpy as np
 import pandas as pd
+
+AGG_OVER_DEFAULT = 5_000_000
+_HASH_MOD = 1 << 61
 
 
 def load_oracle(con, sql: str) -> pd.DataFrame:
     return con.sql(sql).df()
+
+
+def canon_row_strings(pdf: pd.DataFrame) -> pd.Series:
+    """One canonical string per row: columns sorted by name, values
+    rendered by VALUE (1.0 and 1 render '1'; nulls render ''), joined
+    with an unlikely separator. Shared verbatim by the Spark executors
+    and the oracle side, so both engines canonicalize identically."""
+
+    def render(col: pd.Series) -> pd.Series:
+        if pd.api.types.is_float_dtype(col):
+            def rf(v):
+                if pd.isna(v):
+                    return ""
+                f = float(v)
+                if f.is_integer() and abs(f) < 2**53:
+                    return str(int(f))
+                return repr(f)
+
+            return col.map(rf)
+        if pd.api.types.is_integer_dtype(col):
+            return col.astype("int64").astype(str)
+        if pd.api.types.is_bool_dtype(col):
+            return col.map(lambda v: "" if pd.isna(v) else str(bool(v)))
+        return col.map(
+            lambda v: ""
+            if v is None or (isinstance(v, float) and pd.isna(v))
+            else str(v)
+        )
+
+    parts = [render(pdf[c]).astype(str) for c in sorted(pdf.columns)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + "\x1f" + p
+    return out
+
+
+def hash_stats(pdf: pd.DataFrame) -> tuple[int, int]:
+    """(row_count, order-insensitive row-hash sum mod 2^61)."""
+    if len(pdf) == 0:
+        return 0, 0
+    h = pd.util.hash_pandas_object(canon_row_strings(pdf), index=False)
+    # int() BEFORE the mod: numpy promotes uint64 % python-int to float64,
+    # which silently rounds above 2^53
+    return len(pdf), int(h.to_numpy().sum(dtype=np.uint64)) % _HASH_MOD
+
+
+def spark_hash_stats(df) -> tuple[int, int, list[str]]:
+    """hash_stats computed executor-side: the driver sees one tiny row
+    per Arrow batch, never the result itself — any result size verifies."""
+
+    def per_batch(batches):
+        for pdf in batches:
+            n, h = hash_stats(pdf)
+            yield pd.DataFrame({"n": [n], "h": [h]})
+
+    parts = df.mapInPandas(per_batch, schema="n long, h long").collect()
+    n = sum(r["n"] for r in parts)
+    h = sum(r["h"] for r in parts) % _HASH_MOD
+    return n, h, df.columns
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -90,6 +161,11 @@ def main() -> None:
         i = argv.index("--restart-every")
         restart_every = int(argv[i + 1])
         del argv[i : i + 2]
+    agg_over = AGG_OVER_DEFAULT
+    if "--agg-over" in argv:
+        i = argv.index("--agg-over")
+        agg_over = int(argv[i + 1])  # 0 disables the aggregate-hash mode
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -132,13 +208,67 @@ def main() -> None:
             spark.sparkContext.setLogLevel("ERROR")
             print(f"-- session recycled after {n_run} queries --")
         n_run += 1
+        sdf = None
+        agg_stats_spark = None
+        df = None
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            df = fn(spark, sf_dir)
+            if agg_over and name in oracles:
+                # persist so the size probe and the compare share ONE
+                # computation; MEMORY_AND_DISK spills huge results
+                # instead of recomputing or OOMing
+                df = df.persist()
+                n_spark = df.count()
+                if n_spark > agg_over:
+                    agg_stats_spark = spark_hash_stats(df)
+                else:
+                    sdf = df.toPandas()
+            else:
+                sdf = df.toPandas()
         except Exception:
             print(f"ERR  {name}: spark side crashed")
             traceback.print_exc(limit=3)
             n_fail += 1
             snapshot[name] = {"pass": False, "err": "spark side crashed"}
+            continue
+        finally:
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:  # noqa: BLE001 - never-persisted df
+                    pass
+        if agg_stats_spark is not None:
+            sn, sh, scols = agg_stats_spark
+            try:
+                odf = load_oracle(con, oracles[name])
+            except Exception as e:  # noqa: BLE001
+                print(f"ERR  {name}: oracle crashed: {e}")
+                n_fail += 1
+                snapshot[name] = {"pass": False, "err": f"oracle crashed: {e}"}
+                continue
+            on, oh = hash_stats(odf)
+            problems = []
+            if sorted(scols) != sorted(odf.columns):
+                problems.append(
+                    f"columns {sorted(scols)} vs oracle {sorted(odf.columns)}"
+                )
+            if sn != on:
+                problems.append(f"row count {sn} vs oracle {on}")
+            if not problems and sh != oh:
+                problems.append(f"value hash {sh} vs oracle {oh}")
+            snapshot[name] = {
+                "pass": not problems,
+                "spark_rows": sn,
+                "oracle_rows": on,
+                "mode": "agg-hash",
+                "err": "; ".join(problems) or None,
+            }
+            if problems:
+                print(f"FAIL {name} [agg-hash]: " + "; ".join(problems))
+                n_fail += 1
+            else:
+                print(f"pass {name} ({sn} rows, agg-hash)")
+                n_pass += 1
             continue
         if name not in oracles:
             print(f"rows {name}: {len(sdf)} rows (no oracle)")

@@ -79,6 +79,19 @@ def main() -> None:
     def minhash_chain(d):
         return minhash_signatures(shingles_of(d, materialize=False))
 
+    def simhash_chain(d):
+        # capped chunk blocking: 10x docs must grow the candidate join
+        # ~linearly (bucket cap bounds per-bucket pair volume; without it
+        # the replicated corpus's 10x-fatter buckets would cost 100x)
+        from engine_spark.datapipe.queries import (
+            SP as _SPD,
+            _simhash_expr,
+            simhash_pairs,
+        )
+
+        s = d.select("doc_id", F.expr(_simhash_expr(_SPD)).alias("sim"))
+        return simhash_pairs(s)
+
     def segment_chain(d):
         from engine_spark.datapipe.segments import dedup_segments
 
@@ -200,6 +213,7 @@ def main() -> None:
         "sliding_window_cep": (cep_chain, "events"),
         "pattern_followed_by": (pattern_chain, "events"),
         "minhash_signatures": (minhash_chain, "documents"),
+        "simhash_dedup": (simhash_chain, "documents"),
         "segment_dedup": (segment_chain, "documents"),
         "seeded_shuffle": (shuffle_chain, "documents"),
         "fuzzy_dedup": (fuzzy_chain, "documents"),
