@@ -1090,3 +1090,84 @@ def test_funnel_stream_matches_batch(spark, events, split):
             us = int((row.t3 - row.t2).total_seconds() * 1_000_000)
             batch_rows.append((row.user, "purchase", row.t3, us))
     assert stream_rows == sorted(batch_rows)
+
+
+# ---------------------------------------------------------------------------
+# connected components: both code paths (label propagation + pointer jump,
+# large-star/small-star contraction) against a Python union-find oracle on
+# random graphs — including chain segments whose diameter defeats the
+# propagation round budget, the shape the star fallback exists for
+# ---------------------------------------------------------------------------
+
+_cc_edges_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=40),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@given(edges=_cc_edges_strategy, chain_len=st.integers(min_value=0, max_value=30))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_both_paths_match_union_find(
+    spark, edges, chain_len
+):
+    from engine_spark.datapipe.cluster import connected_components
+
+    # graft a chain (disjoint id range) onto the random graph so some
+    # component's diameter exceeds the tiny star_after budget below
+    edges = edges + [(100 + i, 100 + i + 1) for i in range(chain_len)]
+    want = _uf_components(edges)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    # fast path only (star_after high enough to never trigger)
+    fast = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, star_after=25).collect()
+    }
+    assert fast == want
+    # star path (fallback triggers after one propagation round)
+    starred = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, star_after=1).collect()
+    }
+    assert starred == want
+
+
+def test_star_fallback_converges_on_diameter_200_chain(spark):
+    """The r11 gap scenario verbatim: a chain component whose diameter
+    (200) dwarfs the old 25-round budget must converge via the star
+    fallback instead of raising."""
+    from engine_spark.datapipe.cluster import connected_components
+
+    n = 200
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    out = {
+        r["vertex"]: r["component"]
+        for r in connected_components(df, max_rounds=4, star_after=2).collect()
+    }
+    assert out == {i: 0 for i in range(n + 1)}
