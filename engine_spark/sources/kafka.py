@@ -1,0 +1,984 @@
+"""Apache Kafka wire protocol, pure stdlib, plus Spark bindings.
+
+The container ships no Kafka library, and the protocol is public (the
+Kafka protocol guide at kafka.apache.org/protocol: request framing,
+big-endian primitives, and the KIP-98 RecordBatch v2 on-disk/wire format
+with CRC32C), so the wire layer is implemented from the spec:
+
+- 4-byte-length framing + request header v1 (api_key, api_version,
+  correlation_id, nullable client_id);
+- Metadata v1, Produce v3, Fetch v4, ListOffsets v1, ApiVersions v0 —
+  the minimal API set of a bootstrap-server producer/consumer;
+- RecordBatch magic-2 encode/decode: zigzag-varint record fields,
+  per-batch CRC32C (Castagnoli, table-driven here) validated broker-side
+  exactly like a real broker (CORRUPT_MESSAGE on mismatch);
+- murmur2 — Kafka's default partitioner hash — for keyed row routing.
+
+``KafkaBroker`` is a minimal in-process broker (auto-create topics,
+per-partition append logs, batch-granular fetch) so the protocol path is
+testable without a Kafka server binary; the client speaks the same
+octets a real broker expects.
+
+Spark bindings mirror the AMQP/websocket ones (same execution loci):
+
+- ``kafka_source`` — a PySpark Python Data Source stream reader. Kafka
+  offsets make this EXACTLY-once on the source side: the per-partition
+  next-offset lives in Spark's streaming checkpoint, ``read`` fetches
+  ``[start, log-end)``, and ``readBetweenOffsets`` re-fetches the same
+  range idempotently on replay (a fetch at an offset is a pure read) —
+  no ack state, unlike the AMQP at-least-once pump.
+- ``kafka_sink_writer`` — per-partition executor-side connections, rows
+  batched into ONE RecordBatch per (executor-partition, kafka-partition)
+  and produced with acks=-1. At-least-once (no idempotent-producer PID
+  handshake — a retried micro-batch may re-append).
+
+Option keys follow the common client conventions (``kafka.bootstrap``,
+``kafka.topic``, ``kafka.partitions``); bare keys are accepted too.
+
+Reference parity: the reference lists Kafka as PLANNED, not implemented
+(MILESTONES.md:183-205) — this connector is beyond-reference surface,
+built the way its rabbitmq_source.rs/rabbitmq_sink.rs pair would imply.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+import struct
+import threading
+import time
+from typing import Iterator, Optional, Tuple
+
+API_PRODUCE = 0
+API_FETCH = 1
+API_LIST_OFFSETS = 2
+API_METADATA = 3
+API_VERSIONS = 18
+
+ERR_NONE = 0
+ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_CORRUPT_MESSAGE = 2
+
+EARLIEST = -2
+LATEST = -1
+
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli), table-driven — reflected polynomial 0x82F63B78.
+# zlib.crc32 is CRC32/IEEE; RecordBatch v2 mandates Castagnoli.
+# ---------------------------------------------------------------------------
+
+def _make_crc32c_table() -> list[int]:
+    table = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+        table.append(c)
+    return table
+
+
+_CRC32C_TABLE = _make_crc32c_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# murmur2 — Kafka's DefaultPartitioner hash (seed 0x9747b28c), public
+# algorithm; partition = (hash & 0x7fffffff) % numPartitions for keyed rows.
+# ---------------------------------------------------------------------------
+
+def murmur2(data: bytes) -> int:
+    m = 0x5BD1E995
+    mask = 0xFFFFFFFF
+    h = (0x9747B28C ^ len(data)) & mask
+    n4 = len(data) & ~3
+    for i in range(0, n4, 4):
+        k = struct.unpack_from("<I", data, i)[0]
+        k = (k * m) & mask
+        k ^= k >> 24
+        k = (k * m) & mask
+        h = (h * m) & mask
+        h ^= k
+    rest = len(data) & 3
+    if rest == 3:
+        h ^= (data[n4 + 2] & 0xFF) << 16
+    if rest >= 2:
+        h ^= (data[n4 + 1] & 0xFF) << 8
+    if rest >= 1:
+        h ^= data[n4] & 0xFF
+        h = (h * m) & mask
+    h ^= h >> 13
+    h = (h * m) & mask
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: bytes, n_partitions: int) -> int:
+    return (murmur2(key) & 0x7FFFFFFF) % n_partitions
+
+
+# ---------------------------------------------------------------------------
+# wire codec: big-endian primitives, int16-length strings, int32-length
+# bytes/arrays; zigzag varints for record-batch interior fields
+# ---------------------------------------------------------------------------
+
+def zigzag_encode(v: int) -> int:
+    return (v << 1) ^ (v >> 63)
+
+
+def zigzag_decode(u: int) -> int:
+    return (u >> 1) ^ -(u & 1)
+
+
+def write_varint(v: int) -> bytes:
+    u = zigzag_encode(v) & 0xFFFFFFFFFFFFFFFF
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class KWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+
+    def raw(self, b: bytes) -> "KWriter":
+        self.buf += b
+        return self
+
+    def int8(self, v: int) -> "KWriter":
+        self.buf += struct.pack(">b", v)
+        return self
+
+    def int16(self, v: int) -> "KWriter":
+        self.buf += struct.pack(">h", v)
+        return self
+
+    def int32(self, v: int) -> "KWriter":
+        self.buf += struct.pack(">i", v)
+        return self
+
+    def int64(self, v: int) -> "KWriter":
+        self.buf += struct.pack(">q", v)
+        return self
+
+    def uint32(self, v: int) -> "KWriter":
+        self.buf += struct.pack(">I", v)
+        return self
+
+    def string(self, s: Optional[str]) -> "KWriter":
+        if s is None:
+            return self.int16(-1)
+        raw = s.encode("utf-8")
+        return self.int16(len(raw)).raw(raw)
+
+    def bytes32(self, b: Optional[bytes]) -> "KWriter":
+        if b is None:
+            return self.int32(-1)
+        return self.int32(len(b)).raw(b)
+
+    def array(self, items, write_one) -> "KWriter":
+        if items is None:
+            return self.int32(-1)
+        self.int32(len(items))
+        for it in items:
+            write_one(self, it)
+        return self
+
+    def varint(self, v: int) -> "KWriter":
+        return self.raw(write_varint(v))
+
+
+class KReader:
+    def __init__(self, raw: bytes) -> None:
+        self.raw = raw
+        self.pos = 0
+
+    def _take(self, n: int) -> bytes:
+        if self.pos + n > len(self.raw):
+            raise ValueError("kafka frame truncated")
+        b = self.raw[self.pos : self.pos + n]
+        self.pos += n
+        return b
+
+    def int8(self) -> int:
+        return struct.unpack(">b", self._take(1))[0]
+
+    def int16(self) -> int:
+        return struct.unpack(">h", self._take(2))[0]
+
+    def int32(self) -> int:
+        return struct.unpack(">i", self._take(4))[0]
+
+    def int64(self) -> int:
+        return struct.unpack(">q", self._take(8))[0]
+
+    def uint32(self) -> int:
+        return struct.unpack(">I", self._take(4))[0]
+
+    def string(self) -> Optional[str]:
+        n = self.int16()
+        if n < 0:
+            return None
+        return self._take(n).decode("utf-8")
+
+    def bytes32(self) -> Optional[bytes]:
+        n = self.int32()
+        if n < 0:
+            return None
+        return self._take(n)
+
+    def array(self, read_one) -> list:
+        n = self.int32()
+        if n < 0:
+            return []
+        return [read_one(self) for _ in range(n)]
+
+    def varint(self) -> int:
+        u = 0
+        shift = 0
+        while True:
+            b = self._take(1)[0]
+            u |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return zigzag_decode(u)
+            shift += 7
+            if shift > 70:
+                raise ValueError("varint too long")
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch magic-2 (KIP-98): the modern produce/fetch record format
+# ---------------------------------------------------------------------------
+
+def encode_record_batch(
+    records: list[Tuple[int, Optional[bytes], Optional[bytes]]],
+    base_offset: int = 0,
+) -> bytes:
+    """``records`` = [(timestamp_ms, key, value)]; one uncompressed batch."""
+    if not records:
+        raise ValueError("empty record batch")
+    base_ts = records[0][0]
+    max_ts = max(r[0] for r in records)
+    body = KWriter()
+    for i, (ts, key, value) in enumerate(records):
+        rec = KWriter()
+        rec.int8(0)  # record attributes (unused)
+        rec.varint(ts - base_ts)
+        rec.varint(i)  # offsetDelta
+        if key is None:
+            rec.varint(-1)
+        else:
+            rec.varint(len(key)).raw(key)
+        if value is None:
+            rec.varint(-1)
+        else:
+            rec.varint(len(value)).raw(value)
+        rec.varint(0)  # headers count
+        body.varint(len(rec.buf)).raw(bytes(rec.buf))
+
+    crcd = KWriter()  # everything the CRC covers: attributes .. records
+    crcd.int16(0)                    # attributes: no compression, no txn
+    crcd.int32(len(records) - 1)     # lastOffsetDelta
+    crcd.int64(base_ts)
+    crcd.int64(max_ts)
+    crcd.int64(-1)                   # producerId (no idempotence)
+    crcd.int16(-1)                   # producerEpoch
+    crcd.int32(-1)                   # baseSequence
+    crcd.int32(len(records))
+    crcd.raw(bytes(body.buf))
+    crc_bytes = bytes(crcd.buf)
+
+    out = KWriter()
+    out.int64(base_offset)
+    out.int32(4 + 1 + 4 + len(crc_bytes))  # batchLength: leaderEpoch..end
+    out.int32(-1)                          # partitionLeaderEpoch
+    out.int8(2)                            # magic
+    out.uint32(crc32c(crc_bytes))
+    out.raw(crc_bytes)
+    return bytes(out.buf)
+
+
+def batch_meta(batch: bytes) -> Tuple[int, int]:
+    """(base_offset, record_count) from a batch's fixed-offset fields."""
+    base_offset = struct.unpack_from(">q", batch, 0)[0]
+    n = struct.unpack_from(">i", batch, 57)[0]
+    return base_offset, n
+
+
+def validate_batch_crc(batch: bytes) -> bool:
+    stored = struct.unpack_from(">I", batch, 17)[0]
+    return crc32c(batch[21:]) == stored
+
+
+def patch_base_offset(batch: bytes, base_offset: int) -> bytes:
+    return struct.pack(">q", base_offset) + batch[8:]
+
+
+def decode_record_batches(
+    buf: bytes,
+) -> list[Tuple[int, int, Optional[bytes], Optional[bytes]]]:
+    """Concatenated magic-2 batches -> [(offset, timestamp_ms, key, value)].
+    Tolerates a trailing partial batch (real brokers may cut one off at
+    max_bytes; the client just refetches from the next offset)."""
+    out = []
+    pos = 0
+    while pos + 12 <= len(buf):
+        base_offset = struct.unpack_from(">q", buf, pos)[0]
+        batch_len = struct.unpack_from(">i", buf, pos + 8)[0]
+        end = pos + 12 + batch_len
+        if end > len(buf):
+            break  # trailing partial batch
+        r = KReader(buf[pos + 12 : end])
+        r.int32()  # partitionLeaderEpoch
+        magic = r.int8()
+        if magic != 2:
+            raise ValueError(f"unsupported record batch magic {magic}")
+        r.uint32()  # crc (validated on produce; fetch trusts the log)
+        r.int16()   # attributes
+        r.int32()   # lastOffsetDelta
+        base_ts = r.int64()
+        r.int64()   # maxTimestamp
+        r.int64()   # producerId
+        r.int16()   # producerEpoch
+        r.int32()   # baseSequence
+        n = r.int32()
+        for _ in range(n):
+            r.varint()  # record length
+            r.int8()    # attributes
+            ts_delta = r.varint()
+            off_delta = r.varint()
+            klen = r.varint()
+            key = r._take(klen) if klen >= 0 else None
+            vlen = r.varint()
+            value = r._take(vlen) if vlen >= 0 else None
+            for _ in range(r.varint()):  # headers (skipped)
+                hklen = r.varint()
+                r._take(hklen)
+                hvlen = r.varint()
+                if hvlen >= 0:
+                    r._take(hvlen)
+            out.append((base_offset + off_delta, base_ts + ts_delta, key, value))
+        pos = end
+    return out
+
+
+# ---------------------------------------------------------------------------
+# framing
+# ---------------------------------------------------------------------------
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("kafka peer closed")
+        buf += chunk
+    return bytes(buf)
+
+
+def send_frame(sock: socket.socket, payload: bytes) -> None:
+    sock.sendall(struct.pack(">i", len(payload)) + payload)
+
+
+def read_frame(sock: socket.socket) -> bytes:
+    (size,) = struct.unpack(">i", _recv_exact(sock, 4))
+    if size < 0 or size > 64 * 1024 * 1024:
+        raise ValueError(f"bad kafka frame size {size}")
+    return _recv_exact(sock, size)
+
+
+# ---------------------------------------------------------------------------
+# client
+# ---------------------------------------------------------------------------
+
+class KafkaClient:
+    """One broker connection speaking the request/response protocol."""
+
+    def __init__(self, host: str, port: int, client_id: str = "engine-spark"):
+        self.sock = socket.create_connection((host, port), timeout=30)
+        self.client_id = client_id
+        self.corr = 0
+        self.closed = False
+        self.lock = threading.Lock()
+
+    def _request(self, api_key: int, api_version: int, body: KWriter) -> KReader:
+        with self.lock:
+            self.corr += 1
+            corr = self.corr
+            head = KWriter()
+            head.int16(api_key).int16(api_version).int32(corr)
+            head.string(self.client_id)
+            send_frame(self.sock, bytes(head.buf) + bytes(body.buf))
+            resp = KReader(read_frame(self.sock))
+            got = resp.int32()
+            if got != corr:
+                raise ValueError(f"correlation id {got} != {corr}")
+            return resp
+
+    def api_versions(self) -> dict[int, Tuple[int, int]]:
+        r = self._request(API_VERSIONS, 0, KWriter())
+        err = r.int16()
+        if err:
+            raise ValueError(f"ApiVersions error {err}")
+        out = {}
+        for _ in range(r.int32()):
+            k, lo, hi = r.int16(), r.int16(), r.int16()
+            out[k] = (lo, hi)
+        return out
+
+    def metadata(self, topics: Optional[list[str]] = None) -> dict:
+        """-> {topic: {"partitions": [ids], "error": code}} (Metadata v1)."""
+        body = KWriter()
+        body.array(topics, lambda w, t: w.string(t))
+        r = self._request(API_METADATA, 1, body)
+        r.array(lambda rr: (rr.int32(), rr.string(), rr.int32(), rr.string()))
+        r.int32()  # controller_id
+        out = {}
+        for _ in range(r.int32()):
+            err = r.int16()
+            name = r.string()
+            r.int8()  # is_internal
+            parts = []
+            for _ in range(r.int32()):
+                r.int16()  # partition error
+                parts.append(r.int32())
+                r.int32()  # leader
+                r.array(lambda rr: rr.int32())  # replicas
+                r.array(lambda rr: rr.int32())  # isr
+            out[name] = {"error": err, "partitions": sorted(parts)}
+        return out
+
+    def produce(
+        self, topic: str, partition: int, batch: bytes, acks: int = -1,
+        timeout_ms: int = 10_000,
+    ) -> int:
+        """-> assigned base offset (Produce v3)."""
+        body = KWriter()
+        body.string(None)  # transactional_id
+        body.int16(acks).int32(timeout_ms)
+        body.int32(1).string(topic)
+        body.int32(1).int32(partition).bytes32(batch)
+        r = self._request(API_PRODUCE, 3, body)
+        base_offset = err = None
+        for _ in range(r.int32()):
+            r.string()
+            for _ in range(r.int32()):
+                r.int32()  # partition
+                err = r.int16()
+                base_offset = r.int64()
+                r.int64()  # log_append_time
+        r.int32()  # throttle
+        if err:
+            raise ValueError(f"produce error {err}")
+        return base_offset
+
+    def fetch(
+        self, topic: str, partition: int, offset: int,
+        max_bytes: int = 1 << 20, max_wait_ms: int = 100,
+    ) -> Tuple[int, list]:
+        """-> (high_watermark, [(offset, ts, key, value)] from ``offset``)
+        (Fetch v4); records below the requested offset inside a returned
+        batch are skipped client-side, per the protocol contract."""
+        body = KWriter()
+        body.int32(-1)  # replica_id
+        body.int32(max_wait_ms).int32(1).int32(max_bytes).int8(0)
+        body.int32(1).string(topic)
+        body.int32(1).int32(partition).int64(offset).int32(max_bytes)
+        r = self._request(API_FETCH, 4, body)
+        r.int32()  # throttle
+        hw, records = 0, []
+        for _ in range(r.int32()):
+            r.string()
+            for _ in range(r.int32()):
+                r.int32()  # partition
+                err = r.int16()
+                hw = r.int64()
+                r.int64()  # last_stable_offset
+                r.array(lambda rr: (rr.int64(), rr.int64()))  # aborted txns
+                raw = r.bytes32() or b""
+                if err:
+                    raise ValueError(f"fetch error {err}")
+                records = [rec for rec in decode_record_batches(raw)
+                           if rec[0] >= offset]
+        return hw, records
+
+    def list_offsets(self, topic: str, partition: int, ts: int = LATEST) -> int:
+        """-> log-end offset (ts=-1) or log-start offset (ts=-2)
+        (ListOffsets v1)."""
+        body = KWriter()
+        body.int32(-1)
+        body.int32(1).string(topic)
+        body.int32(1).int32(partition).int64(ts)
+        r = self._request(API_LIST_OFFSETS, 1, body)
+        offset = err = None
+        for _ in range(r.int32()):
+            r.string()
+            for _ in range(r.int32()):
+                r.int32()
+                err = r.int16()
+                r.int64()  # timestamp
+                offset = r.int64()
+        if err:
+            raise ValueError(f"list_offsets error {err}")
+        return offset
+
+    def close(self) -> None:
+        if not self.closed:
+            self.closed = True
+            try:
+                self.sock.close()
+            except OSError:
+                pass
+
+
+# ---------------------------------------------------------------------------
+# in-process stub broker (real protocol, minimal semantics)
+# ---------------------------------------------------------------------------
+
+class KafkaBroker:
+    """Single-node broker: auto-created topics, per-partition append logs
+    of CRC-validated record batches, batch-granular fetch."""
+
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 auto_create_partitions: int = 2):
+        self.host = host
+        self.auto_parts = auto_create_partitions
+        # (topic, partition) -> list[(base_offset, n_records, raw_batch)]
+        self.logs: dict[Tuple[str, int], list] = {}
+        self.topics: dict[str, int] = {}
+        self.lock = threading.Lock()
+        self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.srv.bind((host, port))
+        self.port = self.srv.getsockname()[1]
+        self.srv.listen(16)
+        self._stop = False
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def create_topic(self, topic: str, partitions: int = 1) -> None:
+        with self.lock:
+            self.topics[topic] = partitions
+            for p in range(partitions):
+                self.logs.setdefault((topic, p), [])
+
+    def log_end(self, topic: str, partition: int) -> int:
+        with self.lock:
+            log = self.logs.get((topic, partition), [])
+            if not log:
+                return 0
+            base, n, _ = log[-1]
+            return base + n
+
+    def stop(self) -> None:
+        self._stop = True
+        try:
+            self.srv.close()
+        except OSError:
+            pass
+
+    def _accept_loop(self) -> None:
+        while not self._stop:
+            try:
+                sock, _ = self.srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(sock,), daemon=True).start()
+
+    def _serve(self, sock: socket.socket) -> None:
+        try:
+            while True:
+                req = KReader(read_frame(sock))
+                api_key = req.int16()
+                api_version = req.int16()
+                corr = req.int32()
+                req.string()  # client_id
+                out = KWriter().int32(corr)
+                if api_key == API_VERSIONS:
+                    out.int16(0).int32(4)
+                    for k in (API_PRODUCE, API_FETCH, API_LIST_OFFSETS,
+                              API_METADATA):
+                        out.int16(k).int16(0).int16(4)
+                elif api_key == API_METADATA and api_version == 1:
+                    self._metadata(req, out)
+                elif api_key == API_PRODUCE and api_version == 3:
+                    self._produce(req, out)
+                elif api_key == API_FETCH and api_version == 4:
+                    self._fetch(req, out)
+                elif api_key == API_LIST_OFFSETS and api_version == 1:
+                    self._list_offsets(req, out)
+                else:
+                    # error_code 35: UNSUPPORTED_VERSION, minimal body
+                    out.int16(35)
+                send_frame(sock, bytes(out.buf))
+        except (ConnectionError, OSError, ValueError):
+            pass
+        finally:
+            try:
+                sock.close()
+            except OSError:
+                pass
+
+    def _ensure(self, topic: str) -> int:
+        with self.lock:
+            if topic not in self.topics:
+                self.topics[topic] = self.auto_parts
+                for p in range(self.auto_parts):
+                    self.logs.setdefault((topic, p), [])
+            return self.topics[topic]
+
+    def _metadata(self, req: KReader, out: KWriter) -> None:
+        topics = req.array(lambda r: r.string())
+        for t in topics:
+            self._ensure(t)
+        with self.lock:
+            names = list(topics) if topics else sorted(self.topics)
+            out.int32(1).int32(0).string(self.host).int32(self.port).string(None)
+            out.int32(0)  # controller_id
+            out.int32(len(names))
+            for t in names:
+                nparts = self.topics.get(t, 0)
+                out.int16(ERR_NONE if nparts else ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                out.string(t).int8(0)
+                out.int32(nparts)
+                for p in range(nparts):
+                    out.int16(ERR_NONE).int32(p).int32(0)
+                    out.int32(1).int32(0)  # replicas
+                    out.int32(1).int32(0)  # isr
+
+    def _produce(self, req: KReader, out: KWriter) -> None:
+        req.string()  # transactional_id
+        req.int16()   # acks (stub always commits before responding)
+        req.int32()   # timeout
+        results = []
+        for _ in range(req.int32()):
+            topic = req.string()
+            self._ensure(topic)
+            for _ in range(req.int32()):
+                partition = req.int32()
+                raw = req.bytes32() or b""
+                if (topic, partition) not in self.logs:
+                    results.append((topic, partition,
+                                    ERR_UNKNOWN_TOPIC_OR_PARTITION, -1))
+                    continue
+                if len(raw) < 61 or not validate_batch_crc(raw):
+                    results.append((topic, partition, ERR_CORRUPT_MESSAGE, -1))
+                    continue
+                _, n = batch_meta(raw)
+                with self.lock:
+                    log = self.logs[(topic, partition)]
+                    base = (log[-1][0] + log[-1][1]) if log else 0
+                    log.append((base, n, patch_base_offset(raw, base)))
+                results.append((topic, partition, ERR_NONE, base))
+        by_topic: dict[str, list] = {}
+        for t, p, e, b in results:
+            by_topic.setdefault(t, []).append((p, e, b))
+        out.int32(len(by_topic))
+        for t, parts in by_topic.items():
+            out.string(t).int32(len(parts))
+            for p, e, b in parts:
+                out.int32(p).int16(e).int64(b).int64(-1)
+        out.int32(0)  # throttle
+
+    def _fetch(self, req: KReader, out: KWriter) -> None:
+        req.int32()  # replica_id
+        req.int32()  # max_wait
+        req.int32()  # min_bytes
+        req.int32()  # max_bytes
+        req.int8()   # isolation_level
+        resp = []
+        for _ in range(req.int32()):
+            topic = req.string()
+            parts = []
+            for _ in range(req.int32()):
+                partition = req.int32()
+                offset = req.int64()
+                pmax = req.int32()
+                with self.lock:
+                    log = self.logs.get((topic, partition))
+                    if log is None:
+                        parts.append((partition,
+                                      ERR_UNKNOWN_TOPIC_OR_PARTITION, 0, b""))
+                        continue
+                    hw = (log[-1][0] + log[-1][1]) if log else 0
+                    chunks, size = [], 0
+                    for base, n, raw in log:
+                        if base + n <= offset:
+                            continue  # wholly below the requested offset
+                        if size and size + len(raw) > pmax:
+                            break
+                        chunks.append(raw)
+                        size += len(raw)
+                parts.append((partition, ERR_NONE, hw, b"".join(chunks)))
+            resp.append((topic, parts))
+        out.int32(0)  # throttle
+        out.int32(len(resp))
+        for topic, parts in resp:
+            out.string(topic).int32(len(parts))
+            for partition, err, hw, raw in parts:
+                out.int32(partition).int16(err).int64(hw).int64(hw)
+                out.int32(0)  # aborted transactions
+                out.bytes32(raw)
+
+    def _list_offsets(self, req: KReader, out: KWriter) -> None:
+        req.int32()  # replica_id
+        resp = []
+        for _ in range(req.int32()):
+            topic = req.string()
+            parts = []
+            for _ in range(req.int32()):
+                partition = req.int32()
+                ts = req.int64()
+                with self.lock:
+                    log = self.logs.get((topic, partition))
+                    if log is None:
+                        parts.append((partition,
+                                      ERR_UNKNOWN_TOPIC_OR_PARTITION, -1))
+                        continue
+                    if ts == EARLIEST:
+                        off = log[0][0] if log else 0
+                    else:  # LATEST
+                        off = (log[-1][0] + log[-1][1]) if log else 0
+                parts.append((partition, ERR_NONE, off))
+            resp.append((topic, parts))
+        out.int32(len(resp))
+        for topic, parts in resp:
+            out.string(topic).int32(len(parts))
+            for partition, err, off in parts:
+                out.int32(partition).int16(err).int64(-1).int64(off)
+
+
+# ---------------------------------------------------------------------------
+# Spark bindings
+# ---------------------------------------------------------------------------
+
+def _opt(opts: dict, key: str, default=None):
+    """Accept both 'kafka.<key>' names and bare keys."""
+    return opts.get(f"kafka.{key}", opts.get(key, default))
+
+
+#: per-process client cache — Spark pickles readers/writers; sockets are
+#: created lazily on first use in whichever process runs them
+_CLIENTS: dict = {}
+_CLIENTS_LOCK = threading.Lock()
+
+
+def _client_for(host: str, port: int) -> KafkaClient:
+    key = (host, port)
+    with _CLIENTS_LOCK:
+        c = _CLIENTS.get(key)
+        if c is None or c.closed:
+            c = KafkaClient(host, port)
+            _CLIENTS[key] = c
+        return c
+
+
+def _parse_bootstrap(opts: dict) -> Tuple[str, int]:
+    boot = _opt(opts, "bootstrap", _opt(opts, "bootstrap.servers"))
+    if not boot:
+        raise ValueError("kafka needs a 'bootstrap' option (host:port)")
+    host, _, port = str(boot).rpartition(":")
+    return host or "127.0.0.1", int(port)
+
+
+def _register_source(spark) -> None:
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    class _Reader(SimpleDataSourceStreamReader):
+        """Exactly-once source: the offset dict IS the checkpoint state
+        ({"<partition>": next_offset}); read() fetches [start, log-end)
+        and readBetweenOffsets() re-fetches the identical range on
+        replay — offset fetches are idempotent reads, so a recovered
+        query reproduces the exact batch it crashed on."""
+
+        def __init__(self, options):
+            self.host, self.port = _parse_bootstrap(options)
+            self.topic = _opt(options, "topic")
+            if not self.topic:
+                raise ValueError("kafka source requires a 'topic' option")
+            self.starting = _opt(options, "starting.offsets", "earliest")
+
+        def _client(self) -> KafkaClient:
+            return _client_for(self.host, self.port)
+
+        def _partitions(self) -> list[int]:
+            md = self._client().metadata([self.topic])
+            return md.get(self.topic, {}).get("partitions", [])
+
+        def initialOffset(self) -> dict:
+            c = self._client()
+            ts = EARLIEST if self.starting == "earliest" else LATEST
+            return {
+                str(p): c.list_offsets(self.topic, p, ts)
+                for p in self._partitions()
+            }
+
+        def _rows(self, start: dict, end: dict) -> Iterator[Tuple]:
+            # materialized list, not a generator: Spark's prefetch cache
+            # copy.copy()s the iterator for replay, which a generator
+            # cannot survive
+            c = self._client()
+            rows = []
+            for p_str, hi in end.items():
+                p = int(p_str)
+                lo = start.get(p_str, 0)  # partition born mid-stream
+                off = lo
+                while off < hi:
+                    _, recs = c.fetch(self.topic, p, off)
+                    if not recs:
+                        break
+                    for o, ts, key, value in recs:
+                        if o >= hi:
+                            break
+                        rows.append((
+                            key.decode("utf-8", "replace")
+                            if key is not None else None,
+                            value.decode("utf-8", "replace")
+                            if value is not None else None,
+                            self.topic,
+                            p,
+                            o,
+                            ts,
+                        ))
+                    off = max(o for o, *_ in recs) + 1
+            return iter(rows)
+
+        def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+            c = self._client()
+            end = dict(start)
+            for p in self._partitions():
+                end[str(p)] = max(
+                    c.list_offsets(self.topic, p, LATEST),
+                    start.get(str(p), 0),
+                )
+            return self._rows(start, end), end
+
+        def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+            return self._rows(start, end)
+
+        def commit(self, end: dict) -> None:
+            pass  # offsets live in Spark's checkpoint; nothing broker-side
+
+    class KafkaDataSource(DataSource):
+        """format('kafka-wire'): (key, value, topic, partition, offset,
+        timestamp) rows — the standard Kafka source projection."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "kafka-wire"
+
+        def schema(self) -> str:
+            return ("key string, value string, topic string, "
+                    "partition int, offset long, timestamp long")
+
+        def simpleStreamReader(self, schema):  # noqa: ARG002 — fixed schema
+            return _Reader(self.options)
+
+    spark.dataSource.register(KafkaDataSource)
+
+
+def kafka_source(spark, opts: dict):
+    """Streaming DataFrame over a topic (exactly-once offset tracking)."""
+    if not _opt(opts, "topic"):
+        raise ValueError("kafka source requires a 'topic' option")
+    _parse_bootstrap(opts)  # validate eagerly
+    _register_source(spark)
+    reader = spark.readStream.format("kafka-wire")
+    for key in ("bootstrap", "topic", "starting.offsets"):
+        val = _opt(opts, key)
+        if val is not None:
+            reader = reader.option(key, str(val))
+    return reader.load()
+
+
+def _register_sink(spark) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    class _Writer(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.host, self.port = _parse_bootstrap(options)
+            self.topic = options.get("topic")
+
+        def write(self, iterator) -> WriterCommitMessage:
+            # Executor-side, once per Spark partition: rows grouped into
+            # ONE RecordBatch per kafka partition (keyed rows routed by
+            # murmur2 — the DefaultPartitioner — keyless round-robin).
+            client = KafkaClient(self.host, self.port)
+            try:
+                md = client.metadata([self.topic])
+                parts = md.get(self.topic, {}).get("partitions", [0])
+                nparts = max(len(parts), 1)
+                now = int(time.time() * 1000)
+                grouped: dict[int, list] = {}
+                rr = 0
+                for row in iterator:
+                    d = row.asDict()
+                    key = d.get("key")
+                    kb = key.encode("utf-8") if isinstance(key, str) else key
+                    if "value" in d:
+                        vb = (d["value"] or "").encode("utf-8")
+                    else:
+                        vb = json.dumps(
+                            {k: v for k, v in d.items() if k != "key"},
+                            default=str,
+                        ).encode("utf-8")
+                    if kb is not None:
+                        p = partition_for_key(kb, nparts)
+                    else:
+                        p = rr % nparts
+                        rr += 1
+                    grouped.setdefault(p, []).append((now, kb, vb))
+                for p, recs in grouped.items():
+                    client.produce(self.topic, p, encode_record_batch(recs))
+            finally:
+                client.close()
+            return WriterCommitMessage()
+
+        def commit(self, messages, batchId) -> None:
+            pass
+
+        def abort(self, messages, batchId) -> None:
+            pass
+
+    class KafkaSinkDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "kafka-wire-sink"
+
+        def streamWriter(self, schema, overwrite):  # noqa: ARG002
+            return _Writer(self.options)
+
+    spark.dataSource.register(KafkaSinkDataSource)
+
+
+def kafka_sink_writer(df, opts: dict):
+    """writeStream builder producing each micro-batch from the executors
+    (per-partition connections, batched RecordBatches — no driver
+    collect). At-least-once: a retried batch may re-append."""
+    if not _opt(opts, "topic"):
+        raise ValueError("kafka sink requires a 'topic' option")
+    host, port = _parse_bootstrap(opts)
+    _register_sink(df.sparkSession)
+    writer = (
+        df.writeStream.format("kafka-wire-sink")
+        .option("bootstrap", f"{host}:{port}")
+        .option("topic", str(_opt(opts, "topic")))
+    )
+    if "checkpoint" in opts:
+        writer = writer.option("checkpointLocation", opts["checkpoint"])
+    return writer

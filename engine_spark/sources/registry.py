@@ -89,6 +89,17 @@ def _rabbitmq(spark: SparkSession, opts: dict) -> DataFrame:
     return amqp_source(spark, opts)
 
 
+def _kafka(spark: SparkSession, opts: dict) -> DataFrame:
+    """real Kafka wire-protocol source (sources/kafka.py): Metadata/
+    Fetch/ListOffsets from the public protocol spec behind a PySpark
+    Python Data Source; EXACTLY-once via per-partition offsets in the
+    streaming checkpoint (the reference lists Kafka as planned-only,
+    MILESTONES.md:183-205 — beyond-reference surface)."""
+    from engine_spark.sources.kafka import kafka_source
+
+    return kafka_source(spark, opts)
+
+
 def _filequeue(spark: SparkSession, opts: dict) -> DataFrame:
     """durable replayable queue source (sources/filequeue.py) — the
     broker-parity extension: publish/ack semantics via segment files +
@@ -111,6 +122,7 @@ SOURCES: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "file": _file,
     "memory": _memory,
     "rabbitmq": _rabbitmq,
+    "kafka": _kafka,
     "filequeue": _filequeue,
 }
 
@@ -222,6 +234,15 @@ def _websocket_writer(df: DataFrame, opts: dict):
     return ws_sink_writer(df, opts)
 
 
+def _kafka_writer(df: DataFrame, opts: dict):
+    """real Kafka wire-protocol sink (sources/kafka.py): per-partition
+    executor-side connections, rows batched into RecordBatch v2 and
+    produced with acks=-1 (at-least-once)."""
+    from engine_spark.sources.kafka import kafka_sink_writer
+
+    return kafka_sink_writer(df, opts)
+
+
 def _filequeue_writer(df: DataFrame, opts: dict):
     """exactly-once queue sink (sources/filequeue.py): idempotent
     epoch-segment publish; re-delivered epochs after a crash are no-ops."""
@@ -239,6 +260,7 @@ SINKS: dict[str, Callable] = {
     "callback": _foreach_batch_writer,
     "websocket": _websocket_writer,
     "rabbitmq": _rabbitmq_writer,
+    "kafka": _kafka_writer,
     "filequeue": _filequeue_writer,
 }
 

@@ -1,0 +1,326 @@
+"""Kafka wire layer + Spark bindings (public protocol spec, stdlib
+implementation; the reference lists Kafka as planned-only —
+MILESTONES.md:183-205 — so this is beyond-reference surface)."""
+
+from __future__ import annotations
+
+import json
+import struct
+import time
+
+import pytest
+
+from engine_spark.sources import create_sink_writer, create_source
+from engine_spark.sources.kafka import (
+    KafkaBroker,
+    KafkaClient,
+    crc32c,
+    decode_record_batches,
+    encode_record_batch,
+    murmur2,
+    partition_for_key,
+    validate_batch_crc,
+    write_varint,
+    zigzag_decode,
+    zigzag_encode,
+)
+
+
+def _drain(predicate, timeout=15.0, step=0.1):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(step)
+    return False
+
+
+# ---------------------------------------------------------------------------
+# codec primitives
+# ---------------------------------------------------------------------------
+
+def test_crc32c_check_value():
+    # the canonical CRC-32C check value ("123456789" -> 0xE3069283) plus
+    # published vectors from RFC 3720 appendix B.4 (iSCSI uses CRC32C)
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(bytes(32)) == 0x8A9136AA          # 32 zero bytes
+    assert crc32c(bytes([0xFF] * 32)) == 0x62A8AB43  # 32 0xFF bytes
+
+
+def test_zigzag_and_varint_roundtrip():
+    from engine_spark.sources.kafka import KReader
+
+    for v in (0, -1, 1, -2, 2, 127, -128, 300, -300, 2**31, -(2**31), 2**62):
+        assert zigzag_decode(zigzag_encode(v)) == v
+        r = KReader(write_varint(v))
+        assert r.varint() == v
+    # spec pins: zigzag maps 0,-1,1,-2 -> 0,1,2,3
+    assert [zigzag_encode(v) for v in (0, -1, 1, -2)] == [0, 1, 2, 3]
+    assert write_varint(0) == b"\x00"
+    assert write_varint(-1) == b"\x01"
+    assert write_varint(64) == b"\x80\x01"  # zigzag(64)=128 -> two bytes
+
+
+def test_murmur2_against_independent_transcription():
+    # second transcription of the public murmur2 (Kafka DefaultPartitioner
+    # seed 0x9747b28c), written from the algorithm description
+    def mm2(data: bytes) -> int:
+        m, mask = 0x5BD1E995, 0xFFFFFFFF
+        h = (0x9747B28C ^ len(data)) & mask
+        i = 0
+        while len(data) - i >= 4:
+            k = int.from_bytes(data[i : i + 4], "little")
+            k = (k * m) & mask
+            k ^= k >> 24
+            k = (k * m) & mask
+            h = ((h * m) & mask) ^ k
+            i += 4
+        tail = data[i:]
+        if len(tail) == 3:
+            h ^= tail[2] << 16
+        if len(tail) >= 2:
+            h ^= tail[1] << 8
+        if len(tail) >= 1:
+            h ^= tail[0]
+            h = (h * m) & mask
+        h ^= h >> 13
+        h = (h * m) & mask
+        h ^= h >> 15
+        return h
+
+    for key in (b"", b"a", b"ab", b"abc", b"abcd", b"hello-kafka-key",
+                bytes(range(17))):
+        assert murmur2(key) == mm2(key)
+    assert 0 <= partition_for_key(b"anything", 7) < 7
+
+
+def test_record_batch_roundtrip_null_key_and_crc():
+    recs = [
+        (1700000000000, b"k0", b"v0"),
+        (1700000000100, None, b"v1"),
+        (1700000000200, b"k2", None),
+    ]
+    batch = encode_record_batch(recs, base_offset=0)
+    assert batch[16] == 2  # magic at fixed offset 16
+    assert validate_batch_crc(batch)
+    out = decode_record_batches(batch)
+    assert out == [
+        (0, 1700000000000, b"k0", b"v0"),
+        (1, 1700000000100, None, b"v1"),
+        (2, 1700000000200, b"k2", None),
+    ]
+    # bit-flip anywhere in the CRC'd region must invalidate
+    corrupt = bytearray(batch)
+    corrupt[-1] ^= 0x01
+    assert not validate_batch_crc(bytes(corrupt))
+    # concatenated batches with a trailing partial batch: partial ignored
+    b2 = encode_record_batch([(1700000000300, b"k", b"v")], base_offset=3)
+    out2 = decode_record_batches(batch + b2 + b2[: len(b2) // 2])
+    assert [o for o, *_ in out2] == [0, 1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# client <-> broker protocol
+# ---------------------------------------------------------------------------
+
+def test_metadata_produce_fetch_list_offsets():
+    broker = KafkaBroker(auto_create_partitions=2)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        assert set(c.api_versions()) >= {0, 1, 2, 3}
+        md = c.metadata(["t1"])
+        assert md["t1"]["partitions"] == [0, 1]
+
+        base = c.produce("t1", 0, encode_record_batch(
+            [(1000, b"a", b"one"), (1001, b"b", b"two")]
+        ))
+        assert base == 0
+        base2 = c.produce("t1", 0, encode_record_batch([(1002, None, b"three")]))
+        assert base2 == 2  # offsets continue across batches
+
+        hw, recs = c.fetch("t1", 0, 0)
+        assert hw == 3
+        assert [(o, k, v) for o, _ts, k, v in recs] == [
+            (0, b"a", b"one"), (1, b"b", b"two"), (2, None, b"three"),
+        ]
+        # fetch from a mid-batch offset: broker returns the whole batch,
+        # client skips records below the requested offset
+        _, recs1 = c.fetch("t1", 0, 1)
+        assert [o for o, *_ in recs1] == [1, 2]
+
+        assert c.list_offsets("t1", 0, -2) == 0  # earliest
+        assert c.list_offsets("t1", 0, -1) == 3  # latest
+        assert c.list_offsets("t1", 1, -1) == 0  # untouched partition
+        c.close()
+    finally:
+        broker.stop()
+
+
+def test_broker_rejects_corrupt_batch():
+    broker = KafkaBroker()
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        batch = bytearray(encode_record_batch([(1, b"k", b"v")]))
+        batch[-1] ^= 0x01  # flip a payload bit: CRC32C must catch it
+        with pytest.raises(ValueError, match="produce error 2"):
+            c.produce("bad", 0, bytes(batch))
+        assert broker.log_end("bad", 0) == 0  # nothing appended
+        c.close()
+    finally:
+        broker.stop()
+
+
+def test_keyed_partitioning_is_default_partitioner_stable():
+    broker = KafkaBroker(auto_create_partitions=4)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        c.metadata(["keyed"])
+        for i in range(20):
+            key = f"user-{i}".encode()
+            p = partition_for_key(key, 4)
+            c.produce("keyed", p, encode_record_batch([(1, key, b"x")]))
+        # every key must land where the partitioner says, and a re-hash
+        # finds each one on its own partition
+        for i in range(20):
+            key = f"user-{i}".encode()
+            p = partition_for_key(key, 4)
+            _, recs = c.fetch("keyed", p, 0)
+            assert key in {k for _o, _t, k, _v in recs}
+        c.close()
+    finally:
+        broker.stop()
+
+
+# ---------------------------------------------------------------------------
+# Spark bindings
+# ---------------------------------------------------------------------------
+
+def test_spark_kafka_source_reads_topic_exactly_once(spark, tmp_path):
+    broker = KafkaBroker(auto_create_partitions=2)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        c.metadata(["events"])
+        for i in range(6):
+            p = i % 2
+            c.produce("events", p, encode_record_batch(
+                [(1000 + i, f"k{i}".encode(),
+                  json.dumps({"n": i}).encode())]
+            ))
+
+        df = create_source(
+            spark,
+            {
+                "extension": "kafka",
+                "kafka.bootstrap": f"127.0.0.1:{broker.port}",
+                "kafka.topic": "events",
+            },
+        )
+        assert df.isStreaming
+        assert df.columns == ["key", "value", "topic", "partition",
+                              "offset", "timestamp"]
+        out = tmp_path / "out"
+
+        def run_once():
+            q = (
+                df.writeStream.format("json")
+                .option("path", str(out))
+                .option("checkpointLocation", str(tmp_path / "ck"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+            return spark.read.json(str(out)).collect()
+
+        rows = run_once()
+        assert len(rows) == 6
+        assert {json.loads(r.value)["n"] for r in rows} == set(range(6))
+        assert {(r.partition, r.offset) for r in rows} == {
+            (0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)
+        }
+        assert all(r.topic == "events" for r in rows)
+
+        # restart from the same checkpoint: already-committed offsets must
+        # NOT replay (exactly-once), only the new record arrives
+        c.produce("events", 0, encode_record_batch([(2000, b"k9", b'{"n": 9}')]))
+        rows2 = run_once()
+        assert len(rows2) == 7  # 6 old (not re-read) + 1 new
+        assert sorted(json.loads(r.value)["n"] for r in rows2) == [
+            0, 1, 2, 3, 4, 5, 9,
+        ]
+        c.close()
+    finally:
+        broker.stop()
+
+
+def test_spark_kafka_sink_produces_batched_records(spark, tmp_path):
+    broker = KafkaBroker(auto_create_partitions=2)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps({"key": f"u{i}", "value": f"payload-{i}"})
+                for i in range(8)
+            )
+        )
+        df = spark.readStream.schema("key string, value string").json(str(src))
+        writer = create_sink_writer(
+            df,
+            {
+                "extension": "kafka",
+                "kafka.bootstrap": f"127.0.0.1:{broker.port}",
+                "kafka.topic": "out",
+                "checkpoint": str(tmp_path / "ck"),
+            },
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(60)
+
+        c = KafkaClient("127.0.0.1", broker.port)
+        got = {}
+        for p in (0, 1):
+            _, recs = c.fetch("out", p, 0)
+            for _o, _t, k, v in recs:
+                got[k.decode()] = v.decode()
+                # keyed rows must land on the DefaultPartitioner partition
+                assert partition_for_key(k, 2) == p
+        assert got == {f"u{i}": f"payload-{i}" for i in range(8)}
+        c.close()
+    finally:
+        broker.stop()
+
+
+def test_with_clause_kafka_source_json_mapper(spark, tmp_path):
+    """WITH(type='source', extension='kafka', format='json', ...) — the
+    reference's DDL surface against a live wire-protocol broker."""
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        c.metadata(["typed"])
+        c.produce("typed", 0, encode_record_batch(
+            [(1, None, json.dumps({"sym": "A", "px": 1.5}).encode())]
+        ))
+        df = create_source(
+            spark,
+            {
+                "extension": "kafka",
+                "format": "json",
+                "event.schema": "sym string, px double",
+                "kafka.bootstrap": f"127.0.0.1:{broker.port}",
+                "kafka.topic": "typed",
+            },
+        )
+        assert df.columns == ["sym", "px"]
+        q = (
+            df.writeStream.format("memory")
+            .queryName("kf_typed")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        row = spark.sql("SELECT * FROM kf_typed").collect()[0]
+        assert row.sym == "A" and row.px == 1.5
+        c.close()
+    finally:
+        broker.stop()
