@@ -130,6 +130,9 @@ def main() -> None:
         # capped 14-bit chunk blocking) — tracked so the candidate-join
         # cost stays visible against the MinHash-LSH twin
         "dedup_simhash",
+        # round 12: real H.264 CABAC I-frame decode (arithmetic engine
+        # per 9.3 — the per-doc kernel cost of Main-profile entropy)
+        "multimodal_h264_cabac",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

@@ -2,11 +2,15 @@
 with a paired fixture encoder — stdlib + numpy, no av library.
 
 Scope (honest): IDR/I slices of Baseline/Main-compatible streams —
-CAVLC entropy coding, I_4x4 / I_16x16 / I_PCM macroblocks, full intra
-prediction (nine 4x4 modes, four 16x16 modes, four chroma modes), the
-4x4 integer inverse transform with the Intra16x16 luma DC Hadamard and
-2x2 chroma DC paths, 4:2:0 only, frame_mbs_only (no fields/MBAFF), no
-FMO/ASO, CAVLC only (CABAC raises) — PLUS the P-slice subset that
+CAVLC entropy coding AND (r12) CABAC entropy coding for I slices (the
+clause 9.3 arithmetic engine, context modeling, binarizations and
+significance maps; see the CABAC section header for the init-table
+epistemic note), I_4x4 / I_16x16 / I_PCM macroblocks (I_PCM refuses
+inside CABAC slices), full intra prediction (nine 4x4 modes, four
+16x16 modes, four chroma modes), the 4x4 integer inverse transform
+with the Intra16x16 luma DC Hadamard and 2x2 chroma DC paths, 4:2:0
+only, frame_mbs_only (no fields/MBAFF), no FMO/ASO — PLUS the
+CAVLC P-slice subset that
 covers short-GOP web video: P_Skip (with the 8.4.1.1 mv inference),
 P_L0_16x16 / 16x8 / 8x16 macroblock partitions and P_8x8 / P_8x8ref0
 sub-macroblock partitions down to 4x4 (median/directional mv
@@ -23,7 +27,8 @@ intra, 2 on coefficients, 1 on mv/ref differences, 0 unfiltered),
 strong + normal paths, luma and chroma, slice alpha/beta offsets, idc
 0/1/2 including the idc-2 don't-cross-slice rule. Out of scope,
 raising to the honest NULL row upstream: B slices, REORDERED/modified
-reference lists, long-term references, CABAC. (The reference engine ships no
+reference lists, long-term references, CABAC P slices, I_PCM inside
+CABAC slices. (The reference engine ships no
 video decode at all — this extends coverage beyond it; with P-frame
 chaining, `decode_frames` now extracts REAL pixels from full GOPs, not
 just keyframes.)
@@ -126,10 +131,12 @@ class BitReader:
         k = self.ue()
         return (k + 1) // 2 if k % 2 else -(k // 2)
 
-    def byte_align(self) -> None:
+    def byte_align(self, bit: int = 0) -> None:
+        """Skip to the next byte boundary, checking each padding bit:
+        0 for pcm_alignment_zero_bit, 1 for cabac_alignment_one_bit."""
         while self.pos % 8:
-            if self.u(1):
-                raise H264Error("nonzero pcm alignment bit")
+            if self.u(1) != bit:
+                raise H264Error(f"alignment bit != {bit}")
 
     def read_aligned_bytes(self, n: int) -> bytes:
         """Bulk byte read at a byte-aligned position (the I_PCM fast
@@ -273,9 +280,7 @@ def parse_pps(rbsp: bytes) -> dict:
     r = BitReader(rbsp)
     pps_id = r.ue()
     sps_id = r.ue()
-    entropy_coding_mode = r.flag()
-    if entropy_coding_mode:
-        raise H264Error("CABAC unsupported (CAVLC only)")
+    entropy_coding_mode = r.flag()  # 0 = CAVLC, 1 = CABAC (9.3)
     bottom_field_poc = r.flag()
     num_slice_groups = r.ue() + 1
     if num_slice_groups != 1:
@@ -309,6 +314,7 @@ def parse_pps(rbsp: bytes) -> dict:
     return {
         "pps_id": pps_id,
         "sps_id": sps_id,
+        "entropy_cabac": entropy_coding_mode,
         "bottom_field_poc": bottom_field_poc,
         "pic_init_qp": pic_init_qp,
         "chroma_qp_index_offset": chroma_qp_index_offset,
@@ -1118,6 +1124,21 @@ class _Frame:
         #: current slice's explicit weighted-prediction table (set per
         #: slice during decode; None = unweighted)
         self._wp: dict | None = None
+        # CABAC coded_block_flag neighbor state (9.3.3.1.1.9), by block
+        # position; 0 for never-decoded blocks, which the context rules
+        # conflate with decoded-zero — exactly the spec's condTermFlag
+        # behavior for absent transform blocks. I_PCM sets all to 1.
+        self.cbf_luma = np.zeros((self.hmb * 4, self.wmb * 4), np.int8)
+        self.cbf_lumadc = np.zeros((self.hmb, self.wmb), np.int8)
+        self.cbf_cdc = [np.zeros((self.hmb, self.wmb), np.int8)
+                        for _ in range(2)]
+        self.cbf_cac = [np.zeros((self.hmb * 2, self.wmb * 2), np.int8)
+                        for _ in range(2)]
+        #: intra_chroma_pred_mode per MB (ctx 64 neighbor increment)
+        self.mb_cpm = np.zeros((self.hmb, self.wmb), np.int8)
+        #: per-MB coded_block_pattern (CABAC cbp context increments)
+        self.mb_cbpl = np.zeros((self.hmb, self.wmb), np.int8)
+        self.mb_cbpc = np.zeros((self.hmb, self.wmb), np.int8)
         # deblocking inputs, captured per MB at decode time (the filter
         # runs as a second pass after all slices): the MB's QPy (0 for
         # I_PCM per 8.7), the slice's disable idc and alpha/beta offsets
@@ -1564,6 +1585,10 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             r.se()  # delta_pic_order_cnt[1]
     if pps["redundant_pic_cnt_present"]:
         r.ue()
+    if pps["entropy_cabac"] and is_p:
+        # CABAC P slices need the inter context families (mb_skip, mvd,
+        # ref_idx, sub_mb_type) — not implemented; degrade to NULL rows
+        raise H264Error("CABAC P slices unsupported (CABAC I only)")
     n_ref = 1
     fr._wp = None  # per-slice explicit weighted-prediction table
     if is_p:
@@ -1634,6 +1659,21 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
         fr.mb_cqpo2[my, mx] = pps["second_chroma_qp_index_offset"]
 
     mb = first_mb
+    if pps["entropy_cabac"]:
+        # 7.3.4: cabac_alignment_one_bit padding, then arithmetic-coded
+        # macroblock layer with a Terminate-coded end_of_slice_flag per MB
+        r.byte_align(bit=1)
+        cd = CabacDecoder(r, qp)
+        while True:
+            if mb >= n_mbs:
+                raise H264Error("slice overruns frame")
+            _decode_mb_cabac(fr, cd, sps, pps, mb, slice_id, qp)
+            qp = fr._last_qp
+            mb_slice_params(mb)
+            mb += 1
+            if cd.decode_terminate():  # end_of_slice_flag
+                break
+        return fr
     if not is_p:
         while True:
             if mb >= n_mbs:
@@ -1829,7 +1869,21 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
         i16=i16_pred is not None,
     )
 
-    # ---- reconstruction ----
+    _reconstruct_intra(fr, mb, slice_id, qp, pps, i16_pred, modes,
+                       chroma_mode, dc_levels, luma_coeffs, chroma_dc,
+                       chroma_ac, cbp_chroma)
+
+
+def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
+                       pps: dict, i16_pred, modes, chroma_mode: int,
+                       dc_levels, luma_coeffs, chroma_dc, chroma_ac,
+                       cbp_chroma: int) -> None:
+    """Intra-MB pixel reconstruction from fully-decoded syntax — shared
+    by the CAVLC and CABAC entropy paths (identical descriptors must
+    yield identical pixels regardless of the entropy coder)."""
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    px, py = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
     # (blk_done was set during entropy decode for nC purposes; prediction
     # below relies on PIXELS, which for blocks of this MB are written in
     # the same z-order the spec decodes them, so the done flags are
@@ -2087,7 +2141,8 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
                    crop_bottom: int = 0, qp: int = 26,
                    second_cqpo: int | None = None,
                    pps_id: int = 0, cqpo: int = 0,
-                   weighted_pred: bool = False) -> tuple[bytes, bytes]:
+                   weighted_pred: bool = False,
+                   cabac: bool = False) -> tuple[bytes, bytes]:
     """-> (sps_nal, pps_nal). Crop values in luma pixels (must be even:
     4:2:0 crop units are 2 px). ``second_cqpo`` emits the PPS extension
     tail (transform_8x8=0, no scaling matrices, the given
@@ -2123,7 +2178,7 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
     w = BitWriter()
     w.ue(pps_id)
     w.ue(0)      # sps_id
-    w.u(0, 1)    # entropy_coding_mode: CAVLC
+    w.u(1 if cabac else 0, 1)  # entropy_coding_mode: CAVLC/CABAC
     w.u(0, 1)    # bottom_field_pic_order_in_frame_present
     w.ue(0)      # num_slice_groups_minus1
     w.ue(0)      # num_ref_idx_l0_default_active_minus1
@@ -2763,3 +2818,792 @@ def deblock_frame(fr: _Frame) -> None:
                                                     cy + 2 * e, 0, 1,
                                                     seg_bs[seg],
                                                     qpc_a, off_a, off_b)
+
+
+# ===========================================================================
+# CABAC entropy coding (ITU-T H.264 clause 9.3), I-slice subset.
+#
+# What is spec-exact here (transcribed from the published clause text):
+# the arithmetic decoding engine (9.3.3.2: DecodeDecision/DecodeBypass/
+# DecodeTerminate with the 64-state LPS range table and state-transition
+# tables), the encoding engine (9.3.4 flowcharts incl. PutBit outstanding
+# -bit handling and EncodeFlush), binarizations (9.3.2: U, TU, FL, UEG0
+# with uCoff=14 for levels), context SELECTION topology (9.3.3.1: every
+# neighbor-derived ctxIdxInc rule for the I-slice syntax elements), and
+# the residual significance-map flow (7.3.5.3.3).
+#
+# What is best-effort: the context INITIALIZATION constants (_CTX_INIT_I,
+# the I-slice column of Tables 9-12..9-23) are transcribed from working
+# knowledge of the published tables and could carry per-entry errors.
+# Consequences are bounded: the fixture encoder below shares the table,
+# so every in-repo stream round-trips bit-exactly regardless; an init
+# mismatch against an EXTERNAL conformant stream desynchronizes the
+# arithmetic decoder, which in practice hits a syntax violation within a
+# few macroblocks and degrades to the documented NULL row (no reference
+# decoder exists in this environment to validate against — the same
+# residual-interop caveat COVERAGE.md records for CAVLC, wider here).
+#
+# Scope refusals (honest NULL rows upstream): CABAC P slices (inter
+# context families not implemented), I_PCM inside CABAC slices (engine
+# re-initialization mid-slice), mb_qp_delta != 0 is DECODED but the
+# fixture encoder never emits it.
+# ===========================================================================
+
+#: Table 9-44: rangeTabLPS[pStateIdx][qCodIRangeIdx]
+_RANGE_LPS = (
+    (128, 176, 208, 240), (128, 167, 197, 227), (128, 158, 187, 216),
+    (123, 150, 178, 205), (116, 142, 169, 195), (111, 135, 160, 185),
+    (105, 128, 152, 175), (100, 122, 144, 166), (95, 116, 137, 158),
+    (90, 110, 130, 150), (85, 104, 123, 142), (81, 99, 117, 135),
+    (77, 94, 111, 128), (73, 89, 105, 122), (69, 85, 100, 116),
+    (66, 80, 95, 110), (62, 76, 90, 104), (59, 72, 86, 99),
+    (56, 69, 81, 94), (53, 65, 77, 89), (51, 62, 73, 85),
+    (48, 59, 69, 80), (46, 56, 66, 76), (43, 53, 63, 72),
+    (41, 50, 59, 69), (39, 48, 56, 65), (37, 45, 54, 62),
+    (35, 43, 51, 59), (33, 41, 48, 56), (32, 39, 46, 53),
+    (30, 37, 43, 50), (29, 35, 41, 48), (27, 33, 39, 45),
+    (26, 31, 37, 43), (24, 30, 35, 41), (23, 28, 33, 39),
+    (22, 27, 32, 37), (21, 26, 30, 35), (20, 24, 29, 33),
+    (19, 23, 27, 31), (18, 22, 26, 30), (17, 21, 25, 28),
+    (16, 20, 23, 27), (15, 19, 22, 25), (14, 18, 21, 24),
+    (14, 17, 20, 23), (13, 16, 19, 22), (12, 15, 18, 21),
+    (12, 14, 17, 20), (11, 14, 16, 19), (11, 13, 15, 18),
+    (10, 12, 15, 17), (10, 12, 14, 16), (9, 11, 13, 15),
+    (9, 11, 12, 14), (8, 10, 12, 14), (8, 9, 11, 13),
+    (7, 9, 11, 12), (7, 9, 10, 12), (7, 8, 10, 11),
+    (6, 8, 9, 11), (6, 7, 9, 10), (6, 7, 8, 9), (2, 2, 2, 2),
+)
+
+#: Table 9-45: transIdxLPS (MPS transition is min(state+1, 62))
+_TRANS_LPS = (
+    0, 0, 1, 2, 2, 4, 4, 5, 6, 7, 8, 9, 9, 11, 11, 12,
+    13, 13, 15, 15, 16, 16, 18, 18, 19, 19, 21, 21, 23, 22, 23, 24,
+    24, 25, 26, 26, 27, 28, 28, 29, 29, 30, 30, 30, 31, 32, 32, 33,
+    33, 33, 34, 34, 35, 35, 35, 36, 36, 36, 37, 37, 37, 38, 38, 63,
+)
+
+#: I-slice context initialization (m, n) — Tables 9-12..9-23 intra column
+#: for the context families the I-slice decoder uses (see the epistemic
+#: note in the section header).
+_CTX_INIT_I: dict[int, tuple[int, int]] = {}
+_CTX_INIT_I.update({i + 0: mn for i, mn in enumerate([
+    (20, -15), (2, 54), (3, 74), (20, -15), (2, 54), (3, 74),
+    (-28, 127), (-23, 104), (-6, 53), (-1, 54), (7, 51),     # 0-10 mb_type
+])})
+_CTX_INIT_I.update({i + 60: mn for i, mn in enumerate([
+    (0, 41), (0, 63), (0, 63), (0, 63),                       # 60-63 qp_delta
+    (-9, 83), (4, 86), (0, 97), (-7, 72),                     # 64-67 chroma pm
+    (13, 41), (3, 62),                                        # 68-69 intra4x4
+    (0, 45), (-4, 78), (-3, 96),                              # 70-72 (field)
+    (-27, 126), (-28, 98), (-25, 101), (-23, 67),             # 73-76 cbp luma
+    (-28, 82), (-20, 94), (-16, 83), (-22, 110),              # 77-80 cbp chroma
+    (-21, 91), (-18, 102), (-13, 93), (-29, 127),             # 81-84 cbp chroma
+])})
+_CTX_INIT_I.update({i + 85: mn for i, mn in enumerate([
+    (-7, 92), (-5, 89), (-7, 96), (-13, 108), (-3, 46),       # 85-104 cbf
+    (-1, 65), (0, 57), (-9, 93), (-3, 74), (-9, 92),
+    (-8, 87), (-23, 126), (5, 54), (6, 60), (6, 59),
+    (6, 69), (-1, 48), (0, 68), (-4, 69), (-8, 88),
+])})
+_CTX_INIT_I.update({i + 105: mn for i, mn in enumerate([
+    (-2, 85), (-6, 78), (-1, 75), (-7, 77), (2, 54),          # 105+ sig (frame)
+    (5, 50), (-3, 68), (1, 50), (6, 42), (-4, 81),
+    (1, 63), (-4, 70), (0, 67), (2, 57), (-2, 76),
+    (11, 35), (4, 64), (1, 61), (11, 35), (18, 25),
+    (12, 24), (13, 29), (13, 36), (-10, 93), (-7, 73),
+    (-2, 73), (13, 46), (9, 49), (-7, 100), (9, 53),
+    (2, 53), (5, 53), (-2, 61), (0, 56), (0, 56),
+    (-13, 63), (-5, 60), (-1, 62), (4, 57), (-6, 69),
+    (4, 57), (14, 39), (4, 51), (13, 68), (3, 64),
+    (1, 61), (9, 63), (7, 50), (16, 39), (5, 44),
+    (4, 52), (11, 48), (-5, 60), (-1, 59), (0, 59),
+    (22, 33), (5, 44), (14, 43), (-1, 78), (0, 60),
+    (9, 69),
+])})
+_CTX_INIT_I.update({i + 166: mn for i, mn in enumerate([
+    (11, 28), (2, 40), (3, 44), (0, 49), (0, 46),             # 166+ last (frame)
+    (2, 44), (2, 51), (0, 47), (4, 39), (2, 62),
+    (6, 46), (0, 54), (3, 54), (2, 58), (4, 63),
+    (6, 51), (6, 57), (7, 53), (6, 52), (6, 55),
+    (11, 45), (14, 36), (8, 53), (-1, 82), (7, 55),
+    (-3, 78), (15, 46), (22, 31), (-1, 84), (25, 7),
+    (30, -7), (28, 3), (28, 4), (32, 0), (34, -1),
+    (30, 6), (30, 6), (32, 9), (31, 19), (26, 27),
+    (26, 30), (37, 20), (28, 34), (17, 70), (1, 67),
+    (5, 59), (9, 67), (16, 30), (18, 32), (18, 35),
+    (22, 29), (24, 31), (23, 38), (18, 43), (20, 41),
+    (11, 63), (9, 59), (9, 64), (-1, 94), (-2, 89),
+    (-9, 108),
+])})
+_CTX_INIT_I.update({i + 227: mn for i, mn in enumerate([
+    (-6, 76), (-2, 44), (0, 45), (0, 52), (-3, 64),           # 227+ levels
+    (-2, 59), (-4, 70), (-4, 75), (-8, 82), (-17, 102),
+    (-9, 77), (3, 24), (0, 42), (0, 48), (0, 55),
+    (-6, 59), (-7, 71), (-12, 83), (-11, 87), (-30, 119),
+    (1, 58), (-3, 29), (-1, 36), (1, 38), (2, 43),
+    (-6, 55), (0, 58), (0, 64), (-3, 74), (-10, 90),
+    (0, 70), (-4, 29), (5, 31), (7, 42), (1, 59),
+    (-2, 58), (-3, 72), (-3, 81), (-11, 97), (0, 58),
+    (8, 5), (10, 14), (14, 18), (13, 27), (2, 40),
+    (0, 58), (-3, 70), (-6, 79), (-8, 85),
+])})
+
+#: sig/last per-category base offsets (Table 9-40 layout, frame coding)
+_SIG_CAT_OFF = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}
+#: level per-category base offsets
+_LVL_CAT_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}
+#: coded_block_flag: ctx 85 + 4*cat + inc
+_CBF_BASE = 85
+
+
+def _init_ctx_states(slice_qp: int) -> dict[int, list[int]]:
+    """ctxIdx -> [pStateIdx, valMPS] per 9.3.1.1 (preCtxState from (m, n)
+    and the clipped slice QP)."""
+    qp = max(0, min(51, slice_qp))
+    states = {}
+    for idx, (m, n) in _CTX_INIT_I.items():
+        pre = max(1, min(126, ((m * qp) >> 4) + n))
+        states[idx] = [63 - pre, 0] if pre <= 63 else [pre - 64, 1]
+    return states
+
+
+class CabacDecoder:
+    """Arithmetic decoding engine (9.3.3.2) over a byte-aligned
+    BitReader position."""
+
+    def __init__(self, r: BitReader, slice_qp: int):
+        self.r = r
+        self.rng = 510
+        self.off = r.u(9)
+        if self.off >= 510:
+            raise H264Error("invalid CABAC initial codIOffset")
+        self.states = _init_ctx_states(slice_qp)
+        self.prev_qp_delta_nz = False
+
+    def decision(self, idx: int) -> int:
+        st = self.states[idx]
+        lps = _RANGE_LPS[st[0]][(self.rng >> 6) & 3]
+        self.rng -= lps
+        if self.off >= self.rng:
+            bit = 1 - st[1]
+            self.off -= self.rng
+            self.rng = lps
+            if st[0] == 0:
+                st[1] = 1 - st[1]
+            st[0] = _TRANS_LPS[st[0]]
+        else:
+            bit = st[1]
+            if st[0] < 62:
+                st[0] += 1
+        while self.rng < 256:
+            self.rng <<= 1
+            self.off = (self.off << 1) | self.r.u(1)
+        return bit
+
+    def bypass(self) -> int:
+        self.off = (self.off << 1) | self.r.u(1)
+        if self.off >= self.rng:
+            self.off -= self.rng
+            return 1
+        return 0
+
+    def decode_terminate(self) -> int:
+        self.rng -= 2
+        if self.off >= self.rng:
+            return 1
+        while self.rng < 256:
+            self.rng <<= 1
+            self.off = (self.off << 1) | self.r.u(1)
+        return 0
+
+
+class CabacEncoder:
+    """Arithmetic encoding engine (9.3.4) writing into a byte-aligned
+    BitWriter; shares the context tables/transitions with the decoder."""
+
+    def __init__(self, w: BitWriter, slice_qp: int):
+        self.w = w
+        self.rng = 510
+        self.low = 0
+        self.first = True
+        self.outstanding = 0
+        self.states = _init_ctx_states(slice_qp)
+
+    def _putbit(self, b: int) -> None:
+        if self.first:
+            self.first = False
+        else:
+            self.w.u(b, 1)
+        while self.outstanding:
+            self.w.u(1 - b, 1)
+            self.outstanding -= 1
+
+    def _renorm(self) -> None:
+        while self.rng < 256:
+            if self.low < 256:
+                self._putbit(0)
+            elif self.low >= 512:
+                self.low -= 512
+                self._putbit(1)
+            else:
+                self.low -= 256
+                self.outstanding += 1
+            self.rng <<= 1
+            self.low <<= 1
+
+    def decision(self, idx: int, bit: int) -> None:
+        st = self.states[idx]
+        lps = _RANGE_LPS[st[0]][(self.rng >> 6) & 3]
+        self.rng -= lps
+        if bit != st[1]:
+            self.low += self.rng
+            self.rng = lps
+            if st[0] == 0:
+                st[1] = 1 - st[1]
+            st[0] = _TRANS_LPS[st[0]]
+        else:
+            if st[0] < 62:
+                st[0] += 1
+        self._renorm()
+
+    def bypass(self, bit: int) -> None:
+        self.low <<= 1
+        if bit:
+            self.low += self.rng
+        if self.low >= 1024:
+            self._putbit(1)
+            self.low -= 1024
+        elif self.low < 512:
+            self._putbit(0)
+        else:
+            self.low -= 512
+            self.outstanding += 1
+
+    def terminate(self, bit: int) -> None:
+        self.rng -= 2
+        if bit:
+            self.low += self.rng
+            # EncodeFlush (9.3.4.6)
+            self.rng = 2
+            self._renorm()
+            self._putbit((self.low >> 9) & 1)
+            self.w.u(((self.low >> 7) & 3) | 1, 2)
+        else:
+            self._renorm()
+
+
+# ---------------------------------------------------------------------------
+# context-increment helpers (9.3.3.1) — shared by decode and the fixture
+# encoder so the context SELECTION can never diverge between them
+# ---------------------------------------------------------------------------
+
+def _mb_avail(fr: _Frame, x: int, y: int, slice_id: int) -> bool:
+    return (0 <= x < fr.wmb and 0 <= y < fr.hmb and fr.mb_done[y, x]
+            and fr.mb_slice[y, x] == slice_id)
+
+
+def _mbtype_inc(fr: _Frame, mbx: int, mby: int, slice_id: int) -> int:
+    """9.3.3.1.1.3: condTermFlagN = N available and not I_4x4 (I_NxN)."""
+    def cond(x, y):
+        return 1 if (_mb_avail(fr, x, y, slice_id)
+                     and not fr.mb_i4[y, x]) else 0
+    return cond(mbx - 1, mby) + cond(mbx, mby - 1)
+
+
+def _cpm_inc(fr: _Frame, mbx: int, mby: int, slice_id: int) -> int:
+    """9.3.3.1.1.8: condTermFlagN = N available and its
+    intra_chroma_pred_mode != 0."""
+    def cond(x, y):
+        return 1 if (_mb_avail(fr, x, y, slice_id)
+                     and fr.mb_cpm[y, x] != 0) else 0
+    return cond(mbx - 1, mby) + cond(mbx, mby - 1)
+
+
+#: (dx_mb, within-mb 8x8 for left) / top neighbor map of the 8x8 CBP grid
+def _cbp_luma_inc(fr: _Frame, mbx: int, mby: int, i8: int, cur_bits: int,
+                  slice_id: int) -> int:
+    """9.3.3.1.1.4: condTermFlagN = 1 iff the neighboring 8x8 block's
+    luma cbp bit is 0 (unavailable neighbor -> 0); within-MB neighbors
+    read the bits decoded so far (cur_bits)."""
+    def bit(x, y, j):
+        if x == mbx and y == mby:
+            return (cur_bits >> j) & 1
+        if not _mb_avail(fr, x, y, slice_id):
+            return None
+        return (int(fr.mb_cbpl[y, x]) >> j) & 1
+    if i8 % 2 == 0:
+        a = bit(mbx - 1, mby, i8 + 1)
+    else:
+        a = bit(mbx, mby, i8 - 1)
+    if i8 < 2:
+        b = bit(mbx, mby - 1, i8 + 2)
+    else:
+        b = bit(mbx, mby, i8 - 2)
+    ca = 1 if a == 0 else 0  # None (unavailable) -> 0
+    cb = 1 if b == 0 else 0
+    return ca + 2 * cb
+
+
+def _cbp_chroma_incs(fr: _Frame, mbx: int, mby: int,
+                     slice_id: int) -> tuple[int, int]:
+    """(bin0 inc, bin1 inc) per 9.3.3.1.1.4: bin0 condTermFlagN =
+    cbp_chroma(N) != 0; bin1 condTermFlagN = cbp_chroma(N) == 2."""
+    def c(x, y, pred):
+        return 1 if (_mb_avail(fr, x, y, slice_id)
+                     and pred(int(fr.mb_cbpc[y, x]))) else 0
+    inc0 = (c(mbx - 1, mby, lambda v: v != 0)
+            + 2 * c(mbx, mby - 1, lambda v: v != 0))
+    inc1 = (c(mbx - 1, mby, lambda v: v == 2)
+            + 2 * c(mbx, mby - 1, lambda v: v == 2))
+    return inc0, inc1
+
+
+def _cbf_inc(fr: _Frame, cat: int, mbx: int, mby: int, slice_id: int,
+             bx: int = 0, by: int = 0, comp: int = 0) -> int:
+    """9.3.3.1.1.9 ctxIdxInc for coded_block_flag. Unavailable neighbors
+    count 1 (the current MB is always intra in an I slice); available
+    neighbors read the position's stored flag (0 covers both decoded-zero
+    and no-such-transform-block, per the spec's condTermFlag fallbacks)."""
+    if cat == 0:  # luma DC: neighbors at MB granularity
+        def cond(x, y):
+            if not _mb_avail(fr, x, y, slice_id):
+                return 1
+            return int(fr.cbf_lumadc[y, x])
+        return cond(mbx - 1, mby) + 2 * cond(mbx, mby - 1)
+    if cat in (1, 2):  # luma 4x4 (AC or full), position-based
+        def cond(x, y):
+            if x < 0 or y < 0:
+                return 1
+            if not _mb_avail(fr, x // 4, y // 4, slice_id) and not (
+                x // 4 == mbx and y // 4 == mby
+            ):
+                return 1
+            return int(fr.cbf_luma[y, x])
+        return cond(bx - 1, by) + 2 * cond(bx, by - 1)
+    if cat == 3:  # chroma DC, per component, MB granularity
+        def cond(x, y):
+            if not _mb_avail(fr, x, y, slice_id):
+                return 1
+            return int(fr.cbf_cdc[comp][y, x])
+        return cond(mbx - 1, mby) + 2 * cond(mbx, mby - 1)
+    # cat 4: chroma AC, per component, 2x2-per-MB grid
+    def cond(x, y):
+        if x < 0 or y < 0:
+            return 1
+        if not _mb_avail(fr, x // 2, y // 2, slice_id) and not (
+            x // 2 == mbx and y // 2 == mby
+        ):
+            return 1
+        return int(fr.cbf_cac[comp][y, x])
+    return cond(bx - 1, by) + 2 * cond(bx, by - 1)
+
+
+# ---------------------------------------------------------------------------
+# residual block (7.3.5.3.3 residual_block_cabac)
+# ---------------------------------------------------------------------------
+
+def _residual_cabac(cd: CabacDecoder, cat: int, maxcoeff: int,
+                    cbf_inc: int) -> "list[int] | None":
+    """-> coefficient list (scan order, maxcoeff long) or None when
+    coded_block_flag decodes 0."""
+    if not cd.decision(_CBF_BASE + 4 * cat + cbf_inc):
+        return None
+    soff = 105 + _SIG_CAT_OFF[cat]
+    loff = 166 + _SIG_CAT_OFF[cat]
+    sig = [False] * maxcoeff
+    last_found = False
+    for i in range(maxcoeff - 1):
+        if cd.decision(soff + i):
+            sig[i] = True
+            if cd.decision(loff + i):
+                last_found = True
+                break
+    if not last_found:
+        sig[maxcoeff - 1] = True
+    coeffs = [0] * maxcoeff
+    base = 227 + _LVL_CAT_OFF[cat]
+    gt1 = eq1 = 0
+    for i in reversed(range(maxcoeff)):
+        if not sig[i]:
+            continue
+        # coeff_abs_level_minus1: UEG0, uCoff=14 (9.3.2.3); bin0 ctx from
+        # eq1 history, later TU bins from gt1 history (9.3.3.1.3)
+        inc0 = 0 if gt1 else min(4, 1 + eq1)
+        n1 = 0
+        if cd.decision(base + inc0):
+            n1 = 1
+            incr = 5 + min(3 if cat == 3 else 4, gt1)
+            while n1 < 14 and cd.decision(base + incr):
+                n1 += 1
+            if n1 == 14:  # EG0 suffix, bypass-coded
+                k = 0
+                while cd.bypass():
+                    n1 += 1 << k
+                    k += 1
+                    if k > 30:
+                        raise H264Error("CABAC level suffix overrun")
+                while k:
+                    k -= 1
+                    n1 += cd.bypass() << k
+        level = n1 + 1
+        if cd.bypass():  # coeff_sign_flag
+            level = -level
+        coeffs[i] = level
+        if abs(level) > 1:
+            gt1 += 1
+        else:
+            eq1 += 1
+    return coeffs
+
+
+def _encode_residual_cabac(enc: CabacEncoder, cat: int, coeffs,
+                           cbf_inc: int) -> None:
+    """Mirror of _residual_cabac for the fixture encoder; ``coeffs`` may
+    be None / all-zero (cbf 0) or a maxcoeff-long scan-order list."""
+    if coeffs is None or not any(coeffs):
+        enc.decision(_CBF_BASE + 4 * cat + cbf_inc, 0)
+        return
+    enc.decision(_CBF_BASE + 4 * cat + cbf_inc, 1)
+    maxcoeff = len(coeffs)
+    soff = 105 + _SIG_CAT_OFF[cat]
+    loff = 166 + _SIG_CAT_OFF[cat]
+    last = max(i for i, v in enumerate(coeffs) if v)
+    for i in range(min(last + 1, maxcoeff - 1)):
+        s = 1 if coeffs[i] else 0
+        enc.decision(soff + i, s)
+        if s:
+            enc.decision(loff + i, 1 if i == last else 0)
+    base = 227 + _LVL_CAT_OFF[cat]
+    gt1 = eq1 = 0
+    for i in reversed(range(maxcoeff)):
+        v = coeffs[i]
+        if not v:
+            continue
+        mag = abs(v) - 1  # coeff_abs_level_minus1
+        inc0 = 0 if gt1 else min(4, 1 + eq1)
+        if mag == 0:
+            enc.decision(base + inc0, 0)
+        else:
+            enc.decision(base + inc0, 1)
+            incr = 5 + min(3 if cat == 3 else 4, gt1)
+            for _ in range(min(mag, 14) - 1):
+                enc.decision(base + incr, 1)
+            if mag < 14:
+                enc.decision(base + incr, 0)
+            else:  # EG0 suffix
+                s = mag - 14
+                tmp = s + 1
+                k = tmp.bit_length() - 1
+                for _ in range(k):
+                    enc.bypass(1)
+                enc.bypass(0)
+                for j in range(k - 1, -1, -1):
+                    enc.bypass((tmp >> j) & 1)
+        enc.bypass(1 if v < 0 else 0)  # coeff_sign_flag
+        if abs(v) > 1:
+            gt1 += 1
+        else:
+            eq1 += 1
+
+
+# ---------------------------------------------------------------------------
+# macroblock layer (7.3.5), CABAC I slices
+# ---------------------------------------------------------------------------
+
+def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
+                     mb: int, slice_id: int, qp: int) -> None:
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    bx0, by0 = mbx * 4, mby * 4
+
+    # mb_type (Table 9-36 I-slice binarization; fixed ctx 3..10 after the
+    # neighbor-conditioned first bin)
+    inc = _mbtype_inc(fr, mbx, mby, slice_id)
+    fr.mb_slice[mby, mbx] = slice_id
+    fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+    if cd.decision(3 + inc) == 0:
+        i16_pred = None  # I_4x4
+    else:
+        if cd.decode_terminate():
+            raise H264Error("I_PCM in CABAC slices unsupported")
+        cbp_luma = 15 if cd.decision(6) else 0
+        cbp_chroma = 1 + cd.decision(8) if cd.decision(7) else 0
+        i16_pred = (cd.decision(9) << 1) | cd.decision(10)
+
+    if i16_pred is None:
+        modes = []
+        for i in range(16):
+            bx = bx0 + _BLK_XY[i][0] // 4
+            by = by0 + _BLK_XY[i][1] // 4
+            pred_mode = _predicted_i4_mode(fr, bx, by, slice_id)
+            if cd.decision(68):  # prev_intra4x4_pred_mode_flag
+                mode = pred_mode
+            else:  # rem: FL 3 bins, LSB first, all ctx 69
+                rem = cd.decision(69)
+                rem |= cd.decision(69) << 1
+                rem |= cd.decision(69) << 2
+                mode = rem if rem < pred_mode else rem + 1
+            modes.append(mode)
+            fr.blk_mode[by, bx] = mode
+            fr.blk_done[by, bx] = True
+            fr.blk_slice[by, bx] = slice_id
+    else:
+        modes = None
+
+    # intra_chroma_pred_mode: TU cMax=3 (bin0 neighbor-conditioned)
+    if cd.decision(64 + _cpm_inc(fr, mbx, mby, slice_id)) == 0:
+        chroma_mode = 0
+    elif cd.decision(67) == 0:
+        chroma_mode = 1
+    else:
+        chroma_mode = 2 + cd.decision(67)
+    fr.mb_cpm[mby, mbx] = chroma_mode
+
+    if i16_pred is None:
+        cbp_luma = 0
+        for i8 in range(4):
+            b = cd.decision(
+                73 + _cbp_luma_inc(fr, mbx, mby, i8, cbp_luma, slice_id)
+            )
+            cbp_luma |= b << i8
+        inc0, inc1 = _cbp_chroma_incs(fr, mbx, mby, slice_id)
+        cbp_chroma = 0
+        if cd.decision(77 + inc0):
+            cbp_chroma = 1 + cd.decision(81 + inc1)
+    fr.mb_cbpl[mby, mbx] = cbp_luma
+    fr.mb_cbpc[mby, mbx] = cbp_chroma
+
+    if i16_pred is not None or cbp_luma or cbp_chroma:
+        # mb_qp_delta: U binarization, ctx 60+prev / 62 / 63 (9.3.3.1.1.5)
+        k = 0
+        if cd.decision(60 + (1 if cd.prev_qp_delta_nz else 0)):
+            k = 1
+            while k < 53 and cd.decision(62 if k == 1 else 63):
+                k += 1
+            if k >= 53:
+                raise H264Error("mb_qp_delta overrun")
+        delta = (k + 1) // 2 if k % 2 else -(k // 2)
+        cd.prev_qp_delta_nz = k != 0
+        qp = (qp + delta + 52) % 52
+    else:
+        cd.prev_qp_delta_nz = False
+    fr._last_qp = qp
+
+    # ---- residuals ----
+    dc_levels = None
+    if i16_pred is not None:
+        dc = _residual_cabac(
+            cd, 0, 16, _cbf_inc(fr, 0, mbx, mby, slice_id)
+        )
+        fr.cbf_lumadc[mby, mbx] = 0 if dc is None else 1
+        dc_levels = dc if dc is not None else [0] * 16
+    luma_coeffs = [None] * 16
+    for i in range(16):
+        bx = bx0 + _BLK_XY[i][0] // 4
+        by = by0 + _BLK_XY[i][1] // 4
+        if cbp_luma & (1 << (i // 4)):
+            cat = 1 if i16_pred is not None else 2
+            n = 15 if i16_pred is not None else 16
+            blk = _residual_cabac(
+                cd, cat, n,
+                _cbf_inc(fr, cat, mbx, mby, slice_id, bx=bx, by=by),
+            )
+            fr.cbf_luma[by, bx] = 0 if blk is None else 1
+            if blk is not None:
+                luma_coeffs[i] = [0] + blk if i16_pred is not None else blk
+                fr.blk_nnz[by, bx] = sum(1 for v in blk if v)
+            else:
+                fr.blk_nnz[by, bx] = 0
+        else:
+            fr.blk_nnz[by, bx] = 0
+        fr.blk_done[by, bx] = True
+        fr.blk_slice[by, bx] = slice_id
+    chroma_dc = [[0] * 4, [0] * 4]
+    if cbp_chroma:
+        for comp in range(2):
+            blk = _residual_cabac(
+                cd, 3, 4, _cbf_inc(fr, 3, mbx, mby, slice_id, comp=comp)
+            )
+            fr.cbf_cdc[comp][mby, mbx] = 0 if blk is None else 1
+            if blk is not None:
+                chroma_dc[comp] = blk
+    chroma_ac = [[None] * 4, [None] * 4]
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for j in range(4):
+                cx2, cy2 = mbx * 2 + j % 2, mby * 2 + j // 2
+                blk = _residual_cabac(
+                    cd, 4, 15,
+                    _cbf_inc(fr, 4, mbx, mby, slice_id,
+                             bx=cx2, by=cy2, comp=comp),
+                )
+                fr.cbf_cac[comp][cy2, cx2] = 0 if blk is None else 1
+                if blk is not None:
+                    chroma_ac[comp][j] = [0] + blk
+                    fr.cnnz[comp][cy2, cx2] = sum(1 for v in blk if v)
+                else:
+                    fr.cnnz[comp][cy2, cx2] = 0
+
+    _reconstruct_intra(fr, mb, slice_id, qp, pps, i16_pred, modes,
+                       chroma_mode, dc_levels, luma_coeffs, chroma_dc,
+                       chroma_ac, cbp_chroma)
+
+
+def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
+                     slice_id: int = 0) -> None:
+    """Emit one INTRA macroblock of a CABAC I slice — same descriptor
+    vocabulary as _encode_mb minus "pcm" (I_PCM needs mid-slice engine
+    re-initialization; honest refusal both here and in the decoder).
+    The shadow-frame context state mirrors the decoder's exactly through
+    the shared _*_inc helpers."""
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    bx0, by0 = mbx * 4, mby * 4
+    kind = desc[0]
+    if kind == "pcm":
+        raise H264Error("I_PCM cannot be emitted into a CABAC slice")
+    if kind not in ("i16", "i4"):
+        raise H264Error(f"unknown MB descriptor {kind!r}")
+
+    inc = _mbtype_inc(fr, mbx, mby, slice_id)
+    fr.mb_slice[mby, mbx] = slice_id
+    fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+
+    if kind == "i16":
+        _, pred_mode, dc_levels, cdc = desc
+        if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
+            cdc = None
+        cbp_luma = 0
+        cbp_chroma = 1 if cdc is not None else 0
+        enc.decision(3 + inc, 1)
+        enc.terminate(0)  # not I_PCM
+        enc.decision(6, 0)  # cbp_luma 0 (fixture: DC-only I16)
+        if cbp_chroma:
+            enc.decision(7, 1)
+            enc.decision(8, 0)  # cbp_chroma 1 (DC only)
+        else:
+            enc.decision(7, 0)
+        enc.decision(9, (pred_mode >> 1) & 1)
+        enc.decision(10, pred_mode & 1)
+        modes = None
+    else:
+        _, modes, coeffs, cdc = desc
+        if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
+            cdc = None
+        cbp_luma = 0
+        for i in range(16):
+            if coeffs[i] is not None and any(coeffs[i]):
+                cbp_luma |= 1 << (i // 4)
+        cbp_chroma = 1 if cdc is not None else 0
+        enc.decision(3 + inc, 0)  # I_4x4
+        for i in range(16):
+            bx = bx0 + _BLK_XY[i][0] // 4
+            by = by0 + _BLK_XY[i][1] // 4
+            pred = _predicted_i4_mode(fr, bx, by, slice_id)
+            mode = modes[i]
+            if mode == pred:
+                enc.decision(68, 1)
+            else:
+                rem = mode if mode < pred else mode - 1
+                if rem >= 8:
+                    raise H264Error("cannot signal mode equal to predictor")
+                enc.decision(68, 0)
+                enc.decision(69, rem & 1)
+                enc.decision(69, (rem >> 1) & 1)
+                enc.decision(69, (rem >> 2) & 1)
+            fr.blk_mode[by, bx] = mode
+            fr.blk_done[by, bx] = True
+            fr.blk_slice[by, bx] = slice_id
+
+    # intra_chroma_pred_mode: DC (0) — one bin
+    enc.decision(64 + _cpm_inc(fr, mbx, mby, slice_id), 0)
+    fr.mb_cpm[mby, mbx] = 0
+
+    if kind == "i4":
+        bits = 0
+        for i8 in range(4):
+            b = (cbp_luma >> i8) & 1
+            enc.decision(73 + _cbp_luma_inc(fr, mbx, mby, i8, bits,
+                                            slice_id), b)
+            bits |= b << i8
+        inc0, inc1 = _cbp_chroma_incs(fr, mbx, mby, slice_id)
+        if cbp_chroma:
+            enc.decision(77 + inc0, 1)
+            enc.decision(81 + inc1, 0)  # never 2 in fixtures
+        else:
+            enc.decision(77 + inc0, 0)
+    fr.mb_cbpl[mby, mbx] = cbp_luma
+    fr.mb_cbpc[mby, mbx] = cbp_chroma
+
+    if kind == "i16" or cbp_luma or cbp_chroma:
+        # mb_qp_delta = 0: single 0-bin
+        enc.decision(60 + 0, 0)  # prev delta always 0 in fixtures
+
+    # residuals
+    if kind == "i16":
+        _encode_residual_cabac(
+            enc, 0, list(dc_levels), _cbf_inc(fr, 0, mbx, mby, slice_id)
+        )
+        fr.cbf_lumadc[mby, mbx] = 1 if any(dc_levels) else 0
+        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+        fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0  # AC absent
+        fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+    else:
+        for i in range(16):
+            bx = bx0 + _BLK_XY[i][0] // 4
+            by = by0 + _BLK_XY[i][1] // 4
+            if cbp_luma & (1 << (i // 4)):
+                blk = coeffs[i] if coeffs[i] is not None else [0] * 16
+                _encode_residual_cabac(
+                    enc, 2, list(blk),
+                    _cbf_inc(fr, 2, mbx, mby, slice_id, bx=bx, by=by),
+                )
+                fr.cbf_luma[by, bx] = 1 if any(blk) else 0
+                fr.blk_nnz[by, bx] = sum(1 for v in blk if v)
+            else:
+                fr.blk_nnz[by, bx] = 0
+    if cbp_chroma:
+        for comp in range(2):
+            _encode_residual_cabac(
+                enc, 3, list(cdc[comp]),
+                _cbf_inc(fr, 3, mbx, mby, slice_id, comp=comp),
+            )
+            fr.cbf_cdc[comp][mby, mbx] = 1 if any(cdc[comp]) else 0
+    fr.mb_done[mby, mbx] = True
+    if kind == "i4":
+        fr.mb_i4[mby, mbx] = True
+
+
+def encode_i_frame_cabac(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
+                         deblock_idc: int = 1) -> bytes:
+    """One CABAC IDR slice NAL covering the whole frame — the CABAC twin
+    of encode_i_frame (same descriptor vocabulary minus "pcm"); pair it
+    with a PPS from ``encode_sps_pps(..., cabac=True)``. Identical
+    descriptors MUST reconstruct identical pixels under either entropy
+    coder (both feed the shared _reconstruct_intra) — the property the
+    cross-entropy tests pin."""
+    if len(mbs) != w_mbs * h_mbs:
+        raise H264Error("mb list does not cover the frame")
+    shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
+    w = BitWriter()
+    w.ue(0)      # first_mb_in_slice
+    w.ue(7)      # slice_type: I (all slices in picture)
+    w.ue(0)      # pps_id
+    w.u(0, 4)    # frame_num (log2_max_frame_num = 4)
+    w.ue(0)      # idr_pic_id
+    w.u(0, 1)    # no_output_of_prior_pics
+    w.u(0, 1)    # long_term_reference
+    w.se(0)      # slice_qp_delta
+    w.ue(deblock_idc)
+    if deblock_idc != 1:
+        w.se(0)  # slice_alpha_c0_offset_div2
+        w.se(0)  # slice_beta_offset_div2
+    while len(w.bits) % 8:
+        w.bits.append(1)  # cabac_alignment_one_bit (7.3.4)
+    enc = CabacEncoder(w, qp)
+    n = len(mbs)
+    for mb in range(n):
+        _encode_mb_cabac(enc, shadow, mb, mbs[mb], qp)
+        enc.terminate(1 if mb == n - 1 else 0)  # end_of_slice_flag
+    # terminate(1) ran EncodeFlush, whose trailing '1' doubles as the
+    # rbsp stop bit; tobytes zero-pads the final byte (7.3.4 note)
+    return _nal(5, w.tobytes())

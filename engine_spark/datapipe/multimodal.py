@@ -1703,13 +1703,14 @@ def decode_frames(
     timestamp (mdhd timescale units → seconds), true dimensions, and pixel
     sum. Raw YUV4MPEG2 (.y4m) payloads also decode fully (plane split +
     chroma upsample + BT.601 → RGB, see decode_y4m_frame). H.264 (avc1)
-    samples decode for REAL when they are CAVLC-coded I/IDR frames (the
-    stdlib h264 module: NAL/slice parse, CAVLC, intra prediction, inverse
-    integer transform, in-loop deblocking) OR short-GOP P frames
-    (inter prediction chained forward from the nearest IDR anchor —
-    multi-reference default lists, explicit weighted prediction,
-    quarter-pel 6-tap luma, eighth-pel bilinear chroma); B slices,
-    CABAC streams, reordered reference lists and other av-library
+    samples decode for REAL when they are CAVLC- or (r12) CABAC-coded
+    I/IDR frames (the stdlib h264 module: NAL/slice parse, CAVLC or the
+    9.3 arithmetic decoder, intra prediction, inverse integer transform,
+    in-loop deblocking) OR CAVLC short-GOP P frames (inter prediction
+    chained forward from the nearest IDR anchor — multi-reference
+    default lists, explicit weighted prediction, quarter-pel 6-tap luma,
+    eighth-pel bilinear chroma); B slices, CABAC P slices, reordered
+    reference lists and other av-library
     codecs (hev1/vp09) emit rows with NULL pixel fields rather than
     wrong pixels — and a failed frame poisons its GOP's chain so later
     P frames in it are NULL too, until the next IDR. Other payloads emit
@@ -1880,11 +1881,11 @@ def decode_frames(
                         except DECODE_ERRORS:
                             arr = None
                     elif avc_cfg is not None:
-                        # real decode for CAVLC I/IDR keyframes AND
-                        # short-GOP P frames (chained single-reference
-                        # inter prediction); B, CABAC, multi-ref and
-                        # other unsupported shapes raise inside and
-                        # degrade to the honest NULL row
+                        # real decode for CAVLC/CABAC I/IDR keyframes
+                        # AND CAVLC short-GOP P frames (chained inter
+                        # prediction); B, CABAC-P and other unsupported
+                        # shapes raise inside and degrade to the honest
+                        # NULL row
                         arr = _avc_decode(fi)
                     if arr is not None:
                         rows.append(

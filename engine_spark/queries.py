@@ -3333,7 +3333,6 @@ _ORDER = [
     "agg_q6_forecast_revenue",    # TPC-H Q6 shape: scan-only pushdown agg (NEW r10)
     "agg_q11_important_parts",    # TPC-H Q11 shape: scalar-threshold HAVING (NEW r10)
     "agg_q16_supplier_variety",   # TPC-H Q16 shape: distinct pairs + anti join (NEW r10)
-    "events_gapfill_1h",          # dense-grid gap-fill + forward-fill (r9 rotation)
     "events_cohort_retention",    # cohort/day-offset retention matrix (NEW r9, in-window)
     "events_funnel_24h",          # ordered conversion funnel, one exchange (NEW r9)
     # 2c joins
@@ -3372,6 +3371,7 @@ _ORDER = [
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_h264",            # REAL H.264 baseline I-frame decode (NEW r10)
     "multimodal_h264_gop",        # REAL H.264 short-GOP P-frame decode (NEW r11)
+    "multimodal_h264_cabac",      # REAL H.264 CABAC I-frame decode (NEW r12)
     "pipeline_end_to_end",
     # ---- entries past the driver's 50-gate window: redundant VARIANTS of
     # families already checked above, each with one-or-more consecutive
@@ -3380,10 +3380,15 @@ _ORDER = [
     # Round 12 rotated dedup_simhash back IN after the scale-true rework
     # (56-bit signature, 4 x 14-bit chunk blocking, bucket-size cap — the
     # r11 verdict's top item; the rework must face the driver's oracle)
-    # and rotated OUT join_q7_volume_shipping (driver-green r9-r11; the
-    # join family keeps fourteen gates in-window incl. thirteen TPC-H
-    # shapes + outer modes + enrichment + stream-stream).
+    # and debuted multimodal_h264_cabac in-window (REAL CABAC I-frame
+    # decode — the r11 verdict's big rock). Rotated OUT
+    # join_q7_volume_shipping (driver-green r9-r11; the join family keeps
+    # fourteen gates in-window incl. thirteen TPC-H shapes + outer modes
+    # + enrichment + stream-stream) and events_gapfill_1h (driver-green
+    # r9-r11; the events family keeps cohort_retention + funnel_24h
+    # in-window, and gapfill stays LOCAL + streaming-twin pytest).
     "join_q7_volume_shipping",    # rotated out r12 (driver-green r9-r11)
+    "events_gapfill_1h",          # rotated out r12 (driver-green r9-r11)
     # Round 11 rotated IN its one debut gate (multimodal_h264_gop — the
     # H.264 P-slice/GOP inter-decode path, in-window at debut per the
     # standing policy) and rotated OUT agg_q14_promo_share (driver-green

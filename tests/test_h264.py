@@ -425,14 +425,17 @@ def test_i4x4_chroma_dc_residual():
 # ---------------------------------------------------------------------------
 
 
-def test_cabac_pps_refused():
+def test_cabac_pps_accepted_and_flagged():
+    """entropy_coding_mode=1 no longer refuses at PPS level (r12: CABAC
+    I slices decode for real); the flag is recorded for the slice-layer
+    dispatch, and CABAC P slices refuse there instead."""
     w = H.BitWriter()
     w.ue(0); w.ue(0); w.u(1, 1)  # entropy_coding_mode = CABAC
     w.u(0, 1); w.ue(0); w.ue(0); w.ue(0); w.u(0, 1); w.u(0, 2)
     w.se(0); w.se(0); w.se(0); w.u(0, 1); w.u(0, 1); w.u(0, 1)
     w.rbsp_trailing()
-    with pytest.raises(H.H264Error, match="CABAC"):
-        H.parse_pps(w.tobytes())
+    pps = H.parse_pps(w.tobytes())
+    assert pps["entropy_cabac"] is True
 
 
 def test_p_slice_without_reference_and_b_slice_refused():
@@ -2141,3 +2144,217 @@ def test_non_ref_then_ref_same_frame_num_is_legal():
     out = H.decode_gop([[sps, pps, idr], [p_d], [p_r], [p_2]])
     assert all(o is not None for o in out)
     assert (out[3] == vA).all()
+
+
+# ---------------------------------------------------------------------------
+# CABAC (9.3) — engine invariants, raw-bin roundtrip, closed-form pixels,
+# cross-entropy equality, refusals, mutation fuzz
+# ---------------------------------------------------------------------------
+
+def test_cabac_table_invariants():
+    """Structural pins on the transcribed 9.3 tables: LPS range shrinks
+    as the state's MPS probability grows (down each column), grows with
+    the quantized range (across each row); the terminal state 63 row is
+    (2,2,2,2); LPS transitions never increase the state by more than the
+    spec's shape allows and end at the 63 absorber."""
+    assert len(H._RANGE_LPS) == 64 and len(H._TRANS_LPS) == 64
+    for s in range(63):  # 63 is the constant (2,2,2,2) absorber row
+        row = H._RANGE_LPS[s]
+        assert all(row[i] < row[i + 1] for i in range(3)), f"row {s}"
+    for q in range(4):
+        col = [H._RANGE_LPS[s][q] for s in range(63)]  # 63 excluded (=2)
+        assert all(col[i] >= col[i + 1] for i in range(62)), f"col {q}"
+    assert H._RANGE_LPS[63] == (2, 2, 2, 2)
+    assert H._TRANS_LPS[63] == 63
+    assert all(H._TRANS_LPS[s] <= s for s in range(63))  # LPS never climbs
+    # context init: every (m, n) yields a legal state at every slice QP
+    assert len(H._CTX_INIT_I) == 227
+    for qp in (0, 10, 26, 40, 51):
+        for idx, st in H._init_ctx_states(qp).items():
+            assert 0 <= st[0] <= 63 and st[1] in (0, 1), (qp, idx)
+
+
+def test_cabac_engine_raw_bin_roundtrip():
+    """Encoder->decoder roundtrip of a random mixed sequence of context
+    decisions, bypass bins, and non-final terminates — pins the
+    arithmetic engines (renormalization, outstanding bits, flush)
+    independently of any macroblock syntax."""
+    import random
+
+    rng = random.Random(42)
+    ctxs = sorted(H._CTX_INIT_I)
+    for trial in range(25):
+        ops = []
+        for _ in range(rng.randint(1, 400)):
+            r = rng.random()
+            if r < 0.6:
+                ops.append(("d", rng.choice(ctxs), rng.randint(0, 1)))
+            elif r < 0.9:
+                ops.append(("b", None, rng.randint(0, 1)))
+            else:
+                ops.append(("t", None, 0))
+        ops.append(("t", None, 1))
+        qp = rng.randint(0, 51)
+        w = H.BitWriter()
+        enc = H.CabacEncoder(w, qp)
+        for kind, ctx, bit in ops:
+            if kind == "d":
+                enc.decision(ctx, bit)
+            elif kind == "b":
+                enc.bypass(bit)
+            else:
+                enc.terminate(bit)
+        data = w.tobytes()
+        cd = H.CabacDecoder(H.BitReader(data), qp)
+        for i, (kind, ctx, bit) in enumerate(ops):
+            if kind == "d":
+                got = cd.decision(ctx)
+            elif kind == "b":
+                got = cd.bypass()
+            else:
+                got = cd.decode_terminate()
+            assert got == bit, f"trial {trial} op {i} ({kind}): {got} != {bit}"
+
+
+def test_cabac_solid_gray_closed_form_and_deblock_noop():
+    """CABAC I16 DC-propagation frame reproduces the closed-form pixel
+    value; with the in-loop filter RUNNING (deblock_idc=0) the flat
+    result must be untouched — same contract as the CAVLC twin."""
+    wmb, hmb = 3, 2
+    dc16 = [0] * 16
+    dc16[0] = 160
+    mbs = [("i16", 2, dc16, None)]
+    mbs += [("i16", 2, [0] * 16, None)] * (wmb * hmb - 1)
+    v = H.i16dc_recon_value(160, 26)
+    for idc in (1, 0):
+        sps, pps = H.encode_sps_pps(wmb, hmb, qp=26, cabac=True)
+        idr = H.encode_i_frame_cabac(mbs, wmb, hmb, 26, deblock_idc=idc)
+        out = H.decode_i_frame([sps, pps, idr])
+        assert out.shape == (hmb * 16, wmb * 16, 3)
+        assert (out[:, :, 1] == v).all(), f"deblock_idc={idc}"
+
+
+def test_cabac_cross_entropy_pixel_equality():
+    """Identical MB descriptors through the CAVLC and CABAC encoders must
+    reconstruct IDENTICAL pixels (both feed the shared reconstruction) —
+    randomized over i16/i4 mixes, chroma DC, multi-level residuals
+    (incl. EG0-suffix magnitudes) and QPs, so the whole CABAC syntax
+    layer (contexts, binarizations, significance maps) is pinned to the
+    proven CAVLC layer."""
+    import random
+
+    rng = random.Random(7)
+    wmb, hmb = 4, 3
+
+    def pred_choices(m):
+        x, y = m % wmb, m // wmb
+        ch = [2]
+        if y > 0:
+            ch.append(0)
+        if x > 0:
+            ch.append(1)
+        if x > 0 and y > 0:
+            ch.append(3)
+        return ch
+
+    for trial in range(8):
+        mbs = []
+        for m in range(wmb * hmb):
+            if rng.random() < 0.4:
+                dc = [0] * 16
+                dc[0] = rng.randint(-300, 480)
+                cdc = (
+                    ([rng.randint(-40, 40) for _ in range(4)],
+                     [rng.randint(-40, 40) for _ in range(4)])
+                    if rng.random() < 0.5 else None
+                )
+                mbs.append(("i16", rng.choice(pred_choices(m)), dc, cdc))
+            else:
+                coeffs = []
+                for _ in range(16):
+                    if rng.random() < 0.5:
+                        c = [0] * 16
+                        for _ in range(rng.randint(1, 6)):
+                            c[rng.randrange(16)] = rng.choice(
+                                [1, -1, 2, -2, 3, 17, -40, 200, -512]
+                            )
+                        coeffs.append(c)
+                    else:
+                        coeffs.append(None)
+                cdc = (
+                    ([rng.randint(-30, 30) for _ in range(4)], [0] * 4)
+                    if rng.random() < 0.4 else None
+                )
+                mbs.append(("i4", [2] * 16, coeffs, cdc))
+        qp = rng.choice([20, 26, 28, 35, 44])
+        sps_c, pps_c = H.encode_sps_pps(wmb, hmb, qp=qp, cabac=True)
+        sps_v, pps_v = H.encode_sps_pps(wmb, hmb, qp=qp)
+        out_c = H.decode_i_frame(
+            [sps_c, pps_c, H.encode_i_frame_cabac(mbs, wmb, hmb, qp)]
+        )
+        out_v = H.decode_i_frame(
+            [sps_v, pps_v, H.encode_i_frame(mbs, wmb, hmb, qp)]
+        )
+        assert (out_c == out_v).all(), f"trial {trial} diverged"
+
+
+def test_cabac_refusals_p_slice_and_pcm():
+    import pytest
+
+    wmb, hmb = 2, 1
+    # CABAC P slice: header parses, decode refuses (honest NULL upstream)
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26, cabac=True)
+    idr_cavlc_p = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=1)
+    with pytest.raises(H.H264Error, match="CABAC P slices"):
+        H.decode_access_unit(
+            [sps, pps, idr_cavlc_p], *H._seed_param_maps(None, None)[:2],
+            [{"y": None, "cb": None, "cr": None}],
+        )
+    # I_PCM cannot be emitted into a CABAC slice
+    pcm = ("pcm", [[128] * 16] * 16, [[128] * 8] * 8, [[128] * 8] * 8)
+    with pytest.raises(H.H264Error, match="I_PCM"):
+        H.encode_i_frame_cabac([pcm, pcm], wmb, hmb, 26)
+    # decoder-side: a handcrafted mb_type prefix 1 + terminate 1 (I_PCM)
+    w = H.BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+    w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+    while len(w.bits) % 8:
+        w.bits.append(1)
+    enc = H.CabacEncoder(w, 26)
+    enc.decision(3, 1)   # not I_4x4 (no neighbors -> inc 0)
+    enc.terminate(1)     # I_PCM marker + flush
+    nal = H._nal(5, w.tobytes())
+    with pytest.raises(H.H264Error, match="I_PCM in CABAC"):
+        H.decode_i_frame([sps, pps, nal])
+
+
+def test_cabac_mutation_fuzz_never_hangs_or_crashes():
+    """Bit/byte mutations of a valid CABAC IDR stream must decode (the
+    mutation landed somewhere harmless) or raise a DECODABLE error —
+    never crash with an unexpected type and never loop (the engine's
+    loops are all explicitly bounded)."""
+    import random
+
+    rng = random.Random(11)
+    wmb, hmb = 3, 2
+    coeffs = [[0] * 16 for _ in range(16)]
+    coeffs[0][0] = 40
+    coeffs[5][3] = -17
+    mbs = [("i4", [2] * 16, coeffs, ([5, 0, 0, 0], [0] * 4))]
+    mbs += [("i16", 2, [0] * 16, None)] * (wmb * hmb - 1)
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26, cabac=True)
+    idr = H.encode_i_frame_cabac(mbs, wmb, hmb, 26)
+    decoded = failed = 0
+    for _ in range(300):
+        mut = bytearray(idr)
+        for _ in range(rng.randint(1, 3)):
+            mut[rng.randrange(1, len(mut))] ^= 1 << rng.randrange(8)
+        try:
+            out = H.decode_i_frame([sps, pps, bytes(mut)])
+            assert out.shape == (hmb * 16, wmb * 16, 3)
+            decoded += 1
+        except H.DECODABLE_ERRORS:
+            failed += 1
+    assert decoded + failed == 300
+    # desync overwhelmingly surfaces as a raised syntax violation
+    assert failed > 100
