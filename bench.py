@@ -234,6 +234,43 @@ def main() -> None:
 
     total = round(sum(times.values()), 4)
 
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+        # one-off scale runs (e.g. the sf1 headline sweep): skip the
+        # materialized-replication / store-lifecycle / pipeline blocks,
+        # which would build a REP x replica of an already-large input
+        out = {
+            "metric": "headline_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "queries_median": times_median,
+            "reps": reps,
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "cpus": os.cpu_count(),
+            "errors": errors,
+            "sf": sf,
+            "headline_only": True,
+        }
+        compact = {
+            "metric": "headline_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in times.items()},
+            "sf": sf,
+            "reps": reps,
+            "headline_only": True,
+            "errors": {k: v[:60] for k, v in errors.items()},
+        }
+        print(_trim_stdout_line(compact))
+        side = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY_OUT")
+        if side:
+            with open(side, "w") as f:
+                json.dump(out, f, indent=1)
+                f.write("\n")
+        spark.stop()
+        return
+
     # Multimodal codec throughput on a BOUNDED sample (the full-table gate
     # queries decode every document — honest for correctness, too heavy
     # for the bench cadence at sf0.1's 50k docs). The codecs are map-only
