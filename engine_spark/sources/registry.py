@@ -100,6 +100,15 @@ def _kafka(spark: SparkSession, opts: dict) -> DataFrame:
     return kafka_source(spark, opts)
 
 
+def _http(spark: SparkSession, opts: dict) -> DataFrame:
+    """real HTTP source (sources/http.py): webhook receiver or REST
+    poller behind a PySpark Python Data Source (the reference lists the
+    HTTP connector as planned-only, MILESTONES.md M4)."""
+    from engine_spark.sources.http import http_source
+
+    return http_source(spark, opts)
+
+
 def _filequeue(spark: SparkSession, opts: dict) -> DataFrame:
     """durable replayable queue source (sources/filequeue.py) — the
     broker-parity extension: publish/ack semantics via segment files +
@@ -123,6 +132,7 @@ SOURCES: dict[str, Callable[[SparkSession, dict], DataFrame]] = {
     "memory": _memory,
     "rabbitmq": _rabbitmq,
     "kafka": _kafka,
+    "http": _http,
     "filequeue": _filequeue,
 }
 
@@ -243,6 +253,14 @@ def _kafka_writer(df: DataFrame, opts: dict):
     return kafka_sink_writer(df, opts)
 
 
+def _http_writer(df: DataFrame, opts: dict):
+    """real HTTP sink (sources/http.py): executor-side POSTs (single
+    rows or batch-request JSON arrays) with exponential-backoff retry."""
+    from engine_spark.sources.http import http_sink_writer
+
+    return http_sink_writer(df, opts)
+
+
 def _filequeue_writer(df: DataFrame, opts: dict):
     """exactly-once queue sink (sources/filequeue.py): idempotent
     epoch-segment publish; re-delivered epochs after a crash are no-ops."""
@@ -261,6 +279,7 @@ SINKS: dict[str, Callable] = {
     "websocket": _websocket_writer,
     "rabbitmq": _rabbitmq_writer,
     "kafka": _kafka_writer,
+    "http": _http_writer,
     "filequeue": _filequeue_writer,
 }
 

@@ -1,0 +1,266 @@
+"""HTTP connector (webhook/poll source, retrying sink) + Prometheus
+metrics endpoint — the reference's planned-only M4 surface
+(MILESTONES.md: HTTP connector, Observability), stdlib implementation."""
+
+from __future__ import annotations
+
+import http.client
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from engine_spark.sources import create_sink_writer, create_source
+from engine_spark.sources.http import (
+    WebhookReceiver,
+    post_with_retry,
+    start_webhook_receiver,
+)
+
+
+def _drain(predicate, timeout=15.0, step=0.1):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if predicate():
+            return True
+        time.sleep(step)
+    return False
+
+
+def _post(port, path, payload: bytes, ctype="application/json") -> int:
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    try:
+        conn.request("POST", path, body=payload,
+                     headers={"Content-Type": ctype})
+        return conn.getresponse().status
+    finally:
+        conn.close()
+
+
+class _CollectServer:
+    """Test sink target: records POST bodies; can fail the first N
+    requests with 503 (exercises the retry/backoff path)."""
+
+    def __init__(self, fail_first: int = 0):
+        self.bodies: list[tuple[str, str]] = []
+        self.fails_left = fail_first
+        self.lock = threading.Lock()
+        srv_self = self
+
+        class _H(BaseHTTPRequestHandler):
+            def log_message(self, *a):
+                pass
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(n).decode()
+                with srv_self.lock:
+                    if srv_self.fails_left > 0:
+                        srv_self.fails_left -= 1
+                        self.send_response(503)
+                        self.end_headers()
+                        return
+                    srv_self.bodies.append((self.path, raw))
+                self.send_response(200)
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                self.wfile.write(b"ok")
+
+        self.srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+        self.port = self.srv.server_address[1]
+        threading.Thread(target=self.srv.serve_forever, daemon=True).start()
+
+    def stop(self):
+        self.srv.shutdown()
+        self.srv.server_close()
+
+
+def test_webhook_receiver_buffers_posts():
+    rx = WebhookReceiver()
+    try:
+        assert _post(rx.port, "/ingest", b'{"a": 1}') == 200
+        assert _post(rx.port, "/other", b"plain", "text/plain") == 200
+        with rx.lock:
+            rows = list(rx.buffer)
+        assert [(o, v, p) for o, v, p, _c in rows] == [
+            (0, '{"a": 1}', "/ingest"), (1, "plain", "/other"),
+        ]
+        assert rows[1][3] == "text/plain"
+    finally:
+        rx.stop()
+
+
+def test_post_with_retry_backs_off_then_succeeds_and_exhausts():
+    srv = _CollectServer(fail_first=2)
+    try:
+        status = post_with_retry(
+            f"http://127.0.0.1:{srv.port}/hook", b'{"x": 1}',
+            "application/json", retries=3, backoff_s=0.01,
+        )
+        assert status == 200 and len(srv.bodies) == 1
+    finally:
+        srv.stop()
+    srv2 = _CollectServer(fail_first=99)
+    try:
+        with pytest.raises(ConnectionError, match="failed after 3 attempts"):
+            post_with_retry(
+                f"http://127.0.0.1:{srv2.port}/hook", b"{}",
+                "application/json", retries=2, backoff_s=0.01,
+            )
+    finally:
+        srv2.stop()
+
+
+def test_spark_http_webhook_source_reads_posts(spark, tmp_path):
+    rx = start_webhook_receiver()
+    df = create_source(
+        spark,
+        {"extension": "http", "http.mode": "webhook",
+         "http.port": str(rx.port)},
+    )
+    assert df.isStreaming
+    assert df.columns == ["value", "path", "content_type"]
+    for i in range(4):
+        assert _post(rx.port, "/ev", json.dumps({"n": i}).encode()) == 200
+    q = (
+        df.writeStream.format("memory")
+        .queryName("http_in")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        assert _drain(
+            lambda: spark.sql("SELECT * FROM http_in").count() >= 4
+        ), "webhook rows never reached the memory sink"
+        rows = spark.sql("SELECT * FROM http_in").collect()
+        assert {json.loads(r.value)["n"] for r in rows} >= {0, 1, 2, 3}
+        assert all(r.path == "/ev" for r in rows)
+        # commit timing: commit(end of batch N) fires as batch N+1 is
+        # constructed, so push one flush event to force the next batch —
+        # the first wave must then be pruned receiver-side
+        assert _post(rx.port, "/ev", b'{"n": 99}') == 200
+        assert _drain(lambda: len(rx.buffer) <= 1)
+    finally:
+        q.stop()
+        rx.stop()
+
+
+def test_spark_http_poll_source_reads_endpoint(spark, tmp_path):
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = b"line-a\nline-b"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        df = create_source(
+            spark,
+            {
+                "extension": "http",
+                "http.mode": "poll",
+                "http.url": f"http://127.0.0.1:{srv.server_address[1]}/feed",
+                "http.poll.interval.ms": "100",
+                "http.split.lines": "true",
+            },
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName("http_poll")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(processingTime="200 milliseconds")
+            .start()
+        )
+        try:
+            assert _drain(
+                lambda: spark.sql("SELECT * FROM http_poll").count() >= 2
+            )
+            vals = {r.value for r in spark.sql("SELECT * FROM http_poll").collect()}
+            assert {"line-a", "line-b"} <= vals
+        finally:
+            q.stop()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_spark_http_sink_posts_rows_and_batches(spark, tmp_path):
+    srv = _CollectServer()
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(json.dumps({"k": i, "v": f"row-{i}"}) for i in range(4))
+        )
+        df = spark.readStream.schema("k long, v string").json(str(src))
+        writer = create_sink_writer(
+            df,
+            {
+                "extension": "http",
+                "http.url": f"http://127.0.0.1:{srv.port}/hook",
+                "http.batch.size": "2",
+                "checkpoint": str(tmp_path / "ck"),
+            },
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(60)
+        assert _drain(lambda: sum(
+            len(json.loads(b)) for _p, b in srv.bodies
+        ) == 4), srv.bodies
+        got = {d["v"] for _p, b in srv.bodies for d in json.loads(b)}
+        assert got == {f"row-{i}" for i in range(4)}
+        assert all(p == "/hook" for p, _b in srv.bodies)
+        # batch.size=2 -> JSON arrays, not single objects
+        assert all(isinstance(json.loads(b), list) for _p, b in srv.bodies)
+    finally:
+        srv.stop()
+
+
+def test_metrics_endpoint_serves_prometheus_text(spark, tmp_path):
+    from engine_spark.observability import start_metrics
+
+    ep = start_metrics(spark)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(json.dumps({"k": i}) for i in range(5))
+        )
+        df = spark.readStream.schema("k long").json(str(src))
+        q = (
+            df.groupBy().count()
+            .writeStream.format("memory")
+            .queryName("metrics_probe")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        assert _drain(
+            lambda: 'engine_spark_input_rows_total{query="metrics_probe"} 5'
+            in ep.render()
+        ), ep.render()
+        conn = http.client.HTTPConnection("127.0.0.1", ep.port, timeout=10)
+        conn.request("GET", "/metrics")
+        resp = conn.getresponse()
+        body = resp.read().decode()
+        assert resp.status == 200
+        assert resp.getheader("Content-Type").startswith("text/plain")
+        conn.close()
+        assert "# TYPE engine_spark_input_rows_total counter" in body
+        assert 'engine_spark_input_rows_total{query="metrics_probe"} 5' in body
+        assert 'engine_spark_batches_total{query="metrics_probe"}' in body
+        assert "engine_spark_batch_duration_ms" in body
+    finally:
+        ep.stop()
