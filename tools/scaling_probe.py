@@ -89,7 +89,11 @@ def main() -> None:
             simhash_pairs,
         )
 
-        s = d.select("doc_id", F.expr(_simhash_expr(_SPD)).alias("sim"))
+        # same single-row-group mitigation as q_dedup_simhash: the 56
+        # interpreted filters of the signature otherwise run on one task
+        s = d.repartition(32).select(
+            "doc_id", F.expr(_simhash_expr(_SPD)).alias("sim")
+        )
         return simhash_pairs(s)
 
     def segment_chain(d):
