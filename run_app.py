@@ -175,6 +175,11 @@ def parse_args(argv):
     )
     p.add_argument("--master", default=None, help="Spark master override")
     p.add_argument(
+        "--metrics-port", type=int, default=None, metavar="PORT",
+        help="serve a Prometheus /metrics endpoint over streaming-query "
+        "progress on this port (0 = any free port; printed at startup)",
+    )
+    p.add_argument(
         "-e", "--extension", action="append", default=[], metavar="MODULE",
         help="plugin module with a register() hook (reference: -e ext.so); "
         "repeatable",
@@ -487,24 +492,33 @@ def main(argv=None, stop: bool = True) -> int:
     from engine_spark.session import get_spark
 
     spark = get_spark("run_app", master=args.master, extra_conf=conf)
+    metrics = None
+    if args.metrics_port is not None:
+        from engine_spark.observability import start_metrics
+
+        metrics = start_metrics(spark, port=args.metrics_port)
+        print(f"[metrics] serving /metrics on port {metrics.port}")
+    def _teardown():
+        if metrics is not None:
+            metrics.stop()
+        if stop:
+            spark.stop()
+
     if args.dedup_stream:
         try:
             return run_dedup_stream(spark, args)
         finally:
-            if stop:
-                spark.stop()
+            _teardown()
     if args.index_stream:
         try:
             return run_index_stream(spark, args)
         finally:
-            if stop:
-                spark.stop()
+            _teardown()
     if args.vector_stream:
         try:
             return run_vector_stream(spark, args)
         finally:
-            if stop:
-                spark.stop()
+            _teardown()
     if not args.sql_file:
         raise SystemExit(
             "sql_file is required unless --dedup-stream/--index-stream/"
@@ -597,6 +611,8 @@ def main(argv=None, stop: bool = True) -> int:
         else:
             print(f"[{name}]")
             df.show(args.show, truncate=False)
+    if metrics is not None:
+        metrics.stop()  # per-run endpoint (the session may be shared)
     if stop:  # in-process callers (tests) share the session: stop=False
         spark.stop()
     return 0

@@ -483,3 +483,69 @@ def test_cli_vector_stream_over_prebuilt_index_recovers(spark, tmp_path,
     out = capsys.readouterr().out
     assert "epoch 0 committed" in out
     assert "[vector-query]" in out
+
+
+def test_cli_metrics_port_serves_scrapes_during_run(spark, tmp_path, capsys):
+    """--metrics-port attaches the Prometheus endpoint for the run: the
+    startup line names the bound port, the endpoint answers while the
+    app runs (probed via a plugin hook that scrapes mid-run), and it is
+    torn down with the run."""
+    import http.client
+    import re
+    import textwrap
+
+    sql = _write(tmp_path, "app.sql", APP_SQL)
+    # a plugin whose register() scrapes the endpoint mid-run: by the time
+    # extensions load, the metrics server is already up
+    plug_dir = tmp_path / "plug"
+    plug_dir.mkdir()
+    (plug_dir / "scrape_plugin.py").write_text(textwrap.dedent("""
+        import http.client, os
+
+        def register():
+            port = int(os.environ["TEST_METRICS_PORT"])
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+            conn.request("GET", "/metrics")
+            resp = conn.getresponse()
+            body = resp.read().decode()
+            conn.close()
+            assert resp.status == 200, resp.status
+            assert "engine_spark_input_rows_total" in body
+            os.environ["TEST_METRICS_SCRAPED"] = "1"
+    """))
+    sys.path.insert(0, str(plug_dir))
+    try:
+        # two-phase: first run grabs the port... the port is ephemeral per
+        # run, so use a fixed free port instead
+        import socket
+
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+        s.close()
+        os.environ["TEST_METRICS_PORT"] = str(port)
+        os.environ.pop("TEST_METRICS_SCRAPED", None)
+        assert run_app.main(
+            stop=False,
+            argv=[sql, "--register", f"events={SF}/events.parquet:ts",
+                  "--metrics-port", str(port), "-e", "scrape_plugin"],
+        ) == 0
+        out = capsys.readouterr().out
+        m = re.search(r"\[metrics\] serving /metrics on port (\d+)", out)
+        assert m and int(m.group(1)) == port
+        assert os.environ.get("TEST_METRICS_SCRAPED") == "1"
+        # torn down with the run: the port no longer answers
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+        try:
+            conn.request("GET", "/metrics")
+            conn.getresponse()
+            alive = True
+        except OSError:
+            alive = False
+        finally:
+            conn.close()
+        assert not alive, "metrics endpoint survived the run"
+    finally:
+        sys.path.remove(str(plug_dir))
+        os.environ.pop("TEST_METRICS_PORT", None)
+        os.environ.pop("TEST_METRICS_SCRAPED", None)
