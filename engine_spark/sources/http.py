@@ -47,16 +47,21 @@ class WebhookReceiver:
     the wire (same location-independence as the amqp pump connecting to
     its broker):
 
-    - ``POST <any path>``      -> 200, body buffered at the next offset
+    - ``POST <any path>``      -> 200, body buffered at the next offset;
+      503 when ``max_buffer`` uncommitted events are already held
+      (backpressure to the webhook caller — senders retry, nothing is
+      silently dropped)
     - ``GET /__events?from=N`` -> {"rows": [[off, value, path, ctype]...],
                                    "next": M}
     - ``POST /__commit`` {"upto": N} -> prunes offsets < N
     - ``GET /health``          -> liveness
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0,
+                 max_buffer: int = 100_000):
         self.buffer: list[Tuple[int, str, str, str]] = []
         self.next = 0
+        self.max_buffer = max_buffer
         self.lock = threading.Lock()
         rx = self
 
@@ -97,6 +102,11 @@ class WebhookReceiver:
                 ctype = self.headers.get("Content-Type",
                                          "application/octet-stream")
                 with rx.lock:
+                    if len(rx.buffer) >= rx.max_buffer:
+                        self.send_response(503)  # backpressure: retry
+                        self.send_header("Retry-After", "1")
+                        self.end_headers()
+                        return
                     rx.buffer.append(
                         (rx.next, raw.decode("utf-8", "replace"),
                          self.path, ctype)
@@ -117,11 +127,16 @@ class WebhookReceiver:
 
 class _Poller:
     """Driver-side REST poll loop: GET ``url`` every ``interval_s``; each
-    response body (or each line of it) becomes one buffered event."""
+    response body (or each line of it) becomes one buffered event.
+    Polling PAUSES while ``max_buffer`` uncommitted events are held
+    (backpressure, not loss) — a stopped consumer otherwise grows the
+    buffer forever."""
 
-    def __init__(self, url: str, interval_s: float, split_lines: bool):
+    def __init__(self, url: str, interval_s: float, split_lines: bool,
+                 max_buffer: int = 100_000):
         self.buffer: list[Tuple[int, str, str, str]] = []
         self.next = 0
+        self.max_buffer = max_buffer
         self.lock = threading.Lock()
         self.url = url
         self.interval_s = interval_s
@@ -152,10 +167,13 @@ class _Poller:
 
     def _run(self) -> None:
         while not self.closed:
-            try:
-                self._poll_once()
-            except OSError:
-                pass  # endpoint down: poll again next tick
+            with self.lock:
+                full = len(self.buffer) >= self.max_buffer
+            if not full:
+                try:
+                    self._poll_once()
+                except OSError:
+                    pass  # endpoint down: poll again next tick
             time.sleep(self.interval_s)
 
     def stop(self) -> None:

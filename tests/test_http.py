@@ -264,3 +264,22 @@ def test_metrics_endpoint_serves_prometheus_text(spark, tmp_path):
         assert "engine_spark_batch_duration_ms" in body
     finally:
         ep.stop()
+
+
+def test_webhook_receiver_backpressure_503_when_full():
+    rx = WebhookReceiver(max_buffer=2)
+    try:
+        assert _post(rx.port, "/e", b"1") == 200
+        assert _post(rx.port, "/e", b"2") == 200
+        assert _post(rx.port, "/e", b"3") == 503  # full: caller retries
+        # consumer commits -> space frees -> accepts again
+        conn = http.client.HTTPConnection("127.0.0.1", rx.port, timeout=10)
+        conn.request("POST", "/__commit", body=b'{"upto": 2}',
+                     headers={"Content-Type": "application/json"})
+        assert conn.getresponse().status == 200
+        conn.close()
+        assert _post(rx.port, "/e", b"3") == 200
+        with rx.lock:
+            assert [v for _o, v, _p, _c in rx.buffer] == ["3"]
+    finally:
+        rx.stop()
