@@ -2258,6 +2258,43 @@ def encode_i_frame_slices(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     return nals
 
 
+def _chroma_cbp(cdc, cac) -> int:
+    """cbp_chroma from the fixture descriptors: 2 when any chroma AC is
+    present (DC blocks then encode even if all-zero, as the syntax
+    requires), 1 for DC-only, 0 for none."""
+    if cac is not None and any(
+        blk is not None and any(blk)
+        for comp in cac for blk in comp
+    ):
+        return 2
+    return 1 if cdc is not None else 0
+
+
+def _encode_chroma_residuals(w: BitWriter, fr: _Frame, mbx: int, mby: int,
+                             slice_id: int, cbp_chroma: int,
+                             cdc, cac) -> None:
+    """Chroma residual emission shared by the i16/i4 CAVLC paths: DC pair
+    (nC = -1) when cbp_chroma >= 1, then the per-component AC grid in
+    raster order with live _nc_chroma bookkeeping when cbp_chroma == 2 —
+    the exact consumption order of _decode_residuals."""
+    if cbp_chroma:
+        for comp in range(2):
+            dc = cdc[comp] if cdc is not None else [0] * 4
+            encode_residual_block(w, list(dc), -1)
+    for comp in range(2):
+        done = np.zeros((2, 2), bool)
+        for j in range(4):
+            bx2, by2 = mbx * 2 + j % 2, mby * 2 + j // 2
+            if cbp_chroma == 2:
+                blk = cac[comp][j] if cac[comp][j] is not None else [0] * 15
+                nc = _nc_chroma(fr, comp, bx2, by2, mbx, mby, slice_id, done)
+                tc = encode_residual_block(w, list(blk), nc)
+                fr.cnnz[comp][by2, bx2] = tc
+            else:
+                fr.cnnz[comp][by2, bx2] = 0
+            done[j // 2, j % 2] = True
+
+
 def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
                slice_id: int = 0, ptype_off: int = 0) -> None:
     """Emit one INTRA macroblock (``ptype_off`` = 5 inside P slices,
@@ -2287,35 +2324,56 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
         return
 
     if kind == "i16":
-        _, pred_mode, dc_levels, cdc = desc
-        cbp_chroma = 1 if (cdc is not None and any(cdc[0]) or cdc is not None and any(cdc[1])) else 0
+        pred_mode, dc_levels, cdc = desc[1], desc[2], desc[3]
+        ac16 = desc[4] if len(desc) > 4 else None
+        cac = desc[5] if len(desc) > 5 else None
+        if ac16 is not None and not any(
+            blk is not None and any(blk) for blk in ac16
+        ):
+            ac16 = None
+        cbp_luma = 15 if ac16 is not None else 0
         if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
             cdc = None
-        w.ue(1 + pred_mode + 4 * cbp_chroma + ptype_off)
+        cbp_chroma = _chroma_cbp(cdc, cac)
+        w.ue(1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
+             + ptype_off)
         w.ue(0)  # intra_chroma_pred_mode: DC
         w.se(0)  # mb_qp_delta
         nc = _nc_luma(fr, bx0, by0, slice_id)
         encode_residual_block(w, list(dc_levels), nc)
-        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
-        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
-        fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0  # AC absent
         fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
-        if cbp_chroma:
-            for comp in range(2):
-                encode_residual_block(w, list(cdc[comp]), -1)
+        # AC blocks in z-order, nC bookkeeping advancing per block —
+        # the exact order the decoder's _decode_residuals consumes
+        for i in range(16):
+            bx = bx0 + _BLK_XY[i][0] // 4
+            by = by0 + _BLK_XY[i][1] // 4
+            if cbp_luma:
+                ac = ac16[i] if ac16[i] is not None else [0] * 15
+                nc = _nc_luma(fr, bx, by, slice_id)
+                tc = encode_residual_block(w, list(ac), nc)
+                fr.blk_nnz[by, bx] = tc
+            else:
+                fr.blk_nnz[by, bx] = 0
+            fr.blk_done[by, bx] = True
+            fr.blk_slice[by, bx] = slice_id
+        _encode_chroma_residuals(w, fr, mbx, mby, slice_id, cbp_chroma,
+                                 cdc, cac)
         fr.mb_done[mby, mbx] = True
         return
 
     if kind != "i4":
         raise H264Error(f"unknown MB descriptor {kind!r}")
-    _, modes, coeffs, cdc = desc
+    modes, coeffs, cdc = desc[1], desc[2], desc[3]
+    cac = desc[4] if len(desc) > 4 else None
     w.ue(ptype_off)
     # quadrant cbp bits; inside a coded quadrant every block is written
     cbp_luma = 0
     for i in range(16):
         if coeffs[i] is not None and any(coeffs[i]):
             cbp_luma |= 1 << (i // 4)
-    cbp_chroma = 1 if cdc is not None and (any(cdc[0]) or any(cdc[1])) else 0
+    if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
+        cdc = None
+    cbp_chroma = _chroma_cbp(cdc, cac)
     # intra4x4 pred modes (need blk_mode state as the decoder builds it)
     for i in range(16):
         bx = bx0 + _BLK_XY[i][0] // 4
@@ -2347,9 +2405,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
             fr.blk_nnz[by, bx] = tc
         else:
             fr.blk_nnz[by, bx] = 0
-    if cbp_chroma:
-        for comp in range(2):
-            encode_residual_block(w, list(cdc[comp]), -1)
+    _encode_chroma_residuals(w, fr, mbx, mby, slice_id, cbp_chroma, cdc, cac)
     fr.mb_done[mby, mbx] = True
 
 
@@ -3468,31 +3524,38 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
     fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = -1
 
     if kind == "i16":
-        _, pred_mode, dc_levels, cdc = desc
+        pred_mode, dc_levels, cdc = desc[1], desc[2], desc[3]
+        ac16 = desc[4] if len(desc) > 4 else None
+        cac = desc[5] if len(desc) > 5 else None
+        if ac16 is not None and not any(
+            blk is not None and any(blk) for blk in ac16
+        ):
+            ac16 = None
+        cbp_luma = 15 if ac16 is not None else 0
         if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
             cdc = None
-        cbp_luma = 0
-        cbp_chroma = 1 if cdc is not None else 0
+        cbp_chroma = _chroma_cbp(cdc, cac)
         enc.decision(3 + inc, 1)
         enc.terminate(0)  # not I_PCM
-        enc.decision(6, 0)  # cbp_luma 0 (fixture: DC-only I16)
+        enc.decision(6, 1 if cbp_luma else 0)
         if cbp_chroma:
             enc.decision(7, 1)
-            enc.decision(8, 0)  # cbp_chroma 1 (DC only)
+            enc.decision(8, 1 if cbp_chroma == 2 else 0)
         else:
             enc.decision(7, 0)
         enc.decision(9, (pred_mode >> 1) & 1)
         enc.decision(10, pred_mode & 1)
         modes = None
     else:
-        _, modes, coeffs, cdc = desc
+        modes, coeffs, cdc = desc[1], desc[2], desc[3]
+        cac = desc[4] if len(desc) > 4 else None
         if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
             cdc = None
         cbp_luma = 0
         for i in range(16):
             if coeffs[i] is not None and any(coeffs[i]):
                 cbp_luma |= 1 << (i // 4)
-        cbp_chroma = 1 if cdc is not None else 0
+        cbp_chroma = _chroma_cbp(cdc, cac)
         enc.decision(3 + inc, 0)  # I_4x4
         for i in range(16):
             bx = bx0 + _BLK_XY[i][0] // 4
@@ -3527,7 +3590,7 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
         inc0, inc1 = _cbp_chroma_incs(fr, mbx, mby, slice_id)
         if cbp_chroma:
             enc.decision(77 + inc0, 1)
-            enc.decision(81 + inc1, 0)  # never 2 in fixtures
+            enc.decision(81 + inc1, 1 if cbp_chroma == 2 else 0)
         else:
             enc.decision(77 + inc0, 0)
     fr.mb_cbpl[mby, mbx] = cbp_luma
@@ -3545,8 +3608,20 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
         fr.cbf_lumadc[mby, mbx] = 1 if any(dc_levels) else 0
         fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
         fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
-        fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0  # AC absent
         fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        for i in range(16):  # AC blocks (cat 1) when cbp_luma = 15
+            bx = bx0 + _BLK_XY[i][0] // 4
+            by = by0 + _BLK_XY[i][1] // 4
+            if cbp_luma:
+                ac = ac16[i] if ac16[i] is not None else [0] * 15
+                _encode_residual_cabac(
+                    enc, 1, list(ac),
+                    _cbf_inc(fr, 1, mbx, mby, slice_id, bx=bx, by=by),
+                )
+                fr.cbf_luma[by, bx] = 1 if any(ac) else 0
+                fr.blk_nnz[by, bx] = sum(1 for v in ac if v)
+            else:
+                fr.blk_nnz[by, bx] = 0
     else:
         for i in range(16):
             bx = bx0 + _BLK_XY[i][0] // 4
@@ -3563,11 +3638,24 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
                 fr.blk_nnz[by, bx] = 0
     if cbp_chroma:
         for comp in range(2):
+            dc = cdc[comp] if cdc is not None else [0] * 4
             _encode_residual_cabac(
-                enc, 3, list(cdc[comp]),
+                enc, 3, list(dc),
                 _cbf_inc(fr, 3, mbx, mby, slice_id, comp=comp),
             )
-            fr.cbf_cdc[comp][mby, mbx] = 1 if any(cdc[comp]) else 0
+            fr.cbf_cdc[comp][mby, mbx] = 1 if any(dc) else 0
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for j in range(4):
+                cx2, cy2 = mbx * 2 + j % 2, mby * 2 + j // 2
+                blk = cac[comp][j] if cac[comp][j] is not None else [0] * 15
+                _encode_residual_cabac(
+                    enc, 4, list(blk),
+                    _cbf_inc(fr, 4, mbx, mby, slice_id,
+                             bx=cx2, by=cy2, comp=comp),
+                )
+                fr.cbf_cac[comp][cy2, cx2] = 1 if any(blk) else 0
+                fr.cnnz[comp][cy2, cx2] = sum(1 for v in blk if v)
     fr.mb_done[mby, mbx] = True
     if kind == "i4":
         fr.mb_i4[mby, mbx] = True

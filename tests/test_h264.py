@@ -2358,3 +2358,146 @@ def test_cabac_mutation_fuzz_never_hangs_or_crashes():
     assert decoded + failed == 300
     # desync overwhelmingly surfaces as a raised syntax violation
     assert failed > 100
+
+
+# ---------------------------------------------------------------------------
+# r12 follow-up: the I16-AC (ctxBlockCat 1) and chroma-AC (cat 4) residual
+# paths — previously decoder-only, now emitted by BOTH fixture encoders
+# ---------------------------------------------------------------------------
+
+def _independent_idct4x4(d):
+    """Second transcription of the 8.5.12 inverse core transform, written
+    from the butterfly equations (NOT from the module's idct4x4)."""
+    import numpy as np
+
+    d = np.asarray(d, np.int64)
+    e = np.zeros((4, 4), np.int64)
+    for i in range(4):  # rows
+        a, b, c, f = d[i]
+        e0, e1 = a + c, a - c
+        e2, e3 = (b >> 1) - f, b + (f >> 1)
+        e[i] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    out = np.zeros((4, 4), np.int64)
+    for j in range(4):  # columns
+        a, b, c, f = e[:, j]
+        e0, e1 = a + c, a - c
+        e2, e3 = (b >> 1) - f, b + (f >> 1)
+        out[:, j] = [e0 + e3, e1 + e2, e1 - e2, e0 - e3]
+    return out
+
+
+def test_i16_ac_and_chroma_ac_match_independent_idct():
+    """Single-MB I16 with ONE AC coefficient (luma) and one chroma-AC
+    coefficient: decoder pixels must equal an independent dequant+IDCT
+    computation, under BOTH entropy coders. Pins the cat-1/cat-4
+    residual paths to ground truth, not just to each other."""
+    import numpy as np
+
+    qp = 26
+    L = 9  # luma AC level at zigzag position 1 of block 0
+    C = 7  # Cb AC level at zigzag position 1 of chroma block 0
+    ac16 = [None] * 16
+    ac16[0] = [L] + [0] * 14
+    cac = [[[C] + [0] * 14, None, None, None], [None] * 4]
+    mbs = [("i16", 2, [0] * 16, None, ac16, cac)]
+
+    # independent expectation: zigzag pos 1 -> matrix (0,1), scale class
+    # "other" (one odd index) -> V[26%6=2] value 16, shifted << 26//6=4
+    # (the module keeps the full shift; the (x+32)>>6 rounding follows);
+    # DC is zero here
+    d = np.zeros((4, 4), np.int64)
+    d[0, 1] = (L * 16) << 4
+    res = (_independent_idct4x4(d) + 32) >> 6
+    want_y = np.clip(128 + res, 0, 255)
+    dch = np.zeros((4, 4), np.int64)
+    dch[0, 1] = (C * 16) << 4  # chroma QP at qp_y 26, offset 0 -> 26
+    cres = (_independent_idct4x4(dch) + 32) >> 6
+    want_cb = np.clip(128 + cres, 0, 255)
+
+    for cabac in (False, True):
+        sps, pps = H.encode_sps_pps(1, 1, qp=qp, cabac=cabac)
+        idr = (H.encode_i_frame_cabac(mbs, 1, 1, qp) if cabac
+               else H.encode_i_frame(mbs, 1, 1, qp))
+        fr = H.decode_access_unit([sps, pps, idr],
+                                  *H._seed_param_maps(None, None), None)
+        assert (fr.y[:4, :4] == want_y).all(), f"cabac={cabac} luma"
+        assert (fr.y[4:, :] == 128).all() and (fr.y[:4, 4:] == 128).all()
+        assert (fr.cb[:4, :4] == want_cb).all(), f"cabac={cabac} chroma"
+        assert (fr.cr == 128).all()
+
+
+def test_cross_entropy_equality_i16_ac_and_chroma_ac():
+    """Randomized frames now including I16-with-AC and chroma-AC content
+    (both fixture encoders emit them since r12): identical descriptors
+    must reconstruct identical pixels under CAVLC and CABAC — covering
+    ctxBlockCat 1 and 4 contexts, the i16 CAVLC nC bookkeeping, and the
+    cbp_chroma=2 syntax on both entropy paths."""
+    import random
+
+    rng = random.Random(31)
+    wmb, hmb = 4, 3
+
+    def rand_cac():
+        out = []
+        for _comp in range(2):
+            blks = []
+            for _j in range(4):
+                if rng.random() < 0.5:
+                    c = [0] * 15
+                    for _ in range(rng.randint(1, 4)):
+                        c[rng.randrange(15)] = rng.choice([1, -1, 2, -5, 30])
+                    blks.append(c)
+                else:
+                    blks.append(None)
+            out.append(blks)
+        return out
+
+    for trial in range(6):
+        mbs = []
+        for m in range(wmb * hmb):
+            x, y = m % wmb, m // wmb
+            preds = ([2] + ([0] if y else []) + ([1] if x else [])
+                     + ([3] if x and y else []))
+            cdc = (
+                ([rng.randint(-30, 30) for _ in range(4)],
+                 [rng.randint(-30, 30) for _ in range(4)])
+                if rng.random() < 0.6 else None
+            )
+            cac = rand_cac() if rng.random() < 0.5 else None
+            if rng.random() < 0.5:
+                dc = [rng.choice([0, 0, 0, 5, -9, 80]) for _ in range(16)]
+                ac16 = None
+                if rng.random() < 0.6:
+                    ac16 = []
+                    for _ in range(16):
+                        if rng.random() < 0.5:
+                            c = [0] * 15
+                            for _ in range(rng.randint(1, 5)):
+                                c[rng.randrange(15)] = rng.choice(
+                                    [1, -1, 3, -20, 100])
+                            ac16.append(c)
+                        else:
+                            ac16.append(None)
+                mbs.append(("i16", rng.choice(preds), dc, cdc, ac16, cac))
+            else:
+                coeffs = []
+                for _ in range(16):
+                    if rng.random() < 0.5:
+                        c = [0] * 16
+                        for _ in range(rng.randint(1, 6)):
+                            c[rng.randrange(16)] = rng.choice(
+                                [1, -1, 2, -2, 17, -300])
+                        coeffs.append(c)
+                    else:
+                        coeffs.append(None)
+                mbs.append(("i4", [2] * 16, coeffs, cdc, cac))
+        qp = rng.choice([20, 26, 30, 38])
+        sps_c, pps_c = H.encode_sps_pps(wmb, hmb, qp=qp, cabac=True)
+        sps_v, pps_v = H.encode_sps_pps(wmb, hmb, qp=qp)
+        out_c = H.decode_i_frame(
+            [sps_c, pps_c, H.encode_i_frame_cabac(mbs, wmb, hmb, qp)]
+        )
+        out_v = H.decode_i_frame(
+            [sps_v, pps_v, H.encode_i_frame(mbs, wmb, hmb, qp)]
+        )
+        assert (out_c == out_v).all(), f"trial {trial} diverged"
