@@ -2200,7 +2200,8 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
 
 
 def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
-                   deblock_idc: int = 1) -> bytes:
+                   deblock_idc: int = 1,
+                   qp_deltas: "list[int] | None" = None) -> bytes:
     """One IDR slice NAL covering the whole frame. ``mbs`` is a raster list
     of MB descriptors:
 
@@ -2215,12 +2216,14 @@ def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     """
     if len(mbs) != w_mbs * h_mbs:
         raise H264Error("mb list does not cover the frame")
-    return encode_i_frame_slices(mbs, w_mbs, h_mbs, qp, deblock_idc)[0]
+    return encode_i_frame_slices(mbs, w_mbs, h_mbs, qp, deblock_idc,
+                                 qp_deltas=qp_deltas)[0]
 
 
 def encode_i_frame_slices(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
                           deblock_idc: int = 1,
-                          slice_starts: tuple = (0,)) -> list[bytes]:
+                          slice_starts: tuple = (0,),
+                          qp_deltas: "list[int] | None" = None) -> list[bytes]:
     """Like encode_i_frame but splitting the MB raster into one IDR slice
     NAL per entry of ``slice_starts`` (ascending, first must be 0). The
     shared shadow state carries SLICE IDS so predicted intra modes and
@@ -2252,7 +2255,8 @@ def encode_i_frame_slices(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
             w.se(0)  # slice_alpha_c0_offset_div2
             w.se(0)  # slice_beta_offset_div2
         for mb in range(first, last):
-            _encode_mb(w, shadow, mb, mbs[mb], qp, sid)
+            _encode_mb(w, shadow, mb, mbs[mb], qp, sid,
+                       qp_delta=qp_deltas[mb] if qp_deltas else 0)
         w.rbsp_trailing()
         nals.append(_nal(5, w.tobytes()))
     return nals
@@ -2296,7 +2300,8 @@ def _encode_chroma_residuals(w: BitWriter, fr: _Frame, mbx: int, mby: int,
 
 
 def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
-               slice_id: int = 0, ptype_off: int = 0) -> None:
+               slice_id: int = 0, ptype_off: int = 0,
+               qp_delta: int = 0) -> None:
     """Emit one INTRA macroblock (``ptype_off`` = 5 inside P slices,
     where intra mb_types sit above the inter ones)."""
     mbx, mby = mb % fr.wmb, mb // fr.wmb
@@ -2305,6 +2310,8 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
     bx0, by0 = mbx * 4, mby * 4
     fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = -1  # intra (MV-pred state)
     if kind == "pcm":
+        if qp_delta:
+            raise H264Error("I_PCM carries no mb_qp_delta")
         _, y, cb, cr = desc
         w.ue(25 + ptype_off)
         while len(w.bits) % 8:
@@ -2338,7 +2345,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
         w.ue(1 + pred_mode + 4 * cbp_chroma + 12 * (1 if cbp_luma else 0)
              + ptype_off)
         w.ue(0)  # intra_chroma_pred_mode: DC
-        w.se(0)  # mb_qp_delta
+        w.se(qp_delta)  # mb_qp_delta
         nc = _nc_luma(fr, bx0, by0, slice_id)
         encode_residual_block(w, list(dc_levels), nc)
         fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
@@ -2394,7 +2401,12 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
     w.ue(0)  # intra_chroma_pred_mode: DC
     w.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
     if cbp_luma or cbp_chroma:
-        w.se(0)  # mb_qp_delta
+        w.se(qp_delta)  # mb_qp_delta
+    elif qp_delta:
+        raise H264Error(
+            "qp_delta on an I_4x4 MB with no coded residual has no "
+            "syntax slot (7.3.5: mb_qp_delta only with coded_block_pattern)"
+        )
     for i in range(16):
         bx = bx0 + _BLK_XY[i][0] // 4
         by = by0 + _BLK_XY[i][1] // 4
@@ -3084,6 +3096,7 @@ class CabacEncoder:
         self.first = True
         self.outstanding = 0
         self.states = _init_ctx_states(slice_qp)
+        self.prev_qp_delta_nz = False
 
     def _putbit(self, b: int) -> None:
         if self.first:
@@ -3505,7 +3518,7 @@ def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
 
 
 def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
-                     slice_id: int = 0) -> None:
+                     slice_id: int = 0, qp_delta: int = 0) -> None:
     """Emit one INTRA macroblock of a CABAC I slice — same descriptor
     vocabulary as _encode_mb minus "pcm" (I_PCM needs mid-slice engine
     re-initialization; honest refusal both here and in the decoder).
@@ -3597,8 +3610,27 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
     fr.mb_cbpc[mby, mbx] = cbp_chroma
 
     if kind == "i16" or cbp_luma or cbp_chroma:
-        # mb_qp_delta = 0: single 0-bin
-        enc.decision(60 + 0, 0)  # prev delta always 0 in fixtures
+        # mb_qp_delta: U binarization of the 9.3.2.7 se mapping
+        # (0,+1,-1,+2,-2,... -> k = 0,1,2,3,4,...), ctx 60+prev/62/63
+        k = 2 * qp_delta - 1 if qp_delta > 0 else -2 * qp_delta
+        prev = 1 if enc.prev_qp_delta_nz else 0
+        if k == 0:
+            enc.decision(60 + prev, 0)
+        else:
+            enc.decision(60 + prev, 1)
+            j = 1
+            while j < k:
+                enc.decision(62 if j == 1 else 63, 1)
+                j += 1
+            enc.decision(62 if k == 1 else 63, 0)
+        enc.prev_qp_delta_nz = k != 0
+    elif qp_delta:
+        raise H264Error(
+            "qp_delta on an I_4x4 MB with no coded residual has no "
+            "syntax slot"
+        )
+    else:
+        enc.prev_qp_delta_nz = False
 
     # residuals
     if kind == "i16":
@@ -3662,7 +3694,8 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
 
 
 def encode_i_frame_cabac(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
-                         deblock_idc: int = 1) -> bytes:
+                         deblock_idc: int = 1,
+                         qp_deltas: "list[int] | None" = None) -> bytes:
     """One CABAC IDR slice NAL covering the whole frame — the CABAC twin
     of encode_i_frame (same descriptor vocabulary minus "pcm"); pair it
     with a PPS from ``encode_sps_pps(..., cabac=True)``. Identical
@@ -3690,7 +3723,8 @@ def encode_i_frame_cabac(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     enc = CabacEncoder(w, qp)
     n = len(mbs)
     for mb in range(n):
-        _encode_mb_cabac(enc, shadow, mb, mbs[mb], qp)
+        _encode_mb_cabac(enc, shadow, mb, mbs[mb], qp,
+                         qp_delta=qp_deltas[mb] if qp_deltas else 0)
         enc.terminate(1 if mb == n - 1 else 0)  # end_of_slice_flag
     # terminate(1) ran EncodeFlush, whose trailing '1' doubles as the
     # rbsp stop bit; tobytes zero-pads the final byte (7.3.4 note)

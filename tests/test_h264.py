@@ -2501,3 +2501,70 @@ def test_cross_entropy_equality_i16_ac_and_chroma_ac():
             [sps_v, pps_v, H.encode_i_frame(mbs, wmb, hmb, qp)]
         )
         assert (out_c == out_v).all(), f"trial {trial} diverged"
+
+
+def test_mb_qp_delta_nonzero_both_entropy_coders():
+    """Per-MB qp_delta (previously decoder-only): a 3-MB frame at slice
+    QP 26 with deltas [0, +4, -6] must dequantize MB k at its ACCUMULATED
+    QP under both entropy coders — CAVLC se(v) and CABAC unary with the
+    prev-delta-conditioned ctx 60/62/63 chain — and the values follow
+    from the pinned closed form."""
+    wmb, hmb = 3, 1
+    qp = 26
+    dc = [0] * 16
+    dc[0] = 120
+    # every MB carries its own DC residual so each has the qp_delta slot;
+    # DC prediction chains left-to-right, so each value builds on the last
+    mbs = [("i16", 2, list(dc), None),
+           ("i16", 2, list(dc), None),
+           ("i16", 2, list(dc), None)]
+    deltas = [0, 4, -6]
+    v0 = H.i16dc_recon_value(120, 26)
+    v1 = min(255, v0 + (H.i16dc_recon_value(120, 30) - 128))
+    v2 = min(255, v1 + (H.i16dc_recon_value(120, 24) - 128))
+    for cabac in (False, True):
+        sps, pps = H.encode_sps_pps(wmb, hmb, qp=qp, cabac=cabac)
+        idr = (
+            H.encode_i_frame_cabac(mbs, wmb, hmb, qp, qp_deltas=deltas)
+            if cabac
+            else H.encode_i_frame(mbs, wmb, hmb, qp, qp_deltas=deltas)
+        )
+        out = H.decode_i_frame([sps, pps, idr])
+        g = out[:, :, 1]
+        assert (g[:, 0:16] == v0).all(), f"cabac={cabac} mb0"
+        assert (g[:, 16:32] == v1).all(), f"cabac={cabac} mb1"
+        assert (g[:, 32:48] == v2).all(), f"cabac={cabac} mb2"
+
+
+def test_mb_qp_delta_random_cross_entropy_and_prev_ctx():
+    """Randomized qp_deltas (incl. an uncoded MB between two coded ones,
+    which resets the CABAC prev-delta context to 0 exactly as the
+    decoder infers delta=0): CAVLC and CABAC pixels stay identical."""
+    import random
+
+    rng = random.Random(5)
+    wmb, hmb = 4, 2
+    for trial in range(5):
+        mbs, deltas = [], []
+        for m in range(wmb * hmb):
+            if rng.random() < 0.25:
+                # uncoded I_4x4: no residual, no qp_delta slot
+                mbs.append(("i4", [2] * 16, [None] * 16, None))
+                deltas.append(0)
+            else:
+                dc = [0] * 16
+                dc[0] = rng.randint(-200, 400)
+                mbs.append(("i16", 2, dc, None))
+                deltas.append(rng.randint(-5, 5))
+        qp = rng.choice([22, 26, 32])
+        sps_c, pps_c = H.encode_sps_pps(wmb, hmb, qp=qp, cabac=True)
+        sps_v, pps_v = H.encode_sps_pps(wmb, hmb, qp=qp)
+        out_c = H.decode_i_frame(
+            [sps_c, pps_c,
+             H.encode_i_frame_cabac(mbs, wmb, hmb, qp, qp_deltas=deltas)]
+        )
+        out_v = H.decode_i_frame(
+            [sps_v, pps_v,
+             H.encode_i_frame(mbs, wmb, hmb, qp, qp_deltas=deltas)]
+        )
+        assert (out_c == out_v).all(), f"trial {trial} diverged"
