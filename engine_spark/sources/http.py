@@ -14,8 +14,13 @@ kafka connectors are built:
   ``commit`` prunes the buffer, a replayed range re-reads buffered
   payloads).
 - ``http_source`` in **poll** mode GETs a REST endpoint on an interval
-  from a driver-side thread; each poll's body becomes one event (or one
-  per line with ``split.lines``).
+  from a thread in the reader's process; each poll's body becomes one
+  event (or one per line with ``split.lines``). Honest caveat: poll
+  results are point-in-time snapshots buffered in-process, so a batch
+  whose offsets were logged but whose rows were never processed before
+  a CRASH replays EMPTY after restart (the polls cannot be re-issued
+  retroactively) — webhook mode keeps replayable state in the external
+  receiver and does not have this gap.
 - ``http_sink_writer`` POSTs rows from the executors — one JSON object
   per row, or JSON arrays of ``batch.size`` rows ("batch requests") —
   with ``retries`` attempts and exponential backoff starting at
