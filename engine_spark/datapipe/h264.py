@@ -116,6 +116,16 @@ class BitReader:
             self.pos += 1
         return v
 
+    def bit(self) -> int:
+        """Single-bit fast path — the CABAC renorm/bypass hot loop calls
+        this per bin; u(1)'s generic loop costs ~2x per call."""
+        pos = self.pos
+        byte_i = pos >> 3
+        if byte_i >= len(self.data):
+            raise H264Error("bitstream truncated")
+        self.pos = pos + 1
+        return (self.data[byte_i] >> (7 - (pos & 7))) & 1
+
     def flag(self) -> bool:
         return bool(self.u(1))
 
@@ -3065,11 +3075,11 @@ class CabacDecoder:
                 st[0] += 1
         while self.rng < 256:
             self.rng <<= 1
-            self.off = (self.off << 1) | self.r.u(1)
+            self.off = (self.off << 1) | self.r.bit()
         return bit
 
     def bypass(self) -> int:
-        self.off = (self.off << 1) | self.r.u(1)
+        self.off = (self.off << 1) | self.r.bit()
         if self.off >= self.rng:
             self.off -= self.rng
             return 1
@@ -3081,7 +3091,7 @@ class CabacDecoder:
             return 1
         while self.rng < 256:
             self.rng <<= 1
-            self.off = (self.off << 1) | self.r.u(1)
+            self.off = (self.off << 1) | self.r.bit()
         return 0
 
 
