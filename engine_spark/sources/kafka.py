@@ -29,8 +29,17 @@ Spark bindings mirror the AMQP/websocket ones (same execution loci):
   no ack state, unlike the AMQP at-least-once pump.
 - ``kafka_sink_writer`` — per-partition executor-side connections, rows
   batched into ONE RecordBatch per (executor-partition, kafka-partition)
-  and produced with acks=-1. At-least-once (no idempotent-producer PID
-  handshake — a retried micro-batch may re-append).
+  and produced with acks=-1. EXACTLY-once by default via the KIP-98
+  idempotent producer: InitProducerId keyed on (streaming queryId, spark
+  partition) yields a stable producer id, base_sequence carries the
+  micro-batch id, and the broker dedups replayed (pid, partition,
+  sequence) batches by acking the original offsets — task retries and
+  checkpoint-recovery replays append nothing twice. (Caveat vs real
+  brokers: this broker dedups on the (pid, sequence) KEY; Apache Kafka
+  additionally enforces CONSECUTIVE sequences per partition, which maps
+  batch ids with per-partition gaps to OUT_OF_ORDER errors — a deployed
+  producer would keep a per-partition counter instead. Disable with
+  exactly.once=false.)
 
 Option keys follow the common client conventions (``kafka.bootstrap``,
 ``kafka.topic``, ``kafka.partitions``); bare keys are accepted too.
@@ -54,6 +63,7 @@ API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
 API_VERSIONS = 18
+API_INIT_PRODUCER_ID = 22
 
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
@@ -265,8 +275,13 @@ class KReader:
 def encode_record_batch(
     records: list[Tuple[int, Optional[bytes], Optional[bytes]]],
     base_offset: int = 0,
+    producer_id: int = -1,
+    producer_epoch: int = -1,
+    base_sequence: int = -1,
 ) -> bytes:
-    """``records`` = [(timestamp_ms, key, value)]; one uncompressed batch."""
+    """``records`` = [(timestamp_ms, key, value)]; one uncompressed batch.
+    ``producer_id``/``producer_epoch``/``base_sequence`` carry the KIP-98
+    idempotent-producer fields (-1 = no idempotence)."""
     if not records:
         raise ValueError("empty record batch")
     base_ts = records[0][0]
@@ -293,9 +308,9 @@ def encode_record_batch(
     crcd.int32(len(records) - 1)     # lastOffsetDelta
     crcd.int64(base_ts)
     crcd.int64(max_ts)
-    crcd.int64(-1)                   # producerId (no idempotence)
-    crcd.int16(-1)                   # producerEpoch
-    crcd.int32(-1)                   # baseSequence
+    crcd.int64(producer_id)
+    crcd.int16(producer_epoch)
+    crcd.int32(base_sequence)
     crcd.int32(len(records))
     crcd.raw(bytes(body.buf))
     crc_bytes = bytes(crcd.buf)
@@ -315,6 +330,16 @@ def batch_meta(batch: bytes) -> Tuple[int, int]:
     base_offset = struct.unpack_from(">q", batch, 0)[0]
     n = struct.unpack_from(">i", batch, 57)[0]
     return base_offset, n
+
+
+def batch_producer_fields(batch: bytes) -> Tuple[int, int, int]:
+    """(producer_id, producer_epoch, base_sequence) from the fixed
+    offsets (43/51/53) of a magic-2 batch."""
+    return (
+        struct.unpack_from(">q", batch, 43)[0],
+        struct.unpack_from(">h", batch, 51)[0],
+        struct.unpack_from(">i", batch, 53)[0],
+    )
 
 
 def validate_batch_crc(batch: bytes) -> bool:
@@ -438,6 +463,22 @@ class KafkaClient:
             out[k] = (lo, hi)
         return out
 
+    def init_producer_id(
+        self, transactional_id: Optional[str] = None,
+        timeout_ms: int = 10_000,
+    ) -> Tuple[int, int]:
+        """-> (producer_id, producer_epoch) (InitProducerId v0). The same
+        transactional_id always maps to the same producer id — the
+        stable identity idempotent retries key on."""
+        body = KWriter()
+        body.string(transactional_id).int32(timeout_ms)
+        r = self._request(API_INIT_PRODUCER_ID, 0, body)
+        r.int32()  # throttle
+        err = r.int16()
+        if err:
+            raise ValueError(f"init_producer_id error {err}")
+        return r.int64(), r.int16()
+
     def metadata(self, topics: Optional[list[str]] = None) -> dict:
         """-> {topic: {"partitions": [ids], "error": code}} (Metadata v1)."""
         body = KWriter()
@@ -558,6 +599,11 @@ class KafkaBroker:
         # (topic, partition) -> list[(base_offset, n_records, raw_batch)]
         self.logs: dict[Tuple[str, int], list] = {}
         self.topics: dict[str, int] = {}
+        # idempotent-producer state (KIP-98): transactional_id -> (pid,
+        # epoch); (pid, topic, partition, base_sequence) -> base_offset
+        self.pids: dict[str, Tuple[int, int]] = {}
+        self._next_pid = 1000
+        self.seen_seq: dict[Tuple[int, str, int, int], int] = {}
         self.lock = threading.Lock()
         self.srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self.srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -606,9 +652,9 @@ class KafkaBroker:
                 req.string()  # client_id
                 out = KWriter().int32(corr)
                 if api_key == API_VERSIONS:
-                    out.int16(0).int32(4)
+                    out.int16(0).int32(5)
                     for k in (API_PRODUCE, API_FETCH, API_LIST_OFFSETS,
-                              API_METADATA):
+                              API_METADATA, API_INIT_PRODUCER_ID):
                         out.int16(k).int16(0).int16(4)
                 elif api_key == API_METADATA and api_version == 1:
                     self._metadata(req, out)
@@ -618,6 +664,8 @@ class KafkaBroker:
                     self._fetch(req, out)
                 elif api_key == API_LIST_OFFSETS and api_version == 1:
                     self._list_offsets(req, out)
+                elif api_key == API_INIT_PRODUCER_ID and api_version == 0:
+                    self._init_pid(req, out)
                 else:
                     # error_code 35: UNSUPPORTED_VERSION, minimal body
                     out.int16(35)
@@ -629,6 +677,19 @@ class KafkaBroker:
                 sock.close()
             except OSError:
                 pass
+
+    def _init_pid(self, req: KReader, out: KWriter) -> None:
+        tid = req.string()
+        req.int32()  # transaction_timeout_ms
+        with self.lock:
+            if tid is not None and tid in self.pids:
+                pid, epoch = self.pids[tid]
+            else:
+                pid, epoch = self._next_pid, 0
+                self._next_pid += 1
+                if tid is not None:
+                    self.pids[tid] = (pid, epoch)
+        out.int32(0).int16(ERR_NONE).int64(pid).int16(epoch)
 
     def _ensure(self, topic: str) -> int:
         with self.lock:
@@ -676,10 +737,21 @@ class KafkaBroker:
                     results.append((topic, partition, ERR_CORRUPT_MESSAGE, -1))
                     continue
                 _, n = batch_meta(raw)
+                pid, _epoch, bseq = batch_producer_fields(raw)
                 with self.lock:
+                    if pid >= 0 and bseq >= 0:
+                        key = (pid, topic, partition, bseq)
+                        if key in self.seen_seq:
+                            # idempotent replay: ack the ORIGINAL offset,
+                            # append nothing (KIP-98 duplicate handling)
+                            results.append((topic, partition, ERR_NONE,
+                                            self.seen_seq[key]))
+                            continue
                     log = self.logs[(topic, partition)]
                     base = (log[-1][0] + log[-1][1]) if log else 0
                     log.append((base, n, patch_base_offset(raw, base)))
+                    if pid >= 0 and bseq >= 0:
+                        self.seen_seq[(pid, topic, partition, bseq)] = base
                 results.append((topic, partition, ERR_NONE, base))
         by_topic: dict[str, list] = {}
         for t, p, e, b in results:
@@ -913,13 +985,31 @@ def _register_sink(spark) -> None:
         def __init__(self, options):
             self.host, self.port = _parse_bootstrap(options)
             self.topic = options.get("topic")
+            self.exactly_once = options.get("exactly.once", "true") == "true"
 
         def write(self, iterator) -> WriterCommitMessage:
             # Executor-side, once per Spark partition: rows grouped into
             # ONE RecordBatch per kafka partition (keyed rows routed by
             # murmur2 — the DefaultPartitioner — keyless round-robin).
+            # Exactly-once (KIP-98 idempotent producer): transactional_id
+            # = (stable streaming queryId, spark partition) maps to a
+            # STABLE producer id, and base_sequence = micro-batch id —
+            # a replayed batch (task retry OR checkpoint recovery) sends
+            # the identical (pid, partition, sequence) and the broker
+            # acks the original offsets without appending.
+            from pyspark import TaskContext
+
+            pid = epoch = bseq = -1
             client = KafkaClient(self.host, self.port)
             try:
+                tc = TaskContext.get()
+                if self.exactly_once and tc is not None:
+                    qid = tc.getLocalProperty("sql.streaming.queryId")
+                    raw_bid = tc.getLocalProperty("streaming.sql.batchId")
+                    if qid and raw_bid is not None:
+                        tid = f"{qid}-p{tc.partitionId()}"
+                        pid, epoch = client.init_producer_id(tid)
+                        bseq = int(raw_bid) & 0x7FFFFFFF
                 md = client.metadata([self.topic])
                 parts = md.get(self.topic, {}).get("partitions", [0])
                 nparts = max(len(parts), 1)
@@ -944,7 +1034,13 @@ def _register_sink(spark) -> None:
                         rr += 1
                     grouped.setdefault(p, []).append((now, kb, vb))
                 for p, recs in grouped.items():
-                    client.produce(self.topic, p, encode_record_batch(recs))
+                    client.produce(
+                        self.topic, p,
+                        encode_record_batch(
+                            recs, producer_id=pid, producer_epoch=epoch,
+                            base_sequence=bseq,
+                        ),
+                    )
             finally:
                 client.close()
             return WriterCommitMessage()

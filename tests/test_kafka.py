@@ -324,3 +324,97 @@ def test_with_clause_kafka_source_json_mapper(spark, tmp_path):
         c.close()
     finally:
         broker.stop()
+
+
+def test_idempotent_producer_dedups_replayed_batches():
+    """KIP-98 idempotent produce at the protocol level: the same
+    transactional_id maps to a stable pid, and re-producing a batch with
+    the same (pid, partition, base_sequence) acks the ORIGINAL offset
+    without appending; a different sequence appends normally."""
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        assert 22 in c.api_versions()
+        pid1, ep1 = c.init_producer_id("writer-A")
+        pid1b, _ = c.init_producer_id("writer-A")
+        pid2, _ = c.init_producer_id("writer-B")
+        assert pid1 == pid1b and pid1 != pid2 and ep1 == 0
+
+        c.metadata(["t"])
+        batch = encode_record_batch(
+            [(1, b"k", b"v1"), (2, b"k", b"v2")],
+            producer_id=pid1, producer_epoch=ep1, base_sequence=0,
+        )
+        base = c.produce("t", 0, batch)
+        assert base == 0
+        # replay (crash-retry): same pid+sequence -> original offset, no growth
+        assert c.produce("t", 0, batch) == 0
+        assert broker.log_end("t", 0) == 2
+        # next micro-batch: new sequence appends
+        b2 = encode_record_batch(
+            [(3, b"k", b"v3")],
+            producer_id=pid1, producer_epoch=ep1, base_sequence=1,
+        )
+        assert c.produce("t", 0, b2) == 2
+        assert broker.log_end("t", 0) == 3
+        # non-idempotent batches (pid -1) always append
+        plain = encode_record_batch([(4, None, b"v4")])
+        assert c.produce("t", 0, plain) == 3
+        assert c.produce("t", 0, plain) == 4
+        c.close()
+    finally:
+        broker.stop()
+
+
+def test_spark_kafka_sink_exactly_once_across_checkpoint_replay(spark, tmp_path):
+    """End-to-end exactly-once: run an availableNow sink query, delete
+    its newest commit marker so the batch REPLAYS from the checkpoint
+    (same queryId, same batchId), rerun — the topic must hold each row
+    exactly once."""
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(json.dumps({"key": f"k{i}", "value": f"v{i}"})
+                      for i in range(5))
+        )
+        df = spark.readStream.schema("key string, value string").json(str(src))
+        ck = tmp_path / "ck"
+
+        def run_once():
+            writer = create_sink_writer(
+                df,
+                {
+                    "extension": "kafka",
+                    "kafka.bootstrap": f"127.0.0.1:{broker.port}",
+                    "kafka.topic": "once",
+                    "checkpoint": str(ck),
+                },
+            )
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination(60)
+
+        run_once()
+        assert broker.log_end("once", 0) == 5
+
+        # force a replay of the committed batch: drop the newest commit
+        commits = ck / "commits"
+        newest = sorted(
+            p for p in commits.iterdir() if not p.name.startswith(".")
+        )[-1]
+        newest.unlink()
+        crc = commits / f".{newest.name}.crc"
+        if crc.exists():
+            crc.unlink()
+        run_once()
+        assert broker.log_end("once", 0) == 5  # replay appended NOTHING
+
+        c = KafkaClient("127.0.0.1", broker.port)
+        _, recs = c.fetch("once", 0, 0)
+        assert sorted(v.decode() for _o, _t, _k, v in recs) == [
+            f"v{i}" for i in range(5)
+        ]
+        c.close()
+    finally:
+        broker.stop()
