@@ -864,8 +864,11 @@ def _parse_bootstrap(opts: dict) -> Tuple[str, int]:
     return host or "127.0.0.1", int(port)
 
 
-def _register_source(spark) -> None:
-    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+def make_stream_reader(options: dict):
+    """The stream reader behind format('kafka-wire'), constructible
+    directly for unit tests (module-level so tests can drive read()/
+    readBetweenOffsets() without a running query)."""
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
 
     class _Reader(SimpleDataSourceStreamReader):
         """Exactly-once source: the offset dict IS the checkpoint state
@@ -880,6 +883,14 @@ def _register_source(spark) -> None:
             if not self.topic:
                 raise ValueError("kafka source requires a 'topic' option")
             self.starting = _opt(options, "starting.offsets", "earliest")
+            # admission control: cap records per partition per read()
+            # call, bounding DRIVER memory per prefetch on a huge backlog
+            # (Spark's simple-reader prefetch cache may still coalesce
+            # several reads into one planned batch, so this is a memory
+            # bound per fetch, not a strict per-micro-batch row cap)
+            self.max_per_trigger = int(
+                _opt(options, "max.offsets.per.trigger", "0") or 0
+            )
 
         def _client(self) -> KafkaClient:
             return _client_for(self.host, self.port)
@@ -930,10 +941,11 @@ def _register_source(spark) -> None:
             c = self._client()
             end = dict(start)
             for p in self._partitions():
-                end[str(p)] = max(
-                    c.list_offsets(self.topic, p, LATEST),
-                    start.get(str(p), 0),
-                )
+                lo = start.get(str(p), 0)
+                hi = max(c.list_offsets(self.topic, p, LATEST), lo)
+                if self.max_per_trigger:
+                    hi = min(hi, lo + self.max_per_trigger)
+                end[str(p)] = hi
             return self._rows(start, end), end
 
         def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
@@ -941,6 +953,12 @@ def _register_source(spark) -> None:
 
         def commit(self, end: dict) -> None:
             pass  # offsets live in Spark's checkpoint; nothing broker-side
+
+    return _Reader(options)
+
+
+def _register_source(spark) -> None:
+    from pyspark.sql.datasource import DataSource
 
     class KafkaDataSource(DataSource):
         """format('kafka-wire'): (key, value, topic, partition, offset,
@@ -955,7 +973,7 @@ def _register_source(spark) -> None:
                     "partition int, offset long, timestamp long")
 
         def simpleStreamReader(self, schema):  # noqa: ARG002 — fixed schema
-            return _Reader(self.options)
+            return make_stream_reader(self.options)
 
     spark.dataSource.register(KafkaDataSource)
 

@@ -418,3 +418,56 @@ def test_spark_kafka_sink_exactly_once_across_checkpoint_replay(spark, tmp_path)
         c.close()
     finally:
         broker.stop()
+
+
+def test_kafka_source_max_offsets_per_trigger_bounds_reads(spark, tmp_path):
+    """max.offsets.per.trigger caps each prefetch read() at N records per
+    partition (the driver-memory bound on a huge backlog); successive
+    reads page through, and the streamed result still delivers every
+    record exactly once."""
+    from engine_spark.sources.kafka import make_stream_reader
+
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        c.metadata(["bulk"])
+        for i in range(9):
+            c.produce("bulk", 0, encode_record_batch(
+                [(1000 + i, None, json.dumps({"n": i}).encode())]
+            ))
+        opts = {
+            "bootstrap": f"127.0.0.1:{broker.port}",
+            "topic": "bulk",
+            "max.offsets.per.trigger": "4",
+        }
+        r = make_stream_reader(opts)
+        start = r.initialOffset()
+        assert start == {"0": 0}
+        rows1, end1 = r.read(start)
+        assert end1 == {"0": 4} and len(list(rows1)) == 4  # capped
+        rows2, end2 = r.read(end1)
+        assert end2 == {"0": 8} and len(list(rows2)) == 4  # pages through
+        rows3, end3 = r.read(end2)
+        assert end3 == {"0": 9} and len(list(rows3)) == 1  # drains
+        _, end4 = r.read(end3)
+        assert end4 == {"0": 9}  # idle: offsets stop advancing
+
+        # end-to-end through Spark: all 9 exactly once
+        df = create_source(
+            spark,
+            {"extension": "kafka", **{f"kafka.{k}": v for k, v in opts.items()}},
+        )
+        out = tmp_path / "out"
+        q = (
+            df.writeStream.format("json")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        rows = spark.read.json(str(out)).collect()
+        assert sorted(json.loads(r2.value)["n"] for r2 in rows) == list(range(9))
+        c.close()
+    finally:
+        broker.stop()
