@@ -471,3 +471,77 @@ def test_kafka_source_max_offsets_per_trigger_bounds_reads(spark, tmp_path):
         c.close()
     finally:
         broker.stop()
+
+
+def test_record_batch_property_roundtrip():
+    """Hypothesis: arbitrary (timestamp, key, value) lists — including
+    EMPTY (b'', distinct from null) keys/values, unicode payloads, and
+    extreme timestamps — survive encode -> broker append -> fetch ->
+    decode byte-exactly with contiguous offsets."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    blob = st.one_of(st.none(), st.binary(max_size=64))
+    recs_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),
+            blob,
+            blob,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @given(recs=recs_strategy)
+    @settings(max_examples=80, deadline=None)
+    def check(recs):
+        batch = encode_record_batch(recs, base_offset=0)
+        assert validate_batch_crc(batch)
+        out = decode_record_batches(batch)
+        assert out == [(i, ts, k, v) for i, (ts, k, v) in enumerate(recs)]
+
+    check()
+
+
+def test_with_clause_error_routing_composes_with_kafka(spark, tmp_path):
+    """on.error='fault' DLQ routing works on the kafka source exactly as
+    on file/amqp sources: malformed JSON records land on the fault
+    stream with their raw payloads, good records parse on."""
+    from engine_spark.sources.registry import create_source_with_faults
+
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        c.metadata(["mixed"])
+        for payload in (b'{"sym": "A", "px": 1.5}', b"not json at all",
+                        b'{"sym": "B", "px": 2.5}'):
+            c.produce("mixed", 0, encode_record_batch([(1, None, payload)]))
+        good, faults = create_source_with_faults(
+            spark,
+            {
+                "extension": "kafka",
+                "format": "json",
+                "event.schema": "sym string, px double",
+                "on.error": "fault",
+                "kafka.bootstrap": f"127.0.0.1:{broker.port}",
+                "kafka.topic": "mixed",
+            },
+        )
+        assert faults is not None
+        for name, df in (("kf_good", good), ("kf_faults", faults)):
+            q = (
+                df.writeStream.format("memory")
+                .queryName(name)
+                .option("checkpointLocation", str(tmp_path / name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(60)
+        good_rows = spark.sql("SELECT * FROM kf_good").collect()
+        fault_rows = spark.sql("SELECT * FROM kf_faults").collect()
+        assert {(r.sym, r.px) for r in good_rows} == {("A", 1.5), ("B", 2.5)}
+        assert len(fault_rows) == 1
+        assert "not json at all" in fault_rows[0].payload
+        c.close()
+    finally:
+        broker.stop()
