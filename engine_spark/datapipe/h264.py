@@ -3059,23 +3059,39 @@ class CabacDecoder:
         self.prev_qp_delta_nz = False
 
     def decision(self, idx: int) -> int:
+        # hot path: one call per regular bin — locals over attributes,
+        # renorm bit reads inlined (a method call per bit doubles cost)
         st = self.states[idx]
-        lps = _RANGE_LPS[st[0]][(self.rng >> 6) & 3]
-        self.rng -= lps
-        if self.off >= self.rng:
+        s0 = st[0]
+        rng = self.rng
+        lps = _RANGE_LPS[s0][(rng >> 6) & 3]
+        rng -= lps
+        off = self.off
+        if off >= rng:
             bit = 1 - st[1]
-            self.off -= self.rng
-            self.rng = lps
-            if st[0] == 0:
+            off -= rng
+            rng = lps
+            if s0 == 0:
                 st[1] = 1 - st[1]
-            st[0] = _TRANS_LPS[st[0]]
+            st[0] = _TRANS_LPS[s0]
         else:
             bit = st[1]
-            if st[0] < 62:
-                st[0] += 1
-        while self.rng < 256:
-            self.rng <<= 1
-            self.off = (self.off << 1) | self.r.bit()
+            if s0 < 62:
+                st[0] = s0 + 1
+        if rng < 256:
+            r = self.r
+            data = r.data
+            pos = r.pos
+            n8 = len(data) << 3
+            while rng < 256:
+                if pos >= n8:
+                    raise H264Error("bitstream truncated")
+                rng <<= 1
+                off = (off << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1)
+                pos += 1
+            r.pos = pos
+        self.rng = rng
+        self.off = off
         return bit
 
     def bypass(self) -> int:
