@@ -44,6 +44,13 @@ Spark bindings mirror the AMQP/websocket ones (same execution loci):
 Option keys follow the common client conventions (``kafka.bootstrap``,
 ``kafka.topic``, ``kafka.partitions``); bare keys are accepted too.
 
+Scope (honest): single-broker — the client produces/fetches against the
+bootstrap connection and does not route per-partition LEADER metadata to
+other brokers (the Metadata response carries the leader ids a multi-node
+client would dial). Compression codecs (attributes bits 0-2) are not
+implemented: batches are written uncompressed and a compressed inbound
+batch refuses loudly at decode instead of misparsing its records.
+
 Reference parity: the reference lists Kafka as PLANNED, not implemented
 (MILESTONES.md:183-205) — this connector is beyond-reference surface,
 built the way its rabbitmq_source.rs/rabbitmq_sink.rs pair would imply.
@@ -371,7 +378,14 @@ def decode_record_batches(
         if magic != 2:
             raise ValueError(f"unsupported record batch magic {magic}")
         r.uint32()  # crc (validated on produce; fetch trusts the log)
-        r.int16()   # attributes
+        attrs = r.int16()
+        if attrs & 0x07:
+            # compression codecs unimplemented: the records region would
+            # be gzip/snappy/lz4/zstd bytes — refuse loudly instead of
+            # misparsing varints out of compressed data
+            raise ValueError(
+                f"compressed record batch (codec {attrs & 0x07}) unsupported"
+            )
         r.int32()   # lastOffsetDelta
         base_ts = r.int64()
         r.int64()   # maxTimestamp

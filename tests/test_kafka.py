@@ -545,3 +545,16 @@ def test_with_clause_error_routing_composes_with_kafka(spark, tmp_path):
         c.close()
     finally:
         broker.stop()
+
+
+def test_compressed_batch_refused_loudly():
+    import struct as _s
+
+    batch = bytearray(encode_record_batch([(1, b"k", b"v")]))
+    # set attributes compression bits (offset 21, int16) to gzip (1) and
+    # re-seal the CRC so only the codec refusal can fire
+    _s.pack_into(">h", batch, 21, 1)
+    _s.pack_into(">I", batch, 17, crc32c(bytes(batch[21:])))
+    assert validate_batch_crc(bytes(batch))
+    with pytest.raises(ValueError, match="compressed record batch"):
+        decode_record_batches(bytes(batch))
