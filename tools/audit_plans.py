@@ -36,6 +36,25 @@ CHECKS = {
     "dedup_embedding_cosine": [
         ("no cartesian", lambda p: "Cartesian" not in p),
     ],
+    "dedup_simhash": [
+        # r12 scale-true blocking: the candidate self-join must be a keyed
+        # equi-join over CAPPED chunk buckets — the bucket-size HAVING
+        # shows as an aggregate feeding a semi join ahead of the pair join
+        ("no cartesian/nested-loop",
+         lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+        ("bucket-cap aggregate before the join",
+         lambda p: "HashAggregate" in p and "LeftSemi" in p),
+        ("column pruning on docs scan",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
+    "multimodal_h264_cabac": [
+        # synthesis + decode are mapInPandas stages; payloads must never
+        # shuffle (the only exchange is the 8-byte doc-id spread before
+        # synthesis, plus the final presentation sort)
+        ("no join of payloads",
+         lambda p: "Join" not in p and "Cartesian" not in p),
+        ("arrow-batched python stages", lambda p: "MapInPandas" in p),
+    ],
     "stream_stream_windowed_join": [
         ("equi-join (not nested loop)", lambda p: "BroadcastNestedLoop" not in p and "Cartesian" not in p),
     ],
