@@ -3722,6 +3722,18 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
 def encode_i_frame_cabac(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
                          deblock_idc: int = 1,
                          qp_deltas: "list[int] | None" = None) -> bytes:
+    """Single-slice convenience wrapper over
+    :func:`encode_i_frame_cabac_slices`."""
+    return encode_i_frame_cabac_slices(
+        mbs, w_mbs, h_mbs, qp, deblock_idc, qp_deltas=qp_deltas
+    )[0]
+
+
+def encode_i_frame_cabac_slices(
+    mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
+    deblock_idc: int = 1, slice_starts: tuple = (0,),
+    qp_deltas: "list[int] | None" = None,
+) -> list[bytes]:
     """One CABAC IDR slice NAL covering the whole frame — the CABAC twin
     of encode_i_frame (same descriptor vocabulary minus "pcm"); pair it
     with a PPS from ``encode_sps_pps(..., cabac=True)``. Identical
@@ -3730,28 +3742,39 @@ def encode_i_frame_cabac(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     cross-entropy tests pin."""
     if len(mbs) != w_mbs * h_mbs:
         raise H264Error("mb list does not cover the frame")
+    if not slice_starts or slice_starts[0] != 0 or list(slice_starts) != sorted(set(slice_starts)):
+        raise H264Error("slice_starts must be ascending and start at 0")
     shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
-    w = BitWriter()
-    w.ue(0)      # first_mb_in_slice
-    w.ue(7)      # slice_type: I (all slices in picture)
-    w.ue(0)      # pps_id
-    w.u(0, 4)    # frame_num (log2_max_frame_num = 4)
-    w.ue(0)      # idr_pic_id
-    w.u(0, 1)    # no_output_of_prior_pics
-    w.u(0, 1)    # long_term_reference
-    w.se(0)      # slice_qp_delta
-    w.ue(deblock_idc)
-    if deblock_idc != 1:
-        w.se(0)  # slice_alpha_c0_offset_div2
-        w.se(0)  # slice_beta_offset_div2
-    while len(w.bits) % 8:
-        w.bits.append(1)  # cabac_alignment_one_bit (7.3.4)
-    enc = CabacEncoder(w, qp)
-    n = len(mbs)
-    for mb in range(n):
-        _encode_mb_cabac(enc, shadow, mb, mbs[mb], qp,
-                         qp_delta=qp_deltas[mb] if qp_deltas else 0)
-        enc.terminate(1 if mb == n - 1 else 0)  # end_of_slice_flag
-    # terminate(1) ran EncodeFlush, whose trailing '1' doubles as the
-    # rbsp stop bit; tobytes zero-pads the final byte (7.3.4 note)
-    return _nal(5, w.tobytes())
+    bounds = list(slice_starts) + [len(mbs)]
+    nals = []
+    for sid in range(len(slice_starts)):
+        first, last = bounds[sid], bounds[sid + 1]
+        if first >= last:
+            raise H264Error("empty slice")
+        w = BitWriter()
+        w.ue(first)  # first_mb_in_slice
+        w.ue(7)      # slice_type: I (all slices in picture)
+        w.ue(0)      # pps_id
+        w.u(0, 4)    # frame_num (log2_max_frame_num = 4)
+        w.ue(0)      # idr_pic_id
+        w.u(0, 1)    # no_output_of_prior_pics
+        w.u(0, 1)    # long_term_reference
+        w.se(0)      # slice_qp_delta
+        w.ue(deblock_idc)
+        if deblock_idc != 1:
+            w.se(0)  # slice_alpha_c0_offset_div2
+            w.se(0)  # slice_beta_offset_div2
+        while len(w.bits) % 8:
+            w.bits.append(1)  # cabac_alignment_one_bit (7.3.4)
+        # CABAC state — contexts AND the arithmetic engine — initializes
+        # fresh per slice (9.3.1), exactly as the decoder builds one
+        # CabacDecoder per slice NAL
+        enc = CabacEncoder(w, qp)
+        for mb in range(first, last):
+            _encode_mb_cabac(enc, shadow, mb, mbs[mb], qp, sid,
+                             qp_delta=qp_deltas[mb] if qp_deltas else 0)
+            enc.terminate(1 if mb == last - 1 else 0)  # end_of_slice_flag
+        # terminate(1) ran EncodeFlush, whose trailing '1' doubles as the
+        # rbsp stop bit; tobytes zero-pads the final byte (7.3.4 note)
+        nals.append(_nal(5, w.tobytes()))
+    return nals

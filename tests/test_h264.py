@@ -2568,3 +2568,43 @@ def test_mb_qp_delta_random_cross_entropy_and_prev_ctx():
              H.encode_i_frame(mbs, wmb, hmb, qp, qp_deltas=deltas)]
         )
         assert (out_c == out_v).all(), f"trial {trial} diverged"
+
+
+def test_cabac_multi_slice_matches_cavlc_at_same_slice_structure():
+    """CABAC state (contexts + arithmetic engine) initializes fresh per
+    slice and cross-slice neighbors are UNAVAILABLE for every context
+    increment (same-slice rule). Slice boundaries legitimately CHANGE
+    pixels (prediction availability resets), so the pinned property is
+    cross-entropy: for every slice split, the CABAC decode must equal
+    the CAVLC decode of the SAME split — and the splits must genuinely
+    differ from the 1-slice result (the boundary reset is exercised,
+    not vacuous)."""
+    wmb, hmb = 2, 2
+    dc = [0] * 16
+    dc[0] = 200
+    coeffs = [[0] * 16 for _ in range(16)]
+    coeffs[3][2] = 25
+    mbs = [("i16", 2, dc, None),
+           ("i4", [2] * 16, coeffs, ([7, 0, 0, 0], [0] * 4)),
+           ("i16", 2, [0] * 16, None),
+           ("i4", [2] * 16, [None] * 16, None)]
+    sps_c, pps_c = H.encode_sps_pps(wmb, hmb, qp=26, cabac=True)
+    sps_v, pps_v = H.encode_sps_pps(wmb, hmb, qp=26)
+    one = H.decode_i_frame(
+        [sps_c, pps_c, H.encode_i_frame_cabac(mbs, wmb, hmb, 26)]
+    )
+    diverged_from_one = 0
+    for starts in ((0, 2), (0, 1), (0, 3), (0, 1, 2, 3)):
+        nals_c = H.encode_i_frame_cabac_slices(
+            mbs, wmb, hmb, 26, slice_starts=starts
+        )
+        nals_v = H.encode_i_frame_slices(
+            mbs, wmb, hmb, 26, slice_starts=starts
+        )
+        assert len(nals_c) == len(starts)
+        out_c = H.decode_i_frame([sps_c, pps_c, *nals_c])
+        out_v = H.decode_i_frame([sps_v, pps_v, *nals_v])
+        assert (out_c == out_v).all(), f"slice split {starts} diverged"
+        if (out_c != one).any():
+            diverged_from_one += 1
+    assert diverged_from_one >= 1  # boundary resets actually exercised
