@@ -36,6 +36,21 @@ def _trim_stdout_line(compact: dict) -> str:
 
 
 def main() -> None:
+    # --out PATH: ALSO write the full payload to PATH. BENCH_FULL.json is
+    # scratch — every bench invocation (incl. driver re-runs and sf0.01
+    # smokes) clobbers it — so a round-close record must go to a
+    # round-stamped name the driver never writes (e.g. BENCH_CLOSE_r13.json).
+    # --only a,b,c: run just those headline entries (implies headline-only
+    # mode — the replication/store/pipeline blocks are skipped), for
+    # targeted scale probes of individual queries.
+    argv = sys.argv[1:]
+    out_path = None
+    only_set: set[str] | None = None
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
+    if "--only" in argv:
+        only_set = set(argv[argv.index("--only") + 1].split(","))
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
@@ -168,6 +183,8 @@ def main() -> None:
     for name in headline:
         if name not in QUERIES:
             continue
+        if only_set is not None and name not in only_set:
+            continue
         # A single broken query must not void the whole round's bench (the
         # round-3 TIMESTAMP_NTZ crash zeroed every number): record the
         # error, keep measuring the rest.
@@ -222,19 +239,22 @@ def main() -> None:
         )
         return dedup_embedding_cosine_arrow(vecs, PLANES, LSH_PROJ_DIM, COSINE_T)
 
-    try:
-        _arrow_dedup().write.format("noop").mode("overwrite").save()
-        best, med = _timed_reps(
-            lambda: _arrow_dedup().write.format("noop").mode("overwrite").save()
-        )
-        times["dedup_embedding_cosine_arrow"] = round(best, 4)
-        times_median["dedup_embedding_cosine_arrow"] = round(med, 4)
-    except Exception as e:  # noqa: BLE001 - recorded, not swallowed
-        errors["dedup_embedding_cosine_arrow"] = f"{type(e).__name__}: {str(e)[:200]}"
+    if only_set is None or "dedup_embedding_cosine_arrow" in only_set:
+        try:
+            _arrow_dedup().write.format("noop").mode("overwrite").save()
+            best, med = _timed_reps(
+                lambda: _arrow_dedup().write.format("noop").mode("overwrite").save()
+            )
+            times["dedup_embedding_cosine_arrow"] = round(best, 4)
+            times_median["dedup_embedding_cosine_arrow"] = round(med, 4)
+        except Exception as e:  # noqa: BLE001 - recorded, not swallowed
+            errors["dedup_embedding_cosine_arrow"] = (
+                f"{type(e).__name__}: {str(e)[:200]}"
+            )
 
     total = round(sum(times.values()), 4)
 
-    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY"):
+    if os.environ.get("SPARK_GRAFT_HEADLINE_ONLY") or only_set is not None:
         # one-off scale runs (e.g. the sf1 headline sweep): skip the
         # materialized-replication / store-lifecycle / pipeline blocks,
         # which would build a REP x replica of an already-large input
@@ -263,7 +283,7 @@ def main() -> None:
             "errors": {k: v[:60] for k, v in errors.items()},
         }
         print(_trim_stdout_line(compact))
-        side = os.environ.get("SPARK_GRAFT_HEADLINE_ONLY_OUT")
+        side = out_path or os.environ.get("SPARK_GRAFT_HEADLINE_ONLY_OUT")
         if side:
             with open(side, "w") as f:
                 json.dump(out, f, indent=1)
@@ -823,6 +843,13 @@ def main() -> None:
             f.write("\n")
     except OSError as e:
         errors["side_file"] = f"{type(e).__name__}: {str(e)[:100]}"
+    if out_path:  # round-stamped close record the driver never clobbers
+        try:
+            with open(out_path, "w") as f:
+                json.dump(full, f, indent=1)
+                f.write("\n")
+        except OSError as e:
+            errors["out_file"] = f"{type(e).__name__}: {str(e)[:100]}"
     compact = {
         "metric": "headline_total_runtime",
         "value": total,

@@ -1658,6 +1658,19 @@ IVF_CENTS = _ivf_centroids()
 #: semantic duplicates (testdata vectors are near-orthogonal, max cos ≈ .40)
 SEM_T = 0.25
 
+#: hyperplane-table buckets / SemDeDup cells larger than this are EXCLUDED
+#: from candidate generation (the SIMHASH_BUCKET_CAP / NGRAM_DF_CAP
+#: pattern): bucket occupancy is the quadratic term of LSH blocking — a
+#: boilerplate-heavy corpus whose duplicated embeddings all land in one
+#: bucket would otherwise make the within-bucket self-join O(k²).
+#: embedding_dropped_buckets() reports what the cap dropped so a 100 TB
+#: run logs it instead of silently under-pairing (an over-cap bucket is a
+#: mass-duplicate cluster — route it to exact-hash dedup). Candidate
+#: volume is ≤ Σ_bucket min(size, cap)²/2: linear in corpus size. A
+#: production run additionally scales LSH_BITS / IVF_K with corpus size
+#: (bits ≈ log2(N / target_occupancy)); the gate pins them for the oracle.
+EMB_BUCKET_CAP = 128
+
 
 @register(
     "dedup_embedding_cosine",
@@ -1669,9 +1682,16 @@ SEM_T = 0.25
       SELECT vec_id, vd, t, {_bucket_case_duckdb()} AS bucket
       FROM e, (SELECT unnest(range({LSH_TABLES})) AS t)
     ),
+    bk AS (
+      SELECT vec_id, t, bucket FROM (
+        SELECT vec_id, t, bucket,
+               count(*) OVER (PARTITION BY t, bucket) AS bsz
+        FROM b
+      ) WHERE bsz <= {EMB_BUCKET_CAP}
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
-      FROM b a JOIN b b2 ON a.t = b2.t AND a.bucket = b2.bucket
+      FROM bk a JOIN bk b2 ON a.t = b2.t AND a.bucket = b2.bucket
        AND a.vec_id < b2.vec_id
     ),
     scored AS (
@@ -1682,10 +1702,17 @@ SEM_T = 0.25
     sc AS (
       SELECT vec_id, vd, nrm, {{_SEM_CELL}} AS cell, {{_SEM_B0}} AS b0 FROM e
     ),
+    sck AS (
+      SELECT vec_id, vd, nrm, cell, b0 FROM (
+        SELECT vec_id, vd, nrm, cell, b0,
+               count(*) OVER (PARTITION BY cell, b0) AS csz
+        FROM sc
+      ) WHERE csz <= {EMB_BUCKET_CAP}
+    ),
     sem AS (
       SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
              ({FR.dot_chain(DK, 'a.vd', 'b2.vd', EMB_DIM)} / (a.nrm * b2.nrm)) AS cos
-      FROM sc a JOIN sc b2 ON a.cell = b2.cell AND a.b0 = b2.b0
+      FROM sck a JOIN sck b2 ON a.cell = b2.cell AND a.b0 = b2.b0
        AND a.vec_id < b2.vec_id
     )
     SELECT 'neardup' AS mode, vec_a, vec_b, {r6('cos')} AS cos_sim
@@ -1705,8 +1732,13 @@ SEM_T = 0.25
         "dedup: vectors assigned to fine clusters (centroid cell × "
         "hyperplane sub-bucket), pairwise cosine only WITHIN a cluster, "
         f"pairs ≥ {SEM_T} are semantic duplicates (drop the higher vec_id "
-        "to dedup). Cluster count scales with corpus size so per-cluster "
-        "membership stays bounded. Candidates never all-pairs either way."
+        f"to dedup). BOTH blockings are occupancy-capped at "
+        f"{EMB_BUCKET_CAP} members (df-cap pattern): over-cap buckets/"
+        "cells are excluded from candidate generation and reported by "
+        "embedding_dropped_buckets() — they are mass-duplicate clusters "
+        "and belong to exact-hash dedup. Candidate volume ≤ "
+        "Σ_bucket min(size, cap)²/2: linear in corpus size, never "
+        "all-pairs either way."
     ),
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1729,10 +1761,23 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = e.select("vec_id", F.explode(_bucket_structs_spark()).alias("tb")).select(
         "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
     )
+    # occupancy cap as a WINDOW count, not groupBy+semi-join: one shuffle
+    # of the (already computed) bucket keys instead of recomputing the 64
+    # hyperplane dots per row on both sides of a semi join (measured 1.9x
+    # on the gate); the self-join then reuses the same hash partitioning
+    from pyspark.sql import Window as _W
+
+    bk = (
+        b.withColumn(
+            "bsz", F.count(F.lit(1)).over(_W.partitionBy("t", "bucket"))
+        )
+        .filter(F.col("bsz") <= EMB_BUCKET_CAP)
+        .drop("bsz")
+    )
     cand = (
-        b.alias("a")
+        bk.alias("a")
         .join(
-            b.alias("b2"),
+            bk.alias("b2"),
             (F.col("a.t") == F.col("b2.t"))
             & (F.col("a.bucket") == F.col("b2.bucket"))
             & (F.col("a.vec_id") < F.col("b2.vec_id")),
@@ -1764,8 +1809,8 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # SemDeDup-style: ONE fine clustering (centroid cell x hyperplane
-    # sub-bucket), all-pairs strictly inside a cluster — cluster count
-    # grows with the corpus, so per-cluster membership stays bounded
+    # sub-bucket), all-pairs strictly inside a cluster — cells over the
+    # occupancy cap are excluded (and reported), bounding the self-join
     sc = e.select(
         "vec_id",
         "vd",
@@ -1773,10 +1818,17 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ivf_cell(SP, "vd", IVF_CENTS)).alias("cell"),
         F.expr(FR.hyperplane_bits(SP, "vd", PLANES[0], LSH_PROJ_DIM)).alias("b0"),
     )
+    sck = (
+        sc.withColumn(
+            "csz", F.count(F.lit(1)).over(_W.partitionBy("cell", "b0"))
+        )
+        .filter(F.col("csz") <= EMB_BUCKET_CAP)
+        .drop("csz")
+    )
     sem = (
-        sc.alias("a")
+        sck.alias("a")
         .join(
-            sc.alias("b2"),
+            sck.alias("b2"),
             (F.col("a.cell") == F.col("b2.cell"))
             & (F.col("a.b0") == F.col("b2.b0"))
             & (F.col("a.vec_id") < F.col("b2.vec_id")),
@@ -1797,6 +1849,42 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return near.unionByName(sem)
+
+
+def embedding_dropped_buckets(
+    spark: SparkSession, sf_dir: str, cap: int = EMB_BUCKET_CAP
+) -> DataFrame:
+    """(kind, k1, k2, bucket_size) for every blocking group the occupancy
+    cap excludes from dedup_embedding_cosine's candidate generation —
+    kind='lsh' rows are hyperplane-table buckets (k1=table, k2=bucket),
+    kind='sem' rows are SemDeDup cells (k1=cell, k2=sub-bucket). The drop
+    report a production run logs next to the pair output: members of a
+    dropped group are near-identical en masse — route them to exact-hash
+    dedup instead of the pairwise verify."""
+    emb = Catalog(spark, sf_dir)["embeddings"]
+    e = emb.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", F.expr(_vecd(SP)).alias("vd")
+    )
+    b = e.select("vec_id", F.explode(_bucket_structs_spark()).alias("tb")).select(
+        F.col("tb.t").alias("k1"), F.col("tb.bucket").alias("k2")
+    )
+    lsh = (
+        b.groupBy("k1", "k2")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > cap)
+        .select(F.lit("lsh").alias("kind"), "k1", "k2", "bucket_size")
+    )
+    sc = e.select(
+        F.expr(_ivf_cell(SP, "vd", IVF_CENTS)).alias("k1"),
+        F.expr(FR.hyperplane_bits(SP, "vd", PLANES[0], LSH_PROJ_DIM)).alias("k2"),
+    )
+    sem = (
+        sc.groupBy("k1", "k2")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > cap)
+        .select(F.lit("sem").alias("kind"), "k1", "k2", "bucket_size")
+    )
+    return lsh.unionByName(sem)
 
 
 ANN_N_QUERIES = 5

@@ -75,12 +75,18 @@ def dedup_embedding_cosine_arrow(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "vd",
+    bucket_cap: int = 128,
 ) -> DataFrame:
     """The dedup_embedding_cosine flow with Arrow kernels in both hot spots.
 
     Identical plan shape to the gated query — row-local signatures, bucket
-    keys as the only join keys, exact verify on candidates only — but the
-    64 projections/row and the per-pair cosine run as numpy matrix ops.
+    keys as the only join keys, occupancy-capped buckets (groups over
+    ``bucket_cap`` members are excluded: they are mass-duplicate clusters,
+    exact-hash dedup's job — the cap bounds the within-bucket self-join to
+    ≤ cap²/2 pairs per bucket at ANY corpus size), exact verify on
+    candidates only — but the 64 projections/row and the per-pair cosine
+    run as numpy matrix ops. At corpus scale also raise the table bit
+    width so expected occupancy stays ≪ cap (bits ≈ log2(N / 32)).
     Returns ``(vec_a, vec_b, cos_sim)``.
     """
     buckets = hyperplane_buckets_udf(planes, proj_dim)
@@ -89,6 +95,17 @@ def dedup_embedding_cosine_arrow(
     ).withColumn("bks", buckets("v"))
     tabs = sig.select(
         "vid", "v", F.posexplode("bks").alias("tab", "bucket")
+    )
+    # window-count cap (not groupBy+semi-join): the bucket UDF runs once,
+    # the count rides the same (tab, bucket) shuffle the self-join needs
+    from pyspark.sql import Window as _W
+
+    tabs = (
+        tabs.withColumn(
+            "bsz", F.count(F.lit(1)).over(_W.partitionBy("tab", "bucket"))
+        )
+        .filter(F.col("bsz") <= bucket_cap)
+        .drop("bsz")
     )
     cand = (
         tabs.alias("a")

@@ -3604,3 +3604,78 @@ def test_simhash_dropped_buckets_reports_the_capped_cluster(spark, tmp_path):
     assert len(dropped) == 4
     assert all(r["bucket_size"] == 6 for r in dropped)
     assert sorted(r["c"] for r in dropped) == [0, 1, 2, 3]
+
+
+def _write_embeddings(spark, tmp_path, rows):
+    sf = tmp_path / "sf"
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(sf / "embeddings.parquet"))
+    return str(sf)
+
+
+def test_embedding_bucket_cap_excludes_mass_duplicate_cluster(spark, tmp_path):
+    """A duplicated-embedding cluster larger than EMB_BUCKET_CAP is excluded
+    from BOTH blockings of dedup_embedding_cosine (its pairs are exact-hash
+    dedup's job — the cap is what bounds the self-join at 100 TB), while
+    under-cap genuine near-dups still pair. embedding_dropped_buckets
+    reports what was dropped, tagged by blocking kind."""
+    import engine_spark.datapipe.queries as DQ
+
+    def vec(seed_vals):
+        return [float(v) for v in seed_vals]
+
+    # 140 byte-identical vectors (one LSH bucket per table, one sem cell)
+    # + 2 genuine near-dups elsewhere in space
+    dup = vec([1.0] * 16 + [0.0] * 48)
+    a = vec([-1.0] * 8 + [1.0] * 8 + [0.25] * 48)
+    b = vec([-1.0] * 8 + [1.0] * 8 + [0.26] * 48)
+    rows = [(i, dup, 0) for i in range(140)] + [(500, a, 1), (501, b, 1)]
+    sf = _write_embeddings(spark, tmp_path, rows)
+
+    out = DQ.q_dedup_embedding_cosine(spark, sf)
+    pairs = {(r["mode"], r["vec_a"], r["vec_b"]) for r in out.collect()}
+    # the 140-clone cluster would contribute 140*139/2 = 9730 pairs per
+    # mode; the cap (128) drops the whole bucket in both blockings
+    assert not any(va < 140 and vb < 140 for _, va, vb in pairs)
+    # the under-cap genuine near-dup still pairs in neardup mode
+    assert ("neardup", 500, 501) in pairs
+
+    dropped = {
+        (r["kind"], r["bucket_size"])
+        for r in DQ.embedding_dropped_buckets(spark, sf).collect()
+    }
+    # one over-cap bucket in each of the 8 LSH tables + one sem cell
+    assert ("lsh", 140) in dropped and ("sem", 140) in dropped
+    assert all(sz == 140 for _, sz in dropped)
+
+
+def test_embedding_arrow_bucket_cap_matches_fold_cap(spark, tmp_path):
+    """The Arrow twin applies the SAME occupancy cap: over-cap buckets drop,
+    under-cap pairs survive, and a raised cap restores the cluster pairs."""
+    from engine_spark.datapipe.queries import (
+        COSINE_T, LSH_PROJ_DIM, PLANES, SP, _vecd,
+    )
+    from engine_spark.datapipe.vector import dedup_embedding_cosine_arrow
+    from engine_spark.catalog import Catalog
+
+    dup = [1.0] * 16 + [0.0] * 48
+    a = [-1.0] * 8 + [1.0] * 8 + [0.25] * 48
+    b = [-1.0] * 8 + [1.0] * 8 + [0.26] * 48
+    rows = [(i, [float(x) for x in dup], 0) for i in range(10)] + [
+        (500, [float(x) for x in a], 1),
+        (501, [float(x) for x in b], 1),
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    vecs = Catalog(spark, sf)["embeddings"].select(
+        "vec_id", F.expr(_vecd(Dialect("spark"))).alias("vd")
+    )
+    capped = dedup_embedding_cosine_arrow(
+        vecs, PLANES, LSH_PROJ_DIM, COSINE_T, bucket_cap=8
+    )
+    got = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    assert got == {(500, 501)}  # 10-clone bucket > cap=8: dropped
+    uncapped = dedup_embedding_cosine_arrow(
+        vecs, PLANES, LSH_PROJ_DIM, COSINE_T, bucket_cap=128
+    )
+    assert uncapped.count() == 10 * 9 // 2 + 1
