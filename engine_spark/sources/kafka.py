@@ -44,12 +44,18 @@ Spark bindings mirror the AMQP/websocket ones (same execution loci):
 Option keys follow the common client conventions (``kafka.bootstrap``,
 ``kafka.topic``, ``kafka.partitions``); bare keys are accepted too.
 
-Scope (honest): single-broker — the client produces/fetches against the
-bootstrap connection and does not route per-partition LEADER metadata to
-other brokers (the Metadata response carries the leader ids a multi-node
-client would dial). Compression codecs (attributes bits 0-2) are not
-implemented: batches are written uncompressed and a compressed inbound
-batch refuses loudly at decode instead of misparsing its records.
+Multi-broker: ``KafkaClusterClient`` routes every produce/fetch/
+list_offsets to the PARTITION LEADER learned from Metadata (one cached
+connection per broker), refreshing metadata and retrying once on
+NOT_LEADER_FOR_PARTITION — the standard client reaction to leader
+elections. The Spark source/sink go through it, so a real multi-node
+cluster fans requests out instead of hammering the bootstrap node.
+Compression: gzip (attributes codec bits = 1, stdlib zlib/gzip) is
+implemented on BOTH encode and decode — the records region compresses,
+the batch header (through the record count) stays plaintext and the CRC
+covers the on-wire (compressed) bytes, per the spec. snappy/lz4/zstd
+(codecs 2-4) are not in the stdlib: a batch carrying them still refuses
+loudly at decode instead of misparsing varints out of compressed data.
 
 Reference parity: the reference lists Kafka as PLANNED, not implemented
 (MILESTONES.md:183-205) — this connector is beyond-reference surface,
@@ -58,6 +64,7 @@ built the way its rabbitmq_source.rs/rabbitmq_sink.rs pair would imply.
 
 from __future__ import annotations
 
+import gzip
 import json
 import socket
 import struct
@@ -75,9 +82,22 @@ API_INIT_PRODUCER_ID = 22
 ERR_NONE = 0
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
 ERR_CORRUPT_MESSAGE = 2
+ERR_NOT_LEADER_FOR_PARTITION = 6
+
+CODEC_NONE = 0
+CODEC_GZIP = 1
 
 EARLIEST = -2
 LATEST = -1
+
+
+class KafkaWireError(ValueError):
+    """Protocol-level error response; ``code`` is the Kafka error code
+    (NOT_LEADER_FOR_PARTITION=6 is the one clients route around)."""
+
+    def __init__(self, message: str, code: int):
+        super().__init__(message)
+        self.code = code
 
 
 # ---------------------------------------------------------------------------
@@ -285,12 +305,18 @@ def encode_record_batch(
     producer_id: int = -1,
     producer_epoch: int = -1,
     base_sequence: int = -1,
+    codec: int = CODEC_NONE,
 ) -> bytes:
-    """``records`` = [(timestamp_ms, key, value)]; one uncompressed batch.
+    """``records`` = [(timestamp_ms, key, value)]; one batch.
     ``producer_id``/``producer_epoch``/``base_sequence`` carry the KIP-98
-    idempotent-producer fields (-1 = no idempotence)."""
+    idempotent-producer fields (-1 = no idempotence). ``codec=CODEC_GZIP``
+    gzips the records REGION (attributes bits 0-2 = 1); the header through
+    the record count stays plaintext and the CRC covers the on-wire
+    (compressed) bytes, per the record-batch spec."""
     if not records:
         raise ValueError("empty record batch")
+    if codec not in (CODEC_NONE, CODEC_GZIP):
+        raise ValueError(f"unsupported compression codec {codec}")
     base_ts = records[0][0]
     max_ts = max(r[0] for r in records)
     body = KWriter()
@@ -310,8 +336,13 @@ def encode_record_batch(
         rec.varint(0)  # headers count
         body.varint(len(rec.buf)).raw(bytes(rec.buf))
 
+    region = bytes(body.buf)
+    if codec == CODEC_GZIP:
+        # mtime=0: deterministic bytes (gzip's header embeds a timestamp)
+        region = gzip.compress(region, mtime=0)
+
     crcd = KWriter()  # everything the CRC covers: attributes .. records
-    crcd.int16(0)                    # attributes: no compression, no txn
+    crcd.int16(codec)                # attributes: codec bits 0-2, no txn
     crcd.int32(len(records) - 1)     # lastOffsetDelta
     crcd.int64(base_ts)
     crcd.int64(max_ts)
@@ -319,7 +350,7 @@ def encode_record_batch(
     crcd.int16(producer_epoch)
     crcd.int32(base_sequence)
     crcd.int32(len(records))
-    crcd.raw(bytes(body.buf))
+    crcd.raw(region)
     crc_bytes = bytes(crcd.buf)
 
     out = KWriter()
@@ -379,12 +410,12 @@ def decode_record_batches(
             raise ValueError(f"unsupported record batch magic {magic}")
         r.uint32()  # crc (validated on produce; fetch trusts the log)
         attrs = r.int16()
-        if attrs & 0x07:
-            # compression codecs unimplemented: the records region would
-            # be gzip/snappy/lz4/zstd bytes — refuse loudly instead of
-            # misparsing varints out of compressed data
+        codec = attrs & 0x07
+        if codec not in (CODEC_NONE, CODEC_GZIP):
+            # snappy/lz4/zstd are not in the stdlib — refuse loudly
+            # instead of misparsing varints out of compressed data
             raise ValueError(
-                f"compressed record batch (codec {attrs & 0x07}) unsupported"
+                f"compressed record batch (codec {codec}) unsupported"
             )
         r.int32()   # lastOffsetDelta
         base_ts = r.int64()
@@ -393,6 +424,10 @@ def decode_record_batches(
         r.int16()   # producerEpoch
         r.int32()   # baseSequence
         n = r.int32()
+        if codec == CODEC_GZIP:
+            # the records region (everything after the count) is one gzip
+            # stream; the plaintext header above already parsed
+            r = KReader(gzip.decompress(r._take(len(r.raw) - r.pos)))
         for _ in range(n):
             r.varint()  # record length
             r.int8()    # attributes
@@ -494,25 +529,37 @@ class KafkaClient:
         return r.int64(), r.int16()
 
     def metadata(self, topics: Optional[list[str]] = None) -> dict:
-        """-> {topic: {"partitions": [ids], "error": code}} (Metadata v1)."""
+        """-> {topic: {"partitions": [ids], "error": code,
+        "leaders": {partition: node_id}}} plus the reserved key
+        "__brokers__" -> {node_id: (host, port)} (Metadata v1) — the
+        node registry KafkaClusterClient routes leader requests with."""
         body = KWriter()
         body.array(topics, lambda w, t: w.string(t))
         r = self._request(API_METADATA, 1, body)
-        r.array(lambda rr: (rr.int32(), rr.string(), rr.int32(), rr.string()))
+        brokers = {}
+        for _ in range(r.int32()):
+            node = r.int32()
+            host = r.string()
+            port = r.int32()
+            r.string()  # rack
+            brokers[node] = (host, port)
         r.int32()  # controller_id
-        out = {}
+        out: dict = {"__brokers__": brokers}
         for _ in range(r.int32()):
             err = r.int16()
             name = r.string()
             r.int8()  # is_internal
-            parts = []
+            parts, leaders = [], {}
             for _ in range(r.int32()):
                 r.int16()  # partition error
-                parts.append(r.int32())
-                r.int32()  # leader
+                p = r.int32()
+                parts.append(p)
+                leaders[p] = r.int32()  # leader node id
                 r.array(lambda rr: rr.int32())  # replicas
                 r.array(lambda rr: rr.int32())  # isr
-            out[name] = {"error": err, "partitions": sorted(parts)}
+            out[name] = {
+                "error": err, "partitions": sorted(parts), "leaders": leaders,
+            }
         return out
 
     def produce(
@@ -536,7 +583,7 @@ class KafkaClient:
                 r.int64()  # log_append_time
         r.int32()  # throttle
         if err:
-            raise ValueError(f"produce error {err}")
+            raise KafkaWireError(f"produce error {err}", err)
         return base_offset
 
     def fetch(
@@ -564,7 +611,7 @@ class KafkaClient:
                 r.array(lambda rr: (rr.int64(), rr.int64()))  # aborted txns
                 raw = r.bytes32() or b""
                 if err:
-                    raise ValueError(f"fetch error {err}")
+                    raise KafkaWireError(f"fetch error {err}", err)
                 records = [rec for rec in decode_record_batches(raw)
                            if rec[0] >= offset]
         return hw, records
@@ -586,7 +633,7 @@ class KafkaClient:
                 r.int64()  # timestamp
                 offset = r.int64()
         if err:
-            raise ValueError(f"list_offsets error {err}")
+            raise KafkaWireError(f"list_offsets error {err}", err)
         return offset
 
     def close(self) -> None:
@@ -598,21 +645,135 @@ class KafkaClient:
                 pass
 
 
+class KafkaClusterClient:
+    """Leader-routing client over one bootstrap address.
+
+    Learns the broker registry and per-partition leaders from Metadata on
+    the bootstrap connection, keeps ONE cached connection per broker node,
+    and sends every produce/fetch/list_offsets to that partition's leader
+    — what every real multi-node client does; the bootstrap node only ever
+    serves metadata. On NOT_LEADER_FOR_PARTITION (a leader election moved
+    the partition) it refreshes metadata once and retries against the new
+    leader. init_producer_id goes to the bootstrap connection (the stub
+    broker has no coordinator; a real deployment's FindCoordinator step
+    would slot in here)."""
+
+    def __init__(self, host: str, port: int, client_id: str = "engine-spark"):
+        self.bootstrap = (host, port)
+        self.client_id = client_id
+        self._conns: dict[Tuple[str, int], KafkaClient] = {}
+        self._meta: dict = {}
+
+    def _conn(self, host: str, port: int) -> KafkaClient:
+        key = (host, port)
+        c = self._conns.get(key)
+        if c is None or c.closed:
+            c = KafkaClient(host, port, self.client_id)
+            self._conns[key] = c
+        return c
+
+    def _refresh(self, topic: str) -> dict:
+        md = self._conn(*self.bootstrap).metadata([topic])
+        self._meta[topic] = md.get(topic, {})
+        self._meta["__brokers__"] = md.get("__brokers__", {})
+        return self._meta[topic]
+
+    def partitions(self, topic: str) -> list[int]:
+        return self._refresh(topic).get("partitions", [])
+
+    def _leader(self, topic: str, partition: int) -> KafkaClient:
+        t = self._meta.get(topic) or self._refresh(topic)
+        node = t.get("leaders", {}).get(partition)
+        addr = self._meta.get("__brokers__", {}).get(node)
+        if addr is None:  # unknown partition/node: fall back to bootstrap
+            return self._conn(*self.bootstrap)
+        return self._conn(*addr)
+
+    def _routed(self, topic: str, partition: int, op):
+        try:
+            return op(self._leader(topic, partition))
+        except KafkaWireError as e:
+            if e.code != ERR_NOT_LEADER_FOR_PARTITION:
+                raise
+            self._refresh(topic)
+            return op(self._leader(topic, partition))
+
+    def init_producer_id(
+        self, transactional_id: Optional[str] = None,
+        timeout_ms: int = 10_000,
+    ) -> Tuple[int, int]:
+        return self._conn(*self.bootstrap).init_producer_id(
+            transactional_id, timeout_ms
+        )
+
+    def metadata(self, topics: Optional[list[str]] = None) -> dict:
+        return self._conn(*self.bootstrap).metadata(topics)
+
+    def produce(self, topic: str, partition: int, batch: bytes,
+                acks: int = -1, timeout_ms: int = 10_000) -> int:
+        return self._routed(
+            topic, partition,
+            lambda c: c.produce(topic, partition, batch, acks, timeout_ms),
+        )
+
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 1 << 20, max_wait_ms: int = 100):
+        return self._routed(
+            topic, partition,
+            lambda c: c.fetch(topic, partition, offset, max_bytes, max_wait_ms),
+        )
+
+    def list_offsets(self, topic: str, partition: int, ts: int = LATEST) -> int:
+        return self._routed(
+            topic, partition, lambda c: c.list_offsets(topic, partition, ts)
+        )
+
+    def close(self) -> None:
+        for c in self._conns.values():
+            c.close()
+        self._conns.clear()
+
+
 # ---------------------------------------------------------------------------
 # in-process stub broker (real protocol, minimal semantics)
 # ---------------------------------------------------------------------------
 
+class KafkaClusterState:
+    """Metadata shared by the brokers of one stub cluster: the node
+    registry and the topic -> partition-count map. Leadership is the
+    deterministic rule ``leader(p) = sorted(node_ids)[p % n]`` — enough
+    to exercise the client's routing and NOT_LEADER retry paths."""
+
+    def __init__(self) -> None:
+        self.lock = threading.Lock()
+        self.brokers: dict[int, Tuple[str, int]] = {}
+        self.topics: dict[str, int] = {}
+
+    def leader(self, partition: int) -> int:
+        ids = sorted(self.brokers)
+        return ids[partition % len(ids)]
+
+
 class KafkaBroker:
-    """Single-node broker: auto-created topics, per-partition append logs
-    of CRC-validated record batches, batch-granular fetch."""
+    """Stub broker node: auto-created topics, per-partition append logs
+    of CRC-validated record batches, batch-granular fetch. Single-node by
+    default; pass a shared ``KafkaClusterState`` (+ distinct ``node_id``)
+    to form a multi-broker cluster — each node then serves ONLY the
+    partitions it leads (NOT_LEADER_FOR_PARTITION otherwise) and
+    Metadata from any node lists every broker with true leader ids,
+    exactly the contract a routing client needs."""
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0,
-                 auto_create_partitions: int = 2):
+                 auto_create_partitions: int = 2, node_id: int = 0,
+                 cluster: Optional[KafkaClusterState] = None):
         self.host = host
+        self.node_id = node_id
+        self.state = cluster if cluster is not None else KafkaClusterState()
         self.auto_parts = auto_create_partitions
         # (topic, partition) -> list[(base_offset, n_records, raw_batch)]
+        # — only the partitions THIS node leads get appends
         self.logs: dict[Tuple[str, int], list] = {}
-        self.topics: dict[str, int] = {}
+        self.topics = self.state.topics  # shared across the cluster
         # idempotent-producer state (KIP-98): transactional_id -> (pid,
         # epoch); (pid, topic, partition, base_sequence) -> base_offset
         self.pids: dict[str, Tuple[int, int]] = {}
@@ -624,8 +785,14 @@ class KafkaBroker:
         self.srv.bind((host, port))
         self.port = self.srv.getsockname()[1]
         self.srv.listen(16)
+        with self.state.lock:
+            self.state.brokers[self.node_id] = (self.host, self.port)
         self._stop = False
         threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _is_leader(self, partition: int) -> bool:
+        with self.state.lock:
+            return self.state.leader(partition) == self.node_id
 
     def create_topic(self, topic: str, partitions: int = 1) -> None:
         with self.lock:
@@ -709,18 +876,25 @@ class KafkaBroker:
         with self.lock:
             if topic not in self.topics:
                 self.topics[topic] = self.auto_parts
-                for p in range(self.auto_parts):
-                    self.logs.setdefault((topic, p), [])
-            return self.topics[topic]
+            n = self.topics[topic]
+            # topics is cluster-shared; LOCAL logs must materialize on
+            # every node (another node may have auto-created the topic)
+            for p in range(n):
+                self.logs.setdefault((topic, p), [])
+            return n
 
     def _metadata(self, req: KReader, out: KWriter) -> None:
         topics = req.array(lambda r: r.string())
         for t in topics:
             self._ensure(t)
+        with self.state.lock:
+            brokers = sorted(self.state.brokers.items())
         with self.lock:
             names = list(topics) if topics else sorted(self.topics)
-            out.int32(1).int32(0).string(self.host).int32(self.port).string(None)
-            out.int32(0)  # controller_id
+            out.int32(len(brokers))
+            for node, (bhost, bport) in brokers:
+                out.int32(node).string(bhost).int32(bport).string(None)
+            out.int32(brokers[0][0])  # controller_id
             out.int32(len(names))
             for t in names:
                 nparts = self.topics.get(t, 0)
@@ -728,9 +902,10 @@ class KafkaBroker:
                 out.string(t).int8(0)
                 out.int32(nparts)
                 for p in range(nparts):
-                    out.int16(ERR_NONE).int32(p).int32(0)
-                    out.int32(1).int32(0)  # replicas
-                    out.int32(1).int32(0)  # isr
+                    leader = self.state.leader(p)
+                    out.int16(ERR_NONE).int32(p).int32(leader)
+                    out.int32(1).int32(leader)  # replicas
+                    out.int32(1).int32(leader)  # isr
 
     def _produce(self, req: KReader, out: KWriter) -> None:
         req.string()  # transactional_id
@@ -743,6 +918,10 @@ class KafkaBroker:
             for _ in range(req.int32()):
                 partition = req.int32()
                 raw = req.bytes32() or b""
+                if not self._is_leader(partition):
+                    results.append((topic, partition,
+                                    ERR_NOT_LEADER_FOR_PARTITION, -1))
+                    continue
                 if (topic, partition) not in self.logs:
                     results.append((topic, partition,
                                     ERR_UNKNOWN_TOPIC_OR_PARTITION, -1))
@@ -791,6 +970,10 @@ class KafkaBroker:
                 partition = req.int32()
                 offset = req.int64()
                 pmax = req.int32()
+                if not self._is_leader(partition):
+                    parts.append((partition,
+                                  ERR_NOT_LEADER_FOR_PARTITION, 0, b""))
+                    continue
                 with self.lock:
                     log = self.logs.get((topic, partition))
                     if log is None:
@@ -826,6 +1009,10 @@ class KafkaBroker:
             for _ in range(req.int32()):
                 partition = req.int32()
                 ts = req.int64()
+                if not self._is_leader(partition):
+                    parts.append((partition,
+                                  ERR_NOT_LEADER_FOR_PARTITION, -1))
+                    continue
                 with self.lock:
                     log = self.logs.get((topic, partition))
                     if log is None:
@@ -855,17 +1042,19 @@ def _opt(opts: dict, key: str, default=None):
 
 
 #: per-process client cache — Spark pickles readers/writers; sockets are
-#: created lazily on first use in whichever process runs them
+#: created lazily on first use in whichever process runs them. Cached as
+#: LEADER-ROUTING clients so every fetch/produce lands on the partition
+#: leader, not the bootstrap node.
 _CLIENTS: dict = {}
 _CLIENTS_LOCK = threading.Lock()
 
 
-def _client_for(host: str, port: int) -> KafkaClient:
+def _client_for(host: str, port: int) -> KafkaClusterClient:
     key = (host, port)
     with _CLIENTS_LOCK:
         c = _CLIENTS.get(key)
-        if c is None or c.closed:
-            c = KafkaClient(host, port)
+        if c is None:
+            c = KafkaClusterClient(host, port)
             _CLIENTS[key] = c
         return c
 
@@ -906,12 +1095,11 @@ def make_stream_reader(options: dict):
                 _opt(options, "max.offsets.per.trigger", "0") or 0
             )
 
-        def _client(self) -> KafkaClient:
+        def _client(self) -> KafkaClusterClient:
             return _client_for(self.host, self.port)
 
         def _partitions(self) -> list[int]:
-            md = self._client().metadata([self.topic])
-            return md.get(self.topic, {}).get("partitions", [])
+            return self._client().partitions(self.topic)
 
         def initialOffset(self) -> dict:
             c = self._client()
@@ -1018,6 +1206,10 @@ def _register_sink(spark) -> None:
             self.host, self.port = _parse_bootstrap(options)
             self.topic = options.get("topic")
             self.exactly_once = options.get("exactly.once", "true") == "true"
+            comp = options.get("compression", "none")
+            if comp not in ("none", "gzip"):
+                raise ValueError(f"unsupported kafka compression '{comp}'")
+            self.codec = CODEC_GZIP if comp == "gzip" else CODEC_NONE
 
         def write(self, iterator) -> WriterCommitMessage:
             # Executor-side, once per Spark partition: rows grouped into
@@ -1032,7 +1224,7 @@ def _register_sink(spark) -> None:
             from pyspark import TaskContext
 
             pid = epoch = bseq = -1
-            client = KafkaClient(self.host, self.port)
+            client = KafkaClusterClient(self.host, self.port)
             try:
                 tc = TaskContext.get()
                 if self.exactly_once and tc is not None:
@@ -1042,8 +1234,7 @@ def _register_sink(spark) -> None:
                         tid = f"{qid}-p{tc.partitionId()}"
                         pid, epoch = client.init_producer_id(tid)
                         bseq = int(raw_bid) & 0x7FFFFFFF
-                md = client.metadata([self.topic])
-                parts = md.get(self.topic, {}).get("partitions", [0])
+                parts = client.partitions(self.topic) or [0]
                 nparts = max(len(parts), 1)
                 now = int(time.time() * 1000)
                 grouped: dict[int, list] = {}
@@ -1070,7 +1261,7 @@ def _register_sink(spark) -> None:
                         self.topic, p,
                         encode_record_batch(
                             recs, producer_id=pid, producer_epoch=epoch,
-                            base_sequence=bseq,
+                            base_sequence=bseq, codec=self.codec,
                         ),
                     )
             finally:
@@ -1107,6 +1298,10 @@ def kafka_sink_writer(df, opts: dict):
         .option("bootstrap", f"{host}:{port}")
         .option("topic", str(_opt(opts, "topic")))
     )
+    for key in ("exactly.once", "compression"):
+        val = _opt(opts, key)
+        if val is not None:
+            writer = writer.option(key, str(val))
     if "checkpoint" in opts:
         writer = writer.option("checkpointLocation", opts["checkpoint"])
     return writer

@@ -547,14 +547,102 @@ def test_with_clause_error_routing_composes_with_kafka(spark, tmp_path):
         broker.stop()
 
 
-def test_compressed_batch_refused_loudly():
+def test_unsupported_codec_refused_loudly():
     import struct as _s
 
     batch = bytearray(encode_record_batch([(1, b"k", b"v")]))
-    # set attributes compression bits (offset 21, int16) to gzip (1) and
-    # re-seal the CRC so only the codec refusal can fire
-    _s.pack_into(">h", batch, 21, 1)
+    # set attributes compression bits (offset 21, int16) to snappy (2) and
+    # re-seal the CRC so only the codec refusal can fire — gzip (1) is
+    # implemented now; snappy/lz4/zstd are not in the stdlib and must
+    # still refuse instead of misparsing
+    _s.pack_into(">h", batch, 21, 2)
     _s.pack_into(">I", batch, 17, crc32c(bytes(batch[21:])))
     assert validate_batch_crc(bytes(batch))
     with pytest.raises(ValueError, match="compressed record batch"):
         decode_record_batches(bytes(batch))
+
+
+def test_gzip_batch_roundtrip_and_wire():
+    from engine_spark.sources.kafka import CODEC_GZIP
+
+    recs = [(1000, b"k1", b"value-one" * 50), (1003, None, b"value-two" * 50)]
+    batch = encode_record_batch(recs, codec=CODEC_GZIP)
+    plain = encode_record_batch(recs)
+    # the records region actually compressed (repetitive payload)
+    assert len(batch) < len(plain)
+    # header through the record count is plaintext: count at offset 57
+    assert struct.unpack_from(">i", batch, 57)[0] == 2
+    # CRC covers the on-wire (compressed) bytes
+    assert validate_batch_crc(batch)
+    out = decode_record_batches(batch)
+    assert [(o, ts, k, v) for o, ts, k, v in out] == [
+        (0, 1000, b"k1", b"value-one" * 50),
+        (1, 1003, None, b"value-two" * 50),
+    ]
+
+    # through the broker: produce compressed, fetch decodes transparently
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        c.metadata(["gz"])
+        assert c.produce("gz", 0, batch) == 0
+        _, fetched = c.fetch("gz", 0, 0)
+        assert [(k, v) for _, _, k, v in fetched] == [
+            (b"k1", b"value-one" * 50), (None, b"value-two" * 50)
+        ]
+        c.close()
+    finally:
+        broker.stop()
+
+
+def test_multi_broker_leader_routing():
+    """Two brokers sharing cluster state: partition leaders alternate by
+    node id; a direct client hitting the WRONG node gets
+    NOT_LEADER_FOR_PARTITION; KafkaClusterClient routes each partition to
+    its leader and recovers from stale cached metadata by refreshing."""
+    from engine_spark.sources.kafka import (
+        ERR_NOT_LEADER_FOR_PARTITION,
+        KafkaClusterClient,
+        KafkaClusterState,
+        KafkaWireError,
+    )
+
+    state = KafkaClusterState()
+    b0 = KafkaBroker(node_id=0, cluster=state, auto_create_partitions=2)
+    b1 = KafkaBroker(node_id=1, cluster=state, auto_create_partitions=2)
+    try:
+        cc = KafkaClusterClient("127.0.0.1", b0.port)
+        # metadata from the bootstrap lists BOTH brokers with true leaders
+        md = cc.metadata(["t"])
+        assert set(md["__brokers__"]) == {0, 1}
+        assert md["t"]["leaders"] == {0: 0, 1: 1}
+
+        # cluster client produces to both partitions (p1's leader is b1,
+        # which the bootstrap connection alone could not serve)
+        assert cc.produce("t", 0, encode_record_batch([(1, b"a", b"p0")])) == 0
+        assert cc.produce("t", 1, encode_record_batch([(2, b"b", b"p1")])) == 0
+        # ...and the data landed on the LEADER's log, not the bootstrap's
+        assert b0.log_end("t", 0) == 1 and b1.log_end("t", 1) == 1
+        _, recs = cc.fetch("t", 1, 0)
+        assert [(k, v) for _, _, k, v in recs] == [(b"b", b"p1")]
+        assert cc.list_offsets("t", 1) == 1
+
+        # a NON-routing client against the wrong node: loud error 6
+        direct = KafkaClient("127.0.0.1", b0.port)
+        direct.metadata(["t"])
+        with pytest.raises(KafkaWireError) as ei:
+            direct.produce("t", 1, encode_record_batch([(3, b"c", b"x")]))
+        assert ei.value.code == ERR_NOT_LEADER_FOR_PARTITION
+        direct.close()
+
+        # stale-metadata recovery: poison the cache so partition 1 points
+        # at node 0, then produce — the client must catch error 6,
+        # re-fetch metadata, and land the batch on node 1
+        cc._meta["t"] = {"partitions": [0, 1], "leaders": {0: 0, 1: 0},
+                         "error": 0}
+        assert cc.produce("t", 1, encode_record_batch([(4, b"d", b"p1b")])) == 1
+        assert b1.log_end("t", 1) == 2
+        cc.close()
+    finally:
+        b0.stop()
+        b1.stop()
