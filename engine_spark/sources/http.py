@@ -15,12 +15,15 @@ kafka connectors are built:
   payloads).
 - ``http_source`` in **poll** mode GETs a REST endpoint on an interval
   from a thread in the reader's process; each poll's body becomes one
-  event (or one per line with ``split.lines``). Honest caveat: poll
-  results are point-in-time snapshots buffered in-process, so a batch
-  whose offsets were logged but whose rows were never processed before
-  a CRASH replays EMPTY after restart (the polls cannot be re-issued
-  retroactively) — webhook mode keeps replayable state in the external
-  receiver and does not have this gap.
+  event (or one per line with ``split.lines``). Poll snapshots are
+  point-in-time and cannot be re-issued retroactively, so every poll's
+  rows SPILL to disk (atomic tmp+rename segment, the filequeue pattern)
+  BEFORE they become visible to ``read`` — a crash after Spark logged a
+  batch's offsets replays the identical rows from the spill on restart,
+  and ``commit`` prunes segments wholly below the committed offset.
+  ``poll.spill.dir`` places the spill (default: a per-URL directory
+  under the system temp dir — point it at shared storage when the
+  driver can fail over to another host).
 - ``http_sink_writer`` POSTs rows from the executors — one JSON object
   per row, or JSON arrays of ``batch.size`` rows ("batch requests") —
   with ``retries`` attempts and exponential backoff starting at
@@ -32,8 +35,11 @@ Option keys accept the ``http.`` prefix or bare names.
 
 from __future__ import annotations
 
+import hashlib
 import http.client
 import json
+import os
+import tempfile
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -130,15 +136,33 @@ class WebhookReceiver:
         self.srv.server_close()
 
 
+def default_poll_spill_dir(url: str) -> str:
+    """Per-URL spill location under the system temp dir — survives a
+    driver-process restart on the same host; cluster failover should set
+    ``poll.spill.dir`` to shared storage instead."""
+    tag = hashlib.sha1(url.encode()).hexdigest()[:16]
+    return os.path.join(tempfile.gettempdir(), "engine-spark-http-poll", tag)
+
+
 class _Poller:
     """Driver-side REST poll loop: GET ``url`` every ``interval_s``; each
     response body (or each line of it) becomes one buffered event.
     Polling PAUSES while ``max_buffer`` uncommitted events are held
     (backpressure, not loss) — a stopped consumer otherwise grows the
-    buffer forever."""
+    buffer forever.
+
+    Replay safety: a poll is a point-in-time snapshot, so its rows write
+    to a SPILL SEGMENT (``{first}-{last}.jsonl``, tmp + atomic rename —
+    the filequeue pattern) BEFORE they enter the in-memory buffer. Any
+    offset Spark could have logged is therefore durable: a restarted
+    poller reloads uncommitted rows from the spill (offsets continuing
+    where they left off, via the ``committed`` watermark file), so a
+    crash-replayed ``readBetweenOffsets`` range re-reads the identical
+    rows instead of an empty batch. ``prune`` advances the watermark and
+    unlinks segments wholly below it."""
 
     def __init__(self, url: str, interval_s: float, split_lines: bool,
-                 max_buffer: int = 100_000):
+                 max_buffer: int = 100_000, spill_dir: Optional[str] = None):
         self.buffer: list[Tuple[int, str, str, str]] = []
         self.next = 0
         self.max_buffer = max_buffer
@@ -146,8 +170,30 @@ class _Poller:
         self.url = url
         self.interval_s = interval_s
         self.split_lines = split_lines
+        self.spill = spill_dir or default_poll_spill_dir(url)
+        os.makedirs(self.spill, exist_ok=True)
+        self._load_spill()
         self.closed = False
         threading.Thread(target=self._run, daemon=True).start()
+
+    def _load_spill(self) -> None:
+        base = 0
+        marker = os.path.join(self.spill, "committed")
+        if os.path.exists(marker):
+            txt = open(marker).read().strip()
+            base = int(txt) if txt else 0
+        rows = []
+        for name in sorted(os.listdir(self.spill)):
+            if not name.endswith(".jsonl"):
+                continue
+            with open(os.path.join(self.spill, name)) as f:
+                for line in f:
+                    off, v, p, c = json.loads(line)
+                    if off >= base:
+                        rows.append((off, v, p, c))
+        rows.sort(key=lambda r: r[0])
+        self.buffer = rows
+        self.next = max([base] + [r[0] + 1 for r in rows])
 
     def _poll_once(self) -> None:
         u = urlparse(self.url)
@@ -165,10 +211,54 @@ class _Poller:
         finally:
             conn.close()
         values = body.splitlines() if self.split_lines else [body]
+        if not values:
+            return
         with self.lock:
-            for v in values:
-                self.buffer.append((self.next, v, u.path or "/", ctype))
-                self.next += 1
+            new = [
+                (self.next + i, v, u.path or "/", ctype)
+                for i, v in enumerate(values)
+            ]
+            # durable BEFORE visible: once read() can hand these offsets
+            # to Spark, a crash-replay must find the same rows on disk
+            seg = os.path.join(
+                self.spill, f"{new[0][0]:020d}-{new[-1][0]:020d}.jsonl"
+            )
+            tmp = seg + ".tmp"
+            with open(tmp, "w") as f:
+                for r in new:
+                    f.write(json.dumps(list(r)) + "\n")
+            os.replace(tmp, seg)
+            self.buffer.extend(new)
+            self.next = new[-1][0] + 1
+
+    def prune(self, upto: int) -> None:
+        """Drop rows and spill segments wholly below the committed
+        offset; the watermark file advances FIRST (tmp+rename) so a crash
+        mid-prune never resurrects committed rows."""
+        with self.lock:
+            self.buffer = [r for r in self.buffer if r[0] >= upto]
+            marker = os.path.join(self.spill, "committed")
+            cur = 0
+            if os.path.exists(marker):
+                txt = open(marker).read().strip()
+                cur = int(txt) if txt else 0
+            if upto > cur:
+                tmp = marker + ".tmp"
+                with open(tmp, "w") as f:
+                    f.write(str(upto))
+                os.replace(tmp, marker)
+            for name in os.listdir(self.spill):
+                if not name.endswith(".jsonl"):
+                    continue
+                try:
+                    last = int(name[:-6].split("-")[1])
+                except (IndexError, ValueError):
+                    continue
+                if last < upto:
+                    try:
+                        os.unlink(os.path.join(self.spill, name))
+                    except OSError:
+                        pass
 
     def _run(self) -> None:
         while not self.closed:
@@ -201,6 +291,7 @@ def _poller_for(options: dict) -> _Poller:
                 options["url"],
                 float(options.get("poll.interval.ms", "1000")) / 1000.0,
                 options.get("split.lines", "false") == "true",
+                spill_dir=options.get("poll.spill.dir"),
             )
             _ENDPOINTS[key] = ep
         return ep
@@ -284,9 +375,7 @@ def _register_source(spark) -> None:
         def commit(self, end: dict) -> None:
             hi = end["offset"]
             if self.mode == "poll":
-                ep = _poller_for(self.options)
-                with ep.lock:
-                    ep.buffer = [r for r in ep.buffer if r[0] >= hi]
+                _poller_for(self.options).prune(hi)
                 return
             try:
                 _rx_call(self.host, self.port, "POST", "/__commit",
@@ -324,7 +413,7 @@ def http_source(spark, opts: dict):
     _register_source(spark)
     reader = spark.readStream.format("http")
     for key in ("mode", "host", "port", "url", "poll.interval.ms",
-                "split.lines", "name"):
+                "split.lines", "poll.spill.dir", "name"):
         val = _opt(opts, key)
         if val is not None:
             reader = reader.option(key, str(val))
