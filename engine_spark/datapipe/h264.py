@@ -1776,8 +1776,15 @@ def _add_chroma_residual(fr: _Frame, pps: dict, qp: int, cx: int, cy: int,
     for comp, plane in ((0, fr.cb), (1, fr.cr)):
         qpc = qpc_by_comp[comp]
         pred = preds[comp]
-        dc = (chroma_dc_dequant(chroma_dc[comp], qpc) if cbp_chroma
-              else np.zeros((2, 2), np.int64))
+        if not cbp_chroma:
+            # no chroma residual at all: the whole 8x8 is the prediction
+            plane[cy : cy + 8, cx : cx + 8] = np.clip(pred, 0, 255)
+            continue
+        dc = chroma_dc_dequant(chroma_dc[comp], qpc)
+        if all(a is None for a in chroma_ac[comp]):
+            res8 = np.repeat(np.repeat((dc + 32) >> 6, 4, 0), 4, 1)
+            plane[cy : cy + 8, cx : cx + 8] = np.clip(pred + res8, 0, 255)
+            continue
         for j in range(4):
             ox, oy = (j % 2) * 4, (j // 2) * 4
             if chroma_ac[comp][j] is not None:
@@ -1902,17 +1909,28 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
         top, left, corner = _luma_neighbors(fr, px, py, slice_id, 16)
         pred = _pred16x16(i16_pred, top, left, corner)
         dc = luma_dc_dequant(dc_levels, qp)
-        for i in range(16):
-            ox, oy = _BLK_XY[i]
-            if luma_coeffs[i] is not None:
-                d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
-                d[0, 0] = dc[oy // 4, ox // 4]
-                res = idct4x4(d)
-            else:
-                d0 = int(dc[oy // 4, ox // 4])
-                res = np.full((4, 4), d0, np.int64)
-            blk = pred[oy : oy + 4, ox : ox + 4] + ((res + 32) >> 6)
-            fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(blk, 0, 255)
+        if all(c is None for c in luma_coeffs):
+            # DC-only MB (no AC blocks): every 4x4's residual is the
+            # constant (dc + 32) >> 6 — reconstruct the whole 16x16 in
+            # one vector op instead of 16 small-array rounds
+            res16 = np.repeat(np.repeat((dc + 32) >> 6, 4, 0), 4, 1)
+            fr.y[py : py + 16, px : px + 16] = np.clip(
+                pred + res16, 0, 255
+            )
+        else:
+            for i in range(16):
+                ox, oy = _BLK_XY[i]
+                if luma_coeffs[i] is not None:
+                    d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
+                    d[0, 0] = dc[oy // 4, ox // 4]
+                    res = idct4x4(d)
+                else:
+                    d0 = int(dc[oy // 4, ox // 4])
+                    res = np.full((4, 4), d0, np.int64)
+                blk = pred[oy : oy + 4, ox : ox + 4] + ((res + 32) >> 6)
+                fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(
+                    blk, 0, 255
+                )
     else:
         # I_4x4: per-block predict + reconstruct, in z-order, so later
         # blocks see earlier blocks' reconstructed samples.
@@ -2698,7 +2716,10 @@ def _clip3(lo, hi, v):
 def _filter_edge_luma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
     """Filter one 4-sample luma edge segment starting at (xs, ys), with
     the edge normal along (dx, dy) (p side at -1, q side at 0) and the
-    edge direction perpendicular."""
+    edge direction perpendicular. ``plane`` is row-indexable
+    (``plane[y][x]``): deblock_frame passes nested Python lists — per-
+    sample indexing of a numpy array is ~5x slower, and this is the
+    decoder's hottest loop — while unit tests may pass ndarrays."""
     idx_a = _clip3(0, 51, qpa + off_a)
     idx_b = _clip3(0, 51, qpa + off_b)
     alpha, beta = _ALPHA[idx_a], _BETA[idx_b]
@@ -2708,8 +2729,8 @@ def _filter_edge_luma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
     for k in range(4):
         x, y = xs + k * ex, ys + k * ey
         # p0..p3 at offsets -1..-4 along the normal; q0..q3 at 0..3
-        p = [int(plane[y - dy * (i + 1), x - dx * (i + 1)]) for i in range(4)]
-        q = [int(plane[y + dy * i, x + dx * i]) for i in range(4)]
+        p = [plane[y - dy * (i + 1)][x - dx * (i + 1)] for i in range(4)]
+        q = [plane[y + dy * i][x + dx * i] for i in range(4)]
         if not (abs(p[0] - q[0]) < alpha and abs(p[1] - p[0]) < beta
                 and abs(q[1] - q[0]) < beta):
             continue
@@ -2731,25 +2752,25 @@ def _filter_edge_luma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
             else:
                 nq0 = (2 * q[1] + q[0] + p[1] + 2) >> 2
                 nq1, nq2 = q[1], q[2]
-            plane[y - dy, x - dx] = np0
-            plane[y - 2 * dy, x - 2 * dx] = np1
-            plane[y - 3 * dy, x - 3 * dx] = np2
-            plane[y, x] = nq0
-            plane[y + dy, x + dx] = nq1
-            plane[y + 2 * dy, x + 2 * dx] = nq2
+            plane[y - dy][x - dx] = np0
+            plane[y - 2 * dy][x - 2 * dx] = np1
+            plane[y - 3 * dy][x - 3 * dx] = np2
+            plane[y][x] = nq0
+            plane[y + dy][x + dx] = nq1
+            plane[y + 2 * dy][x + 2 * dx] = nq2
         else:
             tc0 = _TC0[idx_a][bs - 1]
             tc = tc0 + (1 if ap else 0) + (1 if aq else 0)
             delta = _clip3(-tc, tc,
                            (((q[0] - p[0]) << 2) + (p[1] - q[1]) + 4) >> 3)
-            plane[y - dy, x - dx] = _clip3(0, 255, p[0] + delta)
-            plane[y, x] = _clip3(0, 255, q[0] - delta)
+            plane[y - dy][x - dx] = _clip3(0, 255, p[0] + delta)
+            plane[y][x] = _clip3(0, 255, q[0] - delta)
             if ap:
-                plane[y - 2 * dy, x - 2 * dx] = p[1] + _clip3(
+                plane[y - 2 * dy][x - 2 * dx] = p[1] + _clip3(
                     -tc0, tc0, (p[2] + ((p[0] + q[0] + 1) >> 1) - 2 * p[1]) >> 1
                 )
             if aq:
-                plane[y + dy, x + dx] = q[1] + _clip3(
+                plane[y + dy][x + dx] = q[1] + _clip3(
                     -tc0, tc0, (q[2] + ((q[0] + p[0] + 1) >> 1) - 2 * q[1]) >> 1
                 )
 
@@ -2764,20 +2785,37 @@ def _filter_edge_chroma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
     ex, ey = (0, 1) if dx else (1, 0)
     for k in range(2):
         x, y = xs + k * ex, ys + k * ey
-        p = [int(plane[y - dy * (i + 1), x - dx * (i + 1)]) for i in range(2)]
-        q = [int(plane[y + dy * i, x + dx * i]) for i in range(2)]
+        p = [plane[y - dy * (i + 1)][x - dx * (i + 1)] for i in range(2)]
+        q = [plane[y + dy * i][x + dx * i] for i in range(2)]
         if not (abs(p[0] - q[0]) < alpha and abs(p[1] - p[0]) < beta
                 and abs(q[1] - q[0]) < beta):
             continue
         if bs == 4:
-            plane[y - dy, x - dx] = (2 * p[1] + p[0] + q[1] + 2) >> 2
-            plane[y, x] = (2 * q[1] + q[0] + p[1] + 2) >> 2
+            plane[y - dy][x - dx] = (2 * p[1] + p[0] + q[1] + 2) >> 2
+            plane[y][x] = (2 * q[1] + q[0] + p[1] + 2) >> 2
         else:
             tc = _TC0[idx_a][bs - 1] + 1
             delta = _clip3(-tc, tc,
                            (((q[0] - p[0]) << 2) + (p[1] - q[1]) + 4) >> 3)
-            plane[y - dy, x - dx] = _clip3(0, 255, p[0] + delta)
-            plane[y, x] = _clip3(0, 255, q[0] - delta)
+            plane[y - dy][x - dx] = _clip3(0, 255, p[0] + delta)
+            plane[y][x] = _clip3(0, 255, q[0] - delta)
+
+
+def _edge_bs_fast(refl, nnzl, mvl, pbx: int, pby: int, qbx: int, qby: int,
+                  mb_edge: bool) -> int:
+    """_edge_bs over row-indexable block state (nested lists in the hot
+    path; deblock_frame extracts them from the frame once)."""
+    p_ref, q_ref = refl[pby][pbx], refl[qby][qbx]
+    if p_ref < 0 or q_ref < 0:  # intra (-1) — and -2 never survives decode
+        return 4 if mb_edge else 3
+    if nnzl[pby][pbx] or nnzl[qby][qbx]:
+        return 2
+    if p_ref != q_ref:
+        return 1
+    pmv, qmv = mvl[pby][pbx], mvl[qby][qbx]
+    if abs(pmv[0] - qmv[0]) >= 4 or abs(pmv[1] - qmv[1]) >= 4:
+        return 1
+    return 0
 
 
 def _edge_bs(fr: _Frame, pbx: int, pby: int, qbx: int, qby: int,
@@ -2787,17 +2825,8 @@ def _edge_bs(fr: _Frame, pbx: int, pby: int, qbx: int, qby: int,
     internal), 2 when either side carries coefficients, 1 on a >=1-pel
     quarter-mv component difference or reference mismatch, else 0 (the
     edge is not filtered)."""
-    p_ref, q_ref = int(fr.blk_ref[pby, pbx]), int(fr.blk_ref[qby, qbx])
-    if p_ref < 0 or q_ref < 0:  # intra (-1) — and -2 never survives decode
-        return 4 if mb_edge else 3
-    if fr.blk_nnz[pby, pbx] or fr.blk_nnz[qby, qbx]:
-        return 2
-    if p_ref != q_ref:
-        return 1
-    if (abs(int(fr.blk_mv[pby, pbx, 0]) - int(fr.blk_mv[qby, qbx, 0])) >= 4
-            or abs(int(fr.blk_mv[pby, pbx, 1]) - int(fr.blk_mv[qby, qbx, 1])) >= 4):
-        return 1
-    return 0
+    return _edge_bs_fast(fr.blk_ref, fr.blk_nnz, fr.blk_mv,
+                         pbx, pby, qbx, qby, mb_edge)
 
 
 def deblock_frame(fr: _Frame) -> None:
@@ -2811,21 +2840,43 @@ def deblock_frame(fr: _Frame) -> None:
     ``_edge_bs`` over the blocks' intra/nnz/mv/ref state. MBs filter in
     raster order — vertical edges left-to-right then horizontal
     top-to-bottom — each edge reading the partially filtered samples, as
-    the spec requires."""
+    the spec requires.
+
+    The per-sample loops run over nested Python LISTS extracted from the
+    numpy state once and written back once at the end: the filter reads/
+    writes individual samples in data-dependent order (inherently
+    scalar), and numpy per-element indexing made this the decoder's
+    hottest path (the r12 bench's top non-store cost) — the list-backed
+    pass is ~4x faster with bit-identical integer math."""
+    if int(fr.mb_deblock.min()) == 1:
+        return  # every slice disabled the filter: nothing to do
+    yl = fr.y.tolist()
+    cbl = fr.cb.tolist()
+    crl = fr.cr.tolist()
+    refl = fr.blk_ref.tolist()
+    nnzl = fr.blk_nnz.tolist()
+    mvl = fr.blk_mv.tolist()
+    mbq = fr.mb_qp.tolist()
+    mbd = fr.mb_deblock.tolist()
+    mba = fr.mb_off_a.tolist()
+    mbb = fr.mb_off_b.tolist()
+    mbsl = fr.mb_slice.tolist()
+    cq1 = fr.mb_cqpo.tolist()
+    cq2 = fr.mb_cqpo2.tolist()
     for mby in range(fr.hmb):
         for mbx in range(fr.wmb):
-            idc = int(fr.mb_deblock[mby, mbx])
+            idc = mbd[mby][mbx]
             if idc == 1:
                 continue
-            off_a = int(fr.mb_off_a[mby, mbx])
-            off_b = int(fr.mb_off_b[mby, mbx])
-            qp_cur = int(fr.mb_qp[mby, mbx])
-            sid = int(fr.mb_slice[mby, mbx])
+            off_a = mba[mby][mbx]
+            off_b = mbb[mby][mbx]
+            qp_cur = mbq[mby][mbx]
+            sid = mbsl[mby][mbx]
 
             def neighbor_ok(nx, ny):
                 if nx < 0 or ny < 0:
                     return False
-                if idc == 2 and fr.mb_slice[ny, nx] != sid:
+                if idc == 2 and mbsl[ny][nx] != sid:
                     return False  # idc 2: don't cross slice boundaries
                 return True
 
@@ -2837,25 +2888,25 @@ def deblock_frame(fr: _Frame) -> None:
                 if e == 0:
                     if not neighbor_ok(mbx - 1, mby):
                         continue
-                    qp_n = int(fr.mb_qp[mby, mbx - 1])
+                    qp_n = mbq[mby][mbx - 1]
                 else:
                     qp_n = qp_cur
                 qpa = (qp_cur + qp_n + 1) >> 1
                 seg_bs = [
-                    _edge_bs(fr, bx0 + e - 1, by0 + seg, bx0 + e, by0 + seg,
-                             mb_edge=(e == 0))
+                    _edge_bs_fast(refl, nnzl, mvl, bx0 + e - 1, by0 + seg,
+                                  bx0 + e, by0 + seg, mb_edge=(e == 0))
                     for seg in range(4)
                 ]
                 for seg in range(4):
                     if seg_bs[seg]:
-                        _filter_edge_luma(fr.y, px + 4 * e, py + 4 * seg,
+                        _filter_edge_luma(yl, px + 4 * e, py + 4 * seg,
                                           1, 0, seg_bs[seg], qpa, off_a, off_b)
                 if e in (0, 2):
                     # per-plane offsets: Cr deblocks at its own QPc when
                     # the PPS set second_chroma_qp_index_offset (8.7.2)
                     for plane, cqpo in (
-                        (fr.cb, int(fr.mb_cqpo[mby, mbx])),
-                        (fr.cr, int(fr.mb_cqpo2[mby, mbx])),
+                        (cbl, cq1[mby][mbx]),
+                        (crl, cq2[mby][mbx]),
                     ):
                         qpc_a = (chroma_qp(qp_cur, cqpo)
                                  + chroma_qp(qp_n, cqpo) + 1) >> 1
@@ -2870,23 +2921,23 @@ def deblock_frame(fr: _Frame) -> None:
                 if e == 0:
                     if not neighbor_ok(mbx, mby - 1):
                         continue
-                    qp_n = int(fr.mb_qp[mby - 1, mbx])
+                    qp_n = mbq[mby - 1][mbx]
                 else:
                     qp_n = qp_cur
                 qpa = (qp_cur + qp_n + 1) >> 1
                 seg_bs = [
-                    _edge_bs(fr, bx0 + seg, by0 + e - 1, bx0 + seg, by0 + e,
-                             mb_edge=(e == 0))
+                    _edge_bs_fast(refl, nnzl, mvl, bx0 + seg, by0 + e - 1,
+                                  bx0 + seg, by0 + e, mb_edge=(e == 0))
                     for seg in range(4)
                 ]
                 for seg in range(4):
                     if seg_bs[seg]:
-                        _filter_edge_luma(fr.y, px + 4 * seg, py + 4 * e,
+                        _filter_edge_luma(yl, px + 4 * seg, py + 4 * e,
                                           0, 1, seg_bs[seg], qpa, off_a, off_b)
                 if e in (0, 2):
                     for plane, cqpo in (
-                        (fr.cb, int(fr.mb_cqpo[mby, mbx])),
-                        (fr.cr, int(fr.mb_cqpo2[mby, mbx])),
+                        (cbl, cq1[mby][mbx]),
+                        (crl, cq2[mby][mbx]),
                     ):
                         qpc_a = (chroma_qp(qp_cur, cqpo)
                                  + chroma_qp(qp_n, cqpo) + 1) >> 1
@@ -2896,6 +2947,9 @@ def deblock_frame(fr: _Frame) -> None:
                                                     cy + 2 * e, 0, 1,
                                                     seg_bs[seg],
                                                     qpc_a, off_a, off_b)
+    fr.y[...] = yl
+    fr.cb[...] = cbl
+    fr.cr[...] = crl
 
 
 # ===========================================================================
@@ -3034,15 +3088,23 @@ _LVL_CAT_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}
 _CBF_BASE = 85
 
 
+_CTX_TEMPLATES: dict[int, dict[int, tuple[int, int]]] = {}
+
+
 def _init_ctx_states(slice_qp: int) -> dict[int, list[int]]:
     """ctxIdx -> [pStateIdx, valMPS] per 9.3.1.1 (preCtxState from (m, n)
-    and the clipped slice QP)."""
+    and the clipped slice QP). The (m*qp>>4)+n derivation is memoized per
+    QP (52 possible values); each call still returns FRESH mutable state
+    lists — the engines adapt them as they code."""
     qp = max(0, min(51, slice_qp))
-    states = {}
-    for idx, (m, n) in _CTX_INIT_I.items():
-        pre = max(1, min(126, ((m * qp) >> 4) + n))
-        states[idx] = [63 - pre, 0] if pre <= 63 else [pre - 64, 1]
-    return states
+    tpl = _CTX_TEMPLATES.get(qp)
+    if tpl is None:
+        tpl = {}
+        for idx, (m, n) in _CTX_INIT_I.items():
+            pre = max(1, min(126, ((m * qp) >> 4) + n))
+            tpl[idx] = (63 - pre, 0) if pre <= 63 else (pre - 64, 1)
+        _CTX_TEMPLATES[qp] = tpl
+    return {idx: [s, v] for idx, (s, v) in tpl.items()}
 
 
 class CabacDecoder:
