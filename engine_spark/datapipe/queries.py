@@ -1758,8 +1758,15 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    b = e.select("vec_id", F.explode(_bucket_structs_spark()).alias("tb")).select(
-        "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    # the bucket frame caches too: the self-join references it TWICE, and
+    # without the cache each side re-evaluates the 64 hyperplane dots per
+    # row (the expensive map) — 8 narrow columns/row, bounded like e
+    b = (
+        e.select("vec_id", F.explode(_bucket_structs_spark()).alias("tb"))
+        .select(
+            "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+        )
+        .cache()
     )
     # occupancy cap as a WINDOW count, not groupBy+semi-join: one shuffle
     # of the (already computed) bucket keys instead of recomputing the 64
@@ -1817,7 +1824,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nrm",
         F.expr(_ivf_cell(SP, "vd", IVF_CENTS)).alias("cell"),
         F.expr(FR.hyperplane_bits(SP, "vd", PLANES[0], LSH_PROJ_DIM)).alias("b0"),
-    )
+    ).cache()  # self-joined below: cache so the cell argmax runs once
     sck = (
         sc.withColumn(
             "csz", F.count(F.lit(1)).over(_W.partitionBy("cell", "b0"))

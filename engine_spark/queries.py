@@ -3365,7 +3365,7 @@ _ORDER = [
     "search_hybrid_rrf",          # lexical+semantic RRF fusion (NEW r9, in-window)
     "search_hybrid_store",        # live-store RRF composition parity (NEW r10, in-window)
     "dedup_minhash_lsh",
-    "dedup_clusters",
+    "dedup_embedding_cosine",     # rotated back IN r13: occupancy-capped rework (EMB_BUCKET_CAP on both blockings) must face the driver's oracle, the simhash-r12 precedent
     "dedup_simhash",              # 56-bit signature + capped 14-bit chunk blocking (rotated back IN r12 after the scale-true rework)
     "ann_ivf_trained",
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
@@ -3377,6 +3377,16 @@ _ORDER = [
     # families already checked above, each with one-or-more consecutive
     # driver-green rounds, and at least one representative of every
     # family still inside the window.
+    # Round 13 rotated dedup_embedding_cosine back IN after the
+    # occupancy-cap rework (EMB_BUCKET_CAP window-count cap on both the
+    # hyperplane-table and SemDeDup blockings — the r12 verdict's top
+    # item; the rework must face the driver's oracle, same precedent as
+    # the r12 simhash re-debut) and rotated OUT dedup_clusters
+    # (driver-green r10-r12; the dedup family keeps minhash_lsh +
+    # simhash + the returning cosine in-window, and clusters stays
+    # LOCAL-green + pytest-pinned incl. the chain-graph star_components
+    # fallback test).
+    "dedup_clusters",             # rotated out r13 (driver-green r10-r12)
     # Round 12 rotated dedup_simhash back IN after the scale-true rework
     # (56-bit signature, 4 x 14-bit chunk blocking, bucket-size cap — the
     # r11 verdict's top item; the rework must face the driver's oracle)
@@ -3434,7 +3444,8 @@ _ORDER = [
     "pattern_absent",             # NOT-FOR absent pattern (driver-green r2-r9)
     "sql_trigger_ticks",          # CREATE TRIGGER DDL tick relation (green r9)
     "search_mmr_rerank",          # greedy MMR diversity rerank (green r9)
-    "dedup_embedding_cosine",     # bucketed cosine near-dup (driver-green r2-r9)
+    # (dedup_embedding_cosine sat here r10-r12, driver-green r2-r9; back
+    # IN-window r13 after the occupancy-cap rework — see above)
     "ann_hamming_topk",           # 1-bit quantize + XOR/popcount top-k (green r9)
     "corpus_split",               # deterministic hash train/val/test split (green r9)
     # Round 10 (earlier session) rotated IN its two debut gates
