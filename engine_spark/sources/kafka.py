@@ -50,12 +50,14 @@ connection per broker), refreshing metadata and retrying once on
 NOT_LEADER_FOR_PARTITION — the standard client reaction to leader
 elections. The Spark source/sink go through it, so a real multi-node
 cluster fans requests out instead of hammering the bootstrap node.
-Compression: gzip (attributes codec bits = 1, stdlib zlib/gzip) is
+Compression: gzip (attributes codec bits = 1, stdlib zlib/gzip) and
+snappy (codec 2 — the block format implemented from the public spec in
+``snappy.py``, wrapped in Kafka's xerial/snappy-java container) are
 implemented on BOTH encode and decode — the records region compresses,
 the batch header (through the record count) stays plaintext and the CRC
-covers the on-wire (compressed) bytes, per the spec. snappy/lz4/zstd
-(codecs 2-4) are not in the stdlib: a batch carrying them still refuses
-loudly at decode instead of misparsing varints out of compressed data.
+covers the on-wire (compressed) bytes, per the spec. lz4/zstd (codecs
+3-4) are not implemented: a batch carrying them still refuses loudly at
+decode instead of misparsing varints out of compressed data.
 
 Reference parity: the reference lists Kafka as PLANNED, not implemented
 (MILESTONES.md:183-205) — this connector is beyond-reference surface,
@@ -86,6 +88,7 @@ ERR_NOT_LEADER_FOR_PARTITION = 6
 
 CODEC_NONE = 0
 CODEC_GZIP = 1
+CODEC_SNAPPY = 2
 
 EARLIEST = -2
 LATEST = -1
@@ -315,7 +318,7 @@ def encode_record_batch(
     (compressed) bytes, per the record-batch spec."""
     if not records:
         raise ValueError("empty record batch")
-    if codec not in (CODEC_NONE, CODEC_GZIP):
+    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
         raise ValueError(f"unsupported compression codec {codec}")
     base_ts = records[0][0]
     max_ts = max(r[0] for r in records)
@@ -340,6 +343,10 @@ def encode_record_batch(
     if codec == CODEC_GZIP:
         # mtime=0: deterministic bytes (gzip's header embeds a timestamp)
         region = gzip.compress(region, mtime=0)
+    elif codec == CODEC_SNAPPY:
+        from engine_spark.sources.snappy import xerial_frame
+
+        region = xerial_frame(region)  # snappy-java container, per Kafka
 
     crcd = KWriter()  # everything the CRC covers: attributes .. records
     crcd.int16(codec)                # attributes: codec bits 0-2, no txn
@@ -411,9 +418,9 @@ def decode_record_batches(
         r.uint32()  # crc (validated on produce; fetch trusts the log)
         attrs = r.int16()
         codec = attrs & 0x07
-        if codec not in (CODEC_NONE, CODEC_GZIP):
-            # snappy/lz4/zstd are not in the stdlib — refuse loudly
-            # instead of misparsing varints out of compressed data
+        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+            # lz4/zstd are not implemented — refuse loudly instead of
+            # misparsing varints out of compressed data
             raise ValueError(
                 f"compressed record batch (codec {codec}) unsupported"
             )
@@ -428,6 +435,11 @@ def decode_record_batches(
             # the records region (everything after the count) is one gzip
             # stream; the plaintext header above already parsed
             r = KReader(gzip.decompress(r._take(len(r.raw) - r.pos)))
+        elif codec == CODEC_SNAPPY:
+            from engine_spark.sources.snappy import xerial_unframe
+
+            # xerial container, or a raw block from older clients
+            r = KReader(xerial_unframe(r._take(len(r.raw) - r.pos)))
         for _ in range(n):
             r.varint()  # record length
             r.int8()    # attributes
@@ -1207,9 +1219,11 @@ def _register_sink(spark) -> None:
             self.topic = options.get("topic")
             self.exactly_once = options.get("exactly.once", "true") == "true"
             comp = options.get("compression", "none")
-            if comp not in ("none", "gzip"):
+            codecs = {"none": CODEC_NONE, "gzip": CODEC_GZIP,
+                      "snappy": CODEC_SNAPPY}
+            if comp not in codecs:
                 raise ValueError(f"unsupported kafka compression '{comp}'")
-            self.codec = CODEC_GZIP if comp == "gzip" else CODEC_NONE
+            self.codec = codecs[comp]
 
         def write(self, iterator) -> WriterCommitMessage:
             # Executor-side, once per Spark partition: rows grouped into
