@@ -50,14 +50,17 @@ connection per broker), refreshing metadata and retrying once on
 NOT_LEADER_FOR_PARTITION — the standard client reaction to leader
 elections. The Spark source/sink go through it, so a real multi-node
 cluster fans requests out instead of hammering the bootstrap node.
-Compression: gzip (attributes codec bits = 1, stdlib zlib/gzip) and
-snappy (codec 2 — the block format implemented from the public spec in
-``snappy.py``, wrapped in Kafka's xerial/snappy-java container) are
-implemented on BOTH encode and decode — the records region compresses,
-the batch header (through the record count) stays plaintext and the CRC
-covers the on-wire (compressed) bytes, per the spec. lz4/zstd (codecs
-3-4) are not implemented: a batch carrying them still refuses loudly at
-decode instead of misparsing varints out of compressed data.
+Compression: gzip (attributes codec bits = 1, stdlib zlib/gzip), snappy
+(codec 2 — the block format implemented from the public spec in
+``snappy.py``, wrapped in Kafka's xerial/snappy-java container), and
+lz4 (codec 3 — block + frame formats and XXH32 implemented from the
+public specs in ``lz4.py``) work on BOTH encode and decode — the
+records region compresses, the batch header (through the record count)
+stays plaintext and the CRC covers the on-wire (compressed) bytes, per
+the spec. zstd (codec 4) is not implemented — a full entropy-coded
+format is out of honest from-scratch scope — and a batch carrying it
+still refuses loudly at decode instead of misparsing varints out of
+compressed data.
 
 Reference parity: the reference lists Kafka as PLANNED, not implemented
 (MILESTONES.md:183-205) — this connector is beyond-reference surface,
@@ -89,6 +92,7 @@ ERR_NOT_LEADER_FOR_PARTITION = 6
 CODEC_NONE = 0
 CODEC_GZIP = 1
 CODEC_SNAPPY = 2
+CODEC_LZ4 = 3
 
 EARLIEST = -2
 LATEST = -1
@@ -318,7 +322,7 @@ def encode_record_batch(
     (compressed) bytes, per the record-batch spec."""
     if not records:
         raise ValueError("empty record batch")
-    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
+    if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
         raise ValueError(f"unsupported compression codec {codec}")
     base_ts = records[0][0]
     max_ts = max(r[0] for r in records)
@@ -347,6 +351,10 @@ def encode_record_batch(
         from engine_spark.sources.snappy import xerial_frame
 
         region = xerial_frame(region)  # snappy-java container, per Kafka
+    elif codec == CODEC_LZ4:
+        from engine_spark.sources.lz4 import lz4_frame_compress
+
+        region = lz4_frame_compress(region)  # LZ4 frame, per Kafka
 
     crcd = KWriter()  # everything the CRC covers: attributes .. records
     crcd.int16(codec)                # attributes: codec bits 0-2, no txn
@@ -418,8 +426,8 @@ def decode_record_batches(
         r.uint32()  # crc (validated on produce; fetch trusts the log)
         attrs = r.int16()
         codec = attrs & 0x07
-        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY):
-            # lz4/zstd are not implemented — refuse loudly instead of
+        if codec not in (CODEC_NONE, CODEC_GZIP, CODEC_SNAPPY, CODEC_LZ4):
+            # zstd is not implemented — refuse loudly instead of
             # misparsing varints out of compressed data
             raise ValueError(
                 f"compressed record batch (codec {codec}) unsupported"
@@ -440,6 +448,10 @@ def decode_record_batches(
 
             # xerial container, or a raw block from older clients
             r = KReader(xerial_unframe(r._take(len(r.raw) - r.pos)))
+        elif codec == CODEC_LZ4:
+            from engine_spark.sources.lz4 import lz4_frame_decompress
+
+            r = KReader(lz4_frame_decompress(r._take(len(r.raw) - r.pos)))
         for _ in range(n):
             r.varint()  # record length
             r.int8()    # attributes
@@ -1220,7 +1232,7 @@ def _register_sink(spark) -> None:
             self.exactly_once = options.get("exactly.once", "true") == "true"
             comp = options.get("compression", "none")
             codecs = {"none": CODEC_NONE, "gzip": CODEC_GZIP,
-                      "snappy": CODEC_SNAPPY}
+                      "snappy": CODEC_SNAPPY, "lz4": CODEC_LZ4}
             if comp not in codecs:
                 raise ValueError(f"unsupported kafka compression '{comp}'")
             self.codec = codecs[comp]

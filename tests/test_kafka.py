@@ -551,11 +551,11 @@ def test_unsupported_codec_refused_loudly():
     import struct as _s
 
     batch = bytearray(encode_record_batch([(1, b"k", b"v")]))
-    # set attributes compression bits (offset 21, int16) to lz4 (3) and
-    # re-seal the CRC so only the codec refusal can fire — gzip (1) and
-    # snappy (2) are implemented now; lz4/zstd must still refuse
-    # instead of misparsing
-    _s.pack_into(">h", batch, 21, 3)
+    # set attributes compression bits (offset 21, int16) to zstd (4) and
+    # re-seal the CRC so only the codec refusal can fire — gzip (1),
+    # snappy (2) and lz4 (3) are implemented now; zstd must still
+    # refuse instead of misparsing
+    _s.pack_into(">h", batch, 21, 4)
     _s.pack_into(">I", batch, 17, crc32c(bytes(batch[21:])))
     assert validate_batch_crc(bytes(batch))
     with pytest.raises(ValueError, match="compressed record batch"):
