@@ -129,3 +129,50 @@ def dedup_embedding_cosine_arrow(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def lsh_bits_for(n_vectors: int, target_occupancy: int = 32,
+                 min_bits: int = 8, max_bits: int = 24) -> int:
+    """Table bit-width that keeps EXPECTED bucket occupancy near
+    ``target_occupancy`` on hash-uniform data: bits = ceil(log2(n /
+    target)), clamped. This is the corpus-size knob the fixed-constant
+    gate pins for its oracle (LSH_BITS=8 suits the sf-scale testdata);
+    a production run sizes tables from its actual corpus so the
+    bucket-cap exclusion stays a SKEW guard (mass-duplicate clusters),
+    not a capacity limit: with occupancy ~32 against cap 128, only
+    >4x-overdense buckets drop."""
+    if n_vectors <= 0:
+        return min_bits
+    bits = max(0, (max(1, (n_vectors + target_occupancy - 1)
+                       // target_occupancy) - 1).bit_length())
+    return max(min_bits, min(max_bits, bits))
+
+
+def embedding_pairs(
+    vectors: DataFrame,
+    proj_dim: int = 16,
+    tables: int = 8,
+    threshold: float = 0.8,
+    bucket_cap: int = 128,
+    bits: int | None = None,
+    n_vectors: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "vd",
+) -> DataFrame:
+    """Corpus-size-aware near-dup pairs: the production entry point over
+    ``dedup_embedding_cosine_arrow``. When ``bits`` is not given it is
+    derived from the corpus size via :func:`lsh_bits_for` (one count()
+    of the input — a scan, paid once, versus a quadratic blow-up risk
+    from under-sized tables). Hyperplanes are the same deterministic
+    LCG family the gate inlines, at the chosen width."""
+    from engine_spark.datapipe import fragments as FR
+
+    if bits is None:
+        if n_vectors is None:
+            n_vectors = vectors.count()
+        bits = lsh_bits_for(n_vectors)
+    planes = FR.hyperplanes(tables, bits, proj_dim)
+    return dedup_embedding_cosine_arrow(
+        vectors, planes, proj_dim, threshold,
+        id_col=id_col, vec_col=vec_col, bucket_cap=bucket_cap,
+    )

@@ -3679,3 +3679,35 @@ def test_embedding_arrow_bucket_cap_matches_fold_cap(spark, tmp_path):
         vecs, PLANES, LSH_PROJ_DIM, COSINE_T, bucket_cap=128
     )
     assert uncapped.count() == 10 * 9 // 2 + 1
+
+
+def test_embedding_pairs_scales_bits_with_corpus(spark, tmp_path):
+    """The production entry point derives the LSH table width from the
+    corpus size (lsh_bits_for: expected occupancy ~32, clamped 8..24), so
+    the bucket cap stays a skew guard rather than a capacity limit; an
+    explicit bits= matches the derived path exactly."""
+    from engine_spark.catalog import Catalog
+    from engine_spark.datapipe.vector import embedding_pairs, lsh_bits_for
+
+    assert lsh_bits_for(2_000) == 8           # floor: the gate's width
+    assert lsh_bits_for(2_000_000) == 16      # ceil(log2(2e6 / 32))
+    assert lsh_bits_for(2_000_000_000) == 24  # clamped ceiling
+    assert lsh_bits_for(0) == 8
+
+    a = [-1.0] * 8 + [1.0] * 8 + [0.25] * 48
+    b = [-1.0] * 8 + [1.0] * 8 + [0.26] * 48
+    rows = [(500, [float(x) for x in a], 1), (501, [float(x) for x in b], 1)] + [
+        (i, [float((-1) ** (i + j) * (1 + (i * 7 + j) % 5)) for j in range(64)], 0)
+        for i in range(40)
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    vecs = Catalog(spark, sf)["embeddings"].select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("vd")
+    )
+    auto = {(r["vec_a"], r["vec_b"]) for r in embedding_pairs(vecs).collect()}
+    explicit = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_pairs(vecs, bits=8).collect()
+    }
+    assert (500, 501) in auto
+    assert auto == explicit  # 42 vectors -> derived bits = the 8-bit floor
