@@ -5,8 +5,10 @@ Scope (honest): IDR/I slices of Baseline/Main-compatible streams —
 CAVLC entropy coding AND (r12) CABAC entropy coding for I slices (the
 clause 9.3 arithmetic engine, context modeling, binarizations and
 significance maps; see the CABAC section header for the init-table
-epistemic note), I_4x4 / I_16x16 / I_PCM macroblocks (I_PCM refuses
-inside CABAC slices), full intra prediction (nine 4x4 modes, four
+epistemic note), I_4x4 / I_16x16 / I_PCM macroblocks (r13: I_PCM works
+inside CABAC slices too — terminate-bin signal, EncodeFlush/byte-align,
+mid-slice engine re-init with contexts persisting), full intra
+prediction (nine 4x4 modes, four
 16x16 modes, four chroma modes), the 4x4 integer inverse transform
 with the Intra16x16 luma DC Hadamard and 2x2 chroma DC paths, 4:2:0
 only, frame_mbs_only (no fields/MBAFF), no FMO/ASO — PLUS the
@@ -27,8 +29,8 @@ intra, 2 on coefficients, 1 on mv/ref differences, 0 unfiltered),
 strong + normal paths, luma and chroma, slice alpha/beta offsets, idc
 0/1/2 including the idc-2 don't-cross-slice rule. Out of scope,
 raising to the honest NULL row upstream: B slices, REORDERED/modified
-reference lists, long-term references, CABAC P slices, I_PCM inside
-CABAC slices. (The reference engine ships no
+reference lists, long-term references, CABAC P slices. (The reference
+engine ships no
 video decode at all — this extends coverage beyond it; with P-frame
 chaining, `decode_frames` now extracts REAL pixels from full GOPs, not
 just keyframes.)
@@ -2976,9 +2978,11 @@ def deblock_frame(fr: _Frame) -> None:
 # residual-interop caveat COVERAGE.md records for CAVLC, wider here).
 #
 # Scope refusals (honest NULL rows upstream): CABAC P slices (inter
-# context families not implemented), I_PCM inside CABAC slices (engine
-# re-initialization mid-slice), mb_qp_delta != 0 is DECODED but the
-# fixture encoder never emits it.
+# context families not implemented); mb_qp_delta != 0 is DECODED but the
+# fixture encoder never emits it. I_PCM inside CABAC slices WORKS as of
+# r13 (mid-slice engine re-initialization per 9.3.1.2, contexts
+# persisting; the encoder/decoder bit-position contract at the
+# terminate-bin flush was verified constant over randomized prefixes).
 # ===========================================================================
 
 #: Table 9-44: rangeTabLPS[pStateIdx][qCodIRangeIdx]
@@ -3481,7 +3485,53 @@ def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
         i16_pred = None  # I_4x4
     else:
         if cd.decode_terminate():
-            raise H264Error("I_PCM in CABAC slices unsupported")
+            # I_PCM (mb_type 25). The terminate bin's EncodeFlush leaves
+            # the encoder and decoder at the SAME bit position (verified
+            # against our 9.3.4 engine over randomized prefixes), so:
+            # pcm_alignment_zero_bits to the byte boundary, 384 raw
+            # sample bytes, then re-initialize the arithmetic DECODING
+            # ENGINE only (9.3.1.2) — context states persist, per 9.3.1
+            # context initialization happens at slice start alone.
+            r = cd.r
+            r.byte_align(0)
+            raw = np.frombuffer(
+                r.read_aligned_bytes(384), np.uint8
+            ).astype(np.int64)
+            px, py = mbx * 16, mby * 16
+            cx, cy = mbx * 8, mby * 8
+            fr.y[py : py + 16, px : px + 16] = raw[:256].reshape(16, 16)
+            fr.cb[cy : cy + 8, cx : cx + 8] = raw[256:320].reshape(8, 8)
+            fr.cr[cy : cy + 8, cx : cx + 8] = raw[320:].reshape(8, 8)
+            fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+            fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+            fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+            fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+            # CABAC neighbor state: coded_block_flags are 1 (9.3.3.1.1.9)
+            # and coded_block_pattern infers 47 -> luma 15 / chroma 2
+            # (7.4.5); intra_chroma_pred_mode condTermFlag is 0 for I_PCM
+            # (mb_cpm stays 0); mb_i4 stays False (condTermFlag 1 for
+            # mb_type)
+            fr.cbf_luma[by0 : by0 + 4, bx0 : bx0 + 4] = 1
+            fr.cbf_lumadc[mby, mbx] = 1
+            for comp in range(2):
+                fr.cbf_cdc[comp][mby, mbx] = 1
+                fr.cbf_cac[comp][mby * 2 : mby * 2 + 2,
+                                 mbx * 2 : mbx * 2 + 2] = 1
+                fr.cnnz[comp][mby * 2 : mby * 2 + 2,
+                              mbx * 2 : mbx * 2 + 2] = 16
+            fr.mb_cbpl[mby, mbx] = 15
+            fr.mb_cbpc[mby, mbx] = 2
+            fr.mb_done[mby, mbx] = True
+            fr.mb_qp[mby, mbx] = 0  # 8.7: I_PCM filters as QPy = 0
+            fr._last_qp = qp  # 7.4.5: QPy carries over unchanged
+            # 9.3.1.2: fresh engine state off the aligned bitstream
+            cd.rng = 510
+            cd.off = r.u(9)
+            if cd.off >= 510:
+                raise H264Error("invalid CABAC codIOffset after I_PCM")
+            # previous mb_qp_delta is absent for I_PCM -> treated as 0
+            cd.prev_qp_delta_nz = False
+            return
         cbp_luma = 15 if cd.decision(6) else 0
         cbp_chroma = 1 + cd.decision(8) if cd.decision(7) else 0
         i16_pred = (cd.decision(9) << 1) | cd.decision(10)
@@ -3607,22 +3657,59 @@ def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
 
 def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
                      slice_id: int = 0, qp_delta: int = 0) -> None:
-    """Emit one INTRA macroblock of a CABAC I slice — same descriptor
-    vocabulary as _encode_mb minus "pcm" (I_PCM needs mid-slice engine
-    re-initialization; honest refusal both here and in the decoder).
-    The shadow-frame context state mirrors the decoder's exactly through
+    """Emit one INTRA macroblock of a CABAC I slice — the FULL descriptor
+    vocabulary of _encode_mb including "pcm" (I_PCM: terminate-bin
+    signal + EncodeFlush + byte-aligned raw samples + mid-slice engine
+    re-initialization with contexts persisting, 9.3.1/9.3.1.2). The
+    shadow-frame context state mirrors the decoder's exactly through
     the shared _*_inc helpers."""
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     bx0, by0 = mbx * 4, mby * 4
     kind = desc[0]
-    if kind == "pcm":
-        raise H264Error("I_PCM cannot be emitted into a CABAC slice")
-    if kind not in ("i16", "i4"):
+    if kind not in ("pcm", "i16", "i4"):
         raise H264Error(f"unknown MB descriptor {kind!r}")
 
     inc = _mbtype_inc(fr, mbx, mby, slice_id)
     fr.mb_slice[mby, mbx] = slice_id
     fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = -1
+
+    if kind == "pcm":
+        if qp_delta:
+            raise H264Error("I_PCM carries no mb_qp_delta")
+        _, y, cb, cr = desc
+        enc.decision(3 + inc, 1)
+        enc.terminate(1)  # the I_PCM signal; terminate(1) EncodeFlushes
+        w = enc.w
+        while len(w.bits) % 8:
+            w.bits.append(0)  # pcm_alignment_zero_bit
+        w.put_bytes(np.asarray(y, np.int64).reshape(-1).astype(np.uint8).tobytes())
+        for plane in (cb, cr):
+            w.put_bytes(
+                np.asarray(plane, np.int64).reshape(-1).astype(np.uint8).tobytes()
+            )
+        # re-initialize the ENCODING engine (the 9.3.4.3 mirror of the
+        # decoder's 9.3.1.2 re-init): fresh range/low/first/outstanding,
+        # context states persist
+        enc.rng = 510
+        enc.low = 0
+        enc.first = True
+        enc.outstanding = 0
+        enc.prev_qp_delta_nz = False
+        # frame bookkeeping identical to the decoder's I_PCM branch
+        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+        fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 16
+        fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        fr.cbf_luma[by0 : by0 + 4, bx0 : bx0 + 4] = 1
+        fr.cbf_lumadc[mby, mbx] = 1
+        for comp in range(2):
+            fr.cbf_cdc[comp][mby, mbx] = 1
+            fr.cbf_cac[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 1
+            fr.cnnz[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 16
+        fr.mb_cbpl[mby, mbx] = 15
+        fr.mb_cbpc[mby, mbx] = 2
+        fr.mb_done[mby, mbx] = True
+        return
 
     if kind == "i16":
         pred_mode, dc_levels, cdc = desc[1], desc[2], desc[3]
