@@ -2977,12 +2977,14 @@ def deblock_frame(fr: _Frame) -> None:
 # decoder exists in this environment to validate against — the same
 # residual-interop caveat COVERAGE.md records for CAVLC, wider here).
 #
-# Scope refusals (honest NULL rows upstream): CABAC P slices (inter
-# context families not implemented); mb_qp_delta != 0 is DECODED but the
-# fixture encoder never emits it. I_PCM inside CABAC slices WORKS as of
-# r13 (mid-slice engine re-initialization per 9.3.1.2, contexts
-# persisting; the encoder/decoder bit-position contract at the
-# terminate-bin flush was verified constant over randomized prefixes).
+# Scope refusals (honest NULL rows upstream): CABAC P slices only (the
+# inter context families' ~800 init constants have no in-sandbox ground
+# truth — fabricating them would be known-wrong). mb_qp_delta != 0 is
+# both decoded AND emitted (qp_deltas=, cross-entropy-tested); I_PCM
+# inside CABAC slices WORKS as of r13 (mid-slice engine
+# re-initialization per 9.3.1.2, contexts persisting; the
+# encoder/decoder bit-position contract at the terminate-bin flush was
+# verified constant over randomized prefixes).
 # ===========================================================================
 
 #: Table 9-44: rangeTabLPS[pStateIdx][qCodIRangeIdx]
