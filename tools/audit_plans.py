@@ -35,6 +35,14 @@ CHECKS = {
     ],
     "dedup_embedding_cosine": [
         ("no cartesian", lambda p: "Cartesian" not in p),
+        # r13 occupancy cap: a window COUNT over the blocking key gates
+        # candidate generation (the EMB_BUCKET_CAP filter) — cheaper than
+        # a groupBy+semi-join because the signature expressions evaluate
+        # once (the cached frame shows as InMemoryTableScan on both
+        # sides of the pair join)
+        ("occupancy cap as a window count", lambda p: "Window" in p),
+        ("signature frames cached (single evaluation)",
+         lambda p: "InMemoryTableScan" in p),
     ],
     "dedup_simhash": [
         # r12 scale-true blocking: the candidate self-join must be a keyed
