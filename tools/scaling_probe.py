@@ -46,6 +46,12 @@ def main() -> None:
         raise SystemExit(f"run bench.py first to materialize {rep_root}")
     rep = {t: spark.read.parquet(os.path.join(rep_root, t))
            for t in ("events", "lineitem", "documents")}
+    # embeddings have no _rep10 copy; the key-shifted sf1 replica (same
+    # 10x duplication regime) stands in when it has been materialized
+    emb10 = os.path.join(os.path.dirname(rep_root), "sf1",
+                         "embeddings.parquet")
+    if os.path.exists(emb10):
+        rep["embeddings"] = spark.read.parquet(emb10)
 
     def filter_chain(d):
         return d.filter(
@@ -95,6 +101,27 @@ def main() -> None:
             "doc_id", F.expr(_simhash_expr(_SPD)).alias("sim")
         )
         return simhash_pairs(s)
+
+    def embedding_chain(d):
+        # r13 occupancy cap: the 10x-duplicated corpus fattens every
+        # hyperplane bucket 10x — without the cap the within-bucket
+        # verify is ~100x pairs (the r12 sweep measured 10.95x wall);
+        # capped, growth must track the replication factor
+        from engine_spark.datapipe.queries import (
+            COSINE_T,
+            LSH_PROJ_DIM,
+            PLANES,
+            SP as _SPD,
+            _vecd,
+        )
+        from engine_spark.datapipe.vector import dedup_embedding_cosine_arrow
+
+        vecs = d.repartition(32).select(
+            "vec_id", F.expr(_vecd(_SPD)).alias("vd")
+        )
+        return dedup_embedding_cosine_arrow(
+            vecs, PLANES, LSH_PROJ_DIM, COSINE_T
+        )
 
     def segment_chain(d):
         from engine_spark.datapipe.segments import dedup_segments
@@ -219,6 +246,8 @@ def main() -> None:
         "minhash_signatures": (minhash_chain, "documents"),
         "simhash_dedup": (simhash_chain, "documents"),
         "segment_dedup": (segment_chain, "documents"),
+        **({"embedding_dedup": (embedding_chain, "embeddings")}
+           if "embeddings" in rep else {}),
         "seeded_shuffle": (shuffle_chain, "documents"),
         "fuzzy_dedup": (fuzzy_chain, "documents"),
         "events_gapfill": (gapfill_chain, "events"),
