@@ -721,6 +721,14 @@ class KafkaClusterClient:
                 raise
             self._refresh(topic)
             return op(self._leader(topic, partition))
+        except (ConnectionError, OSError):
+            # a cached socket died (broker bounce): drop every cached
+            # connection, re-learn the cluster, retry once — otherwise
+            # the long-lived per-process client would fail every
+            # subsequent call on the stale socket
+            self.close()
+            self._refresh(topic)
+            return op(self._leader(topic, partition))
 
     def init_producer_id(
         self, transactional_id: Optional[str] = None,

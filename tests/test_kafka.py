@@ -646,3 +646,24 @@ def test_multi_broker_leader_routing():
     finally:
         b0.stop()
         b1.stop()
+
+
+def test_cluster_client_recovers_from_dead_cached_connection():
+    """The per-process routing client outlives broker restarts: a dead
+    cached socket drops, metadata refreshes, and the call retries once —
+    without this the stream reader's cached client would fail every
+    micro-batch after a broker bounce."""
+    from engine_spark.sources.kafka import KafkaClusterClient
+
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        cc = KafkaClusterClient("127.0.0.1", broker.port)
+        assert cc.produce("r", 0, encode_record_batch([(1, b"k", b"v")])) == 0
+        for c in cc._conns.values():  # simulate a broker bounce
+            c.sock.close()
+        assert cc.produce("r", 0, encode_record_batch([(2, b"k", b"v2")])) == 1
+        _, recs = cc.fetch("r", 0, 0)
+        assert [v for *_, v in recs] == [b"v", b"v2"]
+        cc.close()
+    finally:
+        broker.stop()
