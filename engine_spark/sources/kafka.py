@@ -697,7 +697,13 @@ class KafkaClusterClient:
         return c
 
     def _refresh(self, topic: str) -> dict:
-        md = self._conn(*self.bootstrap).metadata([topic])
+        try:
+            md = self._conn(*self.bootstrap).metadata([topic])
+        except (ConnectionError, OSError):
+            # stale bootstrap socket (broker bounce): reconnect once —
+            # the metadata path doesn't go through _routed's recovery
+            self.close()
+            md = self._conn(*self.bootstrap).metadata([topic])
         self._meta[topic] = md.get(topic, {})
         self._meta["__brokers__"] = md.get("__brokers__", {})
         return self._meta[topic]

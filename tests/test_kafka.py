@@ -662,6 +662,9 @@ def test_cluster_client_recovers_from_dead_cached_connection():
         for c in cc._conns.values():  # simulate a broker bounce
             c.sock.close()
         assert cc.produce("r", 0, encode_record_batch([(2, b"k", b"v2")])) == 1
+        for c in cc._conns.values():  # bounce again, hit the METADATA path
+            c.sock.close()
+        assert cc.partitions("r") == [0]
         _, recs = cc.fetch("r", 0, 0)
         assert [v for *_, v in recs] == [b"v", b"v2"]
         cc.close()
