@@ -28,7 +28,10 @@ kafka connectors are built:
   per row, or JSON arrays of ``batch.size`` rows ("batch requests") —
   with ``retries`` attempts and exponential backoff starting at
   ``backoff.ms``; exhausted retries raise so Spark's task retry takes
-  over (at-least-once).
+  over (at-least-once). ``compression=gzip`` sends bodies with
+  ``Content-Encoding: gzip`` (the standard webhook batching practice),
+  and the webhook receiver transparently decompresses gzip-encoded
+  inbound POSTs (400 on a malformed body).
 
 Option keys accept the ``http.`` prefix or bare names.
 """
@@ -112,6 +115,15 @@ class WebhookReceiver:
                     return
                 ctype = self.headers.get("Content-Type",
                                          "application/octet-stream")
+                if self.headers.get("Content-Encoding", "") == "gzip":
+                    import gzip as _gz
+
+                    try:
+                        raw = _gz.decompress(raw)
+                    except OSError:
+                        self.send_response(400)  # malformed gzip body
+                        self.end_headers()
+                        return
                 with rx.lock:
                     if len(rx.buffer) >= rx.max_buffer:
                         self.send_response(503)  # backpressure: retry
@@ -433,12 +445,21 @@ def start_webhook_receiver(host: str = "127.0.0.1",
 # ---------------------------------------------------------------------------
 
 def post_with_retry(url: str, payload: bytes, content_type: str,
-                    retries: int, backoff_s: float) -> int:
+                    retries: int, backoff_s: float,
+                    gzip_body: bool = False) -> int:
     """POST with exponential backoff (the reference's M4 bullet): attempt
     up to ``retries + 1`` times, sleeping backoff_s * 2^attempt between;
     non-2xx and connection errors both count as failures. Returns the
-    final status; raises after the last attempt fails."""
+    final status; raises after the last attempt fails. ``gzip_body``
+    sends the payload gzip-compressed with ``Content-Encoding: gzip``
+    (the standard webhook batching practice — JSON bodies shrink ~10x)."""
     u = urlparse(url)
+    headers = {"Content-Type": content_type}
+    if gzip_body:
+        import gzip as _gz
+
+        payload = _gz.compress(payload)
+        headers["Content-Encoding"] = "gzip"
     last: Exception | None = None
     for attempt in range(retries + 1):
         if attempt:
@@ -449,7 +470,7 @@ def post_with_retry(url: str, payload: bytes, content_type: str,
             conn = conn_cls(u.hostname, u.port, timeout=30)
             try:
                 conn.request("POST", u.path or "/", body=payload,
-                             headers={"Content-Type": content_type})
+                             headers=headers)
                 resp = conn.getresponse()
                 resp.read()
                 if 200 <= resp.status < 300:
@@ -479,6 +500,7 @@ def _register_sink(spark) -> None:
             self.batch_size = int(options.get("batch.size", "1"))
             self.content_type = options.get("content_type",
                                             "application/json")
+            self.gzip_body = options.get("compression", "none") == "gzip"
 
         def write(self, iterator) -> WriterCommitMessage:
             # executor-side, once per partition: single rows POST as JSON
@@ -494,7 +516,8 @@ def _register_sink(spark) -> None:
                     else json.dumps(batch, default=str)
                 ).encode("utf-8")
                 post_with_retry(self.url, payload, self.content_type,
-                                self.retries, self.backoff_s)
+                                self.retries, self.backoff_s,
+                                gzip_body=self.gzip_body)
                 batch.clear()
 
             for row in iterator:
@@ -532,7 +555,7 @@ def http_sink_writer(df, opts: dict):
         "url", str(_opt(opts, "url"))
     )
     for key, default in (("retries", "3"), ("backoff.ms", "100"),
-                         ("batch.size", "1"),
+                         ("batch.size", "1"), ("compression", "none"),
                          ("content_type", "application/json")):
         writer = writer.option(key, str(_opt(opts, key, default)))
     if "checkpoint" in opts:

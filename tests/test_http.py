@@ -358,3 +358,39 @@ def test_poll_spill_replays_identical_rows_across_crash_and_restart(tmp_path):
             assert ep3.buffer == [] and ep3.next == seen_next
     finally:
         ep3.stop()
+
+
+def test_gzip_content_encoding_sink_and_receiver(tmp_path):
+    """compression=gzip on the sink sends Content-Encoding: gzip bodies
+    (the standard webhook batching practice); the webhook receiver
+    transparently decompresses inbound gzip POSTs and 400s malformed
+    ones."""
+    import gzip
+
+    from engine_spark.sources.http import WebhookReceiver, post_with_retry
+
+    rx = WebhookReceiver()
+    try:
+        url = f"http://127.0.0.1:{rx.port}/hook"
+        body = json.dumps({"k": "v", "pad": "x" * 500}).encode()
+        assert post_with_retry(url, body, "application/json", 0, 0.01,
+                               gzip_body=True) == 200
+        with rx.lock:
+            assert len(rx.buffer) == 1
+            off, val, path, ctype = rx.buffer[0]
+        assert val == body.decode() and path == "/hook"
+        # malformed gzip: loud 400, nothing buffered
+        conn = http.client.HTTPConnection("127.0.0.1", rx.port, timeout=10)
+        conn.request("POST", "/hook", body=b"not gzip",
+                     headers={"Content-Type": "application/json",
+                              "Content-Encoding": "gzip"})
+        assert conn.getresponse().status == 400
+        conn.close()
+        with rx.lock:
+            assert len(rx.buffer) == 1
+        # plain (unencoded) POSTs still work
+        assert post_with_retry(url, b"plain", "text/plain", 0, 0.01) == 200
+        with rx.lock:
+            assert rx.buffer[-1][1] == "plain"
+    finally:
+        rx.stop()
