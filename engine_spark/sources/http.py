@@ -185,6 +185,8 @@ class _Poller:
         self.spill = spill_dir or default_poll_spill_dir(url)
         os.makedirs(self.spill, exist_ok=True)
         self._load_spill()
+        self._etag: Optional[str] = None
+        self._last_modified: Optional[str] = None
         self.closed = False
         threading.Thread(target=self._run, daemon=True).start()
 
@@ -213,13 +215,25 @@ class _Poller:
                     else http.client.HTTPConnection)
         conn = conn_cls(u.hostname, u.port, timeout=30)
         try:
-            conn.request("GET", u.path or "/")
+            # conditional GET: replay the validators the endpoint gave us
+            # so an unchanged snapshot answers 304 and emits NOTHING —
+            # interval polling otherwise re-ingests the same body forever
+            headers = {}
+            if self._etag:
+                headers["If-None-Match"] = self._etag
+            if self._last_modified:
+                headers["If-Modified-Since"] = self._last_modified
+            conn.request("GET", u.path or "/", headers=headers)
             resp = conn.getresponse()
             body = resp.read().decode("utf-8", "replace")
             ctype = resp.getheader("Content-Type",
                                    "application/octet-stream")
+            if resp.status == 304:
+                return  # validators matched: snapshot unchanged
             if resp.status != 200:
                 return
+            self._etag = resp.getheader("ETag")
+            self._last_modified = resp.getheader("Last-Modified")
         finally:
             conn.close()
         values = body.splitlines() if self.split_lines else [body]

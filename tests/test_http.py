@@ -394,3 +394,55 @@ def test_gzip_content_encoding_sink_and_receiver(tmp_path):
             assert rx.buffer[-1][1] == "plain"
     finally:
         rx.stop()
+
+
+def test_poll_conditional_get_skips_unchanged_snapshots(tmp_path):
+    """The poller replays ETag/Last-Modified validators: an endpoint whose
+    snapshot hasn't changed answers 304 and NO duplicate event buffers —
+    interval polling otherwise re-ingests the same body every tick. When
+    the snapshot changes (new ETag), exactly the new body is emitted."""
+    from engine_spark.sources.http import _Poller
+
+    state = {"version": 1, "hits": 0, "cond": 0}
+    lock = threading.Lock()
+
+    class _H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            with lock:
+                state["hits"] += 1
+                etag = f'"v{state["version"]}"'
+                if self.headers.get("If-None-Match") == etag:
+                    state["cond"] += 1
+                    self.send_response(304)
+                    self.end_headers()
+                    return
+                body = f"snapshot-{state['version']}".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.send_header("ETag", etag)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}/snap"
+    ep = _Poller(url, 0.05, split_lines=False,
+                 spill_dir=str(tmp_path / "spill"))
+    try:
+        assert _drain(lambda: state["cond"] >= 3)  # several 304 ticks
+        with ep.lock:
+            vals = [r[1] for r in ep.buffer]
+        assert vals == ["snapshot-1"]  # ONE event despite many polls
+        with lock:
+            state["version"] = 2  # snapshot changes: new ETag
+        assert _drain(lambda: len(ep.buffer) >= 2)
+        with ep.lock:
+            assert [r[1] for r in ep.buffer] == ["snapshot-1", "snapshot-2"]
+    finally:
+        ep.stop()
+        srv.shutdown()
+        srv.server_close()
