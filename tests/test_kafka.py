@@ -702,3 +702,48 @@ def test_record_batch_codec_property():
         assert [(ts, k, v) for _o, ts, k, v in got] == records
 
     prop()
+
+
+def test_spark_kafka_sink_with_gzip_compression(spark, tmp_path):
+    """compression=gzip through the STREAMING sink: the produced batches
+    carry codec bits 1 and gzip-compressed records regions on the broker
+    log (inspected raw), and fetch decodes them transparently."""
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(
+                json.dumps({"key": f"k{i}", "value": "gzip-me " * 30})
+                for i in range(6)
+            )
+        )
+        df = spark.readStream.schema("key string, value string").json(str(src))
+        writer = create_sink_writer(
+            df,
+            {
+                "extension": "kafka",
+                "kafka.bootstrap": f"127.0.0.1:{broker.port}",
+                "kafka.topic": "gzout",
+                "kafka.compression": "gzip",
+                "checkpoint": str(tmp_path / "ck"),
+            },
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(60)
+
+        # raw log inspection: every appended batch declares codec 1
+        with broker.lock:
+            raws = [raw for _b, _n, raw in broker.logs[("gzout", 0)]]
+        assert raws
+        assert all(struct.unpack_from(">h", raw, 21)[0] & 0x07 == 1
+                   for raw in raws)
+        c = KafkaClient("127.0.0.1", broker.port)
+        _, recs = c.fetch("gzout", 0, 0)
+        assert {k.decode() for _o, _t, k, _v in recs} == {
+            f"k{i}" for i in range(6)
+        }
+        assert all(v == b"gzip-me " * 30 for *_, v in recs)
+        c.close()
+    finally:
+        broker.stop()
