@@ -747,3 +747,70 @@ def test_spark_kafka_sink_with_gzip_compression(spark, tmp_path):
         c.close()
     finally:
         broker.stop()
+
+
+def test_spark_source_and_sink_route_across_two_brokers(spark, tmp_path):
+    """End-to-end multi-broker: partition 0 leads on node 0, partition 1
+    on node 1. The streaming SINK must land keyed rows on each leader's
+    local log, and the streaming SOURCE (bootstrapped at node 0 only)
+    must fetch both partitions by routing to their leaders."""
+    from engine_spark.sources.kafka import KafkaClusterState
+
+    state = KafkaClusterState()
+    b0 = KafkaBroker(node_id=0, cluster=state, auto_create_partitions=2)
+    b1 = KafkaBroker(node_id=1, cluster=state, auto_create_partitions=2)
+    try:
+        # keys chosen so the DefaultPartitioner spreads both partitions
+        keys = [f"mk{i}" for i in range(12)]
+        parts = {k: partition_for_key(k.encode(), 2) for k in keys}
+        assert set(parts.values()) == {0, 1}
+
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.json").write_text(
+            "\n".join(json.dumps({"key": k, "value": f"v-{k}"}) for k in keys)
+        )
+        df = spark.readStream.schema("key string, value string").json(str(src))
+        writer = create_sink_writer(
+            df,
+            {
+                "extension": "kafka",
+                "kafka.bootstrap": f"127.0.0.1:{b0.port}",  # node 0 only
+                "kafka.topic": "mb",
+                "checkpoint": str(tmp_path / "ck_sink"),
+            },
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(60)
+
+        # rows landed on each LEADER's local log (node 1 got partition 1
+        # even though only node 0 was in the bootstrap)
+        n0 = b0.log_end("mb", 0)
+        n1 = b1.log_end("mb", 1)
+        assert n0 == sum(1 for p in parts.values() if p == 0)
+        assert n1 == sum(1 for p in parts.values() if p == 1)
+
+        # source side: bootstrap node 0, read BOTH partitions back
+        sdf = create_source(
+            spark,
+            {
+                "extension": "kafka",
+                "kafka.bootstrap": f"127.0.0.1:{b0.port}",
+                "kafka.topic": "mb",
+            },
+        )
+        out = tmp_path / "out"
+        q2 = (
+            sdf.writeStream.format("json")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ck_src"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(60)
+        rows = spark.read.json(str(out)).collect()
+        assert {r.key for r in rows} == set(keys)
+        assert {r.partition for r in rows} == {0, 1}
+    finally:
+        b0.stop()
+        b1.stop()
