@@ -2671,3 +2671,49 @@ def test_cabac_multi_slice_matches_cavlc_at_same_slice_structure():
         if (out_c != one).any():
             diverged_from_one += 1
     assert diverged_from_one >= 1  # boundary resets actually exercised
+
+
+def test_decode_frames_cabac_i_pcm_mp4(spark):
+    """An avc1 MP4 whose CABAC IDR frames mix I_PCM and coded macroblocks
+    decodes through the full Spark decode_frames surface with EXACT
+    pixel sums — the r13 I_PCM-in-CABAC capability exercised end-to-end,
+    not just at the slice-codec level."""
+    import numpy as np
+    import pandas as pd
+
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    rng = np.random.RandomState(77)
+    wmb, hmb = 2, 1
+    sps, pps = H.encode_sps_pps(wmb, hmb, qp=26, cabac=True)
+    avcc = H.build_avcc(sps, pps)
+    ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+
+    samples, exp_sums = [], []
+    for fi in range(3):
+        y = rng.randint(0, 256, (16, 16))
+        cbp = rng.randint(0, 256, (8, 8))
+        crp = rng.randint(0, 256, (8, 8))
+        dc = [0] * 16
+        dc[0] = 120 + 60 * fi
+        mbs = [("pcm", y, cbp, crp), ("i16", 2, dc, None)]
+        if fi == 2:
+            mbs = mbs[::-1]  # PCM last in one frame
+        idr = H.encode_i_frame_cabac(mbs, wmb, hmb, 26)
+        samples.append(len(idr).to_bytes(4, "big") + idr)
+        # expected RGB sum from the (shared, proven) CAVLC decode of the
+        # identical descriptors
+        sps_v, pps_v = H.encode_sps_pps(wmb, hmb, qp=26)
+        exp_sums.append(int(H.decode_i_frame(
+            [sps_v, pps_v, H.encode_i_frame(mbs, wmb, hmb, 26)]
+        ).sum(dtype="int64")))
+
+    mp4 = encode_mp4(samples, codec=b"avc1", sample_entry_ext=ext,
+                     width=wmb * 16, height=hmb * 16)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [7], "payload": [mp4]})
+    )
+    rows = decode_frames(df, 1).orderBy("frame_idx").collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert all(r["width"] == 32 and r["height"] == 16 for r in rows)
+    assert [r["pix_sum"] for r in rows] == exp_sums
