@@ -704,17 +704,19 @@ def test_record_batch_codec_property():
     prop()
 
 
-def test_spark_kafka_sink_with_gzip_compression(spark, tmp_path):
-    """compression=gzip through the STREAMING sink: the produced batches
-    carry codec bits 1 and gzip-compressed records regions on the broker
-    log (inspected raw), and fetch decodes them transparently."""
+@pytest.mark.parametrize("comp,bits", [("gzip", 1), ("snappy", 2), ("lz4", 3)])
+def test_spark_kafka_sink_with_compression(spark, tmp_path, comp, bits):
+    """compression=<codec> through the STREAMING sink: the produced
+    batches carry the codec's attribute bits and compressed records
+    regions on the broker log (inspected raw), and fetch decodes them
+    transparently — the option plumbing proven for all three codecs."""
     broker = KafkaBroker(auto_create_partitions=1)
     try:
         src = tmp_path / "in"
         src.mkdir()
         (src / "a.json").write_text(
             "\n".join(
-                json.dumps({"key": f"k{i}", "value": "gzip-me " * 30})
+                json.dumps({"key": f"k{i}", "value": "squeeze-me " * 30})
                 for i in range(6)
             )
         )
@@ -724,26 +726,26 @@ def test_spark_kafka_sink_with_gzip_compression(spark, tmp_path):
             {
                 "extension": "kafka",
                 "kafka.bootstrap": f"127.0.0.1:{broker.port}",
-                "kafka.topic": "gzout",
-                "kafka.compression": "gzip",
+                "kafka.topic": "cout",
+                "kafka.compression": comp,
                 "checkpoint": str(tmp_path / "ck"),
             },
         )
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination(60)
 
-        # raw log inspection: every appended batch declares codec 1
+        # raw log inspection: every appended batch declares the codec
         with broker.lock:
-            raws = [raw for _b, _n, raw in broker.logs[("gzout", 0)]]
+            raws = [raw for _b, _n, raw in broker.logs[("cout", 0)]]
         assert raws
-        assert all(struct.unpack_from(">h", raw, 21)[0] & 0x07 == 1
+        assert all(struct.unpack_from(">h", raw, 21)[0] & 0x07 == bits
                    for raw in raws)
         c = KafkaClient("127.0.0.1", broker.port)
-        _, recs = c.fetch("gzout", 0, 0)
+        _, recs = c.fetch("cout", 0, 0)
         assert {k.decode() for _o, _t, k, _v in recs} == {
             f"k{i}" for i in range(6)
         }
-        assert all(v == b"gzip-me " * 30 for *_, v in recs)
+        assert all(v == b"squeeze-me " * 30 for *_, v in recs)
         c.close()
     finally:
         broker.stop()
