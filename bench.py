@@ -148,6 +148,10 @@ def main() -> None:
         # round 12: real H.264 CABAC I-frame decode (arithmetic engine
         # per 9.3 — the per-doc kernel cost of Main-profile entropy)
         "multimodal_h264_cabac",
+        # round 13 (late): corpus-level ExactSubstr removal spans — the
+        # only dedup gate with NO candidate-pair join (count>=2 on the
+        # positional gram hash + multiplicity-1 semi-join back)
+        "dedup_exact_substr",
     ]
 
     # Load context: this host shows heavy noisy-neighbor variance (PERF.md

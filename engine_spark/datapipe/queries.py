@@ -1227,6 +1227,104 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near.unionByName(cont).unionByName(spans)
 
 
+def _exsub_k() -> int:
+    from engine_spark.datapipe.spans import EXSUB_K
+
+    return EXSUB_K
+
+
+_EXSUB_K = _exsub_k()
+
+
+@register(
+    "dedup_exact_substr",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {FR.tokens(DK)} AS toks FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, unnest(list_transform(
+               range(1, {DK.size('toks')} - {_EXSUB_K - 1} + 1),
+               i -> {{'pos': i,
+                      'h': {DK.hash56(DK.arr_join(DK.slice_k('toks', 'i', _EXSUB_K)))}}}))
+             AS sg
+      FROM t
+    ),
+    inv AS (SELECT doc_id, sg.pos AS pos, sg.h AS h FROM pg),
+    dup AS (SELECT h FROM inv GROUP BY h HAVING count(*) >= 2),
+    cut AS (SELECT inv.doc_id, inv.pos FROM inv JOIN dup USING (h)),
+    fl AS (
+      SELECT doc_id, pos,
+             CASE WHEN prev IS NULL OR pos - prev > {_EXSUB_K} THEN 1 ELSE 0 END AS nw
+      FROM (SELECT doc_id, pos,
+                   lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+            FROM cut)
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS island
+      FROM fl
+    ),
+    spans AS (
+      SELECT doc_id, min(pos) AS s, max(pos) + {_EXSUB_K - 1} AS e
+      FROM isl GROUP BY doc_id, island
+    )
+    SELECT spans.doc_id,
+           CAST(s AS BIGINT) AS span_start,
+           CAST(e AS BIGINT) AS span_end,
+           CAST(e - s + 1 AS BIGINT) AS span_tokens,
+           CAST({DK.size('toks')} AS BIGINT) AS doc_tokens,
+           CAST(sum(e - s + 1) OVER (PARTITION BY spans.doc_id) AS BIGINT)
+             AS doc_dup_tokens,
+           {r6(f"CAST(sum(e - s + 1) OVER (PARTITION BY spans.doc_id) AS DOUBLE) / {DK.size('toks')}")}
+             AS dup_ratio
+    FROM spans JOIN t ON spans.doc_id = t.doc_id
+    """,
+    doc=(
+        "corpus-level ExactSubstr dedup (Lee et al. 2021): maximal token "
+        f"runs of >= {_EXSUB_K} tokens occurring at least twice anywhere in "
+        "the corpus, merged into per-document REMOVAL spans (start/end "
+        "token offsets) plus per-doc cut totals — the scrubber input, not a "
+        "pair report. No pairwise join anywhere: positional gram hashes -> "
+        "combine-enabled count>=2 on the hash -> multiplicity-1 semi-join "
+        "back -> per-doc gaps-and-islands merge. No df-cap needed (a "
+        "corpus-hot gram still joins each position exactly once), so unlike "
+        "every candidate-pair dedup this has NO quadratic regime at any "
+        "corpus size."
+    ),
+)
+def q_dedup_exact_substr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from engine_spark.datapipe.spans import exact_substr_cuts
+
+    docs = Catalog(spark, sf_dir)["documents"].repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    spans = exact_substr_cuts(docs, _EXSUB_K)
+    t = docs.select(
+        "doc_id", F.expr(SP.size(FR.tokens(SP))).alias("_nt")
+    )
+    wdoc = Window.partitionBy("doc_id")
+    return (
+        spans.withColumn(
+            "span_tokens", F.col("span_end") - F.col("span_start") + 1
+        )
+        .withColumn("_ddt", F.sum("span_tokens").over(wdoc))
+        .join(t, "doc_id")
+        .select(
+            "doc_id",
+            F.col("span_start").cast("bigint").alias("span_start"),
+            F.col("span_end").cast("bigint").alias("span_end"),
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+            F.col("_nt").cast("bigint").alias("doc_tokens"),
+            F.col("_ddt").cast("bigint").alias("doc_dup_tokens"),
+            F.expr(r6("CAST(_ddt AS DOUBLE) / _nt")).alias("dup_ratio"),
+        )
+    )
+
+
 def _mh_exprs(d: Dialect, hashes: str) -> list[str]:
     return [
         FR.minhash_one(d, hashes, MINHASH_A[i], MINHASH_B[i])

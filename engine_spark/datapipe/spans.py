@@ -102,3 +102,74 @@ def substring_run_pairs(
         .agg(F.max("span").alias("max_span"), F.count(F.lit(1)).alias("n_runs"))
         .filter(F.col("max_span") >= min_span)
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level exact-substring removal ranges (ExactSubstr dedup)
+# ---------------------------------------------------------------------------
+
+EXSUB_K = 8  #: duplicated token runs of at least this length are cut
+
+
+def exact_substr_cuts(docs: DataFrame, k: int = EXSUB_K) -> DataFrame:
+    """Per-document removal ranges for corpus-duplicated token runs — the
+    ExactSubstr dedup of Lee et al. 2021 ("Deduplicating Training Data
+    Makes Language Models Better"), word-granularity: any run of >= k
+    consecutive tokens that occurs at least twice anywhere in the corpus
+    (another document OR a second time in the same document) is marked for
+    removal, and overlapping/adjacent marks merge into maximal cut spans.
+
+    Unlike ``substring_run_pairs`` (pairwise max-span REPORTING), this is
+    the corpus-level REMOVAL action: output is one row per document with
+    the merged span inventory a trainer-side scrubber applies. The public
+    formulation builds a corpus suffix array; the same marks fall out of
+    the positional k-gram index with NO pairwise join at all:
+
+    1. (doc_id, pos, gram-hash) per position — row-local, map-only;
+    2. gram hashes with total corpus count >= 2 are "duplicated" — one
+       combine-enabled groupBy on the hash;
+    3. a position is cut iff its gram is duplicated — keyed semi-join,
+       multiplicity 1 per position row (no df-cap needed: a corpus-hot
+       gram still joins each position exactly once, so there is no
+       quadratic regime anywhere — a better scale story than any
+       candidate-pair dedup);
+    4. per-doc merge of overlapping/adjacent k-windows into maximal spans:
+       gaps-and-islands with a distance threshold (new island when the
+       next duplicated position starts more than k after the previous —
+       i.e. the windows neither overlap nor touch), one window + one
+       groupBy on the doc key.
+
+    Returns (doc_id, pos-sorted) span rows: one per maximal cut span.
+    """
+    # consumed twice (corpus count and join-back) and deliberately NOT
+    # cached: the index is a map-only projection, and recomputing two
+    # embarrassingly-parallel passes beats materializing a TB-scale
+    # columnar cache (measured locally too: the InMemoryRelation build
+    # cost ~5x the projection itself). hash56 (shared md5-derived BIGINT
+    # fragment) keys the shuffle at 8 bytes instead of a 32-char md5
+    # string; both engines hash identically by construction, so a
+    # truncation collision — one expected per ~7e16 gram pairs — flips
+    # the same position on both sides and is a correct-by-spec false
+    # dup-mark, not a divergence.
+    d = Dialect("spark")
+    inv = positional_grams(docs, k).select(
+        "doc_id", "pos", F.expr(d.hash56("gram")).alias("h")
+    )
+    dup = inv.groupBy("h").count().filter(F.col("count") >= 2).drop("count")
+    cut = inv.join(dup, "h", "semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = cut.withColumn(
+        "_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | ((F.col("pos") - F.lag("pos").over(w)) > k),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return flagged.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (k - 1)).alias("span_end"),
+    )

@@ -3343,7 +3343,6 @@ _ORDER = [
     "join_q8_market_share",       # TPC-H Q8 shape: dual-role nation + ratio (NEW r10)
     "join_q9_product_profit",     # TPC-H Q9 shape: profit by nation x year (NEW r10)
     "join_q12_late_line_priority",  # TPC-H Q12 shape: conditional counts on join (NEW r10)
-    "join_q13_order_distribution",  # TPC-H Q13 shape: outer join + 2-level agg (NEW r10)
     "join_q15_top_supplier",      # TPC-H Q15 shape: view + scalar-max filter (NEW r10)
     "join_q17_small_quantity_revenue",  # TPC-H Q17 shape: correlated AVG (NEW r10)
     "join_q19_disjunctive",       # TPC-H Q19 shape: OR-of-ANDs pushdown (NEW r9, in-window)
@@ -3367,6 +3366,7 @@ _ORDER = [
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",     # rotated back IN r13: occupancy-capped rework (EMB_BUCKET_CAP on both blockings) must face the driver's oracle, the simhash-r12 precedent
     "dedup_simhash",              # 56-bit signature + capped 14-bit chunk blocking (rotated back IN r12 after the scale-true rework)
+    "dedup_exact_substr",         # corpus-level ExactSubstr removal spans (NEW r13, in-window at debut)
     "ann_ivf_trained",
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_h264",            # REAL H.264 baseline I-frame decode (NEW r10)
@@ -3387,6 +3387,14 @@ _ORDER = [
     # LOCAL-green + pytest-pinned incl. the chain-graph star_components
     # fallback test).
     "dedup_clusters",             # rotated out r13 (driver-green r10-r12)
+    # Round 13 (late) also debuted dedup_exact_substr in-window (corpus-
+    # level ExactSubstr removal spans — the Lee-et-al dedup axis the
+    # registry only covered as pairwise substring_run reporting) and
+    # rotated OUT join_q13_order_distribution (driver-green r10-r12; the
+    # join family keeps thirteen gates in-window — twelve TPC-H shapes +
+    # outer modes + enrichment + stream-stream — and Q13's outer-join +
+    # two-level-agg shape stays LOCAL-green + oracle-checked every sweep).
+    "join_q13_order_distribution",  # rotated out r13 (driver-green r10-r12)
     # Round 12 rotated dedup_simhash back IN after the scale-true rework
     # (56-bit signature, 4 x 14-bit chunk blocking, bucket-size cap — the
     # r11 verdict's top item; the rework must face the driver's oracle)

@@ -3711,3 +3711,63 @@ def test_embedding_pairs_scales_bits_with_corpus(spark, tmp_path):
     }
     assert (500, 501) in auto
     assert auto == explicit  # 42 vectors -> derived bits = the 8-bit floor
+
+
+def test_exact_substr_cuts_cross_doc_spans(spark):
+    """A run duplicated across two docs yields a removal span in EACH doc
+    covering exactly the duplicated token range; unrelated docs get none."""
+    from engine_spark.datapipe.spans import exact_substr_cuts
+
+    d = spark.createDataFrame(
+        [
+            (1, "u1 u2 a b c d e u3 u4"),   # run at token positions 3..7
+            (2, "v1 a b c d e v2 v3"),      # run at token positions 2..6
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8"), # no duplicated 3-gram anywhere
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in exact_substr_cuts(d, k=3).collect()
+    }
+    assert out == {1: (3, 7), 2: (2, 6)}
+
+
+def test_exact_substr_cuts_within_doc_repeat_two_islands(spark):
+    """A phrase repeated WITHIN one doc is cut at both occurrences, and the
+    two marks stay separate spans when farther than k apart."""
+    from engine_spark.datapipe.spans import exact_substr_cuts
+
+    d = spark.createDataFrame(
+        [(7, "p q r s x1 x2 x3 p q r s")],  # p q r s at pos 1..4 and 8..11
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.span_start, r.span_end) for r in exact_substr_cuts(d, k=3).collect()
+    )
+    assert rows == [(1, 4), (8, 11)]
+
+
+def test_exact_substr_cuts_nearby_marks_merge(spark):
+    """Duplicated windows within k positions of each other merge into ONE
+    maximal span (the gaps-and-islands distance threshold, not step-1)."""
+    from engine_spark.datapipe.spans import exact_substr_cuts
+
+    # doc 1/2 share "a b c" (pos 1..3 in doc 1) and "d e f" (pos 5..7):
+    # marks at pos 1 and 5, distance 4 > k=3 would split; with the gram
+    # windows [1,3] and [5,7] separated by ONE token, distance 5-1=4 > 3
+    # -> two spans; make them distance 3 apart instead to force the merge
+    d = spark.createDataFrame(
+        [
+            (1, "a b c m d e f"),   # marks at 1 and 5 -> gap 4 > 3: split
+            (2, "z1 a b c z2 z3 z4 d e f"),
+            (3, "a b c d e f q1"),  # marks at 1,2,3,4 -> one span [1,6]
+            (4, "y1 y2 a b c d e f"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in exact_substr_cuts(d, k=3).collect():
+        got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert sorted(got[1]) == [(1, 3), (5, 7)]
+    assert sorted(got[3]) == [(1, 6)]

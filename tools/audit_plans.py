@@ -44,6 +44,19 @@ CHECKS = {
         ("signature frames cached (single evaluation)",
          lambda p: "InMemoryTableScan" in p),
     ],
+    "dedup_exact_substr": [
+        # ExactSubstr removal spans: NO pairwise candidate join may appear
+        # anywhere — the dup decision is count>=2 on the positional gram
+        # hash (combine-enabled aggregate) semi-joined back at
+        # multiplicity 1, then per-doc windows; any self-equi-join of the
+        # positional index would reintroduce the quadratic regime
+        ("no cartesian/nested-loop",
+         lambda p: "Cartesian" not in p and "BroadcastNestedLoop" not in p),
+        ("dup-mark via aggregate + semi join",
+         lambda p: "HashAggregate" in p and "LeftSemi" in p),
+        ("column pruning on docs scan",
+         lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
+    ],
     "dedup_simhash": [
         # r12 scale-true blocking: the candidate self-join must be a keyed
         # equi-join over CAPPED chunk buckets — the bucket-size HAVING
