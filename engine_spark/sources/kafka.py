@@ -1105,6 +1105,12 @@ def _parse_bootstrap(opts: dict) -> Tuple[str, int]:
     return host or "127.0.0.1", int(port)
 
 
+def _deser(raw: bytes | None, mode: str):
+    if raw is None:
+        return None
+    return raw.decode("utf-8", "replace") if mode == "string" else bytes(raw)
+
+
 def make_stream_reader(options: dict):
     """The stream reader behind format('kafka-wire'), constructible
     directly for unit tests (module-level so tests can drive read()/
@@ -1132,6 +1138,17 @@ def make_stream_reader(options: dict):
             self.max_per_trigger = int(
                 _opt(options, "max.offsets.per.trigger", "0") or 0
             )
+            # payload deserialization: 'string' (utf-8, lossy-replace — the
+            # log/json-line default) or 'binary' (faithful bytes — REQUIRED
+            # for schema'd binary payloads like Avro, where a utf-8
+            # round-trip corrupts the record)
+            self.key_deser = _opt(options, "key.deserializer", "string")
+            self.value_deser = _opt(options, "value.deserializer", "string")
+            for d in (self.key_deser, self.value_deser):
+                if d not in ("string", "binary"):
+                    raise ValueError(
+                        f"unknown deserializer {d!r} (string | binary)"
+                    )
 
         def _client(self) -> KafkaClusterClient:
             return _client_for(self.host, self.port)
@@ -1165,10 +1182,8 @@ def make_stream_reader(options: dict):
                         if o >= hi:
                             break
                         rows.append((
-                            key.decode("utf-8", "replace")
-                            if key is not None else None,
-                            value.decode("utf-8", "replace")
-                            if value is not None else None,
+                            _deser(key, self.key_deser),
+                            _deser(value, self.value_deser),
                             self.topic,
                             p,
                             o,
@@ -1209,7 +1224,11 @@ def _register_source(spark) -> None:
             return "kafka-wire"
 
         def schema(self) -> str:
-            return ("key string, value string, topic string, "
+            kt = "binary" if _opt(
+                self.options, "key.deserializer", "string") == "binary" else "string"
+            vt = "binary" if _opt(
+                self.options, "value.deserializer", "string") == "binary" else "string"
+            return (f"key {kt}, value {vt}, topic string, "
                     "partition int, offset long, timestamp long")
 
         def simpleStreamReader(self, schema):  # noqa: ARG002 — fixed schema
@@ -1225,7 +1244,12 @@ def kafka_source(spark, opts: dict):
     _parse_bootstrap(opts)  # validate eagerly
     _register_source(spark)
     reader = spark.readStream.format("kafka-wire")
-    for key in ("bootstrap", "topic", "starting.offsets"):
+    # max.offsets.per.trigger is deliberately NOT forwarded: with
+    # Trigger.AvailableNow the planner treats one capped read()'s end as
+    # "all available" and under-delivers; the cap is a per-prefetch
+    # driver-memory bound for directly-constructed readers (see its test)
+    for key in ("bootstrap", "topic", "starting.offsets",
+                "key.deserializer", "value.deserializer"):
         val = _opt(opts, key)
         if val is not None:
             reader = reader.option(key, str(val))

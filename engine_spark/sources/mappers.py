@@ -50,10 +50,29 @@ def bytes_out(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     return df.select(F.col(payload_col).cast("binary").alias("value"))
 
 
+def avro_in(df: DataFrame, schema: str, value_col: str = "value") -> DataFrame:
+    """Avro-encoded payload → typed columns. The reference ships no Avro
+    mapper (json/csv/bytes only); real Kafka estates are Avro-heavy, so
+    the binary codec is implemented from the public Apache Avro spec in
+    sources/avro.py (Arrow-batched — per-record binary parsing is the
+    regime that genuinely needs a Pandas UDF). ``schema`` here is the
+    AVRO record schema JSON, not a Spark DDL string."""
+    from engine_spark.sources.avro import avro_in as _ain
+
+    return _ain(df, schema, value_col)
+
+
+def avro_out(df: DataFrame, schema: str | None = None) -> DataFrame:
+    from engine_spark.sources.avro import avro_out as _aout
+
+    return _aout(df, schema)
+
+
 MAPPERS = {
     "json": (json_in, json_out),
     "csv": (csv_in, csv_out),
     "bytes": (bytes_in, bytes_out),
+    "avro": (avro_in, avro_out),
 }
 
 
@@ -102,6 +121,13 @@ def map_in_split(
         raise KeyError(f"unknown mapper {fmt!r}")
     if schema is None:
         raise ValueError(f"{fmt} mapper needs a schema")
+    if f == "avro":
+        # Python-side decode: the fault split comes from the decode pass
+        # itself (a _corrupt column), not from_json's PERMISSIVE mode.
+        # observe_name is not wired here — the fault branch IS the count.
+        from engine_spark.sources.avro import avro_in_split
+
+        return avro_in_split(df, schema, value_col=value_col)
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
     full = f"{schema}, _corrupt STRING"
     raw = F.col(value_col).cast("string")

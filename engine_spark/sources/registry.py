@@ -97,6 +97,10 @@ def _kafka(spark: SparkSession, opts: dict) -> DataFrame:
     MILESTONES.md:183-205 — beyond-reference surface)."""
     from engine_spark.sources.kafka import kafka_source
 
+    if opts.get("format") == "avro" and "value.deserializer" not in opts:
+        # Avro payloads are binary: a utf-8 string round-trip corrupts
+        # them, so the schema'd-binary default is faithful bytes
+        opts = {**opts, "value.deserializer": "binary"}
     return kafka_source(spark, opts)
 
 
