@@ -151,14 +151,27 @@ def exact_substr_cuts(docs: DataFrame, k: int = EXSUB_K) -> DataFrame:
     # truncation collision — one expected per ~7e16 gram pairs — flips
     # the same position on both sides and is a correct-by-spec false
     # dup-mark, not a divergence.
-    d = Dialect("spark")
-    inv = positional_grams(docs, k).select(
-        "doc_id", "pos", F.expr(d.hash56("gram")).alias("h")
-    )
+    inv = positional_gram_hashes(docs, k)
     dup = inv.groupBy("h").count().filter(F.col("count") >= 2).drop("count")
     cut = inv.join(dup, "h", "semi")
+    return merge_marks_to_spans(cut, k)
+
+
+def positional_gram_hashes(docs: DataFrame, k: int = EXSUB_K) -> DataFrame:
+    """(doc_id, pos, h): every k-gram position with its hash56 — the
+    shared index of the batch and incremental ExactSubstr paths."""
+    d = Dialect("spark")
+    return positional_grams(docs, k).select(
+        "doc_id", "pos", F.expr(d.hash56("gram")).alias("h")
+    )
+
+
+def merge_marks_to_spans(marks: DataFrame, k: int = EXSUB_K) -> DataFrame:
+    """(doc_id, pos, …) cut marks → (doc_id, span_start, span_end) maximal
+    spans: gaps-and-islands with the k-distance threshold (marks within k
+    positions overlap or touch as k-token windows and merge)."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    flagged = cut.withColumn(
+    flagged = marks.select("doc_id", "pos").withColumn(
         "_new",
         F.when(
             F.lag("pos").over(w).isNull()
@@ -173,3 +186,164 @@ def exact_substr_cuts(docs: DataFrame, k: int = EXSUB_K) -> DataFrame:
         F.min("pos").alias("span_start"),
         (F.max("pos") + (k - 1)).alias("span_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (streaming) ExactSubstr over an append-only corpus
+# ---------------------------------------------------------------------------
+
+class IncrementalExactSubstr:
+    """Persistent gram-count store + per-batch duplicate-run cut marks —
+    the streaming twin of :func:`exact_substr_cuts`, for the corpus that
+    arrives as micro-batches and cannot be re-scanned per epoch.
+
+    State per gram hash: the occurrence count so far plus the FIRST
+    occurrence's (doc_id, pos). That first position is what makes the
+    semantics match the batch pass exactly: when a gram's second
+    occurrence arrives in a later epoch, the first occurrence —
+    committed epochs ago, when the gram was still unique — must be cut
+    RETROACTIVELY. The store keeps one row per gram per touching epoch
+    (append-only deltas, the filequeue/minhash exactly-once idiom:
+    stage + atomic rename, a crash-replayed epoch is a no-op), and
+    reads aggregate the deltas; counts are capped at 2 on write (only
+    the 0->1->2 transitions matter — a gram's 1000th occurrence changes
+    nothing, so state per gram is O(1) and hot grams cannot bloat it).
+
+    ``process_batch(batch_df, epoch_id)`` returns cut MARKS
+    (doc_id, pos, retro): every k-gram start position the batch makes
+    duplicated — batch positions whose gram already existed (or repeats
+    in-batch), plus retro marks for stored first occurrences whose gram
+    just crossed count 2. Feed the accumulated marks through
+    :func:`merge_marks_to_spans` for scrubber spans. The union of all
+    epochs' marks equals the batch pass on the full corpus (pytest
+    pins this parity), with one caveat: marks for one doc can arrive
+    across epochs, so span MERGING is the consumer's final step, not
+    per-epoch output.
+    """
+
+    def __init__(self, spark: SparkSession, state_dir: str, k: int = EXSUB_K):
+        import os
+
+        self.spark = spark
+        self.state_dir = state_dir
+        self.k = k
+        self.gram_dir = os.path.join(state_dir, "grams")
+        os.makedirs(self.gram_dir, exist_ok=True)
+
+    def _epoch_path(self, epoch_id: int) -> str:
+        import os
+
+        return os.path.join(self.gram_dir, f"epoch-{int(epoch_id):010d}")
+
+    def committed(self, epoch_id: int) -> bool:
+        import os
+
+        return os.path.exists(self._epoch_path(epoch_id))
+
+    def _store(self, before_epoch: int) -> DataFrame | None:
+        """Aggregated gram state from epochs strictly before
+        ``before_epoch`` (crash replays see exactly the pre-epoch state):
+        (h, count, first_doc, first_pos) — count capped at 2; the first
+        occurrence is the (epoch, doc_id, pos)-minimal one."""
+        import os
+
+        epochs = [
+            d for d in os.listdir(self.gram_dir)
+            if d.startswith("epoch-") and int(d.split("-")[1]) < before_epoch
+        ]
+        if not epochs:
+            return None
+        deltas = self.spark.read.parquet(
+            *[os.path.join(self.gram_dir, d) for d in sorted(epochs)]
+        )
+        return deltas.groupBy("h").agg(
+            F.least(F.sum("add"), F.lit(2)).alias("count"),
+            F.min(F.struct("epoch", "first_doc", "first_pos")).alias("_f"),
+        ).select(
+            "h", "count",
+            F.col("_f.first_doc").alias("first_doc"),
+            F.col("_f.first_pos").alias("first_pos"),
+        )
+
+    def _commit(self, delta: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+        import uuid
+
+        final = self._epoch_path(epoch_id)
+        if os.path.exists(final):
+            return
+        staging = os.path.join(
+            self.state_dir, "_staging", f"e{uuid.uuid4().hex}"
+        )
+        delta.write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        try:
+            os.rename(staging, final)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
+        """(doc_id, pos, retro) cut marks introduced by this batch; the
+        batch's gram delta commits exactly once. Scale shape: the batch
+        gram index is micro-batch-sized and BROADCAST against the
+        TB-scale store (which streams map-side — never shuffled on the
+        gram key); everything else is combine-enabled aggregation over
+        the batch itself."""
+        inv = positional_gram_hashes(batch_df, self.k).localCheckpoint(
+            eager=True
+        )
+        # in-batch occurrence stats per gram: count + first position
+        batch_stats = inv.groupBy("h").agg(
+            F.count(F.lit(1)).alias("bcount"),
+            F.min(F.struct("doc_id", "pos")).alias("bfirst"),
+        )
+        store = self._store(before_epoch=epoch_id)
+        if store is not None:
+            joined = batch_stats.alias("b").join(
+                store.alias("s"), "h", "left"
+            ).select(
+                "h", "bcount", "bfirst",
+                F.coalesce(F.col("s.count"), F.lit(0)).alias("scount"),
+                F.col("s.first_doc").alias("sfd"),
+                F.col("s.first_pos").alias("sfp"),
+            )
+        else:
+            joined = batch_stats.select(
+                "h", "bcount", "bfirst",
+                F.lit(0).alias("scount"),
+                F.lit(None).cast("long").alias("sfd"),
+                F.lit(None).cast("int").alias("sfp"),
+            )
+        joined = joined.withColumn(
+            "total", F.col("bcount") + F.col("scount")
+        ).localCheckpoint(eager=True)
+
+        # batch positions cut: every position of a gram with total >= 2
+        dup_h = joined.filter(F.col("total") >= 2).select("h")
+        batch_marks = inv.join(F.broadcast(dup_h), "h", "semi").select(
+            "doc_id", "pos", F.lit(False).alias("retro")
+        )
+        # retro marks: stored UNIQUE gram (scount == 1) just crossed 2 —
+        # its first occurrence, committed epochs ago, becomes a cut
+        retro_marks = joined.filter(
+            (F.col("scount") == 1) & (F.col("bcount") >= 1)
+        ).select(
+            F.col("sfd").alias("doc_id"),
+            F.col("sfp").alias("pos"),
+            F.lit(True).alias("retro"),
+        )
+        marks = batch_marks.unionByName(retro_marks).distinct()
+
+        # delta: one row per batch gram (count capped at 2 on write; the
+        # first-occurrence candidate only matters while the store side is
+        # still unique, and the read-side min() picks the global first)
+        delta = joined.select(
+            "h",
+            F.least(F.col("bcount"), F.lit(2)).alias("add"),
+            F.lit(int(epoch_id)).alias("epoch"),
+            F.col("bfirst.doc_id").alias("first_doc"),
+            F.col("bfirst.pos").alias("first_pos"),
+        )
+        self._commit(delta, epoch_id)
+        return marks

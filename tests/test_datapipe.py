@@ -3771,3 +3771,63 @@ def test_exact_substr_cuts_nearby_marks_merge(spark):
         got.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
     assert sorted(got[1]) == [(1, 3), (5, 7)]
     assert sorted(got[3]) == [(1, 6)]
+
+
+def test_incremental_exact_substr_retro_and_parity(spark, tmp_path):
+    """Streaming ExactSubstr: a gram unique in epoch 0 that reappears in
+    epoch 1 cuts BOTH occurrences (the stored first one retroactively);
+    and the union of all epochs' marks merges to exactly the spans the
+    batch pass computes on the full corpus."""
+    from engine_spark.datapipe.spans import (
+        IncrementalExactSubstr,
+        exact_substr_cuts,
+        merge_marks_to_spans,
+    )
+
+    epochs = [
+        [(1, "u1 u2 a b c u3 u4"), (2, "w1 w2 w3 w4 w5")],   # "a b c" unique
+        [(3, "v1 a b c v2 v3")],                             # second occurrence
+        [(4, "a b c x1 a b c")],                             # third + in-batch
+    ]
+    inc = IncrementalExactSubstr(spark, str(tmp_path / "st"), k=3)
+    all_marks = []
+    per_epoch = []
+    for eid, rows in enumerate(epochs):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        marks = inc.process_batch(df, eid).collect()
+        per_epoch.append(marks)
+        all_marks.extend(marks)
+
+    # epoch 0: nothing duplicated yet
+    assert per_epoch[0] == []
+    # epoch 1: doc 3's position cut + doc 1's RETRO cut at pos 3
+    e1 = sorted((r.doc_id, r.pos, r.retro) for r in per_epoch[1])
+    assert e1 == [(1, 3, True), (3, 2, False)]
+    # epoch 2: both in-batch occurrences cut, nothing retro (count was 2)
+    e2 = sorted((r.doc_id, r.pos, r.retro) for r in per_epoch[2])
+    assert e2 == [(4, 1, False), (4, 5, False)]
+
+    # crash replay of a committed epoch: same marks, no state growth
+    df1 = spark.createDataFrame(epochs[1], "doc_id long, text string")
+    replay = sorted(
+        (r.doc_id, r.pos, r.retro)
+        for r in inc.process_batch(df1, 1).collect()
+    )
+    assert replay == e1
+
+    # parity: merged incremental marks == batch spans on the full corpus
+    full = spark.createDataFrame(
+        [r for ep in epochs for r in ep], "doc_id long, text string"
+    )
+    batch_spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substr_cuts(full, k=3).collect()
+    )
+    marks_df = spark.createDataFrame(
+        [(r.doc_id, r.pos) for r in all_marks], "doc_id long, pos int"
+    )
+    inc_spans = sorted(
+        (r.doc_id, r.span_start, r.span_end)
+        for r in merge_marks_to_spans(marks_df, k=3).collect()
+    )
+    assert inc_spans == batch_spans

@@ -85,6 +85,16 @@ def main() -> None:
     def minhash_chain(d):
         return minhash_signatures(shingles_of(d, materialize=False))
 
+    def exsub_chain(d):
+        # ExactSubstr removal spans: NO candidate-pair join anywhere, so
+        # the 10x-replicated corpus (every gram's count x10) must grow
+        # ~linearly — the dup-mark semi-join stays multiplicity 1 per
+        # position regardless of how corpus-hot a gram is. This is the
+        # adversarial regime for pair-based dedup and the null case here.
+        from engine_spark.datapipe.spans import exact_substr_cuts
+
+        return exact_substr_cuts(d.repartition(32), 8)
+
     def simhash_chain(d):
         # capped chunk blocking: 10x docs must grow the candidate join
         # ~linearly (bucket cap bounds per-bucket pair volume; without it
@@ -245,6 +255,7 @@ def main() -> None:
         "pattern_followed_by": (pattern_chain, "events"),
         "minhash_signatures": (minhash_chain, "documents"),
         "simhash_dedup": (simhash_chain, "documents"),
+        "exact_substr_cuts": (exsub_chain, "documents"),
         "segment_dedup": (segment_chain, "documents"),
         **({"embedding_dedup": (embedding_chain, "embeddings")}
            if "embeddings" in rep else {}),
