@@ -151,7 +151,13 @@ class IncrementalMinHashDeduper:
         try:
             os.rename(staging, final)  # atomic publish
         except OSError:
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race: no-op
+            shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(final):
+                # NOT the lost-a-publish-race case: swallowing here would
+                # silently drop the epoch's signatures from the store and
+                # every future near-dup against them (same fix as the
+                # ExactSubstr store)
+                raise
 
     # -- per-batch -----------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:

@@ -1227,13 +1227,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near.unionByName(cont).unionByName(spans)
 
 
-def _exsub_k() -> int:
-    from engine_spark.datapipe.spans import EXSUB_K
-
-    return EXSUB_K
-
-
-_EXSUB_K = _exsub_k()
+from engine_spark.datapipe.spans import EXSUB_K as _EXSUB_K  # noqa: E402
 
 
 @register(

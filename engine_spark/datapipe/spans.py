@@ -240,11 +240,19 @@ class IncrementalExactSubstr:
 
         return os.path.exists(self._epoch_path(epoch_id))
 
-    def _store(self, before_epoch: int) -> DataFrame | None:
+    def _store(
+        self, before_epoch: int, restrict_to: DataFrame | None = None
+    ) -> DataFrame | None:
         """Aggregated gram state from epochs strictly before
         ``before_epoch`` (crash replays see exactly the pre-epoch state):
         (h, count, first_doc, first_pos) — count capped at 2; the first
-        occurrence is the (epoch, doc_id, pos)-minimal one."""
+        occurrence is the (epoch, doc_id, pos)-minimal one.
+
+        ``restrict_to`` (a (h) frame, micro-batch-sized) prunes the
+        deltas BEFORE aggregating via a broadcast semi-join — the
+        TB-scale delta store then streams map-side and only the handful
+        of batch-matching rows reach the (tiny) aggregation; without it
+        the groupBy would shuffle the whole store every epoch."""
         import os
 
         epochs = [
@@ -256,6 +264,8 @@ class IncrementalExactSubstr:
         deltas = self.spark.read.parquet(
             *[os.path.join(self.gram_dir, d) for d in sorted(epochs)]
         )
+        if restrict_to is not None:
+            deltas = deltas.join(F.broadcast(restrict_to), "h", "semi")
         return deltas.groupBy("h").agg(
             F.least(F.sum("add"), F.lit(2)).alias("count"),
             F.min(F.struct("epoch", "first_doc", "first_pos")).alias("_f"),
@@ -282,6 +292,11 @@ class IncrementalExactSubstr:
             os.rename(staging, final)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)
+            if not os.path.exists(final):
+                # NOT the lost-a-publish-race case: the epoch's counts
+                # would be silently gone and its grams could never reach
+                # count 2 — a permanent, invisible correctness loss
+                raise
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> DataFrame:
         """(doc_id, pos, retro) cut marks introduced by this batch; the
@@ -298,7 +313,13 @@ class IncrementalExactSubstr:
             F.count(F.lit(1)).alias("bcount"),
             F.min(F.struct("doc_id", "pos")).alias("bfirst"),
         )
-        store = self._store(before_epoch=epoch_id)
+        # store side pruned to THIS batch's grams before aggregation (the
+        # broadcast semi-join inside _store): the left join below then
+        # runs over two micro-batch-sized frames — the accumulated store
+        # is never shuffled on the gram key, per the class contract
+        store = self._store(
+            before_epoch=epoch_id, restrict_to=batch_stats.select("h")
+        )
         if store is not None:
             joined = batch_stats.alias("b").join(
                 store.alias("s"), "h", "left"

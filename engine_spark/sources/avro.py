@@ -304,10 +304,9 @@ def _decode(buf: bytes, pos: int, s: Any) -> tuple[Any, int]:
         return rec, pos
     if t == "enum":
         idx, pos = _read_long(buf, pos)
-        try:
-            return s["symbols"][idx], pos
-        except IndexError:
+        if not 0 <= idx < len(s["symbols"]):
             raise AvroError(f"enum index {idx} out of range")
+        return s["symbols"][idx], pos
     if t == "fixed":
         n = s["size"]
         if pos + n > len(buf):
@@ -376,11 +375,16 @@ def canonical_form(schema: Any) -> str:
         if isinstance(node, list):
             return "[" + ",".join(render(b) for b in node) + "]"
         t = _type_of(node)
-        if t == "record":
+        if t in ("record", "enum", "fixed"):
+            # EVERY named type renders its definition once; later
+            # references (recursive or repeated) are the bare fullname —
+            # inlining a duplicate definition is invalid Avro and would
+            # diverge the fingerprint from compliant implementations
             full = node["_fullname"]
-            if full in emitted:  # recursive reference → bare name
+            if full in emitted:
                 return json.dumps(full)
             emitted.add(full)
+        if t == "record":
             fields = ",".join(
                 '{"name":%s,"type":%s}' % (json.dumps(f["name"]), render(f["type"]))
                 for f in node["fields"]
@@ -391,12 +395,12 @@ def canonical_form(schema: Any) -> str:
             )
         if t == "enum":
             return '{"name":%s,"type":"enum","symbols":%s}' % (
-                json.dumps(node["_fullname"]),
+                json.dumps(full),
                 json.dumps(node["symbols"], separators=(",", ":")),
             )
         if t == "fixed":
             return '{"name":%s,"type":"fixed","size":%d}' % (
-                json.dumps(node["_fullname"]),
+                json.dumps(full),
                 node["size"],
             )
         if t == "array":
@@ -507,9 +511,15 @@ def write_ocf(
     sync = _DEFAULT_SYNC if sync is None else sync
     if len(sync) != 16:
         raise AvroError("sync marker must be 16 bytes")
-    schema_json = (
-        schema if isinstance(schema, str) else json.dumps(schema)
-    )
+    if isinstance(schema, str):
+        schema_json = schema
+    elif _is_parsed(schema):
+        # parsed schemas may contain reference cycles json.dumps cannot
+        # serialize (and _fullname bookkeeping it must not leak) — the
+        # Parsing Canonical Form is a valid, cycle-free Avro rendering
+        schema_json = canonical_form(schema)
+    else:
+        schema_json = json.dumps(schema)
     header = bytearray(OCF_MAGIC)
     _encode(
         header,
@@ -663,9 +673,18 @@ def avro_in(df, schema: str, value_col: str = "value"):
 
         ps = parse_schema(schema_json)
         for pdf in batches:
-            vals = [decode_datum(bytes(b), ps) for b in pdf[value_col]]
+            # a null payload (e.g. a Kafka tombstone) yields an all-null
+            # row, matching from_json's null-struct behavior — it must
+            # not kill the query (use avro_in_split to route them)
+            vals = [
+                decode_datum(bytes(b), ps) if b is not None else None
+                for b in pdf[value_col]
+            ]
             yield pd.DataFrame(
-                {n: [r[n] for r in vals] for n in names}
+                {
+                    n: [None if r is None else r[n] for r in vals]
+                    for n in names
+                }
                 if vals
                 else {n: [] for n in names}
             )
@@ -673,12 +692,16 @@ def avro_in(df, schema: str, value_col: str = "value"):
     return df.mapInPandas(parse, schema=out_ddl)
 
 
-def avro_in_split(df, schema: str, value_col: str = "value"):
+def avro_in_split(
+    df, schema: str, value_col: str = "value", observe_name: str | None = None
+):
     """Mapper with fault routing (the junction's on.error contract): one
     Arrow-batched decode pass emitting the record fields plus ``_raw``
     (the original payload) and ``_corrupt`` (NULL on success, the decode
     error otherwise); good/fault are two filters over it — the same
-    split shape the json/csv mappers get from PERMISSIVE mode."""
+    split shape the json/csv mappers get from PERMISSIVE mode.
+    ``observe_name`` attaches the (malformed, events) observation metric
+    before the split, so on.error='log' counts what it drops."""
     s = parse_schema(schema)
     names = [f["name"] for f in s["fields"]]
     out_ddl = avro_spark_type(s) + ",`_raw` binary,`_corrupt` string"
@@ -712,6 +735,12 @@ def avro_in_split(df, schema: str, value_col: str = "value"):
     parsed = df.mapInPandas(parse, schema=out_ddl)
     from pyspark.sql import functions as F
 
+    if observe_name:
+        parsed = parsed.observe(
+            observe_name,
+            F.count_if(F.col("_corrupt").isNotNull()).alias("malformed"),
+            F.count(F.lit(1)).alias("events"),
+        )
     good = parsed.filter(F.col("_corrupt").isNull()).drop("_raw", "_corrupt")
     faults = parsed.filter(F.col("_corrupt").isNotNull()).select(
         F.hex("_raw").alias("payload"), F.col("_corrupt").alias("error")

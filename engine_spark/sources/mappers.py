@@ -62,10 +62,12 @@ def avro_in(df: DataFrame, schema: str, value_col: str = "value") -> DataFrame:
     return _ain(df, schema, value_col)
 
 
-def avro_out(df: DataFrame, schema: str | None = None) -> DataFrame:
+def avro_out(
+    df: DataFrame, schema: str | None = None, value_col: str = "value"
+) -> DataFrame:
     from engine_spark.sources.avro import avro_out as _aout
 
-    return _aout(df, schema)
+    return _aout(df, schema, value_col)
 
 
 MAPPERS = {
@@ -123,11 +125,14 @@ def map_in_split(
         raise ValueError(f"{fmt} mapper needs a schema")
     if f == "avro":
         # Python-side decode: the fault split comes from the decode pass
-        # itself (a _corrupt column), not from_json's PERMISSIVE mode.
-        # observe_name is not wired here — the fault branch IS the count.
+        # itself (a _corrupt column), not from_json's PERMISSIVE mode;
+        # observe_name attaches the same on_error_<n> (malformed, events)
+        # metric json/csv get, so on.error='log' keeps its observability
         from engine_spark.sources.avro import avro_in_split
 
-        return avro_in_split(df, schema, value_col=value_col)
+        return avro_in_split(
+            df, schema, value_col=value_col, observe_name=observe_name
+        )
     opts = {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"}
     full = f"{schema}, _corrupt STRING"
     raw = F.col(value_col).cast("string")

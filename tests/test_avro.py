@@ -444,3 +444,78 @@ def test_avro_over_kafka_end_to_end(spark, tmp_path):
         assert len(bad) == 1 and bad[0].error.startswith("avro mapper:")
     finally:
         broker.stop()
+
+
+def test_enum_negative_index_rejected():
+    # zigzag 0x01 = -1: Python negative indexing must NOT wrap silently
+    esch = '{"type": "enum", "name": "E", "symbols": ["A", "B"]}'
+    with pytest.raises(AvroError, match="out of range"):
+        decode_datum(b"\x01", esch)
+
+
+def test_avro_in_null_payload_yields_null_row(spark):
+    # a Kafka tombstone must become an all-null row, not kill the query
+    from engine_spark.sources.avro import avro_in
+
+    df = spark.createDataFrame(
+        [(encode_datum({"event_id": 1, "kind": "k", "value": None,
+                        "tags": []}, EVENT_SCHEMA),), (None,)],
+        "value binary",
+    )
+    rows = sorted(avro_in(df, EVENT_SCHEMA).collect(),
+                  key=lambda r: (r.event_id is None, r.event_id))
+    assert rows[0].event_id == 1
+    assert rows[1].event_id is None and rows[1].kind is None
+
+
+def test_canonical_form_dedupes_repeated_enum_reference():
+    sch = json.dumps({
+        "type": "record", "name": "R",
+        "fields": [
+            {"name": "a", "type": {"type": "enum", "name": "E",
+                                    "symbols": ["X"]}},
+            {"name": "b", "type": "E"},
+        ],
+    })
+    cf = canonical_form(sch)
+    assert cf.count('"type":"enum"') == 1       # defined once
+    assert '"b","type":"E"' in cf.replace("{\"name\":", "\"")  # bare ref
+
+
+def test_write_ocf_accepts_parsed_recursive_schema():
+    sch = parse_schema(json.dumps({
+        "type": "record", "name": "Node",
+        "fields": [{"name": "v", "type": "int"},
+                   {"name": "next", "type": ["null", "Node"]}],
+    }))
+    buf = io.BytesIO()
+    rec = {"v": 1, "next": {"v": 2, "next": None}}
+    write_ocf(buf, sch, [rec])
+    schema_json, it = read_ocf(buf.getvalue())
+    assert list(it) == [rec]
+    assert json.loads(schema_json)["name"] == "Node"
+
+
+def test_avro_log_mode_observation_counts_malformed(spark):
+    """on.error='log' (the default) must surface the malformed count via
+    the on_error_<name> observation, exactly like json/csv. observe()
+    accepts an Observation object in place of the name, which lets the
+    metric values be asserted directly."""
+    from pyspark.sql import Observation
+
+    from engine_spark.sources.avro import avro_in_split
+    from engine_spark.sources.mappers import map_in_split
+
+    ok = encode_datum(
+        {"event_id": 1, "kind": "k", "value": None, "tags": []}, EVENT_SCHEMA
+    )
+    df = spark.createDataFrame([(ok,), (b"junk~~~",)], "value binary")
+    obs = Observation("on_error_av")
+    good, _ = avro_in_split(df, EVENT_SCHEMA, observe_name=obs)
+    assert good.count() == 1
+    assert obs.get == {"malformed": 1, "events": 2}
+    # and the registry-facing dispatch forwards the hook
+    good2, _ = map_in_split(
+        "avro", df, schema=EVENT_SCHEMA, observe_name="on_error_av2"
+    )
+    assert good2.count() == 1
