@@ -1308,7 +1308,13 @@ def _register_sink(spark) -> None:
                     key = d.get("key")
                     kb = key.encode("utf-8") if isinstance(key, str) else key
                     if "value" in d:
-                        vb = (d["value"] or "").encode("utf-8")
+                        # string payloads encode utf-8; binary payloads
+                        # (avro_out etc.) pass through untouched
+                        v = d["value"]
+                        if isinstance(v, (bytes, bytearray)):
+                            vb = bytes(v)
+                        else:
+                            vb = (v or "").encode("utf-8")
                     else:
                         vb = json.dumps(
                             {k: v for k, v in d.items() if k != "key"},

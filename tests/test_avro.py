@@ -519,3 +519,104 @@ def test_avro_log_mode_observation_counts_malformed(spark):
         "avro", df, schema=EVENT_SCHEMA, observe_name="on_error_av2"
     )
     assert good2.count() == 1
+
+
+def test_avro_datum_roundtrip_property():
+    """Hypothesis: any value conforming to a mixed schema roundtrips
+    bit-exactly through the datum codec (the kafka record-batch codec
+    property, one layer up)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sch = json.dumps({
+        "type": "record", "name": "P",
+        "fields": [
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "d", "type": "double"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "arr", "type": {"type": "array", "items": "string"}},
+            {"name": "m", "type": {"type": "map", "values": "int"}},
+        ],
+    })
+    i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    finite = st.floats(allow_nan=False, allow_infinity=False)
+    value = st.fixed_dictionaries({
+        "i": i32,
+        "l": i64,
+        "d": finite,
+        "s": st.text(max_size=40),
+        "by": st.binary(max_size=40),
+        "opt": st.none() | i64,
+        "arr": st.lists(st.text(max_size=10), max_size=8),
+        "m": st.dictionaries(st.text(max_size=8), i32, max_size=8),
+    })
+
+    @given(v=value)
+    @settings(max_examples=120, deadline=None)
+    def check(v):
+        assert decode_datum(encode_datum(v, sch), sch) == v
+
+    check()
+
+
+def test_avro_stream_composes_with_kafka_sink_and_source(spark, tmp_path):
+    """Full round: typed stream -> avro_out -> kafka sink (binary values)
+    -> kafka source (binary deserializer) -> avro_in -> the same typed
+    rows. This is the schema'd-payload pipeline a real estate runs."""
+    from engine_spark.sources.avro import avro_in, avro_out
+    from engine_spark.sources.kafka import KafkaBroker, KafkaClient
+    from engine_spark.sources.registry import create_sink_writer, create_source
+
+    sch = json.dumps({
+        "type": "record", "name": "M",
+        "fields": [{"name": "id", "type": "long"},
+                   {"name": "score", "type": "double"}],
+    })
+    broker = KafkaBroker(auto_create_partitions=1)
+    try:
+        c = KafkaClient("127.0.0.1", broker.port)
+        c.metadata(["pipe"])
+        c.close()
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "r.json").write_text(
+            "\n".join(json.dumps({"id": i, "score": i * 0.5}) for i in range(4))
+        )
+        typed = spark.readStream.schema("id long, score double").json(str(src))
+        q = (
+            create_sink_writer(
+                avro_out(typed, sch),
+                {"extension": "kafka",
+                 "kafka.bootstrap": f"127.0.0.1:{broker.port}",
+                 "kafka.topic": "pipe",
+                 "checkpoint": str(tmp_path / "ck1")},
+            )
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(90)
+
+        back = create_source(
+            spark,
+            {"extension": "kafka",
+             "bootstrap": f"127.0.0.1:{broker.port}",
+             "topic": "pipe",
+             "value.deserializer": "binary"},
+        )
+        q2 = (
+            avro_in(back, sch)
+            .writeStream.format("memory").queryName("avro_pipe")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True).start()
+        )
+        q2.awaitTermination(90)
+        got = sorted(
+            (r.id, r.score)
+            for r in spark.sql("SELECT * FROM avro_pipe").collect()
+        )
+        assert got == [(0, 0.0), (1, 0.5), (2, 1.0), (3, 1.5)]
+    finally:
+        broker.stop()
