@@ -342,12 +342,180 @@ def encode_datum(value: Any, schema: Any) -> bytes:
     return bytes(out)
 
 
-def decode_datum(data: bytes, schema: Any) -> Any:
+def decode_datum(data: bytes, schema: Any, reader_schema: Any = None) -> Any:
+    """Decode against the WRITER schema; with ``reader_schema`` given,
+    apply the spec's Schema Resolution on the fly (promotions, skipped
+    writer-only fields, reader defaults) and return reader-shaped data."""
     s = parse_schema(schema) if not _is_parsed(schema) else schema
-    v, pos = _decode(data, 0, s)
+    if reader_schema is None:
+        v, pos = _decode(data, 0, s)
+    else:
+        r = (
+            parse_schema(reader_schema)
+            if not _is_parsed(reader_schema)
+            else reader_schema
+        )
+        v, pos = _decode_resolved(data, 0, s, r)
     if pos != len(data):
         raise AvroError(f"{len(data) - pos} trailing bytes after datum")
     return v
+
+
+# ---------------------------------------------------------------------------
+# schema resolution ("Schema Resolution" / "Data Serialization" rules)
+# ---------------------------------------------------------------------------
+
+#: legal primitive promotions writer -> readers (spec: "the writer's
+#: schema may be promoted to the reader's")
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+}
+
+
+def _resolvable(w: Any, r: Any) -> bool:
+    """Cheap structural test used for union-branch selection."""
+    wt, rt = _type_of(w), _type_of(r)
+    if wt == "union" or rt == "union":
+        return True  # resolved per-branch at decode time
+    if wt in _PROMOTIONS:
+        return rt in _PROMOTIONS[wt]
+    if wt != rt:
+        return False
+    if wt in ("record", "enum", "fixed"):
+        # unqualified name match per spec (aliases unsupported — refusal)
+        return w["_fullname"].split(".")[-1] == r["_fullname"].split(".")[-1]
+    return True
+
+
+def _promote(v: Any, wt: str, rt: str) -> Any:
+    if wt == rt:
+        return v
+    if rt in ("long",):
+        return int(v)
+    if rt in ("float", "double"):
+        return float(v)
+    if wt == "string" and rt == "bytes":
+        return v.encode("utf-8")
+    if wt == "bytes" and rt == "string":
+        return v.decode("utf-8")
+    return v
+
+
+def _default_value(r: Any, default: Any) -> Any:
+    """Reader-field JSON default → runtime value (bytes/fixed defaults are
+    ISO-8859-1 strings per spec; union defaults apply to the first
+    branch)."""
+    t = _type_of(r)
+    if t == "union":
+        return _default_value(r[0], default)
+    if t in ("bytes", "fixed"):
+        return default.encode("latin-1")
+    if t == "record":
+        return {
+            f["name"]: _default_value(f["type"], f.get("default"))
+            for f in r["fields"]
+        }
+    if t == "array":
+        return [_default_value(r["items"], d) for d in default]
+    if t == "map":
+        return {k: _default_value(r["values"], d) for k, d in default.items()}
+    return default
+
+
+def _skip(buf: bytes, pos: int, s: Any) -> int:
+    """Advance past a datum of writer-only shape without materializing."""
+    _, pos = _decode(buf, pos, s)
+    return pos
+
+
+def _decode_resolved(buf: bytes, pos: int, w: Any, r: Any) -> tuple[Any, int]:
+    wt, rt = _type_of(w), _type_of(r)
+    if wt == "union":
+        idx, pos = _read_long(buf, pos)
+        if not 0 <= idx < len(w):
+            raise AvroError(f"union index {idx} out of range")
+        return _decode_resolved(buf, pos, w[idx], r)
+    if rt == "union":
+        for branch in r:
+            if _resolvable(w, branch):
+                return _decode_resolved(buf, pos, w, branch)
+        raise AvroError(
+            f"writer type {wt!r} matches no reader union branch"
+        )
+    if not _resolvable(w, r):
+        raise AvroError(f"cannot resolve writer {wt!r} against reader {rt!r}")
+    if wt in _PROMOTIONS:
+        v, pos = _decode(buf, pos, w)
+        return _promote(v, wt, rt), pos
+    if wt in ("null", "boolean"):
+        return _decode(buf, pos, w)
+    if wt == "record":
+        rfields = {f["name"]: f for f in r["fields"]}
+        rec: dict[str, Any] = {}
+        seen: set[str] = set()
+        for f in w["fields"]:
+            name = f["name"]
+            if name in rfields:
+                rec[name], pos = _decode_resolved(
+                    buf, pos, f["type"], rfields[name]["type"]
+                )
+                seen.add(name)
+            else:
+                pos = _skip(buf, pos, f["type"])  # writer-only field
+        for f in r["fields"]:
+            if f["name"] in seen:
+                continue
+            if "default" not in f:
+                raise AvroError(
+                    f"reader field {f['name']!r} absent from writer data "
+                    "and has no default"
+                )
+            rec[f["name"]] = _default_value(f["type"], f["default"])
+        return rec, pos
+    if wt == "enum":
+        idx, pos = _read_long(buf, pos)
+        if not 0 <= idx < len(w["symbols"]):
+            raise AvroError(f"enum index {idx} out of range")
+        sym = w["symbols"][idx]
+        if sym not in r["symbols"]:
+            raise AvroError(f"writer symbol {sym!r} not in reader enum")
+        return sym, pos
+    if wt == "fixed":
+        if w["size"] != r["size"]:
+            raise AvroError("fixed size mismatch between writer and reader")
+        return _decode(buf, pos, w)
+    if wt == "array":
+        items: list = []
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return items, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                it, pos = _decode_resolved(buf, pos, w["items"], r["items"])
+                items.append(it)
+    if wt == "map":
+        out: dict = {}
+        while True:
+            count, pos = _read_long(buf, pos)
+            if count == 0:
+                return out, pos
+            if count < 0:
+                count = -count
+                _, pos = _read_long(buf, pos)
+            for _ in range(count):
+                k, pos = _decode(buf, pos, "string")
+                out[k], pos = _decode_resolved(
+                    buf, pos, w["values"], r["values"]
+                )
+    raise AvroError(f"cannot resolve type {wt!r}")
 
 
 def _is_parsed(schema: Any) -> bool:
@@ -553,8 +721,11 @@ def write_ocf(
     flush()
 
 
-def read_ocf(data: bytes) -> tuple[str, Iterator[Any]]:
-    """(schema json string, record iterator) from OCF bytes."""
+def read_ocf(
+    data: bytes, reader_schema: Any = None
+) -> tuple[str, Iterator[Any]]:
+    """(writer schema json string, record iterator) from OCF bytes; with
+    ``reader_schema``, records are schema-resolved to the reader shape."""
     if data[:4] != OCF_MAGIC:
         raise AvroError("not an Avro object container file")
     meta, pos = _decode(data, 4, _META_SCHEMA)
@@ -580,9 +751,21 @@ def read_ocf(data: bytes) -> tuple[str, Iterator[Any]]:
             p += 16
             bp = 0
             for _ in range(count):
-                v, bp = _decode(body, bp, s)
+                if rs is None:
+                    v, bp = _decode(body, bp, s)
+                else:
+                    v, bp = _decode_resolved(body, bp, s, rs)
                 yield v
 
+    rs = (
+        None
+        if reader_schema is None
+        else (
+            parse_schema(reader_schema)
+            if not _is_parsed(reader_schema)
+            else reader_schema
+        )
+    )
     return schema_json, records()
 
 
@@ -660,24 +843,30 @@ def _to_avro_value(s: Any, v: Any) -> Any:
     return v
 
 
-def avro_in(df, schema: str, value_col: str = "value"):
+def avro_in(df, schema: str, value_col: str = "value",
+            reader_schema: str | None = None):
     """payload binary → typed columns (source direction). Arrow-batched:
-    each pandas batch decodes its payloads in one python worker pass."""
-    s = parse_schema(schema)
-    out_ddl = avro_spark_type(s)
-    names = [f["name"] for f in s["fields"]]
+    each pandas batch decodes its payloads in one python worker pass.
+    ``reader_schema`` turns on spec Schema Resolution: payloads written
+    with ``schema`` are reshaped to the reader's columns (promotions,
+    dropped writer fields, defaulted reader fields) — the consumer keeps
+    its schema while producers evolve."""
+    out_s = parse_schema(reader_schema if reader_schema else schema)
+    out_ddl = avro_spark_type(out_s)
+    names = [f["name"] for f in out_s["fields"]]
     schema_json = schema if isinstance(schema, str) else json.dumps(schema)
 
     def parse(batches):
         import pandas as pd
 
         ps = parse_schema(schema_json)
+        rs = parse_schema(reader_schema) if reader_schema else None
         for pdf in batches:
             # a null payload (e.g. a Kafka tombstone) yields an all-null
             # row, matching from_json's null-struct behavior — it must
             # not kill the query (use avro_in_split to route them)
             vals = [
-                decode_datum(bytes(b), ps) if b is not None else None
+                decode_datum(bytes(b), ps, rs) if b is not None else None
                 for b in pdf[value_col]
             ]
             yield pd.DataFrame(
@@ -811,6 +1000,39 @@ def _spark_to_avro_json(st) -> str:
         {"name": f.name, "type": conv(f.dataType, f.nullable)} for f in st.fields
     ]
     return json.dumps({"type": "record", "name": "row", "fields": fields})
+
+
+def write_ocf_df(df, path: str, schema: str | None = None,
+                 codec: str = "null", block_records: int = 1000) -> str:
+    """Write a DataFrame as Avro Object Container Files, one ``.avro``
+    file per partition, written FROM THE EXECUTORS (no driver collect —
+    the normal distributed sink shape; pair with ``repartition(n)`` to
+    control file count). Returns the schema JSON used. Files publish via
+    write-to-hidden-tmp + atomic rename, so readers globbing ``*.avro``
+    never see a partial file."""
+    import os as _os
+
+    schema_json = schema if schema is not None else _spark_to_avro_json(df.schema)
+    parse_schema(schema_json)  # validate driver-side before launching
+    _os.makedirs(path, exist_ok=True)
+
+    def write_part(rows) -> None:
+        import os as _o
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = [r.asDict(recursive=True) for r in rows]
+        if not recs:
+            return
+        tmp = _o.path.join(path, f".part-{pid:05d}.avro.tmp")
+        with open(tmp, "wb") as fh:
+            write_ocf(fh, schema_json, recs, codec=codec,
+                      block_records=block_records)
+        _o.replace(tmp, _o.path.join(path, f"part-{pid:05d}.avro"))
+
+    df.foreachPartition(write_part)
+    return schema_json
 
 
 def read_ocf_df(spark, path: str):

@@ -620,3 +620,114 @@ def test_avro_stream_composes_with_kafka_sink_and_source(spark, tmp_path):
         assert got == [(0, 0.0), (1, 0.5), (2, 1.0), (3, 1.5)]
     finally:
         broker.stop()
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (reader != writer)
+# ---------------------------------------------------------------------------
+
+WRITER_V1 = json.dumps({
+    "type": "record", "name": "Ev",
+    "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "score", "type": "float"},
+        {"name": "debug", "type": "string"},
+    ],
+})
+READER_V2 = json.dumps({
+    "type": "record", "name": "Ev",
+    "fields": [
+        {"name": "id", "type": "long"},              # int -> long promotion
+        {"name": "score", "type": "double"},         # float -> double
+        {"name": "source", "type": "string", "default": "unknown"},
+    ],  # 'debug' dropped; 'source' added with default
+})
+
+
+def test_schema_resolution_promotions_defaults_and_skips():
+    blob = encode_datum({"id": 7, "score": 1.5, "debug": "x"}, WRITER_V1)
+    got = decode_datum(blob, WRITER_V1, READER_V2)
+    assert got == {"id": 7, "score": 1.5, "source": "unknown"}
+    assert isinstance(got["id"], int) and isinstance(got["score"], float)
+
+
+def test_schema_resolution_missing_default_raises():
+    bad_reader = json.dumps({
+        "type": "record", "name": "Ev",
+        "fields": [{"name": "nope", "type": "string"}],  # no default
+    })
+    blob = encode_datum({"id": 1, "score": 0.0, "debug": ""}, WRITER_V1)
+    with pytest.raises(AvroError, match="no default"):
+        decode_datum(blob, WRITER_V1, bad_reader)
+
+
+def test_schema_resolution_union_and_enum():
+    w = json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "v", "type": "int"},
+                   {"name": "e", "type": {"type": "enum", "name": "C",
+                                           "symbols": ["A", "B"]}}],
+    })
+    r = json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "v", "type": ["null", "long"]},  # into a union
+                   {"name": "e", "type": {"type": "enum", "name": "C",
+                                           "symbols": ["A", "B", "NEW"]}}],
+    })
+    blob = encode_datum({"v": 5, "e": "B"}, w)
+    assert decode_datum(blob, w, r) == {"v": 5, "e": "B"}
+    # reader enum MISSING the writer's symbol refuses loudly
+    r_narrow = json.dumps({
+        "type": "record", "name": "R",
+        "fields": [{"name": "v", "type": "int"},
+                   {"name": "e", "type": {"type": "enum", "name": "C",
+                                           "symbols": ["A"]}}],
+    })
+    with pytest.raises(AvroError, match="not in reader enum"):
+        decode_datum(blob, w, r_narrow)
+
+
+def test_ocf_read_with_reader_schema():
+    buf = io.BytesIO()
+    write_ocf(buf, WRITER_V1,
+              [{"id": i, "score": float(i), "debug": "d"} for i in range(3)])
+    _, it = read_ocf(buf.getvalue(), reader_schema=READER_V2)
+    assert list(it) == [
+        {"id": i, "score": float(i), "source": "unknown"} for i in range(3)
+    ]
+
+
+def test_avro_in_with_reader_schema(spark):
+    from engine_spark.sources.avro import avro_in
+
+    payloads = [
+        (encode_datum({"id": i, "score": i * 1.0, "debug": "z"}, WRITER_V1),)
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(payloads, "value binary")
+    out = avro_in(df, WRITER_V1, reader_schema=READER_V2)
+    assert out.schema.simpleString() == (
+        "struct<id:bigint,score:double,source:string>"
+    )
+    assert sorted((r.id, r.score, r.source) for r in out.collect()) == [
+        (0, 0.0, "unknown"), (1, 1.0, "unknown"), (2, 2.0, "unknown")
+    ]
+
+
+def test_write_ocf_df_executor_sink_roundtrip(spark, tmp_path):
+    from engine_spark.sources.avro import read_ocf_df, write_ocf_df
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}", float(i)) for i in range(20)],
+        "id long, txt string, x double",
+    ).repartition(3)
+    out = str(tmp_path / "ocf_out")
+    write_ocf_df(df, out, codec="deflate")
+    import glob
+
+    files = glob.glob(out + "/*.avro")
+    assert 1 <= len(files) <= 3 and not glob.glob(out + "/.*tmp")
+    back = read_ocf_df(spark, out)
+    assert sorted((r.id, r.txt, r.x) for r in back.collect()) == [
+        (i, f"t{i}", float(i)) for i in range(20)
+    ]
