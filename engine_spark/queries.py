@@ -94,6 +94,50 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "regex_extract_mask",
+    r"""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT)
+             AS cust_num,
+           regexp_replace(c_name, '(Customer#[0-9]{3})[0-9]{3}([0-9]{3})',
+                          '\1***\2') AS masked,
+           CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INTEGER)
+             AS n_digits,
+           regexp_matches(c_name, '^Customer#[0-9]{9}$') AS well_formed
+    FROM customer
+    """,
+    doc=(
+        "regex scalar surface with REAL matches (reference "
+        "string_functions.rs regex rows): group extraction + cast, "
+        "BACKREFERENCE masking (the PII-mask shape: keep edges, star the "
+        "middle digits — Java writes $1, RE2 writes \\1, so the gate "
+        "proves the two dialects rewrite identically), replace-all digit "
+        "strip (Spark replaces all by default, DuckDB needs 'g'), and "
+        "full-match validation (RLIKE vs regexp_matches). text_quality's "
+        "PII regexes match ZERO rows on the synthetic corpus; this gate "
+        "pins the regex engines against each other on strings that DO "
+        "match. Row-local, map-only at any scale."
+    ),
+)
+def q_regex_extract_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = Catalog(spark, sf_dir)["customer"]
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "CAST(regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS BIGINT)"
+        ).alias("cust_num"),
+        F.expr(
+            "regexp_replace(c_name, '(Customer#[0-9]{3})[0-9]{3}([0-9]{3})',"
+            " '$1***$2')"
+        ).alias("masked"),
+        F.expr(
+            "CAST(length(regexp_replace(c_name, '[^0-9]', '')) AS INTEGER)"
+        ).alias("n_digits"),
+        F.expr("c_name RLIKE '^Customer#[0-9]{9}$'").alias("well_formed"),
+    )
+
+
+@register(
     "math_funcs",
     """
     SELECT l_orderkey, l_linenumber,
@@ -3325,11 +3369,11 @@ _ORDER = [
     "sql_select_join_group",      # SQL front-end
     # 2h scalars / 2b expressions
     "expr_like_between_null",
+    "regex_extract_mask",         # backreference masking + group extraction with REAL matches (NEW r13 late, in-window at debut)
     # 2d aggregations
     "agg_having_topn",
     "incremental_agg_hour",
     "analytic_ranks",             # ntile/percent_rank/cume_dist/first_value (r9 rotation)
-    "agg_histogram",              # fixed-width numeric histogram (driver-green r9)
     "agg_q6_forecast_revenue",    # TPC-H Q6 shape: scan-only pushdown agg (NEW r10)
     "agg_q11_important_parts",    # TPC-H Q11 shape: scalar-threshold HAVING (NEW r10)
     "agg_q16_supplier_variety",   # TPC-H Q16 shape: distinct pairs + anti join (NEW r10)
@@ -3395,6 +3439,15 @@ _ORDER = [
     # outer modes + enrichment + stream-stream — and Q13's outer-join +
     # two-level-agg shape stays LOCAL-green + oracle-checked every sweep).
     "join_q13_order_distribution",  # rotated out r13 (driver-green r10-r12)
+    # Round 13 (late) second debut: regex_extract_mask (group extraction
+    # + backreference masking + replace-all + full-match validation with
+    # REAL matches — text_quality's PII regexes match zero synthetic
+    # rows, so the regex dialect agreement was previously unexercised).
+    # Rotated OUT agg_histogram (driver-green r9-r12; the agg family
+    # keeps pricing_summary/having_topn/incremental + the Q6/Q11/Q16
+    # TPC-H shapes in-window, and the histogram stays LOCAL-green +
+    # oracle-checked every sweep).
+    "agg_histogram",              # rotated out r13 late (driver-green r9-r12)
     # Round 12 rotated dedup_simhash back IN after the scale-true rework
     # (56-bit signature, 4 x 14-bit chunk blocking, bucket-size cap — the
     # r11 verdict's top item; the rework must face the driver's oracle)
