@@ -298,9 +298,9 @@ def parse_pps(rbsp: bytes) -> dict:
     if num_slice_groups != 1:
         raise H264Error("FMO (slice groups) unsupported")
     num_ref_l0 = r.ue() + 1  # num_ref_idx_l0_default_active_minus1
-    r.ue()  # num_ref_idx_l1_default_active_minus1
+    num_ref_l1 = r.ue() + 1  # num_ref_idx_l1_default_active_minus1
     weighted_pred = r.flag()
-    r.u(2)  # weighted_bipred_idc
+    weighted_bipred_idc = r.u(2)
     pic_init_qp = r.se() + 26
     r.se()  # pic_init_qs
     chroma_qp_index_offset = r.se()
@@ -335,7 +335,9 @@ def parse_pps(rbsp: bytes) -> dict:
         "redundant_pic_cnt_present": redundant_pic_cnt_present,
         "second_chroma_qp_index_offset": second_chroma_qp_index_offset,
         "num_ref_idx_l0_default": num_ref_l0,
+        "num_ref_idx_l1_default": num_ref_l1,
         "weighted_pred": weighted_pred,
+        "weighted_bipred_idc": weighted_bipred_idc,
     }
 
 
@@ -1166,6 +1168,16 @@ class _Frame:
         # "different reference" per 8.4.1.3.2), >=0 = inter refIdxL0.
         self.blk_mv = np.zeros((self.hmb * 4, self.wmb * 4, 2), np.int32)
         self.blk_ref = np.full((self.hmb * 4, self.wmb * 4), -2, np.int32)
+        # list-1 motion state (B slices): ref -2 = undecoded, -1 = block
+        # does not use list 1 (intra, P, or one-list B)
+        self.blk_mv1 = np.zeros((self.hmb * 4, self.wmb * 4, 2), np.int32)
+        self.blk_ref1 = np.full((self.hmb * 4, self.wmb * 4), -2, np.int32)
+        #: RefPicList1 for the current B picture (POC-future first)
+        self.refs_l1: list = []
+        #: pic_order_cnt_lsb (poc_type 0 streams; None = poc_type 2)
+        self.poc_lsb: "int | None" = None
+        #: full PicOrderCnt (8.2.1.1) when poc_lsb is present
+        self.poc: "int | None" = None
         #: decoded reference frames' planes ({"y","cb","cr"}), most
         #: recent first — the default P RefPicList0 for an in-order
         #: no-gap stream; [] for IDR/I-only decode
@@ -1349,35 +1361,39 @@ def _interp_chroma_block(ref_c: "np.ndarray", x0: int, y0: int, w: int,
             + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
 
 
-def _mv_neighbor(fr: _Frame, bx: int, by: int, slice_id: int):
+def _mv_neighbor(fr: _Frame, bx: int, by: int, slice_id: int,
+                 lst: int = 0):
     """(mv, ref, mb_available) of the 4x4 block at block coords — the
-    8.4.1.3.2 neighbor fetch. Outside the frame, not yet decoded, or in
-    another slice -> mv (0,0), ref -1, unavailable; an INTRA block is
-    available with ref -1 (the 'different reference' the predictor and
-    the P_Skip rule treat it as)."""
+    8.4.1.3.2 neighbor fetch, per reference list. Outside the frame, not
+    yet decoded, or in another slice -> mv (0,0), ref -1, unavailable;
+    an INTRA block (or a B block not using this list) is available with
+    ref -1 (the 'different reference' the predictor and the P_Skip rule
+    treat it as)."""
     Hb, Wb = fr.blk_ref.shape
     if bx < 0 or by < 0 or bx >= Wb or by >= Hb:
         return (0, 0), -1, False
-    ref = int(fr.blk_ref[by, bx])
+    refs = fr.blk_ref if lst == 0 else fr.blk_ref1
+    mvs = fr.blk_mv if lst == 0 else fr.blk_mv1
+    ref = int(refs[by, bx])
     if ref == -2 or fr.blk_slice[by, bx] != slice_id:
         return (0, 0), -1, False
-    return (int(fr.blk_mv[by, bx, 0]), int(fr.blk_mv[by, bx, 1])), ref, True
+    return (int(mvs[by, bx, 0]), int(mvs[by, bx, 1])), ref, True
 
 
 def _mv_pred(fr: _Frame, mbx: int, mby: int, ox: int, oy: int, w: int,
              h: int, slice_id: int, shortcut: str | None = None,
-             ref_idx: int = 0):
+             ref_idx: int = 0, lst: int = 0):
     """Motion vector predictor for the partition at luma offset (ox, oy),
     size w x h (8.4.1.3): directional shortcut for 16x8/8x16 when the
     neighbor's reference matches the partition's ``ref_idx``, else the
     exactly-one-matching-reference rule, else the component median; mvA
     alone when B/C/D are all unavailable."""
     bx0, by0 = (mbx * 16 + ox) // 4, (mby * 16 + oy) // 4
-    a_mv, a_ref, a_av = _mv_neighbor(fr, bx0 - 1, by0, slice_id)
-    b_mv, b_ref, b_av = _mv_neighbor(fr, bx0, by0 - 1, slice_id)
-    c_mv, c_ref, c_av = _mv_neighbor(fr, bx0 + w // 4, by0 - 1, slice_id)
+    a_mv, a_ref, a_av = _mv_neighbor(fr, bx0 - 1, by0, slice_id, lst)
+    b_mv, b_ref, b_av = _mv_neighbor(fr, bx0, by0 - 1, slice_id, lst)
+    c_mv, c_ref, c_av = _mv_neighbor(fr, bx0 + w // 4, by0 - 1, slice_id, lst)
     if not c_av:  # C unavailable -> D (above-left)
-        c_mv, c_ref, c_av = _mv_neighbor(fr, bx0 - 1, by0 - 1, slice_id)
+        c_mv, c_ref, c_av = _mv_neighbor(fr, bx0 - 1, by0 - 1, slice_id, lst)
     if shortcut == "B" and b_ref == ref_idx:
         return b_mv
     if shortcut == "A" and a_ref == ref_idx:
@@ -1417,6 +1433,17 @@ def _wp_apply(x: "np.ndarray", w: int, o: int, logwd: int) -> "np.ndarray":
     return np.clip(x * w + o, 0, 255)
 
 
+def _mc_pred(ref: dict, px: int, py: int, w: int, h: int, mv: tuple):
+    """(pred_y, pred_cb, pred_cr) for one partition from one reference
+    picture — the unweighted interpolation chain, shared by the P write
+    path and the B one/two-list combiner."""
+    pred_y = _interp_luma_block(ref["y"], px, py, w, h, mv[0], mv[1])
+    cxp, cyp, cw, ch = px // 2, py // 2, w // 2, h // 2
+    pred_cb = _interp_chroma_block(ref["cb"], cxp, cyp, cw, ch, mv[0], mv[1])
+    pred_cr = _interp_chroma_block(ref["cr"], cxp, cyp, cw, ch, mv[0], mv[1])
+    return pred_y, pred_cb, pred_cr
+
+
 def _mc_partition(fr: _Frame, mbx: int, mby: int, ox: int, oy: int,
                   w: int, h: int, mv: tuple, slice_id: int,
                   ref_idx: int = 0) -> None:
@@ -1426,16 +1453,14 @@ def _mc_partition(fr: _Frame, mbx: int, mby: int, ox: int, oy: int,
     ref = fr.refs[ref_idx]
     px, py = mbx * 16 + ox, mby * 16 + oy
     wp = fr._wp
-    pred_y = _interp_luma_block(ref["y"], px, py, w, h, mv[0], mv[1])
+    pred_y, pred_cb, pred_cr = _mc_pred(ref, px, py, w, h, mv)
     if wp is not None:
         lw, lo = wp["luma"][ref_idx]
         pred_y = _wp_apply(pred_y, lw, lo, wp["logwd_l"])
     fr.y[py : py + h, px : px + w] = pred_y
     cxp, cyp, cw, ch = px // 2, py // 2, w // 2, h // 2
-    for comp, (plane, refp) in enumerate((("cb", fr.cb), ("cr", fr.cr))):
-        pred_c = _interp_chroma_block(
-            ref[plane], cxp, cyp, cw, ch, mv[0], mv[1]
-        )
+    for comp, (refp, pred_c) in enumerate(
+            ((fr.cb, pred_cb), (fr.cr, pred_cr))):
         if wp is not None:
             cwt, cof = wp["chroma"][ref_idx][comp]
             pred_c = _wp_apply(pred_c, cwt, cof, wp["logwd_c"])
@@ -1443,6 +1468,7 @@ def _mc_partition(fr: _Frame, mbx: int, mby: int, ox: int, oy: int,
     bx0, by0 = px // 4, py // 4
     fr.blk_mv[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = mv
     fr.blk_ref[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = ref_idx
+    fr.blk_ref1[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = -1  # P: no L1
     fr.blk_slice[by0 : by0 + h // 4, bx0 : bx0 + w // 4] = slice_id
 
 
@@ -1465,6 +1491,106 @@ def _decode_p_skip(fr: _Frame, mb: int, slice_id: int, qp: int) -> None:
         fr.cnnz[comp][mby * 2 : mby * 2 + 2, mbx * 2 : mbx * 2 + 2] = 0
     _finish_inter_mb(fr, mbx, mby, slice_id, qp)
     fr._last_qp = qp
+
+
+
+
+def _inter_residual_tail(fr: _Frame, r: BitReader, pps: dict, mb: int,
+                         slice_id: int, qp: int) -> None:
+    """CBP + residual decode/add for a non-skip inter MB (7.3.5 tail) —
+    shared by the P partition types and the B 16x16 types: the residual
+    syntax and reconstruction are list-independent."""
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    px, py = mbx * 16, mby * 16
+    cx, cy = mbx * 8, mby * 8
+    code_num = r.ue()
+    if code_num > 47:
+        raise H264Error("bad coded_block_pattern code")
+    cbp = _CBP_INTER[code_num]
+    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+    if cbp_chroma > 2:
+        raise H264Error("bad chroma cbp")
+    if cbp_luma or cbp_chroma:
+        qp = (qp + r.se() + 52) % 52
+    fr._last_qp = qp
+    luma_coeffs, chroma_dc, chroma_ac = _decode_residuals(
+        fr, r, mbx, mby, slice_id, cbp_luma, cbp_chroma, i16=False
+    )
+    for i in range(16):
+        if luma_coeffs[i] is None:
+            continue
+        ox, oy = _BLK_XY[i]
+        d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
+        blk = (fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4]
+               + ((idct4x4(d) + 32) >> 6))
+        fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(blk, 0, 255)
+    preds = (
+        fr.cb[cy : cy + 8, cx : cx + 8].copy(),
+        fr.cr[cy : cy + 8, cx : cx + 8].copy(),
+    )
+    _add_chroma_residual(fr, pps, qp, cx, cy, preds, chroma_dc, chroma_ac,
+                         cbp_chroma)
+    _finish_inter_mb(fr, mbx, mby, slice_id, qp)
+
+
+def _decode_mb_inter_b(fr: _Frame, r: BitReader, pps: dict, mb: int,
+                       slice_id: int, qp: int, btype: int,
+                       n_ref0: int = 1, n_ref1: int = 1) -> None:
+    """B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (Table 7-14 mb_type 1/2/3):
+    per-list te(v) ref_idx + se(v) mvd in 7.3.5.1 order (all ref_idx
+    l0-then-l1, all mvd l0-then-l1), per-list median MV prediction
+    (8.4.1.3 over that list's neighbor motion), one- or two-list
+    motion compensation with the DEFAULT bi-predictive average
+    (8.4.2.3.2: (predL0 + predL1 + 1) >> 1 — weighted bipred refuses at
+    the slice header), then the shared inter residual tail. Partition
+    types 4-21, B_8x8 and B_Direct/B_Skip refuse upstream."""
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    px, py = mbx * 16, mby * 16
+    fr.mb_slice[mby, mbx] = slice_id
+    use0 = btype in (1, 3)
+    use1 = btype in (2, 3)
+
+    def read_ref(n: int, refs: list) -> int:
+        if n <= 1:
+            return 0
+        ri = (1 - r.u(1)) if n == 2 else r.ue()
+        if ri >= n or ri >= len(refs):
+            raise H264Error(f"ref_idx {ri} outside the reference list")
+        return ri
+
+    ri0 = read_ref(n_ref0, fr.refs) if use0 else -1
+    ri1 = read_ref(n_ref1, fr.refs_l1) if use1 else -1
+    mvd0 = (r.se(), r.se()) if use0 else None
+    mvd1 = (r.se(), r.se()) if use1 else None
+    preds = []
+    mv0 = mv1 = (0, 0)
+    if use0:
+        mvp = _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id,
+                       ref_idx=ri0, lst=0)
+        mv0 = (mvp[0] + mvd0[0], mvp[1] + mvd0[1])
+        preds.append(_mc_pred(fr.refs[ri0], px, py, 16, 16, mv0))
+    if use1:
+        mvp = _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id,
+                       ref_idx=ri1, lst=1)
+        mv1 = (mvp[0] + mvd1[0], mvp[1] + mvd1[1])
+        preds.append(_mc_pred(fr.refs_l1[ri1], px, py, 16, 16, mv1))
+    if len(preds) == 2:
+        y = (preds[0][0] + preds[1][0] + 1) >> 1
+        cb = (preds[0][1] + preds[1][1] + 1) >> 1
+        cr = (preds[0][2] + preds[1][2] + 1) >> 1
+    else:
+        y, cb, cr = preds[0]
+    fr.y[py : py + 16, px : px + 16] = y
+    cxp, cyp = px // 2, py // 2
+    fr.cb[cyp : cyp + 8, cxp : cxp + 8] = cb
+    fr.cr[cyp : cyp + 8, cxp : cxp + 8] = cr
+    bx0, by0 = mbx * 4, mby * 4
+    fr.blk_mv[by0 : by0 + 4, bx0 : bx0 + 4] = mv0 if use0 else (0, 0)
+    fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = ri0
+    fr.blk_mv1[by0 : by0 + 4, bx0 : bx0 + 4] = mv1 if use1 else (0, 0)
+    fr.blk_ref1[by0 : by0 + 4, bx0 : bx0 + 4] = ri1
+    fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+    _inter_residual_tail(fr, r, pps, mb, slice_id, qp)
 
 
 def _decode_mb_inter(fr: _Frame, r: BitReader, pps: dict, mb: int,
@@ -1523,48 +1649,23 @@ def _decode_mb_inter(fr: _Frame, r: BitReader, pps: dict, mb: int,
             # 16x8/8x16 partition's A/B/C neighbors may be the first
             _mc_partition(fr, mbx, mby, ox, oy, w, h, mv, slice_id,
                           ref_idx=ri)
-    code_num = r.ue()
-    if code_num > 47:
-        raise H264Error("bad coded_block_pattern code")
-    cbp = _CBP_INTER[code_num]
-    cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
-    if cbp_chroma > 2:
-        raise H264Error("bad chroma cbp")
-    if cbp_luma or cbp_chroma:
-        qp = (qp + r.se() + 52) % 52
-    fr._last_qp = qp
-    luma_coeffs, chroma_dc, chroma_ac = _decode_residuals(
-        fr, r, mbx, mby, slice_id, cbp_luma, cbp_chroma, i16=False
-    )
-    for i in range(16):
-        if luma_coeffs[i] is None:
-            continue
-        ox, oy = _BLK_XY[i]
-        d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
-        blk = (fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4]
-               + ((idct4x4(d) + 32) >> 6))
-        fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(blk, 0, 255)
-    preds = (
-        fr.cb[cy : cy + 8, cx : cx + 8].copy(),
-        fr.cr[cy : cy + 8, cx : cx + 8].copy(),
-    )
-    _add_chroma_residual(fr, pps, qp, cx, cy, preds, chroma_dc, chroma_ac,
-                         cbp_chroma)
-    _finish_inter_mb(fr, mbx, mby, slice_id, qp)
+    _inter_residual_tail(fr, r, pps, mb, slice_id, qp)
 
 
 def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
                   pps_map: dict, slice_id: int, idr: bool,
-                  ref_idc: int, refs: list | None = None) -> _Frame:
+                  ref_idc: int, refs: list | None = None,
+                  poc_ctx: dict | None = None) -> _Frame:
     r = BitReader(rbsp)
     first_mb = r.ue()
     slice_type = r.ue()
     st = slice_type % 5
-    if st not in (0, 2):
-        raise H264Error(f"unsupported slice_type {slice_type} (I/P only)")
+    if st not in (0, 1, 2):
+        raise H264Error(f"unsupported slice_type {slice_type} (I/P/B only)")
     is_p = st == 0
-    if is_p and idr:
-        raise H264Error("P slice in an IDR access unit")
+    is_b = st == 1
+    if (is_p or is_b) and idr:
+        raise H264Error("inter slice in an IDR access unit")
     pps_id = r.ue()
     pps = pps_map.get(pps_id)
     if pps is None:
@@ -1588,7 +1689,28 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
     if idr:
         r.ue()  # idr_pic_id
     if sps["poc_type"] == 0:
-        r.u(sps["log2_max_poc_lsb"])
+        poc_lsb = r.u(sps["log2_max_poc_lsb"])
+        if fr.poc_lsb is None:
+            fr.poc_lsb = poc_lsb
+            # 8.2.1.1: msb wrap against the previous reference picture's
+            # (msb, lsb) — supplied by the GOP walk; a bare access-unit
+            # decode (no ctx) reads the lsb as the POC, which is exact
+            # for streams that never wrap
+            max_lsb = 1 << sps["log2_max_poc_lsb"]
+            if idr or poc_ctx is None:
+                fr.poc = poc_lsb
+            else:
+                pm = poc_ctx.get("prev_msb", 0)
+                pl = poc_ctx.get("prev_lsb", 0)
+                if poc_lsb < pl and pl - poc_lsb >= max_lsb // 2:
+                    msb = pm + max_lsb
+                elif poc_lsb > pl and poc_lsb - pl > max_lsb // 2:
+                    msb = pm - max_lsb
+                else:
+                    msb = pm
+                fr.poc = msb + poc_lsb
+        elif fr.poc_lsb != poc_lsb:
+            raise H264Error("slices of one picture disagree on poc_lsb")
         if pps["bottom_field_poc"]:
             r.se()  # delta_pic_order_cnt_bottom
     elif sps["poc_type"] == 1 and not sps["delta_poc_always_zero"]:
@@ -1597,12 +1719,51 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             r.se()  # delta_pic_order_cnt[1]
     if pps["redundant_pic_cnt_present"]:
         r.ue()
-    if pps["entropy_cabac"] and is_p:
-        # CABAC P slices need the inter context families (mb_skip, mvd,
-        # ref_idx, sub_mb_type) — not implemented; degrade to NULL rows
-        raise H264Error("CABAC P slices unsupported (CABAC I only)")
+    if pps["entropy_cabac"] and (is_p or is_b):
+        # CABAC inter slices need the inter context families (mb_skip,
+        # mvd, ref_idx, sub_mb_type) — not implemented; degrade to NULLs
+        raise H264Error("CABAC inter slices unsupported (CABAC I only)")
     n_ref = 1
+    n_ref1 = 1
     fr._wp = None  # per-slice explicit weighted-prediction table
+    if is_b:
+        # B-slice contract (bounded, loud): default POC-split reference
+        # lists (8.2.4.2.3 short-term initialization — no reordering),
+        # default bi-prediction only, no direct/skip modes, deblocking
+        # off (bS over two-list motion is not implemented)
+        if not fr.refs:
+            raise H264Error("B slice without reference frames")
+        if fr.poc_lsb is None or fr.poc is None:
+            raise H264Error("B slice requires SPS poc_type 0")
+        if any("poc" not in rf or rf["poc"] is None for rf in fr.refs):
+            raise H264Error("B slice needs POC-tagged reference pictures")
+        if pps["constrained_intra_pred"]:
+            raise H264Error("constrained intra in B slices unsupported")
+        if pps["weighted_bipred_idc"] != 0:
+            raise H264Error("weighted bi-prediction unsupported "
+                            "(default average only)")
+        # 8.2.4.2.3: L0 = past by POC descending then future ascending;
+        # L1 = future ascending then past descending
+        past = sorted((rf for rf in fr.refs if rf["poc"] < fr.poc),
+                      key=lambda rf: -rf["poc"])
+        fut = sorted((rf for rf in fr.refs if rf["poc"] > fr.poc),
+                     key=lambda rf: rf["poc"])
+        fr.refs = past + fut
+        fr.refs_l1 = fut + past
+        if not fr.refs_l1:
+            raise H264Error("B slice with an empty RefPicList1")
+        r.flag()  # direct_spatial_mv_pred_flag (direct modes refuse)
+        n_ref = pps["num_ref_idx_l0_default"]
+        n_ref1 = pps["num_ref_idx_l1_default"]
+        if r.flag():  # num_ref_idx_active_override
+            n_ref = r.ue() + 1
+            n_ref1 = r.ue() + 1
+        if n_ref > 16 or n_ref1 > 16:
+            raise H264Error("bad num_ref_idx_active")
+        if r.flag():  # ref_pic_list_modification_flag_l0
+            raise H264Error("ref pic list modification unsupported")
+        if r.flag():  # ref_pic_list_modification_flag_l1
+            raise H264Error("ref pic list modification unsupported")
     if is_p:
         # short-GOP contract: the DEFAULT reference list over in-order
         # past frames (most recent first), unreordered — reordering
@@ -1660,6 +1821,11 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
         if disable_deblock != 1:
             off_a = 2 * r.se()
             off_b = 2 * r.se()
+    if is_b and disable_deblock != 1:
+        # 8.7.2.1 bS for B edges compares BOTH lists' refs/mvs — not
+        # implemented; filtering with L0-only state would be silently
+        # wrong, so a filtering B slice refuses instead
+        raise H264Error("deblocking in B slices unsupported")
     n_mbs = fr.wmb * fr.hmb
 
     def mb_slice_params(m):
@@ -1686,7 +1852,7 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             if cd.decode_terminate():  # end_of_slice_flag
                 break
         return fr
-    if not is_p:
+    if not is_p and not is_b:
         while True:
             if mb >= n_mbs:
                 raise H264Error("slice overruns frame")
@@ -1697,10 +1863,13 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             if not r.more_rbsp_data():
                 break
         return fr
-    # P slice MB loop (7.3.4): a skip RUN precedes each coded MB; a
-    # trailing run may carry to the end of the slice
+    # P/B slice MB loop (7.3.4): a skip RUN precedes each coded MB; a
+    # trailing run may carry to the end of the slice. In B slices a
+    # skipped MB is B_Skip (direct-mode inference) — unsupported.
     while True:
         skip_run = r.ue()
+        if is_b and skip_run:
+            raise H264Error("B_Skip (direct mode) unsupported")
         for _ in range(skip_run):
             if mb >= n_mbs:
                 raise H264Error("skip run overruns frame")
@@ -1711,7 +1880,8 @@ def _decode_slice(fr: "_Frame | None", rbsp: bytes, sps_map: dict,
             break
         if mb >= n_mbs:
             raise H264Error("slice overruns frame")
-        _decode_mb(fr, r, sps, pps, mb, slice_id, qp, is_p=True, n_ref=n_ref)
+        _decode_mb(fr, r, sps, pps, mb, slice_id, qp, is_p=is_p,
+                   n_ref=n_ref, is_b=is_b, n_ref1=n_ref1)
         qp = fr._last_qp
         mb_slice_params(mb)
         mb += 1
@@ -1803,12 +1973,26 @@ def _add_chroma_residual(fr: _Frame, pps: dict, qp: int, cx: int, cy: int,
 
 def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
                slice_id: int, qp: int, is_p: bool = False,
-               n_ref: int = 1) -> None:
+               n_ref: int = 1, is_b: bool = False,
+               n_ref1: int = 1) -> None:
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     px, py = mbx * 16, mby * 16
     cx, cy = mbx * 8, mby * 8
     mb_type = r.ue()
-    if is_p:
+    if is_b:
+        # Table 7-14: 0 = B_Direct_16x16, 1-3 = one/two-list 16x16,
+        # 4-21 = partitions, 22 = B_8x8, 23+ = intra (offset 23)
+        if mb_type == 0:
+            raise H264Error("B_Direct_16x16 unsupported")
+        if mb_type <= 3:
+            _decode_mb_inter_b(fr, r, pps, mb, slice_id, qp, mb_type,
+                               n_ref, n_ref1)
+            return
+        if mb_type < 23:
+            raise H264Error(
+                f"B mb_type {mb_type} (partitioned/B_8x8) unsupported")
+        mb_type -= 23  # intra MB in a B slice
+    elif is_p:
         if mb_type < 5:  # inter MB types (P_L0_16x16 / 16x8 / 8x16 / 8x8)
             _decode_mb_inter(fr, r, pps, mb, slice_id, qp, mb_type, n_ref)
             return
@@ -1816,6 +2000,7 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
     fr.mb_slice[mby, mbx] = slice_id
     bxa, bya = mbx * 4, mby * 4
     fr.blk_ref[bya : bya + 4, bxa : bxa + 4] = -1  # intra: 'different ref'
+    fr.blk_ref1[bya : bya + 4, bxa : bxa + 4] = -1
     if mb_type == 25:  # I_PCM
         r.byte_align()
         raw = np.frombuffer(r.read_aligned_bytes(384), np.uint8).astype(np.int64)
@@ -2031,7 +2216,8 @@ def _seed_param_maps(sps: dict | None, pps: dict | None):
 
 
 def decode_access_unit(nals: list[bytes], sps_map: dict, pps_map: dict,
-                       ref: "dict | list | None" = None) -> _Frame:
+                       ref: "dict | list | None" = None,
+                       poc_ctx: dict | None = None) -> _Frame:
     """Decode one access unit (list of NAL units) to a post-deblock
     :class:`_Frame`. In-band SPS/PPS update the maps in place; each slice
     resolves its OWN pps_id, so multi-parameter-set files use the
@@ -2059,7 +2245,7 @@ def decode_access_unit(nals: list[bytes], sps_map: dict, pps_map: dict,
                 raise H264Error("slice before SPS/PPS")
             fr = _decode_slice(fr, rbsp, sps_map, pps_map, slice_id,
                                idr=(nal_type == 5), ref_idc=ref_idc,
-                               refs=refs)
+                               refs=refs, poc_ctx=poc_ctx)
             slice_id += 1
         # SEI (6), AUD (9), filler (12) etc.: skipped
     if fr is None:
@@ -2121,13 +2307,15 @@ def decode_gop(units: list[list[bytes]], sps: dict | None = None,
     out: list = []
     refs: list = []
     prev_ref_fn: int | None = None  # PrevRefFrameNum; None = unseeded
+    poc_ctx: dict = {}  # 8.2.1.1 prev reference (msb, lsb) state
     for nals in units:
         idr = any(n and (n[0] & 0x1F) == 5 for n in nals)
         if idr:
             refs = []  # IDR never references across itself
             prev_ref_fn = None
+            poc_ctx = {}
         try:
-            fr = decode_access_unit(nals, sps_map, pps_map, refs)
+            fr = decode_access_unit(nals, sps_map, pps_map, refs, poc_ctx)
             max_fn = 1 << fr.sps["log2_max_frame_num"]
             if idr:
                 if fr.frame_num != 0:
@@ -2140,13 +2328,19 @@ def decode_gop(units: list[list[bytes]], sps: dict | None = None,
                     f"PrevRefFrameNum {prev_ref_fn}")
             out.append(_frame_rgb(fr))
             if fr.is_ref:
-                refs = ([{"y": fr.y, "cb": fr.cb, "cr": fr.cr}]
+                refs = ([{"y": fr.y, "cb": fr.cb, "cr": fr.cr,
+                          "poc": fr.poc}]
                         + refs[: max_refs - 1])
                 prev_ref_fn = fr.frame_num
+                if fr.poc is not None:
+                    # 8.2.1.1: wrap state advances on REFERENCE pictures
+                    poc_ctx["prev_msb"] = fr.poc - fr.poc_lsb
+                    poc_ctx["prev_lsb"] = fr.poc_lsb
         except DECODABLE_ERRORS:
             out.append(None)
             refs = []  # poison the chain until the next IDR
             prev_ref_fn = None
+            poc_ctx = {}
     return out
 
 
@@ -2172,22 +2366,30 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
                    second_cqpo: int | None = None,
                    pps_id: int = 0, cqpo: int = 0,
                    weighted_pred: bool = False,
-                   cabac: bool = False) -> tuple[bytes, bytes]:
+                   cabac: bool = False, poc_type: int = 2,
+                   max_refs: int = 1,
+                   profile_idc: int = 66) -> tuple[bytes, bytes]:
     """-> (sps_nal, pps_nal). Crop values in luma pixels (must be even:
     4:2:0 crop units are 2 px). ``second_cqpo`` emits the PPS extension
     tail (transform_8x8=0, no scaling matrices, the given
     second_chroma_qp_index_offset) — the fixture for the honored-tail
-    decode path."""
+    decode path. ``poc_type=0`` emits explicit pic_order_cnt_lsb slice
+    headers (8 bits) — REQUIRED for B streams, whose output order
+    differs from decode order (poc_type 2 forbids that); pair with
+    ``max_refs>=2`` and ``profile_idc=77`` (Main — B slices are not a
+    Baseline tool)."""
     if crop_right % 2 or crop_bottom % 2:
         raise H264Error("crop must be even (4:2:0 crop units)")
     w = BitWriter()
-    w.u(66, 8)   # profile_idc: Baseline
-    w.u(0xC0, 8)  # constraint_set0/1 + reserved zeros
+    w.u(profile_idc, 8)
+    w.u(0xC0 if profile_idc == 66 else 0, 8)  # constraint flags
     w.u(30, 8)   # level 3.0
     w.ue(0)      # sps_id
     w.ue(0)      # log2_max_frame_num_minus4
-    w.ue(2)      # pic_order_cnt_type 2 (POC from frame order; no fields)
-    w.ue(1)      # max_num_ref_frames
+    w.ue(poc_type)  # pic_order_cnt_type
+    if poc_type == 0:
+        w.ue(4)  # log2_max_pic_order_cnt_lsb_minus4 -> 8-bit poc_lsb
+    w.ue(max_refs)  # max_num_ref_frames
     w.u(0, 1)    # gaps_in_frame_num_value_allowed
     w.ue(w_mbs - 1)
     w.ue(h_mbs - 1)
@@ -2231,7 +2433,8 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
 
 def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
                    deblock_idc: int = 1,
-                   qp_deltas: "list[int] | None" = None) -> bytes:
+                   qp_deltas: "list[int] | None" = None,
+                   poc_lsb: "int | None" = None) -> bytes:
     """One IDR slice NAL covering the whole frame. ``mbs`` is a raster list
     of MB descriptors:
 
@@ -2247,13 +2450,14 @@ def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     if len(mbs) != w_mbs * h_mbs:
         raise H264Error("mb list does not cover the frame")
     return encode_i_frame_slices(mbs, w_mbs, h_mbs, qp, deblock_idc,
-                                 qp_deltas=qp_deltas)[0]
+                                 qp_deltas=qp_deltas, poc_lsb=poc_lsb)[0]
 
 
 def encode_i_frame_slices(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
                           deblock_idc: int = 1,
                           slice_starts: tuple = (0,),
-                          qp_deltas: "list[int] | None" = None) -> list[bytes]:
+                          qp_deltas: "list[int] | None" = None,
+                          poc_lsb: "int | None" = None) -> list[bytes]:
     """Like encode_i_frame but splitting the MB raster into one IDR slice
     NAL per entry of ``slice_starts`` (ascending, first must be 0). The
     shared shadow state carries SLICE IDS so predicted intra modes and
@@ -2277,6 +2481,8 @@ def encode_i_frame_slices(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
         w.ue(0)      # pps_id
         w.u(0, 4)    # frame_num (log2_max_frame_num = 4)
         w.ue(0)      # idr_pic_id
+        if poc_lsb is not None:  # SPS poc_type 0: explicit 8-bit lsb
+            w.u(poc_lsb & 0xFF, 8)
         w.u(0, 1)    # no_output_of_prior_pics
         w.u(0, 1)    # long_term_reference
         w.se(0)      # slice_qp_delta
@@ -2597,7 +2803,8 @@ def _encode_p_inter_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
 def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
                    frame_num: int = 1, deblock_idc: int = 1,
                    n_ref: int = 1, weights: dict | None = None,
-                   ref_idc: int = 3) -> bytes:
+                   ref_idc: int = 3,
+                   poc_lsb: "int | None" = None) -> bytes:
     """One non-IDR P slice NAL covering the whole frame — the fixture for
     the short-GOP inter decode path. ``mbs`` is a raster list of MB
     descriptors: ``("skip",)`` (P_Skip — motion from the shared skip-MV
@@ -2619,6 +2826,8 @@ def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     w.ue(5)      # slice_type: P (all slices in picture)
     w.ue(0)      # pps_id
     w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    if poc_lsb is not None:  # SPS poc_type 0: explicit 8-bit lsb
+        w.u(poc_lsb & 0xFF, 8)
     if n_ref == 1:
         w.u(0, 1)  # num_ref_idx_active_override (PPS default = 1 ref)
     else:
@@ -2679,6 +2888,150 @@ def encode_p_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
         else:
             _encode_mb(w, shadow, mb, desc, qp, 0, ptype_off=5)
         mb += 1
+    w.rbsp_trailing()
+    return _nal(1, w.tobytes(), ref_idc=ref_idc)
+
+
+def _encode_b_inter_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
+                       slice_id: int, n_ref0: int = 1,
+                       n_ref1: int = 1) -> None:
+    """Emit one inter macroblock of a B slice. Descriptors:
+
+    - ``("bl0", mv, coeffs16_or_None, cdc_or_None[, ref_idx])`` —
+      B_L0_16x16 (mb_type 1);
+    - ``("bl1", mv, coeffs16_or_None, cdc_or_None[, ref_idx])`` —
+      B_L1_16x16 (mb_type 2);
+    - ``("bbi", mv_l0, mv_l1, coeffs16_or_None, cdc_or_None
+      [, (ri0, ri1)])`` — B_Bi_16x16 (mb_type 3).
+
+    Syntax per 7.3.5.1: mb_type, ref_idx_l0 (if used), ref_idx_l1 (if
+    used), mvd_l0, mvd_l1, then CBP + residual. MV prediction mirrors
+    the decoder exactly (shared per-list ``_mv_pred`` over the same
+    shadow state)."""
+    mbx, mby = mb % fr.wmb, mb // fr.wmb
+    kind = desc[0]
+    fr.mb_slice[mby, mbx] = slice_id
+    bx0, by0 = mbx * 4, mby * 4
+
+    def put_ref(ri, n):
+        if n <= 1:
+            if ri:
+                raise H264Error("nonzero ref_idx with a 1-entry list")
+            return
+        if n == 2:
+            w.u(1 - ri, 1)
+        else:
+            w.ue(ri)
+
+    if kind == "bl0":
+        mv0, coeffs, cdc = desc[1], desc[2], desc[3]
+        ri0 = desc[4] if len(desc) > 4 else 0
+        mv1, ri1 = None, -1
+        w.ue(1)
+    elif kind == "bl1":
+        mv1, coeffs, cdc = desc[1], desc[2], desc[3]
+        ri1 = desc[4] if len(desc) > 4 else 0
+        mv0, ri0 = None, -1
+        w.ue(2)
+    elif kind == "bbi":
+        mv0, mv1, coeffs, cdc = desc[1], desc[2], desc[3], desc[4]
+        ri0, ri1 = desc[5] if len(desc) > 5 else (0, 0)
+        w.ue(3)
+    else:
+        raise H264Error(f"unknown B MB descriptor {kind!r}")
+    if mv0 is not None:
+        put_ref(ri0, n_ref0)
+    if mv1 is not None:
+        put_ref(ri1, n_ref1)
+    if mv0 is not None:
+        mvp = _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id,
+                       ref_idx=ri0, lst=0)
+        w.se(mv0[0] - mvp[0])
+        w.se(mv0[1] - mvp[1])
+    if mv1 is not None:
+        mvp = _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id,
+                       ref_idx=ri1, lst=1)
+        w.se(mv1[0] - mvp[0])
+        w.se(mv1[1] - mvp[1])
+    fr.blk_mv[by0 : by0 + 4, bx0 : bx0 + 4] = mv0 if mv0 is not None else (0, 0)
+    fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = ri0
+    fr.blk_mv1[by0 : by0 + 4, bx0 : bx0 + 4] = mv1 if mv1 is not None else (0, 0)
+    fr.blk_ref1[by0 : by0 + 4, bx0 : bx0 + 4] = ri1
+    fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+    cbp_luma = 0
+    if coeffs is not None:
+        for i in range(16):
+            if coeffs[i] is not None and any(coeffs[i]):
+                cbp_luma |= 1 << (i // 4)
+    if cdc is not None and not (any(cdc[0]) or any(cdc[1])):
+        cdc = None
+    cbp_chroma = 1 if cdc is not None else 0
+    w.ue(_CBP_INTER_INV[cbp_luma | (cbp_chroma << 4)])
+    if cbp_luma or cbp_chroma:
+        w.se(0)  # mb_qp_delta
+    for i in range(16):
+        bx = bx0 + _BLK_XY[i][0] // 4
+        by = by0 + _BLK_XY[i][1] // 4
+        if cbp_luma & (1 << (i // 4)):
+            blk = coeffs[i] if coeffs[i] is not None else [0] * 16
+            nc = _nc_luma(fr, bx, by, slice_id)
+            tc = encode_residual_block(w, list(blk), nc)
+            fr.blk_nnz[by, bx] = tc
+        else:
+            fr.blk_nnz[by, bx] = 0
+        fr.blk_done[by, bx] = True
+    if cbp_chroma:
+        for comp in range(2):
+            encode_residual_block(w, list(cdc[comp]), -1)
+    fr.mb_done[mby, mbx] = True
+
+
+def encode_b_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
+                   frame_num: int = 2, poc_lsb: int = 2,
+                   deblock_idc: int = 1, n_ref0: int = 1,
+                   n_ref1: int = 1, ref_idc: int = 0) -> bytes:
+    """One non-IDR B slice NAL covering the whole frame. Requires an SPS
+    built with ``poc_type=0`` (the pic_order_cnt_lsb field is mandatory
+    for out-of-display-order pictures) and pairs with decode_gop's
+    default POC-split reference lists. ``mbs`` descriptors are the
+    shapes of :func:`_encode_b_inter_mb` plus any INTRA descriptor
+    ``encode_i_frame`` accepts (emitted with the +23 B-slice mb_type
+    offset). ``ref_idc=0`` (the default) emits a DISPOSABLE picture —
+    the common case for B frames — so no dec_ref_pic_marking is
+    written. ``deblock_idc`` must be 1 (the decoder's B contract)."""
+    if len(mbs) != w_mbs * h_mbs:
+        raise H264Error("mb list does not cover the frame")
+    if deblock_idc != 1:
+        raise H264Error("B fixture requires deblocking off (idc 1)")
+    shadow = _Frame({"width_mbs": w_mbs, "height_mbs": h_mbs})
+    w = BitWriter()
+    w.ue(0)      # first_mb_in_slice
+    w.ue(6)      # slice_type: B (all slices in picture)
+    w.ue(0)      # pps_id
+    w.u(frame_num % 16, 4)  # frame_num (log2_max_frame_num = 4)
+    w.u(poc_lsb & 0xFF, 8)  # pic_order_cnt_lsb (SPS poc_type 0, 8 bits)
+    w.u(0, 1)    # direct_spatial_mv_pred_flag (no direct MBs emitted)
+    if (n_ref0, n_ref1) == (1, 1):
+        w.u(0, 1)  # num_ref_idx_active_override (PPS defaults = 1, 1)
+    else:
+        w.u(1, 1)
+        w.ue(n_ref0 - 1)
+        w.ue(n_ref1 - 1)
+    w.u(0, 1)    # ref_pic_list_modification_flag_l0
+    w.u(0, 1)    # ref_pic_list_modification_flag_l1
+    if ref_idc != 0:  # dec_ref_pic_marking only on reference pictures
+        w.u(0, 1)    # adaptive_ref_pic_marking (sliding window)
+    w.se(0)      # slice_qp_delta
+    w.ue(deblock_idc)
+    for mb, desc in enumerate(mbs):
+        w.ue(0)  # mb_skip_run (B_Skip = direct mode: never emitted)
+        if desc[0] in ("bl0", "bl1", "bbi"):
+            _encode_b_inter_mb(w, shadow, mb, desc, qp, 0,
+                               n_ref0=n_ref0, n_ref1=n_ref1)
+        else:
+            mx, my = mb % w_mbs, mb // w_mbs
+            shadow.blk_ref1[my * 4 : my * 4 + 4, mx * 4 : mx * 4 + 4] = -1
+            _encode_mb(w, shadow, mb, desc, qp, 0, ptype_off=23)
     w.rbsp_trailing()
     return _nal(1, w.tobytes(), ref_idc=ref_idc)
 

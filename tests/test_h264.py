@@ -451,7 +451,8 @@ def test_p_slice_without_reference_and_b_slice_refused():
     nal = bytes([0x61]) + H.rbsp_escape(w.tobytes())
     with pytest.raises(H.H264Error, match="reference"):
         H.decode_i_frame([sps, pps, nal])
-    # B slices stay out of scope entirely
+    # a B slice with no reference chain refuses the same way (B support
+    # itself landed r13 — see the b_slice tests; SP/SI stay out of scope)
     w = H.BitWriter()
     w.ue(0)
     w.ue(6)  # slice_type B (all slices)
@@ -459,8 +460,17 @@ def test_p_slice_without_reference_and_b_slice_refused():
     w.u(0, 4)
     w.rbsp_trailing()
     nal_b = bytes([0x61]) + H.rbsp_escape(w.tobytes())
-    with pytest.raises(H.H264Error, match="slice_type"):
+    with pytest.raises(H.H264Error, match="reference"):
         H.decode_i_frame([sps, pps, nal_b])
+    w = H.BitWriter()
+    w.ue(0)
+    w.ue(8)  # slice_type SP (all slices) — out of scope
+    w.ue(0)
+    w.u(0, 4)
+    w.rbsp_trailing()
+    nal_sp = bytes([0x61]) + H.rbsp_escape(w.tobytes())
+    with pytest.raises(H.H264Error, match="slice_type"):
+        H.decode_i_frame([sps, pps, nal_sp])
 
 
 # ---------------------------------------------------------------------------
@@ -2315,7 +2325,7 @@ def test_cabac_refusal_p_slice():
     # CABAC P slice: header parses, decode refuses (honest NULL upstream)
     sps, pps = H.encode_sps_pps(wmb, hmb, qp=26, cabac=True)
     idr_cavlc_p = H.encode_p_frame([("skip",)] * 2, wmb, hmb, frame_num=1)
-    with pytest.raises(H.H264Error, match="CABAC P slices"):
+    with pytest.raises(H.H264Error, match="CABAC inter slices"):
         H.decode_access_unit(
             [sps, pps, idr_cavlc_p], *H._seed_param_maps(None, None)[:2],
             [{"y": None, "cb": None, "cr": None}],
@@ -2717,3 +2727,179 @@ def test_decode_frames_cabac_i_pcm_mp4(spark):
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
     assert all(r["width"] == 32 and r["height"] == 16 for r in rows)
     assert [r["pix_sum"] for r in rows] == exp_sums
+
+
+# ---------------------------------------------------------------------------
+# B slices (CAVLC): one/two-list 16x16 prediction, POC-split default lists
+# ---------------------------------------------------------------------------
+
+def _b_gray_mbs(dc):
+    dc16 = [0] * 16
+    dc16[0] = dc
+    return [("i16", 2, dc16, None)]
+
+
+def _b_stream_parts(qp=26, dc_i=80, dc_p=160):
+    """(sps, pps, idr@poc0, intra-P@poc4) — the B sandwich fixture: two
+    flat reference pictures of different values."""
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps = H.encode_sps_pps(1, 1, qp=qp, poc_type=0, max_refs=2,
+                                profile_idc=77)
+    idr = H.encode_i_frame(_b_gray_mbs(dc_i), 1, 1, qp, poc_lsb=0)
+    pfr = H.encode_p_frame(_b_gray_mbs(dc_p), 1, 1, qp, frame_num=1,
+                           poc_lsb=4)
+    return sps, pps, idr, pfr
+
+
+def test_b_slice_one_and_two_list_prediction():
+    """B_L0 predicts the past (IDR), B_L1 the future (P), B_Bi their
+    rounded average — the 8.2.4.2.3 POC-split default lists and the
+    8.4.2.3.2 default bi-predictive combine, end to end."""
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps, idr, pfr = _b_stream_parts()
+    v_i, v_p = 132, 136  # i16dc_recon values for dc 80 / 160 at qp 26
+    for desc, want in (
+        (("bl0", (0, 0), None, None), v_i),
+        (("bl1", (0, 0), None, None), v_p),
+        (("bbi", (0, 0), (0, 0), None, None), (v_i + v_p + 1) >> 1),
+    ):
+        b = H.encode_b_frame([desc], 1, 1, 26, frame_num=2, poc_lsb=2)
+        frames = H.decode_gop([[sps, pps, idr], [pfr], [b]])
+        assert frames[2] is not None
+        y = frames[2][..., 0]
+        assert (y == want).all(), (desc[0], y[0, 0], want)
+
+
+def test_b_slice_quarter_pel_and_intra_mb():
+    """Fractional MVs on flat references are value-preserving through the
+    6-tap chain in BOTH lists of a bi-predicted MB; an intra I_16x16 MB
+    (mb_type offset 23) decodes inside the B slice."""
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps, idr, pfr = _b_stream_parts()
+    b = H.encode_b_frame(
+        [("bbi", (5, 7), (-3, 2), None, None)], 1, 1, 26,
+        frame_num=2, poc_lsb=2,
+    )
+    frames = H.decode_gop([[sps, pps, idr], [pfr], [b]])
+    assert (frames[2][..., 0] == 134).all()  # flat refs: interp exact
+
+    b_intra = H.encode_b_frame(_b_gray_mbs(40), 1, 1, 26,
+                               frame_num=2, poc_lsb=2)
+    frames = H.decode_gop([[sps, pps, idr], [pfr], [b_intra]])
+    assert frames[2] is not None
+    assert (frames[2][..., 0] == frames[2][0, 0, 0]).all()
+
+
+def test_b_frame_is_disposable_and_does_not_enter_ref_lists():
+    """A non-reference B (nal_ref_idc 0) must NOT shift RefPicList0: a
+    following all-skip P copies the last REFERENCE picture (the intra-P),
+    not the B."""
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps, idr, pfr = _b_stream_parts()
+    b = H.encode_b_frame([("bl0", (0, 0), None, None)], 1, 1, 26,
+                         frame_num=2, poc_lsb=2)  # decodes to 132
+    p2 = H.encode_p_frame([("skip",)], 1, 1, 26, frame_num=2, poc_lsb=8)
+    frames = H.decode_gop([[sps, pps, idr], [pfr], [b], [p2]])
+    assert (frames[3][..., 0] == 136).all()  # copies the P, not the B
+
+
+def test_b_slice_refusals_degrade_to_none():
+    """Out-of-scope B tools refuse loudly: B_Direct_16x16, B_Skip runs,
+    deblocking-enabled B slices, weighted bi-prediction, and B without
+    POC (poc_type 2 SPS)."""
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps, idr, pfr = _b_stream_parts()
+
+    def b_with(patch):
+        w = H.BitWriter()
+        w.ue(0); w.ue(6); w.ue(0)
+        w.u(2, 4); w.u(2, 8)
+        patch(w)
+        w.rbsp_trailing()
+        return H._nal(1, w.tobytes(), ref_idc=0)
+
+    # B_Direct_16x16 (mb_type 0 after header)
+    def direct(w):
+        w.u(0, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.se(0); w.ue(1)
+        w.ue(0)  # skip_run 0
+        w.ue(0)  # mb_type 0 = B_Direct_16x16
+    # B_Skip via a nonzero run
+    def skiprun(w):
+        w.u(0, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.se(0); w.ue(1)
+        w.ue(1)  # skip_run 1 -> B_Skip
+    # deblocking enabled in a B slice
+    def deblock(w):
+        w.u(0, 1); w.u(0, 1); w.u(0, 1); w.u(0, 1)
+        w.se(0); w.ue(0); w.se(0); w.se(0)
+        w.ue(0); w.ue(1)
+
+    for patch in (direct, skiprun, deblock):
+        frames = H.decode_gop([[sps, pps, idr], [pfr], [b_with(patch)]])
+        assert frames[2] is None, patch.__name__
+
+    # B under a poc_type-2 SPS refuses (no POC to split the lists on)
+    sps2, pps2 = H.encode_sps_pps(1, 1, qp=26)
+    idr2 = H.encode_i_frame(_b_gray_mbs(80), 1, 1, 26)
+    p2 = H.encode_p_frame(_b_gray_mbs(160), 1, 1, 26, frame_num=1)
+    b2 = H.encode_b_frame([("bl0", (0, 0), None, None)], 1, 1, 26,
+                          frame_num=2, poc_lsb=2)
+    frames = H.decode_gop([[sps2, pps2, idr2], [p2], [b2]])
+    assert frames[2] is None
+
+
+def test_b_slice_multi_mb_per_list_mv_prediction():
+    """A 2x1 B frame whose second MB's per-list MV predictors come from
+    the first B MB's motion (the list-separated 8.4.1.3 neighbor state):
+    round-trips bit-exactly because encoder and decoder share _mv_pred."""
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps, idr, pfr = _b_stream_parts_2x1()
+    b = H.encode_b_frame(
+        [("bbi", (4, 0), (-4, 4), None, None),
+         ("bbi", (8, -4), (0, 8), None, None)],
+        2, 1, 26, frame_num=2, poc_lsb=2,
+    )
+    frames = H.decode_gop([[sps, pps, idr], [pfr], [b]])
+    assert frames[2] is not None
+    assert (frames[2][..., 0] == 134).all()
+
+
+def _b_stream_parts_2x1(qp=26):
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps = H.encode_sps_pps(2, 1, qp=qp, poc_type=0, max_refs=2,
+                                profile_idc=77)
+    def mbs(dc):
+        dc16 = [0] * 16
+        dc16[0] = dc
+        return [("i16", 2, dc16, None), ("i16", 2, [0] * 16, None)]
+    idr = H.encode_i_frame(mbs(80), 2, 1, qp, poc_lsb=0)
+    pfr = H.encode_p_frame(mbs(160), 2, 1, qp, frame_num=1, poc_lsb=4)
+    return sps, pps, idr, pfr
+
+
+def test_b_slice_two_past_refs_ref_idx_selection():
+    """n_ref0=2: ref_idx_l0 te(v) picks between the two past reference
+    pictures (L0 order: POC descending — idx 0 = the NEARER past)."""
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps = H.encode_sps_pps(1, 1, qp=26, poc_type=0, max_refs=3,
+                                profile_idc=77)
+    idr = H.encode_i_frame(_b_gray_mbs(80), 1, 1, 26, poc_lsb=0)    # 132
+    p1 = H.encode_p_frame(_b_gray_mbs(160), 1, 1, 26, frame_num=1,
+                          poc_lsb=2)                                 # 136
+    p2 = H.encode_p_frame(_b_gray_mbs(240), 1, 1, 26, frame_num=2,
+                          poc_lsb=8)                                 # 141
+    for ri, want in ((0, 136), (1, 132)):  # POC desc: p1 then idr
+        b = H.encode_b_frame([("bl0", (0, 0), None, None, ri)], 1, 1, 26,
+                             frame_num=3, poc_lsb=4, n_ref0=2)
+        frames = H.decode_gop([[sps, pps, idr], [p1], [p2], [b]])
+        assert frames[3] is not None
+        assert (frames[3][..., 0] == want).all(), (ri, frames[3][0, 0, 0])
