@@ -148,6 +148,9 @@ def main() -> None:
         # round 12: real H.264 CABAC I-frame decode (arithmetic engine
         # per 9.3 — the per-doc kernel cost of Main-profile entropy)
         "multimodal_h264_cabac",
+        # round 13 (late): real H.264 B-slice bi-predictive decode (the
+        # two-list inter path: POC-split lists + default bi-pred average)
+        "multimodal_h264_b",
         # round 13 (late): corpus-level ExactSubstr removal spans — the
         # only dedup gate with NO candidate-pair join (count>=2 on the
         # positional gram hash + multiplicity-1 semi-join back)

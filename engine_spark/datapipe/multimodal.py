@@ -13,9 +13,11 @@ decodes for real (RIFF chunk walk), MP4 video DEMUXES for real
 ranges) with REAL pixel decode for Motion-JPEG tracks, raw YUV4MPEG2
 (.y4m) video decodes fully (plane split, chroma upsample, BT.601), and
 progressive JPEG (SOF2 successive approximation) decodes too.
-H.264 (avc1) CAVLC I/IDR FRAME pixels decode for real too (see
-h264.py); only INTER-coded frame pixel decode (P/B motion
-compensation) remains gated — that genuinely needs an av library
+H.264 (avc1) FRAME pixels decode for real too (see h264.py):
+CAVLC/CABAC I/IDR, CAVLC short-GOP P frames, and CAVLC B slices
+(one/two-list 16x16 bi-prediction over POC-split lists); only the
+B tools the decoder refuses (direct/skip, partitions, weighted
+bipred) and CABAC inter degrade to NULL rows
 absent in this container, so it uses a documented deterministic stand-in
 that keeps the Arrow plumbing (schemas, batch iteration, null-safety,
 partition-level parallelism) fully testable.
@@ -1203,8 +1205,8 @@ def resize_image(
 # stts (decode timestamps/durations), stsz (sample sizes), stsc
 # (sample→chunk mapping), stco/co64 (chunk offsets) — exactly the byte
 # ranges a frame decoder would be handed. Sampled-frame PIXEL decode is
-# real for MJPEG (jpeg.py) and H.264 I/IDR samples (h264.py); P/B
-# frames stay gated (motion compensation needs an av library).
+# real for MJPEG (jpeg.py) and H.264 I/IDR, P and B samples (h264.py);
+# only refused B tools (direct/skip, partitions) degrade to NULL.
 # ---------------------------------------------------------------------------
 
 
@@ -1808,7 +1810,8 @@ def decode_frames(
                     # frame_num continuity check — disposable pictures
                     # decode but never enter the list, and a frame_num
                     # gap degrades to NULL instead of wrong pixels
-                    chain = {"refs": [], "pos": -1, "prf": None}
+                    chain = {"refs": [], "pos": -1, "prf": None,
+                             "poc": {}}
 
                     def _avc_decode(fi):
                         anchor = next(
@@ -1822,15 +1825,18 @@ def decode_frames(
                             start = anchor
                             chain["refs"] = []
                             chain["prf"] = None
+                            chain["poc"] = {}
                         else:  # no IDR before fi: standalone (P -> NULL)
                             start = fi
                             chain["refs"] = []
                             chain["prf"] = None
+                            chain["poc"] = {}
                         fr = None
                         for j in range(start, fi + 1):
                             if kinds[j] == 5:
                                 chain["refs"] = []
                                 chain["prf"] = None
+                                chain["poc"] = {}
                             oj, szj = mp4["offsets"][j], mp4["sizes"][j]
                             try:
                                 fr = h264.decode_access_unit(
@@ -1838,6 +1844,7 @@ def decode_frames(
                                         b[oj : oj + szj], nls
                                     ),
                                     sps_map, pps_map, chain["refs"],
+                                    chain["poc"],
                                 )
                                 max_fn = 1 << fr.sps["log2_max_frame_num"]
                                 if kinds[j] == 5:
@@ -1855,13 +1862,21 @@ def decode_frames(
                                 if fr.is_ref:
                                     chain["refs"] = [
                                         {"y": fr.y, "cb": fr.cb,
-                                         "cr": fr.cr}
+                                         "cr": fr.cr, "poc": fr.poc}
                                     ] + chain["refs"][:15]
                                     chain["prf"] = fr.frame_num
+                                    if fr.poc is not None:
+                                        # 8.2.1.1 wrap state advances on
+                                        # reference pictures
+                                        chain["poc"]["prev_msb"] = (
+                                            fr.poc - fr.poc_lsb)
+                                        chain["poc"]["prev_lsb"] = (
+                                            fr.poc_lsb)
                             except DECODE_ERRORS:
                                 fr = None
                                 chain["refs"] = []  # poison until IDR
                                 chain["prf"] = None
+                                chain["poc"] = {}
                             chain["pos"] = j
                         if fr is None:
                             return None
@@ -1881,11 +1896,11 @@ def decode_frames(
                         except DECODE_ERRORS:
                             arr = None
                     elif avc_cfg is not None:
-                        # real decode for CAVLC/CABAC I/IDR keyframes
-                        # AND CAVLC short-GOP P frames (chained inter
-                        # prediction); B, CABAC-P and other unsupported
-                        # shapes raise inside and degrade to the honest
-                        # NULL row
+                        # real decode for CAVLC/CABAC I/IDR keyframes,
+                        # CAVLC short-GOP P frames, and CAVLC B slices
+                        # (two-list bi-prediction); CABAC inter and the
+                        # refused B tools raise inside and degrade to
+                        # the honest NULL row
                         arr = _avc_decode(fi)
                     if arr is not None:
                         rows.append(

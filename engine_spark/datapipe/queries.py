@@ -2973,6 +2973,120 @@ def q_multimodal_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_h264_b",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             (doc_id % 2 + 1) * 16 AS w,
+             (doc_id % 2 + 1) * 16 AS h,
+             doc_id % 3 AS variant,
+             128 + (((13 * ((doc_id % 40) * 37) + 2) // 4) + 32) // 64 AS v1,
+             128 + (((13 * ((doc_id % 29) * 41) + 2) // 4) + 32) // 64 AS v2,
+             128 + (((13 * ((doc_id % 23) * 43) + 2) // 4) + 32) // 64 AS v3
+      FROM documents
+    ),
+    f AS (SELECT d.*, unnest([0, 2]) AS fi FROM d)
+    SELECT doc_id, fi::INT AS frame_idx, 3::INT AS n_frames,
+           fi * 25.0 / 600.0 AS ts_s,
+           w::INT AS width, h::INT AS height, 3::INT AS channels,
+           CAST(3 * CASE
+             WHEN fi = 0 THEN v1 * w * h
+             WHEN variant = 0 THEN ((v1 + v2 + 1) // 2) * w * h
+             WHEN variant = 1 THEN v1 * w * h
+             ELSE v3 * 256 + v2 * (w * h - 256)
+           END AS BIGINT) AS pix_sum
+    FROM f ORDER BY doc_id, frame_idx
+    """,
+    doc=(
+        "REAL H.264 B-slice (bi-predictive) PIXEL decode — the two-list "
+        "inter path end-to-end: each document becomes an avc1 MP4 whose "
+        "GOP is IDR (poc 0, flat v1) + an intra-coded P reference "
+        "(poc 4, flat v2) + a DISPOSABLE B picture (poc 2, nal_ref_idc "
+        "0) that predicts from BOTH temporal directions through the "
+        "8.2.4.2.3 POC-split default reference lists (SPS poc_type 0, "
+        "8.2.1.1 lsb decoding). B content cycles by doc_id%3: B_Bi "
+        "macroblocks with distinct quarter-pel MVs per list (default "
+        "8.4.2.3.2 average — on flat references the 6-tap chain is "
+        "value-preserving, so the closed form (v1+v2+1)>>1 verifies the "
+        "full two-list interpolate-and-average path incl. edge clamps); "
+        "all-B_L0 with fractional motion (past-only prediction inside a "
+        "B slice); or an intra I_16x16 MB (mb_type offset 23) on top of "
+        "B_L1 future-only prediction. decode_frames samples every_k=2, "
+        "so the sampled B frame must chain through the unsampled P "
+        "reference — and the disposable B itself must NOT enter any "
+        "list. The oracle states every sum in closed integer form. "
+        "Reference parity: the reference engine ships no video decode; "
+        "B slices extend the r11 P-frame/GOP surface (beyond-parity)."
+    ),
+)
+def q_multimodal_h264_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    docs = (
+        Catalog(spark, sf_dir)["documents"]
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        from engine_spark.datapipe import h264 as H
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wmb = hmb = did % 2 + 1
+                n_mb = wmb * hmb
+                variant = did % 3
+
+                def gray(dc):
+                    first = [0] * 16
+                    first[0] = dc
+                    return ([("i16", 2, first, None)]
+                            + [("i16", 2, [0] * 16, None)] * (n_mb - 1))
+
+                sps, pps = H.encode_sps_pps(
+                    wmb, hmb, qp=26, poc_type=0, max_refs=2,
+                    profile_idc=77,
+                )
+                idr = H.encode_i_frame(gray((did % 40) * 37), wmb, hmb,
+                                       26, poc_lsb=0)
+                pfr = H.encode_p_frame(gray((did % 29) * 41), wmb, hmb,
+                                       26, frame_num=1, poc_lsb=4)
+                mv0 = ((did % 13) - 6, (did % 9) - 4)   # quarter-pel
+                mv1 = ((did % 11) - 5, (did % 7) - 3)
+                if variant == 0:
+                    descs = [("bbi", mv0, mv1, None, None)] * n_mb
+                elif variant == 1:
+                    descs = [("bl0", mv0, None, None)] * n_mb
+                else:
+                    dc3 = [0] * 16
+                    dc3[0] = (did % 23) * 43
+                    descs = ([("i16", 2, dc3, None)]
+                             + [("bl1", (0, 0), None, None)] * (n_mb - 1))
+                b = H.encode_b_frame(descs, wmb, hmb, 26,
+                                     frame_num=2, poc_lsb=2)
+                avcc = H.build_avcc(sps, pps)
+                ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+                samples = [
+                    len(nal).to_bytes(4, "big") + nal
+                    for nal in (idr, pfr, b)
+                ]
+                rows.append(
+                    (did, encode_mp4(
+                        samples, codec=b"avc1", sample_entry_ext=ext,
+                        width=wmb * 16, height=hmb * 16,
+                    ))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
+    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+
+
+@register(
     "multimodal_h264_cabac",
     """
     WITH g AS (

@@ -3386,7 +3386,6 @@ _ORDER = [
     "join_q4_priority_checking",  # TPC-H Q4 shape: correlated EXISTS semi join (NEW r10)
     "join_q8_market_share",       # TPC-H Q8 shape: dual-role nation + ratio (NEW r10)
     "join_q9_product_profit",     # TPC-H Q9 shape: profit by nation x year (NEW r10)
-    "join_q12_late_line_priority",  # TPC-H Q12 shape: conditional counts on join (NEW r10)
     "join_q15_top_supplier",      # TPC-H Q15 shape: view + scalar-max filter (NEW r10)
     "join_q17_small_quantity_revenue",  # TPC-H Q17 shape: correlated AVG (NEW r10)
     "join_q19_disjunctive",       # TPC-H Q19 shape: OR-of-ANDs pushdown (NEW r9, in-window)
@@ -3415,6 +3414,7 @@ _ORDER = [
     "multimodal_jpeg",            # REAL baseline JPEG Huffman+IDCT decode
     "multimodal_h264",            # REAL H.264 baseline I-frame decode (NEW r10)
     "multimodal_h264_gop",        # REAL H.264 short-GOP P-frame decode (NEW r11)
+    "multimodal_h264_b",          # REAL H.264 B-slice bi-predictive decode (NEW r13 late, in-window at debut)
     "multimodal_h264_cabac",      # REAL H.264 CABAC I-frame decode (NEW r12)
     "pipeline_end_to_end",
     # ---- entries past the driver's 50-gate window: redundant VARIANTS of
@@ -3448,6 +3448,13 @@ _ORDER = [
     # TPC-H shapes in-window, and the histogram stays LOCAL-green +
     # oracle-checked every sweep).
     "agg_histogram",              # rotated out r13 late (driver-green r9-r12)
+    # Round 13 (late) third debut: multimodal_h264_b (REAL B-slice
+    # bi-predictive pixel decode — two-list POC-split reference lists,
+    # default bi-pred average, disposable-picture handling). Rotated OUT
+    # join_q12_late_line_priority (driver-green r10-r12; the join family
+    # keeps twelve gates in-window, and Q12's conditional-counts-on-join
+    # shape stays LOCAL-green + oracle-checked every sweep).
+    "join_q12_late_line_priority",  # rotated out r13 late (driver-green r10-r12)
     # Round 12 rotated dedup_simhash back IN after the scale-true rework
     # (56-bit signature, 4 x 14-bit chunk blocking, bucket-size cap — the
     # r11 verdict's top item; the rework must face the driver's oracle)

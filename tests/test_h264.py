@@ -2903,3 +2903,36 @@ def test_b_slice_two_past_refs_ref_idx_selection():
         frames = H.decode_gop([[sps, pps, idr], [p1], [p2], [b]])
         assert frames[3] is not None
         assert (frames[3][..., 0] == want).all(), (ri, frames[3][0, 0, 0])
+
+
+def test_decode_frames_b_chain_through_mp4(spark):
+    """decode_frames over an avc1 MP4 whose GOP is IDR + intra-P + B:
+    the sampled B frame chains through the unsampled P reference, builds
+    POC-split lists from the multimodal chain state, and bi-predicts;
+    a SECOND GOP after it re-anchors cleanly (the B never poisoned or
+    entered the reference list)."""
+    from engine_spark.datapipe.multimodal import decode_frames, encode_mp4
+
+    sps, pps, idr, pfr = _b_stream_parts()          # 132 / 136 flat
+    b = H.encode_b_frame([("bbi", (2, -2), (0, 3), None, None)],
+                         1, 1, 26, frame_num=2, poc_lsb=2)
+    avcc = H.build_avcc(sps, pps)
+    ext = (len(avcc) + 8).to_bytes(4, "big") + b"avcC" + avcc
+
+    def sample(nal):
+        return len(nal).to_bytes(4, "big") + nal
+
+    mp4 = encode_mp4(
+        [sample(idr), sample(pfr), sample(b), sample(idr)],
+        codec=b"avc1", sample_entry_ext=ext,
+    )
+    docs = spark.createDataFrame(
+        [(1, bytearray(mp4))], "doc_id long, payload binary"
+    )
+    rows = {r["frame_idx"]: r for r in decode_frames(docs, 1).collect()}
+    assert len(rows) == 4
+    w = h = 16
+    assert rows[0]["pix_sum"] == 3 * 132 * w * h
+    assert rows[1]["pix_sum"] == 3 * 136 * w * h
+    assert rows[2]["pix_sum"] == 3 * 134 * w * h   # (132+136+1)>>1
+    assert rows[3]["pix_sum"] == 3 * 132 * w * h   # re-anchored IDR

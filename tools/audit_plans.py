@@ -68,6 +68,13 @@ CHECKS = {
         ("column pruning on docs scan",
          lambda p: "ReadSchema: struct<doc_id:bigint,text:string>" in p),
     ],
+    "multimodal_h264_b": [
+        # synthesis + decode are mapInPandas stages; payloads must never
+        # shuffle (same contract as the other h264 gates)
+        ("no join of payloads",
+         lambda p: "Join" not in p and "Cartesian" not in p),
+        ("arrow-batched python stages", lambda p: "MapInPandas" in p),
+    ],
     "multimodal_h264_cabac": [
         # synthesis + decode are mapInPandas stages; payloads must never
         # shuffle (the only exchange is the 8-byte doc-id spread before
