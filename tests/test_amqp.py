@@ -201,8 +201,13 @@ def test_spark_rabbitmq_source_reads_queue(spark, tmp_path):
             .start()
         )
         try:
+            # 60 s, not the default 15: under full-suite + concurrent-sweep
+            # CPU saturation the first micro-batch can take >15 s to plan
+            # (observed flake — passes in isolation; the deadline only
+            # bounds the failure case)
             assert _drain(
-                lambda: spark.sql("SELECT * FROM mq_in").count() >= 5
+                lambda: spark.sql("SELECT * FROM mq_in").count() >= 5,
+                timeout=60.0,
             ), "rabbitmq rows never reached the memory sink"
             rows = spark.sql("SELECT * FROM mq_in").collect()
             temps = {json.loads(r.value)["temp"] for r in rows}
