@@ -1533,22 +1533,61 @@ def _inter_residual_tail(fr: _Frame, r: BitReader, pps: dict, mb: int,
     _finish_inter_mb(fr, mbx, mby, slice_id, qp)
 
 
+#: Table 7-14 B macroblock types 1-21: (partition shape, per-partition
+#: prediction modes). 0 = B_Direct (refused), 22 = B_8x8 (refused),
+#: 23+ = intra.
+_B_MB_TYPES = {
+    1: ("16x16", ("l0",)),
+    2: ("16x16", ("l1",)),
+    3: ("16x16", ("bi",)),
+    4: ("16x8", ("l0", "l0")),
+    5: ("8x16", ("l0", "l0")),
+    6: ("16x8", ("l1", "l1")),
+    7: ("8x16", ("l1", "l1")),
+    8: ("16x8", ("l0", "l1")),
+    9: ("8x16", ("l0", "l1")),
+    10: ("16x8", ("l1", "l0")),
+    11: ("8x16", ("l1", "l0")),
+    12: ("16x8", ("l0", "bi")),
+    13: ("8x16", ("l0", "bi")),
+    14: ("16x8", ("l1", "bi")),
+    15: ("8x16", ("l1", "bi")),
+    16: ("16x8", ("bi", "l0")),
+    17: ("8x16", ("bi", "l0")),
+    18: ("16x8", ("bi", "l1")),
+    19: ("8x16", ("bi", "l1")),
+    20: ("16x8", ("bi", "bi")),
+    21: ("8x16", ("bi", "bi")),
+}
+
+#: partition rectangles + the 8.4.1.3 directional mvp shortcuts (same
+#: geometry as the P path)
+_B_PART_RECTS = {
+    "16x16": [(0, 0, 16, 16, None)],
+    "16x8": [(0, 0, 16, 8, "B"), (0, 8, 16, 8, "A")],
+    "8x16": [(0, 0, 8, 16, "A"), (8, 0, 8, 16, "C")],
+}
+
+
 def _decode_mb_inter_b(fr: _Frame, r: BitReader, pps: dict, mb: int,
                        slice_id: int, qp: int, btype: int,
                        n_ref0: int = 1, n_ref1: int = 1) -> None:
-    """B_L0_16x16 / B_L1_16x16 / B_Bi_16x16 (Table 7-14 mb_type 1/2/3):
-    per-list te(v) ref_idx + se(v) mvd in 7.3.5.1 order (all ref_idx
-    l0-then-l1, all mvd l0-then-l1), per-list median MV prediction
-    (8.4.1.3 over that list's neighbor motion), one- or two-list
-    motion compensation with the DEFAULT bi-predictive average
-    (8.4.2.3.2: (predL0 + predL1 + 1) >> 1 — weighted bipred refuses at
-    the slice header), then the shared inter residual tail. Partition
-    types 4-21, B_8x8 and B_Direct/B_Skip refuse upstream."""
+    """B inter macroblock types 1-21 (Table 7-14): 16x16 / 16x8 / 8x16
+    partitions, each predicted from L0, L1 or both. Syntax per 7.3.5.1:
+    ALL ref_idx_l0 (partitions using l0, in order), ALL ref_idx_l1, ALL
+    mvd_l0, ALL mvd_l1 — per-list median/directional MV prediction
+    (8.4.1.3 over that list's neighbor motion; a partition not using a
+    list records ref -1 there, the 'not available for this list' state
+    later predictors see), one- or two-list motion compensation with
+    the DEFAULT bi-predictive average (8.4.2.3.2 — weighted bipred
+    refuses at the slice header), then the shared inter residual tail.
+    B_Direct/B_Skip and B_8x8 refuse upstream."""
     mbx, mby = mb % fr.wmb, mb // fr.wmb
-    px, py = mbx * 16, mby * 16
     fr.mb_slice[mby, mbx] = slice_id
-    use0 = btype in (1, 3)
-    use1 = btype in (2, 3)
+    shape, modes = _B_MB_TYPES[btype]
+    parts = _B_PART_RECTS[shape]
+    uses0 = [m in ("l0", "bi") for m in modes]
+    uses1 = [m in ("l1", "bi") for m in modes]
 
     def read_ref(n: int, refs: list) -> int:
         if n <= 1:
@@ -1558,38 +1597,42 @@ def _decode_mb_inter_b(fr: _Frame, r: BitReader, pps: dict, mb: int,
             raise H264Error(f"ref_idx {ri} outside the reference list")
         return ri
 
-    ri0 = read_ref(n_ref0, fr.refs) if use0 else -1
-    ri1 = read_ref(n_ref1, fr.refs_l1) if use1 else -1
-    mvd0 = (r.se(), r.se()) if use0 else None
-    mvd1 = (r.se(), r.se()) if use1 else None
-    preds = []
-    mv0 = mv1 = (0, 0)
-    if use0:
-        mvp = _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id,
-                       ref_idx=ri0, lst=0)
-        mv0 = (mvp[0] + mvd0[0], mvp[1] + mvd0[1])
-        preds.append(_mc_pred(fr.refs[ri0], px, py, 16, 16, mv0))
-    if use1:
-        mvp = _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id,
-                       ref_idx=ri1, lst=1)
-        mv1 = (mvp[0] + mvd1[0], mvp[1] + mvd1[1])
-        preds.append(_mc_pred(fr.refs_l1[ri1], px, py, 16, 16, mv1))
-    if len(preds) == 2:
-        y = (preds[0][0] + preds[1][0] + 1) >> 1
-        cb = (preds[0][1] + preds[1][1] + 1) >> 1
-        cr = (preds[0][2] + preds[1][2] + 1) >> 1
-    else:
-        y, cb, cr = preds[0]
-    fr.y[py : py + 16, px : px + 16] = y
-    cxp, cyp = px // 2, py // 2
-    fr.cb[cyp : cyp + 8, cxp : cxp + 8] = cb
-    fr.cr[cyp : cyp + 8, cxp : cxp + 8] = cr
-    bx0, by0 = mbx * 4, mby * 4
-    fr.blk_mv[by0 : by0 + 4, bx0 : bx0 + 4] = mv0 if use0 else (0, 0)
-    fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = ri0
-    fr.blk_mv1[by0 : by0 + 4, bx0 : bx0 + 4] = mv1 if use1 else (0, 0)
-    fr.blk_ref1[by0 : by0 + 4, bx0 : bx0 + 4] = ri1
-    fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+    ri0 = [read_ref(n_ref0, fr.refs) if u else -1 for u in uses0]
+    ri1 = [read_ref(n_ref1, fr.refs_l1) if u else -1 for u in uses1]
+    mv0: list = [None] * len(parts)
+    mv1: list = [None] * len(parts)
+    for lst, uses, ris, mvs, blk_mv, blk_ref in (
+        (0, uses0, ri0, mv0, fr.blk_mv, fr.blk_ref),
+        (1, uses1, ri1, mv1, fr.blk_mv1, fr.blk_ref1),
+    ):
+        for k, (ox, oy, w, h, sc) in enumerate(parts):
+            bx = (mbx * 16 + ox) // 4
+            by = (mby * 16 + oy) // 4
+            if uses[k]:
+                mvd = (r.se(), r.se())
+                mvp = _mv_pred(fr, mbx, mby, ox, oy, w, h, slice_id,
+                               shortcut=sc, ref_idx=ris[k], lst=lst)
+                mvs[k] = (mvp[0] + mvd[0], mvp[1] + mvd[1])
+                blk_mv[by : by + h // 4, bx : bx + w // 4] = mvs[k]
+            blk_ref[by : by + h // 4, bx : bx + w // 4] = ris[k]
+            fr.blk_slice[by : by + h // 4, bx : bx + w // 4] = slice_id
+    for k, (ox, oy, w, h, _sc) in enumerate(parts):
+        px, py = mbx * 16 + ox, mby * 16 + oy
+        preds = []
+        if uses0[k]:
+            preds.append(_mc_pred(fr.refs[ri0[k]], px, py, w, h, mv0[k]))
+        if uses1[k]:
+            preds.append(_mc_pred(fr.refs_l1[ri1[k]], px, py, w, h, mv1[k]))
+        if len(preds) == 2:
+            y = (preds[0][0] + preds[1][0] + 1) >> 1
+            cb = (preds[0][1] + preds[1][1] + 1) >> 1
+            cr = (preds[0][2] + preds[1][2] + 1) >> 1
+        else:
+            y, cb, cr = preds[0]
+        fr.y[py : py + h, px : px + w] = y
+        cxp, cyp, cw, ch = px // 2, py // 2, w // 2, h // 2
+        fr.cb[cyp : cyp + ch, cxp : cxp + cw] = cb
+        fr.cr[cyp : cyp + ch, cxp : cxp + cw] = cr
     _inter_residual_tail(fr, r, pps, mb, slice_id, qp)
 
 
@@ -1984,13 +2027,12 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
         # 4-21 = partitions, 22 = B_8x8, 23+ = intra (offset 23)
         if mb_type == 0:
             raise H264Error("B_Direct_16x16 unsupported")
-        if mb_type <= 3:
+        if mb_type <= 21:
             _decode_mb_inter_b(fr, r, pps, mb, slice_id, qp, mb_type,
                                n_ref, n_ref1)
             return
-        if mb_type < 23:
-            raise H264Error(
-                f"B mb_type {mb_type} (partitioned/B_8x8) unsupported")
+        if mb_type == 22:
+            raise H264Error("B_8x8 (sub-macroblock) unsupported")
         mb_type -= 23  # intra MB in a B slice
     elif is_p:
         if mb_type < 5:  # inter MB types (P_L0_16x16 / 16x8 / 8x16 / 8x8)
@@ -2923,41 +2965,64 @@ def _encode_b_inter_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
         else:
             w.ue(ri)
 
+    # normalize every descriptor to (mb_type, [(mode, mv_l0, mv_l1,
+    # ri0, ri1) per partition])
     if kind == "bl0":
-        mv0, coeffs, cdc = desc[1], desc[2], desc[3]
-        ri0 = desc[4] if len(desc) > 4 else 0
-        mv1, ri1 = None, -1
-        w.ue(1)
+        coeffs, cdc = desc[2], desc[3]
+        specs = [("l0", desc[1], None, desc[4] if len(desc) > 4 else 0, -1)]
+        btype = 1
     elif kind == "bl1":
-        mv1, coeffs, cdc = desc[1], desc[2], desc[3]
-        ri1 = desc[4] if len(desc) > 4 else 0
-        mv0, ri0 = None, -1
-        w.ue(2)
+        coeffs, cdc = desc[2], desc[3]
+        specs = [("l1", None, desc[1], -1, desc[4] if len(desc) > 4 else 0)]
+        btype = 2
     elif kind == "bbi":
-        mv0, mv1, coeffs, cdc = desc[1], desc[2], desc[3], desc[4]
-        ri0, ri1 = desc[5] if len(desc) > 5 else (0, 0)
-        w.ue(3)
+        coeffs, cdc = desc[3], desc[4]
+        r0, r1 = desc[5] if len(desc) > 5 else (0, 0)
+        specs = [("bi", desc[1], desc[2], r0, r1)]
+        btype = 3
+    elif kind in ("b16x8", "b8x16"):
+        # ("b16x8"|"b8x16", [(mode, mv_l0_or_None, mv_l1_or_None
+        #  [, ri0, ri1]), x2], coeffs16_or_None, cdc_or_None)
+        shape = "16x8" if kind == "b16x8" else "8x16"
+        coeffs, cdc = desc[2], desc[3]
+        specs = []
+        for part in desc[1]:
+            mode, pmv0, pmv1 = part[0], part[1], part[2]
+            pr0 = part[3] if len(part) > 3 else (0 if pmv0 is not None else -1)
+            pr1 = part[4] if len(part) > 4 else (0 if pmv1 is not None else -1)
+            specs.append((mode, pmv0, pmv1, pr0, pr1))
+        modes = tuple(sp[0] for sp in specs)
+        btype = next(
+            t for t, (sh, md) in _B_MB_TYPES.items()
+            if sh == shape and md == modes
+        )
     else:
         raise H264Error(f"unknown B MB descriptor {kind!r}")
-    if mv0 is not None:
-        put_ref(ri0, n_ref0)
-    if mv1 is not None:
-        put_ref(ri1, n_ref1)
-    if mv0 is not None:
-        mvp = _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id,
-                       ref_idx=ri0, lst=0)
-        w.se(mv0[0] - mvp[0])
-        w.se(mv0[1] - mvp[1])
-    if mv1 is not None:
-        mvp = _mv_pred(fr, mbx, mby, 0, 0, 16, 16, slice_id,
-                       ref_idx=ri1, lst=1)
-        w.se(mv1[0] - mvp[0])
-        w.se(mv1[1] - mvp[1])
-    fr.blk_mv[by0 : by0 + 4, bx0 : bx0 + 4] = mv0 if mv0 is not None else (0, 0)
-    fr.blk_ref[by0 : by0 + 4, bx0 : bx0 + 4] = ri0
-    fr.blk_mv1[by0 : by0 + 4, bx0 : bx0 + 4] = mv1 if mv1 is not None else (0, 0)
-    fr.blk_ref1[by0 : by0 + 4, bx0 : bx0 + 4] = ri1
-    fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+    w.ue(btype)
+    shape, modes = _B_MB_TYPES[btype]
+    parts = _B_PART_RECTS[shape]
+    for sp in specs:           # ALL ref_idx_l0 first (7.3.5.1)
+        if sp[0] in ("l0", "bi"):
+            put_ref(sp[3], n_ref0)
+    for sp in specs:           # then ALL ref_idx_l1
+        if sp[0] in ("l1", "bi"):
+            put_ref(sp[4], n_ref1)
+    for lst, mv_i, ri_i, blk_mv, blk_ref, lset in (
+        (0, 1, 3, fr.blk_mv, fr.blk_ref, ("l0", "bi")),
+        (1, 2, 4, fr.blk_mv1, fr.blk_ref1, ("l1", "bi")),
+    ):
+        for sp, (ox, oy, pw, ph, sc) in zip(specs, parts):
+            bx = (mbx * 16 + ox) // 4
+            by = (mby * 16 + oy) // 4
+            if sp[0] in lset:
+                mv = sp[mv_i]
+                mvp = _mv_pred(fr, mbx, mby, ox, oy, pw, ph, slice_id,
+                               shortcut=sc, ref_idx=sp[ri_i], lst=lst)
+                w.se(mv[0] - mvp[0])
+                w.se(mv[1] - mvp[1])
+                blk_mv[by : by + ph // 4, bx : bx + pw // 4] = mv
+            blk_ref[by : by + ph // 4, bx : bx + pw // 4] = sp[ri_i]
+            fr.blk_slice[by : by + ph // 4, bx : bx + pw // 4] = slice_id
     cbp_luma = 0
     if coeffs is not None:
         for i in range(16):
@@ -3025,7 +3090,7 @@ def encode_b_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
     w.ue(deblock_idc)
     for mb, desc in enumerate(mbs):
         w.ue(0)  # mb_skip_run (B_Skip = direct mode: never emitted)
-        if desc[0] in ("bl0", "bl1", "bbi"):
+        if desc[0] in ("bl0", "bl1", "bbi", "b16x8", "b8x16"):
             _encode_b_inter_mb(w, shadow, mb, desc, qp, 0,
                                n_ref0=n_ref0, n_ref1=n_ref1)
         else:

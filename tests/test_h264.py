@@ -2936,3 +2936,59 @@ def test_decode_frames_b_chain_through_mp4(spark):
     assert rows[1]["pix_sum"] == 3 * 136 * w * h
     assert rows[2]["pix_sum"] == 3 * 134 * w * h   # (132+136+1)>>1
     assert rows[3]["pix_sum"] == 3 * 132 * w * h   # re-anchored IDR
+
+
+def test_b_partitioned_mixed_mode_16x8_and_8x16():
+    """16x8 / 8x16 B partitions with per-partition prediction modes
+    (Table 7-14 rows 4-21): an L0-top/L1-bottom 16x8 MB shows the IDR
+    value in its top half and the P value in the bottom; an
+    Bi-left/L0-right 8x16 shows the average left and the IDR value
+    right. Per-list directional mvp shortcuts round-trip."""
+    import numpy as np
+
+    from engine_spark.datapipe import h264 as H
+
+    sps, pps, idr, pfr = _b_stream_parts()    # flat 132 / 136
+    v_i, v_p, v_bi = 132, 136, 134
+
+    b = H.encode_b_frame(
+        [("b16x8", [("l0", (2, -1), None), ("l1", None, (-1, 3))],
+          None, None)],
+        1, 1, 26, frame_num=2, poc_lsb=2,
+    )
+    frames = H.decode_gop([[sps, pps, idr], [pfr], [b]])
+    y = frames[2][..., 0]
+    assert (y[:8, :] == v_i).all() and (y[8:, :] == v_p).all()
+
+    b2 = H.encode_b_frame(
+        [("b8x16", [("bi", (1, 1), (-2, 0)), ("l0", (4, -4), None)],
+          None, None)],
+        1, 1, 26, frame_num=2, poc_lsb=2,
+    )
+    frames = H.decode_gop([[sps, pps, idr], [pfr], [b2]])
+    y = frames[2][..., 0]
+    assert (y[:, :8] == v_bi).all() and (y[:, 8:] == v_i).all()
+
+    # every two-partition type round-trips on the flat sandwich
+    want = {"l0": v_i, "l1": v_p, "bi": v_bi}
+    for btype, (shape, modes) in H._B_MB_TYPES.items():
+        if shape == "16x16":
+            continue
+        kind = "b16x8" if shape == "16x8" else "b8x16"
+        specs = [
+            (m,
+             (1, -1) if m in ("l0", "bi") else None,
+             (-1, 2) if m in ("l1", "bi") else None)
+            for m in modes
+        ]
+        b3 = H.encode_b_frame([(kind, specs, None, None)], 1, 1, 26,
+                              frame_num=2, poc_lsb=2)
+        frames = H.decode_gop([[sps, pps, idr], [pfr], [b3]])
+        assert frames[2] is not None, btype
+        y = frames[2][..., 0]
+        if shape == "16x8":
+            regions = [y[:8, :], y[8:, :]]
+        else:
+            regions = [y[:, :8], y[:, 8:]]
+        for region, m in zip(regions, modes):
+            assert (region == want[m]).all(), (btype, m)
