@@ -109,14 +109,22 @@ class BitReader:
         self.pos = 0  # bit position
 
     def u(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            byte_i, bit_i = divmod(self.pos, 8)
-            if byte_i >= len(self.data):
-                raise H264Error("bitstream truncated")
-            v = (v << 1) | ((self.data[byte_i] >> (7 - bit_i)) & 1)
-            self.pos += 1
-        return v
+        """Read ``n`` MSB-first bits in ONE int.from_bytes over the
+        covering byte slice (the per-bit loop was a top-5 decoder cost:
+        ~n divmods + shifts per call vs one C-level conversion here)."""
+        pos = self.pos
+        end = pos + n
+        data = self.data
+        if end > len(data) << 3:
+            raise H264Error("bitstream truncated")
+        self.pos = end
+        if n == 0:
+            return 0
+        b1 = (end + 7) >> 3
+        return (
+            int.from_bytes(data[pos >> 3 : b1], "big")
+            >> ((b1 << 3) - end)
+        ) & ((1 << n) - 1)
 
     def bit(self) -> int:
         """Single-bit fast path — the CABAC renorm/bypass hot loop calls
@@ -181,45 +189,77 @@ class BitReader:
 
 
 class BitWriter:
-    """MSB-first bit writer (fixture encoder side)."""
+    """MSB-first bit writer (fixture encoder side).
+
+    Internally a flushed ``bytearray`` plus <8 pending bits in a small
+    int — appends are O(bits/8) instead of one Python list append per
+    bit, and ``tobytes`` is a copy instead of an npO(n) packbits pass.
+    ``bits`` stays available as a READ-ONLY property (tests inspect
+    exact bit strings); in-writer alignment uses :meth:`byte_align`.
+    """
 
     def __init__(self) -> None:
-        self.bits: list[int] = []
+        self._buf = bytearray()
+        self._cur = 0  # pending bits, MSB-first, self._nb of them (< 8)
+        self._nb = 0
 
     def u(self, v: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.bits.append((v >> i) & 1)
+        cur = (self._cur << n) | (v & ((1 << n) - 1))
+        nb = self._nb + n
+        buf = self._buf
+        while nb >= 8:
+            nb -= 8
+            buf.append((cur >> nb) & 0xFF)
+        self._cur = cur & ((1 << nb) - 1)
+        self._nb = nb
 
     def put(self, bitstring: str) -> None:
-        self.bits.extend(1 if c == "1" else 0 for c in bitstring)
-
-    _BYTE_BITS = [tuple((v >> i) & 1 for i in range(7, -1, -1))
-                  for v in range(256)]
+        if bitstring:
+            self.u(int(bitstring, 2), len(bitstring))
 
     def put_bytes(self, bs) -> None:
         """Bulk byte append (the I_PCM encode fast path)."""
-        table = self._BYTE_BITS
-        bits = self.bits
-        for v in bs:
-            bits.extend(table[v])
+        if self._nb == 0:
+            self._buf.extend(bs)
+        else:
+            for v in bs:
+                self.u(v, 8)
 
     def ue(self, v: int) -> None:
         v += 1
         n = v.bit_length()
-        self.u(0, n - 1)
-        self.u(v, n)
+        self.u(v, 2 * n - 1)  # n-1 leading zeros + the n-bit value
 
     def se(self, v: int) -> None:
         self.ue(2 * v - 1 if v > 0 else -2 * v)
 
+    def bit_len(self) -> int:
+        return 8 * len(self._buf) + self._nb
+
+    def byte_align(self, bit: int = 0) -> None:
+        """Pad with ``bit`` to the next byte boundary (pcm_alignment_
+        zero_bit / cabac_alignment_one_bit call sites)."""
+        while self._nb:
+            self.u(bit, 1)
+
+    @property
+    def bits(self) -> list[int]:
+        """The written bit sequence as a list (read-only snapshot)."""
+        out: list[int] = []
+        for b in self._buf:
+            out.extend((b >> i) & 1 for i in range(7, -1, -1))
+        out.extend((self._cur >> i) & 1 for i in range(self._nb - 1, -1, -1))
+        return out
+
     def rbsp_trailing(self) -> None:
-        self.bits.append(1)
-        while len(self.bits) % 8:
-            self.bits.append(0)
+        self.u(1, 1)
+        self.byte_align(0)
 
     def tobytes(self) -> bytes:
-        arr = np.array(self.bits, np.uint8)
-        return np.packbits(arr).tobytes()  # right-pads the last byte with 0s
+        if self._nb == 0:
+            return bytes(self._buf)
+        # right-pad the last byte with 0s
+        return bytes(self._buf) + bytes(((self._cur << (8 - self._nb)) & 0xFF,))
 
 
 # ---------------------------------------------------------------------------
@@ -2592,8 +2632,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
             raise H264Error("I_PCM carries no mb_qp_delta")
         _, y, cb, cr = desc
         w.ue(25 + ptype_off)
-        while len(w.bits) % 8:
-            w.bits.append(0)  # pcm_alignment_zero_bit
+        w.byte_align(0)  # pcm_alignment_zero_bit
         w.put_bytes(np.asarray(y, np.int64).reshape(-1).astype(np.uint8).tobytes())
         for plane in (cb, cr):
             w.put_bytes(
@@ -3166,6 +3205,18 @@ def _filter_edge_luma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
             q0 = plane[y][x]
             q1 = plane[y + 1][x]
             q2 = plane[y + 2][x]
+        # Uniform-line no-op exit (exact algebra, any stream): with
+        # p2==p1==p0==q0==q1==q2 the weak filter's delta and p1/q1
+        # updates are 0, and the strong filter reproduces every sample
+        # — provided p3/q3 match too, which only the strong path reads.
+        if p0 == q0 and p1 == p0 and q1 == p0 and p2 == p0 and q2 == p0:
+            if bs != 4:
+                continue
+            if dx:
+                if row[x - 4] == p0 and row[x + 3] == p0:
+                    continue
+            elif plane[y - 4][x] == p0 and plane[y + 3][x] == p0:
+                continue
         if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
                 and abs(q1 - q0) < beta):
             continue
@@ -3251,6 +3302,9 @@ def _filter_edge_chroma(plane, xs, ys, dx, dy, bs, qpa, off_a, off_b):
         else:
             p0, p1 = plane[y - 1][x], plane[y - 2][x]
             q0, q1 = plane[y][x], plane[y + 1][x]
+        # uniform-line no-op exit (exact: both branches reproduce p0/q0)
+        if p0 == q0 and p1 == p0 and q1 == p0:
+            continue
         if not (abs(p0 - q0) < alpha and abs(p1 - p0) < beta
                 and abs(q1 - q0) < beta):
             continue
@@ -4150,8 +4204,7 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
         enc.decision(3 + inc, 1)
         enc.terminate(1)  # the I_PCM signal; terminate(1) EncodeFlushes
         w = enc.w
-        while len(w.bits) % 8:
-            w.bits.append(0)  # pcm_alignment_zero_bit
+        w.byte_align(0)  # pcm_alignment_zero_bit
         w.put_bytes(np.asarray(y, np.int64).reshape(-1).astype(np.uint8).tobytes())
         for plane in (cb, cr):
             w.put_bytes(
@@ -4383,8 +4436,7 @@ def encode_i_frame_cabac_slices(
         if deblock_idc != 1:
             w.se(0)  # slice_alpha_c0_offset_div2
             w.se(0)  # slice_beta_offset_div2
-        while len(w.bits) % 8:
-            w.bits.append(1)  # cabac_alignment_one_bit (7.3.4)
+        w.byte_align(1)  # cabac_alignment_one_bit (7.3.4)
         # CABAC state — contexts AND the arithmetic engine — initializes
         # fresh per slice (9.3.1), exactly as the decoder builds one
         # CabacDecoder per slice NAL
