@@ -127,13 +127,20 @@ class IncrementalBM25Index:
         (see ``EpochLog.canonical``)."""
         return self._log.canonical()
 
-    def _publish(self, postings: DataFrame, stats: dict, final: str) -> bool:
+    def _publish(self, postings: DataFrame, stats, final: str) -> bool:
+        """``stats`` is a dict, or a callable invoked with the staging dir
+        AFTER the parquet write (stats from the written postings)."""
         from engine_spark.fsio import publish_parquet_dir
 
+        payload = (
+            (lambda staging: json.dumps(stats(staging)).encode())
+            if callable(stats)
+            else json.dumps(stats).encode()
+        )
         return publish_parquet_dir(
             self._fs, postings, self.state_dir, final,
             partition_by="bucket",
-            sidecar=("_stats.json", json.dumps(stats).encode()),
+            sidecar=("_stats.json", payload),
         )
 
     def _read_epoch(self, path: str) -> DataFrame:
@@ -146,33 +153,40 @@ class IncrementalBM25Index:
         final = self._epoch_path(epoch_id)
         if self.committed(epoch_id):
             return
-        # one tokenization per batch: tf is the ONLY aggregate computed
-        # from the raw token stream, and it is the one that gets
-        # materialized (localCheckpoint) — distinct-(doc,term)-sized, far
-        # smaller than the per-occurrence token stream; dl and total_len
-        # both derive from it (dl = sum of tf per doc) without
-        # re-tokenizing anything
+        # ONE tokenization pass per epoch, and only two jobs: the former
+        # shape paid three (eager localCheckpoint of tf, a stats job, a
+        # tf⋈dl join feeding the write). Here tf flows straight into the
+        # write — dl = sum(tf) over a doc_id window, identical values to
+        # the join, no materialization barrier — and the sidecar stats
+        # job reads the just-WRITTEN distinct-pair postings for
+        # total_len (Σ tf ≡ Σ per-doc dl) plus a count of the raw batch
+        # for n_docs (token-less docs are corpus members), never
+        # re-tokenizing anything. (df.observe would fold the stats into
+        # the write job itself, but observation metrics do not propagate
+        # through a parquet write command in Spark 4.1.2.)
+        from pyspark.sql import Window
+
         tok = docs.select(
             "doc_id", F.explode(F.expr(FR.tokens(_SP, text_col))).alias("term")
         )
-        tf = (
-            tok.groupBy("doc_id", "term")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .localCheckpoint(eager=True)
-        )
-        dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-        postings = tf.join(dl, "doc_id").withColumn(
+        tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        postings = tf.withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+        ).withColumn(
             "bucket", F.expr(f"pmod(xxhash64(term), {self.n_buckets})")
         )
-        # n_docs counts EVERY batch document (token-less ones included —
-        # they are corpus members for the BM25 n_docs), so it comes from
-        # the raw batch, not from dl
-        n_docs, total_len = (
-            docs.agg(
-                F.count(F.lit(1)).alias("n"),
-            ).crossJoin(dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t")))
-        ).collect()[0]
-        self._publish(postings, {"n_docs": n_docs, "total_len": int(total_len)}, final)
+
+        def _stats(staging: str) -> dict:
+            n_docs, total_len = (
+                docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+                    self.spark.read.schema(POSTINGS_SCHEMA)
+                    .parquet(staging)
+                    .agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("t"))
+                )
+            ).collect()[0]
+            return {"n_docs": n_docs, "total_len": int(total_len)}
+
+        self._publish(postings, _stats, final)
 
     # -- query ----------------------------------------------------------
     def corpus_stats(self) -> tuple[int, int]:
@@ -196,17 +210,16 @@ class IncrementalBM25Index:
         epochs = self._epochs()
         if not epochs:
             raise ValueError("search on an empty index")
-        terms = [r["term"] for r in qdf.select("term").distinct().collect()]
-        buckets = sorted(
-            {
-                r["b"]
-                for r in self.spark.createDataFrame(
-                    [(t,) for t in terms], "term string"
-                )
-                .select(F.expr(f"pmod(xxhash64(term), {self.n_buckets})").alias("b"))
-                .collect()
-            }
+        # one driver round-trip for terms AND their buckets (was two)
+        tb = (
+            qdf.select("term").distinct()
+            .withColumn(
+                "b", F.expr(f"pmod(xxhash64(term), {self.n_buckets})")
+            )
+            .collect()
         )
+        terms = [r["term"] for r in tb]
+        buckets = sorted({r["b"] for r in tb})
         parts = [self._read_epoch(p) for _, p in epochs]
         post = parts[0]
         for p in parts[1:]:

@@ -378,6 +378,12 @@ def publish_parquet_dir(
     w.parquet(staging)
     if sidecar is not None:
         name, data = sidecar
+        if callable(data):
+            # lazily-computed sidecar: called with the staging dir AFTER
+            # the parquet write, so a caller can derive stats from the
+            # just-written (distinct-pair-sized) files instead of paying
+            # a second pass over the raw input
+            data = data(staging)
         fs.write_bytes(f"{staging}/{name}", data)
     parent = final.rsplit("/", 1)[0]
     fs.mkdirs(parent)
