@@ -2219,6 +2219,32 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
             ox, oy = _BLK_XY[i]
             bpx, bpy = px + ox, py + oy
             bx, by = bpx // 4, bpy // 4
+            if modes[i] == 2 and luma_coeffs[i] is None:
+                # DC-predicted residual-free block = one constant
+                # (8.3.1.2 mode-2): compute it scalar and skip the
+                # small-array prediction round — the dominant case in
+                # flat I_4x4 regions
+                ts = ls = None
+                if bpy > 0 and blk_written(bx, by - 1):
+                    r0 = fr.y[bpy - 1]
+                    ts = (int(r0[bpx]) + int(r0[bpx + 1])
+                          + int(r0[bpx + 2]) + int(r0[bpx + 3]))
+                if bpx > 0 and blk_written(bx - 1, by):
+                    yp = fr.y
+                    ls = (int(yp[bpy, bpx - 1]) + int(yp[bpy + 1, bpx - 1])
+                          + int(yp[bpy + 2, bpx - 1])
+                          + int(yp[bpy + 3, bpx - 1]))
+                if ts is not None and ls is not None:
+                    v = (ts + ls + 4) >> 3
+                elif ts is not None:
+                    v = (ts + 2) >> 2
+                elif ls is not None:
+                    v = (ls + 2) >> 2
+                else:
+                    v = 128
+                fr.y[bpy : bpy + 4, bpx : bpx + 4] = v
+                written[oy // 4, ox // 4] = True
+                continue
             top = left = corner = None
             if bpy > 0 and blk_written(bx, by - 1):
                 t4 = fr.y[bpy - 1, bpx : bpx + 4]
@@ -2341,14 +2367,24 @@ def decode_access_unit(nals: list[bytes], sps_map: dict, pps_map: dict,
 
 def _frame_rgb(fr: _Frame) -> "np.ndarray":
     """YCbCr 4:2:0 planes -> cropped RGB uint8 (BT.601 full-range)."""
-    y = fr.y.astype(np.float64)
-    cb = fr.cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
-    cr = fr.cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
-    rgb = np.stack(
-        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
-        axis=2,
-    )
-    rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    cbmm = (int(fr.cb.min()), int(fr.cb.max()))
+    crmm = (int(fr.cr.min()), int(fr.cr.max()))
+    if cbmm == (128, 128) and crmm == (128, 128):
+        # neutral chroma (gray content): every BT.601 chroma term is
+        # exactly 0, so R = G = B = Y — skip the float conversion pass
+        # (integer clip matches the float path's rint+clip exactly).
+        rgb = np.repeat(
+            fr.y.clip(0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+    else:
+        y = fr.y.astype(np.float64)
+        cb = fr.cb.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
+        cr = fr.cr.repeat(2, axis=0).repeat(2, axis=1).astype(np.float64) - 128.0
+        rgb = np.stack(
+            [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+            axis=2,
+        )
+        rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     left, right, top, bottom = fr.sps["crop"]
     h = fr.hmb * 16 - 2 * (top + bottom)
     w = fr.wmb * 16 - 2 * (left + right)

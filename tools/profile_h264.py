@@ -182,6 +182,20 @@ def run_gate(name: str, n_docs: int) -> tuple[float, float]:
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--time":
+        # plain min-of-3 wall timing per gate kernel (no cProfile):
+        # the precise, Spark-noise-free basis for before/after claims
+        n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+        for g in SYNTHS:
+            run_gate(g, 50)  # warm-up
+        for g in SYNTHS:
+            best = (float("inf"), float("inf"))
+            for _ in range(3):
+                s, d = run_gate(g, n_docs)
+                best = (min(best[0], s), min(best[1], d))
+            print(f"BEST {g}: synth {best[0]:.3f}s decode {best[1]:.3f}s "
+                  f"total {best[0] + best[1]:.3f}s")
+        return
     gate = sys.argv[1] if len(sys.argv) > 1 else "all"
     n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 300
     gates = list(SYNTHS) if gate == "all" else [gate]
