@@ -424,12 +424,21 @@ def _bm25_parts(docs: DataFrame):
     Scale shapes: tf/dl/dfq are combine-enabled aggregations over one
     posting explode; dfq is vocabulary-sized (broadcastable); stats is one
     row. Nothing here materializes per-pair state."""
+    from pyspark.sql import Window
+
     tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf0 = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # EVERY part roots at tf0's (doc_id, term) aggregation, so the
+    # tokenize + partial-agg + exchange subtree is identical across
+    # branches and ReuseExchange runs it ONCE (the former shape keyed dl
+    # and stats off the raw token stream — three tokenization passes per
+    # query). tf additionally carries dl (sum of tf per doc — identical
+    # values to the former dl join) so scoring needs no doc_id join.
+    tf = tf0.withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+    dl = tf0.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfq = tf0.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.sum("dl").alias("total_len"))
+        tf0.agg(F.sum("tf").alias("total_len"))
     )
     return tf, dl, dfq, stats
 
@@ -440,12 +449,11 @@ def bm25_scores(docs: DataFrame, qdf: DataFrame) -> DataFrame:
     the postings join FIRST, shrinking tf to query-term postings before the
     doc-length join — candidate volume scales with postings of the queried
     terms, never with |corpus| x |queries|."""
-    tf, dl, dfq, stats = _bm25_parts(docs)
+    tf, _dl, dfq, stats = _bm25_parts(docs)
     contrib = (
         F.broadcast(qdf)
-        .join(tf, "term")
+        .join(tf, "term")  # tf rows carry dl — no doc_id join needed
         .join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("q_id", "doc_id", F.expr(_bm25_contrib()).alias("s"))
     )
@@ -604,7 +612,7 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs, emb = cat["documents"], cat["embeddings"]
 
     # --- lexical ranking: BM25 over each seed's rarest-QTERMS query ------
-    tf, dl, dfq, stats = _bm25_parts(docs)
+    tf, _dl, dfq, stats = _bm25_parts(docs)
     tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("term"))
     seed_tok = (
         tok.filter(F.col("doc_id") < RRF_SEEDS)
@@ -620,10 +628,9 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     contrib = (
         F.broadcast(qterms)
-        .join(tf, "term")
+        .join(tf, "term")  # tf rows carry dl — no doc_id join needed
         .filter(F.col("doc_id") != F.col("q_id"))
         .join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("q_id", "doc_id", F.expr(_bm25_contrib()).alias("s"))
     )
@@ -3524,7 +3531,7 @@ def q_search_hybrid_store(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- seed queries: each seed's RRF_QTERMS rarest distinct terms ---
     # (corpus-derived, identical for store and twin by construction)
-    tf, dl, dfq, stats = _bm25_parts(docs)
+    tf, _dl, dfq, stats = _bm25_parts(docs)
     tok = docs.select("doc_id", F.explode(F.expr(FR.tokens(SP))).alias("term"))
     seed_tok = (
         tok.filter(F.col("doc_id") < RRF_SEEDS)
@@ -3550,10 +3557,9 @@ def q_search_hybrid_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # --- the live twin: same math from the raw tables ------------------
     contrib = (
         F.broadcast(qterms)
-        .join(tf, "term")
+        .join(tf, "term")  # tf rows carry dl — no doc_id join needed
         .filter(F.col("doc_id") != F.col("q_id"))
         .join(F.broadcast(dfq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select("q_id", "doc_id", F.expr(_bm25_contrib()).alias("s"))
     )
