@@ -1327,13 +1327,27 @@ def _interp_luma_block(ref_y: "np.ndarray", x0: int, y0: int, w: int, h: int,
     whole w x h block."""
     ix, fx = mvx >> 2, mvx & 3
     iy, fy = mvy >> 2, mvy & 3
+    if ref_y.dtype != np.int64:  # guard the tap arithmetic against overflow
+        ref_y = ref_y.astype(np.int64)
     H, W = ref_y.shape
-    rows = np.clip(np.arange(y0 + iy - 2, y0 + iy + h + 3), 0, H - 1)
-    cols = np.clip(np.arange(x0 + ix - 2, x0 + ix + w + 3), 0, W - 1)
-    win = ref_y[np.ix_(rows, cols)].astype(np.int64)  # (h+5, w+5); G at [2,2]
-    G = win[2 : 2 + h, 2 : 2 + w]
+    r0, c0 = y0 + iy, x0 + ix
     if fx == 0 and fy == 0:
-        return G
+        if 0 <= r0 and r0 + h <= H and 0 <= c0 and c0 + w <= W:
+            # integer MV fully inside the frame (the common case): the
+            # prediction IS the reference block — return a read-only view
+            # (callers assign/combine, never mutate predictions in place)
+            return ref_y[r0 : r0 + h, c0 : c0 + w]
+        rows = np.clip(np.arange(r0, r0 + h), 0, H - 1)
+        cols = np.clip(np.arange(c0, c0 + w), 0, W - 1)
+        return ref_y[np.ix_(rows, cols)]
+    if 0 <= r0 - 2 and r0 + h + 3 <= H and 0 <= c0 - 2 and c0 + w + 3 <= W:
+        # in-bounds window: basic slice (view) instead of fancy indexing
+        win = ref_y[r0 - 2 : r0 + h + 3, c0 - 2 : c0 + w + 3]
+    else:
+        rows = np.clip(np.arange(r0 - 2, r0 + h + 3), 0, H - 1)
+        cols = np.clip(np.arange(c0 - 2, c0 + w + 3), 0, W - 1)
+        win = ref_y[np.ix_(rows, cols)]  # (h+5, w+5); G at [2,2]
+    G = win[2 : 2 + h, 2 : 2 + w]
 
     def tap6_h(a):  # horizontal 6-tap at half position right of col c+2
         return (a[:, 0:-5] - 5 * a[:, 1:-4] + 20 * a[:, 2:-3]
@@ -1389,10 +1403,24 @@ def _interp_chroma_block(ref_c: "np.ndarray", x0: int, y0: int, w: int,
     IS the chroma eighth-pel mv in 4:2:0. Edge-clamped."""
     ix, dx = mvx >> 3, mvx & 7
     iy, dy = mvy >> 3, mvy & 7
+    if ref_c.dtype != np.int64:  # guard the bilinear arithmetic
+        ref_c = ref_c.astype(np.int64)
     H, W = ref_c.shape
-    rows = np.clip(np.arange(y0 + iy, y0 + iy + h + 1), 0, H - 1)
-    cols = np.clip(np.arange(x0 + ix, x0 + ix + w + 1), 0, W - 1)
-    win = ref_c[np.ix_(rows, cols)].astype(np.int64)
+    r0, c0 = y0 + iy, x0 + ix
+    if dx == 0 and dy == 0:
+        if 0 <= r0 and r0 + h <= H and 0 <= c0 and c0 + w <= W:
+            # integer-pel chroma MV inside the frame: pure copy (view;
+            # callers assign/combine, never mutate predictions in place)
+            return ref_c[r0 : r0 + h, c0 : c0 + w]
+        rows = np.clip(np.arange(r0, r0 + h), 0, H - 1)
+        cols = np.clip(np.arange(c0, c0 + w), 0, W - 1)
+        return ref_c[np.ix_(rows, cols)]
+    if 0 <= r0 and r0 + h + 1 <= H and 0 <= c0 and c0 + w + 1 <= W:
+        win = ref_c[r0 : r0 + h + 1, c0 : c0 + w + 1]  # in-bounds: view
+    else:
+        rows = np.clip(np.arange(r0, r0 + h + 1), 0, H - 1)
+        cols = np.clip(np.arange(c0, c0 + w + 1), 0, W - 1)
+        win = ref_c[np.ix_(rows, cols)]
     A = win[:h, :w]
     B = win[:h, 1:]
     C = win[1:, :w]
@@ -1446,9 +1474,12 @@ def _mv_pred(fr: _Frame, mbx: int, mby: int, ox: int, oy: int, w: int,
                if ref == ref_idx]
     if len(matches) == 1:
         return matches[0]
+    # component-wise 3-value median without the numpy call overhead
+    x0, x1, x2 = a_mv[0], b_mv[0], c_mv[0]
+    y0, y1, y2 = a_mv[1], b_mv[1], c_mv[1]
     return (
-        int(np.median((a_mv[0], b_mv[0], c_mv[0]))),
-        int(np.median((a_mv[1], b_mv[1], c_mv[1]))),
+        x0 + x1 + x2 - min(x0, x1, x2) - max(x0, x1, x2),
+        y0 + y1 + y2 - min(y0, y1, y2) - max(y0, y1, y2),
     )
 
 
