@@ -2165,6 +2165,18 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal: opaque binary columns with typed metadata
 # ===========================================================================
 
+def _ordered_once(df: DataFrame, *cols: str) -> DataFrame:
+    """Total-order a Python-kernel gate's output WITHOUT re-executing the
+    kernel: a global sort's range partitioner SAMPLES its child, and under
+    AQE everything after the last exchange — here the entire synth+decode
+    mapInPandas chain — runs once for the sample and again for the sort
+    (measured 1.78x on multimodal_h264). localCheckpoint(eager=False)
+    persists the kernel output the first time the sampling pass computes
+    it, so the sort's real pass reads the persisted partitions. Each query
+    build creates a fresh checkpoint — nothing is shared across runs."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 @register(
     "multimodal_pipeline",
     """
@@ -2281,7 +2293,7 @@ def q_multimodal_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CASE doc_id % 2 WHEN 0 THEN {png} ELSE {gif} END"
         ).alias("payload"),
     )
-    return decode_image_headers(payloads).orderBy("doc_id")
+    return _ordered_once(decode_image_headers(payloads), "doc_id")
 
 
 AUDIO_RATE = 8000
@@ -2330,7 +2342,7 @@ def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_audio(payloads).orderBy("doc_id")
+    return _ordered_once(decode_audio(payloads), "doc_id")
 
 
 RESIZE_W, RESIZE_H = 16, 12
@@ -2392,7 +2404,7 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
     resized = resize_image(payloads, RESIZE_W, RESIZE_H)
-    return decode_image(resized.select("doc_id", "payload")).orderBy("doc_id")
+    return _ordered_once(decode_image(resized.select("doc_id", "payload")), "doc_id")
 
 
 @register(
@@ -2451,7 +2463,7 @@ def q_multimodal_bmp_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_image(payloads).orderBy("doc_id")
+    return _ordered_once(decode_image(payloads), "doc_id")
 
 
 @register(
@@ -2515,7 +2527,7 @@ def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_image(payloads).orderBy("doc_id")
+    return _ordered_once(decode_image(payloads), "doc_id")
 
 
 @register(
@@ -2553,7 +2565,7 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = Catalog(spark, sf_dir)["documents"].select("doc_id", "text")
     out = bpe_tokenize(docs, merges=[("t", "h")])
-    return out.select("doc_id", "n_pretokens", "n_tokens").orderBy("doc_id")
+    return _ordered_once(out.select("doc_id", "n_pretokens", "n_tokens"), "doc_id")
 
 
 @register(
@@ -2616,7 +2628,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_image(payloads).orderBy("doc_id")
+    return _ordered_once(decode_image(payloads), "doc_id")
 
 
 FRAMES_EVERY_K = 2
@@ -2672,7 +2684,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return frame_sample(payloads, FRAMES_EVERY_K).orderBy("doc_id", "frame_idx")
+    return _ordered_once(frame_sample(payloads, FRAMES_EVERY_K), "doc_id", "frame_idx")
 
 
 @register(
@@ -2737,7 +2749,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+    return _ordered_once(decode_frames(payloads, 2), "doc_id", "frame_idx")
 
 
 @register(
@@ -2870,7 +2882,7 @@ def q_multimodal_h264(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+    return _ordered_once(decode_frames(payloads, 2), "doc_id", "frame_idx")
 
 
 @register(
@@ -2976,7 +2988,7 @@ def q_multimodal_h264_gop(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+    return _ordered_once(decode_frames(payloads, 2), "doc_id", "frame_idx")
 
 
 @register(
@@ -3090,7 +3102,7 @@ def q_multimodal_h264_b(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+    return _ordered_once(decode_frames(payloads, 2), "doc_id", "frame_idx")
 
 
 @register(
@@ -3203,7 +3215,7 @@ def q_multimodal_h264_cabac(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+    return _ordered_once(decode_frames(payloads, 2), "doc_id", "frame_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -4086,7 +4098,7 @@ def q_multimodal_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = docs.mapInPandas(synth, "doc_id long, payload binary")
-    return decode_frames(payloads, 2).orderBy("doc_id", "frame_idx")
+    return _ordered_once(decode_frames(payloads, 2), "doc_id", "frame_idx")
 
 
 #: fuzzy-dedup blocking: docs sharing an 8-char prefix block together; a
