@@ -2318,19 +2318,23 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
 def _predicted_i4_mode(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
     """predIntra4x4PredMode (8.3.1.1): min of neighbor modes, DC (2) when a
     neighbor is unavailable or not itself an I_4x4 block."""
+    # hot path (2 calls per I_4x4 block in BOTH entropy coders): hoist the
+    # frame state arrays once instead of 4 attribute loads per neighbor
+    blk_done, blk_slice = fr.blk_done, fr.blk_slice
+    blk_mode, mb_i4 = fr.blk_mode, fr.mb_i4
 
     def nmode(x, y):
         if x < 0 or y < 0:
             return None  # outside frame
-        if not fr.blk_done[y, x] or fr.blk_slice[y, x] != slice_id:
+        if not blk_done[y, x] or blk_slice[y, x] != slice_id:
             return None
-        if not fr.mb_i4[y // 4, x // 4]:
+        if not mb_i4[y // 4, x // 4]:
             # neighbor MB decoded but not I_4x4 (I_16x16/I_PCM) -> DC
             # (also hit for earlier blocks of the CURRENT I_4x4 MB, whose
             # mb_i4 flag is only set at MB end — their recorded mode wins)
-            m = fr.blk_mode[y, x]
+            m = blk_mode[y, x]
             return int(m) if m >= 0 else 2
-        return int(fr.blk_mode[y, x])
+        return int(blk_mode[y, x])
 
     a = nmode(bx - 1, by)
     b = nmode(bx, by - 1)
@@ -3683,23 +3687,39 @@ _LVL_CAT_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}
 _CBF_BASE = 85
 
 
-_CTX_TEMPLATES: dict[int, dict[int, tuple[int, int]]] = {}
+_CTX_TEMPLATES: dict[int, tuple[bytes, bytes]] = {}
 
 
-def _init_ctx_states(slice_qp: int) -> dict[int, list[int]]:
-    """ctxIdx -> [pStateIdx, valMPS] per 9.3.1.1 (preCtxState from (m, n)
-    and the clipped slice QP). The (m*qp>>4)+n derivation is memoized per
-    QP (52 possible values); each call still returns FRESH mutable state
-    lists — the engines adapt them as they code."""
+def _ctx_state_arrays(slice_qp: int) -> tuple[bytearray, bytearray]:
+    """(pStateIdx, valMPS) per ctxIdx as two flat bytearrays (9.3.1.1:
+    preCtxState from (m, n) and the clipped slice QP). The derivation is
+    memoized per QP (52 values) as immutable bytes; each call returns
+    FRESH mutable copies — the engines adapt them as they code. Flat
+    byte arrays replace the former dict-of-[s,v]-lists: per-slice init
+    is two C-level copies instead of a 227-entry dict build, and the
+    per-bin hot path indexes bytearrays instead of dereferencing lists."""
     qp = max(0, min(51, slice_qp))
     tpl = _CTX_TEMPLATES.get(qp)
     if tpl is None:
-        tpl = {}
+        size = max(_CTX_INIT_I) + 1
+        ss, vv = bytearray(size), bytearray(size)
         for idx, (m, n) in _CTX_INIT_I.items():
             pre = max(1, min(126, ((m * qp) >> 4) + n))
-            tpl[idx] = (63 - pre, 0) if pre <= 63 else (pre - 64, 1)
+            if pre <= 63:
+                ss[idx] = 63 - pre
+            else:
+                ss[idx], vv[idx] = pre - 64, 1
+        tpl = (bytes(ss), bytes(vv))
         _CTX_TEMPLATES[qp] = tpl
-    return {idx: [s, v] for idx, (s, v) in tpl.items()}
+    return bytearray(tpl[0]), bytearray(tpl[1])
+
+
+def _init_ctx_states(slice_qp: int) -> dict[int, list[int]]:
+    """Dict view (ctxIdx -> [pStateIdx, valMPS]) of the initial context
+    states — kept for tests/introspection; the engines use the flat
+    arrays from :func:`_ctx_state_arrays` directly."""
+    ss, vv = _ctx_state_arrays(slice_qp)
+    return {idx: [ss[idx], vv[idx]] for idx in _CTX_INIT_I}
 
 
 class CabacDecoder:
@@ -3712,29 +3732,30 @@ class CabacDecoder:
         self.off = r.u(9)
         if self.off >= 510:
             raise H264Error("invalid CABAC initial codIOffset")
-        self.states = _init_ctx_states(slice_qp)
+        self.st_s, self.st_v = _ctx_state_arrays(slice_qp)
         self.prev_qp_delta_nz = False
 
     def decision(self, idx: int) -> int:
         # hot path: one call per regular bin — locals over attributes,
         # renorm bit reads inlined (a method call per bit doubles cost)
-        st = self.states[idx]
-        s0 = st[0]
+        ss = self.st_s
+        s0 = ss[idx]
         rng = self.rng
         lps = _RANGE_LPS[s0][(rng >> 6) & 3]
         rng -= lps
         off = self.off
+        vv = self.st_v
         if off >= rng:
-            bit = 1 - st[1]
+            bit = 1 - vv[idx]
             off -= rng
             rng = lps
             if s0 == 0:
-                st[1] = 1 - st[1]
-            st[0] = _TRANS_LPS[s0]
+                vv[idx] = bit  # MPS flips: 1 - old valMPS == bit
+            ss[idx] = _TRANS_LPS[s0]
         else:
-            bit = st[1]
+            bit = vv[idx]
             if s0 < 62:
-                st[0] = s0 + 1
+                ss[idx] = s0 + 1
         if rng < 256:
             r = self.r
             data = r.data
@@ -3778,7 +3799,7 @@ class CabacEncoder:
         self.low = 0
         self.first = True
         self.outstanding = 0
-        self.states = _init_ctx_states(slice_qp)
+        self.st_s, self.st_v = _ctx_state_arrays(slice_qp)
         self.prev_qp_delta_nz = False
 
     def _putbit(self, b: int) -> None:
@@ -3804,18 +3825,20 @@ class CabacEncoder:
             self.low <<= 1
 
     def decision(self, idx: int, bit: int) -> None:
-        st = self.states[idx]
-        lps = _RANGE_LPS[st[0]][(self.rng >> 6) & 3]
+        ss = self.st_s
+        s0 = ss[idx]
+        lps = _RANGE_LPS[s0][(self.rng >> 6) & 3]
         self.rng -= lps
-        if bit != st[1]:
+        vv = self.st_v
+        if bit != vv[idx]:
             self.low += self.rng
             self.rng = lps
-            if st[0] == 0:
-                st[1] = 1 - st[1]
-            st[0] = _TRANS_LPS[st[0]]
+            if s0 == 0:
+                vv[idx] = 1 - vv[idx]
+            ss[idx] = _TRANS_LPS[s0]
         else:
-            if st[0] < 62:
-                st[0] += 1
+            if s0 < 62:
+                ss[idx] = s0 + 1
         self._renorm()
 
     def bypass(self, bit: int) -> None:
