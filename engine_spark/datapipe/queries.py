@@ -2173,8 +2173,16 @@ def _ordered_once(df: DataFrame, *cols: str) -> DataFrame:
     (measured 1.78x on multimodal_h264). localCheckpoint(eager=False)
     persists the kernel output the first time the sampling pass computes
     it, so the sort's real pass reads the persisted partitions. Each query
-    build creates a fresh checkpoint — nothing is shared across runs."""
-    return df.localCheckpoint(eager=False).orderBy(*cols)
+    build creates a fresh checkpoint — nothing is shared across runs.
+
+    The checkpoint hides the kernel chain behind a `Scan ExistingRDD` in
+    the final plan, so the pre-sort child DataFrame is stashed on the
+    result (``_pre_order_child``) for the plan-audit/capture tools — the
+    audited properties (pruned scan, ids-only exchange, Arrow-batched
+    Python stages) live in the child's plan."""
+    out = df.localCheckpoint(eager=False).orderBy(*cols)
+    out._pre_order_child = df  # noqa: SLF001 — plan-evidence hook
+    return out
 
 
 @register(

@@ -554,10 +554,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     failures = 0
     for name, checks in CHECKS.items():
-        plan = (
-            QUERIES[name].spark(spark, sf_dir)._jdf.queryExecution()
-            .executedPlan().toString()
-        )
+        df = QUERIES[name].spark(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # _ordered_once gates: the kernel chain executes inside a
+        # localCheckpoint and the final plan only shows Sort over an
+        # ExistingRDD — audit the stashed pre-sort child's plan too
+        child = getattr(df, "_pre_order_child", None)
+        if child is not None:
+            plan += "\n" + child._jdf.queryExecution().executedPlan().toString()
         for label, pred in checks:
             ok = pred(plan)
             failures += 0 if ok else 1

@@ -37,11 +37,20 @@ def main() -> None:
             continue
         try:
             df = QUERIES[name].spark(spark, sf_dir)
-            plan = df._jdf.queryExecution().explainString(
-                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
-                )
+            mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
             )
+            plan = df._jdf.queryExecution().explainString(mode)
+            # _ordered_once gates: the kernel chain runs inside a
+            # localCheckpoint; append the stashed pre-sort child's plan so
+            # the evidence file shows the full chain, not just the sort
+            child = getattr(df, "_pre_order_child", None)
+            if child is not None:
+                plan += (
+                    "\n== Pre-sort child (materialized by localCheckpoint;"
+                    " the sort above reads its persisted partitions) ==\n"
+                    + child._jdf.queryExecution().explainString(mode)
+                )
         except Exception as e:  # noqa: BLE001
             plan = f"ERROR building plan: {type(e).__name__}: {e}"
         path = f"{outdir}/{name}_{suffix}.txt"
