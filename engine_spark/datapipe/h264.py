@@ -1182,17 +1182,18 @@ class _Frame:
         # position; 0 for never-decoded blocks, which the context rules
         # conflate with decoded-zero — exactly the spec's condTermFlag
         # behavior for absent transform blocks. I_PCM sets all to 1.
-        self.cbf_luma = np.zeros((self.hmb * 4, self.wmb * 4), np.int8)
-        self.cbf_lumadc = np.zeros((self.hmb, self.wmb), np.int8)
-        self.cbf_cdc = [np.zeros((self.hmb, self.wmb), np.int8)
-                        for _ in range(2)]
-        self.cbf_cac = [np.zeros((self.hmb * 2, self.wmb * 2), np.int8)
-                        for _ in range(2)]
+        # Allocated LAZILY (_ensure_cabac_state): only CABAC slices touch
+        # these seven arrays, and _Frame.__init__ is a per-frame profile
+        # hot spot for the CAVLC-only gates.
+        self.cbf_luma = None
+        self.cbf_lumadc = None
+        self.cbf_cdc = None
+        self.cbf_cac = None
         #: intra_chroma_pred_mode per MB (ctx 64 neighbor increment)
-        self.mb_cpm = np.zeros((self.hmb, self.wmb), np.int8)
+        self.mb_cpm = None
         #: per-MB coded_block_pattern (CABAC cbp context increments)
-        self.mb_cbpl = np.zeros((self.hmb, self.wmb), np.int8)
-        self.mb_cbpc = np.zeros((self.hmb, self.wmb), np.int8)
+        self.mb_cbpl = None
+        self.mb_cbpc = None
         # deblocking inputs, captured per MB at decode time (the filter
         # runs as a second pass after all slices): the MB's QPy (0 for
         # I_PCM per 8.7), the slice's disable idc and alpha/beta offsets
@@ -1225,6 +1226,21 @@ class _Frame:
         self.mb_deblock = np.ones((self.hmb, self.wmb), np.int32)
         self.mb_off_a = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_off_b = np.zeros((self.hmb, self.wmb), np.int32)
+
+    def _ensure_cabac_state(self) -> None:
+        """Allocate the CABAC neighbor-context arrays on first use (a
+        CABAC slice decode/encode touching this frame)."""
+        if self.cbf_luma is not None:
+            return
+        self.cbf_luma = np.zeros((self.hmb * 4, self.wmb * 4), np.int8)
+        self.cbf_lumadc = np.zeros((self.hmb, self.wmb), np.int8)
+        self.cbf_cdc = [np.zeros((self.hmb, self.wmb), np.int8)
+                        for _ in range(2)]
+        self.cbf_cac = [np.zeros((self.hmb * 2, self.wmb * 2), np.int8)
+                        for _ in range(2)]
+        self.mb_cpm = np.zeros((self.hmb, self.wmb), np.int8)
+        self.mb_cbpl = np.zeros((self.hmb, self.wmb), np.int8)
+        self.mb_cbpc = np.zeros((self.hmb, self.wmb), np.int8)
 
 
 def _nc_luma(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
@@ -4087,6 +4103,7 @@ def _encode_residual_cabac(enc: CabacEncoder, cat: int, coeffs,
 
 def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
                      mb: int, slice_id: int, qp: int) -> None:
+    fr._ensure_cabac_state()
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     bx0, by0 = mbx * 4, mby * 4
 
@@ -4277,6 +4294,7 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
     re-initialization with contexts persisting, 9.3.1/9.3.1.2). The
     shadow-frame context state mirrors the decoder's exactly through
     the shared _*_inc helpers."""
+    fr._ensure_cabac_state()
     mbx, mby = mb % fr.wmb, mb // fr.wmb
     bx0, by0 = mbx * 4, mby * 4
     kind = desc[0]
