@@ -2155,10 +2155,11 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
 
     if mb_type == 0:  # I_4x4
         modes = []
+        local: dict = {}
         for i in range(16):
             bx = mbx * 4 + _BLK_XY[i][0] // 4
             by = mby * 4 + _BLK_XY[i][1] // 4
-            pred_mode = _predicted_i4_mode(fr, bx, by, slice_id)
+            pred_mode = _predicted_i4_mode(fr, bx, by, slice_id, local)
             if r.flag():
                 mode = pred_mode
             else:
@@ -2167,6 +2168,7 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
             modes.append(mode)
             # visible to LATER blocks of this MB (z-order guarantees the
             # A/B neighbors of any block precede it), and to later MBs
+            local[(bx, by)] = mode
             fr.blk_mode[by, bx] = mode
             fr.blk_done[by, bx] = True
             fr.blk_slice[by, bx] = slice_id
@@ -2331,15 +2333,25 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
         fr.mb_i4[mby, mbx] = True
 
 
-def _predicted_i4_mode(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
+def _predicted_i4_mode(fr: _Frame, bx: int, by: int, slice_id: int,
+                       local: "dict | None" = None) -> int:
     """predIntra4x4PredMode (8.3.1.1): min of neighbor modes, DC (2) when a
-    neighbor is unavailable or not itself an I_4x4 block."""
-    # hot path (2 calls per I_4x4 block in BOTH entropy coders): hoist the
-    # frame state arrays once instead of 4 attribute loads per neighbor
+    neighbor is unavailable or not itself an I_4x4 block.
+
+    ``local`` holds the CURRENT MB's already-coded block modes keyed by
+    (bx, by) — by z-order every in-MB A/B neighbor precedes its user, and
+    for those blocks the frame-state path below returns exactly the
+    recorded mode (blk_done set, same slice, mb_i4 still False -> the
+    "recorded mode wins" branch), so the dict hit is a pure fast path:
+    one lookup instead of four numpy scalar reads per neighbor."""
     blk_done, blk_slice = fr.blk_done, fr.blk_slice
     blk_mode, mb_i4 = fr.blk_mode, fr.mb_i4
 
     def nmode(x, y):
+        if local is not None:
+            m = local.get((x, y))
+            if m is not None:
+                return m
         if x < 0 or y < 0:
             return None  # outside frame
         if not blk_done[y, x] or blk_slice[y, x] != slice_id:
@@ -2786,10 +2798,11 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
         cdc = None
     cbp_chroma = _chroma_cbp(cdc, cac)
     # intra4x4 pred modes (need blk_mode state as the decoder builds it)
+    local = {}
     for i in range(16):
         bx = bx0 + _BLK_XY[i][0] // 4
         by = by0 + _BLK_XY[i][1] // 4
-        pred = _predicted_i4_mode(fr, bx, by, slice_id)
+        pred = _predicted_i4_mode(fr, bx, by, slice_id, local)
         mode = modes[i]
         if mode == pred:
             w.u(1, 1)
@@ -2799,6 +2812,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
                 raise H264Error("cannot signal mode equal to predictor")
             w.u(0, 1)
             w.u(rem, 3)
+        local[(bx, by)] = mode
         fr.blk_mode[by, bx] = mode
         fr.blk_done[by, bx] = True
         fr.blk_slice[by, bx] = slice_id
@@ -4169,10 +4183,11 @@ def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
 
     if i16_pred is None:
         modes = []
+        local: dict = {}
         for i in range(16):
             bx = bx0 + _BLK_XY[i][0] // 4
             by = by0 + _BLK_XY[i][1] // 4
-            pred_mode = _predicted_i4_mode(fr, bx, by, slice_id)
+            pred_mode = _predicted_i4_mode(fr, bx, by, slice_id, local)
             if cd.decision(68):  # prev_intra4x4_pred_mode_flag
                 mode = pred_mode
             else:  # rem: FL 3 bins, LSB first, all ctx 69
@@ -4181,6 +4196,7 @@ def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
                 rem |= cd.decision(69) << 2
                 mode = rem if rem < pred_mode else rem + 1
             modes.append(mode)
+            local[(bx, by)] = mode
             fr.blk_mode[by, bx] = mode
             fr.blk_done[by, bx] = True
             fr.blk_slice[by, bx] = slice_id
@@ -4376,10 +4392,11 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
                 cbp_luma |= 1 << (i // 4)
         cbp_chroma = _chroma_cbp(cdc, cac)
         enc.decision(3 + inc, 0)  # I_4x4
+        local: dict = {}
         for i in range(16):
             bx = bx0 + _BLK_XY[i][0] // 4
             by = by0 + _BLK_XY[i][1] // 4
-            pred = _predicted_i4_mode(fr, bx, by, slice_id)
+            pred = _predicted_i4_mode(fr, bx, by, slice_id, local)
             mode = modes[i]
             if mode == pred:
                 enc.decision(68, 1)
@@ -4391,6 +4408,7 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
                 enc.decision(69, rem & 1)
                 enc.decision(69, (rem >> 1) & 1)
                 enc.decision(69, (rem >> 2) & 1)
+            local[(bx, by)] = mode
             fr.blk_mode[by, bx] = mode
             fr.blk_done[by, bx] = True
             fr.blk_slice[by, bx] = slice_id
