@@ -139,12 +139,37 @@ class BitReader:
     def flag(self) -> bool:
         return bool(self.u(1))
 
+    def zeros_then_one(self, cap: int, err: str) -> int:
+        """Count consecutive 0 bits and consume them plus the terminating
+        1 bit, in ONE window read (the per-bit u(1) loop was a top-5
+        decoder cost across ue() and the CAVLC level_prefix scan).
+        Raises ``H264Error(err)`` once more than ``cap`` zeros precede
+        the 1 and 'bitstream truncated' when the stream ends first —
+        exactly the per-bit loop's error order."""
+        pos = self.pos
+        data = self.data
+        bi = pos >> 3
+        chunk = data[bi : bi + 9]
+        avail = (len(chunk) << 3) - (pos & 7)
+        if avail <= 0:
+            raise H264Error("bitstream truncated")
+        w = int.from_bytes(chunk, "big") & ((1 << avail) - 1)
+        if w == 0:
+            # no 1-bit in the window: either the stream ends inside it
+            # (the bit loop hits end-of-data after `avail` zeros, unless
+            # the cap triggers first) or >= 65 zeros follow (over any
+            # cap used in this decoder)
+            if bi + 9 >= len(data) and avail <= cap:
+                raise H264Error("bitstream truncated")
+            raise H264Error(err)
+        zeros = avail - w.bit_length()
+        if zeros > cap:
+            raise H264Error(err)
+        self.pos = pos + zeros + 1
+        return zeros
+
     def ue(self) -> int:
-        zeros = 0
-        while self.u(1) == 0:
-            zeros += 1
-            if zeros > 32:
-                raise H264Error("bad exp-golomb code")
+        zeros = self.zeros_then_one(32, "bad exp-golomb code")
         return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
 
     def se(self) -> int:
@@ -680,11 +705,7 @@ def _decode_levels(r: BitReader, t1: int, tc: int, max_coeffs: int):
         levels.append(-1 if r.u(1) else 1)
     suffix_len = 1 if (tc > 10 and t1 < 3) else 0
     for i in range(tc - t1):
-        prefix = 0
-        while r.u(1) == 0:
-            prefix += 1
-            if prefix > 31:
-                raise H264Error("bad level_prefix")
+        prefix = r.zeros_then_one(31, "bad level_prefix")
         level_code = min(15, prefix) << suffix_len
         if suffix_len > 0 or prefix >= 14:
             size = suffix_len
@@ -851,24 +872,38 @@ def chroma_qp(qp_y: int, offset: int) -> int:
     return qpi if qpi < 30 else _QPC_MAP[qpi - 30]
 
 
+# zigzag position k -> flat 4x4 index, and the per-(qp%6) dequant scale
+# matrices, both precomputed once (dequant4x4 rebuilt `scale` from nested
+# Python comprehensions per call — a per-block hot spot)
+_ZZ_FLAT = np.array([r * 4 + c for r, c in _ZZ4], np.int64)
+_DEQ_SCALE = np.array(
+    [[[_V[m][_VCLS[r][c]] for c in range(4)] for r in range(4)]
+     for m in range(6)],
+    np.int64,
+)
+
+
 def _zigzag_to_mat(coeffs: list[int]) -> "np.ndarray":
-    m = np.zeros((4, 4), np.int64)
-    for k, (r, c) in enumerate(_ZZ4):
-        m[r, c] = coeffs[k]
-    return m
+    m = np.zeros(16, np.int64)
+    m[_ZZ_FLAT] = coeffs
+    return m.reshape(4, 4)
 
 
 def dequant4x4(mat: "np.ndarray", qp: int) -> "np.ndarray":
-    m, shift = qp % 6, qp // 6
-    scale = np.array([[_V[m][_VCLS[r][c]] for c in range(4)] for r in range(4)],
-                     np.int64)
-    return (mat * scale) << shift
+    return (mat * _DEQ_SCALE[qp % 6]) << (qp // 6)
+
+
+def _dequant_zz4x4(coeffs: list[int], qp: int) -> "np.ndarray":
+    """Fused dequant4x4(_zigzag_to_mat(coeffs), qp) — one temp array."""
+    m = np.zeros(16, np.int64)
+    m[_ZZ_FLAT] = coeffs
+    return (m.reshape(4, 4) * _DEQ_SCALE[qp % 6]) << (qp // 6)
 
 
 def idct4x4(d: "np.ndarray") -> "np.ndarray":
     """Inverse 4x4 integer transform (8.5.12.2), WITHOUT the final
     (x+32)>>6 — callers round once after inserting into the prediction."""
-    d = d.astype(np.int64)
+    d = np.asarray(d, np.int64)  # no copy when already int64 (all callers)
     # horizontal
     e0 = d[:, 0] + d[:, 2]
     e1 = d[:, 0] - d[:, 2]
@@ -916,7 +951,6 @@ def _pred4x4(mode: int, top: "np.ndarray | None", left: "np.ndarray | None",
              corner: int | None) -> "np.ndarray":
     """4x4 intra prediction (8.3.1.2). ``top`` has 8 samples (top-right
     substituted by the caller when unavailable); ``left`` has 4."""
-    p = np.zeros((4, 4), np.int64)
     if mode == 0:  # Vertical
         if top is None:
             raise H264Error("pred4x4 vertical without top")
@@ -927,15 +961,17 @@ def _pred4x4(mode: int, top: "np.ndarray | None", left: "np.ndarray | None",
         return np.broadcast_to(left[:, None], (4, 4)).copy()
     if mode == 2:  # DC
         if top is not None and left is not None:
-            v = (int(top[:4].sum()) + int(left.sum()) + 4) >> 3
+            v = (int(top[0]) + int(top[1]) + int(top[2]) + int(top[3])
+                 + int(left.sum()) + 4) >> 3
         elif top is not None:
-            v = (int(top[:4].sum()) + 2) >> 2
+            v = (int(top[0]) + int(top[1]) + int(top[2]) + int(top[3])
+                 + 2) >> 2
         elif left is not None:
             v = (int(left.sum()) + 2) >> 2
         else:
             v = 128
-        p[:] = v
-        return p
+        return np.full((4, 4), v, np.int64)
+    p = np.zeros((4, 4), np.int64)
     if mode == 3:  # Diagonal-Down-Left
         if top is None:
             raise H264Error("pred4x4 DDL without top")
@@ -1090,33 +1126,37 @@ def _pred_chroma8x8(mode: int, top, left, corner) -> "np.ndarray":
         c = (17 * v + 16) >> 5
         ys, xs = np.mgrid[0:8, 0:8]
         return np.clip((a + b * (xs - 3) + c * (ys - 3) + 16) >> 5, 0, 255)
-    # DC: per-4x4-quadrant neighbor preferences (8.3.4.1-3)
-    p = np.zeros((8, 8), np.int64)
+    # DC: per-4x4-quadrant neighbor preferences (8.3.4.1-3). Quadrant
+    # sums run over plain Python ints (tolist once) — the per-quadrant
+    # numpy reductions were a profile hot spot at 4 per call.
+    tl = top.tolist() if top is not None else None
+    ll = left.tolist() if left is not None else None
+    p = np.empty((8, 8), np.int64)
     for qy in (0, 1):
         for qx in (0, 1):
-            ts = top[4 * qx : 4 * qx + 4] if top is not None else None
-            ls = left[4 * qy : 4 * qy + 4] if left is not None else None
+            ts = sum(tl[4 * qx : 4 * qx + 4]) if tl is not None else None
+            ls = sum(ll[4 * qy : 4 * qy + 4]) if ll is not None else None
             if qx == qy:  # corner quadrants average both when available
                 if ts is not None and ls is not None:
-                    v = (int(ts.sum()) + int(ls.sum()) + 4) >> 3
+                    v = (ts + ls + 4) >> 3
                 elif ts is not None:
-                    v = (int(ts.sum()) + 2) >> 2
+                    v = (ts + 2) >> 2
                 elif ls is not None:
-                    v = (int(ls.sum()) + 2) >> 2
+                    v = (ls + 2) >> 2
                 else:
                     v = 128
             elif qx == 1:  # top-right prefers top
                 if ts is not None:
-                    v = (int(ts.sum()) + 2) >> 2
+                    v = (ts + 2) >> 2
                 elif ls is not None:
-                    v = (int(ls.sum()) + 2) >> 2
+                    v = (ls + 2) >> 2
                 else:
                     v = 128
             else:  # bottom-left prefers left
                 if ls is not None:
-                    v = (int(ls.sum()) + 2) >> 2
+                    v = (ls + 2) >> 2
                 elif ts is not None:
-                    v = (int(ts.sum()) + 2) >> 2
+                    v = (ts + 2) >> 2
                 else:
                     v = 128
             p[4 * qy : 4 * qy + 4, 4 * qx : 4 * qx + 4] = v
@@ -1144,6 +1184,15 @@ _CBP_INTER_INV = {v: i for i, v in enumerate(_CBP_INTER)}
 # luma 4x4 block index (z-order) -> (x, y) pixel offset within the MB
 _BLK_XY = [(((i >> 2) & 1) * 8 + (i & 1) * 4, (i >> 3) * 8 + ((i >> 1) & 1) * 4)
            for i in range(16)]
+
+# z-order index of the block at each RASTER position within the MB (for
+# batching the per-block mode writes into one sliced numpy assignment)
+_BLK_Z2R = np.array(
+    [next(i for i in range(16)
+          if (_BLK_XY[i][1] // 4) * 4 + _BLK_XY[i][0] // 4 == p)
+     for p in range(16)],
+    np.int64,
+)
 
 # P_8x8 sub_mb_type -> sub-partition layout within the 8x8 (Table 7-17):
 # (x, y, w, h) offsets, decode order
@@ -1260,7 +1309,7 @@ def _nc_luma(fr: _Frame, bx: int, by: int, slice_id: int) -> int:
 
 
 def _nc_chroma(fr: _Frame, comp: int, cx: int, cy: int, mbx: int, mby: int,
-               slice_id: int, cur_done: "np.ndarray") -> int:
+               slice_id: int, cur_done: list) -> int:
     """nC for a chroma AC 4x4 block at chroma-block coords (cx, cy).
     ``cur_done`` marks blocks of the CURRENT MB already decoded this MB
     (chroma blocks of one MB are decoded in raster order)."""
@@ -1269,7 +1318,7 @@ def _nc_chroma(fr: _Frame, comp: int, cx: int, cy: int, mbx: int, mby: int,
             return None
         oy, ox = y // 2, x // 2  # owning MB
         if ox == mbx and oy == mby:
-            return int(fr.cnnz[comp][y, x]) if cur_done[y % 2, x % 2] else None
+            return int(fr.cnnz[comp][y, x]) if cur_done[y % 2][x % 2] else None
         if fr.mb_done[oy, ox] and fr.mb_slice[oy, ox] == slice_id:
             return int(fr.cnnz[comp][y, x])
         return None
@@ -1607,7 +1656,7 @@ def _inter_residual_tail(fr: _Frame, r: BitReader, pps: dict, mb: int,
         if luma_coeffs[i] is None:
             continue
         ox, oy = _BLK_XY[i]
-        d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
+        d = _dequant_zz4x4(luma_coeffs[i], qp)
         blk = (fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4]
                + ((idct4x4(d) + 32) >> 6))
         fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(blk, 0, 255)
@@ -2028,10 +2077,22 @@ def _decode_residuals(fr: _Frame, r: BitReader, mbx: int, mby: int,
     I_16x16), chroma DC pair, chroma AC grid. Updates the nC bookkeeping
     (blk_nnz/blk_done/cnnz) as each block's TotalCoeff is known."""
     luma_coeffs = [None] * 16
-    for i in range(16):
-        bx = mbx * 4 + _BLK_XY[i][0] // 4
-        by = mby * 4 + _BLK_XY[i][1] // 4
-        if cbp_luma & (1 << (i // 4)):
+    bx0, by0 = mbx * 4, mby * 4
+    # Batched bookkeeping (exact): the whole MB's done/slice flags and a
+    # zero nnz base are written in three sliced ops instead of 48 scalar
+    # numpy writes. Safe because _nc_luma only probes the A/B neighbors,
+    # which in z-order always PRECEDE the probing block — their nnz is
+    # already final by the time it is read — and non-coded blocks' nnz
+    # stays the 0 written here.
+    fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+    fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+    fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+    if cbp_luma:
+        for i in range(16):
+            if not (cbp_luma & (1 << (i // 4))):
+                continue
+            bx = bx0 + _BLK_XY[i][0] // 4
+            by = by0 + _BLK_XY[i][1] // 4
             nc = _nc_luma(fr, bx, by, slice_id)
             if i16:
                 ac, tc = decode_residual_block(r, nc, 15)
@@ -2040,28 +2101,25 @@ def _decode_residuals(fr: _Frame, r: BitReader, mbx: int, mby: int,
                 full, tc = decode_residual_block(r, nc, 16)
                 luma_coeffs[i] = full
             fr.blk_nnz[by, bx] = tc
-        else:
-            fr.blk_nnz[by, bx] = 0
-        # mark decoded-for-nC as soon as its coefficients are known
-        fr.blk_done[by, bx] = True
-        fr.blk_slice[by, bx] = slice_id
     chroma_dc = [[0] * 4, [0] * 4]
     if cbp_chroma & 3:
         for comp in range(2):
             chroma_dc[comp], _ = decode_residual_block(r, -1, 4)
     chroma_ac = [[None] * 4, [None] * 4]
-    for comp in range(2):
-        done = np.zeros((2, 2), bool)
-        for j in range(4):  # raster within the 2x2 chroma block grid
-            bx2, by2 = mbx * 2 + j % 2, mby * 2 + j // 2
-            if cbp_chroma == 2:
+    cx0, cy0 = mbx * 2, mby * 2
+    if cbp_chroma == 2:
+        for comp in range(2):
+            done = [[False, False], [False, False]]
+            for j in range(4):  # raster within the 2x2 chroma block grid
+                bx2, by2 = cx0 + j % 2, cy0 + j // 2
                 nc = _nc_chroma(fr, comp, bx2, by2, mbx, mby, slice_id, done)
                 ac, tc = decode_residual_block(r, nc, 15)
                 chroma_ac[comp][j] = [0] + ac
                 fr.cnnz[comp][by2, bx2] = tc
-            else:
-                fr.cnnz[comp][by2, bx2] = 0
-            done[j // 2, j % 2] = True
+                done[j // 2][j % 2] = True
+    else:
+        fr.cnnz[0][cy0 : cy0 + 2, cx0 : cx0 + 2] = 0
+        fr.cnnz[1][cy0 : cy0 + 2, cx0 : cx0 + 2] = 0
     return luma_coeffs, chroma_dc, chroma_ac
 
 
@@ -2090,7 +2148,7 @@ def _add_chroma_residual(fr: _Frame, pps: dict, qp: int, cx: int, cy: int,
         for j in range(4):
             ox, oy = (j % 2) * 4, (j // 2) * 4
             if chroma_ac[comp][j] is not None:
-                d = dequant4x4(_zigzag_to_mat(chroma_ac[comp][j]), qpc)
+                d = _dequant_zz4x4(chroma_ac[comp][j], qpc)
                 d[0, 0] = dc[j // 2, j % 2]
                 res = (idct4x4(d) + 32) >> 6
             elif cbp_chroma:
@@ -2167,11 +2225,14 @@ def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
                 mode = rem if rem < pred_mode else rem + 1
             modes.append(mode)
             # visible to LATER blocks of this MB (z-order guarantees the
-            # A/B neighbors of any block precede it), and to later MBs
+            # A/B neighbors of any block precede it); later MBs read the
+            # batched frame write below
             local[(bx, by)] = mode
-            fr.blk_mode[by, bx] = mode
-            fr.blk_done[by, bx] = True
-            fr.blk_slice[by, bx] = slice_id
+        bx0, by0 = mbx * 4, mby * 4
+        fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = (
+            np.array(modes, np.int32)[_BLK_Z2R].reshape(4, 4))
+        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
         chroma_mode = r.ue()
         code_num = r.ue()
         if code_num > 47:
@@ -2239,7 +2300,7 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
             for i in range(16):
                 ox, oy = _BLK_XY[i]
                 if luma_coeffs[i] is not None:
-                    d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
+                    d = _dequant_zz4x4(luma_coeffs[i], qp)
                     d[0, 0] = dc[oy // 4, ox // 4]
                     res = idct4x4(d)
                 else:
@@ -2254,12 +2315,12 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
         # blocks see earlier blocks' reconstructed samples.
         # blk_done is already True for nC; prediction availability must use
         # pixel-written state, tracked locally.
-        written = np.zeros((4, 4), bool)
+        written = [[False] * 4 for _ in range(4)]
 
         def blk_written(bx, by):
             ox, oy = bx - mbx * 4, by - mby * 4
             if 0 <= ox < 4 and 0 <= oy < 4:
-                return written[oy, ox]
+                return written[oy][ox]
             return (0 <= bx < fr.blk_done.shape[1] and 0 <= by < fr.blk_done.shape[0]
                     and fr.mb_done[by // 4, bx // 4]
                     and fr.blk_slice[by, bx] == slice_id)
@@ -2292,7 +2353,7 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
                 else:
                     v = 128
                 fr.y[bpy : bpy + 4, bpx : bpx + 4] = v
-                written[oy // 4, ox // 4] = True
+                written[oy // 4][ox // 4] = True
                 continue
             top = left = corner = None
             if bpy > 0 and blk_written(bx, by - 1):
@@ -2310,12 +2371,12 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
                 corner = int(fr.y[bpy - 1, bpx - 1])
             pred = _pred4x4(modes[i], top, left, corner)
             if luma_coeffs[i] is not None:
-                d = dequant4x4(_zigzag_to_mat(luma_coeffs[i]), qp)
+                d = _dequant_zz4x4(luma_coeffs[i], qp)
                 blk = pred + ((idct4x4(d) + 32) >> 6)
             else:
                 blk = pred
             fr.y[bpy : bpy + 4, bpx : bpx + 4] = np.clip(blk, 0, 255)
-            written[oy // 4, ox // 4] = True
+            written[oy // 4][ox // 4] = True
 
     preds = []
     for comp, plane in ((0, fr.cb), (1, fr.cr)):
@@ -2703,7 +2764,7 @@ def _encode_chroma_residuals(w: BitWriter, fr: _Frame, mbx: int, mby: int,
             dc = cdc[comp] if cdc is not None else [0] * 4
             encode_residual_block(w, list(dc), -1)
     for comp in range(2):
-        done = np.zeros((2, 2), bool)
+        done = [[False, False], [False, False]]
         for j in range(4):
             bx2, by2 = mbx * 2 + j % 2, mby * 2 + j // 2
             if cbp_chroma == 2:
@@ -2713,7 +2774,7 @@ def _encode_chroma_residuals(w: BitWriter, fr: _Frame, mbx: int, mby: int,
                 fr.cnnz[comp][by2, bx2] = tc
             else:
                 fr.cnnz[comp][by2, bx2] = 0
-            done[j // 2, j % 2] = True
+            done[j // 2][j % 2] = True
 
 
 def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
@@ -2813,9 +2874,10 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
             w.u(0, 1)
             w.u(rem, 3)
         local[(bx, by)] = mode
-        fr.blk_mode[by, bx] = mode
-        fr.blk_done[by, bx] = True
-        fr.blk_slice[by, bx] = slice_id
+    fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = (
+        np.array(modes, np.int32)[_BLK_Z2R].reshape(4, 4))
+    fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+    fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
     w.ue(0)  # intra_chroma_pred_mode: DC
     w.ue(_CBP_INTRA_INV[cbp_luma | (cbp_chroma << 4)])
     if cbp_luma or cbp_chroma:
@@ -2825,16 +2887,17 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
             "qp_delta on an I_4x4 MB with no coded residual has no "
             "syntax slot (7.3.5: mb_qp_delta only with coded_block_pattern)"
         )
-    for i in range(16):
-        bx = bx0 + _BLK_XY[i][0] // 4
-        by = by0 + _BLK_XY[i][1] // 4
-        if cbp_luma & (1 << (i // 4)):
+    fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+    if cbp_luma:
+        for i in range(16):
+            if not (cbp_luma & (1 << (i // 4))):
+                continue
+            bx = bx0 + _BLK_XY[i][0] // 4
+            by = by0 + _BLK_XY[i][1] // 4
             blk = coeffs[i] if coeffs[i] is not None else [0] * 16
             nc = _nc_luma(fr, bx, by, slice_id)
             tc = encode_residual_block(w, list(blk), nc)
             fr.blk_nnz[by, bx] = tc
-        else:
-            fr.blk_nnz[by, bx] = 0
     _encode_chroma_residuals(w, fr, mbx, mby, slice_id, cbp_chroma, cdc, cac)
     fr.mb_done[mby, mbx] = True
 
@@ -3475,6 +3538,16 @@ def deblock_frame(fr: _Frame) -> None:
     pass is ~4x faster with bit-identical integer math."""
     if int(fr.mb_deblock.min()) == 1:
         return  # every slice disabled the filter: nothing to do
+    # All-zero-bS whole-frame skip (exact sufficient condition): with no
+    # intra block (ref >= 0 everywhere; -1 intra / -2 undecoded are < 0),
+    # no residual coefficients, one reference and one uniform mv, every
+    # edge's boundary strength is 0 — P_Skip-dominated frames filter
+    # nothing, so skip the 12 tolist conversions and the MB loop.
+    ref = fr.blk_ref
+    if not (ref < 0).any() and not fr.blk_nnz.any():
+        mvf = fr.blk_mv.reshape(-1, 2)
+        if (ref == ref.flat[0]).all() and (mvf == mvf[0]).all():
+            return
     yl = fr.y.tolist()
     cbl = fr.cb.tolist()
     crl = fr.cr.tolist()
@@ -4197,9 +4270,10 @@ def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
                 mode = rem if rem < pred_mode else rem + 1
             modes.append(mode)
             local[(bx, by)] = mode
-            fr.blk_mode[by, bx] = mode
-            fr.blk_done[by, bx] = True
-            fr.blk_slice[by, bx] = slice_id
+        fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = (
+            np.array(modes, np.int32)[_BLK_Z2R].reshape(4, 4))
+        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
     else:
         modes = None
 
@@ -4251,12 +4325,21 @@ def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
         fr.cbf_lumadc[mby, mbx] = 0 if dc is None else 1
         dc_levels = dc if dc is not None else [0] * 16
     luma_coeffs = [None] * 16
-    for i in range(16):
-        bx = bx0 + _BLK_XY[i][0] // 4
-        by = by0 + _BLK_XY[i][1] // 4
-        if cbp_luma & (1 << (i // 4)):
-            cat = 1 if i16_pred is not None else 2
-            n = 15 if i16_pred is not None else 16
+    # Batched bookkeeping (exact, mirrors _decode_residuals): _cbf_inc
+    # availability runs over _mb_avail + the cbf arrays, never blk_done/
+    # blk_slice, and the A/B cbf neighbors always PRECEDE their prober
+    # in z-order, so whole-MB slices replace 48 scalar numpy writes.
+    fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+    fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+    fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0
+    if cbp_luma:
+        cat = 1 if i16_pred is not None else 2
+        n = 15 if i16_pred is not None else 16
+        for i in range(16):
+            if not (cbp_luma & (1 << (i // 4))):
+                continue
+            bx = bx0 + _BLK_XY[i][0] // 4
+            by = by0 + _BLK_XY[i][1] // 4
             blk = _residual_cabac(
                 cd, cat, n,
                 _cbf_inc(fr, cat, mbx, mby, slice_id, bx=bx, by=by),
@@ -4265,12 +4348,6 @@ def _decode_mb_cabac(fr: _Frame, cd: CabacDecoder, sps: dict, pps: dict,
             if blk is not None:
                 luma_coeffs[i] = [0] + blk if i16_pred is not None else blk
                 fr.blk_nnz[by, bx] = sum(1 for v in blk if v)
-            else:
-                fr.blk_nnz[by, bx] = 0
-        else:
-            fr.blk_nnz[by, bx] = 0
-        fr.blk_done[by, bx] = True
-        fr.blk_slice[by, bx] = slice_id
     chroma_dc = [[0] * 4, [0] * 4]
     if cbp_chroma:
         for comp in range(2):
@@ -4409,9 +4486,10 @@ def _encode_mb_cabac(enc: CabacEncoder, fr: _Frame, mb: int, desc, qp: int,
                 enc.decision(69, (rem >> 1) & 1)
                 enc.decision(69, (rem >> 2) & 1)
             local[(bx, by)] = mode
-            fr.blk_mode[by, bx] = mode
-            fr.blk_done[by, bx] = True
-            fr.blk_slice[by, bx] = slice_id
+        fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = (
+            np.array(modes, np.int32)[_BLK_Z2R].reshape(4, 4))
+        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
 
     # intra_chroma_pred_mode: DC (0) — one bin
     enc.decision(64 + _cpm_inc(fr, mbx, mby, slice_id), 0)
