@@ -1620,20 +1620,13 @@ def simhash_pairs(
     q_dedup_simhash and the scaling probe share. Candidate volume is
     bounded by Σ_bucket min(size, cap)²/2: linear in corpus size."""
     chunks = _simhash_chunk_df(s)
-    # occupancy cap as a WINDOW count over (c, cv), not groupBy+semi-join
-    # (the dedup_embedding_cosine pattern): one exchange of the chunk rows
-    # that the self-join below then reuses, instead of a second aggregate
-    # + semi-join pass over the same keys — identical rows kept (the
-    # window count and the groupBy count are the same number)
-    from pyspark.sql import Window as _W
-
-    ck = (
-        chunks.withColumn(
-            "bsz", F.count(F.lit(1)).over(_W.partitionBy("c", "cv"))
-        )
-        .filter(F.col("bsz") <= cap)
-        .drop("bsz")
+    keep = (
+        chunks.groupBy("c", "cv")
+        .count()
+        .filter(F.col("count") <= cap)
+        .drop("count")
     )
+    ck = chunks.join(keep, ["c", "cv"], "semi")
     cand = (
         ck.alias("a")
         .join(
