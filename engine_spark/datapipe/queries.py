@@ -1626,7 +1626,7 @@ def simhash_pairs(
         .filter(F.col("count") <= cap)
         .drop("count")
     )
-    ck = chunks.join(keep, ["c", "cv"], "semi")
+    ck = chunks.join(F.broadcast(keep), ["c", "cv"], "semi")
     cand = (
         ck.alias("a")
         .join(
@@ -1867,19 +1867,23 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    # occupancy cap as a WINDOW count, not groupBy+semi-join: one shuffle
-    # of the (already computed) bucket keys instead of recomputing the 64
-    # hyperplane dots per row on both sides of a semi join (measured 1.9x
-    # on the gate); the self-join then reuses the same hash partitioning
-    from pyspark.sql import Window as _W
-
-    bk = (
-        b.withColumn(
-            "bsz", F.count(F.lit(1)).over(_W.partitionBy("t", "bucket"))
-        )
-        .filter(F.col("bsz") <= EMB_BUCKET_CAP)
-        .drop("bsz")
+    # occupancy cap via groupBy-count + keyed semi-join (the fuzzy_pairs /
+    # simhash shape), NOT a window: a window partitioned by (t, bucket)
+    # funnels a degenerate corpus — every duplicated embedding in one
+    # bucket per table — through a single unsplittable window task BEFORE
+    # the cap can drop it, and AQE skew handling applies to joins only.
+    # The groupBy partial-aggregates map-side (a hot bucket ships one row
+    # per map task) and AQE broadcasts the eligible list or skew-splits
+    # the semi join at runtime. `b` is cached, so the semi side does NOT
+    # recompute the hyperplane dots (the objection that originally picked
+    # the window here predates the cache).
+    keep = (
+        b.groupBy("t", "bucket")
+        .count()
+        .filter(F.col("count") <= EMB_BUCKET_CAP)
+        .drop("count")
     )
+    bk = b.join(F.broadcast(keep), ["t", "bucket"], "semi")
     cand = (
         bk.alias("a")
         .join(
@@ -1924,13 +1928,14 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ivf_cell(SP, "vd", IVF_CENTS)).alias("cell"),
         F.expr(FR.hyperplane_bits(SP, "vd", PLANES[0], LSH_PROJ_DIM)).alias("b0"),
     ).cache()  # self-joined below: cache so the cell argmax runs once
-    sck = (
-        sc.withColumn(
-            "csz", F.count(F.lit(1)).over(_W.partitionBy("cell", "b0"))
-        )
-        .filter(F.col("csz") <= EMB_BUCKET_CAP)
-        .drop("csz")
+    # same cap shape as bk above (skew-safe; sc is cached)
+    ckeep = (
+        sc.groupBy("cell", "b0")
+        .count()
+        .filter(F.col("count") <= EMB_BUCKET_CAP)
+        .drop("count")
     )
+    sck = sc.join(F.broadcast(ckeep), ["cell", "b0"], "semi")
     sem = (
         sck.alias("a")
         .join(

@@ -90,23 +90,32 @@ def dedup_embedding_cosine_arrow(
     Returns ``(vec_a, vec_b, cos_sim)``.
     """
     buckets = hyperplane_buckets_udf(planes, proj_dim)
-    sig = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v")
-    ).withColumn("bks", buckets("v"))
+    # cached: one row per vector with its 8 bucket ids — the count branch
+    # and both self-join sides read it instead of re-running the UDF
+    sig = (
+        vectors.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+        .withColumn("bks", buckets("v"))
+        .cache()
+    )
     tabs = sig.select(
         "vid", "v", F.posexplode("bks").alias("tab", "bucket")
     )
-    # window-count cap (not groupBy+semi-join): the bucket UDF runs once,
-    # the count rides the same (tab, bucket) shuffle the self-join needs
-    from pyspark.sql import Window as _W
-
-    tabs = (
-        tabs.withColumn(
-            "bsz", F.count(F.lit(1)).over(_W.partitionBy("tab", "bucket"))
-        )
-        .filter(F.col("bsz") <= bucket_cap)
-        .drop("bsz")
+    # Occupancy cap via groupBy-count + keyed semi-join, NOT a window: a
+    # window partitioned by (tab, bucket) funnels a mass-duplicate corpus
+    # — the exact regime this cap exists for — through ONE unsplittable
+    # window task before the filter can drop the hot bucket, and AQE skew
+    # handling applies to joins only. The groupBy partial-aggregates
+    # map-side (a hot bucket ships one row per map task, keys-only
+    # projection off the cached sig) and AQE broadcasts the eligible list
+    # or skew-splits the semi join at runtime.
+    eligible = (
+        sig.select(F.posexplode("bks").alias("tab", "bucket"))
+        .groupBy("tab", "bucket")
+        .count()
+        .filter(F.col("count") <= bucket_cap)
+        .drop("count")
     )
+    tabs = tabs.join(eligible, ["tab", "bucket"], "semi")
     cand = (
         tabs.alias("a")
         .join(
