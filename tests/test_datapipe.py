@@ -3831,3 +3831,37 @@ def test_incremental_exact_substr_retro_and_parity(spark, tmp_path):
         for r in merge_marks_to_spans(marks_df, k=3).collect()
     )
     assert inc_spans == batch_spans
+
+def test_capped_blockings_are_semi_joins_not_windows(spark):
+    """r13 optimization guard: the occupancy caps of the simhash and
+    embedding blockings must stay groupBy-count + semi-join (a count()
+    window partitioned by the bucket key funnels a mass-duplicate
+    corpus's hot bucket through ONE unsplittable task before the filter
+    drops it, and AQE skew handling applies to joins only)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from engine_spark.datapipe.queries import PLANES, simhash_pairs
+    from engine_spark.datapipe.vector import dedup_embedding_cosine_arrow
+
+    def plan_of(df):
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    s = spark.createDataFrame(
+        [(i, (i * 7919) % (1 << 56)) for i in range(8)],
+        "doc_id long, sim long",
+    )
+    p1 = plan_of(simhash_pairs(s))
+    assert "Window" not in p1
+    assert "LeftSemi" in p1
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0] * 8) for i in range(8)],
+        "vec_id long, vd array<double>",
+    )
+    p2 = plan_of(dedup_embedding_cosine_arrow(vecs, PLANES, 16, 0.8))
+    assert "Window" not in p2
+    assert "LeftSemi" in p2

@@ -2992,3 +2992,100 @@ def test_b_partitioned_mixed_mode_16x8_and_8x16():
             regions = [y[:, :8], y[:, 8:]]
         for region, m in zip(regions, modes):
             assert (region == want[m]).all(), (btype, m)
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization internals: window-scan exp-golomb and the deblock
+# uniform-motion whole-frame skip (bit-exactness guards for the rewrites)
+# ---------------------------------------------------------------------------
+
+
+def _ue_per_bit_reference(r: "H.BitReader") -> int:
+    """The original per-bit ue() loop, kept as the semantic reference for
+    the windowed zeros_then_one scan (values AND error messages)."""
+    zeros = 0
+    while r.u(1) == 0:
+        zeros += 1
+        if zeros > 32:
+            raise H.H264Error("bad exp-golomb code")
+    return (1 << zeros) - 1 + (r.u(zeros) if zeros else 0)
+
+
+def test_zeros_then_one_matches_per_bit_ue_reference():
+    rng = random.Random(20261)
+    for _ in range(1500):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 11)))
+        skew = rng.randrange(0, 8)
+        ra, rb = H.BitReader(data), H.BitReader(data)
+        if skew:
+            ra.u(skew), rb.u(skew)
+        va = vb = ea = eb = None
+        try:
+            va = _ue_per_bit_reference(ra)
+        except H.H264Error as e:
+            ea = str(e)
+        try:
+            vb = rb.ue()
+        except H.H264Error as e:
+            eb = str(e)
+        assert va == vb and ea == eb, (data.hex(), skew, va, vb, ea, eb)
+        if ea is None:
+            assert ra.pos == rb.pos, (data.hex(), skew)
+
+
+def test_zeros_then_one_error_order_on_zero_runs():
+    # all-zero streams: the per-bit loop raises 'bad exp-golomb code' once
+    # 33 zeros were READ, 'bitstream truncated' when the stream ends first
+    for pad in range(1, 10):
+        r = H.BitReader(bytes(pad))
+        with pytest.raises(H.H264Error) as ei:
+            r.ue()
+        want = "bad exp-golomb code" if pad * 8 > 32 else "bitstream truncated"
+        assert str(ei.value) == want, (pad, str(ei.value))
+    # a 1-bit exactly at the cap boundary still decodes
+    data = bytes([0, 0, 0, 0, 0x80, 0, 0, 0, 0x80])  # 32 zeros, 1, 32 value bits
+    r = H.BitReader(data)
+    assert r.ue() == (1 << 32) - 1 + 1
+    # level_prefix cap (31) errors one bit earlier than ue's
+    r31 = H.BitReader(bytes(5))  # 40 zero bits > 31
+    with pytest.raises(H.H264Error, match="bad level_prefix"):
+        r31.zeros_then_one(31, "bad level_prefix")
+
+
+def _frame_bs_any(fr) -> bool:
+    """Brute-force: does ANY 4-sample edge of the frame have bs > 0,
+    per the public _edge_bs rules (the filter's ground truth)?"""
+    hb, wb = fr.blk_ref.shape
+    for by in range(hb):
+        for bx in range(1, wb):
+            if H._edge_bs(fr, bx - 1, by, bx, by, mb_edge=(bx % 4 == 0)):
+                return True
+    for by in range(1, hb):
+        for bx in range(wb):
+            if H._edge_bs(fr, bx, by - 1, bx, by, mb_edge=(by % 4 == 0)):
+                return True
+    return False
+
+
+def test_deblock_skip_condition_matches_bruteforce_bs():
+    # P frames: all-skip (uniform inherited mv, no residuals) must have
+    # zero bs everywhere; a frame with differing mvs must not
+    sps, pps, idr = H.encode_solid_gray_stream(2, 2, 370, 26)
+    sd = H.parse_sps(H.rbsp_unescape(sps[1:]))
+    pd = H.parse_pps(H.rbsp_unescape(pps[1:]))
+    sps_map, pps_map = H._seed_param_maps(sd, pd)
+    fr0 = H.decode_access_unit([idr], sps_map, pps_map, None)
+    refs = [{"y": fr0.y, "cb": fr0.cb, "cr": fr0.cr, "poc": fr0.poc}]
+
+    p_skip = H.encode_p_frame([("skip",)] * 4, 2, 2, frame_num=1)
+    fr1 = H.decode_access_unit([p_skip], sps_map, pps_map, refs)
+    assert not _frame_bs_any(fr1)  # the whole-frame skip fires legally
+
+    p_mixed = H.encode_p_frame(
+        [("p16", (8, 0), None, None), ("p16", (0, 0), None, None),
+         ("skip",), ("skip",)], 2, 2, frame_num=1)
+    fr2 = H.decode_access_unit([p_mixed], sps_map, pps_map, refs)
+    assert _frame_bs_any(fr2)  # >= 1-pel mv difference => bs 1 edges exist
+
+    # intra frames always carry bs >= 3 edges: skip must never fire
+    assert _frame_bs_any(fr0)
