@@ -101,6 +101,13 @@ def rbsp_escape(b: bytes) -> bytes:
             i = j + 3
 
 
+try:  # raw clip ufunc: np.clip's Python-level dispatch costs ~2.4x on
+    # the 4x4/8x8 arrays the reconstruction paths clip per block
+    _clip = np.core.umath.clip
+except AttributeError:  # pragma: no cover - numpy >= 2.0 moved umath
+    _clip = np.clip
+
+
 class BitReader:
     """MSB-first bit reader with Exp-Golomb (9.1)."""
 
@@ -446,12 +453,31 @@ def split_avcc_sample(b: bytes, nal_length_size: int) -> list[bytes]:
     return nals
 
 
+#: bounded memo of parsed avcC records: a corpus carries few distinct
+#: parameter-set blobs relative to documents (the gates ~6 per family),
+#: and parse_sps/parse_pps bit-walks were ~4% of the kernel profile.
+#: Parsed SPS/PPS dicts are never mutated post-parse (in-band updates
+#: REPLACE by-id map entries); the top-level maps are still returned as
+#: fresh copies so callers that update them in place can't alias the
+#: cache. Cleared at 256 entries.
+_AVCC_CACHE: dict[bytes, dict] = {}
+
+
 def parse_avcc(avcc: bytes) -> dict:
     """AVCDecoderConfigurationRecord (ISO 14496-15) -> SPS/PPS dicts +
     NAL length size. ALL parameter sets are kept, keyed by their ids
     (real encoders ship multiple PPS entries with e.g. different
     pic_init_qp); "sps"/"pps" remain the FIRST of each for callers that
     only need frame geometry."""
+    c = _AVCC_CACHE.get(avcc)
+    if c is not None:
+        return {
+            "sps": c["sps"],
+            "pps": c["pps"],
+            "sps_by_id": dict(c["sps_by_id"]),
+            "pps_by_id": dict(c["pps_by_id"]),
+            "nal_length_size": c["nal_length_size"],
+        }
     if len(avcc) < 7 or avcc[0] != 1:
         raise H264Error("bad avcC record")
     nal_length_size = (avcc[4] & 3) + 1
@@ -478,11 +504,20 @@ def parse_avcc(avcc: bytes) -> dict:
         i += ln
     if first_sps is None or first_pps is None:
         raise H264Error("avcC without SPS/PPS")
-    return {
+    if len(_AVCC_CACHE) >= 256:
+        _AVCC_CACHE.clear()
+    _AVCC_CACHE[bytes(avcc)] = {
         "sps": first_sps,
         "pps": first_pps,
         "sps_by_id": sps_by_id,
         "pps_by_id": pps_by_id,
+        "nal_length_size": nal_length_size,
+    }
+    return {
+        "sps": first_sps,
+        "pps": first_pps,
+        "sps_by_id": dict(sps_by_id),
+        "pps_by_id": dict(pps_by_id),
         "nal_length_size": nal_length_size,
     }
 
@@ -643,6 +678,20 @@ def _invert(table: dict | list) -> dict:
     return {code: i for i, code in enumerate(table)}
 
 
+def _compile_codes(table: dict | list):
+    """bitstring tables -> (value, length) pairs so the write path is
+    one BitWriter.u instead of int(str, 2) parsing per codeword."""
+    if isinstance(table, dict):
+        return {k: (int(s, 2), len(s)) for k, s in table.items()}
+    return [(int(s, 2), len(s)) for s in table]
+
+
+_CT_VLC_W = [_compile_codes(t) for t in (_CT_VLC0, _CT_VLC1, _CT_VLC2)]
+_CT_CDC_W = _compile_codes(_CT_CHROMA_DC)
+_TZ4_W = {tc: _compile_codes(codes) for tc, codes in _TOTAL_ZEROS_4x4.items()}
+_TZC_W = {tc: _compile_codes(codes) for tc, codes in _TOTAL_ZEROS_CDC.items()}
+_RB_W = {zl: _compile_codes(codes) for zl, codes in _RUN_BEFORE.items()}
+
 _CT_DECODE = [_invert(_CT_VLC0), _invert(_CT_VLC1), _invert(_CT_VLC2)]
 _CT_CDC_DECODE = _invert(_CT_CHROMA_DC)
 _TZ4_DECODE = {tc: _invert(codes) for tc, codes in _TOTAL_ZEROS_4x4.items()}
@@ -677,13 +726,13 @@ def _coeff_token_read(r: BitReader, nC: int) -> tuple[int, int]:
 
 def _coeff_token_write(w: BitWriter, nC: int, t1: int, tc: int) -> None:
     if nC == -1:
-        w.put(_CT_CHROMA_DC[(t1, tc)])
+        w.u(*_CT_CDC_W[(t1, tc)])
         return
     if nC >= 8:
         w.u(3 if tc == 0 else (((tc - 1) << 2) | t1), 6)
         return
     ctx = 0 if nC < 2 else (1 if nC < 4 else 2)
-    w.put([_CT_VLC0, _CT_VLC1, _CT_VLC2][ctx][(t1, tc)])
+    w.u(*_CT_VLC_W[ctx][(t1, tc)])
 
 
 def decode_residual_block(
@@ -780,8 +829,11 @@ def encode_residual_block(w: BitWriter, coeffs: list[int], nC: int) -> int:
             break
     _coeff_token_write(w, nC, t1, tc)
     rev = [c for _, c in reversed(nz)]  # highest frequency first
-    for i in range(t1):
-        w.u(1 if rev[i] < 0 else 0, 1)
+    if t1:
+        sgn = 0
+        for i in range(t1):
+            sgn = (sgn << 1) | (1 if rev[i] < 0 else 0)
+        w.u(sgn, t1)
     suffix_len = 1 if (tc > 10 and t1 < 3) else 0
     for i, level in enumerate(rev[t1:]):
         if level > 0:
@@ -799,16 +851,15 @@ def encode_residual_block(w: BitWriter, coeffs: list[int], nC: int) -> int:
     if tc < max_coeffs:
         if max_coeffs == 4:
             if tc < 4:
-                w.put(_TOTAL_ZEROS_CDC[tc][tz])
+                w.u(*_TZC_W[tc][tz])
         else:
-            w.put(_TOTAL_ZEROS_4x4[tc][tz])
+            w.u(*_TZ4_W[tc][tz])
     zeros_left = tz
     positions = [i for i, _ in reversed(nz)]
     for k in range(tc - 1):
         run = positions[k] - positions[k + 1] - 1
         if zeros_left > 0:
-            codes = _RUN_BEFORE[min(zeros_left, 7)]
-            w.put(codes[run])
+            w.u(*_RB_W[min(zeros_left, 7)][run])
         zeros_left -= run
     return tc
 
@@ -824,15 +875,15 @@ def _write_level(w: BitWriter, level_code: int, suffix_len: int) -> None:
             w.u(1, level_code + 1)  # prefix zeros then the 1
             return
         if level_code < 30:
-            w.u(1, 15)  # prefix 14, 4-bit suffix
-            w.u(level_code - 14, 4)
+            # prefix 14 (zeros + 1), then the 4-bit suffix, as one write
+            w.u((1 << 4) | (level_code - 14), 19)
             return
         adjusted = level_code - 30  # decode adds min(15,p)=15 and the +15
     else:
         prefix = level_code >> suffix_len
         if prefix < 15:
-            w.u(1, prefix + 1)
-            w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+            w.u((1 << suffix_len) | (level_code & ((1 << suffix_len) - 1)),
+                prefix + 1 + suffix_len)
             return
         adjusted = level_code - (15 << suffix_len)
     # escape: prefix p >= 15 with (p-3)-bit suffix; p >= 16 additionally
@@ -841,8 +892,7 @@ def _write_level(w: BitWriter, level_code: int, suffix_len: int) -> None:
         size = p - 3
         base = ((1 << size) - 4096) if p >= 16 else 0
         if base <= adjusted < base + (1 << size):
-            w.u(1, p + 1)
-            w.u(adjusted - base, size)
+            w.u((1 << size) | (adjusted - base), p + 1 + size)
             return
     raise H264Error("level too large to encode")
 
@@ -1098,7 +1148,7 @@ def _pred16x16(mode: int, top, left, corner) -> "np.ndarray":
         b = (5 * h + 32) >> 6
         c = (5 * v + 32) >> 6
         ys, xs = np.mgrid[0:16, 0:16]
-        return np.clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5, 0, 255)
+        return _clip((a + b * (xs - 7) + c * (ys - 7) + 16) >> 5, 0, 255)
     raise H264Error(f"bad intra16x16 mode {mode}")
 
 
@@ -1125,7 +1175,7 @@ def _pred_chroma8x8(mode: int, top, left, corner) -> "np.ndarray":
         b = (17 * h + 16) >> 5
         c = (17 * v + 16) >> 5
         ys, xs = np.mgrid[0:8, 0:8]
-        return np.clip((a + b * (xs - 3) + c * (ys - 3) + 16) >> 5, 0, 255)
+        return _clip((a + b * (xs - 3) + c * (ys - 3) + 16) >> 5, 0, 255)
     # DC: per-4x4-quadrant neighbor preferences (8.3.4.1-3). Quadrant
     # sums run over plain Python ints (tolist once) — the per-quadrant
     # numpy reductions were a profile hot spot at 4 per call.
@@ -1204,24 +1254,50 @@ _SUB_PARTS = {
 }
 
 
+#: per-(wmb, hmb) prototypes of _Frame's constant-filled arrays: a
+#: template .copy() is one C memcpy vs np.full's empty+broadcast-fill
+#: Python round (~5x per call; _Frame.__init__ runs once per access unit
+#: AND per encoder shadow — a top-10 kernel profile item). Bounded: the
+#: cache clears at 64 distinct frame geometries (gates use ~6).
+_FRAME_TMPL: dict = {}
+
+
+def _frame_tmpl(wmb: int, hmb: int) -> dict:
+    t = _FRAME_TMPL.get((wmb, hmb))
+    if t is None:
+        if len(_FRAME_TMPL) >= 64:
+            _FRAME_TMPL.clear()
+        t = {
+            "cb": np.full((hmb * 8, wmb * 8), 128, np.int64),
+            "blk_slice": np.full((hmb * 4, wmb * 4), -1, np.int32),
+            "blk_mode": np.full((hmb * 4, wmb * 4), -1, np.int32),
+            "mb_slice": np.full((hmb, wmb), -1, np.int32),
+            "blk_ref": np.full((hmb * 4, wmb * 4), -2, np.int32),
+            "mb_deblock": np.ones((hmb, wmb), np.int32),
+        }
+        _FRAME_TMPL[(wmb, hmb)] = t
+    return t
+
+
 class _Frame:
     """Decode state for one I-frame: planes + per-4x4-block bookkeeping."""
 
     def __init__(self, sps: dict):
         self.wmb, self.hmb = sps["width_mbs"], sps["height_mbs"]
+        tmpl = _frame_tmpl(self.wmb, self.hmb)
         self.y = np.zeros((self.hmb * 16, self.wmb * 16), np.int64)
-        self.cb = np.full((self.hmb * 8, self.wmb * 8), 128, np.int64)
-        self.cr = np.full((self.hmb * 8, self.wmb * 8), 128, np.int64)
+        self.cb = tmpl["cb"].copy()
+        self.cr = tmpl["cb"].copy()
         # per-4x4 luma block: decoded flag, slice id, nnz, intra4x4 mode
         self.blk_done = np.zeros((self.hmb * 4, self.wmb * 4), bool)
-        self.blk_slice = np.full((self.hmb * 4, self.wmb * 4), -1, np.int32)
+        self.blk_slice = tmpl["blk_slice"].copy()
         self.blk_nnz = np.zeros((self.hmb * 4, self.wmb * 4), np.int32)
-        self.blk_mode = np.full((self.hmb * 4, self.wmb * 4), -1, np.int32)
+        self.blk_mode = tmpl["blk_mode"].copy()
         # per-2x2 chroma block (per component) nnz + done/slice at MB level
         self.cnnz = [np.zeros((self.hmb * 2, self.wmb * 2), np.int32)
                      for _ in range(2)]
         self.mb_done = np.zeros((self.hmb, self.wmb), bool)
-        self.mb_slice = np.full((self.hmb, self.wmb), -1, np.int32)
+        self.mb_slice = tmpl["mb_slice"].copy()
         self.mb_i4 = np.zeros((self.hmb, self.wmb), bool)  # is I_4x4 (for
         # predIntra4x4PredMode: non-I_4x4 neighbors predict DC)
         #: current slice's explicit weighted-prediction table (set per
@@ -1257,11 +1333,11 @@ class _Frame:
         # read: -2 = not yet decoded, -1 = intra (mv treated as (0,0),
         # "different reference" per 8.4.1.3.2), >=0 = inter refIdxL0.
         self.blk_mv = np.zeros((self.hmb * 4, self.wmb * 4, 2), np.int32)
-        self.blk_ref = np.full((self.hmb * 4, self.wmb * 4), -2, np.int32)
+        self.blk_ref = tmpl["blk_ref"].copy()
         # list-1 motion state (B slices): ref -2 = undecoded, -1 = block
         # does not use list 1 (intra, P, or one-list B)
         self.blk_mv1 = np.zeros((self.hmb * 4, self.wmb * 4, 2), np.int32)
-        self.blk_ref1 = np.full((self.hmb * 4, self.wmb * 4), -2, np.int32)
+        self.blk_ref1 = tmpl["blk_ref"].copy()
         #: RefPicList1 for the current B picture (POC-future first)
         self.refs_l1: list = []
         #: pic_order_cnt_lsb (poc_type 0 streams; None = poc_type 2)
@@ -1272,7 +1348,7 @@ class _Frame:
         #: recent first — the default P RefPicList0 for an in-order
         #: no-gap stream; [] for IDR/I-only decode
         self.refs: list = []
-        self.mb_deblock = np.ones((self.hmb, self.wmb), np.int32)
+        self.mb_deblock = tmpl["mb_deblock"].copy()
         self.mb_off_a = np.zeros((self.hmb, self.wmb), np.int32)
         self.mb_off_b = np.zeros((self.hmb, self.wmb), np.int32)
 
@@ -1402,15 +1478,15 @@ def _interp_luma_block(ref_y: "np.ndarray", x0: int, y0: int, w: int, h: int,
             # prediction IS the reference block — return a read-only view
             # (callers assign/combine, never mutate predictions in place)
             return ref_y[r0 : r0 + h, c0 : c0 + w]
-        rows = np.clip(np.arange(r0, r0 + h), 0, H - 1)
-        cols = np.clip(np.arange(c0, c0 + w), 0, W - 1)
+        rows = _clip(np.arange(r0, r0 + h), 0, H - 1)
+        cols = _clip(np.arange(c0, c0 + w), 0, W - 1)
         return ref_y[np.ix_(rows, cols)]
     if 0 <= r0 - 2 and r0 + h + 3 <= H and 0 <= c0 - 2 and c0 + w + 3 <= W:
         # in-bounds window: basic slice (view) instead of fancy indexing
         win = ref_y[r0 - 2 : r0 + h + 3, c0 - 2 : c0 + w + 3]
     else:
-        rows = np.clip(np.arange(r0 - 2, r0 + h + 3), 0, H - 1)
-        cols = np.clip(np.arange(c0 - 2, c0 + w + 3), 0, W - 1)
+        rows = _clip(np.arange(r0 - 2, r0 + h + 3), 0, H - 1)
+        cols = _clip(np.arange(c0 - 2, c0 + w + 3), 0, W - 1)
         win = ref_y[np.ix_(rows, cols)]  # (h+5, w+5); G at [2,2]
     G = win[2 : 2 + h, 2 : 2 + w]
 
@@ -1422,7 +1498,7 @@ def _interp_luma_block(ref_y: "np.ndarray", x0: int, y0: int, w: int, h: int,
         return (a[0:-5, :] - 5 * a[1:-4, :] + 20 * a[2:-3, :]
                 + 20 * a[3:-2, :] - 5 * a[4:-1, :] + a[5:, :])
 
-    clip255 = lambda a: np.clip(a, 0, 255)  # noqa: E731
+    clip255 = lambda a: _clip(a, 0, 255)  # noqa: E731
     # half-pel planes over one extra row/col so quarter averages that
     # reach the NEXT integer position stay in range
     b_ext = clip255((tap6_h(win[2 : 3 + h, :]) + 16) >> 5)  # (h+1, w+1)
@@ -1477,14 +1553,14 @@ def _interp_chroma_block(ref_c: "np.ndarray", x0: int, y0: int, w: int,
             # integer-pel chroma MV inside the frame: pure copy (view;
             # callers assign/combine, never mutate predictions in place)
             return ref_c[r0 : r0 + h, c0 : c0 + w]
-        rows = np.clip(np.arange(r0, r0 + h), 0, H - 1)
-        cols = np.clip(np.arange(c0, c0 + w), 0, W - 1)
+        rows = _clip(np.arange(r0, r0 + h), 0, H - 1)
+        cols = _clip(np.arange(c0, c0 + w), 0, W - 1)
         return ref_c[np.ix_(rows, cols)]
     if 0 <= r0 and r0 + h + 1 <= H and 0 <= c0 and c0 + w + 1 <= W:
         win = ref_c[r0 : r0 + h + 1, c0 : c0 + w + 1]  # in-bounds: view
     else:
-        rows = np.clip(np.arange(r0, r0 + h + 1), 0, H - 1)
-        cols = np.clip(np.arange(c0, c0 + w + 1), 0, W - 1)
+        rows = _clip(np.arange(r0, r0 + h + 1), 0, H - 1)
+        cols = _clip(np.arange(c0, c0 + w + 1), 0, W - 1)
         win = ref_c[np.ix_(rows, cols)]
     A = win[:h, :w]
     B = win[:h, 1:]
@@ -1565,8 +1641,8 @@ def _wp_apply(x: "np.ndarray", w: int, o: int, logwd: int) -> "np.ndarray":
     """Explicit weighted-prediction sample transform (8.4.2.3.2,
     single-direction P): scale, round at the denom, offset, clip."""
     if logwd >= 1:
-        return np.clip(((x * w + (1 << (logwd - 1))) >> logwd) + o, 0, 255)
-    return np.clip(x * w + o, 0, 255)
+        return _clip(((x * w + (1 << (logwd - 1))) >> logwd) + o, 0, 255)
+    return _clip(x * w + o, 0, 255)
 
 
 def _mc_pred(ref: dict, px: int, py: int, w: int, h: int, mv: tuple):
@@ -1659,7 +1735,7 @@ def _inter_residual_tail(fr: _Frame, r: BitReader, pps: dict, mb: int,
         d = _dequant_zz4x4(luma_coeffs[i], qp)
         blk = (fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4]
                + ((idct4x4(d) + 32) >> 6))
-        fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(blk, 0, 255)
+        fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = _clip(blk, 0, 255)
     preds = (
         fr.cb[cy : cy + 8, cx : cx + 8].copy(),
         fr.cr[cy : cy + 8, cx : cx + 8].copy(),
@@ -2138,12 +2214,12 @@ def _add_chroma_residual(fr: _Frame, pps: dict, qp: int, cx: int, cy: int,
         pred = preds[comp]
         if not cbp_chroma:
             # no chroma residual at all: the whole 8x8 is the prediction
-            plane[cy : cy + 8, cx : cx + 8] = np.clip(pred, 0, 255)
+            plane[cy : cy + 8, cx : cx + 8] = _clip(pred, 0, 255)
             continue
         dc = chroma_dc_dequant(chroma_dc[comp], qpc)
         if all(a is None for a in chroma_ac[comp]):
             res8 = np.repeat(np.repeat((dc + 32) >> 6, 4, 0), 4, 1)
-            plane[cy : cy + 8, cx : cx + 8] = np.clip(pred + res8, 0, 255)
+            plane[cy : cy + 8, cx : cx + 8] = _clip(pred + res8, 0, 255)
             continue
         for j in range(4):
             ox, oy = (j % 2) * 4, (j // 2) * 4
@@ -2156,7 +2232,7 @@ def _add_chroma_residual(fr: _Frame, pps: dict, qp: int, cx: int, cy: int,
             else:
                 res = 0
             blk = pred[oy : oy + 4, ox : ox + 4] + res
-            plane[cy + oy : cy + oy + 4, cx + ox : cx + ox + 4] = np.clip(blk, 0, 255)
+            plane[cy + oy : cy + oy + 4, cx + ox : cx + ox + 4] = _clip(blk, 0, 255)
 
 
 def _decode_mb(fr: _Frame, r: BitReader, sps: dict, pps: dict, mb: int,
@@ -2293,7 +2369,7 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
             # constant (dc + 32) >> 6 — reconstruct the whole 16x16 in
             # one vector op instead of 16 small-array rounds
             res16 = np.repeat(np.repeat((dc + 32) >> 6, 4, 0), 4, 1)
-            fr.y[py : py + 16, px : px + 16] = np.clip(
+            fr.y[py : py + 16, px : px + 16] = _clip(
                 pred + res16, 0, 255
             )
         else:
@@ -2303,11 +2379,13 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
                     d = _dequant_zz4x4(luma_coeffs[i], qp)
                     d[0, 0] = dc[oy // 4, ox // 4]
                     res = idct4x4(d)
+                    blk = pred[oy : oy + 4, ox : ox + 4] + ((res + 32) >> 6)
                 else:
+                    # residual-free block: the rounded DC is one scalar —
+                    # skip the 4x4 np.full + array add round
                     d0 = int(dc[oy // 4, ox // 4])
-                    res = np.full((4, 4), d0, np.int64)
-                blk = pred[oy : oy + 4, ox : ox + 4] + ((res + 32) >> 6)
-                fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = np.clip(
+                    blk = pred[oy : oy + 4, ox : ox + 4] + ((d0 + 32) >> 6)
+                fr.y[py + oy : py + oy + 4, px + ox : px + ox + 4] = _clip(
                     blk, 0, 255
                 )
     else:
@@ -2375,7 +2453,7 @@ def _reconstruct_intra(fr: _Frame, mb: int, slice_id: int, qp: int,
                 blk = pred + ((idct4x4(d) + 32) >> 6)
             else:
                 blk = pred
-            fr.y[bpy : bpy + 4, bpx : bpx + 4] = np.clip(blk, 0, 255)
+            fr.y[bpy : bpy + 4, bpx : bpx + 4] = _clip(blk, 0, 255)
             written[oy // 4][ox // 4] = True
 
     preds = []
@@ -2498,7 +2576,7 @@ def _frame_rgb(fr: _Frame) -> "np.ndarray":
         # exactly 0, so R = G = B = Y — skip the float conversion pass
         # (integer clip matches the float path's rint+clip exactly).
         rgb = np.repeat(
-            fr.y.clip(0, 255).astype(np.uint8)[:, :, None], 3, axis=2
+            _clip(fr.y, 0, 255).astype(np.uint8)[:, :, None], 3, axis=2
         )
     else:
         y = fr.y.astype(np.float64)
@@ -2508,7 +2586,7 @@ def _frame_rgb(fr: _Frame) -> "np.ndarray":
             [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
             axis=2,
         )
-        rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+        rgb = _clip(np.rint(rgb), 0, 255).astype(np.uint8)
     left, right, top, bottom = fr.sps["crop"]
     h = fr.hmb * 16 - 2 * (top + bottom)
     w = fr.wmb * 16 - 2 * (left + right)
@@ -2603,6 +2681,11 @@ def _nal(nal_type: int, rbsp: bytes, ref_idc: int = 3) -> bytes:
     return bytes([(ref_idc << 5) | nal_type]) + rbsp_escape(rbsp)
 
 
+#: bounded memo of encoded parameter-set NAL pairs (pure function of
+#: its arguments; the fixture synth calls it per document)
+_SPS_PPS_CACHE: dict[tuple, tuple[bytes, bytes]] = {}
+
+
 def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
                    crop_bottom: int = 0, qp: int = 26,
                    second_cqpo: int | None = None,
@@ -2622,6 +2705,11 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
     Baseline tool)."""
     if crop_right % 2 or crop_bottom % 2:
         raise H264Error("crop must be even (4:2:0 crop units)")
+    key = (w_mbs, h_mbs, crop_right, crop_bottom, qp, second_cqpo, pps_id,
+           cqpo, weighted_pred, cabac, poc_type, max_refs, profile_idc)
+    hit = _SPS_PPS_CACHE.get(key)
+    if hit is not None:
+        return hit
     w = BitWriter()
     w.u(profile_idc, 8)
     w.u(0xC0 if profile_idc == 66 else 0, 8)  # constraint flags
@@ -2670,7 +2758,11 @@ def encode_sps_pps(w_mbs: int, h_mbs: int, crop_right: int = 0,
         w.u(0, 1)  # pic_scaling_matrix_present_flag
         w.se(second_cqpo)
     w.rbsp_trailing()
-    return sps_nal, _nal(8, w.tobytes())
+    if len(_SPS_PPS_CACHE) >= 256:
+        _SPS_PPS_CACHE.clear()
+    out = (sps_nal, _nal(8, w.tobytes()))
+    _SPS_PPS_CACHE[key] = out
+    return out
 
 
 def encode_i_frame(mbs: list, w_mbs: int, h_mbs: int, qp: int = 26,
@@ -2763,17 +2855,19 @@ def _encode_chroma_residuals(w: BitWriter, fr: _Frame, mbx: int, mby: int,
         for comp in range(2):
             dc = cdc[comp] if cdc is not None else [0] * 4
             encode_residual_block(w, list(dc), -1)
+    if cbp_chroma != 2:
+        cx0, cy0 = mbx * 2, mby * 2
+        fr.cnnz[0][cy0 : cy0 + 2, cx0 : cx0 + 2] = 0
+        fr.cnnz[1][cy0 : cy0 + 2, cx0 : cx0 + 2] = 0
+        return
     for comp in range(2):
         done = [[False, False], [False, False]]
         for j in range(4):
             bx2, by2 = mbx * 2 + j % 2, mby * 2 + j // 2
-            if cbp_chroma == 2:
-                blk = cac[comp][j] if cac[comp][j] is not None else [0] * 15
-                nc = _nc_chroma(fr, comp, bx2, by2, mbx, mby, slice_id, done)
-                tc = encode_residual_block(w, list(blk), nc)
-                fr.cnnz[comp][by2, bx2] = tc
-            else:
-                fr.cnnz[comp][by2, bx2] = 0
+            blk = cac[comp][j] if cac[comp][j] is not None else [0] * 15
+            nc = _nc_chroma(fr, comp, bx2, by2, mbx, mby, slice_id, done)
+            tc = encode_residual_block(w, list(blk), nc)
+            fr.cnnz[comp][by2, bx2] = tc
             done[j // 2][j % 2] = True
 
 
@@ -2826,20 +2920,23 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
         nc = _nc_luma(fr, bx0, by0, slice_id)
         encode_residual_block(w, list(dc_levels), nc)
         fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = 2
+        # Batched bookkeeping, mirroring _decode_residuals: whole-MB
+        # done/slice flags + zero nnz base in three sliced writes (exact:
+        # _nc_luma only probes A/B neighbors, which z-order places BEFORE
+        # their prober, so per-block tc writes below are final when read)
+        fr.blk_done[by0 : by0 + 4, bx0 : bx0 + 4] = True
+        fr.blk_slice[by0 : by0 + 4, bx0 : bx0 + 4] = slice_id
+        fr.blk_nnz[by0 : by0 + 4, bx0 : bx0 + 4] = 0
         # AC blocks in z-order, nC bookkeeping advancing per block —
         # the exact order the decoder's _decode_residuals consumes
-        for i in range(16):
-            bx = bx0 + _BLK_XY[i][0] // 4
-            by = by0 + _BLK_XY[i][1] // 4
-            if cbp_luma:
+        if cbp_luma:
+            for i in range(16):
+                bx = bx0 + _BLK_XY[i][0] // 4
+                by = by0 + _BLK_XY[i][1] // 4
                 ac = ac16[i] if ac16[i] is not None else [0] * 15
                 nc = _nc_luma(fr, bx, by, slice_id)
                 tc = encode_residual_block(w, list(ac), nc)
                 fr.blk_nnz[by, bx] = tc
-            else:
-                fr.blk_nnz[by, bx] = 0
-            fr.blk_done[by, bx] = True
-            fr.blk_slice[by, bx] = slice_id
         _encode_chroma_residuals(w, fr, mbx, mby, slice_id, cbp_chroma,
                                  cdc, cac)
         fr.mb_done[mby, mbx] = True
@@ -2871,8 +2968,7 @@ def _encode_mb(w: BitWriter, fr: _Frame, mb: int, desc, qp: int,
             rem = mode if mode < pred else mode - 1
             if rem >= 8:
                 raise H264Error("cannot signal mode equal to predictor")
-            w.u(0, 1)
-            w.u(rem, 3)
+            w.u(rem, 4)  # 0 flag + 3-bit rem_intra4x4_pred_mode
         local[(bx, by)] = mode
     fr.blk_mode[by0 : by0 + 4, bx0 : bx0 + 4] = (
         np.array(modes, np.int32)[_BLK_Z2R].reshape(4, 4))
@@ -3817,6 +3913,23 @@ def _ctx_state_arrays(slice_qp: int) -> tuple[bytearray, bytearray]:
     return bytearray(tpl[0]), bytearray(tpl[1])
 
 
+_CTX_TEMPLATES_F: dict[int, bytes] = {}
+
+
+def _ctx_state_fused(slice_qp: int) -> bytearray:
+    """Single flat bytearray of (pStateIdx << 1) | valMPS per ctxIdx —
+    the engines' per-bin hot path reads/writes ONE cell instead of one
+    per array (decision() showed 2 reads + 1 write per bin on the split
+    st_s/st_v layout). Memoized per QP like _ctx_state_arrays."""
+    qp = max(0, min(51, slice_qp))
+    tpl = _CTX_TEMPLATES_F.get(qp)
+    if tpl is None:
+        ss, vv = _ctx_state_arrays(qp)
+        tpl = bytes((s << 1) | v for s, v in zip(ss, vv))
+        _CTX_TEMPLATES_F[qp] = tpl
+    return bytearray(tpl)
+
+
 def _init_ctx_states(slice_qp: int) -> dict[int, list[int]]:
     """Dict view (ctxIdx -> [pStateIdx, valMPS]) of the initial context
     states — kept for tests/introspection; the engines use the flat
@@ -3835,30 +3948,31 @@ class CabacDecoder:
         self.off = r.u(9)
         if self.off >= 510:
             raise H264Error("invalid CABAC initial codIOffset")
-        self.st_s, self.st_v = _ctx_state_arrays(slice_qp)
+        self.st = _ctx_state_fused(slice_qp)
         self.prev_qp_delta_nz = False
 
     def decision(self, idx: int) -> int:
         # hot path: one call per regular bin — locals over attributes,
-        # renorm bit reads inlined (a method call per bit doubles cost)
-        ss = self.st_s
-        s0 = ss[idx]
+        # renorm bit reads inlined (a method call per bit doubles cost);
+        # context state is the fused (pState << 1) | valMPS byte
+        st_arr = self.st
+        st = st_arr[idx]
+        s0 = st >> 1
         rng = self.rng
         lps = _RANGE_LPS[s0][(rng >> 6) & 3]
         rng -= lps
         off = self.off
-        vv = self.st_v
         if off >= rng:
-            bit = 1 - vv[idx]
+            v = st & 1
+            bit = 1 - v
             off -= rng
             rng = lps
-            if s0 == 0:
-                vv[idx] = bit  # MPS flips: 1 - old valMPS == bit
-            ss[idx] = _TRANS_LPS[s0]
+            # MPS flips when pState was 0: new valMPS == bit
+            st_arr[idx] = (_TRANS_LPS[s0] << 1) | (bit if s0 == 0 else v)
         else:
-            bit = vv[idx]
+            bit = st & 1
             if s0 < 62:
-                ss[idx] = s0 + 1
+                st_arr[idx] = st + 2
         if rng < 256:
             r = self.r
             data = r.data
@@ -3902,17 +4016,35 @@ class CabacEncoder:
         self.low = 0
         self.first = True
         self.outstanding = 0
-        self.st_s, self.st_v = _ctx_state_arrays(slice_qp)
+        self.st = _ctx_state_fused(slice_qp)
         self.prev_qp_delta_nz = False
+        # pending output bits, MSB-first (value, count): _putbit runs per
+        # renorm step, so buffering them into one int and flushing in
+        # >= 64-bit chunks replaces ~8 BitWriter.u calls with one
+        self._acc = 0
+        self._an = 0
 
     def _putbit(self, b: int) -> None:
         if self.first:
             self.first = False
         else:
-            self.w.u(b, 1)
-        while self.outstanding:
-            self.w.u(1 - b, 1)
-            self.outstanding -= 1
+            self._acc = (self._acc << 1) | b
+            self._an += 1
+        o = self.outstanding
+        if o:
+            self._acc = (self._acc << o) | (((1 << o) - 1) if b == 0 else 0)
+            self._an += o
+            self.outstanding = 0
+        if self._an >= 64:
+            self.w.u(self._acc, self._an)
+            self._acc = 0
+            self._an = 0
+
+    def _flush_bits(self) -> None:
+        if self._an:
+            self.w.u(self._acc, self._an)
+            self._acc = 0
+            self._an = 0
 
     def _renorm(self) -> None:
         while self.rng < 256:
@@ -3928,20 +4060,19 @@ class CabacEncoder:
             self.low <<= 1
 
     def decision(self, idx: int, bit: int) -> None:
-        ss = self.st_s
-        s0 = ss[idx]
+        st_arr = self.st
+        st = st_arr[idx]
+        s0 = st >> 1
         lps = _RANGE_LPS[s0][(self.rng >> 6) & 3]
         self.rng -= lps
-        vv = self.st_v
-        if bit != vv[idx]:
+        v = st & 1
+        if bit != v:
             self.low += self.rng
             self.rng = lps
-            if s0 == 0:
-                vv[idx] = 1 - vv[idx]
-            ss[idx] = _TRANS_LPS[s0]
+            st_arr[idx] = (_TRANS_LPS[s0] << 1) | ((1 - v) if s0 == 0 else v)
         else:
             if s0 < 62:
-                ss[idx] = s0 + 1
+                st_arr[idx] = st + 2
         self._renorm()
 
     def bypass(self, bit: int) -> None:
@@ -3965,6 +4096,7 @@ class CabacEncoder:
             self.rng = 2
             self._renorm()
             self._putbit((self.low >> 9) & 1)
+            self._flush_bits()
             self.w.u(((self.low >> 7) & 3) | 1, 2)
         else:
             self._renorm()
@@ -3981,20 +4113,31 @@ def _mb_avail(fr: _Frame, x: int, y: int, slice_id: int) -> bool:
 
 
 def _mbtype_inc(fr: _Frame, mbx: int, mby: int, slice_id: int) -> int:
-    """9.3.3.1.1.3: condTermFlagN = N available and not I_4x4 (I_NxN)."""
-    def cond(x, y):
-        return 1 if (_mb_avail(fr, x, y, slice_id)
-                     and not fr.mb_i4[y, x]) else 0
-    return cond(mbx - 1, mby) + cond(mbx, mby - 1)
+    """9.3.3.1.1.3: condTermFlagN = N available and not I_4x4 (I_NxN).
+    Straight-line (no per-call closures: this runs once per CABAC MB)."""
+    done, msl, i4 = fr.mb_done, fr.mb_slice, fr.mb_i4
+    inc = 0
+    x = mbx - 1
+    if x >= 0 and done[mby, x] and msl[mby, x] == slice_id and not i4[mby, x]:
+        inc = 1
+    y = mby - 1
+    if y >= 0 and done[y, mbx] and msl[y, mbx] == slice_id and not i4[y, mbx]:
+        inc += 1
+    return inc
 
 
 def _cpm_inc(fr: _Frame, mbx: int, mby: int, slice_id: int) -> int:
     """9.3.3.1.1.8: condTermFlagN = N available and its
-    intra_chroma_pred_mode != 0."""
-    def cond(x, y):
-        return 1 if (_mb_avail(fr, x, y, slice_id)
-                     and fr.mb_cpm[y, x] != 0) else 0
-    return cond(mbx - 1, mby) + cond(mbx, mby - 1)
+    intra_chroma_pred_mode != 0. Straight-line like _mbtype_inc."""
+    done, msl, cpm = fr.mb_done, fr.mb_slice, fr.mb_cpm
+    inc = 0
+    x = mbx - 1
+    if x >= 0 and done[mby, x] and msl[mby, x] == slice_id and cpm[mby, x]:
+        inc = 1
+    y = mby - 1
+    if y >= 0 and done[y, mbx] and msl[y, mbx] == slice_id and cpm[y, mbx]:
+        inc += 1
+    return inc
 
 
 #: (dx_mb, within-mb 8x8 for left) / top neighbor map of the 8x8 CBP grid
