@@ -197,13 +197,30 @@ class _FastBits:
 def _huff_lut(codes: dict[tuple[int, int], int]) -> list[int]:
     """16-bit-prefix lookup table: lut[next16] = (code_length << 8) | sym.
     One list index replaces the per-bit walk (T.81 allows codes ≤ 16
-    bits, so every code determines a unique 16-bit prefix range)."""
-    lut = [0] * 65536
+    bits, so every code determines a unique 16-bit prefix range). Built
+    with numpy slice fills — the per-entry Python loop was 92% of the
+    decode profile (a 2-bit code alone fills 16,384 entries)."""
+    lut = np.zeros(65536, np.int32)
     for (ln, code), sym in codes.items():
         base = code << (16 - ln)
-        val = (ln << 8) | sym
-        for i in range(1 << (16 - ln)):
-            lut[base + i] = val
+        lut[base : base + (1 << (16 - ln))] = (ln << 8) | sym
+    return lut.tolist()
+
+
+#: bounded memo of Huffman LUTs keyed by the raw DHT table definition
+#: (bits + vals bytes): real-world corpora overwhelmingly ship the Annex
+#: K tables, so each distinct table builds once per worker process. The
+#: LUT lists are read-only downstream. Cleared at 64 entries.
+_DHT_LUT_CACHE: dict[bytes, list] = {}
+
+
+def _huff_lut_cached(raw: bytes, codes: dict) -> list[int]:
+    lut = _DHT_LUT_CACHE.get(raw)
+    if lut is None:
+        lut = _huff_lut(codes)
+        if len(_DHT_LUT_CACHE) >= 64:
+            _DHT_LUT_CACHE.clear()
+        _DHT_LUT_CACHE[raw] = lut
     return lut
 
 
@@ -630,6 +647,7 @@ def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
         raise ValueError("not a JPEG")
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) → codes
+    hluts: dict[tuple[int, int], list] = {}  # same keys → 16-bit-prefix LUT
     comps: list[dict] = []
     w = h = None
     progressive = False
@@ -681,6 +699,12 @@ def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
                 nv = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + nv])
                 huff[(tc, th)] = _canonical_codes(bits, vals)
+                # LUT built once per DHT (memoized on the raw definition),
+                # not once per table per SCAN — a progressive image used
+                # to rebuild every 65k-entry table ~5x per decode
+                hluts[(tc, th)] = _huff_lut_cached(
+                    bytes(seg[i + 1 : i + 17 + nv]), huff[(tc, th)]
+                )
                 i += 17 + nv
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg[:2])
@@ -705,9 +729,7 @@ def decode_jpeg(b: bytes, workers: int = 1) -> np.ndarray:
                     "buf": buf,
                     "restarts": rst,
                     "restart": restart,
-                    "luts": {
-                        key: _huff_lut(codes) for key, codes in huff.items()
-                    },
+                    "luts": dict(hluts),  # snapshot: later DHTs may redefine
                 }
             )
             if not progressive:
