@@ -3865,3 +3865,47 @@ def test_capped_blockings_are_semi_joins_not_windows(spark):
     p2 = plan_of(dedup_embedding_cosine_arrow(vecs, PLANES, 16, 0.8))
     assert "Window" not in p2
     assert "LeftSemi" in p2
+
+
+def test_huff_lut_vectorized_matches_per_entry_reference():
+    """r13 s4: the numpy-slice LUT build must equal the original
+    per-entry loop for the Annex K tables, and the DHT memo must return
+    value-identical tables keyed by the raw definition."""
+    from engine_spark.datapipe import jpeg as J
+
+    def reference(codes):
+        lut = [0] * 65536
+        for (ln, code), sym in codes.items():
+            base = code << (16 - ln)
+            val = (ln << 8) | sym
+            for i in range(1 << (16 - ln)):
+                lut[base + i] = val
+        return lut
+
+    for bits, vals in (J._DC_LUM, J._AC_LUM, J._DC_CHR, J._AC_CHR):
+        codes = J._canonical_codes(list(bits), list(vals))
+        assert J._huff_lut(codes) == reference(codes)
+        raw = bytes(bits) + bytes(vals)
+        first = J._huff_lut_cached(raw, codes)
+        again = J._huff_lut_cached(raw, codes)
+        assert first is again  # memo hit: same object, no rebuild
+        assert first == reference(codes)
+
+
+def test_progressive_jpeg_decode_stable_across_memo(tmp_path):
+    """Decoding the same progressive JPEG twice (cold + memoized LUTs)
+    must produce identical pixels; a custom-table file must not collide
+    with the memoized Annex K entries."""
+    import numpy as np
+
+    from engine_spark.datapipe import jpeg as J
+
+    arr = np.empty((12, 20, 3), np.uint8)
+    arr[:, :] = (200, 30, 90)
+    payload = J.encode_jpeg(arr, quality=100, subsample=True,
+                            progressive=True)
+    J._DHT_LUT_CACHE.clear()
+    cold = J.decode_jpeg(payload)
+    warm = J.decode_jpeg(payload)
+    assert (cold == warm).all()
+    assert (cold == arr).all()

@@ -3089,3 +3089,127 @@ def test_deblock_skip_condition_matches_bruteforce_bs():
 
     # intra frames always carry bs >= 3 edges: skip must never fire
     assert _frame_bs_any(fr0)
+
+
+# ---------------------------------------------------------------------------
+# r13 optimization internals, session 4: allocation templates, fused CABAC
+# state, encoder bit batching, parameter-set memos
+# ---------------------------------------------------------------------------
+
+
+def test_frame_template_isolation():
+    """_Frame's template-copied arrays must be fresh per frame: mutating
+    one frame can never leak into another frame or the cached template."""
+    sps = {"width_mbs": 2, "height_mbs": 2}
+    a, b = H._Frame(sps), H._Frame(sps)
+    a.cb[:] = 7
+    a.blk_slice[:] = 3
+    a.blk_ref[:] = 5
+    a.mb_deblock[:] = 0
+    assert (b.cb == 128).all()
+    assert (b.blk_slice == -1).all()
+    assert (b.blk_ref == -2).all()
+    assert (b.mb_deblock == 1).all()
+    c = H._Frame(sps)  # template itself untouched
+    assert (c.cb == 128).all() and (c.blk_ref == -2).all()
+
+
+def test_write_level_matches_per_bit_reference():
+    """The fused prefix+suffix writes of _write_level must emit the exact
+    bit sequence of the original one-write-per-field form."""
+
+    def reference_bits(level_code: int, suffix_len: int) -> list[int]:
+        w = H.BitWriter()
+        if suffix_len == 0:
+            if level_code < 14:
+                w.u(1, level_code + 1)
+                return w.bits
+            if level_code < 30:
+                w.u(1, 15)
+                w.u(level_code - 14, 4)
+                return w.bits
+            adjusted = level_code - 30
+        else:
+            prefix = level_code >> suffix_len
+            if prefix < 15:
+                w.u(1, prefix + 1)
+                w.u(level_code & ((1 << suffix_len) - 1), suffix_len)
+                return w.bits
+            adjusted = level_code - (15 << suffix_len)
+        for p in range(15, 32):
+            size = p - 3
+            base = ((1 << size) - 4096) if p >= 16 else 0
+            if base <= adjusted < base + (1 << size):
+                w.u(1, p + 1)
+                w.u(adjusted - base, size)
+                return w.bits
+        raise AssertionError("unencodable")
+
+    rng = random.Random(4417)
+    cases = [(lc, sl) for sl in range(0, 7) for lc in range(0, 40)]
+    cases += [(rng.randrange(0, 1 << 14), rng.randrange(0, 7))
+              for _ in range(300)]
+    for lc, sl in cases:
+        w = H.BitWriter()
+        try:
+            H._write_level(w, lc, sl)
+        except H.H264Error:
+            continue
+        assert w.bits == reference_bits(lc, sl), (lc, sl)
+
+
+def test_cabac_encoder_bit_accumulator_golden_roundtrip():
+    """The encoder's buffered bit output must round-trip through the
+    decoder bin-for-bin, across decision/bypass contexts and multi-slice
+    terminate flushes (exercises the >=64-bit accumulator flush)."""
+    rng = random.Random(9217)
+    for trial in range(25):
+        bins = [(rng.choice(("d", "b")),
+                 rng.randrange(60, 70),
+                 rng.randrange(2))
+                for _ in range(rng.randrange(50, 400))]
+        w = H.BitWriter()
+        enc = H.CabacEncoder(w, 26)
+        for kind, ctx, bit in bins:
+            if kind == "d":
+                enc.decision(ctx, bit)
+            else:
+                enc.bypass(bit)
+            enc.terminate(0)
+        enc.terminate(1)
+        data = w.tobytes()
+        dec = H.CabacDecoder(H.BitReader(data), 26)
+        for kind, ctx, bit in bins:
+            got = dec.decision(ctx) if kind == "d" else dec.bypass()
+            assert got == bit, trial
+            assert dec.decode_terminate() == 0
+        assert dec.decode_terminate() == 1
+
+
+def test_fused_ctx_state_matches_init_tables():
+    """The fused (pState<<1)|valMPS byte array must agree with the
+    documented _init_ctx_states view for every context and QP."""
+    for qp in (0, 10, 26, 40, 51):
+        fused = H._ctx_state_fused(qp)
+        for idx, (s, v) in H._init_ctx_states(qp).items():
+            assert fused[idx] == (s << 1) | v, (qp, idx)
+
+
+def test_parse_avcc_memo_returns_unaliased_maps():
+    sps, pps = H.encode_sps_pps(2, 2, qp=26)
+    avcc = H.build_avcc(sps, pps)
+    a = H.parse_avcc(avcc)
+    b = H.parse_avcc(avcc)
+    assert a["sps_by_id"] == b["sps_by_id"]
+    a["sps_by_id"][99] = {"bogus": True}  # in-band-update simulation
+    c = H.parse_avcc(avcc)
+    assert 99 not in c["sps_by_id"]
+    assert c["nal_length_size"] == 4
+
+
+def test_encode_sps_pps_memo_stable():
+    a = H.encode_sps_pps(1, 3, crop_right=2, qp=26, cabac=True)
+    b = H.encode_sps_pps(1, 3, crop_right=2, qp=26, cabac=True)
+    assert a == b
+    c = H.encode_sps_pps(1, 3, crop_right=2, qp=27, cabac=True)
+    assert c != a
