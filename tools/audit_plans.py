@@ -35,12 +35,14 @@ CHECKS = {
     ],
     "dedup_embedding_cosine": [
         ("no cartesian", lambda p: "Cartesian" not in p),
-        # r13 occupancy cap: a window COUNT over the blocking key gates
-        # candidate generation (the EMB_BUCKET_CAP filter) — cheaper than
-        # a groupBy+semi-join because the signature expressions evaluate
-        # once (the cached frame shows as InMemoryTableScan on both
-        # sides of the pair join)
-        ("occupancy cap as a window count", lambda p: "Window" in p),
+        # r13 §6 skew-safe occupancy cap: groupBy-count + keyed SEMI join,
+        # never a window — a count() window partitioned by the bucket key
+        # funnels a mass-duplicate corpus's hot bucket through one
+        # unsplittable task BEFORE the cap filter can drop it, and AQE
+        # skew handling applies to joins only (guide §2.5)
+        ("occupancy cap as aggregate + semi join, not a window",
+         lambda p: "Window" not in p and "HashAggregate" in p
+         and "LeftSemi" in p),
         ("signature frames cached (single evaluation)",
          lambda p: "InMemoryTableScan" in p),
     ],
