@@ -1857,44 +1857,73 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    # the bucket frame caches too: the self-join references it TWICE, and
-    # without the cache each side re-evaluates the 64 hyperplane dots per
-    # row (the expensive map) — 8 narrow columns/row, bounded like e
-    b = (
+    # BOTH blockings — the 8 hyperplane tables ('neardup') and the SemDeDup
+    # cell x sub-bucket grid ('semdedup') — are the SAME shape: key the
+    # vectors, cap bucket occupancy, self-join within buckets, verify pairs
+    # with exact cosine. r13 ran them as two parallel pipelines (two caches,
+    # two groupBy-count caps, two semi-joins, two self-joins); unioning the
+    # keyed rows first runs ONE pipeline over (kind, k1, k2) — half the
+    # shuffles at any scale, same rows. kind 0 = hyperplane table (k1=t,
+    # k2=bucket), kind 1 = SemDeDup (k1=cell, k2=b0); 9 narrow int rows per
+    # vector, bounded like e.
+    keys = (
         e.select("vec_id", F.explode(_bucket_structs_spark()).alias("tb"))
         .select(
-            "vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+            "vec_id",
+            F.lit(0).alias("kind"),
+            F.col("tb.t").alias("k1"),
+            F.col("tb.bucket").alias("k2"),
         )
-        .cache()
+        .unionByName(
+            e.select(
+                "vec_id",
+                F.lit(1).alias("kind"),
+                F.expr(_ivf_cell(SP, "vd", IVF_CENTS)).alias("k1"),
+                F.expr(
+                    FR.hyperplane_bits(SP, "vd", PLANES[0], LSH_PROJ_DIM)
+                ).alias("k2"),
+            )
+        )
+        .cache()  # referenced by the cap count AND both self-join sides
     )
     # occupancy cap via groupBy-count + keyed semi-join (the fuzzy_pairs /
-    # simhash shape), NOT a window: a window partitioned by (t, bucket)
+    # simhash shape), NOT a window: a window partitioned by the bucket key
     # funnels a degenerate corpus — every duplicated embedding in one
     # bucket per table — through a single unsplittable window task BEFORE
     # the cap can drop it, and AQE skew handling applies to joins only.
     # The groupBy partial-aggregates map-side (a hot bucket ships one row
-    # per map task) and AQE broadcasts the eligible list or skew-splits
-    # the semi join at runtime. `b` is cached, so the semi side does NOT
-    # recompute the hyperplane dots (the objection that originally picked
-    # the window here predates the cache).
+    # per map task). The broadcast hint is scale-valid because the key
+    # space is pinned: <= LSH_TABLES*2^LSH_BITS + IVF_K*2^LSH_BITS rows.
     keep = (
-        b.groupBy("t", "bucket")
+        keys.groupBy("kind", "k1", "k2")
         .count()
         .filter(F.col("count") <= EMB_BUCKET_CAP)
         .drop("count")
     )
-    bk = b.join(F.broadcast(keep), ["t", "bucket"], "semi")
+    kk = keys.join(F.broadcast(keep), ["kind", "k1", "k2"], "semi")
+    # within-bucket candidate pairs; DISTINCT collapses the multi-table
+    # hits of kind 0 (a vector pair sharing several hyperplane tables) and
+    # is a no-op for kind 1 (each vector has exactly one cell x b0 key)
     cand = (
-        bk.alias("a")
+        kk.alias("a")
         .join(
-            bk.alias("b2"),
-            (F.col("a.t") == F.col("b2.t"))
-            & (F.col("a.bucket") == F.col("b2.bucket"))
+            kk.alias("b2"),
+            (F.col("a.kind") == F.col("b2.kind"))
+            & (F.col("a.k1") == F.col("b2.k1"))
+            & (F.col("a.k2") == F.col("b2.k2"))
             & (F.col("a.vec_id") < F.col("b2.vec_id")),
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b2.vec_id").alias("vec_b"))
+        .select(
+            F.col("a.kind").alias("kind"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b2.vec_id").alias("vec_b"),
+        )
         .distinct()
     )
+    # ONE exact-cosine verify pass for both modes: the expression is the
+    # identical dot_chain / (na * nb) both branches used before (same fold,
+    # same operand order -> bit-identical doubles), only the threshold is
+    # per-kind
     vs = e.select("vec_id", "vd", "nrm")
     j = (
         cand.join(
@@ -1909,57 +1938,16 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos",
             F.expr(f"{FR.dot_chain(SP, 'va', 'vb', EMB_DIM)} / (na * nb)"),
         )
-        .filter(F.col("cos") >= COSINE_T)
+        .filter(
+            F.col("cos") >= F.when(F.col("kind") == 0, COSINE_T).otherwise(SEM_T)
+        )
     )
-    near = j.select(
-        F.lit("neardup").alias("mode"),
+    return j.select(
+        F.when(F.col("kind") == 0, "neardup").otherwise("semdedup").alias("mode"),
         "vec_a",
         "vec_b",
         F.expr(r6("cos")).alias("cos_sim"),
     )
-
-    # SemDeDup-style: ONE fine clustering (centroid cell x hyperplane
-    # sub-bucket), all-pairs strictly inside a cluster — cells over the
-    # occupancy cap are excluded (and reported), bounding the self-join
-    sc = e.select(
-        "vec_id",
-        "vd",
-        "nrm",
-        F.expr(_ivf_cell(SP, "vd", IVF_CENTS)).alias("cell"),
-        F.expr(FR.hyperplane_bits(SP, "vd", PLANES[0], LSH_PROJ_DIM)).alias("b0"),
-    ).cache()  # self-joined below: cache so the cell argmax runs once
-    # same cap shape as bk above (skew-safe; sc is cached)
-    ckeep = (
-        sc.groupBy("cell", "b0")
-        .count()
-        .filter(F.col("count") <= EMB_BUCKET_CAP)
-        .drop("count")
-    )
-    sck = sc.join(F.broadcast(ckeep), ["cell", "b0"], "semi")
-    sem = (
-        sck.alias("a")
-        .join(
-            sck.alias("b2"),
-            (F.col("a.cell") == F.col("b2.cell"))
-            & (F.col("a.b0") == F.col("b2.b0"))
-            & (F.col("a.vec_id") < F.col("b2.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b2.vec_id").alias("vec_b"),
-            F.expr(
-                f"{FR.dot_chain(SP, 'a.vd', 'b2.vd', EMB_DIM)} / (a.nrm * b2.nrm)"
-            ).alias("cos"),
-        )
-        .filter(F.col("cos") >= SEM_T)
-        .select(
-            F.lit("semdedup").alias("mode"),
-            "vec_a",
-            "vec_b",
-            F.expr(r6("cos")).alias("cos_sim"),
-        )
-    )
-    return near.unionByName(sem)
 
 
 def embedding_dropped_buckets(

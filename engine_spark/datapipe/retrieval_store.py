@@ -166,7 +166,13 @@ class IncrementalBM25Index:
         # through a parquet write command in Spark 4.1.2.)
         from pyspark.sql import Window
 
-        tok = docs.select(
+        # repartition the RAW batch by doc_id before tokenizing: hash(doc_id)
+        # satisfies the clustering of BOTH the (doc_id, term) aggregate
+        # (subset key) and the dl window, so the tf groupBy and the window
+        # reuse this one exchange — 3 shuffles/epoch -> 2, and the one
+        # shuffle moves each document's text once instead of its postings
+        # pairs twice (r14; plan-verified on the parquet source)
+        tok = docs.repartition("doc_id").select(
             "doc_id", F.explode(F.expr(FR.tokens(_SP, text_col))).alias("term")
         )
         tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))

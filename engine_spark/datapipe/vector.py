@@ -98,7 +98,7 @@ def dedup_embedding_cosine_arrow(
         .cache()
     )
     tabs = sig.select(
-        "vid", "v", F.posexplode("bks").alias("tab", "bucket")
+        "vid", F.posexplode("bks").alias("tab", "bucket")
     )
     # Occupancy cap via groupBy-count + keyed semi-join, NOT a window: a
     # window partitioned by (tab, bucket) funnels a mass-duplicate corpus
@@ -116,6 +116,12 @@ def dedup_embedding_cosine_arrow(
         .drop("count")
     )
     tabs = tabs.join(eligible, ["tab", "bucket"], "semi")
+    # keys-only candidate generation (guide §2.3 / §8: every shuffle but
+    # the last moves a lightweight proxy): the self-join and the pair
+    # dedup shuffle (vid, vid) int pairs — the r13 shape carried the full
+    # vector payload through BOTH exchanges (8 copies per vector through
+    # the self-join, one more through dropDuplicates). The payload is
+    # re-attached ONCE from the cached sig for the verify kernel.
     cand = (
         tabs.alias("a")
         .join(
@@ -126,12 +132,14 @@ def dedup_embedding_cosine_arrow(
         )
         .select(
             F.col("a.vid").alias("vec_a"),
-            F.col("a.v").alias("va"),
             F.col("b.vid").alias("vec_b"),
-            F.col("b.v").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    vs = sig.select("vid", "v")
+    cand = cand.join(
+        vs.withColumnsRenamed({"vid": "vec_a", "v": "va"}), "vec_a"
+    ).join(vs.withColumnsRenamed({"vid": "vec_b", "v": "vb"}), "vec_b")
     cos = cosine_udf()
     return (
         cand.withColumn("cos_sim", cos("va", "vb"))
